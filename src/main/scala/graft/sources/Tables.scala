@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the star-schema testdata (TESTDATA.md).
+  *
+  * Each loader is a plain `spark.read.parquet` — Catalyst handles
+  * column pruning and predicate pushdown into the scan, so queries
+  * should filter/select as early as possible and let `.explain`
+  * show `PushedFilters`/`ReadSchema` doing the work.
+  *
+  * Scale notes (100 TB): `region`(5) / `nation`(25) / `supplier` are
+  * broadcast-sized at any SF; `part` and `customer` are broadcastable
+  * through mid SFs; `orders`/`lineitem`/`events` are the fact tables
+  * that must only ever be shuffled on their join keys. Dimension
+  * loaders are therefore used under `broadcast()` hints in the query
+  * layer, and fact-fact joins rely on sort-merge + AQE.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view for `spark.sql` access
+    * (the EP3 "Athena layer" of SURVEY.md §3). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
