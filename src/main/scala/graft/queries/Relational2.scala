@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Second relational batch: scalar-function surface (SURVEY.md §2.8 —
+  * string/date/math/JSON, the reference's E2/E7/E8 semantics),
+  * subqueries, conditional aggregation, and the event-stream analytics
+  * (hourly tumbling windows, sessionization, as-of join) that the
+  * reference's EventBridge flow gestures at (SURVEY.md §2.10).
+  *
+  * Time arithmetic is done in exact integer microseconds
+  * (`unix_micros` ↔ DuckDB `epoch_us`) — never float seconds — so
+  * session boundaries and as-of gaps are bit-deterministic.
+  */
+object Relational2 {
+
+  private def dmoney(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def asMoney(c: Column): Column = round(c, 2).cast(DoubleType)
+
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  // ---- q17: HAVING (post-aggregation filter) --------------------------
+
+  private val q17 = GraftQuery(
+    "q17_big_nations",
+    (s, d) =>
+      cust(s, d)
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          asMoney(sum(dmoney(col("c_acctbal")))).as("acctbal_sum"))
+        .filter(col("n_customers") >= 5)
+        .orderBy(col("n_name")),
+    Some("""SELECT n_name, count(*) AS n_customers,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal_sum
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name HAVING count(*) >= 5 ORDER BY n_name"""))
+
+  // ---- q18: customer segmentation (E2 parity, proc:29-35) -------------
+  // The reference's classify_customer_segment((qty >= BULK) OR
+  // (total >= HIGH) → vip; total >= regular-threshold → regular;
+  // else occasional), thresholds ×300 for the star schema's range.
+  // Two-phase: per-order quantity rollup (one shuffle on l_orderkey),
+  // then classification + a broadcast-sized final aggregation.
+
+  private val q18 = GraftQuery(
+    "q18_customer_segment",
+    (s, d) => {
+      val qty = li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(dmoney(col("l_quantity"))).cast(DoubleType).as("order_qty"))
+      ord(s, d)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("customer_segment",
+          when(col("order_qty") >= 100 || col("o_totalprice") >= 300000, "vip")
+            .when(col("o_totalprice") >= 90000, "regular")
+            .otherwise("occasional"))
+        .groupBy(col("customer_segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          asMoney(sum(dmoney(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("customer_segment"))
+    },
+    Some("""SELECT CASE
+        WHEN order_qty >= 100 OR o_totalprice >= 300000 THEN 'vip'
+        WHEN o_totalprice >= 90000 THEN 'regular'
+        ELSE 'occasional' END AS customer_segment,
+      count(*) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      FROM orders JOIN (
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS order_qty
+        FROM lineitem GROUP BY l_orderkey) q ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY customer_segment"""))
+
+  // ---- q19: string functions (E11/E12-adjacent surface) ---------------
+
+  private val q19 = GraftQuery(
+    "q19_string_funcs",
+    (s, d) =>
+      part(s, d)
+        .filter(col("p_name").like("%e%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+          when(col("p_name").like("%red%"), lit(1L)).otherwise(lit(0L)).as("is_red"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, upper(p_name) AS uname,
+      substring(p_name, 1, 5) AS prefix,
+      CAST(length(p_name) AS INT) AS name_len,
+      concat_ws('/', p_brand, p_type) AS brand_type,
+      regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
+      CAST(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS BIGINT) AS is_red
+      FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey"""))
+
+  // ---- q20: date functions (E6/E7/E8 parity, proc:156-158) ------------
+  // order_day_of_week + is_weekend_order re-expressed over o_orderdate.
+  // Spark dayofweek is 1=Sunday..7=Saturday; DuckDB isodow is
+  // 1=Monday..7=Sunday — the weekend predicate maps accordingly.
+
+  private val q20 = GraftQuery(
+    "q20_order_date_profile",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          year(col("o_orderdate")).cast(IntegerType).as("order_year"),
+          date_format(col("o_orderdate"), "EEEE").as("order_day_of_week"),
+          dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend_order"),
+          dmoney(col("o_totalprice")).as("price_dec"))
+        .groupBy(col("order_year"), col("order_day_of_week"), col("is_weekend_order"))
+        .agg(count(lit(1)).as("n_orders"),
+          asMoney(sum(col("price_dec"))).as("revenue"))
+        .orderBy(col("order_year"), col("order_day_of_week")),
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      dayname(o_orderdate) AS order_day_of_week,
+      isodow(o_orderdate) IN (6, 7) AS is_weekend_order,
+      count(*) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2, 3 ORDER BY order_year, order_day_of_week"""))
+
+  // ---- q21: math functions --------------------------------------------
+  // Non-decimal math (sqrt/ln) is rounded PER ROW to 4dp before the
+  // exact DECIMAL sum, so cross-engine libm/summation-order noise
+  // cannot reach the aggregate.
+
+  private val q21 = GraftQuery(
+    "q21_math_funcs",
+    (s, d) =>
+      li(s, d)
+        .select(
+          round(sqrt(col("l_extendedprice")), 4).cast(DecimalType(18, 4)).as("sqrt_price"),
+          round(log(col("l_quantity") + 1), 4).cast(DecimalType(18, 4)).as("ln_qty"),
+          ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).as("tax_pct_floor"),
+          abs(col("l_quantity") - 25).cast(DecimalType(12, 2)).as("qty_dev"))
+        .agg(
+          round(sum(col("sqrt_price")), 2).cast(DoubleType).as("sum_sqrt_price"),
+          round(sum(col("ln_qty")), 2).cast(DoubleType).as("sum_ln_qty"),
+          sum(col("disc_pct_ceil")).cast(LongType).as("sum_disc_ceil"),
+          sum(col("tax_pct_floor")).cast(LongType).as("sum_tax_floor"),
+          round(sum(col("qty_dev")), 2).cast(DoubleType).as("sum_qty_dev")),
+    Some("""SELECT
+      CAST(round(sum(CAST(round(sqrt(l_extendedprice), 4) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_sqrt_price,
+      CAST(round(sum(CAST(round(ln(l_quantity + 1), 4) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_ln_qty,
+      CAST(sum(CAST(ceil(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_ceil,
+      CAST(sum(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_tax_floor,
+      CAST(round(sum(CAST(abs(l_quantity - 25) AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty_dev
+      FROM lineitem"""))
+
+  // ---- q22: scalar subquery (orders above global average) -------------
+  // The scalar aggregate is broadcast to the scan — no shuffle of the
+  // fact table, and the filter stays codegen'd.
+
+  private val q22 = GraftQuery(
+    "q22_above_avg_orders",
+    (s, d) => {
+      val o = ord(s, d)
+      val avgDf = o.agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .agg(count(lit(1)).as("n_above_avg"),
+          asMoney(sum(dmoney(col("o_totalprice")))).as("revenue_above_avg"))
+    },
+    Some("""SELECT count(*) AS n_above_avg,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue_above_avg
+      FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""))
+
+  // ---- q23: conditional aggregation (pivot-style) ---------------------
+
+  private val q23 = GraftQuery(
+    "q23_status_pivot",
+    (s, d) =>
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", lit(1))).as("n_f"),
+          count(when(col("o_orderstatus") === "O", lit(1))).as("n_o"),
+          count(when(col("o_orderstatus") === "P", lit(1))).as("n_p"),
+          asMoney(sum(when(col("o_orderstatus") === "F", dmoney(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(12, 2))))).as("revenue_f"))
+        .orderBy(col("n_name")),
+    Some("""SELECT n_name,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+      CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+        THEN CAST(o_totalprice AS DECIMAL(12,2))
+        ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS revenue_f
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  // ---- q24: JSON extraction (E16 surface over events.props) -----------
+
+  private val q24 = GraftQuery(
+    "q24_json_props",
+    (s, d) =>
+      ev(s, d)
+        .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          dmoney(col("value")).as("value_dec"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          asMoney(sum(col("value_dec"))).as("value_sum"))
+        .orderBy(col("k")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      count(*) AS n_events,
+      CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+      FROM events GROUP BY 1 ORDER BY k"""))
+
+  // ---- q25: tumbling-window aggregation over the event stream ---------
+  // Batch form of the Structured Streaming hourly window (the
+  // streaming twin lives in graft.streaming and is tested with
+  // Trigger.AvailableNow; the grouped plan is identical).
+
+  private val q25 = GraftQuery(
+    "q25_events_hourly",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          asMoney(sum(dmoney(col("value")))).as("value_sum"))
+        .orderBy(col("hour"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+      count(*) AS n_events,
+      CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  // ---- q26: sessionization (gaps-and-islands) -------------------------
+  // 30-minute inactivity gap. Gap arithmetic in integer microseconds;
+  // the session index is a running conditional COUNT (not SUM — DuckDB
+  // widens integer SUM to HUGEINT, which would break schema parity).
+  // One shuffle on user_id; both windows share the same partitioning.
+
+  private val q26 = GraftQuery(
+    "q26_sessionize",
+    (s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("is_new",
+          col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 1800000000L)
+        .withColumn("session_idx", count(when(col("is_new"), lit(1))).over(wRun))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, ts,
+          count(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end
+      FROM sessions GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
+  // ---- q27: as-of join ------------------------------------------------
+  // For each 'error' event, the most recent 'click' by the same user at
+  // or before it — the classic point-in-time lookup Spark lacks as a
+  // native operator. Implemented with the union-sort trick: tag both
+  // streams, sort clicks-before-errors at equal ts, and carry the last
+  // non-null click timestamp forward with one window pass. A single
+  // shuffle on user_id; no range-explosion self-join. The DuckDB
+  // oracle is its native ASOF JOIN, so the two formulations
+  // cross-validate. Matches `>=` semantics (a click at the exact error
+  // ts is taken).
+
+  private val q27 = GraftQuery(
+    "q27_asof_click_before_error",
+    (s, d) => {
+      val e = ev(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)),
+          col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error" && col("last_click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, c.ts AS last_click_ts,
+      epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+      ORDER BY e.event_id"""))
+
+  // ---- q28: grouped string aggregation (ordered concat) ---------------
+
+  private val q28 = GraftQuery(
+    "q28_brand_part_list",
+    (s, d) =>
+      part(s, d)
+        .filter(col("p_size") <= 3)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          array_join(array_sort(collect_list(col("p_name"))), ",").as("part_names"))
+        .orderBy(col("p_brand")),
+    Some("""SELECT p_brand, count(*) AS n_parts,
+      string_agg(p_name, ',' ORDER BY p_name) AS part_names
+      FROM part WHERE p_size <= 3
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+}
