@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for LLM-data pipelines, all pure `Column`
+  * expressions (no UDFs) so they stay inside Catalyst/codegen and
+  * vectorize per partition — every one is narrow (no shuffle), which
+  * is what makes a 100 TB corpus pass affordable: one scan, all
+  * metrics in a single projection.
+  *
+  * The reference repo has no text layer (SURVEY.md §2 marks the whole
+  * category engine-side); these implement the north-star operators:
+  * tokenization, token counting, quality scoring, language ID,
+  * shingling, and document fingerprinting.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (lowercased). */
+  def whitespaceTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish tokenization: runs of alphanumerics, or single
+    * non-space symbols — the classic pre-tokenizer regex shape. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Word k-shingles: join of each k-token sliding window. Empty
+    * array when the doc has fewer than k tokens. */
+  def wordShingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(1), size(tokens) - (k - 1)),
+        i => array_join(slice(tokens, i, lit(k)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Character k-shingles over the raw text (distinct set). */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      array_distinct(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  // ---- quality scoring ------------------------------------------------
+
+  private val punctClass = "[.,;:!?'\"()\\-]"
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, punctClass, ""))
+
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "in",
+    "to", "is", "it", "that", "for", "on", "with", "as")
+
+  def stopwordCount(tokens: Column): Column =
+    size(filter(tokens, t => array_contains(typedLit(stopwords), t)))
+
+  /** Per-doc quality metrics. Ratios are rounded to 6dp at the row
+    * level so downstream exact-decimal aggregation is reproducible
+    * across engines and partitionings. */
+  def qualityMetrics(text: Column): Column = {
+    val toks = whitespaceTokens(text)
+    struct(
+      length(text).as("n_chars"),
+      size(toks).as("n_words"),
+      round(punctCount(text).cast(DoubleType) / greatest(length(text), lit(1)), 6)
+        .as("punct_ratio"),
+      round(upperCount(text).cast(DoubleType) / greatest(length(text), lit(1)), 6)
+        .as("upper_ratio"),
+      round(stopwordCount(toks).cast(DoubleType) / greatest(size(toks), lit(1)), 6)
+        .as("stopword_ratio"))
+  }
+
+  // ---- language identification ---------------------------------------
+
+  /** Marker-word hit count for one language (word-boundary regex). */
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Heuristic language ID: CJK presence wins outright, otherwise the
+    * language with the most marker hits (priority order en, fr, de,
+    * es on ties; 'und' = undetermined when nothing matches). */
+  def langid(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val en = langHits(text, langMarkers("en"))
+    val fr = langHits(text, langMarkers("fr"))
+    val de = langHits(text, langMarkers("de"))
+    val es = langHits(text, langMarkers("es"))
+    when(cjk, "zh")
+      .when(en === 0 && fr === 0 && de === 0 && es === 0, "und")
+      .when(en >= fr && en >= de && en >= es, "en")
+      .when(fr >= de && fr >= es, "fr")
+      .when(de >= es, "de")
+      .otherwise("es")
+  }
+
+  // ---- document fingerprinting ----------------------------------------
+
+  private val FpMod = 1000000007L
+  private val FpMul = 1000003L
+
+  /** Portable 32-bit token hash: first 8 hex chars of md5, parsed as
+    * an unsigned int — chosen because every engine (and the DuckDB
+    * oracle) computes the same md5 bytes, unlike engine-native hash
+    * functions. */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % FpMod
+
+  /** Order-sensitive rolling-hash fingerprint over the token stream:
+    * h = (h * 1000003 + hash(tok)) mod 1e9+7. All intermediate values
+    * stay < 2^60, so it's exact in 64-bit arithmetic everywhere. */
+  def fingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(0L),
+      (acc, t) => (acc * FpMul + tokenHash(t)) % FpMod)
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector math over `ArrayType` columns via higher-order
+  * functions — `zip_with` + `aggregate` compile to Catalyst
+  * expressions (no UDF serialization, no Python boundary).
+  *
+  * Precision contract: callers cast `array<float>` embeddings to
+  * `array<double>` FIRST (float→double is exact), then every product
+  * and the left-fold sum are computed in double — bit-identical to a
+  * sequential C loop over the same values, which is what reference
+  * implementations (and the DuckDB oracle's `list_dot_product`)
+  * compute. That makes cosine scores reproducible across engines.
+  *
+  * Scale: all narrow, codegen-adjacent operations; the expensive part
+  * of similarity search is pair enumeration, handled in
+  * [[graft.operators.Similarity]] via broadcast + LSH bucketing.
+  */
+object VectorFunctions {
+
+  /** Exact widening of a float vector to double. */
+  def toDoubleVec(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Sign bit of a projection onto a fixed hyperplane. */
+  def projectionBit(v: Column, plane: Seq[Double]): Column =
+    when(dot(v, typedLit(plane)) >= 0, lit(1L)).otherwise(lit(0L))
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH signature: an
+    * integer whose bit i is the sign of v·r_i. Planes are generated
+    * from a fixed seed so signatures are deterministic. */
+  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      shiftleft(projectionBit(v, p), i)
+    }.reduce(_ bitwiseOR _)
+
+  /** Deterministic unit-free hyperplanes for [[lshSignature]]. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** LLM-data-pipeline operator inventory (north star, BASELINE.json):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search over embeddings, text analysis (language ID,
+  * quality, token counting, fingerprinting), and multimodal column
+  * plumbing — over the `documents` and `embeddings` tables.
+  *
+  * SQL-expressible ops carry DuckDB oracles; the LSH-based ops
+  * (engine-native hash families) are rows-only checked by the driver
+  * and covered by ScalaTest instead.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ---- q40/q41: exact deduplication -----------------------------------
+
+  private val q40 = GraftQuery(
+    "q40_dedup_exact",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  // Hash-based variant: the 100 TB form — the shuffle key is a 32-char
+  // digest, not the document body.
+  private val q41 = GraftQuery(
+    "q41_dedup_hash",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash")),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+
+  // ---- q42/q43: MinHash-LSH and SimHash near-dup (rows-only) ----------
+
+  private val q42 = GraftQuery(
+    "q42_minhash_dedup",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashDupPairs(dd, "text", "doc_id", threshold = 0.5)
+      val norm = pairs.select(col("idA").as("doc_id"), col("idB").as("other"))
+        .union(pairs.select(col("idB").as("doc_id"), col("idA").as("other")))
+      val stats = norm.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_candidates"), min(col("other")).as("_min_other"))
+      dd.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
+          (col("_min_other").isNull || col("_min_other") > col("doc_id")).as("is_kept"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  private val q43 = GraftQuery(
+    "q43_simhash",
+    (s, d) => {
+      val dd = docs(s, d)
+      val sigs = dd.select(col("doc_id"),
+        Dedup.simhash(whitespaceTokens(col("text"))).as("simhash"))
+      val pairs = Dedup.simhashDupPairs(dd, "text", "doc_id", maxHamming = 8)
+      val norm = pairs.select(col("idA").as("doc_id"))
+        .union(pairs.select(col("idB").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+      sigs.join(norm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  // ---- q44: n-gram Jaccard similarity (oracled) -----------------------
+  // Char-5-gram Jaccard over all same-source pairs — source is the
+  // blocking key (25 docs per source ⇒ 300 pairs per block; at scale
+  // the block bound is what keeps this from being O(n²)).
+
+  private val q44 = GraftQuery(
+    "q44_ngram_jaccard",
+    (s, d) => {
+      val sh = docs(s, d).select(col("doc_id"), col("source"),
+        charShingles(col("text"), 5).as("sh"))
+      val a = sh.select(col("source"), col("doc_id").as("idA"), col("sh").as("shA"))
+      val b = sh.select(col("source"), col("doc_id").as("idB"), col("sh").as("shB"))
+      a.join(b, Seq("source"))
+        .filter(col("idA") < col("idB"))
+        .select(col("source"), col("idA"), col("idB"),
+          round(Dedup.jaccard(col("shA"), col("shB")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("source"), col("idA"), col("idB"))
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(generate_series(1, length(text) - 4),
+            i -> substring(text, i, 5))) AS sh
+        FROM documents WHERE length(text) >= 5)
+      SELECT a.source AS source, a.doc_id AS idA, b.doc_id AS idB,
+        round(len(list_intersect(a.sh, b.sh)) /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.sh, b.sh)) /
+              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      ORDER BY source, idA, idB"""))
+
+  // ---- q45/q46: similarity search over embeddings ---------------------
+
+  private def queryVecs(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qvec"))
+
+  private def candVecs(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id").as("cid"), toDoubleVec(col("embedding")).as("cvec"))
+
+  private val q45 = GraftQuery(
+    "q45_knn_cosine",
+    (s, d) =>
+      Similarity.bruteForceTopK(queryVecs(s, d), candVecs(s, d), 5)
+        .orderBy(col("qid"), col("rank")),
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings),
+      s AS (SELECT qid, cid,
+        round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+          AS sim
+        FROM q CROSS JOIN c WHERE cid <> qid)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM s) t
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  private val q46 = GraftQuery(
+    "q46_ann_lsh",
+    (s, d) =>
+      Similarity.lshTopK(queryVecs(s, d), candVecs(s, d), k = 5,
+        dim = 64, nPlanes = 4)
+        .orderBy(col("qid"), col("rank")),
+    None)
+
+  // ---- q47–q50: text analysis -----------------------------------------
+
+  private val q47 = GraftQuery(
+    "q47_langid",
+    (s, d) =>
+      docs(s, d)
+        .select(col("lang"), langid(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("predicted")),
+    Some("""WITH scored AS (
+        SELECT lang,
+          len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS s_en,
+          len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+          len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+          len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
+          length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk
+        FROM documents)
+      SELECT lang,
+        CASE WHEN has_cjk THEN 'zh'
+          WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+          WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+          WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+          WHEN s_de >= s_es THEN 'de'
+          ELSE 'es' END AS predicted,
+        count(*) AS n_docs
+      FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""))
+
+  private val q48 = GraftQuery(
+    "q48_quality_by_source",
+    (s, d) =>
+      docs(s, d)
+        .select(col("source"), qualityMetrics(col("text")).as("m"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("m.n_chars")).as("total_chars"),
+          sum(col("m.n_words")).as("total_words"),
+          round(sum(col("m.punct_ratio").cast(DecimalType(12, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_punct_ratio"),
+          round(sum(col("m.stopword_ratio").cast(DecimalType(12, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("avg_stopword_ratio"))
+        .orderBy(col("source")),
+    Some("""WITH m AS (
+        SELECT source,
+          length(text) AS n_chars,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS n_words,
+          round((length(text) - length(regexp_replace(text,
+            '[.,;:!?''"()\-]', '', 'g'))) / greatest(length(text), 1), 6)
+            AS punct_ratio,
+          round(len(list_filter(list_filter(
+              regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0),
+              t -> list_contains(['the','a','an','and','or','of','in','to',
+                'is','it','that','for','on','with','as'], t)))
+            / greatest(len(list_filter(regexp_split_to_array(lower(text),
+                '\s+'), x -> length(x) > 0)), 1), 6) AS stopword_ratio
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
+        round(CAST(sum(CAST(punct_ratio AS DECIMAL(12,6))) AS DOUBLE)
+          / count(*), 6) AS avg_punct_ratio,
+        round(CAST(sum(CAST(stopword_ratio AS DECIMAL(12,6))) AS DOUBLE)
+          / count(*), 6) AS avg_stopword_ratio
+      FROM m GROUP BY source ORDER BY source"""))
+
+  private val q49 = GraftQuery(
+    "q49_token_stats",
+    (s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          tokenCount(col("text")).as("ws_tokens"),
+          bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens"),
+          round(sum(col("ws_tokens")).cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_ws_tokens"))
+        .orderBy(col("lang")),
+    Some("""WITH t AS (
+        SELECT lang,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+            AS bpe_tokens
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+        round(CAST(sum(ws_tokens) AS DOUBLE) / count(*), 4) AS avg_ws_tokens
+      FROM t GROUP BY lang ORDER BY lang"""))
+
+  private val q50 = GraftQuery(
+    "q50_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          fingerprint(whitespaceTokens(col("text"))).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> length(x) > 0),
+            t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+                   % 1000000007)),
+        (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  // ---- q51: multimodal column plumbing (binary + metadata) ------------
+  // The opaque-binary convention: media as `binary`, typed metadata
+  // alongside. Here the binary is fabricated from text (the container
+  // has no media libs — see graft.operators.Multimodal for the
+  // decode-stub pipeline); byte-level metadata is the oracled part.
+
+  private val q51 = GraftQuery(
+    "q51_multimodal_meta",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("media"),
+          ascii(substring(col("text"), 1, 1)).as("head_byte"))
+        .select(col("doc_id"),
+          octet_length(col("media")).as("n_bytes"),
+          col("head_byte"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      CAST(ascii(substring(text, 1, 1)) AS INT) AS head_byte
+      FROM documents ORDER BY doc_id"""))
+
+  // ---- q52: embedding column statistics -------------------------------
+
+  private val q52 = GraftQuery(
+    "q52_embedding_stats",
+    (s, d) =>
+      emb(s, d)
+        .select(col("label"),
+          round(l2Norm(toDoubleVec(col("embedding"))), 6)
+            .cast(DecimalType(18, 6)).as("norm_dec"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("first_dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("norm_dec")).cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_norm"),
+          min(col("first_dim")).as("min_first_dim"),
+          max(col("first_dim")).as("max_first_dim"))
+        .orderBy(col("label")),
+    Some("""WITH v AS (
+        SELECT label,
+          CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            CAST(embedding AS DOUBLE[]))), 6) AS DECIMAL(18,6)) AS norm_dec,
+          CAST(embedding[1] AS DOUBLE) AS first_dim
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+        round(CAST(sum(norm_dec) AS DOUBLE) / count(*), 4) AS avg_norm,
+        min(first_dim) AS min_first_dim,
+        max(first_dim) AS max_first_dim
+      FROM v GROUP BY label ORDER BY label"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+}
