@@ -78,10 +78,16 @@ object TextFunctions {
 
   // ---- language identification ---------------------------------------
 
-  /** Marker-word hit count for one language (word-boundary regex). */
-  def langHits(text: Column, markers: Seq[String]): Column =
-    size(regexp_extract_all(lower(text),
-      lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+  /** Lowercased letter-run tokens — the single regex pass shared by
+    * all marker counters (codegen subexpression elimination reuses
+    * one extraction across the four languages). */
+  def letterTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Marker-word hit count for one language: membership filter over
+    * the shared token array — no per-language regex pass. */
+  def langHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(typedLit(markers), t)))
 
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is", "a"),
@@ -89,15 +95,17 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  /** Heuristic language ID: CJK presence wins outright, otherwise the
-    * language with the most marker hits (priority order en, fr, de,
-    * es on ties; 'und' = undetermined when nothing matches). */
+  /** Heuristic language ID: CJK presence wins outright (a find-first
+    * `rlike`, not a whole-string rewrite), otherwise the language with
+    * the most marker hits among the shared letter-run tokens (priority
+    * order en, fr, de, es on ties; 'und' when nothing matches). */
   def langid(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
-    val en = langHits(text, langMarkers("en"))
-    val fr = langHits(text, langMarkers("fr"))
-    val de = langHits(text, langMarkers("de"))
-    val es = langHits(text, langMarkers("es"))
+    val cjk = text.rlike("[\\u4e00-\\u9fff]")
+    val toks = letterTokens(text)
+    val en = langHits(toks, langMarkers("en"))
+    val fr = langHits(toks, langMarkers("fr"))
+    val de = langHits(toks, langMarkers("de"))
+    val es = langHits(toks, langMarkers("es"))
     when(cjk, "zh")
       .when(en === 0 && fr === 0 && de === 0 && es === 0, "und")
       .when(en >= fr && en >= de && en >= es, "en")

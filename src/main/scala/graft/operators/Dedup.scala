@@ -56,14 +56,13 @@ object Dedup {
     * `shingleCol`. Returns (idA, idB) distinct. */
   def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
                         numHashes: Int = 24, bands: Int = 6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sig = df
       .filter(size(col(shingleCol)) > 0)
       .select(col(idCol), minhashSignature(col(shingleCol), numHashes).as("_sig"))
       .select(col(idCol),
         posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
-    val a = rows // suppress unused warning path; bands*rows == numHashes
-    require(a * bands == numHashes, "numHashes must be divisible by bands")
     val left = sig.select(col("_band"), col("_bhash"), col(idCol).as("idA"))
     val right = sig.select(col("_band"), col("_bhash"), col(idCol).as("idB"))
     left.join(right, Seq("_band", "_bhash"))
@@ -75,6 +74,49 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
+
+  /** Exact all-pairs Jaccard within blocks via an inverted index —
+    * the 100 TB form of the n-gram similarity join. Instead of a
+    * block² pair join carrying full shingle arrays (payload O(pairs ×
+    * set size), with the set intersection re-evaluated inside the join
+    * condition), each (block, shingle-hash) becomes a posting row;
+    * the posting self-join counts common shingles per candidate pair,
+    * and |A∪B| is derived from the per-doc set sizes carried on the
+    * posting rows. Every shuffled row is a fixed-width tuple of ints —
+    * no array ever crosses an exchange — and pairs sharing zero
+    * shingles (Jaccard 0) never materialize at all.
+    *
+    * Input `df` must carry `idCol`, `blockCol`, and `shingleCol`
+    * (array of 64-bit shingle hashes, distinct per doc). Returns
+    * (blockCol, idA, idB, jaccard) for pairs with jaccard >= threshold
+    * (compared after rounding to 6dp, matching the DuckDB oracle). */
+  def jaccardIndexPairs(df: DataFrame, idCol: String, blockCol: String,
+                        shingleCol: String, threshold: Double): DataFrame = {
+    // Explicit exchange on the posting key: the posting self-join
+    // multiplies rows, so its parallelism must be set BEFORE the join —
+    // AQE would coalesce the (small) upstream shuffle to one partition
+    // and run the entire expansion serially. An explicit repartition is
+    // exempt from AQE coalescing and is reused by both join sides.
+    val posts = df.select(col(blockCol), col(idCol),
+      size(col(shingleCol)).as("_sz"), explode(col(shingleCol)).as("_g"))
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col(blockCol), col("_g"))
+    val a = posts.select(col(blockCol), col("_g"),
+      col(idCol).as("idA"), col("_sz").as("_szA"))
+    val b = posts.select(col(blockCol).as("_blkB"), col("_g").as("_gB"),
+      col(idCol).as("idB"), col("_sz").as("_szB"))
+    val inter = a.join(b,
+        col(blockCol) === col("_blkB") && col("_g") === col("_gB") &&
+          col("idA") < col("idB"))
+      .groupBy(col(blockCol), col("idA"), col("idB"))
+      .agg(count(lit(1)).as("_inter"),
+        min(col("_szA")).as("_szA"), min(col("_szB")).as("_szB"))
+    inter
+      .withColumn("jaccard", round(col("_inter").cast(DoubleType) /
+        (col("_szA") + col("_szB") - col("_inter")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col(blockCol), col("idA"), col("idB"), col("jaccard"))
+  }
 
   /** Full MinHash-LSH near-dup pipeline over a document table:
     * shingle → sign → band → candidate pairs → exact-Jaccard verify.

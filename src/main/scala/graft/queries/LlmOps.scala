@@ -15,8 +15,9 @@ import graft.sources.Tables
   * plumbing — over the `documents` and `embeddings` tables.
   *
   * SQL-expressible ops carry DuckDB oracles; the LSH-based ops
-  * (engine-native hash families) are rows-only checked by the driver
-  * and covered by ScalaTest instead.
+  * (engine-native hash families) are rows-only checked by the driver;
+  * their precision/recall against brute-force ground truth is asserted
+  * by graft.DedupSpec and graft.SimilaritySpec (src/test).
   */
 object LlmOps {
 
@@ -87,22 +88,52 @@ object LlmOps {
     None)
 
   // ---- q44: n-gram Jaccard similarity (oracled) -----------------------
-  // Char-5-gram Jaccard over all same-source pairs — source is the
-  // blocking key (25 docs per source ⇒ 300 pairs per block; at scale
-  // the block bound is what keeps this from being O(n²)).
+  // Char-5-gram Jaccard over all same-source pairs. Scale decisions:
+  //  - shingles are hashed to 64-bit ints up front, so the pair join
+  //    shuffles 8-byte keys instead of 5-char strings (set sizes — and
+  //    hence Jaccard — are preserved; a collision inside one pair's
+  //    union is ~|union|²/2⁶⁵, negligible);
+  //  - docs shorter than the shingle width are dropped, mirroring the
+  //    oracle's length guard (an empty∩empty pair would yield 0/0 =
+  //    NaN, which Spark orders above every number → spurious rows);
+  //  - the projection is repartitioned before the self-join: the
+  //    source parquet arrives as one small file, and without the
+  //    explicit exchange the whole O(block²) pair generation runs in
+  //    a single task;
+  //  - the ≥0.5 filter gets pushed into the join condition by
+  //    Catalyst, so the size prune lives INSIDE the jaccard expression
+  //    (a `when` guard): jaccard ≥ 0.4999995 forces 2·min(|A|,|B|) ≥
+  //    max(|A|,|B|)−1, and pairs failing that short-circuit to 0.0
+  //    without ever building the intersection hash set. Union size is
+  //    derived arithmetically — one set op per surviving pair.
+  // For corpora where blocks grow with the data (making exact
+  // all-pairs quadratic), [[Dedup.jaccardIndexPairs]] (posting-list
+  // intersection counting) and [[Dedup.minhashDupPairs]] (LSH
+  // candidates, subquadratic, q42) are the scale paths.
 
   private val q44 = GraftQuery(
     "q44_ngram_jaccard",
     (s, d) => {
-      val sh = docs(s, d).select(col("doc_id"), col("source"),
-        charShingles(col("text"), 5).as("sh"))
-      val a = sh.select(col("source"), col("doc_id").as("idA"), col("sh").as("shA"))
-      val b = sh.select(col("source"), col("doc_id").as("idB"), col("sh").as("shB"))
-      a.join(b, Seq("source"))
-        .filter(col("idA") < col("idB"))
-        .select(col("source"), col("idA"), col("idB"),
-          round(Dedup.jaccard(col("shA"), col("shB")), 6).as("jaccard"))
+      val sh = docs(s, d)
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), col("source"),
+          transform(charShingles(col("text"), 5), x => xxhash64(x)).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val a = sh.select(col("source"), col("doc_id").as("idA"),
+        col("sh").as("shA"), col("sz").as("szA"))
+      val b = sh.select(col("source").as("srcB"), col("doc_id").as("idB"),
+        col("sh").as("shB"), col("sz").as("szB"))
+      val inter = size(array_intersect(col("shA"), col("shB")))
+      val guarded = when(
+        greatest(col("szA"), col("szB")) <= least(col("szA"), col("szB")) * 2 + 1,
+        round(inter.cast(DoubleType) /
+          (col("szA") + col("szB") - inter).cast(DoubleType), 6))
+        .otherwise(lit(0.0))
+      a.join(b, col("source") === col("srcB") && col("idA") < col("idB"))
+        .withColumn("jaccard", guarded)
         .filter(col("jaccard") >= 0.5)
+        .select(col("source"), col("idA"), col("idB"), col("jaccard"))
         .orderBy(col("source"), col("idA"), col("idB"))
     },
     Some("""WITH sh AS (
@@ -165,14 +196,17 @@ object LlmOps {
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("predicted")),
-    Some("""WITH scored AS (
-        SELECT lang,
-          len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS s_en,
-          len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
-          len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
-          len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
-          length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk
-        FROM documents)
+    Some("""WITH toks AS (
+        SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS t,
+          regexp_matches(text, '[一-鿿]') AS has_cjk
+        FROM documents),
+      scored AS (
+        SELECT lang, has_cjk,
+          len(list_filter(t, x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
+          len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+          len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+          len(list_filter(t, x -> list_contains(['el','los','las','y','es'], x))) AS s_es
+        FROM toks)
       SELECT lang,
         CASE WHEN has_cjk THEN 'zh'
           WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'

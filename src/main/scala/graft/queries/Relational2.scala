@@ -108,6 +108,13 @@ object Relational2 {
   // order_day_of_week + is_weekend_order re-expressed over o_orderdate.
   // Spark dayofweek is 1=Sunday..7=Saturday; DuckDB isodow is
   // 1=Monday..7=Sunday — the weekend predicate maps accordingly.
+  // Day names come from an explicit English lookup (not
+  // date_format 'EEEE', whose output follows the JVM default locale
+  // and would diverge from DuckDB's dayname() on a non-English host).
+
+  private val englishDayName: Column => Column = d =>
+    element_at(typedLit(Seq("Sunday", "Monday", "Tuesday", "Wednesday",
+      "Thursday", "Friday", "Saturday")), dayofweek(d))
 
   private val q20 = GraftQuery(
     "q20_order_date_profile",
@@ -115,7 +122,7 @@ object Relational2 {
       ord(s, d)
         .select(
           year(col("o_orderdate")).cast(IntegerType).as("order_year"),
-          date_format(col("o_orderdate"), "EEEE").as("order_day_of_week"),
+          englishDayName(col("o_orderdate")).as("order_day_of_week"),
           dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend_order"),
           dmoney(col("o_totalprice")).as("price_dec"))
         .groupBy(col("order_year"), col("order_day_of_week"), col("is_weekend_order"))
