@@ -1,0 +1,433 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.generate.SyntheticOrderSource
+import graft.generate.SyntheticOrderSource.{thr, DefaultN, DefaultSeed}
+import graft.pipeline.OrderPipeline
+import graft.streaming.OrderStream
+import graft.schema.OrderSchema.Errors
+
+/** The parity ETL pipeline as oracled queries (SURVEY.md §2 rows
+  * S1–S6, P1–P4, A2–A6, E1–E14, G1–G6, T1; VERDICT.md r1 item 1).
+  *
+  * The correctness trick: the synthetic generator is a deterministic
+  * function of (seed, gid, field) through md5 — so the DuckDB oracle
+  * REPLAYS the generation in SQL (the `GEN` CTE below, built from the
+  * same Scala constants) and every pipeline stage gets a hash-matched
+  * gate: generated values (q29), the validation gate's side-output
+  * counts (q30), every derived field of the 29-field enrichment
+  * (q31–q34), the JSONL write→read round trip (q35), the SQL surface
+  * over the processed table (q36), and the Structured Streaming twin
+  * (q37), whose output files are produced by a real
+  * `Trigger.AvailableNow` run inside the query.
+  */
+object PipelineQueries {
+
+  private val seed = DefaultSeed
+  private val n = DefaultN
+
+  private def rawOrders(s: SparkSession): DataFrame =
+    SyntheticOrderSource.orders(s, n, seed)
+  private def corruptOrders(s: SparkSession): DataFrame =
+    SyntheticOrderSource.corrupt(rawOrders(s), seed)
+
+  // ------------------------------------------------------------------
+  // The shared DuckDB replay of the generator (and its corruption),
+  // interpolated from the SAME constants the Spark side uses.
+  // ------------------------------------------------------------------
+
+  private def h(key: String): String =
+    s"CAST(concat('0x', substring(md5($key),1,8)) AS BIGINT)"
+
+  private val catValues = SyntheticOrderSource.catalogWithDa.map { r =>
+    s"('${r._1}','${r._2}',CAST(${r._3} AS DECIMAL(12,2)),'${r._4}'," +
+      s"CAST(${r._5} AS DECIMAL(12,2)),CAST(${r._6} AS DECIMAL(12,2)))"
+  }.mkString(",\n    ")
+
+  private val cities = graft.schema.OrderSchema.cities
+    .map("'" + _ + "'").mkString("[", ",", "]")
+  private val majors = graft.schema.OrderSchema.majorCities
+    .map("'" + _ + "'").mkString("(", ",", ")")
+  private val pays = graft.schema.OrderSchema.paymentMethods
+    .map("'" + _ + "'").mkString("[", ",", "]")
+  private val stats = graft.schema.OrderSchema.orderStatuses
+    .map("'" + _ + "'").mkString("[", ",", "]")
+  private val E = SyntheticOrderSource.AnchorEpoch
+
+  private val genCte = s"""WITH cat(product_id, product_name, unit_price, category, da5, da10) AS (VALUES
+    $catValues),
+  g AS (SELECT gid FROM range($n) t(gid)),
+  it0 AS (
+    SELECT g.gid, c.*,
+      ${h(s"'g:$seed:'||g.gid||':rk:'||c.product_id")} AS h_rk,
+      ${h(s"'g:$seed:'||g.gid||':qt:'||c.product_id")} AS h_qt,
+      ${h(s"'g:$seed:'||g.gid||':hd:'||c.product_id")} AS h_hd,
+      ${h(s"'g:$seed:'||g.gid||':dp:'||c.product_id")} AS h_dp,
+      ${h(s"'g:$seed:'||g.gid||':ni'")} AS h_ni
+    FROM g CROSS JOIN cat c),
+  it1 AS (
+    SELECT *,
+      CASE WHEN h_ni < ${thr(0.5)} THEN 1 WHEN h_ni < ${thr(0.8)} THEN 2 ELSE 3 END AS ni_tgt,
+      row_number() OVER (PARTITION BY gid ORDER BY h_rk, product_id) AS rnk
+    FROM it0),
+  it2 AS (
+    SELECT gid, rnk, product_id, product_name, category, unit_price, da5, da10,
+      CASE WHEN h_qt < ${thr(0.8)} THEN 1 ELSE 2 END AS quantity,
+      CASE WHEN h_hd < ${thr(0.2)} THEN ([0,5,10])[CAST((h_dp*3)//4294967296 AS INT)+1] ELSE 0 END AS discount_percentage
+    FROM it1 WHERE rnk <= ni_tgt),
+  items AS (
+    SELECT *,
+      CASE WHEN discount_percentage = 5 THEN da5
+           WHEN discount_percentage = 10 THEN da10
+           ELSE CAST(0.00 AS DECIMAL(12,2)) END AS da_unit
+    FROM it2),
+  items2 AS (
+    SELECT *,
+      CAST(da_unit*quantity AS DECIMAL(12,2)) AS discount_amount,
+      CAST((unit_price-da_unit)*quantity AS DECIMAL(12,2)) AS item_subtotal
+    FROM items),
+  osum AS (
+    SELECT gid, CAST(count(*) AS INT) AS num_items,
+      CAST(sum(quantity) AS INT) AS total_quantity,
+      CAST(sum(item_subtotal) AS DECIMAL(14,2)) AS subtotal_dec,
+      CAST(sum(discount_amount) AS DECIMAL(14,2)) AS total_discount_dec
+    FROM items2 GROUP BY gid),
+  od AS (
+    SELECT gid,
+      ${h(s"'g:$seed:'||gid||':ci'")} AS h_ci,
+      ${h(s"'g:$seed:'||gid||':dy'")} AS h_dy,
+      ${h(s"'g:$seed:'||gid||':td'")} AS h_td,
+      ${h(s"'g:$seed:'||gid||':cu'")} AS h_cu,
+      ${h(s"'g:$seed:'||gid||':em'")} AS h_em,
+      ${h(s"'g:$seed:'||gid||':pm'")} AS h_pm,
+      ${h(s"'g:$seed:'||gid||':st'")} AS h_st,
+      ${h(s"'g:$seed:'||gid||':cor'")} AS h_cor,
+      upper(substring(md5('g:$seed:'||gid||':oid'),1,8)) AS oid_sfx
+    FROM g),
+  orders0 AS (
+    SELECT o.gid, o.h_cor, o.oid_sfx, s.num_items, s.total_quantity,
+      s.subtotal_dec, s.total_discount_dec,
+      $cities[CAST((h_ci*${cities.count(_ == ',') + 1})//4294967296 AS INT)+1] AS customer_city,
+      make_timestamp((CAST($E AS BIGINT) - ((h_dy*8)//4294967296)*86400 - ((h_td*86400)//4294967296))*1000000) AS order_ts,
+      lpad(CAST(h_cu % 100000000 AS VARCHAR), 8, '0') AS cust_digits,
+      CASE WHEN h_em < ${thr(0.5)} THEN 'gmail.com' ELSE 'yahoo.fr' END AS email_domain,
+      $pays[CASE WHEN h_pm < ${thr(0.7)} THEN 1 WHEN h_pm < ${thr(0.9)} THEN 2 ELSE 3 END] AS payment_method,
+      $stats[CASE WHEN h_st < ${thr(0.15)} THEN 1 WHEN h_st < ${thr(0.55)} THEN 2 WHEN h_st < ${thr(0.80)} THEN 3 WHEN h_st < ${thr(0.95)} THEN 4 ELSE 5 END] AS status
+    FROM od o JOIN osum s USING (gid)),
+  orders1 AS (
+    SELECT *,
+      CASE WHEN subtotal_dec >= 100 THEN CAST(0.00 AS DECIMAL(4,2))
+           WHEN customer_city IN $majors THEN CAST(4.99 AS DECIMAL(4,2))
+           ELSE CAST(7.99 AS DECIMAL(4,2)) END AS shipping_dec
+    FROM orders0),
+  orders2 AS (
+    SELECT *, CAST(round((subtotal_dec + shipping_dec) * CAST(0.2 AS DECIMAL(2,1)), 2) AS DECIMAL(14,2)) AS tax_dec
+    FROM orders1),
+  orders3 AS (
+    SELECT *, CAST(subtotal_dec + shipping_dec + tax_dec AS DECIMAL(14,2)) AS total_dec
+    FROM orders2),
+  raw_orders AS (
+    SELECT gid, h_cor, num_items, total_quantity, customer_city,
+      payment_method, status, order_ts, subtotal_dec, total_discount_dec,
+      shipping_dec, tax_dec, total_dec,
+      'ORD-${"20260801"}-'||oid_sfx AS order_id,
+      strftime(order_ts, '%Y-%m-%dT%H:%M:%S')||'+00:00' AS order_date,
+      'CUST-'||cust_digits AS customer_id,
+      'customer'||cust_digits||'@'||email_domain AS customer_email
+    FROM orders3),
+  valid_orders AS (SELECT * FROM raw_orders WHERE h_cor >= ${thr(0.08)})"""
+
+  // deliver-priority score, replayed in SQL (processor.py:88-102)
+  private val prioSql =
+    s"""CASE WHEN (CASE WHEN CAST(total_dec AS DOUBLE) >= 500 THEN 3 ELSE 0 END
+      + CASE WHEN customer_city IN $majors THEN 2 ELSE 0 END
+      + CASE WHEN status IN ('shipped','confirmed') THEN 2 ELSE 0 END) >= 5 THEN 'urgent'
+      WHEN (CASE WHEN CAST(total_dec AS DOUBLE) >= 500 THEN 3 ELSE 0 END
+      + CASE WHEN customer_city IN $majors THEN 2 ELSE 0 END
+      + CASE WHEN status IN ('shipped','confirmed') THEN 2 ELSE 0 END) >= 3 THEN 'normal'
+      ELSE 'standard' END"""
+
+  // ---- q29: the synthetic source itself (S3, G1–G6, E12) --------------
+
+  private val q29 = GraftQuery(
+    "q29_synthetic_orders",
+    (s, _) =>
+      rawOrders(s).select(
+        col("order_id"), col("order_date"), col("customer_id"),
+        col("customer_email"), col("customer_city"), col("num_items"),
+        col("total_quantity"), col("subtotal"), col("total_discount"),
+        col("shipping_cost"), col("tax_rate"), col("tax_amount"),
+        col("total_amount"), col("payment_method"), col("status"),
+        col("created_at"))
+        .orderBy(col("order_id")),
+    Some(s"""$genCte
+      SELECT order_id, order_date, customer_id, customer_email,
+        customer_city, num_items, total_quantity,
+        CAST(subtotal_dec AS DOUBLE) AS subtotal,
+        CAST(total_discount_dec AS DOUBLE) AS total_discount,
+        CAST(shipping_dec AS DOUBLE) AS shipping_cost,
+        0.2 AS tax_rate,
+        CAST(tax_dec AS DOUBLE) AS tax_amount,
+        CAST(total_dec AS DOUBLE) AS total_amount,
+        payment_method, status,
+        '${SyntheticOrderSource.AnchorIso}+00:00' AS created_at
+      FROM raw_orders ORDER BY order_id"""))
+
+  // ---- q30: validation gate side-output counts (P2, A6) ---------------
+
+  private val q30 = GraftQuery(
+    "q30_validation_gate",
+    (s, _) => {
+      val v = OrderPipeline.withValidation(corruptOrders(s))
+      val errRows = v
+        .select(explode(col("validation_errors")).as("check_name"))
+        .groupBy(col("check_name")).agg(count(lit(1)).as("n"))
+      val validRow = v
+        .filter(size(col("validation_errors")) === 0)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("valid_orders").as("check_name"), col("n"))
+      errRows.union(validRow).orderBy(col("check_name"))
+    },
+    Some(s"""$genCte
+      SELECT check_name, n FROM (
+        SELECT '${Errors.invalidTotal}' AS check_name,
+          count(*) FILTER (WHERE h_cor < ${thr(0.02)}) AS n FROM raw_orders
+        UNION ALL SELECT '${Errors.missingOrderId}',
+          count(*) FILTER (WHERE h_cor >= ${thr(0.02)} AND h_cor < ${thr(0.04)}) FROM raw_orders
+        UNION ALL SELECT '${Errors.noItems}',
+          count(*) FILTER (WHERE h_cor >= ${thr(0.04)} AND h_cor < ${thr(0.06)}) FROM raw_orders
+        UNION ALL SELECT '${Errors.inconsistentSubtotal}',
+          count(*) FILTER (WHERE h_cor >= ${thr(0.04)} AND h_cor < ${thr(0.08)}) FROM raw_orders
+        UNION ALL SELECT 'valid_orders',
+          count(*) FILTER (WHERE h_cor >= ${thr(0.08)}) FROM raw_orders)
+      ORDER BY check_name"""))
+
+  // ---- q31: enrichment scalar fields (P1, E1–E3, E5–E11, E13) --------
+
+  private val q31 = GraftQuery(
+    "q31_enrich_scalars",
+    (s, _) =>
+      OrderPipeline.processOrders(corruptOrders(s), "graft_q31")
+        .select(col("order_id"), col("order_value_class"),
+          col("customer_segment"), col("delivery_priority"),
+          col("average_item_value"), col("discount_rate"),
+          col("tax_rate_applied"), col("order_hour"),
+          col("order_day_of_week"), col("is_weekend_order"),
+          col("processor_version"))
+        .orderBy(col("order_id")),
+    Some(s"""$genCte
+      SELECT order_id,
+        CASE WHEN CAST(total_dec AS DOUBLE) >= 1000 THEN 'premium'
+          WHEN CAST(total_dec AS DOUBLE) >= 500 THEN 'high_value'
+          WHEN CAST(total_dec AS DOUBLE) >= 100 THEN 'medium_value'
+          ELSE 'low_value' END AS order_value_class,
+        CASE WHEN total_quantity >= 10 OR CAST(total_dec AS DOUBLE) >= 1000 THEN 'vip'
+          WHEN CAST(total_dec AS DOUBLE) >= 300 THEN 'regular'
+          ELSE 'occasional' END AS customer_segment,
+        $prioSql AS delivery_priority,
+        floor(CAST(subtotal_dec AS DOUBLE)/num_items*100 + 0.5)/100 AS average_item_value,
+        CASE WHEN CAST(subtotal_dec AS DOUBLE) > 0
+          THEN floor(CAST(total_discount_dec AS DOUBLE)/CAST(subtotal_dec AS DOUBLE)*100*100 + 0.5)/100
+          ELSE 0.0 END AS discount_rate,
+        0.2 AS tax_rate_applied,
+        CAST(hour(order_ts) AS INT) AS order_hour,
+        dayname(order_ts) AS order_day_of_week,
+        isodow(order_ts) IN (6,7) AS is_weekend_order,
+        '2.0' AS processor_version
+      FROM valid_orders ORDER BY order_id"""))
+
+  // ---- q32: profit-analysis fold (A2) ---------------------------------
+
+  private val q32 = GraftQuery(
+    "q32_profit_analysis",
+    (s, _) =>
+      OrderPipeline.processOrders(corruptOrders(s), "graft_q32")
+        .select(col("order_id"),
+          col("profit_analysis.estimated_cost").as("estimated_cost"),
+          col("profit_analysis.revenue").as("revenue"),
+          col("profit_analysis.profit").as("profit"),
+          col("profit_analysis.margin_percentage").as("margin_percentage"))
+        .orderBy(col("order_id")),
+    Some(s"""$genCte,
+      pr AS (
+        SELECT gid,
+          CAST(sum(CAST(unit_price * CAST(0.6 AS DECIMAL(2,1)) * quantity AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS cost_dec,
+          CAST(sum(item_subtotal) AS DECIMAL(18,2)) AS revenue_dec
+        FROM items2 GROUP BY gid)
+      SELECT v.order_id,
+        CAST(round(p.cost_dec, 2) AS DOUBLE) AS estimated_cost,
+        CAST(p.revenue_dec AS DOUBLE) AS revenue,
+        CAST(round(CAST(p.revenue_dec - p.cost_dec AS DECIMAL(18,3)), 2) AS DOUBLE) AS profit,
+        CASE WHEN p.revenue_dec > 0
+          THEN floor(CAST(p.revenue_dec - p.cost_dec AS DOUBLE)/CAST(p.revenue_dec AS DOUBLE)*100*100 + 0.5)/100
+          ELSE 0.0 END AS margin_percentage
+      FROM valid_orders v JOIN pr p USING (gid) ORDER BY v.order_id"""))
+
+  // ---- q33: discount-pattern fold (A4) --------------------------------
+
+  private val q33 = GraftQuery(
+    "q33_discount_pattern",
+    (s, _) =>
+      OrderPipeline.processOrders(corruptOrders(s), "graft_q33")
+        .select(col("order_id"),
+          col("discount_pattern.uses_discounts").as("uses_discounts"),
+          col("discount_pattern.num_discounted_items").as("num_discounted_items"),
+          col("discount_pattern.avg_discount_percentage").as("avg_discount_percentage"),
+          col("discount_pattern.total_savings").as("total_savings"))
+        .orderBy(col("order_id")),
+    Some(s"""$genCte,
+      dp AS (
+        SELECT gid,
+          count(*) FILTER (WHERE discount_percentage > 0) AS nd,
+          COALESCE(sum(discount_percentage) FILTER (WHERE discount_percentage > 0), 0) AS sum_pct,
+          CAST(sum(discount_amount) AS DECIMAL(14,2)) AS savings
+        FROM items2 GROUP BY gid)
+      SELECT v.order_id,
+        d.nd > 0 AS uses_discounts,
+        CAST(d.nd AS INT) AS num_discounted_items,
+        CASE WHEN d.nd = 0 THEN 0.0
+          ELSE floor(CAST(d.sum_pct AS DOUBLE)/d.nd*100 + 0.5)/100 END AS avg_discount_percentage,
+        CASE WHEN d.nd = 0 THEN 0.0 ELSE CAST(d.savings AS DOUBLE) END AS total_savings
+      FROM valid_orders v JOIN dp d USING (gid) ORDER BY v.order_id"""))
+
+  // ---- q34: product-mix dynamic map (A3), exploded to rows ------------
+
+  private val q34 = GraftQuery(
+    "q34_product_mix",
+    (s, _) =>
+      OrderPipeline.processOrders(corruptOrders(s), "graft_q34")
+        .select(col("order_id"), explode(col("product_mix")).as(Seq("category", "m")))
+        .select(col("order_id"), col("category"),
+          col("m.count").as("n_lines"),
+          col("m.quantity").as("quantity"),
+          col("m.revenue").as("revenue"))
+        .orderBy(col("order_id"), col("category")),
+    Some(s"""$genCte,
+      pm AS (
+        SELECT gid, lower(category) AS category,
+          CAST(count(*) AS INT) AS n_lines,
+          CAST(sum(quantity) AS BIGINT) AS quantity,
+          CAST(CAST(sum(item_subtotal) AS DECIMAL(14,2)) AS DOUBLE) AS revenue
+        FROM items2 GROUP BY gid, lower(category))
+      SELECT v.order_id, p.category, p.n_lines, p.quantity, p.revenue
+      FROM valid_orders v JOIN pm p USING (gid)
+      ORDER BY v.order_id, p.category"""))
+
+  // ---- q35: JSONL round trip (S1, S4, S5, P3, P4, E14) ----------------
+  // Real file I/O inside the query: write raw partitioned JSONL,
+  // inject a malformed file + blank lines, read PERMISSIVE, run the
+  // pipeline, write the processed table partitioned by event date,
+  // read THAT back and aggregate per partition. The final numbers are
+  // oracled from the generator replay — corrupt lines must vanish.
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  private val q35 = GraftQuery(
+    "q35_jsonl_roundtrip",
+    (s, _) => {
+      val root = Paths.get(sys.props("java.io.tmpdir"), "graft_q35")
+      val rawDir = root.resolve("raw"); val procDir = root.resolve("processed")
+      deleteRec(root)
+      val raw = corruptOrders(s)
+      val ts = to_timestamp(col("order_date"))
+      raw
+        .withColumn("year", date_format(ts, "yyyy"))
+        .withColumn("month", date_format(ts, "MM"))
+        .withColumn("day", date_format(ts, "dd"))
+        .write.mode("overwrite").partitionBy("year", "month", "day")
+        .json(rawDir.toString)
+      // corrupt + blank lines into one leaf partition (P3/P4)
+      val leaf = rawDir.resolve("year=2026/month=08/day=01")
+      Files.createDirectories(leaf)
+      Files.writeString(leaf.resolve("zz_bad.json"),
+        "{\"order_id\": broken\n\n   \n{also not json}\n")
+      val readBack = OrderPipeline.dropCorrupt(
+        OrderPipeline.readRawJsonl(s, rawDir.toString))
+        .drop("year", "month", "day")
+      val processed = OrderPipeline.processOrders(readBack, "graft_q35")
+      OrderPipeline.writePartitionedJsonl(processed, procDir.toString,
+        byEventTime = true)
+      OrderPipeline.readProcessedJsonl(s, procDir.toString)
+        .groupBy(col("year").cast(IntegerType).as("year"),
+          col("month").cast(IntegerType).as("month"),
+          col("day").cast(IntegerType).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("total_amount").cast(DecimalType(14, 2))), 2)
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("year"), col("month"), col("day"))
+    },
+    Some(s"""$genCte
+      SELECT CAST(strftime(order_ts, '%Y') AS INT) AS year,
+        CAST(strftime(order_ts, '%m') AS INT) AS month,
+        CAST(strftime(order_ts, '%d') AS INT) AS day,
+        count(*) AS n_orders,
+        CAST(round(sum(total_dec), 2) AS DOUBLE) AS revenue
+      FROM valid_orders GROUP BY 1, 2, 3 ORDER BY year, month, day"""))
+
+  // ---- q36: SQL over the processed table (S6 / EP3) -------------------
+
+  private val q36 = GraftQuery(
+    "q36_pipeline_sql",
+    (s, _) => {
+      OrderPipeline.processOrders(corruptOrders(s), "graft_q36")
+        .createOrReplaceTempView("processed_orders")
+      s.sql("""SELECT customer_segment, order_value_class,
+          count(*) AS n_orders,
+          CAST(round(sum(CAST(total_amount AS DECIMAL(14,2))), 2) AS DOUBLE) AS revenue
+        FROM processed_orders
+        GROUP BY customer_segment, order_value_class
+        ORDER BY customer_segment, order_value_class""")
+    },
+    Some(s"""$genCte
+      SELECT
+        CASE WHEN total_quantity >= 10 OR CAST(total_dec AS DOUBLE) >= 1000 THEN 'vip'
+          WHEN CAST(total_dec AS DOUBLE) >= 300 THEN 'regular'
+          ELSE 'occasional' END AS customer_segment,
+        CASE WHEN CAST(total_dec AS DOUBLE) >= 1000 THEN 'premium'
+          WHEN CAST(total_dec AS DOUBLE) >= 500 THEN 'high_value'
+          WHEN CAST(total_dec AS DOUBLE) >= 100 THEN 'medium_value'
+          ELSE 'low_value' END AS order_value_class,
+        count(*) AS n_orders,
+        CAST(round(sum(total_dec), 2) AS DOUBLE) AS revenue
+      FROM valid_orders GROUP BY 1, 2
+      ORDER BY customer_segment, order_value_class"""))
+
+  // ---- q37: Structured Streaming twin (S2, T1) ------------------------
+  // A real Trigger.AvailableNow run with maxFilesPerTrigger=1 (one
+  // file per micro-batch, the reference's unit of work), checkpointed,
+  // then the sink files are read back and aggregated.
+
+  private val q37 = GraftQuery(
+    "q37_stream_pipeline",
+    (s, _) => {
+      val root = Paths.get(sys.props("java.io.tmpdir"), "graft_q37")
+      val rawDir = root.resolve("raw"); val outDir = root.resolve("out")
+      val ckpt = root.resolve("ckpt")
+      deleteRec(root)
+      corruptOrders(s).repartition(3)
+        .write.mode("overwrite").json(rawDir.toString)
+      OrderStream.runAvailableNow(s, rawDir.toString, outDir.toString,
+        ckpt.toString, maxFilesPerTrigger = 1)
+      s.read.json(outDir.toString)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("total_amount").cast(DecimalType(14, 2))), 2)
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("status"))
+    },
+    Some(s"""$genCte
+      SELECT status, count(*) AS n_orders,
+        CAST(round(sum(total_dec), 2) AS DOUBLE) AS revenue
+      FROM valid_orders GROUP BY status ORDER BY status"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37)
+}

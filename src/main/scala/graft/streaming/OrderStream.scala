@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.OrderPipeline
+import graft.schema.OrderSchema
+
+/** Structured Streaming twin of the batch pipeline (SURVEY.md §2 S2 /
+  * §2.10; policy:41-77, readme:22): the reference's
+  * "S3 ObjectCreated → EventBridge → process that one file" loop is a
+  * file-source stream, and `Trigger.AvailableNow` reproduces its
+  * run-per-invocation batching. `maxFilesPerTrigger=1` gives the
+  * bit-faithful one-file-per-micro-batch unit of work
+  * (processor.py:166 reads exactly one object per event).
+  *
+  * The transform is byte-identical to batch: both call
+  * [[OrderPipeline.processOrders]]. Checkpointing upgrades the
+  * reference's at-least-once, duplicate-on-retry sink
+  * (processor.py:196-203) to exactly-once — a documented divergence
+  * in the engine's favor (SURVEY.md §2.10).
+  */
+object OrderStream {
+
+  /** Incremental JSONL source over a raw/ directory. */
+  def readRawStream(spark: SparkSession, rawDir: String,
+                    maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(OrderSchema.rawOrderWithCorruptType)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(rawDir)
+
+  /** Run the full validate→enrich pipeline over every file currently
+    * in `rawDir` and append the 29-field result as JSONL under
+    * `outDir`, exactly once per input file across restarts (the
+    * checkpoint carries the processed-file log). Blocks until the
+    * available data is drained, like one Lambda invocation batch. */
+  def runAvailableNow(spark: SparkSession, rawDir: String, outDir: String,
+                      checkpointDir: String,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    val processed = OrderPipeline.processOrders(
+      readRawStream(spark, rawDir, maxFilesPerTrigger),
+      observeName = s"graft_stream_${System.nanoTime()}")
+    val q: StreamingQuery = processed.writeStream
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time hourly revenue over the order stream — the stateful
+    * windowed-aggregation surface (SURVEY.md §2.10: watermark +
+    * tumbling window) the reference's flow implies but never builds.
+    * Late orders beyond the watermark are dropped instead of landing
+    * in a wrong partition (the reference's behavior for late data,
+    * processor.py:196-203). */
+  def hourlyRevenue(processed: DataFrame): DataFrame =
+    processed
+      .withColumn("order_ts", to_timestamp(col("order_date")))
+      .withWatermark("order_ts", "1 day")
+      .groupBy(window(col("order_ts"), "1 hour"), col("customer_city"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total_amount")).as("revenue"))
+}
