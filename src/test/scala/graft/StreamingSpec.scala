@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.generate.SyntheticOrderSource
+import graft.pipeline.OrderPipeline
+import graft.streaming.OrderStream
+
+/** Streaming semantics (SURVEY.md §2.10, VERDICT.md r1 item 5):
+  * per-file incremental processing under Trigger.AvailableNow, and
+  * exactly-once across a restart — a new file added after the first
+  * run is the only thing the second run processes. Plus the A6
+  * observe-counter surface in batch. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
+  test("AvailableNow drains per-file and restarts exactly-once") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    Files.createDirectories(raw)
+
+    val orders = SyntheticOrderSource.orders(spark, 300, seed = 7).cache()
+    val total = orders.count()
+    // two initial files
+    orders.filter(col("gid") < 150).coalesce(1).write.json(raw.resolve("f1").toString)
+    orders.filter(col("gid") >= 150).coalesce(1).write.json(raw.resolve("f2").toString)
+
+    OrderStream.runAvailableNow(spark, raw.toString + "/*/", out.toString,
+      ckpt.toString, maxFilesPerTrigger = 1)
+    val afterFirst = spark.read.json(out.toString).count()
+    assert(afterFirst == total, s"first drain: $afterFirst != $total")
+    // one micro-batch per file ⇒ at least 2 committed batches
+    val batches = Files.list(ckpt.resolve("commits"))
+      .filter(p => !p.getFileName.toString.startsWith(".")).count()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+
+    // restart with one NEW file: only its rows are appended
+    val extra = SyntheticOrderSource.orders(spark, 500, seed = 7)
+      .filter(col("gid") >= 300)
+    val extraCount = extra.count()
+    extra.coalesce(1).write.json(raw.resolve("f3").toString)
+    OrderStream.runAvailableNow(spark, raw.toString + "/*/", out.toString,
+      ckpt.toString, maxFilesPerTrigger = 1)
+    val afterSecond = spark.read.json(out.toString).count()
+    assert(afterSecond == total + extraCount,
+      s"restart reprocessed or skipped: $afterSecond != ${total + extraCount}")
+    deleteRec(root)
+  }
+
+  test("observe counters report valid/invalid side-outputs (A6)") {
+    val obs = Observation("graft_spec_counts")
+    val corrupted = SyntheticOrderSource.corrupt(
+      SyntheticOrderSource.orders(spark, 500, seed = 42), seed = 42)
+    val validated = OrderPipeline.withValidation(corrupted).observe(obs,
+      count(lit(1)).as("total_orders"),
+      count(when(size(col("validation_errors")) === 0, 1)).as("valid_orders"),
+      count(when(size(col("validation_errors")) > 0, 1)).as("invalid_orders"))
+    val validCount = validated.filter(size(col("validation_errors")) === 0).count()
+    val m = obs.get
+    assert(m("total_orders") == 500L)
+    assert(m("valid_orders") == validCount)
+    assert(m("invalid_orders") == 500L - validCount)
+  }
+
+  test("streaming hourly revenue matches the batch window aggregate") {
+    val processed = OrderPipeline.processOrders(
+      SyntheticOrderSource.orders(spark, 300, seed = 7), "graft_spec_hourly")
+    val agg = OrderStream.hourlyRevenue(processed)
+    // same plan runs in batch mode: check it is a valid aggregation
+    val n = agg.count()
+    assert(n > 0)
+    val direct = processed
+      .groupBy(window(to_timestamp(col("order_date")), "1 hour"), col("customer_city"))
+      .count().count()
+    assert(n == direct)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(
+      implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("text").select(c).as[T].head()
+
+  test("token counting: whitespace and BPE-ish") {
+    assert(one[Int](tokenCount($"text"), "Hello  world,  test") == 3)
+    assert(one[Int](bpeishTokenCount($"text"), "don't stop-me now!") == 8)
+    assert(one[Int](tokenCount($"text"), "   ") == 0)
+  }
+
+  test("shingles: empty below k, sliding windows at k") {
+    assert(one[Seq[String]](charShingles($"text", 5), "abcd") == Seq())
+    assert(one[Seq[String]](charShingles($"text", 5), "abcdef") == Seq("abcde", "bcdef"))
+    assert(one[Seq[String]](wordShingles(whitespaceTokens($"text"), 2), "a b c")
+      == Seq("a b", "b c"))
+    assert(one[Seq[String]](wordShingles(whitespaceTokens($"text"), 3), "a b") == Seq())
+  }
+
+  test("langid: marker voting with CJK override and und fallback") {
+    val cases = Seq(
+      "The cat and the dog is a pet of the house" -> "en",
+      "Le chat et la maison des amis les plus" -> "fr",
+      "Der Hund und die Katze das ist gut" -> "de",
+      "El perro y los gatos las casas es grande" -> "es",
+      "这是一个中文句子" -> "zh",
+      "qwrt zxcv bnmp" -> "und")
+    cases.foreach { case (text, want) =>
+      assert(one[String](langid($"text"), text) == want, s"for: $text")
+    }
+  }
+
+  test("quality metrics ratios are guarded and 6dp-rounded") {
+    val m = Seq("Hello, world! The THE the")
+      .toDF("text").select(qualityMetrics($"text").as("m")).select("m.*").head()
+    assert(m.getInt(0) == 25)        // n_chars
+    assert(m.getInt(1) == 5)         // n_words
+    assert(m.getDouble(2) == 0.08)   // punct 2/25 (comma, bang)
+    assert(m.getDouble(4) == 0.6)    // stopwords 3/5
+    val empty = Seq("").toDF("text")
+      .select(qualityMetrics($"text").as("m")).select("m.*").head()
+    assert(empty.getDouble(2) == 0.0 && empty.getDouble(4) == 0.0)
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val fp = (t: String) => one[Long](fingerprint(whitespaceTokens($"text")), t)
+    assert(fp("a b") != fp("b a"))
+    assert(fp("a b") == fp("a b"))
+    assert(fp("") == 0L)
+    assert(fp("a b") >= 0L && fp("a b") < 1000000007L)
+  }
+}
