@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column conventions: media as an opaque `binary` column
+  * with typed metadata alongside (the north-star §"multimodal"
+  * surface — the reference has no media path).
+  *
+  * Real parts: the schema convention, format sniffing by magic bytes,
+  * byte-level metadata extraction, and the batch/partitioning shape —
+  * all pure expressions over BinaryType, verified against real byte
+  * arrays (q38 fabricates binaries with genuine PNG/JPEG/RIFF magic
+  * numbers; MultimodalSpec checks the sniffer on them).
+  *
+  * Stub part: [[stubDecodeFeatures]]. This container ships no image/
+  * audio codecs, so the decode step is a clearly-marked deterministic
+  * fake — it derives a pseudo-feature vector from the bytes' md5
+  * chain. On a real cluster you would swap its body for a JNI/library
+  * decode keeping the exact same signature (binary → array<float>),
+  * and nothing else in the pipeline changes.
+  */
+object Multimodal {
+
+  /** Known magic-number prefixes (hex, uppercase). */
+  val magics: Seq[(String, String)] = Seq(
+    "png" -> "89504E470D0A1A0A",
+    "jpeg" -> "FFD8FF",
+    "riff" -> "52494646")
+
+  /** Sniff the container format from the leading bytes. */
+  def sniffFormat(media: Column): Column = {
+    val head = hex(substring(media, 1, 8)) // 8 bytes covers every magic
+    magics.foldRight(lit("unknown"): Column) { case ((name, magic), acc) =>
+      when(head.startsWith(magic), name).otherwise(acc)
+    }
+  }
+
+  /** Byte-level metadata struct: format, size, payload fingerprint.
+    * All codegen'd built-ins — a full-corpus metadata pass is one
+    * narrow projection. */
+  def extractMeta(media: Column): Column =
+    struct(
+      sniffFormat(media).as("format"),
+      octet_length(media).as("n_bytes"),
+      hex(substring(media, 1, 4)).as("head_hex"),
+      md5(hex(media)).as("payload_md5"))
+
+  /** STUB decode: deterministic pseudo-features from the byte
+    * content's md5 chain — stands in for a real image/audio decode
+    * (no codecs in this container). Signature and batch shape are the
+    * real contract: binary in, fixed-dim float vector out, one row
+    * per media item, narrow. */
+  def stubDecodeFeatures(media: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), i =>
+      (conv(substring(md5(concat(hex(media), i.cast(StringType))), 1, 8), 16, 10)
+        .cast(DoubleType) / 4294967296.0).cast(FloatType))
+
+  /** Frame/window sampling stub for time-media: returns byte-range
+    * slices as the "frames" (a real implementation would seek on
+    * container structure; the slicing/batching plumbing is what the
+    * pipeline needs). Slices past the end come back empty, like a
+    * short final frame. */
+  def sampleFrames(media: Column, frameBytes: Int, nFrames: Int): Column =
+    transform(sequence(lit(0), lit(nFrames - 1)),
+      k => media.substr(k * frameBytes + 1, lit(frameBytes)))
+
+  /** Attach media metadata + stub features to a DataFrame carrying a
+    * binary column. */
+  def withMedia(df: DataFrame, mediaCol: String, featureDim: Int = 8): DataFrame =
+    df
+      .withColumn("media_meta", extractMeta(col(mediaCol)))
+      .withColumn("media_features", stubDecodeFeatures(col(mediaCol), featureDim))
+}

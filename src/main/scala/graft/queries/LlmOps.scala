@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory (north star, BASELINE.json):
@@ -304,8 +304,10 @@ object LlmOps {
   // ---- q51: multimodal column plumbing (binary + metadata) ------------
   // The opaque-binary convention: media as `binary`, typed metadata
   // alongside. Here the binary is fabricated from text (the container
-  // has no media libs — see graft.operators.Multimodal for the
-  // decode-stub pipeline); byte-level metadata is the oracled part.
+  // has no media libs — graft.operators.Multimodal carries the format
+  // sniffer, metadata extractor, and the clearly-marked decode stub;
+  // q38 exercises it on real magic-numbered bytes); byte-level
+  // metadata is the oracled part.
 
   private val q51 = GraftQuery(
     "q51_multimodal_meta",
@@ -352,6 +354,73 @@ object LlmOps {
         max(first_dim) AS max_first_dim
       FROM v GROUP BY label ORDER BY label"""))
 
+  // ---- q38: real binary media columns (Multimodal operator) -----------
+  // Binaries with genuine PNG/JPEG/RIFF magic numbers + an md5-derived
+  // payload are built per doc; the Spark side then treats them as
+  // opaque bytes — sniffing the format from the LEADING BYTES,
+  // measuring octet length, fingerprinting the payload. The oracle
+  // specifies the expected answers from the construction (DuckDB has
+  // no blob slicing), so a sniffer bug cannot hash-match.
+
+  private val q38 = GraftQuery(
+    "q38_multimodal_binary",
+    (s, d) => {
+      val magic = when(col("doc_id") % 3 === 0, Multimodal.magics(0)._2)
+        .when(col("doc_id") % 3 === 1, Multimodal.magics(1)._2)
+        .otherwise(Multimodal.magics(2)._2)
+      val media = docs(s, d)
+        .select(col("doc_id"), unhex(concat(magic, md5(col("text")))).as("media"))
+      Multimodal.withMedia(media, "media")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.payload_md5").as("payload_md5"))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          count_distinct(col("payload_md5")).as("n_distinct_payloads"))
+        .orderBy(col("format"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'png'
+               WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'riff' END AS format,
+          CASE WHEN doc_id % 3 = 0 THEN 8 + 16
+               WHEN doc_id % 3 = 1 THEN 3 + 16 ELSE 4 + 16 END AS n_bytes,
+          md5(CASE WHEN doc_id % 3 = 0 THEN '89504E470D0A1A0A'
+               WHEN doc_id % 3 = 1 THEN 'FFD8FF' ELSE '52494646' END
+               || upper(md5(text))) AS payload_md5
+        FROM documents)
+      SELECT format, count(*) AS n_docs,
+        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        count(DISTINCT payload_md5) AS n_distinct_payloads
+      FROM m GROUP BY format ORDER BY format"""))
+
+  // ---- q39: URL decoding (E15, processor.py:168 unquote_plus) ---------
+  // Fabricated %-encoded query strings are decoded with the engine's
+  // url_decode + parse_url; DuckDB (no url functions) specifies the
+  // expected plaintext via the inverse construction.
+
+  private val q39 = GraftQuery(
+    "q39_url_decode",
+    (s, d) => {
+      val payload = substring(regexp_replace(col("text"), "[^A-Za-z ]", ""), 1, 30)
+      val url = concat(lit("https://shop.example/search?q="),
+        regexp_replace(payload, " ", "%20"), lit("&lang="), col("lang"))
+      docs(s, d)
+        .select(col("doc_id"), url.as("url"), payload.as("expected"))
+        .select(col("doc_id"),
+          url_decode(parse_url(col("url"), lit("QUERY"), lit("q"))).as("q_decoded"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+          (url_decode(parse_url(col("url"), lit("QUERY"), lit("q"))) === col("expected"))
+            .as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        substring(regexp_replace(text, '[^A-Za-z ]', '', 'g'), 1, 30) AS q_decoded,
+        lang AS lang_param,
+        true AS roundtrip_ok
+      FROM documents ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }

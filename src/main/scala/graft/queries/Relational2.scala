@@ -29,17 +29,21 @@ object Relational2 {
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
   // ---- q17: HAVING (post-aggregation filter) --------------------------
+  // Routed through the spark.sql TEXT path over registered catalog
+  // views (S6/EP3 — the "Athena layer"): parser → analyzer → catalog
+  // resolution, same DuckDB oracle. The BROADCAST hint mirrors the
+  // DataFrame form's broadcast(nation).
 
   private val q17 = GraftQuery(
     "q17_big_nations",
-    (s, d) =>
-      cust(s, d)
-        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_customers"),
-          asMoney(sum(dmoney(col("c_acctbal")))).as("acctbal_sum"))
-        .filter(col("n_customers") >= 5)
-        .orderBy(col("n_name")),
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT /*+ BROADCAST(nation) */ n_name,
+          count(*) AS n_customers,
+          CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING count(*) >= 5 ORDER BY n_name""")
+    },
     Some("""SELECT n_name, count(*) AS n_customers,
       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal_sum
       FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -172,12 +176,13 @@ object Relational2 {
   private val q22 = GraftQuery(
     "q22_above_avg_orders",
     (s, d) => {
-      val o = ord(s, d)
-      val avgDf = o.agg(avg(col("o_totalprice")).as("avg_price"))
-      o.join(broadcast(avgDf))
-        .filter(col("o_totalprice") > col("avg_price"))
-        .agg(count(lit(1)).as("n_above_avg"),
-          asMoney(sum(dmoney(col("o_totalprice")))).as("revenue_above_avg"))
+      // spark.sql text path (S6): the scalar subquery plans as a
+      // broadcast-reused subquery result — no fact-table shuffle.
+      Tables.registerAll(s, d)
+      s.sql("""SELECT count(*) AS n_above_avg,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")
     },
     Some("""SELECT count(*) AS n_above_avg,
       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue_above_avg
@@ -327,13 +332,15 @@ object Relational2 {
 
   private val q28 = GraftQuery(
     "q28_brand_part_list",
-    (s, d) =>
-      part(s, d)
-        .filter(col("p_size") <= 3)
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_parts"),
-          array_join(array_sort(collect_list(col("p_name"))), ",").as("part_names"))
-        .orderBy(col("p_brand")),
+    (s, d) => {
+      // spark.sql text path (S6); Spark's dialect spells DuckDB's
+      // ordered string_agg as array_join(array_sort(collect_list())).
+      Tables.registerAll(s, d)
+      s.sql("""SELECT p_brand, count(*) AS n_parts,
+          array_join(array_sort(collect_list(p_name)), ',') AS part_names
+        FROM part WHERE p_size <= 3
+        GROUP BY p_brand ORDER BY p_brand""")
+    },
     Some("""SELECT p_brand, count(*) AS n_parts,
       string_agg(p_name, ',' ORDER BY p_name) AS part_names
       FROM part WHERE p_size <= 3
