@@ -48,10 +48,14 @@ object SyntheticOrderSource {
   /** floor(p·2³²) — weighted-choice threshold in pure integers. */
   def thr(p: Double): Long = (p * M.toDouble).toLong
 
-  /** Portable uint32: first 8 hex chars of md5(key). Identical in
-    * Spark (`conv`) and DuckDB (`CAST('0x…' AS BIGINT)`). */
-  def h32(key: Column): Column =
-    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
+  /** Portable uint32: 8 hex chars of md5(key) at 1-based offset
+    * `1+8·slot` (slot 0–3 — one md5 yields four independent 32-bit
+    * draws). Identical in Spark (`conv`) and DuckDB
+    * (`CAST('0x…' AS BIGINT)`). Packing four draws per digest keeps
+    * the generator's expression tree (and whole-stage-codegen
+    * compile time) ~4× smaller than one digest per field. */
+  def h32(key: Column, slot: Int = 0): Column =
+    conv(substring(md5(key), 1 + 8 * slot, 8), 16, 10).cast(LongType)
 
   /** Uniform k-way pick: floor(h·k / 2³²) ∈ [0, k). The product stays
     * under 2⁵³ and 2³² is a power of two, so the double division is
@@ -65,6 +69,25 @@ object SyntheticOrderSource {
   private def ikey(seed: Int, field: String): Column =
     concat(lit(s"g:$seed:"), col("gid").cast(StringType),
       lit(":" + field + ":"), col("product_id"))
+
+  /** Order-level draw layout: digest name → slot per field. */
+  val orderDraws: Map[String, (String, Int)] = Map(
+    "ni" -> ("o0", 0), "ci" -> ("o0", 1), "dy" -> ("o0", 2), "td" -> ("o0", 3),
+    "cu" -> ("o1", 0), "em" -> ("o1", 1), "pm" -> ("o1", 2), "st" -> ("o1", 3),
+    "cor" -> ("o2", 0))
+
+  /** Item-level draw layout within the single per-(order, product)
+    * digest. */
+  val itemDraws: Map[String, Int] =
+    Map("rk" -> 0, "qt" -> 1, "hd" -> 2, "dp" -> 3)
+
+  private def odraw(seed: Int, field: String): Column = {
+    val (digest, slot) = orderDraws(field)
+    h32(okey(seed, digest), slot)
+  }
+
+  private def idraw(seed: Int, field: String): Column =
+    h32(ikey(seed, "i"), itemDraws(field))
 
   /** Catalog rows extended with the per-(product, pct) banker's-rounded
     * unit discount amounts (generator-function.py:57), fixed at build
@@ -99,25 +122,25 @@ object SyntheticOrderSource {
                 seed: Int = DefaultSeed): DataFrame = {
     val g = spark.range(n).select(col("id").as("gid"))
     val withNi = g
-      .withColumn("h_ni", h32(okey(seed, "ni")))
+      .withColumn("h_ni", odraw(seed, "ni"))
       .withColumn("num_items",
         when(col("h_ni") < thr(0.5), 1)
           .when(col("h_ni") < thr(0.8), 2).otherwise(3))
       .select(col("gid"), col("num_items"))
     val ranked = withNi
       .join(broadcast(catalogDf(spark)))
-      .withColumn("h_rank", h32(ikey(seed, "rk")))
+      .withColumn("h_rank", idraw(seed, "rk"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("gid"))
           .orderBy(col("h_rank"), col("product_id"))))
       .filter(col("rnk") <= col("num_items"))
     ranked
       .withColumn("quantity",
-        when(h32(ikey(seed, "qt")) < thr(0.8), 1).otherwise(2))
+        when(idraw(seed, "qt") < thr(0.8), 1).otherwise(2))
       .withColumn("discount_percentage",
-        when(h32(ikey(seed, "hd")) < thr(0.2),
+        when(idraw(seed, "hd") < thr(0.2),
           element_at(typedLit(Seq(0, 5, 10)),
-            pick(h32(ikey(seed, "dp")), 3) + 1))
+            pick(idraw(seed, "dp"), 3) + 1))
           .otherwise(0))
       .withColumn("da_unit",
         when(col("discount_percentage") === 5, col("da5"))
@@ -160,7 +183,7 @@ object SyntheticOrderSource {
     val anchor = to_timestamp(lit(AnchorIso))
     nested
       .withColumn("customer_city", element_at(typedLit(cities),
-        pick(h32(okey(seed, "ci")), cities.size) + 1))
+        pick(odraw(seed, "ci"), cities.size) + 1))
       // G5 shipping rule (generator-function.py:70-74)
       .withColumn("shipping_dec",
         when(col("subtotal_dec") >= 100, lit(BigDecimal("0.00")))
@@ -181,11 +204,11 @@ object SyntheticOrderSource {
       // DuckDB replay (naive-timestamp interval math) is identical.
       .withColumn("order_ts",
         timestamp_seconds(lit(AnchorEpoch)
-          - pick(h32(okey(seed, "dy")), 8).cast(LongType) * 86400L
-          - pick(h32(okey(seed, "td")), 86400).cast(LongType)))
+          - pick(odraw(seed, "dy"), 8).cast(LongType) * 86400L
+          - pick(odraw(seed, "td"), 86400).cast(LongType)))
       // E12 id/email fabrication (generator-function.py:38-46)
       .withColumn("cust_digits",
-        lpad((h32(okey(seed, "cu")) % 100000000).cast(StringType), 8, "0"))
+        lpad((odraw(seed, "cu") % 100000000).cast(StringType), 8, "0"))
       .select(
         concat(lit("ORD-"), date_format(anchor, "yyyyMMdd"), lit("-"),
           upper(substring(md5(okey(seed, "oid")), 1, 8))).as("order_id"),
@@ -193,7 +216,7 @@ object SyntheticOrderSource {
           lit("+00:00")).as("order_date"),
         concat(lit("CUST-"), col("cust_digits")).as("customer_id"),
         concat(lit("customer"), col("cust_digits"), lit("@"),
-          when(h32(okey(seed, "em")) < thr(0.5), "gmail.com")
+          when(odraw(seed, "em") < thr(0.5), "gmail.com")
             .otherwise("yahoo.fr")).as("customer_email"),
         col("customer_city"),
         col("items"),
@@ -206,14 +229,14 @@ object SyntheticOrderSource {
         col("tax_dec").cast(DoubleType).as("tax_amount"),
         col("total_dec").cast(DoubleType).as("total_amount"),
         element_at(typedLit(paymentMethods),
-          when(h32(okey(seed, "pm")) < thr(0.7), 1)
-            .when(h32(okey(seed, "pm")) < thr(0.9), 2).otherwise(3))
+          when(odraw(seed, "pm") < thr(0.7), 1)
+            .when(odraw(seed, "pm") < thr(0.9), 2).otherwise(3))
           .as("payment_method"),
         element_at(typedLit(orderStatuses),
-          when(h32(okey(seed, "st")) < thr(0.15), 1)
-            .when(h32(okey(seed, "st")) < thr(0.55), 2)
-            .when(h32(okey(seed, "st")) < thr(0.80), 3)
-            .when(h32(okey(seed, "st")) < thr(0.95), 4).otherwise(5))
+          when(odraw(seed, "st") < thr(0.15), 1)
+            .when(odraw(seed, "st") < thr(0.55), 2)
+            .when(odraw(seed, "st") < thr(0.80), 3)
+            .when(odraw(seed, "st") < thr(0.95), 4).otherwise(5))
           .as("status"),
         concat(lit(AnchorIso), lit("+00:00")).as("created_at"),
         col("gid"))
@@ -223,7 +246,7 @@ object SyntheticOrderSource {
     * test surface): ~2% each of zero total / blank id / empty items /
     * skewed subtotal, keyed off the same hash family. */
   def corrupt(df: DataFrame, seed: Int = DefaultSeed): DataFrame = {
-    val c = h32(concat(lit(s"g:$seed:"), col("gid").cast(StringType), lit(":cor")))
+    val c = h32(concat(lit(s"g:$seed:"), col("gid").cast(StringType), lit(":o2")), 0)
     df
       .withColumn("total_amount",
         when(c < thr(0.02), lit(0.0)).otherwise(col("total_amount")))

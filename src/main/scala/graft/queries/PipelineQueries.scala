@@ -39,8 +39,8 @@ object PipelineQueries {
   // interpolated from the SAME constants the Spark side uses.
   // ------------------------------------------------------------------
 
-  private def h(key: String): String =
-    s"CAST(concat('0x', substring(md5($key),1,8)) AS BIGINT)"
+  private def h(key: String, slot: Int = 0): String =
+    s"CAST(concat('0x', substring(md5($key),${1 + 8 * slot},8)) AS BIGINT)"
 
   private val catValues = SyntheticOrderSource.catalogWithDa.map { r =>
     s"('${r._1}','${r._2}',CAST(${r._3} AS DECIMAL(12,2)),'${r._4}'," +
@@ -62,11 +62,11 @@ object PipelineQueries {
   g AS (SELECT gid FROM range($n) t(gid)),
   it0 AS (
     SELECT g.gid, c.*,
-      ${h(s"'g:$seed:'||g.gid||':rk:'||c.product_id")} AS h_rk,
-      ${h(s"'g:$seed:'||g.gid||':qt:'||c.product_id")} AS h_qt,
-      ${h(s"'g:$seed:'||g.gid||':hd:'||c.product_id")} AS h_hd,
-      ${h(s"'g:$seed:'||g.gid||':dp:'||c.product_id")} AS h_dp,
-      ${h(s"'g:$seed:'||g.gid||':ni'")} AS h_ni
+      ${h(s"'g:$seed:'||g.gid||':i:'||c.product_id", 0)} AS h_rk,
+      ${h(s"'g:$seed:'||g.gid||':i:'||c.product_id", 1)} AS h_qt,
+      ${h(s"'g:$seed:'||g.gid||':i:'||c.product_id", 2)} AS h_hd,
+      ${h(s"'g:$seed:'||g.gid||':i:'||c.product_id", 3)} AS h_dp,
+      ${h(s"'g:$seed:'||g.gid||':o0'", 0)} AS h_ni
     FROM g CROSS JOIN cat c),
   it1 AS (
     SELECT *,
@@ -97,14 +97,14 @@ object PipelineQueries {
     FROM items2 GROUP BY gid),
   od AS (
     SELECT gid,
-      ${h(s"'g:$seed:'||gid||':ci'")} AS h_ci,
-      ${h(s"'g:$seed:'||gid||':dy'")} AS h_dy,
-      ${h(s"'g:$seed:'||gid||':td'")} AS h_td,
-      ${h(s"'g:$seed:'||gid||':cu'")} AS h_cu,
-      ${h(s"'g:$seed:'||gid||':em'")} AS h_em,
-      ${h(s"'g:$seed:'||gid||':pm'")} AS h_pm,
-      ${h(s"'g:$seed:'||gid||':st'")} AS h_st,
-      ${h(s"'g:$seed:'||gid||':cor'")} AS h_cor,
+      ${h(s"'g:$seed:'||gid||':o0'", 1)} AS h_ci,
+      ${h(s"'g:$seed:'||gid||':o0'", 2)} AS h_dy,
+      ${h(s"'g:$seed:'||gid||':o0'", 3)} AS h_td,
+      ${h(s"'g:$seed:'||gid||':o1'", 0)} AS h_cu,
+      ${h(s"'g:$seed:'||gid||':o1'", 1)} AS h_em,
+      ${h(s"'g:$seed:'||gid||':o1'", 2)} AS h_pm,
+      ${h(s"'g:$seed:'||gid||':o1'", 3)} AS h_st,
+      ${h(s"'g:$seed:'||gid||':o2'", 0)} AS h_cor,
       upper(substring(md5('g:$seed:'||gid||':oid'),1,8)) AS oid_sfx
     FROM g),
   orders0 AS (
@@ -181,15 +181,15 @@ object PipelineQueries {
   private val q30 = GraftQuery(
     "q30_validation_gate",
     (s, _) => {
-      val v = OrderPipeline.withValidation(corruptOrders(s))
-      val errRows = v
-        .select(explode(col("validation_errors")).as("check_name"))
-        .groupBy(col("check_name")).agg(count(lit(1)).as("n"))
-      val validRow = v
-        .filter(size(col("validation_errors")) === 0)
+      // one pass: explode_outer turns a valid order (empty error
+      // array) into a single null row, so per-error counts and the
+      // valid count come out of the same aggregation — no union
+      // duplicating the generator subtree
+      OrderPipeline.withValidation(corruptOrders(s))
+        .select(explode_outer(col("validation_errors")).as("err"))
+        .groupBy(coalesce(col("err"), lit("valid_orders")).as("check_name"))
         .agg(count(lit(1)).as("n"))
-        .select(lit("valid_orders").as("check_name"), col("n"))
-      errRows.union(validRow).orderBy(col("check_name"))
+        .orderBy(col("check_name"))
     },
     Some(s"""$genCte
       SELECT check_name, n FROM (
