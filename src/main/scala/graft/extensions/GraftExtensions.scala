@@ -1,0 +1,31 @@
+package graft.extensions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSimilarity
+
+/** Engine extension point (the `SparkSessionExtensions` surface):
+  * registers graft's native expressions into the session's function
+  * registry, making them first-class in BOTH the SQL dialect
+  * (`SELECT cosine_sim(a, b)`) and the DataFrame API
+  * (`call_function("cosine_sim", a, b)`), with full Catalyst
+  * optimization and whole-stage codegen.
+  *
+  * Activate with `.config("spark.sql.extensions",
+  * "graft.extensions.GraftExtensions")` on the session builder —
+  * every graft session factory (GraftSession, Verify, Bench, tests)
+  * does.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim expects exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

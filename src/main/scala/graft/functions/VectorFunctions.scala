@@ -33,12 +33,23 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  /** Cosine similarity; 0.0 when either vector has zero norm.
+    * HOF composition — kept as the dependency-free reference form and
+    * the ground truth [[cosineFast]] is tested against. */
   def cosine(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
+
+  /** Cosine similarity via the native codegen'd
+    * [[graft.expressions.CosineSimilarity]] expression — one fused
+    * loop, no per-pair array allocation, bit-identical results to
+    * [[cosine]]. Requires the session to carry
+    * [[graft.extensions.GraftExtensions]] (every graft session
+    * factory does). */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Sign bit of a projection onto a fixed hyperplane. */
   def projectionBit(v: Column, plane: Seq[Double]): Column =

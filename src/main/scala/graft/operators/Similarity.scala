@@ -35,7 +35,7 @@ object Similarity {
     val scored = candidates.crossJoin(broadcast(queries))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+        round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -53,7 +53,7 @@ object Similarity {
     val scored = cs.join(broadcast(qs), Seq("_sig"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+        round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -74,7 +74,7 @@ object Similarity {
     left.join(right, Seq("_sig"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        round(cosine(col("_vA"), col("_vB")), 6).as("sim"))
+        round(cosineFast(col("_vA"), col("_vB")), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
   }

@@ -421,6 +421,62 @@ object LlmOps {
         true AS roundtrip_ok
       FROM documents ORDER BY doc_id"""))
 
+  // ---- q53: embedding-cosine near-duplicate pairs (exact, oracled) ----
+  // The exact tier of embedding near-dup detection: all-pairs cosine
+  // via the native codegen'd cosine_sim expression (one fused loop per
+  // pair, no array allocation). The scan side is explicitly
+  // repartitioned — the embeddings parquet is one small file, and the
+  // O(n²) pair generation must not run in a single task. At corpus
+  // scale the LSH-bucketed [[Similarity.cosineNearDupPairs]] (rows-only
+  // q46 family) replaces the all-pairs enumeration; this exact form is
+  // the ground truth it is tested against (SimilaritySpec).
+
+  private val q53 = GraftQuery(
+    "q53_cosine_near_dup",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val a = e.select(col("vec_id").as("idA"), col("v").as("vA"))
+      val b = e.select(col("vec_id").as("idB"), col("v").as("vB"))
+      a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(cosineFast(col("vA"), col("vB")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy(col("idA"), col("idB"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS idA, b.vec_id AS idB,
+        round(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+          6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+          6) >= 0.4
+      ORDER BY idA, idB"""))
+
+  // ---- q54: exact dedup as a kept-rows operator (Dedup.exactDedup) ----
+  // The window-over-content-hash form: keeps the lowest-id row per
+  // distinct text, shuffling on xxhash64(text) — at 100 TB the shuffle
+  // key is 8 bytes, never the document body. The oracle replays the
+  // same keep-first semantics with a window over the text itself
+  // (equal results absent a 64-bit collision).
+
+  private val q54 = GraftQuery(
+    "q54_dedup_keep_first",
+    (s, d) =>
+      Dedup.exactDedup(docs(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+      q51, q52, q53, q54)
 }

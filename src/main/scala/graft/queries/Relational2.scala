@@ -216,12 +216,18 @@ object Relational2 {
       GROUP BY n_name ORDER BY n_name"""))
 
   // ---- q24: JSON extraction (E16 surface over events.props) -----------
+  // Schema'd from_json (the reader-side half of the reference's
+  // json.loads, processor.py:180) rather than per-path
+  // get_json_object: one parse per row regardless of how many fields
+  // are plucked, and the parsed struct stays codegen-friendly.
+
+  private val jsonPropsSchema = StructType(Seq(StructField("k", IntegerType)))
 
   private val q24 = GraftQuery(
     "q24_json_props",
     (s, d) =>
       ev(s, d)
-        .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        .select(from_json(col("props"), jsonPropsSchema).getField("k").as("k"),
           dmoney(col("value")).as("value_dec"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_events"),

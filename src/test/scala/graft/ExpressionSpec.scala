@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions.{cosine, cosineFast, toDoubleVec}
+
+/** The native CosineSimilarity expression vs the HOF reference form:
+  * bit-identical results (same sequential accumulation), matching
+  * null/edge semantics, and availability in the SQL dialect through
+  * GraftExtensions. */
+class ExpressionSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosineFast is bit-identical to the HOF cosine on random vectors") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(24)(rnd.nextGaussian()), Seq.fill(24)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        cosine($"a", $"b").as("hof"), cosineFast($"a", $"b").as("native"))
+      .filter($"hof" =!= $"native" ||
+        $"hof".isNull =!= $"native".isNull)
+      .count()
+    assert(diff == 0)
+  }
+
+  test("edge semantics: zero norm → 0.0, length mismatch → null, null elem → null") {
+    val zero = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(cosineFast($"a", $"b")).as[Double].head()
+    assert(zero == 0.0)
+    val mism = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(cosineFast($"a", $"b")).as[Option[Double]].head()
+    assert(mism.isEmpty)
+    val nullElem = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+      .select(cosineFast($"a".cast("array<double>"), $"b".cast("array<double>")))
+      .as[Option[Double]].head()
+    assert(nullElem.isEmpty)
+  }
+
+  test("cosine_sim is registered in the SQL dialect via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.5D, 0.0D)) AS s").as[Double].head()
+    assert(r == 1.0)
+    val orth = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 2.0D)) AS s").as[Double].head()
+    assert(orth == 0.0)
+  }
+
+  test("cosineFast agrees with DuckDB-style sequential dot product on floats") {
+    // float→double widening then sequential fold — the q45/q53 shape
+    val v1 = Seq(0.25f, -1.5f, 3.75f, 0.125f)
+    val v2 = Seq(1.0f, 2.0f, -0.5f, 4.0f)
+    val df = Seq((v1, v2)).toDF("a", "b")
+    val got = df.select(cosineFast(toDoubleVec($"a"), toDoubleVec($"b")))
+      .as[Double].head()
+    val dot = v1.zip(v2).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(v1.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(v2.map(x => x.toDouble * x.toDouble).sum)
+    assert(got == dot / (na * nb))
+  }
+}
