@@ -1,10 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.pipeline.OrderPipeline
 import graft.schema.OrderSchema
+
+/** Per-customer running totals carried in the state store (the
+  * custom-state surface: `flatMapGroupsWithState`). */
+case class CustomerState(nOrders: Long, revenue: Double)
+case class CustomerTotal(customerId: String, nOrders: Long, revenue: Double)
 
 /** Structured Streaming twin of the batch pipeline (SURVEY.md §2 S2 /
   * §2.10; policy:41-77, readme:22): the reference's
@@ -65,4 +70,32 @@ object OrderStream {
       .groupBy(window(col("order_ts"), "1 hour"), col("customer_city"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("total_amount")).as("revenue"))
+
+  /** Custom arbitrary state (SURVEY.md §2.10 "stateful ops"):
+    * per-customer cumulative order count and revenue, maintained in
+    * the state store across micro-batches with
+    * `flatMapGroupsWithState`. Each batch emits the updated totals
+    * for the customers it touched — the streaming-native form of a
+    * running aggregate the reference's stateless loop cannot express.
+    * State is partitioned by customer, so it shards across executors
+    * like any keyed state at scale. */
+  def customerRunningTotals(processed: DataFrame): Dataset[CustomerTotal] = {
+    val spark = processed.sparkSession
+    import spark.implicits._
+    processed
+      .select(col("customer_id"), col("total_amount"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CustomerState, CustomerTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (customerId: String, rows: Iterator[(String, Double)],
+         state: GroupState[CustomerState]) =>
+          val prev = state.getOption.getOrElse(CustomerState(0L, 0.0))
+          var n = prev.nOrders
+          var rev = prev.revenue
+          rows.foreach { case (_, amount) => n += 1; rev += amount }
+          state.update(CustomerState(n, rev))
+          Iterator(CustomerTotal(customerId, n, rev))
+      }
+  }
 }

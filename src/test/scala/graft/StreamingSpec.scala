@@ -71,6 +71,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(m("invalid_orders") == 500L - validCount)
   }
 
+  test("flatMapGroupsWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val orders = SyntheticOrderSource.orders(spark, 200, seed = 9).cache()
+    orders.filter(col("gid") < 100).coalesce(1).write.json(raw.resolve("f1").toString)
+    orders.filter(col("gid") >= 100).coalesce(1).write.json(raw.resolve("f2").toString)
+
+    val stream = OrderPipeline.processOrders(
+      OrderStream.readRawStream(spark, raw.toString + "/*/", maxFilesPerTrigger = 1),
+      observeName = s"graft_state_${System.nanoTime()}")
+    val q = OrderStream.customerRunningTotals(stream)
+      .writeStream
+      .format("json")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the LAST emitted total per customer equals the batch aggregate
+    val emitted = spark.read.json(out.toString)
+      .groupBy(col("customerId"))
+      .agg(max(col("nOrders")).as("n"),
+        max(col("revenue")).as("rev"))
+    val expected = OrderPipeline.processOrders(orders, "graft_state_batch")
+      .groupBy(col("customer_id"))
+      .agg(count(lit(1)).as("n"), sum(col("total_amount")).as("rev"))
+    val lhs = emitted.select(col("customerId"), col("n")).as[(String, Long)].collect().toMap
+    val rhs = expected.select(col("customer_id"), col("n")).as[(String, Long)].collect().toMap
+    assert(lhs == rhs)
+    deleteRec(root)
+  }
+
   test("streaming hourly revenue matches the batch window aggregate") {
     val processed = OrderPipeline.processOrders(
       SyntheticOrderSource.orders(spark, 300, seed = 7), "graft_spec_hourly")
