@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -51,6 +51,55 @@ object Similarity {
     val qs = queries.withColumn("_sig", lshSignature(col("qvec"), planes))
     val cs = candidates.withColumn("_sig", lshSignature(col("cvec"), planes))
     val scored = cs.join(broadcast(qs), Seq("_sig"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
+  /** IVF (inverted-file) ANN: the corpus is partitioned into
+    * `nCells` Voronoi cells around deterministic seeded centroids;
+    * each query probes its `nProbe` nearest cells and ranks exact
+    * cosine only within them. Complements [[lshTopK]]: IVF recall
+    * degrades gracefully with nProbe (probe more cells → monotonically
+    * better), where single-probe signature LSH is all-or-nothing per
+    * bucket. At corpus scale the cell assignment is one narrow pass
+    * (nCells fused-loop cosines per vector) and the probe join
+    * shuffles only cell ids; real deployments would k-means-refine
+    * the centroids — the operator shape is identical.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              dim: Int, nCells: Int = 16, nProbe: Int = 3,
+              seed: Long = 42L): DataFrame = {
+    val cents: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian()))
+    }
+    val centLit = typedLit(cents)
+    // nearest-centroid fold: argmax over cosine(centroid_i, v)
+    def bestCell(v: Column): Column =
+      aggregate(sequence(lit(0), lit(nCells - 1)),
+        struct(lit(-1).as("i"), lit(-2.0).as("s")),
+        (acc, i) => {
+          val s = cosine(element_at(centLit, i + 1), v)
+          when(s > acc.getField("s"), struct(i.as("i"), s.as("s")))
+            .otherwise(acc)
+        }).getField("i")
+    val cs = candidates.withColumn("_cell", bestCell(col("cvec")))
+    // per query: nProbe nearest cells (queries are few and broadcast)
+    val probes = queries
+      .select(col("qid"), col("qvec"),
+        posexplode(centLit).as(Seq("_cell", "_cent")))
+      .select(col("qid"), col("qvec"), col("_cell"),
+        cosine(col("_cent"), col("qvec")).as("_csim"))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("_cell"))))
+      .filter(col("_crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("_cell"))
+    val scored = cs.join(broadcast(probes), Seq("_cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))

@@ -186,6 +186,16 @@ object LlmOps {
         .orderBy(col("qid"), col("rank")),
     None)
 
+  // IVF tier of ANN (rows-only like q46; recall vs the exact tier is
+  // asserted in SimilaritySpec, and grows monotonically with nProbe).
+  private val q55 = GraftQuery(
+    "q55_ann_ivf",
+    (s, d) =>
+      Similarity.ivfTopK(queryVecs(s, d), candVecs(s, d), k = 5,
+        dim = 64, nCells = 16, nProbe = 4)
+        .orderBy(col("qid"), col("rank")),
+    None)
+
   // ---- q47–q50: text analysis -----------------------------------------
 
   private val q47 = GraftQuery(
@@ -478,5 +488,5 @@ object LlmOps {
 
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54)
+      q51, q52, q53, q54, q55)
 }

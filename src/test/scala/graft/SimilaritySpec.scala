@@ -58,6 +58,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.size >= 6, s"queries with any ANN hit: ${perQuery.size}/8")
   }
 
+  test("ivfTopK recall beats single-probe LSH and grows with nProbe") {
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    def recallOf(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(queries, corpus, 5, dim = dim,
+        nCells = 8, nProbe = nProbe)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    val r2 = recallOf(2)
+    val r6 = recallOf(6)
+    assert(r2 >= 0.4, s"ivf recall@5 nProbe=2: $r2")
+    assert(r6 >= r2, s"recall must grow with nProbe: $r6 < $r2")
+    assert(r6 >= 0.8, s"ivf recall@5 nProbe=6 of 8 cells: $r6")
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(dim)(rnd.nextGaussian())
