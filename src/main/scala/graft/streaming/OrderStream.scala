@@ -71,6 +71,20 @@ object OrderStream {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("total_amount")).as("revenue"))
 
+  /** Event-time session windows (30-minute inactivity gap) per
+    * customer — the streaming-native twin of the batch
+    * gaps-and-islands sessionization (q26), via `session_window` +
+    * watermark. Works identically over batch and streaming inputs;
+    * StreamingSpec drains it through a memory sink and checks it
+    * against the batch run. */
+  def customerSessions(processed: DataFrame): DataFrame =
+    processed
+      .withColumn("order_ts", to_timestamp(col("order_date")))
+      .withWatermark("order_ts", "1 day")
+      .groupBy(session_window(col("order_ts"), "30 minutes"), col("customer_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total_amount")).as("revenue"))
+
   /** Custom arbitrary state (SURVEY.md §2.10 "stateful ops"):
     * per-customer cumulative order count and revenue, maintained in
     * the state store across micro-batches with

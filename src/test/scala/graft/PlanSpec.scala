@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions over the real sf0.001 tables — the
+  * "would this survive a 100× scale-up" properties as hard checks
+  * rather than prose: filters reach the parquet scan, projections
+  * prune columns, dimensions broadcast, top-k avoids a global sort,
+  * and the hot path stays inside whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03: predicates are pushed into the parquet scans") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("PushedFilters"), "no pushed filters at all")
+    // the date and segment predicates reach the scans, not post-filters only
+    assert(p.contains("IsNotNull"), p.take(500))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate.*"),
+      "l_shipdate filter not pushed to the lineitem scan")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment.*"),
+      "c_mktsegment filter not pushed to the customer scan")
+  }
+
+  test("q03: dimension side broadcasts; scans prune columns") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "customer join is not broadcast")
+    // lineitem scan must not read all 16 columns for a 4-column need
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(_.split(",").length <= 6),
+      s"a scan reads too many columns: $readSchemas")
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q09_top_k_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k is paying a full range-partitioned sort")
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial aggregation") {
+    // AQE only finalizes (and annotates) the plan at execution time
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // an action on THIS plan, so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), "no whole-stage-codegen stage markers")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+    // partial + final pair ⇒ map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation before the shuffle")
+  }
+
+  test("q05: all dimension joins below the fact shuffle are broadcasts") {
+    val p = plan("q05_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q45: native cosine_sim appears in the plan (not a UDF)") {
+    val p = plan("q45_knn_cosine")
+    assert(p.contains("cosine_sim"), "native expression missing from plan")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "similarity path fell back to a UDF")
+  }
+}

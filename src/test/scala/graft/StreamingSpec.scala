@@ -108,6 +108,35 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("session_window sessionization: streaming complete-mode equals batch") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_session_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val ckpt = root.resolve("ckpt")
+    val orders = SyntheticOrderSource.orders(spark, 300, seed = 5).cache()
+    orders.coalesce(2).write.json(raw.toString)
+
+    val batch = OrderStream.customerSessions(
+      OrderPipeline.processOrders(orders, "graft_sess_batch"))
+    val batchSessions = batch.count()
+    val batchOrders = batch.agg(sum(col("n_orders"))).head().getLong(0)
+    assert(batchOrders == orders.count(), "sessions must partition the orders")
+
+    val stream = OrderPipeline.processOrders(
+      OrderStream.readRawStream(spark, raw.toString, maxFilesPerTrigger = 1),
+      observeName = s"graft_sess_${System.nanoTime()}")
+    val q = OrderStream.customerSessions(stream)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("graft_sessions")
+    assert(streamed.count() == batchSessions)
+    assert(streamed.agg(sum(col("n_orders"))).head().getLong(0) == batchOrders)
+    deleteRec(root)
+  }
+
   test("streaming hourly revenue matches the batch window aggregate") {
     val processed = OrderPipeline.processOrders(
       SyntheticOrderSource.orders(spark, 300, seed = 7), "graft_spec_hourly")
