@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.enrich.OrderEnrich
 import graft.schema.OrderSchema
@@ -32,6 +32,16 @@ object OrderPipeline {
   /** P3 (processor.py:177-182): drop unparseable lines. */
   def dropCorrupt(df: DataFrame): DataFrame =
     df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** Typed boundary: bind a raw-order DataFrame to the
+    * [[OrderSchema.RawOrder]] encoder for compile-time field access
+    * (SURVEY.md §1.4 — Dataset[T] at pipeline boundaries, DataFrame
+    * inside). */
+  def typedRaw(df: DataFrame): Dataset[OrderSchema.RawOrder] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[OrderSchema.RawOrder]
+  }
 
   /** P2: attach the validation-error array (processor.py:105-119). */
   def withValidation(df: DataFrame): DataFrame =

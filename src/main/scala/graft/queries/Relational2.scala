@@ -239,9 +239,11 @@ object Relational2 {
       FROM events GROUP BY 1 ORDER BY k"""))
 
   // ---- q25: tumbling-window aggregation over the event stream ---------
-  // Batch form of the Structured Streaming hourly window (the
-  // streaming twin lives in graft.streaming and is tested with
-  // Trigger.AvailableNow; the grouped plan is identical).
+  // Batch form of the Structured Streaming hourly window — the
+  // streaming twin is graft.streaming.OrderStream.hourlyRevenue
+  // (watermark + window over the order stream), exercised under
+  // Trigger.AvailableNow in StreamingSpec; the grouped plan is
+  // identical.
 
   private val q25 = GraftQuery(
     "q25_events_hourly",

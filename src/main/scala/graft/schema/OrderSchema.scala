@@ -17,6 +17,24 @@ import org.apache.spark.sql.types._
   */
 object OrderSchema {
 
+  /** Typed row for the item struct — the compile-time face of
+    * [[itemType]] for `Dataset[RawOrder]` boundaries. */
+  final case class OrderItem(
+      product_id: String, product_name: String, category: String,
+      quantity: Int, unit_price: Double, discount_percentage: Int,
+      discount_amount: Double, subtotal: Double)
+
+  /** Typed raw order (17 fields, generator-function.py:89-107) —
+    * used at pipeline boundaries where compile-time field checks
+    * help; the untyped DataFrame form stays primary (SURVEY.md §1.4). */
+  final case class RawOrder(
+      order_id: String, order_date: String, customer_id: String,
+      customer_email: String, customer_city: String,
+      items: Seq[OrderItem], num_items: Int, total_quantity: Int,
+      subtotal: Double, total_discount: Double, shipping_cost: Double,
+      tax_rate: Double, tax_amount: Double, total_amount: Double,
+      payment_method: String, status: String, created_at: String)
+
   /** Item struct — 8 fields (generator-function.py:58-67). */
   val itemType: StructType = StructType(Seq(
     StructField("product_id", StringType),

@@ -86,6 +86,17 @@ class GeneratorSpec extends AnyFunSuite {
     assert(math.abs(disc - 2.0 / 15) < 0.04, s"discounted freq $disc") // 0.2 · 2/3
   }
 
+  test("typed Dataset boundary binds the generated schema") {
+    import SparkTestSession.spark.implicits._
+    val ds = OrderPipeline.typedRaw(orders.drop("gid"))
+    val o = ds.head()
+    assert(o.items.nonEmpty && o.items.size == o.num_items)
+    assert(o.total_amount > 0 && o.order_id.startsWith("ORD-"))
+    // compile-time field access survives a typed transform
+    val revenue = ds.map(_.total_amount).as[Double].head()
+    assert(revenue == o.total_amount)
+  }
+
   test("corrupt() injects ~2% per fault class and nothing else") {
     val v = OrderPipeline.withValidation(
       SyntheticOrderSource.corrupt(orders, 42))
