@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, JaccardSimilarity}
 
 /** Engine extension point (the `SparkSessionExtensions` surface):
   * registers graft's native expressions into the session's function
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaccard_sim expects exactly 2 arguments")
+        JaccardSimilarity(children.head, children(1))
       }))
   }
 }

@@ -124,11 +124,12 @@ object LlmOps {
         col("sh").as("shA"), col("sz").as("szA"))
       val b = sh.select(col("source").as("srcB"), col("doc_id").as("idB"),
         col("sh").as("shB"), col("sz").as("szB"))
-      val inter = size(array_intersect(col("shA"), col("shB")))
+      // the native sorted-merge jaccard_sim expression: both
+      // cardinalities in one pass, no per-pair hash set and no
+      // materialized intersection array (see JaccardSimilarity)
       val guarded = when(
         greatest(col("szA"), col("szB")) <= least(col("szA"), col("szB")) * 2 + 1,
-        round(inter.cast(DoubleType) /
-          (col("szA") + col("szB") - inter).cast(DoubleType), 6))
+        round(call_function("jaccard_sim", col("shA"), col("shB")), 6))
         .otherwise(lit(0.0))
       a.join(b, col("source") === col("srcB") && col("idA") < col("idB"))
         .withColumn("jaccard", guarded)

@@ -49,6 +49,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(orth == 0.0)
   }
 
+  test("jaccard_sim equals the array_intersect/array_union composition") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong).distinct
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        call_function("jaccard_sim", $"a", $"b").as("native"),
+        (size(array_intersect($"a", $"b")).cast("double") /
+          size(array_union($"a", $"b")).cast("double")).as("builtin"))
+      .filter($"native" =!= $"builtin").count()
+    assert(diff == 0)
+    // set semantics on duplicated inputs; empty∪empty → 0.0
+    val dup = Seq((Seq(1L, 1L, 2L), Seq(2L, 2L, 3L))).toDF("a", "b")
+      .select(call_function("jaccard_sim", $"a", $"b")).as[Double].head()
+    assert(dup == 1.0 / 3.0)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(call_function("jaccard_sim", $"a", $"b")).as[Double].head()
+    assert(empty == 0.0)
+  }
+
   test("cosineFast agrees with DuckDB-style sequential dot product on floats") {
     // float→double widening then sequential fold — the q45/q53 shape
     val v1 = Seq(0.25f, -1.5f, 3.75f, 0.125f)
