@@ -72,4 +72,44 @@ object Multimodal {
     df
       .withColumn("media_meta", extractMeta(col(mediaCol)))
       .withColumn("media_features", stubDecodeFeatures(col(mediaCol), featureDim))
+
+  /** Partition-batch decode contract — the Scala analog of a
+    * `mapInPandas` decode stage: a real codec is initialized ONCE per
+    * partition (JNI handles, model weights) and fed rows as an
+    * iterator, never per-row. `decodeOne` is the pluggable kernel;
+    * the default is the deterministic stub. This is the `(d)
+    * mapPartitions as a last resort` tier — justified here because a
+    * codec is genuinely imperative per-partition state, unlike
+    * everything else in this engine. Narrow: no shuffle, scales by
+    * file-partition parallelism. */
+  def decodeBatch(df: DataFrame, idCol: String, mediaCol: String,
+                  featureDim: Int = 8)(
+      decodeOne: Array[Byte] => Array[Float] = stubKernel(featureDim))
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec handle, arena, …)
+        rows.map { case (id, bytes) => (id, decodeOne(bytes)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** The stub kernel behind [[decodeBatch]]'s default: deterministic
+    * md5-chained pseudo-features (same values as
+    * [[stubDecodeFeatures]]'s expression form — MultimodalSpec
+    * asserts they agree). */
+  def stubKernel(dim: Int)(bytes: Array[Byte]): Array[Float] = {
+    val hexChars = "0123456789ABCDEF"
+    val hex = bytes.map(b =>
+      s"${hexChars((b >> 4) & 0xF)}${hexChars(b & 0xF)}").mkString
+    (1 to dim).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((hex + i.toString).getBytes("UTF-8"))
+      val h = md.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFFL))
+      (h.toDouble / 4294967296.0).toFloat
+    }.toArray
+  }
 }

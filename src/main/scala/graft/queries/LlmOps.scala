@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
@@ -104,8 +104,7 @@ object LlmOps {
   //    Catalyst, so the size prune lives INSIDE the jaccard expression
   //    (a `when` guard): jaccard ≥ 0.4999995 forces 2·min(|A|,|B|) ≥
   //    max(|A|,|B|)−1, and pairs failing that short-circuit to 0.0
-  //    without ever building the intersection hash set. Union size is
-  //    derived arithmetically — one set op per surviving pair.
+  //    before the native jaccard_sim sorted-merge kernel runs.
   // For corpora where blocks grow with the data (making exact
   // all-pairs quadratic), [[Dedup.jaccardIndexPairs]] (posting-list
   // intersection counting) and [[Dedup.minhashDupPairs]] (LSH

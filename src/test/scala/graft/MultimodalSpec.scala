@@ -47,6 +47,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f == again)
   }
 
+  test("decodeBatch (mapPartitions contract) agrees with the expression stub") {
+    val viaExpr = df.select($"id", Multimodal.stubDecodeFeatures($"media", 8).as("f"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val viaBatch = Multimodal.decodeBatch(df, "id", "media", 8)()
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(viaBatch == viaExpr)
+  }
+
   test("sampleFrames slices byte ranges; short tail frames shrink") {
     val frames = df.filter($"id" === 1)
       .select(Multimodal.sampleFrames($"media", 5, 3).as("fr"))
