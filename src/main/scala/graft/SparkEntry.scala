@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    Relational.all ++ Relational2.all ++ PipelineQueries.all ++ LlmOps.all
+    Relational.all ++ Relational2.all ++ Relational3.all ++
+      PipelineQueries.all ++ LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The TPC-H-Q1-shaped pricing summary: full-scan grouped decimal

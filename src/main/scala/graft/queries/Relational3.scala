@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Third relational batch: statistical aggregates with decimal-exact
+  * co-moments (q56), the analytic-window battery (q57), and scalar
+  * string/date batteries (q58/q59) — widening the function surface a
+  * reference user would reach for in the Athena layer.
+  *
+  * The q56 trick: variance/correlation are NOT aggregated in floating
+  * point (parallel summation order would diverge from DuckDB's
+  * sequential scan). All sums (Σx, Σx², Σxy) are exact DECIMAL with
+  * widths sized so no product can overflow precision 38; the final
+  * `m₂ = n·Σx² − (Σx)²` co-moments are still exact, and only the last
+  * division/sqrt happens in double — on identical inputs, identical
+  * IEEE results in every engine. */
+object Relational3 {
+
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+
+  // ---- q56: moments — mean / sample stddev / correlation --------------
+
+  private val q56 = GraftQuery(
+    "q56_stat_moments",
+    (s, d) => {
+      val x = col("l_quantity").cast(DecimalType(12, 2))
+      val y = col("l_extendedprice").cast(DecimalType(12, 2))
+      val sums = li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_distinct(col("l_suppkey")).as("n_suppliers"),
+          sum(x).cast(DecimalType(14, 2)).as("sx"),
+          sum(y).cast(DecimalType(16, 2)).as("sy"),
+          sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sxx"),
+          sum((y * y).cast(DecimalType(20, 4))).cast(DecimalType(20, 4)).as("syy"),
+          sum((x * y).cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sxy"))
+      val nDec = col("n").cast(DecimalType(7, 0))
+      val m2x = (nDec * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+      val m2y = (nDec * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      val mxy = (nDec * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val nn1 = (col("n") * (col("n") - 1)).cast(DoubleType)
+      sums.select(
+        col("l_returnflag"), col("n"), col("n_suppliers"),
+        round(col("sx").cast(DoubleType) / col("n"), 6).as("mean_qty"),
+        round(sqrt(m2x / nn1), 6).as("stddev_qty"),
+        round(sqrt(m2y / nn1), 6).as("stddev_price"),
+        round(mxy / sqrt(m2x * m2y), 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH sums AS (
+        -- sums land in >=20-digit decimals so DuckDB stores them as
+        -- int128 and the co-moment squares below cannot overflow the
+        -- int64 multiply path
+        SELECT l_returnflag, count(*) AS n,
+          count(DISTINCT l_suppkey) AS n_suppliers,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS sy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sxx,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(20,4))) AS DECIMAL(24,4)) AS syy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n, n_suppliers,
+        round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+        round(sqrt(CAST(CAST(n AS DECIMAL(7,0)) * sxx - sx * sx AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_qty,
+        round(sqrt(CAST(CAST(n AS DECIMAL(7,0)) * syy - sy * sy AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_price,
+        round(CAST(CAST(n AS DECIMAL(7,0)) * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(CAST(n AS DECIMAL(7,0)) * sxx - sx * sx AS DOUBLE)
+               * CAST(CAST(n AS DECIMAL(7,0)) * syy - sy * sy AS DOUBLE)), 6)
+          AS corr_qty_price
+      FROM sums ORDER BY l_returnflag"""))
+
+  // ---- q57: analytic window battery -----------------------------------
+  // lag/lead/ntile/percent_rank/cume_dist/first_value + a 3-row moving
+  // average — frames spelled out explicitly on both sides (default
+  // frames differ subtly between engines).
+
+  private val q57 = GraftQuery(
+    "q57_window_analytics",
+    (s, d) => {
+      val price = col("o_totalprice").cast(DecimalType(12, 2))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = w.rowsBetween(-2, 0)
+      ord(s, d)
+        .filter(col("o_custkey") % 10 === 0)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(price, 1).over(w).cast(DoubleType).as("prev_price"),
+          lead(price, 1).over(w).cast(DoubleType).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(price).over(wRun).cast(DoubleType).as("first_price"),
+          round(sum(price).over(wMov).cast(DoubleType) /
+            count(lit(1)).over(wMov), 6).as("moving_avg3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        CAST(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS DOUBLE) AS prev_price,
+        CAST(lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS DOUBLE) AS next_price,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume,
+        CAST(first_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS first_price,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+          count(*) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+      FROM orders WHERE o_custkey % 10 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- q58: string-function battery over part -------------------------
+
+  private val q58 = GraftQuery(
+    "q58_string_battery",
+    (s, d) =>
+      part(s, d)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tname"),
+          lpad(col("p_partkey").cast(StringType), 8, "0").as("padded_key"),
+          levenshtein(substring(col("p_brand"), 1, 8),
+            substring(col("p_type"), 1, 8)).as("brand_type_lev"),
+          reverse(col("p_name")).as("rev_name"),
+          repeat(substring(col("p_brand"), 1, 3), 2).as("brand2"),
+          locate("e", col("p_name")).as("first_e"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+        translate(p_name, 'aeiou', 'AEIOU') AS tname,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+        CAST(levenshtein(substring(p_brand, 1, 8), substring(p_type, 1, 8)) AS INT)
+          AS brand_type_lev,
+        reverse(p_name) AS rev_name,
+        repeat(substring(p_brand, 1, 3), 2) AS brand2,
+        CAST(CASE WHEN position('e' IN p_name) IS NULL THEN 0
+          ELSE position('e' IN p_name) END AS INT) AS first_e
+      FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey"""))
+
+  // ---- q59: date-function battery over orders -------------------------
+
+  private val q59 = GraftQuery(
+    "q59_date_battery",
+    (s, d) => {
+      val dt = to_date(col("o_orderdate"))
+      ord(s, d)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(
+          col("o_orderkey"),
+          datediff(dt, lit("1992-01-01").cast(DateType)).as("days_since_epoch92"),
+          add_months(dt, 3).as("plus3m"),
+          last_day(dt).as("month_end"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          dayofyear(dt).as("doy"),
+          quarter(dt).as("qtr"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+        CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT)
+          AS days_since_epoch92,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        date_trunc('month', o_orderdate) AS month_start,
+        CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+        CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr
+      FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey"""))
+
+  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59)
+}
