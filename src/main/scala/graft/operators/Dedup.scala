@@ -58,11 +58,17 @@ object Dedup {
                         numHashes: Int = 24, bands: Int = 6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // explicit exchange on the band key ahead of the self-join: a
+    // single-file input would otherwise run the bucket expansion in
+    // one task (and AQE's small-shuffle coalescing would keep it
+    // there) — same hazard as jaccardIndexPairs
     val sig = df
       .filter(size(col(shingleCol)) > 0)
       .select(col(idCol), minhashSignature(col(shingleCol), numHashes).as("_sig"))
       .select(col(idCol),
         posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("_band"), col("_bhash"))
     val left = sig.select(col("_band"), col("_bhash"), col(idCol).as("idA"))
     val right = sig.select(col("_band"), col("_bhash"), col(idCol).as("idB"))
     left.join(right, Seq("_band", "_bhash"))
@@ -163,6 +169,8 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("_band", "_bkey")))
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("_band"), col("_bkey"))
     val left = banded.select(col("_band"), col("_bkey"),
       col(idCol).as("idA"), col("_sim").as("_simA"))
     val right = banded.select(col("_band"), col("_bkey"),

@@ -116,8 +116,13 @@ object Similarity {
                          threshold: Double, dim: Int,
                          nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
+    // explicit exchange on the bucket key: keeps the within-bucket
+    // pair expansion parallel even from a single-file scan (AQE would
+    // coalesce the small signature shuffle to one partition)
     val sigs = vecs.select(col(idCol), col(vecCol).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), planes))
+      .repartition(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("_sig"))
     val left = sigs.select(col("_sig"), col(idCol).as("idA"), col("_v").as("_vA"))
     val right = sigs.select(col("_sig"), col(idCol).as("idB"), col("_v").as("_vB"))
     left.join(right, Seq("_sig"))
