@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
@@ -486,7 +486,63 @@ object LlmOps {
         FROM documents) t
       WHERE rn = 1 ORDER BY doc_id"""))
 
+  // ---- q60: repetition quality signals (C4/Gopher-style filters) ------
+  // Duplicate word-n-gram fractions and the most-frequent-word share —
+  // the standard "is this document degenerate/boilerplate" signals a
+  // training-data pipeline filters on. All intra-row array math: one
+  // narrow projection over the corpus.
+
+  private val q60 = GraftQuery(
+    "q60_repetition_signals",
+    (s, d) => {
+      val toks = whitespaceTokens(col("text"))
+      def dupFrac(grams: Column): Column =
+        when(size(grams) > 0,
+          round((size(grams) - size(array_distinct(grams))).cast(DoubleType) /
+            size(grams).cast(DoubleType), 6)).otherwise(0.0)
+      val topWordCount = array_max(transform(array_distinct(col("t")),
+        w => size(filter(col("t"), t => t === w))))
+      docs(s, d)
+        .select(col("doc_id"), toks.as("t"),
+          wordShingles(toks, 2).as("g2"), wordShingles(toks, 3).as("g3"))
+        .select(col("doc_id"),
+          size(col("t")).as("n_words"),
+          dupFrac(col("g2")).as("dup_2gram_frac"),
+          dupFrac(col("g3")).as("dup_3gram_frac"),
+          when(size(col("t")) > 0,
+            round(topWordCount.cast(DoubleType) / size(col("t")).cast(DoubleType), 6))
+            .otherwise(0.0).as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS g2,
+          CASE WHEN len(toks) >= 3 THEN
+            list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g3
+        FROM t)
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_words,
+        CASE WHEN len(g2) > 0 THEN
+          round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+          ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN len(g3) > 0 THEN
+          round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+          ELSE 0.0 END AS dup_3gram_frac,
+        CASE WHEN len(toks) > 0 THEN
+          round(CAST(list_max(list_transform(list_distinct(toks),
+            w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / len(toks), 6)
+          ELSE 0.0 END AS top_word_frac
+      FROM g ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55)
+      q51, q52, q53, q54, q55, q60)
 }
