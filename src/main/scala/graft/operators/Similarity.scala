@@ -79,12 +79,14 @@ object Similarity {
       Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian()))
     }
     val centLit = typedLit(cents)
-    // nearest-centroid fold: argmax over cosine(centroid_i, v)
+    // nearest-centroid fold: argmax over cosine(centroid_i, v) — the
+    // per-cell cosine is the native fused expression, so the fold's
+    // codegen stays one loop over nCells kernel calls
     def bestCell(v: Column): Column =
       aggregate(sequence(lit(0), lit(nCells - 1)),
         struct(lit(-1).as("i"), lit(-2.0).as("s")),
         (acc, i) => {
-          val s = cosine(element_at(centLit, i + 1), v)
+          val s = cosineFast(element_at(centLit, i + 1), v)
           when(s > acc.getField("s"), struct(i.as("i"), s.as("s")))
             .otherwise(acc)
         }).getField("i")
@@ -94,7 +96,7 @@ object Similarity {
       .select(col("qid"), col("qvec"),
         posexplode(centLit).as(Seq("_cell", "_cent")))
       .select(col("qid"), col("qvec"), col("_cell"),
-        cosine(col("_cent"), col("qvec")).as("_csim"))
+        cosineFast(col("_cent"), col("qvec")).as("_csim"))
       .withColumn("_crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("_cell"))))
       .filter(col("_crank") <= nProbe)
