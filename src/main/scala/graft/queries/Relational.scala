@@ -232,13 +232,20 @@ object Relational {
   // ---- q08: window running aggregate ----------------------------------
   // One shuffle on l_suppkey; the running DECIMAL sum is exact, so the
   // result is stable regardless of how partitions were assembled.
+  // The testdata contains duplicate (l_orderkey, l_linenumber) rows
+  // with different prices, so l_extendedprice joins the window sort as
+  // the final tie-breaker — without it the intermediate running sum at
+  // a tied pair depends on which engine emits which row first (rows
+  // identical in ALL columns are then order-insensitive by
+  // construction).
 
   private val q08 = GraftQuery(
     "q08_running_revenue",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li(s, d)
         .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
@@ -248,16 +255,17 @@ object Relational {
           col("l_linenumber"),
           col("running_dec").cast(DoubleType).as("running_revenue"))
         .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-          col("l_linenumber"))
+          col("l_linenumber"), col("running_revenue"))
     },
     Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
         PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         AS running_revenue
       FROM lineitem
-      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""))
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        running_revenue"""))
 
   // ---- q09: global sort + limit (top-k) -------------------------------
   // Spark plans this as TakeOrderedAndProject: per-partition top-k then

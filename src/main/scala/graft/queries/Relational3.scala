@@ -180,5 +180,31 @@ object Relational3 {
         CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr
       FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey"""))
 
-  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59)
+  // ---- q61: exact percentiles -----------------------------------------
+  // Selection + linear interpolation (Spark `percentile` ↔ DuckDB
+  // `quantile_cont`) — safe to oracle because, unlike floating-point
+  // sums, order statistics don't depend on aggregation order; the
+  // interpolation arithmetic is the same IEEE ops on both engines.
+
+  private val q61 = GraftQuery(
+    "q61_percentiles",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          percentile(col("l_extendedprice"), lit(0.99)).as("p99_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        quantile_cont(l_extendedprice, 0.99) AS p99_price,
+        min(l_extendedprice) AS min_price,
+        max(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59, q61)
 }
