@@ -131,6 +131,24 @@ object OrderEnrich {
               .cast(DoubleType).as("revenue")).as("value"))))
   }
 
+  /** A3 Option B (SURVEY.md §2.4): the exploded relational form of
+    * [[productMix]] — explode items, group by (order_id, lowered
+    * category). Same numbers as the map form (EnrichSpec proves the
+    * equivalence row-for-row). The map form pays O(categories ×
+    * items) HOF re-scans per row; this form pays one shuffle on
+    * (order_id, category) with map-side partial aggregation — the
+    * right trade whenever the per-order output is consumed exploded,
+    * and the scale path once items-per-order grows. */
+  def productMixExploded(ordersWithItems: DataFrame): DataFrame =
+    ordersWithItems
+      .select(col("order_id"), explode(col("items")).as("_it"))
+      .groupBy(col("order_id"), lower(col("_it.category")).as("category"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_lines"),
+        sum(col("_it.quantity")).as("quantity"),
+        sum(col("_it.subtotal").cast(DecimalType(12, 2)))
+          .cast(money).cast(DoubleType).as("revenue"))
+
   // ---- P2: validate_order (processor.py:105-119) ---------------------
 
   /** Validation error array; empty ⇔ valid. Mirrors the reference's

@@ -47,12 +47,15 @@ object JaccardUtil {
   }
 }
 
-/** Native set-Jaccard over two `array<bigint>` shingle-hash columns —
-  * the fused form of `size(array_intersect(a,b)) /
-  * size(array_union(a,b))`. The built-in pair allocates a hash set
-  * AND materializes the intersection/union arrays per pair just to
-  * take their sizes; this computes both cardinalities in one sorted
-  * merge with two primitive-array copies and nothing else. Used by
+/** Native set-Jaccard over two `array<bigint>` shingle-hash columns.
+  * Semantically `size(array_intersect(a,b)) / size(array_union(a,b))`
+  * except at the 0/0 corner: two empty inputs yield 0.0 here, where
+  * the built-in composition yields NULL — a deliberate divergence
+  * (a similarity is always a number; q44 additionally prunes short
+  * docs so the corner never ranks). The built-in pair also allocates
+  * a hash set AND materializes the intersection/union arrays per pair
+  * just to take their sizes; this computes both cardinalities in one
+  * sorted merge with two primitive-array copies and nothing else. Used by
   * the n-gram similarity join (q44), where it runs once per candidate
   * pair. Null if either array is null or contains a null element
   * (same convention as [[CosineSimilarity]]); empty∪empty → 0.0.

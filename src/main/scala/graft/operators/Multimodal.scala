@@ -86,15 +86,17 @@ object Multimodal {
                   featureDim: Int = 8)(
       decodeOne: Array[Byte] => Array[Float] = stubKernel(featureDim))
       : DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(mediaCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition init would go here (codec handle, arena, …)
-        rows.map { case (id, bytes) => (id, decodeOne(bytes)) }
-      }
-      .toDF(idCol, "features")
+    import org.apache.spark.sql.{Encoders, Row}
+    // the id column rides through untouched, whatever its type —
+    // casting it (r2's `cast("long")`) silently nulled string ids
+    val sel = df.select(col(idCol), col(mediaCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head,
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    sel.mapPartitions { rows =>
+      // per-partition init would go here (codec handle, arena, …)
+      rows.map(r => Row(r.get(0), decodeOne(r.getAs[Array[Byte]](1))))
+    }(Encoders.row(outSchema))
   }
 
   /** The stub kernel behind [[decodeBatch]]'s default: deterministic

@@ -37,7 +37,7 @@ object Relational2 {
   private val q17 = GraftQuery(
     "q17_big_nations",
     (s, d) => {
-      Tables.registerAll(s, d)
+      Tables.registerAllOnce(s, d)
       s.sql("""SELECT /*+ BROADCAST(nation) */ n_name,
           count(*) AS n_customers,
           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal_sum
@@ -178,7 +178,7 @@ object Relational2 {
     (s, d) => {
       // spark.sql text path (S6): the scalar subquery plans as a
       // broadcast-reused subquery result — no fact-table shuffle.
-      Tables.registerAll(s, d)
+      Tables.registerAllOnce(s, d)
       s.sql("""SELECT count(*) AS n_above_avg,
           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue_above_avg
         FROM orders
@@ -343,7 +343,7 @@ object Relational2 {
     (s, d) => {
       // spark.sql text path (S6); Spark's dialect spells DuckDB's
       // ordered string_agg as array_join(array_sort(collect_list())).
-      Tables.registerAll(s, d)
+      Tables.registerAllOnce(s, d)
       s.sql("""SELECT p_brand, count(*) AS n_parts,
           array_join(array_sort(collect_list(p_name)), ',') AS part_names
         FROM part WHERE p_size <= 3

@@ -36,12 +36,16 @@ object Relational3 {
         .agg(
           count(lit(1)).as("n"),
           count_distinct(col("l_suppkey")).as("n_suppliers"),
-          sum(x).cast(DecimalType(14, 2)).as("sx"),
-          sum(y).cast(DecimalType(16, 2)).as("sy"),
-          sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sxx"),
-          sum((y * y).cast(DecimalType(20, 4))).cast(DecimalType(20, 4)).as("syy"),
-          sum((x * y).cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sxy"))
-      val nDec = col("n").cast(DecimalType(7, 0))
+          // widths match the oracle's DECIMAL(20,2)/(24,4): per-group
+          // sums stay exact past 10^12 rows (ADVICE r2 — the old
+          // (7,0)/(14,2) casts overflowed to null around sf10), and
+          // every co-moment product below still fits precision 38
+          sum(x).cast(DecimalType(20, 2)).as("sx"),
+          sum(y).cast(DecimalType(20, 2)).as("sy"),
+          sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(24, 4)).as("sxx"),
+          sum((y * y).cast(DecimalType(20, 4))).cast(DecimalType(24, 4)).as("syy"),
+          sum((x * y).cast(DecimalType(18, 4))).cast(DecimalType(24, 4)).as("sxy"))
+      val nDec = col("n").cast(DecimalType(12, 0))
       val m2x = (nDec * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
       val m2y = (nDec * col("syy") - col("sy") * col("sy")).cast(DoubleType)
       val mxy = (nDec * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
@@ -68,13 +72,13 @@ object Relational3 {
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n, n_suppliers,
         round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
-        round(sqrt(CAST(CAST(n AS DECIMAL(7,0)) * sxx - sx * sx AS DOUBLE)
+        round(sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE)
           / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_qty,
-        round(sqrt(CAST(CAST(n AS DECIMAL(7,0)) * syy - sy * sy AS DOUBLE)
+        round(sqrt(CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)
           / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_price,
-        round(CAST(CAST(n AS DECIMAL(7,0)) * sxy - sx * sy AS DOUBLE)
-          / sqrt(CAST(CAST(n AS DECIMAL(7,0)) * sxx - sx * sx AS DOUBLE)
-               * CAST(CAST(n AS DECIMAL(7,0)) * syy - sy * sy AS DOUBLE)), 6)
+        round(CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE)
+               * CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)), 6)
           AS corr_qty_price
       FROM sums ORDER BY l_returnflag"""))
 

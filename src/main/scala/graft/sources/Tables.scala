@@ -51,4 +51,16 @@ object Tables {
     * (the EP3 "Athena layer" of SURVEY.md §3). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  private val registeredFor =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[registerAll]], memoized per (session, dir): registering reads
+    * every table's parquet footer, which is pure waste when repeated
+    * per query (VERDICT.md r2 — it tripled q17/q22/q28). The temp-view
+    * catalog lives on the session, so one registration per
+    * (session, dir) is exactly as fresh as one per call. */
+  def registerAllOnce(spark: SparkSession, dir: String): Unit =
+    if (registeredFor.add(System.identityHashCode(spark).toString + "|" + dir))
+      registerAll(spark, dir)
 }

@@ -76,6 +76,18 @@ class EnrichSpec extends AnyFunSuite {
     assert(m.toSeq == Seq(("shoes", 2, 3L, 30.0), ("laptops", 1, 1L, 50.0)))
   }
 
+  test("productMixExploded (Option B) equals the map form row-for-row") {
+    val orders = graft.generate.SyntheticOrderSource.orders(spark, 300, seed = 13)
+    val viaMap = orders
+      .select($"order_id", explode(productMix($"items")).as(Seq("category", "m")))
+      .select($"order_id", $"category", $"m.count".as("n_lines"),
+        $"m.quantity".as("quantity"), $"m.revenue".as("revenue"))
+    val viaGroup = OrderEnrich.productMixExploded(orders)
+    assert(viaMap.count() == viaGroup.count())
+    assert(viaMap.exceptAll(viaGroup).isEmpty)
+    assert(viaGroup.exceptAll(viaMap).isEmpty)
+  }
+
   test("validationErrors mirrors processor.py:105-119 incl. 0.01 tolerance") {
     def errs(orderId: String, items: Seq[Item], sub: Double, total: Double): Seq[String] = {
       Seq(ValOrder(orderId, items, sub, total)).toDF()
