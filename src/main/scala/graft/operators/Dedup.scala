@@ -160,11 +160,22 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidates: docs whose signatures share a
-    * 16-bit band, verified by hamming ≤ maxHamming. */
+    * 16-bit band, verified by hamming ≤ maxHamming.
+    *
+    * Degenerate-bucket guard: a doc with no tokens has a
+    * content-independent signature (every bit-sum is 0 → all bits
+    * set), so a corpus with many empty docs would pile them into ONE
+    * band bucket and run a quadratic self-join there (r2 verdict).
+    * Docs under `minTokens` are excluded up front — "similarity" of
+    * empty content is meaningless; route exact duplicates (including
+    * empty-vs-empty) through [[exactDedup]], which shuffles them as
+    * ordinary group keys instead of expanding pairs. */
   def simhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol),
-      simhash(whitespaceTokens(col(textCol))).as("_sim"))
+                      maxHamming: Int = 3, minTokens: Int = 1): DataFrame = {
+    val sigs = docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= minTokens)
+      .select(col(idCol), simhash(col("_toks")).as("_sim"))
     val banded = sigs.select(col(idCol), col("_sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -42,13 +42,33 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
 
-  /** LSH-bucketed ANN: exact cosine within matching signature
-    * buckets only. Recall < 1 by design; nPlanes trades recall for
-    * bucket size (cost). */
+  /** Multi-probe LSH ANN: exact cosine within matching signature
+    * buckets only. Each query probes every signature within Hamming
+    * distance `probeHamming` of its own — a true neighbor lands in a
+    * different bucket exactly when some planes split the pair, and
+    * close pairs are split by FEW planes, so probing near signatures
+    * recovers most of the recall single-probe LSH loses (r2 measured
+    * 0.33 single-probe; the spec pins ≥0.8 at the q46 default).
+    *
+    * Scale shape: the probe fan-out multiplies only the QUERY side
+    * (Σ_{h≤H} C(nPlanes,h) rows per query — queries are few and
+    * broadcast); the corpus is still hashed once into
+    * single-signature buckets, and each candidate matches at most one
+    * probe per query (probe signatures are distinct), so no dedup
+    * pass is needed. nPlanes trades bucket size for probe count. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+              dim: Int, nPlanes: Int = 8, seed: Long = 42L,
+              probeHamming: Int = 2): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    val qs = queries.withColumn("_sig", lshSignature(col("qvec"), planes))
+    val probeMasks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until nPlanes).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val qs = queries
+      .withColumn("_sig0", lshSignature(col("qvec"), planes))
+      .select(col("qid"), col("qvec"), col("_sig0"),
+        explode(typedLit(probeMasks)).as("_mask"))
+      .select(col("qid"), col("qvec"),
+        col("_sig0").bitwiseXOR(col("_mask")).as("_sig"))
     val cs = candidates.withColumn("_sig", lshSignature(col("cvec"), planes))
     val scored = cs.join(broadcast(qs), Seq("_sig"))
       .filter(col("cid") =!= col("qid"))

@@ -41,21 +41,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 5L))
   }
 
-  test("lshTopK: perfect top-1 self-exclusion and measured recall vs brute force") {
+  test("lshTopK: multi-probe recall vs brute force, monotone in probe radius") {
     val exact = Similarity.bruteForceTopK(queries, corpus, 5)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
-    val ann = Similarity.lshTopK(queries, corpus, 5, dim = dim, nPlanes = 4)
+    def recallAt(probeHamming: Int): Double = {
+      val ann = Similarity.lshTopK(queries, corpus, 5, dim = dim,
+        nPlanes = 4, probeHamming = probeHamming)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      (exact intersect ann).size.toDouble / exact.size
+    }
+    // single-probe (the r2 default) measured 0.325 on this fixture —
+    // the multi-probe default must lift recall@5 to a usable tier
+    val r0 = recallAt(0)
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    assert(r2 >= 0.8, s"recall@5 at q46 default (Hamming<=2): $r2")
+    assert(r1 >= r0 && r2 >= r1,
+      s"recall must be monotone in probe radius: $r0 / $r1 / $r2")
+    // and every query finds neighbors at the default radius
+    val ann1 = Similarity.lshTopK(queries, corpus, 5, dim = dim, nPlanes = 4)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
-    // ANN returns only true-cosine-ranked results from its buckets →
-    // every hit is a real neighbor candidate; measure recall@5
-    // measured once on this fixed hash family / fixture: 0.325 —
-    // single-probe exact-signature LSH at 16 buckets; the assertion
-    // guards against regressions to ~0 (e.g. a broken signature join)
-    val recall = (exact intersect ann).size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall@5 collapsed: $recall")
-    // and the same-bucket guarantee: each query finds SOME neighbors
-    val perQuery = ann.groupBy(_._1).view.mapValues(_.size).toMap
-    assert(perQuery.size >= 6, s"queries with any ANN hit: ${perQuery.size}/8")
+    val perQuery = ann1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.size == 8, s"queries with any ANN hit: ${perQuery.size}/8")
   }
 
   test("ivfTopK recall beats single-probe LSH and grows with nProbe") {
