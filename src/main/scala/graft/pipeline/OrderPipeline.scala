@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.enrich.OrderEnrich
 import graft.schema.OrderSchema
@@ -76,11 +76,14 @@ object OrderPipeline {
     * reproduces the reference's processing-date partitioning
     * (including its wrong-partition handling of late orders —
     * SURVEY.md §2.10); `byEventTime=true` is the corrected mode that
-    * partitions on the order timestamp. */
+    * partitions on the order timestamp. `processingTs` injects the
+    * processing clock so the parity mode is testable with a frozen
+    * value (PipelineSinkSpec); production callers leave the default. */
   def writePartitionedJsonl(df: DataFrame, root: String,
-                            byEventTime: Boolean): Unit = {
+                            byEventTime: Boolean,
+                            processingTs: Column = current_timestamp()): Unit = {
     val ts = if (byEventTime) OrderEnrich.parseOrderDate(col("order_date"))
-             else current_timestamp()
+             else processingTs
     df
       .withColumn("year", date_format(ts, "yyyy"))
       .withColumn("month", date_format(ts, "MM"))

@@ -210,5 +210,41 @@ object Relational3 {
         max(l_extendedprice) AS max_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59, q61)
+  // ---- q62: approximate percentiles (the 100 TB tier of q61) ----------
+  // Exact `percentile` holds every group value in memory — fine at
+  // test SFs, impossible at 10^11 rows. `approx_percentile` (a
+  // Greenwald-Khanna mergeable sketch, fixed memory per group) is the
+  // scale path. The sketch's answer is engine-specific, so the oracle
+  // can't replay it: instead the query SELF-GATES — it computes both
+  // tiers and emits within-tolerance booleans that the oracle expects
+  // to be true, so the hash check fails if sketch error ever drifts
+  // past 1%. ApproxPercentileSpec additionally measures the error at
+  // sf0.1.
+
+  private val q62 = GraftQuery(
+    "q62_percentiles_approx",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          approx_percentile(col("l_quantity").cast(DoubleType), lit(0.5),
+            lit(10000)).as("_amq"),
+          approx_percentile(col("l_extendedprice").cast(DoubleType), lit(0.9),
+            lit(10000)).as("_ap90"))
+        .select(col("l_returnflag"), col("median_qty"), col("p90_price"),
+          (abs(col("_amq") - col("median_qty")) <=
+            abs(col("median_qty")) * 0.01).as("median_within_1pct"),
+          (abs(col("_ap90") - col("p90_price")) <=
+            abs(col("p90_price")) * 0.01).as("p90_within_1pct"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        true AS median_within_1pct,
+        true AS p90_within_1pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59, q61, q62)
 }

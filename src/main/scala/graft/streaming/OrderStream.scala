@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener, Trigger}
 import graft.pipeline.OrderPipeline
 import graft.schema.OrderSchema
 
@@ -55,6 +55,87 @@ object OrderStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The streaming half of A6 (processor.py:184-194): the batch path
+    * reads the `observe` counters through an `Observation`; in
+    * streaming the same metrics arrive once per micro-batch inside
+    * progress events. This listener accumulates them per batch — the
+    * reference's per-invocation count logging, one micro-batch = one
+    * invocation. Long-valued metrics only (the counters); attach with
+    * `spark.streams.addListener`, detach when done. Progress events
+    * are delivered asynchronously — readers should poll
+    * [[batches]]/[[totals]] after the query terminates. */
+  final class PipelineMetricsListener(observeName: String)
+      extends StreamingQueryListener {
+    private val buf = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    def batches: Seq[Map[String, Long]] = synchronized(buf.toList)
+    def totals: Map[String, Long] =
+      batches.flatten.groupMapReduce(_._1)(_._2)(_ + _)
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      if (om.containsKey(observeName)) {
+        val row = om.get(observeName)
+        val counters = row.schema.fields.zipWithIndex.collect {
+          case (f, i) if f.dataType == org.apache.spark.sql.types.LongType &&
+            !row.isNullAt(i) => f.name -> row.getLong(i)
+        }.toMap
+        synchronized { buf += counters }
+      }
+    }
+  }
+
+  /** Streaming dedup within the watermark horizon (SURVEY.md §4.3):
+    * re-delivered orders — the reference's at-least-once S3 retry
+    * shape — are dropped by order_id across micro-batches.
+    * `dropDuplicatesWithinWatermark` keys state by order_id and
+    * evicts an id once the watermark passes its event time, so state
+    * stays bounded by (arrival rate × horizon) instead of growing
+    * with the corpus. Rows later than the watermark are dropped
+    * outright, so size `watermarkDelay` to the real redelivery
+    * horizon. Null order_ids dedup among themselves — harmless, the
+    * validation gate drops them downstream either way. */
+  def dedupedOrders(raw: DataFrame, watermarkDelay: String = "14 days"): DataFrame =
+    raw
+      .withColumn("_event_ts", to_timestamp(col("order_date")))
+      .withWatermark("_event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("order_id")
+      .drop("_event_ts")
+
+  /** [[runAvailableNow]] with duplicate suppression and the RocksDB
+    * state store provider — the large-state configuration (SURVEY.md
+    * §4.3): dedup state lives off-heap with incremental checkpoints,
+    * which is what keeps a 100 TB-scale id horizon from exhausting
+    * executor heaps. The previous provider setting is restored after
+    * the drain so batch/other queries on the session are unaffected. */
+  def runDedupedAvailableNow(spark: SparkSession, rawDir: String, outDir: String,
+                             checkpointDir: String,
+                             maxFilesPerTrigger: Int = 1,
+                             watermarkDelay: String = "14 days"): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val deduped = dedupedOrders(
+        readRawStream(spark, rawDir, maxFilesPerTrigger), watermarkDelay)
+      val processed = OrderPipeline.processOrders(deduped,
+        observeName = s"graft_dedup_${System.nanoTime()}")
+      val q = processed.writeStream
+        .format("json")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Event-time hourly revenue over the order stream — the stateful

@@ -71,6 +71,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(m("invalid_orders") == 500L - validCount)
   }
 
+  test("StreamingQueryListener surfaces per-micro-batch observe counters (A6 streaming)") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_listener_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val corrupted = SyntheticOrderSource.corrupt(
+      SyntheticOrderSource.orders(spark, 300, seed = 17), seed = 17).cache()
+    val expectValid = OrderPipeline.withValidation(corrupted)
+      .filter(size(col("validation_errors")) === 0).count()
+    (0 until 3).foreach(i =>
+      corrupted.filter(col("gid") % 3 === i).coalesce(1)
+        .write.json(raw.resolve(s"f$i").toString))
+
+    val name = s"graft_listener_${System.nanoTime()}"
+    val listener = new OrderStream.PipelineMetricsListener(name)
+    spark.streams.addListener(listener)
+    try {
+      val processed = OrderPipeline.processOrders(
+        OrderStream.readRawStream(spark, raw.toString + "/*/", maxFilesPerTrigger = 1), name)
+      val q = processed.writeStream.format("json")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // progress events are async; give the bus a moment to drain
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (listener.batches.map(_.getOrElse("total_orders", 0L)).sum < 300 &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(listener.batches.size >= 3,
+        s"one observation per micro-batch expected, got ${listener.batches.size}")
+      val t = listener.totals
+      assert(t("total_orders") == 300L)
+      assert(t("valid_orders") == expectValid)
+      assert(t("invalid_orders") == 300L - expectValid)
+    } finally spark.streams.removeListener(listener)
+    deleteRec(root)
+  }
+
+  test("streaming dedup: duplicate file deliveries don't double-count across restart") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_dedup_stream_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val orders = SyntheticOrderSource.orders(spark, 200, seed = 31).cache()
+    val first = orders.filter(col("gid") < 100)
+    first.coalesce(1).write.json(raw.resolve("f1").toString)
+    OrderStream.runDedupedAvailableNow(spark, raw.toString + "/*/",
+      out.toString, ckpt.toString, watermarkDelay = "30 days")
+    assert(spark.read.json(out.toString).count() == 100)
+
+    // redeliver the SAME 100 orders (a new file, same content - the
+    // reference's at-least-once retry), plus 100 genuinely new ones
+    first.coalesce(1).write.json(raw.resolve("f1_retry").toString)
+    orders.filter(col("gid") >= 100).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    OrderStream.runDedupedAvailableNow(spark, raw.toString + "/*/",
+      out.toString, ckpt.toString, watermarkDelay = "30 days")
+    val back = spark.read.json(out.toString)
+    assert(back.count() == 200,
+      s"duplicates double-counted or new rows lost: ${back.count()}")
+    assert(back.select(col("order_id")).distinct().count() == 200)
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
