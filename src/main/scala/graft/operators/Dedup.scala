@@ -142,6 +142,56 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: turn pairwise near-dup verdicts
+    * (idA, idB) into per-node cluster representatives — the step
+    * between "these pairs are duplicates" and "keep one doc per
+    * duplicate set", which pair-level dedup alone cannot do (A~B and
+    * B~C must collapse to ONE kept doc even though A~C was never
+    * compared). Returns (id, rep) where rep is the minimum id in the
+    * node's connected component; nodes not in any pair are absent
+    * (callers treat them as their own rep via a left join).
+    *
+    * Iterative min-label propagation: each round every node adopts
+    * the smallest label among itself and its neighbors; fixpoint in
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (dup sets are near-cliques), so a handful of rounds closes them.
+    * Each round shuffles fixed-width (id, label) tuples only, never
+    * payloads, and partial aggregation combines labels map-side. The
+    * driver-side loop is the iterate-until-fixpoint shape (GraphX/
+    * Pregel's own): per-round work is fully distributed, the driver
+    * sees only a changed-row COUNT. Each round's labels are cut from
+    * their lineage with an eager `localCheckpoint` — without it the
+    * logical plan nests a copy of every prior round and analysis
+    * itself blows up; on a fault-tolerant production run, swap in a
+    * reliable `checkpoint` dir (localCheckpoint trades executor-loss
+    * recovery for speed, Spark's documented contract). */
+  def clusterReps(pairs: DataFrame, aCol: String = "idA",
+                  bCol: String = "idB", maxRounds: Int = 50): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).as("id"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val viaNbr = sym
+        .join(labels.select(col("id").as("nbr"), col("rep")), "nbr")
+        .select(col("id"), col("rep"))
+      val next = labels.union(viaNbr)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("rep").as("_prev")), "id")
+        .filter(col("rep") < col("_prev")).count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over a token array: bit k of the result is the
     * sign of Σ_tokens (±1 depending on bit k of xxhash64(token)).
     * Token hashes are materialized once into an array column; the 64

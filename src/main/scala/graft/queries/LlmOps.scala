@@ -542,7 +542,54 @@ object LlmOps {
           ELSE 0.0 END AS top_word_frac
       FROM g ORDER BY doc_id"""))
 
+  // ---- q63: duplicate-cluster resolution (Dedup.clusterReps) ----------
+  // Pairwise verdicts → one kept doc per duplicate SET: the q53 pair
+  // graph is closed transitively by distributed min-label propagation
+  // (A~B, B~C collapse to one cluster though A~C was never compared),
+  // then every vector joins its component's min id as representative —
+  // singletons are their own rep. The oracle replays reachability with
+  // a recursive CTE. Output is the cluster census: rep + member count.
+
+  private val q63 = GraftQuery(
+    "q63_dup_clusters",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val a = e.select(col("vec_id").as("idA"), col("v").as("vA"))
+      val b = e.select(col("vec_id").as("idB"), col("v").as("vB"))
+      val pairs = a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(cosineFast(col("vA"), col("vB")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+      val reps = Dedup.clusterReps(pairs, "idA", "idB")
+      emb(s, d).select(col("vec_id").as("id"))
+        .join(reps, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_rep"))
+    },
+    Some("""WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.4),
+      sym AS (
+        SELECT ida AS id, idb AS nbr FROM p
+        UNION SELECT idb, ida FROM p),
+      reach(id, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr)
+      SELECT cluster_rep, count(*) AS n_members FROM (
+        SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id)
+      GROUP BY cluster_rep ORDER BY cluster_rep"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55, q60)
+      q51, q52, q53, q54, q55, q60, q63)
 }

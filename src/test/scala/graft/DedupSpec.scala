@@ -102,6 +102,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "real near-dups must still be found")
   }
 
+  test("clusterReps closes the pair graph transitively to min-id representatives") {
+    // components: a 31-node chain (diameter forces multiple rounds),
+    // a triangle reached only transitively, and an isolated pair
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val triangle = Seq((100L, 101L), (101L, 102L))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ triangle ++ pair).toDF("idA", "idB")
+    val reps = Dedup.clusterReps(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 30L).forall(reps(_) == 0L), "chain must collapse to min id 0")
+    assert(Seq(100L, 101L, 102L).forall(reps(_) == 100L))
+    assert(reps(200L) == 200L && reps(201L) == 200L)
+    assert(reps.size == 36, s"only nodes in pairs are labeled: ${reps.size}")
+  }
+
   test("jaccardIndexPairs equals brute-force all-pairs exactly") {
     val sh = docs
       .withColumn("block", lit("b"))
