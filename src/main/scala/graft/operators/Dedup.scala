@@ -167,9 +167,13 @@ object Dedup {
     * recovery for speed, Spark's documented contract). */
   def clusterReps(pairs: DataFrame, aCol: String = "idA",
                   bCol: String = "idB", maxRounds: Int = 50): DataFrame = {
-    val sym = pairs
-      .select(col(aCol).as("id"), col(bCol).as("nbr"))
-      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+    // checkpoint the pair list BEFORE symmetrizing: the union's two
+    // branches would otherwise each evaluate the (potentially
+    // expensive — q63 feeds an O(n²) similarity join) pair source
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    val sym = p0.select(col("a").as("id"), col("b").as("nbr"))
+      .union(p0.select(col("b").as("id"), col("a").as("nbr")))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
@@ -178,14 +182,29 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
+      // neighbor-min propagation...
       val viaNbr = sym
         .join(labels.select(col("id").as("nbr"), col("rep")), "nbr")
         .select(col("id"), col("rep"))
-      val next = labels.union(viaNbr)
+      val minned = labels.union(viaNbr)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+      // ...then path-halving (pointer jumping): rep := rep's rep.
+      // Plain propagation needs O(diameter) rounds — a near-dup chain
+      // A~B~C~… advances one hop per round; halving collapses chains
+      // in O(log diameter). Reps are node ids, so the self-join hits.
+      val halved = minned
+        .join(minned.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
+        .select(col("id"), col("_rr").as("rep"))
+      // fold the convergence check into the SAME materializing action
+      // (labels only ever decrease, so changed==0 ⇔ fixpoint)
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_${System.nanoTime()}")
+      val next = halved
+        .join(labels.select(col("id"), col("rep").as("_prev")), Seq("id"))
+        .observe(obs, coalesce(sum(when(col("rep") < col("_prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("id"), col("rep"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("rep").as("_prev")), "id")
-        .filter(col("rep") < col("_prev")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       round += 1
     }

@@ -131,6 +131,37 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** [[ivfTopK]] with k-means-refined centroids ([[KMeans.fit]])
+    * instead of raw hash seeds — the production IVF shape: train
+    * cells on (a sample of) the corpus, then probe. Centroids stay a
+    * DataFrame end to end; candidate assignment and query probing are
+    * broadcast joins, so the only wide op is still the probe join on
+    * cell ids. KMeansSpec measures the recall gain over the
+    * stub-seeded tier at equal nProbe. */
+  def ivfTopKRefined(queries: DataFrame, candidates: DataFrame, k: Int,
+                     nCells: Int = 16, nProbe: Int = 3,
+                     refineIters: Int = 5): DataFrame = {
+    val cents = KMeans.fit(candidates, "cid", "cvec", nCells, refineIters)
+    val cs = KMeans.assignCells(candidates, "cid", "cvec", cents)
+      .select(col("cid"), col("cvec"), col("cell").as("_cell"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cell").as("_cell"),
+        cosineFast(col("centroid"), col("qvec")).as("_csim"))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("_cell"))))
+      .filter(col("_crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("_cell"))
+    val scored = cs.join(broadcast(probes), Seq("_cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs
     * sharing an LSH bucket (the scalable form of "embedding-cosine
     * near-dup" dedup). */

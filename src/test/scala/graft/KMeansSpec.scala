@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{KMeans, Similarity}
+
+/** Ground truth for the spherical k-means refinement and its effect
+  * on the IVF tier: planted clusters must be recovered exactly, the
+  * within-cluster cosine objective must improve over the hash seeds,
+  * and refined IVF recall must beat stub-seeded IVF at equal probe
+  * budget. All fixtures are seeded — results are deterministic. */
+class KMeansSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 16
+
+  test("fit recovers three planted blobs exactly") {
+    val rnd = new scala.util.Random(3)
+    val bases = Seq.fill(3)(Seq.fill(dim)(rnd.nextGaussian() * 3))
+    val pts = (0 until 90).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val df = pts.toDF("id", "v")
+    val cents = KMeans.fit(df, "id", "v", k = 3, iters = 8)
+    assert(cents.count() == 3)
+    val cells = KMeans.assignCells(df, "id", "v", cents)
+      .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    // every point shares its blob-mates' cell, and blobs get distinct cells
+    val byBlob = (0 until 3).map(b => (0 until 90).filter(_ % 3 == b).map(i => cells(i.toLong)).toSet)
+    assert(byBlob.forall(_.size == 1), s"blob split across cells: $byBlob")
+    assert(byBlob.flatten.toSet.size == 3, s"blobs merged: $byBlob")
+  }
+
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0L until 200L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("cid", "cvec").cache()
+  }
+  private lazy val queries: DataFrame =
+    corpus.limit(8).select($"cid".as("qid"), $"cvec".as("qvec"))
+
+  test("refinement improves the within-cell cosine objective") {
+    def meanSim(cents: DataFrame): Double =
+      KMeans.assignCells(corpus, "cid", "cvec", cents)
+        .agg(avg($"sim")).head().getDouble(0)
+    val seeds = KMeans.fit(corpus, "cid", "cvec", k = 8, iters = 0)
+    val refined = KMeans.fit(corpus, "cid", "cvec", k = 8, iters = 5)
+    val (s0, s1) = (meanSim(seeds), meanSim(refined))
+    assert(s1 > s0, s"refinement must tighten cells: $s1 <= $s0")
+  }
+
+  test("refined IVF beats stub-seeded IVF recall at equal probe budget") {
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    def recall(df: DataFrame): Double = {
+      val got = df.select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val stub = recall(Similarity.ivfTopK(queries, corpus, 5, dim = dim,
+      nCells = 8, nProbe = 2))
+    val refined = recall(Similarity.ivfTopKRefined(queries, corpus, 5,
+      nCells = 8, nProbe = 2))
+    assert(refined >= stub,
+      s"refined centroids must not lose recall: $refined < $stub")
+    assert(refined >= 0.5, s"refined recall@5 at nProbe=2/8: $refined")
+  }
+}
