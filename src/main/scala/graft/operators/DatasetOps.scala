@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+
+/** Dataset-assembly operators for training pipelines: deterministic
+  * splits and benchmark decontamination — the last-mile steps between
+  * a cleaned corpus and a training run.
+  */
+object DatasetOps {
+
+  /** md5-prefix draws are uniform uint32s; integer thresholds avoid
+    * any float comparison ambiguity across engines (the synthetic
+    * generator's own convention). */
+  def thr(p: Double): Long = (p * 4294967296.0).toLong
+
+  /** Deterministic train/val/test assignment: the split is a pure
+    * function of the id through md5 — stable under reshuffles,
+    * retries, resharding, and incremental appends. `rand()`-based
+    * splitting re-deals on every one of those and silently leaks val
+    * into train; hash splitting is how production dataset builders
+    * freeze membership. Narrow projection (no shuffle), replayable in
+    * any engine with md5, which is how the q64 oracle gates it. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String = "split",
+                trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    df.withColumn("split",
+      when(u < thr(trainFrac), "train")
+        .when(u < thr(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
+  /** Benchmark decontamination: the ids of corpus docs sharing at
+    * least one word k-gram with the benchmark set — the
+    * eval-contamination sweep every serious training pipeline runs
+    * before a model sees the data. Both sides reduce to distinct
+    * 8-byte gram hashes before the only wide op (a semi join on the
+    * hash), so document bodies never cross an exchange and the output
+    * is at most one row per corpus doc. Equality-under-xxhash64 is
+    * the same 64-bit-collision tolerance as exact hash dedup (q41/
+    * q54): ~n²/2⁶⁵ false positives. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame,
+                      idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame =
+      df.select(col(idCol), explode(array_distinct(
+          wordShingles(whitespaceTokens(col(textCol)), k))).as("_g"))
+        .select(col(idCol), xxhash64(col("_g")).as("_gh"))
+    val benchGrams = gramHashes(bench).select(col("_gh")).distinct()
+    gramHashes(corpus)
+      .join(benchGrams, Seq("_gh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{DatasetOps, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory (north star, BASELINE.json):
@@ -589,7 +589,90 @@ object LlmOps {
         SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id)
       GROUP BY cluster_rep ORDER BY cluster_rep"""))
 
+  // ---- q64: deterministic train/val/test split (DatasetOps.hashSplit) -
+  // Membership is md5(id) — stable under reshuffles/retries/appends
+  // where rand() would re-deal and leak; the oracle replays the draw.
+
+  private val q64 = GraftQuery(
+    "q64_hash_split",
+    (s, d) =>
+      DatasetOps.hashSplit(docs(s, d), "doc_id")
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("source")),
+    Some(s"""SELECT CASE
+        WHEN u < ${DatasetOps.thr(0.9)} THEN 'train'
+        WHEN u < ${DatasetOps.thr(0.9 + 0.05)} THEN 'val'
+        ELSE 'test' END AS split, source, count(*) AS n_docs
+      FROM (SELECT source,
+        CAST(concat('0x', substring(md5('split:'||doc_id),1,8)) AS BIGINT) AS u
+        FROM documents)
+      GROUP BY 1, 2 ORDER BY split, source"""))
+
+  // ---- q65: benchmark decontamination (DatasetOps.contaminatedIds) ----
+  // A deterministic slice of the corpus (doc_id % 97 = 0) plays the
+  // benchmark; remaining docs are flagged when they share any word
+  // 5-gram with it. The oracle re-derives the grams with the same
+  // tokenization SQL the token/shingle queries use and joins on the
+  // raw gram strings (the Spark side joins on xxhash64 of the same
+  // strings — q41/q54's collision tolerance).
+
+  private val q65 = GraftQuery(
+    "q65_decontaminate",
+    (s, d) => {
+      val bench = docs(s, d).filter(col("doc_id") % 97 === 0)
+      val corpus = docs(s, d).filter(col("doc_id") % 97 =!= 0)
+      val cont = DatasetOps.contaminatedIds(corpus, bench, "doc_id", "text")
+        .withColumn("_hit", lit(1))
+      corpus.join(cont, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("_hit")).as("n_contaminated"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, source, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM toks),
+      bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      cont AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+        WHERE g.doc_id % 97 <> 0)
+      SELECT d.source, count(*) AS n_docs,
+        count(c.doc_id) AS n_contaminated
+      FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 97 <> 0
+      GROUP BY d.source ORDER BY d.source"""))
+
+  // ---- q66: document-frequency census ---------------------------------
+  // Distinct tokens per doc → docs-per-token: the vocabulary/stopword
+  // census feeding IDF weighting and df-threshold filters. One explode
+  // + one count shuffle on token strings; top-50 with a total order.
+
+  private val q66 = GraftQuery(
+    "q66_doc_freq",
+    (s, d) =>
+      docs(s, d)
+        .select(explode(array_distinct(whitespaceTokens(col("text"))))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(50),
+    Some("""SELECT token, count(*) AS doc_freq FROM (
+        SELECT doc_id, unnest(list_distinct(
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0))) AS token
+        FROM documents)
+      GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55, q60, q63)
+      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66)
 }
