@@ -176,35 +176,43 @@ object Dedup {
       .union(p0.select(col("b").as("id"), col("a").as("nbr")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
+    // round 0 fused into init: label = min(self, direct neighbors) —
+    // one propagation for free during the materialization we pay anyway
+    var labels = sym
+      .groupBy(col("id"))
+      .agg(least(min(col("nbr")), col("id")).as("rep"))
       .localCheckpoint(true)
-    var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      // neighbor-min propagation...
-      val viaNbr = sym
-        .join(labels.select(col("id").as("nbr"), col("rep")), "nbr")
-        .select(col("id"), col("rep"))
-      val minned = labels.union(viaNbr)
+    // one neighbor-min propagation followed by path-halving (pointer
+    // jumping: rep := rep's rep). Plain propagation needs O(diameter)
+    // rounds — a near-dup chain A~B~C~… advances one hop per round;
+    // halving collapses chains in O(log diameter). Reps are node ids,
+    // so the halving self-join always hits.
+    def step(ls: DataFrame): DataFrame = {
+      val minned = ls
+        .union(sym.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
+          .select(col("id"), col("rep")))
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-      // ...then path-halving (pointer jumping): rep := rep's rep.
-      // Plain propagation needs O(diameter) rounds — a near-dup chain
-      // A~B~C~… advances one hop per round; halving collapses chains
-      // in O(log diameter). Reps are node ids, so the self-join hits.
-      val halved = minned
+      minned
         .join(minned.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
         .select(col("id"), col("_rr").as("rep"))
-      // fold the convergence check into the SAME materializing action
-      // (labels only ever decrease, so changed==0 ⇔ fixpoint)
+    }
+    var round = 0
+    var prevSum: Any = null
+    var changed = true
+    while (changed && round < maxRounds) {
+      // two steps per materialization: per-round scheduler + checkpoint
+      // overhead dominates on small graphs, and label sums only ever
+      // decrease — equal sum ⇔ fixpoint — so the convergence check
+      // rides the same action as a zero-cost observe metric. Summed in
+      // DECIMAL(38,0): a 64-bit sum of 10⁹ large ids could wrap.
       val obs = org.apache.spark.sql.Observation(s"graft_cc_${System.nanoTime()}")
-      val next = halved
-        .join(labels.select(col("id"), col("rep").as("_prev")), Seq("id"))
-        .observe(obs, coalesce(sum(when(col("rep") < col("_prev"), 1L)
-          .otherwise(0L)), lit(0L)).as("changed"))
-        .select(col("id"), col("rep"))
+      val next = step(step(labels))
+        .observe(obs, coalesce(sum(col("rep").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("labsum"))
         .localCheckpoint(true)
-      changed = obs.get("changed").asInstanceOf[Long]
+      val s = obs.get("labsum")
+      changed = s != prevSum
+      prevSum = s
       labels = next
       round += 1
     }
