@@ -672,7 +672,36 @@ object LlmOps {
         FROM documents)
       GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50"""))
 
+  // ---- q67: ingestion-time dedup against the existing corpus ----------
+  // The incremental form of exact dedup: an incoming batch is checked
+  // against the already-ingested corpus by content digest — the batch
+  // never rescans corpus bodies, only its distinct 32-char digests
+  // (at 100 TB the digest set is the only thing that shuffles, and a
+  // bloom/bucketed digest table would make it a local probe).
+
+  private val q67 = GraftQuery(
+    "q67_ingest_dedup",
+    (s, d) => {
+      val incoming = docs(s, d).filter(col("doc_id") % 3 === 0)
+      val seen = docs(s, d).filter(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text")).as("_h")).distinct()
+        .withColumn("_seen", lit(1))
+      incoming.withColumn("_h", md5(col("text")))
+        .join(seen, Seq("_h"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_incoming"),
+          count(when(col("_seen").isNull, 1)).as("n_new"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH seen AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
+      SELECT d.source, count(*) AS n_incoming,
+        count(*) FILTER (WHERE s.h IS NULL) AS n_new
+      FROM documents d LEFT JOIN seen s ON md5(d.text) = s.h
+      WHERE d.doc_id % 3 = 0
+      GROUP BY d.source ORDER BY d.source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66)
+      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67)
 }

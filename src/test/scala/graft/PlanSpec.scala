@@ -67,4 +67,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       "similarity path fell back to a UDF")
   }
+
+  test("q64: the hash split itself is narrow — one exchange, for the census only") {
+    val p = plan("q64_hash_split")
+    // the md5 assignment must not shuffle; only the groupBy census may
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"hash split introduced extra shuffles:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "census lacks map-side partial aggregation")
+  }
+
+  test("q65: decontamination plans as a semi join (at most one row per doc)") {
+    val p = plan("q65_decontaminate")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n${p.take(800)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("q34: exploded product mix keeps map-side partial aggregation") {
+    val p = plan("q34_product_mix")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "explode→groupBy lost its partial aggregate")
+  }
+
+  test("q46: multi-probe LSH broadcasts the probe side, not the corpus") {
+    val p = plan("q46_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
+    assert(p.contains("BuildRight"), "broadcast landed on the corpus side")
+  }
 }
