@@ -51,6 +51,21 @@ object VectorFunctions {
   def cosineFast(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Symmetric int8 quantization scale: max|x| / 127. Zero for the
+    * all-zero vector (callers guard the roundtrip). */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Quantize→dequantize roundtrip under symmetric int8: each element
+    * snaps to its nearest of 255 levels (floor(x/s + 0.5) — the same
+    * pure-IEEE half-up used for ratio rounding, reproducible across
+    * engines; max-abs scaling makes the index range exactly
+    * [-127, 127], no clamp needed). The reconstruction error this
+    * leaves is what a 4×-smaller ANN index costs in score fidelity —
+    * q69 puts a measured bound on it. */
+  def int8Roundtrip(v: Column, s: Column): Column =
+    transform(v, x => floor(x / s + 0.5) * s)
+
   /** Sign bit of a projection onto a fixed hyperplane. */
   def projectionBit(v: Column, plane: Seq[Double]): Column =
     when(dot(v, typedLit(plane)) >= 0, lit(1L)).otherwise(lit(0L))

@@ -33,6 +33,24 @@ object DatasetOps {
         .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling — corpus mixing: each stratum
+    * keeps its own fraction (all of the curated source, a tenth of
+    * the crawl), with membership a pure function of the id exactly
+    * like [[hashSplit]] — so a re-run, a backfill, or an appended
+    * shard never changes which rows a weight change did not touch.
+    * Narrow (a filter), and the per-stratum threshold is one CASE
+    * ladder over integer cuts. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fracs: Map[String, Double], defaultFrac: Double,
+                       salt: String = "sample"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val cut = fracs.foldLeft(lit(thr(defaultFrac))) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(thr(f))).otherwise(acc)
+    }
+    df.filter(u < cut)
+  }
+
   /** Benchmark decontamination: the ids of corpus docs sharing at
     * least one word k-gram with the benchmark set — the
     * eval-contamination sweep every serious training pipeline runs

@@ -701,7 +701,70 @@ object LlmOps {
       WHERE d.doc_id % 3 = 0
       GROUP BY d.source ORDER BY d.source"""))
 
+  // ---- q68: stratified corpus sampling (DatasetOps.stratifiedSample) --
+  // Corpus mixing: keep all of src0, half of src1, 10% of the rest —
+  // membership by md5(id) so weights can change without re-dealing
+  // untouched strata. The oracle replays the draws and the CASE cuts.
+
+  private val q68 = GraftQuery(
+    "q68_stratified_sample",
+    (s, d) =>
+      DatasetOps.stratifiedSample(docs(s, d), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5), defaultFrac = 0.1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source")),
+    Some(s"""SELECT source, count(*) AS n_kept FROM (
+        SELECT source,
+          CAST(concat('0x', substring(md5('sample:'||doc_id),1,8)) AS BIGINT) AS u
+        FROM documents)
+      WHERE u < CASE WHEN source = 'src0' THEN ${DatasetOps.thr(1.0)}
+        WHEN source = 'src1' THEN ${DatasetOps.thr(0.5)}
+        ELSE ${DatasetOps.thr(0.1)} END
+      GROUP BY source ORDER BY source"""))
+
+  // ---- q69: int8 embedding quantization error -------------------------
+  // The 4×-memory ANN index trade, measured: symmetric max-abs int8
+  // roundtrip per vector, then the reconstruction-error profile per
+  // bucket. Per-row math is pure IEEE (identical in any engine); the
+  // cross-row average uses the q48 DECIMAL-sum pattern so aggregation
+  // order can't perturb the hash.
+
+  private val q69 = GraftQuery(
+    "q69_quantization_error",
+    (s, d) => {
+      val v = toDoubleVec(col("embedding"))
+      val sc = int8Scale(v)
+      val err = when(sc > 0,
+        array_max(zip_with(v, int8Roundtrip(v, sc), (a, b) => abs(b - a))))
+        .otherwise(0.0)
+      emb(s, d)
+        .select((col("vec_id") % 8).as("bucket"), err.as("err"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("err").cast(DecimalType(12, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("avg_max_err"),
+          round(max(col("err")), 6).as("worst_err"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id % 8 AS bucket,
+          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS s,
+          CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      r AS (
+        SELECT bucket,
+          CASE WHEN s > 0 THEN
+            list_max(list_transform(v, x -> abs(floor(x/s + 0.5)*s - x)))
+          ELSE 0.0 END AS err
+        FROM e)
+      SELECT bucket, count(*) AS n_vecs,
+        round(CAST(sum(CAST(err AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
+          AS avg_max_err,
+        round(max(err), 6) AS worst_err
+      FROM r GROUP BY bucket ORDER BY bucket"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67)
+      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69)
 }
