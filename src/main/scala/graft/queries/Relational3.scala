@@ -246,5 +246,39 @@ object Relational3 {
         true AS p90_within_1pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59, q61, q62)
+  // ---- q70: HyperLogLog distinct counting (the 100 TB tier of
+  // count_distinct) ------------------------------------------------------
+  // Exact distinct shuffles every distinct key; the HLL++ sketch is
+  // fixed-size and mergeable — the only way a 10^11-row distinct
+  // count fits a dashboard budget. Same self-gating shape as q62: the
+  // sketch answer is engine-specific, so the query emits the exact
+  // counts plus within-tolerance booleans the oracle expects true
+  // (rsd=0.01 ⇒ ±~3σ bound of 5% is generous; the hash check fails
+  // if the sketch ever drifts past it).
+
+  private val q70 = GraftQuery(
+    "q70_distinct_approx",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_distinct(col("l_suppkey")).as("exact_suppliers"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("_as"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("_ap"))
+        .select(col("l_returnflag"),
+          col("exact_suppliers"), col("exact_parts"),
+          (abs(col("_as") - col("exact_suppliers")) <=
+            col("exact_suppliers") * 0.05).as("suppliers_within_5pct"),
+          (abs(col("_ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_within_5pct"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS exact_suppliers,
+        count(DISTINCT l_partkey) AS exact_parts,
+        true AS suppliers_within_5pct,
+        true AS parts_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59, q61, q62, q70)
 }
