@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+
+/** Streaming LLM-ingest twin: the batch corpus operators (quality
+  * gate, content-digest dedup, token stats) composed unchanged under
+  * Structured Streaming — a file-source document stream is filtered,
+  * deduplicated by md5 digest across micro-batches (state holds one
+  * 32-char digest per distinct doc, never a body), and annotated with
+  * the same `TextFunctions` columns the batch queries use. This is
+  * the "new crawl shard arrives → clean, dedup, land" loop a training
+  * pipeline runs continuously; `Trigger.AvailableNow` + checkpoint
+  * give it exactly-once per shard across restarts.
+  */
+object DocIngest {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  def readDocStream(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** The ingest transform — identical semantics on batch and
+    * streaming inputs: token-count quality floor, then exact dedup on
+    * the content digest. `dropDuplicates` keys streaming state by the
+    * digest; with AvailableNow drains the state is bounded by the
+    * distinct-doc count of the run (for a continuous run, swap in
+    * `dropDuplicatesWithinWatermark` once docs carry event time, as
+    * [[OrderStream.dedupedOrders]] does for orders). */
+  def ingest(docs: DataFrame, minTokens: Int = 3): DataFrame =
+    docs
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+
+  /** Drain every file currently under `rawDir` through [[ingest]]
+    * into JSONL at `outDir`, exactly once per file across restarts. */
+  def runAvailableNow(spark: SparkSession, rawDir: String, outDir: String,
+                      checkpointDir: String,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger))
+      .writeStream
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -136,6 +136,33 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming doc ingest: quality gate + digest dedup equal the batch composition") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_docingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    // two shards with deliberate overlap: shard 2 re-delivers half of shard 1
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    docs.filter(col("doc_id") % 4 =!= 1).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    graft.streaming.DocIngest.runAvailableNow(spark,
+      raw.toString + "/*/", out.toString, ckpt.toString)
+    val streamed = spark.read.json(out.toString)
+    val expected = graft.streaming.DocIngest.ingest(
+      docs.filter(col("doc_id") % 2 === 0)
+        .union(docs.filter(col("doc_id") % 4 =!= 1)))
+    assert(streamed.count() == expected.count(),
+      s"streamed ${streamed.count()} != batch ${expected.count()}")
+    // every landed hash is unique — the dedup state worked across batches
+    assert(streamed.select(col("content_hash")).distinct().count() == streamed.count())
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
