@@ -196,23 +196,25 @@ object Dedup {
         .join(minned.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
         .select(col("id"), col("_rr").as("rep"))
     }
+    // label sums only ever decrease, so equal sums across consecutive
+    // steps ⇔ fixpoint. Summed in DECIMAL(38,0): a 64-bit sum of 10⁹
+    // large ids could wrap.
+    def labSum() = coalesce(sum(col("rep").cast(DecimalType(38, 0))),
+      lit(0).cast(DecimalType(38, 0))).as("labsum")
     var round = 0
-    var prevSum: Any = null
     var changed = true
     while (changed && round < maxRounds) {
-      // two steps per materialization: per-round scheduler + checkpoint
-      // overhead dominates on small graphs, and label sums only ever
-      // decrease — equal sum ⇔ fixpoint — so the convergence check
-      // rides the same action as a zero-cost observe metric. Summed in
-      // DECIMAL(38,0): a 64-bit sum of 10⁹ large ids could wrap.
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_${System.nanoTime()}")
-      val next = step(step(labels))
-        .observe(obs, coalesce(sum(col("rep").cast(DecimalType(38, 0))),
-          lit(0).cast(DecimalType(38, 0))).as("labsum"))
+      // two steps per materialization (per-round scheduler + checkpoint
+      // overhead dominates on small graphs), with an observe metric
+      // after EACH step riding the same action — equal sums mean the
+      // second step changed nothing, so convergence is detected without
+      // a separate comparison job
+      val obs1 = org.apache.spark.sql.Observation(s"graft_cc_a_${System.nanoTime()}")
+      val obs2 = org.apache.spark.sql.Observation(s"graft_cc_b_${System.nanoTime()}")
+      val next = step(step(labels).observe(obs1, labSum()))
+        .observe(obs2, labSum())
         .localCheckpoint(true)
-      val s = obs.get("labsum")
-      changed = s != prevSum
-      prevSum = s
+      changed = obs1.get("labsum") != obs2.get("labsum")
       labels = next
       round += 1
     }
