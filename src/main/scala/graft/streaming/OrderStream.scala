@@ -45,8 +45,11 @@ object OrderStream {
   def runAvailableNow(spark: SparkSession, rawDir: String, outDir: String,
                       checkpointDir: String,
                       maxFilesPerTrigger: Int = 1): Unit = {
+    // dropCorrupt first, exactly like the batch path (q35): malformed
+    // lines are skipped as unparseable (proc:177-182), not miscounted
+    // as invalid ORDERS by the validation gate's observe counters
     val processed = OrderPipeline.processOrders(
-      readRawStream(spark, rawDir, maxFilesPerTrigger),
+      OrderPipeline.dropCorrupt(readRawStream(spark, rawDir, maxFilesPerTrigger)),
       observeName = s"graft_stream_${System.nanoTime()}")
     val q: StreamingQuery = processed.writeStream
       .format("json")

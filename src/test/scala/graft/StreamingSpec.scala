@@ -136,6 +136,26 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming tolerates malformed JSONL lines (P3 under streaming)") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_corrupt_stream_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val orders = SyntheticOrderSource.orders(spark, 100, seed = 23)
+    orders.coalesce(1).write.json(raw.resolve("f1").toString)
+    // a shard that is pure garbage plus blank lines — the reference's
+    // processor hits these files in its event loop (proc:177-182)
+    Files.createDirectories(raw.resolve("f2"))
+    Files.writeString(raw.resolve("f2").resolve("bad.json"),
+      "{\"order_id\": broken\n\n   \n{also not json}\n")
+    OrderStream.runAvailableNow(spark, raw.toString + "/*/", out.toString,
+      ckpt.toString, maxFilesPerTrigger = 1)
+    val landed = spark.read.json(out.toString)
+    assert(landed.count() == 100,
+      s"corrupt lines must vanish, valid rows must land: ${landed.count()}")
+    deleteRec(root)
+  }
+
   test("streaming doc ingest: quality gate + digest dedup equal the batch composition") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_docingest_spec")
