@@ -478,6 +478,34 @@ object PipelineQueries {
         CAST(round(sum(total_dec), 2) AS DOUBLE) AS revenue
       FROM valid_orders GROUP BY status ORDER BY status"""))
 
+  // ---- q71: privacy scrubbing over the generated orders ---------------
+  // The anonymization pass (Privacy.*) that must run before order data
+  // feeds analytics/training: email local part masked, customer id
+  // reduced to its tail, rare cities generalized. Every masked value
+  // is deterministic, so the oracle replays the scrub from the same
+  // generator CTE.
+
+  private val q71 = GraftQuery(
+    "q71_pii_scrub",
+    (s, _) => {
+      import graft.operators.Privacy
+      rawOrdersMaterialized(s).select(
+        col("order_id"),
+        Privacy.maskEmail(col("customer_email")).as("email_masked"),
+        Privacy.maskButLast(col("customer_id"), 4).as("customer_masked"),
+        Privacy.generalize(col("customer_city"),
+          graft.schema.OrderSchema.majorCities).as("city_bucket"))
+        .orderBy(col("order_id"))
+    },
+    Some(s"""$genCte
+      SELECT order_id,
+        '***@'||split_part(customer_email, '@', 2) AS email_masked,
+        '****'||substring(customer_id, length(customer_id) - 3, 4)
+          AS customer_masked,
+        CASE WHEN customer_city IN $majors THEN customer_city
+          ELSE 'OTHER' END AS city_bucket
+      FROM raw_orders ORDER BY order_id"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q71)
 }
