@@ -280,5 +280,81 @@ object Relational3 {
         true AS parts_within_5pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[GraftQuery] = Seq(q56, q57, q58, q59, q61, q62, q70)
+  // ---- q72: RANGE window frames ---------------------------------------
+  // Value-based frames (all orders within the last 30 days of THIS
+  // row's date, per customer) — the W2 surface rows frames can't
+  // express. Peers are included by value, so the framed sums are
+  // order-independent under ties; frames spelled out on both sides.
+
+  private val q72 = GraftQuery(
+    "q72_range_frames",
+    (s, d) => {
+      val price = col("o_totalprice").cast(DecimalType(12, 2))
+      val epochDay = datediff(col("o_orderdate"), lit("1970-01-01").cast(DateType))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(epochDay)
+        .rangeBetween(-30, 0)
+      ord(s, d)
+        .filter(col("o_custkey") % 25 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          count(lit(1)).over(w).as("n_last_30d"),
+          sum(price).over(w).cast(DoubleType).as("rev_last_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        count(*) OVER w AS n_last_30d,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+          AS rev_last_30d
+      FROM orders WHERE o_custkey % 25 = 0
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- q73: GROUPING SETS (the general form of rollup/cube) -----------
+  // Through the spark.sql text path over the registered catalog (S6),
+  // with grouping() disambiguating real NULLs from subtotal rows.
+
+  private val q73 = GraftQuery(
+    "q73_grouping_sets",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT n_regionkey, n_name, count(*) AS n,
+          CAST(grouping(n_regionkey) AS INT) AS g_region,
+          CAST(grouping(n_name) AS INT) AS g_name
+        FROM nation
+        GROUP BY GROUPING SETS ((n_regionkey, n_name), (n_regionkey), ())
+        ORDER BY g_region, g_name, n_regionkey, n_name""")
+    },
+    Some("""SELECT n_regionkey, n_name, count(*) AS n,
+        CAST(grouping(n_regionkey) AS INT) AS g_region,
+        CAST(grouping(n_name) AS INT) AS g_name
+      FROM nation
+      GROUP BY GROUPING SETS ((n_regionkey, n_name), (n_regionkey), ())
+      ORDER BY g_region, g_name, n_regionkey, n_name"""))
+
+  // ---- q74: unpivot (wide → long) --------------------------------------
+  // stack() melts per-column measures into (metric, value) rows — the
+  // inverse of q23's pivot; the oracle spells the same melt as UNION
+  // ALL (engine-neutral).
+
+  private val q74 = GraftQuery(
+    "q74_unpivot",
+    (s, d) =>
+      part(s, d)
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"),
+          expr("stack(2, 'retail_price', CAST(p_retailprice AS DOUBLE), " +
+            "'size', CAST(p_size AS DOUBLE)) AS (metric, value)"))
+        .orderBy(col("p_partkey"), col("metric")),
+    Some("""SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'retail_price' AS metric,
+          CAST(p_retailprice AS DOUBLE) AS value
+        FROM part WHERE p_partkey % 50 = 0
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE)
+        FROM part WHERE p_partkey % 50 = 0)
+      ORDER BY p_partkey, metric"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74)
 }
