@@ -40,6 +40,17 @@ class ExpressionSpec extends AnyFunSuite {
     assert(nullElem.isEmpty)
   }
 
+  test("l2Norm/l2Distance: Pythagorean ground truth") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(3.0, 0.0), Seq(0.0, 4.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.l2Norm(col("a")).as("na"),
+      VectorFunctions.l2Distance(col("a"), col("b")).as("d")).head()
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+
   test("cosine_sim is registered in the SQL dialect via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(0.5D, 0.0D)) AS s").as[Double].head()
