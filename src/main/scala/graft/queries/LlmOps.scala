@@ -764,7 +764,45 @@ object LlmOps {
         round(max(err), 6) AS worst_err
       FROM r GROUP BY bucket ORDER BY bucket"""))
 
+  // ---- q75: the corpus-cleaning recipe, end to end --------------------
+  // The composition a real training-data build runs as one job:
+  // language filter → token-count quality floor → exact dedup
+  // (keep-first) → deterministic split → census. Each stage is an
+  // already-oracled operator; this query gates that they COMPOSE —
+  // one plan, narrow until the dedup window and the final census.
+
+  private val q75 = GraftQuery(
+    "q75_corpus_recipe",
+    (s, d) => {
+      val base = docs(s, d)
+        .filter(col("lang") === "en" && tokenCount(col("text")) >= 20)
+      val kept = Dedup.exactDedup(base, "text", "doc_id")
+      DatasetOps.hashSplit(kept, "doc_id")
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE lang = 'en' AND len(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0)) >= 20),
+      kept AS (
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM base) WHERE rn = 1)
+      SELECT CASE
+          WHEN u < ${DatasetOps.thr(0.9)} THEN 'train'
+          WHEN u < ${DatasetOps.thr(0.9 + 0.05)} THEN 'val'
+          ELSE 'test' END AS split,
+        source, count(*) AS n_docs
+      FROM (SELECT source,
+        CAST(concat('0x', substring(md5('split:'||doc_id),1,8)) AS BIGINT) AS u
+        FROM kept)
+      GROUP BY 1, 2 ORDER BY split, source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69)
+      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69, q75)
 }
