@@ -549,6 +549,10 @@ object LlmOps {
   // then every vector joins its component's min id as representative —
   // singletons are their own rep. The oracle replays reachability with
   // a recursive CTE. Output is the cluster census: rep + member count.
+  // Bench shape: the cost is the O(n²) exact pair scoring (q53's own
+  // price) plus 2-3 synchronization barriers for the fixpoint rounds —
+  // a per-JOB floor, not a per-ROW cost; at corpus scale the rounds
+  // stay O(log diameter) and every shuffled row is a 16-byte tuple.
 
   private val q63 = GraftQuery(
     "q63_dup_clusters",
