@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Source-format coverage beyond parquet/JSONL: CSV (with quoting),
+  * ORC (the other columnar), and raw text lines (the shape a crawl
+  * dump arrives in). Each query is a real write→read round trip
+  * inside the query — the sink AND source under test — then an
+  * aggregate whose oracle computes the same numbers straight from the
+  * parquet tables, so any corruption in either direction of the
+  * round trip breaks the hash.
+  */
+object SourceFormats {
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
+  private def tmp(name: String): Path = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), name)
+    deleteRec(p); p
+  }
+
+  // ---- q76: CSV round trip --------------------------------------------
+  // Schema is explicit on read (CSV carries no types); the aggregate
+  // proves values, strings, and row count survived both directions.
+
+  private val q76 = GraftQuery(
+    "q76_csv_roundtrip",
+    (s, d) => {
+      val dir = tmp("graft_q76_csv")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.option("header", "true").csv(dir.toString)
+      s.read
+        .option("header", "true")
+        .schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", StringType),
+          StructField("o_orderpriority", StringType))))
+        .csv(dir.toString)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("revenue"),
+          sum(length(col("o_orderpriority"))).as("prio_chars"),
+          count_distinct(col("o_orderdate")).as("n_dates"))
+    },
+    Some("""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        CAST(sum(length(o_orderpriority)) AS BIGINT) AS prio_chars,
+        count(DISTINCT o_orderdate) AS n_dates
+      FROM orders WHERE o_orderkey % 7 = 0"""))
+
+  // ---- q77: ORC round trip --------------------------------------------
+  // The other columnar format, schema preserved natively; same
+  // write→read→aggregate gate over a lineitem slice.
+
+  private val q77 = GraftQuery(
+    "q77_orc_roundtrip",
+    (s, d) => {
+      val dir = tmp("graft_q77_orc")
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 11 === 0)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))
+        .write.orc(dir.toString)
+      s.read.orc(dir.toString)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("qty"),
+          sum(col("l_extendedprice").cast(DecimalType(16, 2)))
+            .cast(DoubleType).as("price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS price
+      FROM lineitem WHERE l_orderkey % 11 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- q78: raw text lines (the crawl-dump shape) ---------------------
+  // One doc per line out, `spark.read.text` back in; identity is only
+  // the content, so the gate aggregates order-insensitive stats
+  // (line count, token mass, distinct digests).
+
+  private val q78 = GraftQuery(
+    "q78_text_lines",
+    (s, d) => {
+      val dir = tmp("graft_q78_text")
+      Tables.documents(s, d).select(col("text")).write.text(dir.toString)
+      s.read.text(dir.toString)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(tokenCount(col("value"))).as("total_tokens"),
+          count_distinct(md5(col("value"))).as("distinct_digests"))
+    },
+    Some("""SELECT count(*) AS n_lines,
+        CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0))) AS BIGINT) AS total_tokens,
+        count(DISTINCT md5(text)) AS distinct_digests
+      FROM documents"""))
+
+  def all: Seq[GraftQuery] = Seq(q76, q77, q78)
+}
