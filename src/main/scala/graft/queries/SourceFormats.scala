@@ -110,5 +110,55 @@ object SourceFormats {
         count(DISTINCT md5(text)) AS distinct_digests
       FROM documents"""))
 
-  def all: Seq[GraftQuery] = Seq(q76, q77, q78)
+  // ---- q79: compressed JSONL (the wire format of crawl dumps) ---------
+  // gzip-compressed JSONL written and read back transparently —
+  // Spark's text sources decompress by extension, so the ingest code
+  // is byte-identical to the uncompressed path.
+
+  private val q79 = GraftQuery(
+    "q79_gzip_jsonl",
+    (s, d) => {
+      val dir = tmp("graft_q79_gz")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .write.option("compression", "gzip").json(dir.toString)
+      s.read.json(dir.toString)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  // ---- q80: schema evolution across corpus epochs ---------------------
+  // Crawl epochs drift: an early shard lacks columns a later shard
+  // carries. Two epochs land in one parquet dataset; `mergeSchema`
+  // reconciles them and the missing column reads back as null — the
+  // census pins exactly which rows lost it.
+
+  private val q80 = GraftQuery(
+    "q80_schema_evolution",
+    (s, d) => {
+      val dir = tmp("graft_q80_evo")
+      val docsDf = Tables.documents(s, d)
+      docsDf.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .write.parquet(dir.resolve("epoch=1").toString)
+      docsDf.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"), col("lang"))
+        .write.parquet(dir.resolve("epoch=2").toString)
+      s.read.option("mergeSchema", "true").parquet(dir.toString)
+        .groupBy(coalesce(col("lang"), lit("<absent>")).as("lang_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy(col("lang_bucket"))
+    },
+    Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN '<absent>' ELSE lang END
+          AS lang_bucket,
+        count(*) AS n_docs, count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY 1 ORDER BY lang_bucket"""))
+
+  def all: Seq[GraftQuery] = Seq(q76, q77, q78, q79, q80)
 }
