@@ -354,6 +354,77 @@ object Relational2 {
       FROM part WHERE p_size <= 3
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  // ---- q81: full outer join (closing the join matrix) ------------------
+  // Heavy buyers vs high-balance customers meet in a FULL OUTER join;
+  // the census pins BOTH unmatched sides plus the overlap (all three
+  // buckets non-empty on this data), coalesced keys, no NULL
+  // ambiguity in the output.
+
+  private val q81 = GraftQuery(
+    "q81_full_outer",
+    (s, d) => {
+      val buyers = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 7500)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      buyers.join(rich, Seq("custkey"), "full_outer")
+        .select(
+          when(col("n_orders").isNotNull && col("c_acctbal").isNotNull, "both")
+            .when(col("n_orders").isNotNull, "buyer_only")
+            .otherwise("rich_only").as("bucket"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("orders"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH buyers AS (
+        SELECT o_custkey AS custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15),
+      rich AS (
+        SELECT c_custkey AS custkey, c_acctbal
+        FROM customer WHERE c_acctbal > 7500)
+      SELECT CASE
+          WHEN b.custkey IS NOT NULL AND r.custkey IS NOT NULL THEN 'both'
+          WHEN b.custkey IS NOT NULL THEN 'buyer_only'
+          ELSE 'rich_only' END AS bucket,
+        count(*) AS n_customers,
+        CAST(sum(COALESCE(b.n_orders, 0)) AS BIGINT) AS orders
+      FROM buyers b FULL OUTER JOIN rich r ON b.custkey = r.custkey
+      GROUP BY 1 ORDER BY bucket"""))
+
+  // ---- q82: correlated EXISTS / NOT EXISTS through the SQL path --------
+  // The subquery shapes q22's scalar form doesn't cover; planned by
+  // Spark as semi/anti joins (q04/q06's physical shapes, reached from
+  // SQL text).
+
+  private val q82 = GraftQuery(
+    "q82_exists_subquery",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT n_name,
+          (SELECT count(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+            AS n_rich,
+          EXISTS (SELECT 1 FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey) AS has_supplier
+        FROM nation n
+        WHERE EXISTS (SELECT 1 FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey)
+        ORDER BY n_name""")
+    },
+    Some("""SELECT n_name,
+        (SELECT count(*) FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000) AS n_rich,
+        EXISTS (SELECT 1 FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey) AS has_supplier
+      FROM nation n
+      WHERE EXISTS (SELECT 1 FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey)
+      ORDER BY n_name"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81, q82)
 }
