@@ -95,4 +95,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
     assert(p.contains("BuildRight"), "broadcast landed on the corpus side")
   }
+
+  test("q75: the corpus recipe fuses into one plan with bounded shuffles") {
+    // filter → dedup window → split → census: Catalyst must collapse
+    // the operator composition, leaving only the dedup window's
+    // exchange, the census exchange, and the output sort
+    val p = plan("q75_corpus_recipe")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"composition fragmented into $exchanges exchanges")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("q01: flagship scan reads only the columns the aggregate needs") {
+    // formatted mode: the simple-mode scan line truncates the schema
+    // string before its closing bracket
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(_.split(",").length <= 7),
+      s"q01 scan reads more columns than its aggregate uses: $readSchemas")
+  }
 }
