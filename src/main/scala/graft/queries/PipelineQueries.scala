@@ -52,6 +52,28 @@ object PipelineQueries {
   private def corruptOrders(s: SparkSession): DataFrame =
     SyntheticOrderSource.corrupt(rawOrdersMaterialized(s), seed)
 
+  /** The corrupted raw table, materialized like
+    * [[rawOrdersMaterialized]] — corruption is a pure function of
+    * (row, seed) through md5, so the parquet copy is equivalent to
+    * re-deriving it, and the four consumers (q30 validation gate, the
+    * processed materialization, q35's JSONL write, q37's stream feed)
+    * stop each re-paying the generation+corruption codegen per JVM:
+    * r3's bench showed that bill landing on q31 (26s) whenever the
+    * cache was cold. The tag extends [[genTag]] with the corruption
+    * constants so a corruption-rule change rotates the path. */
+  private def corruptOrdersMaterialized(s: SparkSession): DataFrame = {
+    val corruptTag = {
+      val txt = s"$genTag:o2:0.02:0.04:0.06:0.08:+7.77:$seed"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(txt.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    }
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_corrupt_${n}_${seed}_$corruptTag")
+    if (!Files.exists(dir.resolve("_SUCCESS")))
+      corruptOrders(s).write.mode("overwrite").parquet(dir.toString)
+    s.read.parquet(dir.toString)
+  }
+
   /** The processed 29-field table, materialized once per JVM run —
     * q31–q34 and q36 all consume the same enrichment output, and
     * re-deriving the full HOF tree per query was r2's bench hotspot
@@ -61,15 +83,23 @@ object PipelineQueries {
     * whichever consumer runs first, and stays fully oracled through
     * the q31–q34/q36 hashes. q35/q37 keep running the pipeline live —
     * the sink/stream round trip IS their operator under test. */
+  // weak-keyed on the session OBJECT, not its identity hash (which can
+  // be reused after GC / collide between live sessions — ADVICE r3).
+  // The lock is held across the materializing write so a second
+  // concurrent caller waits instead of double-writing, same contract
+  // computeIfAbsent gave the r3 version.
   private val processedDirBySession =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
   private def processedMaterialized(s: SparkSession): DataFrame = {
-    val dir = processedDirBySession.computeIfAbsent(System.identityHashCode(s).toString, _ => {
-      val d = Files.createTempDirectory("graft_processed_").toString
-      OrderPipeline.processOrders(corruptOrders(s), "graft_materialize")
-        .write.mode("overwrite").parquet(d)
-      d
-    })
+    val dir = processedDirBySession.synchronized {
+      Option(processedDirBySession.get(s)).getOrElse {
+        val d = Files.createTempDirectory("graft_processed_").toString
+        OrderPipeline.processOrders(corruptOrdersMaterialized(s), "graft_materialize")
+          .write.mode("overwrite").parquet(d)
+        processedDirBySession.put(s, d)
+        d
+      }
+    }
     s.read.parquet(dir)
   }
 
@@ -235,7 +265,7 @@ object PipelineQueries {
       // array) into a single null row, so per-error counts and the
       // valid count come out of the same aggregation — no union
       // duplicating the generator subtree
-      OrderPipeline.withValidation(corruptOrders(s))
+      OrderPipeline.withValidation(corruptOrdersMaterialized(s))
         .select(explode_outer(col("validation_errors")).as("err"))
         .groupBy(coalesce(col("err"), lit("valid_orders")).as("check_name"))
         .agg(count(lit(1)).as("n"))
@@ -386,7 +416,7 @@ object PipelineQueries {
       val root = Paths.get(sys.props("java.io.tmpdir"), "graft_q35")
       val rawDir = root.resolve("raw"); val procDir = root.resolve("processed")
       deleteRec(root)
-      val raw = corruptOrders(s)
+      val raw = corruptOrdersMaterialized(s)
       val ts = to_timestamp(col("order_date"))
       raw
         .withColumn("year", date_format(ts, "yyyy"))
@@ -462,7 +492,7 @@ object PipelineQueries {
       val rawDir = root.resolve("raw"); val outDir = root.resolve("out")
       val ckpt = root.resolve("ckpt")
       deleteRec(root)
-      corruptOrders(s).repartition(3)
+      corruptOrdersMaterialized(s).repartition(3)
         .write.mode("overwrite").json(rawDir.toString)
       OrderStream.runAvailableNow(s, rawDir.toString, outDir.toString,
         ckpt.toString, maxFilesPerTrigger = 1)

@@ -21,12 +21,14 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
+      val tc = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, sfDir)
+      val constructSec = (System.nanoTime() - tc) / 1e9
       println(s"==== $n plan ====")
       df.explain("formatted")
       val t0 = System.nanoTime()
       val c = df.count()
-      println(s"==== $n rows=$c sec=${(System.nanoTime() - t0) / 1e9}")
+      println(s"==== $n rows=$c construct=$constructSec sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
   }

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.enrich.OrderEnrich
 import graft.generate.SyntheticOrderSource
 import graft.pipeline.OrderPipeline
 
@@ -21,18 +22,31 @@ object Scratch {
       val n = f
       println(s"$label: n=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
-    val corrupt = SyntheticOrderSource.corrupt(
-      SyntheticOrderSource.orders(spark, 5000, 42), 42)
-    val v = OrderPipeline.withValidation(corrupt)
-    time("validated-count")(v.count())
-    val errRows = v.select(explode(col("validation_errors")).as("check_name"))
-      .groupBy(col("check_name")).agg(count(lit(1)).as("n"))
-    time("errRows")(errRows.count())
-    val validRow = v.filter(size(col("validation_errors")) === 0)
-      .agg(count(lit(1)).as("n"))
-      .select(lit("valid_orders").as("check_name"), col("n"))
-    time("validRow")(validRow.count())
-    time("union")(errRows.union(validRow).orderBy(col("check_name")).count())
+    def enrichNarrow(df: org.apache.spark.sql.DataFrame) = {
+      // simulate the pre-r4 narrow batch form: scalar enrich + the
+      // intra-row HOF map, forced by a count over its serialized form
+      OrderPipeline.processOrders(df, s"scr_${System.nanoTime()}")
+        .drop("product_mix")
+        .withColumn("product_mix", OrderEnrich.productMix(col("items")))
+    }
+    for (n <- Seq(5000, 100000, 400000)) {
+      val raw = SyntheticOrderSource.orders(spark, n, 42)
+      val dir = java.nio.file.Files.createTempDirectory("scr_raw_").toString
+      raw.write.mode("overwrite").parquet(dir)
+      // the real materialization shape: corruption tree ON TOP of the scan
+      val fromDisk = SyntheticOrderSource.corrupt(spark.read.parquet(dir), 42)
+      time(s"n=$n narrow-enrich-write") {
+        val d = java.nio.file.Files.createTempDirectory("scr_n_").toString
+        enrichNarrow(fromDisk).write.mode("overwrite").parquet(d)
+        1L
+      }
+      time(s"n=$n batch-enrich-write") {
+        val d = java.nio.file.Files.createTempDirectory("scr_b_").toString
+        OrderPipeline.processOrders(fromDisk, s"scr2_${System.nanoTime()}")
+          .write.mode("overwrite").parquet(d)
+        1L
+      }
+    }
     spark.stop()
   }
 }

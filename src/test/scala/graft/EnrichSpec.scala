@@ -88,6 +88,19 @@ class EnrichSpec extends AnyFunSuite {
     assert(viaGroup.exceptAll(viaMap).isEmpty)
   }
 
+  test("productMixMap (wide-order form) equals the narrow map incl. key order") {
+    val orders = graft.generate.SyntheticOrderSource.orders(spark, 300, seed = 13)
+    // to_json serializes map entries in storage order, so string
+    // equality pins both values and Python-dict insertion order
+    val joinedForm = OrderEnrich.productMixMap(orders)
+      .select($"order_id", to_json($"_product_mix").as("bj"))
+    val narrow = orders
+      .select($"order_id", to_json(productMix($"items")).as("nj"))
+    val joined = joinedForm.join(narrow, Seq("order_id"))
+    assert(joined.count() == 300)
+    assert(joined.filter($"bj" =!= $"nj").count() == 0)
+  }
+
   test("validationErrors mirrors processor.py:105-119 incl. 0.01 tolerance") {
     def errs(orderId: String, items: Seq[Item], sub: Double, total: Double): Seq[String] = {
       Seq(ValOrder(orderId, items, sub, total)).toDF()
