@@ -166,59 +166,116 @@ object Dedup {
     * reliable `checkpoint` dir (localCheckpoint trades executor-loss
     * recovery for speed, Spark's documented contract). */
   def clusterReps(pairs: DataFrame, aCol: String = "idA",
-                  bCol: String = "idB", maxRounds: Int = 50): DataFrame = {
+                  bCol: String = "idB", maxRounds: Int = 50,
+                  checkpointPairs: Boolean = true): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     // checkpoint the pair list BEFORE symmetrizing: the union's two
     // branches would otherwise each evaluate the (potentially
-    // expensive — q63 feeds an O(n²) similarity join) pair source
-    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
+    // expensive) pair source twice. Callers whose feed is already a
+    // materialized table (q63 reads the q53 verdict parquet) pass
+    // checkpointPairs=false and save the extra materialization job —
+    // on a tiny fixpoint graph each eager barrier is a visible slice
+    // of the total.
+    val p0raw = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val p0 = if (checkpointPairs) p0raw.localCheckpoint(true) else p0raw
+    val symObs = org.apache.spark.sql.Observation(s"graft_cc_n_${System.nanoTime()}")
     val sym = p0.select(col("a").as("id"), col("b").as("nbr"))
       .union(p0.select(col("b").as("id"), col("a").as("nbr")))
       .distinct()
+      .observe(symObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    // round 0 fused into init: label = min(self, direct neighbors) —
-    // one propagation for free during the materialization we pay anyway
-    var labels = sym
-      .groupBy(col("id"))
-      .agg(least(min(col("nbr")), col("id")).as("rep"))
-      .localCheckpoint(true)
-    // one neighbor-min propagation followed by path-halving (pointer
-    // jumping: rep := rep's rep). Plain propagation needs O(diameter)
-    // rounds — a near-dup chain A~B~C~… advances one hop per round;
-    // halving collapses chains in O(log diameter). Reps are node ids,
-    // so the halving self-join always hits.
-    def step(ls: DataFrame): DataFrame = {
-      val minned = ls
-        .union(sym.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
-          .select(col("id"), col("rep")))
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-      minned
-        .join(minned.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
-        .select(col("id"), col("_rr").as("rep"))
+    // size the fixpoint's shuffle width to the GRAPH, not the session:
+    // every round is ~8 exchanges over fixed-width (id, label) tuples,
+    // so a small dup graph on session-wide parallelism pays pure
+    // scheduler tax (32 partitions × a handful of rows each), while a
+    // 100 TB corpus's billions of edges still get the full session
+    // width (50k edges/partition). Restored in finally — same
+    // set-then-restore contract as the RocksDB provider swap in
+    // OrderStream.
+    val nEdges = symObs.get("n").asInstanceOf[Long]
+    val sess = pairs.sparkSession
+    val pKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val pPrev = sess.conf.get(pKey)
+    val aqePrev = sess.conf.get(aqeKey)
+    val pFix = math.max(1L, math.min(pPrev.toLong, nEdges / 50000L + 1L))
+    sess.conf.set(pKey, pFix.toString)
+    // AQE off for the rounds: its per-exchange query-stage scheduling
+    // adds a job round trip to each of the ~6 exchanges per round —
+    // measured ~0.65s/round of pure stage latency on a 2k-edge graph.
+    // The fixpoint's shuffles are explicitly sized above, which is the
+    // only thing AQE would do for fixed-width (id, label) tuples.
+    sess.conf.set(aqeKey, "false")
+    try {
+      // round 0 fused into init: label = min(self, direct neighbors) —
+      // NOT separately checkpointed: round 1's own checkpoint cuts the
+      // lineage one level up, and the duplicate init subtrees inside
+      // round 1's plan collapse via exchange reuse (sym is materialized)
+      var labels = sym
+        .groupBy(col("id"))
+        .agg(least(min(col("nbr")), col("id")).as("rep"))
+      // ids of the superseded round's checkpoint blocks, freed only
+      // AFTER the next round materializes (ADVICE r3: without this,
+      // high-diameter graphs accumulate a checkpoint per round in
+      // executor storage for the life of the job). Tracked by diffing
+      // the persistent-RDD registry around each materialization — the
+      // only ids ever unpersisted here are ones this loop itself added.
+      var supersededIds: Set[Int] = Set.empty
+      // one neighbor-min propagation followed by path-halving (pointer
+      // jumping: rep := rep's rep). Plain propagation needs O(diameter)
+      // rounds — a near-dup chain A~B~C~… advances one hop per round;
+      // halving collapses chains in O(log diameter). Reps are node ids,
+      // so the halving self-join always hits.
+      def step(ls: DataFrame): DataFrame = {
+        val minned = ls
+          .union(sym.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
+            .select(col("id"), col("rep")))
+          .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        minned
+          .join(minned.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
+          .select(col("id"), col("_rr").as("rep"))
+      }
+      // label sums only ever decrease, so equal sums across consecutive
+      // steps ⇔ fixpoint. Summed in DECIMAL(38,0): a 64-bit sum of 10⁹
+      // large ids could wrap.
+      def labSum() = coalesce(sum(col("rep").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("labsum")
+      var round = 0
+      var changed = true
+      while (changed && round < maxRounds) {
+        // two steps per materialization (per-round scheduler + checkpoint
+        // overhead dominates on small graphs), with an observe metric
+        // after EACH step riding the same action — equal sums mean the
+        // second step changed nothing, so convergence is detected without
+        // a separate comparison job
+        val obs1 = org.apache.spark.sql.Observation(s"graft_cc_a_${System.nanoTime()}")
+        val obs2 = org.apache.spark.sql.Observation(s"graft_cc_b_${System.nanoTime()}")
+        val before = persistentIds
+        val next = step(step(labels).observe(obs1, labSum()))
+          .observe(obs2, labSum())
+          .localCheckpoint(true)
+        val added = persistentIds -- before
+        supersededIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        supersededIds = added
+        changed = obs1.get("labsum") != obs2.get("labsum")
+        labels = next
+        round += 1
+      }
+      // a silent partial propagation would hand callers WRONG
+      // representatives (ADVICE r3) — fail loudly; callers with
+      // genuinely deeper graphs raise maxRounds (log₂ diameter bounds
+      // the rounds needed, so 50 covers any plausible dup graph)
+      if (changed)
+        throw new IllegalStateException(
+          s"clusterReps did not converge within $maxRounds rounds; " +
+            "raise maxRounds — returning partial labels would be incorrect")
+      labels
+    } finally {
+      sess.conf.set(pKey, pPrev)
+      sess.conf.set(aqeKey, aqePrev)
     }
-    // label sums only ever decrease, so equal sums across consecutive
-    // steps ⇔ fixpoint. Summed in DECIMAL(38,0): a 64-bit sum of 10⁹
-    // large ids could wrap.
-    def labSum() = coalesce(sum(col("rep").cast(DecimalType(38, 0))),
-      lit(0).cast(DecimalType(38, 0))).as("labsum")
-    var round = 0
-    var changed = true
-    while (changed && round < maxRounds) {
-      // two steps per materialization (per-round scheduler + checkpoint
-      // overhead dominates on small graphs), with an observe metric
-      // after EACH step riding the same action — equal sums mean the
-      // second step changed nothing, so convergence is detected without
-      // a separate comparison job
-      val obs1 = org.apache.spark.sql.Observation(s"graft_cc_a_${System.nanoTime()}")
-      val obs2 = org.apache.spark.sql.Observation(s"graft_cc_b_${System.nanoTime()}")
-      val next = step(step(labels).observe(obs1, labSum()))
-        .observe(obs2, labSum())
-        .localCheckpoint(true)
-      changed = obs1.get("labsum") != obs2.get("labsum")
-      labels = next
-      round += 1
-    }
-    labels
   }
 
   /** 64-bit SimHash over a token array: bit k of the result is the

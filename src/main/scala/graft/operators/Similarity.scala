@@ -185,4 +185,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .distinct()
   }
+
+  /** Banded variant of [[cosineNearDupPairs]] — the MinHash-LSH band
+    * trick applied to hyperplane signatures: `bands` independent
+    * `planesPerBand`-bit signatures per vector, candidates are pairs
+    * agreeing on ANY band (equi-join on (band, key)), verified with
+    * exact cosine, `distinct` collapsing multi-band hits. Single-band
+    * signature LSH is all-or-nothing (one split plane loses the
+    * pair); banding drives the miss rate to (1−p₁^r)^b — at a 0.9
+    * dedup threshold with the defaults that is <0.5%, while a random
+    * pair still has to clear an 8-plane band so buckets stay ~n/2⁸.
+    * This is the production-threshold (≥0.85) scale path for
+    * duplicate-cluster resolution: DedupSpec pins its census through
+    * [[graft.operators.Dedup.clusterReps]] equal to the exact
+    * all-pairs tier on a planted near-dup corpus. At the q53/q63
+    * fixture's 0.4 threshold no signature family can keep the exact
+    * pair set AND prune (p₁(0.4)≈0.63 against 0.5 for random pairs —
+    * see the analysis at LlmOps.exactPairsMaterialized), which is why
+    * the oracle tier stays exact. */
+  def cosineNearDupPairsBanded(vecs: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, dim: Int,
+                               bands: Int = 16, planesPerBand: Int = 8,
+                               seed: Long = 42L): DataFrame = {
+    val bandSigs = array((0 until bands).map(b =>
+      lshSignature(col("_v"), hyperplanes(planesPerBand, dim, seed + b))): _*)
+    val sigs = vecs.select(col(idCol), col(vecCol).as("_v"))
+      .select(col(idCol), col("_v"),
+        posexplode(bandSigs).as(Seq("_band", "_key")))
+      .repartition(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("_band"), col("_key"))
+    val left = sigs.select(col("_band"), col("_key"),
+      col(idCol).as("idA"), col("_v").as("_vA"))
+    val right = sigs.select(col("_band"), col("_key"),
+      col(idCol).as("idB"), col("_v").as("_vB"))
+    left.join(right, Seq("_band", "_key"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        round(cosineFast(col("_vA"), col("_vB")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
 }

@@ -117,6 +117,50 @@ class DedupSpec extends AnyFunSuite {
     assert(reps.size == 36, s"only nodes in pairs are labeled: ${reps.size}")
   }
 
+  test("banded cosine LSH + clusterReps census equals the exact all-pairs tier") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.cosineFast
+    // planted near-dup corpus at a production dedup threshold: 30
+    // clusters of 3 vectors (center + small noise → pairwise cosine
+    // ≥~0.97) plus 60 random singletons, dim 24, all deterministic
+    val dim = 24
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val rows: Seq[(Long, Seq[Double])] =
+      (0 until 30).flatMap { c =>
+        val center = Array.fill(dim)(rng.nextGaussian())
+        (0 until 3).map { m =>
+          val noisy = center.map(_ + 0.08 * rng.nextGaussian())
+          (c * 3L + m, unit(noisy))
+        }
+      } ++ (0 until 60).map(i => (100L + i, unit(Array.fill(dim)(rng.nextGaussian()))))
+    val vecs = rows.toDF("vec_id", "v")
+    val threshold = 0.9
+    val exact = {
+      val a = vecs.select($"vec_id".as("idA"), $"v".as("vA"))
+      val b = vecs.select($"vec_id".as("idB"), $"v".as("vB"))
+      a.join(b, $"idA" < $"idB")
+        .select($"idA", $"idB", round(cosineFast($"vA", $"vB"), 6).as("sim"))
+        .filter($"sim" >= threshold)
+    }
+    val banded = Similarity.cosineNearDupPairsBanded(
+      vecs, "vec_id", "v", threshold, dim)
+    def census(pairs: DataFrame): Map[Long, Long] = {
+      val reps = Dedup.clusterReps(pairs, "idA", "idB")
+      vecs.select($"vec_id".as("id"))
+        .join(reps, Seq("id"), "left")
+        .select($"id", coalesce($"rep", $"id").as("rep"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val exactCensus = census(exact)
+    // sanity: the fixture is non-trivial — real multi-member clusters
+    assert(exactCensus.values.toSeq.groupBy(identity).exists(_._2.size >= 3))
+    assert(census(banded) == exactCensus,
+      "banded-LSH pair feed must resolve the same clusters as the exact tier")
+  }
+
   test("jaccardIndexPairs equals brute-force all-pairs exactly") {
     val sh = docs
       .withColumn("block", lit("b"))

@@ -90,6 +90,14 @@ class PlanSpec extends AnyFunSuite {
       "explode→groupBy lost its partial aggregate")
   }
 
+  test("q63: cluster census consumes the verdict table — no all-pairs enumeration") {
+    val p = plan("q63_dup_clusters")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q63 re-enumerates pairs with a non-equi join:\n${p.take(800)}")
+    assert(p.contains("Scan parquet") || p.contains("Scan ExistingRDD"),
+      "q63 does not read the materialized pair verdicts")
+  }
+
   test("q46: multi-probe LSH broadcasts the probe side, not the corpus") {
     val p = plan("q46_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
