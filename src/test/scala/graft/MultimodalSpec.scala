@@ -55,6 +55,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaBatch == viaExpr)
   }
 
+  test("decodeBatch preserves a string id column untouched (no silent long cast)") {
+    val sdf = Seq(("doc-a", png), ("doc-b", jpeg)).toDF("sid", "media")
+    val out = Multimodal.decodeBatch(sdf, "sid", "media", 4)()
+      .select($"sid").as[String].collect().toSet
+    assert(out == Set("doc-a", "doc-b"))
+  }
+
+  /** A real image rendered in-test: `w`×`h`, left half black, right
+    * half white — unambiguous luma structure for the thumbnail check. */
+  private def realImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("imageDecodeBatch really decodes PNG and JPEG: true dims, bands, luma features") {
+    val pngBytes = realImage(8, 6, "png")
+    val jpgBytes = realImage(5, 5, "jpg")
+    val in = Seq((1L, pngBytes), (2L, jpgBytes), (3L, junk)).toDF("id", "media")
+    val rows = Multimodal.imageDecodeBatch(in, "id", "media", thumb = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // true dimensions straight from the decoder
+    assert(rows(1L).getInt(1) == 8 && rows(1L).getInt(2) == 6)
+    assert(rows(2L).getInt(1) == 5 && rows(2L).getInt(2) == 5)
+    assert(rows(1L).getInt(3) == 3) // RGB PNG → 3 bands
+    // the 2×2 thumbnail sees the half-black/half-white structure:
+    // left cells dark, right cells bright (PNG is lossless → exact)
+    val f = rows(1L).getSeq[Float](4)
+    assert(f.size == 4)
+    assert(f(0) == 0f && f(2) == 0f, s"left cells should be black: $f")
+    assert(f(1) == 1f && f(3) == 1f, s"right cells should be white: $f")
+    // undecodable bytes degrade to a null row, not a task failure
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(4))
+    // deterministic
+    val again = Multimodal.imageDecodeBatch(in, "id", "media", thumb = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
+    assert(again(1L) == f)
+  }
+
   test("sampleFrames slices byte ranges; short tail frames shrink") {
     val frames = df.filter($"id" === 1)
       .select(Multimodal.sampleFrames($"media", 5, 3).as("fr"))
