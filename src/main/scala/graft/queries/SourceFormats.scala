@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -17,15 +17,14 @@ import graft.sources.Tables
   */
 object SourceFormats {
 
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-
-  private def tmp(name: String): Path = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), name)
-    deleteRec(p); p
-  }
+  // unique per invocation (pid + nanotime), not a fixed name: two
+  // harness processes on one machine would otherwise race — one
+  // deleting/overwriting the directory while the other's lazy read
+  // re-scans it (ADVICE r3). The path is NOT pre-created so the
+  // writer's ErrorIfExists semantics stay intact.
+  private def tmp(name: String): Path =
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
 
   // ---- q76: CSV round trip --------------------------------------------
   // Schema is explicit on read (CSV carries no types); the aggregate
@@ -160,5 +159,39 @@ object SourceFormats {
         count(*) AS n_docs, count(DISTINCT source) AS n_sources
       FROM documents GROUP BY 1 ORDER BY lang_bucket"""))
 
-  def all: Seq[GraftQuery] = Seq(q76, q77, q78, q79, q80)
+  // ---- q83: Avro round trip -------------------------------------------
+  // The row-wire format Kafka-adjacent ingest lands in. The spark-avro
+  // datasource module is absent from this environment, so the round
+  // trip runs through AvroIO (Avro core + Hadoop FS through the
+  // per-partition codec seam); the aggregate gate is the same
+  // write→read→hash contract as q76/q77.
+
+  private val q83 = GraftQuery(
+    "q83_avro_roundtrip",
+    (s, d) => {
+      val dir = tmp("graft_q83_avro")
+      val slice = Tables.part(s, d)
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+      graft.sources.AvroIO.write(slice, dir.toString)
+      graft.sources.AvroIO.read(s, dir.toString, StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_brand", StringType),
+        StructField("p_retailprice", DoubleType))))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("retail"),
+          sum(length(col("p_name"))).as("name_chars"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS retail,
+        CAST(sum(length(p_name)) AS BIGINT) AS name_chars
+      FROM part WHERE p_partkey % 5 = 0
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  def all: Seq[GraftQuery] = Seq(q76, q77, q78, q79, q80, q83)
 }
