@@ -43,7 +43,19 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // self-reported artifact (VERDICT r3 item 7): the driver captures
+    // stdout's tail, which can truncate the per-query map — persist the
+    // full line so every query's time survives the capture window
+    try {
+      val outPath = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.writeString(outPath, line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write target/bench_full.json: $e")
+    }
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -15,8 +14,11 @@ import graft.functions.VectorFunctions._
   *
   * Every step is DataFrame-distributed — no vector ever reaches the
   * driver:
-  *  - seeding: the k hash-lowest points (deterministic, spread by the
-  *    hash; k rows total, the only single-partition step);
+  *  - seeding: deterministic farthest-first traversal — the
+  *    hash-lowest point opens, then k−1 distributed top-1 jobs each
+  *    pick the point least similar to its nearest existing seed. Every
+  *    top-1 plans as TakeOrderedAndProject (per-partition top-1 then a
+  *    k-row driver-side merge) — no single-partition shuffle anywhere;
   *  - assignment: corpus × broadcast(k centroids) with map-side
   *    `max_by` partial aggregation — the join fan-out collapses to one
   *    row per point before any exchange;
@@ -40,10 +42,12 @@ object KMeans {
     * dense blob (plain hash seeding does exactly that and Lloyd's
     * never recovers — a merged-blob local optimum KMeansSpec caught). */
   private def seedCentroids(pts: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(xxhash64(col("_id").cast("string")), col("_id"))
+    // orderBy().limit(1) plans as TakeOrderedAndProject — per-partition
+    // top-1, k-row merge — where a global row_number window (ADVICE r3)
+    // would drag the whole dataset through one partition
     var seeds = pts
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
+      .orderBy(xxhash64(col("_id").cast("string")), col("_id"))
+      .limit(1)
       .select(lit(0).as("cell"), col("_v").as("centroid"))
       .localCheckpoint(true)
     for (i <- 1 until k) {

@@ -58,4 +58,23 @@ object DocIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** The LIVE mode of the scaladoc's "runs continuously" claim: the
+    * same [[ingest]] transform under a `ProcessingTime` trigger, left
+    * running while new crawl shards land in `rawDir`. Returns the
+    * started query — the caller owns its lifecycle (stop / await).
+    * Dedup state spans micro-batches identically to the drain mode;
+    * StreamingSpec proves it by appending a shard with a cross-shard
+    * duplicate while the query is live. */
+  def runProcessingTime(spark: SparkSession, rawDir: String, outDir: String,
+                        checkpointDir: String, intervalMs: Long = 500,
+                        maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingest(readDocStream(spark, rawDir, maxFilesPerTrigger))
+      .writeStream
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .start()
 }

@@ -122,8 +122,15 @@ object OrderStream {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // dropCorrupt BEFORE the watermark/dedup operators, exactly like
+      // runAvailableNow (ADVICE r3): malformed JSONL rows carry null
+      // order_ids (which would collapse into one dedup state entry)
+      // and null event times (silently dropped by the watermark), and
+      // would reach the validation gate miscounted as invalid ORDERS
+      // instead of skipped unparseable lines
       val deduped = dedupedOrders(
-        readRawStream(spark, rawDir, maxFilesPerTrigger), watermarkDelay)
+        OrderPipeline.dropCorrupt(readRawStream(spark, rawDir, maxFilesPerTrigger)),
+        watermarkDelay)
       val processed = OrderPipeline.processOrders(deduped,
         observeName = s"graft_dedup_${System.nanoTime()}")
       val q = processed.writeStream

@@ -136,6 +136,57 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("dedup path drops malformed lines before watermark/dedup state (ADVICE r3)") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_dedup_corrupt_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val orders = SyntheticOrderSource.orders(spark, 100, seed = 37)
+    orders.coalesce(1).write.json(raw.resolve("f1").toString)
+    // garbage shard: without dropCorrupt these parse to null order_ids
+    // (one shared dedup state entry) and null event times, and the
+    // observe gate would miscount them as invalid ORDERS
+    Files.createDirectories(raw.resolve("f2"))
+    Files.writeString(raw.resolve("f2").resolve("bad.json"),
+      "{\"order_id\": nope\n\n  \n{not json either}\n")
+    OrderStream.runDedupedAvailableNow(spark, raw.toString + "/*/",
+      out.toString, ckpt.toString, watermarkDelay = "30 days")
+    val landed = spark.read.json(out.toString)
+    assert(landed.count() == 100,
+      s"corrupt lines must vanish from the dedup path: ${landed.count()}")
+    assert(landed.select(col("order_id")).distinct().count() == 100)
+    deleteRec(root)
+  }
+
+  test("live ProcessingTime ingest: dedup state spans micro-batches as shards arrive") {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_live_ingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    Files.createDirectories(raw)
+    def doc(id: Int, text: String) =
+      s"""{"doc_id":$id,"source":"crawl","lang":"en","text":"$text"}"""
+    Files.writeString(raw.resolve("shard1.json"),
+      doc(1, "alpha beta gamma delta") + "\n" + doc(2, "one two three four") + "\n")
+    val q = graft.streaming.DocIngest.runProcessingTime(
+      spark, raw.toString, out.toString, ckpt.toString, intervalMs = 200)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.json(out.toString).count() == 2)
+      // a LATER shard lands while the query is live: doc 3 duplicates
+      // doc 1's content (cross-shard redelivery), doc 4 is new
+      Files.writeString(raw.resolve("shard2.json"),
+        doc(3, "alpha beta gamma delta") + "\n" + doc(4, "five six seven eight") + "\n")
+      q.processAllAvailable()
+      val landed = spark.read.json(out.toString)
+      assert(landed.count() == 3,
+        s"cross-shard duplicate must be dropped by live state: ${landed.count()}")
+      val ids = landed.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"wrong survivors: $ids")
+    } finally q.stop()
+    deleteRec(root)
+  }
+
   test("streaming tolerates malformed JSONL lines (P3 under streaming)") {
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_corrupt_stream_spec")
     deleteRec(root)
