@@ -51,6 +51,57 @@ object DatasetOps {
     df.filter(u < cut)
   }
 
+  /** Temperature-rebalanced corpus mixing at α = 0.5 — the classic
+    * low-resource upsampling step of multilingual training mixes:
+    * stratum shares are flattened from ∝n to ∝√n (α = 0.5 exactly so
+    * the weight is IEEE `sqrt`, which is correctly rounded and thus
+    * bit-identical across engines — an arbitrary `pow` exponent would
+    * not be), the corpus total is preserved, and each document is
+    * replicated `target/n` times: the integer part deterministically,
+    * the fractional part by an md5 draw on the id — so a re-run or an
+    * appended shard never re-deals documents it did not touch, exactly
+    * like [[hashSplit]]. The only non-IEEE-trivial number, Σ√n, is
+    * summed as DECIMAL(24,12) to pin the summation order (the q48
+    * cross-engine rule).
+    *
+    * Scale shape: two tiny per-stratum aggregates, a broadcast join of
+    * the (stratum → target) table, and a narrow explode of ≤⌈ratio⌉
+    * copies — document bodies are never shuffled. Returns the input
+    * columns plus `mix_target` (the stratum's target row count) and
+    * `copy` (1-based replica index); documents drawn to zero copies
+    * are absent. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     salt: String = "mix"): DataFrame = {
+    // corpus totals via a global window over the per-stratum counts —
+    // a single-partition step over STRATUM-cardinality rows (a handful
+    // by construction), which avoids the self-join a counts×agg(counts)
+    // cross join would need
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val targets = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_mix_n"))
+      .withColumn("_N", sum(col("_mix_n")).over(wAll).cast(DoubleType))
+      .withColumn("_W",
+        sum(sqrt(col("_mix_n").cast(DoubleType)).cast(DecimalType(24, 12)))
+          .over(wAll).cast(DoubleType))
+      .withColumn("mix_target",
+        floor(col("_N") * (sqrt(col("_mix_n").cast(DoubleType)) / col("_W")) + 0.5))
+      .select(col(strataCol), col("_mix_n"), col("mix_target"))
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val ratio = col("mix_target").cast(DoubleType) / col("_mix_n").cast(DoubleType)
+    val copies = (floor(ratio).cast(LongType) +
+      when(u < floor((ratio - floor(ratio)) * 4294967296.0).cast(LongType), 1L)
+        .otherwise(0L))
+    df.join(broadcast(targets), Seq(strataCol))
+      .withColumn("_copies", copies)
+      // sequence(1, 0) would infer a NEGATIVE step; guard explicitly
+      .withColumn("copy", explode(when(col("_copies") > 0,
+        sequence(lit(1L), col("_copies")))
+        .otherwise(array().cast(ArrayType(LongType)))))
+      .drop("_mix_n", "_copies")
+  }
+
   /** Benchmark decontamination: the ids of corpus docs sharing at
     * least one word k-gram with the benchmark set — the
     * eval-contamination sweep every serious training pipeline runs

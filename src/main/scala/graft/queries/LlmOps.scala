@@ -830,7 +830,95 @@ object LlmOps {
         FROM kept)
       GROUP BY 1, 2 ORDER BY split, source"""))
 
+  // ---- q84: temperature-rebalanced language mixing (α = 0.5) ----------
+  // The low-resource upsampling step of a multilingual training mix:
+  // language shares flatten from ∝n to ∝√n at constant corpus size,
+  // per-doc replication decided by the integer part of target/n plus
+  // an md5 draw for the remainder (DatasetOps.temperatureMix). The
+  // oracle replays the whole computation — √ sums pinned through
+  // DECIMAL, draws through the md5 convention — and the census gates
+  // original count, target, and realized post-mix count per language.
+
+  private val q84 = GraftQuery(
+    "q84_temperature_mix",
+    (s, d) => {
+      val dd = docs(s, d)
+      val mixed = DatasetOps.temperatureMix(dd, "lang", "doc_id")
+      mixed.groupBy(col("lang"))
+        .agg(min(col("mix_target")).cast(LongType).as("target"),
+          count(lit(1)).as("n_after"))
+        .join(dd.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("target"), col("n_after"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s AS (SELECT CAST(sum(n) AS DOUBLE) AS tot_n,
+        CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS tot_w
+        FROM c),
+      t AS (SELECT lang, n,
+        floor(tot_n * (sqrt(CAST(n AS DOUBLE)) / tot_w) + 0.5) AS tgt FROM c, s),
+      d AS (SELECT doc.doc_id, doc.lang, t.n, t.tgt,
+        tgt / CAST(n AS DOUBLE) AS ratio,
+        CAST(concat('0x', substring(md5('mix:'||doc.doc_id),1,8)) AS BIGINT) AS u
+        FROM documents doc JOIN t USING (lang)),
+      k AS (SELECT lang, n, tgt,
+        CAST(floor(ratio) AS BIGINT) +
+          CASE WHEN u < CAST(floor((ratio - floor(ratio)) * 4294967296.0) AS BIGINT)
+            THEN 1 ELSE 0 END AS copies
+        FROM d)
+      SELECT lang, CAST(min(n) AS BIGINT) AS n_docs,
+        CAST(min(tgt) AS BIGINT) AS target,
+        CAST(sum(copies) AS BIGINT) AS n_after
+      FROM k GROUP BY lang ORDER BY lang"""))
+
+  // ---- q85: vocabulary coverage / OOV-rate census ----------------------
+  // Tokenizer-coverage sweep: the top-50 corpus tokens (count desc,
+  // token asc — a total order, so the vocab is deterministic) play the
+  // vocabulary; each doc's out-of-vocabulary token fraction rolls up
+  // to a per-language average. Per-doc fractions are IEEE-rounded to
+  // 6dp, then averaged through the DECIMAL-sum rule so the cross-row
+  // summation order cannot diverge between engines.
+
+  private val q85 = GraftQuery(
+    "q85_oov_census",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+        explode(whitespaceTokens(col("text"))).as("_t"))
+      val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("_t")).limit(50)
+        .select(col("_t"), lit(1).as("_in"))
+      val perDoc = toks.join(broadcast(vocab), Seq("_t"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((floor(
+          sum(when(col("_in").isNull, 1).otherwise(0)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) * 1e6 + 0.5) / 1e6).as("_frac"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(
+            sum(col("_frac").cast(DecimalType(12, 6))).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType) * 1e6 + 0.5) / 1e6).as("avg_oov"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, lang,
+          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS t
+        FROM documents),
+      vocab AS (
+        SELECT t FROM tok GROUP BY t
+        ORDER BY count(*) DESC, t LIMIT 50),
+      per_doc AS (
+        SELECT doc_id, lang,
+          floor(CAST(count(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab))
+              AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS frac
+        FROM tok GROUP BY doc_id, lang)
+      SELECT lang, count(*) AS n_docs,
+        floor(CAST(sum(CAST(frac AS DECIMAL(12,6))) AS DOUBLE)
+          / count(*) * 1e6 + 0.5) / 1e6 AS avg_oov
+      FROM per_doc GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69, q75)
+      q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
+      q75, q84, q85)
 }

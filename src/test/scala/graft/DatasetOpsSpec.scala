@@ -23,6 +23,32 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.05) < 0.01, s"test ${frac("test")}")
   }
 
+  test("temperatureMix flattens shares toward √n at constant corpus size, deterministically") {
+    // skewed corpus: 800 / 150 / 50 docs per stratum
+    val rows = (0 until 800).map(i => (i.toLong, "big")) ++
+      (800 until 950).map(i => (i.toLong, "mid")) ++
+      (950 until 1000).map(i => (i.toLong, "rare"))
+    val df = rows.toDF("id", "s")
+    val mixed = DatasetOps.temperatureMix(df, "s", "id")
+    val after = mixed.groupBy($"s").count().as[(String, Long)].collect().toMap
+    val total = after.values.sum
+    // corpus size preserved up to the fractional-draw remainder
+    assert(math.abs(total - 1000L) <= 30, s"total drifted: $total")
+    // α=0.5 targets: w = √n → shares 28.28/12.25/7.07 of 47.6
+    assert(after("big") < 800, s"head stratum must downsample: ${after("big")}")
+    assert(after("rare") > 50, s"tail stratum must upsample: ${after("rare")}")
+    assert(after("mid") > 150, s"mid stratum should gain share: ${after("mid")}")
+    // membership is a pure function of the id — reshuffling changes nothing
+    val reparted = DatasetOps.temperatureMix(df.repartition(7), "s", "id")
+      .groupBy($"s").count().as[(String, Long)].collect().toMap
+    assert(reparted == after)
+    // replica indices are 1..copies per doc
+    val badCopies = mixed.groupBy($"id").agg(
+      count(lit(1)).as("c"), max($"copy").as("m"))
+      .filter($"c" =!= $"m").count()
+    assert(badCopies == 0, "copy must be a dense 1-based replica index")
+  }
+
   test("contaminatedIds finds exactly the docs sharing a 5-gram with the benchmark") {
     val bench = Seq((1000L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
