@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
       "q63 does not read the materialized pair verdicts")
   }
 
+  test("q84: mix targets broadcast to the corpus — the doc table never shuffles on lang") {
+    val p = plan("q84_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), "stratum-target join is not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "corpus totals re-introduced a cross join")
+  }
+
+  test("q85: vocab selection is a top-k, and the vocab probe broadcasts") {
+    val p = plan("q85_oov_census")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 vocab is paying a global sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab join is not broadcast")
+  }
+
   test("q46: multi-probe LSH broadcasts the probe side, not the corpus") {
     val p = plan("q46_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
