@@ -102,6 +102,26 @@ object DatasetOps {
       .drop("_mix_n", "_copies")
   }
 
+  /** Corpus snapshot diff — dataset versioning between two crawl
+    * epochs: every document id is classified `added` / `removed` /
+    * `changed` / `retained` by comparing content digests across a
+    * full outer join on the id. Digests (md5, 32 chars) are computed
+    * narrow on each side so the join shuffles (id, digest) tuples,
+    * never bodies — the 100 TB shape of "what changed since the last
+    * snapshot", which is what incremental re-training and cache
+    * invalidation key off. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_ho"))
+    val n = newDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_hn"))
+    o.join(n, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") === col("_hn"), "retained")
+          .otherwise("changed").as("status"))
+  }
+
   /** Benchmark decontamination: the ids of corpus docs sharing at
     * least one word k-gram with the benchmark set — the
     * eval-contamination sweep every serious training pipeline runs

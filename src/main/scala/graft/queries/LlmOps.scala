@@ -917,8 +917,43 @@ object LlmOps {
           / count(*) * 1e6 + 0.5) / 1e6 AS avg_oov
       FROM per_doc GROUP BY lang ORDER BY lang"""))
 
+  // ---- q86: corpus snapshot diff (dataset versioning) ------------------
+  // Two crawl epochs derived deterministically from the documents
+  // table: epoch 1 lacks every doc_id ≡ 0 (mod 3); epoch 2 drops
+  // doc_id ≡ 3 (mod 7) and rewrites the text of doc_id ≡ 0 (mod 5).
+  // snapshotDiff classifies every id by digest comparison across a
+  // full outer join; the census gates all four classes non-vacuously.
+
+  private val q86 = GraftQuery(
+    "q86_snapshot_diff",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val epoch1 = dd.filter(col("doc_id") % 3 =!= 0)
+      val epoch2 = dd.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      DatasetOps.snapshotDiff(epoch1, epoch2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH e1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      e2 AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text||' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 7 <> 3)
+      SELECT CASE WHEN e1.h IS NULL THEN 'added'
+          WHEN e2.h IS NULL THEN 'removed'
+          WHEN e1.h = e2.h THEN 'retained'
+          ELSE 'changed' END AS status,
+        count(*) AS n_docs
+      FROM e1 FULL OUTER JOIN e2 USING (doc_id)
+      GROUP BY 1 ORDER BY status"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85)
+      q75, q84, q85, q86)
 }
