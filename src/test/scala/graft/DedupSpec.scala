@@ -161,6 +161,29 @@ class DedupSpec extends AnyFunSuite {
       "banded-LSH pair feed must resolve the same clusters as the exact tier")
   }
 
+  test("clusterReps fails loudly at the round cap instead of returning partial labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterReps(pairs, maxRounds = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("clusterReps frees superseded checkpoints — storage does not grow per round") {
+    // a 60-node chain needs several propagation rounds; without the
+    // per-round unpersist each round would leak one checkpointed plan
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val reps = Dedup.clusterReps(chain)
+    assert(reps.groupBy($"rep").count().count() == 1) // one component
+    val after = sc.getPersistentRDDs.size
+    // bounded residue (pair/sym/final labels), NOT one block per round;
+    // generous slack because other suites share the session
+    assert(after - before <= 6,
+      s"checkpoint blocks accumulated: $before -> $after")
+  }
+
   test("jaccardIndexPairs equals brute-force all-pairs exactly") {
     val sh = docs
       .withColumn("block", lit("b"))
