@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, JaccardSimilarity}
+import graft.expressions.{CosineSimilarity, JaccardSimilarity, JaccardSimilaritySorted}
 
 /** Engine extension point (the `SparkSessionExtensions` surface):
   * registers graft's native expressions into the session's function
@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "jaccard_sim expects exactly 2 arguments")
         JaccardSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim_sorted"),
+      new ExpressionInfo(classOf[JaccardSimilaritySorted].getName,
+        "jaccard_sim_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "jaccard_sim_sorted expects exactly 2 arguments")
+        JaccardSimilaritySorted(children.head, children(1))
       }))
   }
 }

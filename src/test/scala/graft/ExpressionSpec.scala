@@ -83,6 +83,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(empty == 0.0)
   }
 
+  test("jaccard_sim_sorted equals jaccard_sim when the caller pre-sorts") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong)
+      val b = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        call_function("jaccard_sim_sorted",
+          array_sort($"a"), array_sort($"b")).as("sorted"),
+        call_function("jaccard_sim", $"a", $"b").as("general"))
+      .filter($"sorted" =!= $"general").count()
+    assert(diff == 0)
+    // same corner conventions as the general form
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(call_function("jaccard_sim_sorted", $"a", $"b")).as[Double].head()
+    assert(empty == 0.0)
+  }
+
   test("cosineFast agrees with DuckDB-style sequential dot product on floats") {
     // float→double widening then sequential fold — the q45/q53 shape
     val v1 = Seq(0.25f, -1.5f, 3.75f, 0.125f)
