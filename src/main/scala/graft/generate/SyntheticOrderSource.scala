@@ -242,21 +242,36 @@ object SyntheticOrderSource {
         col("gid"))
   }
 
+  // corruption constants, single-sourced: [[corrupt]] builds its CASE
+  // cuts from these AND the corrupt-table cache tag
+  // (PipelineQueries.corruptOrdersMaterialized) derives from
+  // [[corruptionSpec]], so a rule change here rotates the cache path
+  // automatically instead of silently serving stale parquet
+  val CorruptCuts: Seq[Double] = Seq(0.02, 0.04, 0.06, 0.08)
+  val SubtotalBump: Double = 7.77
+  private val corruptDrawSalt = ":o2"
+
+  /** Content token of the corruption rules, for cache keying. */
+  def corruptionSpec(seed: Int): String =
+    s"$corruptDrawSalt:${CorruptCuts.mkString(":")}:+$SubtotalBump:$seed"
+
   /** Deterministic fault injection for the validation gate (P2/P3
     * test surface): ~2% each of zero total / blank id / empty items /
     * skewed subtotal, keyed off the same hash family. */
   def corrupt(df: DataFrame, seed: Int = DefaultSeed): DataFrame = {
-    val c = h32(concat(lit(s"g:$seed:"), col("gid").cast(StringType), lit(":o2")), 0)
+    val c = h32(concat(lit(s"g:$seed:"), col("gid").cast(StringType),
+      lit(corruptDrawSalt)), 0)
+    val cut = CorruptCuts.map(thr)
     df
       .withColumn("total_amount",
-        when(c < thr(0.02), lit(0.0)).otherwise(col("total_amount")))
+        when(c < cut(0), lit(0.0)).otherwise(col("total_amount")))
       .withColumn("order_id",
-        when(c >= thr(0.02) && c < thr(0.04), lit("")).otherwise(col("order_id")))
+        when(c >= cut(0) && c < cut(1), lit("")).otherwise(col("order_id")))
       .withColumn("items",
-        when(c >= thr(0.04) && c < thr(0.06),
+        when(c >= cut(1) && c < cut(2),
           array().cast(df.schema("items").dataType)).otherwise(col("items")))
       .withColumn("subtotal",
-        when(c >= thr(0.06) && c < thr(0.08), col("subtotal") + 7.77)
+        when(c >= cut(2) && c < cut(3), col("subtotal") + SubtotalBump)
           .otherwise(col("subtotal")))
   }
 }

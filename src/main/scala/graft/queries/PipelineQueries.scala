@@ -63,7 +63,7 @@ object PipelineQueries {
     * constants so a corruption-rule change rotates the path. */
   private def corruptOrdersMaterialized(s: SparkSession): DataFrame = {
     val corruptTag = {
-      val txt = s"$genTag:o2:0.02:0.04:0.06:0.08:+7.77:$seed"
+      val txt = genTag + SyntheticOrderSource.corruptionSpec(seed)
       java.security.MessageDigest.getInstance("MD5")
         .digest(txt.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     }
