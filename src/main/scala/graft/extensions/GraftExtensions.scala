@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "jaccard_sim expects exactly 2 arguments")
         JaccardSimilarity(children.head, children(1))
       }))
+    // whole-operator tier: the top-k-per-group plan node (ladder (c) —
+    // logical node + strategy + physical heaps; see graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sim_sorted"),
       new ExpressionInfo(classOf[JaccardSimilaritySorted].getName,

@@ -355,6 +355,31 @@ object Relational3 {
         FROM part WHERE p_partkey % 50 = 0)
       ORDER BY p_partkey, metric"""))
 
+  // ---- q87: native top-k-per-group plan node (W1's scale twin) --------
+  // The q07 semantics through the custom TopKPerGroup operator
+  // (graft.plans — logical node + injected strategy + two-phase heap
+  // physical operator) instead of the window encoding: no per-group
+  // full sort, one exchange carrying only per-partition winners. The
+  // oracle is the row_number formulation — identical rows prove the
+  // operator against the reference semantics; PlanSpec proves the
+  // plan shape (heap phases present, Window/Sort absent).
+
+  private val q87 = GraftQuery(
+    "q87_native_topk_group",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopKPerGroup(base, Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74)
+    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87)
 }

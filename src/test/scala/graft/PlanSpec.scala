@@ -98,6 +98,17 @@ class PlanSpec extends AnyFunSuite {
       "q63 does not read the materialized pair verdicts")
   }
 
+  test("q87: native top-k plans as two heap phases, no Window, no per-group sort") {
+    val p = plan("q87_native_topk_group")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"custom operator not planned:\n${p.take(600)}")
+    assert(!p.contains("Window"), "fell back to the window encoding")
+    // exactly one hash exchange between the phases (the range exchange
+    // on top belongs to the oracle's orderBy, not the operator)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "operator should shuffle exactly once, on the group keys")
+  }
+
   test("q84: mix targets broadcast to the corpus — the doc table never shuffles on lang") {
     val p = plan("q84_temperature_mix")
     assert(p.contains("BroadcastHashJoin"), "stratum-target join is not broadcast")
