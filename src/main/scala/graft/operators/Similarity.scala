@@ -11,10 +11,11 @@ import graft.functions.VectorFunctions._
   * Two tiers, per the north-star spec:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query set is
   *    broadcast (it is small by construction); the candidate scan is
-  *    narrow and the per-query top-k is a window over rounded scores.
-  *    At 100 TB this is the "scoring pass" shape: one read of the
-  *    corpus, no shuffle of candidate vectors — only (query × k)
-  *    result rows move.
+  *    narrow and the per-query top-k is a k-bounded heap (the native
+  *    TopKPerGroup node — the scored set is never sorted). At 100 TB
+  *    this is the "scoring pass" shape: one read of the corpus, no
+  *    shuffle of candidate vectors — only (query × k) result rows
+  *    move.
   *  - [[lshTopK]]: random-hyperplane LSH bucketing. Candidates and
   *    queries hash to signature buckets; cosine is computed only
   *    within a bucket. The bucket exchange shuffles 8-byte signatures,
@@ -27,6 +28,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Shared ranking tail of every top-k searcher: per-query k-bounded
+    * heap selection through the native [[graft.plans.TopKPerGroup]]
+    * node — the scored set (corpus × queries rows for the exact tier)
+    * is never sorted; only the surviving queries×k rows meet the
+    * row_number that materializes the rank column. Tie-break on cid
+    * matches the DuckDB oracles' total order. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val kept = graft.plans.TopKPerGroup(scored, Seq("qid"),
+      Seq(("sim", false), ("cid", true)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    kept.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries    (qid, qvec: array<double>)
     * @param candidates (cid, cvec: array<double>)
@@ -36,10 +51,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Multi-probe LSH ANN: exact cosine within matching signature
@@ -74,10 +86,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into
@@ -125,10 +134,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** [[ivfTopK]] with k-means-refined centroids ([[KMeans.fit]])
@@ -156,10 +162,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs
