@@ -425,6 +425,85 @@ object Relational2 {
         WHERE c.c_nationkey = n.n_nationkey)
       ORDER BY n_name"""))
 
+  // ---- q88: funnel analysis (sequential event-pattern matching) --------
+  // view → click (within 1 day of the first view) → purchase (within
+  // 1 day of that click), per user. Spark-first shape: ONE groupBy
+  // collecting each user's (ts, type) events, then an intra-row
+  // state-machine fold over the time-sorted array — a single shuffle
+  // where the naive formulation is three aggregate+join rounds (which
+  // is exactly what the DuckDB oracle runs, proving the fold against
+  // the relational semantics). Per-user event counts are bounded
+  // (sessions, not corpora), so the collected array is small; strict
+  // `>` on timestamps makes equal-ts order irrelevant and the result
+  // deterministic.
+
+  private val q88 = GraftQuery(
+    "q88_funnel",
+    (s, d) => {
+      val evs = ev(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val perUser = evs.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_type"))))
+          .as("_evs"))
+      val day = expr("INTERVAL 1 DAY")
+      val stage = aggregate(col("_evs"),
+        struct(lit(0).as("stage"),
+          lit(null).cast(TimestampType).as("tv"),
+          lit(null).cast(TimestampType).as("tc")),
+        (acc, e) => {
+          val ts = e.getField("ts")
+          val et = e.getField("event_type")
+          val st = acc.getField("stage")
+          when(st === 0 && et === "view",
+            struct(lit(1).as("stage"), ts.as("tv"),
+              acc.getField("tc").as("tc")))
+            .when(st === 1 && et === "click" &&
+              ts > acc.getField("tv") && ts <= acc.getField("tv") + day,
+              struct(lit(2).as("stage"), acc.getField("tv").as("tv"),
+                ts.as("tc")))
+            .when(st === 2 && et === "purchase" &&
+              ts > acc.getField("tc") && ts <= acc.getField("tc") + day,
+              struct(lit(3).as("stage"), acc.getField("tv").as("tv"),
+                acc.getField("tc").as("tc")))
+            .otherwise(acc)
+        }).getField("stage")
+      val staged = perUser.select(stage.as("_stage"))
+      staged.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("_stage") >= 1, 1L).otherwise(0L)).as("reached_view"),
+        sum(when(col("_stage") >= 2, 1L).otherwise(0L)).as("reached_click"),
+        sum(when(col("_stage") >= 3, 1L).otherwise(0L)).as("reached_purchase"))
+        .select(col("n_users"), col("reached_view"), col("reached_click"),
+          col("reached_purchase"),
+          (floor(col("reached_click").cast(DoubleType) /
+            col("reached_view").cast(DoubleType) * 1e6 + 0.5) / 1e6)
+            .as("view_to_click"),
+          (floor(col("reached_purchase").cast(DoubleType) /
+            col("reached_click").cast(DoubleType) * 1e6 + 0.5) / 1e6)
+            .as("click_to_purchase"))
+    },
+    Some("""WITH ev AS (SELECT user_id, ts, event_type FROM events),
+      a1 AS (SELECT user_id,
+          min(ts) FILTER (WHERE event_type = 'view') AS tv
+        FROM ev GROUP BY user_id),
+      a2 AS (SELECT ev.user_id,
+          min(ts) FILTER (WHERE event_type = 'click'
+            AND ts > tv AND ts <= tv + INTERVAL 1 DAY) AS tc
+        FROM ev JOIN a1 USING (user_id) GROUP BY ev.user_id),
+      a3 AS (SELECT ev.user_id,
+          min(ts) FILTER (WHERE event_type = 'purchase'
+            AND ts > tc AND ts <= tc + INTERVAL 1 DAY) AS tp
+        FROM ev JOIN a2 USING (user_id) GROUP BY ev.user_id)
+      SELECT count(*) AS n_users,
+        count(tv) AS reached_view,
+        count(tc) AS reached_click,
+        count(tp) AS reached_purchase,
+        floor(CAST(count(tc) AS DOUBLE) / count(tv) * 1e6 + 0.5) / 1e6
+          AS view_to_click,
+        floor(CAST(count(tp) AS DOUBLE) / count(tc) * 1e6 + 0.5) / 1e6
+          AS click_to_purchase
+      FROM a1 JOIN a2 USING (user_id) JOIN a3 USING (user_id)"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81, q82)
+    Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
+      q82, q88)
 }
