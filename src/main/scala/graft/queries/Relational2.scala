@@ -503,7 +503,47 @@ object Relational2 {
           AS click_to_purchase
       FROM a1 JOIN a2 USING (user_id) JOIN a3 USING (user_id)"""))
 
+  // ---- q89: cohort retention --------------------------------------------
+  // Users cohorted by the week of their first event; retention is the
+  // distinct-user count per (cohort week, weeks-since-cohort). Two
+  // aggregations and one join back on user_id — the join reuses the
+  // first aggregation's hash partitioning, so the whole query costs
+  // two exchanges. Week arithmetic stays on Monday-truncated dates,
+  // where days/7 is exact in any engine.
+
+  private val q89 = GraftQuery(
+    "q89_cohort_retention",
+    (s, d) => {
+      val evs = ev(s, d).select(col("user_id"), col("ts"))
+      val cohorts = evs.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast(DateType).as("cohort_week"))
+      evs
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast(DateType).as("activity_week"))
+        .distinct()
+        .join(cohorts, Seq("user_id"))
+        .select(col("cohort_week"),
+          (datediff(col("activity_week"), col("cohort_week")) / 7)
+            .cast(IntegerType).as("week_index"))
+        .groupBy(col("cohort_week"), col("week_index"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_index"))
+    },
+    Some("""WITH c AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id),
+      act AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM events)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, activity_week) // 7 AS INT)
+          AS week_index,
+        count(*) AS n_active
+      FROM act JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_index"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88)
+      q82, q88, q89)
 }
