@@ -959,8 +959,48 @@ object LlmOps {
       FROM e1 FULL OUTER JOIN e2 USING (doc_id)
       GROUP BY 1 ORDER BY status"""))
 
+  // ---- q90: token heavy hitters (approximate frequent items) ----------
+  // The sketch tier of vocabulary analysis: one distributed
+  // Misra-Gries pass (`stat.freqItems`) over the exploded token
+  // stream. Same self-gating pattern as the other sketches (q62/q70):
+  // the sketch CANNOT be replayed by the oracle, but its one hard
+  // guarantee — no false negatives above the support threshold — can
+  // be: the query emits the EXACT top-5 tokens (deterministic,
+  // replayable) plus a boolean asserting each is contained in the
+  // sketch's candidate set, and the oracle expects literal `true`.
+  // The exact top-5 all sit far above the 1% support on this corpus,
+  // so containment is a theorem, not a flake.
+
+  private val q90 = GraftQuery(
+    "q90_heavy_hitters",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(explode(whitespaceTokens(col("text"))).as("tok"))
+      // freqItems is an aggregate-to-one-row stat API: the sketch's
+      // candidate set (≤ 1/support entries by construction) comes back
+      // as a single row and re-enters the plan as a literal — the same
+      // tiny-aggregate-to-driver shape as an Observation read, not a
+      // per-row collect
+      val sketch: Seq[String] = toks.stat.freqItems(Seq("tok"), 0.01)
+        .head().getSeq[String](0)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(5)
+        .select(col("tok"), col("n"),
+          col("tok").isin(sketch: _*).as("in_sketch"))
+        .orderBy(col("tok"))
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0)) AS tok
+        FROM documents),
+      top5 AS (
+        SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 5)
+      SELECT tok, n, true AS in_sketch FROM top5 ORDER BY tok"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85, q86)
+      q75, q84, q85, q86, q90)
 }
