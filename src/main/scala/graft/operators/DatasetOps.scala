@@ -122,6 +122,26 @@ object DatasetOps {
           .otherwise("changed").as("status"))
   }
 
+  /** Changelog merge (CDC apply) — the upsert primitive between two
+    * corpus versions without a table format: `base` is the current
+    * snapshot, `changelog` carries (id, op ∈ I/U/D, payload), and the
+    * result is the next snapshot — deletes drop the row, updates and
+    * inserts take the changelog payload, untouched rows pass through.
+    * One full-outer shuffle join on the id; payloads cross the
+    * exchange once each. Changelog ids are assumed unique (the usual
+    * compacted-changelog contract); conflicting ops for one id are a
+    * data error upstream of this operator. */
+  def applyChangelog(base: DataFrame, changelog: DataFrame,
+                     idCol: String, payloadCol: String,
+                     opCol: String = "op"): DataFrame =
+    base.select(col(idCol), col(payloadCol).as("_base_p"))
+      .join(changelog.select(col(idCol), col(opCol).as("_op"),
+        col(payloadCol).as("_chg_p")), Seq(idCol), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(idCol),
+        when(col("_op").isin("U", "I"), col("_chg_p"))
+          .otherwise(col("_base_p")).as(payloadCol))
+
   /** Benchmark decontamination: the ids of corpus docs sharing at
     * least one word k-gram with the benchmark set — the
     * eval-contamination sweep every serious training pipeline runs

@@ -999,8 +999,45 @@ object LlmOps {
         ORDER BY n DESC, tok LIMIT 5)
       SELECT tok, n, true AS in_sketch FROM top5 ORDER BY tok"""))
 
+  // ---- q91: changelog merge (CDC apply) --------------------------------
+  // Upsert semantics without a table format: a deterministic changelog
+  // over the documents snapshot — deletes (id ≡ 1 mod 4), updates
+  // (id ≡ 0 mod 10: text gains a suffix), inserts (id ≡ 3 mod 4, the
+  // ids the base snapshot lacks; the three op classes are disjoint by
+  // construction). DatasetOps.applyChangelog merges in one full-outer
+  // join; the census groups the merged snapshot by id lane so every
+  // op's effect (rows gone, payloads rewritten, rows added) lands in
+  // a hash-gated count + char-mass.
+
+  private val q91 = GraftQuery(
+    "q91_cdc_merge",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val base = dd.filter(col("doc_id") % 4 =!= 3)
+      val changelog = dd.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, "D")
+          .when(col("doc_id") % 10 === 0, "U")
+          .when(col("doc_id") % 4 === 3, "I").as("op"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+        .filter(col("op").isNotNull)
+      DatasetOps.applyChangelog(base, changelog, "doc_id", "text")
+        .groupBy((col("doc_id") % 4).as("lane"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lane"))
+    },
+    Some("""WITH merged AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN text||' updated' ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 4 <> 1)
+      SELECT doc_id % 4 AS lane, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM merged GROUP BY 1 ORDER BY lane"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85, q86, q90)
+      q75, q84, q85, q86, q90, q91)
 }
