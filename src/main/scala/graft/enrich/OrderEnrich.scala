@@ -165,7 +165,11 @@ object OrderEnrich {
     * 100 TB they'd reshuffle the full 29-field rows). The crossover is
     * items-per-order width: the HOF is O(categories × items) per row,
     * so once orders carry hundreds of lines, join this in instead
-    * (EnrichSpec pins it equal to the map form, key order included). */
+    * (EnrichSpec pins it equal to the map form, key order included).
+    * One asymmetry to handle at the join: an order with EMPTY items
+    * emits no posexplode rows, so it is absent here where the map
+    * form yields {} — callers must left-join and coalesce to an empty
+    * map to keep those rows (validation normally drops them first). */
   def productMixMap(ordersWithItems: DataFrame): DataFrame =
     ordersWithItems
       .select(col("order_id"), posexplode(col("items")).as(Seq("_pos", "_it")))

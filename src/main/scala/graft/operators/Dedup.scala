@@ -192,7 +192,10 @@ object Dedup {
     // 100 TB corpus's billions of edges still get the full session
     // width (50k edges/partition). Restored in finally — same
     // set-then-restore contract as the RocksDB provider swap in
-    // OrderStream.
+    // OrderStream. Session conf is global: queries launched on the
+    // SAME session while the fixpoint runs would plan under the
+    // narrowed width/AQE-off — acceptable under the one-driver-loop-
+    // at-a-time contract every iterative operator here assumes.
     val nEdges = symObs.get("n").asInstanceOf[Long]
     val sess = pairs.sparkSession
     val pKey = "spark.sql.shuffle.partitions"
@@ -255,10 +258,15 @@ object Dedup {
         val next = step(step(labels).observe(obs1, labSum()))
           .observe(obs2, labSum())
           .localCheckpoint(true)
+        // exactly ONE persistent RDD (next's checkpoint) should appear
+        // in this window; if a concurrent job on the shared context
+        // also persisted one, ownership is ambiguous — skip tracking
+        // for this round (a bounded leak) rather than risk freeing a
+        // foreign checkpoint, whose blocks are its only copy
         val added = persistentIds -- before
         supersededIds.foreach(id =>
           sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-        supersededIds = added
+        supersededIds = if (added.size == 1) added else Set.empty
         changed = obs1.get("labsum") != obs2.get("labsum")
         labels = next
         round += 1

@@ -71,6 +71,12 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+  // row-filtering only — partitioning survives both phases. Without
+  // this the final node reports Unknown and downstream group-keyed
+  // consumers (the rank window in Similarity.rankTopK) pay a second
+  // exchange of the kept rows.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 

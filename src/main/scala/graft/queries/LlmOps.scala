@@ -38,26 +38,21 @@ object LlmOps {
     * [[graft.operators.Similarity.cosineNearDupPairsBanded]], whose
     * census-equality with this exact tier is spec-pinned on a planted
     * high-sim fixture (DedupSpec). */
-  private val pairsDirBySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  private val pairsDirBySession = new graft.sources.SessionMemo[String]
   private def exactPairsMaterialized(s: SparkSession, d: String): DataFrame = {
-    val dir = pairsDirBySession.synchronized {
-      val byDir = pairsDirBySession.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, String])
-      byDir.getOrElseUpdate(d, {
-        val e = emb(s, d)
-          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        val a = e.select(col("vec_id").as("idA"), col("v").as("vA"))
-        val b = e.select(col("vec_id").as("idB"), col("v").as("vB"))
-        val out = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
-        a.join(b, col("idA") < col("idB"))
-          .select(col("idA"), col("idB"),
-            round(cosineFast(col("vA"), col("vB")), 6).as("sim"))
-          .filter(col("sim") >= 0.4)
-          .write.mode("overwrite").parquet(out)
-        out
-      })
+    val dir = pairsDirBySession.getOrElseCompute(s, d) {
+      val e = emb(s, d)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val a = e.select(col("vec_id").as("idA"), col("v").as("vA"))
+      val b = e.select(col("vec_id").as("idB"), col("v").as("vB"))
+      val out = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
+      a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(cosineFast(col("vA"), col("vB")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .write.mode("overwrite").parquet(out)
+      out
     }
     s.read.parquet(dir)
   }
@@ -876,7 +871,14 @@ object LlmOps {
       SELECT lang, CAST(min(n) AS BIGINT) AS n_docs,
         CAST(min(tgt) AS BIGINT) AS target,
         CAST(sum(copies) AS BIGINT) AS n_after
-      FROM k GROUP BY lang ORDER BY lang"""))
+      FROM k GROUP BY lang
+      HAVING sum(copies) > 0
+      ORDER BY lang"""))
+  // ^ HAVING matches the operator's semantics exactly: a stratum whose
+  // every document draws zero copies has vanished from the MIXED
+  // corpus, so its census row does not exist (possible only for
+  // pathological strata far below the √n pivot; every fixture stratum
+  // is far above it)
 
   // ---- q85: vocabulary coverage / OOV-rate census ----------------------
   // Tokenizer-coverage sweep: the top-50 corpus tokens (count desc,

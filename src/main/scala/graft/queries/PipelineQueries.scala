@@ -41,11 +41,33 @@ object PipelineQueries {
     * The cache path carries [[genTag]], so a copy left by an older
     * generator version self-invalidates (ADVICE r2: a bare (n, seed)
     * key could serve stale data across generator changes). */
+  /** Publish a deterministic-content cache dir atomically: write to a
+    * process-unique staging path, then one rename into place. Two
+    * processes that race both produce byte-equivalent content, the
+    * loser's rename fails against the existing dir and its staging is
+    * discarded — no reader can observe a half-written cache, unlike
+    * check-then-`overwrite` on the shared path (review r4). */
+  private def materializeAtomically(dir: Path)(write: String => Unit): Unit = {
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val staging = Paths.get(dir.toString +
+        s"_stg_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      write(staging.toString)
+      try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException =>
+          // lost the publish race to an equivalent copy — ours is surplus
+          deleteRec(staging)
+      }
+    }
+  }
+
   private def rawOrdersMaterialized(s: SparkSession): DataFrame = {
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_raw_${n}_${seed}_$genTag")
-    if (!Files.exists(dir.resolve("_SUCCESS")))
-      rawOrders(s).write.mode("overwrite").parquet(dir.toString)
+    materializeAtomically(dir)(p =>
+      rawOrders(s).write.mode("overwrite").parquet(p))
     s.read.parquet(dir.toString)
   }
 
@@ -69,8 +91,8 @@ object PipelineQueries {
     }
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_corrupt_${n}_${seed}_$corruptTag")
-    if (!Files.exists(dir.resolve("_SUCCESS")))
-      corruptOrders(s).write.mode("overwrite").parquet(dir.toString)
+    materializeAtomically(dir)(p =>
+      corruptOrders(s).write.mode("overwrite").parquet(p))
     s.read.parquet(dir.toString)
   }
 
@@ -83,22 +105,13 @@ object PipelineQueries {
     * whichever consumer runs first, and stays fully oracled through
     * the q31–q34/q36 hashes. q35/q37 keep running the pipeline live —
     * the sink/stream round trip IS their operator under test. */
-  // weak-keyed on the session OBJECT, not its identity hash (which can
-  // be reused after GC / collide between live sessions — ADVICE r3).
-  // The lock is held across the materializing write so a second
-  // concurrent caller waits instead of double-writing, same contract
-  // computeIfAbsent gave the r3 version.
-  private val processedDirBySession =
-    new java.util.WeakHashMap[SparkSession, String]()
+  private val processedDirBySession = new graft.sources.SessionMemo[String]
   private def processedMaterialized(s: SparkSession): DataFrame = {
-    val dir = processedDirBySession.synchronized {
-      Option(processedDirBySession.get(s)).getOrElse {
-        val d = Files.createTempDirectory("graft_processed_").toString
-        OrderPipeline.processOrders(corruptOrdersMaterialized(s), "graft_materialize")
-          .write.mode("overwrite").parquet(d)
-        processedDirBySession.put(s, d)
-        d
-      }
+    val dir = processedDirBySession.getOrElseCompute(s, "processed") {
+      val d = Files.createTempDirectory("graft_processed_").toString
+      OrderPipeline.processOrders(corruptOrdersMaterialized(s), "graft_materialize")
+        .write.mode("overwrite").parquet(d)
+      d
     }
     s.read.parquet(dir)
   }

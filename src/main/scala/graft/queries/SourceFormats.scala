@@ -17,14 +17,25 @@ import graft.sources.Tables
   */
 object SourceFormats {
 
+  private def deleteRec(p: Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+
   // unique per invocation (pid + nanotime), not a fixed name: two
   // harness processes on one machine would otherwise race — one
   // deleting/overwriting the directory while the other's lazy read
   // re-scans it (ADVICE r3). The path is NOT pre-created so the
-  // writer's ErrorIfExists semantics stay intact.
-  private def tmp(name: String): Path =
-    Paths.get(sys.props("java.io.tmpdir"),
+  // writer's ErrorIfExists semantics stay intact; since this process
+  // uniquely owns it, a shutdown hook reclaims it so repeated bench
+  // runs don't accumulate round-trip outputs in the tmpdir.
+  private def tmp(name: String): Path = {
+    val p = Paths.get(sys.props("java.io.tmpdir"),
       s"${name}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    sys.addShutdownHook(deleteRec(p))
+    p
+  }
 
   // ---- q76: CSV round trip --------------------------------------------
   // Schema is explicit on read (CSV carries no types); the aggregate

@@ -99,15 +99,23 @@ object AvroIO {
     spark.createDataset(files)
       .repartition(math.max(1, files.size)) // one file ≈ one task
       .mapPartitions { paths =>
+        // readers opened by this task, closed unconditionally at task
+        // end — exhaustion-triggered close alone leaks the handle when
+        // a consumer stops early (limit/take)
+        val open = new scala.collection.mutable.ArrayBuffer[DataFileReader[GenericRecord]]()
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          open.foreach(r => try r.close() catch { case _: java.io.IOException => })
+        })
         paths.flatMap { p =>
           val reader = new DataFileReader[GenericRecord](
             new FsInput(new HPath(p), new Configuration()),
             new GenericDatumReader[GenericRecord]())
+          open += reader
           val recs = new Iterator[GenericRecord] {
-            private var open = true
-            def hasNext: Boolean = open && {
+            private var more = true
+            def hasNext: Boolean = more && {
               val h = reader.hasNext
-              if (!h) { reader.close(); open = false }
+              if (!h) more = false
               h
             }
             def next(): GenericRecord = reader.next()

@@ -52,24 +52,13 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  // weak-keyed on the session OBJECT: an identity-hash key (the r3
-  // form) can be reused after a session is GC'd, silently skipping
-  // registration for a fresh session that lands on a seen hash
-  // (ADVICE r3). The weak key lets dead sessions' entries vanish.
-  private val registeredFor =
-    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
+  private val registeredFor = new SessionMemo[Unit]
 
   /** [[registerAll]], memoized per (session, dir): registering reads
     * every table's parquet footer, which is pure waste when repeated
     * per query (VERDICT.md r2 — it tripled q17/q22/q28). The temp-view
     * catalog lives on the session, so one registration per
     * (session, dir) is exactly as fresh as one per call. */
-  def registerAllOnce(spark: SparkSession, dir: String): Unit = {
-    val fresh = registeredFor.synchronized {
-      registeredFor
-        .computeIfAbsent(spark, _ => new java.util.HashSet[String]())
-        .add(dir)
-    }
-    if (fresh) registerAll(spark, dir)
-  }
+  def registerAllOnce(spark: SparkSession, dir: String): Unit =
+    registeredFor.getOrElseCompute(spark, dir)(registerAll(spark, dir))
 }
