@@ -101,6 +101,27 @@ class EnrichSpec extends AnyFunSuite {
     assert(joined.filter($"bj" =!= $"nj").count() == 0)
   }
 
+  test("productMixMap empty-items asymmetry: absent row, recovered by the documented left join") {
+    val df = Seq(
+      ("O1", Seq(item("Shoes", 1, 10.0, 0, 0.0, 10.0))),
+      ("O2", Seq.empty[Item])).toDF("order_id", "items")
+    val m = OrderEnrich.productMixMap(df)
+    // no posexplode rows for O2 → no map row (the scaladoc's caveat)
+    assert(m.count() == 1)
+    // the documented recovery: left join + coalesce-to-empty-map
+    // reproduces the narrow form exactly, {} included
+    val emptyMix = map_from_arrays(
+      array().cast("array<string>"),
+      array().cast("array<struct<count:int,quantity:bigint,revenue:double>>"))
+    val joined = df.join(m, Seq("order_id"), "left")
+      .select($"order_id",
+        to_json(coalesce($"_product_mix", emptyMix)).as("bj"))
+    val narrow = df.select($"order_id", to_json(productMix($"items")).as("nj"))
+    val diff = joined.join(narrow, Seq("order_id"))
+      .filter($"bj" =!= $"nj").count()
+    assert(diff == 0)
+  }
+
   test("validationErrors mirrors processor.py:105-119 incl. 0.01 tolerance") {
     def errs(orderId: String, items: Seq[Item], sub: Double, total: Double): Seq[String] = {
       Seq(ValOrder(orderId, items, sub, total)).toDF()
