@@ -158,6 +158,36 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("stream-static broadcast join: dimension lookup inside micro-batches") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_streamdim_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val orders = SyntheticOrderSource.orders(spark, 100, seed = 41)
+    orders.coalesce(1).write.json(raw.resolve("f1").toString)
+    // static dimension: city → major-city flag (the broadcast side)
+    val majors = graft.schema.OrderSchema.majorCities.toSet
+    val dim = graft.schema.OrderSchema.cities
+      .map(c => (c, majors.contains(c))).toDF("customer_city", "is_major")
+    val q = OrderPipeline.dropCorrupt(
+        OrderStream.readRawStream(spark, raw.toString + "/*/"))
+      .join(broadcast(dim), Seq("customer_city"))
+      .select(col("order_id"), col("customer_city"), col("is_major"))
+      .writeStream.format("json")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.json(out.toString)
+    assert(back.count() == 100, "every order must survive the dimension join")
+    val wrong = back.filter(col("is_major") =!=
+      col("customer_city").isin(majors.toSeq: _*)).count()
+    assert(wrong == 0, "is_major must equal the static lookup per row")
+    deleteRec(root)
+  }
+
   test("live ProcessingTime ingest: dedup state spans micro-batches as shards arrive") {
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_live_ingest_spec")
     deleteRec(root)
