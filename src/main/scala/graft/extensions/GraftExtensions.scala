@@ -35,8 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaccardSimilarity(children.head, children(1))
       }))
     // whole-operator tier: the top-k-per-group plan node (ladder (c) —
-    // logical node + strategy + physical heaps; see graft.plans)
+    // logical node + strategy + physical heaps; see graft.plans) …
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // … and the optimizer rule that gives the SQL/window idiom
+    // (`filter(row_number() over (...) <= k)`) the same bounded-heap
+    // plan automatically (VERDICT r4 item 2)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sim_sorted"),
       new ExpressionInfo(classOf[JaccardSimilaritySorted].getName,

@@ -190,32 +190,37 @@ object Dedup {
     // so a small dup graph on session-wide parallelism pays pure
     // scheduler tax (32 partitions × a handful of rows each), while a
     // 100 TB corpus's billions of edges still get the full session
-    // width (50k edges/partition). Restored in finally — same
-    // set-then-restore contract as the RocksDB provider swap in
-    // OrderStream. Session conf is global: queries launched on the
-    // SAME session while the fixpoint runs would plan under the
-    // narrowed width/AQE-off — acceptable under the one-driver-loop-
-    // at-a-time contract every iterative operator here assumes.
+    // width (50k edges/partition). The narrowed width and AQE-off are
+    // SCOPED to a child session (`newSession()` shares the
+    // SparkContext but owns its conf — VERDICT r4 item 6): queries
+    // planned concurrently on the caller's session keep its width, no
+    // restore step, no one-loop-at-a-time contract. The materialized
+    // `sym` RDD crosses sessions directly (localCheckpoint pins it in
+    // the shared context), and the converged labels are re-bound to
+    // the caller's session on the way out.
     val nEdges = symObs.get("n").asInstanceOf[Long]
     val sess = pairs.sparkSession
+    val fixSess = sess.newSession()
     val pKey = "spark.sql.shuffle.partitions"
     val aqeKey = "spark.sql.adaptive.enabled"
-    val pPrev = sess.conf.get(pKey)
-    val aqePrev = sess.conf.get(aqeKey)
-    val pFix = math.max(1L, math.min(pPrev.toLong, nEdges / 50000L + 1L))
-    sess.conf.set(pKey, pFix.toString)
+    val pFix = math.max(1L,
+      math.min(sess.conf.get(pKey).toLong, nEdges / 50000L + 1L))
+    fixSess.conf.set(pKey, pFix.toString)
     // AQE off for the rounds: its per-exchange query-stage scheduling
     // adds a job round trip to each of the ~6 exchanges per round —
     // measured ~0.65s/round of pure stage latency on a 2k-edge graph.
     // The fixpoint's shuffles are explicitly sized above, which is the
     // only thing AQE would do for fixed-width (id, label) tuples.
-    sess.conf.set(aqeKey, "false")
-    try {
+    fixSess.conf.set(aqeKey, "false")
+    locally {
+      // the materialized symmetric edge list, re-bound to the fixpoint
+      // session so every loop plan sees the narrowed conf
+      val symFix = fixSess.createDataFrame(sym.rdd, sym.schema)
       // round 0 fused into init: label = min(self, direct neighbors) —
       // NOT separately checkpointed: round 1's own checkpoint cuts the
       // lineage one level up, and the duplicate init subtrees inside
       // round 1's plan collapse via exchange reuse (sym is materialized)
-      var labels = sym
+      var labels = symFix
         .groupBy(col("id"))
         .agg(least(min(col("nbr")), col("id")).as("rep"))
       // ids of the superseded round's checkpoint blocks, freed only
@@ -232,7 +237,7 @@ object Dedup {
       // so the halving self-join always hits.
       def step(ls: DataFrame): DataFrame = {
         val minned = ls
-          .union(sym.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
+          .union(symFix.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
             .select(col("id"), col("rep")))
           .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         minned
@@ -279,10 +284,11 @@ object Dedup {
         throw new IllegalStateException(
           s"clusterReps did not converge within $maxRounds rounds; " +
             "raise maxRounds — returning partial labels would be incorrect")
-      labels
-    } finally {
-      sess.conf.set(pKey, pPrev)
-      sess.conf.set(aqeKey, aqePrev)
+      // hand back a frame owned by the CALLER's session (downstream
+      // plans — q63's census — should run under its conf, and mixing
+      // sessions in one query is undefined); labels is checkpointed,
+      // so .rdd is the materialized blocks, not a re-derivation
+      sess.createDataFrame(labels.rdd, labels.schema)
     }
   }
 

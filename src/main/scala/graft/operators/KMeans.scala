@@ -12,13 +12,12 @@ import graft.functions.VectorFunctions._
   * geometry; centroid scale is irrelevant to cosine argmax, so means
   * are left unnormalized.
   *
-  * Every step is DataFrame-distributed — no vector ever reaches the
-  * driver:
-  *  - seeding: deterministic farthest-first traversal — the
-  *    hash-lowest point opens, then k−1 distributed top-1 jobs each
-  *    pick the point least similar to its nearest existing seed. Every
-  *    top-1 plans as TakeOrderedAndProject (per-partition top-1 then a
-  *    k-row driver-side merge) — no single-partition shuffle anywhere;
+  * Every step keeps the CORPUS distributed — only a bounded seed
+  * sample ever reaches the driver:
+  *  - seeding: deterministic farthest-first over a bounded hash-sample
+  *    — ONE distributed job (TakeOrderedAndProject of m = max(8k, 256)
+  *    sample points), then in-memory traversal; Lloyd's refines over
+  *    the full corpus. See [[seedCentroids]];
   *  - assignment: corpus × broadcast(k centroids) with map-side
   *    `max_by` partial aggregation — the join fan-out collapses to one
   *    row per point before any exchange;
@@ -35,34 +34,76 @@ import graft.functions.VectorFunctions._
   */
 object KMeans {
 
-  /** Deterministic farthest-first seeding (the k-means++ shape minus
-    * randomness): the hash-lowest point opens, then each next seed is
-    * the point least similar to its nearest existing seed — one
-    * distributed top-1 per seed, so two seeds can't open in the same
-    * dense blob (plain hash seeding does exactly that and Lloyd's
-    * never recovers — a merged-blob local optimum KMeansSpec caught). */
+  /** Deterministic farthest-first seeding on a BOUNDED hash-sample
+    * (VERDICT r4 item 3: the previous form ran one full-corpus top-1
+    * job per seed — k−1 corpus scans, a genuine scale-killer at a
+    * realistic IVF k of 256–4096).
+    *
+    * One distributed job total: a deterministic hash-ordered sample of
+    * m = max(8k, 256) points (TakeOrderedAndProject — per-partition
+    * top-m, m-row merge, never a single-partition shuffle) is pulled to
+    * the driver — a BOUNDED read (m·dim doubles, ≤ a few MB at
+    * k=4096/dim=64), the same documented tiny-read shape as the
+    * Observation metrics, not a corpus collect. Farthest-first then
+    * runs in memory over the sample: the hash-lowest point opens, each
+    * next seed is the sample point least similar to its nearest chosen
+    * seed (ties → first in hash order). Seeds spread across the
+    * sample's blobs exactly like the distributed form did (a blob of
+    * any mass is hit by an 8k-point sample w.h.p. — KMeansSpec's
+    * blob-recovery gate stays the evidence), and Lloyd's still refines
+    * over the FULL corpus. */
   private def seedCentroids(pts: DataFrame, k: Int): DataFrame = {
-    // orderBy().limit(1) plans as TakeOrderedAndProject — per-partition
-    // top-1, k-row merge — where a global row_number window (ADVICE r3)
-    // would drag the whole dataset through one partition
-    var seeds = pts
+    // floor of 256: corpora at or below the floor are fully in-sample,
+    // making seeding equivalent to whole-corpus farthest-first there
+    val m = math.max(8 * k, 256)
+    val sample = pts
       .orderBy(xxhash64(col("_id").cast("string")), col("_id"))
-      .limit(1)
-      .select(lit(0).as("cell"), col("_v").as("centroid"))
-      .localCheckpoint(true)
-    for (i <- 1 until k) {
-      val far = pts
-        .crossJoin(broadcast(seeds))
-        .select(col("_id"), col("_v"),
-          cosineFast(col("_v"), col("centroid")).as("_sim"))
-        .groupBy(col("_id"))
-        .agg(max(col("_sim")).as("_near"), first(col("_v")).as("_v"))
-        .orderBy(col("_near").asc, col("_id"))
-        .limit(1)
-        .select(lit(i).as("cell"), col("_v").as("centroid"))
-      seeds = seeds.union(far).localCheckpoint(true)
+      .limit(m)
+      .select(col("_v"))
+      .collect()
+    val vecs: Array[Array[Double]] =
+      sample.map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    def cos(a: Int, b: Int): Double = {
+      val va = vecs(a); val vb = vecs(b)
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i) * vb(i); i += 1 }
+      val d = norms(a) * norms(b)
+      if (d == 0.0) 0.0 else s / d
     }
-    seeds
+    val kk = math.min(k, n)
+    val chosen = new Array[Int](kk)
+    val taken = new Array[Boolean](n)
+    val nearest = Array.fill(n)(-2.0) // max sim to any chosen seed
+    chosen(0) = 0 // hash-lowest opens
+    taken(0) = true
+    var c = 1
+    while (c < kk) {
+      val last = chosen(c - 1)
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = cos(i, last)
+          if (s > nearest(i)) nearest(i) = s
+        }
+        i += 1
+      }
+      var argmin = -1; var minv = 2.0
+      i = 0
+      while (i < n) { // strict < ⇒ ties resolve to the first in hash order
+        if (!taken(i) && nearest(i) < minv) { minv = nearest(i); argmin = i }
+        i += 1
+      }
+      chosen(c) = argmin
+      taken(argmin) = true
+      c += 1
+    }
+    val spark = pts.sparkSession
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case (idx, cell) => (cell, vecs(idx).toSeq) }
+      .toDF("cell", "centroid")
   }
 
   /** Refine centroids over `points(idCol, vecCol: array<double>)`.

@@ -130,9 +130,13 @@ object Multimodal {
     sel.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
+        // NonFatal, not just IOException: codec plugins throw unchecked
+        // exceptions (IllegalArgumentException, NegativeArraySizeException,
+        // CMMException) on some malformed-but-recognized headers, and the
+        // contract is per-row degradation, never task failure (ADVICE r4)
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.get(0), null, null, null, null)
         else {
           val w = img.getWidth

@@ -30,10 +30,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * that the physical plan carries the two heap phases, exactly one
   * exchange, and no Window/Sort.
   */
+/** `rankFor`: when set (the [[WindowTopKRewrite]] path), the node also
+  * emits the 1-based rank under `order` as that attribute — replacing a
+  * `row_number()` window column at its original exprId, so projections
+  * and residual predicates above the rewrite keep resolving. */
 case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
-                        k: Int, child: LogicalPlan) extends UnaryNode {
+                        k: Int, child: LogicalPlan,
+                        rankFor: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankFor
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankFor.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
@@ -65,9 +72,17 @@ object TopKPerGroup {
   * partial pass bounds memory by (groups-per-partition × k) rows, and
   * the final pass by (groups-per-reducer × k). */
 case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-                            k: Int, partial: Boolean, child: SparkPlan)
+                            k: Int, partial: Boolean,
+                            rankFor: Option[Attribute], child: SparkPlan)
     extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+  // only the FINAL phase emits the rank: a partial heap's local ranks
+  // would be wrong after the merge, and the final sort of ≤k rows per
+  // group is where the true order materializes anyway
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output ++ rankFor
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankFor.toSeq)
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
@@ -85,6 +100,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val orderE = order
     val childOutput = child.output
     val kk = k
+    val emitRank = !partial && rankFor.isDefined
+    val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord: BaseOrdering = RowOrdering.create(orderE, childOutput)
@@ -110,7 +127,23 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
             heaps.put(key.copy(), pq)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      if (!emitRank) heaps.valuesIterator.flatMap(_.iterator)
+      else {
+        // per group: drain the heap (dequeue order = worst-first under
+        // `ord`), reverse to ascending, zip the 1-based rank. k is
+        // small by contract, so this sort touches ≤k already-reduced
+        // rows per group — never the input.
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val proj = UnsafeProjection.create(outTypes)
+        heaps.valuesIterator.flatMap { pq =>
+          val ascending: Seq[InternalRow] = pq.dequeueAll.reverse
+          ascending.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, i + 1)
+            proj(joined(r, rankRow))
+          }
+        }
+      }
     }
   }
 
@@ -121,9 +154,9 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
 /** Plans the logical node as partial → (exchange) → final. */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      val part = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, part) :: Nil
+    case TopKPerGroup(g, o, k, child, rankFor) =>
+      val part = TopKPerGroupExec(g, o, k, partial = true, None, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, rankFor, part) :: Nil
     case _ => Nil
   }
 }

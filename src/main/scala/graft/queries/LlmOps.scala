@@ -46,7 +46,20 @@ object LlmOps {
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       val a = e.select(col("vec_id").as("idA"), col("v").as("vA"))
       val b = e.select(col("vec_id").as("idB"), col("v").as("vB"))
+      // process-owned temp dir, reclaimed at JVM exit like
+      // SourceFormats.tmp — without the hook, repeated runs accumulate
+      // O(n²)-derived pair parquet in the tmpdir (ADVICE r4). Timing
+      // note for the bench: this materialization is paid by whichever
+      // of q53/q63 runs FIRST in a session; Bench's `first_run` map is
+      // where that bill shows up (its `queries` map reports the
+      // steady-state second pass).
       val out = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
+      sys.addShutdownHook {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
       a.join(b, col("idA") < col("idB"))
         .select(col("idA"), col("idB"),
           round(cosineFast(col("vA"), col("vB")), 6).as("sim"))

@@ -41,27 +41,11 @@ object PipelineQueries {
     * The cache path carries [[genTag]], so a copy left by an older
     * generator version self-invalidates (ADVICE r2: a bare (n, seed)
     * key could serve stale data across generator changes). */
-  /** Publish a deterministic-content cache dir atomically: write to a
-    * process-unique staging path, then one rename into place. Two
-    * processes that race both produce byte-equivalent content, the
-    * loser's rename fails against the existing dir and its staging is
-    * discarded — no reader can observe a half-written cache, unlike
-    * check-then-`overwrite` on the shared path (review r4). */
-  private def materializeAtomically(dir: Path)(write: String => Unit): Unit = {
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
-      val staging = Paths.get(dir.toString +
-        s"_stg_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      write(staging.toString)
-      try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.FileSystemException =>
-          // lost the publish race to an equivalent copy — ours is surplus
-          deleteRec(staging)
-      }
-    }
-  }
+  /** Atomic cache publish with stale-partial recovery — see
+    * [[graft.sources.AtomicCache]] (extracted there so the recovery
+    * path is spec-testable; ADVICE r4). */
+  private def materializeAtomically(dir: Path)(write: String => Unit): Unit =
+    graft.sources.AtomicCache.materialize(dir)(write)
 
   private def rawOrdersMaterialized(s: SparkSession): DataFrame = {
     val dir = Paths.get(sys.props("java.io.tmpdir"),
@@ -416,12 +400,7 @@ object PipelineQueries {
   // read THAT back and aggregate per partition. The final numbers are
   // oracled from the generator replay — corrupt lines must vanish.
 
-  private def deleteRec(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-  }
+  private def deleteRec(p: Path): Unit = graft.sources.AtomicCache.deleteRec(p)
 
   private val q35 = GraftQuery(
     "q35_jsonl_roundtrip",

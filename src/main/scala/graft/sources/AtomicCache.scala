@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Atomic publish of a deterministic-content cache directory.
+  *
+  * Writers stage into a process-unique sibling path, then one rename
+  * publishes it. Two processes that race both produce byte-equivalent
+  * content (the cache key embeds a content tag over the generating
+  * constants), so the loser's staging copy is surplus and discarded —
+  * no reader can observe a half-written cache, unlike
+  * check-then-`overwrite` on the shared path.
+  *
+  * Recovery (ADVICE r4): a dir WITHOUT `_SUCCESS` squatting on the
+  * target is a partial left by a killed earlier run — serving it would
+  * be silent data loss. On rename failure the publisher distinguishes
+  * the two cases: committed dir present → discard staging; stale
+  * partial → evict it and retry the publish once.
+  */
+object AtomicCache {
+
+  def deleteRec(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  private def isCommitted(dir: Path): Boolean =
+    Files.exists(dir.resolve("_SUCCESS"))
+
+  /** Run `write(stagingPath)` and publish its output at `dir` unless a
+    * committed copy is already there. `write` must leave a `_SUCCESS`
+    * marker in the staging dir (Spark's parquet committer does). */
+  def materialize(dir: Path)(write: String => Unit): Unit = {
+    if (!isCommitted(dir)) {
+      val staging = Paths.get(dir.toString +
+        s"_stg_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      write(staging.toString)
+      try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException =>
+          if (isCommitted(dir)) deleteRec(staging) // lost the race — surplus
+          else {
+            deleteRec(dir) // stale partial from a killed run — evict
+            try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException =>
+                deleteRec(staging) // second collision: a racer won the retry
+            }
+          }
+      }
+    }
+  }
+}

@@ -66,15 +66,31 @@ object AvroIO {
     val st = df.schema
     val schemaJson = avroSchema(st).toString
     val nFields = st.length
+    // create the directory up front so an all-empty DataFrame still
+    // round-trips as zero files rather than a FileNotFoundException on
+    // the read side's listStatus (ADVICE r4)
+    FileSystem.get(java.net.URI.create(dir), new Configuration())
+      .mkdirs(new HPath(dir))
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
         val fs = FileSystem.get(java.net.URI.create(dir), new Configuration())
-        val pid = TaskContext.getPartitionId()
-        val out = fs.create(new HPath(dir, f"part-$pid%05d.avro"), true)
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        // write to a task-attempt-unique temp name, rename into place on
+        // success: a speculative/retried attempt writing directly at the
+        // final name would interleave bytes with the committed winner's
+        // stream (ADVICE r4). The `.tmp` suffix keeps the read path
+        // (filter `.avro`) blind to in-flight attempts; rename is the
+        // commit point, losers' temp files are deleted.
+        val finalPath = new HPath(dir, f"part-$pid%05d.avro")
+        val tmpPath = new HPath(dir,
+          f"part-$pid%05d-attempt${tc.taskAttemptId()}.avro.tmp")
+        val out = fs.create(tmpPath, true)
         val w = new org.apache.avro.file.DataFileWriter(
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
+        var committed = false
         try {
           rows.foreach { r =>
             val rec = new GenericData.Record(schema)
@@ -82,7 +98,15 @@ object AvroIO {
             while (i < nFields) { rec.put(i, r.get(i)); i += 1 }
             w.append(rec)
           }
-        } finally w.close()
+          w.close()
+          fs.delete(finalPath, false) // clear a prior attempt's commit, if any
+          committed = fs.rename(tmpPath, finalPath)
+        } finally {
+          if (!committed) {
+            try w.close() catch { case _: Exception => }
+            try fs.delete(tmpPath, false) catch { case _: java.io.IOException => }
+          }
+        }
       }
     }
   }

@@ -1,15 +1,15 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only scratch main for isolating operator costs (head-to-head
-  * A/B timings; see the memory notes — Probe times construct vs count,
-  * Scratch times alternative formulations in one warm session).
-  * Usage: `runMain graft.tools.Scratch [sfDir]`. */
+/** Dev-only scratch main for isolating operator costs and smoke
+  * checks (head-to-head A/B timings; see the memory notes — Probe
+  * times construct vs count, Scratch hosts whatever experiment the
+  * current round needs in one warm session).
+  * Usage: `runMain graft.tools.Scratch`. Current body: the driver's
+  * entry smoke — `SparkEntry.entry` must return >0 rows on sf0.001. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,15 +18,9 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(s"$label: n=$n sec=${(System.nanoTime() - t0) / 1e9}")
-    }
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    time("docs-count")(docs.count())
-    time("mix")(graft.operators.DatasetOps
-      .temperatureMix(docs, "lang", "doc_id").count())
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"entry-smoke rows=$n ${if (n > 0) "OK" else "FAIL"}")
     spark.stop()
+    if (n == 0) sys.exit(1)
   }
 }

@@ -27,12 +27,40 @@ class AvroIOSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows, 2), schema)
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_avro_spec_${System.nanoTime()}")
+    // reclaim at JVM exit — repeated `sbt test` runs were leaving one
+    // graft_avro_spec_* dir each in /tmp (VERDICT r4 hygiene note)
+    sys.addShutdownHook {
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
     AvroIO.write(df, dir.toString)
     val back = AvroIO.read(spark, dir.toString, schema)
     assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
     assert(back.collect().toSet == rows.toSet)
-    // one container file per non-empty partition
-    val files = dir.toFile.listFiles.map(_.getName).filter(_.endsWith(".avro"))
+    // one container file per non-empty partition, no leftover attempt temps
+    val names = dir.toFile.listFiles.map(_.getName)
+    val files = names.filter(_.endsWith(".avro"))
     assert(files.nonEmpty && files.length <= 2)
+    assert(!names.exists(_.endsWith(".tmp")))
+  }
+
+  test("an all-empty DataFrame round-trips as zero rows, not an error") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_avro_spec_${System.nanoTime()}")
+    sys.addShutdownHook {
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+    AvroIO.write(df, dir.toString)
+    // the directory must exist (ADVICE r4: listStatus threw before) …
+    assert(java.nio.file.Files.isDirectory(dir))
+    // … and read back as an empty frame with the right schema
+    val back = AvroIO.read(spark, dir.toString, schema)
+    assert(back.count() == 0L)
+    assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
   }
 }

@@ -161,6 +161,38 @@ class DedupSpec extends AnyFunSuite {
       "banded-LSH pair feed must resolve the same clusters as the exact tier")
   }
 
+  test("clusterReps never narrows the caller session's conf (scoped fixpoint session)") {
+    // VERDICT r4 item 6: the fixpoint's width/AQE narrowing now lives
+    // on a child session. A poller on another thread watches the
+    // CALLER session's shuffle width for the whole fixpoint — with the
+    // old set-then-restore it reads the narrowed value mid-run.
+    val pKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(pKey)
+    @volatile var seen = Set.empty[String]
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) { seen += spark.conf.get(pKey); Thread.sleep(1) }
+    })
+    poller.start()
+    try {
+      val chain = (0L until 40L).map(i => (i, i + 1)).toDF("idA", "idB")
+      val reps = Dedup.clusterReps(chain).as[(Long, Long)].collect().toMap
+      assert((0L to 40L).forall(reps(_) == 0L))
+    } finally { stop = true; poller.join() }
+    assert(seen == Set(before),
+      s"caller session saw narrowed conf values during the fixpoint: $seen")
+    assert(spark.conf.get(pKey) == before)
+  }
+
+  test("clusterReps output is bound to the caller's session, not the fixpoint child") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val reps = Dedup.clusterReps(pairs)
+    assert(reps.sparkSession eq spark,
+      "labels must come home to the caller's session for downstream planning")
+    assert(reps.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("clusterReps fails loudly at the round cap instead of returning partial labels") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
     val e = intercept[IllegalStateException] {

@@ -42,6 +42,28 @@ class KMeansSpec extends AnyFunSuite {
   private lazy val queries: DataFrame =
     corpus.limit(8).select($"cid".as("qid"), $"cvec".as("qvec"))
 
+  test("seeding runs a bounded number of jobs — not one scan per seed (k=16)") {
+    // VERDICT r4 item 3: the old farthest-first loop launched k−1
+    // full-corpus jobs. The bounded-sample form must stay ≤5 Spark
+    // jobs regardless of k; counted through a listener around a
+    // seeding-only fit (iters = 0).
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val seeds = KMeans.fit(corpus, "cid", "cvec", k = 16, iters = 0)
+      assert(seeds.count() == 16)
+      Thread.sleep(2000) // listener events post asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // seeding's sample job + the seeds count() action's job(s)
+    assert(counter.get() <= 5,
+      s"seeding launched ${counter.get()} jobs — scans should not scale with k")
+  }
+
   test("refinement improves the within-cell cosine objective") {
     def meanSim(cents: DataFrame): Double =
       KMeans.assignCells(corpus, "cid", "cvec", cents)

@@ -109,6 +109,30 @@ class PlanSpec extends AnyFunSuite {
       "operator should shuffle exactly once, on the group keys")
   }
 
+  test("q07: the window-idiom top-k is REWRITTEN to the heap node by the optimizer rule") {
+    // q07 is written as filter(row_number().over(...) <= 3) — the SQL
+    // idiom every user query uses. WindowTopKRewrite must hand it the
+    // same bounded-heap plan the bespoke q87 API gets: no Window, no
+    // per-group sort of the fact table (VERDICT r4 item 2).
+    val p = plan("q07_top_orders_per_customer")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"optimizer rule did not fire:\n${p.take(600)}")
+    assert(!p.contains("Window"), "window encoding survived the rewrite")
+    // the one range exchange on top belongs to the query's global
+    // orderBy; the operator itself shuffles once, on the group keys
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "rewritten operator should shuffle exactly once, on the group keys")
+  }
+
+  test("q40/q54: keep-first dedup (rn = 1) also plans through the heap node") {
+    // the rewrite folds the row_number()=1 idiom to a k=1 heap — every
+    // keep-first dedup in the engine stops sorting its groups
+    val p = plan("q54_dedup_keep_first")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"keep-first dedup still uses the window encoding:\n${p.take(600)}")
+    assert(!p.contains("Window"), "window encoding survived the rewrite")
+  }
+
   test("q84: mix targets broadcast to the corpus — the doc table never shuffles on lang") {
     val p = plan("q84_temperature_mix")
     assert(p.contains("BroadcastHashJoin"), "stratum-target join is not broadcast")

@@ -188,6 +188,48 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("stream-stream watermarked join: click attribution equals the batch join") {
+    import graft.streaming.ClickAttribution
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ss_join_spec")
+    deleteRec(root)
+    val viewsDir = root.resolve("views"); val clicksDir = root.resolve("clicks")
+    val outDir = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    Files.createDirectories(viewsDir); Files.createDirectories(clicksDir)
+
+    // fixture exercises every edge of the 10-minute window: a click
+    // matching one of two same-ad views, a boundary-exact click, a
+    // click past the window, and a click with no view at all
+    def jline(id: Long, field: String, ts: String) =
+      s"""{"ad_id":$id,"$field":"$ts"}"""
+    Files.writeString(viewsDir.resolve("v1.json"), Seq(
+      jline(1, "view_time", "2024-03-01 10:00:00"),
+      jline(1, "view_time", "2024-03-01 10:30:00"),
+      jline(2, "view_time", "2024-03-01 10:00:00")).mkString("\n"))
+    Files.writeString(viewsDir.resolve("v2.json"),
+      jline(3, "view_time", "2024-03-01 10:00:00"))
+    Files.writeString(clicksDir.resolve("c1.json"), Seq(
+      jline(1, "click_time", "2024-03-01 10:05:00"), // → the 10:00 view only
+      jline(1, "click_time", "2024-03-01 10:40:00"), // → the 10:30 view only
+      jline(2, "click_time", "2024-03-01 10:10:00")).mkString("\n")) // boundary: kept
+    Files.writeString(clicksDir.resolve("c2.json"), Seq(
+      jline(3, "click_time", "2024-03-01 10:20:00"), // past the window: dropped
+      jline(4, "click_time", "2024-03-01 10:01:00")).mkString("\n")) // no view
+
+    // batch ground truth through the SAME transform
+    val batchViews = spark.read.schema(ClickAttribution.viewSchema).json(viewsDir.toString)
+    val batchClicks = spark.read.schema(ClickAttribution.clickSchema).json(clicksDir.toString)
+    val expected = ClickAttribution.attribute(batchViews, batchClicks)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.size == 3, s"fixture should attribute 3 clicks: $expected")
+
+    ClickAttribution.runAvailableNow(spark, viewsDir.toString, clicksDir.toString,
+      outDir.toString, ckpt.toString)
+    val got = spark.read.parquet(outDir.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected, s"stream-stream join diverged from batch:\n$got\n$expected")
+    deleteRec(root)
+  }
+
   test("live ProcessingTime ingest: dedup state spans micro-batches as shards arrive") {
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_live_ingest_spec")
     deleteRec(root)

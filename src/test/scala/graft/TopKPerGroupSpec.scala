@@ -47,4 +47,74 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  // ---- WindowTopKRewrite: the optimizer-rule path ----------------------
+  // The genuine window plan is recovered by excluding the rule, so the
+  // comparisons below are heap-vs-window, not heap-vs-heap.
+
+  private def withRuleExcluded[T](body: => T): T = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.WindowTopKRewrite")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("rewrite preserves the rank column's values exactly") {
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"id", $"g", $"v", $"rn")
+    }
+    val rewritten = q
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerGroupFinal"),
+      "rule did not fire on the rank-kept shape")
+    val viaWin = withRuleExcluded {
+      val r = q
+      assert(r.queryExecution.executedPlan.toString.contains("Window"),
+        "exclusion failed — comparison would be heap-vs-heap")
+      r.collect().toSet
+    }
+    assert(rewritten.collect().toSet == viaWin)
+  }
+
+  test("residual predicates on the rank survive the rewrite (pagination)") {
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5 && $"rn" >= 2 && $"id" % 2 === 0)
+        .select($"id", $"g", $"v", $"rn")
+    }
+    val rewritten = q
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerGroupFinal"))
+    val viaWin = withRuleExcluded(q.collect().toSet)
+    assert(rewritten.collect().toSet == viaWin)
+  }
+
+  test("rn = 1 (keep-first idiom) rewrites to a k=1 heap") {
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"id", $"g", $"v")
+    }
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal") && !p.contains("Window"))
+    val viaWin = withRuleExcluded(q.collect().toSet)
+    assert(q.collect().toSet == viaWin)
+  }
+
+  test("shapes the rule cannot bound are left on the window plan, untouched") {
+    // no upper bound on the rank — nothing to rewrite to
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      df.withColumn("rn", row_number().over(w)).filter($"rn" >= 2)
+        .select($"id", $"g", $"rn")
+    }
+    assert(q.queryExecution.executedPlan.toString.contains("Window"))
+    val viaWin = withRuleExcluded(q.collect().toSet)
+    assert(q.collect().toSet == viaWin)
+  }
 }
