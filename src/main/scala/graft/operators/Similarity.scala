@@ -165,6 +165,26 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** EXACT embedding near-duplicate pairs — the all-pairs oracle tier
+    * (q53's operator, also the ground truth every LSH tier is
+    * spec-measured against). Deliberately quadratic: at thresholds
+    * below ~0.7 no signature family can keep the exact pair set AND
+    * prune (see [[cosineNearDupPairsBanded]]'s scaladoc); production
+    * dedup thresholds use the banded tier. The explicit repartition
+    * keeps the pair expansion parallel from a single-file scan. */
+  def cosineNearDupPairsExact(vecs: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
+    val e = vecs
+      .select(col(idCol).as("_id"), toDoubleVec(col(vecCol)).as("_v"))
+      .repartition(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val a = e.select(col("_id").as("idA"), col("_v").as("_vA"))
+    val b = e.select(col("_id").as("idB"), col("_v").as("_vB"))
+    a.join(b, col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        round(cosineFast(col("_vA"), col("_vB")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs
     * sharing an LSH bucket (the scalable form of "embedding-cosine
     * near-dup" dedup). */

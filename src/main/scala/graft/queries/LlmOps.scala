@@ -41,11 +41,6 @@ object LlmOps {
   private val pairsDirBySession = new graft.sources.SessionMemo[String]
   private def exactPairsMaterialized(s: SparkSession, d: String): DataFrame = {
     val dir = pairsDirBySession.getOrElseCompute(s, d) {
-      val e = emb(s, d)
-        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      val a = e.select(col("vec_id").as("idA"), col("v").as("vA"))
-      val b = e.select(col("vec_id").as("idB"), col("v").as("vB"))
       // process-owned temp dir, reclaimed at JVM exit like
       // SourceFormats.tmp — without the hook, repeated runs accumulate
       // O(n²)-derived pair parquet in the tmpdir (ADVICE r4). Timing
@@ -60,10 +55,7 @@ object LlmOps {
           java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
             .forEach(f => java.nio.file.Files.delete(f))
       }
-      a.join(b, col("idA") < col("idB"))
-        .select(col("idA"), col("idB"),
-          round(cosineFast(col("vA"), col("vB")), 6).as("sim"))
-        .filter(col("sim") >= 0.4)
+      Similarity.cosineNearDupPairsExact(emb(s, d), "vec_id", "embedding", 0.4)
         .write.mode("overwrite").parquet(out)
       out
     }
@@ -1054,5 +1046,33 @@ object LlmOps {
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85, q86, q90, q91)
+      q75, q84, q85, q86, q90, q91, q93)
+
+  // ---- q93: the SQL (table-function) surface for near-dup mining ------
+  // The exact-tier pair miner reached entirely through SQL: the
+  // injected `cosine_near_dup` TVF resolves the registered table and
+  // plans the same operator composition the Scala API builds. The
+  // production-threshold twin (`cosine_near_dup_banded`) is registered
+  // alongside; the exact tier is the one a deterministic oracle can
+  // replay (see exactPairsMaterialized's scaladoc for why low-threshold
+  // fixtures cannot be pruned by any signature family).
+
+  private val q93 = GraftQuery(
+    "q93_sql_near_dup",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT idA, idB, sim
+        FROM cosine_near_dup('embeddings', 'vec_id', 'embedding', 0.4)
+        ORDER BY idA, idB""")
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT ia AS "idA", ib AS "idB", sim FROM p
+      WHERE sim >= 0.4 ORDER BY ia, ib"""))
 }

@@ -380,6 +380,29 @@ object Relational3 {
         FROM orders)
       WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
+  // ---- q92: the SQL (table-valued-function) surface for top-k --------
+  // Same semantics as q87, reached entirely through SQL: the injected
+  // `topk_per_group` TVF (GraftExtensions) plans the native heap node
+  // from a plain SELECT — the Athena-layer user never touches Scala.
+  // Oracle is the row_number formulation again; PlanSpec pins that
+  // this SQL path gets the same heap plan as the DataFrame API.
+
+  private val q92 = GraftQuery(
+    "q92_sql_topk",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+        FROM topk_per_group('orders', 'o_custkey',
+                            'o_totalprice DESC, o_orderkey', 3)
+        ORDER BY o_custkey, o_orderkey""")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87)
+    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92)
 }

@@ -12,4 +12,22 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-bind a MATERIALIZED DataFrame (localCheckpoint'd — its
+    * `toRdd` is pinned blocks, not a re-derivation) to another session
+    * sharing the same SparkContext, keeping rows in InternalRow form.
+    * The public alternative (`target.createDataFrame(df.rdd, schema)`)
+    * deserializes every row to a GenericRow and re-encodes it — a
+    * per-row round trip that costs real time on every downstream scan
+    * of the frame. Used by the iterative operators that run their
+    * fixpoint loop on a conf-scoped child session. */
+  def rebind(df: DataFrame, target: SparkSession): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      ds.queryExecution.analyzed.output, ds.queryExecution.toRdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, isStreaming = false, None)(
+      target.asInstanceOf[classic.SparkSession], None, None)
+    classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession], plan)
+  }
 }

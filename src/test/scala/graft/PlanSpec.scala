@@ -124,6 +124,13 @@ class PlanSpec extends AnyFunSuite {
       "rewritten operator should shuffle exactly once, on the group keys")
   }
 
+  test("q92: the SQL table-function surface plans the same heap node as the API") {
+    val p = plan("q92_sql_topk")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"TVF did not plan the native operator:\n${p.take(600)}")
+    assert(!p.contains("Window"), "TVF fell back to the window encoding")
+  }
+
   test("q40/q54: keep-first dedup (rn = 1) also plans through the heap node") {
     // the rewrite folds the row_number()=1 idiom to a k=1 heap — every
     // keep-first dedup in the engine stops sorting its groups

@@ -106,6 +106,30 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(q.collect().toSet == viaWin)
   }
 
+  test("topk_per_group TVF: SQL path matches the DataFrame API rows") {
+    df.createOrReplaceTempView("tvf_spec_t")
+    val viaSql = spark.sql(
+      """SELECT id, g, v FROM topk_per_group('tvf_spec_t', 'g', 'v DESC, id', 4)""")
+    assert(viaSql.queryExecution.executedPlan.toString.contains("TopKPerGroupFinal"))
+    val viaApi = TopKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k = 4)
+      .select($"id", $"g", $"v")
+    assert(viaSql.collect().toSet == viaApi.collect().toSet)
+  }
+
+  test("topk_per_group TVF rejects non-literal or malformed arguments clearly") {
+    df.createOrReplaceTempView("tvf_spec_t")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM topk_per_group('tvf_spec_t', 'g', 'v')").collect()
+    }
+    assert(e1.getMessage.contains("topk_per_group") ||
+      e1.getMessage.contains("usage"), e1.getMessage.take(200))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM topk_per_group('tvf_spec_t', 'g', 'v', 0)").collect()
+    }
+    assert(e2.getMessage.contains("positive") || e2.getMessage.contains("k"),
+      e2.getMessage.take(200))
+  }
+
   test("shapes the rule cannot bound are left on the window plan, untouched") {
     // no upper bound on the rank — nothing to rewrite to
     def q = {
