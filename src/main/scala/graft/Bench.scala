@@ -78,8 +78,11 @@ object Bench {
     val (canAfter, ck2) = canary()
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val best = results.collect { case (k, Some(a), b) => (k, math.min(a, b.getOrElse(a))) }
-    val firstRun = results.collect { case (k, Some(a), _) => (k, a) }
+    // a query is either healthy (both passes timed) or failed — never
+    // both: a pass-2 crash must not leave a pass-1 time in `queries`
+    // making the battery look complete
+    val best = results.collect { case (k, Some(a), Some(b)) => (k, math.min(a, b)) }
+    val firstRun = results.collect { case (k, Some(a), Some(_)) => (k, a) }
     val failed = results.collect { case (k, a, b) if a.isEmpty || b.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = best.map(_._2).sum

@@ -35,14 +35,22 @@ object ClickAttribution {
 
   /** Clicks attributed to the view(s) they followed within
     * `windowMinutes`. Works unchanged on batch or streaming inputs;
-    * streaming callers must watermark both sides first. */
+    * streaming callers must watermark both sides first.
+    *
+    * `joinType = "left_outer"` additionally emits every UNMATCHED view
+    * with a null click — under streaming, Spark holds such a view in
+    * state until the watermark passes `view_time + window` (only then
+    * is "no click arrived" decidable) and emits the null row on a
+    * subsequent trigger; the spec drives that with a restart. */
   def attribute(views: DataFrame, clicks: DataFrame,
-                windowMinutes: Int = 10): DataFrame =
+                windowMinutes: Int = 10,
+                joinType: String = "inner"): DataFrame =
     views.join(clicks,
       views("ad_id") === clicks("ad_id") &&
         clicks("click_time") >= views("view_time") &&
         clicks("click_time") <=
-          views("view_time") + expr(s"INTERVAL $windowMinutes MINUTES"))
+          views("view_time") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(views("ad_id"), views("view_time"), clicks("click_time"))
 
   /** Drain the two file-source streams through [[attribute]] into
@@ -50,12 +58,13 @@ object ClickAttribution {
   def runAvailableNow(spark: SparkSession, viewsDir: String, clicksDir: String,
                       outDir: String, checkpointDir: String,
                       windowMinutes: Int = 10,
-                      watermarkDelay: String = "30 minutes"): Unit = {
+                      watermarkDelay: String = "30 minutes",
+                      joinType: String = "inner"): Unit = {
     val views = spark.readStream.schema(viewSchema).json(viewsDir)
       .withWatermark("view_time", watermarkDelay)
     val clicks = spark.readStream.schema(clickSchema).json(clicksDir)
       .withWatermark("click_time", watermarkDelay)
-    val q = attribute(views, clicks, windowMinutes)
+    val q = attribute(views, clicks, windowMinutes, joinType)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -230,6 +230,58 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched views emit nulls once the watermark decides") {
+    import graft.streaming.ClickAttribution
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ss_outer_spec")
+    deleteRec(root)
+    val viewsDir = root.resolve("views"); val clicksDir = root.resolve("clicks")
+    val outDir = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    Files.createDirectories(viewsDir); Files.createDirectories(clicksDir)
+    def jline(id: Long, field: String, ts: String) =
+      s"""{"ad_id":$id,"$field":"$ts"}"""
+
+    // phase 1: one matched view, one never-clicked view
+    Files.writeString(viewsDir.resolve("v1.json"), Seq(
+      jline(1, "view_time", "2024-03-01 10:00:00"),
+      jline(9, "view_time", "2024-03-01 10:00:00")).mkString("\n")) // no click ever
+    Files.writeString(clicksDir.resolve("c1.json"),
+      jline(1, "click_time", "2024-03-01 10:05:00"))
+    ClickAttribution.runAvailableNow(spark, viewsDir.toString, clicksDir.toString,
+      outDir.toString, ckpt.toString, joinType = "left_outer")
+    // ad 9's fate is UNDECIDABLE at watermark 10:05-30min — it must
+    // still be absent, not emitted with a premature null
+    val phase1 = spark.read.parquet(outDir.toString).collect()
+    assert(phase1.map(_.getLong(0)).toSet == Set(1L),
+      s"outer result emitted before the watermark could decide: ${phase1.toSeq}")
+
+    // phase 2 (restart on the same checkpoint): late traffic on BOTH
+    // streams — the global watermark is the MIN across all watermarked
+    // inputs, so a late click alone leaves the view-side watermark
+    // (and with it the join's eviction clock) parked at phase 1.
+    // After this batch commits, watermark = 13:00−30min = 12:30, far
+    // past ad 9's view_time + window ⇒ "no click arrived" is provable.
+    Files.writeString(viewsDir.resolve("v2.json"),
+      jline(7, "view_time", "2024-03-01 13:00:00"))
+    Files.writeString(clicksDir.resolve("c2.json"),
+      jline(8, "click_time", "2024-03-01 13:05:00"))
+    ClickAttribution.runAvailableNow(spark, viewsDir.toString, clicksDir.toString,
+      outDir.toString, ckpt.toString, joinType = "left_outer")
+    // a batch USES the watermark its predecessor committed, so the
+    // eviction runs one drain later — and an AvailableNow restart with
+    // no new files runs no batch at all, so ship one more click
+    Files.writeString(clicksDir.resolve("c3.json"),
+      jline(8, "click_time", "2024-03-01 13:06:00"))
+    ClickAttribution.runAvailableNow(spark, viewsDir.toString, clicksDir.toString,
+      outDir.toString, ckpt.toString, joinType = "left_outer")
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, Some("2024-03-01 10:05:00.0")),
+      (9L, None)),
+      s"left-outer stream-stream join diverged: $got")
+    deleteRec(root)
+  }
+
   test("live ProcessingTime ingest: dedup state spans micro-batches as shards arrive") {
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_live_ingest_spec")
     deleteRec(root)
