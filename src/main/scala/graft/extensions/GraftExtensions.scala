@@ -46,20 +46,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Scala):  SELECT * FROM topk_per_group('orders', 'o_custkey',
     //                       'o_totalprice DESC, o_orderkey', 3)
     // Args must be literals (table name, comma-separated group cols,
-    // comma-separated order items with optional ASC/DESC, k). The
-    // builder emits the UNRESOLVED logical node — the analyzer
-    // resolves the relation and the attribute references exactly as
-    // it does for any FROM-clause table.
+    // comma-separated order items with optional ASC/DESC, k, and an
+    // optional 5th arg naming a rank output column — the row_number
+    // equivalent, emitted by the heap's final phase). The builder
+    // emits the UNRESOLVED logical node — the analyzer resolves the
+    // relation and the attribute references exactly as it does for
+    // any FROM-clause table.
     ext.injectTableFunction((
       new FunctionIdentifier("topk_per_group"),
       new ExpressionInfo(classOf[graft.plans.TopKPerGroup].getName,
         "topk_per_group"),
       (children: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-        import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Literal, SortOrder}
+        import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Literal, SortOrder}
         import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-        require(children.size == 4,
-          "usage: topk_per_group(table, group_cols, order_spec, k)")
+        require(children.size == 4 || children.size == 5,
+          "usage: topk_per_group(table, group_cols, order_spec, k[, rank_col])")
         def str(e: Expression, what: String): String = e match {
           case Literal(s, StringType) if s != null => s.toString
           case other => throw new IllegalArgumentException(
@@ -86,8 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"topk_per_group: k must be an integer literal, got $other")
         }
+        val rankFor = children.drop(4).headOption.map(e =>
+          AttributeReference(str(e, "rank_col"), IntegerType,
+            nullable = false)())
         graft.plans.TopKPerGroup(groups.toIndexedSeq, order.toIndexedSeq, k,
-          UnresolvedRelation(table))
+          UnresolvedRelation(table), rankFor)
       }))
     // Near-dup pair mining from SQL. These builders resolve the table
     // through the ACTIVE session (set for the analysis thread by

@@ -391,12 +391,15 @@ object Relational3 {
     "q92_sql_topk",
     (s, d) => {
       Tables.registerAllOnce(s, d)
-      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+      // the optional 5th arg asks the heap's final phase to emit the
+      // row_number-equivalent rank — oracled against the real thing
+      s.sql("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn,
+               o_orderkey, o_totalprice
         FROM topk_per_group('orders', 'o_custkey',
-                            'o_totalprice DESC, o_orderkey', 3)
+                            'o_totalprice DESC, o_orderkey', 3, 'rn')
         ORDER BY o_custkey, o_orderkey""")
     },
-    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice DESC, o_orderkey) AS rn

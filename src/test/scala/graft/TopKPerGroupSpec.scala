@@ -106,6 +106,27 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(q.collect().toSet == viaWin)
   }
 
+  test("rewrite matches the window encoding under NULL order values") {
+    // null ordering is where a custom comparator classically diverges
+    // from row_number: SortOrder's NULLS FIRST/LAST contract must
+    // carry into the heap's RowOrdering for both directions
+    val withNulls = df.withColumn("vn",
+      when($"id" % 7 === 0, lit(null)).otherwise($"v"))
+    for (desc <- Seq(true, false)) {
+      def q = {
+        val ord = if (desc) $"vn".desc else $"vn".asc
+        val w = Window.partitionBy($"g").orderBy(ord, $"id")
+        withNulls.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+          .select($"id", $"g", $"vn", $"rn")
+      }
+      val rewritten = q
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("TopKPerGroupFinal"), s"rule did not fire (desc=$desc)")
+      val viaWin = withRuleExcluded(q.collect().toSet)
+      assert(rewritten.collect().toSet == viaWin, s"null-order divergence at desc=$desc")
+    }
+  }
+
   test("topk_per_group TVF: SQL path matches the DataFrame API rows") {
     df.createOrReplaceTempView("tvf_spec_t")
     val viaSql = spark.sql(
@@ -114,6 +135,19 @@ class TopKPerGroupSpec extends AnyFunSuite {
     val viaApi = TopKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k = 4)
       .select($"id", $"g", $"v")
     assert(viaSql.collect().toSet == viaApi.collect().toSet)
+  }
+
+  test("topk_per_group TVF: optional rank_col arg emits row_number-equal ranks") {
+    df.createOrReplaceTempView("tvf_spec_t")
+    val viaSql = spark.sql(
+      """SELECT id, g, v, rnk
+         FROM topk_per_group('tvf_spec_t', 'g', 'v DESC, id', 4, 'rnk')""")
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val viaWin = withRuleExcluded {
+      df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 4)
+        .select($"id", $"g", $"v", $"rnk").collect().toSet
+    }
+    assert(viaSql.collect().toSet == viaWin)
   }
 
   test("topk_per_group TVF rejects non-literal or malformed arguments clearly") {
