@@ -86,8 +86,10 @@ object Bench {
     val failed = results.collect { case (k, a, b) if a.isEmpty || b.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = best.map(_._2).sum
+    // the checksum anchors the loop against dead-code elimination; the
+    // two runs compute the same value, so one suffices in the artifact
     val canaryJson =
-      s"""{"before_sec":$canBefore,"after_sec":$canAfter,"checksum":${ck1 ^ ck2}}"""
+      s"""{"before_sec":$canBefore,"after_sec":$canAfter,"checksum":${ck1 == ck2}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"first_run":${jmap(firstRun)},"canary":$canaryJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)

@@ -64,6 +64,13 @@ object KMeans {
     val vecs: Array[Array[Double]] =
       sample.map(_.getSeq[Double](0).toArray)
     val n = vecs.length
+    if (n == 0) {
+      // empty corpus → empty centroid set (fit's loop and assignCells
+      // both tolerate it), not an index crash below
+      val spark0 = pts.sparkSession
+      import spark0.implicits._
+      return Seq.empty[(Int, Seq[Double])].toDF("cell", "centroid")
+    }
     val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
     def cos(a: Int, b: Int): Double = {
       val va = vecs(a); val vb = vecs(b)

@@ -36,7 +36,11 @@ object AtomicCache {
     if (!isCommitted(dir)) {
       val staging = Paths.get(dir.toString +
         s"_stg_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      write(staging.toString)
+      // a writer that dies mid-staging must not leave the partial
+      // staging dir behind (it is process-unique, so nothing else
+      // would ever reclaim it)
+      try write(staging.toString)
+      catch { case e: Throwable => deleteRec(staging); throw e }
       try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |

@@ -51,6 +51,22 @@ class AtomicCacheSpec extends AnyFunSuite {
     assert(Files.exists(dir.resolve("_SUCCESS")))
   }
 
+  test("a writer that throws leaves neither the target nor its staging dir") {
+    val dir = freshTarget()
+    val boom = intercept[RuntimeException] {
+      AtomicCache.materialize(dir) { staging =>
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(staging).resolve("data"), "partial")
+        throw new RuntimeException("writer died mid-staging")
+      }
+    }
+    assert(boom.getMessage.contains("mid-staging"))
+    assert(!Files.exists(dir))
+    val leftovers = dir.getParent.toFile.listFiles
+      .map(_.getName).filter(_.startsWith(dir.getFileName.toString))
+    assert(leftovers.isEmpty, s"staging leaked: ${leftovers.toSeq}")
+  }
+
   test("losing a publish race discards the staging copy and keeps the winner") {
     val dir = freshTarget()
     // the loser's writer publishes the winner's copy mid-write, before

@@ -42,6 +42,11 @@ class KMeansSpec extends AnyFunSuite {
   private lazy val queries: DataFrame =
     corpus.limit(8).select($"cid".as("qid"), $"cvec".as("qvec"))
 
+  test("an empty corpus yields an empty centroid set, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(KMeans.fit(empty, "id", "v", k = 4, iters = 0).count() == 0)
+  }
+
   test("seeding runs a bounded number of jobs — not one scan per seed (k=16)") {
     // VERDICT r4 item 3: the old farthest-first loop launched k−1
     // full-corpus jobs. The bounded-sample form must stay ≤5 Spark
