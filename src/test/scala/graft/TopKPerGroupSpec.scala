@@ -164,6 +164,36 @@ class TopKPerGroupSpec extends AnyFunSuite {
       e2.getMessage.take(200))
   }
 
+  test("property: rewrite equals the window encoding across random shapes") {
+    // seeded sweep over group cardinality × k × direction mix × null
+    // density — the rule is a GLOBAL optimizer change, so its
+    // equivalence deserves more than hand-picked fixtures
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 8) {
+      val nGroups = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(5)
+      val desc = rnd.nextBoolean()
+      val nullEvery = 2 + rnd.nextInt(8)
+      val data = (0 until 400).map { i =>
+        (i.toLong, rnd.nextInt(nGroups),
+          if (rnd.nextInt(nullEvery) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(40).toDouble))
+      }.toDF("id", "g", "v")
+      def q = {
+        val ord = if (desc) $"v".desc else $"v".asc
+        val w = Window.partitionBy($"g").orderBy(ord, $"id")
+        data.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+          .select($"id", $"g", $"v", $"rn")
+      }
+      val rewritten = q
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("TopKPerGroupFinal"), s"rule missed trial $trial")
+      val viaWin = withRuleExcluded(q.collect().toSet)
+      assert(rewritten.collect().toSet == viaWin,
+        s"divergence at trial=$trial nGroups=$nGroups k=$k desc=$desc")
+    }
+  }
+
   test("shapes the rule cannot bound are left on the window plan, untouched") {
     // no upper bound on the rank — nothing to rewrite to
     def q = {
