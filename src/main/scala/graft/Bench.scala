@@ -38,6 +38,24 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, acc)
   }
 
+  /** Parallel twin of [[canary]] (r6): 8 threads spinning the same
+    * fixed work concurrently. The single-thread canary can read clean
+    * on a box whose PARALLEL throughput is degraded (vCPU
+    * oversubscription, host-level throttling — observed r6: canary
+    * ~0.4s while 32-way query stages ran 3-6× slow with load ≈ 2).
+    * Healthy: mt_sec ≈ the single-thread time (true cores run the 8
+    * spins concurrently). Oversubscribed: mt_sec stretches toward 8×
+    * the single-thread time. */
+  private def canaryMt(threads: Int = 8): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => canary())
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +80,7 @@ object Bench {
     // warm up the canary loop itself (JIT compile) before the timed probe
     canary()
     val (canBefore, ck1) = canary()
+    val canMtBefore = canaryMt()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def onePass(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -76,6 +95,7 @@ object Bench {
       (name, first, second)
     }
     val (canAfter, ck2) = canary()
+    val canMtAfter = canaryMt()
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a query is either healthy (both passes timed) or failed — never
@@ -89,7 +109,8 @@ object Bench {
     // the checksum anchors the loop against dead-code elimination; the
     // two runs compute the same value, so one suffices in the artifact
     val canaryJson =
-      s"""{"before_sec":$canBefore,"after_sec":$canAfter,"checksum":${ck1 == ck2}}"""
+      s"""{"before_sec":$canBefore,"after_sec":$canAfter,"checksum":${ck1 == ck2},""" +
+        s""""mt8_before_sec":$canMtBefore,"mt8_after_sec":$canMtAfter}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"first_run":${jmap(firstRun)},"canary":$canaryJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)

@@ -17,6 +17,14 @@ import graft.expressions.{CosineSimilarity, JaccardSimilarity, JaccardSimilarity
   * every graft session factory (GraftSession, Verify, Bench, tests)
   * does.
   */
+object GraftExtensions {
+  /** Row ceiling above which the quadratic `cosine_near_dup` TVF
+    * refuses to plan without an explicit `allow_quadratic` opt-in:
+    * 10k rows ≈ 5·10⁷ candidate pairs, the upper edge of what an
+    * oracle-tier run should ever touch. */
+  val QuadraticTvfRowCeiling: Int = 10000
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -84,7 +92,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         val k = children(3) match {
           case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) => v.toInt
+          case Literal(v: Long, LongType) =>
+            // an unchecked toInt wraps 5000000000L to a negative value
+            // and surfaces as a misleading "k must be positive" from the
+            // plan node (ADVICE r5) — report the real problem instead
+            if (v < 1L || v > Int.MaxValue.toLong)
+              throw new IllegalArgumentException(
+                s"topk_per_group: k must be in [1, ${Int.MaxValue}], got $v")
+            v.toInt
           case other => throw new IllegalArgumentException(
             s"topk_per_group: k must be an integer literal, got $other")
         }
@@ -120,11 +135,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_near_dup"),
       new ExpressionInfo("graft.operators.Similarity", "cosine_near_dup"),
       (children: Seq[Expression]) => {
-        require(children.size == 4,
-          "usage: cosine_near_dup(table, id_col, vec_col, threshold)")
+        require(children.size == 4 || children.size == 5,
+          "usage: cosine_near_dup(table, id_col, vec_col, threshold[, allow_quadratic])")
         val spark = org.apache.spark.sql.SparkSession.active
+        val tableName = strLit(children(0), "table")
+        val df = spark.table(tableName)
+        // Guard rail (VERDICT r5): in Scala the all-pairs tier is a
+        // comment-fenced oracle construct; from SQL nothing but this
+        // check stands between a user and an O(n²) job on a production
+        // table. A bounded limit-count (reads at most ceiling+1 rows)
+        // refuses big inputs loudly; an explicit boolean literal
+        // opts back in for deliberate oracle runs.
+        val allowQuadratic = children.drop(4).headOption.exists {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean,
+              org.apache.spark.sql.types.BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"cosine_near_dup: allow_quadratic must be a boolean literal, got $other")
+        }
+        if (!allowQuadratic) {
+          val ceiling = GraftExtensions.QuadraticTvfRowCeiling
+          if (df.limit(ceiling + 1).count() > ceiling)
+            throw new IllegalArgumentException(
+              s"cosine_near_dup is the exact ALL-PAIRS tier (O(n^2) pairs): " +
+                s"'$tableName' exceeds $ceiling rows. Use " +
+                "cosine_near_dup_banded(table, id_col, vec_col, threshold, dim) " +
+                "for production scale, or opt in explicitly with " +
+                "cosine_near_dup(table, id_col, vec_col, threshold, true)")
+        }
         graft.operators.Similarity.cosineNearDupPairsExact(
-            spark.table(strLit(children(0), "table")),
+            df,
             strLit(children(1), "id_col"), strLit(children(2), "vec_col"),
             numLit(children(3), "threshold"))
           .queryExecution.analyzed

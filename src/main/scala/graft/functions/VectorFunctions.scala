@@ -83,4 +83,26 @@ object VectorFunctions {
     val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** Engine-PORTABLE pseudo-random vectors: component (i, d) is the
+    * uint32 spelled by the first 8 hex chars of md5("tag:i:d"), mapped
+    * to [-1, 1) by u/2³²·2−1 — every step exact in IEEE doubles, so
+    * ANY engine with md5 rebuilds bit-identical planes/centroids (the
+    * same portability trick as the synthetic order generator,
+    * SyntheticOrderSource:15). This is what lets q46/q55 oracle the
+    * FULL ANN operators in DuckDB — signature bucketing, probing, cell
+    * assignment, ranking — rather than only their exact tiers: the
+    * "randomness" is part of the replayed spec. Uniform cube
+    * components instead of gaussians costs rotation invariance, which
+    * sign-LSH and IVF seeding do not need. */
+  def md5Vectors(n: Int, dim: Int, tag: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { i =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"$tag:$i:$d".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 * 2.0 - 1.0
+      }
+    }
+  }
 }

@@ -343,15 +343,26 @@ object Dedup {
     * empty content is meaningless; route exact duplicates (including
     * empty-vs-empty) through [[exactDedup]], which shuffles them as
     * ordinary group keys instead of expanding pairs. */
+  /** `nBands` trades the banding guarantee against bucket size: a pair
+    * at hamming h < nBands ALWAYS shares a clean band (pigeonhole), so
+    * callers gating on `maxHamming` should pick nBands > maxHamming's
+    * typical hit range — r6: the 4×16 default band-missed real
+    * hamming-6 near-dups (6 flips landed 2+2+1+1). Narrower band keys
+    * mean fuller buckets (n/2^bits per band-bucket), the standard LSH
+    * recall/cost dial. */
   def simhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, minTokens: Int = 1): DataFrame = {
+                      maxHamming: Int = 3, minTokens: Int = 1,
+                      nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val bandBits = 64 / nBands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val sigs = docs
       .select(col(idCol), whitespaceTokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= minTokens)
       .select(col(idCol), simhash(col("_toks")).as("_sim"))
     val banded = sigs.select(col(idCol), col("_sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("_sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("_sim"), b * bandBits).bitwiseAND(lit(bandMask))): _*))
         .as(Seq("_band", "_bkey")))
       .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
         col("_band"), col("_bkey"))

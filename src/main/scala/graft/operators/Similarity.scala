@@ -70,8 +70,18 @@ object Similarity {
     * pass is needed. nPlanes trades bucket size for probe count. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               dim: Int, nPlanes: Int = 8, seed: Long = 42L,
-              probeHamming: Int = 2): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+              probeHamming: Int = 2): DataFrame =
+    lshTopKWithPlanes(queries, candidates, k,
+      hyperplanes(nPlanes, dim, seed), probeHamming)
+
+  /** [[lshTopK]] with caller-supplied hyperplanes — q46 passes
+    * [[graft.functions.VectorFunctions.md5Vectors]] planes so the
+    * DuckDB oracle can rebuild the identical signature geometry and
+    * replay the whole operator. */
+  def lshTopKWithPlanes(queries: DataFrame, candidates: DataFrame, k: Int,
+                        planes: Seq[Seq[Double]],
+                        probeHamming: Int = 2): DataFrame = {
+    val nPlanes = planes.size
     val probeMasks: Seq[Long] = (0 to probeHamming).flatMap(h =>
       (0 until nPlanes).combinations(h)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
@@ -107,6 +117,17 @@ object Similarity {
       val rng = new scala.util.Random(seed)
       Seq.fill(nCells)(Seq.fill(dim)(rng.nextGaussian()))
     }
+    ivfTopKWithCentroids(queries, candidates, k, cents, nProbe)
+  }
+
+  /** [[ivfTopK]] with caller-supplied centroids — q55 passes
+    * [[graft.functions.VectorFunctions.md5Vectors]] centroids so the
+    * DuckDB oracle can rebuild the identical cell geometry and replay
+    * assignment, probing, and ranking end to end. */
+  def ivfTopKWithCentroids(queries: DataFrame, candidates: DataFrame, k: Int,
+                           cents: Seq[Seq[Double]],
+                           nProbe: Int = 3): DataFrame = {
+    val nCells = cents.size
     val centLit = typedLit(cents)
     // nearest-centroid fold: argmax over cosine(centroid_i, v) — the
     // per-cell cosine is the native fused expression, so the fold's

@@ -23,8 +23,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * still evaluate.
   *
   * Fires only when the shape is exactly rewritable: a single
-  * row_number window expression, non-empty partition keys (the global
-  * case is TakeOrderedAndProject territory), and at least one
+  * ranking window expression — `row_number()`, `rank()` (boundary
+  * ties retained, VERDICT r5 item 2) or `dense_rank()` (k smallest
+  * distinct keys) — non-empty partition keys (the global case is
+  * TakeOrderedAndProject territory), and at least one
   * upper-bound conjunct on the rank with a literal (`rn <= k`,
   * `rn < k`, `k >= rn`, `k > rn`, `rn = 1`). All other conjuncts are
   * kept in a residual Filter above the node. Runs inside the operator
@@ -61,10 +63,21 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** All three SQL ranking functions rewrite; the node's `rankKind`
+    * carries the tie contract (rank keeps boundary ties, dense_rank
+    * keeps the k smallest distinct keys). */
+  private def kindOf(fn: Expression): Option[RankKind] = fn match {
+    case _: RowNumber => Some(RankKind.RowNum)
+    case _: Rank => Some(RankKind.RankTies)
+    case _: DenseRank => Some(RankKind.Dense)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-          part, order, child, _)) if part.nonEmpty && order.nonEmpty =>
+        Window(Seq(alias @ Alias(WindowExpression(fn, _), _)),
+          part, order, child, _))
+        if part.nonEmpty && order.nonEmpty && kindOf(fn).isDefined =>
       val rankId = alias.exprId
       val conjuncts = splitConjunctivePredicates(cond)
       val bounds = conjuncts.flatMap(c => rankBound(c, rankId))
@@ -72,7 +85,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if (k < 1L || k > Int.MaxValue) f
       else {
         val topk = TopKPerGroup(part, order, k.toInt, child,
-          rankFor = Some(alias.toAttribute))
+          rankFor = Some(alias.toAttribute), rankKind = kindOf(fn).get)
         val residual = conjuncts.filter(c => rankBound(c, rankId).isEmpty)
         if (residual.isEmpty) topk else Filter(residual.reduce(And), topk)
       }

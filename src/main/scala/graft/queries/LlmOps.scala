@@ -88,42 +88,123 @@ object LlmOps {
       count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
 
-  // ---- q42/q43: MinHash-LSH and SimHash near-dup (rows-only) ----------
+  // ---- q42/q43: MinHash-LSH and SimHash near-dup (oracled r6) ---------
+  // VERDICT r5 item 1: both queries emit an EXACT-verified verdict the
+  // DuckDB oracle replays in full, with the approximate tier serving
+  // as the candidate generator — the production near-dup shape
+  // (candidates are approximate, the emitted decision is exact). The
+  // oracle enumerates ALL qualifying pairs; the Spark side only sees
+  // pairs its LSH surfaced, so ANY recall loss in the signature
+  // machinery (a missed candidate) flips the row hash red on the
+  // driver's board — recall regressions are now driver-visible
+  // instead of spec-only.
 
   private val q42 = GraftQuery(
     "q42_minhash_dedup",
     (s, d) => {
       val dd = docs(s, d)
+      // minhashDupPairs = LSH candidates -> exact word-3-shingle
+      // Jaccard >= 0.5 verification; output decisions derive only from
+      // verified pairs
       val pairs = Dedup.minhashDupPairs(dd, "text", "doc_id", threshold = 0.5)
       val norm = pairs.select(col("idA").as("doc_id"), col("idB").as("other"))
         .union(pairs.select(col("idB").as("doc_id"), col("idA").as("other")))
       val stats = norm.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_candidates"), min(col("other")).as("_min_other"))
+        .agg(count(lit(1)).as("n_dups"), min(col("other")).as("_min_other"))
       dd.select(col("doc_id"))
         .join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           (col("_min_other").isNull || col("_min_other") > col("doc_id")).as("is_kept"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS idA, b.doc_id AS idB
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      norm AS (
+        SELECT idA AS doc_id, idB AS other FROM pairs
+        UNION ALL SELECT idB, idA FROM pairs),
+      stats AS (
+        SELECT doc_id, count(*) AS n_dups, min(other) AS min_other
+        FROM norm GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(s.n_dups, 0) AS n_dups,
+        (s.min_other IS NULL OR s.min_other > d.doc_id) AS is_kept
+      FROM documents d LEFT JOIN stats s USING (doc_id)
+      ORDER BY doc_id"""))
 
   private val q43 = GraftQuery(
     "q43_simhash",
     (s, d) => {
       val dd = docs(s, d)
-      val sigs = dd.select(col("doc_id"),
-        Dedup.simhash(whitespaceTokens(col("text"))).as("simhash"))
-      val pairs = Dedup.simhashDupPairs(dd, "text", "doc_id", maxHamming = 8)
-      val norm = pairs.select(col("idA").as("doc_id"))
-        .union(pairs.select(col("idB").as("doc_id")))
+      // simhash bands (hamming <= 8 over the whitespace-token
+      // signature) generate candidates; the emitted verdict is exact
+      // word-3-shingle Jaccard >= 0.5 — the near-dup predicate (q42's),
+      // sharp where raw token-set overlap is not (probed: ~92k of 125k
+      // pairs clear token-Jaccard 0.5 on this corpus; 25 clear the
+      // shingle form). Docs that similar flip few signature bits, so
+      // the 16-bit-band pigeonhole keeps them in the candidate set —
+      // the oracle makes that recall a standing driver-visible gate.
+      // 8 bands of 8 bits: pigeonhole guarantees any pair at hamming
+      // <= 7 shares a clean band — covers the corpus's near-dups
+      // (probed max hamming 6); the 4x16 default band-missed two
+      val cand = Dedup.simhashDupPairs(dd, "text", "doc_id", maxHamming = 8,
+        nBands = 8)
+      val sh = dd.select(col("doc_id"),
+        array_distinct(wordShingles(whitespaceTokens(col("text")), 3)).as("_sh"))
+      val verified = cand
+        .join(sh.select(col("doc_id").as("idA"), col("_sh").as("_shA")), "idA")
+        .join(sh.select(col("doc_id").as("idB"), col("_sh").as("_shB")), "idB")
+        .filter(size(col("_shA")) > 0 && size(col("_shB")) > 0 &&
+          Dedup.jaccard(col("_shA"), col("_shB")) >= 0.5)
+      val norm = verified.select(col("idA").as("doc_id"))
+        .union(verified.select(col("idB").as("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
-      sigs.join(norm, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
+      dd.select(col("doc_id")).join(norm, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS idA, b.doc_id AS idB
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      norm AS (
+        SELECT idA AS doc_id FROM pairs
+        UNION ALL SELECT idB FROM pairs),
+      stats AS (SELECT doc_id, count(*) AS n_near FROM norm GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(s.n_near, 0) AS n_near
+      FROM documents d LEFT JOIN stats s USING (doc_id)
+      ORDER BY doc_id"""))
 
   // ---- q44: n-gram Jaccard similarity (oracled) -----------------------
   // Char-5-gram Jaccard over all same-source pairs. Scale decisions:
@@ -223,23 +304,93 @@ object LlmOps {
         FROM s) t
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // q46/q55 (oracled r6, VERDICT r5 item 1): the approximate operators
+  // are oracled IN FULL — not just their exact tiers — by making the
+  // "random" geometry engine-portable: hyperplanes/centroids are
+  // md5-derived ([[VectorFunctions.md5Vectors]], the same replay trick
+  // as the synthetic order generator), so the DuckDB oracle rebuilds
+  // the identical planes, signatures, probe sets, cells and rankings.
+  // A regression anywhere in the ANN machinery — bucketing, probe
+  // expansion, cell argmax, tie-breaks — flips the row hash red.
+
   private val q46 = GraftQuery(
     "q46_ann_lsh",
     (s, d) =>
-      Similarity.lshTopK(queryVecs(s, d), candVecs(s, d), k = 5,
-        dim = 64, nPlanes = 4)
+      Similarity.lshTopKWithPlanes(queryVecs(s, d), candVecs(s, d), k = 5,
+        planes = md5Vectors(4, 64, "plane"), probeHamming = 2)
         .orderBy(col("qid"), col("rank")),
-    None)
+    Some("""WITH planes AS (
+        SELECT p.p AS p, list(
+            CAST(concat('0x', substring(md5('plane:'||p.p||':'||d.d), 1, 8)) AS BIGINT)
+              / 4294967296.0 * 2 - 1 ORDER BY d.d) AS pv
+        FROM generate_series(0, 3) p(p), generate_series(0, 63) d(d)
+        GROUP BY p.p),
+      sigs AS (
+        SELECT e.vec_id,
+          sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pv) >= 0
+              THEN (1 << pl.p) ELSE 0 END) AS sig
+        FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+      masks(m) AS (VALUES (0),(1),(2),(4),(8),(3),(5),(6),(9),(10),(12)),
+      qs AS (
+        SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv,
+          xor(s.sig, m.m) AS psig
+        FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+        CROSS JOIN masks m WHERE e.vec_id < 10),
+      cands AS (
+        SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv, s.sig
+        FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id),
+      scored AS (
+        SELECT q.qid, c.cid,
+          round(list_dot_product(q.qv, c.cv) /
+            (sqrt(list_dot_product(q.qv, q.qv)) *
+             sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM qs q JOIN cands c ON c.sig = q.psig AND c.cid <> q.qid)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM scored) t
+      WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  // IVF tier of ANN (rows-only like q46; recall vs the exact tier is
-  // asserted in SimilaritySpec, and grows monotonically with nProbe).
+  // IVF tier of ANN, oracled the same way: md5-derived centroids make
+  // cell assignment (argmax cosine, lowest-cell tie-break), the
+  // nProbe=4 probe ranking, and the within-cell top-5 all
+  // DuckDB-replayable.
   private val q55 = GraftQuery(
     "q55_ann_ivf",
     (s, d) =>
-      Similarity.ivfTopK(queryVecs(s, d), candVecs(s, d), k = 5,
-        dim = 64, nCells = 16, nProbe = 4)
+      Similarity.ivfTopKWithCentroids(queryVecs(s, d), candVecs(s, d), k = 5,
+        cents = md5Vectors(16, 64, "cent"), nProbe = 4)
         .orderBy(col("qid"), col("rank")),
-    None)
+    Some("""WITH cents AS (
+        SELECT c.c AS c, list(
+            CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d), 1, 8)) AS BIGINT)
+              / 4294967296.0 * 2 - 1 ORDER BY d.d) AS cv
+        FROM generate_series(0, 15) c(c), generate_series(0, 63) d(d)
+        GROUP BY c.c),
+      vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, c,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+        FROM (SELECT t.vec_id, t.v, k.c,
+                list_dot_product(t.v, k.cv) /
+                  (sqrt(list_dot_product(t.v, t.v)) *
+                   sqrt(list_dot_product(k.cv, k.cv))) AS sim
+              FROM vecs t CROSS JOIN cents k)),
+      cells AS (SELECT vec_id, v, c AS cell FROM ranked WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, c AS cell
+        FROM ranked WHERE rn <= 4 AND vec_id < 10),
+      scored AS (
+        SELECT p.qid, ce.vec_id AS cid,
+          round(list_dot_product(p.qv, ce.v) /
+            (sqrt(list_dot_product(p.qv, p.qv)) *
+             sqrt(list_dot_product(ce.v, ce.v))), 6) AS sim
+        FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM scored) t
+      WHERE rank <= 5 ORDER BY qid, rank"""))
 
   // ---- q47–q50: text analysis -----------------------------------------
 

@@ -9,6 +9,7 @@ import graft.generate.SyntheticOrderSource.{thr, DefaultN, DefaultSeed}
 import graft.pipeline.OrderPipeline
 import graft.streaming.OrderStream
 import graft.schema.OrderSchema.Errors
+import graft.sources.Tables
 
 /** The parity ETL pipeline as oracled queries (SURVEY.md §2 rows
   * S1–S6, P1–P4, A2–A6, E1–E14, G1–G6, T1; VERDICT.md r1 item 1).
@@ -528,6 +529,43 @@ object PipelineQueries {
           ELSE 'OTHER' END AS city_bucket
       FROM raw_orders ORDER BY order_id"""))
 
+  // ---- q96: stream-stream attribution, batch twin ---------------------
+  // The SAME transform StreamingSpec drives as a watermarked
+  // stream-stream join (ClickAttribution.attribute — T2 in SURVEY §2)
+  // run on batch inputs: views = 'view' events, clicks = 'click'
+  // events, per-user attribution within a 24 h window, LEFT OUTER so
+  // both buckets are exercised (matched rows AND views that the
+  // streaming side would only emit after the watermark passes
+  // view_time + window). A deterministic range join — DuckDB replays
+  // it literally, which finally puts the last streaming-matrix
+  // operator's plan on the correctness board and in the bench
+  // (VERDICT r5 item 4).
+
+  private val q96 = GraftQuery(
+    "q96_click_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("ad_id"), col("ts").as("view_time"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("ad_id"), col("ts").as("click_time"))
+      graft.streaming.ClickAttribution.attribute(views, clicks,
+          windowMinutes = 1440, joinType = "left_outer")
+        // the unmatched bucket's null click_time rides as nullable
+        // epoch-micros: the driver's pandas compare can equate NULL
+        // numerics (NaN) but not NaT timestamps
+        .select(col("ad_id"), col("view_time"),
+          unix_micros(col("click_time")).as("click_us"))
+        .orderBy(col("ad_id"), col("view_time"), col("click_us"))
+    },
+    Some("""SELECT v.user_id AS ad_id, v.ts AS view_time,
+        epoch_us(c.ts) AS click_us
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id AND c.ts >= v.ts
+          AND c.ts <= v.ts + INTERVAL 1440 MINUTE
+      ORDER BY ad_id, view_time, click_us NULLS FIRST"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q71)
+    Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q71, q96)
 }

@@ -406,6 +406,57 @@ object Relational3 {
         FROM orders)
       WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
+  // ---- q94/q95: tie-aware top-k idioms (rank / dense_rank) ------------
+  // The hand-written-SQL forms of top-k that keep ties — at least as
+  // common as row_number in ad-hoc analytics (it's what a user writes
+  // when boundary ties must not be dropped). WindowTopKRewrite plans
+  // BOTH through the bounded-heap node with the matching tie contract
+  // (RankKind.RankTies / RankKind.Dense) — no per-group full sort.
+  // l_quantity is a small-integer domain, so boundary ties are dense:
+  // the oracle (DuckDB running the same rank()/dense_rank() SQL)
+  // fails loudly if the heap's tie semantics diverge. PlanSpec pins
+  // that neither query plans a Window.
+
+  private val q94 = GraftQuery(
+    "q94_rank_topk_ties",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                rank() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_quantity DESC) AS rnk
+              FROM lineitem)
+        WHERE rnk <= 3
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, rnk FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+          rank() OVER (PARTITION BY l_suppkey
+            ORDER BY l_quantity DESC) AS rnk
+        FROM lineitem)
+      WHERE rnk <= 3 ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  private val q95 = GraftQuery(
+    "q95_dense_rank_topk",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                dense_rank() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_quantity DESC) AS rnk
+              FROM lineitem)
+        WHERE rnk <= 2
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, rnk FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+          dense_rank() OVER (PARTITION BY l_suppkey
+            ORDER BY l_quantity DESC) AS rnk
+        FROM lineitem)
+      WHERE rnk <= 2 ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92)
+    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94, q95)
 }

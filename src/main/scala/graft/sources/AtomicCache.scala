@@ -48,12 +48,35 @@ object AtomicCache {
              _: java.nio.file.FileSystemException =>
           if (isCommitted(dir)) deleteRec(staging) // lost the race — surplus
           else {
-            deleteRec(dir) // stale partial from a killed run — evict
-            try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.FileSystemException =>
-                deleteRec(staging) // second collision: a racer won the retry
+            // Evict the squatter by renaming it ASIDE, never deleting in
+            // place: between the isCommitted check and an in-place delete
+            // a racer can publish a committed copy, which the delete
+            // would tear out from under a third process's in-flight read
+            // (ADVICE r5). The atomic rename-aside lets us inspect the
+            // evicted dir at leisure — if it turns out to be a racer's
+            // commit we restore it; only a genuinely uncommitted partial
+            // is ever deleted.
+            val evicted = Paths.get(dir.toString +
+              s"_evicted_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+            try Files.move(dir, evicted, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileSystemException => () } // racer evicted it first
+            if (isCommitted(evicted)) {
+              // the squatter had become a committed copy — put it back
+              try Files.move(evicted, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+                  deleteRec(evicted) // a racer re-published meanwhile — equivalent copy is live
+              }
+              deleteRec(staging) // dir committed either way — staging is surplus
+            } else {
+              deleteRec(evicted) // genuinely stale partial, now process-private — safe
+              try Files.move(staging, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+                  deleteRec(staging) // second collision: a racer won the retry
+              }
             }
           }
       }

@@ -101,6 +101,18 @@ object AvroIO {
           w.close()
           fs.delete(finalPath, false) // clear a prior attempt's commit, if any
           committed = fs.rename(tmpPath, finalPath)
+          if (!committed && !fs.exists(finalPath)) {
+            // rename failed AND nothing sits at the final name: this
+            // attempt would otherwise report success while the
+            // partition's data is silently absent (ADVICE r5). The only
+            // benign rename failure is losing the race to a concurrent
+            // attempt that already committed — covered by the exists
+            // check above; anything else must fail the task so Spark
+            // retries it.
+            throw new java.io.IOException(
+              s"AvroIO commit failed: rename($tmpPath -> $finalPath) " +
+                "returned false and no committed file exists")
+          }
         } finally {
           if (!committed) {
             try w.close() catch { case _: Exception => }

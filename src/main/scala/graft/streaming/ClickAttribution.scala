@@ -53,6 +53,23 @@ object ClickAttribution {
       joinType)
       .select(views("ad_id"), views("view_time"), clicks("click_time"))
 
+  /** The SQL face of the same join (r6 stretch: the Athena-layer user
+    * story covers streaming too). With temp views `views(ad_id,
+    * view_time)` and `clicks(ad_id, click_time)` registered —
+    * STREAMING or batch; watermarks ride on the streaming temp views —
+    * `spark.sql(attributionSql())` plans the identical watermarked
+    * stream-stream range join that [[attribute]] builds through the
+    * DataFrame API. StreamingSpec drives this text end-to-end through
+    * an AvailableNow run and pins it row-equal to the batch join. */
+  def attributionSql(windowMinutes: Int = 10): String =
+    s"""SELECT v.ad_id AS ad_id, v.view_time AS view_time,
+       |       c.click_time AS click_time
+       |FROM views v JOIN clicks c
+       |  ON v.ad_id = c.ad_id
+       | AND c.click_time >= v.view_time
+       | AND c.click_time <= v.view_time + INTERVAL $windowMinutes MINUTES
+       |""".stripMargin
+
   /** Drain the two file-source streams through [[attribute]] into
     * parquet at `outDir`, exactly once per file across restarts. */
   def runAvailableNow(spark: SparkSession, viewsDir: String, clicksDir: String,

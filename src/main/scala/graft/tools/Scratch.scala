@@ -26,6 +26,94 @@ object Scratch {
       println(s"$label: n=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
     mode match {
+      case "q" =>
+        // time one registry query: runMain graft.tools.Scratch q <name> [sfDir]
+        val name = args(1)
+        val d = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
+        val fn = graft.SparkEntry.queries(name)
+        for (i <- 1 to 3) time(s"$name-$i")(fn(spark, d).count())
+      case "recall" =>
+        // r6: measure which probe budgets make each approximate tier
+        // EXACT on the sf0.01 verify data — the oracle-greening reshape
+        // (VERDICT r5 item 1) emits exact-verified output, so the
+        // approximate stage must have recall 1.0 there
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions._
+        import graft.functions.VectorFunctions._
+        import graft.operators.{Dedup, Similarity}
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+        val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qvec"))
+        val cs = emb.select(col("vec_id").as("cid"), toDoubleVec(col("embedding")).as("cvec"))
+        val exact = Similarity.bruteForceTopK(qs, cs, 5)
+          .select("qid", "cid").as[(Long, Long)].collect().toSet
+        def recall(df: org.apache.spark.sql.DataFrame): Double = {
+          val got = df.select("qid", "cid").as[(Long, Long)].collect().toSet
+          (exact intersect got).size.toDouble / exact.size
+        }
+        for (ph <- Seq(2, 3))
+          println(s"lsh nPlanes=4 probeHamming=$ph recall=" +
+            recall(Similarity.lshTopK(qs, cs, 5, dim = 64, nPlanes = 4, probeHamming = ph)))
+        for (np <- Seq(4, 6, 8, 10))
+          println(s"ivf nCells=16 nProbe=$np recall=" +
+            recall(Similarity.ivfTopK(qs, cs, 5, dim = 64, nCells = 16, nProbe = np)))
+        // minhash: verified pairs vs the exact word-3-shingle set
+        val sh = docs.select(col("doc_id"),
+          array_distinct(wordShingles(whitespaceTokens(col("text")), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val a = sh.select(col("doc_id").as("idA"), col("sh").as("shA"))
+        val b = sh.select(col("doc_id").as("idB"), col("sh").as("shB"))
+        val exactJac = a.join(b, col("idA") < col("idB"))
+          .withColumn("j", size(array_intersect(col("shA"), col("shB"))).cast("double") /
+            size(array_union(col("shA"), col("shB"))).cast("double"))
+          .filter(col("j") >= 0.5)
+          .select("idA", "idB").as[(Long, Long)].collect().toSet
+        val mh = Dedup.minhashDupPairs(docs, "text", "doc_id", threshold = 0.5)
+          .select("idA", "idB").as[(Long, Long)].collect().toSet
+        println(s"minhash@0.5: exact=${exactJac.size} lsh=${mh.size} " +
+          s"missed=${(exactJac -- mh).size} extra=${(mh -- exactJac).size}")
+        // q43's gate: every exact shingle-jaccard pair must be in the
+        // simhash maxHam=8 candidate set
+        val shCand = Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = 8,
+            nBands = 8)
+          .select("idA", "idB").as[(Long, Long)].collect().toSet
+        println(s"simhash-cands cover shingle-exact: exact=${exactJac.size} " +
+          s"missed=${(exactJac -- shCand).size} candTotal=${shCand.size}")
+        // diagnose the missed pairs: hamming distance and band overlap
+        val missed = (exactJac -- shCand).toSeq
+        if (missed.nonEmpty) {
+          val sigMap = docs.select(col("doc_id"),
+            Dedup.simhash(whitespaceTokens(col("text"))).as("sig"))
+            .as[(Long, Long)].collect().toMap
+          missed.foreach { case (a2, b2) =>
+            val ham = java.lang.Long.bitCount(sigMap(a2) ^ sigMap(b2))
+            val bands = (0 until 4).count(bb =>
+              ((sigMap(a2) >> (bb * 16)) & 0xFFFFL) == ((sigMap(b2) >> (bb * 16)) & 0xFFFFL))
+            println(s"missed pair ($a2,$b2): hamming=$ham sharedBands=$bands")
+          }
+        }
+        // token-set jaccard distribution (for the simhash reshape) +
+        // simhash candidate coverage at each threshold
+        val tk = docs.select(col("doc_id"),
+          array_distinct(whitespaceTokens(col("text"))).as("tk"))
+          .filter(size(col("tk")) > 0)
+        val ta = tk.select(col("doc_id").as("idA"), col("tk").as("tkA"))
+        val tb = tk.select(col("doc_id").as("idB"), col("tk").as("tkB"))
+        val tokPairs = ta.join(tb, col("idA") < col("idB"))
+          .withColumn("j", size(array_intersect(col("tkA"), col("tkB"))).cast("double") /
+            size(array_union(col("tkA"), col("tkB"))).cast("double"))
+        for (th <- Seq(0.5, 0.6, 0.7, 0.8)) {
+          val ex = tokPairs.filter(col("j") >= th)
+            .select("idA", "idB").as[(Long, Long)].collect().toSet
+          for (mham <- Seq(8, 12, 16)) {
+            val cand = Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = mham)
+              .select("idA", "idB").as[(Long, Long)].collect().toSet
+            println(s"simhash tokJac>=$th maxHam=$mham: exact=${ex.size} " +
+              s"candFound=${(ex intersect cand).size} candTotal=${cand.size}")
+          }
+        }
       case "cc" =>
         // clusterReps fixpoint cost on a q63-shaped synthetic graph
         // (~300 shallow clusters + one 30-chain), isolated from IO

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-file regression net over the pinned physical plans (VERDICT
+  * r5 stretch 8). PlanSpec asserts plan PROPERTIES (heap phases
+  * present, no Window, broadcasts); this suite pins the WHOLE
+  * formatted plan, so a Spark version bump or a rule-ordering change
+  * that silently reshapes a plan — reintroducing a sort, dropping a
+  * broadcast, adding an exchange — surfaces as a readable diff even
+  * where no property assertion happens to look.
+  *
+  * Volatile tokens (exprIds, codegen/plan ids, filesystem paths,
+  * runtime statistics) are normalized away; what remains is the
+  * operator tree and its arguments. Regenerate deliberately with
+  * GRAFT_REGOLD=1 after an intentional plan change and review the
+  * diff like code.
+  */
+class GoldenPlanSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private val goldenDir = Paths.get("src/test/resources/golden-plans")
+
+  // the five pinned top-k/heap plans: the DataFrame API node, the
+  // row_number idiom, the SQL TVF surface, the tie-aware rank() idiom,
+  // and the keep-first dedup — every path a user reaches the heap by
+  private val pinned = Seq(
+    "q07_top_orders_per_customer",
+    "q87_native_topk_group",
+    "q92_sql_topk",
+    "q94_rank_topk_ties",
+    "q54_dedup_keep_first")
+
+  private def normalize(p: String): String =
+    p.replaceAll("#\\d+L?", "#N")
+      .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
+      .replaceAll("\\[id=#N\\]", "[id=N]")
+      .replaceAll("file:[^\\s,\\]\\)]+", "file:PATH")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(N)")
+      .replaceAll("InMemoryFileIndex\\([^)]*\\)", "InMemoryFileIndex(N)")
+      .replaceAll("(?m)\\s+$", "")
+      .trim
+
+  for (name <- pinned) test(s"$name: physical plan matches its golden file") {
+    val plan = normalize(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
+    val f = goldenDir.resolve(s"$name.plan.txt")
+    if (sys.env.contains("GRAFT_REGOLD") || !Files.exists(f)) {
+      Files.createDirectories(goldenDir)
+      Files.writeString(f, plan + "\n")
+      info(s"golden plan (re)written: $f — commit it")
+    } else {
+      val want = normalize(Files.readString(f))
+      assert(plan == want,
+        s"plan drift for $name vs ${f.getFileName} — if intentional, " +
+          "regenerate with GRAFT_REGOLD=1 and review the diff")
+    }
+  }
+}

@@ -64,9 +64,53 @@ class KMeansSpec extends AnyFunSuite {
       assert(seeds.count() == 16)
       Thread.sleep(2000) // listener events post asynchronously
     } finally spark.sparkContext.removeSparkListener(listener)
-    // seeding's sample job + the seeds count() action's job(s)
-    assert(counter.get() <= 5,
+    // seeding's dim-probe job (r6 byte cap) + sample job + the seeds
+    // count() action's job(s) — still O(1), never O(k)
+    assert(counter.get() <= 6,
       s"seeding launched ${counter.get()} jobs — scans should not scale with k")
+  }
+
+  test("seed sample is bounded in BYTES, not rows (VERDICT r5 item 6)") {
+    // arithmetic tier: at dim=2048 the default 64 MB budget holds 4096
+    // rows — a k=1024 request (8192 rows) must be capped to that
+    assert(KMeans.seedSampleRows(1024, 2048, KMeans.MaxSeedSampleBytes) == 4096)
+    // narrow vectors keep the plain row bound
+    assert(KMeans.seedSampleRows(16, 16, KMeans.MaxSeedSampleBytes) == 256)
+    // never degrades to zero rows, however wide the vector
+    assert(KMeans.seedSampleRows(4, 1 << 28, KMeans.MaxSeedSampleBytes) == 1)
+  }
+
+  test("blob recovery stays green at dim=2048 WITH the byte cap engaged") {
+    // a budget of 192 KiB holds 12 dim-2048 rows — far below the 256-row
+    // floor, so the cap genuinely drives the sample here; farthest-first
+    // over the 12-point hash-sample must still spread across the blobs,
+    // and Lloyd's (full corpus) must still recover them exactly
+    val bigDim = 2048
+    val rnd = new scala.util.Random(5)
+    val bases = Seq.fill(3)(Seq.fill(bigDim)(rnd.nextGaussian() * 3))
+    val pts = (0 until 90).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val df = pts.toDF("id", "v")
+    val budget = 12L * bigDim * 8L
+    assert(KMeans.seedSampleRows(3, bigDim, budget) == 12) // cap IS engaged
+    val cents = KMeans.fit(df, "id", "v", k = 3, iters = 8, maxSeedBytes = budget)
+    assert(cents.count() == 3)
+    val cells = KMeans.assignCells(df, "id", "v", cents)
+      .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    val byBlob = (0 until 3).map(b =>
+      (0 until 90).filter(_ % 3 == b).map(i => cells(i.toLong)).toSet)
+    assert(byBlob.forall(_.size == 1), s"blob split across cells: $byBlob")
+    assert(byBlob.flatten.toSet.size == 3, s"blobs merged: $byBlob")
+  }
+
+  test("null vectors are skipped by seeding, not NPE'd (ADVICE r5)") {
+    val mixed = (0L until 40L).map { i =>
+      (i, if (i % 5 == 0) null else Seq.fill(dim)(i.toDouble + 1))
+    }.toDF("id", "v")
+    val cents = KMeans.fit(mixed, "id", "v", k = 2, iters = 0)
+    assert(cents.count() == 2) // seeded from the 32 non-null rows
   }
 
   test("refinement improves the within-cell cosine objective") {

@@ -131,6 +131,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "TVF fell back to the window encoding")
   }
 
+  test("q94/q95: rank() and dense_rank() top-k idioms plan the tie-aware heap, no Window") {
+    // VERDICT r5 item 2: the tie-keeping forms, at least as common in
+    // hand-written SQL as row_number, must reach the bounded-heap plan
+    for (q <- Seq("q94_rank_topk_ties", "q95_dense_rank_topk")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+        s"$q did not plan the tie-aware heap:\n${p.take(600)}")
+      assert(!p.contains("Window"), s"$q: window encoding survived the rewrite")
+    }
+  }
+
   test("q40/q54: keep-first dedup (rn = 1) also plans through the heap node") {
     // the rewrite folds the row_number()=1 idiom to a k=1 heap — every
     // keep-first dedup in the engine stops sorting its groups

@@ -230,6 +230,60 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("stream-stream join FROM SQL TEXT: attributionSql over streaming temp views equals batch") {
+    // r6 stretch: the Athena-layer user writes plain SQL; Structured
+    // Streaming must plan the same watermarked stream-stream join the
+    // DataFrame API gets (watermarks ride on the registered views)
+    import graft.streaming.ClickAttribution
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ss_sql_spec")
+    deleteRec(root)
+    val viewsDir = root.resolve("views"); val clicksDir = root.resolve("clicks")
+    val outDir = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    Files.createDirectories(viewsDir); Files.createDirectories(clicksDir)
+    def jline(id: Long, field: String, ts: String) =
+      s"""{"ad_id":$id,"$field":"$ts"}"""
+    Files.writeString(viewsDir.resolve("v1.json"), Seq(
+      jline(1, "view_time", "2024-03-01 10:00:00"),
+      jline(2, "view_time", "2024-03-01 10:00:00"),
+      jline(3, "view_time", "2024-03-01 11:00:00")).mkString("\n"))
+    Files.writeString(clicksDir.resolve("c1.json"), Seq(
+      jline(1, "click_time", "2024-03-01 10:04:00"), // in window
+      jline(2, "click_time", "2024-03-01 10:30:00"), // past window
+      jline(3, "click_time", "2024-03-01 11:10:00")).mkString("\n")) // boundary
+
+    val batchViews = spark.read.schema(ClickAttribution.viewSchema).json(viewsDir.toString)
+    val batchClicks = spark.read.schema(ClickAttribution.clickSchema).json(clicksDir.toString)
+    batchViews.createOrReplaceTempView("views")
+    batchClicks.createOrReplaceTempView("clicks")
+    val expected = spark.sql(ClickAttribution.attributionSql())
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.size == 2, s"fixture should attribute 2 clicks: $expected")
+    // and the SQL text agrees with the DataFrame transform on batch
+    assert(expected == ClickAttribution.attribute(batchViews, batchClicks)
+      .collect().map(_.toString).sorted.toSeq)
+
+    spark.readStream.schema(ClickAttribution.viewSchema).json(viewsDir.toString)
+      .withWatermark("view_time", "30 minutes")
+      .createOrReplaceTempView("views")
+    spark.readStream.schema(ClickAttribution.clickSchema).json(clicksDir.toString)
+      .withWatermark("click_time", "30 minutes")
+      .createOrReplaceTempView("clicks")
+    val q = spark.sql(ClickAttribution.attributionSql())
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected, s"SQL-text stream join diverged from batch:\n$got\n$expected")
+    spark.catalog.dropTempView("views")
+    spark.catalog.dropTempView("clicks")
+    deleteRec(root)
+  }
+
   test("stream-stream LEFT OUTER join: unmatched views emit nulls once the watermark decides") {
     import graft.streaming.ClickAttribution
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ss_outer_spec")

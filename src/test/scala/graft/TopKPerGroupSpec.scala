@@ -162,6 +162,12 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("positive") || e2.getMessage.contains("k"),
       e2.getMessage.take(200))
+    // a Long k beyond Int range must report the range, not wrap to a
+    // negative Int and claim "k must be positive" (ADVICE r5)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM topk_per_group('tvf_spec_t', 'g', 'v', 5000000000)").collect()
+    }
+    assert(e3.getMessage.contains(s"[1, ${Int.MaxValue}]"), e3.getMessage.take(200))
   }
 
   test("property: rewrite equals the window encoding across random shapes") {
@@ -191,6 +197,119 @@ class TopKPerGroupSpec extends AnyFunSuite {
       val viaWin = withRuleExcluded(q.collect().toSet)
       assert(rewritten.collect().toSet == viaWin,
         s"divergence at trial=$trial nGroups=$nGroups k=$k desc=$desc")
+    }
+  }
+
+  // ---- tie-aware kinds: rank() / dense_rank() (VERDICT r5 item 2) ------
+
+  // small-integer value domain → dense boundary ties; rank/dense_rank
+  // deliberately order WITHOUT a tie-breaker (keeping ties is the point)
+  private lazy val tied = {
+    val rnd = new scala.util.Random(7)
+    (0 until 1500).map(i => (i.toLong, rnd.nextInt(12), rnd.nextInt(6).toDouble))
+      .toDF("id", "g", "v")
+  }
+
+  test("rank() <= k rewrites tie-aware: boundary ties kept, equals the window plan") {
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc)
+      tied.withColumn("rnk", rank().over(w)).filter($"rnk" <= 3)
+        .select($"id", $"g", $"v", $"rnk")
+    }
+    val rewritten = q
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal") && !p.contains("Window"),
+      s"rank() idiom did not reach the tie-aware heap:\n${p.take(400)}")
+    val viaWin = withRuleExcluded {
+      val r = q
+      assert(r.queryExecution.executedPlan.toString.contains("Window"))
+      r.collect().toSet
+    }
+    assert(rewritten.collect().toSet == viaWin)
+    // ties genuinely straddle the boundary in this fixture — more rows
+    // than 3·groups proves the tie retention is exercised, not idle
+    assert(rewritten.count() > 3 * 12)
+  }
+
+  test("dense_rank() <= k rewrites tie-aware: k distinct keys kept, equals the window plan") {
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc)
+      tied.withColumn("rnk", dense_rank().over(w)).filter($"rnk" <= 2)
+        .select($"id", $"g", $"v", $"rnk")
+    }
+    val rewritten = q
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal") && !p.contains("Window"),
+      s"dense_rank() idiom did not reach the tie-aware heap:\n${p.take(400)}")
+    val viaWin = withRuleExcluded(q.collect().toSet)
+    assert(rewritten.collect().toSet == viaWin)
+  }
+
+  test("rank() = 1 keeps ALL tied-first rows (the tie-keeping keep-first idiom)") {
+    def q = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc)
+      tied.withColumn("rnk", rank().over(w)).filter($"rnk" === 1)
+        .select($"id", $"g", $"v")
+    }
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal") && !p.contains("Window"))
+    val viaWin = withRuleExcluded(q.collect().toSet)
+    assert(q.collect().toSet == viaWin)
+    // with a 6-value domain over ~125 rows per group, first place is
+    // virtually always shared — strictly more rows than groups
+    assert(q.count() > tied.select($"g").distinct().count())
+  }
+
+  test("property: tie-aware rewrites equal the window encoding across random tie-dense shapes") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 8) {
+      val nGroups = 1 + rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(4)
+      val vDomain = 1 + rnd.nextInt(5) // tiny domain → tie-dense
+      val desc = rnd.nextBoolean()
+      val useDense = rnd.nextBoolean()
+      val nullEvery = 2 + rnd.nextInt(6)
+      val data = (0 until 300).map { i =>
+        (i.toLong, rnd.nextInt(nGroups),
+          if (rnd.nextInt(nullEvery) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(vDomain).toDouble))
+      }.toDF("id", "g", "v")
+      def q = {
+        val ord = if (desc) $"v".desc else $"v".asc
+        val w = Window.partitionBy($"g").orderBy(ord)
+        val f = if (useDense) dense_rank() else rank()
+        data.withColumn("rnk", f.over(w)).filter($"rnk" <= k)
+          .select($"id", $"g", $"v", $"rnk")
+      }
+      val rewritten = q
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("TopKPerGroupFinal"),
+        s"rule missed tie trial $trial (dense=$useDense)")
+      val viaWin = withRuleExcluded(q.collect().toSet)
+      assert(rewritten.collect().toSet == viaWin,
+        s"divergence at trial=$trial nGroups=$nGroups k=$k desc=$desc dense=$useDense")
+    }
+  }
+
+  test("tie-aware node API: RankKind through TopKPerGroup matches the window truth under partitioning") {
+    import graft.plans.RankKind
+    for (parts <- Seq(1, 13)) {
+      val base = tied.repartition(parts)
+      val analyzed = base.queryExecution.analyzed
+      val vAttr = analyzed.output.find(_.name == "v").get
+      val gAttr = analyzed.output.find(_.name == "g").get
+      val node = graft.plans.TopKPerGroup(Seq(gAttr),
+        Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(vAttr,
+          org.apache.spark.sql.catalyst.expressions.Descending)),
+        k = 3, analyzed, rankFor = None, rankKind = RankKind.RankTies)
+      val got = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+      val w = Window.partitionBy($"g").orderBy($"v".desc)
+      val expected = withRuleExcluded {
+        tied.withColumn("rnk", rank().over(w)).filter($"rnk" <= 3)
+          .select($"id", $"g", $"v").collect().toSet
+      }
+      assert(got.select($"id", $"g", $"v").collect().toSet == expected,
+        s"RankTies node diverges from rank() at parts=$parts")
     }
   }
 
