@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   *   - every query runs twice; `queries` reports the per-query MIN
   *     (steady-state cost), while `first_run` preserves pass-1 times so
   *     one-time materialization bills (q31's corrupt-table cache, q53's
-  *     pair-verdict parquet) stay visible instead of being averaged in;
+  *     pair-verdict parquet) stay visible instead of being averaged in.
+  *     q44's recurring pass-1 premium (~3× its min) is accounted: it is
+  *     driver-side warmup on q44's OWN plan — 12 janino codegen units
+  *     (~0.7 s) plus catalyst/JIT warmup on the battery's largest
+  *     expression tree — measured r6 via INFO-level job logs: per-job
+  *     EXECUTION totals < 1.3 s of an 8 s first pass, and a fresh
+  *     session reproduces the same ratio, so no shared or hidden data
+  *     materialization is involved;
   *   - a fixed single-threaded spin loop (the "canary") is timed before
   *     and after the battery. Its work is constant, so its wall time
   *     moves ONLY with CPU contention — `canary.before_sec` vs

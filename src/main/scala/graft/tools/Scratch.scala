@@ -28,6 +28,9 @@ object Scratch {
     mode match {
       case "q" =>
         // time one registry query: runMain graft.tools.Scratch q <name> [sfDir]
+        // GRAFT_INFO=1 raises logging to INFO (e.g. to read janino
+        // "Code generated in N ms" lines for first-pass attribution)
+        if (sys.env.contains("GRAFT_INFO")) spark.sparkContext.setLogLevel("INFO")
         val name = args(1)
         val d = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
         val fn = graft.SparkEntry.queries(name)
