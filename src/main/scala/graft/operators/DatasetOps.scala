@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
@@ -161,5 +161,82 @@ object DatasetOps {
     gramHashes(corpus)
       .join(benchGrams, Seq("_gh"), "left_semi")
       .select(col(idCol)).distinct()
+  }
+
+  /** Per-document contamination SCORING — the soft form of
+    * [[contaminatedIds]]: instead of a boolean verdict, each corpus
+    * document gets the fraction of its distinct word-`k`-grams that
+    * appear anywhere in the benchmark, which is what a threshold
+    * policy ("drop above 5% overlap, audit above 1%") actually
+    * consumes. Same shuffle shape as [[contaminatedIds]] — 8-byte
+    * gram hashes move, bodies never; the benchmark gram set is
+    * distinct-collapsed before the probe join. The fraction is
+    * double-division of two integers (exact, correctly rounded —
+    * engine-portable) rounded to 6 places; docs with fewer than `k`
+    * tokens have no grams and score 0. */
+  def contaminationScores(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol), explode(array_distinct(
+          wordShingles(whitespaceTokens(col(textCol)), k))).as("_g"))
+        .select(col(idCol), xxhash64(col("_g")).as("_gh"))
+    val benchGrams = grams(bench).select(col("_gh")).distinct()
+      .withColumn("_hit", lit(1))
+    val scored = grams(corpus)
+      .join(benchGrams, Seq("_gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n_grams"), count(col("_hit")).as("_n_hit"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("_n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0,
+          round(col("n_hit").cast(DoubleType) / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Greedy sequence packing — the step that turns a cleaned corpus
+    * into fixed-length training sequences: documents are concatenated
+    * in a deterministic hash order and cut every `seqLen` tokens, so
+    * each document's starting offset (and the sequence "bin" it starts
+    * in) is a pure function of the corpus content — stable under
+    * reshuffles and retries like [[hashSplit]] membership.
+    *
+    * The running offset needs an ORDERED prefix sum, which on a
+    * cluster means one sort per partition of the window — so the
+    * corpus is first dealt into `nShards` md5-shards and packed
+    * independently within each. That is exactly how distributed
+    * packers bound the sort: `nShards` scales with the cluster (pick
+    * ≥ executor-core count at scale) and each shard's window sort is
+    * executor-resident; no global order is ever materialized.
+    * Everything is integer arithmetic over md5 draws → replayable in
+    * any engine, which is how the q99 oracle gates it.
+    *
+    * @param nTokens token-count expression over the input row
+    * @return one row per doc: (idCol, shard, n_tokens, offset, bin) —
+    *         `offset` is the doc's starting token offset within its
+    *         shard's concatenation, `bin = floor(offset / seqLen)` the
+    *         training sequence its first token lands in. */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+                    seqLen: Int, nShards: Int,
+                    salt: String = "pack"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(col("_u"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_u", u)
+      .withColumn("_shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("_ntok", nTokens.cast(LongType))
+      .withColumn("_off", sum(col("_ntok")).over(w) - col("_ntok"))
+      .select(col(idCol), col("_shard").as("shard"),
+        col("_ntok").as("n_tokens"), col("_off").as("offset"),
+        floor(col("_off") / lit(seqLen.toDouble)).cast(LongType).as("bin"))
   }
 }

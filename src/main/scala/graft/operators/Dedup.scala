@@ -377,4 +377,48 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Line-level boilerplate dedup (the RefinedWeb/CCNet recipe): a
+    * "line" that recurs across `minDocs` DISTINCT documents is
+    * near-certainly template chrome (nav bars, cookie banners, license
+    * footers), not content — every occurrence is removed and each
+    * document reassembled from its surviving lines in original order.
+    *
+    * `lines` supplies the decomposition (an array<string> expression
+    * over the doc row), so the caller owns the notion of "line": real
+    * corpora pass `split(col("text"), "\n")`; the q97 fixture (whose
+    * synthetic docs have no newlines) chunks whitespace tokens.
+    *
+    * Shuffle shape at 100 TB: the census groups on the 8-byte
+    * xxhash64 of each line (line bodies never shuffle for counting —
+    * the q41 collision-tolerance argument, ~n²/2⁶⁵); removal,
+    * counting, and reassembly then FUSE into one groupBy over the
+    * boiler-marked exploded lines (collect_list skips the nulls the
+    * boiler mark produces), so the source is scanned exactly twice
+    * (census + rebuild) and the one body-moving exchange is the
+    * per-doc reassembly — inherent, since the output IS the rewritten
+    * bodies; its state is doc-bounded.
+    *
+    * Docs whose `lines` decomposition is EMPTY are absent from the
+    * output (they produce no exploded rows — nothing to clean). */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, lines: Column,
+                             minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val exploded = docs
+      .select(col(idCol), posexplode(lines).as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val boiler = exploded.groupBy(col("_lh"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_lh"), lit(1).as("_b"))
+    exploded.join(boiler, Seq("_lh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("_b")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_b").isNull,
+            struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line")), sep).as("cleaned"))
+      .select(col(idCol), col("n_lines"), col("n_removed"), col("cleaned"))
+  }
 }

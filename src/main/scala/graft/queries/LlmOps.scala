@@ -1194,10 +1194,148 @@ object LlmOps {
         CAST(sum(length(text)) AS BIGINT) AS chars
       FROM merged GROUP BY 1 ORDER BY lane"""))
 
+  // ---- q97: line-level boilerplate dedup (RefinedWeb/CCNet) -----------
+  // The remaining dedup granularity between document-level (q40–q44)
+  // and n-gram-level (q65): lines recurring across documents are
+  // template chrome and are cut from every doc, which is then
+  // REASSEMBLED from its surviving lines in order — the emitted
+  // cleaned text is what gates reassembly-order correctness. The
+  // synthetic docs have no newlines, so "line" here is an 8-token
+  // chunk — the decomposition is part of the query spec and the
+  // oracle replays it exactly (the operator itself takes any
+  // array<string> decomposition).
+
+  /** Deterministic pseudo-lines for newline-free fixtures: consecutive
+    * `w`-token chunks (last chunk may be short). `tk` MUST be a
+    * projected attribute, not the tokenizer expression itself —
+    * Catalyst does not CSE inside lambdas, so an inlined tokenizer
+    * would re-split the whole text once per LINE (quadratic per doc;
+    * measured 3.1s → 0.6s at sf0.1 from this alone). */
+  private def chunkLines(tk: Column, w: Int): Column =
+    when(size(tk) > 0,
+      transform(
+        sequence(lit(1), ceil(size(tk) / lit(w.toDouble)).cast(IntegerType)),
+        i => array_join(slice(tk, (i - lit(1)) * lit(w) + lit(1), lit(w)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  private val q97 = GraftQuery(
+    "q97_line_dedup",
+    (s, d) =>
+      Dedup.removeBoilerplateLines(
+          docs(s, d).select(col("doc_id"),
+            whitespaceTokens(col("text")).as("_tk")),
+          "doc_id", chunkLines(col("_tk"), 8), minDocs = 2, sep = " ")
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"), col("cleaned"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      lp AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+          i -> struct_pack(pos := i,
+            line := array_to_string(tk[(i-1)*8+1 : i*8], ' ')))) AS u
+        FROM toks),
+      l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lp),
+      boiler AS (
+        SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+      re AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(line, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_lines FROM toks)
+      SELECT b.doc_id, b.n_lines,
+        b.n_lines - coalesce(r.n_kept, 0) AS n_removed,
+        coalesce(r.cleaned, '') AS cleaned
+      FROM base b LEFT JOIN re r USING (doc_id)
+      WHERE b.n_lines - coalesce(r.n_kept, 0) > 0
+      ORDER BY b.doc_id"""))
+
+  // ---- q98: per-doc contamination scoring ------------------------------
+  // The soft form of q65: a threshold policy consumes the FRACTION of
+  // a doc's distinct 5-grams hitting the benchmark, not a boolean.
+  // Same %97 bench/corpus split as q65; integer counts + exact double
+  // division keep the score engine-portable.
+
+  private val q98 = GraftQuery(
+    "q98_contamination_score",
+    (s, d) => {
+      val dd = docs(s, d)
+      DatasetOps.contaminationScores(
+          dd.filter(col("doc_id") % 97 =!= 0),
+          dd.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM toks),
+      bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+        FROM g LEFT JOIN bg b ON g.gram = b.gram
+        WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        coalesce(s.n_grams, 0) AS n_grams,
+        coalesce(s.n_hit, 0) AS n_hit,
+        CASE WHEN coalesce(s.n_grams, 0) > 0
+          THEN round(CAST(s.n_hit AS DOUBLE) / s.n_grams, 6)
+          ELSE 0.0 END AS contamination
+      FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""))
+
+  // ---- q99: greedy sequence packing ------------------------------------
+  // Corpus → fixed-length training sequences: md5-sharded, per-shard
+  // ordered prefix sum assigns every doc a deterministic starting
+  // offset; seqLen=256 so shards pack multiple docs per sequence at
+  // this fixture's 8–110-token docs. The oracle replays shard deal,
+  // order, and prefix sum bit-for-bit (all integer arithmetic).
+
+  private val q99 = GraftQuery(
+    "q99_sequence_packing",
+    (s, d) =>
+      DatasetOps.packSequences(docs(s, d), "doc_id",
+          tokenCount(col("text")), seqLen = 256, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          ceil(sum(col("n_tokens")) / lit(256.0)).cast(LongType).as("n_seqs"),
+          countDistinct(col("bin")).as("n_start_bins"),
+          max(col("offset")).as("max_offset"))
+        .orderBy(col("shard")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS n_tok,
+          CAST(concat('0x', substring(md5('pack:'||doc_id), 1, 8)) AS BIGINT) AS u
+        FROM documents),
+      w AS (
+        SELECT doc_id, u % 8 AS shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY u % 8 ORDER BY u, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        FROM t)
+      SELECT shard, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(ceil(sum(n_tok) / 256.0) AS BIGINT) AS n_seqs,
+        count(DISTINCT CAST(floor(off / 256.0) AS BIGINT)) AS n_start_bins,
+        CAST(max(off) AS BIGINT) AS max_offset
+      FROM w GROUP BY shard ORDER BY shard"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85, q86, q90, q91, q93)
+      q75, q84, q85, q86, q90, q91, q93, q97, q98, q99)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

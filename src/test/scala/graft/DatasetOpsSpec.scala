@@ -62,4 +62,49 @@ class DatasetOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(hit == Set(1L, 2L), s"got $hit")
   }
+
+  test("contaminationScores: planted overlap fractions, short docs score 0") {
+    val bench = Seq((1000L, "a b c d e f")).toDF("doc_id", "text")
+    // bench grams: "a b c d e", "b c d e f"
+    val corpus = Seq(
+      (1L, "a b c d e x y z"), // grams: abcde bcdex cdexy dexyz → 1/4 hit
+      (2L, "p q r s t u"),     // 2 grams, 0 hits
+      (3L, "a b c"))           // <5 tokens → no grams
+      .toDF("doc_id", "text")
+    val got = DatasetOps.contaminationScores(corpus, bench, "doc_id", "text")
+      .select($"doc_id", $"n_grams", $"n_hit", $"contamination")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.25)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 0L, 0.0)), s"got ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)), s"got ${got(3L)}")
+  }
+
+  test("packSequences: conserves tokens, gapless per-shard offsets, layout-invariant") {
+    val docs = (0L until 400L).map(i => (i, 1 + (i * 7 % 50))).toDF("id", "ntok")
+    val packed = DatasetOps.packSequences(docs, "id", $"ntok",
+      seqLen = 64, nShards = 4)
+    val rows = packed.select($"id", $"shard", $"n_tokens", $"offset", $"bin")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 400)
+    // per shard: offsets sorted form an exact gapless prefix sum, and
+    // every doc's bin is floor(offset / seqLen)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._4)
+      var expect = 0L
+      sorted.foreach { case (_, _, ntok, off, bin) =>
+        assert(off == expect, s"shard $shard: offset $off, expected $expect")
+        assert(bin == off / 64, s"shard $shard: bin $bin for offset $off")
+        expect += ntok
+      }
+    }
+    // token conservation overall
+    assert(rows.map(_._3).sum == (0L until 400L).map(i => 1 + (i * 7 % 50)).sum)
+    // membership and offsets are pure functions of (id, ntok)
+    val reparted = DatasetOps.packSequences(docs.repartition(13), "id", $"ntok",
+      seqLen = 64, nShards = 4)
+      .select($"id", $"shard", $"n_tokens", $"offset", $"bin")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(reparted.sortBy(_._1).sameElements(rows.sortBy(_._1)),
+      "packing must not depend on physical layout")
+  }
 }

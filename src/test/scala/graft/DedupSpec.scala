@@ -234,4 +234,36 @@ class DedupSpec extends AnyFunSuite {
       Dedup.lshCandidatePairs(sh, "doc_id", "_sh", numHashes = 10, bands = 3)
     }
   }
+
+  test("removeBoilerplateLines: cross-doc lines cut, order kept, within-doc repeats spared") {
+    val d = Seq(
+      (1L, "u1\nBOILER\nu2"),   // boiler mid-doc: survivors keep order
+      (2L, "BOILER\nu3"),
+      (3L, "u4"),               // untouched
+      (4L, "BOILER"),           // fully boilerplate → empty
+      (5L, "SOLO\nSOLO"))       // repeats within ONE doc only → kept
+      .toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(d, "doc_id",
+        split($"text", "\n"), minDocs = 2)
+      .select($"doc_id", $"n_lines", $"n_removed", $"cleaned")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, "u1\nu2")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1L, "u3")), s"got ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 0L, "u4")), s"got ${got(3L)}")
+    assert(got(4L) == ((4L, 1L, 1L, "")), s"got ${got(4L)}")
+    assert(got(5L) == ((5L, 2L, 0L, "SOLO\nSOLO")), s"got ${got(5L)}")
+  }
+
+  test("removeBoilerplateLines: long-doc reassembly preserves exact line order") {
+    // 40 lines per doc; every third line is shared across both docs
+    def mk(id: Long) = (0 until 40).map { i =>
+      if (i % 3 == 0) s"shared$i" else s"own${id}x$i"
+    }.mkString("\n")
+    val d = Seq((1L, mk(1)), (2L, mk(2))).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(d, "doc_id",
+        split($"text", "\n"), minDocs = 2)
+      .select($"doc_id", $"cleaned").as[(Long, String)].collect().toMap
+    val want1 = (0 until 40).filter(_ % 3 != 0).map(i => s"own1x$i").mkString("\n")
+    assert(got(1L) == want1, "surviving lines must keep original order")
+  }
 }
