@@ -153,9 +153,13 @@ object DatasetOps {
     * q54): ~n²/2⁶⁵ false positives. */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
                       idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    // tokens projected BEFORE shingling: Catalyst does not CSE inside
+    // lambdas, so an inlined tokenizer re-splits the text once per
+    // gram — quadratic per doc at real document sizes
     def gramHashes(df: DataFrame): DataFrame =
-      df.select(col(idCol), explode(array_distinct(
-          wordShingles(whitespaceTokens(col(textCol)), k))).as("_g"))
+      df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+        .select(col(idCol), explode(array_distinct(
+          wordShingles(col("_tks"), k))).as("_g"))
         .select(col(idCol), xxhash64(col("_g")).as("_gh"))
     val benchGrams = gramHashes(bench).select(col("_gh")).distinct()
     gramHashes(corpus)
@@ -177,9 +181,11 @@ object DatasetOps {
   def contaminationScores(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
                           k: Int = 5): DataFrame = {
+    // token projection ahead of the shingle lambda — see gramHashes
     def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol), explode(array_distinct(
-          wordShingles(whitespaceTokens(col(textCol)), k))).as("_g"))
+      df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+        .select(col(idCol), explode(array_distinct(
+          wordShingles(col("_tks"), k))).as("_g"))
         .select(col(idCol), xxhash64(col("_g")).as("_gh"))
     val benchGrams = grams(bench).select(col("_gh")).distinct()
       .withColumn("_hit", lit(1))
@@ -196,6 +202,38 @@ object DatasetOps {
         when(col("n_grams") > 0,
           round(col("n_hit").cast(DoubleType) / col("n_grams"), 6))
           .otherwise(lit(0.0)))
+  }
+
+  /** Sliding-window document chunking — long-doc training prep: each
+    * doc becomes overlapping `window`-token chunks starting every
+    * `stride` tokens. Chunk count is `1` when the doc fits in one
+    * window, else `ceil((n - window) / stride) + 1`, so the last
+    * chunk always reaches the end of the doc (it may be shorter than
+    * `window`; starts past the end are never emitted). Narrow — an
+    * explode with no shuffle; `tokens` MUST be a projected attribute
+    * (see chunkLines' CSE note: an inlined tokenizer re-splits per
+    * chunk).
+    *
+    * @return one row per chunk: (idCol, chunk_idx, chunk_text,
+    *         n_chunk_tokens); docs with zero tokens emit nothing. */
+  def chunkDocs(df: DataFrame, idCol: String, tokens: Column,
+                window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val n = size(tokens)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + stride - 1).cast(DoubleType) / stride)
+        .cast(IntegerType) + 1)
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tokens, i * stride + 1, lit(window)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        (size(split(col("chunk_text"), " ", -1))).cast(LongType))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("chunk_text"), col("n_chunk_tokens"))
   }
 
   /** Greedy sequence packing — the step that turns a cleaned corpus
@@ -216,10 +254,15 @@ object DatasetOps {
     * any engine, which is how the q99 oracle gates it.
     *
     * @param nTokens token-count expression over the input row
-    * @return one row per doc: (idCol, shard, n_tokens, offset, bin) —
-    *         `offset` is the doc's starting token offset within its
-    *         shard's concatenation, `bin = floor(offset / seqLen)` the
-    *         training sequence its first token lands in. */
+    * @return the input rows with (shard, n_tokens, offset, bin)
+    *         appended — `offset` is the doc's starting token offset
+    *         within its shard's concatenation, `bin = floor(offset /
+    *         seqLen)` the training sequence its first token lands in.
+    *         Input columns are PRESERVED, so a consumer needing e.g.
+    *         a split label alongside the packing must not re-join
+    *         (and replay) the upstream plan; Catalyst column pruning
+    *         keeps the window exchange narrow when the consumer drops
+    *         them. */
   def packSequences(df: DataFrame, idCol: String, nTokens: Column,
                     seqLen: Int, nShards: Int,
                     salt: String = "pack"): DataFrame = {
@@ -228,15 +271,15 @@ object DatasetOps {
     val u = conv(substring(md5(concat(lit(salt + ":"),
       col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_shard")).orderBy(col("_u"), col(idCol))
+      .partitionBy(col("shard")).orderBy(col("_u"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("_u", u)
-      .withColumn("_shard", pmod(col("_u"), lit(nShards)).cast(LongType))
-      .withColumn("_ntok", nTokens.cast(LongType))
-      .withColumn("_off", sum(col("_ntok")).over(w) - col("_ntok"))
-      .select(col(idCol), col("_shard").as("shard"),
-        col("_ntok").as("n_tokens"), col("_off").as("offset"),
-        floor(col("_off") / lit(seqLen.toDouble)).cast(LongType).as("bin"))
+      .withColumn("shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("n_tokens", nTokens.cast(LongType))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin",
+        floor(col("offset") / lit(seqLen.toDouble)).cast(LongType))
+      .drop("_u")
   }
 }

@@ -130,8 +130,12 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleWords: Int = 3, threshold: Double = 0.7,
                       numHashes: Int = 24, bands: Int = 6): DataFrame = {
-    val sh = docs.select(col(idCol),
-      wordShingles(whitespaceTokens(col(textCol)), shingleWords).as("_sh"))
+    // tokens projected BEFORE shingling: wordShingles slices its token
+    // array once per shingle inside a lambda, and Catalyst does not CSE
+    // inside lambdas — an inlined tokenizer would re-split the whole
+    // text once per shingle (quadratic per doc)
+    val sh = docs.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+      .select(col(idCol), wordShingles(col("_tks"), shingleWords).as("_sh"))
     val cand = lshCandidatePairs(sh, idCol, "_sh", numHashes, bands)
     val shA = sh.select(col(idCol).as("idA"), col("_sh").as("_shA"))
     val shB = sh.select(col(idCol).as("idB"), col("_sh").as("_shB"))

@@ -166,7 +166,9 @@ object LlmOps {
       val cand = Dedup.simhashDupPairs(dd, "text", "doc_id", maxHamming = 8,
         nBands = 8)
       val sh = dd.select(col("doc_id"),
-        array_distinct(wordShingles(whitespaceTokens(col("text")), 3)).as("_sh"))
+          whitespaceTokens(col("text")).as("_tks"))
+        .select(col("doc_id"),
+          array_distinct(wordShingles(col("_tks"), 3)).as("_sh"))
       val verified = cand
         .join(sh.select(col("doc_id").as("idA"), col("_sh").as("_shA")), "idA")
         .join(sh.select(col("doc_id").as("idB"), col("_sh").as("_shB")), "idB")
@@ -682,7 +684,6 @@ object LlmOps {
   private val q60 = GraftQuery(
     "q60_repetition_signals",
     (s, d) => {
-      val toks = whitespaceTokens(col("text"))
       def dupFrac(grams: Column): Column =
         when(size(grams) > 0,
           round((size(grams) - size(array_distinct(grams))).cast(DoubleType) /
@@ -690,8 +691,11 @@ object LlmOps {
       val topWordCount = array_max(transform(array_distinct(col("t")),
         w => size(filter(col("t"), t => t === w))))
       docs(s, d)
-        .select(col("doc_id"), toks.as("t"),
-          wordShingles(toks, 2).as("g2"), wordShingles(toks, 3).as("g3"))
+        // tokens projected BEFORE shingling (lambda-CSE rule: an
+        // inlined tokenizer re-splits the text once per shingle)
+        .select(col("doc_id"), whitespaceTokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          wordShingles(col("t"), 2).as("g2"), wordShingles(col("t"), 3).as("g3"))
         .select(col("doc_id"),
           size(col("t")).as("n_words"),
           dupFrac(col("g2")).as("dup_2gram_frac"),
@@ -1332,10 +1336,234 @@ object LlmOps {
         CAST(max(off) AS BIGINT) AS max_offset
       FROM w GROUP BY shard ORDER BY shard"""))
 
+  // ---- q100: sliding-window chunking -----------------------------------
+  // Long-doc training prep: overlapping 32-token windows every 24
+  // tokens; the emitted chunk TEXT (not just counts) gates the
+  // window/stride arithmetic and the clip at doc end.
+
+  private val q100 = GraftQuery(
+    "q100_doc_chunking",
+    (s, d) =>
+      DatasetOps.chunkDocs(
+          docs(s, d).select(col("doc_id"),
+            whitespaceTokens(col("text")).as("_tk")),
+          "doc_id", col("_tk"), window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk, len(tk) AS n,
+          CASE WHEN len(tk) <= 32 THEN 1
+               ELSE (len(tk) - 32 + 24 - 1) // 24 + 1 END AS nchunks
+        FROM toks WHERE len(tk) > 0),
+      c AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(0, nchunks - 1),
+          i -> struct_pack(idx := i,
+            txt := array_to_string(tk[i*24+1 : i*24+32], ' ')))) AS u
+        FROM n)
+      SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+        u.txt AS chunk_text,
+        CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
+  // ---- q101: TF-IDF top terms per source -------------------------------
+  // The classic corpus analytic, shaped so the whole plan is
+  // integer-deterministic: the score is tf·10⁶ DIV df (integer
+  // division — no float logs, so any engine replays it), and the
+  // per-source top-5 is written as the row_number()<=k idiom so
+  // WindowTopKRewrite plans the bounded heap (PlanSpec pins it): a
+  // brand-new analytic gets the heap plan for free, which is the
+  // point of having the rewrite.
+
+  private val q101 = GraftQuery(
+    "q101_tfidf_terms",
+    (s, d) => {
+      val dd = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          whitespaceTokens(col("text")).as("_tk"))
+      val tf = dd.select(col("source"), explode(col("_tk")).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = dd.select(col("doc_id"),
+          explode(array_distinct(col("_tk"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, Seq("token"))
+        .withColumn("score", expr("tf * 1000000L div df"))
+      scored.createOrReplaceTempView("graft_q101_scored")
+      s.sql("""SELECT source, token, tf, df, score,
+            CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT source, token, tf, df, score,
+            row_number() OVER (PARTITION BY source
+              ORDER BY score DESC, token) AS rnk
+          FROM graft_q101_scored) WHERE rnk <= 5
+        ORDER BY source, rnk""")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents),
+      tf AS (
+        SELECT source, unnest(tk) AS token FROM toks),
+      tfc AS (
+        SELECT source, token, count(*) AS tf FROM tf GROUP BY source, token),
+      dfc AS (
+        SELECT token, count(*) AS df FROM (
+          SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks)
+        GROUP BY token),
+      scored AS (
+        SELECT s.source, s.token, s.tf, d.df, (s.tf * 1000000) // d.df AS score
+        FROM tfc s JOIN dfc d USING (token)),
+      ranked AS (
+        SELECT source, token, tf, df, score,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score DESC, token) AS rnk
+        FROM scored)
+      SELECT source, token, CAST(tf AS BIGINT) AS tf,
+        CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score, rnk
+      FROM ranked WHERE rnk <= 5 ORDER BY source, rnk"""))
+
+  // ---- q102: the training-prep recipe, end to end ----------------------
+  // The q75 pattern one layer up: the NEW operators composed as a real
+  // dataset build runs them — line-level boilerplate dedup (cleaned
+  // text flows downstream) → token-count quality floor → contamination
+  // gate vs the %97 benchmark → deterministic split → per-split
+  // sequence packing census. One plan; every stage is an
+  // already-oracled operator, this row gates that they COMPOSE.
+
+  /** The line-dedup'd corpus — q102's stage-1 product — materialized
+    * once per (session, sfDir), exactly like the q53 pair verdicts:
+    * the recipe's three downstream consumers (gram scoring, the
+    * keep-set join, the packing census) would otherwise each replay
+    * the full boilerplate-removal plan. This mirrors what a real
+    * training-data build does at 100 TB — the cleaned corpus is
+    * WRITTEN once (it is itself a product) and every later stage
+    * reads the columnar output. The bench's `first_run` carries the
+    * one-time write, like q30's corrupted-table build. */
+  private val cleanedDirBySession = new graft.sources.SessionMemo[String]
+  private def cleanedDocsMaterialized(s: SparkSession, d: String): DataFrame = {
+    val dir = cleanedDirBySession.getOrElseCompute(s, d) {
+      val out = java.nio.file.Files.createTempDirectory("graft_cleaned_").toString
+      sys.addShutdownHook {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val base = docs(s, d).select(col("doc_id"),
+        whitespaceTokens(col("text")).as("_tk"))
+      Dedup.removeBoilerplateLines(
+          base, "doc_id", chunkLines(col("_tk"), 8), minDocs = 2, sep = " ")
+        .select(col("doc_id"), col("cleaned"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(dir)
+  }
+
+  private val q102 = GraftQuery(
+    "q102_trainprep_recipe",
+    (s, d) => {
+      val cleaned = cleanedDocsMaterialized(s, d)
+        .select(col("doc_id"), col("cleaned"),
+          whitespaceTokens(col("cleaned")).as("_ctk"))
+        .filter(size(col("_ctk")) >= 8)
+      val scores = DatasetOps.contaminationScores(
+        cleaned.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("cleaned").as("text")),
+        docs(s, d).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+      val keep = cleaned.join(
+          scores.filter(col("contamination") < 0.25).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      // packSequences preserves input columns, so the split label rides
+      // along — re-joining it would replay the whole cleaning plan
+      val split = DatasetOps.hashSplit(keep, "doc_id")
+        .select(col("doc_id"), col("split"),
+          size(col("_ctk")).cast(LongType).as("_nt"))
+      DatasetOps.packSequences(split, "doc_id", col("_nt"),
+          seqLen = 256, nShards = 4)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("shard"), col("bin")).as("n_start_bins"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      lp AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+          i -> struct_pack(pos := i,
+            line := array_to_string(tk[(i-1)*8+1 : i*8], ' ')))) AS u
+        FROM toks),
+      l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lp),
+      boiler AS (
+        SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      re AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned
+        FROM l WHERE line NOT IN (SELECT line FROM boiler)
+        GROUP BY doc_id),
+      cl AS (
+        SELECT doc_id, cleaned,
+          list_filter(regexp_split_to_array(lower(cleaned), '\\s+'),
+            x -> length(x) > 0) AS ctk
+        FROM re
+        WHERE len(list_filter(regexp_split_to_array(lower(cleaned), '\\s+'),
+          x -> length(x) > 0)) >= 8),
+      cg AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(ctk) - 4),
+            i -> array_to_string(ctk[i:i+4], ' ')))) AS gram
+        FROM cl WHERE doc_id % 97 <> 0),
+      bg AS (
+        SELECT DISTINCT unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM toks WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT cg.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+        FROM cg LEFT JOIN bg b ON cg.gram = b.gram GROUP BY cg.doc_id),
+      keep AS (
+        SELECT cl.doc_id, len(cl.ctk) AS n_tok
+        FROM cl JOIN sc ON cl.doc_id = sc.doc_id
+        WHERE cl.doc_id % 97 <> 0
+          AND (CASE WHEN sc.n_grams > 0
+            THEN round(CAST(sc.n_hit AS DOUBLE) / sc.n_grams, 6)
+            ELSE 0.0 END) < 0.25),
+      sp AS (
+        SELECT doc_id, n_tok,
+          CAST(concat('0x', substring(md5('split:'||doc_id), 1, 8)) AS BIGINT)
+            AS su,
+          CAST(concat('0x', substring(md5('pack:'||doc_id), 1, 8)) AS BIGINT)
+            AS pu
+        FROM keep),
+      lab AS (
+        SELECT doc_id, n_tok, pu,
+          CASE WHEN su < ${DatasetOps.thr(0.9)} THEN 'train'
+               WHEN su < ${DatasetOps.thr(0.95)} THEN 'val'
+               ELSE 'test' END AS split
+        FROM sp),
+      packed AS (
+        SELECT doc_id, n_tok, split, pu % 4 AS shard,
+          sum(n_tok) OVER (PARTITION BY pu % 4 ORDER BY pu, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        FROM lab)
+      SELECT split, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        count(DISTINCT (shard, CAST(floor(off / 256.0) AS BIGINT)))
+          AS n_start_bins
+      FROM packed GROUP BY split ORDER BY split"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85, q86, q90, q91, q93, q97, q98, q99)
+      q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

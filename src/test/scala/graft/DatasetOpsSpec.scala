@@ -79,6 +79,28 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, 0L, 0.0)), s"got ${got(3L)}")
   }
 
+  test("chunkDocs: window/stride arithmetic, end clip, empty-doc elision") {
+    import graft.functions.TextFunctions.whitespaceTokens
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(4)),   // == window → exactly 1 chunk
+      (2L, words(5)),   // window+1 → 2 chunks, 2nd starts at stride, short
+      (3L, words(11)),  // 1 + ceil((11-4)/3) = 4 chunks, last clipped
+      (4L, ""))         // no tokens → no rows
+      .toDF("doc_id", "text")
+      .select($"doc_id", whitespaceTokens($"text").as("_tk"))
+    val got = DatasetOps.chunkDocs(d, "doc_id", $"_tk", window = 4, stride = 3)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got(1L).map(_._3) == Seq("w1 w2 w3 w4"))
+    assert(got(2L).map(_._3) == Seq("w1 w2 w3 w4", "w4 w5"))
+    assert(got(3L).map(_._3) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11"))
+    assert(got(3L).map(_._4) == Seq(4L, 4L, 4L, 2L))
+    assert(!got.contains(4L), "empty docs must emit no chunks")
+  }
+
   test("packSequences: conserves tokens, gapless per-shard offsets, layout-invariant") {
     val docs = (0L until 400L).map(i => (i, 1 + (i * 7 % 50))).toDF("id", "ntok")
     val packed = DatasetOps.packSequences(docs, "id", $"ntok",

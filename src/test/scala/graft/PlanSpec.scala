@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: a NEW analytic written as the row_number idiom gets the heap plan for free") {
+    // tf-idf top terms was added after the rewrite existed; nothing in
+    // its code mentions TopKPerGroup — the rule alone must deliver the
+    // bounded-heap plan, which is the whole value of having a rewrite
+    // instead of a bespoke API
+    val p = plan("q101_tfidf_terms")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"q101 did not plan the heap:\n${p.take(600)}")
+    assert(!p.contains("Window"), "q101: window encoding survived the rewrite")
+  }
+
   test("q40/q54: keep-first dedup (rn = 1) also plans through the heap node") {
     // the rewrite folds the row_number()=1 idiom to a k=1 heap — every
     // keep-first dedup in the engine stops sorting its groups
