@@ -37,6 +37,28 @@ object TextFunctions {
         i => array_join(slice(tokens, i, lit(k)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** Overlapping token chunks: windows of `window` tokens starting
+    * every `stride` tokens, space-joined; one chunk when the doc fits
+    * in a window, else `ceil((n - window) / stride) + 1` so the last
+    * chunk always reaches the doc end (it may be short). The shared
+    * chunk builder of line-decomposition (stride == window) and
+    * sliding-window chunking (stride < window). `tokens` MUST be a
+    * projected attribute — Catalyst does not CSE inside lambdas, so
+    * an inlined tokenizer would re-split the text once per chunk. */
+  def tokenChunks(tokens: Column, window: Int, stride: Int): Column = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val n = size(tokens)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + stride - 1).cast(DoubleType) / stride)
+        .cast(IntegerType) + 1)
+    when(n > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tokens, i * stride + 1, lit(window)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   /** Character k-shingles over the raw text (distinct set). */
   def charShingles(text: Column, k: Int): Column =
     when(length(text) >= k,

@@ -16,6 +16,14 @@ object DatasetOps {
     * generator's own convention). */
   def thr(p: Double): Long = (p * 4294967296.0).toLong
 
+  /** The md5-prefix uint32 draw every deterministic-membership
+    * operator keys off (split, sample, mix, pack). ONE definition:
+    * each oracle replays this exact expression, so a drifted copy
+    * would silently break only some operators' gates. */
+  private def md5Draw(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"),
+      id.cast(StringType))), 1, 8), 16, 10).cast(LongType)
+
   /** Deterministic train/val/test assignment: the split is a pure
     * function of the id through md5 — stable under reshuffles,
     * retries, resharding, and incremental appends. `rand()`-based
@@ -25,8 +33,7 @@ object DatasetOps {
     * any engine with md5, which is how the q64 oracle gates it. */
   def hashSplit(df: DataFrame, idCol: String, salt: String = "split",
                 trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val u = md5Draw(salt, col(idCol))
     df.withColumn("split",
       when(u < thr(trainFrac), "train")
         .when(u < thr(trainFrac + valFrac), "val")
@@ -43,8 +50,7 @@ object DatasetOps {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        fracs: Map[String, Double], defaultFrac: Double,
                        salt: String = "sample"): DataFrame = {
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val u = md5Draw(salt, col(idCol))
     val cut = fracs.foldLeft(lit(thr(defaultFrac))) { case (acc, (k, f)) =>
       when(col(stratumCol) === k, lit(thr(f))).otherwise(acc)
     }
@@ -87,8 +93,7 @@ object DatasetOps {
       .withColumn("mix_target",
         floor(col("_N") * (sqrt(col("_mix_n").cast(DoubleType)) / col("_W")) + 0.5))
       .select(col(strataCol), col("_mix_n"), col("mix_target"))
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val u = md5Draw(salt, col(idCol))
     val ratio = col("mix_target").cast(DoubleType) / col("_mix_n").cast(DoubleType)
     val copies = (floor(ratio).cast(LongType) +
       when(u < floor((ratio - floor(ratio)) * 4294967296.0).cast(LongType), 1L)
@@ -151,18 +156,24 @@ object DatasetOps {
     * is at most one row per corpus doc. Equality-under-xxhash64 is
     * the same 64-bit-collision tolerance as exact hash dedup (q41/
     * q54): ~n²/2⁶⁵ false positives. */
+  /** (id, xxhash64(distinct word-k-gram)) rows — the shared gram
+    * pipeline of [[contaminatedIds]] and [[contaminationScores]]; one
+    * definition so the boolean verdict and the score can never
+    * diverge on what a gram is. Tokens are projected BEFORE shingling
+    * (Catalyst does not CSE inside lambdas — an inlined tokenizer
+    * re-splits the text once per gram, quadratic per doc). */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+      .select(col(idCol), explode(array_distinct(
+        wordShingles(col("_tks"), k))).as("_g"))
+      .select(col(idCol), xxhash64(col("_g")).as("_gh"))
+
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
                       idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    // tokens projected BEFORE shingling: Catalyst does not CSE inside
-    // lambdas, so an inlined tokenizer re-splits the text once per
-    // gram — quadratic per doc at real document sizes
-    def gramHashes(df: DataFrame): DataFrame =
-      df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
-        .select(col(idCol), explode(array_distinct(
-          wordShingles(col("_tks"), k))).as("_g"))
-        .select(col(idCol), xxhash64(col("_g")).as("_gh"))
-    val benchGrams = gramHashes(bench).select(col("_gh")).distinct()
-    gramHashes(corpus)
+    val benchGrams = gramHashes(bench, idCol, textCol, k)
+      .select(col("_gh")).distinct()
+    gramHashes(corpus, idCol, textCol, k)
       .join(benchGrams, Seq("_gh"), "left_semi")
       .select(col(idCol)).distinct()
   }
@@ -181,15 +192,10 @@ object DatasetOps {
   def contaminationScores(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
                           k: Int = 5): DataFrame = {
-    // token projection ahead of the shingle lambda — see gramHashes
-    def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
-        .select(col(idCol), explode(array_distinct(
-          wordShingles(col("_tks"), k))).as("_g"))
-        .select(col(idCol), xxhash64(col("_g")).as("_gh"))
-    val benchGrams = grams(bench).select(col("_gh")).distinct()
+    val benchGrams = gramHashes(bench, idCol, textCol, k)
+      .select(col("_gh")).distinct()
       .withColumn("_hit", lit(1))
-    val scored = grams(corpus)
+    val scored = gramHashes(corpus, idCol, textCol, k)
       .join(benchGrams, Seq("_gh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_n_grams"), count(col("_hit")).as("_n_hit"))
@@ -218,17 +224,7 @@ object DatasetOps {
     *         n_chunk_tokens); docs with zero tokens emit nothing. */
   def chunkDocs(df: DataFrame, idCol: String, tokens: Column,
                 window: Int, stride: Int): DataFrame = {
-    require(window > 0, s"window must be positive, got $window")
-    require(stride > 0 && stride <= window,
-      s"stride must be in [1, window], got $stride")
-    val n = size(tokens)
-    val nChunks = when(n <= window, lit(1))
-      .otherwise(floor((n - window + stride - 1).cast(DoubleType) / stride)
-        .cast(IntegerType) + 1)
-    val chunks = when(n > 0,
-      transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(tokens, i * stride + 1, lit(window)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
+    val chunks = tokenChunks(tokens, window, stride)
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_chunk_tokens",
         (size(split(col("chunk_text"), " ", -1))).cast(LongType))
@@ -268,8 +264,7 @@ object DatasetOps {
                     salt: String = "pack"): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val u = md5Draw(salt, col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_u"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -278,8 +273,10 @@ object DatasetOps {
       .withColumn("shard", pmod(col("_u"), lit(nShards)).cast(LongType))
       .withColumn("n_tokens", nTokens.cast(LongType))
       .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("bin",
-        floor(col("offset") / lit(seqLen.toDouble)).cast(LongType))
+      // integral division — exact at ANY offset magnitude, honoring the
+      // "everything is integer arithmetic" replay contract (a double
+      // divide would round above 2^53)
+      .withColumn("bin", expr(s"offset div ${seqLen}L"))
       .drop("_u")
   }
 }

@@ -404,12 +404,17 @@ object Dedup {
     * bodies; its state is doc-bounded.
     *
     * Docs whose `lines` decomposition is EMPTY are absent from the
-    * output (they produce no exploded rows — nothing to clean). */
+    * output (they produce no exploded rows — nothing to clean). NULL
+    * elements in the decomposition are ignored entirely — they carry
+    * no text, all nulls would otherwise collide on xxhash64's seed as
+    * one phantom "line", and array_join would drop them from
+    * `cleaned` while n_lines still counted them. */
   def removeBoilerplateLines(docs: DataFrame, idCol: String, lines: Column,
                              minDocs: Int, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val exploded = docs
       .select(col(idCol), posexplode(lines).as(Seq("_pos", "_line")))
+      .filter(col("_line").isNotNull)
       .withColumn("_lh", xxhash64(col("_line")))
     val boiler = exploded.groupBy(col("_lh"))
       .agg(countDistinct(col(idCol)).as("_nd"))

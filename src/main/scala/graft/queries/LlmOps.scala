@@ -1216,11 +1216,7 @@ object LlmOps {
     * would re-split the whole text once per LINE (quadratic per doc;
     * measured 3.1s → 0.6s at sf0.1 from this alone). */
   private def chunkLines(tk: Column, w: Int): Column =
-    when(size(tk) > 0,
-      transform(
-        sequence(lit(1), ceil(size(tk) / lit(w.toDouble)).cast(IntegerType)),
-        i => array_join(slice(tk, (i - lit(1)) * lit(w) + lit(1), lit(w)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
+    graft.functions.TextFunctions.tokenChunks(tk, window = w, stride = w)
 
   private val q97 = GraftQuery(
     "q97_line_dedup",
@@ -1332,7 +1328,7 @@ object LlmOps {
       SELECT shard, count(*) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         CAST(ceil(sum(n_tok) / 256.0) AS BIGINT) AS n_seqs,
-        count(DISTINCT CAST(floor(off / 256.0) AS BIGINT)) AS n_start_bins,
+        count(DISTINCT off // 256) AS n_start_bins,
         CAST(max(off) AS BIGINT) AS max_offset
       FROM w GROUP BY shard ORDER BY shard"""))
 
@@ -1392,14 +1388,18 @@ object LlmOps {
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val scored = tf.join(df_, Seq("token"))
         .withColumn("score", expr("tf * 1000000L div df"))
-      scored.createOrReplaceTempView("graft_q101_scored")
-      s.sql("""SELECT source, token, tf, df, score,
-            CAST(rnk AS BIGINT) AS rnk FROM (
-          SELECT source, token, tf, df, score,
-            row_number() OVER (PARTITION BY source
-              ORDER BY score DESC, token) AS rnk
-          FROM graft_q101_scored) WHERE rnk <= 5
-        ORDER BY source, rnk""")
+      // plain DSL window idiom (no session-state temp view) — the
+      // rewrite fires on the logical Window node either way, and q92/
+      // q94/q95 already pin the SQL-text route; the rank filter sits
+      // directly on the un-cast window column so the rule matches
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("token"), col("tf"), col("df"),
+          col("score"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("source"), col("rnk"))
     },
     Some("""WITH toks AS (
         SELECT doc_id, source,
@@ -1556,7 +1556,7 @@ object LlmOps {
         FROM lab)
       SELECT split, count(*) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        count(DISTINCT (shard, CAST(floor(off / 256.0) AS BIGINT)))
+        count(DISTINCT (shard, off // 256))
           AS n_start_bins
       FROM packed GROUP BY split ORDER BY split"""))
 

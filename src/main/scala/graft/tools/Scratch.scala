@@ -36,30 +36,19 @@ object Scratch {
         val fn = graft.SparkEntry.queries(name)
         for (i <- 1 to 3) time(s"$name-$i")(fn(spark, d).count())
       case "verify" =>
-        // subset correctness dump: runMain graft.tools.Scratch verify
-        //   <outDir> <sfDir> <name1> [name2 ...]
+        // subset correctness dump (same arg order as graft.Verify):
+        //   runMain graft.tools.Scratch verify <sfDir> <outDir> <name1> [...]
         // then: python3 tools/check_correctness.py <sfDir> <outDir>
-        val outDir = args(1)
-        val d = args(2)
+        // Delegates to Verify's helpers so the JSON escaper and the
+        // per-query failure handling cannot drift from the driver path.
+        val d = args(1)
+        val outDir = args(2)
         val names = args.drop(3).toSet
+        val unknown = names -- graft.SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         new java.io.File(outDir).mkdirs()
-        names.foreach { name =>
-          graft.SparkEntry.queries(name)(spark, d)
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        }
-        def esc(s: String): String = "\"" + s.flatMap {
-          case '"'  => "\\\""
-          case '\\' => "\\\\"
-          case '\n' => "\\n"
-          case '\r' => "\\r"
-          case '\t' => "\\t"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\""
-        val json = graft.SparkEntry.oracleSql.filter(kv => names(kv._1))
-          .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+        names.foreach(graft.Verify.dumpQuery(spark, d, outDir, _))
+        graft.Verify.writeOracleJson(outDir, names)
       case "recall" =>
         // r6: measure which probe budgets make each approximate tier
         // EXACT on the sf0.01 verify data — the oracle-greening reshape

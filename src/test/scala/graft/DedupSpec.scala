@@ -254,6 +254,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == ((5L, 2L, 0L, "SOLO\nSOLO")), s"got ${got(5L)}")
   }
 
+  test("removeBoilerplateLines: null decomposition elements are ignored, accounting stays consistent") {
+    // element(2) of a 1-element split is null; nulls must not collide
+    // into a phantom shared "line" nor break n_lines accounting
+    val d = Seq((1L, "u1"), (2L, "u2"), (3L, "X\nX2")).toDF("doc_id", "text")
+    val lines = array(try_element_at(split($"text", "\n"), lit(1)),
+      try_element_at(split($"text", "\n"), lit(2))) // null 2nd element for docs 1,2
+    val got = Dedup.removeBoilerplateLines(d, "doc_id", lines, minDocs = 2)
+      .select($"doc_id", $"n_lines", $"n_removed", $"cleaned")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 0L, "u1")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L, "u2")), s"got ${got(2L)}")
+    assert(got(3L) == ((3L, 2L, 0L, "X\nX2")), s"got ${got(3L)}")
+  }
+
   test("removeBoilerplateLines: long-doc reassembly preserves exact line order") {
     // 40 lines per doc; every third line is shared across both docs
     def mk(id: Long) = (0 until 40).map { i =>
