@@ -54,13 +54,20 @@ object Bench {
     * spins concurrently). Oversubscribed: mt_sec stretches toward 8×
     * the single-thread time. */
   private def canaryMt(threads: Int = 8): Double = {
+    // accumulate every thread's checksum: a dropped result would let
+    // the JIT prove the spin dead and eliminate it — the diagnostic
+    // would then read healthy on exactly the oversubscribed boxes it
+    // exists to expose (the same anchor the single-thread canary uses)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { _ =>
-      val t = new Thread(() => canary())
+      val t = new Thread(() => sink.addAndGet(canary()._2))
       t.start(); t
     }
     ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == Long.MinValue) println("canary-sink") // unreachable; keeps sink live
+    sec
   }
 
   def main(args: Array[String]): Unit = {

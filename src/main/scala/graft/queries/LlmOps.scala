@@ -14,10 +14,13 @@ import graft.sources.Tables
   * quality, token counting, fingerprinting), and multimodal column
   * plumbing — over the `documents` and `embeddings` tables.
   *
-  * SQL-expressible ops carry DuckDB oracles; the LSH-based ops
-  * (engine-native hash families) are rows-only checked by the driver;
-  * their precision/recall against brute-force ground truth is asserted
-  * by graft.DedupSpec and graft.SimilaritySpec (src/test).
+  * Every op here carries a DuckDB oracle — including the LSH/ANN
+  * tiers since r6: q42/q43 emit exact-verified dup decisions whose
+  * full qualifying pair set the oracle enumerates (any recall loss
+  * flips the row red), and q46/q55 use md5-derived hyperplanes/
+  * centroids so the oracle replays the complete approximate operator
+  * bit-for-bit. Precision/recall against brute force is additionally
+  * asserted by graft.DedupSpec and graft.SimilaritySpec (src/test).
   */
 object LlmOps {
 

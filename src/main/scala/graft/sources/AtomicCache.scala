@@ -59,7 +59,20 @@ object AtomicCache {
             val evicted = Paths.get(dir.toString +
               s"_evicted_${ProcessHandle.current().pid()}_${System.nanoTime()}")
             try Files.move(dir, evicted, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: java.nio.file.FileSystemException => () } // racer evicted it first
+            catch {
+              // the ONLY benign eviction failure is "dir is already
+              // gone" (a racer evicted it first); a squatter we could
+              // neither commit over nor move aside (permissions, open
+              // handles) must fail THIS materialize loudly — pressing
+              // on would delete the good staging copy and return
+              // success with an uncommitted partial still published
+              case e: java.nio.file.FileSystemException
+                  if Files.exists(dir) && !isCommitted(dir) =>
+                deleteRec(staging)
+                throw new java.io.IOException(
+                  s"AtomicCache: cannot evict stale partial at $dir", e)
+              case _: java.nio.file.FileSystemException => () // racer evicted it
+            }
             if (isCommitted(evicted)) {
               // the squatter had become a committed copy — put it back
               try Files.move(evicted, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -75,7 +88,17 @@ object AtomicCache {
               catch {
                 case _: java.nio.file.FileAlreadyExistsException |
                      _: java.nio.file.FileSystemException =>
-                  deleteRec(staging) // second collision: a racer won the retry
+                  // a racer beat the retry — but only treat it as a
+                  // benign loss if a COMMITTED copy is actually live;
+                  // anything else is the same silent-partial hazard as
+                  // the eviction failure above
+                  if (isCommitted(dir)) deleteRec(staging)
+                  else {
+                    deleteRec(staging)
+                    throw new java.io.IOException(
+                      s"AtomicCache: publish retry failed and no " +
+                        s"committed copy exists at $dir")
+                  }
               }
             }
           }

@@ -77,8 +77,9 @@ object Scratch {
           println(s"ivf nCells=16 nProbe=$np recall=" +
             recall(Similarity.ivfTopK(qs, cs, 5, dim = 64, nCells = 16, nProbe = np)))
         // minhash: verified pairs vs the exact word-3-shingle set
-        val sh = docs.select(col("doc_id"),
-          array_distinct(wordShingles(whitespaceTokens(col("text")), 3)).as("sh"))
+        val sh = docs
+          .select(col("doc_id"), whitespaceTokens(col("text")).as("tks"))
+          .select(col("doc_id"), array_distinct(wordShingles(col("tks"), 3)).as("sh"))
           .filter(size(col("sh")) > 0)
         val a = sh.select(col("doc_id").as("idA"), col("sh").as("shA"))
         val b = sh.select(col("doc_id").as("idB"), col("sh").as("shB"))
@@ -106,9 +107,12 @@ object Scratch {
             .as[(Long, Long)].collect().toMap
           missed.foreach { case (a2, b2) =>
             val ham = java.lang.Long.bitCount(sigMap(a2) ^ sigMap(b2))
-            val bands = (0 until 4).count(bb =>
-              ((sigMap(a2) >> (bb * 16)) & 0xFFFFL) == ((sigMap(b2) >> (bb * 16)) & 0xFFFFL))
-            println(s"missed pair ($a2,$b2): hamming=$ham sharedBands=$bands")
+            // band arithmetic must match the candidate run above
+            // (nBands = 8 → 8-bit bands), else the diagnostic answers
+            // the wrong banding question
+            val bands = (0 until 8).count(bb =>
+              ((sigMap(a2) >> (bb * 8)) & 0xFFL) == ((sigMap(b2) >> (bb * 8)) & 0xFFL))
+            println(s"missed pair ($a2,$b2): hamming=$ham sharedBands=$bands/8")
           }
         }
         // token-set jaccard distribution (for the simhash reshape) +

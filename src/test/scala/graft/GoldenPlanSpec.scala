@@ -47,10 +47,16 @@ class GoldenPlanSpec extends AnyFunSuite {
     val plan = normalize(
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
     val f = goldenDir.resolve(s"$name.plan.txt")
-    if (sys.env.contains("GRAFT_REGOLD") || !Files.exists(f)) {
+    if (sys.env.contains("GRAFT_REGOLD")) {
       Files.createDirectories(goldenDir)
       Files.writeString(f, plan + "\n")
       info(s"golden plan (re)written: $f — commit it")
+    } else if (!Files.exists(f)) {
+      // a missing golden must FAIL, not silently re-gold: a deleted
+      // file or a wrong working directory would otherwise disarm the
+      // whole regression net while staying green
+      fail(s"golden plan missing: $f — run with GRAFT_REGOLD=1 from the " +
+        "repo root to (re)create it, then commit the file")
     } else {
       val want = normalize(Files.readString(f))
       assert(plan == want,
