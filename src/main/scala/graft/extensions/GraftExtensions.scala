@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("no_inline"),
+      new ExpressionInfo(classOf[graft.expressions.NoInline].getName, "no_inline"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "no_inline expects exactly 1 argument")
+        graft.expressions.NoInline(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (children: Seq[Expression]) => {

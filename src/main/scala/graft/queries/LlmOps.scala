@@ -1563,10 +1563,65 @@ object LlmOps {
           AS n_start_bins
       FROM packed GROUP BY split ORDER BY split"""))
 
+  // ---- q103: ingest-time decontamination census -------------------------
+  // The batch twin of DocIngest.ingestDecontaminated (the streaming
+  // gate StreamingSpec proves streamed-equals-batch): incoming docs →
+  // quality floor → digest dedup → benchmark-gram gate. A GLOBAL
+  // census, deliberately not per-source: sf0.1 has 8 duplicate texts
+  // spanning sources, so per-source counts after keep-one dedup would
+  // depend on which survivor dropDuplicates picked — distinct-hash
+  // counts are survivor-independent.
+
+  private val q103 = GraftQuery(
+    "q103_ingest_decontam",
+    (s, d) => {
+      val dd = docs(s, d)
+      val hashes = graft.streaming.DocIngest.benchGramHashes(
+        dd.filter(col("doc_id") % 97 === 0), "text")
+      val incoming = dd.filter(col("doc_id") % 97 =!= 0)
+      val landed = graft.streaming.DocIngest
+        .ingestDecontaminated(incoming, hashes)
+      incoming
+        .withColumn("_tks", whitespaceTokens(col("text")))
+        .agg(count(lit(1)).as("n_incoming"),
+          countDistinct(when(size(col("_tks")) >= 3, md5(col("text"))))
+            .as("n_quality_distinct"))
+        .crossJoin(broadcast(landed.agg(count(lit(1)).as("n_landed"))))
+        .withColumn("n_blocked", col("n_quality_distinct") - col("n_landed"))
+        .select(col("n_incoming"), col("n_quality_distinct"),
+          col("n_blocked"), col("n_landed"))
+    },
+    Some("""WITH inc AS (
+        SELECT doc_id, text, md5(text) AS h,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents WHERE doc_id % 97 <> 0),
+      g AS (
+        SELECT h, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM inc),
+      bg AS (
+        SELECT DISTINCT unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+          FROM documents WHERE doc_id % 97 = 0)),
+      cont AS (SELECT DISTINCT g.h FROM g JOIN bg ON g.gram = bg.gram),
+      q AS (SELECT DISTINCT h FROM inc WHERE len(tk) >= 3)
+      SELECT (SELECT count(*) FROM inc) AS n_incoming,
+        (SELECT count(*) FROM q) AS n_quality_distinct,
+        (SELECT count(*) FROM q WHERE h IN (SELECT h FROM cont))
+          AS n_blocked,
+        (SELECT count(*) FROM q WHERE h NOT IN (SELECT h FROM cont))
+          AS n_landed"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
-      q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102)
+      q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
+      q103)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -44,6 +44,43 @@ object DocIngest {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
 
+  /** Distinct benchmark word-`k`-gram hashes, driver-collected ONCE —
+    * the static side of the streaming decontamination gate. One small
+    * batch job (the benchmark is the small table by definition); at
+    * real benchmark sizes (millions of grams) swap the collected
+    * array for `bloom_filter_agg` → `might_contain` (the same pair
+    * the AQE runtime filter uses, RuntimeFilterSpec) — identical
+    * stateless shape, bounded false-positive over-dropping. */
+  def benchGramHashes(bench: DataFrame, textCol: String,
+                      k: Int = 5): Array[Long] =
+    bench
+      .select(whitespaceTokens(col(textCol)).as("_tks"))
+      .select(explode(array_distinct(wordShingles(col("_tks"), k))).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh")).distinct()
+      .collect().map(_.getLong(0))
+
+  /** [[ingest]] plus an eval-decontamination gate: docs sharing any
+    * word-`k`-gram with the benchmark are dropped AT INGEST, before
+    * they ever land in the corpus. The gate is a stateless per-row
+    * expression (gram hashes vs the broadcast benchmark set) — the
+    * streaming-legal shape: a doc-level verdict via the batch
+    * semi-join (q65) would need a stream-side aggregation, which
+    * Structured Streaming disallows before a stateless sink. Tokens
+    * are projected before shingling (the lambda-CSE rule) and FENCED
+    * with [[graft.expressions.NoInline]]: predicate pushdown would
+    * otherwise substitute the tokenizer back into the filter's
+    * shingle lambda, re-creating the quadratic blowup at the
+    * optimizer level (measured 3.9s → 0.5s at sf0.1). */
+  def ingestDecontaminated(docs: DataFrame, benchHashes: Array[Long],
+                           minTokens: Int = 3, k: Int = 5): DataFrame =
+    ingest(docs, minTokens)
+      .withColumn("_tks", call_function("no_inline",
+        whitespaceTokens(col("text"))))
+      .filter(!arrays_overlap(
+        transform(wordShingles(col("_tks"), k), g => xxhash64(g)),
+        typedLit(benchHashes.toSeq)))
+      .drop("_tks")
+
   /** Drain every file currently under `rawDir` through [[ingest]]
     * into JSONL at `outDir`, exactly once per file across restarts. */
   def runAvailableNow(spark: SparkSession, rawDir: String, outDir: String,

@@ -412,6 +412,49 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming decontamination gate: streamed equals batch, planted hit blocked") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_decontam_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val bench = Seq((1000L, "b0", "en", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "source", "lang", "text")
+    val hashes = DocIngest.benchGramHashes(bench, "text")
+    val incoming = Seq(
+      (1L, "s0", "en", "totally clean document with many safe words here"),
+      // shares the 5-gram "alpha beta gamma delta epsilon" → blocked
+      (2L, "s0", "en", "prefix alpha beta gamma delta epsilon suffix words"),
+      (3L, "s1", "en", "short"), // under the 3-token quality floor
+      (4L, "s1", "en", "another clean document that must land fine"))
+      .toDF("doc_id", "source", "lang", "text")
+    // shard 2 re-delivers doc 1 (cross-shard dedup) plus a fresh doc
+    incoming.filter($"doc_id" <= 3).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    incoming.filter($"doc_id" === 1 || $"doc_id" === 4).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    val q = DocIngest.ingestDecontaminated(
+        DocIngest.readDocStream(spark, raw.toString + "/*/"), hashes)
+      .writeStream.format("json")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.json(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch twin over the union of both shards
+    val expected = DocIngest.ingestDecontaminated(
+        incoming.filter($"doc_id" <= 3)
+          .union(incoming.filter($"doc_id" === 1 || $"doc_id" === 4)), hashes)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 4L), s"got $streamed")
+    assert(streamed == expected, s"streamed $streamed != batch $expected")
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
