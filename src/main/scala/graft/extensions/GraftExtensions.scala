@@ -189,6 +189,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             dim = numLit(children(4), "dim").toInt)
           .queryExecution.analyzed
       }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+          org.apache.spark.sql.types.LongType) =>
+        if (v < Int.MinValue.toLong || v > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"$what out of int range: $v")
+        v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    // Line-level boilerplate dedup from SQL (q97's operator):
+    //   line_dedup(table, id_col, text_col, min_docs[, chunk_width])
+    // Default decomposition is newline split (the real-corpus shape);
+    // a positive chunk_width switches to fixed token chunks (the
+    // newline-free fixture's decomposition). Emits
+    // (id, n_lines, n_removed, cleaned).
+    ext.injectTableFunction((
+      new FunctionIdentifier("line_dedup"),
+      new ExpressionInfo("graft.operators.Dedup", "line_dedup"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 5,
+          "usage: line_dedup(table, id_col, text_col, min_docs[, chunk_width])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val idCol = strLit(children(1), "id_col")
+        val textCol = strLit(children(2), "text_col")
+        val minDocs = intLit(children(3), "min_docs")
+        val width = children.drop(4).headOption.map(intLit(_, "chunk_width"))
+        import org.apache.spark.sql.functions.{col, split}
+        val base = spark.table(strLit(children(0), "table"))
+        val (docs, lines, sep) = width match {
+          case Some(w) =>
+            // token-chunk mode: tokens projected per the lambda-CSE rule
+            (base.select(col(idCol),
+              graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+                .as("_tk")),
+              graft.functions.TextFunctions.tokenChunks(col("_tk"), w, w), " ")
+          case None =>
+            (base.select(col(idCol), col(textCol)),
+              split(col(textCol), "\n", -1), "\n")
+        }
+        graft.operators.Dedup
+          .removeBoilerplateLines(docs, idCol, lines, minDocs, sep)
+          .queryExecution.analyzed
+      }))
+    // Greedy sequence packing from SQL (q99's operator):
+    //   pack_sequences(table, id_col, text_col, seq_len, n_shards)
+    // Emits the input rows plus (shard, n_tokens, offset, bin).
+    ext.injectTableFunction((
+      new FunctionIdentifier("pack_sequences"),
+      new ExpressionInfo("graft.operators.DatasetOps", "pack_sequences"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: pack_sequences(table, id_col, text_col, seq_len, n_shards)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.operators.DatasetOps.packSequences(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"),
+            graft.functions.TextFunctions.tokenCount(
+              col(strLit(children(2), "text_col"))),
+            seqLen = intLit(children(3), "seq_len"),
+            nShards = intLit(children(4), "n_shards"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sim_sorted"),
       new ExpressionInfo(classOf[JaccardSimilaritySorted].getName,

@@ -1617,11 +1617,42 @@ object LlmOps {
         (SELECT count(*) FROM q WHERE h NOT IN (SELECT h FROM cont))
           AS n_landed"""))
 
+  // ---- q104/q105: the SQL (table-function) surface for the r6 ops ------
+  // The q92/q93 pattern: the operators reached entirely through SQL
+  // text must hash-match the same DuckDB oracles as their DataFrame
+  // twins (q97/q99) — the TVF layer adds a parser/analyzer path, not
+  // new semantics.
+
+  private val q104 = GraftQuery(
+    "q104_sql_line_dedup",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT doc_id, n_lines, n_removed, cleaned
+        FROM line_dedup('documents', 'doc_id', 'text', 2, 8)
+        WHERE n_removed > 0 ORDER BY doc_id""")
+    },
+    q97.oracle)
+
+  private val q105 = GraftQuery(
+    "q105_sql_pack",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT CAST(shard AS BIGINT) AS shard,
+          count(*) AS n_docs,
+          sum(n_tokens) AS n_tokens,
+          CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs,
+          count(DISTINCT bin) AS n_start_bins,
+          max(offset) AS max_offset
+        FROM pack_sequences('documents', 'doc_id', 'text', 256, 8)
+        GROUP BY shard ORDER BY shard""")
+    },
+    q99.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103)
+      q103, q104, q105)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -268,6 +268,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 2L, 0L, "X\nX2")), s"got ${got(3L)}")
   }
 
+  test("line_dedup TVF: newline default mode matches the Scala operator") {
+    val d = Seq(
+      (1L, "u1\nBOILER\nu2"),
+      (2L, "BOILER\nu3"),
+      (3L, "u4"))
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("line_dedup_tvf_fixture")
+    val viaSql = spark.sql(
+      """SELECT doc_id, n_lines, n_removed, cleaned
+        FROM line_dedup('line_dedup_tvf_fixture', 'doc_id', 'text', 2)
+        ORDER BY doc_id""")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val viaScala = Dedup.removeBoilerplateLines(d, "doc_id",
+        split($"text", "\n"), minDocs = 2)
+      .select($"doc_id", $"n_lines", $"n_removed", $"cleaned")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaSql == viaScala)
+    assert(viaSql.head == ((1L, 3L, 1L, "u1\nu2")), s"got ${viaSql.head}")
+  }
+
   test("removeBoilerplateLines: long-doc reassembly preserves exact line order") {
     // 40 lines per doc; every third line is shared across both docs
     def mk(id: Long) = (0 until 40).map { i =>

@@ -115,4 +115,34 @@ class ExpressionSpec extends AnyFunSuite {
     val nb = math.sqrt(v2.map(x => x.toDouble * x.toDouble).sum)
     assert(got == dot / (na * nb))
   }
+
+  test("no_inline: identity values, and the fenced projection blocks predicate pushdown") {
+    import org.apache.spark.sql.functions.{call_function, lower, split}
+    val df = Seq((1L, "Alpha Beta"), (2L, "Gamma"), (3L, null))
+      .toDF("id", "s")
+    // identity: values (incl. null) pass through unchanged
+    val plain = df.select($"id", lower($"s").as("v")).collect().toSeq
+    val fenced = df.select($"id", call_function("no_inline", lower($"s")).as("v"))
+      .collect().toSeq
+    assert(plain.sortBy(_.getLong(0)).toString ==
+      fenced.sortBy(_.getLong(0)).toString)
+    // pushdown fence: without it, Filter(cond(alias)) over Project is
+    // rewritten by substituting the alias's defining expression into
+    // the condition (the optimizer-level lambda-CSE trap, q103).
+    // A parquet scan, not a local relation — ConvertToLocalRelation
+    // would evaluate the whole plan away at optimize time.
+    def filterLines(fence: Boolean): Seq[String] = {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      val tok = split(lower($"text"), " ", -1)
+      val proj = if (fence) call_function("no_inline", tok) else tok
+      docs.select($"doc_id", proj.as("_tk"))
+        .filter(org.apache.spark.sql.functions.size($"_tk") > 1)
+        .queryExecution.optimizedPlan.toString
+        .linesIterator.filter(_.contains("Filter")).toSeq
+    }
+    assert(filterLines(fence = false).exists(_.contains("split(")),
+      "sanity: unfenced alias is substituted into the pushed filter")
+    assert(!filterLines(fence = true).exists(_.contains("split(")),
+      "fenced projection must keep the filter above the alias")
+  }
 }
