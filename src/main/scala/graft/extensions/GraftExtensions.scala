@@ -43,6 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.NoInline(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.expressions.BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bloom_might_contain expects exactly 2 arguments")
+        graft.expressions.BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (children: Seq[Expression]) => {

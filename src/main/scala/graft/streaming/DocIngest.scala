@@ -81,6 +81,41 @@ object DocIngest {
         typedLit(benchHashes.toSeq)))
       .drop("_tks")
 
+  /** The bloom tier of the gate's static side — the 100 TB shape
+    * [[benchGramHashes]]' scaladoc names: at real benchmark sizes the
+    * exact hash array stops fitting a plan literal, while a bloom
+    * filter of the same grams stays a few MB at any benchmark size.
+    * Built DISTRIBUTED by the public sketch API (`stat.bloomFilter`);
+    * serialized so the gate can embed it as one binary literal. No
+    * false negatives — a contaminated doc can never slip through —
+    * and `fpp` bounds the clean docs over-dropped. */
+  def benchGramBloom(bench: DataFrame, textCol: String, k: Int = 5,
+                     fpp: Double = 0.01): Array[Byte] = {
+    val grams = bench
+      .select(whitespaceTokens(col(textCol)).as("_tks"))
+      .select(explode(array_distinct(wordShingles(col("_tks"), k))).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh")).distinct()
+    val n = math.max(grams.count(), 64L)
+    val bf = grams.stat.bloomFilter("_gh", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[ingestDecontaminated]]'s bloom twin: same stateless per-row
+    * gate, sketch membership instead of exact-set membership. Blocks
+    * every truly contaminated doc (no false negatives) plus an
+    * fpp-bounded sliver of clean ones. */
+  def ingestDecontaminatedBloom(docs: DataFrame, bloom: Array[Byte],
+                                minTokens: Int = 3, k: Int = 5): DataFrame =
+    ingest(docs, minTokens)
+      .withColumn("_tks", call_function("no_inline",
+        whitespaceTokens(col("text"))))
+      .filter(!exists(
+        transform(wordShingles(col("_tks"), k), g => xxhash64(g)),
+        h => call_function("bloom_might_contain", lit(bloom), h)))
+      .drop("_tks")
+
   /** Drain every file currently under `rawDir` through [[ingest]]
     * into JSONL at `outDir`, exactly once per file across restarts. */
   def runAvailableNow(spark: SparkSession, rawDir: String, outDir: String,

@@ -101,6 +101,58 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L), "empty docs must emit no chunks")
   }
 
+  test("packSequences equals a JVM md5 replay across a seqLen/nShards grid") {
+    // full-row comparison against an independent Scala reference: the
+    // md5 draw, shard deal, (u, id) order, prefix sum, and bin are all
+    // recomputed on the JVM — any drift in the Spark expression chain
+    // (or its oracle contract) fails loudly
+    def md5u(salt: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val rnd = new scala.util.Random(43)
+    val docs = (0L until 300L).map(i => (i, 1L + rnd.nextInt(40)))
+    val df = docs.toDF("id", "ntok")
+    for ((seqLen, nShards) <- Seq((32, 2), (64, 4), (128, 7))) {
+      val expected = docs
+        .map { case (id, nt) => (id, md5u("pack", id), nt) }
+        .groupBy { case (id, u, _) => u % nShards }
+        .flatMap { case (shard, rows) =>
+          var cum = 0L
+          rows.sortBy { case (id, u, _) => (u, id) }.map { case (id, _, nt) =>
+            val off = cum; cum += nt
+            (id, shard, nt, off, off / seqLen)
+          }
+        }.toSet
+      val got = DatasetOps.packSequences(df, "id", $"ntok", seqLen, nShards)
+        .select($"id", $"shard", $"n_tokens", $"offset", $"bin")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seqLen=$seqLen nShards=$nShards")
+    }
+  }
+
+  test("chunkDocs: stride==window chunks concatenate back to the document") {
+    import graft.functions.TextFunctions.whitespaceTokens
+    val rnd = new scala.util.Random(47)
+    val docs = (0L until 50L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(s"t${rnd.nextInt(99)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", whitespaceTokens($"text").as("_tk"))
+    val rebuilt = DatasetOps.chunkDocs(df, "doc_id", $"_tk",
+        window = 8, stride = 8)
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct($"chunk_idx", $"chunk_text"))).getField("chunk_text"))
+        .as("re"))
+      .as[(Long, String)].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(rebuilt(id) == text, s"doc $id reassembly mismatch")
+    }
+  }
+
   test("packSequences: conserves tokens, gapless per-shard offsets, layout-invariant") {
     val docs = (0L until 400L).map(i => (i, 1 + (i * 7 % 50))).toDF("id", "ntok")
     val packed = DatasetOps.packSequences(docs, "id", $"ntok",

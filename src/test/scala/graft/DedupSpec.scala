@@ -268,6 +268,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 2L, 0L, "X\nX2")), s"got ${got(3L)}")
   }
 
+  test("removeBoilerplateLines equals a brute-force reference over random corpora") {
+    // small line vocabulary forces cross-doc repeats; trials vary
+    // corpus size, doc length (incl. empty docs), and minDocs
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 8) {
+      val nDocs = 3 + rnd.nextInt(10)
+      val minDocs = 2 + rnd.nextInt(2)
+      val corpus: Seq[(Long, Seq[String])] = (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(7))(s"line${rnd.nextInt(6)}"))
+      }
+      // brute force: census of distinct docs per line, then rebuild
+      val boiler = corpus.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.size >= minDocs).keySet
+      val expected = corpus.filter(_._2.nonEmpty).map { case (id, ls) =>
+        val kept = ls.filterNot(boiler)
+        (id, ls.size.toLong, (ls.size - kept.size).toLong, kept.mkString("\n"))
+      }.toSet
+      val df = corpus.toDF("doc_id", "lines")
+      val got = Dedup.removeBoilerplateLines(df, "doc_id", $"lines", minDocs)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"trial $trial minDocs=$minDocs corpus=$corpus")
+    }
+  }
+
   test("line_dedup TVF: newline default mode matches the Scala operator") {
     val d = Seq(
       (1L, "u1\nBOILER\nu2"),

@@ -455,6 +455,53 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("bloom decontamination tier: no false negatives, streamed equals batch") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_bloom_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    val bench = Seq((1000L, "b0", "en", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "source", "lang", "text")
+    val bloom = DocIngest.benchGramBloom(bench, "text")
+    val incoming = (1L to 40L).map { i =>
+      if (i % 10 == 0) // planted contamination — shares a bench 5-gram
+        (i, "s0", "en", s"noise$i alpha beta gamma delta epsilon tail$i")
+      else
+        (i, "s0", "en", s"clean document number $i with its own unique words w$i x$i y$i")
+    }.toDF("doc_id", "source", "lang", "text")
+    incoming.filter($"doc_id" <= 20).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    incoming.filter($"doc_id" > 20).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    val q = DocIngest.ingestDecontaminatedBloom(
+        DocIngest.readDocStream(spark, raw.toString + "/*/"), bloom)
+      .writeStream.format("json")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.json(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    // NO false negatives: every planted contaminated doc is blocked
+    assert((10L to 40L by 10L).forall(i => !streamed.contains(i)),
+      s"contaminated doc slipped the bloom gate: $streamed")
+    // streamed equals the batch twin bit-for-bit (same sketch)
+    val batch = DocIngest.ingestDecontaminatedBloom(incoming, bloom)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // and the bloom tier only ever over-drops vs the exact tier
+    val exact = DocIngest.ingestDecontaminated(incoming,
+      DocIngest.benchGramHashes(bench, "text"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch.subsetOf(exact),
+      s"bloom tier kept a doc the exact tier blocked: ${batch -- exact}")
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
