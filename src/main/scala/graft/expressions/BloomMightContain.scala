@@ -33,11 +33,22 @@ case class BloomMightContain(left: Expression, right: Expression)
     else if (!left.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "bloom argument must be a constant (literal) sketch")
-    else if (right.dataType != LongType)
+    else if (left.eval(null) == null)
+      // catch a null sketch at ANALYSIS time — evaluable since foldable;
+      // otherwise every task would throw on its first row
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"probe argument must be BIGINT, got ${right.dataType}")
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        "bloom argument must not be a null sketch")
+    else right.dataType match {
+      // integral probes widen at eval (ImplicitCastInputTypes would do
+      // this, but its AbstractDataType signature is private[sql])
+      case LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"probe argument must be an integral type, got $other")
+    }
   }
 
   @transient private lazy val filter: BloomFilter = {
@@ -47,8 +58,11 @@ case class BloomMightContain(left: Expression, right: Expression)
   }
 
   override def eval(input: InternalRow): Any = {
-    val v = right.eval(input)
-    if (v == null) false else filter.mightContainLong(v.asInstanceOf[Long])
+    right.eval(input) match {
+      case null => false
+      case l: Long => filter.mightContainLong(l)
+      case n: Number => filter.mightContainLong(n.longValue())
+    }
   }
 
   override protected def withNewChildrenInternal(

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DataType
   * into consuming expressions. For a filter over shingle lambdas that
   * substitution re-inlines the tokenizer INTO the per-shingle slice —
   * re-splitting the whole text once per shingle, quadratic per doc
-  * (measured: the q103 ingest gate dropped 3.9s → 0.5s at sf0.1 when
+  * (measured: the q103 ingest gate dropped 3.9s → 1.2s at sf0.1 when
   * fenced).
   *
   * The wrapper computes nothing: eval and codegen delegate to the

@@ -139,6 +139,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$what must be a string literal, got $other")
     }
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+          org.apache.spark.sql.types.LongType) =>
+        if (v < Int.MinValue.toLong || v > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"$what out of int range: $v")
+        v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     def numLit(e: Expression, what: String): Double = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
           if v != null && v.toString.nonEmpty &&
@@ -195,21 +207,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             spark.table(strLit(children(0), "table")),
             strLit(children(1), "id_col"), strLit(children(2), "vec_col"),
             numLit(children(3), "threshold"),
-            dim = numLit(children(4), "dim").toInt)
+            dim = intLit(children(4), "dim"))
           .queryExecution.analyzed
       }))
-    def intLit(e: Expression, what: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-          org.apache.spark.sql.types.IntegerType) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
-          org.apache.spark.sql.types.LongType) =>
-        if (v < Int.MinValue.toLong || v > Int.MaxValue.toLong)
-          throw new IllegalArgumentException(
-            s"$what out of int range: $v")
-        v.toInt
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
-    }
     // Line-level boilerplate dedup from SQL (q97's operator):
     //   line_dedup(table, id_col, text_col, min_docs[, chunk_width])
     // Default decomposition is newline split (the real-corpus shape);
@@ -227,6 +227,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val textCol = strLit(children(2), "text_col")
         val minDocs = intLit(children(3), "min_docs")
         val width = children.drop(4).headOption.map(intLit(_, "chunk_width"))
+        width.foreach(w => require(w > 0,
+          s"line_dedup: chunk_width must be positive, got $w"))
         import org.apache.spark.sql.functions.{col, split}
         val base = spark.table(strLit(children(0), "table"))
         val (docs, lines, sep) = width match {

@@ -45,11 +45,10 @@ object DocIngest {
       .dropDuplicates("content_hash")
 
   /** Distinct benchmark word-`k`-gram hashes, driver-collected ONCE —
-    * the static side of the streaming decontamination gate. One small
-    * batch job (the benchmark is the small table by definition); at
-    * real benchmark sizes (millions of grams) swap the collected
-    * array for `bloom_filter_agg` → `might_contain` (the same pair
-    * the AQE runtime filter uses, RuntimeFilterSpec) — identical
+    * the EXACT static side of the streaming decontamination gate. One
+    * small batch job (the benchmark is the small table by
+    * definition); at real benchmark sizes (millions of grams) use
+    * [[benchGramBloom]] + [[ingestDecontaminatedBloom]] — identical
     * stateless shape, bounded false-positive over-dropping. */
   def benchGramHashes(bench: DataFrame, textCol: String,
                       k: Int = 5): Array[Long] =
@@ -70,7 +69,7 @@ object DocIngest {
     * with [[graft.expressions.NoInline]]: predicate pushdown would
     * otherwise substitute the tokenizer back into the filter's
     * shingle lambda, re-creating the quadratic blowup at the
-    * optimizer level (measured 3.9s → 0.5s at sf0.1). */
+    * optimizer level (measured 3.9s → 1.2s at sf0.1). */
   def ingestDecontaminated(docs: DataFrame, benchHashes: Array[Long],
                            minTokens: Int = 3, k: Int = 5): DataFrame =
     ingest(docs, minTokens)
@@ -95,11 +94,17 @@ object DocIngest {
       .select(whitespaceTokens(col(textCol)).as("_tks"))
       .select(explode(array_distinct(wordShingles(col("_tks"), k))).as("_g"))
       .select(xxhash64(col("_g")).as("_gh")).distinct()
-    val n = math.max(grams.count(), 64L)
-    val bf = grams.stat.bloomFilter("_gh", n, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
+      // two jobs consume the gram set (size probe + sketch build);
+      // without the persist the tokenize-shingle-distinct pipeline
+      // runs twice over the whole benchmark
+      .persist()
+    try {
+      val n = math.max(grams.count(), 64L)
+      val bf = grams.stat.bloomFilter("_gh", n, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    } finally grams.unpersist()
   }
 
   /** [[ingestDecontaminated]]'s bloom twin: same stateless per-row
