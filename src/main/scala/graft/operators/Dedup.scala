@@ -382,6 +382,69 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Write the persisted MinHash index of a corpus — the static side
+    * of INCREMENTAL near-dup ingest (the near-dup twin of q67's exact
+    * digest probe): one row per (band, band-hash) per doc, carrying
+    * the doc's distinct shingle hashes so probes can exact-verify
+    * candidates against the index WITHOUT ever touching corpus
+    * bodies. Written once, probed by every arriving shard; at scale,
+    * land it bucketed on `_bhash` ([[ScaleOps.writeBucketed]]) so the
+    * probe join is exchange-free on the index side. */
+  def writeMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
+                        dir: String, shingleWords: Int = 3,
+                        numHashes: Int = 24, bands: Int = 6): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+      .select(col(idCol),
+        array_distinct(wordShingles(col("_tks"), shingleWords)).as("_shd"))
+      .filter(size(col("_shd")) > 0)
+      .select(col(idCol),
+        transform(col("_shd"), s => xxhash64(s)).as("_shh"),
+        minhashSignature(col("_shd"), numHashes).as("_sig"))
+      .select(col(idCol), col("_shh"),
+        posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Probe a [[writeMinhashIndex]] index with a new shard: LSH
+    * candidates from shared (band, band-hash) buckets, exact-verified
+    * by Jaccard over the stored shingle-hash sets — the emitted
+    * decisions are exact, the approximate tier only generates
+    * candidates (the q42 shape, so the same oracle style gates it).
+    * Same hash family as the index writer by construction. Returns
+    * (idNew, idCorpus, jaccard ≥ threshold) pairs. */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, newDocs: DataFrame, textCol: String,
+                        idCol: String, threshold: Double,
+                        shingleWords: Int = 3, numHashes: Int = 24,
+                        bands: Int = 6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val index = spark.read.parquet(dir)
+    val probe = newDocs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+      .select(col(idCol),
+        array_distinct(wordShingles(col("_tks"), shingleWords)).as("_shd"))
+      .filter(size(col("_shd")) > 0)
+      .select(col(idCol),
+        transform(col("_shd"), s => xxhash64(s)).as("_shh"),
+        minhashSignature(col("_shd"), numHashes).as("_sig"))
+      .select(col(idCol).as("idNew"), col("_shh").as("_shhNew"),
+        posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
+    probe.join(index, Seq("_band", "_bhash"))
+      .select(col("idNew"), col(idCol).as("idCorpus"),
+        col("_shhNew"), col("_shh"))
+      // one verification per candidate pair, not per shared band (the
+      // carried arrays are identical for a given pair, so which row
+      // survives is immaterial)
+      .dropDuplicates("idNew", "idCorpus")
+      .withColumn("jaccard", jaccard(col("_shhNew"), col("_shh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("jaccard"))
+  }
+
   /** Line-level boilerplate dedup (the RefinedWeb/CCNet recipe): a
     * "line" that recurs across `minDocs` DISTINCT documents is
     * near-certainly template chrome (nav bars, cookie banners, license

@@ -1648,11 +1648,80 @@ object LlmOps {
     },
     q99.oracle)
 
+  // ---- q106: incremental near-dup ingest against a persisted index ----
+  // The near-dup twin of q67: new docs are probed against the
+  // PERSISTED MinHash index of the already-ingested corpus (written
+  // once, probed by every arriving shard — corpus bodies are never
+  // re-read). Emitted decisions are exact-verified (q42's shape), so
+  // the oracle enumerates the full exact cross-pair set: any recall
+  // loss in the index/probe machinery flips the row red.
+
+  private val idxDirBySession = new graft.sources.SessionMemo[String]
+  private def minhashIndexMaterialized(s: SparkSession, d: String): String =
+    idxDirBySession.getOrElseCompute(s, d) {
+      val out = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+      sys.addShutdownHook {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      Dedup.writeMinhashIndex(
+        docs(s, d).filter(col("doc_id") % 3 =!= 0), "text", "doc_id", out)
+      out
+    }
+
+  private val q106 = GraftQuery(
+    "q106_incremental_neardup",
+    (s, d) => {
+      val dir = minhashIndexMaterialized(s, d)
+      val probe = docs(s, d).filter(col("doc_id") % 3 === 0)
+      val pairs = Dedup.probeMinhashIndex(s, dir, probe, "text", "doc_id",
+        threshold = 0.5)
+      val stats = pairs.groupBy(col("idNew").as("doc_id"))
+        .agg(count(lit(1)).as("n_near_dups"),
+          min(col("idCorpus")).as("nearest_corpus"))
+      probe.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("nearest_corpus"),
+          col("n_near_dups").isNull.as("is_new"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM toks),
+      pairs AS (
+        SELECT p.doc_id AS idn, c.doc_id AS idc
+        FROM sh p JOIN sh c ON p.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+        WHERE len(p.sh) > 0 AND len(c.sh) > 0
+          AND len(list_intersect(p.sh, c.sh)) * 1.0 /
+              len(list_distinct(list_concat(p.sh, c.sh))) >= 0.5),
+      stats AS (
+        SELECT idn, count(*) AS n_near_dups, min(idc) AS nearest_corpus
+        FROM pairs GROUP BY idn)
+      SELECT d.doc_id, coalesce(s.n_near_dups, 0) AS n_near_dups,
+        s.nearest_corpus, s.n_near_dups IS NULL AS is_new
+      FROM documents d LEFT JOIN stats s ON d.doc_id = s.idn
+      WHERE d.doc_id % 3 = 0
+      ORDER BY d.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105)
+      q103, q104, q105, q106)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

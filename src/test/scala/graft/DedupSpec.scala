@@ -235,6 +235,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash index probe: incremental ingest finds planted near-dups, no false positives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_spec_").toString
+    try {
+      // corpus = bases + controls; arriving shard = the near-duplicates
+      val corpus = docs.filter($"doc_id" % 3 =!= 1)
+      val shard = docs.filter($"doc_id" % 3 === 1)
+      Dedup.writeMinhashIndex(corpus, "text", "doc_id", dir)
+      val found = Dedup
+        .probeMinhashIndex(spark, dir, shard, "text", "doc_id", threshold = 0.5)
+        .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+      val truth = (0 until 20).map(i => (i * 3L + 1, i * 3L)).toSet
+      // precision is structural: every candidate is verified by exact
+      // Jaccard over the stored shingle hashes before emission
+      assert(found.subsetOf(truth), s"false positives: ${found -- truth}")
+      // same fixed hash family as minhashDupPairs → same collisions;
+      // that test pins all 20 found, so the probe path must match it
+      assert(found.size >= 18, s"recall too low: ${found.size}/20")
+      // re-probing is deterministic (index read back from disk)
+      val again = Dedup
+        .probeMinhashIndex(spark, dir, shard, "text", "doc_id", threshold = 0.5)
+        .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+      assert(again == found)
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   test("removeBoilerplateLines: cross-doc lines cut, order kept, within-doc repeats spared") {
     val d = Seq(
       (1L, "u1\nBOILER\nu2"),   // boiler mid-doc: survivors keep order
