@@ -124,23 +124,26 @@ object Similarity {
     * [[graft.functions.VectorFunctions.md5Vectors]] centroids so the
     * DuckDB oracle can rebuild the identical cell geometry and replay
     * assignment, probing, and ranking end to end. */
+  /** Nearest-centroid fold: argmax over cosine(centroid_i, v) — the
+    * per-cell cosine is the native fused expression, so the fold's
+    * codegen stays one loop over nCells kernel calls. Ties break to
+    * the lowest cell (strict `>`), matching the oracle replays. */
+  private def bestCell(cents: Seq[Seq[Double]])(v: Column): Column = {
+    val centLit = typedLit(cents)
+    aggregate(sequence(lit(0), lit(cents.size - 1)),
+      struct(lit(-1).as("i"), lit(-2.0).as("s")),
+      (acc, i) => {
+        val s = cosineFast(element_at(centLit, i + 1), v)
+        when(s > acc.getField("s"), struct(i.as("i"), s.as("s")))
+          .otherwise(acc)
+      }).getField("i")
+  }
+
   def ivfTopKWithCentroids(queries: DataFrame, candidates: DataFrame, k: Int,
                            cents: Seq[Seq[Double]],
                            nProbe: Int = 3): DataFrame = {
-    val nCells = cents.size
     val centLit = typedLit(cents)
-    // nearest-centroid fold: argmax over cosine(centroid_i, v) — the
-    // per-cell cosine is the native fused expression, so the fold's
-    // codegen stays one loop over nCells kernel calls
-    def bestCell(v: Column): Column =
-      aggregate(sequence(lit(0), lit(nCells - 1)),
-        struct(lit(-1).as("i"), lit(-2.0).as("s")),
-        (acc, i) => {
-          val s = cosineFast(element_at(centLit, i + 1), v)
-          when(s > acc.getField("s"), struct(i.as("i"), s.as("s")))
-            .otherwise(acc)
-        }).getField("i")
-    val cs = candidates.withColumn("_cell", bestCell(col("cvec")))
+    val cs = candidates.withColumn("_cell", bestCell(cents)(col("cvec")))
     // per query: nProbe nearest cells (queries are few and broadcast)
     val probes = queries
       .select(col("qid"), col("qvec"),
@@ -180,6 +183,65 @@ object Similarity {
       .filter(col("_crank") <= nProbe)
       .select(col("qid"), col("qvec"), col("_cell"))
     val scored = cs.join(broadcast(probes), Seq("_cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Persist the IVF index of a corpus: the cell-assigned vectors land
+    * hive-partitioned BY CELL (`dir/cells/_cell=N/...`), the centroid
+    * table beside them (`dir/centroids`). This is the on-disk inverted
+    * file: a probe that wants `nProbe` cells reads exactly those cell
+    * directories and no others — [[probeIvfIndex]]'s broadcast join on
+    * `_cell` triggers Spark's dynamic partition pruning, so at 100 TB
+    * a query batch scans nProbe/nCells of the corpus instead of all of
+    * it (and the build's one full scan is paid once, not per query
+    * batch, unlike the in-session [[ivfTopKWithCentroids]]).
+    * @param candidates (cid, cvec: array<double>) */
+  def writeIvfIndex(candidates: DataFrame, dir: String,
+                    cents: Seq[Seq[Double]]): Unit = {
+    candidates
+      .withColumn("_cell", bestCell(cents)(col("cvec")))
+      // one file per cell directory at test scale; at corpus scale the
+      // natural task parallelism writes many files per cell, which is
+      // exactly what the pruned probe scan wants
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$dir/cells")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("_cell", "_cent")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: rank the stored centroids per
+    * query, read ONLY the `nProbe` winning cell partitions (dynamic
+    * partition pruning — the scan's PartitionFilters carries the
+    * runtime `dynamicpruning` subquery; SimilaritySpec pins it), exact
+    * cosine within them. Identical geometry to the in-session tier by
+    * construction: same centroid list, same lowest-cell tie-breaks,
+    * same 6dp score rounding, same heap ranking.
+    *
+    * DPP precondition: Spark plants the pruning subquery only when the
+    * filtering side carries a selective `Filter` — and the
+    * `_crank <= nProbe` filter here is itself rewritten into the heap
+    * node by [[graft.plans.WindowTopKRewrite]], so it no longer counts.
+    * In practice the QUERY batch supplies the predicate (any filtered
+    * subset does it, e.g. q107's `vec_id < 10`); an unfiltered
+    * `queries` frame still probes correctly but scans every cell. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val index = spark.read.parquet(s"$dir/cells")
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("_cell"),
+        cosineFast(col("_cent"), col("qvec")).as("_csim"))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("_cell"))))
+      .filter(col("_crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("_cell"))
+    val scored = index.join(broadcast(probes), Seq("_cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))

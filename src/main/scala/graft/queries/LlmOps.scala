@@ -1717,11 +1717,74 @@ object LlmOps {
       WHERE d.doc_id % 3 = 0
       ORDER BY d.doc_id"""))
 
+  // ---- q107: persisted IVF index probe --------------------------------
+  // The embedding twin of q106: the corpus's IVF index is WRITTEN once
+  // (cell-assigned vectors hive-partitioned by cell + the centroid
+  // table), then query batches probe it — dynamic partition pruning
+  // confines each probe scan to its nProbe winning cell directories
+  // (PlanSpec pins the pruning subquery). Same md5-derived centroid
+  // family as q55, so the oracle replays assignment, probe ranking and
+  // the within-cell top-8 end to end; any drift introduced by the disk
+  // round-trip (cell typing, partition discovery, score rounding)
+  // flips the row hash red.
+
+  private val ivfDirBySession = new graft.sources.SessionMemo[String]
+  private def ivfIndexMaterialized(s: SparkSession, d: String): String =
+    ivfDirBySession.getOrElseCompute(s, d) {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      sys.addShutdownHook {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      Similarity.writeIvfIndex(candVecs(s, d), out, md5Vectors(16, 64, "cent"))
+      out
+    }
+
+  private val q107 = GraftQuery(
+    "q107_ivf_index_probe",
+    (s, d) => {
+      val dir = ivfIndexMaterialized(s, d)
+      Similarity.probeIvfIndex(s, dir, queryVecs(s, d), k = 8, nProbe = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH cents AS (
+        SELECT c.c AS c, list(
+            CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d), 1, 8)) AS BIGINT)
+              / 4294967296.0 * 2 - 1 ORDER BY d.d) AS cv
+        FROM generate_series(0, 15) c(c), generate_series(0, 63) d(d)
+        GROUP BY c.c),
+      vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, c,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+        FROM (SELECT t.vec_id, t.v, k.c,
+                list_dot_product(t.v, k.cv) /
+                  (sqrt(list_dot_product(t.v, t.v)) *
+                   sqrt(list_dot_product(k.cv, k.cv))) AS sim
+              FROM vecs t CROSS JOIN cents k)),
+      cells AS (SELECT vec_id, v, c AS cell FROM ranked WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, c AS cell
+        FROM ranked WHERE rn <= 3 AND vec_id < 10),
+      scored AS (
+        SELECT p.qid, ce.vec_id AS cid,
+          round(list_dot_product(p.qv, ce.v) /
+            (sqrt(list_dot_product(p.qv, p.qv)) *
+             sqrt(list_dot_product(ce.v, ce.v))), 6) AS sim
+        FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM scored) t
+      WHERE rank <= 8 ORDER BY qid, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106)
+      q103, q104, q105, q106, q107)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -108,6 +108,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r6 >= 0.8, s"ivf recall@5 nProbe=6 of 8 cells: $r6")
   }
 
+  test("persisted IVF index: probe equals the in-session tier; scan is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
+    try {
+      val cents: Seq[Seq[Double]] = {
+        val rnd = new scala.util.Random(11)
+        Seq.fill(8)(Seq.fill(dim)(rnd.nextGaussian()))
+      }
+      Similarity.writeIvfIndex(corpus, dir, cents)
+      // a FILTERED query batch (the realistic shape — and the DPP
+      // precondition: Spark only plants the pruning subquery when the
+      // filtering side carries a selective predicate; see the
+      // probeIvfIndex scaladoc)
+      val qBatch = corpus.filter($"cid" < 8)
+        .select($"cid".as("qid"), $"cvec".as("qvec"))
+      val probed = Similarity.probeIvfIndex(spark, dir, qBatch, k = 5, nProbe = 3)
+      // the disk round-trip (cell typing, partition discovery) must be
+      // lossless: identical rows AND ranks to the in-session operator
+      val inSession = Similarity
+        .ivfTopKWithCentroids(qBatch, corpus, k = 5, cents, nProbe = 3)
+        .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+      val viaDisk = probed
+        .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+      assert(viaDisk == inSession)
+      // the scale claim: the cells scan carries a runtime pruning
+      // subquery on the partition column — nProbe directories read,
+      // not the whole index
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning in:\n${plan.take(2000)}")
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(dim)(rnd.nextGaussian())
