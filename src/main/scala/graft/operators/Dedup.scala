@@ -390,9 +390,13 @@ object Dedup {
     * bodies. Written once, probed by every arriving shard; at scale,
     * land it bucketed on `_bhash` ([[ScaleOps.writeBucketed]]) so the
     * probe join is exchange-free on the index side. */
-  def writeMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
-                        dir: String, shingleWords: Int = 3,
-                        numHashes: Int = 24, bands: Int = 6): Unit = {
+  /** The index-row computation shared by [[writeMinhashIndex]] and
+    * [[compactMinhashIndex]]: one (idCol, _shh, _band, _bhash) row per
+    * (doc, band). Token and shingle arrays are PROJECTED before each
+    * consuming HOF (the lambda-CSE rule). */
+  private def minhashIndexRows(docs: DataFrame, textCol: String,
+                               idCol: String, shingleWords: Int,
+                               numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     docs
@@ -405,7 +409,38 @@ object Dedup {
         minhashSignature(col("_shd"), numHashes).as("_sig"))
       .select(col(idCol), col("_shh"),
         posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
+  }
+
+  def writeMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
+                        dir: String, shingleWords: Int = 3,
+                        numHashes: Int = 24, bands: Int = 6): Unit =
+    minhashIndexRows(docs, textCol, idCol, shingleWords, numHashes, bands)
       .write.mode("overwrite").parquet(dir)
+
+  /** Maintain a [[writeMinhashIndex]] index under a CDC changelog
+    * WITHOUT rebuilding it: rows of deleted/updated docs are dropped
+    * (one anti join on the doc id — the changelog is small relative to
+    * the corpus, so the join broadcasts and the index never shuffles),
+    * fresh rows for updated/inserted docs are computed from the
+    * changelog texts alone, and the result lands at `newDir` — the
+    * immutable-snapshot idiom: at 100 TB you never rewrite an index in
+    * place, you publish its successor and flip readers over.
+    * `changelog`: (opCol ∈ D/U/I, idCol, textCol — text may be null
+    * for D). Same hash family as the base index by construction. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          oldDir: String, changelog: DataFrame,
+                          textCol: String, idCol: String, opCol: String,
+                          newDir: String, shingleWords: Int = 3,
+                          numHashes: Int = 24, bands: Int = 6): Unit = {
+    val old = spark.read.parquet(oldDir)
+    val touched = changelog.filter(col(opCol).isin("D", "U"))
+      .select(col(idCol)).distinct()
+    val kept = old.join(touched, Seq(idCol), "left_anti")
+    val fresh = minhashIndexRows(
+      changelog.filter(col(opCol).isin("U", "I"))
+        .select(col(idCol), col(textCol)),
+      textCol, idCol, shingleWords, numHashes, bands)
+    kept.unionByName(fresh).write.mode("overwrite").parquet(newDir)
   }
 
   /** Probe a [[writeMinhashIndex]] index with a new shard: LSH

@@ -1780,11 +1780,119 @@ object LlmOps {
         FROM scored) t
       WHERE rank <= 8 ORDER BY qid, rank"""))
 
+  // ---- q108: near-dup index maintenance under a CDC changelog ---------
+  // q91 (changelog merge) meets q106 (persisted near-dup index): the
+  // corpus evolves — docs deleted, docs updated in place, new docs
+  // inserted — and the MinHash index is COMPACTED to its successor
+  // snapshot instead of rebuilt (deleted/updated rows anti-joined out,
+  // fresh rows computed from the changelog texts alone). The probe
+  // census then runs against the new snapshot; the oracle rebuilds the
+  // post-changelog corpus in SQL and replays the full exact cross-pair
+  // set, so a stale row surviving compaction (a deleted doc still
+  // matching) or a lost fresh row (an inserted clone not matching)
+  // flips the hash red.
+
+  private val cmpDirBySession = new graft.sources.SessionMemo[String]
+  private def compactedIndexMaterialized(s: SparkSession, d: String): String =
+    cmpDirBySession.getOrElseCompute(s, d) {
+      val out = java.nio.file.Files.createTempDirectory("graft_mhcmp_").toString
+      sys.addShutdownHook {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+      val oldDir = minhashIndexMaterialized(s, d)
+      val corpus = docs(s, d).filter(col("doc_id") % 3 =!= 0)
+      val dels = corpus.filter(col("doc_id") % 9 === 1)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text"))
+      val upds = corpus.filter(col("doc_id") % 9 === 4)
+        .select(lit("U").as("op"), col("doc_id"),
+          concat(lit("replaced content placeholder "),
+            col("doc_id").cast("string")).as("text"))
+      val ins = docs(s, d).filter(col("doc_id") % 6 === 0)
+        .select(lit("I").as("op"), (col("doc_id") + 1000000L).as("doc_id"),
+          col("text"))
+      Dedup.compactMinhashIndex(s, oldDir,
+        dels.unionByName(upds).unionByName(ins),
+        "text", "doc_id", "op", out)
+      out
+    }
+
+  private val q108 = GraftQuery(
+    "q108_index_compaction",
+    (s, d) => {
+      val dir = compactedIndexMaterialized(s, d)
+      val probe = docs(s, d).filter(col("doc_id") % 3 === 0)
+      val pairs = Dedup.probeMinhashIndex(s, dir, probe, "text", "doc_id",
+        threshold = 0.5)
+      val stats = pairs.groupBy(col("idNew").as("doc_id"))
+        .agg(count(lit(1)).as("n_near_dups"),
+          min(col("idCorpus")).as("nearest_corpus"))
+      probe.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("nearest_corpus"),
+          col("n_near_dups").isNull.as("is_new"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id % 9 NOT IN (1, 4)
+        UNION ALL
+        SELECT doc_id,
+          'replaced content placeholder ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 9 = 4
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0),
+      ctoks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM corpus),
+      csh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM ctoks),
+      ptoks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents WHERE doc_id % 3 = 0),
+      psh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM ptoks),
+      pairs AS (
+        SELECT p.doc_id AS idn, c.doc_id AS idc
+        FROM psh p JOIN csh c ON true
+        WHERE len(p.sh) > 0 AND len(c.sh) > 0
+          AND len(list_intersect(p.sh, c.sh)) * 1.0 /
+              len(list_distinct(list_concat(p.sh, c.sh))) >= 0.5),
+      stats AS (
+        SELECT idn, count(*) AS n_near_dups, min(idc) AS nearest_corpus
+        FROM pairs GROUP BY idn)
+      SELECT d.doc_id, coalesce(s.n_near_dups, 0) AS n_near_dups,
+        s.nearest_corpus, s.n_near_dups IS NULL AS is_new
+      FROM documents d LEFT JOIN stats s ON d.doc_id = s.idn
+      WHERE d.doc_id % 3 = 0
+      ORDER BY d.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107)
+      q103, q104, q105, q106, q107, q108)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -264,6 +264,53 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash index compaction: delete breaks a match, update rewrites one, insert adds one") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mhcmp_spec_").toString
+    try {
+      val oldDir = s"$base/old"; val newDir = s"$base/new"
+      val corpus = docs.filter($"doc_id" % 3 =!= 1) // bases + controls
+      val shard = docs.filter($"doc_id" % 3 === 1)  // the near-duplicates
+      Dedup.writeMinhashIndex(corpus, "text", "doc_id", oldDir)
+      // CDC: delete pair-0's base, junk pair-1's base, insert a clone
+      // of pair-2's NEAR doc under a fresh id
+      val nearText2 = docs.filter($"doc_id" === 7L)
+        .select($"text").as[String].head()
+      val changelog = Seq(
+        ("D", 0L, null.asInstanceOf[String]),
+        ("U", 3L, "junk a b"),
+        ("I", 999L, nearText2)).toDF("op", "doc_id", "text")
+      Dedup.compactMinhashIndex(spark, oldDir, changelog,
+        "text", "doc_id", "op", newDir)
+      val found = Dedup
+        .probeMinhashIndex(spark, newDir, shard, "text", "doc_id", threshold = 0.5)
+        .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+      assert(!found.contains((1L, 0L)), "deleted doc still matches")
+      assert(!found.contains((4L, 3L)), "updated doc still matches its OLD text")
+      assert(found.contains((7L, 999L)), "inserted clone not found")
+      assert(found.contains((7L, 6L)), "untouched pair lost by compaction")
+      // untouched pairs survive: everything the full rebuild finds
+      // minus exactly the two broken pairs, plus the insert
+      val rebuilt = {
+        val d2 = s"$base/rebuilt"
+        Dedup.writeMinhashIndex(corpus.filter($"doc_id" =!= 0L && $"doc_id" =!= 3L),
+          "text", "doc_id", d2)
+        Dedup.probeMinhashIndex(spark, d2, shard, "text", "doc_id", threshold = 0.5)
+          .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+      }
+      assert(found == rebuilt + ((7L, 999L)),
+        "compacted snapshot must equal a from-scratch rebuild of the post-changelog corpus")
+      // the old snapshot is immutable — its probe still sees pair 0
+      val oldFound = Dedup
+        .probeMinhashIndex(spark, oldDir, shard, "text", "doc_id", threshold = 0.5)
+        .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+      assert(oldFound.contains((1L, 0L)))
+    } finally {
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   test("removeBoilerplateLines: cross-doc lines cut, order kept, within-doc repeats spared") {
     val d = Seq(
       (1L, "u1\nBOILER\nu2"),   // boiler mid-doc: survivors keep order
