@@ -248,6 +248,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup-shaped semantic deduplication: vectors are assigned to
+    * centroid cells (broadcast argmax — [[KMeans.assignCells]]), the
+    * cosine pair expansion runs WITHIN cells only, and the pair graph
+    * collapses to min-id representatives ([[Dedup.clusterReps]]).
+    * Returns (id, rep) for EVERY input id — singletons rep themselves;
+    * `rep != id` marks a semantic duplicate to drop.
+    *
+    * The cell confinement is the scale trick (and the published
+    * SemDeDup recipe): the quadratic verify is n²/k per cell instead
+    * of n² global, at the cost of missing cross-cell pairs — the
+    * same trade the paper makes, tunable via k. The explicit exchange
+    * on the cell key keeps the expansion parallel from a single-file
+    * scan; only (id, id) tuples leave the fixpoint. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, threshold: Double): DataFrame = {
+    val assigned = KMeans.assignCells(vecs, idCol, vecCol, cents)
+    val parts =
+      vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = assigned
+      .select(col("cell"), col(idCol).as("_id"), col(vecCol).as("_v"))
+      .repartition(parts, col("cell"))
+    val a = e.select(col("cell"), col("_id").as("idA"), col("_v").as("_vA"))
+    val b = e.select(col("cell"), col("_id").as("idB"), col("_v").as("_vB"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        round(cosineFast(col("_vA"), col("_vB")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+    val reps = Dedup.clusterReps(pairs)
+    vecs.select(col(idCol).as("id"))
+      .join(reps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+  }
+
   /** EXACT embedding near-duplicate pairs — the all-pairs oracle tier
     * (q53's operator, also the ground truth every LSH tier is
     * spec-measured against). Deliberately quadratic: at thresholds

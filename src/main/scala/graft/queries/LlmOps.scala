@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{DatasetOps, Dedup, Multimodal, Similarity}
+import graft.operators.{DatasetOps, Dedup, KMeans, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory (north star, BASELINE.json):
@@ -1888,11 +1888,76 @@ object LlmOps {
       WHERE d.doc_id % 3 = 0
       ORDER BY d.doc_id"""))
 
+  // ---- q109: semantic dedup (the SemDeDup recipe) ---------------------
+  // Cell-confined semantic deduplication: md5-derived centroids (the
+  // q55 replay trick) assign every vector to a cell, the cosine pair
+  // expansion runs within cells only (n²/k per cell — the SemDeDup
+  // trade: cross-cell pairs are given up for a k-fold cheaper verify),
+  // and the pair graph collapses to min-id representatives through the
+  // same fixpoint q63 gates. Output is the per-cell census; the oracle
+  // replays assignment, within-cell pairing, and reachability with a
+  // recursive CTE, so drift in ANY stage (argmax tie-break, pair
+  // confinement, label propagation) flips the hash red.
+
+  private val q109 = GraftQuery(
+    "q109_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      val centsDF = md5Vectors(16, 64, "cent").zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cell", "centroid")
+      val vecs = emb(s, d)
+        .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      val reps = Similarity.semanticDedup(vecs, "vec_id", "v", centsDF, 0.4)
+      val cells = KMeans.assignCells(vecs, "vec_id", "v", centsDF)
+        .select(col("vec_id").as("id"), col("cell"))
+      cells.join(reps, Seq("id"))
+        .groupBy(col("cell").cast(LongType).as("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("rep")).as("n_kept"),
+          (count(lit(1)) - countDistinct(col("rep"))).as("n_dropped"))
+        .orderBy(col("cell"))
+    },
+    Some("""WITH RECURSIVE cents AS (
+        SELECT c.c AS c, list(
+            CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d), 1, 8)) AS BIGINT)
+              / 4294967296.0 * 2 - 1 ORDER BY d.d) AS cv
+        FROM generate_series(0, 15) c(c), generate_series(0, 63) d(d)
+        GROUP BY c.c),
+      vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, c,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+        FROM (SELECT t.vec_id, t.v, k.c,
+                list_dot_product(t.v, k.cv) /
+                  (sqrt(list_dot_product(t.v, t.v)) *
+                   sqrt(list_dot_product(k.cv, k.cv))) AS sim
+              FROM vecs t CROSS JOIN cents k)),
+      cells AS (SELECT vec_id, v, c AS cell FROM ranked WHERE rn = 1),
+      p AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.4),
+      sym AS (
+        SELECT ida AS id, idb AS nbr FROM p
+        UNION SELECT idb, ida FROM p),
+      reach(id, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr),
+      labs AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+      SELECT c.cell, count(*) AS n_vectors,
+        count(DISTINCT l.rep) AS n_kept,
+        count(*) - count(DISTINCT l.rep) AS n_dropped
+      FROM cells c JOIN labs l ON l.id = c.vec_id
+      GROUP BY c.cell ORDER BY c.cell"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108)
+      q103, q104, q105, q106, q107, q108, q109)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -144,6 +144,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: within-cell clusters collapse to min ids; cross-cell pairs stay split") {
+    val cents = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cell", "centroid")
+    val vecs = Seq(
+      // cluster near centroid 0: pairwise cosine ≈ 1
+      (1L, Seq(1.0, 0.010, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.011, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.012, 0.0, 0.0)),
+      // singleton near centroid 1
+      (10L, Seq(0.0, 1.0, 0.5, 0.0)),
+      // a near-dup PAIR the cell boundary splits: cosine(20,21) ≈ .9999
+      // but 20 leans to centroid 0 and 21 to centroid 1
+      (20L, Seq(1.0, 0.99, 0.0, 0.0)),
+      (21L, Seq(0.99, 1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val reps = Similarity.semanticDedup(vecs, "vec_id", "v", cents, 0.95)
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      20L -> 20L, 21L -> 21L),
+      s"got $reps — the 1-2-3 cluster must collapse to 1, the 20/21 " +
+        "near-dup pair must SURVIVE (the documented cell-confinement trade)")
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(dim)(rnd.nextGaussian())
