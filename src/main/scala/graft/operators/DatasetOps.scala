@@ -279,4 +279,46 @@ object DatasetOps {
       .withColumn("bin", expr(s"offset div ${seqLen}L"))
       .drop("_u")
   }
+
+  /** Adaptive per-group quality gate, EXACT tier: keep the top
+    * `keepFrac` of each group by `scoreCol` (ties → lowest `idCol`),
+    * where the cut adapts to each group's own score distribution — the
+    * FineWeb/Gopher "top-X% per language" policy, as opposed to the
+    * fixed floor q75 applies. One rank window + one count window over
+    * the same partition (a single per-group sort). The per-group k is
+    * `ceil(n · keepFrac)` — IEEE double ceil, replayed bit-identically
+    * by the oracle. At corpus scale the per-group sort is the cost;
+    * [[qualityGateSketch]] is the one-pass scale path. */
+  def qualityGateExact(df: DataFrame, groupCol: String, scoreCol: String,
+                       idCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .filter(col("_rk") <= ceil(col("_n") * lit(keepFrac)))
+      .drop("_rk", "_n")
+  }
+
+  /** Sketch tier of [[qualityGateExact]]: the per-group cut comes from
+    * one `approx_percentile` aggregation pass (partial-aggregated,
+    * no sort), the tiny cut table broadcasts, and the gate itself is a
+    * narrow filter — the 100 TB shape. Keeps every row at or above the
+    * group's (1 − keepFrac) score percentile; because the sketch
+    * returns an actual member score, the kept set is always a PREFIX
+    * of the score order (never a gapped subset), and kept counts drift
+    * from the exact tier only by sketch resolution and score ties. */
+  def qualityGateSketch(df: DataFrame, groupCol: String, scoreCol: String,
+                        keepFrac: Double, accuracy: Int = 10000): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(approx_percentile(col(scoreCol), lit(1.0 - keepFrac),
+        lit(accuracy)).as("_cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(col(scoreCol) >= col("_cut"))
+      .drop("_cut")
+  }
 }

@@ -1953,11 +1953,62 @@ object LlmOps {
       FROM cells c JOIN labs l ON l.id = c.vec_id
       GROUP BY c.cell ORDER BY c.cell"""))
 
+  // ---- q110: adaptive quality gate (top-X% per language) --------------
+  // The percentile form of quality filtering: q75's fixed floor keeps
+  // "score ≥ c" regardless of how a language's corpus scores; this
+  // keeps the TOP 30% of each language by its OWN distribution (the
+  // FineWeb/Gopher policy — a fixed floor tuned on English
+  // over-prunes low-resource languages wholesale). Exact tier runs
+  // here (rank + count windows, per-group k = ceil(n·frac), IEEE
+  // replayed); the approx_percentile sketch tier is the one-pass
+  // 100 TB path, spec-gated against this tier.
+
+  private val q110 = GraftQuery(
+    "q110_quality_gate",
+    (s, d) => {
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("lang"), qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("lang"),
+          round(col("m.stopword_ratio") - col("m.punct_ratio"), 6).as("q_score"))
+      DatasetOps.qualityGateExact(scored, "lang", "q_score", "doc_id", 0.3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("q_score")).as("min_kept"),
+          max(col("q_score")).as("max_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, lang,
+          round((length(text) - length(regexp_replace(text,
+            '[.,;:!?''"()\-]', '', 'g'))) / greatest(length(text), 1), 6)
+            AS punct_ratio,
+          round(len(list_filter(list_filter(
+              regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0),
+              t -> list_contains(['the','a','an','and','or','of','in','to',
+                'is','it','that','for','on','with','as'], t)))
+            / greatest(len(list_filter(regexp_split_to_array(lower(text),
+                '\s+'), x -> length(x) > 0)), 1), 6) AS stopword_ratio
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          round(stopword_ratio - punct_ratio, 6) AS q_score
+        FROM m),
+      rk AS (
+        SELECT doc_id, lang, q_score,
+          row_number() OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id)
+            AS rk,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM sc)
+      SELECT lang, count(*) AS n_kept,
+        min(q_score) AS min_kept, max(q_score) AS max_kept
+      FROM rk WHERE rk <= ceil(n * 0.3)
+      GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q109)
+      q103, q104, q105, q106, q107, q108, q109, q110)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

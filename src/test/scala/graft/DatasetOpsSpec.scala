@@ -79,6 +79,42 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, 0L, 0.0)), s"got ${got(3L)}")
   }
 
+  test("qualityGateExact keeps ceil(n·frac) per group, ties to lowest id; sketch tier is a score-prefix") {
+    // group a: 10 docs scoring 1..10 → ceil(10·0.3)=3 kept (IEEE:
+    // 10·0.3 rounds to exactly 3.0 — the oracle replays the same
+    // double product, so the engines agree on the boundary); group b:
+    // 5 docs → ceil(1.5)=2 kept
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => ("b", i.toLong, i.toDouble)))
+      .toDF("grp", "id", "score")
+    val exact = DatasetOps.qualityGateExact(df, "grp", "score", "id", 0.3)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(exact == Set(("a", 8L), ("a", 9L), ("a", 10L),
+      ("b", 4L), ("b", 5L)))
+    // tie-break: equal scores keep the LOWEST id
+    val tied = Seq(("t", 1L, 5.0), ("t", 2L, 5.0), ("t", 3L, 5.0),
+      ("t", 4L, 5.0)).toDF("grp", "id", "score")
+    val keptTied = DatasetOps.qualityGateExact(tied, "grp", "score", "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(keptTied == Set(1L, 2L))
+    // sketch tier: the cut is an actual member score, so the kept set
+    // is ALWAYS a prefix of the score order, and its size drifts from
+    // the exact tier by at most one rank (percentile-position rounding)
+    val sketch = DatasetOps.qualityGateSketch(df, "grp", "score", 0.3)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    for (g <- Seq("a", "b")) {
+      val kept = sketch.filter(_._1 == g).map(_._2)
+      val nExact = exact.count(_._1 == g)
+      assert(math.abs(kept.size - nExact) <= 1,
+        s"group $g: sketch kept ${kept.size}, exact $nExact")
+      val minKept = kept.min
+      val aboveCut = df.filter($"grp" === g && $"score" >= minKept.toDouble)
+        .count()
+      assert(aboveCut == kept.size,
+        s"group $g: sketch keep-set must be a score prefix")
+    }
+  }
+
   test("chunkDocs: window/stride arithmetic, end clip, empty-doc elision") {
     import graft.functions.TextFunctions.whitespaceTokens
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
