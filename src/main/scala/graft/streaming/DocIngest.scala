@@ -136,6 +136,40 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** NEAR-DUP ingest gate: every arriving micro-batch probes the
+    * persisted MinHash index ([[graft.operators.Dedup.probeMinhashIndex]])
+    * and docs with a verified near-duplicate already in the corpus are
+    * dropped before landing. `foreachBatch` is the right shape here —
+    * the doc-level verdict is a bucket join plus an any-match
+    * aggregation over the probe, which Structured Streaming cannot run
+    * before a stateless sink, unlike the per-row decontamination gate
+    * ([[ingestDecontaminated]]); within the batch the full batch
+    * operator runs unchanged, so streamed-equals-batch is structural.
+    * Delivery is the foreachBatch contract: at-least-once per
+    * micro-batch on failure-retry — survivors carry their digest, so a
+    * downstream keep-first dedup (or a transactional table sink) makes
+    * the landing idempotent. */
+  def runNearDupGate(spark: SparkSession, rawDir: String, indexDir: String,
+                     outDir: String, checkpointDir: String,
+                     threshold: Double = 0.5, minTokens: Int = 3,
+                     maxFilesPerTrigger: Int = 1): Unit = {
+    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hits = graft.operators.Dedup
+          .probeMinhashIndex(spark, indexDir, batch, "text", "doc_id",
+            threshold)
+          .select(col("idNew").as("doc_id")).distinct()
+        batch.join(hits, Seq("doc_id"), "left_anti")
+          .write.mode("append").json(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

@@ -455,6 +455,50 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming near-dup gate: arriving shards probe the persisted index, dups blocked") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.Dedup
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_neardupgate_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val corpus = Seq(
+      (100L, "c", "en", "the quick brown fox jumps over the lazy dog today"),
+      (101L, "c", "en", "completely different content about distributed query engines"))
+      .toDF("doc_id", "source", "lang", "text")
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", idx.toString)
+    val incoming = Seq(
+      // near-dup of corpus doc 100 (one word appended) → blocked
+      (1L, "s0", "en", "the quick brown fox jumps over the lazy dog today again"),
+      (2L, "s0", "en", "totally clean document with many safe words here"),
+      (3L, "s1", "en", "short"), // under the 3-token quality floor
+      (4L, "s1", "en", "another clean document that must land fine"))
+      .toDF("doc_id", "source", "lang", "text")
+    // shard 2 re-delivers doc 2 (digest dedup across batches) + doc 4
+    incoming.filter($"doc_id" <= 3).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    incoming.filter($"doc_id" === 2 || $"doc_id" === 4).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runNearDupGate(spark, raw.toString + "/*/", idx.toString,
+      out.toString, ckpt.toString)
+    val streamed = spark.read.json(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == Set(2L, 4L), s"got $streamed")
+    // batch twin: the same ingest + probe anti join over the union
+    val union = incoming.filter($"doc_id" <= 3)
+      .union(incoming.filter($"doc_id" === 2 || $"doc_id" === 4))
+    val ingested = DocIngest.ingest(union)
+    val hits = Dedup.probeMinhashIndex(spark, idx.toString, ingested,
+      "text", "doc_id", threshold = 0.5)
+      .select($"idNew".as("doc_id")).distinct()
+    val expected = ingested.join(hits, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == expected, s"streamed $streamed != batch $expected")
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
