@@ -287,8 +287,10 @@ object DatasetOps {
     * fixed floor q75 applies. One rank window + one count window over
     * the same partition (a single per-group sort). The per-group k is
     * `ceil(n · keepFrac)` — IEEE double ceil, replayed bit-identically
-    * by the oracle. At corpus scale the per-group sort is the cost;
-    * [[qualityGateSketch]] is the one-pass scale path. */
+    * by the oracle. Null POLICY (identical across both tiers): a null
+    * score never passes the gate; a null group key is a group of its
+    * own and gates like any other. At corpus scale the per-group sort
+    * is the cost; [[qualityGateSketch]] is the one-pass scale path. */
   def qualityGateExact(df: DataFrame, groupCol: String, scoreCol: String,
                        idCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
@@ -296,7 +298,8 @@ object DatasetOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol))
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    df.withColumn("_rk", row_number().over(w))
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("_rk", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(wg))
       .filter(col("_rk") <= ceil(col("_n") * lit(keepFrac)))
       .drop("_rk", "_n")
@@ -309,16 +312,22 @@ object DatasetOps {
     * group's (1 − keepFrac) score percentile; because the sketch
     * returns an actual member score, the kept set is always a PREFIX
     * of the score order (never a gapped subset), and kept counts drift
-    * from the exact tier only by sketch resolution and score ties. */
+    * from the exact tier only by sketch resolution and score ties.
+    * Same null policy as the exact tier: null scores are dropped up
+    * front, and the cut join is NULL-SAFE so a null group key gates
+    * against its own cut instead of silently vanishing (a plain equi
+    * join never matches null keys). */
   def qualityGateSketch(df: DataFrame, groupCol: String, scoreCol: String,
                         keepFrac: Double, accuracy: Int = 10000): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
-    val cuts = df.groupBy(col(groupCol))
+    val nn = df.filter(col(scoreCol).isNotNull)
+    val cuts = nn.groupBy(col(groupCol))
       .agg(approx_percentile(col(scoreCol), lit(1.0 - keepFrac),
         lit(accuracy)).as("_cut"))
-    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumnRenamed(groupCol, "_grp")
+    nn.join(broadcast(cuts), nn(groupCol) <=> cuts("_grp"))
       .filter(col(scoreCol) >= col("_cut"))
-      .drop("_cut")
+      .drop("_grp", "_cut")
   }
 }

@@ -382,14 +382,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Write the persisted MinHash index of a corpus — the static side
-    * of INCREMENTAL near-dup ingest (the near-dup twin of q67's exact
-    * digest probe): one row per (band, band-hash) per doc, carrying
-    * the doc's distinct shingle hashes so probes can exact-verify
-    * candidates against the index WITHOUT ever touching corpus
-    * bodies. Written once, probed by every arriving shard; at scale,
-    * land it bucketed on `_bhash` ([[ScaleOps.writeBucketed]]) so the
-    * probe join is exchange-free on the index side. */
   /** The index-row computation shared by [[writeMinhashIndex]] and
     * [[compactMinhashIndex]]: one (idCol, _shh, _band, _bhash) row per
     * (doc, band). Token and shingle arrays are PROJECTED before each
@@ -411,6 +403,14 @@ object Dedup {
         posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
   }
 
+  /** Write the persisted MinHash index of a corpus — the static side
+    * of INCREMENTAL near-dup ingest (the near-dup twin of q67's exact
+    * digest probe): one row per (band, band-hash) per doc, carrying
+    * the doc's distinct shingle hashes so probes can exact-verify
+    * candidates against the index WITHOUT ever touching corpus
+    * bodies. Written once, probed by every arriving shard; at scale,
+    * land it bucketed on `_bhash` ([[ScaleOps.writeBucketed]]) so the
+    * probe join is exchange-free on the index side. */
   def writeMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
                         dir: String, shingleWords: Int = 3,
                         numHashes: Int = 24, bands: Int = 6): Unit =
@@ -454,10 +454,20 @@ object Dedup {
                         dir: String, newDocs: DataFrame, textCol: String,
                         idCol: String, threshold: Double,
                         shingleWords: Int = 3, numHashes: Int = 24,
-                        bands: Int = 6): DataFrame = {
+                        bands: Int = 6): DataFrame =
+    probeMinhashIndexFrame(spark.read.parquet(dir), newDocs, textCol,
+      idCol, threshold, shingleWords, numHashes, bands)
+
+  /** [[probeMinhashIndex]] over an already-read index frame — repeat
+    * probers (the streaming gate probes once per micro-batch) pay the
+    * directory listing and schema read once instead of per call. */
+  def probeMinhashIndexFrame(index: DataFrame, newDocs: DataFrame,
+                             textCol: String, idCol: String,
+                             threshold: Double, shingleWords: Int = 3,
+                             numHashes: Int = 24,
+                             bands: Int = 6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val index = spark.read.parquet(dir)
     val probe = newDocs
       .select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
       .select(col(idCol),

@@ -120,10 +120,6 @@ object Similarity {
     ivfTopKWithCentroids(queries, candidates, k, cents, nProbe)
   }
 
-  /** [[ivfTopK]] with caller-supplied centroids — q55 passes
-    * [[graft.functions.VectorFunctions.md5Vectors]] centroids so the
-    * DuckDB oracle can rebuild the identical cell geometry and replay
-    * assignment, probing, and ranking end to end. */
   /** Nearest-centroid fold: argmax over cosine(centroid_i, v) — the
     * per-cell cosine is the native fused expression, so the fold's
     * codegen stays one loop over nCells kernel calls. Ties break to
@@ -139,6 +135,10 @@ object Similarity {
       }).getField("i")
   }
 
+  /** [[ivfTopK]] with caller-supplied centroids — q55 passes
+    * [[graft.functions.VectorFunctions.md5Vectors]] centroids so the
+    * DuckDB oracle can rebuild the identical cell geometry and replay
+    * assignment, probing, and ranking end to end. */
   def ivfTopKWithCentroids(queries: DataFrame, candidates: DataFrame, k: Int,
                            cents: Seq[Seq[Double]],
                            nProbe: Int = 3): DataFrame = {
@@ -252,8 +252,10 @@ object Similarity {
     * centroid cells (broadcast argmax — [[KMeans.assignCells]]), the
     * cosine pair expansion runs WITHIN cells only, and the pair graph
     * collapses to min-id representatives ([[Dedup.clusterReps]]).
-    * Returns (id, rep) for EVERY input id — singletons rep themselves;
-    * `rep != id` marks a semantic duplicate to drop.
+    * Returns (id, rep, cell) for EVERY input id — singletons rep
+    * themselves; `rep != id` marks a semantic duplicate to drop. The
+    * cell rides along so census/debug consumers don't re-run the
+    * full-corpus assignment pass.
     *
     * The cell confinement is the scale trick (and the published
     * SemDeDup recipe): the quadratic verify is n²/k per cell instead
@@ -277,9 +279,13 @@ object Similarity {
         round(cosineFast(col("_vA"), col("_vB")), 6).as("sim"))
       .filter(col("sim") >= threshold)
     val reps = Dedup.clusterReps(pairs)
-    vecs.select(col(idCol).as("id"))
+    // read the assignment back off the SAME exchange the pair join
+    // consumes (identical subplan → ReusedExchange): the broadcast
+    // argmax over the corpus runs once, not once per consumer
+    e.select(col("_id").as("id"), col("cell"))
       .join(reps, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"),
+        col("cell"))
   }
 
   /** EXACT embedding near-duplicate pairs — the all-pairs oracle tier

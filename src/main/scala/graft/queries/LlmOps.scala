@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{DatasetOps, Dedup, KMeans, Multimodal, Similarity}
+import graft.operators.{DatasetOps, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator inventory (north star, BASELINE.json):
@@ -41,29 +41,33 @@ object LlmOps {
     * [[graft.operators.Similarity.cosineNearDupPairsBanded]], whose
     * census-equality with this exact tier is spec-pinned on a planted
     * high-sim fixture (DedupSpec). */
-  private val pairsDirBySession = new graft.sources.SessionMemo[String]
-  private def exactPairsMaterialized(s: SparkSession, d: String): DataFrame = {
-    val dir = pairsDirBySession.getOrElseCompute(s, d) {
-      // process-owned temp dir, reclaimed at JVM exit like
-      // SourceFormats.tmp — without the hook, repeated runs accumulate
-      // O(n²)-derived pair parquet in the tmpdir (ADVICE r4). Timing
-      // note for the bench: this materialization is paid by whichever
-      // of q53/q63 runs FIRST in a session; Bench's `first_run` map is
-      // where that bill shows up (its `queries` map reports the
-      // steady-state second pass).
-      val out = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
-      sys.addShutdownHook {
-        val p = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-      }
-      Similarity.cosineNearDupPairsExact(emb(s, d), "vec_id", "embedding", 0.4)
-        .write.mode("overwrite").parquet(out)
+  /** Session-memoized temp-dir materialization — the shared shape of
+    * every "write the product once per (session, sfDir), read it
+    * columnar thereafter" query below. The dir is process-owned and
+    * reclaimed at JVM exit (ADVICE r4: without the hook, repeated runs
+    * accumulate derived parquet in the tmpdir). Bench accounting: the
+    * build is paid by whichever consumer runs FIRST in a session —
+    * Bench's `first_run` map is where that bill shows up; its
+    * `queries` map reports the steady-state later passes. */
+  private def materializedTempDir(memo: graft.sources.SessionMemo[String],
+                                  s: SparkSession, d: String,
+                                  prefix: String)
+                                 (build: String => Unit): String =
+    memo.getOrElseCompute(s, d) {
+      val out = java.nio.file.Files.createTempDirectory(prefix).toString
+      sys.addShutdownHook(
+        graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(out)))
+      build(out)
       out
     }
-    s.read.parquet(dir)
-  }
+
+  private val pairsDirBySession = new graft.sources.SessionMemo[String]
+  private def exactPairsMaterialized(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(
+      materializedTempDir(pairsDirBySession, s, d, "graft_pairs_") { out =>
+        Similarity.cosineNearDupPairsExact(emb(s, d), "vec_id", "embedding", 0.4)
+          .write.mode("overwrite").parquet(out)
+      })
 
   // ---- q40/q41: exact deduplication -----------------------------------
 
@@ -1447,25 +1451,16 @@ object LlmOps {
     * reads the columnar output. The bench's `first_run` carries the
     * one-time write, like q30's corrupted-table build. */
   private val cleanedDirBySession = new graft.sources.SessionMemo[String]
-  private def cleanedDocsMaterialized(s: SparkSession, d: String): DataFrame = {
-    val dir = cleanedDirBySession.getOrElseCompute(s, d) {
-      val out = java.nio.file.Files.createTempDirectory("graft_cleaned_").toString
-      sys.addShutdownHook {
-        val p = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-      }
-      val base = docs(s, d).select(col("doc_id"),
-        whitespaceTokens(col("text")).as("_tk"))
-      Dedup.removeBoilerplateLines(
-          base, "doc_id", chunkLines(col("_tk"), 8), minDocs = 2, sep = " ")
-        .select(col("doc_id"), col("cleaned"))
-        .write.mode("overwrite").parquet(out)
-      out
-    }
-    s.read.parquet(dir)
-  }
+  private def cleanedDocsMaterialized(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(
+      materializedTempDir(cleanedDirBySession, s, d, "graft_cleaned_") { out =>
+        val base = docs(s, d).select(col("doc_id"),
+          whitespaceTokens(col("text")).as("_tk"))
+        Dedup.removeBoilerplateLines(
+            base, "doc_id", chunkLines(col("_tk"), 8), minDocs = 2, sep = " ")
+          .select(col("doc_id"), col("cleaned"))
+          .write.mode("overwrite").parquet(out)
+      })
 
   private val q102 = GraftQuery(
     "q102_trainprep_recipe",
@@ -1658,37 +1653,33 @@ object LlmOps {
 
   private val idxDirBySession = new graft.sources.SessionMemo[String]
   private def minhashIndexMaterialized(s: SparkSession, d: String): String =
-    idxDirBySession.getOrElseCompute(s, d) {
-      val out = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
-      sys.addShutdownHook {
-        val p = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-      }
+    materializedTempDir(idxDirBySession, s, d, "graft_mhidx_") { out =>
       Dedup.writeMinhashIndex(
         docs(s, d).filter(col("doc_id") % 3 =!= 0), "text", "doc_id", out)
-      out
     }
+
+  /** The probe census q106 and q108 share — "same probe, different
+    * index snapshot" is exactly their relationship: the %3==0 shard
+    * probes `dir`, and every probe doc gets its verdict row. */
+  private def nearDupCensus(s: SparkSession, d: String, dir: String): DataFrame = {
+    val probe = docs(s, d).filter(col("doc_id") % 3 === 0)
+    val pairs = Dedup.probeMinhashIndex(s, dir, probe, "text", "doc_id",
+      threshold = 0.5)
+    val stats = pairs.groupBy(col("idNew").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"),
+        min(col("idCorpus")).as("nearest_corpus"))
+    probe.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("nearest_corpus"),
+        col("n_near_dups").isNull.as("is_new"))
+      .orderBy(col("doc_id"))
+  }
 
   private val q106 = GraftQuery(
     "q106_incremental_neardup",
-    (s, d) => {
-      val dir = minhashIndexMaterialized(s, d)
-      val probe = docs(s, d).filter(col("doc_id") % 3 === 0)
-      val pairs = Dedup.probeMinhashIndex(s, dir, probe, "text", "doc_id",
-        threshold = 0.5)
-      val stats = pairs.groupBy(col("idNew").as("doc_id"))
-        .agg(count(lit(1)).as("n_near_dups"),
-          min(col("idCorpus")).as("nearest_corpus"))
-      probe.select(col("doc_id"))
-        .join(stats, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-          col("nearest_corpus"),
-          col("n_near_dups").isNull.as("is_new"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => nearDupCensus(s, d, minhashIndexMaterialized(s, d)),
     Some("""WITH toks AS (
         SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),
@@ -1730,16 +1721,8 @@ object LlmOps {
 
   private val ivfDirBySession = new graft.sources.SessionMemo[String]
   private def ivfIndexMaterialized(s: SparkSession, d: String): String =
-    ivfDirBySession.getOrElseCompute(s, d) {
-      val out = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
-      sys.addShutdownHook {
-        val p = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-      }
+    materializedTempDir(ivfDirBySession, s, d, "graft_ivfidx_") { out =>
       Similarity.writeIvfIndex(candVecs(s, d), out, md5Vectors(16, 64, "cent"))
-      out
     }
 
   private val q107 = GraftQuery(
@@ -1794,14 +1777,7 @@ object LlmOps {
 
   private val cmpDirBySession = new graft.sources.SessionMemo[String]
   private def compactedIndexMaterialized(s: SparkSession, d: String): String =
-    cmpDirBySession.getOrElseCompute(s, d) {
-      val out = java.nio.file.Files.createTempDirectory("graft_mhcmp_").toString
-      sys.addShutdownHook {
-        val p = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-      }
+    materializedTempDir(cmpDirBySession, s, d, "graft_mhcmp_") { out =>
       val oldDir = minhashIndexMaterialized(s, d)
       val corpus = docs(s, d).filter(col("doc_id") % 3 =!= 0)
       val dels = corpus.filter(col("doc_id") % 9 === 1)
@@ -1817,27 +1793,11 @@ object LlmOps {
       Dedup.compactMinhashIndex(s, oldDir,
         dels.unionByName(upds).unionByName(ins),
         "text", "doc_id", "op", out)
-      out
     }
 
   private val q108 = GraftQuery(
     "q108_index_compaction",
-    (s, d) => {
-      val dir = compactedIndexMaterialized(s, d)
-      val probe = docs(s, d).filter(col("doc_id") % 3 === 0)
-      val pairs = Dedup.probeMinhashIndex(s, dir, probe, "text", "doc_id",
-        threshold = 0.5)
-      val stats = pairs.groupBy(col("idNew").as("doc_id"))
-        .agg(count(lit(1)).as("n_near_dups"),
-          min(col("idCorpus")).as("nearest_corpus"))
-      probe.select(col("doc_id"))
-        .join(stats, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-          col("nearest_corpus"),
-          col("n_near_dups").isNull.as("is_new"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => nearDupCensus(s, d, compactedIndexMaterialized(s, d)),
     Some("""WITH corpus AS (
         SELECT doc_id, text FROM documents
         WHERE doc_id % 3 <> 0 AND doc_id % 9 NOT IN (1, 4)
@@ -1907,10 +1867,7 @@ object LlmOps {
         .map { case (v, i) => (i, v) }.toDF("cell", "centroid")
       val vecs = emb(s, d)
         .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      val reps = Similarity.semanticDedup(vecs, "vec_id", "v", centsDF, 0.4)
-      val cells = KMeans.assignCells(vecs, "vec_id", "v", centsDF)
-        .select(col("vec_id").as("id"), col("cell"))
-      cells.join(reps, Seq("id"))
+      Similarity.semanticDedup(vecs, "vec_id", "v", centsDF, 0.4)
         .groupBy(col("cell").cast(LongType).as("cell"))
         .agg(count(lit(1)).as("n_vectors"),
           countDistinct(col("rep")).as("n_kept"),

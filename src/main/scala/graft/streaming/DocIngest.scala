@@ -153,15 +153,21 @@ object DocIngest {
                      outDir: String, checkpointDir: String,
                      threshold: Double = 0.5, minTokens: Int = 3,
                      maxFilesPerTrigger: Int = 1): Unit = {
-    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger))
+    // read (list + schema) the index ONCE, not once per micro-batch
+    val index = spark.read.parquet(indexDir)
+    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger), minTokens)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hits = graft.operators.Dedup
-          .probeMinhashIndex(spark, indexDir, batch, "text", "doc_id",
-            threshold)
-          .select(col("idNew").as("doc_id")).distinct()
-        batch.join(hits, Seq("doc_id"), "left_anti")
-          .write.mode("append").json(outDir)
+        // two consumers (probe + anti join) — without the persist the
+        // source read and ingest's tokenize/digest run twice per batch
+        batch.persist()
+        try {
+          val hits = graft.operators.Dedup
+            .probeMinhashIndexFrame(index, batch, "text", "doc_id", threshold)
+            .select(col("idNew").as("doc_id")).distinct()
+          batch.join(hits, Seq("doc_id"), "left_anti")
+            .write.mode("append").json(outDir)
+        } finally batch.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

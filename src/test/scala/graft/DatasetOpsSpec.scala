@@ -115,6 +115,30 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality gate null policy: null scores rejected by both tiers, null group keys gate as a group") {
+    val df = Seq(
+      (Option("a"), 1L, Option(10.0)),
+      (Option("a"), 2L, Option(9.0)),
+      (Option("a"), 3L, Option.empty[Double]),      // null score → out
+      (Option.empty[String], 11L, Option(5.0)),     // the null-key group
+      (Option.empty[String], 12L, Option(4.0)),
+      (Option.empty[String], 13L, Option(3.0)),
+      (Option.empty[String], 14L, Option.empty[Double]))
+      .toDF("grp", "id", "score")
+    val exact = DatasetOps.qualityGateExact(df, "grp", "score", "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    // group a: 2 scored docs → keep 1; null group: 3 scored → keep 2
+    assert(exact == Set(1L, 11L, 12L), s"got $exact")
+    val sketch = DatasetOps.qualityGateSketch(df, "grp", "score", 0.5)
+      .select($"id").as[Long].collect().toSet
+    // null-score rows never pass; the null-key group must NOT vanish
+    // (the cut join is null-safe), and each group's keeps are a prefix
+    assert(!sketch.contains(3L) && !sketch.contains(14L), s"got $sketch")
+    assert(sketch.intersect(Set(11L, 12L, 13L)).nonEmpty,
+      s"null-key group vanished from the sketch tier: $sketch")
+    assert(sketch.contains(11L), "prefix property: best null-group doc must be kept")
+  }
+
   test("chunkDocs: window/stride arithmetic, end clip, empty-doc elision") {
     import graft.functions.TextFunctions.whitespaceTokens
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

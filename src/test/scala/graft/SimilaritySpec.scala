@@ -159,12 +159,16 @@ class SimilaritySpec extends AnyFunSuite {
       // but 20 leans to centroid 0 and 21 to centroid 1
       (20L, Seq(1.0, 0.99, 0.0, 0.0)),
       (21L, Seq(0.99, 1.0, 0.0, 0.0))).toDF("vec_id", "v")
-    val reps = Similarity.semanticDedup(vecs, "vec_id", "v", cents, 0.95)
-      .as[(Long, Long)].collect().toMap
+    val out = Similarity.semanticDedup(vecs, "vec_id", "v", cents, 0.95)
+    val reps = out.select($"id", $"rep").as[(Long, Long)].collect().toMap
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
       20L -> 20L, 21L -> 21L),
       s"got $reps — the 1-2-3 cluster must collapse to 1, the 20/21 " +
         "near-dup pair must SURVIVE (the documented cell-confinement trade)")
+    // the riding cell column matches the geometry the fixture plants
+    val cellOf = out.select($"id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cellOf(1L) == 0 && cellOf(10L) == 1 &&
+      cellOf(20L) == 0 && cellOf(21L) == 1, s"got $cellOf")
   }
 
   test("cosineNearDupPairs finds planted duplicates") {
