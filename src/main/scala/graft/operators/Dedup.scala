@@ -417,6 +417,23 @@ object Dedup {
     minhashIndexRows(docs, textCol, idCol, shingleWords, numHashes, bands)
       .write.mode("overwrite").parquet(dir)
 
+  /** [[writeMinhashIndex]] landed as a BUCKETED table on the probe-join
+    * keys — the 100 TB form the plain writer's scaladoc names: the
+    * index is pre-shuffled on (_band, _bhash) ONCE at write time, so
+    * every subsequent probe joins with zero exchange on the index side
+    * (only the arriving shard shuffles, and a shard is small by
+    * definition — DedupSpec pins the plan). Probe it with
+    * [[probeMinhashIndexFrame]] over `spark.table(table)`. */
+  def writeMinhashIndexBucketed(docs: DataFrame, textCol: String,
+                                idCol: String, table: String,
+                                numBuckets: Int, shingleWords: Int = 3,
+                                numHashes: Int = 24, bands: Int = 6): Unit =
+    minhashIndexRows(docs, textCol, idCol, shingleWords, numHashes, bands)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "_band", "_bhash")
+      .sortBy("_band", "_bhash")
+      .saveAsTable(table)
+
   /** Maintain a [[writeMinhashIndex]] index under a CDC changelog
     * WITHOUT rebuilding it: rows of deleted/updated docs are dropped
     * (one anti join on the doc id — the changelog is small relative to

@@ -264,6 +264,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed minhash index: probe joins with zero exchange on the index side") {
+    val corpus = docs.filter($"doc_id" % 3 =!= 1)
+    val shard = docs.filter($"doc_id" % 3 === 1)
+    Dedup.writeMinhashIndexBucketed(corpus, "text", "doc_id",
+      "graft_mhidx_bucketed", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probed = Dedup.probeMinhashIndexFrame(
+        spark.table("graft_mhidx_bucketed"), shard, "text", "doc_id",
+        threshold = 0.5)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"bucketed scan not engaged:\n${plan.take(2000)}")
+      // exactly ONE exchange on the join keys — the shard's; the index
+      // side rides its write-time bucketing
+      val joinKeyExchanges = "Exchange hashpartitioning\\(_band".r
+        .findAllIn(plan).size
+      assert(joinKeyExchanges == 1,
+        s"expected 1 probe-side exchange on the join keys, got $joinKeyExchanges:\n${plan.take(3000)}")
+      // and the bucketed path returns the same verdicts as the
+      // directory-based index
+      val viaTable = probed
+        .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_eq_").toString
+      try {
+        Dedup.writeMinhashIndex(corpus, "text", "doc_id", dir)
+        val viaDir = Dedup
+          .probeMinhashIndex(spark, dir, shard, "text", "doc_id", threshold = 0.5)
+          .select($"idNew", $"idCorpus").as[(Long, Long)].collect().toSet
+        assert(viaTable == viaDir)
+      } finally graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(dir))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_mhidx_bucketed")
+    }
+  }
+
   test("minhash index compaction: delete breaks a match, update rewrites one, insert adds one") {
     val base = java.nio.file.Files.createTempDirectory("graft_mhcmp_spec_").toString
     try {
