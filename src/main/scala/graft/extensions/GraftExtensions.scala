@@ -266,6 +266,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             nShards = intLit(children(4), "n_shards"))
           .queryExecution.analyzed
       }))
+    // Adaptive quality gate from SQL (q110's operator):
+    //   quality_gate(table, group_col, score_col, id_col, keep_frac)
+    // The EXACT tier (per-group rank cut); emits the gated input rows.
+    // The sketch tier stays a Scala call — its approx_percentile cut
+    // is resolution-dependent, which a SQL surface should not hide.
+    ext.injectTableFunction((
+      new FunctionIdentifier("quality_gate"),
+      new ExpressionInfo("graft.operators.DatasetOps", "quality_gate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: quality_gate(table, group_col, score_col, id_col, keep_frac)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val frac = numLit(children(4), "keep_frac")
+        require(frac > 0.0 && frac <= 1.0,
+          s"quality_gate: keep_frac must be in (0, 1], got $frac")
+        graft.operators.DatasetOps.qualityGateExact(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "group_col"),
+            strLit(children(2), "score_col"),
+            strLit(children(3), "id_col"),
+            keepFrac = frac)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sim_sorted"),
       new ExpressionInfo(classOf[JaccardSimilaritySorted].getName,

@@ -1961,11 +1961,32 @@ object LlmOps {
       FROM rk WHERE rk <= ceil(n * 0.3)
       GROUP BY lang ORDER BY lang"""))
 
+  // ---- q111: the SQL surface for the quality gate ---------------------
+  // The q104/q105 pattern over q110's operator: the scored corpus is a
+  // temp view, the gate runs as the injected `quality_gate` TVF from
+  // pure SQL text, and the census hash-matches the SAME DuckDB oracle
+  // as q110 — the TVF layer adds a parser path, not semantics.
+
+  private val q111 = GraftQuery(
+    "q111_sql_quality_gate",
+    (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("lang"),
+          round(col("m.stopword_ratio") - col("m.punct_ratio"), 6).as("q_score"))
+        .createOrReplaceTempView("graft_scored_docs")
+      s.sql("""SELECT lang, count(*) AS n_kept,
+          min(q_score) AS min_kept, max(q_score) AS max_kept
+        FROM quality_gate('graft_scored_docs', 'lang', 'q_score', 'doc_id', 0.3)
+        GROUP BY lang ORDER BY lang""")
+    },
+    q110.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q109, q110)
+      q103, q104, q105, q106, q107, q108, q109, q110, q111)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -115,6 +115,24 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_gate TVF matches the Scala operator and validates keep_frac") {
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => ("b", i.toLong, i.toDouble)))
+      .toDF("grp", "id", "score")
+    df.createOrReplaceTempView("graft_qgate_tvf")
+    val viaSql = spark.sql(
+      "SELECT grp, id FROM quality_gate('graft_qgate_tvf', 'grp', 'score', 'id', 0.3)")
+      .as[(String, Long)].collect().toSet
+    val viaScala = DatasetOps.qualityGateExact(df, "grp", "score", "id", 0.3)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(viaSql == viaScala)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM quality_gate('graft_qgate_tvf', 'grp', 'score', 'id', 1.5)")
+    }
+    assert(e.getMessage.contains("keep_frac"), e.getMessage.take(200))
+  }
+
   test("quality gate null policy: null scores rejected by both tiers, null group keys gate as a group") {
     val df = Seq(
       (Option("a"), 1L, Option(10.0)),
