@@ -214,6 +214,27 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Append a batch of new vectors to a [[writeIvfIndex]] index: the
+    * stored centroids are read back (tiny), the batch is cell-assigned
+    * with the IDENTICAL argmax the builder used, and its rows land as
+    * new files inside the existing cell directories — the corpus is
+    * never rescanned and the cell geometry never moves. This is
+    * batch-boundary ingestion (run it between probe jobs, not under
+    * one: a reader that lists files mid-append may see a partial
+    * batch); when drift from a grown corpus warrants new centroids,
+    * rebuild — centroid movement invalidates every stored assignment,
+    * which is a rebuild by definition. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newVectors: DataFrame): Unit = {
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("_cell"))
+      .select(col("_cent"))
+      .collect().toSeq.map(_.getSeq[Double](0))
+    newVectors
+      .withColumn("_cell", bestCell(cents)(col("cvec")))
+      .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
+  }
+
   /** Probe a [[writeIvfIndex]] index: rank the stored centroids per
     * query, read ONLY the `nProbe` winning cell partitions (dynamic
     * partition pruning — the scan's PartitionFilters carries the

@@ -144,6 +144,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfIndex: appended vectors probe identically to a from-scratch rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+    try {
+      val cents: Seq[Seq[Double]] = {
+        val rnd = new scala.util.Random(13)
+        Seq.fill(8)(Seq.fill(dim)(rnd.nextGaussian()))
+      }
+      val first = corpus.filter($"cid" < 150)
+      val late = corpus.filter($"cid" >= 150)
+      Similarity.writeIvfIndex(first, s"$base/idx", cents)
+      Similarity.appendToIvfIndex(spark, s"$base/idx", late)
+      Similarity.writeIvfIndex(corpus, s"$base/rebuilt", cents)
+      val qBatch = corpus.filter($"cid" < 8)
+        .select($"cid".as("qid"), $"cvec".as("qvec"))
+      def probe(dir: String) = Similarity
+        .probeIvfIndex(spark, dir, qBatch, k = 5, nProbe = 3)
+        .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+      val appended = probe(s"$base/idx")
+      assert(appended == probe(s"$base/rebuilt"),
+        "append must be indistinguishable from rebuilding over the union")
+      // and the late vectors are genuinely reachable as neighbors
+      assert(appended.exists(_._3 >= 150L),
+        "no appended vector ever surfaced in the top-k")
+    } finally {
+      graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(base))
+    }
+  }
+
   test("semanticDedup: within-cell clusters collapse to min ids; cross-cell pairs stay split") {
     val cents = Seq(
       (0, Seq(1.0, 0.0, 0.0, 0.0)),
