@@ -23,15 +23,18 @@ class GoldenPlanSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 
-  // the five pinned top-k/heap plans: the DataFrame API node, the
+  // the five pinned top-k/heap plans — the DataFrame API node, the
   // row_number idiom, the SQL TVF surface, the tie-aware rank() idiom,
-  // and the keep-first dedup — every path a user reaches the heap by
+  // the keep-first dedup (every path a user reaches the heap by) —
+  // plus the partition-pruned IVF probe, whose load-bearing token is
+  // the `dynamicpruning` subquery in the index scan's PartitionFilters
   private val pinned = Seq(
     "q07_top_orders_per_customer",
     "q87_native_topk_group",
     "q92_sql_topk",
     "q94_rank_topk_ties",
-    "q54_dedup_keep_first")
+    "q54_dedup_keep_first",
+    "q107_ivf_index_probe")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
