@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, JaccardSimilarity, JaccardSimilaritySorted}
+import graft.expressions.{CosineSimilarity, JaccardSimilarity, JaccardSimilaritySorted, NfcClean}
 
 /** Engine extension point (the `SparkSessionExtensions` surface):
   * registers graft's native expressions into the session's function
@@ -288,6 +288,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(children(3), "id_col"),
             keepFrac = frac)
           .queryExecution.analyzed
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_clean"),
+      new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_clean expects exactly 1 argument")
+        NfcClean(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sim_sorted"),

@@ -1982,11 +1982,41 @@ object LlmOps {
     },
     q110.oracle)
 
+  // ---- q112: unicode normalization (nfc_clean native expression) ------
+  // Corpus text normalization as a codegen'd Catalyst expression: NFC
+  // canonical composition (so `e`+U+0301 and `é` dedup/shingle
+  // identically) + C0/C1 control stripping (tab/newline/CR kept).
+  // Deliberately NFC, not NFKC — compatibility folding is lossy and
+  // belongs to the tokenizer. The fixture plants decomposed combining
+  // sequences, a BEL, a C1 control, and an NFC-STABLE ligature (U+FB01
+  // must survive) on top of real doc prefixes; DuckDB replays with
+  // nfc_normalize + a control-class regexp, and the emitted strings
+  // hash-match byte-for-byte.
+
+  private val q112 = GraftQuery(
+    "q112_nfc_clean",
+    (s, d) =>
+      docs(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          call_function("nfc_clean",
+            concat(substring(col("text"), 1, 20),
+              lit(" é Å tail x ﬁ end")))
+            .as("cleaned"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        regexp_replace(
+          nfc_normalize(substring(text, 1, 20) ||
+            ' ' || chr(101) || chr(769) || ' ' || chr(65) || chr(778) ||
+            ' tail' || chr(7) || chr(156) || ' x ' || chr(64257) || ' end'),
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g')
+          AS cleaned
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q109, q110, q111)
+      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

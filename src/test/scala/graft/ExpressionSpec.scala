@@ -116,6 +116,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == dot / (na * nb))
   }
 
+  test("nfc_clean: composes combining sequences, strips C0/C1, keeps structure and NFC-stable chars") {
+    val cases = Seq(
+      (1L, "plain ascii stays"),
+      (2L, "é composes"),               // e + combining acute → é
+      (3L, "Å ring"),                   // A + combining ring → Å
+      (4L, "bel gone c1 gone"),
+      (5L, "tab\tand\nnewline\rstay"),
+      (6L, "ligature ﬁ survives NFC"),   // NFKC would fold it — must not
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = cases
+      .select($"id", call_function("nfc_clean", $"s").as("c"))
+      .orderBy($"id").select($"c").as[String].collect().toSeq
+    assert(got == Seq(
+      "plain ascii stays",
+      "é composes",
+      "Å ring",
+      "bel gone c1 gone",
+      "tab\tand\nnewline\rstay",
+      "ligature ﬁ survives NFC",
+      null))
+    // interpreted path (eval) must equal the codegen'd column path
+    import org.apache.spark.unsafe.types.UTF8String
+    for ((_, s) <- cases.collect().map(r => (r.getLong(0), r.getString(1)))
+         if s != null) {
+      val viaKernel = graft.expressions.NfcClean
+        .clean(UTF8String.fromString(s)).toString
+      val viaSql = spark.sql(
+        s"SELECT nfc_clean('${s.replace("'", "''")}')").head.getString(0)
+      assert(viaKernel == viaSql, s"kernel/codegen drift on ${s.take(20)}")
+    }
+    // type check fires
+    val e = intercept[Exception] {
+      Seq(1).toDF("n").select(call_function("nfc_clean", $"n")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"), e.getMessage.take(200))
+  }
+
   test("no_inline: identity values, and the fenced projection blocks predicate pushdown") {
     import org.apache.spark.sql.functions.{call_function, lower, split}
     val df = Seq((1L, "Alpha Beta"), (2L, "Gamma"), (3L, null))
