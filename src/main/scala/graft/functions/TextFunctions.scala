@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   */
 object TextFunctions {
 
+  /** Unicode normalization for corpus text — the
+    * [[graft.expressions.NfcClean]] native expression (NFC composition
+    * + C0/C1 control strip, tab/newline/CR kept). Requires
+    * GraftExtensions on the session, like [[VectorFunctions.cosineFast]]. */
+  def nfcClean(text: Column): Column =
+    call_function("nfc_clean", text)
+
   /** Whitespace tokenization (lowercased). */
   def whitespaceTokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
