@@ -6,12 +6,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Unicode text normalization for corpus cleaning: NFC canonical
-  * composition (combining sequences collapse to their precomposed
-  * forms, so `e` + U+0301 and `é` hash/dedup/shingle identically)
-  * followed by C0/C1-control stripping (NUL, BEL, and friends —
-  * crawl-corpus debris that breaks tokenizers; `\t`, `\n`, `\r` are
-  * KEPT, they are document structure). Deliberately NFC, not NFKC:
+/** Unicode text normalization for corpus cleaning: C0/C1-control
+  * stripping (NUL, BEL, and friends — crawl-corpus debris that breaks
+  * tokenizers; `\t`, `\n`, `\r` are KEPT, they are document
+  * structure) followed by NFC canonical composition (combining
+  * sequences collapse to their precomposed forms, so `e` + U+0301 and
+  * `é` hash/dedup/shingle identically). Strip-first makes the whole
+  * operation idempotent — see [[NfcClean.clean]]. Deliberately NFC,
+  * not NFKC:
   * compatibility folding (ﬁ → fi, ² → 2) is lossy and belongs to a
   * tokenizer's own normalizer, not the corpus store.
   *
@@ -55,29 +57,40 @@ object NfcClean {
       (ch >= 0x80 && ch <= 0x9f)
 
   /** The shared interpreted/codegen kernel. Returns the input object
-    * itself when no rewrite is needed. */
+    * itself when no rewrite is needed.
+    *
+    * Order matters: controls are stripped BEFORE normalization. The
+    * reverse is not idempotent — a control sitting between a base
+    * char and a combining mark blocks composition on the first pass,
+    * and stripping it leaves a newly composable pair for a second
+    * pass to find (caught by KernelPropertySpec's idempotence sweep).
+    * Strip-first is a fixpoint: NFC never produces strippable
+    * controls, so pass two finds nothing to do. */
   def clean(s: UTF8String): UTF8String = {
     val str = s.toString
-    val normalized =
-      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) str
-      else java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
     var hasControl = false
     var i = 0
-    while (i < normalized.length && !hasControl) {
-      if (isStrippedControl(normalized.charAt(i))) hasControl = true
+    while (i < str.length && !hasControl) {
+      if (isStrippedControl(str.charAt(i))) hasControl = true
       i += 1
     }
-    if (!hasControl) {
-      if (normalized eq str) s else UTF8String.fromString(normalized)
-    } else {
-      val sb = new java.lang.StringBuilder(normalized.length)
-      var j = 0
-      while (j < normalized.length) {
-        val ch = normalized.charAt(j)
-        if (!isStrippedControl(ch)) sb.append(ch)
-        j += 1
+    val stripped =
+      if (!hasControl) str
+      else {
+        val sb = new java.lang.StringBuilder(str.length)
+        var j = 0
+        while (j < str.length) {
+          val ch = str.charAt(j)
+          if (!isStrippedControl(ch)) sb.append(ch)
+          j += 1
+        }
+        sb.toString
       }
-      UTF8String.fromString(sb.toString)
-    }
+    val normalized =
+      if (java.text.Normalizer.isNormalized(stripped,
+          java.text.Normalizer.Form.NFC)) stripped
+      else java.text.Normalizer.normalize(stripped,
+        java.text.Normalizer.Form.NFC)
+    if (normalized eq str) s else UTF8String.fromString(normalized)
   }
 }

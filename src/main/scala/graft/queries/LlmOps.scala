@@ -1983,15 +1983,17 @@ object LlmOps {
     q110.oracle)
 
   // ---- q112: unicode normalization (nfc_clean native expression) ------
-  // Corpus text normalization as a codegen'd Catalyst expression: NFC
-  // canonical composition (so `e`+U+0301 and `é` dedup/shingle
-  // identically) + C0/C1 control stripping (tab/newline/CR kept).
-  // Deliberately NFC, not NFKC — compatibility folding is lossy and
-  // belongs to the tokenizer. The fixture plants decomposed combining
-  // sequences, a BEL, a C1 control, and an NFC-STABLE ligature (U+FB01
-  // must survive) on top of real doc prefixes; DuckDB replays with
-  // nfc_normalize + a control-class regexp, and the emitted strings
-  // hash-match byte-for-byte.
+  // Corpus text normalization as a codegen'd Catalyst expression:
+  // C0/C1 control stripping (tab/newline/CR kept) THEN NFC canonical
+  // composition (so `e`+U+0301 and `é` dedup/shingle identically) —
+  // strip-first makes the operation idempotent (normalize-first
+  // leaves a newly composable pair wherever a control separated a
+  // base from its combining mark). Deliberately NFC, not NFKC —
+  // compatibility folding is lossy and belongs to the tokenizer. The
+  // fixture plants decomposed combining sequences, a BEL, a C1
+  // control, and an NFC-STABLE ligature (U+FB01 must survive) on top
+  // of real doc prefixes; DuckDB replays the same strip-then-normalize
+  // order and the emitted strings hash-match byte-for-byte.
 
   private val q112 = GraftQuery(
     "q112_nfc_clean",
@@ -2004,11 +2006,11 @@ object LlmOps {
             .as("cleaned"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
-        regexp_replace(
-          nfc_normalize(substring(text, 1, 20) ||
+        nfc_normalize(regexp_replace(
+          substring(text, 1, 20) ||
             ' ' || chr(101) || chr(769) || ' ' || chr(65) || chr(778) ||
-            ' tail' || chr(7) || chr(156) || ' x ' || chr(64257) || ' end'),
-          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g')
+            ' tail' || chr(7) || chr(156) || ' x ' || chr(64257) || ' end',
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'))
           AS cleaned
       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 

@@ -41,6 +41,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NfcClean kernel: idempotent, reference-equal to Normalizer+filter, fast path aliases input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.NfcClean
+    def reference(s: String): String =
+      java.text.Normalizer.normalize(
+        s.filterNot(ch =>
+          (ch < 0x20 && ch != '\t' && ch != '\n' && ch != '\r') || ch == 0x7f ||
+            (ch >= 0x80 && ch <= 0x9f)),
+        java.text.Normalizer.Form.NFC)
+    val rnd = new scala.util.Random(29)
+    // alphabet mixes ascii, combining marks, precomposed chars,
+    // controls, structure whitespace, and an NFC-stable ligature
+    val alphabet: IndexedSeq[Char] =
+      ('a' to 'z') ++ Seq(0x0301.toChar, 0x030A.toChar, 'é', 'Å',
+        0x00.toChar, 0x07.toChar, 0x9C.toChar, 0x7F.toChar,
+        '\t', '\n', '\r', ' ', 'ﬁ', '中')
+    for (_ <- 0 until 500) {
+      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString
+      val once = NfcClean.clean(UTF8String.fromString(s)).toString
+      assert(once == reference(s),
+        s"kernel != reference on ${s.map(c => f"\\u${c.toInt}%04X").mkString}")
+      val twice = NfcClean.clean(UTF8String.fromString(once)).toString
+      assert(twice == once, "nfc_clean must be idempotent")
+    }
+    // already-clean input comes back as the SAME object (no copy)
+    val clean = UTF8String.fromString("plain ascii, nothing to do")
+    assert(NfcClean.clean(clean) eq clean)
+  }
+
   test("stubKernel: deterministic, dim-sized, [0,1) floats on random bytes") {
     val rnd = new scala.util.Random(29)
     for (_ <- 0 until 100) {
