@@ -280,6 +280,21 @@ object DatasetOps {
       .drop("_u")
   }
 
+  /** Land a [[packSequences]] result as training shards: one
+    * hive-partition directory per shard, rows offset-sorted within
+    * every file, so a trainer streams each shard sequentially with no
+    * shuffle or sort of its own — the last step between the corpus and
+    * the data loader. One exchange on the shard key; the
+    * sortWithinPartitions keeps each shard's rows contiguous and
+    * ordered even when hash partitioning co-locates several shards in
+    * one task (their rows route to separate per-shard files, each
+    * inheriting the partition's (shard, offset) order). */
+  def writeTrainingShards(packed: DataFrame, dir: String): Unit =
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("offset"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   /** Adaptive per-group quality gate, EXACT tier: keep the top
     * `keepFrac` of each group by `scoreCol` (ties → lowest `idCol`),
     * where the cut adapts to each group's own score distribution — the

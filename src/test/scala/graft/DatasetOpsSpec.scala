@@ -115,6 +115,38 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeTrainingShards: per-shard dirs, offset-sorted files, nothing lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      val docs = (0L until 400L)
+        .map(i => (i, s"tok ${"w " * (i % 17).toInt}end"))
+        .toDF("doc_id", "text")
+      val packed = DatasetOps.packSequences(docs, "doc_id",
+        graft.functions.TextFunctions.tokenCount($"text"),
+        seqLen = 64, nShards = 8)
+      DatasetOps.writeTrainingShards(
+        packed.select($"doc_id", $"shard", $"n_tokens", $"offset", $"bin"), dir)
+      val back = spark.read.parquet(dir)
+      // complete: every (doc, shard, offset) survives the landing
+      val expect = packed.select($"doc_id", $"shard", $"offset")
+        .as[(Long, Long, Long)].collect().toSet
+      val got = back.select($"doc_id", $"shard", $"offset")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expect)
+      // every FILE is internally offset-sorted (what the trainer streams)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+      assert(files.nonEmpty)
+      for (f <- files) {
+        val offs = spark.read.parquet(f).select($"offset")
+          .as[Long].collect().toSeq
+        assert(offs == offs.sorted, s"unsorted shard file $f")
+      }
+    } finally {
+      graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("quality_gate TVF matches the Scala operator and validates keep_frac") {
     val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
       (1 to 5).map(i => ("b", i.toLong, i.toDouble)))
