@@ -165,6 +165,25 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keep_frac"), e.getMessage.take(200))
   }
 
+  test("qualityGateExact equals a JVM brute-force reference over random tied groups") {
+    val rnd = new scala.util.Random(31)
+    // 60 groups, duplicate-heavy scores so ties are routine
+    val rows = (0 until 60).flatMap { g =>
+      val n = 1 + rnd.nextInt(25)
+      (0 until n).map(i => (s"g$g", g * 100L + i, rnd.nextInt(6).toDouble))
+    }
+    val df = rows.toDF("grp", "id", "score")
+    for (frac <- Seq(0.1, 0.3, 0.5, 0.9, 1.0)) {
+      val got = DatasetOps.qualityGateExact(df, "grp", "score", "id", frac)
+        .select($"grp", $"id").as[(String, Long)].collect().toSet
+      val expect = rows.groupBy(_._1).flatMap { case (_, members) =>
+        val k = math.ceil(members.size * frac).toInt
+        members.sortBy(m => (-m._3, m._2)).take(k)
+      }.map(m => (m._1, m._2)).toSet
+      assert(got == expect, s"frac=$frac: ${got.diff(expect)} / ${expect.diff(got)}")
+    }
+  }
+
   test("quality gate null policy: null scores rejected by both tiers, null group keys gate as a group") {
     val df = Seq(
       (Option("a"), 1L, Option(10.0)),
