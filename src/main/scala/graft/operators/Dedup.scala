@@ -51,24 +51,72 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** Candidate duplicate pairs (idA < idB) that share ≥1 LSH band.
-    * Input df must carry `idCol` and a shingle-array column
-    * `shingleCol`. Returns (idA, idB) distinct. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
-                        numHashes: Int = 24, bands: Int = 6): DataFrame = {
+  /** One (idCol, _band, _bhash) row per (doc, band) — the banded form
+    * [[lshCandidatePairs]] self-joins and [[lshBucketStats]] censuses.
+    * Shared so the histogram provably measures the same hash family
+    * the join will expand. */
+  private def lshBandRows(df: DataFrame, idCol: String, shingleCol: String,
+                          numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    df.filter(size(col(shingleCol)) > 0)
+      .select(col(idCol), minhashSignature(col(shingleCol), numHashes).as("_sig"))
+      .select(col(idCol),
+        posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
+  }
+
+  /** Skew guard for the band self-joins: band buckets holding more
+    * than `maxBucketSize` docs are DROPPED before pair expansion
+    * (0 = uncapped). A bucket of b docs expands b² candidate rows, so
+    * one boilerplate-heavy bucket — empty pages, templated chrome,
+    * exact duplicates nobody collapsed first — dominates the whole
+    * job at corpus scale; the cap bounds the worst bucket's expansion
+    * at maxBucketSize². The trade is recall on pairs reachable ONLY
+    * through a dropped bucket; docs that big-bucket together are
+    * overwhelmingly exact or near-exact duplicates, which
+    * [[exactDedup]] should collapse BEFORE the LSH tier (run the
+    * tiers in that order and the cap costs ~no recall). The size
+    * check is a window count over the band keys, which reuses the
+    * explicit pre-join exchange — the guard adds no shuffle.
+    * Calibrate the ceiling with [[lshBucketStats]]. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+                         maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      banded.withColumn("_bc", count(lit(1)).over(w))
+        .filter(col("_bc") <= maxBucketSize).drop("_bc")
+    }
+
+  /** Band-bucket size histogram over [[lshCandidatePairs]]'s hash
+    * family: (bucket_size, n_buckets), largest first. The pair
+    * expansion bill is Σ size² over buckets, so the top rows ARE the
+    * job's cost profile; pick a `maxBucketSize` where the content
+    * tail ends and the boilerplate/exact-dup spike begins. Fixed-width
+    * keys only — runs as one groupBy on the full corpus or a sample. */
+  def lshBucketStats(df: DataFrame, idCol: String, shingleCol: String,
+                     numHashes: Int = 24, bands: Int = 6): DataFrame =
+    lshBandRows(df, idCol, shingleCol, numHashes, bands)
+      .groupBy(col("_band"), col("_bhash")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("bucket_size").desc)
+
+  /** Candidate duplicate pairs (idA < idB) that share ≥1 LSH band.
+    * Input df must carry `idCol` and a shingle-array column
+    * `shingleCol`. Returns (idA, idB) distinct. `maxBucketSize` > 0
+    * engages the hot-bucket skew guard (see [[capBuckets]]). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
+                        numHashes: Int = 24, bands: Int = 6,
+                        maxBucketSize: Int = 0): DataFrame = {
     // explicit exchange on the band key ahead of the self-join: a
     // single-file input would otherwise run the bucket expansion in
     // one task (and AQE's small-shuffle coalescing would keep it
     // there) — same hazard as jaccardIndexPairs
-    val sig = df
-      .filter(size(col(shingleCol)) > 0)
-      .select(col(idCol), minhashSignature(col(shingleCol), numHashes).as("_sig"))
-      .select(col(idCol),
-        posexplode(bandKeys(col("_sig"), bands, rows)).as(Seq("_band", "_bhash")))
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("_band"), col("_bhash"))
+    val sig = capBuckets(
+      lshBandRows(df, idCol, shingleCol, numHashes, bands)
+        .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("_band"), col("_bhash")),
+      Seq("_band", "_bhash"), maxBucketSize)
     val left = sig.select(col("_band"), col("_bhash"), col(idCol).as("idA"))
     val right = sig.select(col("_band"), col("_bhash"), col(idCol).as("idB"))
     left.join(right, Seq("_band", "_bhash"))
@@ -129,14 +177,15 @@ object Dedup {
     * Returns verified pairs (idA, idB, jaccard ≥ threshold). */
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       shingleWords: Int = 3, threshold: Double = 0.7,
-                      numHashes: Int = 24, bands: Int = 6): DataFrame = {
+                      numHashes: Int = 24, bands: Int = 6,
+                      maxBucketSize: Int = 0): DataFrame = {
     // tokens projected BEFORE shingling: wordShingles slices its token
     // array once per shingle inside a lambda, and Catalyst does not CSE
     // inside lambdas — an inlined tokenizer would re-split the whole
     // text once per shingle (quadratic per doc)
     val sh = docs.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
       .select(col(idCol), wordShingles(col("_tks"), shingleWords).as("_sh"))
-    val cand = lshCandidatePairs(sh, idCol, "_sh", numHashes, bands)
+    val cand = lshCandidatePairs(sh, idCol, "_sh", numHashes, bands, maxBucketSize)
     val shA = sh.select(col(idCol).as("idA"), col("_sh").as("_shA"))
     val shB = sh.select(col(idCol).as("idB"), col("_sh").as("_shB"))
     cand.join(shA, "idA").join(shB, "idB")
@@ -356,7 +405,7 @@ object Dedup {
     * recall/cost dial. */
   def simhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, minTokens: Int = 1,
-                      nBands: Int = 4): DataFrame = {
+                      nBands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
     require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
     val bandBits = 64 / nBands
     val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
@@ -364,12 +413,13 @@ object Dedup {
       .select(col(idCol), whitespaceTokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= minTokens)
       .select(col(idCol), simhash(col("_toks")).as("_sim"))
-    val banded = sigs.select(col(idCol), col("_sim"),
+    val banded = capBuckets(sigs.select(col(idCol), col("_sim"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("_sim"), b * bandBits).bitwiseAND(lit(bandMask))): _*))
         .as(Seq("_band", "_bkey")))
       .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("_band"), col("_bkey"))
+        col("_band"), col("_bkey")),
+      Seq("_band", "_bkey"), maxBucketSize)
     val left = banded.select(col("_band"), col("_bkey"),
       col(idCol).as("idA"), col("_sim").as("_simA"))
     val right = banded.select(col("_band"), col("_bkey"),

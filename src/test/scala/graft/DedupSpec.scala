@@ -62,6 +62,58 @@ class DedupSpec extends AnyFunSuite {
     assert(found.size >= 18, s"recall too low: ${found.size}/20")
   }
 
+  test("maxBucketSize drops hot band buckets; cool pairs survive, guard adds no exchange") {
+    // 40 byte-identical docs: identical signatures put them in ONE
+    // bucket per band — the boilerplate spike whose b² expansion the
+    // cap exists to bound. The cool near-dup pair rides in from the
+    // shared fixture (i=0's base/near, ids 0 and 1).
+    val hotText = (0 until 25).map(j => s"hot${j * 13}boiler$j").mkString(" ")
+    val hot = (0 until 40).map(i => (100L + i, hotText))
+    val df = docs.filter($"doc_id" < 3).union(hot.toDF("doc_id", "text"))
+    def pairSet(maxBucketSize: Int): Set[(Long, Long)] =
+      Dedup.minhashDupPairs(df, "text", "doc_id", threshold = 0.5,
+        maxBucketSize = maxBucketSize)
+        .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(0)
+    val capped = pairSet(10)
+    assert(uncapped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "fixture broken: hot bucket produced no pairs uncapped")
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((0L, 1L)), "cool near-dup pair must survive the cap")
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      s"hot-bucket pairs must be dropped: ${capped.filter(p => p._1 >= 100L)}")
+    // the histogram names the spike the cap should target: the 40-doc
+    // bucket appears once per band (6 bands at the default family)
+    val sh = df.select($"doc_id",
+      wordShingles(whitespaceTokens($"text"), 3).as("sh"))
+    val top = Dedup.lshBucketStats(sh, "doc_id", "sh").first()
+    assert(top.getLong(0) == 40L && top.getLong(1) == 6L,
+      s"expected the 40-doc bucket in all 6 bands, got $top")
+    // the guard is a window over the pre-join exchange's own keys —
+    // engaging it must not add an exchange
+    def bandExchanges(maxBucketSize: Int): Int = {
+      val plan = Dedup.minhashDupPairs(df, "text", "doc_id", threshold = 0.5,
+        maxBucketSize = maxBucketSize).queryExecution.executedPlan.toString
+      "Exchange hashpartitioning\\(_band".r.findAllIn(plan).size
+    }
+    assert(bandExchanges(10) == bandExchanges(0),
+      "capBuckets must reuse the band-key exchange, not add one")
+  }
+
+  test("simhash maxBucketSize: hot bucket dropped, banded recall intact") {
+    val hotText = (0 until 25).map(j => s"sim${j * 17}boiler$j").mkString(" ")
+    val hot = (0 until 40).map(i => (1000L + i, hotText))
+    val mixed = docs.select($"doc_id", $"text").union(hot.toDF("doc_id", "text"))
+    val wanted = (0 until 20).map(i => (i * 3L, i * 3L + 1)).toSet
+    val capped = Dedup.simhashDupPairs(mixed, "text", "doc_id",
+      maxHamming = 16, maxBucketSize = 10)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "identical hot docs must be dropped by the cap")
+    assert(capped.subsetOf(wanted), s"unrelated pairs flagged: ${capped -- wanted}")
+    assert(capped.size >= 15, s"cap must not cost cool-pair recall: ${capped.size}/20")
+  }
+
   test("simhash separates near-dups from controls; banded pairs are exact") {
     val wanted = (0 until 20).map(i => (i * 3L, i * 3L + 1)).toSet
     // ground truth: full hamming matrix from the raw signatures
