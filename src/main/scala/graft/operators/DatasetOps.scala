@@ -345,4 +345,72 @@ object DatasetOps {
       .filter(col(scoreCol) >= col("_cut"))
       .drop("_grp", "_cut")
   }
+
+  /** Cross-document repeated-SPAN masking — the finer-than-line tier
+    * of the dedup ladder (doc-level → line-level → span-level): any
+    * word-`k`-gram occurring in ≥ `minDocs` DISTINCT documents marks
+    * its k tokens, overlapping marks merge into maximal spans, and
+    * every document is reassembled with its marked spans removed.
+    * This is the "repeated substring" recipe from the training-data
+    * dedup literature, at word-gram (not suffix-array) resolution:
+    * memorization-prone boilerplate passages that line-level dedup
+    * misses because they do not align to line boundaries.
+    *
+    * Within-doc repeats are SPARED (census counts distinct docs, the
+    * line-dedup convention): a chorus repeated inside one song is
+    * content; the same paragraph in two crawls is chrome.
+    *
+    * Shuffle shape at 100 TB: the census and the start-marking
+    * semi-join move (id, int, 8-byte gram hash) tuples only. Interval
+    * merging is RELATIONAL gaps-and-islands (two windows + a groupBy
+    * over (id, int) rows) rather than a per-doc array fold, so a doc
+    * with millions of marked grams costs linear window work, never a
+    * quadratic lambda. Bodies cross once, for the rebuild — inherent,
+    * the output IS the rewritten text. The per-token mask probe is
+    * O(merged intervals) per token; merged intervals are REGIONS
+    * (post-merge), bounded by textual reality, not by gram count.
+    * Docs with fewer than `k` tokens have no grams and pass through
+    * unmasked. Tokens are whitespace tokens (lowercased); cleaned
+    * text is space-rejoined, the [[packSequences]] convention. */
+  def maskRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // tokens projected before shingling (the lambda-CSE rule)
+    val toks = docs.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+    val grams = toks
+      .select(col(idCol), posexplode(wordShingles(col("_tks"), k)).as(Seq("_s", "_g")))
+      .select(col(idCol), col("_s"), xxhash64(col("_g")).as("_gh"))
+    val repeated = grams.groupBy(col("_gh"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_gh"))
+    // gaps-and-islands over marked starts: a start opens a new island
+    // iff it begins past the furthest token any earlier start covers
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_s"))
+    val intervals = grams.join(repeated, Seq("_gh"), "left_semi")
+      .select(col(idCol), col("_s"))
+      .withColumn("_brk",
+        when(col("_s") > coalesce(max(col("_s") + lit(k - 1)).over(wPrev),
+          lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_s")).as("_lo"), (max(col("_s")) + lit(k - 1)).as("_hi"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_lo"), col("_hi")))).as("_iv"))
+    toks.join(intervals, Seq(idCol), "left")
+      .select(col(idCol), col("_tks"),
+        coalesce(col("_iv"),
+          array().cast("array<struct<_lo:int,_hi:int>>")).as("_iv"))
+      .select(col(idCol), size(col("_tks")).cast(LongType).as("n_tokens"),
+        filter(col("_tks"), (_, i) => !exists(col("_iv"),
+          iv => iv.getField("_lo") <= i && i <= iv.getField("_hi"))).as("_kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast(LongType).as("n_masked"),
+        array_join(col("_kept"), " ").as("cleaned"))
+  }
 }

@@ -2014,11 +2014,72 @@ object LlmOps {
           AS cleaned
       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
+  // ---- q113: cross-doc repeated-span masking ---------------------------
+  // The finer-than-line dedup tier: 8-grams recurring across >=2 docs
+  // mark their tokens, overlapping marks merge into maximal spans
+  // (relational gaps-and-islands, not a per-doc fold), and each doc is
+  // reassembled with the spans cut. The oracle replays the census on
+  // raw gram STRINGS (hashing is Spark-side only — the q41 64-bit
+  // collision tolerance), the island arithmetic, and the rebuilt text.
+
+  private val q113 = GraftQuery(
+    "q113_span_mask",
+    (s, d) =>
+      DatasetOps.maskRepeatedSpans(docs(s, d), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      gi AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        FROM toks),
+      g AS (
+        SELECT doc_id, i - 1 AS s, array_to_string(tk[i:i+7], ' ') AS gram
+        FROM gi),
+      rep AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      st AS (SELECT g.doc_id, g.s FROM g JOIN rep USING (gram)),
+      isl AS (
+        SELECT doc_id, s,
+          CASE WHEN s > coalesce(max(s + 7) OVER (PARTITION BY doc_id
+              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -2) + 1 THEN 1 ELSE 0 END AS brk
+        FROM st),
+      g2 AS (
+        SELECT doc_id, s, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      iv AS (
+        SELECT doc_id, min(s) AS lo, max(s) + 7 AS hi
+        FROM g2 GROUP BY doc_id, island),
+      ti AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks),
+      tok AS (SELECT doc_id, i - 1 AS idx, tk[i] AS tok FROM ti),
+      msk AS (
+        SELECT t.doc_id, t.idx, t.tok,
+          max(CASE WHEN iv.lo IS NOT NULL THEN 1 ELSE 0 END) AS m
+        FROM tok t LEFT JOIN iv
+          ON t.doc_id = iv.doc_id AND t.idx BETWEEN iv.lo AND iv.hi
+        GROUP BY t.doc_id, t.idx, t.tok),
+      re AS (
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(m) AS BIGINT) AS n_masked,
+          coalesce(string_agg(CASE WHEN m = 0 THEN tok END, ' '
+            ORDER BY idx), '') AS cleaned
+        FROM msk GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(r.n_masked, 0) AS BIGINT) AS n_masked,
+        coalesce(r.cleaned, '') AS cleaned
+      FROM documents d LEFT JOIN re r USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

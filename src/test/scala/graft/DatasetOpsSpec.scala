@@ -310,4 +310,61 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(reparted.sortBy(_._1).sameElements(rows.sortBy(_._1)),
       "packing must not depend on physical layout")
   }
+
+  test("maskRepeatedSpans: planted cross-doc span cut, within-doc repeat spared, overlaps merge") {
+    // span of 12 tokens shared by docs 1 and 2 at different offsets →
+    // with k=8 its 5 gram starts must MERGE to one 12-token interval
+    // (not 5×8 marks); doc 3 repeats a span twice but shares it with
+    // nobody; doc 4 is shorter than k
+    val span = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"$span epsilon zeta eta theta iota kappa"),
+      (3L, s"solo0 solo1 solo2 solo3 solo4 solo5 solo6 solo7 filler " +
+        "solo0 solo1 solo2 solo3 solo4 solo5 solo6 solo7"),
+      (4L, "tiny doc under k tokens")
+    ).toDF("doc_id", "text")
+    val out = DatasetOps.maskRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .select($"doc_id", $"n_tokens", $"n_masked", $"cleaned")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 16L, 12L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 18L, 12L, "epsilon zeta eta theta iota kappa")))
+    assert(out(3L)._3 == 0L, "within-doc repeats are content, not chrome")
+    assert(out(4L) == ((4L, 5L, 0L, "tiny doc under k tokens")))
+  }
+
+  test("maskRepeatedSpans equals a JVM brute-force reference over random corpora") {
+    val rnd = new scala.util.Random(113)
+    for (trial <- 0 until 6) {
+      val k = 3 + rnd.nextInt(3) // 3..5
+      // small token alphabet so cross-doc gram collisions actually occur
+      val corpus = (0L until 12L).map { id =>
+        val n = 2 + rnd.nextInt(18)
+        (id, (0 until n).map(_ => s"t${rnd.nextInt(8)}").mkString(" "))
+      }
+      val expected = {
+        val toks = corpus.map { case (id, tx) =>
+          id -> tx.split("\\s+").filter(_.nonEmpty).toVector
+        }.toMap
+        val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+        for ((id, tk) <- toks; i <- 0 to tk.length - k)
+          gramDocs.updateWith(tk.slice(i, i + k).mkString(" "))(
+            s => Some(s.getOrElse(Set.empty) + id))
+        toks.map { case (id, tk) =>
+          val masked = Array.fill(tk.length)(false)
+          for (i <- 0 to tk.length - k
+               if gramDocs(tk.slice(i, i + k).mkString(" ")).size >= 2;
+               j <- i until i + k) masked(j) = true
+          val kept = tk.indices.filterNot(masked).map(tk)
+          (id, tk.length.toLong, masked.count(identity).toLong,
+            kept.mkString(" "))
+        }.toSet
+      }
+      val got = DatasetOps.maskRepeatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .select($"doc_id", $"n_tokens", $"n_masked", $"cleaned")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"trial $trial (k=$k) diverged from brute force")
+    }
+  }
 }
