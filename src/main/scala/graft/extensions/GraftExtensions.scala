@@ -266,6 +266,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             nShards = intLit(children(4), "n_shards"))
           .queryExecution.analyzed
       }))
+    // Cross-doc repeated-span masking from SQL (q113's operator):
+    //   mask_spans(table, id_col, text_col, k[, min_docs])
+    // Emits (id, n_tokens, n_masked, cleaned).
+    ext.injectTableFunction((
+      new FunctionIdentifier("mask_spans"),
+      new ExpressionInfo("graft.operators.DatasetOps", "mask_spans"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 5,
+          "usage: mask_spans(table, id_col, text_col, k[, min_docs])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.DatasetOps.maskRepeatedSpans(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"),
+            strLit(children(2), "text_col"),
+            k = intLit(children(3), "k"),
+            minDocs = children.drop(4).headOption
+              .map(intLit(_, "min_docs")).getOrElse(2))
+          .queryExecution.analyzed
+      }))
     // Adaptive quality gate from SQL (q110's operator):
     //   quality_gate(table, group_col, score_col, id_col, keep_frac)
     // The EXACT tier (per-group rank cut); emits the gated input rows.

@@ -2075,11 +2075,24 @@ object LlmOps {
       FROM documents d LEFT JOIN re r USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // q114: q113's operator reached from pure SQL text via the injected
+  // mask_spans TVF — same DuckDB oracle, so the parser path adds no
+  // semantics (the q104/q105 convention).
+  private val q114 = GraftQuery(
+    "q114_sql_mask_spans",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT doc_id, n_tokens, n_masked, cleaned
+        FROM mask_spans('documents', 'doc_id', 'text', 8)
+        ORDER BY doc_id""")
+    },
+    q113.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

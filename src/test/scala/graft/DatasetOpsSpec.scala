@@ -333,6 +333,29 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 5L, 0L, "tiny doc under k tokens")))
   }
 
+  test("mask_spans TVF matches the Scala operator and validates its arguments") {
+    val span = (0 until 10).map(i => s"sp$i").mkString(" ")
+    Seq((1L, s"a b $span c"), (2L, s"$span d e f g h"), (3L, "lone doc text here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("graft_maskspan_tvf")
+    try {
+      val viaSql = spark.sql(
+        """SELECT doc_id, n_tokens, n_masked, cleaned
+          FROM mask_spans('graft_maskspan_tvf', 'doc_id', 'text', 8)
+          ORDER BY doc_id""")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val viaScala = DatasetOps.maskRepeatedSpans(
+          spark.table("graft_maskspan_tvf"), "doc_id", "text", k = 8)
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(viaSql == viaScala)
+      assert(viaSql.head._3 == 10L, "planted span must be cut through the TVF path")
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM mask_spans('graft_maskspan_tvf', 'doc_id', 'text', 1)")
+      }
+      assert(err.getMessage.contains("k must be >= 2"), err.getMessage)
+    } finally spark.catalog.dropTempView("graft_maskspan_tvf")
+  }
+
   test("maskRepeatedSpans equals a JVM brute-force reference over random corpora") {
     val rnd = new scala.util.Random(113)
     for (trial <- 0 until 6) {
