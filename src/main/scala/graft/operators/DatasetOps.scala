@@ -346,6 +346,25 @@ object DatasetOps {
       .drop("_grp", "_cut")
   }
 
+  /** Deterministic per-group cap — corpus curation's "at most `n`
+    * docs per domain/source" share-capping policy: within each group
+    * keep the `n` rows with the smallest md5 draw. Membership is a
+    * pure function of the id (the [[hashSplit]] argument): stable
+    * under reshuffle, retry, and re-run, and unbiased by upstream
+    * order — capping by arrival order would keep whatever the crawler
+    * happened to fetch first. Ranks through the k-bounded
+    * [[graft.plans.TopKPerGroup]] heap node: no per-group sort, no
+    * Window — partial heaps bound state at groups×n rows per task,
+    * one exchange on the group key. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val drawn = df.withColumn("_draw", md5Draw("cap", col(idCol)))
+    graft.plans.TopKPerGroup(drawn, Seq(groupCol),
+        Seq(("_draw", true), (idCol, true)), n)
+      .drop("_draw")
+  }
+
   /** Cross-document repeated-SPAN masking — the finer-than-line tier
     * of the dedup ladder (doc-level → line-level → span-level): any
     * word-`k`-gram occurring in ≥ `minDocs` DISTINCT documents marks

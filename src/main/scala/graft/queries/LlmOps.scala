@@ -2088,11 +2088,36 @@ object LlmOps {
     },
     q113.oracle)
 
+  // ---- q115: deterministic per-source cap ------------------------------
+  // Share capping ("at most 12 docs per source"): membership is the
+  // smallest-12 md5 draws per group — reshuffle/append-stable and
+  // unbiased by crawl order — ranked through the bounded-heap node
+  // (no Window, PlanSpec-pinned). The oracle replays the draw and the
+  // per-group row_number cut.
+
+  private val q115 = GraftQuery(
+    "q115_source_cap",
+    (s, d) =>
+      DatasetOps.capPerGroup(
+          docs(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id", n = 12)
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          CAST(concat('0x', substring(md5('cap:'||doc_id), 1, 8)) AS BIGINT) AS u
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+        FROM t)
+      SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
+      q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
+      q115)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -333,6 +333,37 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 5L, 0L, "tiny doc under k tokens")))
   }
 
+  test("capPerGroup: n smallest draws per group, append-stable, layout-invariant") {
+    val base = (0L until 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val kept = DatasetOps.capPerGroup(base, "grp", "id", n = 25)
+      .select($"id", $"grp").as[(Long, String)].collect().toSet
+    assert(kept.size == 100, s"4 groups x 25 expected, got ${kept.size}")
+    assert(kept.groupBy(_._2).forall(_._2.size == 25))
+    // JVM md5 replay: membership IS the 25 smallest draws per group
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cap:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = (0L until 400L).groupBy(i => s"g${i % 4}").flatMap {
+      case (g, ids) => ids.sortBy(i => (draw(i), i)).take(25).map(i => (i, g))
+    }.toSet
+    assert(kept == expected, "membership must be the md5-smallest draws")
+    // layout invariance
+    val reparted = DatasetOps.capPerGroup(base.repartition(13), "grp", "id", 25)
+      .select($"id", $"grp").as[(Long, String)].collect().toSet
+    assert(reparted == kept)
+    // append stability: new rows only DISPLACE from the top of the
+    // draw order — survivors of the union are still draw-minimal, and
+    // any base row kept in the union was kept before
+    val extra = (400L until 500L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val keptU = DatasetOps.capPerGroup(base.union(extra), "grp", "id", 25)
+      .select($"id", $"grp").as[(Long, String)].collect().toSet
+    assert(keptU.filter(_._1 < 400L).subsetOf(kept),
+      "an appended doc must never PROMOTE a previously-cut doc")
+  }
+
   test("mask_spans TVF matches the Scala operator and validates its arguments") {
     val span = (0 until 10).map(i => s"sp$i").mkString(" ")
     Seq((1L, s"a b $span c"), (2L, s"$span d e f g h"), (3L, "lone doc text here"))

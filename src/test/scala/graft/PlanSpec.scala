@@ -109,6 +109,13 @@ class PlanSpec extends AnyFunSuite {
       "operator should shuffle exactly once, on the group keys")
   }
 
+  test("q115: the per-group cap plans through the heap node, no Window") {
+    val p = plan("q115_source_cap")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"cap not planned through the heap operator:\n${p.take(600)}")
+    assert(!p.contains("Window"), "fell back to the window encoding")
+  }
+
   test("q07: the window-idiom top-k is REWRITTEN to the heap node by the optimizer rule") {
     // q07 is written as filter(row_number().over(...) <= 3) — the SQL
     // idiom every user query uses. WindowTopKRewrite must hand it the
