@@ -369,11 +369,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a token array: bit k of the result is the
-    * sign of Σ_tokens (±1 depending on bit k of xxhash64(token)).
+    * sign of Σ_tokens (±1 depending on bit k of tokenHash(token)).
     * Token hashes are materialized once into an array column; the 64
-    * bit-sums are then independent narrow folds. */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+    * bit-sums are then independent narrow folds. `tokenHash` defaults
+    * to xxhash64 (fast, codegen'd); pass [[md5Hash64]] when a
+    * SQL-replayable family is needed (the q43 oracle rebuilds the
+    * signature bit-for-bit from md5). */
+  def simhash(tokens: Column,
+              tokenHash: Column => Column = t => xxhash64(t)): Column = {
+    val hashes = transform(tokens, t => tokenHash(t))
     val bitCols: Seq[Column] = (0 until 64).map { k =>
       val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -381,6 +385,17 @@ object Dedup {
     }
     bitCols.reduce(_ bitwiseOR _)
   }
+
+  /** 64-bit hash assembled from two md5 prefix halves — bit-for-bit
+    * replayable by any engine with md5 and string slicing (the
+    * q46/q55 synthetic-replay trick, widened to 64 bits): hi = first
+    * 8 hex chars, lo = next 8, result = (hi << 32) | lo. Only the BIT
+    * PATTERN is consumed (simhash reads one bit at a time), so
+    * signed-vs-unsigned representation differences between engines
+    * are immaterial. */
+  def md5Hash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast(LongType), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast(LongType))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -405,14 +420,15 @@ object Dedup {
     * recall/cost dial. */
   def simhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, minTokens: Int = 1,
-                      nBands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+                      nBands: Int = 4, maxBucketSize: Int = 0,
+                      tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
     require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
     val bandBits = 64 / nBands
     val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val sigs = docs
       .select(col(idCol), whitespaceTokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= minTokens)
-      .select(col(idCol), simhash(col("_toks")).as("_sim"))
+      .select(col(idCol), simhash(col("_toks"), tokenHash).as("_sim"))
     val banded = capBuckets(sigs.select(col(idCol), col("_sim"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("_sim"), b * bandBits).bitwiseAND(lit(bandMask))): _*))

@@ -159,19 +159,20 @@ object LlmOps {
     "q43_simhash",
     (s, d) => {
       val dd = docs(s, d)
-      // simhash bands (hamming <= 8 over the whitespace-token
-      // signature) generate candidates; the emitted verdict is exact
-      // word-3-shingle Jaccard >= 0.5 — the near-dup predicate (q42's),
-      // sharp where raw token-set overlap is not (probed: ~92k of 125k
-      // pairs clear token-Jaccard 0.5 on this corpus; 25 clear the
-      // shingle form). Docs that similar flip few signature bits, so
-      // the 16-bit-band pigeonhole keeps them in the candidate set —
-      // the oracle makes that recall a standing driver-visible gate.
-      // 8 bands of 8 bits: pigeonhole guarantees any pair at hamming
-      // <= 7 shares a clean band — covers the corpus's near-dups
-      // (probed max hamming 6); the 4x16 default band-missed two
+      // simhash bands (8 x 8 bits) generate candidates, hamming <= 8
+      // gates them, and the emitted verdict is exact word-3-shingle
+      // Jaccard >= 0.5. The hash family is md5-derived (md5Hash64) so
+      // the ORACLE REPLAYS THE WHOLE OPERATOR — signature bit-sums,
+      // band keys, hamming, verify — rather than enumerating the exact
+      // Jaccard pair set and hoping simhash recall is total: it is NOT
+      // on short docs (measured at sf0.1: a 1-token edit on a 15-token
+      // doc flips 11/64 signature bits — over any banding pigeonhole
+      // AND over the hamming gate; that variance is simhash's nature,
+      // so the gate pins what the operator DOES, and the recall-vs-
+      // exact-truth trade stays a DedupSpec property). The q46/q55
+      // replay trick, widened to 64-bit token hashes.
       val cand = Dedup.simhashDupPairs(dd, "text", "doc_id", maxHamming = 8,
-        nBands = 8)
+        nBands = 8, tokenHash = Dedup.md5Hash64)
       val sh = dd.select(col("doc_id"),
           whitespaceTokens(col("text")).as("_tks"))
         .select(col("doc_id"),
@@ -193,6 +194,33 @@ object LlmOps {
           list_filter(string_split_regex(lower(text), '\s+'),
             t -> len(t) > 0) AS tk
         FROM documents),
+      th AS (
+        SELECT doc_id,
+          (CAST(concat('0x', substring(md5(t), 1, 8)) AS UBIGINT)
+             * 4294967296::UBIGINT) |
+            CAST(concat('0x', substring(md5(t), 9, 8)) AS UBIGINT) AS h
+        FROM (SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) >= 1)),
+      bits0 AS (
+        SELECT doc_id, h, unnest(generate_series(0, 63)) AS k FROM th),
+      bits AS (
+        SELECT doc_id, k,
+          sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits0 GROUP BY doc_id, k),
+      bandbits AS (
+        SELECT doc_id, k // 8 AS band,
+          CAST(sum(CASE WHEN s >= 0 THEN 1 << (k % 8) ELSE 0 END)
+            AS BIGINT) AS bkey
+        FROM bits GROUP BY doc_id, k // 8),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        FROM bandbits a JOIN bandbits b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.idA, c.idB
+        FROM cand c JOIN bandbits a ON a.doc_id = c.idA
+          JOIN bandbits b ON b.doc_id = c.idB AND b.band = a.band
+        GROUP BY c.idA, c.idB
+        HAVING sum(bit_count(xor(a.bkey, b.bkey))) <= 8),
       sh AS (
         SELECT doc_id,
           CASE WHEN len(tk) >= 3
@@ -201,15 +229,16 @@ object LlmOps {
               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
             ELSE [] END AS sh
         FROM toks),
-      pairs AS (
-        SELECT a.doc_id AS idA, b.doc_id AS idB
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ver AS (
+        SELECT h.idA, h.idB
+        FROM ham h JOIN sh a ON a.doc_id = h.idA
+          JOIN sh b ON b.doc_id = h.idB
         WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
       norm AS (
-        SELECT idA AS doc_id FROM pairs
-        UNION ALL SELECT idB FROM pairs),
+        SELECT idA AS doc_id FROM ver
+        UNION ALL SELECT idB FROM ver),
       stats AS (SELECT doc_id, count(*) AS n_near FROM norm GROUP BY doc_id)
       SELECT d.doc_id, coalesce(s.n_near, 0) AS n_near
       FROM documents d LEFT JOIN stats s USING (doc_id)
