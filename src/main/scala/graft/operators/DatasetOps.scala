@@ -432,4 +432,130 @@ object DatasetOps {
         (col("n_tokens") - size(col("_kept"))).cast(LongType).as("n_masked"),
         array_join(col("_kept"), " ").as("cleaned"))
   }
+
+  /** DSIR-shaped importance scoring — data SELECTION, the step after
+    * cleaning: rank every corpus document by how much its hashed
+    * word-`k`-gram profile looks like a target-domain sample relative
+    * to the corpus's own background distribution (Data Selection via
+    * Importance Resampling; the published recipe scores docs by
+    * Σ log p_target(g)/p_source(g) over hashed n-gram features). The
+    * score here is the integer-deterministic sibling the rest of this
+    * repo's oracles use (q101's tf·10⁶ DIV df convention): each gram
+    * OCCURRENCE contributes `(10⁶·(target_count+1)) DIV
+    * (source_count+1)` — add-one smoothed, rank-preserving for the
+    * selection policies that consume it (keep top X%, threshold), and
+    * replayable bit-for-bit by any engine with integer division,
+    * which float log-ratios are not.
+    *
+    * Scale shape: gram hashes (8 bytes) shuffle, bodies never. The
+    * corpus gram frame is exchanged once on the hash and consumed
+    * twice off that exchange (background counts, score probe); the
+    * per-doc fold shuffles fixed-width (id, ratio) tuples. The
+    * target-sample counts join on the same 8-byte key — never
+    * collected, so a wide target vocabulary is fine.
+    *
+    * @return one row per corpus id: `n_grams` (occurrences), `score`
+    *         (Σ ratio), `avg_ratio` (score DIV n_grams — the
+    *         length-normalized form a threshold policy consumes; 0
+    *         for docs with fewer than `k` tokens). */
+  def importanceScores(corpus: DataFrame, target: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // occurrences, not distinct grams: DSIR weights repeated features
+    def gramOcc(df: DataFrame): DataFrame =
+      df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+        .select(col(idCol), explode(wordShingles(col("_tks"), k)).as("_g"))
+        .select(col(idCol), xxhash64(col("_g")).as("_gh"))
+    val targetCounts = gramOcc(target)
+      .groupBy(col("_gh")).agg(count(lit(1)).as("_ct"))
+    val corpusGrams = gramOcc(corpus)
+    val sourceCounts = corpusGrams
+      .groupBy(col("_gh")).agg(count(lit(1)).as("_cs"))
+    val ratios = sourceCounts.join(targetCounts, Seq("_gh"), "left")
+      .select(col("_gh"),
+        expr("(1000000L * (coalesce(_ct, 0L) + 1L)) div (_cs + 1L)").as("_r"))
+    val scored = corpusGrams.join(ratios, Seq("_gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_sc"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_grams"),
+        coalesce(col("_sc"), lit(0L)).as("score"))
+      .withColumn("avg_ratio",
+        when(col("n_grams") > 0, expr("score div n_grams"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Length-bucketed batch assembly — padding-efficient batching for
+    * variable-length fine-tuning data (the counterpart of
+    * [[packSequences]] when documents must NOT be concatenated, e.g.
+    * instruction pairs): each doc lands in the smallest power-of-two
+    * bucket ≥ its token count (floored at `minBucket`, capped at
+    * `maxBucket` — longer docs are assumed chunked upstream and
+    * batch as `maxBucket`), docs inside a bucket are ordered by their
+    * md5 draw, and consecutive runs of `batchSize` become batches.
+    * Every batch pads only to its own bucket width, membership and
+    * order are pure functions of the corpus content (reshuffle/
+    * retry-stable, crawl-order-free), and all arithmetic is integer —
+    * the q117 oracle replays bucket, rank, batch and position
+    * bit-for-bit.
+    *
+    * The in-bucket order needs a per-bucket ORDERED rank; a handful
+    * of buckets would make that a handful of giant sorts, so (the
+    * [[packSequences]] trick) each bucket is dealt into `nShards`
+    * md5-shards whose window sorts stay executor-resident, and shard
+    * ranks are stitched into a bucket-global rank with a
+    * (buckets × shards)-row count table — broadcast, never a wide
+    * shuffle. Batches are numbered per bucket; a batch can span
+    * shards but never buckets.
+    *
+    * @return input rows plus (n_tokens, bucket, batch_idx, pos) —
+    *         `pos` is the doc's slot within its batch; only each
+    *         bucket's last batch may be short. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, nTokens: Column,
+                          batchSize: Int, minBucket: Int = 16,
+                          maxBucket: Int = 2048, nShards: Int = 8,
+                          salt: String = "batch"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(minBucket > 0 && (minBucket & (minBucket - 1)) == 0,
+      s"minBucket must be a positive power of two, got $minBucket")
+    require(maxBucket >= minBucket && (maxBucket & (maxBucket - 1)) == 0,
+      s"maxBucket must be a power of two >= minBucket, got $maxBucket")
+    // power-of-two ceiling as a CASE ladder (log2(max/min)+1 arms):
+    // integer-exact by construction, unlike a float log2 at the
+    // boundaries, and each oracle writes the same ladder literally
+    val widths = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val n = coalesce(nTokens.cast(LongType), lit(0L))
+    val bucket = widths.init.foldRight(lit(widths.last.toLong)) {
+      (wd, rest) => when(n <= wd, lit(wd.toLong)).otherwise(rest)
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("_shard"))
+      .orderBy(col("_u"), col(idCol))
+    val dealt = df
+      .withColumn("_u", conv(substring(md5(concat(lit(salt + ":"),
+        col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType))
+      .withColumn("n_tokens", n)
+      .withColumn("bucket", bucket)
+      .withColumn("_shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("_rn", row_number().over(wRank).cast(LongType))
+    // bucket-global rank = shard-local rank + count of earlier shards
+    val wBase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val bases = dealt.groupBy(col("bucket"), col("_shard"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_base", coalesce(sum(col("_cnt")).over(wBase), lit(0L)))
+      .select(col("bucket"), col("_shard"), col("_base"))
+    dealt.join(broadcast(bases), Seq("bucket", "_shard"))
+      .withColumn("_rank", col("_base") + col("_rn") - 1)
+      .withColumn("batch_idx", expr(s"_rank div ${batchSize}L"))
+      .withColumn("pos", pmod(col("_rank"), lit(batchSize.toLong)))
+      .drop("_u", "_shard", "_rn", "_base", "_rank")
+  }
 }

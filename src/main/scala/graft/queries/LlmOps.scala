@@ -2141,12 +2141,111 @@ object LlmOps {
         FROM t)
       SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id"""))
 
+  // ---- q116: DSIR-shaped importance scoring ----------------------------
+  // Data SELECTION after cleaning: every corpus doc scored by how much
+  // its bigram profile resembles the src1 target sample relative to
+  // the corpus's own background distribution. Integer-deterministic
+  // ratio sums (the q101 10⁶-DIV convention) instead of float
+  // log-ratios, so the oracle replays gram counts, smoothing, ratios
+  // and the per-doc fold exactly; Spark counts 8-byte gram hashes,
+  // the oracle raw gram strings — identical by xxhash64
+  // collision-freeness at corpus scale (same contract as q113).
+
+  private val q116 = GraftQuery(
+    "q116_importance_score",
+    (s, d) => {
+      val dd = docs(s, d)
+      DatasetOps.importanceScores(
+          dd.filter(col("source") =!= "src1"),
+          dd.filter(col("source") === "src1"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+          unnest(list_transform(generate_series(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i + 1])) AS gram
+        FROM toks),
+      tgt AS (
+        SELECT gram, count(*) AS ct FROM g WHERE source = 'src1'
+        GROUP BY gram),
+      srcc AS (
+        SELECT gram, count(*) AS cs FROM g WHERE source <> 'src1'
+        GROUP BY gram),
+      r AS (
+        SELECT s.gram,
+          (1000000 * (coalesce(t.ct, 0) + 1)) // (s.cs + 1) AS ratio
+        FROM srcc s LEFT JOIN tgt t USING (gram)),
+      sc AS (
+        SELECT g.doc_id, count(*) AS n_grams, sum(r.ratio) AS score
+        FROM g JOIN r ON g.gram = r.gram WHERE g.source <> 'src1'
+        GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        coalesce(s.n_grams, 0) AS n_grams,
+        CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+        CASE WHEN coalesce(s.n_grams, 0) > 0
+          THEN CAST(s.score // s.n_grams AS BIGINT) ELSE 0 END AS avg_ratio
+      FROM documents d LEFT JOIN sc s USING (doc_id)
+      WHERE d.source <> 'src1'
+      ORDER BY d.doc_id"""))
+
+  // ---- q117: length-bucketed batch assembly ----------------------------
+  // Padding-efficient batching for docs that must not be concatenated:
+  // power-of-two bucket (16..128), md5 in-bucket order, runs of 8
+  // become batches. Bucket, shard deal, rank stitch, batch and
+  // position are all integer arithmetic — replayed bit-for-bit.
+
+  private val q117 = GraftQuery(
+    "q117_length_batches",
+    (s, d) =>
+      DatasetOps.lengthBucketBatches(docs(s, d), "doc_id",
+          tokenCount(col("text")), batchSize = 8,
+          minBucket = 16, maxBucket = 128, nShards = 4)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          col("batch_idx"), col("pos"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS n_tok,
+          CAST(concat('0x', substring(md5('batch:'||doc_id), 1, 8)) AS BIGINT) AS u
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tok, u,
+          CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+               WHEN n_tok <= 64 THEN 64 ELSE 128 END AS bucket,
+          u % 4 AS shard
+        FROM t),
+      r AS (
+        SELECT doc_id, n_tok, bucket, shard, u,
+          row_number() OVER (PARTITION BY bucket, shard ORDER BY u, doc_id)
+            AS rn
+        FROM b),
+      c AS (SELECT bucket, shard, count(*) AS cnt FROM b
+            GROUP BY bucket, shard),
+      base AS (
+        SELECT bucket, shard,
+          coalesce(sum(cnt) OVER (PARTITION BY bucket ORDER BY shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
+        FROM c)
+      SELECT r.doc_id, CAST(r.n_tok AS BIGINT) AS n_tokens,
+        CAST(r.bucket AS BIGINT) AS bucket,
+        CAST((base.bs + r.rn - 1) // 8 AS BIGINT) AS batch_idx,
+        CAST((base.bs + r.rn - 1) % 8 AS BIGINT) AS pos
+      FROM r JOIN base USING (bucket, shard)
+      ORDER BY r.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115)
+      q115, q116, q117)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -421,4 +421,76 @@ class DatasetOpsSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial (k=$k) diverged from brute force")
     }
   }
+
+  test("importanceScores: target-like docs outscore disjoint ones, short docs score 0") {
+    val target = Seq(
+      (100L, "quantum physics explains entangled states"),
+      (101L, "quantum physics predicts entangled states decay"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quantum physics explains entangled states clearly"), // target-like
+      (2L, "football season starts with a derby win"),           // disjoint
+      (3L, "quantum physics again quantum physics again"),       // repeated hit
+      (4L, "tiny"))                                              // < k tokens
+      .toDF("doc_id", "text")
+    val rows = DatasetOps.importanceScores(corpus, target, "doc_id", "text")
+      .select($"doc_id", $"n_grams", $"score", $"avg_ratio")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), "every corpus id must appear")
+    // doc 4 has one token → zero bigrams → all-zero row
+    assert(rows(4L) == ((4L, 0L, 0L, 0L)))
+    // a shared-bigram doc must outscore a disjoint one, per-gram
+    assert(rows(1L)._4 > rows(2L)._4,
+      s"target-like ${rows(1L)} must outscore disjoint ${rows(2L)}")
+    // every disjoint gram contributes the smoothed floor 10⁶·1/(cs+1)
+    assert(rows(2L)._4 === 500000L,
+      s"disjoint doc's ratios must all be the +1-smoothing floor: ${rows(2L)}")
+    // occurrences, not distinct grams: doc 3's repeats each count
+    assert(rows(3L)._2 === 5L, s"bigram occurrences must count: ${rows(3L)}")
+    // membership is a pure function of the content — layout-invariant
+    val reparted = DatasetOps.importanceScores(
+        corpus.repartition(7), target.repartition(3), "doc_id", "text")
+      .select($"doc_id", $"n_grams", $"score", $"avg_ratio")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(reparted == rows)
+  }
+
+  test("lengthBucketBatches: bucket homogeneity, full batches, layout invariance") {
+    val rnd = new scala.util.Random(117)
+    val docs = (0L until 400L).map { id =>
+      (id, (0 until (1 + rnd.nextInt(200))).map(i => s"w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = DatasetOps.lengthBucketBatches(docs, "doc_id",
+        graft.functions.TextFunctions.tokenCount($"text"),
+        batchSize = 8, minBucket = 16, maxBucket = 128, nShards = 4)
+      .select($"doc_id", $"n_tokens", $"bucket", $"batch_idx", $"pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 400, "every doc must be batched")
+    // bucket is the power-of-two ceiling, floored/capped
+    for ((_, n, b, _, _) <- out) {
+      assert(Set(16L, 32L, 64L, 128L)(b), s"bucket $b")
+      assert(n <= b || b == 128L, s"doc of $n tokens in bucket $b")
+      assert(b == 16L || b == 128L || n > b / 2,
+        s"doc of $n tokens belongs in bucket ${b / 2}, not $b")
+    }
+    // batches are bucket-homogeneous by construction (batch_idx is per
+    // bucket); positions within a batch are a dense 0..size-1 run and
+    // only each bucket's LAST batch may be short
+    val byBatch = out.groupBy(r => (r._3, r._4))
+    val maxBatch = out.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
+    for (((bucket, bi), rows) <- byBatch) {
+      assert(rows.map(_._5).sorted.toSeq == (0L until rows.length.toLong),
+        s"batch ($bucket, $bi) positions not dense")
+      if (bi < maxBatch(bucket))
+        assert(rows.length == 8, s"non-final batch ($bucket, $bi) short")
+      else assert(rows.length <= 8, s"batch ($bucket, $bi) overfull")
+    }
+    // deterministic in content: physical layout changes nothing
+    val reparted = DatasetOps.lengthBucketBatches(docs.repartition(11),
+        "doc_id", graft.functions.TextFunctions.tokenCount($"text"),
+        batchSize = 8, minBucket = 16, maxBucket = 128, nShards = 4)
+      .select($"doc_id", $"n_tokens", $"bucket", $"batch_idx", $"pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(reparted.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }
