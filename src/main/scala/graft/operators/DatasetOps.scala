@@ -469,13 +469,21 @@ object DatasetOps {
         .select(col(idCol), xxhash64(col("_g")).as("_gh"))
     val targetCounts = gramOcc(target)
       .groupBy(col("_gh")).agg(count(lit(1)).as("_ct"))
-    val corpusGrams = gramOcc(corpus)
-    val sourceCounts = corpusGrams
-      .groupBy(col("_gh")).agg(count(lit(1)).as("_cs"))
-    val ratios = sourceCounts.join(targetCounts, Seq("_gh"), "left")
-      .select(col("_gh"),
+    // the background count rides a WINDOW over the gram partition, not
+    // a groupBy joined back: the tokenize→shingle→hash explosion is
+    // computed once off ONE exchange on the hash BY CONSTRUCTION — the
+    // aggregate-and-rejoin shape scans and re-derives the grams twice
+    // (ReusedExchange does not survive AQE converting one consumer to
+    // a broadcast) — and the target probe join is co-partitioned on
+    // that same exchange
+    val parts =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("_gh"))
+    val scored = gramOcc(corpus).repartition(parts, col("_gh"))
+      .withColumn("_cs", count(lit(1)).over(wG))
+      .join(targetCounts, Seq("_gh"), "left")
+      .select(col(idCol),
         expr("(1000000L * (coalesce(_ct, 0L) + 1L)) div (_cs + 1L)").as("_r"))
-    val scored = corpusGrams.join(ratios, Seq("_gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_sc"))
     corpus.select(col(idCol))
