@@ -510,18 +510,22 @@ object DatasetOps {
     * the q117 oracle replays bucket, rank, batch and position
     * bit-for-bit.
     *
-    * The in-bucket order needs a per-bucket ORDERED rank; a handful
-    * of buckets would make that a handful of giant sorts, so (the
+    * The in-bucket order needs an ORDERED rank; a handful of buckets
+    * would make that a handful of giant sorts, so (the
     * [[packSequences]] trick) each bucket is dealt into `nShards`
-    * md5-shards whose window sorts stay executor-resident, and shard
-    * ranks are stitched into a bucket-global rank with a
-    * (buckets × shards)-row count table — broadcast, never a wide
-    * shuffle. Batches are numbered per bucket; a batch can span
-    * shards but never buckets.
+    * md5-shards and batches are numbered per (bucket, shard) — the
+    * window sorts stay executor-resident and the whole operator is
+    * one exchange + one window over it. Stitching shard ranks into a
+    * bucket-global numbering was measured to cost a second full scan
+    * (the count table's pruned lineage defeats exchange reuse, so the
+    * corpus is re-tokenized) to save at most `nShards - 1` short
+    * batches per bucket — padding noise at corpus scale, so the batch
+    * key is (bucket, shard, batch_idx) and only each shard's last
+    * batch may be short, exactly [[packSequences]]' per-shard-bin
+    * contract.
     *
-    * @return input rows plus (n_tokens, bucket, batch_idx, pos) —
-    *         `pos` is the doc's slot within its batch; only each
-    *         bucket's last batch may be short. */
+    * @return input rows plus (n_tokens, bucket, shard, batch_idx,
+    *         pos) — `pos` is the doc's slot within its batch. */
   def lengthBucketBatches(df: DataFrame, idCol: String, nTokens: Column,
                           batchSize: Int, minBucket: Int = 16,
                           maxBucket: Int = 2048, nShards: Int = 8,
@@ -542,28 +546,16 @@ object DatasetOps {
       (wd, rest) => when(n <= wd, lit(wd.toLong)).otherwise(rest)
     }
     val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"), col("_shard"))
+      .partitionBy(col("bucket"), col("shard"))
       .orderBy(col("_u"), col(idCol))
-    val dealt = df
-      .withColumn("_u", conv(substring(md5(concat(lit(salt + ":"),
+    df.withColumn("_u", conv(substring(md5(concat(lit(salt + ":"),
         col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType))
       .withColumn("n_tokens", n)
       .withColumn("bucket", bucket)
-      .withColumn("_shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("shard", pmod(col("_u"), lit(nShards)).cast(LongType))
       .withColumn("_rn", row_number().over(wRank).cast(LongType))
-    // bucket-global rank = shard-local rank + count of earlier shards
-    val wBase = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("_shard"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val bases = dealt.groupBy(col("bucket"), col("_shard"))
-      .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_base", coalesce(sum(col("_cnt")).over(wBase), lit(0L)))
-      .select(col("bucket"), col("_shard"), col("_base"))
-    dealt.join(broadcast(bases), Seq("bucket", "_shard"))
-      .withColumn("_rank", col("_base") + col("_rn") - 1)
-      .withColumn("batch_idx", expr(s"_rank div ${batchSize}L"))
-      .withColumn("pos", pmod(col("_rank"), lit(batchSize.toLong)))
-      .drop("_u", "_shard", "_rn", "_base", "_rank")
+      .withColumn("batch_idx", expr(s"(_rn - 1L) div ${batchSize}L"))
+      .withColumn("pos", pmod(col("_rn") - 1, lit(batchSize.toLong)))
+      .drop("_u", "_rn")
   }
 }

@@ -2196,9 +2196,10 @@ object LlmOps {
 
   // ---- q117: length-bucketed batch assembly ----------------------------
   // Padding-efficient batching for docs that must not be concatenated:
-  // power-of-two bucket (16..128), md5 in-bucket order, runs of 8
-  // become batches. Bucket, shard deal, rank stitch, batch and
-  // position are all integer arithmetic — replayed bit-for-bit.
+  // power-of-two bucket (16..128), md5 in-bucket order, runs of 8 per
+  // (bucket, shard) become batches. Bucket ladder, shard deal, rank,
+  // batch and position are all integer arithmetic — replayed
+  // bit-for-bit.
 
   private val q117 = GraftQuery(
     "q117_length_batches",
@@ -2207,7 +2208,7 @@ object LlmOps {
           tokenCount(col("text")), batchSize = 8,
           minBucket = 16, maxBucket = 128, nShards = 4)
         .select(col("doc_id"), col("n_tokens"), col("bucket"),
-          col("batch_idx"), col("pos"))
+          col("shard"), col("batch_idx"), col("pos"))
         .orderBy(col("doc_id")),
     Some("""WITH t AS (
         SELECT doc_id,
@@ -2222,23 +2223,16 @@ object LlmOps {
           u % 4 AS shard
         FROM t),
       r AS (
-        SELECT doc_id, n_tok, bucket, shard, u,
+        SELECT doc_id, n_tok, bucket, shard,
           row_number() OVER (PARTITION BY bucket, shard ORDER BY u, doc_id)
             AS rn
-        FROM b),
-      c AS (SELECT bucket, shard, count(*) AS cnt FROM b
-            GROUP BY bucket, shard),
-      base AS (
-        SELECT bucket, shard,
-          coalesce(sum(cnt) OVER (PARTITION BY bucket ORDER BY shard
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
-        FROM c)
-      SELECT r.doc_id, CAST(r.n_tok AS BIGINT) AS n_tokens,
-        CAST(r.bucket AS BIGINT) AS bucket,
-        CAST((base.bs + r.rn - 1) // 8 AS BIGINT) AS batch_idx,
-        CAST((base.bs + r.rn - 1) % 8 AS BIGINT) AS pos
-      FROM r JOIN base USING (bucket, shard)
-      ORDER BY r.doc_id"""))
+        FROM b)
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        CAST(bucket AS BIGINT) AS bucket,
+        CAST(shard AS BIGINT) AS shard,
+        CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+        CAST((rn - 1) % 8 AS BIGINT) AS pos
+      FROM r ORDER BY doc_id"""))
 
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,

@@ -463,34 +463,38 @@ class DatasetOpsSpec extends AnyFunSuite {
     val out = DatasetOps.lengthBucketBatches(docs, "doc_id",
         graft.functions.TextFunctions.tokenCount($"text"),
         batchSize = 8, minBucket = 16, maxBucket = 128, nShards = 4)
-      .select($"doc_id", $"n_tokens", $"bucket", $"batch_idx", $"pos")
-      .as[(Long, Long, Long, Long, Long)].collect()
+      .select($"doc_id", $"n_tokens", $"bucket", $"shard", $"batch_idx",
+        $"pos")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(out.length == 400, "every doc must be batched")
     // bucket is the power-of-two ceiling, floored/capped
-    for ((_, n, b, _, _) <- out) {
+    for ((_, n, b, _, _, _) <- out) {
       assert(Set(16L, 32L, 64L, 128L)(b), s"bucket $b")
       assert(n <= b || b == 128L, s"doc of $n tokens in bucket $b")
       assert(b == 16L || b == 128L || n > b / 2,
         s"doc of $n tokens belongs in bucket ${b / 2}, not $b")
     }
-    // batches are bucket-homogeneous by construction (batch_idx is per
-    // bucket); positions within a batch are a dense 0..size-1 run and
-    // only each bucket's LAST batch may be short
-    val byBatch = out.groupBy(r => (r._3, r._4))
-    val maxBatch = out.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
-    for (((bucket, bi), rows) <- byBatch) {
-      assert(rows.map(_._5).sorted.toSeq == (0L until rows.length.toLong),
-        s"batch ($bucket, $bi) positions not dense")
-      if (bi < maxBatch(bucket))
-        assert(rows.length == 8, s"non-final batch ($bucket, $bi) short")
-      else assert(rows.length <= 8, s"batch ($bucket, $bi) overfull")
+    // batches are bucket-homogeneous by construction (the batch key is
+    // (bucket, shard, batch_idx)); positions within a batch are a
+    // dense 0..size-1 run and only each shard's LAST batch may be
+    // short
+    val byBatch = out.groupBy(r => (r._3, r._4, r._5))
+    val maxBatch =
+      out.groupBy(r => (r._3, r._4)).view.mapValues(_.map(_._5).max).toMap
+    for (((bucket, shard, bi), rows) <- byBatch) {
+      assert(rows.map(_._6).sorted.toSeq == (0L until rows.length.toLong),
+        s"batch ($bucket, $shard, $bi) positions not dense")
+      if (bi < maxBatch((bucket, shard)))
+        assert(rows.length == 8, s"non-final batch ($bucket, $shard, $bi) short")
+      else assert(rows.length <= 8, s"batch ($bucket, $shard, $bi) overfull")
     }
     // deterministic in content: physical layout changes nothing
     val reparted = DatasetOps.lengthBucketBatches(docs.repartition(11),
         "doc_id", graft.functions.TextFunctions.tokenCount($"text"),
         batchSize = 8, minBucket = 16, maxBucket = 128, nShards = 4)
-      .select($"doc_id", $"n_tokens", $"bucket", $"batch_idx", $"pos")
-      .as[(Long, Long, Long, Long, Long)].collect()
+      .select($"doc_id", $"n_tokens", $"bucket", $"shard", $"batch_idx",
+        $"pos")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(reparted.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 }
