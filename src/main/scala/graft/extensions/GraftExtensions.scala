@@ -308,6 +308,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             keepFrac = frac)
           .queryExecution.analyzed
       }))
+    // DSIR-shaped importance scoring from SQL (q116's operator):
+    //   importance_score(corpus_table, target_table, id_col, text_col[, k])
+    // Emits (id, n_grams, score, avg_ratio).
+    ext.injectTableFunction((
+      new FunctionIdentifier("importance_score"),
+      new ExpressionInfo("graft.operators.DatasetOps", "importance_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 5,
+          "usage: importance_score(corpus_table, target_table, id_col, text_col[, k])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val k = children.drop(4).headOption.map(intLit(_, "k")).getOrElse(2)
+        require(k >= 1, s"importance_score: k must be >= 1, got $k")
+        graft.operators.DatasetOps.importanceScores(
+            spark.table(strLit(children(0), "corpus_table")),
+            spark.table(strLit(children(1), "target_table")),
+            strLit(children(2), "id_col"),
+            strLit(children(3), "text_col"), k = k)
+          .queryExecution.analyzed
+      }))
+    // Length-bucketed batch assembly from SQL (q117's operator):
+    //   length_batches(table, id_col, text_col, batch_size
+    //                  [, min_bucket, max_bucket, n_shards])
+    // Emits the input rows plus (n_tokens, bucket, shard, batch_idx,
+    // pos); the power-of-two/ordering requires surface as analysis
+    // errors rather than mid-job failures.
+    ext.injectTableFunction((
+      new FunctionIdentifier("length_batches"),
+      new ExpressionInfo("graft.operators.DatasetOps", "length_batches"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 7,
+          "usage: length_batches(table, id_col, text_col, batch_size" +
+            "[, min_bucket, max_bucket, n_shards])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.operators.DatasetOps.lengthBucketBatches(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"),
+            graft.functions.TextFunctions.tokenCount(
+              col(strLit(children(2), "text_col"))),
+            batchSize = intLit(children(3), "batch_size"),
+            minBucket = children.drop(4).headOption
+              .map(intLit(_, "min_bucket")).getOrElse(16),
+            maxBucket = children.drop(5).headOption
+              .map(intLit(_, "max_bucket")).getOrElse(2048),
+            nShards = children.drop(6).headOption
+              .map(intLit(_, "n_shards")).getOrElse(8))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

@@ -2234,12 +2234,40 @@ object LlmOps {
         CAST((rn - 1) % 8 AS BIGINT) AS pos
       FROM r ORDER BY doc_id"""))
 
+  // q118/q119: q116's and q117's operators reached from pure SQL text
+  // via the injected TVFs — same DuckDB oracles, so the parser path
+  // adds no semantics (the q104/q105/q114 convention). The corpus/
+  // target split rides temp views, the shape a SQL user would write.
+  private val q118 = GraftQuery(
+    "q118_sql_importance",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW imp_corpus AS
+        SELECT * FROM documents WHERE source <> 'src1'""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW imp_target AS
+        SELECT * FROM documents WHERE source = 'src1'""")
+      s.sql("""SELECT doc_id, n_grams, score, avg_ratio
+        FROM importance_score('imp_corpus', 'imp_target', 'doc_id', 'text')
+        ORDER BY doc_id""")
+    },
+    q116.oracle)
+
+  private val q119 = GraftQuery(
+    "q119_sql_length_batches",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT doc_id, n_tokens, bucket, shard, batch_idx, pos
+        FROM length_batches('documents', 'doc_id', 'text', 8, 16, 128, 4)
+        ORDER BY doc_id""")
+    },
+    q117.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117)
+      q115, q116, q117, q118, q119)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -497,4 +497,56 @@ class DatasetOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(reparted.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("importance_score and length_batches TVFs match Scala and validate arguments") {
+    Seq((1L, "quantum physics explains entangled states"),
+      (2L, "football season starts with a derby win"),
+      (3L, "quantum physics predicts decay"))
+      .toDF("doc_id", "text").createOrReplaceTempView("graft_imp_corpus")
+    Seq((100L, "quantum physics explains states"))
+      .toDF("doc_id", "text").createOrReplaceTempView("graft_imp_target")
+    try {
+      val viaSql = spark.sql(
+        """SELECT doc_id, n_grams, score, avg_ratio
+          FROM importance_score('graft_imp_corpus', 'graft_imp_target',
+            'doc_id', 'text')
+          ORDER BY doc_id""")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val viaScala = DatasetOps.importanceScores(
+          spark.table("graft_imp_corpus"), spark.table("graft_imp_target"),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaSql == viaScala)
+      val errK = intercept[Exception] {
+        spark.sql("""SELECT * FROM importance_score('graft_imp_corpus',
+          'graft_imp_target', 'doc_id', 'text', 0)""")
+      }
+      assert(errK.getMessage.contains("k must be >= 1"), errK.getMessage)
+
+      val viaSqlB = spark.sql(
+        """SELECT doc_id, n_tokens, bucket, shard, batch_idx, pos
+          FROM length_batches('graft_imp_corpus', 'doc_id', 'text', 2, 4, 16, 2)
+          ORDER BY doc_id""")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val viaScalaB = DatasetOps.lengthBucketBatches(
+          spark.table("graft_imp_corpus"), "doc_id",
+          graft.functions.TextFunctions.tokenCount($"text"),
+          batchSize = 2, minBucket = 4, maxBucket = 16, nShards = 2)
+        .select($"doc_id", $"n_tokens", $"bucket", $"shard", $"batch_idx",
+          $"pos")
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(viaSqlB == viaScalaB)
+      // the power-of-two require surfaces as an analysis-time error
+      val errB = intercept[Exception] {
+        spark.sql("""SELECT * FROM length_batches('graft_imp_corpus',
+          'doc_id', 'text', 2, 3, 16, 2)""")
+      }
+      assert(errB.getMessage.contains("power of two"), errB.getMessage)
+    } finally {
+      spark.catalog.dropTempView("graft_imp_corpus")
+      spark.catalog.dropTempView("graft_imp_target")
+    }
+  }
 }
