@@ -309,6 +309,39 @@ object Similarity {
         col("cell"))
   }
 
+  /** Mean-pooled group embedding — the chunk→document (or document→
+    * class-centroid) aggregation of an embedding pipeline: each
+    * group's vectors average element-wise into one vector. Per-
+    * component summation is DECIMAL(30,12) — exact and ORDER-
+    * INDEPENDENT, so the result is stable under any partitioning or
+    * partial-aggregate merge order (a double fold is not: it depends
+    * on reduction order, which AQE and speculative retries both
+    * change) and any engine replays it; the mean is then ONE double
+    * division of the decimal sum by the count, rounded to 6dp.
+    *
+    * Scale shape: a narrow posexplode to (group, idx, component)
+    * tuples, one partial-aggregated shuffle on (group, idx), then a
+    * groups×dim-row reassembly — whole vectors never shuffle. Null
+    * vectors contribute nothing (explode elides them); ragged vectors
+    * average over the components present at each index.
+    *
+    * @return (group, n_vecs, centroid) — `n_vecs` the pooled vector
+    *         count, `centroid` the element-wise mean as
+    *         array<double>. */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String,
+                         vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(toDoubleVec(col(vecCol))).as(Seq("_i", "_x")))
+      .groupBy(col(groupCol), col("_i"))
+      .agg(sum(col("_x").cast(DecimalType(30, 12))).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col(groupCol), col("_i"), col("_n"),
+        round(col("_s").cast(DoubleType) / col("_n"), 6).as("_m"))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("_i"), col("_m")))),
+          s => s.getField("_m")).as("centroid"))
+
   /** EXACT embedding near-duplicate pairs — the all-pairs oracle tier
     * (q53's operator, also the ground truth every LSH tier is
     * spec-measured against). Deliberately quadratic: at thresholds

@@ -2262,12 +2262,44 @@ object LlmOps {
     },
     q117.oracle)
 
+  // ---- q120: mean-pooled group embeddings ------------------------------
+  // The chunk→doc (here label→class-centroid) embedding aggregation:
+  // element-wise means with DECIMAL per-component sums — exact and
+  // order-independent, so partitioning, AQE merge order and retries
+  // cannot move a ulp, and the oracle replays the identical decimal
+  // fold. The query explodes the centroid so the gate hash-matches
+  // every component, not an array blob.
+
+  private val q120 = GraftQuery(
+    "q120_mean_pool",
+    (s, d) =>
+      Similarity.meanPoolEmbeddings(emb(s, d), "label", "embedding")
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("idx", "component")))
+        .select(col("label"), col("n_vecs"),
+          col("idx").cast(LongType).as("idx"), col("component"))
+        .orderBy(col("label"), col("idx")),
+    Some("""WITH c AS (
+        SELECT label,
+          unnest(list_transform(generate_series(1, len(embedding)),
+            i -> struct_pack(idx := i - 1,
+              x := CAST(embedding[i] AS DOUBLE)))) AS u
+        FROM embeddings),
+      s AS (
+        SELECT label, u.idx AS idx,
+          sum(CAST(u.x AS DECIMAL(30, 12))) AS sm,
+          count(*) AS n
+        FROM c GROUP BY label, u.idx)
+      SELECT label, n AS n_vecs, CAST(idx AS BIGINT) AS idx,
+        round(CAST(sm AS DOUBLE) / n, 6) AS component
+      FROM s ORDER BY label, idx"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119)
+      q115, q116, q117, q118, q119, q120)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -491,4 +491,20 @@ class DedupSpec extends AnyFunSuite {
     val want1 = (0 until 40).filter(_ % 3 != 0).map(i => s"own1x$i").mkString("\n")
     assert(got(1L) == want1, "surviving lines must keep original order")
   }
+
+  test("md5Hash64 equals a JVM md5-prefix reference (the q43 oracle's hash family)") {
+    // the SQL-replayable 64-bit family: hi 8 hex chars << 32 | next 8
+    val inputs = Seq("", "a", "hello world", "Zürich", "0", "token-123")
+    val got = inputs.toDF("s")
+      .select($"s", Dedup.md5Hash64($"s").as("h"))
+      .as[(String, Long)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (s <- inputs) {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val want = (java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      assert(got(s) == want, s"md5Hash64('$s') = ${got(s)}, want $want")
+    }
+  }
 }

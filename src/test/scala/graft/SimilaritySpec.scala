@@ -199,6 +199,27 @@ class SimilaritySpec extends AnyFunSuite {
       cellOf(20L) == 0 && cellOf(21L) == 1, s"got $cellOf")
   }
 
+  test("meanPoolEmbeddings: exact means, order-independent, null/ragged tolerant") {
+    val df = Seq(
+      (0, Some(Seq(1.0, 2.0, 3.0))),
+      (0, Some(Seq(3.0, 4.0, 5.0))),
+      (1, Some(Seq(10.0, 20.0))),
+      (1, None), // null vector contributes nothing
+      (1, Some(Seq(30.0, 40.0, 50.0)))) // ragged: idx 2 averages alone
+      .toDF("g", "v")
+    val out = Similarity.meanPoolEmbeddings(df, "g", "v")
+      .select($"g", $"n_vecs", $"centroid")
+      .as[(Int, Long, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(0) == ((0, 2L, Seq(2.0, 3.0, 4.0))))
+    assert(out(1) == ((1, 2L, Seq(20.0, 30.0, 50.0))),
+      s"ragged group pooled wrong: ${out(1)}")
+    // decimal sums: any physical layout produces the identical result
+    val reparted = Similarity.meanPoolEmbeddings(df.repartition(7), "g", "v")
+      .select($"g", $"n_vecs", $"centroid")
+      .as[(Int, Long, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    assert(reparted == out)
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(dim)(rnd.nextGaussian())
