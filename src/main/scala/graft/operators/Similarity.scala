@@ -342,6 +342,73 @@ object Similarity {
         transform(sort_array(collect_list(struct(col("_i"), col("_m")))),
           s => s.getField("_m")).as("centroid"))
 
+  /** Contrastive triplet mining — embedding-model training prep: for
+    * every document with at least one near-duplicate, emit (anchor,
+    * positive, sim, negative) where the positive is the anchor's
+    * HARDEST (highest-cosine) near-dup and the negative is drawn
+    * deterministically from the corpus at large. `pairs` is a
+    * symmetric-free (idA < idB, sim) near-dup pair set — e.g. the
+    * exact tier's verdict table or the banded tier's output — so the
+    * expensive similarity pass is shared, not recomputed.
+    *
+    * The positive is ranked with the `row_number() = 1` idiom and
+    * planned by WindowTopKRewrite as the bounded heap — per-anchor
+    * state is ONE row regardless of how duplicate-dense the corpus
+    * is. The negative comes from an md5 RING: ids are ordered by
+    * their draw within `nShards` md5-shards and each anchor takes its
+    * ring successor (its second successor when the first is the
+    * positive) — deterministic in corpus content, uniform because the
+    * ring order is independent of content similarity, and never a
+    * global sort: successors and their wrap-around all come from ONE
+    * per-shard window pass (lead + first/nth_value), executor-
+    * resident, fixed-width tuples only. A negative is null only in
+    * the degenerate one-or-two-doc-shard cases — keep nShards well
+    * below the corpus size.
+    *
+    * @param pairs columns (idA, idB, sim) with idA < idB
+    * @param ids   one row per corpus id (the negative-draw universe)
+    */
+  def mineTriplets(pairs: DataFrame, ids: DataFrame, idCol: String,
+                   nShards: Int = 8, salt: String = "neg"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val sym = pairs.select(col("idA").as("anchor"), col("idB").as("cand"),
+        col("sim"))
+      .union(pairs.select(col("idB").as("anchor"), col("idA").as("cand"),
+        col("sim")))
+    val wPos = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("cand"))
+    val best = sym
+      .withColumn("_rn", row_number().over(wPos))
+      .filter(col("_rn") === 1)
+      .select(col("anchor"), col("cand").as("positive"), col("sim"))
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col("_rid").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val wRing = Window.partitionBy(col("_shard"))
+      .orderBy(col("_u"), col("_rid"))
+    val wShard = Window.partitionBy(col("_shard"))
+      .orderBy(col("_u"), col("_rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val succ = ids.select(col(idCol).as("_rid"))
+      .withColumn("_u", u)
+      .withColumn("_shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("_l1", lead(col("_rid"), 1).over(wRing))
+      .withColumn("_l2", lead(col("_rid"), 2).over(wRing))
+      .withColumn("_f1", first(col("_rid")).over(wShard))
+      .withColumn("_f2", nth_value(col("_rid"), 2).over(wShard))
+      .select(col("_rid").as("anchor"),
+        coalesce(col("_l1"), col("_f1")).as("_s1"),
+        when(col("_l1").isNull, col("_f2"))
+          .when(col("_l2").isNull, col("_f1"))
+          .otherwise(col("_l2")).as("_s2"))
+    best.join(succ, Seq("anchor"))
+      .select(col("anchor"), col("positive"), col("sim"),
+        when(col("_s1") === col("anchor"), lit(null))
+          .when(col("_s1") === col("positive"),
+            when(col("_s2") === col("anchor"), lit(null))
+              .otherwise(col("_s2")))
+          .otherwise(col("_s1")).as("negative"))
+  }
+
   /** EXACT embedding near-duplicate pairs — the all-pairs oracle tier
     * (q53's operator, also the ground truth every LSH tier is
     * spec-measured against). Deliberately quadratic: at thresholds

@@ -2294,12 +2294,69 @@ object LlmOps {
         round(CAST(sm AS DOUBLE) / n, 6) AS component
       FROM s ORDER BY label, idx"""))
 
+  // ---- q121: contrastive triplet mining --------------------------------
+  // Embedding-training prep: (anchor, hardest positive, ring negative)
+  // for every doc with a near-dup. The positive re-reads the q53/q63
+  // materialized pair verdicts (the similarity pass is shared, not
+  // recomputed) and ranks through the rewritten heap; the negative is
+  // the anchor's successor on a per-shard md5 ring — one window pass,
+  // wrap via first/nth_value, all replayed by the oracle.
+
+  private val q121 = GraftQuery(
+    "q121_triplets",
+    (s, d) =>
+      Similarity.mineTriplets(exactPairsMaterialized(s, d),
+          emb(s, d).select(col("vec_id")), "vec_id")
+        .orderBy(col("anchor")),
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      pf AS (SELECT * FROM p WHERE sim >= 0.4),
+      sym AS (
+        SELECT ia AS anchor, ib AS cand, sim FROM pf
+        UNION ALL SELECT ib, ia, sim FROM pf),
+      best AS (
+        SELECT anchor, cand AS positive, sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY anchor ORDER BY sim DESC, cand) AS rn
+          FROM sym) WHERE rn = 1),
+      ring AS (
+        SELECT vec_id AS rid,
+          CAST(concat('0x', substring(md5('neg:'||vec_id), 1, 8)) AS BIGINT)
+            AS u
+        FROM embeddings),
+      r2 AS (SELECT rid, u, u % 8 AS shard FROM ring),
+      s AS (
+        SELECT rid AS anchor,
+          coalesce(lead(rid, 1) OVER w, first_value(rid) OVER wf) AS s1,
+          CASE WHEN lead(rid, 1) OVER w IS NULL
+                 THEN nth_value(rid, 2) OVER wf
+               WHEN lead(rid, 2) OVER w IS NULL
+                 THEN first_value(rid) OVER wf
+               ELSE lead(rid, 2) OVER w END AS s2
+        FROM r2
+        WINDOW w AS (PARTITION BY shard ORDER BY u, rid),
+          wf AS (PARTITION BY shard ORDER BY u, rid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT b.anchor, b.positive, b.sim,
+        CASE WHEN s.s1 = b.anchor THEN NULL
+             WHEN s.s1 = b.positive THEN
+               CASE WHEN s.s2 = b.anchor THEN NULL ELSE s.s2 END
+             ELSE s.s1 END AS negative
+      FROM best b JOIN s ON s.anchor = b.anchor
+      ORDER BY b.anchor"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120)
+      q115, q116, q117, q118, q119, q120, q121)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -220,6 +220,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reparted == out)
   }
 
+  test("mineTriplets: hardest positive, ring negative never anchor/positive, JVM ring replay") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (5L, 6L, 0.7))
+      .toDF("idA", "idB", "sim")
+    val ids = (1L to 20L).toDF("vec_id")
+    val nShards = 2
+    val out = Similarity.mineTriplets(pairs, ids, "vec_id", nShards)
+      .select($"anchor", $"positive", $"sim", $"negative")
+      .as[(Long, Long, Double, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // every paired id anchors exactly once; positives are the hardest
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L))
+    assert(out(1L)._2 == 2L, s"anchor 1 hardest positive: ${out(1L)}")
+    assert(out(2L)._2 == 1L && out(3L)._2 == 1L)
+    assert(out(5L)._2 == 6L && out(6L)._2 == 5L)
+    // negative is present and never degenerate on a 10-per-shard ring
+    for ((a, (_, p, _, n)) <- out) {
+      assert(n.nonEmpty, s"anchor $a missing negative")
+      assert(n.get != a && n.get != p, s"degenerate negative for $a: $n")
+    }
+    // JVM replay of the md5 ring pins the successor choice exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = {
+      val hex = md.digest(s"neg:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ring = (1L to 20L).map(id => (id, draw(id)))
+      .groupBy { case (_, u) => u % nShards }
+      .view.mapValues(_.sortBy { case (id, u) => (u, id) }.map(_._1).toVector)
+      .toMap
+    def succ(id: Long, step: Int): Long = {
+      val shard = ring(draw(id) % nShards)
+      shard((shard.indexOf(id) + step) % shard.size)
+    }
+    for ((a, (_, p, _, n)) <- out) {
+      val expect = if (succ(a, 1) == p) succ(a, 2) else succ(a, 1)
+      assert(n.get == expect, s"anchor $a: negative ${n.get} != ring $expect")
+    }
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(dim)(rnd.nextGaussian())
