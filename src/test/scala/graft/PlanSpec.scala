@@ -116,6 +116,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "fell back to the window encoding")
   }
 
+  test("q121: the triplet positive ranks through the heap; only the ring windows remain") {
+    val p = plan("q121_triplets")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"hardest-positive rank not planned through the heap:\n${p.take(600)}")
+    // the md5-ring successor windows (lead/first/nth_value) are real
+    // window work and must stay; the rank window must not
+    assert(!p.contains("row_number"), "positive rank fell back to a Window")
+  }
+
   test("q07: the window-idiom top-k is REWRITTEN to the heap node by the optimizer rule") {
     // q07 is written as filter(row_number().over(...) <= 3) — the SQL
     // idiom every user query uses. WindowTopKRewrite must hand it the
