@@ -356,6 +356,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .map(intLit(_, "n_shards")).getOrElse(8))
           .queryExecution.analyzed
       }))
+    // Mean-pooled group embeddings from SQL (q120's operator):
+    //   mean_pool(table, group_col, vec_col)
+    // Emits (group, n_vecs, centroid array<double>).
+    ext.injectTableFunction((
+      new FunctionIdentifier("mean_pool"),
+      new ExpressionInfo("graft.operators.Similarity", "mean_pool"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: mean_pool(table, group_col, vec_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Similarity.meanPoolEmbeddings(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "group_col"),
+            strLit(children(2), "vec_col"))
+          .queryExecution.analyzed
+      }))
+    // Contrastive triplet mining from SQL (q121's operator):
+    //   mine_triplets(pairs_table, ids_table, id_col[, n_shards])
+    // `pairs_table` carries (idA, idB, sim) near-dup verdicts (e.g. a
+    // cosine_near_dup materialization); emits
+    // (anchor, positive, sim, negative).
+    ext.injectTableFunction((
+      new FunctionIdentifier("mine_triplets"),
+      new ExpressionInfo("graft.operators.Similarity", "mine_triplets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 || children.size == 4,
+          "usage: mine_triplets(pairs_table, ids_table, id_col[, n_shards])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Similarity.mineTriplets(
+            spark.table(strLit(children(0), "pairs_table")),
+            spark.table(strLit(children(1), "ids_table")),
+            strLit(children(2), "id_col"),
+            nShards = children.drop(3).headOption
+              .map(intLit(_, "n_shards")).getOrElse(8))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

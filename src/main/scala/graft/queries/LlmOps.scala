@@ -2351,12 +2351,39 @@ object LlmOps {
       FROM best b JOIN s ON s.anchor = b.anchor
       ORDER BY b.anchor"""))
 
+  // q122/q123: q120's and q121's operators from pure SQL text via the
+  // injected TVFs — same oracles (the q118/q119 convention). q123
+  // feeds the TVF the same materialized pair verdicts through a temp
+  // view, the shape a SQL user holding a pair table would write.
+  private val q122 = GraftQuery(
+    "q122_sql_mean_pool",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT label, n_vecs, CAST(p.idx AS BIGINT) AS idx,
+          p.component
+        FROM mean_pool('embeddings', 'label', 'embedding')
+        LATERAL VIEW posexplode(centroid) p AS idx, component
+        ORDER BY label, idx""")
+    },
+    q120.oracle)
+
+  private val q123 = GraftQuery(
+    "q123_sql_triplets",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      exactPairsMaterialized(s, d).createOrReplaceTempView("triplet_pairs")
+      s.sql("""SELECT anchor, positive, sim, negative
+        FROM mine_triplets('triplet_pairs', 'embeddings', 'vec_id')
+        ORDER BY anchor""")
+    },
+    q121.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the
