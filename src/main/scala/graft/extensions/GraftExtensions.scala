@@ -337,9 +337,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("length_batches"),
       new ExpressionInfo("graft.operators.DatasetOps", "length_batches"),
       (children: Seq[Expression]) => {
-        require(children.size == 4 || children.size == 7,
+        require(children.size >= 4 && children.size <= 7,
           "usage: length_batches(table, id_col, text_col, batch_size" +
-            "[, min_bucket, max_bucket, n_shards])")
+            "[, min_bucket[, max_bucket[, n_shards]]])")
         val spark = org.apache.spark.sql.SparkSession.active
         import org.apache.spark.sql.functions.col
         graft.operators.DatasetOps.lengthBucketBatches(
@@ -358,7 +358,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // Mean-pooled group embeddings from SQL (q120's operator):
     //   mean_pool(table, group_col, vec_col)
-    // Emits (group, n_vecs, centroid array<double>).
+    // Emits (<group_col's name>, n_vecs, centroid array<double>) —
+    // the group column keeps its input name.
     ext.injectTableFunction((
       new FunctionIdentifier("mean_pool"),
       new ExpressionInfo("graft.operators.Similarity", "mean_pool"),

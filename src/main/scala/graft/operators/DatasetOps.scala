@@ -20,7 +20,7 @@ object DatasetOps {
     * operator keys off (split, sample, mix, pack). ONE definition:
     * each oracle replays this exact expression, so a drifted copy
     * would silently break only some operators' gates. */
-  private def md5Draw(salt: String, id: Column): Column =
+  private[operators] def md5Draw(salt: String, id: Column): Column =
     conv(substring(md5(concat(lit(salt + ":"),
       id.cast(StringType))), 1, 8), 16, 10).cast(LongType)
 
@@ -548,8 +548,7 @@ object DatasetOps {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"), col("shard"))
       .orderBy(col("_u"), col(idCol))
-    df.withColumn("_u", conv(substring(md5(concat(lit(salt + ":"),
-        col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType))
+    df.withColumn("_u", md5Draw(salt, col(idCol)))
       .withColumn("n_tokens", n)
       .withColumn("bucket", bucket)
       .withColumn("shard", pmod(col("_u"), lit(nShards)).cast(LongType))

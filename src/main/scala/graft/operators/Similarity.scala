@@ -333,8 +333,10 @@ object Similarity {
     df.select(col(groupCol),
         posexplode(toDoubleVec(col(vecCol))).as(Seq("_i", "_x")))
       .groupBy(col(groupCol), col("_i"))
+      // count the COMPONENT, not the row: a null element inside a
+      // vector must not inflate the divisor (sum already skips it)
       .agg(sum(col("_x").cast(DecimalType(30, 12))).as("_s"),
-        count(lit(1)).as("_n"))
+        count(col("_x")).as("_n"))
       .select(col(groupCol), col("_i"), col("_n"),
         round(col("_s").cast(DoubleType) / col("_n"), 6).as("_m"))
       .groupBy(col(groupCol))
@@ -356,14 +358,18 @@ object Similarity {
     * state is ONE row regardless of how duplicate-dense the corpus
     * is. The negative comes from an md5 RING: ids are ordered by
     * their draw within `nShards` md5-shards and each anchor takes its
-    * ring successor (its second successor when the first is the
-    * positive) — deterministic in corpus content, uniform because the
-    * ring order is independent of content similarity, and never a
-    * global sort: successors and their wrap-around all come from ONE
-    * per-shard window pass (lead + first/nth_value), executor-
-    * resident, fixed-width tuples only. A negative is null only in
-    * the degenerate one-or-two-doc-shard cases — keep nShards well
-    * below the corpus size.
+    * first ring successor that is not a KNOWN near-dup of the anchor
+    * (any partner in `pairs`, not just the chosen positive — a
+    * certified near-dup emitted as a negative would train the model
+    * to push apart what the pipeline says belongs together) —
+    * deterministic in corpus content, uniform because the ring order
+    * is independent of content similarity, and never a global sort:
+    * successors and their wrap-around all come from ONE per-shard
+    * window pass (lead + first/nth_value), executor-resident,
+    * fixed-width tuples only. A negative is null only when both
+    * successors are excluded (degenerate tiny-shard or
+    * everything-is-a-dup cases) — keep nShards well below the corpus
+    * size.
     *
     * @param pairs columns (idA, idB, sim) with idA < idB
     * @param ids   one row per corpus id (the negative-draw universe)
@@ -381,8 +387,7 @@ object Similarity {
       .withColumn("_rn", row_number().over(wPos))
       .filter(col("_rn") === 1)
       .select(col("anchor"), col("cand").as("positive"), col("sim"))
-    val u = conv(substring(md5(concat(lit(salt + ":"),
-      col("_rid").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val u = DatasetOps.md5Draw(salt, col("_rid"))
     val wRing = Window.partitionBy(col("_shard"))
       .orderBy(col("_u"), col("_rid"))
     val wShard = Window.partitionBy(col("_shard"))
@@ -400,13 +405,15 @@ object Similarity {
         when(col("_l1").isNull, col("_f2"))
           .when(col("_l2").isNull, col("_f1"))
           .otherwise(col("_l2")).as("_s2"))
-    best.join(succ, Seq("anchor"))
+    val partners = sym.groupBy(col("anchor"))
+      .agg(collect_set(col("cand")).as("_partners"))
+    def eligible(c: Column): Column = c.isNotNull &&
+      c =!= col("anchor") && !array_contains(col("_partners"), c)
+    best.join(succ, Seq("anchor")).join(partners, Seq("anchor"))
       .select(col("anchor"), col("positive"), col("sim"),
-        when(col("_s1") === col("anchor"), lit(null))
-          .when(col("_s1") === col("positive"),
-            when(col("_s2") === col("anchor"), lit(null))
-              .otherwise(col("_s2")))
-          .otherwise(col("_s1")).as("negative"))
+        when(eligible(col("_s1")), col("_s1"))
+          .when(eligible(col("_s2")), col("_s2"))
+          .otherwise(lit(null)).as("negative"))
   }
 
   /** EXACT embedding near-duplicate pairs — the all-pairs oracle tier

@@ -2288,9 +2288,10 @@ object LlmOps {
       s AS (
         SELECT label, u.idx AS idx,
           sum(CAST(u.x AS DECIMAL(30, 12))) AS sm,
-          count(*) AS n
+          count(u.x) AS n
         FROM c GROUP BY label, u.idx)
-      SELECT label, n AS n_vecs, CAST(idx AS BIGINT) AS idx,
+      SELECT label, max(n) OVER (PARTITION BY label) AS n_vecs,
+        CAST(idx AS BIGINT) AS idx,
         round(CAST(sm AS DOUBLE) / n, 6) AS component
       FROM s ORDER BY label, idx"""))
 
@@ -2299,8 +2300,10 @@ object LlmOps {
   // for every doc with a near-dup. The positive re-reads the q53/q63
   // materialized pair verdicts (the similarity pass is shared, not
   // recomputed) and ranks through the rewritten heap; the negative is
-  // the anchor's successor on a per-shard md5 ring — one window pass,
-  // wrap via first/nth_value, all replayed by the oracle.
+  // the anchor's first ring successor that is not one of its KNOWN
+  // near-dup partners — one window pass, wrap via first/nth_value,
+  // exclusion set from the pair table itself, all replayed by the
+  // oracle.
 
   private val q121 = GraftQuery(
     "q121_triplets",
@@ -2325,6 +2328,8 @@ object LlmOps {
           SELECT *, row_number() OVER (
             PARTITION BY anchor ORDER BY sim DESC, cand) AS rn
           FROM sym) WHERE rn = 1),
+      partners AS (
+        SELECT anchor, list(cand) AS pl FROM sym GROUP BY anchor),
       ring AS (
         SELECT vec_id AS rid,
           CAST(concat('0x', substring(md5('neg:'||vec_id), 1, 8)) AS BIGINT)
@@ -2344,11 +2349,13 @@ object LlmOps {
           wf AS (PARTITION BY shard ORDER BY u, rid
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       SELECT b.anchor, b.positive, b.sim,
-        CASE WHEN s.s1 = b.anchor THEN NULL
-             WHEN s.s1 = b.positive THEN
-               CASE WHEN s.s2 = b.anchor THEN NULL ELSE s.s2 END
-             ELSE s.s1 END AS negative
+        CASE WHEN s.s1 IS NOT NULL AND s.s1 <> b.anchor
+               AND NOT list_contains(p.pl, s.s1) THEN s.s1
+             WHEN s.s2 IS NOT NULL AND s.s2 <> b.anchor
+               AND NOT list_contains(p.pl, s.s2) THEN s.s2
+             ELSE NULL END AS negative
       FROM best b JOIN s ON s.anchor = b.anchor
+        JOIN partners p ON p.anchor = b.anchor
       ORDER BY b.anchor"""))
 
   // q122/q123: q120's and q121's operators from pure SQL text via the

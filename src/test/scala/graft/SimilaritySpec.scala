@@ -201,11 +201,13 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("meanPoolEmbeddings: exact means, order-independent, null/ragged tolerant") {
     val df = Seq(
-      (0, Some(Seq(1.0, 2.0, 3.0))),
-      (0, Some(Seq(3.0, 4.0, 5.0))),
-      (1, Some(Seq(10.0, 20.0))),
+      (0, Some(Seq(Option(1.0), Option(2.0), Option(3.0)))),
+      (0, Some(Seq(Option(3.0), Option(4.0), Option(5.0)))),
+      (1, Some(Seq(Option(10.0), Option(20.0)))),
       (1, None), // null vector contributes nothing
-      (1, Some(Seq(30.0, 40.0, 50.0)))) // ragged: idx 2 averages alone
+      (1, Some(Seq(Option(30.0), Option(40.0), Option(50.0)))), // ragged
+      (2, Some(Seq(Option(1.0), Option(2.0)))),
+      (2, Some(Seq(Option(3.0), None)))) // in-array null: not a divisor
       .toDF("g", "v")
     val out = Similarity.meanPoolEmbeddings(df, "g", "v")
       .select($"g", $"n_vecs", $"centroid")
@@ -213,6 +215,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0) == ((0, 2L, Seq(2.0, 3.0, 4.0))))
     assert(out(1) == ((1, 2L, Seq(20.0, 30.0, 50.0))),
       s"ragged group pooled wrong: ${out(1)}")
+    assert(out(2) == ((2, 2L, Seq(2.0, 2.0))),
+      s"in-array null must not inflate the divisor: ${out(2)}")
     // decimal sums: any physical layout produces the identical result
     val reparted = Similarity.meanPoolEmbeddings(df.repartition(7), "g", "v")
       .select($"g", $"n_vecs", $"centroid")
@@ -234,10 +238,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1L)._2 == 2L, s"anchor 1 hardest positive: ${out(1L)}")
     assert(out(2L)._2 == 1L && out(3L)._2 == 1L)
     assert(out(5L)._2 == 6L && out(6L)._2 == 5L)
-    // negative is present and never degenerate on a 10-per-shard ring
+    // negative is present, never degenerate, and never a KNOWN
+    // near-dup partner of the anchor (not merely not-the-positive)
+    val partnersOf = Map(1L -> Set(2L, 3L), 2L -> Set(1L), 3L -> Set(1L),
+      5L -> Set(6L), 6L -> Set(5L))
     for ((a, (_, p, _, n)) <- out) {
       assert(n.nonEmpty, s"anchor $a missing negative")
       assert(n.get != a && n.get != p, s"degenerate negative for $a: $n")
+      assert(!partnersOf(a).contains(n.get),
+        s"anchor $a drew a certified near-dup as negative: $n")
     }
     // JVM replay of the md5 ring pins the successor choice exactly
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -255,8 +264,9 @@ class SimilaritySpec extends AnyFunSuite {
       shard((shard.indexOf(id) + step) % shard.size)
     }
     for ((a, (_, p, _, n)) <- out) {
-      val expect = if (succ(a, 1) == p) succ(a, 2) else succ(a, 1)
-      assert(n.get == expect, s"anchor $a: negative ${n.get} != ring $expect")
+      val expect = Seq(succ(a, 1), succ(a, 2))
+        .find(c => c != a && !partnersOf(a).contains(c))
+      assert(n == expect, s"anchor $a: negative $n != ring $expect")
     }
   }
 
