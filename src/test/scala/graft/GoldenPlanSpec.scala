@@ -28,13 +28,20 @@ class GoldenPlanSpec extends AnyFunSuite {
   // the keep-first dedup (every path a user reaches the heap by) —
   // plus the partition-pruned IVF probe, whose load-bearing token is
   // the `dynamicpruning` subquery in the index scan's PartitionFilters
+  // ...and the two round-6 one-pass plan shapes: q116's single
+  // gram-hash exchange feeding a window count (the aggregate-and-
+  // rejoin shape would re-derive the gram explosion — a reappearing
+  // second documents scan IS the regression), q117's one exchange +
+  // one window (a reappearing count-table branch likewise)
   private val pinned = Seq(
     "q07_top_orders_per_customer",
     "q87_native_topk_group",
     "q92_sql_topk",
     "q94_rank_topk_ties",
     "q54_dedup_keep_first",
-    "q107_ivf_index_probe")
+    "q107_ivf_index_probe",
+    "q116_importance_score",
+    "q117_length_batches")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
