@@ -45,6 +45,11 @@ class GoldenPlanSpec extends AnyFunSuite {
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
+      // lambda-variable suffixes are a JVM-global counter — their
+      // values depend on how many lambdas earlier suites allocated,
+      // so an unrelated new test would otherwise "drift" every pinned
+      // plan that contains a higher-order function
+      .replaceAll("lambda x_\\d+", "lambda x_N")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
       .replaceAll("\\[id=#N\\]", "[id=N]")
       .replaceAll("file:[^\\s,\\]\\)]+", "file:PATH")
