@@ -38,11 +38,22 @@ object Tables {
     * timestamps stay comparable. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      // a parquet writer that stamps isAdjustedToUTC=false surfaces as
+      // TIMESTAMP_NTZ under Spark 4's inference; every session here
+      // runs tz=UTC, so casting the naive wall clock to an instant is
+      // the identity mapping the old LTZ read applied — and what the
+      // (naive-timestamp) DuckDB oracles replay. Instant-typed ts is
+      // load-bearing: unix_micros/watermarks reject NTZ.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
@@ -50,7 +61,10 @@ object Tables {
   /** Register every table as a temp view for `spark.sql` access
     * (the EP3 "Athena layer" of SURVEY.md §3). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   private val registeredFor = new SessionMemo[Unit]
 
