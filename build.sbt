@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g, not 8g: the 127-query bench battery in one JVM (plus its
+  // session-lifetime materialized caches) ran at the old ceiling's
+  // GC wall — measured r6: total 102.6s at 8g vs 75.1s at 16g, with
+  // individual late-alphabet queries up to 7x their isolated time.
+  // The box has 128 GiB; local[32] executors share this one heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
