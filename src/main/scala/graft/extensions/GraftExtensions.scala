@@ -393,6 +393,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .map(intLit(_, "n_shards")).getOrElse(8))
           .queryExecution.analyzed
       }))
+    // BM25 keyword search from SQL (q124's operator):
+    //   bm25_search(table, id_col, text_col, query, k)
+    // Builds postings + corpus stats for the table and ranks the one
+    // query string's top-k through the heap node; emits
+    // (qid, rank, doc_id, score). An ad-hoc probe pays the index
+    // build — repeated probes should persist the postings
+    // (Search.writePostingsBucketed) and call Search.bm25TopK.
+    ext.injectTableFunction((
+      new FunctionIdentifier("bm25_search"),
+      new ExpressionInfo("graft.operators.Search", "bm25_search"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: bm25_search(table, id_col, text_col, query, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.lit
+        val corpus = spark.table(strLit(children(0), "table"))
+        val idCol = strLit(children(1), "id_col")
+        val textCol = strLit(children(2), "text_col")
+        val query = strLit(children(3), "query")
+        val k = intLit(children(4), "k")
+        require(k >= 1, s"bm25_search: k must be >= 1, got $k")
+        val qdf = spark.range(1)
+          .select(lit(0L).as("qid"), lit(query).as("qtext"))
+        graft.operators.Search.bm25TopK(qdf,
+            graft.operators.Search.termPostings(corpus, idCol, textCol),
+            graft.operators.Search.corpusStats(corpus, idCol, textCol),
+            k = k)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** Keyword retrieval over a document corpus: a positional inverted
+  * index, integer-deterministic BM25 top-k ranking, and exact phrase
+  * matching — the retrieval surface a RAG-prep or eval pipeline needs
+  * beside the embedding-space searchers in [[Similarity]]. The
+  * reference's implied Athena layer (readme:24) is where a user would
+  * otherwise hand-write LIKE scans; these are the index-shaped
+  * operators that replace them.
+  *
+  * Design notes (100 TB):
+  *   - the index rows are (term, id, tf, dl) / (id, pos, term) fixed
+  *     width tuples — document BODIES never shuffle; the posting build
+  *     is one explode + one (term, id) exchange, and like the MinHash
+  *     index (q106) the postings can be persisted bucketed by term so
+  *     probes join with zero index-side exchange;
+  *   - query terms are FEW: every probe broadcasts them, restricting
+  *     the postings before anything aggregates, so a search touches
+  *     only the matched terms' posting lists — never the corpus;
+  *   - scoring is BM25-shaped but integer-deterministic (same policy
+  *     as q101's tf-idf and q116's DSIR scores): the idf weight is the
+  *     scaled Robertson–Sparck-Jones odds ratio `(N−df+1)/(df+1)`
+  *     (the log's argument, rank-equivalent per term since ln is
+  *     monotone), and the tf saturation is exactly BM25's
+  *     `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` with k1=1.2, b=0.75,
+  *     carried out in scaled integer arithmetic (DIV) so the score —
+  *     and therefore the ranking and the k-cutoff — replays
+  *     bit-for-bit in any engine with 64-bit integers. Float logs
+  *     would rank the same per term but their cross-term sums are not
+  *     replayable; the integer form is what an oracle can gate.
+  *     Range: with the 10^5 idf scale and 10^5 tf scale a per-term
+  *     product stays < 2^53 (double- AND int64-exact) for corpora to
+  *     ~4·10^8 docs; beyond that, lower `idfScale` — the require
+  *     enforces the audit rather than letting the sum wrap.
+  */
+object Search {
+
+  /** Positional postings: one row per token OCCURRENCE — (id, dl,
+    * pos, term), `pos` 0-based, `dl` the doc's token count. Narrow
+    * (projection + posexplode, no shuffle). The token array is
+    * projected as an attribute first per the lambda-CSE rule (SURVEY
+    * §8.2): an inlined tokenizer would re-split the text per token. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextFunctions.whitespaceTokens(col(textCol)).as("_tk"))
+      .select(col("id"), size(col("_tk")).as("dl"),
+        posexplode(col("_tk")).as(Seq("pos", "term")))
+
+  /** The classic inverted index: (term, id, tf, dl), one row per
+    * (term, doc) pair. One exchange on (term, id) — partial counts
+    * combine map-side, so what shuffles is bounded by distinct
+    * (term, doc) pairs, not occurrences. */
+  def termPostings(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    positionalPostings(docs, idCol, textCol)
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** Persist [[termPostings]] bucketed on `term` (the probe-join
+    * key), the same landing as [[Dedup.writeMinhashIndexBucketed]]:
+    * every subsequent [[bm25TopK]] probe joins the index with zero
+    * index-side exchange. Returns the saved-table name to probe. */
+  def writePostingsBucketed(docs: DataFrame, idCol: String,
+                            textCol: String, table: String,
+                            nBuckets: Int = 32): String = {
+    termPostings(docs, idCol, textCol)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .saveAsTable(table)
+    table
+  }
+
+  /** One-row corpus statistics table: (n_docs, a3) where `a3` is the
+    * milli-avgdl `(Σdl·1000) div N` — the deterministic integer
+    * rounding of average doc length the scoring formula consumes.
+    * Derived from a token-count projection of the corpus (one narrow
+    * scan; at 100 TB this is a metadata-sized aggregate). */
+  def corpusStats(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    docs
+      .select(TextFunctions.tokenCount(col(textCol)).cast(LongType).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("_ltot"))
+      .select(col("n_docs"),
+        expr("(_ltot * 1000L) div n_docs").as("a3"))
+
+  /** BM25 top-k: for every query row (qid, qtext), the `k`
+    * best-scoring docs. `postings` is a [[termPostings]] result (or a
+    * bucketed readback of one); `stats` a [[corpusStats]] row for the
+    * SAME corpus — split so that a persisted index amortizes both.
+    *
+    * Shape: query terms (distinct per query) broadcast against the
+    * postings — only matched posting lists survive; df-per-term rides
+    * a window over the (term) exchange of those survivors (the q116
+    * lesson: an aggregate-and-rejoin re-derives the probe join);
+    * per-(qid, id) score sum is the second exchange; ranking goes
+    * through the k-bounded [[graft.plans.TopKPerGroup]] heap — the
+    * scored set is never sorted.
+    *
+    * Scoring (all integer): with `S = idfScale`,
+    *   idfS  = (N − df + 1)·S div (df + 1)
+    *   tfc5  = tf·44·a3·100000 div (20·tf·a3 + 6·a3 + 18000·dl)
+    *   score = Σ_terms idfS · tfc5
+    * tfc5 is the exact scaled BM25 saturation at k1=6/5, b=3/4:
+    * multiply `tf + 6/5·(1/4 + 3/4·dl/avgdl)` through by 20·a3 with
+    * avgdl ≈ a3/1000 and the k1+1 = 11/5 numerator becomes 44·tf·a3. */
+  def bm25TopK(queries: DataFrame, postings: DataFrame, stats: DataFrame,
+               k: Int, idfScale: Long = 100000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(idfScale >= 1L && idfScale <= 1000000L,
+      s"idfScale must be in [1, 1e6], got $idfScale")
+    val qterms = queries
+      .select(col("qid"),
+        TextFunctions.whitespaceTokens(col("qtext")).as("_qtk"))
+      .select(col("qid"), explode(array_distinct(col("_qtk"))).as("term"))
+    val hits = postings.join(broadcast(qterms), Seq("term"))
+    // df(term) as a window over the surviving postings' (term, qid)
+    // exchange: (term, id) rows are unique in the index and a term's
+    // rows enumerate every doc containing it, so the partition
+    // row-count IS the corpus document frequency — the q116 lesson
+    // applied (an aggregate-and-rejoin would re-derive the probe
+    // join). Two exchanges total: this one, then the (qid, id) score
+    // sum.
+    val scored = hits
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          col("term"), col("qid"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        expr(s"((n_docs - _df + 1L) * ${idfScale}L) div (_df + 1L)"))
+      .withColumn("_tfc",
+        expr("(tf * 44L * a3 * 100000L) div " +
+          "(20L * tf * a3 + 6L * a3 + 18000L * dl)"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("_idf") * col("_tfc")).as("score"))
+    val kept = graft.plans.TopKPerGroup(scored, Seq("qid"),
+      Seq(("score", false), ("id", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    kept
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+
+  /** Exact phrase occurrences per document: docs where `phrase`'s
+    * tokens appear contiguously (whitespace tokenization, lowercased —
+    * the index's own token geometry, NOT substring match), with the
+    * occurrence count. Returns (id, n_matches), matches only.
+    *
+    * Shape: positional postings filtered to the phrase's terms (a
+    * tiny in-filter — never a full-corpus aggregation), ONE exchange
+    * on id collecting each doc's (pos, termIdx) hits, then an
+    * intra-row fold: a start at `p` is a match iff every (p+j, j) is
+    * present, membership tested against a `pos·L+idx` integer
+    * encoding (injective: idx < L). Per-doc state is bounded by the
+    * doc's phrase-term occurrences, the q88 collected-fold contract. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase tokens must be non-empty and whitespace-free: $phrase")
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val L = terms.size
+    // a repeated term ("the big the") would need per-INDEX encodings —
+    // element_at maps every occurrence to one index — so reject up
+    // front rather than silently under-match
+    require(terms.distinct.size == L,
+      s"phrase tokens must be distinct (got $phrase)")
+    val termIdx = map(terms.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), lit(i))
+    }: _*)
+    val hits = positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.distinct.map(lit(_)): _*))
+      .select(col("id"),
+        (col("pos") * L + element_at(termIdx, col("term"))).as("_enc"),
+        when(element_at(termIdx, col("term")) === 0, col("pos")).as("_start"))
+    val grouped = hits
+      .groupBy(col("id"))
+      .agg(collect_list(col("_enc")).as("_encs"),
+        collect_list(col("_start")).as("_starts"))
+    // L == 1 would make sequence(1, L-1) DESCEND ([1, 0]) — Spark's
+    // sequence generates downward when start > stop — so the
+    // single-token phrase is its own (trivial) arm: every occurrence
+    // is a match.
+    val nMatches =
+      if (L == 1) size(col("_starts"))
+      else size(filter(col("_starts"), p =>
+        aggregate(sequence(lit(1), lit(L - 1)), lit(true),
+          (acc, j) => acc && array_contains(col("_encs"), (p + j) * L + j))))
+    grouped
+      .select(col("id"), nMatches.as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+}

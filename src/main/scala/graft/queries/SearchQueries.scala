@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{DatasetOps, Search}
+import graft.sources.Tables
+
+/** Keyword-retrieval and training-order queries over the documents
+  * corpus: the [[graft.operators.Search]] inverted-index surface
+  * (BM25 top-k, exact phrase match, the SQL TVF path) and the
+  * [[graft.operators.DatasetOps.interleaveSources]] data-mixing
+  * order. Every op here carries a DuckDB oracle that replays the
+  * FULL operator — tokenization, posting lists, document frequencies,
+  * the integer BM25 arithmetic, positional adjacency, md5 stride
+  * scheduling — so a regression anywhere in the machinery flips the
+  * driver's hash red.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Shared DuckDB fragment: whitespace tokenization (lowercased,
+    * empties dropped) — must match TextFunctions.whitespaceTokens. */
+  private val toksCte =
+    """toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents)"""
+
+  // ---- q124: BM25 top-k keyword search --------------------------------
+  // Three literal queries (one with the rare planted term 'dup' — the
+  // idf contrast; one with an out-of-vocabulary term, which must
+  // contribute nothing on both sides) ranked against the corpus
+  // through the k-bounded heap. The oracle rebuilds postings, df, the
+  // milli-avgdl, and the scaled integer BM25 formula term for term;
+  // DuckDB widens integer sums to HUGEINT, so the score is CAST back
+  // to BIGINT for schema parity (the q26 lesson).
+
+  private val searchQueries = Seq(
+    (0L, "dup scan table"),
+    (1L, "hash join strategy"),
+    (2L, "slow window stream"))
+
+  private val q124 = GraftQuery(
+    "q124_bm25_search",
+    (s, d) => {
+      import s.implicits._
+      val qs = searchQueries.toDF("qid", "qtext")
+      val corpus = docs(s, d)
+      val post = Search.termPostings(corpus, "doc_id", "text")
+      val stats = Search.corpusStats(corpus, "doc_id", "text")
+      Search.bm25TopK(qs, post, stats, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      q(qid, qtext) AS (VALUES ${searchQueries.map {
+        case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      qt AS (SELECT qid, unnest(list_distinct(list_filter(
+          regexp_split_to_array(lower(qtext), '\\s+'),
+          x -> length(x) > 0))) AS term FROM q),
+      hit AS (SELECT qt.qid, post.term, post.doc_id, post.tf, post.dl
+        FROM post JOIN qt USING (term)),
+      hdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term, qid) AS BIGINT)
+          AS df FROM hit),
+      sc AS (SELECT qid, doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY qid, doc_id),
+      r AS (SELECT CAST(qid AS BIGINT) AS qid,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, score
+        FROM sc)
+      SELECT qid, rank, doc_id, score FROM r
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  // ---- q125: exact phrase match over positional postings --------------
+  // Token-adjacency match ("hash join" as consecutive TOKENS — the
+  // index's geometry, not substring LIKE), occurrences counted per
+  // doc, overlaps included. The oracle replays positions with
+  // generate_series and joins i+1 adjacency relationally — the
+  // intra-row fold must agree with the relational semantics exactly.
+
+  private val q125 = GraftQuery(
+    "q125_phrase_search",
+    (s, d) =>
+      Search.phraseMatches(docs(s, d), "doc_id", "text",
+          Seq("hash", "join"))
+        .select(col("id").as("doc_id"),
+          col("n_matches").cast(LongType).as("n_matches"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $toksCte,
+      p AS (SELECT doc_id, i, tk[i] AS term FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks)),
+      m AS (SELECT p0.doc_id FROM p p0
+        JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+          AND p1.term = 'join'
+        WHERE p0.term = 'hash')
+      SELECT doc_id, count(*) AS n_matches FROM m
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- q126: BM25 from pure SQL (the TVF path) ------------------------
+  // Same machinery as q124 reached through the injected bm25_search
+  // table function — the TVF layer adds a parser path, not semantics,
+  // so the oracle is q124's restricted to the single query string.
+
+  private val q126 = GraftQuery(
+    "q126_sql_bm25",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT qid, rank, doc_id, score
+        FROM bm25_search('documents', 'doc_id', 'text', 'dup scan table', 10)
+        ORDER BY rank""")
+    },
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      qt(term) AS (VALUES ('dup'), ('scan'), ('table')),
+      hdf AS (SELECT post.*, CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+          AS df
+        FROM post JOIN qt USING (term)),
+      sc AS (SELECT doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY doc_id),
+      r AS (SELECT CAST(0 AS BIGINT) AS qid,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank,
+          doc_id, score
+        FROM sc)
+      SELECT qid, rank, doc_id, score FROM r
+      WHERE rank <= 10 ORDER BY rank"""))
+
+  // ---- q127: weighted source interleave (training order) --------------
+  // src0 at weight 3, src1 at weight 2, everything else 1: any prefix
+  // of the (vtime, source, doc_id) order carries the sources in
+  // ~3:2:1:…:1 proportion. The preview top-200 goes through
+  // TakeOrderedAndProject — the global order is never materialized.
+  // The oracle replays the md5 deal, the per-(source, shard)
+  // row_number, the round-robin rank reconstruction and the integer
+  // stride division.
+
+  private val q127 = GraftQuery(
+    "q127_interleave_mix",
+    (s, d) =>
+      DatasetOps.interleaveSources(docs(s, d), "doc_id", "source",
+          Map("src0" -> 3L, "src1" -> 2L), defaultWeight = 1L, nShards = 8)
+        .select(col("vtime"), col("source"), col("doc_id"),
+          col("src_rank"), col("shard"))
+        .orderBy(col("vtime"), col("source"), col("doc_id"))
+        .limit(200),
+    Some("""WITH d AS (SELECT doc_id, source,
+        CAST(concat('0x', substring(md5('mix:'||doc_id), 1, 8)) AS BIGINT)
+          AS u
+      FROM documents),
+      s AS (SELECT doc_id, source, u, u % 8 AS shard FROM d),
+      r AS (SELECT doc_id, source, shard,
+        (row_number() OVER (PARTITION BY source, shard ORDER BY u, doc_id)
+          - 1) * 8 + shard + 1 AS src_rank
+      FROM s),
+      v AS (SELECT doc_id, source, shard, src_rank,
+        (src_rank * 1000000) // (CASE WHEN source = 'src0' THEN 3
+          WHEN source = 'src1' THEN 2 ELSE 1 END) AS vtime
+      FROM r)
+      SELECT vtime, source, doc_id, src_rank, shard FROM v
+      ORDER BY vtime, source, doc_id LIMIT 200"""))
+
+  def all: Seq[GraftQuery] = Seq(q124, q125, q126, q127)
+}

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DatasetOps, Search}
+
+/** Gates for the keyword-retrieval surface (operators/Search.scala)
+  * and the weighted interleave (DatasetOps.interleaveSources): a JVM
+  * brute-force twin of the integer BM25 arithmetic, phrase-match
+  * edge cases the relational oracle replays (overlaps, L=1,
+  * case-folding), the bucketed-postings landing, and the stride
+  * scheduler's proportionality/stability invariants.
+  */
+class SearchSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "red fox jumps over the red fox"),
+    (1L, "the quick red fox"),
+    (2L, "a dog sleeps"),
+    (3L, "fox fox fox dog"),
+    (4L, "the dog and the fox")).toDF("doc_id", "text")
+
+  // -- inverted index ----------------------------------------------------
+
+  test("termPostings: tf and dl per (term, doc)") {
+    val post = Search.termPostings(corpus, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(post(("fox", 0L)) == (2L, 7))   // two of 7 tokens
+    assert(post(("fox", 3L)) == (3L, 4))
+    assert(post(("the", 4L)) == (2L, 5))
+    assert(!post.contains(("cat", 2L)))
+  }
+
+  test("corpusStats: n_docs and integer milli-avgdl") {
+    val Array(st) = Search.corpusStats(corpus, "doc_id", "text").collect()
+    assert(st.getLong(0) == 5L)
+    // dls 7+4+3+4+5 = 23 tokens; (23*1000) div 5 = 4600
+    assert(st.getLong(1) == 4600L)
+  }
+
+  // -- BM25 --------------------------------------------------------------
+
+  /** The scoring formula, verbatim, on the JVM — the spec's oracle. */
+  private def bm25Brute(docs: Seq[(Long, String)], query: String,
+                        k: Int): Seq[(Long, Long, Long)] = {
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val n = docs.size.toLong
+    val dls = docs.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val a3 = dls.values.sum * 1000L / n
+    val qts = toks(query).distinct
+    val scores = docs.flatMap { case (id, t) =>
+      val tfs = toks(t).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      val s = qts.map { term =>
+        tfs.get(term).fold(0L) { tf =>
+          val df = docs.count { case (_, t2) => toks(t2).contains(term) }.toLong
+          val idf = (n - df + 1L) * 100000L / (df + 1L)
+          val tfc = tf * 44L * a3 * 100000L /
+            (20L * tf * a3 + 6L * a3 + 18000L * dls(id))
+          idf * tfc
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+    scores.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+  }
+
+  test("bm25TopK matches the JVM integer replay (incl. OOV term)") {
+    val data = Seq(
+      (0L, "red fox jumps over the red fox"),
+      (1L, "the quick red fox"),
+      (2L, "a dog sleeps"),
+      (3L, "fox fox fox dog"),
+      (4L, "the dog and the fox"))
+    val qs = Seq((0L, "red dog unicorn")).toDF("qid", "qtext")
+    val got = Search.bm25TopK(qs,
+        Search.termPostings(corpus, "doc_id", "text"),
+        Search.corpusStats(corpus, "doc_id", "text"), k = 4)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == bm25Brute(data, "red dog unicorn", 4))
+  }
+
+  test("bm25TopK: rarer term dominates equal-tf docs (idf ordering)") {
+    val c = Seq(
+      (0L, "common common rare"),
+      (1L, "common common common"),
+      (2L, "common other filler"),
+      (3L, "common pad pad")).toDF("doc_id", "text")
+    val qs = Seq((0L, "rare")).toDF("qid", "qtext")
+    val top = Search.bm25TopK(qs,
+        Search.termPostings(c, "doc_id", "text"),
+        Search.corpusStats(c, "doc_id", "text"), k = 4).collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(0L)) // only doc 0 has 'rare'
+  }
+
+  test("bm25TopK ranks through the bounded heap, not a Window sort") {
+    val qs = Seq((0L, "fox dog")).toDF("qid", "qtext")
+    val plan = Search.bm25TopK(qs,
+        Search.termPostings(corpus, "doc_id", "text"),
+        Search.corpusStats(corpus, "doc_id", "text"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"),
+      s"expected the heap node in:\n$plan")
+  }
+
+  test("bucketed postings probe equals the in-session index") {
+    val table = "graft_test_postings"
+    Search.writePostingsBucketed(corpus, "doc_id", "text", table)
+    try {
+      val qs = Seq((0L, "red fox"), (1L, "dog")).toDF("qid", "qtext")
+      val stats = Search.corpusStats(corpus, "doc_id", "text")
+      val direct = Search.bm25TopK(qs,
+          Search.termPostings(corpus, "doc_id", "text"), stats, 3)
+        .orderBy(col("qid"), col("rank")).collect().toSeq
+      val probed = Search.bm25TopK(qs, spark.table(table), stats, 3)
+        .orderBy(col("qid"), col("rank")).collect().toSeq
+      assert(probed == direct)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  // -- phrase match ------------------------------------------------------
+
+  test("phraseMatches: counts, overlaps, and non-matches") {
+    val docs = Seq(
+      (0L, "a b a b a"),        // "a b" starts at 0 and 2
+      (1L, "a b"),
+      (2L, "b a"),
+      (3L, "a a b"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val got = Search.phraseMatches(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 2, 1L -> 1, 3L -> 1))
+  }
+
+  test("phraseMatches: single-token phrase counts occurrences") {
+    val got = Search.phraseMatches(corpus, "doc_id", "text", Seq("fox"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 2, 1L -> 1, 3L -> 3, 4L -> 1))
+  }
+
+  test("phraseMatches: case-folds like the tokenizer") {
+    val docs = Seq((0L, "Red FOX runs")).toDF("doc_id", "text")
+    val got = Search.phraseMatches(docs, "doc_id", "text", Seq("red", "fox"))
+      .collect()
+    assert(got.length == 1 && got.head.getInt(1) == 1)
+  }
+
+  test("phraseMatches: three-token phrase needs full adjacency") {
+    val docs = Seq(
+      (0L, "one two three four"),
+      (1L, "one two four three"),
+      (2L, "one three two")).toDF("doc_id", "text")
+    val got = Search.phraseMatches(docs, "doc_id", "text",
+        Seq("one", "two", "three"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 1))
+  }
+
+  test("phraseMatches rejects repeated-term and malformed phrases") {
+    intercept[IllegalArgumentException] {
+      Search.phraseMatches(corpus, "doc_id", "text", Seq("the", "fox", "the"))
+    }
+    intercept[IllegalArgumentException] {
+      Search.phraseMatches(corpus, "doc_id", "text", Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      Search.phraseMatches(corpus, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  // -- weighted interleave ----------------------------------------------
+
+  private def mixFixture = (0L until 600L)
+    .map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+
+  test("interleaveSources: prefixes carry sources ~proportionally to weight") {
+    val out = DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
+        Map("src0" -> 3L, "src1" -> 2L), defaultWeight = 1L)
+      .orderBy(col("vtime"), col("source"), col("doc_id"))
+      .limit(120).collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // ideal 3:2:1 over 120 = 60/40/20; shard round-robin rank
+    // reconstruction adds bounded noise
+    assert(math.abs(bySrc("src0") - 60) <= 8, s"got $bySrc")
+    assert(math.abs(bySrc("src1") - 40) <= 8, s"got $bySrc")
+    assert(math.abs(bySrc("src2") - 20) <= 8, s"got $bySrc")
+  }
+
+  test("interleaveSources: vtime is the exact integer stride of src_rank") {
+    val rows = DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
+        Map("src0" -> 3L), defaultWeight = 2L).collect()
+    rows.foreach { r =>
+      val (src, rank, v) =
+        (r.getString(1), r.getLong(3), r.getLong(4))
+      val w = if (src == "src0") 3L else 2L
+      assert(v == rank * 1000000L / w)
+    }
+  }
+
+  test("interleaveSources: deterministic under repartition") {
+    val a = DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
+        Map("src1" -> 5L)).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("vtime")).collect().toSeq
+    val b = DatasetOps.interleaveSources(mixFixture.repartition(7), "doc_id",
+        "source", Map("src1" -> 5L)).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("vtime")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("interleaveSources: src_rank enumerates each source injectively") {
+    val rows = DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
+        Map.empty).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(3))
+      assert(ranks.distinct.length == ranks.length)
+      assert(ranks.forall(_ >= 1L))
+    }
+  }
+
+  test("interleaveSources rejects non-positive weights and shards") {
+    intercept[IllegalArgumentException] {
+      DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
+        Map("src0" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
+        Map.empty, nShards = 0)
+    }
+  }
+}
