@@ -557,4 +557,66 @@ object DatasetOps {
       .withColumn("pos", pmod(col("_rn") - 1, lit(batchSize.toLong)))
       .drop("_u", "_rn")
   }
+
+  /** Deterministic weighted interleave across sources — the TRAINING
+    * ORDER side of data mixing: [[temperatureMix]]/[[stratifiedSample]]
+    * decide how much of each source survives; this decides WHEN each
+    * surviving doc is seen, stride-scheduling sources by integer
+    * weight so a weight-2 source contributes ~2 docs for every 1 from
+    * a weight-1 source in ANY prefix of the stream (epoch-free
+    * interleaving, not block concatenation — the published data-mixing
+    * recipe for multi-corpus training runs).
+    *
+    * Every doc gets a virtual time `v = r·10⁶ div w`: `r` its 1-based
+    * arrival rank within its source, `w` the source's weight; the
+    * global training order is `(v, source, id)` ascending. Stride
+    * scheduling's invariant — a weight-w source places its r-th doc
+    * at time r/w, so prefixes carry sources proportionally to w — in
+    * exact integer arithmetic, replayable by any engine.
+    *
+    * The in-source rank must not be a global per-source row_number (a
+    * half-corpus source would sort in ONE task): docs are dealt into
+    * `nShards` md5-shards per source (the [[packSequences]] trick —
+    * each (source, shard) window sort is executor-resident) and
+    * `r = (rankInShard − 1)·nShards + shard + 1` — round-robin across
+    * shards, a deterministic enumeration that equals the true md5
+    * rank when shards are balanced (md5 deals them to √n noise) and
+    * perturbs `v` by at most nShards·10⁶/w at a shard tail otherwise:
+    * ordering noise, never loss. Membership/order is a pure function
+    * of (id, source, weights), so appends displace later virtual
+    * times but never reorder earlier ones (the [[hashSplit]]
+    * stability contract).
+    *
+    * One exchange on (source, shard); emits the input rows plus
+    * (shard, src_rank, vtime). Consumers sort on read (or feed
+    * [[writeTrainingShards]]-style sinks); a preview query top-Ns by
+    * (vtime, source, id) through TakeOrderedAndProject without ever
+    * materializing the global order. */
+  def interleaveSources(df: DataFrame, idCol: String, sourceCol: String,
+                        weights: Map[String, Long], defaultWeight: Long = 1L,
+                        nShards: Int = 8,
+                        salt: String = "mix"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(defaultWeight >= 1L,
+      s"defaultWeight must be >= 1, got $defaultWeight")
+    weights.foreach { case (s, w) =>
+      require(w >= 1L, s"weight for source '$s' must be >= 1, got $w") }
+    require(weights.values.forall(_ <= 1000000L) && defaultWeight <= 1000000L,
+      "weights above 1e6 would collapse all vtimes to 0 — rescale them")
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (rest, (s, w)) =>
+        when(col(sourceCol) === s, lit(w)).otherwise(rest)
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("shard"))
+      .orderBy(col("_u"), col(idCol))
+    df.withColumn("_u", md5Draw(salt, col(idCol)))
+      .withColumn("shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("src_rank",
+        (row_number().over(wRank).cast(LongType) - 1L) * nShards +
+          col("shard") + 1L)
+      .withColumn("_w", weight)
+      .withColumn("vtime", expr("(src_rank * 1000000L) div _w"))
+      .drop("_u", "_w")
+  }
 }
