@@ -77,6 +77,14 @@ object Search {
     table
   }
 
+  /** Per-doc length table (id, dl) — the index sidecar that makes the
+    * corpus statistics maintainable under a changelog: postings alone
+    * under-count docs (an empty doc has no posting rows but IS a
+    * corpus document for n_docs/avgdl). Narrow projection. */
+  def docLens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast(LongType).as("dl"))
+
   /** One-row corpus statistics table: (n_docs, a3) where `a3` is the
     * milli-avgdl `(Σdl·1000) div N` — the deterministic integer
     * rounding of average doc length the scoring formula consumes.
@@ -84,11 +92,50 @@ object Search {
     * scan; at 100 TB this is a metadata-sized aggregate). */
   def corpusStats(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame =
-    docs
-      .select(TextFunctions.tokenCount(col(textCol)).cast(LongType).as("_dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("_ltot"))
-      .select(col("n_docs"),
-        expr("(_ltot * 1000L) div n_docs").as("a3"))
+    statsFromLens(docLens(docs, idCol, textCol))
+
+  /** [[corpusStats]] from a persisted [[docLens]] table — after a
+    * [[compactPostings]] the stats come from the compacted sidecar,
+    * never a corpus rescan. */
+  def statsFromLens(lens: DataFrame): DataFrame =
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("_ltot"))
+      .select(col("n_docs"), expr("(_ltot * 1000L) div n_docs").as("a3"))
+
+  /** Maintain a persisted BM25 index under a D/U/I changelog — the
+    * retrieval twin of [[Dedup.compactMinhashIndex]] (q108): the
+    * corpus evolves and the index is compacted to its successor
+    * snapshot instead of rebuilt. Deleted/updated ids are anti-joined
+    * out of BOTH the postings and the length sidecar (changelog ids
+    * broadcast — the index never shuffles); fresh postings/lengths
+    * are computed from the changelog texts alone (U and I rows) —
+    * the old corpus bodies are never re-read. Publish the result
+    * out-of-place and flip readers, the immutable-snapshot idiom.
+    *
+    * @param changelog (id, op, text) with op ∈ D|U|I, one row per id
+    *                  (a compacted changelog — [[DatasetOps.applyChangelog]]'s
+    *                  contract)
+    * @return (postings', lens') — feed [[statsFromLens]] for the
+    *         successor stats */
+  def compactPostings(oldPostings: DataFrame, oldLens: DataFrame,
+                      changelog: DataFrame): (DataFrame, DataFrame) = {
+    val touched = changelog.select(col("id")).distinct()
+    val fresh = changelog.filter(col("op").isin("U", "I"))
+      .select(col("id"), col("text"))
+    val freshPost = termPostings(fresh, "id", "text")
+    val freshLens = docLens(fresh, "id", "text")
+    // the anti-join reorders columns (join key first); pin the
+    // [[termPostings]]/[[docLens]] layouts so a compacted index is a
+    // drop-in successor for the original
+    val postings = oldPostings
+      .join(broadcast(touched), Seq("id"), "left_anti")
+      .unionByName(freshPost)
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+    val lens = oldLens
+      .join(broadcast(touched), Seq("id"), "left_anti")
+      .unionByName(freshLens)
+      .select(col("id"), col("dl"))
+    (postings, lens)
+  }
 
   /** BM25 top-k: for every query row (qid, qtext), the `k`
     * best-scoring docs. `postings` is a [[termPostings]] result (or a

@@ -187,5 +187,79 @@ object SearchQueries {
       SELECT vtime, source, doc_id, src_rank, shard FROM v
       ORDER BY vtime, source, doc_id LIMIT 200"""))
 
-  def all: Seq[GraftQuery] = Seq(q124, q125, q126, q127)
+  // ---- q128: BM25 index maintenance (CDC compaction) -------------------
+  // The q108 pattern applied to retrieval: the corpus takes a D/U/I
+  // changelog and the postings index + length sidecar are compacted to
+  // their successor snapshot — old corpus bodies never re-read. The
+  // verdict is a BM25 search against the COMPACTED index; the oracle
+  // rebuilds the post-changelog corpus in SQL and recomputes the
+  // whole search from scratch, so a stale surviving posting, a lost
+  // fresh one, or drifted stats (n_docs/avgdl move with D and I)
+  // flips the hash red.
+
+  private val q128 = GraftQuery(
+    "q128_postings_compaction",
+    (s, d) => {
+      import s.implicits._
+      val corpus = docs(s, d)
+      val oldPost = Search.termPostings(corpus, "doc_id", "text")
+      val oldLens = Search.docLens(corpus, "doc_id", "text")
+      val del = corpus.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id").as("id"), lit("D").as("op"),
+          lit(null).cast(StringType).as("text"))
+      val upd = corpus
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") % 31 =!= 0)
+        .select(col("doc_id").as("id"), lit("U").as("op"),
+          concat(col("text"), lit(" dup dup extra")).as("text"))
+      val ins = corpus.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 1000000L).as("id"), lit("I").as("op"),
+          concat(lit("fresh dup scan table "),
+            col("doc_id").cast(StringType)).as("text"))
+      val (post2, lens2) = Search.compactPostings(oldPost, oldLens,
+        del.unionByName(upd).unionByName(ins))
+      val qs = Seq((0L, "dup scan table")).toDF("qid", "qtext")
+      Search.bm25TopK(qs, post2, Search.statsFromLens(lens2), k = 10)
+        .orderBy(col("rank"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 31 <> 0 AND doc_id % 37 <> 0),
+      upd AS (SELECT doc_id, text || ' dup dup extra' AS text
+        FROM documents WHERE doc_id % 37 = 0 AND doc_id % 31 <> 0),
+      ins AS (SELECT doc_id + 1000000 AS doc_id,
+          'fresh dup scan table ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 41 = 0),
+      corpus2 AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins),
+      toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM corpus2),
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      qt(term) AS (VALUES ('dup'), ('scan'), ('table')),
+      hdf AS (SELECT post.*, CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+          AS df
+        FROM post JOIN qt USING (term)),
+      sc AS (SELECT doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY doc_id),
+      r AS (SELECT CAST(0 AS BIGINT) AS qid,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank,
+          doc_id, score
+        FROM sc)
+      SELECT qid, rank, doc_id, score FROM r
+      WHERE rank <= 10 ORDER BY rank"""))
+
+  def all: Seq[GraftQuery] = Seq(q124, q125, q126, q127, q128)
 }

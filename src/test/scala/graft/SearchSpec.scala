@@ -122,6 +122,38 @@ class SearchSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  // -- index compaction --------------------------------------------------
+
+  test("compactPostings == from-scratch rebuild after D/U/I; stats move") {
+    val oldPost = Search.termPostings(corpus, "doc_id", "text")
+    val oldLens = Search.docLens(corpus, "doc_id", "text")
+    val changelog = Seq(
+      (1L, "D", null.asInstanceOf[String]),       // delete doc 1
+      (3L, "U", "updated dog text"),              // rewrite doc 3
+      (9L, "I", "a brand new fox document"),      // insert doc 9
+      (10L, "I", "")                              // insert an EMPTY doc
+    ).toDF("id", "op", "text")
+    val (post2, lens2) = Search.compactPostings(oldPost, oldLens, changelog)
+    val successor = Seq(
+      (0L, "red fox jumps over the red fox"),
+      (2L, "a dog sleeps"),
+      (3L, "updated dog text"),
+      (4L, "the dog and the fox"),
+      (9L, "a brand new fox document"),
+      (10L, "")).toDF("doc_id", "text")
+    val want = Search.termPostings(successor, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val got = post2.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+    // the length sidecar counts the EMPTY inserted doc postings cannot
+    val Array(st) = Search.statsFromLens(lens2).collect()
+    val Array(stW) = Search.corpusStats(successor, "doc_id", "text").collect()
+    assert((st.getLong(0), st.getLong(1)) == (stW.getLong(0), stW.getLong(1)))
+    assert(st.getLong(0) == 6L)
+  }
+
   // -- phrase match ------------------------------------------------------
 
   test("phraseMatches: counts, overlaps, and non-matches") {
