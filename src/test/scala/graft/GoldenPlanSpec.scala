@@ -41,7 +41,12 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q54_dedup_keep_first",
     "q107_ivf_index_probe",
     "q116_importance_score",
-    "q117_length_batches")
+    "q117_length_batches",
+    // r6: the BM25 probe plan — load-bearing tokens are the broadcast
+    // of the query terms, the single (term, qid) window exchange
+    // feeding df, and the TopKPerGroup heap phases (no Window sort of
+    // the scored set)
+    "q124_bm25_search")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
