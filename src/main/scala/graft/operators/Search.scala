@@ -195,6 +195,95 @@ object Search {
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
+  /** SymSpell-shaped fuzzy term suggestions: for each (possibly
+    * misspelled) query term, the corpus vocabulary terms within
+    * Levenshtein distance 1, ranked by document frequency — the
+    * "did you mean" / query-relaxation primitive in front of
+    * [[bm25TopK]].
+    *
+    * Candidate generation is the SymSpell trick: a term matches a
+    * query term at distance ≤ 1 only if they share a 0-or-1-deletion
+    * variant, so the join runs on deletion variants — vocab side
+    * ≤ (len+1) short strings per term (vocab-sized, NOT corpus-sized:
+    * the census collapses the corpus first), query side broadcast —
+    * and an exact `levenshtein ≤ 1` verify prunes the distance-2
+    * pairs deletion sharing also surfaces (e.g. "abc" ~ "adc" share
+    * "ac"... at distance 1, but "abc" ~ "axd" share nothing; "ab" ~
+    * "cab" share "ab"): candidates are approximate, the emitted
+    * verdict is exact, the near-dup contract. Ranking goes through
+    * the bounded heap per query term.
+    *
+    * @return (query_term, rank, term, doc_freq) */
+  def fuzzyTermSuggestions(docs: DataFrame, idCol: String, textCol: String,
+                           queryTerms: Seq[String], k: Int = 3): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"query terms must be non-empty and whitespace-free: $queryTerms")
+    // 0-or-1-deletion variants of a string column: the string itself
+    // plus len strings with position i removed (array_union dedups —
+    // "aa" has one distinct deletion)
+    def delVariants(s: Column): Column = array_union(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+    val vocab = termPostings(docs, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val vocabVars = vocab
+      .select(col("term"), col("doc_freq"),
+        explode(delVariants(col("term"))).as("_v"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qVars = terms.toDF("query_term")
+      .select(col("query_term"), explode(delVariants(col("query_term"))).as("_v"))
+    val cands = vocabVars.join(broadcast(qVars), Seq("_v"))
+      .select(col("query_term"), col("term"), col("doc_freq")).distinct()
+      .filter(levenshtein(col("query_term"), col("term")) <= 1)
+    val kept = graft.plans.TopKPerGroup(cands, Seq("query_term"),
+      Seq(("doc_freq", false), ("term", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_term"))
+      .orderBy(col("doc_freq").desc, col("term"))
+    kept.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("query_term"), col("rank"), col("term"), col("doc_freq"))
+  }
+
+  /** Term-distribution drift between two corpus snapshots — the
+    * monitoring primitive that catches a crawl/filter regression
+    * before training does: each side's term share in parts-per-1e8
+    * (integer div — replayable), drift = |share_a − share_b|, top-k
+    * drifted terms. Terms absent from a side carry share 0 (the full
+    * outer join keeps them — exactly the new-boilerplate /
+    * vanished-source cases worth alarming on). Census tuples shuffle,
+    * bodies never; top-k via TakeOrderedAndProject. */
+  def termDrift(docsA: DataFrame, docsB: DataFrame, idCol: String,
+                textCol: String, k: Int = 20): DataFrame = {
+    def census(d: DataFrame) = positionalPostings(d, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
+    val a = census(docsA).select(col("term"), col("_cnt").as("_ca"))
+    val b = census(docsB).select(col("term"), col("_cnt").as("_cb"))
+    // totals as windows over the joined census, NOT aggregate-and-
+    // rejoin (which would re-derive both text scans — the q116
+    // lesson). The single-partition window holds the VOCABULARY, one
+    // row per distinct term — task-resident by construction even when
+    // the corpus is not.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    a.join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .withColumn("_ta", sum(col("_ca")).over(wAll))
+      .withColumn("_tb", sum(col("_cb")).over(wAll))
+      .select(col("term"),
+        expr("(_ca * 100000000L) div _ta").as("share_a"),
+        expr("(_cb * 100000000L) div _tb").as("share_b"))
+      .select(col("term"), col("share_a"), col("share_b"),
+        abs(col("share_a") - col("share_b")).as("drift"))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(k)
+  }
+
   /** Exact phrase occurrences per document: docs where `phrase`'s
     * tokens appear contiguously (whitespace tokenization, lowercased —
     * the index's own token geometry, NOT substring match), with the

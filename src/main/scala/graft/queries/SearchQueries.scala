@@ -261,5 +261,82 @@ object SearchQueries {
       SELECT qid, rank, doc_id, score FROM r
       WHERE rank <= 10 ORDER BY rank"""))
 
-  def all: Seq[GraftQuery] = Seq(q124, q125, q126, q127, q128)
+  // ---- q129: fuzzy term suggestions (SymSpell deletion join) ----------
+  // Four query terms: three 1-edit typos of vocabulary words and one
+  // with no neighbor (must yield nothing). The oracle replays the
+  // census, BOTH deletion expansions, the distance verify and the
+  // df ranking.
+
+  private val q129 = GraftQuery(
+    "q129_fuzzy_terms",
+    (s, d) =>
+      Search.fuzzyTermSuggestions(docs(s, d), "doc_id", "text",
+          Seq("vektor", "streem", "window", "xylophone"), k = 3)
+        .orderBy(col("query_term"), col("rank")),
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id FROM occ GROUP BY term, doc_id),
+      vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM post GROUP BY term),
+      vv AS (SELECT term, doc_freq, unnest(list_distinct(list_append(
+          list_transform(generate_series(1, length(term)),
+            i -> substr(term, 1, i - 1) || substr(term, i + 1, length(term))),
+          term))) AS v
+        FROM vocab),
+      q(query_term) AS (VALUES ('vektor'), ('streem'), ('window'),
+        ('xylophone')),
+      qv AS (SELECT query_term, unnest(list_distinct(list_append(
+          list_transform(generate_series(1, length(query_term)),
+            i -> substr(query_term, 1, i - 1) ||
+              substr(query_term, i + 1, length(query_term))),
+          query_term))) AS v
+        FROM q),
+      c AS (SELECT DISTINCT query_term, term, doc_freq
+        FROM vv JOIN qv USING (v)
+        WHERE levenshtein(query_term, term) <= 1),
+      r AS (SELECT query_term,
+          CAST(row_number() OVER (PARTITION BY query_term
+            ORDER BY doc_freq DESC, term) AS BIGINT) AS rank,
+          term, doc_freq
+        FROM c)
+      SELECT query_term, rank, term, doc_freq FROM r
+      WHERE rank <= 3 ORDER BY query_term, rank"""))
+
+  // ---- q130: term-distribution drift between snapshots ----------------
+  // src0 vs src2 as two crawl snapshots: per-term share in parts per
+  // 1e8 (integer div), drift = |share_a - share_b|, top 20. The
+  // planted 'dup' spike and per-source noise make the board sensitive
+  // to census or share-arithmetic regressions on either side.
+
+  private val q130 = GraftQuery(
+    "q130_term_drift",
+    (s, d) => {
+      val all = docs(s, d)
+      Search.termDrift(
+        all.filter(col("source") === "src0"),
+        all.filter(col("source") === "src2"),
+        "doc_id", "text", k = 20)
+    },
+    Some("""WITH ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0)) AS term
+        FROM documents WHERE source = 'src0') GROUP BY term),
+      cb AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0)) AS term
+        FROM documents WHERE source = 'src2') GROUP BY term),
+      j AS (SELECT coalesce(ca.term, cb.term) AS term,
+          coalesce(ca.c, 0) AS na, coalesce(cb.c, 0) AS nb
+        FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+      sh AS (SELECT term,
+          CAST((na * 100000000) // (SELECT sum(na) FROM j) AS BIGINT)
+            AS share_a,
+          CAST((nb * 100000000) // (SELECT sum(nb) FROM j) AS BIGINT)
+            AS share_b
+        FROM j)
+      SELECT term, share_a, share_b, abs(share_a - share_b) AS drift
+      FROM sh ORDER BY drift DESC, term LIMIT 20"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q124, q125, q126, q127, q128, q129, q130)
 }

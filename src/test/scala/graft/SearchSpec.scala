@@ -204,6 +204,53 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  // -- fuzzy terms -------------------------------------------------------
+
+  test("fuzzyTermSuggestions: every distance-1 edit class is caught") {
+    val docs = Seq(
+      (0L, "stream stream vector"),
+      (1L, "stream window"),
+      (2L, "steam dream")).toDF("doc_id", "text")
+    val got = Search.fuzzyTermSuggestions(docs, "doc_id", "text",
+        Seq("streem", "stream", "strea", "streams", "xyz"), k = 5)
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    assert(got("streem") == Seq("stream"))            // substitution
+    assert(got("strea") == Seq("stream"))             // insertion repairs it
+    assert(got("streams") == Seq("stream"))           // deletion repairs it
+    assert(got("stream") == Seq("stream", "steam"))   // exact + neighbors
+    assert(!got.contains("xyz"))                      // no neighbor
+  }
+
+  test("fuzzyTermSuggestions ranks by doc_freq desc then term") {
+    val docs = Seq(
+      (0L, "cat car"), (1L, "car"), (2L, "car cab")).toDF("doc_id", "text")
+    val got = Search.fuzzyTermSuggestions(docs, "doc_id", "text",
+        Seq("caz"), k = 3).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "car", 3L), (2L, "cab", 1L), (3L, "cat", 1L)))
+  }
+
+  // -- term drift --------------------------------------------------------
+
+  test("termDrift: shares are exact integer ppm8 and one-sided terms rank") {
+    val a = Seq((0L, "x x y"), (1L, "x z")).toDF("doc_id", "text") // x3 y1 z1
+    val b = Seq((2L, "x y y y")).toDF("doc_id", "text")            // x1 y3
+    val got = Search.termDrift(a, b, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // a totals 5, b totals 4
+    val xa = 3L * 100000000L / 5L; val xb = 1L * 100000000L / 4L
+    val ya = 1L * 100000000L / 5L; val yb = 3L * 100000000L / 4L
+    val za = 1L * 100000000L / 5L
+    val want = Seq(
+      ("y", ya, yb, yb - ya),
+      ("x", xa, xb, xa - xb),
+      ("z", za, 0L, za)).sortBy(t => (-t._4, t._1))
+    assert(got == want)
+  }
+
   // -- weighted interleave ----------------------------------------------
 
   private def mixFixture = (0L until 600L)
