@@ -422,6 +422,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             k = k)
           .queryExecution.analyzed
       }))
+    // Exact phrase match from SQL (q125's operator):
+    //   phrase_match(table, id_col, text_col, phrase)
+    // The phrase is ONE string literal, whitespace-split with the
+    // index's own tokenizer geometry; emits (id, n_matches).
+    ext.injectTableFunction((
+      new FunctionIdentifier("phrase_match"),
+      new ExpressionInfo("graft.operators.Search", "phrase_match"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: phrase_match(table, id_col, text_col, phrase)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val phrase = strLit(children(3), "phrase")
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        graft.operators.Search.phraseMatches(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"),
+            phrase)
+          .queryExecution.analyzed
+      }))
+    // Fuzzy term suggestions from SQL (q129's operator):
+    //   fuzzy_terms(table, id_col, text_col, query_terms[, k])
+    // query_terms is a whitespace-separated literal; emits
+    // (query_term, rank, term, doc_freq).
+    ext.injectTableFunction((
+      new FunctionIdentifier("fuzzy_terms"),
+      new ExpressionInfo("graft.operators.Search", "fuzzy_terms"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 5,
+          "usage: fuzzy_terms(table, id_col, text_col, query_terms[, k])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val terms = strLit(children(3), "query_terms")
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        val k = children.drop(4).headOption.map(intLit(_, "k")).getOrElse(3)
+        require(k >= 1, s"fuzzy_terms: k must be >= 1, got $k")
+        graft.operators.Search.fuzzyTermSuggestions(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"),
+            terms, k = k)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

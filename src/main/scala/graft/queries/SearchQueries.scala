@@ -337,6 +337,21 @@ object SearchQueries {
       SELECT term, share_a, share_b, abs(share_a - share_b) AS drift
       FROM sh ORDER BY drift DESC, term LIMIT 20"""))
 
+  // ---- q131: phrase match + fuzzy terms from pure SQL -----------------
+  // The TVF layer adds a parser path, not semantics: q131 reaches
+  // phraseMatches through `phrase_match` and hash-matches q125's
+  // oracle verbatim (same idiom as q104/q111/q114).
+
+  private val q131 = GraftQuery(
+    "q131_sql_phrase",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT id AS doc_id, CAST(n_matches AS BIGINT) AS n_matches
+        FROM phrase_match('documents', 'doc_id', 'text', 'hash join')
+        ORDER BY doc_id""")
+    },
+    q125.oracle)
+
   def all: Seq[GraftQuery] =
-    Seq(q124, q125, q126, q127, q128, q129, q130)
+    Seq(q124, q125, q126, q127, q128, q129, q130, q131)
 }

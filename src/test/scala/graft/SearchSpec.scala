@@ -251,6 +251,31 @@ class SearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // -- SQL TVF surface ---------------------------------------------------
+
+  test("phrase_match and fuzzy_terms TVFs equal the Scala operators") {
+    corpus.createOrReplaceTempView("search_tvf_docs")
+    try {
+      val pScala = Search.phraseMatches(corpus, "doc_id", "text",
+        Seq("red", "fox")).orderBy(col("id")).collect().toSeq
+      val pSql = spark.sql("""SELECT * FROM
+          phrase_match('search_tvf_docs', 'doc_id', 'text', 'red fox')
+        ORDER BY id""").collect().toSeq
+      assert(pSql == pScala)
+      val fScala = Search.fuzzyTermSuggestions(corpus, "doc_id", "text",
+        Seq("fux", "dogg"), k = 2)
+        .orderBy(col("query_term"), col("rank")).collect().toSeq
+      val fSql = spark.sql("""SELECT * FROM
+          fuzzy_terms('search_tvf_docs', 'doc_id', 'text', 'fux dogg', 2)
+        ORDER BY query_term, rank""").collect().toSeq
+      assert(fSql == fScala)
+      intercept[Exception] {
+        spark.sql(
+          "SELECT * FROM fuzzy_terms('search_tvf_docs', 'doc_id', 'text', 'x', 0)")
+      }
+    } finally spark.catalog.dropTempView("search_tvf_docs")
+  }
+
   // -- weighted interleave ----------------------------------------------
 
   private def mixFixture = (0L until 600L)
