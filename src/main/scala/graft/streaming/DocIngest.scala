@@ -176,6 +176,41 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** SEARCH-INDEX ingest: every arriving micro-batch lands its BM25
+    * postings and length-sidecar rows ([[graft.operators.Search]])
+    * beside the corpus — the index grows WITH ingestion instead of by
+    * full rebuild (the streaming sibling of the q128 CDC compaction;
+    * same shape as [[graft.operators.Similarity.appendToIvfIndex]]
+    * for the embedding index). `foreachBatch` because one batch feeds
+    * two sinks (postings + lens). Delivery is the foreachBatch
+    * contract: at-least-once per micro-batch — postings rows are
+    * (term, id)-keyed, so a retry re-lands the SAME rows and a
+    * downstream keep-first (or a transactional table sink) makes the
+    * landing idempotent; [[ingest]]'s digest dedup already keeps a
+    * re-delivered DOC from indexing twice within one run. */
+  def runPostingsIngest(spark: SparkSession, rawDir: String,
+                        postingsDir: String, lensDir: String,
+                        checkpointDir: String, minTokens: Int = 3,
+                        maxFilesPerTrigger: Int = 1): Unit = {
+    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger), minTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // two consumers — without the persist, tokenize runs twice
+        batch.persist()
+        try {
+          graft.operators.Search.termPostings(batch, "doc_id", "text")
+            .write.mode("append").parquet(postingsDir)
+          graft.operators.Search.docLens(batch, "doc_id", "text")
+            .write.mode("append").parquet(lensDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

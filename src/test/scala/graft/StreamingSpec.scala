@@ -412,6 +412,44 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming postings ingest: the search index grown per batch equals batch-built") {
+    import graft.operators.Search
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_postingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val post = root.resolve("post")
+    val lens = root.resolve("lens"); val ckpt = root.resolve("ckpt")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    // two shards; shard 2 re-delivers part of shard 1 (digest dedup
+    // must keep the index from double-counting a re-delivered doc)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    docs.filter(col("doc_id") % 4 =!= 1).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    graft.streaming.DocIngest.runPostingsIngest(spark,
+      raw.toString + "/*/", post.toString, lens.toString, ckpt.toString)
+
+    val ingested = graft.streaming.DocIngest.ingest(
+      docs.filter(col("doc_id") % 2 === 0)
+        .union(docs.filter(col("doc_id") % 4 =!= 1)))
+    val wantPost = Search.termPostings(ingested, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val gotPost = spark.read.parquet(post.toString)
+      .collect().map(_.toSeq).toSet
+    assert(gotPost == wantPost)
+    // a BM25 probe over the streamed index equals the batch twin
+    import spark.implicits._
+    val qs = Seq((0L, "dup scan table")).toDF("qid", "qtext")
+    val wantTop = Search.bm25TopK(qs,
+      Search.termPostings(ingested, "doc_id", "text"),
+      Search.corpusStats(ingested, "doc_id", "text"), 5).collect().toSeq
+    val gotTop = Search.bm25TopK(qs, spark.read.parquet(post.toString),
+      Search.statsFromLens(spark.read.parquet(lens.toString)), 5)
+      .collect().toSeq
+    assert(gotTop == wantTop)
+    deleteRec(root)
+  }
+
   test("streaming decontamination gate: streamed equals batch, planted hit blocked") {
     import spark.implicits._
     import graft.streaming.DocIngest
