@@ -142,11 +142,20 @@ object Search {
     * bucketed readback of one); `stats` a [[corpusStats]] row for the
     * SAME corpus — split so that a persisted index amortizes both.
     *
-    * Shape: query terms (distinct per query) broadcast against the
-    * postings — only matched posting lists survive; df-per-term rides
-    * a window over the (term) exchange of those survivors (the q116
-    * lesson: an aggregate-and-rejoin re-derives the probe join);
-    * per-(qid, id) score sum is the second exchange; ranking goes
+    * Shape: the distinct query-term SET broadcasts against the
+    * postings — only matched posting lists survive, narrowly. df per
+    * term is a partial-aggregated count over the survivors,
+    * broadcast back (≤ #query-terms rows), NOT a window over a
+    * (term)-partitioned exchange: a window would put a hot term's
+    * ENTIRE posting list in one task — query "the" and one task owns
+    * a 10¹⁰-row partition — where the map-side-combined aggregate
+    * never concentrates anything. (Contrast q116, where the rejoin
+    * side was the corpus-sized gram explosion and the window won;
+    * here the rejoin side is query-terms-sized. The matched postings
+    * are derived twice — two narrow passes, which a persisted
+    * [[writePostingsBucketed]] index makes columnar re-scans.)
+    * Per-query expansion joins AFTER the df attach; the per-(qid, id)
+    * score sum is the plan's one real exchange, and ranking goes
     * through the k-bounded [[graft.plans.TopKPerGroup]] heap — the
     * scored set is never sorted.
     *
@@ -166,18 +175,17 @@ object Search {
       .select(col("qid"),
         TextFunctions.whitespaceTokens(col("qtext")).as("_qtk"))
       .select(col("qid"), explode(array_distinct(col("_qtk"))).as("term"))
-    val hits = postings.join(broadcast(qterms), Seq("term"))
-    // df(term) as a window over the surviving postings' (term, qid)
-    // exchange: (term, id) rows are unique in the index and a term's
-    // rows enumerate every doc containing it, so the partition
-    // row-count IS the corpus document frequency — the q116 lesson
-    // applied (an aggregate-and-rejoin would re-derive the probe
-    // join). Two exchanges total: this one, then the (qid, id) score
-    // sum.
-    val scored = hits
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(
-          col("term"), col("qid"))))
+    val matched = postings
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    // (term, id) rows are unique in the index and a term's rows
+    // enumerate every doc containing it, so this count IS the corpus
+    // document frequency — partial-aggregated map-side, never
+    // concentrating a hot term's list in one task (see scaladoc)
+    val dfTable = matched.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+    val scored = matched
+      .join(broadcast(dfTable), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         expr(s"((n_docs - _df + 1L) * ${idfScale}L) div (_df + 1L)"))
