@@ -99,7 +99,12 @@ object Search {
     * never a corpus rescan. */
   def statsFromLens(lens: DataFrame): DataFrame =
     lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("_ltot"))
-      .select(col("n_docs"), expr("(_ltot * 1000L) div n_docs").as("a3"))
+      .select(col("n_docs"),
+        // empty corpus: div-by-zero nulls would otherwise ride into
+        // every downstream score expression; 0 keeps the row typed
+        // and the (necessarily empty) probe result empty
+        when(col("n_docs") === 0L, lit(0L))
+          .otherwise(expr("(_ltot * 1000L) div n_docs")).as("a3"))
 
   /** Maintain a persisted BM25 index under a D/U/I changelog — the
     * retrieval twin of [[Dedup.compactMinhashIndex]] (q108): the

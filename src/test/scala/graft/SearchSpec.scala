@@ -41,6 +41,15 @@ class SearchSpec extends AnyFunSuite {
     assert(st.getLong(1) == 4600L)
   }
 
+  test("corpusStats on an empty corpus is (0, 0), not a null-poisoned row") {
+    val empty = corpus.filter(col("doc_id") < 0)
+    val Array(st) = Search.corpusStats(empty, "doc_id", "text").collect()
+    assert((st.getLong(0), st.getLong(1)) == (0L, 0L))
+    val qs = Seq((0L, "fox")).toDF("qid", "qtext")
+    assert(Search.bm25TopK(qs, Search.termPostings(empty, "doc_id", "text"),
+      Search.corpusStats(empty, "doc_id", "text"), 3).count() == 0L)
+  }
+
   // -- BM25 --------------------------------------------------------------
 
   /** The scoring formula, verbatim, on the JVM — the spec's oracle. */
