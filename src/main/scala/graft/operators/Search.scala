@@ -208,6 +208,88 @@ object Search {
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
+  /** MMR (maximal marginal relevance) diversified re-ranking — the
+    * retrieval re-rank step between a top-k searcher and a RAG
+    * context window: from each query's `k` candidates, greedily pick
+    * `m` that trade relevance against redundancy,
+    * `argmax( λ·rel − (1−λ)·max_{s∈selected} sim(c, s) )`.
+    *
+    * Deterministic by construction: relevance is the rank-normalized
+    * integer `(k − rank + 1)·10⁶ div k`, similarities are 6dp-rounded
+    * cosines scaled to integers (the q53 cross-engine parity trick),
+    * and λ = 1/2 makes the objective a difference of integer-valued
+    * doubles < 2⁵³ — exact IEEE on any engine, ties broken on the
+    * smaller candidate id.
+    *
+    * Shape: candidates join their vectors (queries×k rows), ONE
+    * exchange collects each query's candidate array, and the greedy
+    * loop is an intra-row fold (the q88 state-machine contract —
+    * selection is inherently sequential, but over ≤ k rows of
+    * per-query state, never over the corpus; the quadratic pair-sim
+    * work is k² per query, computed inside the fold). Never a
+    * driver-side loop, never a corpus shuffle.
+    *
+    * @param ranked (qid, rank, cid) — a [[bm25TopK]]/
+    *               [[Similarity.bruteForceTopK]]-shaped result
+    * @param vectors (id, vec: array<double>) for every cid
+    * @return (qid, pos, cid) — pos = 1..m in selection order */
+  def mmrRerank(ranked: DataFrame, vectors: DataFrame, m: Int,
+                k: Int): DataFrame = {
+    require(m > 0 && k >= m, s"need 0 < m <= k, got m=$m k=$k")
+    val cands = ranked
+      .join(vectors.withColumnRenamed("id", "cid"), Seq("cid"))
+      .select(col("qid"), col("rank"), col("cid"), col("vec"))
+    val perQuery = cands
+      .groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(col("rank"), col("cid"),
+        col("vec")))).as("_cs"))
+    // rel(rank) = (k - rank + 1)*1e6 div k, as an integer-valued double
+    def rel(rank: Column): Column =
+      floor((lit(k.toLong) - rank + 1L) * 1000000L / k).cast(DoubleType)
+    // sim6 = round(cos, 6)*1e6, integer-valued double
+    def sim6(a: Column, b: Column): Column =
+      round(graft.functions.VectorFunctions.cosineFast(a, b), 6) * 1e6
+    // greedy: state = selected array (in pick order); each step scans
+    // the unselected candidates, scoring 0.5*rel - 0.5*maxSim
+    val selected = aggregate(
+      sequence(lit(1), lit(m)),
+      expr("CAST(array() AS ARRAY<STRUCT<rank BIGINT, cid BIGINT, " +
+        "vec ARRAY<DOUBLE>>>)"),
+      (sel, _) => {
+        val unpicked = filter(col("_cs"), c =>
+          !exists(sel, s => s.getField("cid") === c.getField("cid")))
+        val best = aggregate(unpicked,
+          lit(null).cast(
+            "STRUCT<score DOUBLE, rank BIGINT, cid BIGINT, vec ARRAY<DOUBLE>>"),
+          (acc, c) => {
+            // seed BELOW -1e6 so a selected set of all-negative
+            // cosines still yields its true (negative) max — a 0 seed
+            // would silently clamp redundancy penalties at orthogonal;
+            // the empty-selection step is pure relevance (0 penalty)
+            val maxSim = when(size(sel) === 0, lit(0.0))
+              .otherwise(aggregate(sel, lit(-2.0e6),
+                (mx, s) => greatest(mx, sim6(c.getField("vec"),
+                  s.getField("vec")))))
+            val score = rel(c.getField("rank")) * 0.5 - maxSim * 0.5
+            val cand = struct(score.as("score"),
+              c.getField("rank").as("rank"), c.getField("cid").as("cid"),
+              c.getField("vec").as("vec"))
+            when(acc.isNull, cand)
+              .when(score > acc.getField("score"), cand)
+              .when(score === acc.getField("score") &&
+                c.getField("cid") < acc.getField("cid"), cand)
+              .otherwise(acc)
+          })
+        when(best.isNull, sel).otherwise(concat(sel, array(struct(
+          best.getField("rank").as("rank"), best.getField("cid").as("cid"),
+          best.getField("vec").as("vec")))))
+      })
+    perQuery
+      .select(col("qid"), posexplode(selected).as(Seq("_i", "_s")))
+      .select(col("qid"), (col("_i") + 1).cast(LongType).as("pos"),
+        col("_s").getField("cid").as("cid"))
+  }
+
   /** SymSpell-shaped fuzzy term suggestions: for each (possibly
     * misspelled) query term, the corpus vocabulary terms within
     * Levenshtein distance 1, ranked by document frequency — the

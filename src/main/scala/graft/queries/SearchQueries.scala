@@ -352,6 +352,87 @@ object SearchQueries {
     },
     q125.oracle)
 
+  // ---- q132: MMR diversified re-ranking -------------------------------
+  // Two query vectors' exact top-8 cosine candidates re-ranked to 4
+  // diverse picks. Greedy selection is inherently sequential, so the
+  // oracle UNROLLS the m=4 steps as chained CTEs (one argmax window
+  // per step, pair sims precomputed) while Spark runs the same
+  // recurrence as an intra-row fold — the hash gates relevance
+  // normalization, the 6dp sim parity, the 0.5/0.5 trade-off and
+  // every tie-break across four selection rounds.
+
+  private val q132 = GraftQuery(
+    "q132_mmr_rerank",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+            .as("v"))
+      val queries = e.filter(col("vec_id").isin(0L, 17L))
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      val cands = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val ranked = graft.operators.Similarity
+        .bruteForceTopK(queries, cands, k = 8)
+        .select(col("qid"), col("rank"), col("cid"))
+      Search.mmrRerank(ranked,
+          e.select(col("vec_id").as("id"), col("v").as("vec")),
+          m = 4, k = 8)
+        .orderBy(col("qid"), col("pos"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17)),
+      sc AS (SELECT q.qid, e.vec_id AS cid,
+          round(list_dot_product(q.qv, e.v) /
+            (sqrt(list_dot_product(q.qv, q.qv)) *
+             sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+        FROM q JOIN e ON e.vec_id <> q.qid),
+      rk AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY sim DESC, cid) AS BIGINT) AS rank FROM sc),
+      cand AS (SELECT rk.qid, rk.cid, rk.rank, e.v
+        FROM rk JOIN e ON e.vec_id = rk.cid WHERE rank <= 8),
+      ps AS (SELECT a.qid, a.cid AS ia, b.cid AS ib,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) * 1e6 AS s6
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+      rel AS (SELECT qid, cid, rank,
+          floor((8 - rank + 1) * 1000000.0 / 8) AS rel FROM cand),
+      s1 AS (SELECT qid, cid AS c1 FROM rel WHERE rank = 1),
+      m2 AS (SELECT r.qid, r.cid, r.rel * 0.5 - ps.s6 * 0.5 AS mmr
+        FROM rel r JOIN s1 USING (qid)
+        JOIN ps ON ps.qid = r.qid AND ps.ia = r.cid AND ps.ib = s1.c1
+        WHERE r.cid <> s1.c1),
+      s2 AS (SELECT qid, cid AS c2 FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY mmr DESC, cid) AS rn FROM m2) WHERE rn = 1),
+      m3 AS (SELECT r.qid, r.cid,
+          any_value(r.rel) * 0.5 - max(ps.s6) * 0.5 AS mmr
+        FROM rel r JOIN s1 USING (qid) JOIN s2 USING (qid)
+        JOIN ps ON ps.qid = r.qid AND ps.ia = r.cid
+          AND (ps.ib = s1.c1 OR ps.ib = s2.c2)
+        WHERE r.cid <> s1.c1 AND r.cid <> s2.c2
+        GROUP BY r.qid, r.cid),
+      s3 AS (SELECT qid, cid AS c3 FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY mmr DESC, cid) AS rn FROM m3) WHERE rn = 1),
+      m4 AS (SELECT r.qid, r.cid,
+          any_value(r.rel) * 0.5 - max(ps.s6) * 0.5 AS mmr
+        FROM rel r JOIN s1 USING (qid) JOIN s2 USING (qid)
+          JOIN s3 USING (qid)
+        JOIN ps ON ps.qid = r.qid AND ps.ia = r.cid
+          AND (ps.ib = s1.c1 OR ps.ib = s2.c2 OR ps.ib = s3.c3)
+        WHERE r.cid <> s1.c1 AND r.cid <> s2.c2 AND r.cid <> s3.c3
+        GROUP BY r.qid, r.cid),
+      s4 AS (SELECT qid, cid AS c4 FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY mmr DESC, cid) AS rn FROM m4) WHERE rn = 1)
+      SELECT qid, CAST(1 AS BIGINT) AS pos, c1 AS cid FROM s1
+      UNION ALL SELECT qid, CAST(2 AS BIGINT), c2 FROM s2
+      UNION ALL SELECT qid, CAST(3 AS BIGINT), c3 FROM s3
+      UNION ALL SELECT qid, CAST(4 AS BIGINT), c4 FROM s4
+      ORDER BY qid, pos"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q124, q125, q126, q127, q128, q129, q130, q131)
+    Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }

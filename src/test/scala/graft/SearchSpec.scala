@@ -213,6 +213,70 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  // -- MMR re-ranking ----------------------------------------------------
+
+  /** JVM greedy MMR with the operator's exact arithmetic. */
+  private def mmrBrute(cands: Seq[(Long, Long, Array[Double])], m: Int,
+                       k: Int): Seq[Long] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def sim6(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(cos(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6
+    var sel = Vector.empty[(Long, Long, Array[Double])]
+    (1 to m).foreach { _ =>
+      val rest = cands.filterNot(c => sel.exists(_._2 == c._2))
+      if (rest.nonEmpty) {
+        val best = rest.map { c =>
+          val maxSim = if (sel.isEmpty) 0.0
+            else sel.map(s => sim6(c._3, s._3)).max
+          val rel = math.floor((k - c._1 + 1) * 1000000.0 / k)
+          (-(rel * 0.5 - maxSim * 0.5), c._2, c)
+        }.minBy(t => (t._1, t._2))
+        sel = sel :+ best._3
+      }
+    }
+    sel.map(_._2)
+  }
+
+  test("mmrRerank matches the JVM greedy replay and de-clumps duplicates") {
+    // candidates: 0 and 1 near-identical (clump), 2 orthogonal-ish,
+    // 3 a third direction; relevance order 0 > 1 > 2 > 3
+    val vecs = Map(
+      0L -> Array(1.0, 0.0, 0.0),
+      1L -> Array(0.999, 0.04, 0.0),
+      2L -> Array(0.0, 1.0, 0.0),
+      3L -> Array(0.0, 0.0, 1.0))
+    val ranked = Seq((7L, 1L, 0L), (7L, 2L, 1L), (7L, 3L, 2L), (7L, 4L, 3L))
+      .toDF("qid", "rank", "cid")
+    val vdf = vecs.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("id", "vec")
+    val got = graft.operators.Search.mmrRerank(ranked, vdf, m = 3, k = 4)
+      .orderBy(col("pos")).collect().map(_.getLong(2)).toSeq
+    val want = mmrBrute(
+      Seq((1L, 0L, vecs(0L)), (2L, 1L, vecs(1L)), (3L, 2L, vecs(2L)),
+        (4L, 3L, vecs(3L))), 3, 4)
+    assert(got == want)
+    // diversification actually bites: the near-duplicate of the top
+    // pick must NOT be second
+    assert(got.head == 0L && got(1) != 1L)
+  }
+
+  test("mmrRerank over random vectors equals the JVM replay") {
+    val rnd = new scala.util.Random(7)
+    val cands = (0 until 12).map(i =>
+      (i + 1L, i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val ranked = cands.map(c => (1L, c._1, c._2)).toDF("qid", "rank", "cid")
+    val vdf = cands.map(c => (c._2, c._3.toSeq)).toDF("id", "vec")
+    val got = graft.operators.Search.mmrRerank(ranked, vdf, m = 6, k = 12)
+      .orderBy(col("pos")).collect().map(_.getLong(2)).toSeq
+    assert(got == mmrBrute(cands, 6, 12))
+  }
+
   // -- fuzzy terms -------------------------------------------------------
 
   test("fuzzyTermSuggestions: every distance-1 edit class is caught") {
