@@ -462,6 +462,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             terms, k = k)
           .queryExecution.analyzed
       }))
+    // Weighted source interleave from SQL (q127's operator):
+    //   interleave_sources(table, id_col, source_col, weights[, n_shards])
+    // weights is a 'src0:3,src1:2' literal; unlisted sources weigh 1.
+    ext.injectTableFunction((
+      new FunctionIdentifier("interleave_sources"),
+      new ExpressionInfo("graft.operators.DatasetOps", "interleave_sources"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 5,
+          "usage: interleave_sources(table, id_col, source_col, weights[, n_shards])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val weightSpec = strLit(children(3), "weights")
+        val weights = weightSpec.split(',').map(_.trim).filter(_.nonEmpty)
+          .map { w =>
+            w.split(':') match {
+              case Array(src, n) if n.trim.matches("\\d+") =>
+                src.trim -> n.trim.toLong
+              case _ => throw new IllegalArgumentException(
+                s"interleave_sources: weights must look like 'src0:3,src1:2', got '$w'")
+            }
+          }.toMap
+        graft.operators.DatasetOps.interleaveSources(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "source_col"),
+            weights,
+            nShards = children.drop(4).headOption
+              .map(intLit(_, "n_shards")).getOrElse(8))
+          .queryExecution.analyzed
+      }))
+    // MMR diversified re-ranking from SQL (q132's operator):
+    //   mmr_rerank(ranked_table, vectors_table, m, k)
+    // ranked_table carries (qid, rank, cid); vectors_table (id, vec).
+    ext.injectTableFunction((
+      new FunctionIdentifier("mmr_rerank"),
+      new ExpressionInfo("graft.operators.Search", "mmr_rerank"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: mmr_rerank(ranked_table, vectors_table, m, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Search.mmrRerank(
+            spark.table(strLit(children(0), "ranked_table")),
+            spark.table(strLit(children(1), "vectors_table")),
+            m = intLit(children(2), "m"), k = intLit(children(3), "k"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

@@ -433,6 +433,44 @@ object SearchQueries {
       UNION ALL SELECT qid, CAST(4 AS BIGINT), c4 FROM s4
       ORDER BY qid, pos"""))
 
+  // ---- q133/q134: interleave + MMR from pure SQL ----------------------
+  // Both TVFs hash-match the SAME oracles as their Scala twins
+  // (q127/q132) — the TVF layer adds a parser path, not semantics.
+
+  private val q133 = GraftQuery(
+    "q133_sql_interleave",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT vtime, source, doc_id, src_rank, shard
+        FROM interleave_sources('documents', 'doc_id', 'source',
+                                'src0:3,src1:2', 8)
+        ORDER BY vtime, source, doc_id LIMIT 200""")
+    },
+    q127.oracle)
+
+  private val q134 = GraftQuery(
+    "q134_sql_mmr",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+            .as("v"))
+      val queries = e.filter(col("vec_id").isin(0L, 17L))
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      graft.operators.Similarity
+        .bruteForceTopK(queries, e.select(col("vec_id").as("cid"),
+          col("v").as("cvec")), k = 8)
+        .select(col("qid"), col("rank"), col("cid"))
+        .createOrReplaceTempView("graft_q134_ranked")
+      e.select(col("vec_id").as("id"), col("v").as("vec"))
+        .createOrReplaceTempView("graft_q134_vecs")
+      s.sql("""SELECT qid, pos, cid
+        FROM mmr_rerank('graft_q134_ranked', 'graft_q134_vecs', 4, 8)
+        ORDER BY qid, pos""")
+    },
+    q132.oracle)
+
   def all: Seq[GraftQuery] =
-    Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }
