@@ -208,6 +208,54 @@ object Search {
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
+  /** Best-snippet extraction — the highlighting step after retrieval:
+    * for each doc, the `window`-token span covering the most query-
+    * term occurrences (ties → earliest start), with the span's text.
+    * Candidate starts are query-term positions only (a best window
+    * that starts mid-gap can always be slid right to a hit without
+    * losing coverage — the classic argument), so per-doc work is
+    * (hits per doc)², bounded by the doc's query-term occurrences,
+    * never its length.
+    *
+    * Shape: positional postings filtered to the query terms → ONE
+    * exchange collecting each doc's hit positions → intra-row argmax
+    * fold; the winning (start, n_hits) joins back to a token
+    * projection of the matched docs to slice the snippet text (the
+    * winners are retrieval-result-sized, the join is narrow).
+    *
+    * @return (id, start, n_hits, snippet) — start is the 0-based
+    *         token offset, snippet the space-joined window */
+  def bestSnippets(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], window: Int = 16): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(window > 0, s"window must be positive, got $window")
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val hits = positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.map(lit(_)): _*))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(col("pos"))).as("_ps"))
+    // argmax over candidate starts: n_hits = count of positions in
+    // [p, p+window); ties keep the EARLIER start (the sorted scan
+    // only replaces on strictly-more hits)
+    val best = aggregate(col("_ps"),
+      struct(lit(-1).as("n"), lit(0).as("start")),
+      (acc, p) => {
+        val n = size(filter(col("_ps"), q => q >= p && q < p + window))
+        when(n > acc.getField("n"),
+          struct(n.as("n"), p.as("start"))).otherwise(acc)
+      })
+    val winners = hits.select(col("id"),
+      best.getField("start").as("start"),
+      best.getField("n").as("n_hits"))
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.whitespaceTokens(col(textCol)).as("_tk"))
+    winners.join(toks, Seq("id"))
+      .select(col("id"), col("start").cast(LongType).as("start"),
+        col("n_hits").cast(LongType).as("n_hits"),
+        array_join(slice(col("_tk"), col("start") + 1, lit(window)), " ")
+          .as("snippet"))
+  }
+
   /** MMR (maximal marginal relevance) diversified re-ranking — the
     * retrieval re-rank step between a top-k searcher and a RAG
     * context window: from each query's `k` candidates, greedily pick

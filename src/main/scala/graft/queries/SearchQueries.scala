@@ -471,6 +471,40 @@ object SearchQueries {
     },
     q132.oracle)
 
+  // ---- q135: best-snippet extraction ----------------------------------
+  // The highlighting step: for every doc matching the q124 query, the
+  // 12-token window covering the most query-term occurrences, with
+  // the emitted snippet TEXT gating the slice arithmetic (the q97
+  // reassembly contract). The oracle scores candidate starts
+  // relationally (positions self-join) and slices with list indexing.
+
+  private val q135 = GraftQuery(
+    "q135_snippets",
+    (s, d) =>
+      Search.bestSnippets(docs(s, d), "doc_id", "text",
+          Seq("dup", "scan", "table"), window = 12)
+        .select(col("id").as("doc_id"), col("start"), col("n_hits"),
+          col("snippet"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $toksCte,
+      p AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks)),
+      h AS (SELECT doc_id, pos FROM p
+        WHERE term IN ('dup', 'scan', 'table')),
+      c AS (SELECT h1.doc_id, h1.pos AS s, CAST(count(*) AS BIGINT) AS n
+        FROM h h1 JOIN h h2 ON h2.doc_id = h1.doc_id
+          AND h2.pos >= h1.pos AND h2.pos < h1.pos + 12
+        GROUP BY h1.doc_id, h1.pos),
+      b AS (SELECT doc_id, s, n FROM (
+          SELECT doc_id, s, n, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, s) AS rn FROM c) WHERE rn = 1)
+      SELECT b.doc_id, b.s AS start, b.n AS n_hits,
+        array_to_string(tk[b.s + 1 : b.s + 12], ' ') AS snippet
+      FROM b JOIN toks ON toks.doc_id = b.doc_id
+      ORDER BY b.doc_id"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
+      q135)
 }

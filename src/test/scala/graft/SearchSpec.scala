@@ -213,6 +213,27 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  // -- snippets ----------------------------------------------------------
+
+  test("bestSnippets: densest window wins, ties take the earliest start") {
+    val docs = Seq(
+      // hits at 0, 4, 5: window 3 from 4 covers {4,5} (2 hits) > from 0
+      (0L, "cat a b c cat cat d"),
+      // symmetric two-hit windows at 0 and 4 — earliest start wins
+      (1L, "cat cat x y cat cat"),
+      (2L, "no match here at all"),
+      // clip at doc end: best window starts at the last token
+      (3L, "x y cat")).toDF("doc_id", "text")
+    val got = Search.bestSnippets(docs, "doc_id", "text", Seq("cat"),
+        window = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got(0L) == ((4L, 2L, "cat cat d")))
+    assert(got(1L) == ((0L, 2L, "cat cat x")))
+    assert(!got.contains(2L))
+    assert(got(3L) == ((2L, 1L, "cat")))
+  }
+
   // -- MMR re-ranking ----------------------------------------------------
 
   /** JVM greedy MMR with the operator's exact arithmetic. */
