@@ -350,11 +350,10 @@ object Search {
     * ≤ (len+1) short strings per term (vocab-sized, NOT corpus-sized:
     * the census collapses the corpus first), query side broadcast —
     * and an exact `levenshtein ≤ 1` verify prunes the distance-2
-    * pairs deletion sharing also surfaces (e.g. "abc" ~ "adc" share
-    * "ac"... at distance 1, but "abc" ~ "axd" share nothing; "ab" ~
-    * "cab" share "ab"): candidates are approximate, the emitted
-    * verdict is exact, the near-dup contract. Ranking goes through
-    * the bounded heap per query term.
+    * pairs deletion sharing also surfaces ("abcd" and "aced" share
+    * the deletion "acd" but sit two substitutions apart): candidates
+    * are approximate, the emitted verdict is exact — the near-dup
+    * contract. Ranking goes through the bounded heap per query term.
     *
     * @return (query_term, rank, term, doc_freq) */
   def fuzzyTermSuggestions(docs: DataFrame, idCol: String, textCol: String,

@@ -49,10 +49,10 @@ object LlmOps {
     * build is paid by whichever consumer runs FIRST in a session —
     * Bench's `first_run` map is where that bill shows up; its
     * `queries` map reports the steady-state later passes. */
-  private def materializedTempDir(memo: graft.sources.SessionMemo[String],
-                                  s: SparkSession, d: String,
-                                  prefix: String)
-                                 (build: String => Unit): String =
+  private[queries] def materializedTempDir(
+      memo: graft.sources.SessionMemo[String],
+      s: SparkSession, d: String, prefix: String)
+      (build: String => Unit): String =
     memo.getOrElseCompute(s, d) {
       val out = java.nio.file.Files.createTempDirectory(prefix).toString
       sys.addShutdownHook(
