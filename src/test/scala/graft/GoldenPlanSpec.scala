@@ -43,10 +43,13 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q116_importance_score",
     "q117_length_batches",
     // r6: the BM25 probe plan — load-bearing tokens are the broadcast
-    // of the query terms, the single (term, qid) window exchange
-    // feeding df, and the TopKPerGroup heap phases (no Window sort of
-    // the scored set)
-    "q124_bm25_search")
+    // of the query terms, the df aggregate (NOT a per-term window),
+    // and the TopKPerGroup heap phases (no Window sort of the scored
+    // set) — and the index-compaction plan, whose load-bearing tokens
+    // are the two BroadcastHashJoin LeftAnti rows (changelog ids
+    // broadcast; the index side never exchanges before the anti join)
+    "q124_bm25_search",
+    "q128_postings_compaction")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
