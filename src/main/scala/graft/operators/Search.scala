@@ -391,6 +391,68 @@ object Search {
       .select(col("query_term"), col("rank"), col("term"), col("doc_freq"))
   }
 
+  /** PMI query expansion — the co-occurrence primitive behind "users
+    * who searched X also meant Y": for each query term, the top-k
+    * vocabulary terms by pointwise mutual information over DOC-LEVEL
+    * co-occurrence: `pmi6 = ((joint·10⁶ div df_t)·N) div df_u` — the
+    * PMI ratio without the log (rank-preserving per query term,
+    * integer, same replayability rationale as the BM25 idf), STAGED
+    * so intermediates stay bounded: joint ≤ df_t makes the first
+    * factor ≤ 10⁶, so nothing exceeds 10⁶·N where the naive
+    * `joint·N·10⁶` product overflows int64 already at ~10⁹ docs.
+    * `minJoint` floors the joint count: PMI famously promotes hapax
+    * pairs (joint=1, tiny df_u → huge ratio), which a co-occurrence
+    * floor suppresses.
+    *
+    * Shape: the query terms' posting rows (broadcast semi-restricted,
+    * each carrying df_t via the same aggregate-and-broadcast as
+    * [[bm25TopK]]) join the corpus postings on doc id — the expansion
+    * is |docs containing a query term| × their vocab rows, the
+    * classic posting-intersection cost, never corpus × corpus; joint
+    * counts shuffle as fixed-width (qterm, term) tuples; candidate
+    * dfs attach from the vocabulary census (vocab-sized broadcast);
+    * ranking through the bounded heap.
+    *
+    * @return (query_term, rank, term, pmi6, joint) */
+  def pmiExpansion(docs: DataFrame, idCol: String, textCol: String,
+                   queryTerms: Seq[String], k: Int = 5,
+                   minJoint: Long = 3L): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    require(minJoint >= 1L, s"minJoint must be >= 1, got $minJoint")
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = termPostings(docs, idCol, textCol)
+      .select(col("term"), col("id"))
+    val vocab = post.groupBy(col("term")).agg(count(lit(1)).as("_dfu"))
+    val qpost = post
+      .join(broadcast(terms.toDF("query_term")),
+        col("term") === col("query_term"))
+      .select(col("query_term"), col("id"))
+    val qdf = qpost.groupBy(col("query_term")).agg(count(lit(1)).as("_dft"))
+    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("_n"))
+    val joint = qpost.join(post, Seq("id"))
+      .filter(col("term") =!= col("query_term"))
+      .groupBy(col("query_term"), col("term"))
+      .agg(count(lit(1)).as("joint"))
+      .filter(col("joint") >= minJoint)
+    val scored = joint
+      .join(broadcast(qdf), Seq("query_term"))
+      .join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("query_term"), col("term"), col("joint"),
+        expr("(((joint * 1000000L) div _dft) * _n) div _dfu").as("pmi6"))
+    val kept = graft.plans.TopKPerGroup(scored, Seq("query_term"),
+      Seq(("pmi6", false), ("term", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_term"))
+      .orderBy(col("pmi6").desc, col("term"))
+    kept.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("query_term"), col("rank"), col("term"), col("pmi6"),
+        col("joint"))
+  }
+
   /** Term-distribution drift between two corpus snapshots — the
     * monitoring primitive that catches a crawl/filter regression
     * before training does: each side's term share in parts-per-1e8

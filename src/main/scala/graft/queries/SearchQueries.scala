@@ -520,7 +520,49 @@ object SearchQueries {
       FROM b JOIN toks ON toks.doc_id = b.doc_id
       ORDER BY b.doc_id"""))
 
+  // ---- q136: PMI query expansion --------------------------------------
+  // Doc-level co-occurrence expansion for two query terms (the rare
+  // planted 'dup' and a common term — the PMI contrast). The oracle
+  // replays censuses, joint counts, the STAGED integer ratio and the
+  // ranking; the minJoint floor is part of the contract.
+
+  private val q136 = GraftQuery(
+    "q136_pmi_expansion",
+    (s, d) =>
+      Search.pmiExpansion(docs(s, d), "doc_id", "text",
+          Seq("dup", "vector"), k = 5, minJoint = 3L)
+        .orderBy(col("query_term"), col("rank")),
+    Some(s"""WITH $toksCte,
+      post AS (SELECT term, doc_id FROM (
+        SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY term, doc_id),
+      vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS dfu
+        FROM post GROUP BY term),
+      q(query_term) AS (VALUES ('dup'), ('vector')),
+      qpost AS (SELECT q.query_term, p.doc_id
+        FROM post p JOIN q ON p.term = q.query_term),
+      qdf AS (SELECT query_term, CAST(count(*) AS BIGINT) AS dft
+        FROM qpost GROUP BY query_term),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      joint AS (SELECT qp.query_term, p.term,
+          CAST(count(*) AS BIGINT) AS joint
+        FROM qpost qp JOIN post p ON p.doc_id = qp.doc_id
+        WHERE p.term <> qp.query_term
+        GROUP BY qp.query_term, p.term
+        HAVING count(*) >= 3),
+      sc AS (SELECT j.query_term, j.term, j.joint,
+          CAST((((j.joint * 1000000) // qdf.dft) * n.nd) // v.dfu AS BIGINT)
+            AS pmi6
+        FROM joint j JOIN qdf USING (query_term)
+          JOIN vocab v ON v.term = j.term, n),
+      r AS (SELECT query_term,
+          CAST(row_number() OVER (PARTITION BY query_term
+            ORDER BY pmi6 DESC, term) AS BIGINT) AS rank,
+          term, pmi6, joint
+        FROM sc)
+      SELECT query_term, rank, term, pmi6, joint FROM r
+      WHERE rank <= 5 ORDER BY query_term, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135)
+      q135, q136)
 }

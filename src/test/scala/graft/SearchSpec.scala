@@ -326,6 +326,31 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Seq((1L, "car", 3L), (2L, "cab", 1L), (3L, "cat", 1L)))
   }
 
+  // -- PMI expansion -----------------------------------------------------
+
+  test("pmiExpansion: planted co-occurrence outranks background; floor bites") {
+    // 'rocket' co-occurs with 'launch' in 3 of its 4 docs; 'filler' is
+    // everywhere (low PMI); 'hapax' co-occurs once (under minJoint)
+    val docs = Seq(
+      (0L, "rocket launch filler"),
+      (1L, "rocket launch filler"),
+      (2L, "rocket launch filler"),
+      (3L, "rocket hapax filler"),
+      (4L, "filler other words"),
+      (5L, "filler more words")).toDF("doc_id", "text")
+    val got = Search.pmiExpansion(docs, "doc_id", "text", Seq("rocket"),
+        k = 5, minJoint = 2L)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+    val byTerm = got.map(t => t._1 -> t).toMap
+    // launch: joint 3, dft 4, dfu 3, N 6 → ((3e6 div 4)*6) div 3
+    assert(byTerm("launch") == (("launch", 750000L * 6 / 3, 3L)))
+    // hapax (joint 1) is floored out
+    assert(!byTerm.contains("hapax"))
+    // launch outranks the ubiquitous filler
+    assert(got.head._1 == "launch")
+    assert(byTerm("filler")._2 < byTerm("launch")._2)
+  }
+
   // -- term drift --------------------------------------------------------
 
   test("termDrift: shares are exact integer ppm8 and one-sided terms rank") {
