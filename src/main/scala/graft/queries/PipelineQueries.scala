@@ -94,6 +94,10 @@ object PipelineQueries {
   private def processedMaterialized(s: SparkSession): DataFrame = {
     val dir = processedDirBySession.getOrElseCompute(s, "processed") {
       val d = Files.createTempDirectory("graft_processed_").toString
+      // process-owned fresh dir → reclaim at JVM exit, or every run
+      // leaks one copy into the tmpdir (the ADVICE r4 AvroIOSpec
+      // pattern; observed 20 accumulated dirs in r6)
+      sys.addShutdownHook(deleteRec(Paths.get(d)))
       OrderPipeline.processOrders(corruptOrdersMaterialized(s), "graft_materialize")
         .write.mode("overwrite").parquet(d)
       d
