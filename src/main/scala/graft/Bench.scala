@@ -23,10 +23,37 @@ import org.apache.spark.sql.SparkSession
   *     session reproduces the same ratio, so no shared or hidden data
   *     materialization is involved;
   *   - a fixed single-threaded spin loop (the "canary") is timed before
-  *     and after the battery. Its work is constant, so its wall time
-  *     moves ONLY with CPU contention — `canary.before_sec` vs
-  *     `canary.after_sec` disagreement (or either far above the ~0.2s
-  *     idle cost) flags the whole artifact as contended. */
+  *     and after the battery, plus an 8-thread twin for parallel
+  *     throughput. Their work is constant, so their wall time moves
+  *     ONLY with CPU contention.
+  *
+  * Battery-state hygiene (VERDICT r6 item 1 — the r6 artifact showed
+  * late-battery queries at 2–6× their isolated cost, a tax the
+  * allocation-free canaries are structurally blind to: 272 query
+  * passes accumulate broadcasts, cached plans and listener state in
+  * one 16 GiB JVM):
+  *   - the SparkSession is RECYCLED every `SPARK_GRAFT_RECYCLE`
+  *     queries (default 25): stopped and rebuilt, so heap state cannot
+  *     accumulate across the whole battery. The expensive derived
+  *     artifacts (enrichment table, pair verdicts, MinHash/IVF/BM25
+  *     indexes) are disk-backed and JVM-memoized by input dir
+  *     ([[graft.sources.JvmMemo]]), so a fresh session re-READS them —
+  *     the rebuild bill is session prime (codegen infra + catalog
+  *     footers), bounded and untimed;
+  *   - every query pass records its GC-TIME DELTA
+  *     (GarbageCollectorMXBean collection-time totals before/after),
+  *     published per query as `gc_sec` — the moving signal the fixed
+  *     canaries cannot see;
+  *   - a canary runs at the END of each segment (just before its
+  *     session is recycled), published as `canary.mid`, so contention
+  *     is localized to a ~25-query window instead of battery-global;
+  *   - the artifact SELF-ADJUDICATES (r6 stretch 8): `tainted` lists
+  *     queries whose min pass was GC-dominated (gc_sec > 25% of wall
+  *     and > 0.1 s) or whose segment's canary read > 1.5× the run's
+  *     best canary (CPU contention during that window), with the
+  *     reason in `taint_reason`. A clean artifact has `tainted: []`;
+  *     a flagged row means "re-time in isolation before grading",
+  *     no idle-box judge required. */
 object Bench {
   /** Fixed-work single-threaded spin: xorshift64* over a constant
     * iteration count. Returns (seconds, checksum) — the checksum is
@@ -70,63 +97,137 @@ object Bench {
     sec
   }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * the per-pass delta of this is the heap-pressure tax a wall-clock
+    * number alone cannot attribute. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // one small untimed action: JVM/codegen-infrastructure startup
-    // (classloading, first janino compile, scheduler spin-up) belongs
-    // to the session, not to whichever query happens to run first —
-    // and so does the one-time catalog registration (parquet footer
-    // reads for all ten temp views) the SQL-path queries share
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    try graft.sources.Tables.registerAllOnce(spark, sfDir)
-    catch { case _: Throwable => }
-    // warm up the canary loop itself (JIT compile) before the timed probe
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "25").toInt.max(1)
+
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // one small untimed action per session: codegen-infrastructure
+      // startup (classloading, first janino compile, scheduler
+      // spin-up) belongs to the session, not to whichever query runs
+      // first in it — and so does the catalog registration (parquet
+      // footer reads for the temp views) the SQL-path queries share
+      try SparkEntry.entry(s).count() catch { case _: Throwable => }
+      try graft.sources.Tables.registerAllOnce(s, sfDir)
+      catch { case _: Throwable => }
+      s
+    }
+
+    var spark = buildSession()
+    // warm up the canary loop itself (JIT compile) before timed probes
     canary()
     val (canBefore, ck1) = canary()
     val canMtBefore = canaryMt()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def onePass(): Option[Double] = {
+
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // (name, segment, pass1 (wall, gc), pass2 (wall, gc))
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Option[(Double, Double)], Option[(Double, Double)])]
+    val midCanaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var segment = 0
+    var i = 0
+    for ((name, fn) <- named) {
+      if (i > 0 && i % recycleEvery == 0) {
+        // segment canary BEFORE the recycle: it observes the machine
+        // state this segment's queries actually ran under
+        midCanaries += ((i, canary()._1))
+        spark.stop()
+        spark = buildSession()
+        segment += 1
+      }
+      def onePass(): Option[(Double, Double)] = {
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
       }
       val first = onePass()
       val second = if (first.isDefined) onePass() else None
-      (name, first, second)
+      results += ((name, segment, first, second))
+      i += 1
     }
     val (canAfter, ck2) = canary()
     val canMtAfter = canaryMt()
-    def jmap(entries: Seq[(String, Double)]): String =
+    spark.stop()
+
+    def jmap(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a query is either healthy (both passes timed) or failed — never
     // both: a pass-2 crash must not leave a pass-1 time in `queries`
     // making the battery look complete
-    val best = results.collect { case (k, Some(a), Some(b)) => (k, math.min(a, b)) }
-    val firstRun = results.collect { case (k, Some(a), Some(_)) => (k, a) }
-    val failed = results.collect { case (k, a, b) if a.isEmpty || b.isEmpty => "\"" + k + "\"" }
+    val healthy = results.collect {
+      case (k, seg, Some((a, ga)), Some((b, gb))) =>
+        if (a <= b) (k, seg, a, ga) else (k, seg, b, gb)
+    }
+    val best = healthy.map { case (k, _, w, _) => (k, w) }
+    val gcSec = healthy.map { case (k, _, _, g) => (k, g) }
+    val firstRun = results.collect {
+      case (k, _, Some((a, _)), Some(_)) => (k, a) }
+    val failed = results.collect {
+      case (k, _, a, b) if a.isEmpty || b.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = best.map(_._2).sum
+
+    // self-adjudication: GC-dominated min pass, or a contended segment
+    val allCanaries = Seq(canBefore, canAfter) ++ midCanaries.map(_._2)
+    val minCanary = allCanaries.min
+    def segCanary(seg: Int): Double =
+      // the canary at the segment's END (recorded at its recycle);
+      // the final segment's end canary is the battery-after one
+      midCanaries.lift(seg).map(_._2).getOrElse(canAfter)
+    val taintReason = healthy.flatMap { case (k, seg, w, g) =>
+      val gcBad = g > 0.25 * w && g > 0.1
+      val canBad = segCanary(seg) > 1.5 * minCanary
+      if (gcBad && canBad) Some(k -> "gc+canary")
+      else if (gcBad) Some(k -> "gc")
+      else if (canBad) Some(k -> "canary")
+      else None
+    }
+    val tainted = taintReason.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val taintJson = taintReason
+      .map { case (k, r) => "\"" + k + "\":\"" + r + "\"" }
+      .mkString("{", ",", "}")
+    val midJson = midCanaries
+      .map { case (at, sec) => s"""{"at":$at,"sec":$sec}""" }
+      .mkString("[", ",", "]")
     // the checksum anchors the loop against dead-code elimination; the
     // two runs compute the same value, so one suffices in the artifact
     val canaryJson =
       s"""{"before_sec":$canBefore,"after_sec":$canAfter,"checksum":${ck1 == ck2},""" +
-        s""""mt8_before_sec":$canMtBefore,"mt8_after_sec":$canMtAfter}"""
+        s""""mt8_before_sec":$canMtBefore,"mt8_after_sec":$canMtAfter,""" +
+        s""""mid":$midJson}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},"first_run":${jmap(firstRun)},"canary":$canaryJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
+        s""""first_run":${jmap(firstRun)},"gc_sec":${jmap(gcSec)},""" +
+        s""""canary":$canaryJson,"recycle_every":$recycleEvery,""" +
+        s""""sessions":${segment + 1},"tainted":$tainted,""" +
+        s""""taint_reason":$taintJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // self-reported artifact (VERDICT r3 item 7): the driver captures
     // stdout's tail, which can truncate the per-query map — persist the
@@ -138,7 +239,6 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write target/bench_full.json: $e")
     }
-    spark.stop()
-    if (results.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
+    if (results.exists(r => r._3.isEmpty || r._4.isEmpty)) sys.exit(1)
   }
 }

@@ -506,6 +506,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             m = intLit(children(2), "m"), k = intLit(children(3), "k"))
           .queryExecution.analyzed
       }))
+    // Best-snippet extraction from SQL (q135's operator — the
+    // highlighting step a SQL retrieval user composes directly after
+    // bm25_search):
+    //   best_snippets(table, id_col, text_col, query_terms[, window])
+    // query_terms is a whitespace-separated literal; emits
+    // (id, start, n_hits, snippet).
+    ext.injectTableFunction((
+      new FunctionIdentifier("best_snippets"),
+      new ExpressionInfo("graft.operators.Search", "best_snippets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4 || children.size == 5,
+          "usage: best_snippets(table, id_col, text_col, query_terms[, window])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val terms = strLit(children(3), "query_terms")
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        require(terms.nonEmpty,
+          "best_snippets: query_terms must contain at least one term")
+        val window = children.drop(4).headOption
+          .map(intLit(_, "window")).getOrElse(16)
+        require(window >= 1,
+          s"best_snippets: window must be >= 1, got $window")
+        graft.operators.Search.bestSnippets(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"),
+            terms, window = window)
+          .queryExecution.analyzed
+      }))
+    // PMI query expansion from SQL (q136's operator):
+    //   pmi_expand(table, id_col, text_col, query_terms, k[, min_joint])
+    // query_terms is a whitespace-separated literal; emits
+    // (query_term, rank, term, pmi6, joint).
+    ext.injectTableFunction((
+      new FunctionIdentifier("pmi_expand"),
+      new ExpressionInfo("graft.operators.Search", "pmi_expand"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5 || children.size == 6,
+          "usage: pmi_expand(table, id_col, text_col, query_terms, k[, min_joint])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val terms = strLit(children(3), "query_terms")
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        require(terms.nonEmpty,
+          "pmi_expand: query_terms must contain at least one term")
+        val k = intLit(children(4), "k")
+        require(k >= 1, s"pmi_expand: k must be >= 1, got $k")
+        val minJoint = children.drop(5).headOption
+          .map(intLit(_, "min_joint")).getOrElse(3)
+        require(minJoint >= 1,
+          s"pmi_expand: min_joint must be >= 1, got $minJoint")
+        graft.operators.Search.pmiExpansion(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"),
+            terms, k = k, minJoint = minJoint.toLong)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

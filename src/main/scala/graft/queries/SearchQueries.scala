@@ -25,7 +25,7 @@ object SearchQueries {
   // (q53's pattern): q124/q128 probe the SAME landed index instead of
   // re-tokenizing the corpus per invocation; the build bill lands in
   // Bench's first_run. Subdirs: post/ and lens/.
-  private val idxDirBySession = new graft.sources.SessionMemo[String]
+  private val idxDirBySession = new graft.sources.JvmMemo[String]
   private def postingsMaterialized(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val dir = LlmOps.materializedTempDir(idxDirBySession, s, d,
@@ -562,7 +562,71 @@ object SearchQueries {
       SELECT query_term, rank, term, pmi6, joint FROM r
       WHERE rank <= 5 ORDER BY query_term, rank"""))
 
+  // ---- q138/q139: snippets + PMI expansion from pure SQL --------------
+  // The last two retrieval operators without a SQL surface (VERDICT r6
+  // missing item 3): both TVFs hash-match the SAME oracles as their
+  // Scala twins (q135/q136) — the TVF layer adds a parser path, not
+  // semantics.
+
+  private val q138 = GraftQuery(
+    "q138_sql_snippets",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT id AS doc_id, `start`, n_hits, snippet
+        FROM best_snippets('documents', 'doc_id', 'text', 'dup scan table', 12)
+        ORDER BY doc_id""")
+    },
+    q135.oracle)
+
+  private val q139 = GraftQuery(
+    "q139_sql_pmi",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT query_term, rank, term, pmi6, joint
+        FROM pmi_expand('documents', 'doc_id', 'text', 'dup vector', 5, 3)
+        ORDER BY query_term, rank""")
+    },
+    q136.oracle)
+
+  // ---- q140: repeated-term phrase match -------------------------------
+  // The per-index (slot) encoding's reason to exist (VERDICT r6
+  // missing item 2): a phrase whose tokens repeat ("dup dup") — and
+  // the planted 'dup dup dup' run makes the OVERLAP semantics part of
+  // the contract (two overlapping matches per run, the relational
+  // i+1 adjacency count). The oracle is q125's adjacency replay over
+  // the modified corpus.
+
+  private val q140 = GraftQuery(
+    "q140_repeated_phrase",
+    (s, d) => {
+      val corpus2 = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" dup dup dup")))
+          .otherwise(col("text")).as("text"))
+      Search.phraseMatches(corpus2, "doc_id", "text", Seq("dup", "dup"))
+        .select(col("id").as("doc_id"),
+          col("n_matches").cast(LongType).as("n_matches"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus2 AS (SELECT doc_id,
+        CASE WHEN doc_id % 50 = 0 THEN text || ' dup dup dup'
+             ELSE text END AS text
+      FROM documents),
+      toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+      FROM corpus2),
+      p AS (SELECT doc_id, i, tk[i] AS term FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks)),
+      m AS (SELECT p0.doc_id FROM p p0
+        JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+          AND p1.term = 'dup'
+        WHERE p0.term = 'dup')
+      SELECT doc_id, count(*) AS n_matches FROM m
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136)
+      q135, q136, q138, q139, q140)
 }

@@ -183,11 +183,14 @@ object DocIngest {
     * same shape as [[graft.operators.Similarity.appendToIvfIndex]]
     * for the embedding index). `foreachBatch` because one batch feeds
     * two sinks (postings + lens). Delivery is the foreachBatch
-    * contract: at-least-once per micro-batch — postings rows are
-    * (term, id)-keyed, so a retry re-lands the SAME rows and a
-    * downstream keep-first (or a transactional table sink) makes the
-    * landing idempotent; [[ingest]]'s digest dedup already keeps a
-    * re-delivered DOC from indexing twice within one run. */
+    * contract: at-least-once per micro-batch — a retry re-lands the
+    * SAME (term, id) / (id) rows, so readers MUST apply the
+    * keep-first read repair
+    * [[graft.operators.Search.dedupIngestedIndex]] before deriving
+    * statistics (df / n_docs / avgdl are count(*)-shaped and inflate
+    * under duplicates); a transactional table sink would make the
+    * landing itself idempotent. [[ingest]]'s digest dedup already
+    * keeps a re-delivered DOC from indexing twice within one run. */
   def runPostingsIngest(spark: SparkSession, rawDir: String,
                         postingsDir: String, lensDir: String,
                         checkpointDir: String, minTokens: Int = 3,

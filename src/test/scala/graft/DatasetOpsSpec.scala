@@ -455,6 +455,52 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(reparted == rows)
   }
 
+  test("importanceScores: hot-gram skew fixture equals JVM replay; background count is never a window") {
+    // the VERDICT r6 scale profile: ONE bigram carrying ~a third of all
+    // gram occurrences (web text's "of the"). Correctness must hold and
+    // the plan must not concentrate the hot gram — the r6 shape was a
+    // Window.partitionBy(raw gram hash), which pins every occurrence of
+    // the hot gram to one task at 100 TB; the two-level (doc, gram)
+    // count must keep the plan Window-free.
+    val hot = "of the " * 8 // 8 "of the" + 7 "the of" bigrams per hot doc
+    val corpus = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, hot + s"u$i v$i")
+      else (i, s"alpha$i beta$i gamma$i delta$i")
+    }.toDF("doc_id", "text")
+    val target = Seq((1000L, "of the target sample"),
+      (1001L, "beta3 gamma3 extras")).toDF("doc_id", "text")
+    val got = DatasetOps.importanceScores(corpus, target, "doc_id", "text")
+      .select($"doc_id", $"n_grams", $"score", $"avg_ratio")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // JVM replay of the integer contract
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(s: String) =
+      toks(s).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val corpusDocs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, hot + s"u$i v$i")
+      else (i, s"alpha$i beta$i gamma$i delta$i")
+    }
+    val cs = corpusDocs.flatMap(d => grams(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = Seq("of the target sample", "beta3 gamma3 extras")
+      .flatMap(grams).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = corpusDocs.map { case (id, t) =>
+      val gs = grams(t)
+      val score = gs.map(g =>
+        1000000L * (ct.getOrElse(g, 0L) + 1L) / (cs(g) + 1L)).sum
+      val n = gs.size.toLong
+      id -> ((id, n, score, if (n > 0) score / n else 0L))
+    }.toMap
+    assert(got == want)
+    // the hot gram is ~30% of occurrences — sanity-pin the fixture
+    val total = cs.values.sum.toDouble
+    assert(cs("of the") / total > 0.25, s"fixture lost its skew: $cs")
+    val plan = DatasetOps.importanceScores(corpus, target, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"gram-hash window reappeared (the r6 scale-killer):\n${plan.take(3000)}")
+  }
+
   test("lengthBucketBatches: bucket homogeneity, full batches, layout invariance") {
     val rnd = new scala.util.Random(117)
     val docs = (0L until 400L).map { id =>

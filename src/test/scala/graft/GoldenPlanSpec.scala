@@ -28,11 +28,12 @@ class GoldenPlanSpec extends AnyFunSuite {
   // the keep-first dedup (every path a user reaches the heap by) —
   // plus the partition-pruned IVF probe, whose load-bearing token is
   // the `dynamicpruning` subquery in the index scan's PartitionFilters
-  // ...and the two round-6 one-pass plan shapes: q116's single
-  // gram-hash exchange feeding a window count (the aggregate-and-
-  // rejoin shape would re-derive the gram explosion — a reappearing
-  // second documents scan IS the regression), q117's one exchange +
-  // one window (a reappearing count-table branch likewise)
+  // ...and the de-skewed r7 shapes: q116's two-level (doc, gram)
+  // background count (a reappearing Window over the raw gram hash IS
+  // the regression — the hot-gram single task, VERDICT r6 item 2),
+  // q117's one exchange + one window (a reappearing count-table
+  // branch likewise), q130's broadcast scalar totals (a reappearing
+  // single-partition Window over the vocabulary is the regression)
   private val pinned = Seq(
     "q07_top_orders_per_customer",
     "q87_native_topk_group",
@@ -49,7 +50,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     // are the two BroadcastHashJoin LeftAnti rows (changelog ids
     // broadcast; the index side never exchanges before the anti join)
     "q124_bm25_search",
-    "q128_postings_compaction")
+    "q128_postings_compaction",
+    "q130_term_drift")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
@@ -60,10 +62,13 @@ class GoldenPlanSpec extends AnyFunSuite {
       .replaceAll("lambda x_\\d+", "lambda x_N")
       // Spark truncates the DataFilters blob at a CHARACTER budget, so
       // its cut point moves with the digit count of the (just
-      // normalized) lambda ids — collapse the list entirely;
+      // normalized) lambda ids — collapse the list entirely, CONSUMING
+      // the closing ']' when the truncation happened to preserve it
+      // (ADVICE r6: leaving it optional outside the match let digit
+      // drift flip pinned plans by one character);
       // PushedFilters/PartitionFilters are the load-bearing scan
       // tokens and stay pinned verbatim
-      .replaceAll("DataFilters: \\[.*?(?=\\]?, Format:)", "DataFilters: [N")
+      .replaceAll("DataFilters: \\[.*?\\]?(?=, Format:)", "DataFilters: [N]")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
       .replaceAll("\\[id=#N\\]", "[id=N]")
       .replaceAll("file:[^\\s,\\]\\)]+", "file:PATH")

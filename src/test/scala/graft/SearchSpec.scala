@@ -201,10 +201,35 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1))
   }
 
-  test("phraseMatches rejects repeated-term and malformed phrases") {
-    intercept[IllegalArgumentException] {
-      Search.phraseMatches(corpus, "doc_id", "text", Seq("the", "fox", "the"))
-    }
+  test("phraseMatches: repeated-term phrases match, overlaps included") {
+    val docs = Seq(
+      (0L, "dup dup dup"),         // "dup dup" starts at 0 and 1
+      (1L, "dup x dup"),           // no adjacency
+      (2L, "new york new york"),
+      (3L, "dup dup"),
+      (4L, "x dup dup dup dup y")).toDF("doc_id", "text")
+    val got2 = Search.phraseMatches(docs, "doc_id", "text", Seq("dup", "dup"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == Map(0L -> 2, 3L -> 1, 4L -> 3))
+    val got3 = Search.phraseMatches(docs, "doc_id", "text",
+        Seq("dup", "dup", "dup"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got3 == Map(0L -> 1, 4L -> 2))
+    // the classic: a 4-token phrase whose halves repeat — matches the
+    // full run once, and the "new york" prefix alone does not count
+    val got4 = Search.phraseMatches(docs, "doc_id", "text",
+        Seq("new", "york", "new", "york"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got4 == Map(2L -> 1))
+    // a term repeated in the phrase but adjacent to a DIFFERENT term
+    // in the doc must not fake adjacency ("the fox the" vs "the the")
+    val mixed = Search.phraseMatches(corpus, "doc_id", "text",
+        Seq("the", "fox", "the"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mixed.isEmpty) // no doc carries that exact run
+  }
+
+  test("phraseMatches rejects malformed phrases") {
     intercept[IllegalArgumentException] {
       Search.phraseMatches(corpus, "doc_id", "text", Seq("two words"))
     }
@@ -368,6 +393,22 @@ class SearchSpec extends AnyFunSuite {
       ("x", xa, xb, xa - xb),
       ("z", za, 0L, za)).sortBy(t => (-t._4, t._1))
     assert(got == want)
+    // the totals are broadcast scalars, never a single-partition
+    // window over the vocabulary (VERDICT r6 item 3) — a reappearing
+    // Window IS the scale regression
+    val plan = Search.termDrift(a, b, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"vocabulary window reappeared:\n$plan")
+  }
+
+  test("termDrift: an empty side yields zero shares, not a null board") {
+    val a = Seq((0L, "x y")).toDF("doc_id", "text")
+    val b = a.filter(col("doc_id") < 0)
+    val got = Search.termDrift(a, b, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val half = 100000000L / 2L
+    assert(got == Set(("x", half, 0L, half), ("y", half, 0L, half)))
   }
 
   // -- SQL TVF surface ---------------------------------------------------
@@ -393,6 +434,38 @@ class SearchSpec extends AnyFunSuite {
           "SELECT * FROM fuzzy_terms('search_tvf_docs', 'doc_id', 'text', 'x', 0)")
       }
     } finally spark.catalog.dropTempView("search_tvf_docs")
+  }
+
+  test("best_snippets and pmi_expand TVFs equal the Scala operators") {
+    corpus.createOrReplaceTempView("search_tvf_docs2")
+    try {
+      val sScala = Search.bestSnippets(corpus, "doc_id", "text",
+        Seq("fox", "dog"), window = 3).orderBy(col("id")).collect().toSeq
+      val sSql = spark.sql("""SELECT * FROM
+          best_snippets('search_tvf_docs2', 'doc_id', 'text', 'fox dog', 3)
+        ORDER BY id""").collect().toSeq
+      assert(sSql == sScala)
+      val pScala = Search.pmiExpansion(corpus, "doc_id", "text",
+        Seq("fox"), k = 3, minJoint = 2L)
+        .orderBy(col("query_term"), col("rank")).collect().toSeq
+      val pSql = spark.sql("""SELECT * FROM
+          pmi_expand('search_tvf_docs2', 'doc_id', 'text', 'fox', 3, 2)
+        ORDER BY query_term, rank""").collect().toSeq
+      assert(pSql == pScala)
+      // arg validation surfaces at analysis time, loudly
+      intercept[Exception] {
+        spark.sql("SELECT * FROM best_snippets('search_tvf_docs2', 'doc_id', 'text', 'fox', 0)")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM best_snippets('search_tvf_docs2', 'doc_id', 'text', '   ')")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM pmi_expand('search_tvf_docs2', 'doc_id', 'text', 'fox', 0)")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM pmi_expand('search_tvf_docs2', 'doc_id', 'text', 'fox', 3, 0)")
+      }
+    } finally spark.catalog.dropTempView("search_tvf_docs2")
   }
 
   // -- weighted interleave ----------------------------------------------

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Similarity
 
@@ -167,6 +168,53 @@ class SimilaritySpec extends AnyFunSuite {
       // and the late vectors are genuinely reachable as neighbors
       assert(appended.exists(_._3 >= 150L),
         "no appended vector ever surfaced in the top-k")
+    } finally {
+      graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(base))
+    }
+  }
+
+  test("compactIvfIndex: D/U/I compaction probes like a from-scratch rebuild; a deleted neighbor vanishes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cmp_").toString
+    try {
+      val cents: Seq[Seq[Double]] = {
+        val rnd = new scala.util.Random(17)
+        Seq.fill(8)(Seq.fill(dim)(rnd.nextGaussian()))
+      }
+      Similarity.writeIvfIndex(corpus, s"$base/idx", cents)
+      val qBatch = corpus.filter($"cid" < 8)
+        .select($"cid".as("qid"), $"cvec".as("qvec"))
+      def probe(dir: String) = Similarity
+        .probeIvfIndex(spark, dir, qBatch, k = 5, nProbe = 3)
+        .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+      // pick a vector that IS currently someone's neighbor and delete
+      // it — the compacted index must stop surfacing it (the index
+      // staleness failure CDC maintenance exists to prevent)
+      val victim = probe(s"$base/idx")
+        .filter(_._3 >= 8L).map(_._3).min
+      val del = Seq((victim, "D", null.asInstanceOf[Seq[Double]]))
+        .toDF("cid", "op", "cvec")
+        .select($"cid", $"op", $"cvec".cast("array<double>"))
+      val upd = corpus.filter($"cid" % 41 === 0 && $"cid" =!= victim)
+        .select($"cid", lit("U").as("op"),
+          transform($"cvec", x => -x).as("cvec"))
+      val ins = corpus.filter($"cid" % 43 === 0)
+        .select(($"cid" + 5000L).as("cid"), lit("I").as("op"),
+          reverse($"cvec").as("cvec"))
+      Similarity.compactIvfIndex(spark, s"$base/idx",
+        del.unionByName(upd).unionByName(ins), s"$base/cmp")
+      // the rebuild ground truth: apply the same changelog relationally
+      val corpus2 = corpus
+        .filter($"cid" =!= victim && !($"cid" % 41 === 0 && $"cid" =!= victim))
+        .unionByName(upd.select($"cid", $"cvec"))
+        .unionByName(ins.select($"cid", $"cvec"))
+      Similarity.writeIvfIndex(corpus2, s"$base/rebuilt", cents)
+      val compacted = probe(s"$base/cmp")
+      assert(compacted == probe(s"$base/rebuilt"),
+        "compaction must be indistinguishable from rebuilding over the merged corpus")
+      assert(!compacted.exists(_._3 == victim),
+        s"deleted vector $victim still surfaced as a neighbor — stale index row")
+      // the old snapshot is untouched (out-of-place publish)
+      assert(probe(s"$base/idx").exists(_._3 == victim))
     } finally {
       graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(base))
     }

@@ -437,16 +437,38 @@ class StreamingSpec extends AnyFunSuite {
     val gotPost = spark.read.parquet(post.toString)
       .collect().map(_.toSeq).toSet
     assert(gotPost == wantPost)
-    // a BM25 probe over the streamed index equals the batch twin
+    // a BM25 probe over the streamed index equals the batch twin —
+    // consumed through the documented keep-first read repair
+    // (dedupIngestedIndex), the contract runPostingsIngest's
+    // at-least-once delivery requires of every reader
     import spark.implicits._
+    def repaired(): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+      Search.dedupIngestedIndex(spark.read.parquet(post.toString),
+        spark.read.parquet(lens.toString))
     val qs = Seq((0L, "dup scan table")).toDF("qid", "qtext")
     val wantTop = Search.bm25TopK(qs,
       Search.termPostings(ingested, "doc_id", "text"),
       Search.corpusStats(ingested, "doc_id", "text"), 5).collect().toSeq
-    val gotTop = Search.bm25TopK(qs, spark.read.parquet(post.toString),
-      Search.statsFromLens(spark.read.parquet(lens.toString)), 5)
-      .collect().toSeq
-    assert(gotTop == wantTop)
+    val (p1, l1) = repaired()
+    assert(Search.bm25TopK(qs, p1, Search.statsFromLens(l1), 5)
+      .collect().toSeq == wantTop)
+    // simulate the at-least-once failure mode the repair exists for: a
+    // micro-batch re-executed after its parquet commit re-lands the
+    // IDENTICAL rows. Raw statistics drift (n_docs inflates); the
+    // keep-first read restores the exactly-once index bit-for-bit.
+    val replay = graft.streaming.DocIngest.ingest(
+      docs.filter(col("doc_id") % 2 === 0))
+    Search.termPostings(replay, "doc_id", "text")
+      .write.mode("append").parquet(post.toString)
+    Search.docLens(replay, "doc_id", "text")
+      .write.mode("append").parquet(lens.toString)
+    assert(spark.read.parquet(lens.toString).count() >
+      Search.docLens(ingested, "doc_id", "text").count(),
+      "replay fixture landed nothing — the drift case is untested")
+    val (p2, l2) = repaired()
+    assert(Search.bm25TopK(qs, p2, Search.statsFromLens(l2), 5)
+      .collect().toSeq == wantTop)
     deleteRec(root)
   }
 
