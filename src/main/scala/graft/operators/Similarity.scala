@@ -291,9 +291,21 @@ object Similarity {
     * subset does it, e.g. q107's `vec_id < 10`); an unfiltered
     * `queries` frame still probes correctly but scans every cell. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val index = spark.read.parquet(s"$dir/cells")
+                    queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame =
+    probeIvfIndexFrame(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells"), queries, k, nProbe)
+
+  /** [[probeIvfIndex]] over already-loaded centroid/cell frames — the
+    * seam a read-repairing consumer needs: an index grown by the
+    * at-least-once [[graft.streaming.DocIngest.runIvfIngest]] can
+    * carry re-appended duplicate (cid, cvec, _cell) rows, and the
+    * keep-first repair is `cells.dropDuplicates("cid")` fed through
+    * here (the [[graft.operators.Search.dedupIngestedIndex]]
+    * contract; duplicates would otherwise duplicate their cid in the
+    * top-k). Same plan as the dir form when fed raw reads. */
+  def probeIvfIndexFrame(cents: DataFrame, index: DataFrame,
+                         queries: DataFrame, k: Int,
+                         nProbe: Int = 3): DataFrame = {
     val probes = queries
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qvec"), col("_cell"),

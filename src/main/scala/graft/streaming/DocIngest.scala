@@ -214,6 +214,45 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** EMBEDDING-INDEX ingest: every arriving micro-batch of vectors is
+    * cell-assigned against the persisted IVF centroids and appended
+    * into the index's cell directories
+    * ([[graft.operators.Similarity.appendToIvfIndex]]) — the third
+    * index family's grows-with-ingestion mode, completing the set
+    * (postings: [[runPostingsIngest]]; near-dup: [[runNearDupGate]]).
+    * `foreachBatch` because the append reads the stored centroids and
+    * writes hive-partitioned with the builder's own argmax — a plain
+    * partitioned streaming sink cannot reproduce the assignment.
+    * Delivery is the foreachBatch contract: at-least-once — a retried
+    * batch re-appends IDENTICAL (cid, cvec, _cell) rows, so readers
+    * keep-first on cid
+    * (`Similarity.probeIvfIndexFrame(cents, cells.dropDuplicates("cid"), …)`)
+    * or land via a transactional sink, the
+    * [[graft.operators.Search.dedupIngestedIndex]] contract.
+    *
+    * @param rawDir JSONL of (vec_id: long, embedding: array<double>) */
+  def runIvfIngest(spark: SparkSession, rawDir: String, indexDir: String,
+                   checkpointDir: String,
+                   maxFilesPerTrigger: Int = 1): Unit = {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val q = spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(spark, indexDir, batch)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

@@ -472,6 +472,53 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming IVF ingest: the embedding index grown per batch probes like a batch build; replay repaired") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_ivfingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val idx = root.resolve("idx")
+    val ckpt = root.resolve("ckpt")
+    val dim = 8
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 80L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+    val cents: Seq[Seq[Double]] = Seq.fill(6)(Seq.fill(dim)(rnd.nextGaussian()))
+    Similarity.writeIvfIndex(all.filter(_._1 < 40L).toDF("cid", "cvec"),
+      idx.toString, cents)
+    // two arriving vector shards land as JSONL and stream into the index
+    val shard1 = all.filter(t => t._1 >= 40L && t._1 < 60L)
+    shard1.toDF("vec_id", "embedding")
+      .coalesce(1).write.json(raw.resolve("f1").toString)
+    all.filter(_._1 >= 60L).toDF("vec_id", "embedding")
+      .coalesce(1).write.json(raw.resolve("f2").toString)
+    graft.streaming.DocIngest.runIvfIngest(spark, raw.toString + "/*/",
+      idx.toString, ckpt.toString)
+    val qdf = all.filter(_._1 < 6L).toDF("qid", "qvec")
+    def probe(dir: String) = Similarity
+      .probeIvfIndex(spark, dir, qdf, k = 5, nProbe = 2)
+      .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+    Similarity.writeIvfIndex(all.toDF("cid", "cvec"),
+      root.resolve("rebuilt").toString, cents)
+    val want = probe(root.resolve("rebuilt").toString)
+    val streamed = probe(idx.toString)
+    assert(streamed == want,
+      "index grown by streaming must probe like a from-scratch build")
+    assert(streamed.exists(_._3 >= 40L),
+      "no streamed vector ever surfaced in the top-k")
+    // the at-least-once failure mode: a retried micro-batch re-appends
+    // the identical shard; keep-first on cid through the frame-level
+    // probe restores the exactly-once result
+    Similarity.appendToIvfIndex(spark, idx.toString,
+      shard1.toDF("cid", "cvec"))
+    val repaired = Similarity.probeIvfIndexFrame(
+        spark.read.parquet(s"$idx/centroids"),
+        spark.read.parquet(s"$idx/cells").dropDuplicates("cid"),
+        qdf, k = 5, nProbe = 2)
+      .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+    assert(repaired == want)
+    deleteRec(root)
+  }
+
   test("streaming decontamination gate: streamed equals batch, planted hit blocked") {
     import spark.implicits._
     import graft.streaming.DocIngest
