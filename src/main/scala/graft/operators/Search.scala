@@ -253,11 +253,23 @@ object Search {
     * @return (id, start, n_hits, snippet) — start is the 0-based
     *         token offset, snippet the space-joined window */
   def bestSnippets(docs: DataFrame, idCol: String, textCol: String,
-                   queryTerms: Seq[String], window: Int = 16): DataFrame = {
+                   queryTerms: Seq[String], window: Int = 16): DataFrame =
+    bestSnippetsPositional(positionalPostings(docs, idCol, textCol),
+      docs, idCol, textCol, queryTerms, window)
+
+  /** [[bestSnippets]] with the hit-collection phase fed from a
+    * persisted [[positionalPostings]] frame (the corpus-wide explode
+    * becomes a columnar re-scan — the [[phraseMatchesPositional]]
+    * seam); `docs` is still consulted, but only by the winners join
+    * that slices the snippet text, which is retrieval-result-sized. */
+  def bestSnippetsPositional(positional: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             queryTerms: Seq[String],
+                             window: Int = 16): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     require(window > 0, s"window must be positive, got $window")
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    val hits = positionalPostings(docs, idCol, textCol)
+    val hits = positional
       .filter(col("term").isin(terms.map(lit(_)): _*))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(col("pos"))).as("_ps"))
@@ -384,7 +396,16 @@ object Search {
     *
     * @return (query_term, rank, term, doc_freq) */
   def fuzzyTermSuggestions(docs: DataFrame, idCol: String, textCol: String,
-                           queryTerms: Seq[String], k: Int = 3): DataFrame = {
+                           queryTerms: Seq[String], k: Int = 3): DataFrame =
+    fuzzyTermSuggestionsFromIndex(termPostings(docs, idCol, textCol),
+      queryTerms, k)
+
+  /** [[fuzzyTermSuggestions]] over a persisted [[termPostings]] frame
+    * (the [[bm25TopK]] split): the vocabulary census comes from a
+    * columnar index re-scan, never a corpus re-tokenization. */
+  def fuzzyTermSuggestionsFromIndex(postings: DataFrame,
+                                    queryTerms: Seq[String],
+                                    k: Int = 3): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     require(k > 0, s"k must be positive, got $k")
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -397,12 +418,12 @@ object Search {
       array(s),
       transform(sequence(lit(1), length(s)),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
-    val vocab = termPostings(docs, idCol, textCol)
+    val vocab = postings
       .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val vocabVars = vocab
       .select(col("term"), col("doc_freq"),
         explode(delVariants(col("term"))).as("_v"))
-    val spark = docs.sparkSession
+    val spark = postings.sparkSession
     import spark.implicits._
     val qVars = terms.toDF("query_term")
       .select(col("query_term"), explode(delVariants(col("query_term"))).as("_v"))
@@ -443,22 +464,33 @@ object Search {
     * @return (query_term, rank, term, pmi6, joint) */
   def pmiExpansion(docs: DataFrame, idCol: String, textCol: String,
                    queryTerms: Seq[String], k: Int = 5,
-                   minJoint: Long = 3L): DataFrame = {
+                   minJoint: Long = 3L): DataFrame =
+    pmiExpansionFromIndex(termPostings(docs, idCol, textCol),
+      docs.select(col(idCol)).agg(count(lit(1)).as("_n")),
+      queryTerms, k, minJoint)
+
+  /** [[pmiExpansion]] over a persisted [[termPostings]] frame plus a
+    * one-row corpus-count frame (`_n` — derive it from the length
+    * sidecar, `lens.agg(count(lit(1)).as("_n"))`, so no corpus
+    * rescan happens at all): every census and join below runs off
+    * columnar index re-scans — the [[bm25TopK]] split applied to
+    * expansion. */
+  def pmiExpansionFromIndex(postings: DataFrame, nDocs: DataFrame,
+                            queryTerms: Seq[String], k: Int = 5,
+                            minJoint: Long = 3L): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     require(k > 0, s"k must be positive, got $k")
     require(minJoint >= 1L, s"minJoint must be >= 1, got $minJoint")
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    val spark = docs.sparkSession
+    val spark = postings.sparkSession
     import spark.implicits._
-    val post = termPostings(docs, idCol, textCol)
-      .select(col("term"), col("id"))
+    val post = postings.select(col("term"), col("id"))
     val vocab = post.groupBy(col("term")).agg(count(lit(1)).as("_dfu"))
     val qpost = post
       .join(broadcast(terms.toDF("query_term")),
         col("term") === col("query_term"))
       .select(col("query_term"), col("id"))
     val qdf = qpost.groupBy(col("query_term")).agg(count(lit(1)).as("_dft"))
-    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("_n"))
     val joint = qpost.join(post, Seq("id"))
       .filter(col("term") =!= col("query_term"))
       .groupBy(col("query_term"), col("term"))
@@ -544,7 +576,16 @@ object Search {
     * the doc's phrase-term occurrences × slots, the q88
     * collected-fold contract. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
-                    phrase: Seq[String]): DataFrame = {
+                    phrase: Seq[String]): DataFrame =
+    phraseMatchesPositional(positionalPostings(docs, idCol, textCol), phrase)
+
+  /** [[phraseMatches]] over an already-built [[positionalPostings]]
+    * frame — the "build once, probe many" seam (the
+    * [[bm25TopK]] postings/stats split): a corpus's positional index
+    * is persisted beside its postings and every phrase probe starts
+    * from a columnar re-scan instead of re-tokenizing the corpus. */
+  def phraseMatchesPositional(positional: DataFrame,
+                              phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
     require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"phrase tokens must be non-empty and whitespace-free: $phrase")
@@ -557,7 +598,7 @@ object Search {
       .sortBy(_._1).flatMap { case (t, xs) =>
         Seq(lit(t), array(xs.map(x => lit(x._2)): _*))
       }: _*)
-    val hits = positionalPostings(docs, idCol, textCol)
+    val hits = positional
       .filter(col("term").isin(terms.distinct.map(lit(_)): _*))
       .select(col("id"), col("pos").cast(LongType).as("_p"),
         explode(element_at(slotMap, col("term"))).as("_j"))

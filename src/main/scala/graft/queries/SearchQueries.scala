@@ -20,24 +20,36 @@ object SearchQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  // The postings index + length sidecar, materialized once per
-  // (session, sfDir) — the "build once, probe many" deployment shape
-  // (q53's pattern): q124/q128 probe the SAME landed index instead of
-  // re-tokenizing the corpus per invocation; the build bill lands in
-  // Bench's first_run. Subdirs: post/ and lens/.
+  // The postings index + length sidecar + positional index,
+  // materialized once per (JVM, sfDir) — the "build once, probe many"
+  // deployment shape (q53's pattern): q124/q128 probe the landed
+  // postings, q125/q135 the landed positional index, q129/q136 the
+  // postings census, all instead of re-tokenizing the corpus per
+  // invocation; the build bill lands in Bench's first_run. Subdirs:
+  // post/, lens/, pos/. (q140 stays on raw text — its corpus is
+  // modified in-query, so no persisted index exists for it; q126/q131
+  // are the TVF parser paths, which derive from the named table by
+  // design.)
   private val idxDirBySession = new graft.sources.JvmMemo[String]
-  private def postingsMaterialized(s: SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dir = LlmOps.materializedTempDir(idxDirBySession, s, d,
+  private def idxDir(s: SparkSession, d: String): String =
+    LlmOps.materializedTempDir(idxDirBySession, s, d,
       "graft_bm25idx_") { out =>
       val corpus = docs(s, d)
       Search.termPostings(corpus, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$out/post")
       Search.docLens(corpus, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$out/lens")
+      Search.positionalPostings(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/pos")
     }
+  private def postingsMaterialized(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dir = idxDir(s, d)
     (s.read.parquet(s"$dir/post"), s.read.parquet(s"$dir/lens"))
   }
+  private def positionalMaterialized(s: SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"${idxDir(s, d)}/pos")
 
   /** Shared DuckDB fragment: whitespace tokenization (lowercased,
     * empties dropped) — must match TextFunctions.whitespaceTokens. */
@@ -113,7 +125,7 @@ object SearchQueries {
   private val q125 = GraftQuery(
     "q125_phrase_search",
     (s, d) =>
-      Search.phraseMatches(docs(s, d), "doc_id", "text",
+      Search.phraseMatchesPositional(positionalMaterialized(s, d),
           Seq("hash", "join"))
         .select(col("id").as("doc_id"),
           col("n_matches").cast(LongType).as("n_matches"))
@@ -286,7 +298,7 @@ object SearchQueries {
   private val q129 = GraftQuery(
     "q129_fuzzy_terms",
     (s, d) =>
-      Search.fuzzyTermSuggestions(docs(s, d), "doc_id", "text",
+      Search.fuzzyTermSuggestionsFromIndex(postingsMaterialized(s, d)._1,
           Seq("vektor", "streem", "window", "xylophone"), k = 3)
         .orderBy(col("query_term"), col("rank")),
     Some(s"""WITH $toksCte,
@@ -497,7 +509,8 @@ object SearchQueries {
   private val q135 = GraftQuery(
     "q135_snippets",
     (s, d) =>
-      Search.bestSnippets(docs(s, d), "doc_id", "text",
+      Search.bestSnippetsPositional(positionalMaterialized(s, d),
+          docs(s, d), "doc_id", "text",
           Seq("dup", "scan", "table"), window = 12)
         .select(col("id").as("doc_id"), col("start"), col("n_hits"),
           col("snippet"))
@@ -528,10 +541,13 @@ object SearchQueries {
 
   private val q136 = GraftQuery(
     "q136_pmi_expansion",
-    (s, d) =>
-      Search.pmiExpansion(docs(s, d), "doc_id", "text",
+    (s, d) => {
+      val (post, lens) = postingsMaterialized(s, d)
+      Search.pmiExpansionFromIndex(post,
+          lens.agg(count(lit(1)).as("_n")),
           Seq("dup", "vector"), k = 5, minJoint = 3L)
-        .orderBy(col("query_term"), col("rank")),
+        .orderBy(col("query_term"), col("rank"))
+    },
     Some(s"""WITH $toksCte,
       post AS (SELECT term, doc_id FROM (
         SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY term, doc_id),
