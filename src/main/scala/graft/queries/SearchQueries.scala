@@ -642,7 +642,118 @@ object SearchQueries {
       SELECT doc_id, count(*) AS n_matches FROM m
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- q141: end-to-end retrieval recipe ------------------------------
+  // The composed read path a RAG pipeline runs (the q75/q102 recipe
+  // pattern applied to retrieval): BM25 top-8 for one query → MMR
+  // re-rank to 4 diverse picks over the docs' embeddings (vec_id
+  // aligns with doc_id in the testdata) → best 12-token snippet per
+  // pick. Interop at the stage boundaries is the contract under
+  // test — the ranking feeds mmrRerank's (qid, rank, cid) shape, the
+  // picks join the snippet table — and the oracle replays ALL THREE
+  // stages (integer BM25, the 4-round greedy unroll over 6dp scaled
+  // cosines, the positional argmax + slice) in one composition, so
+  // drift at any boundary flips the hash.
+
+  private val q141 = GraftQuery(
+    "q141_retrieval_recipe",
+    (s, d) => {
+      import s.implicits._
+      val (post, lens) = postingsMaterialized(s, d)
+      val qs = Seq((0L, "dup scan table")).toDF("qid", "qtext")
+      val ranked = Search.bm25TopK(qs, post, Search.statsFromLens(lens), k = 8)
+        .select(col("qid"), col("rank"), col("doc_id").as("cid"))
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+            .as("vec"))
+      val picks = Search.mmrRerank(ranked, vecs, m = 4, k = 8)
+      val snips = Search.bestSnippetsPositional(positionalMaterialized(s, d),
+        docs(s, d), "doc_id", "text", Seq("dup", "scan", "table"),
+        window = 12)
+      picks.join(snips, picks("cid") === snips("id"))
+        .select(col("pos"), col("cid").as("doc_id"), col("n_hits"),
+          col("snippet"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      qt(term) AS (VALUES ('dup'), ('scan'), ('table')),
+      hdf AS (SELECT post.*, CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+          AS df
+        FROM post JOIN qt USING (term)),
+      sc AS (SELECT doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY doc_id),
+      rk AS (SELECT doc_id AS cid,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank
+        FROM sc),
+      cand AS (SELECT rk.cid, rk.rank, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM rk JOIN embeddings e ON e.vec_id = rk.cid WHERE rank <= 8),
+      ps AS (SELECT a.cid AS ia, b.cid AS ib,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) * 1e6 AS s6
+        FROM cand a JOIN cand b ON a.cid <> b.cid),
+      rel AS (SELECT cid, rank,
+          floor((8 - rank + 1) * 1000000.0 / 8) AS rel FROM cand),
+      s1 AS (SELECT cid AS c1 FROM rel WHERE rank = 1),
+      m2 AS (SELECT r.cid, r.rel * 0.5 - ps.s6 * 0.5 AS mmr
+        FROM rel r JOIN s1 ON r.cid <> s1.c1
+        JOIN ps ON ps.ia = r.cid AND ps.ib = s1.c1),
+      s2 AS (SELECT cid AS c2 FROM (
+          SELECT cid, row_number() OVER (ORDER BY mmr DESC, cid) AS rn
+          FROM m2) WHERE rn = 1),
+      m3 AS (SELECT r.cid, any_value(r.rel) * 0.5 - max(ps.s6) * 0.5 AS mmr
+        FROM rel r JOIN s1 ON r.cid <> s1.c1 JOIN s2 ON r.cid <> s2.c2
+        JOIN ps ON ps.ia = r.cid AND (ps.ib = s1.c1 OR ps.ib = s2.c2)
+        GROUP BY r.cid),
+      s3 AS (SELECT cid AS c3 FROM (
+          SELECT cid, row_number() OVER (ORDER BY mmr DESC, cid) AS rn
+          FROM m3) WHERE rn = 1),
+      m4 AS (SELECT r.cid, any_value(r.rel) * 0.5 - max(ps.s6) * 0.5 AS mmr
+        FROM rel r JOIN s1 ON r.cid <> s1.c1 JOIN s2 ON r.cid <> s2.c2
+          JOIN s3 ON r.cid <> s3.c3
+        JOIN ps ON ps.ia = r.cid
+          AND (ps.ib = s1.c1 OR ps.ib = s2.c2 OR ps.ib = s3.c3)
+        GROUP BY r.cid),
+      s4 AS (SELECT cid AS c4 FROM (
+          SELECT cid, row_number() OVER (ORDER BY mmr DESC, cid) AS rn
+          FROM m4) WHERE rn = 1),
+      picks AS (SELECT CAST(1 AS BIGINT) AS pos, c1 AS did FROM s1
+        UNION ALL SELECT CAST(2 AS BIGINT), c2 FROM s2
+        UNION ALL SELECT CAST(3 AS BIGINT), c3 FROM s3
+        UNION ALL SELECT CAST(4 AS BIGINT), c4 FROM s4),
+      pp AS (SELECT doc_id, i - 1 AS tp, tk[i] AS term FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM toks)),
+      h AS (SELECT doc_id, tp FROM pp
+        WHERE term IN ('dup', 'scan', 'table')),
+      c AS (SELECT h1.doc_id, h1.tp AS st, CAST(count(*) AS BIGINT) AS n
+        FROM h h1 JOIN h h2 ON h2.doc_id = h1.doc_id
+          AND h2.tp >= h1.tp AND h2.tp < h1.tp + 12
+        GROUP BY h1.doc_id, h1.tp),
+      b AS (SELECT doc_id, st, n FROM (
+          SELECT doc_id, st, n, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, st) AS rn FROM c) WHERE rn = 1)
+      SELECT picks.pos, picks.did AS doc_id, b.n AS n_hits,
+        array_to_string(tk[b.st + 1 : b.st + 12], ' ') AS snippet
+      FROM picks JOIN b ON b.doc_id = picks.did
+        JOIN toks ON toks.doc_id = picks.did
+      ORDER BY picks.pos"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q138, q139, q140)
+      q135, q136, q138, q139, q140, q141)
 }
