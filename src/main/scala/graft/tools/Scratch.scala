@@ -136,6 +136,35 @@ object Scratch {
               s"candFound=${(ex intersect cand).size} candTotal=${cand.size}")
           }
         }
+      case "planscan" =>
+        // audit every registry query's physical plan for global
+        // (partition-less) Window nodes — the single-task scale smell
+        // the q130 rewrite removed; a hit names the query so the smell
+        // can't hide in a 141-query battery.
+        //   runMain graft.tools.Scratch planscan [sfDir]
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+        var hits = 0
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val plan = fn(spark, d).queryExecution.executedPlan.toString
+            // WindowExec prints `Window [exprs], [partSpec], [orderSpec]`;
+            // a GLOBAL window has only two bracket groups on its line
+            val global = plan.linesIterator.filter(_.contains("Window ["))
+              .filter { l =>
+                val brackets = "\\[".r.findAllIn(
+                  l.dropWhile(_ != 'W')).length
+                brackets < 3
+              }.toSeq
+            if (global.nonEmpty) {
+              hits += 1
+              println(s"GLOBAL-WINDOW $name:")
+              global.foreach(l => println("  " + l.trim.take(200)))
+            }
+          } catch { case e: Throwable =>
+            println(s"planscan $name SKIP: ${e.getMessage}")
+          }
+        }
+        println(s"planscan done: $hits quer${if (hits == 1) "y" else "ies"} with global windows")
       case "cc" =>
         // clusterReps fixpoint cost on a q63-shaped synthetic graph
         // (~300 shallow clusters + one 30-chain), isolated from IO
