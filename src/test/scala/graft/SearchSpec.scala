@@ -229,6 +229,66 @@ class SearchSpec extends AnyFunSuite {
     assert(mixed.isEmpty) // no doc carries that exact run
   }
 
+  test("phraseMatches equals a JVM sliding-window reference over random repeat-heavy corpora") {
+    // tiny alphabet → dense repeats and overlaps, the adversarial
+    // regime for the per-slot encoding (a wrong slot mapping or a
+    // broken overlap count survives hand-picked fixtures; it does not
+    // survive 30 random trials against the direct definition)
+    val rnd = new scala.util.Random(41)
+    val alphabet = Vector("a", "b", "c")
+    for (trial <- 1 to 30) {
+      val docs = (0L until 12L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(12))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val phrase = Seq.fill(1 + rnd.nextInt(3))(
+        alphabet(rnd.nextInt(alphabet.size)))
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        val n = toks.sliding(phrase.size).count(_ == phrase)
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+      val got = Search.phraseMatches(docs.toDF("doc_id", "text"),
+          "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want,
+        s"trial $trial phrase=$phrase: got $got want $want docs=$docs")
+    }
+  }
+
+  test("bestSnippets equals a JVM argmax reference over random corpora") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 20) {
+      val docs = (0L until 10L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(20))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val terms = rnd.shuffle(alphabet).take(1 + rnd.nextInt(2))
+      val w = 2 + rnd.nextInt(4)
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").toSeq
+        val hits = toks.zipWithIndex.collect {
+          case (t, p) if terms.contains(t) => p }
+        if (hits.isEmpty) None else {
+          // candidate starts are hit positions; most hits in
+          // [p, p+w), ties to the earliest start — the operator's
+          // (and q135 oracle's) contract
+          val (n, start) = hits
+            .map(p => (hits.count(q => q >= p && q < p + w), -p))
+            .max match { case (n0, negP) => (n0, -negP) }
+          Some((id, start.toLong, n.toLong,
+            toks.slice(start, start + w).mkString(" ")))
+        }
+      }.toSet
+      val got = Search.bestSnippets(docs.toDF("doc_id", "text"),
+          "doc_id", "text", terms, window = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got == want, s"trial $trial terms=$terms w=$w")
+    }
+  }
+
   test("phraseMatches rejects malformed phrases") {
     intercept[IllegalArgumentException] {
       Search.phraseMatches(corpus, "doc_id", "text", Seq("two words"))
