@@ -448,22 +448,30 @@ object DatasetOps {
     * which float log-ratios are not.
     *
     * Scale shape: gram hashes (8 bytes) shuffle, bodies never. The
-    * corpus gram explosion is derived ONCE, into (doc, gram)
-    * occurrence counts — map-side combined, so what shuffles is
-    * bounded by distinct (doc, gram) pairs. The background count is
-    * the SALTED TWO-LEVEL aggregate with the doc id as the natural
-    * salt: level 1 partial-counts per (doc, gram), level 2 sums per
-    * gram — both levels combine map-side, so no task ever holds a
-    * hot gram's occurrence list (on web text the hottest bigram is
-    * ~1% of ALL gram occurrences; the r6 window-over-the-raw-hash
-    * shape put those billions of rows in ONE task, the named
-    * scale-killer — VERDICT r6 item 2). The count rejoin on the
-    * 8-byte key is a sort-merge join AQE's skew-join CAN split (the
-    * per-gram build side is one duplicable row), which no window
-    * partitioning can; the per-doc fold then shuffles fixed-width
-    * (id, k, ratio) tuples on the unskewed doc id. The target-sample
-    * counts join on the same 8-byte key — never collected, so a wide
-    * target vocabulary is fine.
+    * corpus grams collapse to (doc, gram) occurrence counts —
+    * map-side combined, so what shuffles is bounded by distinct
+    * (doc, gram) pairs. The background count is the SALTED TWO-LEVEL
+    * aggregate with the doc id as the natural salt: level 1
+    * partial-counts per (doc, gram), level 2 sums per gram — both
+    * levels combine map-side, so no task ever holds a hot gram's
+    * occurrence list (on web text the hottest bigram is ~1% of ALL
+    * gram occurrences; the r6 window-over-the-raw-hash shape put
+    * those billions of rows in ONE task, the named scale-killer —
+    * VERDICT r6 item 2). The count rejoin on the 8-byte key is a
+    * join AQE's skew handling CAN split (the per-gram build side is
+    * one duplicable row), which no window partitioning can; the
+    * per-doc fold then shuffles fixed-width (id, k, ratio) tuples on
+    * the unskewed doc id. The COST of losing the window: `docGram`
+    * has two consumers (the rejoin probe and the level-2 count), and
+    * exchange reuse does not survive AQE's broadcast conversion, so
+    * the tokenize→shingle→explode lineage can run twice — the
+    * deliberate trade, because a 2× narrow-scan bill is bounded
+    * while a skewed single task is not (skew beats 2× at 100×). A
+    * caller who wants the single derivation too materializes the
+    * gram table first (the repo's materialize-once idiom) and counts
+    * off the parquet. The target-sample counts join on the same
+    * 8-byte key — never collected, so a wide target vocabulary is
+    * fine.
     *
     * @return one row per corpus id: `n_grams` (occurrences), `score`
     *         (Σ ratio), `avg_ratio` (score DIV n_grams — the

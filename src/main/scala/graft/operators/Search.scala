@@ -123,9 +123,15 @@ object Search {
     * postings dedup on (term, id), lens on (id) — and because a
     * retry re-lands the SAME rows (both frames are pure functions of
     * the batch), keep-first equals keep-any and the result is
-    * exactly the exactly-once index. Route every consumer of a
-    * streamed index through here before [[statsFromLens]] /
-    * [[bm25TopK]]; a transactional table sink makes it unnecessary.
+    * exactly the exactly-once index. PRECONDITION: this repairs
+    * RETRIES only — rows re-landed byte-identical. If the same id
+    * can re-land with DIFFERENT content (a re-crawled or edited
+    * doc), keep-"first" is an arbitrary per-(term, id) mix of the
+    * versions; that case is a corpus UPDATE and belongs to
+    * [[compactPostings]]' U changelog, not to read repair. Route
+    * every consumer of a streamed index through here before
+    * [[statsFromLens]] / [[bm25TopK]]; a transactional table sink
+    * makes it unnecessary.
     * Scale shape: both dedups shuffle on the index's own probe keys
     * (fixed-width tuples), the same exchange a bucketed landing
     * would pre-pay. */

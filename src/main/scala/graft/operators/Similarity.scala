@@ -301,8 +301,12 @@ object Similarity {
     * carry re-appended duplicate (cid, cvec, _cell) rows, and the
     * keep-first repair is `cells.dropDuplicates("cid")` fed through
     * here (the [[graft.operators.Search.dedupIngestedIndex]]
-    * contract; duplicates would otherwise duplicate their cid in the
-    * top-k). Same plan as the dir form when fed raw reads. */
+    * contract — and the same precondition: it repairs RETRIES, whose
+    * rows are identical; a cid re-landing with a DIFFERENT vector is
+    * a corpus update and belongs to [[compactIvfIndex]]'s U
+    * changelog, not to read repair. Duplicates would otherwise
+    * duplicate their cid in the top-k). Same plan as the dir form
+    * when fed raw reads. */
   def probeIvfIndexFrame(cents: DataFrame, index: DataFrame,
                          queries: DataFrame, k: Int,
                          nProbe: Int = 3): DataFrame = {

@@ -92,9 +92,9 @@ object PipelineQueries {
     * session recycling re-reads the artifact instead of re-enriching.
     * q35/q37 keep running the pipeline live — the sink/stream round
     * trip IS their operator under test. */
-  private val processedDirBySession = new graft.sources.JvmMemo[String]
+  private val processedDirByJvm = new graft.sources.JvmMemo[String]
   private def processedMaterialized(s: SparkSession): DataFrame = {
-    val dir = processedDirBySession.getOrElseCompute("processed") {
+    val dir = processedDirByJvm.getOrElseCompute("processed") {
       val d = Files.createTempDirectory("graft_processed_").toString
       // process-owned fresh dir → reclaim at JVM exit, or every run
       // leaks one copy into the tmpdir (the ADVICE r4 AvroIOSpec

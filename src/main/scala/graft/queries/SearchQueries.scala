@@ -30,9 +30,9 @@ object SearchQueries {
   // modified in-query, so no persisted index exists for it; q126/q131
   // are the TVF parser paths, which derive from the named table by
   // design.)
-  private val idxDirBySession = new graft.sources.JvmMemo[String]
+  private val idxDirByInput = new graft.sources.JvmMemo[String]
   private def idxDir(s: SparkSession, d: String): String =
-    LlmOps.materializedTempDir(idxDirBySession, s, d,
+    LlmOps.materializedTempDir(idxDirByInput, d,
       "graft_bm25idx_") { out =>
       val corpus = docs(s, d)
       Search.termPostings(corpus, "doc_id", "text")

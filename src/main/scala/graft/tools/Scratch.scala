@@ -140,25 +140,39 @@ object Scratch {
         // audit every registry query's physical plan for global
         // (partition-less) Window nodes — the single-task scale smell
         // the q130 rewrite removed; a hit names the query so the smell
-        // can't hide in a 141-query battery.
+        // can't hide in a 141-query battery. Walks the plan tree and
+        // tests WindowExec.partitionSpec directly (a text heuristic
+        // over the rendered line cannot distinguish partitioned-but-
+        // unordered windows from global ones). An all-FOLDABLE
+        // partition spec (e.g. partitionBy(lit(1)) — q84's documented
+        // stratum-cardinality window) counts as global too: a
+        // constant partitions nothing.
         //   runMain graft.tools.Scratch planscan [sfDir]
         val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
         var hits = 0
+        // AdaptiveSparkPlanExec is a LEAF node — a plain collect stops
+        // at it and audits nothing; recurse into the wrapped plan
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p.collect { case n => n }.flatMap {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a +: allNodes(a.executedPlan)
+            case n => Seq(n)
+          }
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
-            val plan = fn(spark, d).queryExecution.executedPlan.toString
-            // WindowExec prints `Window [exprs], [partSpec], [orderSpec]`;
-            // a GLOBAL window has only two bracket groups on its line
-            val global = plan.linesIterator.filter(_.contains("Window ["))
-              .filter { l =>
-                val brackets = "\\[".r.findAllIn(
-                  l.dropWhile(_ != 'W')).length
-                brackets < 3
-              }.toSeq
+            val global = allNodes(
+              fn(spark, d).queryExecution.executedPlan).collect {
+              case w: org.apache.spark.sql.execution.window.WindowExec
+                  if w.partitionSpec.forall(_.foldable) => w
+              case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                  if w.partitionSpec.forall(_.foldable) => w
+            }
             if (global.nonEmpty) {
               hits += 1
               println(s"GLOBAL-WINDOW $name:")
-              global.foreach(l => println("  " + l.trim.take(200)))
+              global.foreach(w =>
+                println("  " + w.toString.linesIterator.next().trim.take(200)))
             }
           } catch { case e: Throwable =>
             println(s"planscan $name SKIP: ${e.getMessage}")
