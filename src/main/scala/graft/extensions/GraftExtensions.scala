@@ -560,6 +560,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             terms, k = k, minJoint = minJoint.toLong)
           .queryExecution.analyzed
       }))
+    // Reciprocal-rank fusion from SQL (q142's operator — hybrid
+    // retrieval's merge step between a bm25_search arm and an
+    // embedding arm):
+    //   rrf_fuse(ranked_a, ranked_b, k0, k)
+    // Both tables carry (qid, rank, doc_id); emits
+    // (qid, rank, doc_id, rrf).
+    ext.injectTableFunction((
+      new FunctionIdentifier("rrf_fuse"),
+      new ExpressionInfo("graft.operators.Search", "rrf_fuse"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: rrf_fuse(ranked_a, ranked_b, k0, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val k0 = intLit(children(2), "k0")
+        val k = intLit(children(3), "k")
+        require(k0 >= 1, s"rrf_fuse: k0 must be >= 1, got $k0")
+        require(k >= 1, s"rrf_fuse: k must be >= 1, got $k")
+        graft.operators.Search.rrfFuse(
+            Seq(spark.table(strLit(children(0), "ranked_a")),
+              spark.table(strLit(children(1), "ranked_b"))),
+            k0 = k0, k = k)
+          .queryExecution.analyzed
+      }))
+    // Token-budget corpus selection from SQL (q143's operator):
+    //   select_token_budget(table, id_col, score_col, token_col, budget)
+    // Emits the selected input rows (the maximal
+    // (score DESC, md5 draw, id) prefix whose cumulative token_col
+    // fits the budget).
+    ext.injectTableFunction((
+      new FunctionIdentifier("select_token_budget"),
+      new ExpressionInfo("graft.operators.DatasetOps", "select_token_budget"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: select_token_budget(table, id_col, score_col, token_col, budget)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        // budgets are token COUNTS — routinely > Int.MaxValue at
+        // corpus scale, so this literal is read at long width
+        val budget = children(4) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+              org.apache.spark.sql.types.LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"select_token_budget: budget must be an integer literal, got $other")
+        }
+        require(budget >= 0L,
+          s"select_token_budget: budget must be non-negative, got $budget")
+        graft.operators.DatasetOps.selectTokenBudget(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "score_col"),
+            strLit(children(3), "token_col"), budget)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

@@ -365,6 +365,100 @@ object DatasetOps {
       .drop("_draw")
   }
 
+  /** Token-BUDGET corpus selection — "fill a 1-trillion-token training
+    * budget with the best documents": keep the maximal prefix of the
+    * corpus in (score DESC, md5 draw ASC, id ASC) order whose
+    * cumulative `tokenCol` stays ≤ `budget`. The draw (salt
+    * `"budget"`) breaks score ties content-deterministically, so
+    * membership is stable under reshuffle/retry/append and unbiased
+    * by crawl order — the [[hashSplit]]/[[capPerGroup]] argument
+    * applied to budget filling.
+    *
+    * The naive form is a GLOBAL sort + running sum over the corpus —
+    * the one shape this repo bans. This is the two-level histogram
+    * refinement instead, and the prefix rule is chosen precisely so
+    * the refinement is EXACT (the cumulative is monotone, so "rows
+    * with running sum ≤ budget" is a prefix, and a prefix decomposes
+    * by any order-consistent partitioning of the key space):
+    *   1. a per-score-class token census (one map-side-combined
+    *      aggregate) locates the BOUNDARY class — every better class
+    *      is wholly in, every worse class wholly out; the class
+    *      cumsum runs as a broadcast non-equi self-join over the tiny
+    *      census (never a single-partition window over data);
+    *   2. within the boundary class, a 1024-bucket census over the
+    *      draw's numeric prefix (`draw div 2²²` — bucket order IS
+    *      draw order) locates the boundary BUCKET the same way;
+    *   3. only the boundary bucket — expected |class|/1024 rows —
+    *      pays an exact running-sum window, partitioned on its
+    *      (score, bucket) stratum: bounded by construction, never
+    *      corpus-sized. (A deeper recursion could shrink it further;
+    *      one level is ample at any real score granularity.)
+    * Everything else is narrow filters against two broadcast cut
+    * tables.
+    *
+    * Contract: `scoreCol` is a LOW-CARDINALITY integer quality tier
+    * (FineWeb-style 0–100 — the census and its quadratic cumsum join
+    * assume ≲ 10⁴ distinct classes; pre-bucket finer scores);
+    * `tokenCol` must be non-negative (a negative count breaks the
+    * prefix monotonicity the decomposition rests on); null score or
+    * token rows never pass (the [[qualityGateExact]] null policy).
+    *
+    * @return the selected rows, original columns only */
+  def selectTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val outCols = df.columns.map(col).toSeq
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn("_draw", md5Draw("budget", col(idCol)))
+      .withColumn("_h", expr("_draw div 4194304L")) // 2^22 → 1024 buckets
+    // level 1: per-score-class token totals; _above = tokens in all
+    // strictly-better classes, via broadcast non-equi self-join
+    val c1 = base.groupBy(col(scoreCol).as("_s"))
+      .agg(sum(col(tokenCol)).as("_t"))
+    val cum1 = c1
+      .join(broadcast(c1.select(col("_s").as("_s2"), col("_t").as("_t2"))),
+        col("_s2") > col("_s"), "left")
+      .groupBy(col("_s"), col("_t"))
+      .agg(coalesce(sum(col("_t2")), lit(0L)).as("_above"))
+      .select(col("_s"),
+        (col("_above") + col("_t") <= budget).as("_full"),
+        (col("_above") <= budget && col("_above") + col("_t") > budget)
+          .as("_bnd"),
+        (lit(budget) - col("_above")).as("_rem"))
+    val tagged = base.join(broadcast(cum1), col(scoreCol) === col("_s"))
+    val fullClasses = tagged.filter(col("_full")).select(outCols: _*)
+    // level 2, boundary class only (≤ 1 by cumsum monotonicity):
+    // bucket census over the draw prefix, same non-equi cumsum
+    val bnd = tagged.filter(col("_bnd"))
+    val c2 = bnd.groupBy(col("_h").as("_hb"))
+      .agg(sum(col(tokenCol)).as("_t"), first(col("_rem")).as("_r"))
+    val cum2 = c2
+      .join(broadcast(c2.select(col("_hb").as("_hb2"), col("_t").as("_t2"))),
+        col("_hb2") < col("_hb"), "left")
+      .groupBy(col("_hb"), col("_t"), col("_r"))
+      .agg(coalesce(sum(col("_t2")), lit(0L)).as("_above2"))
+      .select(col("_hb"),
+        (col("_above2") + col("_t") <= col("_r")).as("_full2"),
+        (col("_above2") <= col("_r") && col("_above2") + col("_t") > col("_r"))
+          .as("_bnd2"),
+        (col("_r") - col("_above2")).as("_rem2"))
+    val tagged2 = bnd.join(broadcast(cum2), col("_h") === col("_hb"))
+    val fullBuckets = tagged2.filter(col("_full2")).select(outCols: _*)
+    // level 3: the boundary BUCKET pays the exact running sum — a
+    // window over the (score, bucket) stratum, ~|class|/1024 rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(scoreCol), col("_h"))
+      .orderBy(col("_draw"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val prefix = tagged2.filter(col("_bnd2"))
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col("_cum") <= col("_rem2"))
+      .select(outCols: _*)
+    fullClasses.unionByName(fullBuckets).unionByName(prefix)
+  }
+
   /** Cross-document repeated-SPAN masking — the finer-than-line tier
     * of the dedup ladder (doc-level → line-level → span-level): any
     * word-`k`-gram occurring in ≥ `minDocs` DISTINCT documents marks

@@ -383,6 +383,49 @@ object Search {
         col("_s").getField("cid").as("cid"))
   }
 
+  /** Reciprocal-rank fusion — HYBRID retrieval's merge step: combine
+    * two or more per-query rankings of the same corpus (a [[bm25TopK]]
+    * keyword arm, a [[Similarity.bruteForceTopK]] /
+    * [[Similarity.probeIvfIndex]] embedding arm, …) into one ranking
+    * by summing each doc's reciprocal-rank contributions,
+    * `Σ_arms scale div (k0 + rank)` — integer DIV instead of the
+    * classic `1/(k0+r)` float sum, so the fused score (and therefore
+    * the ranking and the k-cutoff) replays bit-for-bit in any 64-bit
+    * engine, the [[bm25TopK]] replayability policy. A doc absent from
+    * an arm simply contributes nothing (the union has no row), which
+    * IS standard RRF. k0 = 60 is the constant from the original RRF
+    * paper (Cormack/Clarke/Buettcher 2009); overflow: each
+    * contribution is ≤ scale div (k0+1), so int64 is safe for any
+    * realistic arm count at the default scale (10⁹·#arms ≪ 2⁶³).
+    *
+    * Scale shape: the inputs are retrieval RESULTS (queries × k rows
+    * each), never the corpus — the union and the (qid, doc_id) sum
+    * are metadata-sized against the index scans that produced them;
+    * ranking goes through the k-bounded heap.
+    *
+    * @param rankings ≥ 2 frames of (qid, rank, doc_id) — extra
+    *                 columns (scores) are ignored
+    * @return (qid, rank, doc_id, rrf) — the fused top-k per query */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, k: Int = 10,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.size >= 2,
+      s"rrfFuse needs at least 2 rankings, got ${rankings.size}")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(k > 0, s"k must be positive, got $k")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val contribs = rankings.map(_.select(col("qid"), col("doc_id"),
+      expr(s"${scale}L div (${k0}L + rank)").as("_c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("_c")).as("rrf"))
+    val kept = graft.plans.TopKPerGroup(fused, Seq("qid"),
+      Seq(("rrf", false), ("doc_id", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    kept.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** SymSpell-shaped fuzzy term suggestions: for each (possibly
     * misspelled) query term, the corpus vocabulary terms within
     * Levenshtein distance 1, ranked by document frequency — the

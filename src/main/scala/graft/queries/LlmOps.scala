@@ -2491,12 +2491,66 @@ object LlmOps {
     },
     q121.oracle)
 
+  // ---- q143: token-budget corpus selection -----------------------------
+  // "Fill a 16k-token budget with the best documents": quality tier =
+  // n_chars div 100, cost = whitespace token count, membership = the
+  // maximal (quality DESC, md5 draw, doc_id) prefix whose cumulative
+  // cost fits. Spark runs the two-level histogram refinement
+  // (class census → boundary class → 1024-bucket census → boundary
+  // bucket prefix — no global sort anywhere); the oracle IS the naive
+  // global running-sum definition, so the refinement's exactness —
+  // boundary location at both levels, the remaining-budget handoffs,
+  // the in-bucket prefix — is precisely what the hash gates. The
+  // budget lands mid-class by construction (classes 5+4 fit, class 3
+  // splits), so all three tiers of the machinery run.
+
+  private val q143 = GraftQuery(
+    "q143_token_budget",
+    (s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        expr("n_chars div 100L").as("quality"),
+        tokenCount(col("text")).cast(LongType).as("toks"))
+      DatasetOps.selectTokenBudget(scored, "doc_id", "quality", "toks",
+          budget = 16000L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, n_chars // 100 AS quality,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0)) AS BIGINT) AS toks,
+        CAST(concat('0x', substring(md5('budget:'||doc_id), 1, 8)) AS BIGINT)
+          AS u
+      FROM documents),
+      c AS (SELECT *, sum(toks) OVER (ORDER BY quality DESC, u, doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+      SELECT doc_id, source, quality, toks FROM c
+      WHERE cum <= 16000 ORDER BY doc_id"""))
+
+  // ---- q145: token-budget selection from pure SQL ----------------------
+  // The TVF parser path for q143: the scored corpus lands as a temp
+  // view, `select_token_budget` plans the same two-level histogram
+  // refinement, and the hash-match is against q143's own oracle.
+
+  private val q145 = GraftQuery(
+    "q145_sql_token_budget",
+    (s, d) => {
+      docs(s, d).select(col("doc_id"), col("source"),
+          expr("n_chars div 100L").as("quality"),
+          tokenCount(col("text")).cast(LongType).as("toks"))
+        .createOrReplaceTempView("graft_q145_scored")
+      s.sql("""SELECT doc_id, source, quality, toks
+        FROM select_token_budget('graft_q145_scored', 'doc_id', 'quality',
+                                 'toks', 16000)
+        ORDER BY doc_id""")
+    },
+    q143.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122, q123, q137)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
+      q145)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

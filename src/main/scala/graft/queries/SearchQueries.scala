@@ -753,7 +753,126 @@ object SearchQueries {
         JOIN toks ON toks.doc_id = picks.did
       ORDER BY picks.pos"""))
 
+  // ---- q142: hybrid retrieval (RRF fusion) ----------------------------
+  // The keyword arm (q124's integer BM25 top-10 for three queries)
+  // fused with an embedding arm (exact cosine top-10, the query
+  // vectors being each query's id-aligned embedding) by integer
+  // reciprocal-rank fusion, k0 = 60. The oracle replays BOTH arms in
+  // full — postings, df, the scaled BM25 arithmetic, the 6dp cosine
+  // ranking with self-exclusion — plus the `10⁹ div (60 + rank)`
+  // contribution sum and the fused ranking, so drift in either arm OR
+  // in the fusion arithmetic flips the hash.
+
+  private val q142 = GraftQuery(
+    "q142_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      val qs = searchQueries.toDF("qid", "qtext")
+      val (post, lens) = postingsMaterialized(s, d)
+      val bm = Search.bm25TopK(qs, post, Search.statsFromLens(lens), k = 10)
+        .select(col("qid"), col("rank"), col("doc_id"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+            .as("v"))
+      val qv = e.filter(col("vec_id").isin(searchQueries.map(_._1): _*))
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      val vec = graft.operators.Similarity
+        .bruteForceTopK(qv,
+          e.select(col("vec_id").as("cid"), col("v").as("cvec")), k = 10)
+        .select(col("qid"), col("rank"), col("cid").as("doc_id"))
+      Search.rrfFuse(Seq(bm, vec), k0 = 60, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      q(qid, qtext) AS (VALUES ${searchQueries.map {
+        case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      qt AS (SELECT qid, unnest(list_distinct(list_filter(
+          regexp_split_to_array(lower(qtext), '\\s+'),
+          x -> length(x) > 0))) AS term FROM q),
+      hit AS (SELECT qt.qid, post.term, post.doc_id, post.tf, post.dl
+        FROM post JOIN qt USING (term)),
+      hdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term, qid) AS BIGINT)
+          AS df FROM hit),
+      sc AS (SELECT qid, doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY qid, doc_id),
+      bm AS (SELECT qid, doc_id, rank FROM (
+          SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM sc) WHERE rank <= 10),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      qv AS (SELECT vec_id AS qid, v AS qv FROM e
+        WHERE vec_id IN (${searchQueries.map(_._1).mkString(", ")})),
+      vs AS (SELECT qv.qid, e.vec_id AS doc_id,
+          round(list_dot_product(qv.qv, e.v) /
+            (sqrt(list_dot_product(qv.qv, qv.qv)) *
+             sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+        FROM qv JOIN e ON e.vec_id <> qv.qid),
+      vk AS (SELECT qid, doc_id, rank FROM (
+          SELECT qid, doc_id,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+          FROM vs) WHERE rank <= 10),
+      u AS (SELECT qid, doc_id, 1000000000 // (60 + rank) AS c FROM bm
+        UNION ALL
+        SELECT qid, doc_id, 1000000000 // (60 + rank) FROM vk),
+      f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+        FROM u GROUP BY qid, doc_id),
+      fr AS (SELECT qid,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, rrf
+        FROM f)
+      SELECT qid, rank, doc_id, rrf FROM fr
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  // ---- q144: RRF fusion from pure SQL ---------------------------------
+  // The TVF parser path for q142 (the q133/q134 idiom): both arms land
+  // as temp views, `rrf_fuse` plans the same fusion + heap ranking,
+  // and the hash-match is against q142's own oracle.
+
+  private val q144 = GraftQuery(
+    "q144_sql_rrf",
+    (s, d) => {
+      import s.implicits._
+      val qs = searchQueries.toDF("qid", "qtext")
+      val (post, lens) = postingsMaterialized(s, d)
+      Search.bm25TopK(qs, post, Search.statsFromLens(lens), k = 10)
+        .select(col("qid"), col("rank"), col("doc_id"))
+        .createOrReplaceTempView("graft_q144_bm")
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleVec(col("embedding"))
+            .as("v"))
+      val qv = e.filter(col("vec_id").isin(searchQueries.map(_._1): _*))
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      graft.operators.Similarity
+        .bruteForceTopK(qv,
+          e.select(col("vec_id").as("cid"), col("v").as("cvec")), k = 10)
+        .select(col("qid"), col("rank"), col("cid").as("doc_id"))
+        .createOrReplaceTempView("graft_q144_vec")
+      s.sql("""SELECT qid, rank, doc_id, rrf
+        FROM rrf_fuse('graft_q144_bm', 'graft_q144_vec', 60, 10)
+        ORDER BY qid, rank""")
+    },
+    q142.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q138, q139, q140, q141)
+      q135, q136, q138, q139, q140, q141, q142, q144)
 }

@@ -595,4 +595,78 @@ class DatasetOpsSpec extends AnyFunSuite {
       spark.catalog.dropTempView("graft_imp_target")
     }
   }
+
+  // -- token-budget selection --------------------------------------------
+
+  /** The selection rule's JVM reference: global (score DESC, draw,
+    * id) order, maximal prefix with cumulative tokens ≤ budget. */
+  private def budgetRef(docs: Seq[(Long, Long, Long)],
+                        budget: Long): Set[Long] = {
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"budget:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ordered = docs.sortBy { case (id, s, _) => (-s, draw(id), id) }
+    val cums = ordered.scanLeft(0L)(_ + _._3).tail
+    ordered.zip(cums).takeWhile(_._2 <= budget).map(_._1._1).toSet
+  }
+
+  test("selectTokenBudget equals the global prefix rule across budgets, incl. zero-token docs") {
+    val rnd = new scala.util.Random(47)
+    // 5 score classes, token costs 0..29 (zeros exercise the
+    // monotone-prefix edge at the boundary)
+    val docs = (0L until 500L).map(i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(30).toLong))
+    val df = docs.toDF("id", "score", "toks")
+    val total = docs.map(_._3).sum
+    for (budget <- Seq(0L, 1L, total / 10, total / 3, (2 * total) / 3,
+        total - 1, total, total + 100)) {
+      val got = DatasetOps.selectTokenBudget(df, "id", "score", "toks",
+        budget).select($"id").as[Long].collect()
+      assert(got.length == got.toSet.size, s"duplicate rows at $budget")
+      assert(got.toSet == budgetRef(docs, budget),
+        s"budget=$budget: selection drifted from the global prefix rule")
+    }
+  }
+
+  test("selectTokenBudget: layout-invariant, null rows dropped, no global window") {
+    val rnd = new scala.util.Random(48)
+    val docs = (0L until 300L).map(i =>
+      (i, rnd.nextInt(3).toLong, 1L + rnd.nextInt(20).toLong))
+    val df = docs.toDF("id", "score", "toks")
+    val budget = docs.map(_._3).sum / 2
+    val a = DatasetOps.selectTokenBudget(df, "id", "score", "toks", budget)
+      .select($"id").as[Long].collect().toSet
+    val b = DatasetOps.selectTokenBudget(df.repartition(13), "id", "score",
+      "toks", budget).select($"id").as[Long].collect().toSet
+    assert(a == b, "membership must not depend on physical layout")
+    // null score or token rows never pass (the quality-gate policy)
+    val withNulls = df.unionByName(Seq((900L, null, "5"), (901L, "2", null))
+      .toDF("id", "score", "toks")
+      .select($"id", $"score".cast("long"), $"toks".cast("long")))
+    val c = DatasetOps.selectTokenBudget(withNulls, "id", "score", "toks",
+      budget).select($"id").as[Long].collect().toSet
+    assert(!c.contains(900L) && !c.contains(901L))
+    // the only window is the boundary-bucket stratum window — never a
+    // global (all-foldable-partition) one (the planscan criterion)
+    val sel = DatasetOps.selectTokenBudget(df, "id", "score", "toks", budget)
+    sel.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          ad +: allNodes(ad.executedPlan)
+        case n => Seq(n)
+      }
+    val global = allNodes(sel.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+    }
+    assert(global.isEmpty, s"global window in the plan: $global")
+    intercept[IllegalArgumentException] {
+      DatasetOps.selectTokenBudget(df, "id", "score", "toks", -1L)
+    }
+  }
 }

@@ -528,6 +528,43 @@ class SearchSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("search_tvf_docs2")
   }
 
+  test("rrf_fuse and select_token_budget TVFs equal the Scala operators") {
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 11L)).toDF("qid", "rank", "doc_id")
+    val b = Seq((0L, 1L, 11L), (0L, 2L, 12L)).toDF("qid", "rank", "doc_id")
+    a.createOrReplaceTempView("graft_rrf_a")
+    b.createOrReplaceTempView("graft_rrf_b")
+    val scored = (0L until 50L).map(i => (i, i % 3, 5L + i % 7))
+      .toDF("id", "score", "toks")
+    scored.createOrReplaceTempView("graft_budget_t")
+    try {
+      val fScala = Search.rrfFuse(Seq(a, b), k0 = 60, k = 5)
+        .orderBy(col("rank")).collect().toSeq
+      val fSql = spark.sql("""SELECT * FROM
+          rrf_fuse('graft_rrf_a', 'graft_rrf_b', 60, 5) ORDER BY rank""")
+        .collect().toSeq
+      assert(fSql == fScala)
+      val tScala = DatasetOps.selectTokenBudget(scored, "id", "score",
+        "toks", 120L).orderBy(col("id")).collect().toSeq
+      val tSql = spark.sql("""SELECT * FROM
+          select_token_budget('graft_budget_t', 'id', 'score', 'toks', 120)
+        ORDER BY id""").collect().toSeq
+      assert(tSql == tScala)
+      intercept[Exception] {
+        spark.sql("SELECT * FROM rrf_fuse('graft_rrf_a', 'graft_rrf_b', 0, 5)")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM rrf_fuse('graft_rrf_a', 'graft_rrf_b', 60, 0)")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM select_token_budget('graft_budget_t', 'id', 'score', 'toks', -1)")
+      }
+    } finally {
+      spark.catalog.dropTempView("graft_rrf_a")
+      spark.catalog.dropTempView("graft_rrf_b")
+      spark.catalog.dropTempView("graft_budget_t")
+    }
+  }
+
   // -- weighted interleave ----------------------------------------------
 
   private def mixFixture = (0L until 600L)
@@ -586,5 +623,50 @@ class SearchSpec extends AnyFunSuite {
       DatasetOps.interleaveSources(mixFixture, "doc_id", "source",
         Map.empty, nShards = 0)
     }
+  }
+
+  // -- reciprocal-rank fusion --------------------------------------------
+
+  test("rrfFuse: contribution arithmetic, single-arm docs, doc_id tie-break") {
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L))
+      .toDF("qid", "rank", "doc_id")
+    val b = Seq((0L, 1L, 11L), (0L, 2L, 20L)).toDF("qid", "rank", "doc_id")
+    val got = Search.rrfFuse(Seq(a, b), k0 = 60, k = 10)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    def c(r: Long) = 1000000000L / (60L + r)
+    // doc 11 is in both arms; 10/12 keyword-only; 20 vector-only
+    val exp = Seq(11L -> (c(2) + c(1)), 10L -> c(1), 20L -> c(2),
+      12L -> c(3)).sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (0L, i + 1L, id, s) }
+    assert(got == exp, s"got $got")
+  }
+
+  test("rrfFuse equals a JVM replay over random rankings; plans the bounded heap") {
+    val rnd = new scala.util.Random(53)
+    // three arms, 4 queries, overlapping doc pools with disjoint tails
+    val arms = (0 until 3).map { arm =>
+      (0L until 4L).flatMap { qid =>
+        val docs = rnd.shuffle((0L until 30L) ++ (100L + arm * 10L until
+          100L + arm * 10L + 5L)).take(12)
+        docs.zipWithIndex.map { case (d, i) => (qid, i + 1L, d) }
+      }
+    }
+    val dfs = arms.map(_.toDF("qid", "rank", "doc_id"))
+    val fused = Search.rrfFuse(dfs, k0 = 60, k = 7)
+    val got = fused.as[(Long, Long, Long, Long)].collect().toSet
+    val exp = arms.flatten
+      .groupBy(r => (r._1, r._3))
+      .map { case ((qid, d), rs) =>
+        (qid, d, rs.map(r => 1000000000L / (60L + r._2)).sum) }
+      .groupBy(_._1).flatMap { case (qid, rows) =>
+        rows.toSeq.sortBy(r => (-r._3, r._2)).take(7).zipWithIndex
+          .map { case ((_, d, s), i) => (qid, i + 1L, d, s) }
+      }.toSet
+    assert(got == exp)
+    val p = fused.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"fused ranking not planned through the heap:\n${p.take(600)}")
+    intercept[IllegalArgumentException] { Search.rrfFuse(Seq(dfs.head)) }
+    intercept[IllegalArgumentException] { Search.rrfFuse(dfs, k0 = 0) }
   }
 }
