@@ -600,6 +600,84 @@ object Dedup {
     * no text, all nulls would otherwise collide on xxhash64's seed as
     * one phantom "line", and array_join would drop them from
     * `cleaned` while n_lines still counted them. */
+  /** Corpus-LEVEL overlap, exact tier — the dataset-versioning
+    * diagnostic in front of doc-level dedup: how much of snapshot B's
+    * shingle vocabulary is already in snapshot A (a re-crawl that is
+    * 95%-contained in last month's is not worth reprocessing; an
+    * eval-set corpus highly contained in the training corpus is a
+    * leak). One row: distinct word-`k`-shingle counts per side, the
+    * common count, and Jaccard/containment as parts-per-1e8 integers
+    * (the termDrift convention — replayable DIV, no float ratios).
+    *
+    * Scale shape: each side collapses to its DISTINCT 8-byte shingle
+    * hashes (map-side-combined — occurrences never shuffle, the q44
+    * posting idiom), the union exchanges once on the hash, and the
+    * flags aggregate to a single row. Bodies never cross; the wide
+    * state is bounded by distinct shingles, not corpus size. Counting
+    * hashes instead of strings is the q113 collision-freeness
+    * contract (the oracle counts raw strings). */
+  def corpusOverlap(docsA: DataFrame, docsB: DataFrame, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def hashes(d: DataFrame, flag: String) = d
+      .select(explode(wordShingles(whitespaceTokens(col(textCol)), k))
+        .as("_s"))
+      .select(xxhash64(col("_s")).as("_h")).distinct()
+      .select(col("_h"), lit(1L).as(flag))
+    hashes(docsA, "_ina").withColumn("_inb", lit(0L))
+      .unionByName(hashes(docsB, "_inb").withColumn("_ina", lit(0L)))
+      .groupBy(col("_h"))
+      .agg(max(col("_ina")).as("_a"), max(col("_inb")).as("_b"))
+      .agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"),
+        sum(col("_a") * col("_b")).as("_c"), count(lit(1)).as("_u"))
+      .select(
+        coalesce(col("_na"), lit(0L)).as("shingles_a"),
+        coalesce(col("_nb"), lit(0L)).as("shingles_b"),
+        coalesce(col("_c"), lit(0L)).as("common"),
+        when(coalesce(col("_u"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("(_c * 100000000L) div _u")).as("jaccard8"),
+        when(coalesce(col("_na"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("(_c * 100000000L) div _na")).as("contain_a8"),
+        when(coalesce(col("_nb"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("(_c * 100000000L) div _nb")).as("contain_b8"))
+  }
+
+  /** Sketch tier of [[corpusOverlap]]: each side collapses to a
+    * `numHashes`-slot corpus MinHash signature (slot i = min over the
+    * side's shingles of a 64-bit md5-family hash), and the matching-
+    * slot fraction estimates the Jaccard — the classic single-set
+    * MinHash estimator lifted to whole corpora, for the recurring
+    * monitoring probe where the exact tier's distinct-shingle exchange
+    * is not worth paying. md5 keyed by slot (the q43 hash-family
+    * trick) so an engine with md5 replays the signatures bit-for-bit;
+    * estimator resolution is 1/numHashes, gated exactly by the oracle.
+    *
+    * Scale shape: per-doc signatures are narrow HOF work; what
+    * shuffles is docs × numHashes fixed-width (slot, min) tuples,
+    * map-side-combined down to numHashes rows per side before the
+    * slot join. An empty side yields matches = 0, estimate 0 — one
+    * output row always. */
+  def corpusOverlapSketch(docsA: DataFrame, docsB: DataFrame,
+                          textCol: String, k: Int = 3,
+                          numHashes: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"numHashes must be in [1, 1024], got $numHashes")
+    def sig(d: DataFrame) = d
+      .select(wordShingles(whitespaceTokens(col(textCol)), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("_sh"),
+          s => md5Hash64(concat_ws(":", i, s)))))).as(Seq("_i", "_v")))
+      .groupBy(col("_i")).agg(min(col("_v")).as("_m"))
+    sig(docsA).withColumnRenamed("_m", "_ma")
+      .join(sig(docsB).withColumnRenamed("_m", "_mb"), Seq("_i"))
+      .agg(coalesce(sum(when(col("_ma") === col("_mb"), 1L)
+        .otherwise(0L)), lit(0L)).as("matches"))
+      .select(col("matches"), lit(numHashes.toLong).as("num_hashes"),
+        expr(s"(matches * 100000000L) div ${numHashes}L").as("jaccard_est8"))
+  }
+
   def removeBoilerplateLines(docs: DataFrame, idCol: String, lines: Column,
                              minDocs: Int, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

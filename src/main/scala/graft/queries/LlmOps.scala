@@ -2544,13 +2544,101 @@ object LlmOps {
     },
     q143.oracle)
 
+  // ---- q146/q147: corpus-level overlap (exact + MinHash sketch) --------
+  // Dataset-versioning diagnostics between two corpus snapshots (the
+  // q130 src0-vs-src2 split): q146 is the exact distinct-shingle
+  // census — Spark counts xxhash64 shingle hashes, the oracle counts
+  // the raw shingle strings (the q113 collision-freeness contract),
+  // and the ppm8 integer ratios replay bit-for-bit. q147 is the
+  // 64-slot corpus-MinHash estimator, md5-keyed per slot (the q43
+  // hash-family trick) so the oracle rebuilds every signature —
+  // including the SIGNED 64-bit min semantics — and gates the
+  // estimate exactly, not approximately.
+
+  private val q146 = GraftQuery(
+    "q146_corpus_overlap",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.corpusOverlap(
+        dd.filter(col("source") === "src0"),
+        dd.filter(col("source") === "src2"), "text", k = 3)
+    },
+    Some("""WITH ta AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE source = 'src0'),
+      tb AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE source = 'src2'),
+      sa AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS s
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+          FROM ta WHERE len(tk) >= 3)),
+      sb AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS s
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+          FROM tb WHERE len(tk) >= 3)),
+      n AS (SELECT (SELECT count(*) FROM sa) AS na,
+          (SELECT count(*) FROM sb) AS nb,
+          (SELECT count(*) FROM sa JOIN sb USING (s)) AS c)
+      SELECT CAST(na AS BIGINT) AS shingles_a, CAST(nb AS BIGINT) AS shingles_b,
+        CAST(c AS BIGINT) AS common,
+        CAST(CASE WHEN na + nb - c = 0 THEN 0
+          ELSE (c * 100000000) // (na + nb - c) END AS BIGINT) AS jaccard8,
+        CAST(CASE WHEN na = 0 THEN 0
+          ELSE (c * 100000000) // na END AS BIGINT) AS contain_a8,
+        CAST(CASE WHEN nb = 0 THEN 0
+          ELSE (c * 100000000) // nb END AS BIGINT) AS contain_b8
+      FROM n"""))
+
+  private val q147 = GraftQuery(
+    "q147_corpus_overlap_sketch",
+    (s, d) => {
+      val dd = docs(s, d)
+      Dedup.corpusOverlapSketch(
+        dd.filter(col("source") === "src0"),
+        dd.filter(col("source") === "src2"), "text", k = 3, numHashes = 64)
+    },
+    Some("""WITH ta AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE source = 'src0'),
+      tb AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE source = 'src2'),
+      sa AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS s
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+          FROM ta WHERE len(tk) >= 3)),
+      sb AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS s
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+          FROM tb WHERE len(tk) >= 3)),
+      g AS (SELECT unnest(generate_series(0, 63)) AS i),
+      ha AS (SELECT g.i, min(
+          (CAST(concat('0x', substring(md5(g.i || ':' || s), 1, 8)) AS BIGINT)
+            - CASE WHEN CAST(concat('0x', substring(md5(g.i || ':' || s), 1, 8))
+                AS BIGINT) >= 2147483648 THEN 4294967296 ELSE 0 END)
+            * 4294967296
+          + CAST(concat('0x', substring(md5(g.i || ':' || s), 9, 8)) AS BIGINT))
+          AS m
+        FROM sa, g GROUP BY g.i),
+      hb AS (SELECT g.i, min(
+          (CAST(concat('0x', substring(md5(g.i || ':' || s), 1, 8)) AS BIGINT)
+            - CASE WHEN CAST(concat('0x', substring(md5(g.i || ':' || s), 1, 8))
+                AS BIGINT) >= 2147483648 THEN 4294967296 ELSE 0 END)
+            * 4294967296
+          + CAST(concat('0x', substring(md5(g.i || ':' || s), 9, 8)) AS BIGINT))
+          AS m
+        FROM sb, g GROUP BY g.i)
+      SELECT CAST(count(CASE WHEN ha.m = hb.m THEN 1 END) AS BIGINT)
+          AS matches,
+        CAST(64 AS BIGINT) AS num_hashes,
+        CAST((count(CASE WHEN ha.m = hb.m THEN 1 END) * 100000000) // 64
+          AS BIGINT) AS jaccard_est8
+      FROM ha JOIN hb USING (i)"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145)
+      q145, q146, q147)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -492,6 +492,69 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == want1, "surviving lines must keep original order")
   }
 
+  // -- corpus-level overlap ----------------------------------------------
+
+  test("corpusOverlap: hand-computed shingle sets, identical/disjoint/empty sides") {
+    val a = Seq((0L, "a b c d")).toDF("id", "text")
+    val b = Seq((1L, "b c d e")).toDF("id", "text")
+    // A = {a b c, b c d}, B = {b c d, c d e}: common 1, union 3
+    val Array(r) = Dedup.corpusOverlap(a, b, "text", k = 3).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 2L, 1L))
+    assert(r.getLong(3) == 100000000L / 3)    // jaccard8
+    assert(r.getLong(4) == 50000000L)         // contain_a8
+    assert(r.getLong(5) == 50000000L)
+    val Array(same) = Dedup.corpusOverlap(a, a, "text", k = 3).collect()
+    assert(same.getLong(3) == 100000000L && same.getLong(4) == 100000000L)
+    val c = Seq((2L, "x y z w")).toDF("id", "text")
+    val Array(disj) = Dedup.corpusOverlap(a, c, "text", k = 3).collect()
+    assert(disj.getLong(2) == 0L && disj.getLong(3) == 0L)
+    // an empty side yields zero counts and zero ratios, not nulls
+    val empty = a.filter($"id" < 0)
+    val Array(e) = Dedup.corpusOverlap(a, empty, "text", k = 3).collect()
+    assert((e.getLong(1), e.getLong(3), e.getLong(5)) == (0L, 0L, 0L))
+  }
+
+  test("corpusOverlapSketch equals a JVM signature replay; estimator tracks exact Jaccard") {
+    def jvmH64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    }
+    def shingles(docs: Seq[String], k: Int): Set[String] = docs.flatMap { t =>
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.size < k) Nil else tk.sliding(k).map(_.mkString(" ")).toSeq
+    }.toSet
+    val rnd = new scala.util.Random(61)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def mkDocs(n: Int) = (0 until n)
+      .map(_ => (0 until 8).map(_ => vocab(rnd.nextInt(40))).mkString(" "))
+    val da = mkDocs(30); val db = mkDocs(30)
+    val dfa = da.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val dfb = db.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val nH = 64
+    val Array(r) = Dedup.corpusOverlapSketch(dfa, dfb, "text", k = 3,
+      numHashes = nH).collect()
+    // full JVM replay: per-slot signed min over each side's shingles
+    val (sa, sb) = (shingles(da, 3), shingles(db, 3))
+    def sig(sh: Set[String]) = (0 until nH)
+      .map(i => sh.map(s => jvmH64(s"$i:$s")).min)
+    val wantMatches = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }
+    assert(r.getLong(0) == wantMatches.toLong,
+      s"matches ${r.getLong(0)} != JVM replay $wantMatches")
+    assert(r.getLong(2) == wantMatches.toLong * 100000000L / nH)
+    // estimator sanity against the exact tier (64 slots: σ ≈ 0.06)
+    val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(r.getLong(2) / 1e8 - exact) < 0.25,
+      s"estimate ${r.getLong(2) / 1e8} far from exact $exact")
+    // identical corpora: every slot matches by construction
+    val Array(same) = Dedup.corpusOverlapSketch(dfa, dfa, "text", k = 3,
+      numHashes = nH).collect()
+    assert(same.getLong(0) == nH.toLong && same.getLong(2) == 100000000L)
+  }
+
   test("md5Hash64 equals a JVM md5-prefix reference (the q43 oracle's hash family)") {
     // the SQL-replayable 64-bit family: hi 8 hex chars << 32 | next 8
     val inputs = Seq("", "a", "hello world", "Zürich", "0", "token-123")

@@ -51,7 +51,14 @@ class GoldenPlanSpec extends AnyFunSuite {
     // broadcast; the index side never exchanges before the anti join)
     "q124_bm25_search",
     "q128_postings_compaction",
-    "q130_term_drift")
+    "q130_term_drift",
+    // r7: the token-budget refinement — load-bearing tokens are the two
+    // broadcast non-equi census joins (BroadcastNestedLoopJoin over
+    // class/bucket censuses, never a window over data) and the single
+    // WindowExec partitioned on (score, bucket): a Window with an
+    // empty/foldable partition spec reappearing IS the global-sort
+    // regression the decomposition exists to avoid
+    "q143_token_budget")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
