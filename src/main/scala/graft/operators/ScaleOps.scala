@@ -52,4 +52,57 @@ object ScaleOps {
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Bucketed INTERVAL join — point-in-range without the nested loop:
+    * pairs every `points` row whose `pointCol` falls in an `intervals`
+    * row's half-open `[startCol, endCol)` (the standard event-in-
+    * maintenance-window / click-in-session shape). Spark plans a bare
+    * range-condition join as BroadcastNestedLoopJoin — O(points ×
+    * intervals) work the moment the interval side outgrows a
+    * broadcast. This is the classic bucketization instead: time is
+    * cut into `bucketWidth`-second cells, each interval EXPANDS to
+    * its covering cells (`len/width + 1` rows — bounded when interval
+    * lengths are bounded, the caller's side of the contract), each
+    * point maps to exactly ONE cell, and the join becomes an
+    * EQUI-join on the cell id with the exact range predicate as a
+    * post-filter. Because a point lives in one cell and an interval
+    * appears at most once per cell, every qualifying pair emerges
+    * exactly once — no dedup pass.
+    *
+    * Shuffle shape at 100 TB: one exchange on the cell id (or none,
+    * when the expanded interval side broadcasts); cell skew is
+    * governed by `bucketWidth` — size it so one cell's points fit a
+    * task, the [[saltedJoin]] sizing argument.
+    *
+    * Columns: both frames' columns survive (caller disambiguates
+    * names); `pointCol`/`startCol`/`endCol` may be numeric or
+    * timestamps — timestamps bucket at SECOND resolution (Spark's
+    * long cast) while the exact predicate compares at full precision;
+    * the covering range is computed from the truncated endpoints, a
+    * superset that the predicate prunes. Domain must be non-negative
+    * (epoch time; integral `div` truncates toward zero, which equals
+    * floor only there). Degenerate intervals (start >= end) match
+    * nothing and are dropped before expansion. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, startCol: String, endCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.types.LongType
+    // integral `div` (never float division then truncate — exact at
+    // any long magnitude) over pre-projected long casts
+    val p = points
+      .withColumn("_pl", points(pointCol).cast(LongType))
+      .withColumn("_cell", expr(s"_pl div ${bucketWidth}L"))
+      .drop("_pl")
+    val iv = intervals
+      .filter(intervals(startCol) < intervals(endCol))
+      .withColumn("_sl", intervals(startCol).cast(LongType))
+      .withColumn("_el", intervals(endCol).cast(LongType))
+      .withColumn("_cell", explode(sequence(
+        expr(s"_sl div ${bucketWidth}L"), expr(s"_el div ${bucketWidth}L"))))
+      .drop("_sl", "_el")
+    p.join(iv, Seq("_cell"))
+      .filter(p(pointCol) >= iv(startCol) && p(pointCol) < iv(endCol))
+      .drop("_cell")
+  }
 }

@@ -543,7 +543,45 @@ object Relational2 {
       FROM act JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY cohort_week, week_index"""))
 
+  // ---- q148: bucketed interval join -----------------------------------
+  // Point-in-range without the nested loop (events inside one-hour
+  // incident windows — every 97th event opens one): ScaleOps
+  // .intervalJoin cuts time into 1-hour cells, expands each window to
+  // its covering cells, and runs an EQUI-join on the cell id with the
+  // exact half-open range predicate as a post-filter — Spark's native
+  // plan for a bare range join is BroadcastNestedLoopJoin, O(points ×
+  // intervals). The oracle is DuckDB's direct range join, so the
+  // bucketization's exactness (cell coverage, the [start, end)
+  // boundary, no duplicate pairs) is what the hash gates; money-style
+  // DECIMAL summation keeps the double aggregate order-independent.
+
+  private val q148 = GraftQuery(
+    "q148_interval_join",
+    (s, d) => {
+      val events = ev(s, d)
+      val windows = events.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("incident_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.operators.ScaleOps.intervalJoin(
+          events.select(col("event_id"), col("ts"), col("value")),
+          windows, "ts", "w_start", "w_end", bucketWidth = 3600L)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DecimalType(38, 10))), 4)
+            .cast(DoubleType).as("value_sum"))
+        .orderBy(col("incident_id"))
+    },
+    Some("""WITH w AS (SELECT event_id AS incident_id, ts AS w_start,
+        ts + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_id % 97 = 0)
+      SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+          AS value_sum
+      FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+      GROUP BY incident_id ORDER BY incident_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89)
+      q82, q88, q89, q148)
 }

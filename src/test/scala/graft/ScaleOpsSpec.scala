@@ -29,6 +29,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("_salt"), "salt column missing from the plan")
   }
 
+  test("intervalJoin equals the nested-loop reference; boundaries half-open; pairs unique") {
+    val rnd = new scala.util.Random(59)
+    // points 0..9999; intervals of mixed length incl. multi-cell
+    // spans, exact-boundary endpoints, and degenerate (empty) ones
+    val points = (0 until 400)
+      .map(i => (i.toLong, rnd.nextInt(10000).toLong)).toDF("pid", "p")
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(9500).toLong
+      val len = rnd.nextInt(3) match {
+        case 0 => 0L                       // degenerate: matches nothing
+        case 1 => rnd.nextInt(40).toLong   // sub-cell
+        case _ => 300L + rnd.nextInt(900)  // spans multiple 256-cells
+      }
+      (i.toLong, s, s + len)
+    } :+ ((60L, 256L, 512L))               // exact cell-aligned window
+    val ivDf = ivs.toDF("iid", "s", "e")
+    val got = ScaleOps.intervalJoin(points, ivDf, "p", "s", "e",
+        bucketWidth = 256L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    val pts = points.as[(Long, Long)].collect().toSeq
+    val want = for {
+      (pid, p) <- pts
+      (iid, s, e) <- ivs
+      if p >= s && p < e
+    } yield (pid, iid)
+    assert(got.sorted == want.sorted,
+      "bucketed join must equal the nested-loop definition exactly")
+    assert(got.size == got.toSet.size, "a qualifying pair must appear once")
+    // point AT start is in; point AT end is out (half-open)
+    val bp = Seq((0L, 256L), (1L, 512L)).toDF("pid", "p")
+    val bi = Seq((0L, 256L, 512L)).toDF("iid", "s", "e")
+    val bGot = ScaleOps.intervalJoin(bp, bi, "p", "s", "e", 256L)
+      .select($"pid").as[Long].collect().toSeq
+    assert(bGot == Seq(0L))
+    // the plan is an equi-join on the cell — never a nested loop
+    val plan = ScaleOps.intervalJoin(points, ivDf, "p", "s", "e", 256L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n${plan.take(500)}")
+    intercept[IllegalArgumentException] {
+      ScaleOps.intervalJoin(points, ivDf, "p", "s", "e", 0L)
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val a = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "va")
     val b = (0L until 1000L).map(i => (i % 100, i * 2)).toDF("k", "vb")
