@@ -400,6 +400,36 @@ object Similarity {
         transform(sort_array(collect_list(struct(col("_i"), col("_m")))),
           s => s.getField("_m")).as("centroid"))
 
+  /** Embedding-space drift monitor — the vector-modality member of
+    * the snapshot-monitoring family ([[graft.operators.Search.termDrift]]
+    * for term distributions, [[graft.operators.Dedup.corpusOverlap]]
+    * for shingle vocabularies): one row comparing two embedding
+    * snapshots by their mean vectors — `centroid_cos` (6dp, the q53
+    * parity rounding) says whether the embedding DISTRIBUTION moved
+    * (a new embedding-model version, a crawl shift); the centroid
+    * norms say whether it tightened or dispersed (a mean that shrinks
+    * toward 0 means the population spread out). Centroids come from
+    * [[meanPoolEmbeddings]]' order-independent DECIMAL fold, so the
+    * whole row replays bit-for-bit.
+    *
+    * Scale shape: two centroid folds ((dim) fixed-width tuples
+    * map-side-combined — vectors never shuffle whole, the q120
+    * argument) and a 1×1 broadcast crossJoin. An empty side has no
+    * centroid — the result is empty, loudly, rather than a row of
+    * nulls. */
+  def embeddingDrift(vecsA: DataFrame, vecsB: DataFrame,
+                     vecCol: String): DataFrame = {
+    def cent(d: DataFrame, n: String, c: String) =
+      meanPoolEmbeddings(d.withColumn("_g", lit(1)), "_g", vecCol)
+        .select(col("n_vecs").as(n), col("centroid").as(c))
+    cent(vecsA, "n_a", "_ca")
+      .crossJoin(broadcast(cent(vecsB, "n_b", "_cb")))
+      .select(col("n_a"), col("n_b"),
+        round(cosineFast(col("_ca"), col("_cb")), 6).as("centroid_cos"),
+        round(l2Norm(col("_ca")), 6).as("norm_a"),
+        round(l2Norm(col("_cb")), 6).as("norm_b"))
+  }
+
   /** Contrastive triplet mining — embedding-model training prep: for
     * every document with at least one near-duplicate, emit (anchor,
     * positive, sim, negative) where the positive is the anchor's

@@ -2632,13 +2632,58 @@ object LlmOps {
           AS BIGINT) AS jaccard_est8
       FROM ha JOIN hb USING (i)"""))
 
+  // ---- q149: embedding-space drift monitor -----------------------------
+  // The vector-modality member of the snapshot-monitoring family
+  // (q130 term drift, q146/q147 shingle overlap): labels 0-4 vs 5-9
+  // as the two "snapshots". The oracle replays the DECIMAL centroid
+  // fold per side (the q120 machinery with a constant group), the
+  // 6dp cosine between the two centroids, and both norms.
+
+  private val q149 = GraftQuery(
+    "q149_embedding_drift",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.embeddingDrift(
+        e.filter(col("label") <= 4), e.filter(col("label") >= 5),
+        "embedding")
+    },
+    Some("""WITH ua AS (SELECT unnest(list_transform(
+          generate_series(1, len(embedding)),
+          i -> struct_pack(idx := i - 1, x := CAST(embedding[i] AS DOUBLE))))
+          AS u
+        FROM embeddings WHERE label <= 4),
+      ub AS (SELECT unnest(list_transform(
+          generate_series(1, len(embedding)),
+          i -> struct_pack(idx := i - 1, x := CAST(embedding[i] AS DOUBLE))))
+          AS u
+        FROM embeddings WHERE label >= 5),
+      ca AS (SELECT u.idx AS idx,
+          round(CAST(sum(CAST(u.x AS DECIMAL(30, 12))) AS DOUBLE)
+            / count(u.x), 6) AS m,
+          count(u.x) AS n
+        FROM ua GROUP BY u.idx),
+      cb AS (SELECT u.idx AS idx,
+          round(CAST(sum(CAST(u.x AS DECIMAL(30, 12))) AS DOUBLE)
+            / count(u.x), 6) AS m,
+          count(u.x) AS n
+        FROM ub GROUP BY u.idx),
+      va AS (SELECT list(m ORDER BY idx) AS v, max(n) AS n FROM ca),
+      vb AS (SELECT list(m ORDER BY idx) AS v, max(n) AS n FROM cb)
+      SELECT CAST(va.n AS BIGINT) AS n_a, CAST(vb.n AS BIGINT) AS n_b,
+        round(list_dot_product(va.v, vb.v) /
+          (sqrt(list_dot_product(va.v, va.v)) *
+           sqrt(list_dot_product(vb.v, vb.v))), 6) AS centroid_cos,
+        round(sqrt(list_dot_product(va.v, va.v)), 6) AS norm_a,
+        round(sqrt(list_dot_product(vb.v, vb.v)), 6) AS norm_b
+      FROM va, vb"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145, q146, q147)
+      q145, q146, q147, q149)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -318,6 +318,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingDrift: identical sides cos 1, shifted population detected, empty side empty") {
+    val a = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.8, 0.2, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0))).toDF("id", "vec")
+    val Array(same) = Similarity.embeddingDrift(a, a, "vec").collect()
+    assert(same.getLong(0) == 3L && same.getLong(1) == 3L)
+    assert(same.getDouble(2) == 1.0, s"identical sides: ${same.getDouble(2)}")
+    assert(same.getDouble(3) == same.getDouble(4))
+    // an orthogonally-shifted population drops the centroid cosine
+    val b = Seq((0L, Seq(0.0, 0.0, 1.0)), (1L, Seq(0.1, 0.0, 0.9)))
+      .toDF("id", "vec")
+    val Array(drift) = Similarity.embeddingDrift(a, b, "vec").collect()
+    assert(drift.getLong(1) == 2L)
+    assert(drift.getDouble(2) < 0.2,
+      s"orthogonal shift should read near 0: ${drift.getDouble(2)}")
+    // empty side: loudly empty, never a null-poisoned row
+    assert(Similarity.embeddingDrift(a, a.filter($"id" < 0), "vec")
+      .count() == 0L)
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(dim)(rnd.nextGaussian())
