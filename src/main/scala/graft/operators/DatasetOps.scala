@@ -735,4 +735,57 @@ object DatasetOps {
       .withColumn("vtime", expr("(src_rank * 1000000L) div _w"))
       .drop("_u", "_w")
   }
+
+  /** Hashed linear classifier INFERENCE — the fasttext-shaped quality
+    * filter every published corpus recipe runs (CCNet/RefinedWeb/FineWeb
+    * keep docs a linear model over hashed n-gram features scores above
+    * a threshold). Features are unigram + bigram occurrences hashed
+    * into `buckets` via the hashing trick (collisions share a weight —
+    * the property that bounds the model size independent of the
+    * vocabulary); the doc score is the integer sum of its features'
+    * bucket weights, and `keep` compares against a PER-FEATURE
+    * threshold multiplicatively (`score >= threshold · n_feats`) so no
+    * integer division of possibly-negative sums is involved.
+    *
+    * The weight table here is derived (md5 of the bucket id, uniform
+    * in [-1000, 1000]) rather than trained — the deterministic
+    * stand-in that makes the q150 oracle replay bucketing, weights and
+    * the fold bit-for-bit. A production caller passes a real model by
+    * swapping `weightOf`; the PLAN is identical either way: per-doc
+    * intra-row fold, zero shuffles, zero joins — a trained weight
+    * array rides along as a broadcast literal (buckets ≤ 2²⁰ × 8 B =
+    * 8 MB), never a join table. That narrow shape is the whole point
+    * at 100 TB: quality filtering is the first gate a corpus passes,
+    * so it must cost one scan and nothing else.
+    *
+    * md5 (not xxhash64) for both bucket and weight: the oracle must
+    * compute identical values (the [[md5Draw]] portability contract),
+    * and two md5s per token keep the op codegen'd end to end.
+    *
+    * @return one row per doc: `n_feats` (unigram+bigram occurrences),
+    *         `score` (Σ bucket weights), `keep`. */
+  def classifierScores(df: DataFrame, idCol: String, textCol: String,
+                       salt: String = "clf", buckets: Int = 1 << 18,
+                       threshold: Long = 0L): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def weightOf(bucket: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"w:$salt:"),
+          bucket.cast(StringType))), 1, 8), 16, 10).cast(LongType),
+        lit(2001L)) - 1000L
+    def featWeight(prefix: String, f: Column): Column =
+      weightOf(pmod(conv(substring(md5(concat(lit(s"$salt:$prefix:"), f)),
+        1, 8), 16, 10).cast(LongType), lit(buckets.toLong)))
+    val toks = whitespaceTokens(col(textCol))
+    df.select(col(idCol), toks.as("_tks"))
+      .select(col(idCol), col("_tks"),
+        wordShingles(col("_tks"), 2).as("_bgs"))
+      .select(col(idCol),
+        (size(col("_tks")) + size(col("_bgs"))).cast(LongType)
+          .as("n_feats"),
+        (aggregate(col("_tks"), lit(0L),
+            (acc, t) => acc + featWeight("u", t)) +
+          aggregate(col("_bgs"), lit(0L),
+            (acc, g) => acc + featWeight("b", g))).as("score"))
+      .withColumn("keep", col("score") >= lit(threshold) * col("n_feats"))
+  }
 }

@@ -2677,13 +2677,56 @@ object LlmOps {
         round(sqrt(list_dot_product(vb.v, vb.v)), 6) AS norm_b
       FROM va, vb"""))
 
+  // ---- q150: hashed linear classifier scoring --------------------------
+  // The fasttext-shaped quality filter (CCNet/RefinedWeb lineage):
+  // unigram+bigram occurrences hashed into 2^18 buckets, md5-derived
+  // integer bucket weights in [-1000, 1000], per-doc integer sum, and
+  // a multiplicative per-feature keep threshold (no division of
+  // possibly-negative sums). Zero shuffles — the whole op is one
+  // narrow scan, which is the property that matters when it gates a
+  // 100 TB corpus. The oracle replays bucketing, the weight draw and
+  // the fold bit-for-bit.
+
+  private val q150 = GraftQuery(
+    "q150_classifier_score",
+    (s, d) =>
+      DatasetOps.classifierScores(docs(s, d), "doc_id", "text",
+          threshold = -20L)
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(list_concat(
+          list_transform(tk, t -> 'clf:u:' || t),
+          list_transform(generate_series(1, len(tk) - 1),
+            i -> 'clf:b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+        FROM toks),
+      bw AS (
+        SELECT doc_id,
+          CAST(concat('0x', substring(md5('w:clf:' ||
+            (CAST(concat('0x', substring(md5(f), 1, 8)) AS BIGINT)
+              % 262144)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM feats),
+      sc AS (
+        SELECT doc_id, count(*) AS n_feats, sum(w) AS score
+        FROM bw GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+        CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+        coalesce(s.score, 0) >= -20 * coalesce(s.n_feats, 0) AS keep
+      FROM documents d LEFT JOIN sc s USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145, q146, q147, q149)
+      q145, q146, q147, q149, q150)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

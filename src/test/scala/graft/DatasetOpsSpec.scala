@@ -669,4 +669,55 @@ class DatasetOpsSpec extends AnyFunSuite {
       DatasetOps.selectTokenBudget(df, "id", "score", "toks", -1L)
     }
   }
+
+  test("classifierScores: JVM md5 replay, empty docs, shuffle-free plan") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "THE Quick  brown\tfox"), // case/whitespace-normalizes to #1
+      (3L, "one"),                   // single token: no bigrams
+      (4L, ""),                      // empty: n_feats 0, score 0, keep
+      (5L, "lorem ipsum dolor sit amet lorem ipsum")
+    ).toDF("doc_id", "text")
+    val got = DatasetOps.classifierScores(docs, "doc_id", "text",
+        threshold = -20L)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+
+    // the reference fold: md5 via MessageDigest, the oracle's exact path
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def score(text: String): (Long, Long) = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = tk.map("clf:u:" + _) ++
+        tk.sliding(2).filter(_.size == 2).map(p => "clf:b:" + p.mkString(" "))
+      val s = feats.map { f =>
+        val b = md5u32(f) % 262144L
+        md5u32(s"w:clf:$b") % 2001L - 1000L
+      }.sum
+      (feats.size.toLong, s)
+    }
+    for ((id, nf, sc, keep) <- got) {
+      val text = Seq("", "the quick brown fox", "THE Quick  brown\tfox",
+        "one", "", "lorem ipsum dolor sit amet lorem ipsum")(id.toInt)
+      val (en, es) = score(text)
+      assert(nf == en, s"doc $id n_feats: got $nf want $en")
+      assert(sc == es, s"doc $id score: got $sc want $es")
+      assert(keep == (es >= -20L * en), s"doc $id keep")
+    }
+    // docs 1 and 2 tokenize identically → identical features and score
+    assert(got(0)._3 == got(1)._3 && got(0)._2 == got(1)._2)
+    // the filter must cost ONE narrow scan: no shuffle in the plan
+    val plan = DatasetOps.classifierScores(docs, "doc_id", "text")
+    plan.collect()
+    val exchanges = plan.queryExecution.executedPlan.toString()
+    assert(!exchanges.contains("Exchange"),
+      s"classifierScores must be shuffle-free:\n$exchanges")
+    intercept[IllegalArgumentException] {
+      DatasetOps.classifierScores(docs, "doc_id", "text", buckets = 0)
+    }
+  }
 }
