@@ -2720,13 +2720,59 @@ object LlmOps {
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---- q152: BPE merge induction ---------------------------------------
+  // Tokenizer training's inner loop (Sennrich 2016) as a corpus
+  // operator: 4 merge rounds learned from the word-type census. The
+  // oracle unrolls all four rounds — census → argmax (count DESC,
+  // lhs, rhs) → sequential-replace merge apply — over the same
+  // U+001F-framed symbol strings, so a drifted tie-break, a wrong
+  // overlap semantics ("aaa" must merge to [aa, a]) or a lost
+  // word-count weight flips the hash.
+
+  private val q152: GraftQuery = {
+    val round = (i: Int, prev: String) => s"""
+      p$i AS (SELECT u.l AS l, u.r AS r, sum(n) AS cnt FROM (
+          SELECT n, unnest(list_transform(generate_series(1, len(sy) - 1),
+            i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS u
+          FROM (SELECT n, string_split($prev.w[2:len($prev.w) - 1],
+              chr(31) || chr(31)) AS sy FROM $prev))
+        GROUP BY u.l, u.r),
+      m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      w$i AS (SELECT replace($prev.w,
+          chr(31) || m$i.l || chr(31) || chr(31) || m$i.r || chr(31),
+          chr(31) || m$i.l || m$i.r || chr(31)) AS w, n
+        FROM $prev, m$i)"""
+    GraftQuery(
+      "q152_bpe_merges",
+      (s, d) =>
+        graft.operators.Bpe.learnBpeMerges(docs(s, d), "text", nMerges = 4),
+      Some(s"""WITH toks AS (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0)) AS w FROM documents),
+        wc AS (SELECT w, count(*) AS n FROM toks
+          WHERE regexp_matches(w, '^[\\x21-\\x7e]+$$') GROUP BY w),
+        w0 AS (SELECT regexp_replace(w, '(.)',
+            chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wc),
+        ${round(1, "w0")},
+        ${round(2, "w1")},
+        ${round(3, "w2")},
+        ${round(4, "w3")}
+        SELECT CAST(mr AS BIGINT) AS merge_rank, lhs, rhs,
+          CAST(cnt AS BIGINT) AS pair_count FROM (
+          SELECT 1 AS mr, l AS lhs, r AS rhs, cnt FROM m1
+          UNION ALL SELECT 2, l, r, cnt FROM m2
+          UNION ALL SELECT 3, l, r, cnt FROM m3
+          UNION ALL SELECT 4, l, r, cnt FROM m4)
+        ORDER BY merge_rank"""))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145, q146, q147, q149, q150)
+      q145, q146, q147, q149, q150, q152)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the
