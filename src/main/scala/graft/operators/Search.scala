@@ -671,4 +671,64 @@ object Search {
       .select(col("id"), nMatches.as("n_matches"))
       .filter(col("n_matches") > 0)
   }
+
+  /** Vocabulary coverage curve — for each requested vocab size `s`,
+    * the share of all token occurrences the `s` most frequent terms
+    * cover (parts-per-1e8). The tokenizer-design question every
+    * corpus asks ("how big must the vocab be to cover 97%?"), and the
+    * Zipf-head sanity check on a new crawl snapshot (a boilerplate
+    * regression fattens the head; a spam influx fattens the tail).
+    *
+    * Scale shape: the census is a map-side-combined token count (the
+    * [[termDrift]] family); the HEAD is a bounded
+    * `orderBy(cnt desc, term).limit(max(sizes))` —
+    * TakeOrderedAndProject's per-partition bounded heaps, so the
+    * 10⁸–10⁹-term crawl tail is never sorted, never single-tasked
+    * (the q130 lesson). The head's counts — `max(sizes)` longs by
+    * contract, enforced ≤ 2²⁰ — come to the driver for the prefix
+    * sums (the ≤k-row centroid-pickup contract); no window anywhere,
+    * global or otherwise. The total is a narrow token-count scan (the
+    * [[termDrift]] totals convention — a second scan of the text, but
+    * a SUM-shaped one with no exchange on terms).
+    *
+    * Coverage is integer: `head_tokens · 10⁸ DIV total` in 128-bit
+    * (BigInt here, HUGEINT in the oracle) — at 100 TB the corpus
+    * holds ~2.5·10¹³ tokens and the 64-bit product would wrap.
+    *
+    * @return one row per size: (size, vocab_terms — min(size, |vocab|),
+    *         head_tokens, total_tokens, coverage_ppm8), ordered by
+    *         size. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "sizes must be non-empty")
+    require(sizes.forall(_ > 0), s"sizes must be positive: $sizes")
+    require(sizes.max <= (1 << 20),
+      s"head cap is 2^20 terms (the bounded-pickup contract), got ${sizes.max}")
+    require(sizes.distinct.size == sizes.size, s"duplicate sizes: $sizes")
+    val census = docs
+      .select(explode(TextFunctions.whitespaceTokens(col(textCol)))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val head = census
+      .orderBy(col("cnt").desc, col("term")).limit(sizes.max)
+      .select(col("cnt"))
+      .collect().map(_.getLong(0))
+    val total = docs
+      .agg(coalesce(sum(TextFunctions.tokenCount(col(textCol))
+        .cast(LongType)), lit(0L)))
+      .collect()(0).getLong(0)
+    val prefix = head.scanLeft(0L)(_ + _)
+    val rows = sizes.sorted.map { s =>
+      val n = math.min(s, head.length)
+      val cum = prefix(n)
+      val ppm8 =
+        if (total == 0L) 0L
+        else ((BigInt(cum) * 100000000) / BigInt(total)).toLong
+      (s.toLong, n.toLong, cum, total, ppm8)
+    }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    rows.toDF("size", "vocab_terms", "head_tokens", "total_tokens",
+      "coverage_ppm8")
+  }
 }

@@ -872,7 +872,42 @@ object SearchQueries {
     },
     q142.oracle)
 
+  // ---- q151: vocabulary coverage curve --------------------------------
+  // The tokenizer-design / Zipf-head monitor: coverage of the top
+  // 100/500/1000/5000 terms in parts-per-1e8. The head is a bounded
+  // TakeOrderedAndProject pickup (never a vocabulary sort — the q130
+  // lesson); the oracle replays the census, the (cnt DESC, term) head
+  // order, the prefix sums and the HUGEINT-exact integer division.
+
+  private val q151 = GraftQuery(
+    "q151_vocab_coverage",
+    (s, d) =>
+      Search.vocabCoverage(docs(s, d), "text",
+        Seq(100, 500, 1000, 5000)),
+    Some("""WITH toks AS (SELECT
+        list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      t AS (SELECT unnest(tk) AS term FROM toks),
+      c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+      r AS (SELECT cnt,
+          row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM c),
+      sz AS (SELECT unnest([100, 500, 1000, 5000]) AS size),
+      agg AS (SELECT sz.size,
+          count(r.rn) AS vocab_terms,
+          coalesce(sum(r.cnt), 0) AS head_tokens
+        FROM sz LEFT JOIN r ON r.rn <= sz.size GROUP BY sz.size)
+      SELECT CAST(agg.size AS BIGINT) AS size,
+        CAST(agg.vocab_terms AS BIGINT) AS vocab_terms,
+        CAST(agg.head_tokens AS BIGINT) AS head_tokens,
+        tot.total AS total_tokens,
+        CASE WHEN tot.total = 0 THEN 0 ELSE
+          CAST(CAST(agg.head_tokens AS HUGEINT) * 100000000 // tot.total
+            AS BIGINT) END AS coverage_ppm8
+      FROM agg, tot ORDER BY size"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q138, q139, q140, q141, q142, q144)
+      q135, q136, q138, q139, q140, q141, q142, q144, q151)
 }

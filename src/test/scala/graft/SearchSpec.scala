@@ -669,4 +669,41 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Search.rrfFuse(Seq(dfs.head)) }
     intercept[IllegalArgumentException] { Search.rrfFuse(dfs, k0 = 0) }
   }
+
+  test("vocabCoverage: exact head sums, boundary ties, bounded-heap plan") {
+    // counts: a=5, b=4, c=4, d=2, e=1 → 16 tokens; the b/c tie at the
+    // size=2 boundary must cut by (cnt DESC, term): head(2) = {a, b}
+    val docs = Seq(
+      (1L, "a a b c d"), (2L, "a b c e"), (3L, "a a b b c c d")
+    ).toDF("doc_id", "text")
+    val got = Search.vocabCoverage(docs, "text", Seq(2, 3, 10))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 2L, 9L, 16L, 9L * 100000000L / 16L),
+      (3L, 3L, 13L, 16L, 13L * 100000000L / 16L),
+      (10L, 5L, 16L, 16L, 100000000L)), got.toString)
+    // empty corpus: zero totals, zero coverage — never a null board
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val z = Search.vocabCoverage(empty, "text", Seq(5))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(z == Seq((5L, 0L, 0L, 0L, 0L)))
+    // the head must plan as bounded per-partition heaps, never a
+    // vocabulary sort (the q130 single-task lesson)
+    val census = docs
+      .select(explode(graft.functions.TextFunctions
+        .whitespaceTokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term").limit(10)
+    census.collect()
+    assert(census.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    intercept[IllegalArgumentException] {
+      Search.vocabCoverage(docs, "text", Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Search.vocabCoverage(docs, "text", Seq(0)) }
+    intercept[IllegalArgumentException] {
+      Search.vocabCoverage(docs, "text", Seq(5, 5)) }
+    intercept[IllegalArgumentException] {
+      Search.vocabCoverage(docs, "text", Seq((1 << 20) + 1)) }
+  }
 }
