@@ -581,7 +581,59 @@ object Relational2 {
       FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
       GROUP BY incident_id ORDER BY incident_id"""))
 
+  // ---- q153: PageRank centrality over the purchase graph -------------
+  // Who-buys-what as a symmetric bipartite graph (customer↔part via
+  // lineitem), 3 damped integer iterations, top-25 board. The oracle
+  // unrolls every round — base mass, degree division, in-mass sums,
+  // the damped update — in the same non-negative int64/HUGEINT
+  // arithmetic, so a drifted join, a lost dangling-mass policy or a
+  // float anywhere flips the hash. Symmetrizing the edge set is the
+  // dangling-node policy (see Graph.pageRank's scaladoc).
+
+  private val q153 = GraftQuery(
+    "q153_pagerank",
+    (s, d) => {
+      val cp = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .distinct()
+      val edges = cp.union(cp.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("score").desc, col("node")).limit(25)
+    },
+    Some("""WITH cp AS (SELECT DISTINCT 'c:' || o_custkey AS src,
+          'p:' || l_partkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      c AS (SELECT count(*) AS nn FROM n),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT node, 1000000000000 // c.nn AS base,
+          1000000000000 // c.nn AS r FROM n, c),
+      i1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS m
+        FROM r0 JOIN deg ON deg.src = r0.node JOIN e ON e.src = r0.node
+        GROUP BY e.dst),
+      r1 AS (SELECT r0.node, r0.base,
+          (15 * r0.base) // 100 + (85 * coalesce(i1.m, 0)) // 100 AS r
+        FROM r0 LEFT JOIN i1 ON i1.node = r0.node),
+      i2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS m
+        FROM r1 JOIN deg ON deg.src = r1.node JOIN e ON e.src = r1.node
+        GROUP BY e.dst),
+      r2 AS (SELECT r1.node, r1.base,
+          (15 * r1.base) // 100 + (85 * coalesce(i2.m, 0)) // 100 AS r
+        FROM r1 LEFT JOIN i2 ON i2.node = r1.node),
+      i3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS m
+        FROM r2 JOIN deg ON deg.src = r2.node JOIN e ON e.src = r2.node
+        GROUP BY e.dst),
+      r3 AS (SELECT r2.node, r2.base,
+          (15 * r2.base) // 100 + (85 * coalesce(i3.m, 0)) // 100 AS r
+        FROM r2 LEFT JOIN i3 ON i3.node = r2.node)
+      SELECT node, CAST(r AS BIGINT) AS score FROM r3
+      ORDER BY score DESC, node LIMIT 25"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89, q148)
+      q82, q88, q89, q148, q153)
 }

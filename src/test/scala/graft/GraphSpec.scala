@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Integer PageRank vs a plain JVM reference with the identical
+  * arithmetic: base mass, degree division, damped update, dangling
+  * leak. */
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def referenceRanks(edges: Seq[(String, String)], iters: Int,
+                             scale: Long = 1000000000000L,
+                             d: Int = 85): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale / nodes.size
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[String, Long]
+      for ((s, t) <- e)
+        in.updateWith(t)(c => Some(c.getOrElse(0L) + r(s) / deg(s)))
+      r = nodes.map(n =>
+        n -> ((100L - d) * base / 100L + d * in.getOrElse(n, 0L) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  test("pageRank equals the JVM reference; dangling mass leaks; sink ranks high") {
+    // a -> b -> c, d -> c, c dangling (no out-edges): c's in-mass is
+    // everyone's, its own mass leaks
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "c"))
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val want = referenceRanks(edges, 3)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got("c") > got("a") && got("c") > got("d"),
+      s"the sink must out-rank its sources: $got")
+  }
+
+  test("duplicate edges count once; layout invariance") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"),
+      ("c", "a"))
+    val df = edges.toDF("s", "t")
+    val a = Graph.pageRank(df, "s", "t", iters = 4)
+      .as[(String, Long)].collect().toMap
+    val b = Graph.pageRank(df.repartition(7), "s", "t", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(a == b, "ranking must not depend on physical layout")
+    assert(a == referenceRanks(edges, 4))
+  }
+
+  test("symmetric graph conserves damped mass up to DIV truncation") {
+    // the q153 shape: symmetrized bipartite graph, no dangling nodes —
+    // total mass after one round is within n*2 of the damped total
+    // (each DIV truncates < 1, twice per node)
+    val cp = for (c <- 0 until 6; p <- 0 until 4 if (c + p) % 3 != 0)
+      yield (s"c$c", s"p$p")
+    val edges = cp ++ cp.map(_.swap)
+    val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == referenceRanks(edges, 1))
+    val n = got.size
+    val scale = 1000000000000L
+    val base = scale / n
+    val expectedTotal = n.toLong * (15L * base / 100L) + 85L * scale / 100L
+    val total = got.values.sum
+    assert(total <= expectedTotal && total >= expectedTotal - 3L * n * n,
+      s"mass not conserved-ish: $total vs $expectedTotal")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("s", "t"), "s", "t", dampingPct = 101)
+    }
+  }
+}
