@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.functions.TextFunctions
 
 /** BPE tokenizer induction over a corpus — the byte-pair-encoding
@@ -102,5 +103,63 @@ object Bpe {
       merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
         .orderBy(col("merge_rank"))
     } finally base.unpersist()
+  }
+
+  /** Apply learned merges to the corpus — the ENCODE half of BPE
+    * (tokenizer application, the per-document counterpart of
+    * [[learnBpeMerges]]): every printable-ASCII word is framed into
+    * its character symbols and the merges are replayed IN RANK ORDER
+    * as literal string replacements (same ␟-framing, same leftmost
+    * non-overlapping `replace` semantics as training — an encode that
+    * used different overlap rules than training would segment "aaa"
+    * differently than the learner counted it).
+    *
+    * Scale shape: the merge list is vocabulary-sized, never
+    * data-sized — it arrives as a driver-side constant folded into ONE
+    * narrow per-row expression chain (`transform` over the word array,
+    * `replace` per merge). The encode pass therefore scans and never
+    * exchanges: zero shuffles at any corpus size, the property that
+    * matters when tokenizing 100 TB. Token counts are recovered
+    * arithmetically from the framing (a word's symbol count is half
+    * its ␟ count), so no second pass splits the encoded strings.
+    *
+    * Non-ASCII words are counted (`n_words`) but not encoded — the
+    * learner excluded them from the census (byte-level fallback is the
+    * production answer; here the contract is "encode what was
+    * trained on"), so they contribute to no token statistic.
+    *
+    * @return one row per input row: (idCol, n_words, n_ascii_words,
+    *         n_chars_ascii, n_tokens) — `n_chars_ascii - n_tokens`
+    *         is exactly the number of merge applications that fired. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 4096,
+      s"merges is a learned vocabulary (expression-chain folded), " +
+        s"got ${merges.size} > 4096")
+    merges.foreach { case (l, r) =>
+      require((l + r).forall(c => c >= 0x21 && c <= 0x7e),
+        s"merge symbols must be printable ASCII (the census contract), " +
+          s"got ($l, $r)") }
+    val words = TextFunctions.whitespaceTokens(col(textCol))
+    val ascii = filter(words, w => w.rlike("^[\\x21-\\x7e]+$"))
+    def encode(w: Column): Column =
+      merges.foldLeft(regexp_replace(w, "(.)", Sep + "$1" + Sep)) {
+        case (c, (l, r)) =>
+          replace(c, lit(Sep + l + Sep + Sep + r + Sep),
+            lit(Sep + l + r + Sep))
+      }
+    // symbol count = ␟-count / 2; the length diff is always even, so
+    // the double division is exact and the long cast loses nothing
+    def symbols(e: Column): Column =
+      ((length(e) - length(replace(e, lit(Sep), lit("")))) / lit(2))
+        .cast(LongType)
+    val longSum = (arr: Column) =>
+      aggregate(arr, lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol),
+      size(words).cast(LongType).as("n_words"),
+      size(ascii).cast(LongType).as("n_ascii_words"),
+      longSum(transform(ascii, w => length(w).cast(LongType)))
+        .as("n_chars_ascii"),
+      longSum(transform(ascii, w => symbols(encode(w)))).as("n_tokens"))
   }
 }

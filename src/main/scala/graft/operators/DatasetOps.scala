@@ -788,4 +788,78 @@ object DatasetOps {
             (acc, g) => acc + featWeight("b", g))).as("score"))
       .withColumn("keep", col("score") >= lit(threshold) * col("n_feats"))
   }
+
+  /** Training-mixture budget allocation by water-filling (the UniMax
+    * shape, Chung et al. 2023): spread `budgetTokens` across sources
+    * as evenly as possible, except no source may be repeated past
+    * `maxMilliEpochs` (milli-epochs: 1000 = one pass over the
+    * source). Low-resource sources saturate at their epoch cap; the
+    * leftover budget re-spreads uniformly over the rest — the
+    * standard fix for "proportional sampling drowns small sources,
+    * uniform sampling over-repeats them".
+    *
+    * Exact integer semantics (what the q155 oracle replays): source
+    * capacity `c_s = n_s·maxMilliEpochs div 1000`; sources sorted by
+    * (capacity, source); source j (1-based, S total, prefix P) is
+    * SATURATED iff `P_{j-1} + c_j·(S−j+1) ≤ B` — the classic
+    * prefix-feasibility test, monotone because capacities ascend —
+    * and unsaturated sources all get the common waterline
+    * `τ = (B − P_K) div (S−K)` tokens (K saturated). τ < every
+    * unsaturated capacity by construction, so allocation never
+    * exceeds capacity, and the ≤ S-token rounding loss is the price
+    * of exactness.
+    *
+    * Scale shape: ONE map-side-combined census (sources-sized
+    * output); the water-fill itself runs on the census rows — a
+    * driver-side pickup bounded by `maxSources` (the centroid-pickup
+    * contract: the collect is capped and sources are a catalog-sized
+    * dimension, never data-sized). The corpus is scanned once and
+    * never shuffled on a skewable key.
+    *
+    * @return one row per source: n_tokens, capacity_tokens,
+    *         alloc_tokens, saturated, milli_epochs
+    *         (= alloc·1000 div n). */
+  def mixtureAllocation(docs: DataFrame, sourceCol: String,
+                        textCol: String, budgetTokens: Long,
+                        maxMilliEpochs: Long,
+                        maxSources: Int = 100000): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(maxMilliEpochs > 0 && maxMilliEpochs <= 1000000L,
+      s"maxMilliEpochs must be in (0, 1e6], got $maxMilliEpochs")
+    val census = docs
+      .groupBy(col(sourceCol).cast(StringType).as("source"))
+      .agg(coalesce(sum(tokenCount(col(textCol)).cast(LongType)), lit(0L))
+        .as("n_tokens"))
+    val rows = census.limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"more than $maxSources sources — raise maxSources only if the " +
+        s"source column is truly catalog-sized")
+    val srcs = rows.map(r => (r.getString(0), r.getLong(1)))
+      .map { case (s, n) => (s, n, n * maxMilliEpochs / 1000L) }
+      .sortBy { case (s, _, c) => (c, s) }
+    val S = srcs.length
+    // BigInt for the feasibility product only: c·(S−j+1) can exceed
+    // int64 when a 100 TB source meets a 10^5-source catalog
+    var prefix = BigInt(0)
+    var nSat = 0
+    var satSum = 0L
+    val flagged = srcs.zipWithIndex.map { case ((s, n, c), i) =>
+      val sat = prefix + BigInt(c) * (S - i) <= BigInt(budgetTokens)
+      if (sat) { nSat += 1; satSum += c }
+      prefix += c
+      (s, n, c, sat)
+    }
+    val tau = if (nSat >= S) 0L else (budgetTokens - satSum) / (S - nSat)
+    val out = flagged.map { case (s, n, c, sat) =>
+      val alloc = if (sat) c else tau
+      // BigInt: alloc·1000 flirts with int64 at 10^13-token sources
+      val milli = if (n == 0L) 0L
+                  else (BigInt(alloc) * 1000 / BigInt(n)).toLong
+      (s, n, c, alloc, sat, milli)
+    }.sortBy(_._1).toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    out.toDF("source", "n_tokens", "capacity_tokens", "alloc_tokens",
+      "saturated", "milli_epochs")
+  }
 }

@@ -699,4 +699,41 @@ object Dedup {
           s => s.getField("_line")), sep).as("cleaned"))
       .select(col(idCol), col("n_lines"), col("n_removed"), col("cleaned"))
   }
+
+  /** Quality-aware duplicate-cluster resolution: keep the BEST-scoring
+    * member of each connected near-dup cluster instead of the
+    * smallest-id one — the production resolution rule ("keep the
+    * longest / highest-quality copy") that keep-first silently gets
+    * wrong whenever the first copy is the truncated one. Clusters are
+    * [[clusterReps]]' transitive closure of `pairs`; the winner is the
+    * max `scoreCol`, ties broken toward the SMALLEST id (so with a
+    * constant score this degrades to exactly keep-first).
+    *
+    * Scale shape: the argmax is ONE map-side-combined groupBy on the
+    * cluster rep — `max(struct(score, −id))`, never a per-cluster
+    * window or sort — followed by an equi-join back on the rep; both
+    * shuffles key on cluster ids, whose cardinality ≈ the corpus
+    * (singletons dominate), so no key concentrates. `idCol` must be
+    * numeric (the tie-break negates it).
+    *
+    * @return one row per input row: (idCol, cluster_rep, kept). */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame, aCol: String = "idA",
+                         bCol: String = "idB",
+                         checkpointPairs: Boolean = true): DataFrame = {
+    val reps = clusterReps(pairs, aCol, bCol,
+      checkpointPairs = checkpointPairs)
+    val withC = df.select(col(idCol), col(scoreCol))
+      .join(reps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("rep"), col(idCol)).as("cluster_rep"))
+    val best = withC.groupBy(col("cluster_rep"))
+      .agg(max(struct(col(scoreCol).as("_s"),
+        (col(idCol) * lit(-1)).as("_negid"), col(idCol).as("_id")))
+        .as("_b"))
+      .select(col("cluster_rep"), col("_b._id").as("_best_id"))
+    withC.join(best, Seq("cluster_rep"))
+      .select(col(idCol), col("cluster_rep"),
+        (col(idCol) === col("_best_id")).as("kept"))
+  }
 }

@@ -2720,6 +2720,102 @@ object LlmOps {
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---- q156: quality-aware cluster resolution (keep-best) -------------
+  // The q42 near-dup pair graph closed transitively, then each cluster
+  // resolved to its LONGEST member (n_chars DESC, doc_id ASC) instead
+  // of keep-first — the production rule that keeps the full copy when
+  // the earliest id is the truncated one. The oracle replays the full
+  // exact shingle-Jaccard pair set (LSH recall loss flips the hash),
+  // the recursive reachability, and the ordered argmax.
+
+  private val q156: GraftQuery = GraftQuery(
+    "q156_cluster_keep_best",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashDupPairs(dd, "text", "doc_id",
+        threshold = 0.5)
+      Dedup.keepBestPerCluster(dd, "doc_id", "n_chars", pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS idA, b.doc_id AS idB
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      sym AS (
+        SELECT idA AS id, idB AS nbr FROM pairs
+        UNION SELECT idB, idA FROM pairs),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr),
+      lab AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id),
+      best AS (SELECT l.cluster_rep,
+          (list(d.doc_id ORDER BY d.n_chars DESC, d.doc_id))[1] AS best_id
+        FROM lab l JOIN documents d ON d.doc_id = l.id
+        GROUP BY l.cluster_rep)
+      SELECT d.doc_id, l.cluster_rep, d.doc_id = b.best_id AS kept
+      FROM documents d
+      JOIN lab l ON l.id = d.doc_id
+      JOIN best b ON b.cluster_rep = l.cluster_rep
+      ORDER BY d.doc_id"""))
+
+  // ---- q155: mixture budget water-filling ------------------------------
+  // UniMax-shaped training-mixture planning: 48 000 budget tokens over
+  // the 20 sources with a 2-epoch (2000 milli) cap — sized so BOTH
+  // allocation regimes are exercised at sf0.01 (the two smallest
+  // sources saturate at their cap; the rest share the waterline). The
+  // oracle replays the census, the (capacity, source) sort, the
+  // prefix-feasibility test and both integer divisions, so a drifted
+  // tie-break or rounding order flips the hash.
+
+  private val q155: GraftQuery = GraftQuery(
+    "q155_mixture_waterfill",
+    (s, d) =>
+      DatasetOps.mixtureAllocation(docs(s, d), "source", "text",
+          budgetTokens = 48000L, maxMilliEpochs = 2000L)
+        .orderBy(col("source")),
+    Some("""WITH tc AS (SELECT source, sum(len(list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0))) AS n FROM documents GROUP BY source),
+      cap AS (SELECT source, CAST(n AS BIGINT) AS n,
+          CAST(n AS BIGINT) * 2000 // 1000 AS c FROM tc),
+      o AS (SELECT source, n, c,
+          row_number() OVER (ORDER BY c, source) AS j,
+          coalesce(sum(c) OVER (ORDER BY c, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+          count(*) OVER () AS s
+        FROM cap),
+      f AS (SELECT *, p + c * (s - j + 1) <= 48000 AS sat FROM o),
+      k AS (SELECT count(*) FILTER (WHERE sat) AS kk,
+          coalesce(sum(c) FILTER (WHERE sat), 0) AS psat,
+          count(*) AS s FROM f),
+      t AS (SELECT CASE WHEN kk >= s THEN 0
+          ELSE (48000 - psat) // (s - kk) END AS tau FROM k)
+      SELECT f.source, f.n AS n_tokens,
+        CAST(f.c AS BIGINT) AS capacity_tokens,
+        CAST(CASE WHEN f.sat THEN f.c ELSE t.tau END AS BIGINT)
+          AS alloc_tokens,
+        f.sat AS saturated,
+        CAST(CASE WHEN f.n = 0 THEN 0
+          ELSE (CASE WHEN f.sat THEN f.c ELSE t.tau END) * 1000 // f.n
+          END AS BIGINT) AS milli_epochs
+      FROM f, t ORDER BY f.source"""))
+
   // ---- q152: BPE merge induction ---------------------------------------
   // Tokenizer training's inner loop (Sennrich 2016) as a corpus
   // operator: 4 merge rounds learned from the word-type census. The
@@ -2729,8 +2825,11 @@ object LlmOps {
   // overlap semantics ("aaa" must merge to [aa, a]) or a lost
   // word-count weight flips the hash.
 
-  private val q152: GraftQuery = {
-    val round = (i: Int, prev: String) => s"""
+  /** One BPE merge round as DuckDB CTEs (shared by q152's learner
+    * replay and q154's encode replay): pair census over the framed
+    * word census `prev` → argmax (count DESC, lhs, rhs) → sequential
+    * replace-apply. */
+  private def bpeRoundSql(i: Int, prev: String): String = s"""
       p$i AS (SELECT u.l AS l, u.r AS r, sum(n) AS cnt FROM (
           SELECT n, unnest(list_transform(generate_series(1, len(sy) - 1),
             i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS u
@@ -2742,6 +2841,9 @@ object LlmOps {
           chr(31) || m$i.l || chr(31) || chr(31) || m$i.r || chr(31),
           chr(31) || m$i.l || m$i.r || chr(31)) AS w, n
         FROM $prev, m$i)"""
+
+  private val q152: GraftQuery = {
+    val round = (i: Int, prev: String) => bpeRoundSql(i, prev)
     GraftQuery(
       "q152_bpe_merges",
       (s, d) =>
@@ -2766,13 +2868,74 @@ object LlmOps {
         ORDER BY merge_rank"""))
   }
 
+  // ---- q154: BPE encode (tokenizer application) -----------------------
+  // The other half of the tokenizer story: learn 4 merges (q152's
+  // loop, a ≤4-row driver pickup) and REPLAY them over every document
+  // as one zero-shuffle narrow expression chain. The oracle re-learns
+  // the merges from the same census CTEs and re-applies all four
+  // replacements per word, so a drifted merge order, a wrong overlap
+  // semantics, or a lost non-ASCII exclusion flips the hash.
+
+  private val q154: GraftQuery = GraftQuery(
+    "q154_bpe_encode",
+    (s, d) => {
+      val dd = docs(s, d)
+      // vocabulary-sized pickup (≤ 4 rows) — the learner's own bound
+      val m = graft.operators.Bpe.learnBpeMerges(dd, "text", nMerges = 4)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.bpeTokenCounts(dd, "doc_id", "text", m)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH dtoks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0)) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS n FROM dtoks
+        WHERE regexp_matches(w, '^[\\x21-\\x7e]+$$') GROUP BY w),
+      w0 AS (SELECT regexp_replace(w, '(.)',
+          chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wc),
+      ${bpeRoundSql(1, "w0")},
+      ${bpeRoundSql(2, "w1")},
+      ${bpeRoundSql(3, "w2")},
+      ${bpeRoundSql(4, "w3")},
+      dw AS (SELECT doc_id, w,
+          regexp_matches(w, '^[\\x21-\\x7e]+$$') AS ok FROM dtoks),
+      de AS (SELECT doc_id, ok, length(w) AS wl,
+          CASE WHEN ok THEN
+            replace(replace(replace(replace(
+              regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g'),
+              chr(31) || m1.l || chr(31) || chr(31) || m1.r || chr(31),
+              chr(31) || m1.l || m1.r || chr(31)),
+              chr(31) || m2.l || chr(31) || chr(31) || m2.r || chr(31),
+              chr(31) || m2.l || m2.r || chr(31)),
+              chr(31) || m3.l || chr(31) || chr(31) || m3.r || chr(31),
+              chr(31) || m3.l || m3.r || chr(31)),
+              chr(31) || m4.l || chr(31) || chr(31) || m4.r || chr(31),
+              chr(31) || m4.l || m4.r || chr(31))
+          END AS we
+        FROM dw, m1, m2, m3, m4),
+      ag AS (SELECT doc_id,
+          count(*) AS n_words,
+          count(*) FILTER (WHERE ok) AS n_ascii_words,
+          coalesce(sum(wl) FILTER (WHERE ok), 0) AS n_chars_ascii,
+          coalesce(sum((length(we) - length(replace(we, chr(31), ''))) // 2)
+            FILTER (WHERE ok), 0) AS n_tokens
+        FROM de GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        CAST(coalesce(a.n_ascii_words, 0) AS BIGINT) AS n_ascii_words,
+        CAST(coalesce(a.n_chars_ascii, 0) AS BIGINT) AS n_chars_ascii,
+        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN ag a USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145, q146, q147, q149, q150, q152)
+      q145, q146, q147, q149, q150, q152, q154, q155, q156)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

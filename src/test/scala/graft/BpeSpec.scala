@@ -88,6 +88,33 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenCounts: encode replays training's greedy overlap rules") {
+    val docs = Seq(
+      (1L, "aaa aaa aaa"),     // merge (a,a) then (aa,a): 1 token each
+      (2L, "aa café"),         // 'aa' → 1 token; non-ASCII word skipped
+      (3L, "")                 // no words at all
+    ).toDF("doc_id", "text")
+    // learned on this corpus: rank1 (a,a), rank2 (aa,a)
+    val m = Bpe.learnBpeMerges(docs, "text", nMerges = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.map(r => (r._2, r._3))
+    assert(m == Seq(("a", "a"), ("aa", "a")))
+    val got = Bpe.bpeTokenCounts(docs, "doc_id", "text", m)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 9L, 3L),  // each 'aaa' → [aaa] after both merges
+      (2L, 2L, 1L, 2L, 1L),  // 'aa' → [aa]; café counted in n_words only
+      (3L, 0L, 0L, 0L, 0L)), got.toString)
+    // zero merges: every char is its own token
+    val plain = Bpe.bpeTokenCounts(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(plain.map(r => r._5) == Seq(9L, 2L, 0L))
+    // merge symbols outside printable ASCII violate the census contract
+    intercept[IllegalArgumentException] {
+      Bpe.bpeTokenCounts(docs, "doc_id", "text", Seq(("a", "é")))
+    }
+  }
+
   test("layout invariance: repartitioned corpus learns identical merges") {
     val texts = (0 until 200).map(i =>
       s"tok$i the the quick quick brown fox ${"ab" * (i % 4 + 1)}")

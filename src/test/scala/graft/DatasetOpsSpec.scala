@@ -720,4 +720,37 @@ class DatasetOpsSpec extends AnyFunSuite {
       DatasetOps.classifierScores(docs, "doc_id", "text", buckets = 0)
     }
   }
+
+  test("mixtureAllocation: water-filling invariants and both regimes") {
+    // tokens per source: tiny=2, small=4, mid=10, big=20
+    val docs = Seq(
+      ("tiny", "a b"), ("small", "a b c d"),
+      ("mid", ("t " * 10).trim), ("big", ("t " * 20).trim)
+    ).toDF("source", "text")
+    def run(budget: Long, capMilli: Long) =
+      DatasetOps.mixtureAllocation(docs, "source", "text", budget, capMilli)
+        .as[(String, Long, Long, Long, Boolean, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    // cap 2 epochs → capacities 4/8/20/40; budget 30: tiny+small
+    // saturate (4+8=12), mid+big share (30-12)/2 = 9 each
+    val a = run(30L, 2000L)
+    assert(a("tiny") == (("tiny", 2L, 4L, 4L, true, 2000L)), a.toString)
+    assert(a("small") == (("small", 4L, 8L, 8L, true, 2000L)), a.toString)
+    assert(a("mid") == (("mid", 10L, 20L, 9L, false, 900L)), a.toString)
+    assert(a("big") == (("big", 20L, 40L, 9L, false, 450L)), a.toString)
+    assert(a.values.map(_._4).sum <= 30L)
+    // budget beyond total capacity: everyone saturates at the cap
+    val b = run(1000L, 1500L)
+    assert(b.values.forall(_._5), b.toString)
+    assert(b.values.forall(r => r._4 == r._3), b.toString)
+    // zero budget: nothing saturates, waterline 0
+    val c = run(0L, 2000L)
+    assert(c.values.forall(r => !r._5 && r._4 == 0L), c.toString)
+    intercept[IllegalArgumentException] {
+      DatasetOps.mixtureAllocation(docs, "source", "text", -1L, 2000L)
+    }
+    intercept[IllegalArgumentException] {
+      DatasetOps.mixtureAllocation(docs, "source", "text", 10L, 0L)
+    }
+  }
 }

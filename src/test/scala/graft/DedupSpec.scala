@@ -570,4 +570,23 @@ class DedupSpec extends AnyFunSuite {
       assert(got(s) == want, s"md5Hash64('$s') = ${got(s)}, want $want")
     }
   }
+
+  test("keepBestPerCluster: best score wins, ties fall back to keep-first") {
+    // cluster {1,2,3} via transitivity (1-2, 2-3); singletons 4, 5
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 1L), (5L, 1L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val got = Dedup.keepBestPerCluster(df, "id", "score", pairs,
+        checkpointPairs = false)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)), got.toString)
+    // constant score: degrades to exactly keep-first (min id per cluster)
+    val flat = df.withColumn("score", org.apache.spark.sql.functions.lit(7L))
+    val kf = Dedup.keepBestPerCluster(flat, "id", "score", pairs,
+        checkpointPairs = false)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(kf.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+  }
 }
