@@ -422,6 +422,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             k = k)
           .queryExecution.analyzed
       }))
+    // Boolean retrieval from SQL (q158's operator):
+    //   boolean_search(table, id_col, text_col, must, should, must_not, k)
+    // The three clauses are whitespace-separated term-list literals
+    // ('' = empty clause); emits (id, n_should) ordered by
+    // (n_should desc, id). Same ad-hoc-probe caveat as bm25_search:
+    // repeated probes should persist the postings and call
+    // Search.booleanSearch directly.
+    ext.injectTableFunction((
+      new FunctionIdentifier("boolean_search"),
+      new ExpressionInfo("graft.operators.Search", "boolean_search"),
+      (children: Seq[Expression]) => {
+        require(children.size == 7,
+          "usage: boolean_search(table, id_col, text_col, must, should, " +
+            "must_not, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        def terms(e: Expression, what: String): Seq[String] =
+          strLit(e, what).split("\\s+").toSeq.filter(_.nonEmpty)
+        val k = intLit(children(6), "k")
+        require(k >= 1, s"boolean_search: k must be >= 1, got $k")
+        graft.operators.Search.booleanSearch(
+            graft.operators.Search.termPostings(
+              spark.table(strLit(children(0), "table")),
+              strLit(children(1), "id_col"), strLit(children(2), "text_col")),
+            must = terms(children(3), "must"),
+            should = terms(children(4), "should"),
+            mustNot = terms(children(5), "must_not"), k = k)
+          .queryExecution.analyzed
+      }))
     // Exact phrase match from SQL (q125's operator):
     //   phrase_match(table, id_col, text_col, phrase)
     // The phrase is ONE string literal, whitespace-split with the

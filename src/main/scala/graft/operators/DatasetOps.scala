@@ -789,6 +789,50 @@ object DatasetOps {
       .withColumn("keep", col("score") >= lit(threshold) * col("n_feats"))
   }
 
+  /** Unigram language-model surprisal scoring — the perplexity-filter
+    * shape (rank documents by how "surprising" their words are under
+    * a corpus-trained unigram LM) in EXACT integer arithmetic: a
+    * token's surprisal is `bitlen(N) − bitlen(count(t))` bits, where
+    * `bitlen` is the binary-representation length (= ⌊log2⌋+1 —
+    * exact and identical in every engine, unlike any float log), N
+    * the corpus token total. Rare tokens score high; a document's
+    * `milli_bits_per_token` is its integer perplexity proxy.
+    *
+    * Scale shape (the q116 lesson applied from the start): the census
+    * is a map-side-combined aggregate (a hot token collapses into
+    * ≤ #partitions partials, never one task); the per-doc side
+    * aggregates to (doc, token, tf) BEFORE joining the census, so the
+    * token-keyed join carries doc×type rows (hot-term multiplicity ≤
+    * #docs, AQE-skew-splittable) instead of every occurrence; the
+    * corpus total rides in as a broadcast scalar. No windows.
+    *
+    * @return one row per doc: n_tokens, surprisal_bits,
+    *         milli_bits_per_token (= bits·1000 div n_tokens). */
+  def surprisalScores(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(whitespaceTokens(col(textCol))).as("_t"))
+    val census = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val tot = census.agg(coalesce(sum(col("_c")), lit(0L)).as("_n"))
+    val dt = toks.groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val scored = dt.join(census, "_t")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("_tf"),
+        (length(bin(col("_n"))) - length(bin(col("_c"))))
+          .cast(LongType).as("_bits"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf") * col("_bits")).as("surprisal_bits"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("(surprisal_bits * 1000L) div n_tokens"))
+          .as("milli_bits_per_token"))
+  }
+
   /** Training-mixture budget allocation by water-filling (the UniMax
     * shape, Chung et al. 2023): spread `budgetTokens` across sources
     * as evenly as possible, except no source may be repeated past

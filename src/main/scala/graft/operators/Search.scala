@@ -241,6 +241,49 @@ object Search {
       .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
+  /** Boolean retrieval over the inverted index — the filter-query
+    * surface beside [[bm25TopK]]'s ranked one: documents containing
+    * ALL `must` terms and NONE of `mustNot`, ordered by how many
+    * `should` terms they also contain (desc, ties → id asc), top `k`.
+    *
+    * Scale shape: the (tiny, literal) term set prunes the postings
+    * scan up front (`term IN (...)` reaches the parquet/bucketed
+    * index as a pushed filter), then ONE map-side-combined groupBy on
+    * the doc id counts each clause's matches — postings hold one row
+    * per (term, doc), so `count` IS the distinct-term count and the
+    * must/mustNot tests are count comparisons, never per-doc sets.
+    * The board is a bounded heap (TakeOrderedAndProject).
+    *
+    * The three clauses must be disjoint (a term in `must` and
+    * `mustNot` would make every row unsatisfiable silently — refused
+    * loudly instead). Empty `must` means "any `should` hit qualifies".
+    *
+    * @return (id, n_should) ordered by (n_should desc, id), ≤ k rows. */
+  def booleanSearch(postings: DataFrame, must: Seq[String],
+                    should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+                    k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(must.nonEmpty || should.nonEmpty,
+      "need at least one must or should term")
+    require(must.intersect(mustNot).isEmpty &&
+      should.intersect(mustNot).isEmpty && must.intersect(should).isEmpty,
+      s"must/should/mustNot must be disjoint")
+    val all = (must ++ should ++ mustNot).distinct
+    postings
+      .filter(col("term").isin(all: _*))
+      .groupBy(col("id"))
+      .agg(
+        count(when(col("term").isin(must: _*), 1)).as("_nm"),
+        count(when(col("term").isin(should: _*), 1)).as("n_should"),
+        count(when(col("term").isin(mustNot: _*), 1)).as("_nx"))
+      .filter(col("_nm") === lit(must.size.toLong) &&
+        col("_nx") === 0L &&
+        (if (must.isEmpty) col("n_should") > 0L else lit(true)))
+      .select(col("id"), col("n_should"))
+      .orderBy(col("n_should").desc, col("id"))
+      .limit(k)
+  }
+
   /** Best-snippet extraction — the highlighting step after retrieval:
     * for each doc, the `window`-token span covering the most query-
     * term occurrences (ties → earliest start), with the span's text.

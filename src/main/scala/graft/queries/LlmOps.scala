@@ -2720,6 +2720,37 @@ object LlmOps {
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---- q157: unigram LM surprisal scoring ------------------------------
+  // The perplexity-filter shape without a float anywhere: per-token
+  // surprisal = bitlen(N) − bitlen(count) (bitlen = binary-string
+  // length, exact in both engines), summed per document. The oracle
+  // replays census, total, the (doc, token, tf) fold and both
+  // integer divisions.
+
+  private val q157: GraftQuery = GraftQuery(
+    "q157_surprisal_score",
+    (s, d) =>
+      DatasetOps.surprisalScores(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0)) AS t FROM documents),
+      census AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM census),
+      dt AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        GROUP BY doc_id, t),
+      sc AS (SELECT doc_id, sum(tf) AS n_tokens,
+          sum(tf * (length(bin(tot.n)) - length(bin(census.c)))) AS bits
+        FROM dt JOIN census USING (t), tot GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(s.bits, 0) AS BIGINT) AS surprisal_bits,
+        CAST(CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0
+          ELSE (s.bits * 1000) // s.n_tokens END AS BIGINT)
+          AS milli_bits_per_token
+      FROM documents d LEFT JOIN sc s USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   // ---- q156: quality-aware cluster resolution (keep-best) -------------
   // The q42 near-dup pair graph closed transitively, then each cluster
   // resolved to its LONGEST member (n_chars DESC, doc_id ASC) instead
@@ -2935,7 +2966,7 @@ object LlmOps {
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145, q146, q147, q149, q150, q152, q154, q155, q156)
+      q145, q146, q147, q149, q150, q152, q154, q155, q156, q157)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -600,7 +600,10 @@ object Relational2 {
         .distinct()
       val edges = cp.union(cp.select(col("dst").as("src"),
         col("src").as("dst")))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      // distinct by construction: cp is deduped and the c:/p: prefixes
+      // make the two union branches disjoint — skip pageRank's dedup
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3,
+          assumeDistinct = true)
         .orderBy(col("score").desc, col("node")).limit(25)
     },
     Some("""WITH cp AS (SELECT DISTINCT 'c:' || o_custkey AS src,

@@ -907,7 +907,64 @@ object SearchQueries {
             AS BIGINT) END AS coverage_ppm8
       FROM agg, tot ORDER BY size"""))
 
+  // ---- q158: boolean retrieval over the inverted index ----------------
+  // The filter-query surface beside BM25's ranked one: must=[join,
+  // filter], mustNot=[slow], ranked by should-hits among [window,
+  // stream, sort]. Probes the same persisted postings as q124; the
+  // oracle rebuilds the distinct (term, doc) set and replays the three
+  // clause counts, so a lost distinct (tf leaking into the counts) or
+  // a drifted tie-break flips the hash.
+
+  private val q158: GraftQuery = GraftQuery(
+    "q158_boolean_search",
+    (s, d) =>
+      Search.booleanSearch(postingsMaterialized(s, d)._1,
+        must = Seq("join", "filter"),
+        should = Seq("window", "stream", "sort"),
+        mustNot = Seq("slow"), k = 20),
+    Some(s"""WITH $toksCte,
+      occ8 AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      td AS (SELECT doc_id, t FROM occ8 GROUP BY doc_id, t),
+      m AS (SELECT doc_id,
+          count(*) FILTER (WHERE t IN ('join', 'filter')) AS nm,
+          count(*) FILTER (WHERE t IN ('window', 'stream', 'sort')) AS ns,
+          count(*) FILTER (WHERE t = 'slow') AS nx
+        FROM td
+        WHERE t IN ('join', 'filter', 'window', 'stream', 'sort', 'slow')
+        GROUP BY doc_id)
+      SELECT doc_id AS id, CAST(ns AS BIGINT) AS n_should
+      FROM m WHERE nm = 2 AND nx = 0
+      ORDER BY n_should DESC, id LIMIT 20"""))
+
+  // ---- q159: boolean retrieval from pure SQL (the TVF path) -----------
+  // Same machinery as q158 reached through the injected boolean_search
+  // table function — a parser path, not new semantics, so the oracle
+  // is q158's verbatim.
+
+  private val q159: GraftQuery = GraftQuery(
+    "q159_sql_boolean",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT id, n_should
+        FROM boolean_search('documents', 'doc_id', 'text',
+          'join filter', 'window stream sort', 'slow', 20)
+        ORDER BY n_should DESC, id""")
+    },
+    Some(s"""WITH $toksCte,
+      occ9 AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      td AS (SELECT doc_id, t FROM occ9 GROUP BY doc_id, t),
+      m AS (SELECT doc_id,
+          count(*) FILTER (WHERE t IN ('join', 'filter')) AS nm,
+          count(*) FILTER (WHERE t IN ('window', 'stream', 'sort')) AS ns,
+          count(*) FILTER (WHERE t = 'slow') AS nx
+        FROM td
+        WHERE t IN ('join', 'filter', 'window', 'stream', 'sort', 'slow')
+        GROUP BY doc_id)
+      SELECT doc_id AS id, CAST(ns AS BIGINT) AS n_should
+      FROM m WHERE nm = 2 AND nx = 0
+      ORDER BY n_should DESC, id LIMIT 20"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q138, q139, q140, q141, q142, q144, q151)
+      q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159)
 }

@@ -721,6 +721,27 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("surprisalScores: rare tokens cost more bits, exactly") {
+    // corpus: 'the' ×6, 'rare' ×1, 'mid' ×2 → N=9 (bitlen 4)
+    // bits: the → 4-3=1; mid → 4-2=2; rare → 4-1=3
+    val docs = Seq(
+      (1L, "the the the rare"),   // 3·1 + 3 = 6 bits over 4 tokens
+      (2L, "the the the mid mid"),// 3·1 + 2·2 = 7 bits over 5 tokens
+      (3L, "")                    // empty
+    ).toDF("doc_id", "text")
+    val got = DatasetOps.surprisalScores(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 6L, 1500L),
+      (2L, 5L, 7L, 1400L),
+      (3L, 0L, 0L, 0L)), got.toString)
+    // layout invariance: the census and totals survive repartitioning
+    val re = DatasetOps.surprisalScores(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(re == got)
+  }
+
   test("mixtureAllocation: water-filling invariants and both regimes") {
     // tokens per source: tiny=2, small=4, mid=10, big=20
     val docs = Seq(

@@ -493,6 +493,18 @@ class SearchSpec extends AnyFunSuite {
         spark.sql(
           "SELECT * FROM fuzzy_terms('search_tvf_docs', 'doc_id', 'text', 'x', 0)")
       }
+      val bScala = Search.booleanSearch(
+        Search.termPostings(corpus, "doc_id", "text"),
+        must = Seq("red"), should = Seq("fox"), k = 5)
+        .collect().toSeq
+      val bSql = spark.sql("""SELECT * FROM
+          boolean_search('search_tvf_docs', 'doc_id', 'text',
+            'red', 'fox', '', 5)""").collect().toSeq
+      assert(bSql == bScala)
+      intercept[Exception] {
+        spark.sql("""SELECT * FROM boolean_search('search_tvf_docs',
+          'doc_id', 'text', '', '', '', 5)""")
+      }
     } finally spark.catalog.dropTempView("search_tvf_docs")
   }
 
@@ -705,5 +717,37 @@ class SearchSpec extends AnyFunSuite {
       Search.vocabCoverage(docs, "text", Seq(5, 5)) }
     intercept[IllegalArgumentException] {
       Search.vocabCoverage(docs, "text", Seq((1 << 20) + 1)) }
+  }
+
+  test("booleanSearch: must/should/mustNot clause semantics") {
+    val docs = Seq(
+      (1L, "join filter window"),        // both musts, 1 should
+      (2L, "join filter window stream"), // both musts, 2 shoulds
+      (3L, "join filter slow"),          // excluded by mustNot
+      (4L, "join window stream sort"),   // missing a must
+      (5L, "join filter")                // both musts, 0 shoulds
+    ).toDF("doc_id", "text")
+    val post = Search.termPostings(docs, "doc_id", "text")
+    val got = Search.booleanSearch(post, must = Seq("join", "filter"),
+        should = Seq("window", "stream", "sort"), mustNot = Seq("slow"),
+        k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L), (1L, 1L), (5L, 0L)), got.toString)
+    // empty must: any should-hit qualifies; docs without one don't show
+    val any = Search.booleanSearch(post, must = Nil,
+        should = Seq("sort"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(any == Seq((4L, 1L)), any.toString)
+    // tf must not leak into clause counts: repeated terms count once
+    val rep = Seq((9L, "join join filter window window window"))
+      .toDF("doc_id", "text")
+    val postRep = Search.termPostings(rep, "doc_id", "text")
+    val g2 = Search.booleanSearch(postRep, must = Seq("join", "filter"),
+        should = Seq("window"), k = 1).as[(Long, Long)].collect().toSeq
+    assert(g2 == Seq((9L, 1L)), g2.toString)
+    intercept[IllegalArgumentException] {
+      Search.booleanSearch(post, must = Nil, should = Nil) }
+    intercept[IllegalArgumentException] {
+      Search.booleanSearch(post, must = Seq("a"), mustNot = Seq("a")) }
   }
 }
