@@ -151,6 +151,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    def longLit(e: Expression, what: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+          org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     def numLit(e: Expression, what: String): Double = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
           if v != null && v.toString.nonEmpty &&
@@ -448,6 +456,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             must = terms(children(3), "must"),
             should = terms(children(4), "should"),
             mustNot = terms(children(5), "must_not"), k = k)
+          .queryExecution.analyzed
+      }))
+    // Unigram LM surprisal scoring from SQL (q157's operator):
+    //   surprisal_score(table, id_col, text_col)
+    // Emits (id_col, n_tokens, surprisal_bits, milli_bits_per_token).
+    ext.injectTableFunction((
+      new FunctionIdentifier("surprisal_score"),
+      new ExpressionInfo("graft.operators.DatasetOps", "surprisal_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: surprisal_score(table, id_col, text_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.DatasetOps.surprisalScores(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"))
+          .queryExecution.analyzed
+      }))
+    // Mixture budget water-filling from SQL (q155's operator):
+    //   mixture_waterfill(table, source_col, text_col, budget, cap_milli)
+    // Emits one row per source: (source, n_tokens, capacity_tokens,
+    // alloc_tokens, saturated, milli_epochs).
+    ext.injectTableFunction((
+      new FunctionIdentifier("mixture_waterfill"),
+      new ExpressionInfo("graft.operators.DatasetOps", "mixture_waterfill"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: mixture_waterfill(table, source_col, text_col, budget, " +
+            "cap_milli)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.DatasetOps.mixtureAllocation(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "source_col"), strLit(children(2), "text_col"),
+            budgetTokens = longLit(children(3), "budget"),
+            maxMilliEpochs = longLit(children(4), "cap_milli"))
           .queryExecution.analyzed
       }))
     // Exact phrase match from SQL (q125's operator):

@@ -147,6 +147,33 @@ object DatasetOps {
         when(col("_op").isin("U", "I"), col("_chg_p"))
           .otherwise(col("_base_p")).as(payloadCol))
 
+  /** Snapshot-as-of read over a VERSIONED changelog — the time-travel
+    * query every data-lake table format answers ("the corpus as it
+    * stood at version V"): entries with version ≤ `asOf` collapse to
+    * the LATEST one per key (max version; `(idCol, versionCol)` must
+    * be unique per key — equal versions fall back to (op, payload)
+    * struct order, deterministic but meaningless), then the base
+    * applies that one-row-per-key changelog through
+    * [[applyChangelog]]'s D/U/I semantics.
+    *
+    * Scale shape: the latest-wins collapse is ONE map-side-combined
+    * `max(struct(version, op, payload))` groupBy on the key — never a
+    * per-key window — and the merge is [[applyChangelog]]'s single
+    * full-outer equi-join. */
+  def applyChangelogAsOf(base: DataFrame, changelog: DataFrame,
+                         idCol: String, payloadCol: String,
+                         versionCol: String, asOf: Long,
+                         opCol: String = "op"): DataFrame = {
+    val latest = changelog
+      .filter(col(versionCol) <= asOf)
+      .groupBy(col(idCol))
+      .agg(max(struct(col(versionCol).as("_v"), col(opCol).as("_op"),
+        col(payloadCol).as("_p"))).as("_b"))
+      .select(col(idCol), col("_b._op").as(opCol),
+        col("_b._p").as(payloadCol))
+    applyChangelog(base, latest, idCol, payloadCol, opCol)
+  }
+
   /** Benchmark decontamination: the ids of corpus docs sharing at
     * least one word k-gram with the benchmark set — the
     * eval-contamination sweep every serious training pipeline runs

@@ -64,6 +64,55 @@ object Graph {
       s"dampingPct must be in [0, 100], got $dampingPct")
     require(scale >= 1L && scale <= 1000000000000000L,
       s"scale must be in [1, 1e15] (keeps d*mass int64-safe), got $scale")
+    dampedLoop(edges, srcCol, dstCol, iters, dampingPct, assumeDistinct) {
+      (nodes, nn) =>
+        nodes.crossJoin(broadcast(nn))
+          .select(col("node"), expr(s"${scale}L div _n").as("_base"))
+    }
+  }
+
+  /** PERSONALIZED PageRank: identical damped loop, but the teleport
+    * mass lands only on `seeds` (`scale div nSeeds` each; every other
+    * node's base is 0) — "centrality as seen from this user segment /
+    * crawl frontier", the recommendation and focused-crawl variant.
+    * Seeds not present in the graph are ignored (they have no edges
+    * to carry mass anyway); seed ids are deduplicated. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int = 3,
+                           scale: Long = 1000000000000L,
+                           dampingPct: Int = 85,
+                           assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters must be in [1, 20] (each is a full edge shuffle), got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    require(scale >= 1L && scale <= 1000000000000000L,
+      s"scale must be in [1, 1e15] (keeps d*mass int64-safe), got $scale")
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    dampedLoop(edges, srcCol, dstCol, iters, dampingPct, assumeDistinct) {
+      (nodes, _) =>
+        // count only seeds that exist in the graph, so the per-seed
+        // share matches what actually lands
+        val inGraph = nodes.join(sd, Seq("node"), "left_semi")
+        val ns = inGraph.agg(count(lit(1)).as("_ns"))
+        nodes
+          .join(inGraph.select(col("node"), lit(1).as("_is_seed")),
+            Seq("node"), "left")
+          .crossJoin(broadcast(ns))
+          .select(col("node"),
+            when(col("_is_seed").isNotNull, expr(s"${scale}L div _ns"))
+              .otherwise(lit(0L)).as("_base"))
+    }
+  }
+
+  /** The shared damped-update loop (see [[pageRank]]'s scaladoc for
+    * the lineage-hygiene design): `mkBase` builds the static
+    * `(node, _base)` teleport table from the node set and its count. */
+  private def dampedLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int, dampingPct: Int,
+                         assumeDistinct: Boolean)(
+      mkBase: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val preE = persistentIds
@@ -79,9 +128,7 @@ object Graph {
       .union(e.select(col("_dst").as("node")))
       .distinct()
     val nn = nodes.agg(count(lit(1)).as("_n"))
-    val nodesBase = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr(s"${scale}L div _n").as("_base"))
-      .localCheckpoint(true)
+    val nodesBase = mkBase(nodes, nn).localCheckpoint(true)
     // flows and nodesBase are materialized — the raw edge blocks are
     // unreachable by any future plan; free them
     eIds.foreach(id =>

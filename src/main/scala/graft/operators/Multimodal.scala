@@ -72,6 +72,40 @@ object Multimodal {
     transform(sequence(lit(0), lit(nFrames - 1)),
       k => media.substr(k * frameBytes + 1, lit(frameBytes)))
 
+  /** Nearest-neighbor raster resize as PURE INDEX ARITHMETIC over a
+    * raw hex-encoded byte raster — the resize kernel every multimodal
+    * pipeline runs between decode and feature extraction. Real codecs
+    * decode into exactly this raw-raster shape through
+    * [[imageDecodeBatch]]'s per-partition seam; from there the resize
+    * is codec-free, codegen'd, and SQL-replayable (each output pixel
+    * is one `substr` at `((row·hIn div hOut)·wIn + col·wIn div wOut)`
+    * — integer div only, so both engines pick identical source
+    * pixels). Zero shuffles; works for down- AND up-sampling (indices
+    * repeat), the nearest-neighbor contract.
+    *
+    * @return array of `wOut·hOut` two-hex-char pixel strings, row-
+    *         major — [[resizeRasterHex]] joins them back to one hex
+    *         string. */
+  def resizeRasterPx(mediaHex: Column, wIn: Int, hIn: Int,
+                     wOut: Int, hOut: Int): Column = {
+    require(wIn > 0 && hIn > 0 && wOut > 0 && hOut > 0,
+      s"raster dims must be positive, got in=${wIn}x$hIn out=${wOut}x$hOut")
+    transform(sequence(lit(0), lit(wOut.toLong * hOut - 1)), i => {
+      // floor over non-negative ints < 2^52: double division is exact
+      val dstRow = floor(i / lit(wOut))
+      val dstCol = pmod(i, lit(wOut.toLong))
+      val srcRow = floor(dstRow * lit(hIn) / lit(hOut))
+      val srcCol = floor(dstCol * lit(wIn) / lit(wOut))
+      val idx = srcRow * lit(wIn) + srcCol
+      mediaHex.substr((idx * 2 + 1).cast(IntegerType), lit(2))
+    })
+  }
+
+  /** [[resizeRasterPx]] joined back to one row-major hex string. */
+  def resizeRasterHex(mediaHex: Column, wIn: Int, hIn: Int,
+                      wOut: Int, hOut: Int): Column =
+    array_join(resizeRasterPx(mediaHex, wIn, hIn, wOut, hOut), "")
+
   /** Attach media metadata + stub features to a DataFrame carrying a
     * binary column. */
   def withMedia(df: DataFrame, mediaCol: String, featureDim: Int = 8): DataFrame =

@@ -27,4 +27,29 @@ object Privacy {
     * can't fingerprint a row. */
   def generalize(c: Column, kept: Seq[String], other: String = "OTHER"): Column =
     when(c.isin(kept: _*), c).otherwise(other)
+
+  /** k-anonymity SUPPRESSION over quasi-identifier columns: any row
+    * whose quasi combination has fewer than `k` peers gets every quasi
+    * column replaced by `mask`, so no released row's quasi tuple
+    * identifies a group smaller than k (suppressed rows all share one
+    * tuple). Quasi columns come back as strings (the mask forces a
+    * common type); all other columns pass through untouched.
+    *
+    * Scale shape: ONE map-side-combined census on the quasi tuple +
+    * an equi-join back on the same keys (AQE broadcasts the census
+    * when it is small, splits it when a tuple is hot) — never a
+    * per-group window over the data. */
+  def kAnonymize(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+                 k: Int, mask: String = "*"): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val census = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_qn"))
+    val joined = df.join(census, quasiCols)
+    quasiCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c,
+        when(col("_qn") < k, lit(mask))
+          .otherwise(col(c).cast(org.apache.spark.sql.types.StringType)))
+    }.drop("_qn")
+  }
 }

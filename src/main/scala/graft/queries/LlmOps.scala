@@ -1239,6 +1239,65 @@ object LlmOps {
         CAST(sum(length(text)) AS BIGINT) AS chars
       FROM merged GROUP BY 1 ORDER BY lane"""))
 
+  // ---- q167: k-anonymity suppression ----------------------------------
+  // Privacy.kAnonymize over the (lang, source) quasi pair at k=5 —
+  // 55 of the sf0.01 groups fall below the threshold, so the
+  // suppressed '*'/'*' bucket is well-populated. Output is the census
+  // of the ANONYMIZED release; the oracle replays the group census,
+  // the k test and the collapse.
+
+  private val q167: GraftQuery = GraftQuery(
+    "q167_k_anonymity",
+    (s, d) =>
+      graft.operators.Privacy.kAnonymize(docs(s, d),
+          Seq("lang", "source"), k = 5)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("source")),
+    Some("""WITH g AS (SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY 1, 2),
+      a AS (SELECT
+          CASE WHEN g.n < 5 THEN '*' ELSE d.lang END AS lang,
+          CASE WHEN g.n < 5 THEN '*' ELSE d.source END AS source
+        FROM documents d JOIN g USING (lang, source))
+      SELECT lang, source, count(*) AS n_docs FROM a
+      GROUP BY 1, 2 ORDER BY lang, source"""))
+
+  // ---- q165: snapshot-as-of (changelog time travel) -------------------
+  // The data-lake time-travel read over q91's CDC machinery: a
+  // 3-version changelog (v1 updates the %10 lane, v2 deletes the %7
+  // lane, v3 updates the %5 lane) read AS OF version 2 — v3 must be
+  // invisible and the v2 delete must override a v1 update on ids
+  // divisible by 70. The oracle is the as-of state computed directly.
+
+  private val q165: GraftQuery = GraftQuery(
+    "q165_snapshot_asof",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val chg = dd
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("version"), lit("U").as("op"),
+          concat(col("text"), lit(" v1")).as("text"))
+        .union(dd.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L), lit("D"), col("text")))
+        .union(dd.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit(3L), lit("U"),
+            concat(col("text"), lit(" v3"))))
+      DatasetOps.applyChangelogAsOf(dd, chg, "doc_id", "text",
+          "version", asOf = 2L)
+        .groupBy((col("doc_id") % 5).as("lane"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lane"))
+    },
+    Some("""WITH merged AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN text || ' v1' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT doc_id % 5 AS lane, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM merged GROUP BY 1 ORDER BY lane"""))
+
   // ---- q97: line-level boilerplate dedup (RefinedWeb/CCNet) -----------
   // The remaining dedup granularity between document-level (q40–q44)
   // and n-gram-level (q65): lines recurring across documents are
@@ -2720,6 +2779,46 @@ object LlmOps {
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---- q160: raster resize (nearest-neighbor) --------------------------
+  // The multimodal resize kernel over a synthetic 8×8 raw raster
+  // (md5-chain bytes — the q38 convention): downsample to 3×3 with
+  // pure integer index arithmetic, plus the integer mean pixel. The
+  // oracle replays the hex chain, every source-pixel index and the
+  // mean division, so one off-by-one in the row/col mapping flips the
+  // hash.
+
+  private val q160: GraftQuery = GraftQuery(
+    "q160_raster_resize",
+    (s, d) => {
+      val hx = upper(concat(md5(col("text")),
+        md5(concat(col("text"), lit("2"))),
+        md5(concat(col("text"), lit("3"))),
+        md5(concat(col("text"), lit("4"))))) // 128 hex chars = 8×8 bytes
+      docs(s, d)
+        .select(col("doc_id"),
+          Multimodal.resizeRasterPx(hx, 8, 8, 3, 3).as("_px"))
+        .select(col("doc_id"),
+          array_join(col("_px"), "").as("resized_hex"),
+          aggregate(transform(col("_px"),
+              p => conv(p, 16, 10).cast(LongType)),
+            lit(0L), (a, x) => a + x).as("_s"))
+        .select(col("doc_id"), col("resized_hex"),
+          expr("_s div 9L").as("mean_pixel"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH r AS (SELECT doc_id,
+        upper(md5(text) || md5(text || '2') || md5(text || '3') ||
+          md5(text || '4')) AS hx FROM documents),
+      z AS (SELECT doc_id, list_transform(generate_series(0, 8), i ->
+          substr(hx, (((i // 3) * 8 // 3) * 8 + ((i % 3) * 8 // 3)) * 2 + 1,
+            2)) AS px
+        FROM r)
+      SELECT doc_id, list_aggregate(px, 'string_agg', '') AS resized_hex,
+        CAST(list_sum(list_transform(px,
+          p -> CAST(concat('0x', p) AS BIGINT))) // 9 AS BIGINT)
+          AS mean_pixel
+      FROM z ORDER BY doc_id"""))
+
   // ---- q157: unigram LM surprisal scoring ------------------------------
   // The perplexity-filter shape without a float anywhere: per-token
   // surprisal = bitlen(N) − bitlen(count) (bitlen = binary-string
@@ -2750,6 +2849,74 @@ object LlmOps {
           AS milli_bits_per_token
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
+
+  // ---- q161/q162: the SQL (TVF) paths for surprisal + water-filling ---
+  // Parser paths, not new semantics — the oracles are q157's and
+  // q155's verbatim.
+
+  private val q161: GraftQuery = GraftQuery(
+    "q161_sql_surprisal",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT doc_id, n_tokens, surprisal_bits,
+          milli_bits_per_token
+        FROM surprisal_score('documents', 'doc_id', 'text')
+        ORDER BY doc_id""")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0)) AS t FROM documents),
+      census AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM census),
+      dt AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        GROUP BY doc_id, t),
+      sc AS (SELECT doc_id, sum(tf) AS n_tokens,
+          sum(tf * (length(bin(tot.n)) - length(bin(census.c)))) AS bits
+        FROM dt JOIN census USING (t), tot GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(s.bits, 0) AS BIGINT) AS surprisal_bits,
+        CAST(CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0
+          ELSE (s.bits * 1000) // s.n_tokens END AS BIGINT)
+          AS milli_bits_per_token
+      FROM documents d LEFT JOIN sc s USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  private val q162: GraftQuery = GraftQuery(
+    "q162_sql_waterfill",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT source, n_tokens, capacity_tokens, alloc_tokens,
+          saturated, milli_epochs
+        FROM mixture_waterfill('documents', 'source', 'text', 48000, 2000)
+        ORDER BY source""")
+    },
+    Some("""WITH tc AS (SELECT source, sum(len(list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0))) AS n FROM documents GROUP BY source),
+      cap AS (SELECT source, CAST(n AS BIGINT) AS n,
+          CAST(n AS BIGINT) * 2000 // 1000 AS c FROM tc),
+      o AS (SELECT source, n, c,
+          row_number() OVER (ORDER BY c, source) AS j,
+          coalesce(sum(c) OVER (ORDER BY c, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+          count(*) OVER () AS s
+        FROM cap),
+      f AS (SELECT *, p + c * (s - j + 1) <= 48000 AS sat FROM o),
+      k AS (SELECT count(*) FILTER (WHERE sat) AS kk,
+          coalesce(sum(c) FILTER (WHERE sat), 0) AS psat,
+          count(*) AS s FROM f),
+      t AS (SELECT CASE WHEN kk >= s THEN 0
+          ELSE (48000 - psat) // (s - kk) END AS tau FROM k)
+      SELECT f.source, f.n AS n_tokens,
+        CAST(f.c AS BIGINT) AS capacity_tokens,
+        CAST(CASE WHEN f.sat THEN f.c ELSE t.tau END AS BIGINT)
+          AS alloc_tokens,
+        f.sat AS saturated,
+        CAST(CASE WHEN f.n = 0 THEN 0
+          ELSE (CASE WHEN f.sat THEN f.c ELSE t.tau END) * 1000 // f.n
+          END AS BIGINT) AS milli_epochs
+      FROM f, t ORDER BY f.source"""))
 
   // ---- q156: quality-aware cluster resolution (keep-best) -------------
   // The q42 near-dup pair graph closed transitively, then each cluster
@@ -2966,7 +3133,8 @@ object LlmOps {
       q75, q84, q85, q86, q90, q91, q93, q97, q98, q99, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
-      q145, q146, q147, q149, q150, q152, q154, q155, q156, q157)
+      q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
+      q161, q162, q165, q167)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

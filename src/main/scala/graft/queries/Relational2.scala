@@ -581,6 +581,82 @@ object Relational2 {
       FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
       GROUP BY incident_id ORDER BY incident_id"""))
 
+  // ---- q163: skew-proof salted join ------------------------------------
+  // ScaleOps.saltedJoin driven end-to-end: lineitem (fact) against the
+  // part dimension with the key spread over 8 salts — the manual lever
+  // for a hot key that would OOM a task before AQE can split it. The
+  // oracle is the PLAIN join (salting must be invisible in the
+  // result): per-brand counts and DECIMAL revenue — a lost or
+  // double-counted row under the salt spread flips both.
+
+  private val q163 = GraftQuery(
+    "q163_salted_join",
+    (s, d) => {
+      val fact = li(s, d).select(col("l_partkey").as("partkey"),
+        col("l_orderkey"), col("l_extendedprice"))
+      val dim = part(s, d).select(col("p_partkey").as("partkey"),
+        col("p_brand"))
+      graft.operators.ScaleOps.saltedJoin(fact, dim, "partkey",
+          saltSrc = col("l_orderkey"), numSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          asMoney(sum(dmoney(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand,
+        count(*) AS n_items,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+          AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  // ---- q164: event-rate anomaly monitor --------------------------------
+  // Ops-side monitoring over the events stream: hourly census per
+  // event type, each hour compared against its trailing-4-hour total
+  // (integer cross-multiplication — no float rate anywhere): hour h is
+  // anomalous when cnt·4 > 2·trailing4 with a full lookback window.
+  // The census collapses events to (type × hour) rows — calendar-
+  // bounded at any corpus scale, so the per-type ordered window is
+  // executor-resident by construction.
+
+  private val q164 = GraftQuery(
+    "q164_event_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = ev(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-4, -1)
+      hourly
+        .select(col("event_type"), col("hour"), col("cnt"),
+          sum(col("cnt")).over(w).as("_t4"),
+          count(lit(1)).over(w).as("_n4"))
+        .filter(col("_n4") === 4L)
+        .select(col("event_type"), col("hour"), col("cnt"),
+          col("_t4").as("trailing4"),
+          (col("cnt") * 4L > col("_t4") * 2L).as("anomalous"))
+        .filter(col("anomalous"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+          count(*) AS cnt
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      wd AS (
+        SELECT event_type, hour, cnt,
+          sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS t4,
+          count(*) OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS n4
+        FROM hourly)
+      SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+        CAST(t4 AS BIGINT) AS trailing4,
+        cnt * 4 > t4 * 2 AS anomalous
+      FROM wd WHERE n4 = 4 AND cnt * 4 > t4 * 2
+      ORDER BY event_type, hour"""))
+
   // ---- q153: PageRank centrality over the purchase graph -------------
   // Who-buys-what as a symmetric bipartite graph (customer↔part via
   // lineitem), 3 damped integer iterations, top-25 board. The oracle
@@ -636,7 +712,70 @@ object Relational2 {
       SELECT node, CAST(r AS BIGINT) AS score FROM r3
       ORDER BY score DESC, node LIMIT 25"""))
 
+  // ---- q166: personalized PageRank (segment-seeded) -------------------
+  // q153's purchase graph ranked AS SEEN FROM nation 7's customers:
+  // teleport mass lands only on that segment's customer nodes, and the
+  // board keeps the top product ('p:') nodes — "what this segment's
+  // graph neighborhood buys", the recommendation variant. The oracle
+  // unrolls the same three damped rounds with the seed-conditional
+  // base mass (in-graph seeds only — absent seeds shrink no share).
+
+  private val q166 = GraftQuery(
+    "q166_personalized_pagerank",
+    (s, d) => {
+      val cp = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .distinct()
+      val edges = cp.union(cp.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val seeds = cust(s, d).filter(col("c_nationkey") === 7)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "node", iters = 3, assumeDistinct = true)
+        .filter(col("node").startsWith("p:"))
+        .orderBy(col("score").desc, col("node")).limit(25)
+    },
+    Some("""WITH cp AS (SELECT DISTINCT 'c:' || o_custkey AS src,
+          'p:' || l_partkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      sd AS (SELECT DISTINCT 'c:' || c_custkey AS node FROM customer
+        WHERE c_nationkey = 7),
+      sg AS (SELECT n.node FROM n JOIN sd USING (node)),
+      c AS (SELECT count(*) AS ns FROM sg),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n.node,
+          CASE WHEN sg.node IS NOT NULL
+            THEN 1000000000000 // c.ns ELSE 0 END AS base,
+          CASE WHEN sg.node IS NOT NULL
+            THEN 1000000000000 // c.ns ELSE 0 END AS r
+        FROM n LEFT JOIN sg ON sg.node = n.node, c),
+      i1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS m
+        FROM r0 JOIN deg ON deg.src = r0.node JOIN e ON e.src = r0.node
+        GROUP BY e.dst),
+      r1 AS (SELECT r0.node, r0.base,
+          (15 * r0.base) // 100 + (85 * coalesce(i1.m, 0)) // 100 AS r
+        FROM r0 LEFT JOIN i1 ON i1.node = r0.node),
+      i2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS m
+        FROM r1 JOIN deg ON deg.src = r1.node JOIN e ON e.src = r1.node
+        GROUP BY e.dst),
+      r2 AS (SELECT r1.node, r1.base,
+          (15 * r1.base) // 100 + (85 * coalesce(i2.m, 0)) // 100 AS r
+        FROM r1 LEFT JOIN i2 ON i2.node = r1.node),
+      i3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS m
+        FROM r2 JOIN deg ON deg.src = r2.node JOIN e ON e.src = r2.node
+        GROUP BY e.dst),
+      r3 AS (SELECT r2.node, r2.base,
+          (15 * r2.base) // 100 + (85 * coalesce(i3.m, 0)) // 100 AS r
+        FROM r2 LEFT JOIN i3 ON i3.node = r2.node)
+      SELECT node, CAST(r AS BIGINT) AS score FROM r3
+      WHERE node LIKE 'p:%'
+      ORDER BY score DESC, node LIMIT 25"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89, q148, q153)
+      q82, q88, q89, q148, q153, q163, q164, q166)
 }

@@ -721,6 +721,24 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChangelogAsOf: latest-wins per key, later versions invisible") {
+    val base = Seq((1L, "p1"), (2L, "p2"), (3L, "p3"), (4L, "p4"))
+      .toDF("id", "payload")
+    val chg = Seq(
+      (1L, 1L, "U", "a1"), (1L, 2L, "U", "b1"), // two updates: v2 wins
+      (2L, 1L, "D", ""),                        // deleted at v1
+      (3L, 3L, "U", "c3"),                      // future: invisible at 2
+      (4L, 1L, "U", "a4"), (4L, 2L, "D", ""),   // update then delete
+      (5L, 1L, "I", "i5")                       // insert
+    ).toDF("id", "version", "op", "payload")
+    def at(v: Long): Map[Long, String] =
+      DatasetOps.applyChangelogAsOf(base, chg, "id", "payload",
+        "version", asOf = v).as[(Long, String)].collect().toMap
+    assert(at(2L) == Map(1L -> "b1", 3L -> "p3", 5L -> "i5"))
+    assert(at(3L) == Map(1L -> "b1", 3L -> "c3", 5L -> "i5"))
+    assert(at(0L) == Map(1L -> "p1", 2L -> "p2", 3L -> "p3", 4L -> "p4"))
+  }
+
   test("surprisalScores: rare tokens cost more bits, exactly") {
     // corpus: 'the' ×6, 'rare' ×1, 'mid' ×2 → N=9 (bitlen 4)
     // bits: the → 4-3=1; mid → 4-2=2; rare → 4-1=3

@@ -77,4 +77,28 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(edges.toDF("s", "t"), "s", "t", dampingPct = 101)
     }
   }
+
+  test("personalizedPageRank: mass flows only from seeds") {
+    // two disconnected symmetric components: {a,b} and {x,y,z}
+    val edges = Seq(("a", "b"), ("b", "a"),
+      ("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"))
+    val df = edges.toDF("s", "t")
+    // seeds: a (in graph) + 'ghost' (absent — must not shrink a's share)
+    val seeds = Seq("a", "ghost").toDF("node")
+    val got = Graph.personalizedPageRank(df, "s", "t", seeds, "node",
+      iters = 3).as[(String, Long)].collect().toMap
+    // the other component never receives mass
+    assert(got("x") == 0L && got("y") == 0L && got("z") == 0L, got.toString)
+    // one in-graph seed → full scale lands on 'a' as base
+    val scale = 1000000000000L
+    // round 1: a = 15%*scale + 85%*(b's 0/1); b = 85%*(a's scale)
+    // iterating the reference by hand is noise — assert the structure
+    assert(got("a") > 0L && got("b") > 0L, got.toString)
+    assert(got.values.sum <= scale, "personalized mass cannot exceed scale")
+    // seed-set equality: duplicated seed rows change nothing
+    val got2 = Graph.personalizedPageRank(df, "s", "t",
+      Seq("a", "a", "ghost").toDF("node"), "node", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got2 == got)
+  }
 }

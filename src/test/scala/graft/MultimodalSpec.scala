@@ -107,4 +107,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1).toSeq == png.slice(5, 10).toSeq)
     assert(frames(2).toSeq == png.slice(10, 12).toSeq) // 2-byte tail
   }
+
+  test("resizeRasterHex: nearest-neighbor index math, down and up") {
+    // 2x2 raster: [AA BB / CC DD]
+    val r = Seq("AABBCCDD").toDF("hx")
+    def resize(wIn: Int, hIn: Int, wOut: Int, hOut: Int): String =
+      r.select(Multimodal.resizeRasterHex($"hx", wIn, hIn, wOut, hOut))
+        .as[String].head()
+    assert(resize(2, 2, 1, 1) == "AA")           // top-left survives
+    assert(resize(2, 2, 2, 2) == "AABBCCDD")     // identity
+    // upsample 2x2 -> 4x4: each source pixel repeats in a 2x2 block
+    assert(resize(2, 2, 4, 4) ==
+      "AAAABBBB" + "AAAABBBB" + "CCCCDDDD" + "CCCCDDDD")
+    // 4x1 row [10 20 30 40] -> 2x1: indices 0 and 2
+    val row = Seq("10203040").toDF("hx")
+    assert(row.select(Multimodal.resizeRasterHex($"hx", 4, 1, 2, 1))
+      .as[String].head() == "1030")
+    // 3x3 -> 2x2 non-divisible: src rows/cols {0, 1} of {0, 1, 2}
+    val nine = Seq("000102101112202122").toDF("hx")
+    assert(nine.select(Multimodal.resizeRasterHex($"hx", 3, 3, 2, 2))
+      .as[String].head() == "00011011")
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeRasterHex($"hx", 0, 2, 1, 1)
+    }
+  }
 }
