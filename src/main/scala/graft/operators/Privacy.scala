@@ -45,10 +45,13 @@ object Privacy {
     require(k >= 1, s"k must be >= 1, got $k")
     val census = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("_qn"))
-    val joined = df.join(census, quasiCols)
+    // LEFT join: a null in any quasi column falls out of the equi-join
+    // (null ≠ null), leaving _qn null — those rows SUPPRESS (a privacy
+    // gate fails closed, never open on an unmatched row)
+    val joined = df.join(census, quasiCols, "left")
     quasiCols.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c,
-        when(col("_qn") < k, lit(mask))
+        when(col("_qn").isNull || col("_qn") < k, lit(mask))
           .otherwise(col(c).cast(org.apache.spark.sql.types.StringType)))
     }.drop("_qn")
   }

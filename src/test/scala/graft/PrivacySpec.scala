@@ -29,6 +29,15 @@ class PrivacySpec extends AnyFunSuite {
       .select($"lang", $"source").distinct()
       .as[(String, String)].collect().toSeq
     assert(k9 == Seq(("*", "*")))
+    // null quasi values fail CLOSED: the row suppresses
+    val withNull = Seq((Option("en"), Option("web"), 1L),
+      (Option("en"), Option("web"), 2L), (Option.empty[String], Option("web"), 3L))
+      .toDF("lang", "source", "id")
+    val nn = Privacy.kAnonymize(withNull, Seq("lang", "source"), k = 1)
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, i) => i -> ((l, s)) }.toMap
+    assert(nn(3L) == (("*", "*")), nn.toString)
+    assert(nn(1L) == (("en", "web")))
     intercept[IllegalArgumentException] {
       Privacy.kAnonymize(df, Seq.empty, k = 2)
     }
