@@ -657,6 +657,27 @@ object Relational2 {
       FROM wd WHERE n4 = 4 AND cnt * 4 > t4 * 2
       ORDER BY event_type, hour"""))
 
+  /** The symmetrized customer↔part purchase graph as a materialized
+    * edge table, shared by q153 and q166 (the docPairs/exactPairs
+    * deployment shape): the lineitem⨝orders→distinct derivation runs
+    * once per JVM and dir; both PageRank variants then feed their
+    * checkpointed loops from 2-column parquet and pass
+    * `assumeDistinct` (cp is deduped and the c:/p: prefixes make the
+    * union branches disjoint). */
+  private val edgesDirByInput = new graft.sources.JvmMemo[String]
+  private def purchaseEdgesMaterialized(s: SparkSession,
+                                        d: String): DataFrame =
+    s.read.parquet(
+      LlmOps.materializedTempDir(edgesDirByInput, d, "graft_edges_") { out =>
+        val cp = li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("p:"), col("l_partkey")).as("dst"))
+          .distinct()
+        cp.union(cp.select(col("dst").as("src"), col("src").as("dst")))
+          .write.mode("overwrite").parquet(out)
+      })
+
   // ---- q153: PageRank centrality over the purchase graph -------------
   // Who-buys-what as a symmetric bipartite graph (customer↔part via
   // lineitem), 3 damped integer iterations, top-25 board. The oracle
@@ -668,20 +689,10 @@ object Relational2 {
 
   private val q153 = GraftQuery(
     "q153_pagerank",
-    (s, d) => {
-      val cp = li(s, d)
-        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
-        .distinct()
-      val edges = cp.union(cp.select(col("dst").as("src"),
-        col("src").as("dst")))
-      // distinct by construction: cp is deduped and the c:/p: prefixes
-      // make the two union branches disjoint — skip pageRank's dedup
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3,
-          assumeDistinct = true)
-        .orderBy(col("score").desc, col("node")).limit(25)
-    },
+    (s, d) =>
+      graft.operators.Graph.pageRank(purchaseEdgesMaterialized(s, d),
+          "src", "dst", iters = 3, assumeDistinct = true)
+        .orderBy(col("score").desc, col("node")).limit(25),
     Some("""WITH cp AS (SELECT DISTINCT 'c:' || o_custkey AS src,
           'p:' || l_partkey AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -723,16 +734,10 @@ object Relational2 {
   private val q166 = GraftQuery(
     "q166_personalized_pagerank",
     (s, d) => {
-      val cp = li(s, d)
-        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
-        .distinct()
-      val edges = cp.union(cp.select(col("dst").as("src"),
-        col("src").as("dst")))
       val seeds = cust(s, d).filter(col("c_nationkey") === 7)
         .select(concat(lit("c:"), col("c_custkey")).as("node"))
-      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+      graft.operators.Graph.personalizedPageRank(
+          purchaseEdgesMaterialized(s, d), "src", "dst",
           seeds, "node", iters = 3, assumeDistinct = true)
         .filter(col("node").startsWith("p:"))
         .orderBy(col("score").desc, col("node")).limit(25)
