@@ -1252,6 +1252,107 @@ object LlmOps {
         CAST(sum(length(text)) AS BIGINT) AS chars
       FROM merged GROUP BY 1 ORDER BY lane"""))
 
+  // ---- q168: corpus-curation recipe (this round's ops composed) -------
+  // The composed curation read a training-data team actually runs,
+  // interop at every stage boundary (the q75/q102/q141 recipe
+  // pattern): classifier gate (score ≥ 0) ∩ surprisal cap (≤ 5000
+  // milli-bits/token — drops the rare-token tail) → near-dup clusters
+  // among the SURVIVORS resolved keep-best → per-source census of the
+  // final corpus. Survivor pairs come from the materialized
+  // full-corpus verdict table restricted by two semi-joins (pairwise
+  // Jaccard is corpus-independent, so the restriction is exact). The
+  // oracle replays all four stages in one SQL composition — drift at
+  // any boundary flips the hash.
+
+  private val q168: GraftQuery = GraftQuery(
+    "q168_curation_recipe",
+    (s, d) => {
+      val dd = docs(s, d)
+      val cls = DatasetOps.classifierScores(dd, "doc_id", "text",
+        threshold = 0L).filter(col("keep")).select(col("doc_id"))
+      val sur = DatasetOps.surprisalScores(dd, "doc_id", "text")
+        .filter(col("milli_bits_per_token") <= 5000L).select(col("doc_id"))
+      val keepIds = cls.join(sur, Seq("doc_id"))
+      val filtered = dd.join(keepIds, Seq("doc_id"), "left_semi")
+      val pairs = docPairsMaterialized(s, d)
+        .join(keepIds.withColumnRenamed("doc_id", "idA"),
+          Seq("idA"), "left_semi")
+        .join(keepIds.withColumnRenamed("doc_id", "idB"),
+          Seq("idB"), "left_semi")
+      val resolved = Dedup.keepBestPerCluster(filtered, "doc_id",
+          "n_chars", pairs, checkpointPairs = false)
+        .filter(col("kept")).select(col("doc_id"))
+      filtered.join(resolved, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH RECURSIVE tk AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(list_concat(
+          list_transform(tk, t -> 'clf:u:' || t),
+          list_transform(generate_series(1, len(tk) - 1),
+            i -> 'clf:b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+        FROM tk),
+      bw AS (
+        SELECT doc_id,
+          CAST(concat('0x', substring(md5('w:clf:' ||
+            (CAST(concat('0x', substring(md5(f), 1, 8)) AS BIGINT)
+              % 262144)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM feats),
+      clf AS (SELECT doc_id, sum(w) AS s FROM bw GROUP BY doc_id),
+      occ AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+      census AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM census),
+      dt AS (SELECT doc_id, t, count(*) AS tf FROM occ GROUP BY doc_id, t),
+      sq AS (SELECT doc_id, sum(tf) AS nt,
+          sum(tf * (length(bin(tot.n)) - length(bin(census.c)))) AS bits
+        FROM dt JOIN census USING (t), tot GROUP BY doc_id),
+      surv AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN clf ON clf.doc_id = d.doc_id
+        LEFT JOIN sq ON sq.doc_id = d.doc_id
+        WHERE coalesce(clf.s, 0) >= 0
+          AND (CASE WHEN coalesce(sq.nt, 0) = 0 THEN 0
+            ELSE sq.bits * 1000 // sq.nt END) <= 5000),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM tk WHERE doc_id IN (SELECT doc_id FROM surv)),
+      pairs AS (
+        SELECT a.doc_id AS idA, b.doc_id AS idB
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      sym AS (
+        SELECT idA AS id, idB AS nbr FROM pairs
+        UNION SELECT idB, idA FROM pairs),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr),
+      lab AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id),
+      best AS (SELECT l.cluster_rep,
+          (list(d.doc_id ORDER BY d.n_chars DESC, d.doc_id))[1] AS best_id
+        FROM lab l JOIN documents d ON d.doc_id = l.id
+        GROUP BY l.cluster_rep)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(len(t.tk)) AS BIGINT) AS n_tokens
+      FROM best b
+      JOIN documents d ON d.doc_id = b.best_id
+      JOIN tk t ON t.doc_id = b.best_id
+      GROUP BY d.source ORDER BY d.source"""))
+
   // ---- q167: k-anonymity suppression ----------------------------------
   // Privacy.kAnonymize over the (lang, source) quasi pair at k=5 —
   // 55 of the sf0.01 groups fall below the threshold, so the
@@ -3088,17 +3189,25 @@ object LlmOps {
   // replacements per word, so a drifted merge order, a wrong overlap
   // semantics, or a lost non-ASCII exclusion flips the hash.
 
-  private val q154: GraftQuery = GraftQuery(
-    "q154_bpe_encode",
-    (s, d) => {
-      val dd = docs(s, d)
-      // vocabulary-sized pickup (≤ 4 rows) — the learner's own bound
-      val m = graft.operators.Bpe.learnBpeMerges(dd, "text", nMerges = 4)
+  /** The 4 learned merges, once per JVM and input dir — pure data
+    * (≤ 4 string pairs), so the JvmMemo holds the VALUE itself rather
+    * than a temp-dir path; the 4 census rounds bill to whichever
+    * consumer runs first. */
+  private val bpeMergesByInput =
+    new graft.sources.JvmMemo[Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMergesByInput.getOrElseCompute(d) {
+      graft.operators.Bpe.learnBpeMerges(docs(s, d), "text", nMerges = 4)
         .collect().sortBy(_.getLong(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.operators.Bpe.bpeTokenCounts(dd, "doc_id", "text", m)
-        .orderBy(col("doc_id"))
-    },
+    }
+
+  private val q154: GraftQuery = GraftQuery(
+    "q154_bpe_encode",
+    (s, d) =>
+      graft.operators.Bpe.bpeTokenCounts(docs(s, d), "doc_id", "text",
+          bpeMerges(s, d))
+        .orderBy(col("doc_id")),
     Some(s"""WITH dtoks AS (SELECT doc_id, unnest(list_filter(
         regexp_split_to_array(lower(text), '\\s+'),
         x -> length(x) > 0)) AS w FROM documents),
@@ -3148,7 +3257,7 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167)
+      q161, q162, q165, q167, q168)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the
