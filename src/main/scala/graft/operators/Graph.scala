@@ -106,6 +106,42 @@ object Graph {
     }
   }
 
+  /** Triangle census over an undirected graph — the clustering /
+    * community-density primitive (a co-purchase or co-citation
+    * neighborhood with many triangles is a tight cluster; triangle
+    * counts also drive clustering coefficients and spam detection).
+    * Pure relational algebra: edges are canonicalized to `a < b`
+    * (either input orientation accepted, duplicates collapse,
+    * self-loops dropped), wedges `e(a,b)⨝e(b,c)` close against
+    * `e(a,c)` — each triangle emerges exactly once in `a < b < c`
+    * order — and the per-node census explodes the three corners into
+    * one map-side-combined count.
+    *
+    * Scale shape: the wedge join's cardinality is Σ_b deg(b)² — the
+    * caller bounds it by thresholding edges first (q169 floors the
+    * co-purchase weight), and a celebrity node's wedge fan-out is an
+    * AQE-splittable JOIN key, never a window.
+    *
+    * @return (node, n_triangles) for nodes in ≥ 1 triangle. */
+  def triangleCensus(edges: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+    val tri = canon.as("x")
+      .join(canon.as("y"), col("x._b") === col("y._a"))
+      .join(canon.as("z"),
+        col("z._a") === col("x._a") && col("z._b") === col("y._b"))
+      .select(col("x._a").as("_n1"), col("x._b").as("_n2"),
+        col("y._b").as("_n3"))
+    tri
+      .select(explode(array(col("_n1"), col("_n2"), col("_n3")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** The shared damped-update loop (see [[pageRank]]'s scaladoc for
     * the lineage-hygiene design): `mkBase` builds the static
     * `(node, _base)` teleport table from the node set and its count. */

@@ -58,7 +58,17 @@ class GoldenPlanSpec extends AnyFunSuite {
     // WindowExec partitioned on (score, bucket): a Window with an
     // empty/foldable partition spec reappearing IS the global-sort
     // regression the decomposition exists to avoid
-    "q143_token_budget")
+    "q143_token_budget",
+    // r7: the boolean-retrieval probe — load-bearing tokens are the
+    // term IN-filter reaching the postings scan as a pushed filter,
+    // ONE hash aggregate on the doc id (never per-clause passes), and
+    // the TakeOrderedAndProject board; and the salted join — the
+    // load-bearing token is the salt-exploded dim side feeding a
+    // plain shuffled hash/sort-merge join (a BroadcastNestedLoopJoin
+    // or a resurrected pre-join exchange on the raw key IS the
+    // regression)
+    "q158_boolean_search",
+    "q163_salted_join")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
@@ -76,6 +86,9 @@ class GoldenPlanSpec extends AnyFunSuite {
       // PushedFilters/PartitionFilters are the load-bearing scan
       // tokens and stay pinned verbatim
       .replaceAll("DataFilters: \\[.*?\\]?(?=, Format:)", "DataFilters: [N]")
+      // literal arrays render as the backing object's toString — a JVM
+      // identity hash that changes every run (q163's salt array)
+      .replaceAll("@[0-9a-f]{6,}", "@X")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
       .replaceAll("\\[id=#N\\]", "[id=N]")
       .replaceAll("file:[^\\s,\\]\\)]+", "file:PATH")

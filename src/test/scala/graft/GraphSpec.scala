@@ -78,6 +78,24 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCensus: canonicalization, exact counts, K4") {
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, every node in 3 — fed
+    // with mixed orientations, duplicates and a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (3L, 3L)).toDF("a", "b")
+    val got = Graph.triangleCensus(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // a path graph has no triangles: empty census
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCensus(path, "a", "b").count() == 0L)
+    // one triangle + a pendant edge: pendant node absent
+    val one = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("a", "b")
+    val g1 = Graph.triangleCensus(one, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(g1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), g1.toString)
+  }
+
   test("personalizedPageRank: mass flows only from seeds") {
     // two disconnected symmetric components: {a,b} and {x,y,z}
     val edges = Seq(("a", "b"), ("b", "a"),

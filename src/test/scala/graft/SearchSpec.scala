@@ -750,4 +750,56 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Search.booleanSearch(post, must = Seq("a"), mustNot = Seq("a")) }
   }
+
+  test("facetedSearch: ALL-terms gate, null facet sentinel, tie order") {
+    val corpus = Seq(
+      (1L, "join scan filter", "web"),
+      (2L, "join join scan", "web"), // repeated term counts once
+      (3L, "join only here", "book"), // missing 'scan': excluded
+      (4L, "scan join", null), // null facet -> (none)
+      (5L, "scan join", "book"),
+      (6L, "nothing relevant", "web"))
+    val df = corpus.toDF("doc_id", "text", "source")
+    val post = Search.termPostings(df, "doc_id", "text")
+    val got = Search.facetedSearch(post, df, "doc_id", "source",
+      must = Seq("Join", "SCAN")) // case-folds
+      .as[(String, Long)].collect().toSeq
+    // matched ids: 1,2 (web), 4 ((none)), 5 (book) — counts web=2,
+    // (none)=1, book=1; ties break facet-asc
+    assert(got == Seq(("web", 2L), ("(none)", 1L), ("book", 1L)), got)
+    // topN bounds the board
+    assert(Search.facetedSearch(post, df, "doc_id", "source",
+      Seq("join", "scan"), topN = 1).count() == 1L)
+    intercept[IllegalArgumentException] {
+      Search.facetedSearch(post, df, "doc_id", "source", Nil) }
+    intercept[IllegalArgumentException] {
+      Search.facetedSearch(post, df, "doc_id", "source", Seq("a"), 0) }
+  }
+
+  test("booleanSearch: random-corpus sweep vs a JVM set reference") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = ('a' to 'j').map(_.toString)
+    for (round <- 1 to 5) {
+      val corpus = (1L to 60L).map { id =>
+        (id, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val shuffled = rnd.shuffle(vocab)
+      val must = shuffled.take(rnd.nextInt(2) + 1)
+      val should = shuffled.slice(2, 2 + rnd.nextInt(3) + 1)
+      val mustNot = shuffled.slice(6, 7)
+      val k = rnd.nextInt(20) + 5
+      val post = Search.termPostings(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val got = Search.booleanSearch(post, must, should, mustNot, k)
+        .as[(Long, Long)].collect().toSeq
+      val want = corpus.flatMap { case (id, text) =>
+        val ts = text.split(" ").toSet
+        val ok = must.forall(ts) && mustNot.forall(t => !ts(t))
+        if (ok) Some((id, should.count(ts).toLong)) else None
+      }.sortBy { case (id, ns) => (-ns, id) }.take(k)
+      assert(got == want, s"round $round: must=$must should=$should " +
+        s"mustNot=$mustNot k=$k\ngot:  $got\nwant: $want")
+    }
+  }
 }
