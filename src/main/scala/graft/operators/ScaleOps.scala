@@ -105,4 +105,39 @@ object ScaleOps {
       .filter(p(pointCol) >= iv(startCol) && p(pointCol) < iv(endCol))
       .drop("_cell")
   }
+
+  /** Key-skew diagnostic — the measurement step BEFORE reaching for
+    * the levers above: per-key row counts, each key's share of the
+    * table in parts-per-million (integer div — engine-exact), and the
+    * salt factor [[saltedJoin]] would need so no sub-partition
+    * exceeds `targetRowsPerTask` (ceiling division, ≥ 1). Top `topN`
+    * keys by count. "Measure, don't guess": at 100 TB a join is sized
+    * off this report, not off a sample.
+    *
+    * Scale shape: ONE map-side-combined census groupBy (the hottest
+    * key collapses into partials — the census never concentrates a
+    * key in one task), the table total derived from the census by a
+    * scalar aggregate broadcast back (never a window), and a bounded
+    * heap for the board (TakeOrderedAndProject). The report is
+    * key-cardinality-sized; `df`'s rows are scanned once.
+    *
+    * @return (key, n_rows, share_ppm, n_salts) ordered by
+    *         (n_rows desc, key), ≤ topN rows; `key` keeps the input
+    *         column's type. */
+  def skewReport(df: DataFrame, keyCol: String, targetRowsPerTask: Long,
+                 topN: Int = 20): DataFrame = {
+    require(targetRowsPerTask > 0L,
+      s"targetRowsPerTask must be positive, got $targetRowsPerTask")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val census = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = census.agg(sum(col("n_rows")).as("_total"))
+    census.crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        expr("(n_rows * 1000000L) div _total").as("share_ppm"),
+        expr(s"(n_rows + ${targetRowsPerTask - 1}L) div " +
+          s"${targetRowsPerTask}L").as("n_salts"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topN)
+  }
 }

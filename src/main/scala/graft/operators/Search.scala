@@ -284,6 +284,52 @@ object Search {
       .limit(k)
   }
 
+  /** Faceted search — the drill-down surface every retrieval UI pairs
+    * with its result list: documents containing ALL `must` terms,
+    * censused by an attribute (`facetCol`) from a sidecar table
+    * (source, language, domain, …) instead of ranked. Returns the
+    * top-`topN` facet values by matching-document count.
+    *
+    * Scale shape: the literal term set prunes the postings scan
+    * (pushed `term IN` filter — on the bucketed landing the probe is
+    * exchange-free), ONE map-side-combined groupBy on the doc id
+    * applies the ALL-terms test as a count comparison (postings are
+    * per-(term, doc) rows), the attrs join is an AQE-splittable
+    * equi-join on the id (matched ids are filter-bounded, attrs never
+    * fan out), and the facet census is map-side-combined — a hot
+    * facet value ("en", "web") collapses into partials, never one
+    * task. The board is a bounded heap (TakeOrderedAndProject).
+    *
+    * Null facet values census under the literal `(none)` — a nullable
+    * attribute column must not silently drop matched docs, and the
+    * sentinel keeps the ordering engine-independent (null sort order
+    * differs across engines).
+    *
+    * @param attrs one row per document carrying `idCol` + `facetCol`
+    * @return (facet, n_docs) ordered by (n_docs desc, facet),
+    *         ≤ topN rows. */
+  def facetedSearch(postings: DataFrame, attrs: DataFrame, idCol: String,
+                    facetCol: String, must: Seq[String],
+                    topN: Int = 20): DataFrame = {
+    require(must.nonEmpty, "need at least one must term")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val terms = must.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val matched = postings
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_nm"))
+      .filter(col("_nm") === lit(terms.size.toLong))
+      .select(col("id"))
+    matched
+      .join(attrs.select(col(idCol).as("id"),
+        coalesce(col(facetCol).cast(StringType), lit("(none)"))
+          .as("facet")), "id")
+      .groupBy(col("facet"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet"))
+      .limit(topN)
+  }
+
   /** Best-snippet extraction — the highlighting step after retrieval:
     * for each doc, the `window`-token span covering the most query-
     * term occurrences (ties → earliest start), with the span's text.

@@ -417,6 +417,40 @@ object Similarity {
     * argument) and a 1×1 broadcast crossJoin. An empty side has no
     * centroid — the result is empty, loudly, rather than a row of
     * nulls. */
+  /** Recall@k of an approximate ranking against the exact one — the
+    * quality gate that makes an ANN tier deployable ("measure, don't
+    * guess": an index whose recall silently decayed after a
+    * re-centroid or a probe-budget cut is worse than a slow exact
+    * scan). Both inputs are rankings in the `(qid, rank, cid)` shape
+    * every searcher here emits ([[bruteForceTopK]], [[lshTopK]],
+    * [[ivfTopK]], [[probeIvfIndex]]); rows beyond rank `k` are
+    * ignored, so a deeper ranking can be evaluated at any cutoff.
+    * Recall is per query against the EXACT list's size (which may be
+    * < k on small corpora), in parts-per-million integer div —
+    * engine-exact, no float ratio. Queries the approximate tier
+    * missed entirely still appear (recall 0), which is the alarm row.
+    *
+    * Scale shape: both sides are k-bounded per query (≈ #queries × k
+    * rows — retrieval-result-sized, never corpus-sized); the hit test
+    * is an equi-join on (qid, cid) and both censuses are map-side-
+    * combined groupBys, never a window.
+    *
+    * @return (qid, n_exact, n_hit, recall_ppm) ordered by qid. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = exact.filter(col("rank") <= k).select(col("qid"), col("cid"))
+    val a = approx.filter(col("rank") <= k).select(col("qid"), col("cid"))
+    val base = e.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val hits = e.join(a, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    base.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("(coalesce(n_hit, 0L) * 1000000L) div n_exact")
+          .as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
   def embeddingDrift(vecsA: DataFrame, vecsB: DataFrame,
                      vecCol: String): DataFrame = {
     def cent(d: DataFrame, n: String, c: String) =

@@ -448,6 +448,74 @@ object LlmOps {
         FROM scored) t
       WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---- q173: ANN recall@k evaluation ----------------------------------
+  // The quality gate over the approximate tier: q46's multi-probe LSH
+  // ranking scored against q45's exact kNN per query, recall in ppm.
+  // The oracle recomputes BOTH rankings from scratch (q45's exact
+  // cross-scan CTEs + q46's md5-hyperplane replay) and then the hit
+  // join — so a recall regression anywhere in the LSH machinery, or a
+  // scoring drift in either tier, flips the row hash red even if each
+  // tier's own query happens to stay green.
+
+  private val q173 = GraftQuery(
+    "q173_ann_recall",
+    (s, d) => Similarity.recallAtK(
+      Similarity.bruteForceTopK(queryVecs(s, d), candVecs(s, d), 5),
+      Similarity.lshTopKWithPlanes(queryVecs(s, d), candVecs(s, d), k = 5,
+        planes = md5Vectors(4, 64, "plane"), probeHamming = 2),
+      k = 5),
+    Some("""WITH planes AS (
+        SELECT p.p AS p, list(
+            CAST(concat('0x', substring(md5('plane:'||p.p||':'||d.d), 1, 8)) AS BIGINT)
+              / 4294967296.0 * 2 - 1 ORDER BY d.d) AS pv
+        FROM generate_series(0, 3) p(p), generate_series(0, 63) d(d)
+        GROUP BY p.p),
+      sigs AS (
+        SELECT e.vec_id,
+          sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pv) >= 0
+              THEN (1 << pl.p) ELSE 0 END) AS sig
+        FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+      masks(m) AS (VALUES (0),(1),(2),(4),(8),(3),(5),(6),(9),(10),(12)),
+      aq AS (
+        SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv,
+          xor(s.sig, m.m) AS psig
+        FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+        CROSS JOIN masks m WHERE e.vec_id < 10),
+      ac AS (
+        SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv, s.sig
+        FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id),
+      ascored AS (
+        SELECT q.qid, c.cid,
+          round(list_dot_product(q.qv, c.cv) /
+            (sqrt(list_dot_product(q.qv, q.qv)) *
+             sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM aq q JOIN ac c ON c.sig = q.psig AND c.cid <> q.qid),
+      atop AS (SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+          FROM ascored) t WHERE rank <= 5),
+      eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      ec AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings),
+      escored AS (SELECT qid, cid,
+          round(list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+            AS sim
+        FROM eq CROSS JOIN ec WHERE cid <> qid),
+      etop AS (SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+          FROM escored) t WHERE rank <= 5),
+      base AS (SELECT qid, count(*) AS n_exact FROM etop GROUP BY qid),
+      h AS (SELECT e.qid, count(*) AS n_hit FROM etop e
+        JOIN atop a ON a.qid = e.qid AND a.cid = e.cid GROUP BY e.qid)
+      SELECT b.qid, CAST(b.n_exact AS BIGINT) AS n_exact,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) * 1000000 // b.n_exact AS BIGINT)
+          AS recall_ppm
+      FROM base b LEFT JOIN h ON h.qid = b.qid ORDER BY b.qid"""))
+
   // ---- q47–q50: text analysis -----------------------------------------
 
   private val q47 = GraftQuery(
@@ -1352,6 +1420,68 @@ object LlmOps {
       JOIN documents d ON d.doc_id = b.best_id
       JOIN tk t ON t.doc_id = b.best_id
       GROUP BY d.source ORDER BY d.source"""))
+
+  // ---- q170: corpus data card ------------------------------------------
+  // The one-row release profile every dataset ships with: doc/token/
+  // char totals, language and source cardinalities, exact-dup count,
+  // vocabulary size, English share in ppm and mean chars per doc
+  // (integer div). Two narrow aggregates (row stats; exploded vocab
+  // census) joined by a 1×1 broadcast — nothing here shuffles more
+  // than census rows at any corpus size.
+
+  private val q170: GraftQuery = GraftQuery(
+    "q170_data_card",
+    (s, d) => {
+      val dd = docs(s, d)
+      val stats = dd.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(tokenCount(col("text")).cast(LongType)), lit(0L))
+          .as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        (count(lit(1)) - count_distinct(col("text"))).as("n_dup_docs"),
+        coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)),
+          lit(0L)).as("_n_en"))
+      val vocab = dd
+        .select(explode(whitespaceTokens(col("text"))).as("_t"))
+        .agg(count_distinct(col("_t")).as("n_vocab"))
+      stats.crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"), col("n_dup_docs"),
+          col("n_vocab"),
+          when(col("n_docs") === 0L, lit(0L))
+            .otherwise(expr("(_n_en * 1000000L) div n_docs"))
+            .as("en_ppm"),
+          when(col("n_docs") === 0L, lit(0L))
+            .otherwise(expr("n_chars div n_docs")).as("mean_chars"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0)) AS t FROM documents),
+      v AS (SELECT count(DISTINCT t) AS n_vocab FROM toks),
+      st AS (SELECT count(*) AS n_docs,
+          coalesce(sum(len(list_filter(
+            regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0))), 0) AS n_tokens,
+          coalesce(sum(n_chars), 0) AS n_chars,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          count(*) - count(DISTINCT text) AS n_dup_docs,
+          coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS n_en
+        FROM documents)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(n_langs AS BIGINT) AS n_langs,
+        CAST(n_sources AS BIGINT) AS n_sources,
+        CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+        CAST(v.n_vocab AS BIGINT) AS n_vocab,
+        CAST(CASE WHEN n_docs = 0 THEN 0
+          ELSE (n_en * 1000000) // n_docs END AS BIGINT) AS en_ppm,
+        CAST(CASE WHEN n_docs = 0 THEN 0
+          ELSE n_chars // n_docs END AS BIGINT) AS mean_chars
+      FROM st, v"""))
 
   // ---- q167: k-anonymity suppression ----------------------------------
   // Privacy.kAnonymize over the (lang, source) quasi pair at k=5 —
@@ -3257,7 +3387,7 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167, q168)
+      q161, q162, q165, q167, q168, q170, q173)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

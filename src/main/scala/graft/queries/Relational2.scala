@@ -780,7 +780,60 @@ object Relational2 {
       WHERE node LIKE 'p:%'
       ORDER BY score DESC, node LIMIT 25"""))
 
+  // ---- q169: co-purchase triangle census ------------------------------
+  // Parts bought together in ≥ 2 distinct orders form the co-purchase
+  // graph (the weight floor is what bounds the wedge join — raw
+  // co-occurrence would be Σ deg² over 1.2 M edges); triangles are
+  // its tight cluster cores. The oracle replays the projection, the
+  // floor, the canonical a<b<c closure and the corner explode.
+
+  private val q169 = GraftQuery(
+    "q169_triangle_census",
+    (s, d) => {
+      val pr = li(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = pr.as("a")
+        .join(pr.as("b"), col("a.o") === col("b.o") &&
+          col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa"), col("pb"))
+      graft.operators.Graph.triangleCensus(e, "pa", "pb")
+        .orderBy(col("n_triangles").desc, col("node"))
+    },
+    Some("""WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      e AS (SELECT a.p AS pa, b.p AS pb
+        FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      t AS (SELECT x.pa AS n1, x.pb AS n2, y.pb AS n3
+        FROM e x JOIN e y ON x.pb = y.pa
+        JOIN e z ON z.pa = x.pa AND z.pb = y.pb),
+      u AS (SELECT unnest([n1, n2, n3]) AS node FROM t)
+      SELECT node, count(*) AS n_triangles FROM u
+      GROUP BY node ORDER BY n_triangles DESC, node"""))
+
+  // ---- q172: key-skew report ------------------------------------------
+  // ScaleOps.skewReport over the event stream's type key — the
+  // measurement that sizes q163's salting lever ("measure, don't
+  // guess"). The oracle replays the census, the integer ppm share and
+  // the ceiling salt division.
+
+  private val q172 = GraftQuery(
+    "q172_skew_report",
+    (s, d) => graft.operators.ScaleOps.skewReport(
+      ev(s, d), "event_type", targetRowsPerTask = 500L, topN = 10),
+    Some("""WITH c AS (SELECT event_type AS key, count(*) AS n_rows
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(n_rows) AS total FROM c)
+      SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+        CAST((n_rows + 499) // 500 AS BIGINT) AS n_salts
+      FROM c, t ORDER BY n_rows DESC, key LIMIT 10"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89, q148, q153, q163, q164, q166)
+      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172)
 }

@@ -964,7 +964,32 @@ object SearchQueries {
       FROM m WHERE nm = 2 AND nx = 0
       ORDER BY n_should DESC, id LIMIT 20"""))
 
+  // ---- q171: faceted search ------------------------------------------
+  // Documents containing BOTH query terms, censused by source — the
+  // drill-down counts a retrieval UI shows beside its result list.
+  // Probes the persisted postings; the oracle rebuilds the distinct
+  // (term, doc) set, applies the ALL-terms count test, joins the
+  // facet attribute and replays the census and ordering.
+
+  private val q171: GraftQuery = GraftQuery(
+    "q171_faceted_search",
+    (s, d) =>
+      Search.facetedSearch(postingsMaterialized(s, d)._1,
+        docs(s, d), "doc_id", "source",
+        must = Seq("join", "scan"), topN = 20),
+    Some(s"""WITH $toksCte,
+      occF AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      td AS (SELECT doc_id, t FROM occF
+        WHERE t IN ('join', 'scan') GROUP BY doc_id, t),
+      m AS (SELECT doc_id, count(*) AS nm FROM td GROUP BY doc_id),
+      ids AS (SELECT doc_id FROM m WHERE nm = 2)
+      SELECT coalesce(CAST(d.source AS VARCHAR), '(none)') AS facet,
+        count(*) AS n_docs
+      FROM ids JOIN documents d ON d.doc_id = ids.doc_id
+      GROUP BY 1 ORDER BY n_docs DESC, facet LIMIT 20"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159)
+      q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159,
+      q171)
 }

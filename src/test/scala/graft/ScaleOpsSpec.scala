@@ -74,6 +74,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skewReport: exact counts, ppm shares, ceiling salts, board order") {
+    // 60 'hot', 30 'warm', 10 'cold' rows: total 100
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      Seq.fill(10)("cold")).zipWithIndex.toDF("k", "i")
+    val got = ScaleOps.skewReport(df, "k", targetRowsPerTask = 25L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("hot", 60L, 600000L, 3L), // ceil(60/25) = 3
+      ("warm", 30L, 300000L, 2L),
+      ("cold", 10L, 100000L, 1L)), got)
+    // topN bounds the board; ties break key-asc
+    val tied = (Seq.fill(5)("b") ++ Seq.fill(5)("a")).zipWithIndex
+      .toDF("k", "i")
+    val t = ScaleOps.skewReport(tied, "k", 100L, topN = 1)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(t == Seq(("a", 5L, 500000L, 1L)), t)
+    // the census/scalar decomposition never plans a Window
+    val plan = ScaleOps.skewReport(df, "k", 25L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"skewReport planned a window:\n$plan")
+    intercept[IllegalArgumentException] { ScaleOps.skewReport(df, "k", 0L) }
+    intercept[IllegalArgumentException] {
+      ScaleOps.skewReport(df, "k", 1L, topN = 0) }
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val a = (0L until 1000L).map(i => (i % 100, i)).toDF("k", "va")
     val b = (0L until 1000L).map(i => (i % 100, i * 2)).toDF("k", "vb")

@@ -220,6 +220,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recallAtK: per-query hits, zero-recall rows kept, cutoff respected") {
+    // exact truth: q0 -> {10,11,12}; q1 -> {20,21}
+    val exact = Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L),
+      (1L, 1L, 20L), (1L, 2L, 21L)).toDF("qid", "rank", "cid")
+    // approx: q0 hits 2 of 3 (plus a miss); q1 finds nothing right;
+    // rank-4 row for q0 would be a third hit but sits past the cutoff
+    val approx = Seq((0L, 1L, 11L), (0L, 2L, 99L), (0L, 3L, 10L),
+      (0L, 4L, 12L), (1L, 1L, 98L)).toDF("qid", "rank", "cid")
+    val got = Similarity.recallAtK(exact, approx, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 2L, 666666L), (1L, 2L, 0L, 0L)), got)
+    // cutoff applies to BOTH sides: at k=1 only the rank-1 rows count
+    val k1 = Similarity.recallAtK(exact, approx, k = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(k1 == Seq((0L, 1L, 0L, 0L), (1L, 1L, 0L, 0L)), k1)
+    intercept[IllegalArgumentException] {
+      Similarity.recallAtK(exact, approx, 0) }
+  }
+
   test("semanticDedup: within-cell clusters collapse to min ids; cross-cell pairs stay split") {
     val cents = Seq(
       (0, Seq(1.0, 0.0, 0.0, 0.0)),
