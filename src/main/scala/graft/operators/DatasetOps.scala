@@ -809,7 +809,16 @@ object DatasetOps {
       .select(col(idCol),
         (size(col("_tks")) + size(col("_bgs"))).cast(LongType)
           .as("n_feats"),
-        (aggregate(col("_tks"), lit(0L),
+        // FENCED (NoInline, the q103 lesson): a caller's
+        // `.filter(col("keep"))` would otherwise re-inline this whole
+        // md5-HOF chain into a non-codegen Filter node — interpreted
+        // per-row evaluation, measured 15 s vs 0.3 s at sf0.1 (q168's
+        // construct bill). The fence pins the score to ONE codegen'd
+        // projection; the filter then tests the projected column.
+        // Cost: predicates no longer push below this projection —
+        // callers filtering on the id should do so BEFORE scoring.
+        call_function("no_inline",
+          aggregate(col("_tks"), lit(0L),
             (acc, t) => acc + featWeight("u", t)) +
           aggregate(col("_bgs"), lit(0L),
             (acc, g) => acc + featWeight("b", g))).as("score"))

@@ -1340,7 +1340,14 @@ object LlmOps {
         threshold = 0L).filter(col("keep")).select(col("doc_id"))
       val sur = DatasetOps.surprisalScores(dd, "doc_id", "text")
         .filter(col("milli_bits_per_token") <= 5000L).select(col("doc_id"))
-      val keepIds = cls.join(sur, Seq("doc_id"))
+      // keepIds feeds FOUR subtrees (the survivor filter, both pair
+      // semi-joins, and keep-best's internal df duplication) — left
+      // lazy, each consumer re-derives both full-corpus scorers and
+      // the final plan balloons to ~80 exchanges of pure scheduler
+      // tax (measured 23 s/pass at sf0.1; ~2 s with the cut). The
+      // frame is id-sized at ANY corpus scale, so the eager
+      // materialization is the cheap side of the trade everywhere.
+      val keepIds = cls.join(sur, Seq("doc_id")).localCheckpoint(true)
       val filtered = dd.join(keepIds, Seq("doc_id"), "left_semi")
       val pairs = docPairsMaterialized(s, d)
         .join(keepIds.withColumnRenamed("doc_id", "idA"),
