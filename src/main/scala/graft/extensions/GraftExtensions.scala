@@ -458,6 +458,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             mustNot = terms(children(5), "must_not"), k = k)
           .queryExecution.analyzed
       }))
+    // Faceted search from SQL (q171's operator):
+    //   facet_search(table, id_col, text_col, facet_col, must, top_n)
+    // Docs containing ALL must terms censused by the facet column;
+    // emits (facet, n_docs) ordered by (n_docs desc, facet). Same
+    // ad-hoc-probe caveat as bm25_search: repeated probes should
+    // persist the postings and call Search.facetedSearch directly.
+    ext.injectTableFunction((
+      new FunctionIdentifier("facet_search"),
+      new ExpressionInfo("graft.operators.Search", "facet_search"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "usage: facet_search(table, id_col, text_col, facet_col, " +
+            "must, top_n)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val must = strLit(children(4), "must")
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        val topN = intLit(children(5), "top_n")
+        val t = spark.table(strLit(children(0), "table"))
+        val idCol = strLit(children(1), "id_col")
+        graft.operators.Search.facetedSearch(
+            graft.operators.Search.termPostings(t, idCol,
+              strLit(children(2), "text_col")),
+            t, idCol, strLit(children(3), "facet_col"), must, topN)
+          .queryExecution.analyzed
+      }))
     // Unigram LM surprisal scoring from SQL (q157's operator):
     //   surprisal_score(table, id_col, text_col)
     // Emits (id_col, n_tokens, surprisal_bits, milli_bits_per_token).

@@ -161,4 +161,34 @@ object TextFunctions {
   def fingerprint(tokens: Column): Column =
     aggregate(tokens, lit(0L),
       (acc, t) => (acc * FpMul + tokenHash(t)) % FpMod)
+
+  /** HTML/markup stripping — the first transform every web-crawl
+    * pipeline applies before any text analysis: drops `<script>` and
+    * `<style>` blocks wholesale (their CONTENT is code, not prose),
+    * removes every remaining tag, unescapes the six entities that
+    * dominate crawl text, and collapses whitespace runs. A chain of
+    * `regexp_replace` calls — narrow, codegen'd, zero-shuffle, and
+    * deliberately RE2-compatible (no backreferences, inline `(?is)`
+    * flags only) so an external engine can replay it exactly.
+    *
+    * `&amp;` is unescaped LAST — the standard ordering, so
+    * `&amp;lt;` yields the literal text `&lt;`, not `<` (double-
+    * unescaping is the classic stripper bug). Not a sanitizer:
+    * malformed markup (an unclosed `<` ) degrades to dropping the
+    * run to the next `>`, which is the usual crawl-pipeline choice —
+    * lost prose beats leaked tags. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        // entity names are regex-metachar-free — kept literal (no
+        // \Q…\E quoting, which RE2 replayers don't support)
+        regexp_replace(c, from, to) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
 }

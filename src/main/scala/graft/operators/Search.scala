@@ -284,6 +284,43 @@ object Search {
       .limit(k)
   }
 
+  /** Retrieval-quality grading — MRR and hits@k of a ranking against
+    * a relevance-label set, the eval loop that keeps a search/RAG
+    * stack honest after every index or scoring change (the
+    * [[graft.operators.Similarity.recallAtK]] sibling for LABELED
+    * relevance rather than exact-vs-approximate). All integer: the
+    * reciprocal rank is `10⁶ div first_rank` ppm — engine-exact.
+    * Queries present in `relevance` but absent from the top-k still
+    * appear with zero hits (the alarm rows); unlabeled queries are
+    * skipped (metrics are defined per labeled query).
+    *
+    * Scale shape: the ranking is cut to rank ≤ k first
+    * (retrieval-result-sized), the hit test is one equi-join on
+    * (qid, id), and both censuses are map-side-combined groupBys —
+    * never a window.
+    *
+    * @param ranking   (qid, rank, `idCol`) rows, 1-based ranks
+    * @param relevance (qid, `idCol`) relevant pairs
+    * @return (qid, n_rel, n_hit, first_rank, rr_ppm) ordered by qid;
+    *         first_rank/rr_ppm are 0 when nothing relevant ranked. */
+  def rankingMetrics(ranking: DataFrame, idCol: String,
+                     relevance: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rk = ranking.filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol))
+    val base = relevance.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = rk.join(relevance, Seq("qid", idCol))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"), min(col("rank")).as("_fr"))
+    base.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("_fr"), lit(0L)).cast(LongType).as("first_rank"),
+        when(col("_fr").isNull, lit(0L))
+          .otherwise(expr("1000000L div _fr")).as("rr_ppm"))
+      .orderBy(col("qid"))
+  }
+
   /** Faceted search — the drill-down surface every retrieval UI pairs
     * with its result list: documents containing ALL `must` terms,
     * censused by an attribute (`facetCol`) from a sidecar table

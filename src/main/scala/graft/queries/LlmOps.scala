@@ -1490,6 +1490,61 @@ object LlmOps {
           ELSE n_chars // n_docs END AS BIGINT) AS mean_chars
       FROM st, v"""))
 
+  // ---- q174: HTML/markup stripping ------------------------------------
+  // The first transform of every web-crawl pipeline, exercised over
+  // deterministically constructed markup (the q160 raster pattern —
+  // the corpus is synthetic, so the query builds the HTML it strips):
+  // each doc wrapped in head/style/script scaffolding with an
+  // entity-escaped token planted mid-text. The oracle replays the
+  // wrap AND the whole strip chain (script/style blocks, tag removal,
+  // entity ordering with &amp; last, whitespace collapse) — the
+  // regexes are RE2-compatible by construction, so both engines run
+  // the identical automaton.
+
+  private val q174: GraftQuery = GraftQuery(
+    "q174_markup_strip",
+    (s, d) => {
+      val marked = docs(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><style type=\"text/css\">body{margin:0}" +
+              "</style></head><body><p id=\""),
+            col("doc_id").cast(StringType), lit("\">"),
+            regexp_replace(col("text"), "table", "&amp;lt;table&gt;"),
+            lit("</p><script src=\"x.js\">var i=0;</script> <br/>" +
+              "</body></html>")).as("html"))
+      marked
+        .select(col("doc_id"), stripMarkup(col("html")).as("stripped"))
+        .select(col("doc_id"),
+          length(col("stripped")).cast(LongType).as("n_chars"),
+          col("stripped"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          '<html><head><style type="text/css">body{margin:0}</style></head><body><p id="'
+            || CAST(doc_id AS VARCHAR) || '">'
+            || regexp_replace(text, 'table', '&amp;lt;table&gt;', 'g')
+            || '</p><script src="x.js">var i=0;</script> <br/></body></html>'
+            AS html
+        FROM documents WHERE doc_id < 100),
+      s1 AS (SELECT doc_id, regexp_replace(html,
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM m),
+      s2 AS (SELECT doc_id, regexp_replace(t,
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t,
+          '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+      e AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')
+            AS t FROM s3),
+      f AS (SELECT doc_id,
+          trim(regexp_replace(t, '\s+', ' ', 'g')) AS stripped FROM e)
+      SELECT doc_id, CAST(length(stripped) AS BIGINT) AS n_chars, stripped
+      FROM f ORDER BY doc_id"""))
+
   // ---- q167: k-anonymity suppression ----------------------------------
   // Privacy.kAnonymize over the (lang, source) quasi pair at k=5 —
   // 55 of the sf0.01 groups fall below the threshold, so the
@@ -3394,7 +3449,7 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167, q168, q170, q173)
+      q161, q162, q165, q167, q168, q170, q173, q174)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -988,8 +988,103 @@ object SearchQueries {
       FROM ids JOIN documents d ON d.doc_id = ids.doc_id
       GROUP BY 1 ORDER BY n_docs DESC, facet LIMIT 20"""))
 
+  // ---- q175: faceted search from pure SQL (the TVF path) --------------
+  // Same machinery as q171 reached through the injected facet_search
+  // table function — a parser path, not new semantics, so the oracle
+  // is q171's verbatim.
+
+  private val q175: GraftQuery = GraftQuery(
+    "q175_sql_facets",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT facet, n_docs
+        FROM facet_search('documents', 'doc_id', 'text', 'source',
+          'join scan', 20)
+        ORDER BY n_docs DESC, facet""")
+    },
+    Some(s"""WITH $toksCte,
+      occG AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+      td AS (SELECT doc_id, t FROM occG
+        WHERE t IN ('join', 'scan') GROUP BY doc_id, t),
+      m AS (SELECT doc_id, count(*) AS nm FROM td GROUP BY doc_id),
+      ids AS (SELECT doc_id FROM m WHERE nm = 2)
+      SELECT coalesce(CAST(d.source AS VARCHAR), '(none)') AS facet,
+        count(*) AS n_docs
+      FROM ids JOIN documents d ON d.doc_id = ids.doc_id
+      GROUP BY 1 ORDER BY n_docs DESC, facet LIMIT 20"""))
+
+  // ---- q176: retrieval-quality grading (MRR / hits@k) -----------------
+  // The eval loop over the BM25 surface: q124's three-query ranking
+  // graded against deterministic relevance labels (a doc is relevant
+  // to a query iff it contains the query's FIRST term — labels any
+  // engine can rebuild). The oracle replays the ENTIRE bm25 ranking
+  // (q124's CTEs) plus the label set and the metric arithmetic, so a
+  // scoring regression that reorders the top-10 flips this hash even
+  // where q124's own slice happens to agree.
+
+  private val q176: GraftQuery = GraftQuery(
+    "q176_search_eval",
+    (s, d) => {
+      import s.implicits._
+      val qs = searchQueries.toDF("qid", "qtext")
+      val (post, lens) = postingsMaterialized(s, d)
+      val ranking = Search.bm25TopK(qs, post,
+        Search.statsFromLens(lens), k = 10)
+      val firstTerms = searchQueries
+        .map { case (i, t) => (i, t.split("\\s+").head) }
+        .toDF("qid", "term")
+      val rel = post.join(broadcast(firstTerms), "term")
+        .select(col("qid"), col("id").as("doc_id"))
+      Search.rankingMetrics(ranking, "doc_id", rel, k = 10)
+    },
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      q(qid, qtext) AS (VALUES ${searchQueries.map {
+        case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      qt AS (SELECT qid, unnest(list_distinct(list_filter(
+          regexp_split_to_array(lower(qtext), '\\s+'),
+          x -> length(x) > 0))) AS term FROM q),
+      hit AS (SELECT qt.qid, post.term, post.doc_id, post.tf, post.dl
+        FROM post JOIN qt USING (term)),
+      hdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term, qid) AS BIGINT)
+          AS df FROM hit),
+      sc AS (SELECT qid, doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY qid, doc_id),
+      r AS (SELECT CAST(qid AS BIGINT) AS qid,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          doc_id
+        FROM sc),
+      top AS (SELECT qid, rank, doc_id FROM r WHERE rank <= 10),
+      ft(qid, term) AS (VALUES ${searchQueries.map { case (i, t) =>
+        s"($i, '${t.split("\\s+").head}')" }.mkString(", ")}),
+      rel AS (SELECT CAST(ft.qid AS BIGINT) AS qid, post.doc_id
+        FROM post JOIN ft USING (term)),
+      base AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+        FROM rel GROUP BY qid),
+      h AS (SELECT t.qid, count(*) AS n_hit, min(t.rank) AS fr
+        FROM top t JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+        GROUP BY t.qid)
+      SELECT b.qid, b.n_rel, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(h.fr, 0) AS BIGINT) AS first_rank,
+        CAST(CASE WHEN h.fr IS NULL THEN 0
+          ELSE 1000000 // h.fr END AS BIGINT) AS rr_ppm
+      FROM base b LEFT JOIN h USING (qid) ORDER BY b.qid"""))
+
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159,
-      q171)
+      q171, q175, q176)
 }

@@ -508,6 +508,30 @@ class SearchSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("search_tvf_docs")
   }
 
+  test("facet_search TVF equals the Scala operator; args validated") {
+    val df = Seq((1L, "join scan a", "web"), (2L, "join b", "web"),
+      (3L, "scan join c", "book"), (4L, "join scan", null))
+      .toDF("doc_id", "text", "source")
+    df.createOrReplaceTempView("facet_tvf_docs")
+    try {
+      val scala = Search.facetedSearch(
+        Search.termPostings(df, "doc_id", "text"), df, "doc_id", "source",
+        Seq("join", "scan"), topN = 10).collect().toSeq
+      val sql = spark.sql("""SELECT * FROM
+          facet_search('facet_tvf_docs', 'doc_id', 'text', 'source',
+            'join scan', 10)""").collect().toSeq
+      assert(sql == scala)
+      intercept[Exception] {
+        spark.sql("""SELECT * FROM facet_search('facet_tvf_docs',
+          'doc_id', 'text', 'source', '', 10)""")
+      }
+      intercept[Exception] {
+        spark.sql("""SELECT * FROM facet_search('facet_tvf_docs',
+          'doc_id', 'text', 'source', 'join', 0)""")
+      }
+    } finally spark.catalog.dropTempView("facet_tvf_docs")
+  }
+
   test("best_snippets and pmi_expand TVFs equal the Scala operators") {
     corpus.createOrReplaceTempView("search_tvf_docs2")
     try {
@@ -749,6 +773,25 @@ class SearchSpec extends AnyFunSuite {
       Search.booleanSearch(post, must = Nil, should = Nil) }
     intercept[IllegalArgumentException] {
       Search.booleanSearch(post, must = Seq("a"), mustNot = Seq("a")) }
+  }
+
+  test("rankingMetrics: MRR/hits arithmetic, zero-hit alarms, cutoff") {
+    // q0: relevant {10,11,12}; ranking hits 11 at rank 2 and 10 at 4
+    // q1: relevant {20}; nothing ranked -> alarm row
+    // q2: unlabeled -> absent from the board
+    val ranking = Seq((0L, 1L, 99L), (0L, 2L, 11L), (0L, 3L, 98L),
+      (0L, 4L, 10L), (1L, 1L, 97L), (2L, 1L, 20L)).toDF("qid", "rank", "id")
+    val rel = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L))
+      .toDF("qid", "id")
+    val got = Search.rankingMetrics(ranking, "id", rel, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 2L, 2L, 500000L), (1L, 1L, 0L, 0L, 0L)), got)
+    // k=3 cuts the rank-4 hit; first_rank unchanged
+    val k3 = Search.rankingMetrics(ranking, "id", rel, k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(k3 == Seq((0L, 3L, 1L, 2L, 500000L), (1L, 1L, 0L, 0L, 0L)), k3)
+    intercept[IllegalArgumentException] {
+      Search.rankingMetrics(ranking, "id", rel, 0) }
   }
 
   test("facetedSearch: ALL-terms gate, null facet sentinel, tie order") {

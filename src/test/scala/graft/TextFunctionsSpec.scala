@@ -58,4 +58,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp("") == 0L)
     assert(fp("a b") >= 0L && fp("a b") < 1000000007L)
   }
+
+  test("stripMarkup: blocks, tags, entity ordering, whitespace, malformed") {
+    val st = (t: String) => one[String](stripMarkup($"text"), t)
+    // script/style content dropped wholesale, incl. attrs + case
+    assert(st("a<SCRIPT src='x'>var j = '<b>keep?</b>';</script >b") == "a b")
+    assert(st("a<style media=\"x\">p { color: red }</style>b") == "a b")
+    // remaining tags become separators; runs collapse; ends trim
+    assert(st(" <p>hello<br/>world</p> ") == "hello world")
+    // entities, incl. the amp-last ordering: &amp;lt; is the TEXT &lt;
+    assert(st("x &lt;tag&gt; &quot;q&quot; &#39;a&#39; y&nbsp;z &amp; w") ==
+      "x <tag> \"q\" 'a' y z & w")
+    assert(st("&amp;lt;table&amp;gt;") == "&lt;table&gt;")
+    // malformed: an unclosed < drops the run to the next >
+    assert(st("a <b unclosed c> d") == "a d")
+    // already-clean prose passes through; one pass only — unescaped
+    // entities that FORM tags are prose here, by design (re-stripping
+    // the output would eat them, which is why this is a single pass)
+    assert(st("plain text stays") == "plain text stays")
+    assert(st("<p>x &lt;y&gt;</p>") == "x <y>")
+  }
 }
