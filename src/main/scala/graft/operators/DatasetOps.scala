@@ -791,6 +791,39 @@ object DatasetOps {
     *
     * @return one row per doc: `n_feats` (unigram+bigram occurrences),
     *         `score` (Σ bucket weights), `keep`. */
+  /** Declarative data-quality gate — the expectation check every
+    * ingest runs before anything downstream trusts a batch: named
+    * boolean constraints evaluated in ONE map-side-combined pass,
+    * reported as violation counts and ppm rates per constraint. A
+    * NULL constraint result counts as a VIOLATION (fail closed — a
+    * range test over a null column is exactly the corruption the gate
+    * exists to catch). The report is constraint-count-sized; the data
+    * is scanned once regardless of how many constraints ride along.
+    *
+    * @param constraints (name, predicate) pairs; names must be unique
+    * @return (rule, n_rows, n_violations, viol_ppm) ordered by rule
+    *         name. */
+  def constraintReport(df: DataFrame,
+                       constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    require(constraints.map(_._1).distinct.size == constraints.size,
+      s"constraint names must be unique: ${constraints.map(_._1)}")
+    val aggs = (count(lit(1)).as("_n") +: constraints.map { case (n, c) =>
+      coalesce(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"_v_$n") }).toList
+    val pairs = constraints.map { case (n, _) =>
+      struct(lit(n).as("c"), col(s"_v_$n").as("v")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n"), explode(array(pairs: _*)).as("_e"))
+      .select(col("_e.c").as("rule"), col("_n").as("n_rows"),
+        col("_e.v").as("n_violations"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        when(col("n_rows") === 0L, lit(0L))
+          .otherwise(expr("(n_violations * 1000000L) div n_rows"))
+          .as("viol_ppm"))
+      .orderBy(col("rule"))
+  }
+
   def classifierScores(df: DataFrame, idCol: String, textCol: String,
                        salt: String = "clf", buckets: Int = 1 << 18,
                        threshold: Long = 0L): DataFrame = {

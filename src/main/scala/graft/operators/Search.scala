@@ -284,6 +284,66 @@ object Search {
       .limit(k)
   }
 
+  /** Character-trigram postings — the substring-search index (the
+    * pg_trgm idea): one row per (gram, doc) over the lowercased text,
+    * distinct within a doc. Persist like [[termPostings]] and probe
+    * with [[substringSearchFromIndex]]. */
+  def charGramPostings(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    docs.select(col(idCol).as("id"),
+      explode(TextFunctions.charShingles(lower(col(textCol)), k)).as("gram"))
+  }
+
+  /** Substring search THROUGH the trigram index — what replaces the
+    * full-corpus `LIKE '%pat%'` scan: the pattern's grams prune the
+    * postings (every true match must contain ALL of them — trigram
+    * filtering admits false candidates, never false drops), the
+    * ALL-grams gate is ONE map-side-combined count comparison (the
+    * [[booleanSearch]] shape), and only the candidates are verified
+    * against their text. Occurrences are counted NON-overlapping
+    * (replace-semantics — engine-exact everywhere), case-insensitive.
+    *
+    * Scale shape: the gram IN-filter reaches the postings scan as a
+    * pushed filter (zero-exchange on a bucketed landing), the verify
+    * join touches candidate docs only, and nothing ever LIKE-scans
+    * the corpus. Selectivity degrades with very common grams — the
+    * classic trigram caveat; a pattern of stopword fragments verifies
+    * many candidates, but still never more than contain its grams.
+    *
+    * @return (id, n_occurrences > 0) ordered by (n_occurrences desc,
+    *         id). */
+  def substringSearch(docs: DataFrame, idCol: String, textCol: String,
+                      pattern: String, k: Int = 3): DataFrame =
+    substringSearchFromIndex(charGramPostings(docs, idCol, textCol, k),
+      docs, idCol, textCol, pattern, k)
+
+  /** [[substringSearch]] probing a persisted [[charGramPostings]]
+    * frame — the build-once-probe-many seam. */
+  def substringSearchFromIndex(postings: DataFrame, docs: DataFrame,
+                               idCol: String, textCol: String,
+                               pattern: String, k: Int = 3): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    val pat = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(pat.length >= k,
+      s"pattern must be at least $k chars, got '$pattern'")
+    val grams = pat.sliding(k).toSeq.distinct
+    val cand = postings
+      .filter(col("gram").isin(grams: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_ng"))
+      .filter(col("_ng") === lit(grams.size.toLong))
+      .select(col("id"))
+    val esc = pat.replace("\\", "\\\\").replace("'", "\\'")
+    docs.select(col(idCol).as("id"), lower(col(textCol)).as("_lt"))
+      .join(cand, Seq("id"))
+      .filter(col("_lt").contains(pat))
+      .select(col("id"),
+        expr(s"(length(_lt) - length(replace(_lt, '$esc', ''))) " +
+          s"div ${pat.length}").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("id"))
+  }
+
   /** Retrieval-quality grading — MRR and hits@k of a ranking against
     * a relevance-label set, the eval loop that keeps a search/RAG
     * stack honest after every index or scoring change (the

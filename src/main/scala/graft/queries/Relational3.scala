@@ -457,6 +457,43 @@ object Relational3 {
         FROM lineitem)
       WHERE rnk <= 2 ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
+  // ---- q177: data-quality constraint report ---------------------------
+  // DatasetOps.constraintReport over orders — the ingest expectation
+  // gate: four named rules in ONE aggregate pass, two clean and two
+  // deliberately tight so nonzero violation counts exercise the ppm
+  // arithmetic. The oracle replays each rule with the same fail-closed
+  // null semantics and the integer rate division.
+
+  private val q177 = GraftQuery(
+    "q177_constraint_report",
+    (s, d) => graft.operators.DatasetOps.constraintReport(ord(s, d), Seq(
+      "order_key_present" -> col("o_orderkey").isNotNull,
+      "price_positive" -> (col("o_totalprice") > 0d),
+      "price_under_300k" -> (col("o_totalprice") <= 300000d),
+      "status_known" -> col("o_orderstatus").isin("O", "F", "P"))),
+    Some("""WITH a AS (SELECT count(*) AS n,
+        sum(CASE WHEN coalesce(o_orderkey IS NOT NULL, false)
+          THEN 0 ELSE 1 END) AS v1,
+        sum(CASE WHEN coalesce(o_totalprice > 0, false)
+          THEN 0 ELSE 1 END) AS v2,
+        sum(CASE WHEN coalesce(o_totalprice <= 300000, false)
+          THEN 0 ELSE 1 END) AS v3,
+        sum(CASE WHEN coalesce(o_orderstatus IN ('O', 'F', 'P'), false)
+          THEN 0 ELSE 1 END) AS v4
+        FROM orders),
+      u(rule, v) AS (
+        SELECT 'order_key_present', v1 FROM a
+        UNION ALL SELECT 'price_positive', v2 FROM a
+        UNION ALL SELECT 'price_under_300k', v3 FROM a
+        UNION ALL SELECT 'status_known', v4 FROM a)
+      SELECT u.rule, CAST(a.n AS BIGINT) AS n_rows,
+        CAST(coalesce(u.v, 0) AS BIGINT) AS n_violations,
+        CAST(CASE WHEN a.n = 0 THEN 0
+          ELSE (coalesce(u.v, 0) * 1000000) // a.n END AS BIGINT)
+          AS viol_ppm
+      FROM u, a ORDER BY u.rule"""))
+
   def all: Seq[GraftQuery] =
-    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94, q95)
+    Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94,
+      q95, q177)
 }

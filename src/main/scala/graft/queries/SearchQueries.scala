@@ -41,6 +41,8 @@ object SearchQueries {
         .write.mode("overwrite").parquet(s"$out/lens")
       Search.positionalPostings(corpus, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$out/pos")
+      Search.charGramPostings(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$out/grams")
     }
   private def postingsMaterialized(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -1013,6 +1015,39 @@ object SearchQueries {
       FROM ids JOIN documents d ON d.doc_id = ids.doc_id
       GROUP BY 1 ORDER BY n_docs DESC, facet LIMIT 20"""))
 
+  // ---- q178: trigram-indexed substring search -------------------------
+  // The LIKE-scan replacement: "sh jo" (crossing the token boundary of
+  // "hash join" — what the WORD index cannot see) found through the
+  // persisted char-trigram postings. The oracle rebuilds the trigram
+  // set per doc, applies the ALL-grams candidate gate, verifies with
+  // contains() and counts occurrences by replace-arithmetic — a false
+  // candidate surviving verification, or a lost true match, flips the
+  // hash.
+
+  private val q178: GraftQuery = GraftQuery(
+    "q178_substring_search",
+    (s, d) =>
+      Search.substringSearchFromIndex(
+          s.read.parquet(s"${idxDir(s, d)}/grams"),
+          docs(s, d), "doc_id", "text", "sh jo")
+        .select(col("id").as("doc_id"), col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("doc_id")),
+    Some("""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+      tg AS (SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+        FROM (SELECT doc_id, t,
+            unnest(generate_series(1, length(t) - 2)) AS i
+          FROM lt)),
+      cand AS (SELECT doc_id FROM tg
+        WHERE gram IN ('sh ', 'h j', ' jo')
+        GROUP BY doc_id HAVING count(*) = 3),
+      v AS (SELECT l.doc_id,
+          (length(l.t) - length(replace(l.t, 'sh jo', ''))) // 5
+            AS n_occurrences
+        FROM lt l JOIN cand c ON c.doc_id = l.doc_id
+        WHERE contains(l.t, 'sh jo'))
+      SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      FROM v ORDER BY n_occurrences DESC, doc_id"""))
+
   // ---- q176: retrieval-quality grading (MRR / hits@k) -----------------
   // The eval loop over the BM25 surface: q124's three-query ranking
   // graded against deterministic relevance labels (a doc is relevant
@@ -1086,5 +1121,5 @@ object SearchQueries {
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159,
-      q171, q175, q176)
+      q171, q175, q176, q178)
 }

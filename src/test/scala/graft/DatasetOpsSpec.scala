@@ -792,4 +792,29 @@ class DatasetOpsSpec extends AnyFunSuite {
       DatasetOps.mixtureAllocation(docs, "source", "text", 10L, 0L)
     }
   }
+
+  test("constraintReport: one-pass counts, fail-closed nulls, guards") {
+    val df = Seq[(java.lang.Long, String)]((1L, "ok"), (2L, "bad"),
+      (null, "ok"), (4L, null)).toDF("id", "st")
+    val got = DatasetOps.constraintReport(df, Seq(
+      "id_present" -> col("id").isNotNull,
+      "st_ok" -> (col("st") === "ok"),
+      "id_small" -> (col("id") <= 2L)))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // id_present: 1 violation (null id); st_ok: "bad" + null st = 2;
+    // id_small: id=4 fails, null id fails CLOSED = 2
+    assert(got == Seq(
+      ("id_present", 4L, 1L, 250000L),
+      ("id_small", 4L, 2L, 500000L),
+      ("st_ok", 4L, 2L, 500000L)), got)
+    // empty input: all rates zero, nothing divides by zero
+    val empty = DatasetOps.constraintReport(df.filter(lit(false)),
+      Seq("x" -> col("id").isNotNull))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(empty == Seq(("x", 0L, 0L, 0L)), empty)
+    intercept[IllegalArgumentException] {
+      DatasetOps.constraintReport(df, Nil) }
+    intercept[IllegalArgumentException] {
+      DatasetOps.constraintReport(df, Seq("a" -> lit(true), "a" -> lit(false))) }
+  }
 }

@@ -775,6 +775,31 @@ class SearchSpec extends AnyFunSuite {
       Search.booleanSearch(post, must = Seq("a"), mustNot = Seq("a")) }
   }
 
+  test("substringSearch: gram gate, verification, counts, case-fold") {
+    val df = Seq(
+      (1L, "the hash join strategy"), // crosses the token boundary
+      (2L, "HASH JOIN twice hash join"), // case-folds; 2 occurrences
+      (3L, "zab cq b cz cdq"), // all grams of "ab cd", NOT the substring
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val got = Search.substringSearch(df, "doc_id", "text", "sh Jo")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L), (1L, 1L)), got)
+    // the false candidate is admitted by the gram gate and KILLED by
+    // verification
+    val fc = Search.substringSearch(df, "doc_id", "text", "ab cd")
+      .as[(Long, Long)].collect().toSeq
+    assert(fc == Nil, fc)
+    // non-overlapping replace-semantics: "aaaa" has 2 (not 3) "aa"s
+    val ov = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val o = Search.substringSearch(ov, "doc_id", "text", "aa", k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(o == Seq((1L, 2L)), o)
+    intercept[IllegalArgumentException] {
+      Search.substringSearch(df, "doc_id", "text", "ab") } // < k chars
+    intercept[IllegalArgumentException] {
+      Search.substringSearch(df, "doc_id", "text", "abc", k = 1) }
+  }
+
   test("rankingMetrics: MRR/hits arithmetic, zero-hit alarms, cutoff") {
     // q0: relevant {10,11,12}; ranking hits 11 at rank 2 and 10 at 4
     // q1: relevant {20}; nothing ranked -> alarm row
