@@ -902,6 +902,54 @@ object DatasetOps {
           .as("milli_bits_per_token"))
   }
 
+  /** Bigram conditional-LM surprisal — the sharper sibling of
+    * [[surprisalScores]] (a unigram model scores "the the the" as
+    * maximally predictable; the conditional model does not): each
+    * bigram occurrence contributes `bitlen(c(prev,·)) −
+    * bitlen(c(prev,cur))` bits — the integer-exact proxy for
+    * −log₂ P(cur|prev) with the corpus itself as the LM — summed per
+    * doc over its bigrams. Docs with < 2 tokens score 0 (no
+    * conditional context exists). All arithmetic is bitlen/div
+    * integer, replayable in any engine.
+    *
+    * Scale shape (the [[surprisalScores]] discipline): both censuses
+    * — bigram counts and context counts (`c(prev,·)` = times `prev`
+    * opens a bigram) — are map-side-combined aggregates; the per-doc
+    * side folds to (doc, bigram, tf) BEFORE the gram-keyed joins
+    * (hot-bigram multiplicity ≤ #docs, AQE-skew-splittable, the q116
+    * lesson); totals never ride a window.
+    *
+    * @return one row per doc: n_bigrams, surprisal_bits,
+    *         milli_bits_per_bigram (= bits·1000 div n_bigrams). */
+  def bigramSurprisalScores(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val bgs = docs.select(col(idCol),
+      explode(wordShingles(whitespaceTokens(col(textCol)), 2)).as("_bg"))
+    val bgCensus = bgs.groupBy(col("_bg")).agg(count(lit(1)).as("_cb"))
+    val ctxCensus = bgs
+      .select(substring_index(col("_bg"), " ", 1).as("_cx"))
+      .groupBy(col("_cx")).agg(count(lit(1)).as("_cc"))
+    val dbg = bgs.groupBy(col(idCol), col("_bg"))
+      .agg(count(lit(1)).as("_tf"))
+      .withColumn("_cx", substring_index(col("_bg"), " ", 1))
+    val scored = dbg
+      .join(bgCensus, "_bg")
+      .join(ctxCensus, "_cx")
+      .select(col(idCol), col("_tf"),
+        (length(bin(col("_cc"))) - length(bin(col("_cb"))))
+          .cast(LongType).as("_bits"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_bigrams"),
+        sum(col("_tf") * col("_bits")).as("surprisal_bits"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("(surprisal_bits * 1000L) div n_bigrams"))
+          .as("milli_bits_per_bigram"))
+  }
+
   /** Training-mixture budget allocation by water-filling (the UniMax
     * shape, Chung et al. 2023): spread `budgetTokens` across sources
     * as evenly as possible, except no source may be repeated past

@@ -1490,6 +1490,40 @@ object LlmOps {
           ELSE n_chars // n_docs END AS BIGINT) AS mean_chars
       FROM st, v"""))
 
+  // ---- q179: bigram conditional-LM surprisal --------------------------
+  // The sharper perplexity proxy beside q157's unigram model: per-doc
+  // conditional surprisal in exact bitlen arithmetic. The oracle
+  // replays both censuses (bigram and context counts), the per-doc
+  // fold and both integer divisions.
+
+  private val q179: GraftQuery = GraftQuery(
+    "q179_bigram_surprisal",
+    (s, d) =>
+      DatasetOps.bigramSurprisalScores(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0) AS tk FROM documents),
+      bgr AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg, tk[i] AS cx
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM toks)),
+      cb AS (SELECT bg, count(*) AS cb FROM bgr GROUP BY bg),
+      cc AS (SELECT cx, count(*) AS cc FROM bgr GROUP BY cx),
+      dbg AS (SELECT doc_id, bg, cx, count(*) AS tf
+        FROM bgr GROUP BY doc_id, bg, cx),
+      sc AS (SELECT doc_id, sum(tf) AS nb,
+          sum(tf * (length(bin(cc.cc)) - length(bin(cb.cb)))) AS bits
+        FROM dbg JOIN cb USING (bg) JOIN cc USING (cx)
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(s.bits, 0) AS BIGINT) AS surprisal_bits,
+        CAST(CASE WHEN coalesce(s.nb, 0) = 0 THEN 0
+          ELSE (s.bits * 1000) // s.nb END AS BIGINT)
+          AS milli_bits_per_bigram
+      FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   // ---- q174: HTML/markup stripping ------------------------------------
   // The first transform of every web-crawl pipeline, exercised over
   // deterministically constructed markup (the q160 raster pattern —
@@ -3449,7 +3483,7 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167, q168, q170, q173, q174)
+      q161, q162, q165, q167, q168, q170, q173, q174, q179)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

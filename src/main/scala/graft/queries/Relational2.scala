@@ -833,7 +833,52 @@ object Relational2 {
         CAST((n_rows + 499) // 500 AS BIGINT) AS n_salts
       FROM c, t ORDER BY n_rows DESC, key LIMIT 10"""))
 
+  // ---- q180: rolling active users (DAU / WAU / stickiness) ------------
+  // The engagement board every event pipeline ships: per day, distinct
+  // daily actives, distinct trailing-7-day actives, and the
+  // DAU/WAU stickiness ratio in ppm (integer div). The rolling
+  // distinct is NOT a window (distinct doesn't decompose over
+  // frames): each distinct (day, user) pair explodes to the ≤ 7
+  // target days it supports — a 7× expansion of day-user pairs, never
+  // a |days|× re-scan — and lands in ONE map-side-combined distinct
+  // count per target day. Partial leading windows are reported as-is
+  // (the standard convention).
+
+  private val q180 = GraftQuery(
+    "q180_rolling_actives",
+    (s, d) => {
+      val du = ev(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val grid = du.select(col("day")).distinct()
+      val wau = du
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("_o"))
+        .select(date_add(col("day"), col("_o")).as("day"), col("user_id"))
+        .join(broadcast(grid), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      val dau = du.groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(dau * 1000000L) div wau").as("stickiness_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        FROM events),
+      g AS (SELECT DISTINCT day FROM du),
+      ex AS (SELECT du.day + CAST(o.o AS INTEGER) AS day, du.user_id
+        FROM du, generate_series(0, 6) o(o)),
+      wau AS (SELECT e.day, count(DISTINCT e.user_id) AS wau
+        FROM ex e JOIN g ON g.day = e.day GROUP BY e.day),
+      dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        FROM du GROUP BY day)
+      SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        CAST(w.wau AS BIGINT) AS wau,
+        CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
+      FROM dau d JOIN wau w USING (day) ORDER BY day"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172)
+      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180)
 }

@@ -817,4 +817,19 @@ class DatasetOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DatasetOps.constraintReport(df, Seq("a" -> lit(true), "a" -> lit(false))) }
   }
+
+  test("bigramSurprisalScores: hand-computed conditional bits") {
+    // cb: "a b"=2, "b a"=1, "a c"=1; cx: a=3, b=1
+    // "a b": bitlen(3)-bitlen(2)=0; "a c": 2-1=1; "b a": 1-1=0
+    val docs = Seq((1L, "a b a c"), (2L, "A  B"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = DatasetOps.bigramSurprisalScores(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 333L), // 1000*1 div 3
+      (2L, 1L, 0L, 0L), // case/space-fold joins d1's "a b" census
+      (3L, 0L, 0L, 0L), // single token: no conditional context
+      (4L, 0L, 0L, 0L)), got)
+  }
 }
