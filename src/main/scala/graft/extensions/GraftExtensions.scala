@@ -483,6 +483,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             t, idCol, strLit(children(3), "facet_col"), must, topN)
           .queryExecution.analyzed
       }))
+    // Trigram-indexed substring search from SQL (q178's operator):
+    //   substring_search(table, id_col, text_col, pattern)
+    // The LIKE-scan replacement; emits (id, n_occurrences) ordered by
+    // (n_occurrences desc, id). Same ad-hoc-probe caveat as
+    // bm25_search: repeated probes should persist charGramPostings
+    // and call Search.substringSearchFromIndex directly.
+    ext.injectTableFunction((
+      new FunctionIdentifier("substring_search"),
+      new ExpressionInfo("graft.operators.Search", "substring_search"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: substring_search(table, id_col, text_col, pattern)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Search.substringSearch(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"),
+            strLit(children(3), "pattern"))
+          .queryExecution.analyzed
+      }))
     // Unigram LM surprisal scoring from SQL (q157's operator):
     //   surprisal_score(table, id_col, text_col)
     // Emits (id_col, n_tokens, surprisal_bits, milli_bits_per_token).

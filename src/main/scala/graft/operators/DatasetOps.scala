@@ -902,6 +902,41 @@ object DatasetOps {
           .as("milli_bits_per_token"))
   }
 
+  /** Equi-width integer histogram — the distribution profiler beside
+    * [[graft.operators.ScaleOps.skewReport]]'s categorical one: `v`
+    * lands in bin `(v − lo)·nBins div (hi − lo)` over the half-open
+    * `[lo, hi)` domain (pure integer arithmetic — engine-exact bin
+    * boundaries, unlike any float-width histogram); out-of-range
+    * values surface as bins −1 / nBins rather than vanishing (a
+    * histogram that silently drops outliers hides exactly the rows a
+    * profiler exists to find). Fixed-point inputs (prices in cents)
+    * are the caller's cast. Empty bins are absent (the report is a
+    * census, not a grid — grid-join client-side if needed); NULLs are
+    * excluded — gate them with [[constraintReport]], which is the
+    * null-auditing tool.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the bin id; the
+    * report is ≤ nBins+2 rows. Caller keeps `(hi−lo)·nBins` inside
+    * int64 (the require).
+    *
+    * @return (bin, n_rows) ordered by bin. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+                lo: Long, hi: Long): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(BigInt(hi - lo) * nBins < BigInt(Long.MaxValue),
+      s"(hi - lo) * nBins overflows int64: [$lo, $hi) x $nBins")
+    val v = col(valueCol).cast(LongType)
+    df.filter(v.isNotNull)
+      .select(
+        when(v < lo, lit(-1L))
+          .when(v >= hi, lit(nBins.toLong))
+          .otherwise(expr(s"((CAST($valueCol AS BIGINT) - ${lo}L) * " +
+            s"${nBins}L) div ${hi - lo}L")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("bin"))
+  }
+
   /** Bigram conditional-LM surprisal — the sharper sibling of
     * [[surprisalScores]] (a unigram model scores "the the the" as
     * maximally predictable; the conditional model does not): each

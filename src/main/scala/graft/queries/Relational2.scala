@@ -878,7 +878,35 @@ object Relational2 {
         CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
       FROM dau d JOIN wau w USING (day) ORDER BY day"""))
 
+  // ---- q182: market-basket association rules --------------------------
+  // Association.associationRules over order baskets — "bought X also
+  // bought Y" with integer confidence and STAGED-division lift (the
+  // PMI overflow convention). The oracle replays the dedup, the
+  // directed pair census, the support floor and both divisions.
+
+  private val q182 = GraftQuery(
+    "q182_association_rules",
+    (s, d) => graft.operators.Association.associationRules(
+      li(s, d).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minPairSupport = 3L, topN = 25),
+    Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem),
+      n AS (SELECT count(DISTINCT b) AS n FROM bi),
+      ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+      pc AS (SELECT a.i AS ante, b.i AS cons, count(*) AS nab
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i <> b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      r AS (SELECT pc.ante, pc.cons, pc.nab, ia.ni AS na, ib.ni AS nb,
+          (pc.nab * 1000000) // ia.ni AS conf_ppm
+        FROM pc JOIN ic ia ON ia.i = pc.ante
+        JOIN ic ib ON ib.i = pc.cons)
+      SELECT ante, cons, CAST(nab AS BIGINT) AS n_ab,
+        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(conf_ppm AS BIGINT) AS conf_ppm,
+        CAST((conf_ppm * n.n) // nb AS BIGINT) AS lift_ppm
+      FROM r, n ORDER BY lift_ppm DESC, ante, cons LIMIT 25"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180)
+      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180, q182)
 }

@@ -493,7 +493,30 @@ object Relational3 {
           AS viol_ppm
       FROM u, a ORDER BY u.rule"""))
 
+  // ---- q181: equi-width price histogram -------------------------------
+  // DatasetOps.histogram over order totals in exact cents (DECIMAL
+  // cast, the q56 money rule — a double→int cast truncates in one
+  // engine and rounds in the other, so the fixed-point conversion
+  // happens decimal-exactly on both sides). Bounds chosen so BOTH
+  // out-of-range bins are exercised at sf0.01.
+
+  private val q181 = GraftQuery(
+    "q181_price_histogram",
+    (s, d) => graft.operators.DatasetOps.histogram(
+      ord(s, d).select(
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents")),
+      "cents", nBins = 16, lo = 102000L, hi = 30000000L),
+    Some("""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT) AS cents FROM orders),
+      b AS (SELECT CASE WHEN cents < 102000 THEN -1
+          WHEN cents >= 30000000 THEN 16
+          ELSE ((cents - 102000) * 16) // (30000000 - 102000) END AS bin
+        FROM c WHERE cents IS NOT NULL)
+      SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   def all: Seq[GraftQuery] =
     Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94,
-      q95, q177)
+      q95, q177, q181)
 }

@@ -1048,6 +1048,35 @@ object SearchQueries {
       SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
       FROM v ORDER BY n_occurrences DESC, doc_id"""))
 
+  // ---- q183: substring search from pure SQL (the TVF path) ------------
+  // q178's machinery through the injected substring_search table
+  // function — a parser path, not new semantics; the oracle is
+  // q178's verbatim.
+
+  private val q183: GraftQuery = GraftQuery(
+    "q183_sql_substring",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT id AS doc_id, n_occurrences
+        FROM substring_search('documents', 'doc_id', 'text', 'sh jo')
+        ORDER BY n_occurrences DESC, doc_id""")
+    },
+    Some("""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+      tg AS (SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+        FROM (SELECT doc_id, t,
+            unnest(generate_series(1, length(t) - 2)) AS i
+          FROM lt)),
+      cand AS (SELECT doc_id FROM tg
+        WHERE gram IN ('sh ', 'h j', ' jo')
+        GROUP BY doc_id HAVING count(*) = 3),
+      v AS (SELECT l.doc_id,
+          (length(l.t) - length(replace(l.t, 'sh jo', ''))) // 5
+            AS n_occurrences
+        FROM lt l JOIN cand c ON c.doc_id = l.doc_id
+        WHERE contains(l.t, 'sh jo'))
+      SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      FROM v ORDER BY n_occurrences DESC, doc_id"""))
+
   // ---- q176: retrieval-quality grading (MRR / hits@k) -----------------
   // The eval loop over the BM25 surface: q124's three-query ranking
   // graded against deterministic relevance labels (a doc is relevant
@@ -1121,5 +1150,5 @@ object SearchQueries {
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159,
-      q171, q175, q176, q178)
+      q171, q175, q176, q178, q183)
 }

@@ -832,4 +832,20 @@ class DatasetOpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L), // single token: no conditional context
       (4L, 0L, 0L, 0L)), got)
   }
+
+  test("histogram: integer bin edges, out-of-range bins, null exclusion") {
+    // [0, 100) in 4 bins of width 25
+    val df = Seq[java.lang.Long](0L, 24L, 25L, 99L, 100L, -5L, null, 50L)
+      .toDF("v")
+    val got = DatasetOps.histogram(df, "v", nBins = 4, lo = 0L, hi = 100L)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((-1L, 1L), (0L, 2L), (1L, 1L), (2L, 1L),
+      (3L, 1L), (4L, 1L)), got)
+    intercept[IllegalArgumentException] {
+      DatasetOps.histogram(df, "v", 0, 0L, 100L) }
+    intercept[IllegalArgumentException] {
+      DatasetOps.histogram(df, "v", 4, 100L, 100L) }
+    intercept[IllegalArgumentException] {
+      DatasetOps.histogram(df, "v", 1000, 0L, Long.MaxValue - 1) }
+  }
 }

@@ -119,4 +119,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("associationRules: hand-computed confidence and staged lift") {
+    // baskets: {1:A,B}, {2:A,B}, {3:A,C}, {4:B} with a dup row; N=4
+    // c(A)=3 c(B)=3 c(C)=1; c(A,B)=2 both directions; c(A,C)=1
+    val b = Seq((1L, "A"), (1L, "B"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")).toDF("bid", "item")
+    val got = graft.operators.Association
+      .associationRules(b, "bid", "item", minPairSupport = 2L, topN = 10)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // A->B: conf = 2e6 div 3 = 666666; lift = 666666*4 div 3 = 888888
+    // B->A: conf = 666666; lift = 888888 — ties break (ante, cons)
+    assert(got == Seq(
+      ("A", "B", 2L, 3L, 3L, 666666L, 888888L),
+      ("B", "A", 2L, 3L, 3L, 666666L, 888888L)), got)
+    // support floor prunes the A-C pair entirely
+    assert(!got.exists(r => r._1 == "C" || r._2 == "C"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Association.associationRules(b, "bid", "item", 0L, 5) }
+    intercept[IllegalArgumentException] {
+      graft.operators.Association.associationRules(b, "bid", "item", 1L, 0) }
+  }
 }

@@ -529,6 +529,16 @@ class SearchSpec extends AnyFunSuite {
         spark.sql("""SELECT * FROM facet_search('facet_tvf_docs',
           'doc_id', 'text', 'source', 'join', 0)""")
       }
+      val ssScala = Search.substringSearch(df, "doc_id", "text", "oin sc")
+        .collect().toSeq
+      val ssSql = spark.sql("""SELECT * FROM
+          substring_search('facet_tvf_docs', 'doc_id', 'text', 'oin sc')""")
+        .collect().toSeq
+      assert(ssSql == ssScala && ssScala.nonEmpty)
+      intercept[Exception] {
+        spark.sql("""SELECT * FROM substring_search('facet_tvf_docs',
+          'doc_id', 'text', 'ab')""") // shorter than the gram size
+      }
     } finally spark.catalog.dropTempView("facet_tvf_docs")
   }
 
