@@ -12,27 +12,45 @@ import org.apache.spark.sql.functions._
   */
 object Association {
 
-  /** Directed pair rules `ante → cons` over baskets: support counts,
-    * confidence `c(ab)·10⁶ div c(a)` and lift as the STAGED division
-    * `conf_ppm·N div c(b)` (the PMI convention — two integer divs,
-    * deterministic everywhere, and the staging keeps the product
-    * inside int64 up to ~9·10¹² baskets where the naive
+  /** Directed co-occurrence census `(ante, cons, n_ab)` — the
+    * expensive half of rule mining (the basket self-join, fan-out
+    * Σ basket_size², the [[Graph.triangleCensus]] wedge argument —
+    * bounded by the caller's basket semantics and AQE-splittable on a
+    * hot basket). Persist this once and probe with
+    * [[associationRulesFromCounts]] — the postings/FromIndex
+    * deployment shape; duplicate (basket, item) rows collapse
+    * first. */
+  def directedPairCounts(baskets: DataFrame, basketCol: String,
+                         itemCol: String): DataFrame = {
+    val bi = baskets
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+    bi.as("a")
+      .join(bi.as("b"),
+        col("a._b") === col("b._b") && col("a._i") =!= col("b._i"))
+      .groupBy(col("a._i").as("ante"), col("b._i").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+  }
+
+  /** Rules `ante → cons` from a PRE-BUILT directed pair census:
+    * support counts, confidence `c(ab)·10⁶ div c(a)` and lift as the
+    * STAGED division `conf_ppm·N div c(b)` (the PMI convention — two
+    * integer divs, deterministic everywhere, and the staging keeps
+    * the product inside int64 up to ~9·10¹² baskets where the naive
     * `c(ab)·N·10⁶` overflows at ~10⁴ baskets × web-scale counts).
-    * lift_ppm > 10⁶ means positively associated.
+    * lift_ppm > 10⁶ means positively associated. `baskets` is still
+    * consulted — but only for the item census and the basket total,
+    * two map-side-combined aggregates; the quadratic half is the
+    * census the caller persisted.
     *
-    * Scale shape: basket/item pairs are dedup'd first, the pair
-    * census is a self-equi-join on the basket id whose fan-out is
-    * Σ basket_size² — bounded by the caller's basket semantics, the
-    * [[Graph.triangleCensus]] wedge argument, and AQE-splittable on a
-    * hot basket; the support floor prunes BEFORE the census joins;
-    * both censuses and the total are map-side-combined; the board is
-    * a bounded heap.
+    * Scale shape: support floor prunes BEFORE the census joins; the
+    * board is a bounded heap.
     *
     * @return (ante, cons, n_ab, n_a, n_b, conf_ppm, lift_ppm) ordered
     *         by (lift_ppm desc, ante, cons), ≤ topN rows. */
-  def associationRules(baskets: DataFrame, basketCol: String,
-                       itemCol: String, minPairSupport: Long,
-                       topN: Int): DataFrame = {
+  def associationRulesFromCounts(pairCounts: DataFrame, baskets: DataFrame,
+                                 basketCol: String, itemCol: String,
+                                 minPairSupport: Long,
+                                 topN: Int): DataFrame = {
     require(minPairSupport >= 1L,
       s"minPairSupport must be >= 1, got $minPairSupport")
     require(topN > 0, s"topN must be positive, got $topN")
@@ -40,13 +58,8 @@ object Association {
       .select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
     val total = bi.agg(count_distinct(col("_b")).as("_n"))
     val items = bi.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
-    val pairs = bi.as("a")
-      .join(bi.as("b"),
-        col("a._b") === col("b._b") && col("a._i") =!= col("b._i"))
-      .groupBy(col("a._i").as("ante"), col("b._i").as("cons"))
-      .agg(count(lit(1)).as("n_ab"))
+    pairCounts
       .filter(col("n_ab") >= minPairSupport)
-    pairs
       .join(items.select(col("_i").as("ante"), col("_ni").as("n_a")), "ante")
       .join(items.select(col("_i").as("cons"), col("_ni").as("n_b")), "cons")
       .crossJoin(broadcast(total))
@@ -58,4 +71,14 @@ object Association {
       .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
       .limit(topN)
   }
+
+  /** [[directedPairCounts]] + [[associationRulesFromCounts]] in one
+    * call — the ad-hoc tier; repeated mining over the same corpus
+    * should persist the census instead. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minPairSupport: Long,
+                       topN: Int): DataFrame =
+    associationRulesFromCounts(
+      directedPairCounts(baskets, basketCol, itemCol),
+      baskets, basketCol, itemCol, minPairSupport, topN)
 }

@@ -780,6 +780,29 @@ object Relational2 {
       WHERE node LIKE 'p:%'
       ORDER BY score DESC, node LIMIT 25"""))
 
+  /** Canonical co-purchase pair counts (`pa < pb`, weight = #distinct
+    * orders containing both) as a materialized table shared by q169
+    * (weight floor → triangle edges) and q182 (directed rules are the
+    * canonical counts mirrored — exact, since a directed (a,b) count
+    * equals the canonical count of (min,max)): the lineitem self-join
+    * — the expensive Σ basket² census — runs once per JVM and dir
+    * (the purchaseEdges deployment shape). */
+  private val pairsDirByInput = new graft.sources.JvmMemo[String]
+  private def pairCountsMaterialized(s: SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(
+      LlmOps.materializedTempDir(pairsDirByInput, d, "graft_copairs_") { out =>
+        val pr = li(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        pr.as("a")
+          .join(pr.as("b"), col("a.o") === col("b.o") &&
+            col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("w"))
+          .write.mode("overwrite").parquet(out)
+      })
+
   // ---- q169: co-purchase triangle census ------------------------------
   // Parts bought together in ≥ 2 distinct orders form the co-purchase
   // graph (the weight floor is what bounds the wedge join — raw
@@ -790,14 +813,7 @@ object Relational2 {
   private val q169 = GraftQuery(
     "q169_triangle_census",
     (s, d) => {
-      val pr = li(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e = pr.as("a")
-        .join(pr.as("b"), col("a.o") === col("b.o") &&
-          col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("w"))
+      val e = pairCountsMaterialized(s, d)
         .filter(col("w") >= 2)
         .select(col("pa"), col("pb"))
       graft.operators.Graph.triangleCensus(e, "pa", "pb")
@@ -886,9 +902,17 @@ object Relational2 {
 
   private val q182 = GraftQuery(
     "q182_association_rules",
-    (s, d) => graft.operators.Association.associationRules(
-      li(s, d).select(col("l_orderkey"), col("l_partkey")),
-      "l_orderkey", "l_partkey", minPairSupport = 3L, topN = 25),
+    (s, d) => {
+      val canon = pairCountsMaterialized(s, d)
+      val directed = canon
+        .select(col("pa").as("ante"), col("pb").as("cons"),
+          col("w").as("n_ab"))
+        .union(canon.select(col("pb").as("ante"), col("pa").as("cons"),
+          col("w").as("n_ab")))
+      graft.operators.Association.associationRulesFromCounts(directed,
+        li(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minPairSupport = 3L, topN = 25)
+    },
     Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         FROM lineitem),
       n AS (SELECT count(DISTINCT b) AS n FROM bi),
