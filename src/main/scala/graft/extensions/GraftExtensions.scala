@@ -483,6 +483,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             t, idCol, strLit(children(3), "facet_col"), must, topN)
           .queryExecution.analyzed
       }))
+    // Key-skew diagnostic from SQL (q172's operator):
+    //   skew_report(table, key_col, target_rows_per_task, top_n)
+    // Emits (key, n_rows, share_ppm, n_salts) ordered by
+    // (n_rows desc, key).
+    ext.injectTableFunction((
+      new FunctionIdentifier("skew_report"),
+      new ExpressionInfo("graft.operators.ScaleOps", "skew_report"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: skew_report(table, key_col, target_rows_per_task, top_n)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.ScaleOps.skewReport(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "key_col"),
+            longLit(children(2), "target_rows_per_task"),
+            intLit(children(3), "top_n"))
+          .queryExecution.analyzed
+      }))
+    // Equi-width integer histogram from SQL (q181's operator):
+    //   histogram(table, value_col, n_bins, lo, hi)
+    // Emits (bin, n_rows) ordered by bin; bins -1/n_bins carry the
+    // out-of-range tails.
+    ext.injectTableFunction((
+      new FunctionIdentifier("histogram"),
+      new ExpressionInfo("graft.operators.DatasetOps", "histogram"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: histogram(table, value_col, n_bins, lo, hi)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.DatasetOps.histogram(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "value_col"),
+            intLit(children(2), "n_bins"),
+            longLit(children(3), "lo"), longLit(children(4), "hi"))
+          .queryExecution.analyzed
+      }))
+    // Market-basket rules from SQL (q182's operator, the ad-hoc
+    // tier — repeated mining should persist directedPairCounts and
+    // probe associationRulesFromCounts):
+    //   association_rules(table, basket_col, item_col, min_support, top_n)
+    ext.injectTableFunction((
+      new FunctionIdentifier("association_rules"),
+      new ExpressionInfo("graft.operators.Association", "association_rules"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: association_rules(table, basket_col, item_col, " +
+            "min_support, top_n)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Association.associationRules(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "basket_col"),
+            strLit(children(2), "item_col"),
+            longLit(children(3), "min_support"),
+            intLit(children(4), "top_n"))
+          .queryExecution.analyzed
+      }))
     // Trigram-indexed substring search from SQL (q178's operator):
     //   substring_search(table, id_col, text_col, pattern)
     // The LIKE-scan replacement; emits (id, n_occurrences) ordered by

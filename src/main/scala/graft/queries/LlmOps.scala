@@ -1524,6 +1524,27 @@ object LlmOps {
       FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  // ---- q185: histogram from pure SQL (the TVF path) -------------------
+  // q181's operator over the documents length column, reached through
+  // the injected histogram table function; the oracle replays the bin
+  // formula directly (n_chars is already integral, so no fixed-point
+  // conversion rides along here).
+
+  private val q185: GraftQuery = GraftQuery(
+    "q185_sql_histogram",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT bin, n_rows
+        FROM histogram('documents', 'n_chars', 10, 50, 500)
+        ORDER BY bin""")
+    },
+    Some("""WITH b AS (SELECT CASE WHEN n_chars < 50 THEN -1
+          WHEN n_chars >= 500 THEN 10
+          ELSE ((n_chars - 50) * 10) // (500 - 50) END AS bin
+        FROM documents WHERE n_chars IS NOT NULL)
+      SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   // ---- q174: HTML/markup stripping ------------------------------------
   // The first transform of every web-crawl pipeline, exercised over
   // deterministically constructed markup (the q160 raster pattern —
@@ -3483,7 +3504,7 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167, q168, q170, q173, q174, q179)
+      q161, q162, q165, q167, q168, q170, q173, q174, q179, q185)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

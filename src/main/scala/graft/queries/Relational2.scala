@@ -930,7 +930,90 @@ object Relational2 {
         CAST((conf_ppm * n.n) // nb AS BIGINT) AS lift_ppm
       FROM r, n ORDER BY lift_ppm DESC, ante, cons LIMIT 25"""))
 
+  // ---- q187: co-purchase clustering coefficients ----------------------
+  // Graph.clusteringCoefficients over the floored pair census — how
+  // clique-like each part's co-purchase neighborhood is (1e6 = every
+  // neighbor pair itself co-purchased). The oracle replays the floor,
+  // the degree census, the triangle closure and the ppm division.
+
+  private val q187 = GraftQuery(
+    "q187_clustering_coeffs",
+    (s, d) => {
+      val e = pairCountsMaterialized(s, d)
+        .filter(col("w") >= 2).select(col("pa"), col("pb"))
+      graft.operators.Graph.clusteringCoefficients(e, "pa", "pb")
+        .orderBy(col("cc_ppm").desc, col("node"))
+    },
+    Some("""WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      e AS (SELECT a.p AS pa, b.p AS pb
+        FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, count(*) AS degree FROM
+        (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY node),
+      t AS (SELECT x.pa AS n1, x.pb AS n2, y.pb AS n3
+        FROM e x JOIN e y ON x.pb = y.pa
+        JOIN e z ON z.pa = x.pa AND z.pb = y.pb),
+      u AS (SELECT unnest([n1, n2, n3]) AS node FROM t),
+      tc AS (SELECT node, count(*) AS nt FROM u GROUP BY node)
+      SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        CAST(coalesce(tc.nt, 0) AS BIGINT) AS n_triangles,
+        CAST(CASE WHEN d.degree < 2 THEN 0
+          ELSE (coalesce(tc.nt, 0) * 2000000) //
+            (d.degree * (d.degree - 1)) END AS BIGINT) AS cc_ppm
+      FROM deg d LEFT JOIN tc ON tc.node = d.node
+      ORDER BY cc_ppm DESC, d.node"""))
+
+  // ---- q184/q186: the diagnostics TVF surface -------------------------
+  // q172's skew report and q182's rules reached from pure SQL — parser
+  // paths, not new semantics; oracles are the Scala twins' verbatim
+  // (q186 runs the ad-hoc census tier, which equals the materialized
+  // composition exactly).
+
+  private val q184 = GraftQuery(
+    "q184_sql_skew_report",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT key, n_rows, share_ppm, n_salts
+        FROM skew_report('events', 'event_type', 500, 10)
+        ORDER BY n_rows DESC, key""")
+    },
+    Some("""WITH c AS (SELECT event_type AS key, count(*) AS n_rows
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(n_rows) AS total FROM c)
+      SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+        CAST((n_rows + 499) // 500 AS BIGINT) AS n_salts
+      FROM c, t ORDER BY n_rows DESC, key LIMIT 10"""))
+
+  private val q186 = GraftQuery(
+    "q186_sql_association",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT ante, cons, n_ab, n_a, n_b, conf_ppm, lift_ppm
+        FROM association_rules('lineitem', 'l_orderkey', 'l_partkey', 3, 25)
+        ORDER BY lift_ppm DESC, ante, cons""")
+    },
+    Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem),
+      n AS (SELECT count(DISTINCT b) AS n FROM bi),
+      ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+      pc AS (SELECT a.i AS ante, b.i AS cons, count(*) AS nab
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i <> b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      r AS (SELECT pc.ante, pc.cons, pc.nab, ia.ni AS na, ib.ni AS nb,
+          (pc.nab * 1000000) // ia.ni AS conf_ppm
+        FROM pc JOIN ic ia ON ia.i = pc.ante
+        JOIN ic ib ON ib.i = pc.cons)
+      SELECT ante, cons, CAST(nab AS BIGINT) AS n_ab,
+        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(conf_ppm AS BIGINT) AS conf_ppm,
+        CAST((conf_ppm * n.n) // nb AS BIGINT) AS lift_ppm
+      FROM r, n ORDER BY lift_ppm DESC, ante, cons LIMIT 25"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
-      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180, q182)
+      q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180, q182,
+      q184, q186, q187)
 }

@@ -96,6 +96,25 @@ class GraphSpec extends AnyFunSuite {
     assert(g1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), g1.toString)
   }
 
+  test("clusteringCoefficients: clique saturation, pendant zeros, degrees") {
+    // K4: every node degree 3, 3 triangles, cc = 3*2e6/(3*2) = 1e6
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficients(k4, "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, d, t, c) => n -> (d, t, c) }.toMap
+    assert(got == (1L to 4L).map(n => n -> (3L, 3L, 1000000L)).toMap, got)
+    // triangle + pendant: pendant (deg 1) scores 0; its anchor's
+    // neighborhood is 2/3 closed -> 1 triangle over C(3,2) pairs
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("a", "b")
+    val g = Graph.clusteringCoefficients(tp, "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, d, t, c) => n -> (d, t, c) }.toMap
+    assert(g == Map(
+      1L -> (2L, 1L, 1000000L), 2L -> (2L, 1L, 1000000L),
+      3L -> (3L, 1L, 333333L), 9L -> (1L, 0L, 0L)), g)
+  }
+
   test("personalizedPageRank: mass flows only from seeds") {
     // two disconnected symmetric components: {a,b} and {x,y,z}
     val edges = Seq(("a", "b"), ("b", "a"),
