@@ -68,7 +68,16 @@ class GoldenPlanSpec extends AnyFunSuite {
     // or a resurrected pre-join exchange on the raw key IS the
     // regression)
     "q158_boolean_search",
-    "q163_salted_join")
+    "q163_salted_join",
+    // r7b: the substring probe — load-bearing tokens are the gram
+    // IN-filter reaching the trigram-postings scan as a pushed filter
+    // and the verify join bounded to candidates (a LIKE/contains scan
+    // of the documents table WITHOUT the candidate join IS the
+    // regression); and the rules probe — load-bearing is the pair
+    // census arriving from a parquet scan (a resurrected lineitem
+    // self-join in this plan means the materialization seam broke)
+    "q178_substring_search",
+    "q182_association_rules")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
