@@ -106,6 +106,75 @@ object Multimodal {
                       wOut: Int, hOut: Int): Column =
     array_join(resizeRasterPx(mediaHex, wIn, hIn, wOut, hOut), "")
 
+  /** Perceptual hash (dHash) over a raw hex raster — the image
+    * near-dup fingerprint: resize to 9×8 (through [[resizeRasterPx]]'s
+    * exact index arithmetic), then one bit per horizontal neighbor
+    * pair (`left > right`), row-major — 64 bits as a '0'/'1' string.
+    * A re-encode, a resize, or mild noise moves few gradient signs,
+    * so near-identical images land within small hamming distance
+    * while md5-style content hashes see nothing. The bitstring form
+    * keeps banding/replay engine-exact (no signed-int64 edge cases).
+    * Codegen'd, zero-shuffle; real codecs feed this via
+    * [[imageDecodeBatch]]'s raster output. */
+  def dHashBits(mediaHex: Column, wIn: Int, hIn: Int): Column = {
+    val px = resizeRasterPx(mediaHex, wIn, hIn, 9, 8)
+    array_join(transform(sequence(lit(0), lit(63)), j => {
+      val r = floor(j / lit(8)).cast(IntegerType)
+      val c = pmod(j, lit(8)).cast(IntegerType)
+      val a = conv(element_at(px, r * 9 + c + 1), 16, 10).cast(LongType)
+      val b = conv(element_at(px, r * 9 + c + 2), 16, 10).cast(LongType)
+      when(a > b, lit("1")).otherwise(lit("0"))
+    }), "")
+  }
+
+  /** Hamming distance between equal-length bitstrings. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), length(a)), lit(0L), (acc, i) =>
+      acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1L)
+        .otherwise(0L))
+
+  /** Image near-dup pairs by banded perceptual-hash join — the
+    * multimodal twin of the SimHash text tier: each 64-bit [[dHashBits]]
+    * fingerprint splits into `bands` equal substrings, candidates
+    * share at least one band verbatim, and candidates are verified by
+    * exact hamming distance. With `bands > maxHamming` the pigeonhole
+    * guarantee makes the result EXACT (≤ maxHamming differing bits
+    * cannot touch every band), so this is the full `hamming ≤ k`
+    * relation computed without the n² scan.
+    *
+    * Scale shape: the band join shuffles (band, value) keys — a hot
+    * bucket (all-black thumbnails) is an AQE-splittable join key, and
+    * the verify filter touches candidates only; fingerprints are
+    * 64-char strings, bodies never shuffle.
+    *
+    * @return (idA, idB, hamming) with idA < idB, ordered. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bitsCol: String,
+                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming && maxHamming >= 0,
+      s"need bands > maxHamming >= 0 for the pigeonhole guarantee, " +
+        s"got bands=$bands maxHamming=$maxHamming")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val w = 64 / bands
+    val banded = df
+      .select(col(idCol).as("id"), col(bitsCol).as("bits"))
+      .select(col("id"), col("bits"), explode(array(
+        (0 until bands).map(bd => struct(lit(bd).as("bidx"),
+          substring(col("bits"), bd * w + 1, w).as("bval"))): _*)).as("_b"))
+      .select(col("id"), col("bits"),
+        col("_b.bidx").as("bidx"), col("_b.bval").as("bval"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("idA"), col("y.id").as("idB"),
+        col("x.bits").as("_ba"), col("y.bits").as("_bb"))
+      .distinct()
+      .withColumn("hamming", hammingBits(col("_ba"), col("_bb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+      .orderBy(col("idA"), col("idB"))
+  }
+
   /** Attach media metadata + stub features to a DataFrame carrying a
     * binary column. */
   def withMedia(df: DataFrame, mediaCol: String, featureDim: Int = 8): DataFrame =

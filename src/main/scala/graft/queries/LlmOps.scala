@@ -3180,6 +3180,60 @@ object LlmOps {
           AS mean_pixel
       FROM z ORDER BY doc_id"""))
 
+  // ---- q188: perceptual-hash image near-dup ---------------------------
+  // The multimodal dedup tier: 100 synthetic 8×8 rasters (the q160
+  // md5-chain convention) where each even id's raster reappears at
+  // the odd id with ONE pixel overwritten — the controlled near-dup a
+  // content hash cannot see. dHash (9×8 gradient signs) + 4-band
+  // join + exact hamming verify; bands > maxHamming makes the banded
+  // result the EXACT hamming ≤ 3 relation, so the oracle computes
+  // that relation directly (resize arithmetic, gradient bits, all
+  // pairs) — any banding recall loss would flip the hash.
+
+  private val q188: GraftQuery = GraftQuery(
+    "q188_image_near_dup",
+    (s, d) => {
+      val hx = upper(concat(md5(col("text")),
+        md5(concat(col("text"), lit("2"))),
+        md5(concat(col("text"), lit("3"))),
+        md5(concat(col("text"), lit("4")))))
+      val base = docs(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), hx.as("hx"))
+      val rasters = base
+        .select((col("doc_id") * 2).as("id"), col("hx"))
+        .union(base.select((col("doc_id") * 2 + 1).as("id"),
+          concat(lit("FF"), expr("substring(hx, 3)")).as("hx")))
+      val hashed = rasters.select(col("id"),
+        Multimodal.dHashBits(col("hx"), 8, 8).as("bits"))
+      Multimodal.imageNearDupPairs(hashed, "id", "bits",
+        maxHamming = 3, bands = 4)
+    },
+    Some("""WITH r0 AS (SELECT doc_id,
+        upper(md5(text) || md5(text || '2') || md5(text || '3') ||
+          md5(text || '4')) AS hx
+        FROM documents WHERE doc_id < 50),
+      rs AS (SELECT doc_id * 2 AS id, hx FROM r0
+        UNION ALL SELECT doc_id * 2 + 1, 'FF' || substr(hx, 3) FROM r0),
+      px AS (SELECT id, list_transform(generate_series(0, 71), i ->
+          CAST(concat('0x', substr(hx,
+            ((i // 9) * 8 + ((i % 9) * 8 // 9)) * 2 + 1, 2)) AS BIGINT))
+          AS p
+        FROM rs),
+      bits AS (SELECT id, list_aggregate(
+          list_transform(generate_series(0, 63), j ->
+            CASE WHEN p[(j // 8) * 9 + (j % 8) + 1] >
+                      p[(j // 8) * 9 + (j % 8) + 2]
+              THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+        FROM px),
+      pr AS (SELECT a.id AS idA, b.id AS idB, a.bits AS ba, b.bits AS bb
+        FROM bits a JOIN bits b ON a.id < b.id),
+      h AS (SELECT idA, idB,
+          len(list_filter(generate_series(1, 64),
+            i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS hamming
+        FROM pr)
+      SELECT idA, idB, CAST(hamming AS BIGINT) AS hamming
+      FROM h WHERE hamming <= 3 ORDER BY idA, idB"""))
+
   // ---- q157: unigram LM surprisal scoring ------------------------------
   // The perplexity-filter shape without a float anywhere: per-token
   // surprisal = bitlen(N) − bitlen(count) (bitlen = binary-string
@@ -3504,7 +3558,7 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167, q168, q170, q173, q174, q179, q185)
+      q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -131,4 +131,50 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.resizeRasterHex($"hx", 0, 2, 1, 1)
     }
   }
+
+  test("dHashBits matches a JVM reference; banded near-dup is the exact hamming relation") {
+    val rnd = new scala.util.Random(188L)
+    def randHex(): String =
+      Seq.fill(64)(f"${rnd.nextInt(256)}%02X").mkString
+    // JVM reference: resize 8x8 -> 9x8 by index arithmetic, then
+    // horizontal gradient signs
+    def refHash(hx: String): String = {
+      val px = (0 until 72).map { i =>
+        val idx = (i / 9) * 8 + ((i % 9) * 8 / 9)
+        Integer.parseInt(hx.substring(idx * 2, idx * 2 + 2), 16)
+      }
+      (0 until 64).map { j =>
+        if (px((j / 8) * 9 + j % 8) > px((j / 8) * 9 + j % 8 + 1)) '1'
+        else '0'
+      }.mkString
+    }
+    val rasters = (0L until 20L).map(i => (i, randHex()))
+    val got = rasters.toDF("id", "hx")
+      .select($"id", Multimodal.dHashBits($"hx", 8, 8).as("bits"))
+      .as[(Long, String)].collect().toMap
+    rasters.foreach { case (i, hx) =>
+      assert(got(i) == refHash(hx), s"raster $i") }
+    // near-dup: duplicate raster 0 at id 100 (hamming 0) and add a
+    // one-pixel variant at id 101; banded result == brute-force
+    val withDups = rasters ++ Seq(
+      (100L, rasters(0)._2),
+      (101L, "FF" + rasters(1)._2.substring(2)))
+    val hashed = withDups.toDF("id", "hx")
+      .select($"id", Multimodal.dHashBits($"hx", 8, 8).as("bits"))
+    val gotPairs = Multimodal.imageNearDupPairs(hashed, "id", "bits",
+      maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val bitsMap = withDups.map { case (i, hx) => (i, refHash(hx)) }
+    val want = (for {
+      (ia, ba) <- bitsMap; (ib, bb) <- bitsMap if ia < ib
+      h = ba.zip(bb).count { case (x, y) => x != y }
+      if h <= 3
+    } yield (ia, ib, h.toLong)).sortBy(t => (t._1, t._2))
+    assert(gotPairs == want, s"\ngot:  $gotPairs\nwant: $want")
+    assert(gotPairs.contains((0L, 100L, 0L)), "exact dup must surface")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashed, "id", "bits", 4, 4) }
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashed, "id", "bits", 2, 5) }
+  }
 }
