@@ -150,18 +150,8 @@ object Multimodal {
     * @return (idA, idB, hamming) with idA < idB, ordered. */
   def imageNearDupPairs(df: DataFrame, idCol: String, bitsCol: String,
                         maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands > maxHamming && maxHamming >= 0,
-      s"need bands > maxHamming >= 0 for the pigeonhole guarantee, " +
-        s"got bands=$bands maxHamming=$maxHamming")
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val w = 64 / bands
-    val banded = df
-      .select(col(idCol).as("id"), col(bitsCol).as("bits"))
-      .select(col("id"), col("bits"), explode(array(
-        (0 until bands).map(bd => struct(lit(bd).as("bidx"),
-          substring(col("bits"), bd * w + 1, w).as("bval"))): _*)).as("_b"))
-      .select(col("id"), col("bits"),
-        col("_b.bidx").as("bidx"), col("_b.bval").as("bval"))
+    requireBanding(maxHamming, bands)
+    val banded = bandFrame(df, idCol, bitsCol, bands)
     banded.as("x")
       .join(banded.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
@@ -173,6 +163,53 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
       .orderBy(col("idA"), col("idB"))
+  }
+
+  /** [[imageNearDupPairs]]' asymmetric sibling — probe a batch of new
+    * fingerprints against a PERSISTED fingerprint index (the
+    * streaming-gate seam, [[graft.streaming.DocIngest]]'s
+    * `probeMinhashIndexFrame` shape): same banding, same pigeonhole
+    * exactness, candidates are (index × batch), never index².
+    * Identical ids on both sides are NOT matches (a re-delivered doc
+    * meeting its own fingerprint is the at-least-once retry case, not
+    * a near-dup verdict).
+    *
+    * @return (idNew, idIndexed, hamming) for every batch fingerprint
+    *         within maxHamming of an indexed one. */
+  def probeImageIndexFrame(index: DataFrame, probes: DataFrame,
+                           idCol: String, bitsCol: String,
+                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    requireBanding(maxHamming, bands)
+    val bi = bandFrame(index, idCol, bitsCol, bands)
+    val bp = bandFrame(probes, idCol, bitsCol, bands)
+    bp.as("x")
+      .join(bi.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("idNew"), col("y.id").as("idIndexed"),
+        col("x.bits").as("_ba"), col("y.bits").as("_bb"))
+      .distinct()
+      .withColumn("hamming", hammingBits(col("_ba"), col("_bb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idNew"), col("idIndexed"), col("hamming"))
+  }
+
+  private def requireBanding(maxHamming: Int, bands: Int): Unit = {
+    require(bands > maxHamming && maxHamming >= 0,
+      s"need bands > maxHamming >= 0 for the pigeonhole guarantee, " +
+        s"got bands=$bands maxHamming=$maxHamming")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+  }
+
+  private def bandFrame(df: DataFrame, idCol: String, bitsCol: String,
+                        bands: Int): DataFrame = {
+    val w = 64 / bands
+    df.select(col(idCol).as("id"), col(bitsCol).as("bits"))
+      .select(col("id"), col("bits"), explode(array(
+        (0 until bands).map(bd => struct(lit(bd).as("bidx"),
+          substring(col("bits"), bd * w + 1, w).as("bval"))): _*)).as("_b"))
+      .select(col("id"), col("bits"),
+        col("_b.bidx").as("bidx"), col("_b.bval").as("bval"))
   }
 
   /** Attach media metadata + stub features to a DataFrame carrying a

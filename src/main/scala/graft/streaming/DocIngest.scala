@@ -253,6 +253,70 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** IMAGE-dedup ingest — the multimodal twin of [[runNearDupGate]],
+    * and the grows-with-ingestion shape of the index families: each
+    * arriving micro-batch of `(id, hx)` rasters is dHash-fingerprinted
+    * ([[graft.operators.Multimodal.dHashBits]]), probed against the
+    * PERSISTED fingerprint index by the banded hamming join
+    * (pigeonhole-exact at bands > maxHamming), near-dups of anything
+    * already indexed are dropped, and the survivors land in `outDir`
+    * WITH their fingerprints appended to the index — so a
+    * re-encoded/one-pixel-variant copy arriving in a later shard is
+    * blocked by the earlier original. Self-id matches are excluded in
+    * the probe (the at-least-once retry case: a batch re-executed
+    * after its index append must not block its own docs). Delivery is
+    * the foreachBatch contract — at-least-once; a retry re-lands
+    * identical (id, bits)/(id, hx) rows, which readers collapse
+    * keep-first (the [[graft.operators.Search.dedupIngestedIndex]]
+    * convention). Within-batch dups are not resolved here — the batch
+    * [[graft.operators.Multimodal.imageNearDupPairs]] tier is the
+    * intra-corpus pass; this gate's contract is new-vs-indexed. */
+  def runImageDedupIngest(spark: SparkSession, rawDir: String,
+                          indexDir: String, outDir: String,
+                          checkpointDir: String, maxHamming: Int = 3,
+                          bands: Int = 4,
+                          maxFilesPerTrigger: Int = 1): Unit = {
+    val imgSchema = StructType(Seq(
+      StructField("id", LongType), StructField("hx", StringType)))
+    // seed an empty, schema-carrying index so the first batch's probe
+    // reads cleanly (the out-of-place-publish convention would be
+    // overkill for an append-only fingerprint table)
+    if (!new java.io.File(indexDir).exists()) {
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("id", "bits")
+        .write.mode("overwrite").parquet(indexDir)
+    }
+    val q = spark.readStream
+      .schema(imgSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hashed = batch.select(col("id"), col("hx"),
+          graft.operators.Multimodal.dHashBits(col("hx"), 8, 8).as("bits"))
+        hashed.persist()
+        try {
+          val dups = graft.operators.Multimodal
+            .probeImageIndexFrame(spark.read.parquet(indexDir), hashed,
+              "id", "bits", maxHamming, bands)
+            .select(col("idNew").as("id")).distinct()
+          val fresh = hashed.join(dups, Seq("id"), "left_anti")
+          fresh.persist()
+          try {
+            fresh.select(col("id"), col("hx"))
+              .write.mode("append").json(outDir)
+            fresh.select(col("id"), col("bits"))
+              .write.mode("append").parquet(indexDir)
+          } finally fresh.unpersist()
+        } finally hashed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

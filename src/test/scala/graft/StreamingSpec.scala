@@ -606,6 +606,40 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming image-dedup ingest: later-shard raster variants blocked, index grows") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.Multimodal
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_imggate_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val rnd = new scala.util.Random(881L)
+    def randHex(): String = Seq.fill(64)(f"${rnd.nextInt(256)}%02X").mkString
+    val a = randHex(); val b = randHex(); val c = randHex()
+    // shard 1: originals A, B; shard 2: a one-pixel variant of A
+    // (must be blocked by shard 1's fingerprint) + fresh C
+    Seq((1L, a), (2L, b)).toDF("id", "hx").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    Seq((3L, "FF" + a.substring(2)), (4L, c)).toDF("id", "hx").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runImageDedupIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, ckpt.toString)
+    val landed = spark.read.json(out.toString)
+      .select($"id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 4L), s"got $landed")
+    // the index carries exactly the survivors' fingerprints, equal to
+    // batch-computed dHashes
+    val indexed = spark.read.parquet(idx.toString)
+      .as[(Long, String)].collect().toMap
+    val wantBits = Seq((1L, a), (2L, b), (4L, c)).toDF("id", "hx")
+      .select($"id", Multimodal.dHashBits($"hx", 8, 8).as("bits"))
+      .as[(Long, String)].collect().toMap
+    assert(indexed == wantBits, s"index $indexed != $wantBits")
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
