@@ -775,7 +775,8 @@ object Search {
         lit(0L)))
     val a = census(docsA).select(col("term"), col("_cnt").as("_ca"))
     val b = census(docsB).select(col("term"), col("_cnt").as("_cb"))
-    val totals = total(docsA).toDF("_ta").crossJoin(total(docsB).toDF("_tb"))
+    val totals = total(docsA).toDF("_ta")
+      .crossJoin(broadcast(total(docsB).toDF("_tb")))
     a.join(b, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("_ca"), lit(0L)).as("_ca"),
