@@ -194,6 +194,48 @@ object Multimodal {
       .select(col("idNew"), col("idIndexed"), col("hamming"))
   }
 
+  /** Duplicate-clip detection across videos — the video tier of the
+    * perceptual-dedup story: sample `nFrames` fixed-offset frames
+    * from each video's hex raster stream ([[sampleFrames]]' slicing
+    * contract), dHash each frame, and surface every cross-video frame
+    * pair within `maxHamming` (the shared-clip / re-upload signal).
+    * Frames ride the banded join as composite ids
+    * (`vid·nFrames + frameIdx` — integer-exact, decoded on output),
+    * so the machinery and the pigeonhole exactness are
+    * [[imageNearDupPairs]]' verbatim; same-video pairs are excluded
+    * (self-similar frames inside one video are a different signal).
+    *
+    * @param frameHexChars hex chars per frame (2 × frame bytes)
+    * @return (vid_a, frame_a, vid_b, frame_b, hamming), vid_a < vid_b
+    *         ordered; requires non-negative video ids. */
+  def videoFrameNearDups(df: DataFrame, idCol: String, hexCol: String,
+                         frameHexChars: Int, nFrames: Int,
+                         w: Int, h: Int, maxHamming: Int = 3,
+                         bands: Int = 4): DataFrame = {
+    require(nFrames > 0 && frameHexChars > 0,
+      s"need positive frame geometry, got $nFrames x $frameHexChars")
+    val frames = df
+      .select(col(idCol).as("vid"),
+        posexplode(sampleFramesHex(col(hexCol), frameHexChars, nFrames)))
+      .select((col("vid") * nFrames + col("pos")).as("fid"),
+        dHashBits(col("col"), w, h).as("bits"))
+    imageNearDupPairs(frames, "fid", "bits", maxHamming, bands)
+      .filter(expr(s"idA div ${nFrames}L != idB div ${nFrames}L"))
+      .select(expr(s"idA div ${nFrames}L").as("vid_a"),
+        expr(s"idA % ${nFrames}L").as("frame_a"),
+        expr(s"idB div ${nFrames}L").as("vid_b"),
+        expr(s"idB % ${nFrames}L").as("frame_b"),
+        col("hamming"))
+      .orderBy(col("vid_a"), col("vid_b"), col("frame_a"), col("frame_b"))
+  }
+
+  /** [[sampleFrames]] for hex raster streams: fixed-offset slices in
+    * hex-char units. */
+  def sampleFramesHex(mediaHex: Column, frameHexChars: Int,
+                      nFrames: Int): Column =
+    transform(sequence(lit(0), lit(nFrames - 1)),
+      k => mediaHex.substr(k * frameHexChars + 1, lit(frameHexChars)))
+
   private def requireBanding(maxHamming: Int, bands: Int): Unit = {
     require(bands > maxHamming && maxHamming >= 0,
       s"need bands > maxHamming >= 0 for the pigeonhole guarantee, " +

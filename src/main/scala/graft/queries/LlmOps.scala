@@ -3234,6 +3234,62 @@ object LlmOps {
       SELECT idA, idB, CAST(hamming AS BIGINT) AS hamming
       FROM h WHERE hamming <= 3 ORDER BY idA, idB"""))
 
+  // ---- q189: video duplicate-clip detection ---------------------------
+  // The video tier of perceptual dedup: 40 synthetic 4-frame "videos"
+  // (each frame an md5-chain raster keyed by (video, frame)), where
+  // each even/odd id pair SHARES its last frame (seeded by id div 2)
+  // — the re-uploaded-clip plant. Frame sampling → per-frame dHash →
+  // banded cross-video match; the oracle rebuilds every frame, every
+  // fingerprint and the full hamming ≤ 3 cross-pair relation.
+
+  private val q189: GraftQuery = GraftQuery(
+    "q189_video_clip_dup",
+    (s, d) => {
+      def chain(seed: Column) = upper(concat(md5(seed),
+        md5(concat(seed, lit("2"))), md5(concat(seed, lit("3"))),
+        md5(concat(seed, lit("4")))))
+      def vf(k: Int) = chain(concat(lit("vf:"),
+        col("id").cast(StringType), lit(s":$k")))
+      val hx = concat(vf(0), vf(1), vf(2),
+        chain(concat(lit("vs:"), expr("id div 2").cast(StringType))))
+      val vids = docs(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id").as("id"))
+        .select(col("id"), hx.as("hx"))
+      Multimodal.videoFrameNearDups(vids, "id", "hx",
+        frameHexChars = 128, nFrames = 4, w = 8, h = 8)
+    },
+    Some("""WITH v AS (SELECT doc_id AS id FROM documents
+        WHERE doc_id < 40),
+      fr AS (SELECT id, k,
+          CASE WHEN k < 3 THEN 'vf:' || id || ':' || k
+            ELSE 'vs:' || CAST(id // 2 AS VARCHAR) END AS seed
+        FROM v, generate_series(0, 3) t(k)),
+      hxs AS (SELECT id, k, upper(md5(seed) || md5(seed || '2') ||
+          md5(seed || '3') || md5(seed || '4')) AS hx FROM fr),
+      px AS (SELECT id, k, list_transform(generate_series(0, 71), i ->
+          CAST(concat('0x', substr(hx,
+            ((i // 9) * 8 + ((i % 9) * 8 // 9)) * 2 + 1, 2)) AS BIGINT))
+          AS p
+        FROM hxs),
+      bits AS (SELECT id, k, list_aggregate(
+          list_transform(generate_series(0, 63), j ->
+            CASE WHEN p[(j // 8) * 9 + (j % 8) + 1] >
+                      p[(j // 8) * 9 + (j % 8) + 2]
+              THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+        FROM px),
+      pr AS (SELECT a.id AS va, a.k AS fa, b.id AS vb, b.k AS fb,
+          a.bits AS ba, b.bits AS bb
+        FROM bits a JOIN bits b ON a.id < b.id),
+      h AS (SELECT va, fa, vb, fb,
+          len(list_filter(generate_series(1, 64),
+            i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS hamming
+        FROM pr)
+      SELECT CAST(va AS BIGINT) AS vid_a, CAST(fa AS BIGINT) AS frame_a,
+        CAST(vb AS BIGINT) AS vid_b, CAST(fb AS BIGINT) AS frame_b,
+        CAST(hamming AS BIGINT) AS hamming
+      FROM h WHERE hamming <= 3
+      ORDER BY vid_a, vid_b, frame_a, frame_b"""))
+
   // ---- q157: unigram LM surprisal scoring ------------------------------
   // The perplexity-filter shape without a float anywhere: per-token
   // surprisal = bitlen(N) − bitlen(count) (bitlen = binary-string
@@ -3558,7 +3614,8 @@ object LlmOps {
       q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
-      q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188)
+      q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188,
+      q189)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -177,4 +177,26 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.imageNearDupPairs(hashed, "id", "bits", 2, 5) }
   }
+
+  test("videoFrameNearDups: planted shared frame found, same-video pairs excluded") {
+    val rnd = new scala.util.Random(189L)
+    def frame(): String = Seq.fill(64)(f"${rnd.nextInt(256)}%02X").mkString
+    val shared = frame()
+    // video 0: f0 f1 shared; video 1: f0 f1 shared (same last frame);
+    // video 2: three fresh frames; video 3 repeats ITS OWN frame twice
+    // (same-video pair must NOT surface)
+    val own = frame()
+    val vids = Seq(
+      (0L, frame() + frame() + shared),
+      (1L, frame() + frame() + shared),
+      (2L, frame() + frame() + frame()),
+      (3L, own + own + frame()))
+    val got = Multimodal.videoFrameNearDups(vids.toDF("id", "hx"),
+      "id", "hx", frameHexChars = 128, nFrames = 3, w = 8, h = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.contains((0L, 2L, 1L, 2L, 0L)), s"shared frame missing: $got")
+    assert(!got.exists(r => r._1 == r._3), s"same-video pair leaked: $got")
+    // random frames almost surely exceed hamming 3 — nothing else
+    assert(got == Seq((0L, 2L, 1L, 2L, 0L)), got)
+  }
 }
