@@ -931,7 +931,7 @@ object DatasetOps {
       .select(
         when(v < lo, lit(-1L))
           .when(v >= hi, lit(nBins.toLong))
-          .otherwise(expr(s"((CAST($valueCol AS BIGINT) - ${lo}L) * " +
+          .otherwise(expr(s"((CAST(`$valueCol` AS BIGINT) - ${lo}L) * " +
             s"${nBins}L) div ${hi - lo}L")).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_rows"))
       .orderBy(col("bin"))
