@@ -3290,6 +3290,79 @@ object LlmOps {
       FROM h WHERE hamming <= 3
       ORDER BY vid_a, vid_b, frame_a, frame_b"""))
 
+  // ---- q190: image-curation recipe (multimodal composition) -----------
+  // The q168 interop story for the image tier: q188's raster corpus →
+  // perceptual near-dup pairs → cluster keep-first (the q63 fixpoint
+  // over the hamming graph) → per-source census of survivors. The
+  // oracle replays ALL FOUR stage boundaries in one statement
+  // (fingerprints, the exact hamming relation, recursive
+  // reachability with min-label resolution, the census).
+
+  private val q190: GraftQuery = GraftQuery(
+    "q190_image_curation",
+    (s, d) => {
+      val hx = upper(concat(md5(col("text")),
+        md5(concat(col("text"), lit("2"))),
+        md5(concat(col("text"), lit("3"))),
+        md5(concat(col("text"), lit("4")))))
+      val base = docs(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("source"), hx.as("hx"))
+      val rasters = base
+        .select((col("doc_id") * 2).as("id"), col("source"), col("hx"))
+        .union(base.select((col("doc_id") * 2 + 1).as("id"), col("source"),
+          concat(lit("FF"), expr("substring(hx, 3)")).as("hx")))
+      val hashed = rasters.select(col("id"), col("source"),
+        Multimodal.dHashBits(col("hx"), 8, 8).as("bits"))
+      val pairs = Multimodal.imageNearDupPairs(hashed, "id", "bits")
+        .select(col("idA"), col("idB"))
+      val reps = Dedup.clusterReps(pairs, checkpointPairs = false)
+      val tot = hashed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rasters"))
+      val kept = hashed.join(reps, Seq("id"), "left")
+        .filter(col("rep").isNull || col("rep") === col("id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      tot.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_rasters"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH RECURSIVE r0 AS (SELECT doc_id, source,
+        upper(md5(text) || md5(text || '2') || md5(text || '3') ||
+          md5(text || '4')) AS hx
+        FROM documents WHERE doc_id < 50),
+      rs AS (SELECT doc_id * 2 AS id, source, hx FROM r0
+        UNION ALL SELECT doc_id * 2 + 1, source, 'FF' || substr(hx, 3)
+        FROM r0),
+      px AS (SELECT id, list_transform(generate_series(0, 71), i ->
+          CAST(concat('0x', substr(hx,
+            ((i // 9) * 8 + ((i % 9) * 8 // 9)) * 2 + 1, 2)) AS BIGINT))
+          AS p
+        FROM rs),
+      bits AS (SELECT id, list_aggregate(
+          list_transform(generate_series(0, 63), j ->
+            CASE WHEN p[(j // 8) * 9 + (j % 8) + 1] >
+                      p[(j // 8) * 9 + (j % 8) + 2]
+              THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+        FROM px),
+      pr AS (SELECT a.id AS ida, b.id AS idb
+        FROM bits a JOIN bits b ON a.id < b.id
+        WHERE len(list_filter(generate_series(1, 64),
+          i -> substr(a.bits, i, 1) <> substr(b.bits, i, 1))) <= 3),
+      sym AS (SELECT ida AS id, idb AS nbr FROM pr
+        UNION SELECT idb, ida FROM pr),
+      reach(id, lab) AS (SELECT id, id FROM rs
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr),
+      lab AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id),
+      kept AS (SELECT rs.id, rs.source FROM rs
+        JOIN lab ON lab.id = rs.id WHERE lab.rep = rs.id),
+      tot AS (SELECT source, count(*) AS n_rasters FROM rs
+        GROUP BY source),
+      k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+      SELECT t.source, CAST(t.n_rasters AS BIGINT) AS n_rasters,
+        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+      FROM tot t LEFT JOIN k USING (source) ORDER BY t.source"""))
+
   // ---- q157: unigram LM surprisal scoring ------------------------------
   // The perplexity-filter shape without a float anywhere: per-token
   // surprisal = bitlen(N) − bitlen(count) (bitlen = binary-string
@@ -3615,7 +3688,7 @@ object LlmOps {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
       q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188,
-      q189)
+      q189, q190)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the
