@@ -40,6 +40,39 @@ object DatasetOps {
         .otherwise("test"))
   }
 
+  /** Leakage-free train/val/test split — [[hashSplit]] whose unit of
+    * assignment is the NEAR-DUP CLUSTER, not the document. Splitting
+    * by raw id puts a test doc's near-duplicate in train (the eval
+    * contamination the dedup pipeline exists to prevent, re-introduced
+    * by the split itself); here every connected component of the pair
+    * graph draws ONE membership from its min-label representative,
+    * so near-dups land in the same split by construction. Stability
+    * contract is [[hashSplit]]'s (md5 on the rep — reshuffle/append
+    * stable), with the one honest caveat that NEW pairs merging two
+    * clusters re-draw the merged cluster under the surviving rep.
+    *
+    * Scale shape: cluster resolution is the [[Dedup.clusterReps]]
+    * O(log diameter) fixpoint; the rep join is id-keyed and
+    * AQE-splittable; the draw is a narrow projection.
+    *
+    * @param pairs near-dup verdicts (aCol, bCol) — feed the
+    *              materialized table (the q63 deployment shape)
+    * @return df's columns plus `split_group` (the cluster key the
+    *         draw was made on) and `split`. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "idA", bCol: String = "idB",
+                       salt: String = "split", trainFrac: Double = 0.9,
+                       valFrac: Double = 0.05,
+                       checkpointPairs: Boolean = true): DataFrame = {
+    val reps = Dedup.clusterReps(pairs, aCol, bCol,
+      checkpointPairs = checkpointPairs)
+    val withKey = df
+      .join(reps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("split_group", coalesce(col("rep"), col(idCol)))
+      .drop("rep")
+    hashSplit(withKey, "split_group", salt, trainFrac, valFrac)
+  }
+
   /** Deterministic stratified sampling — corpus mixing: each stratum
     * keeps its own fraction (all of the curated source, a tenth of
     * the crawl), with membership a pure function of the id exactly

@@ -921,6 +921,63 @@ object LlmOps {
         FROM documents)
       GROUP BY 1, 2 ORDER BY split, source"""))
 
+  // ---- q191: leakage-free split ---------------------------------------
+  // hashSplit's near-dup-aware sibling: membership draws on the
+  // cluster representative, so a test doc's near-duplicate cannot
+  // land in train. Fed from the materialized verdict table; the
+  // oracle recomputes the exact pair set (q156's CTEs), the min-label
+  // reachability, the md5 draw ON THE REP and the census — a single
+  // doc split apart from its cluster flips n_groups or n_docs.
+
+  private val q191: GraftQuery = GraftQuery(
+    "q191_leakage_free_split",
+    (s, d) =>
+      DatasetOps.leakageFreeSplit(docs(s, d), "doc_id",
+          docPairsMaterialized(s, d), checkpointPairs = false)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("split_group")).as("n_groups"))
+        .orderBy(col("split")),
+    Some(s"""WITH RECURSIVE toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS idA, b.doc_id AS idB
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      sym AS (
+        SELECT idA AS id, idB AS nbr FROM pairs
+        UNION SELECT idB, idA FROM pairs),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr),
+      lab AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id),
+      drawn AS (SELECT l.id, l.rep,
+          CAST(concat('0x', substring(md5('split:' || l.rep), 1, 8))
+            AS BIGINT) AS u
+        FROM lab l),
+      sp AS (SELECT id, rep, CASE
+          WHEN u < ${DatasetOps.thr(0.9)} THEN 'train'
+          WHEN u < ${DatasetOps.thr(0.95)} THEN 'val'
+          ELSE 'test' END AS split
+        FROM drawn)
+      SELECT split, count(*) AS n_docs,
+        count(DISTINCT rep) AS n_groups
+      FROM sp GROUP BY split ORDER BY split"""))
+
   // ---- q65: benchmark decontamination (DatasetOps.contaminatedIds) ----
   // A deterministic slice of the corpus (doc_id % 97 = 0) plays the
   // benchmark; remaining docs are flagged when they share any word
@@ -3688,7 +3745,7 @@ object LlmOps {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
       q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188,
-      q189, q190)
+      q189, q190, q191)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -848,4 +848,25 @@ class DatasetOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DatasetOps.histogram(df, "v", 1000, 0L, Long.MaxValue - 1) }
   }
+
+  test("leakageFreeSplit: clusters stay together; singletons match hashSplit") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 60L))
+      .toDF("idA", "idB")
+    val rows = DatasetOps.leakageFreeSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"split", $"split_group")
+      .as[(Long, String, Long)].collect()
+    val split = rows.map(r => r._1 -> r._2).toMap
+    val group = rows.map(r => r._1 -> r._3).toMap
+    // every pair-connected doc shares its component's split
+    assert(split(1L) == split(2L) && split(2L) == split(3L))
+    assert(split(10L) == split(11L) && split(50L) == split(60L))
+    // the draw key is the min label of the component
+    assert(group(3L) == 1L && group(11L) == 10L && group(60L) == 50L)
+    // docs outside every pair draw exactly like plain hashSplit
+    val plain = DatasetOps.hashSplit(docs.filter($"doc_id" === 100L), "doc_id")
+      .select($"split").as[String].head()
+    assert(split(100L) == plain && group(100L) == 100L)
+    assert(rows.length == 200)
+  }
 }
