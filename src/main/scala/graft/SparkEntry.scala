@@ -13,7 +13,7 @@ object SparkEntry {
   private def modules: Seq[GraftQuery] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       PipelineQueries.all ++ LlmOps.all ++ SourceFormats.all ++
-      SearchQueries.all
+      SearchQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The TPC-H-Q1-shaped pricing summary: full-scan grouped decimal
