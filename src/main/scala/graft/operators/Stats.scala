@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed EXACT order statistics over integer-valued columns:
+  * global cumulative census, exact quantiles, equi-depth histograms,
+  * winsorized moments.
+  *
+  * Why not `ntile`/one big window: an exact global rank is a total
+  * order, and the naive formulation (`Window.orderBy(v)` with no
+  * partition) funnels the whole table through ONE task — the q130
+  * anti-pattern. This module's shape instead:
+  *
+  *   1. census: `groupBy(value) → count` — map-side combine collapses
+  *      each partition to its distinct values before the one shuffle;
+  *      for bounded integer domains (cents, sizes, token counts) the
+  *      census is orders of magnitude smaller than the table;
+  *   2. coarse bucket per distinct value, computed FROM THE VALUE
+  *      (min/max scaled, decimal-exact) — deterministic under
+  *      recomputation, unlike `spark_partition_id()` after a sampled
+  *      `repartitionByRange`;
+  *   3. per-bucket prefix sums — parallel windows, one per bucket;
+  *   4. bucket offsets: an exclusive prefix over ≤ `coarseBuckets`
+  *      bucket totals, computed as a triangular self-join (B² pairs,
+  *      a CONSTANT ≤ ~10⁶, fully parallel — no global window, so the
+  *      planscan audit stays clean), broadcast back;
+  *   5. global cum = bucket offset + local prefix.
+  *
+  * Everything through the quantile pick is integer/decimal-exact, so
+  * the DuckDB oracles replay it bit-for-bit with a plain cumulative
+  * window (single-node DuckDB has no skew concern).
+  *
+  * Values must be integral (LongType after the caller's decimal-cents
+  * conversion — the q56 money rule). Nulls are excluded from the
+  * census, matching SQL aggregate semantics.
+  */
+object Stats {
+
+  private val D = DecimalType(38, 0)
+
+  /** Distinct-value census with exact global cumulative counts.
+    * Output: (v, cnt, cum) where cum = #rows with value ≤ v. */
+  def cumulativeValueCensus(df: DataFrame, valueCol: String,
+                            coarseBuckets: Int = 1024): DataFrame = {
+    require(coarseBuckets > 0, s"coarseBuckets must be > 0")
+    val census = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(LongType).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = census.agg(min("v").as("_lo"), max("v").as("_hi"))
+    // decimal-exact scaling: ((v - lo) * B) / (hi - lo + 1) — never
+    // overflows long even for full-range values
+    val withB = census.crossJoin(broadcast(bounds))
+      .withColumn("_cb",
+        floor((col("v").cast(D) - col("_lo").cast(D)) * lit(coarseBuckets)
+          / (col("_hi").cast(D) - col("_lo").cast(D) + 1))
+          .cast(LongType))
+      .drop("_lo", "_hi")
+    val wLocal = Window.partitionBy(col("_cb")).orderBy(col("v"))
+    val local = withB.withColumn("_local", sum("cnt").over(wLocal))
+    // exclusive bucket offsets WITHOUT a global window (the planscan
+    // audit rightly flags those): a triangular self-join over the
+    // ≤ coarseBuckets bucket totals — B² is a constant ≤ ~10⁶ pairs,
+    // fully parallel, and keeps the whole operator window-clean
+    // except the per-bucket locals
+    val totals = withB.groupBy("_cb").agg(sum("cnt").as("_bt"))
+    val below = totals.select(col("_cb").as("_cbb"), col("_bt").as("_btb"))
+    val offsets = totals.join(broadcast(below), col("_cbb") < col("_cb"),
+        "left")
+      .groupBy("_cb")
+      .agg(coalesce(sum("_btb"), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_cb"))
+      .select(col("v"), col("cnt"),
+        (col("_local") + col("_off")).as("cum"))
+  }
+
+  /** Exact quantiles at ppm probes (500000 = median). For each probe,
+    * rank = ceil(q_ppm · N / 10⁶) and the result is the smallest
+    * value whose cumulative count reaches that rank — a definition
+    * (not a library's) so any engine can replay it. Output:
+    * (q_ppm, rank_, value), ordered by q_ppm. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qPpms: Seq[Long],
+                     coarseBuckets: Int = 1024): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q > 0 && q <= 1000000L),
+      s"q_ppm probes must be in (0, 1000000]")
+    val spark = df.sparkSession
+    val cum = cumulativeValueCensus(df, valueCol, coarseBuckets)
+    val n = cum.agg(sum("cnt").as("_n"))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(qPpms.map(Tuple1(_)), 1)
+    ).toDF("q_ppm")
+      .crossJoin(broadcast(n))
+      // ceil(q·N/1e6) in exact decimal: (q·N + 999999) div 1e6
+      // floor, NOT a decimal down-cast: Spark's decimal cast rounds
+      // HALF_UP while the oracle's `//` floors — they differ whenever
+      // the quotient's fraction reaches .5
+      .withColumn("rank_",
+        floor((col("q_ppm").cast(D) * col("_n").cast(D) + 999999)
+          / 1000000).cast(LongType))
+      .drop("_n")
+    cum.join(broadcast(probes), cum("cum") >= probes("rank_"))
+      .groupBy(col("q_ppm"), col("rank_"))
+      .agg(min("v").as("value"))
+      .orderBy("q_ppm")
+  }
+
+  /** Equi-depth histogram with k buckets. Each DISTINCT value lands
+    * whole in the bucket of its first row (rank cum−cnt), so bucket
+    * populations are as even as duplicate mass allows while bucket
+    * ranges stay disjoint in value space. Output per non-empty
+    * bucket: (bucket, lo, hi, n_rows). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int,
+                         coarseBuckets: Int = 1024): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val cum = cumulativeValueCensus(df, valueCol, coarseBuckets)
+    val n = cum.agg(sum("cnt").as("_n"))
+    cum.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        floor((col("cum").cast(D) - col("cnt").cast(D)) * k
+          / col("_n").cast(D)).cast(LongType))
+      .groupBy("bucket")
+      .agg(min("v").as("lo"), max("v").as("hi"),
+        sum("cnt").as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  /** Winsorized mean/stddev: clamp to the [loPpm, hiPpm] exact
+    * quantiles, then decimal-exact moment sums (aggregation-order-
+    * independent), final division/sqrt in double with fixed rounding.
+    * Output one row: (n_rows, lo_clamp, hi_clamp, mean, stddev). */
+  def winsorizedStats(df: DataFrame, valueCol: String,
+                      loPpm: Long, hiPpm: Long,
+                      coarseBuckets: Int = 1024): DataFrame = {
+    require(loPpm < hiPpm, s"loPpm must be < hiPpm")
+    val clamps = exactQuantiles(df, valueCol, Seq(loPpm, hiPpm),
+      coarseBuckets)
+      .agg(min(when(col("q_ppm") === loPpm, col("value"))).as("_lo"),
+        min(when(col("q_ppm") === hiPpm, col("value"))).as("_hi"))
+    val v = col(valueCol).cast(LongType)
+    val w = greatest(least(v, col("_hi")), col("_lo")).cast(D)
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(clamps))
+      .agg(count(lit(1)).as("n_rows"),
+        min("_lo").as("lo_clamp"), min("_hi").as("hi_clamp"),
+        sum(w).as("_s"), sum(w * w).as("_s2"))
+      .select(col("n_rows"), col("lo_clamp"), col("hi_clamp"),
+        round(col("_s").cast(DoubleType) / col("n_rows"), 6).as("mean"),
+        round(sqrt(
+          (col("_s2").cast(DoubleType)
+            - col("_s").cast(DoubleType) * col("_s").cast(DoubleType)
+              / col("n_rows")) / col("n_rows")), 6).as("stddev"))
+  }
+}

@@ -91,5 +91,80 @@ object AnalyticsQueries {
       FROM est e LEFT JOIN exact x USING (term)
       ORDER BY e.term"""))
 
-  def all: Seq[GraftQuery] = Seq(q192)
+  // ---- q193–q195: distributed exact order statistics ------------------
+  // All three share Stats.cumulativeValueCensus — census → coarse
+  // value-derived buckets → per-bucket prefix windows → relational
+  // offset join (no global window anywhere; planscan-clean). Values
+  // are order totals in exact cents (the q56/q181 DECIMAL rule). The
+  // oracles replay the cumulative census with a plain single-node
+  // window and the same integer rank arithmetic.
+
+  private def centsOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast(LongType).as("cents"))
+
+  private val centsCte =
+    """c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      cen AS (SELECT v, count(*) AS cnt FROM c GROUP BY v),
+      cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM cen),
+      n AS (SELECT count(*) AS n FROM c)"""
+
+  private val qPpms = Seq(250000L, 500000L, 750000L, 900000L, 990000L)
+
+  private val q193 = GraftQuery(
+    "q193_exact_quantiles",
+    (s, d) => graft.operators.Stats.exactQuantiles(
+      centsOrders(s, d), "cents", qPpms),
+    Some(s"""WITH $centsCte,
+      q(q_ppm) AS (SELECT unnest([250000, 500000, 750000, 900000,
+        990000])),
+      r AS (SELECT q_ppm, (q_ppm * n.n + 999999) // 1000000 AS rank_
+        FROM q, n)
+      SELECT CAST(r.q_ppm AS BIGINT) AS q_ppm,
+        CAST(r.rank_ AS BIGINT) AS rank_, min(cum.v) AS value
+      FROM r JOIN cum ON cum.cum >= r.rank_
+      GROUP BY r.q_ppm, r.rank_ ORDER BY q_ppm"""))
+
+  private val q194 = GraftQuery(
+    "q194_equidepth_hist",
+    (s, d) => graft.operators.Stats.equiDepthHistogram(
+      centsOrders(s, d), "cents", k = 8),
+    Some(s"""WITH $centsCte,
+      b AS (SELECT ((cum - cnt) * 8) // n.n AS bucket, v, cnt
+        FROM cum, n)
+      SELECT CAST(bucket AS BIGINT) AS bucket, min(v) AS lo,
+        max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  private val q195 = GraftQuery(
+    "q195_winsorized_stats",
+    (s, d) => graft.operators.Stats.winsorizedStats(
+      centsOrders(s, d), "cents", loPpm = 10000L, hiPpm = 990000L),
+    Some(s"""WITH $centsCte,
+      q(q_ppm) AS (SELECT unnest([10000, 990000])),
+      r AS (SELECT q_ppm, (q_ppm * n.n + 999999) // 1000000 AS rank_
+        FROM q, n),
+      qv AS (SELECT r.q_ppm, min(cum.v) AS value
+        FROM r JOIN cum ON cum.cum >= r.rank_ GROUP BY r.q_ppm),
+      clamps AS (SELECT
+          min(CASE WHEN q_ppm = 10000 THEN value END) AS lo,
+          min(CASE WHEN q_ppm = 990000 THEN value END) AS hi
+        FROM qv),
+      w AS (SELECT greatest(least(v, clamps.hi), clamps.lo) AS wv
+        FROM c, clamps),
+      m AS (SELECT count(*) AS n_rows, sum(wv) AS s, sum(wv * wv) AS s2
+        FROM w)
+      SELECT CAST(m.n_rows AS BIGINT) AS n_rows,
+        clamps.lo AS lo_clamp, clamps.hi AS hi_clamp,
+        round(CAST(m.s AS DOUBLE) / m.n_rows, 6) AS mean,
+        round(sqrt((CAST(m.s2 AS DOUBLE)
+          - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n_rows)
+          / m.n_rows), 6) AS stddev
+      FROM m, clamps"""))
+
+  def all: Seq[GraftQuery] = Seq(q192, q193, q194, q195)
 }
+
