@@ -165,6 +165,107 @@ object AnalyticsQueries {
           / m.n_rows), 6) AS stddev
       FROM m, clamps"""))
 
-  def all: Seq[GraftQuery] = Seq(q192, q193, q194, q195)
+  // ---- q196/q197: entity resolution over the part catalog -------------
+  // Record linkage: composite blocking (last name-token : size
+  // bucket, EntityResolution.blockedCandidates with the block-size
+  // skew guard), integer pair scoring (name-token Jaccard milli +
+  // brand/type agreement − size distance), transitive resolution via
+  // the Dedup.clusterReps fixpoint. The oracle replays blocking,
+  // scoring, and (for q197) the connected components as a recursive
+  // CTE — the q63 pattern.
+
+  private def partRecords(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey").as("pid"),
+        whitespaceTokens(col("p_name")).as("rawtok"),
+        col("p_brand").as("brand"), col("p_type").as("typ"),
+        col("p_size").as("sz"))
+      .filter(size(col("rawtok")) > 0)
+      .select(col("pid"), array_distinct(col("rawtok")).as("tok"),
+        element_at(col("rawtok"), -1).as("lastt"),
+        col("brand"), col("typ"), col("sz"))
+
+  private def entityPairs(s: SparkSession, d: String): DataFrame = {
+    val recs = partRecords(s, d)
+    val blockKey = concat(col("lastt"), lit(":"),
+      expr("sz div 4").cast(StringType))
+    val cand = graft.operators.EntityResolution.blockedCandidates(
+      recs, "pid", blockKey, maxBlockSize = 64)
+    graft.operators.EntityResolution.joinPairFields(
+      cand, recs, "pid", Seq("tok", "brand", "typ", "sz"))
+      .withColumn("shared",
+        size(array_intersect(col("a_tok"), col("b_tok"))))
+      .withColumn("jac_milli", expr(
+        "(shared * 1000L) div (size(a_tok) + size(b_tok) - shared)"))
+      .withColumn("score", expr(
+        """(6 * jac_milli) div 10
+           + (CASE WHEN a_brand = b_brand THEN 250 ELSE 0 END)
+           + (CASE WHEN a_typ = b_typ THEN 100 ELSE 0 END)
+           - 30 * abs(a_sz - b_sz)"""))
+      .filter(col("score") >= 700)
+  }
+
+  /** Shared oracle CTE chain ending in matched pairs `m(id_a, id_b,
+    * jac_milli, score)`. */
+  private val erPairsCte =
+    """r0 AS (SELECT p_partkey AS id,
+        list_filter(regexp_split_to_array(lower(p_name), '\s+'),
+          x -> length(x) > 0) AS rawtok,
+        p_brand AS brand, p_type AS typ, p_size AS sz FROM part),
+      r AS (SELECT id, list_distinct(rawtok) AS tok,
+          rawtok[len(rawtok)] AS lastt, brand, typ, sz
+        FROM r0 WHERE len(rawtok) > 0),
+      k AS (SELECT *, lastt || ':' || CAST(sz // 4 AS VARCHAR) AS bk
+        FROM r),
+      c AS (SELECT bk, count(*) AS bn FROM k GROUP BY bk),
+      kk AS (SELECT k.* FROM k JOIN c USING (bk) WHERE c.bn <= 64),
+      p AS (SELECT a.id AS id_a, b.id AS id_b,
+          len(list_filter(a.tok, x -> list_contains(b.tok, x)))
+            AS shared,
+          len(a.tok) + len(b.tok) AS lens,
+          CASE WHEN a.brand = b.brand THEN 250 ELSE 0 END AS bs,
+          CASE WHEN a.typ = b.typ THEN 100 ELSE 0 END AS ts,
+          abs(a.sz - b.sz) AS sd
+        FROM kk a JOIN kk b ON a.bk = b.bk AND a.id < b.id),
+      sc AS (SELECT id_a, id_b,
+          (shared * 1000) // (lens - shared) AS jac_milli,
+          (6 * ((shared * 1000) // (lens - shared))) // 10
+            + bs + ts - 30 * sd AS score
+        FROM p),
+      m AS (SELECT * FROM sc WHERE score >= 700)"""
+
+  private val q196 = GraftQuery(
+    "q196_entity_pairs",
+    (s, d) => entityPairs(s, d)
+      .select(col("id_a"), col("id_b"), col("jac_milli"),
+        col("score").cast(LongType).as("score"))
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $erPairsCte
+      SELECT id_a, id_b, jac_milli, CAST(score AS BIGINT) AS score
+      FROM m ORDER BY id_a, id_b"""))
+
+  private val q197 = GraftQuery(
+    "q197_entity_groups",
+    (s, d) => {
+      val reps = graft.operators.Dedup.clusterReps(
+        entityPairs(s, d).select(col("id_a").as("idA"),
+          col("id_b").as("idB")))
+      reps.groupBy(col("rep").as("entity_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("entity_rep")
+    },
+    Some(s"""WITH RECURSIVE $erPairsCte,
+      sym AS (SELECT id_a AS id, id_b AS nbr FROM m
+        UNION SELECT id_b, id_a FROM m),
+      ids AS (SELECT DISTINCT id FROM sym),
+      reach(id, lab) AS (
+        SELECT id, id FROM ids
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr)
+      SELECT entity_rep, count(*) AS n_members FROM (
+        SELECT id, min(lab) AS entity_rep FROM reach GROUP BY id)
+      GROUP BY entity_rep ORDER BY entity_rep"""))
+
+  def all: Seq[GraftQuery] = Seq(q192, q193, q194, q195, q196, q197)
 }
 
