@@ -425,6 +425,36 @@ object DatasetOps {
       .drop("_draw")
   }
 
+  /** Weighted deterministic sample: per group, the k rows winning an
+    * integer priority race `prio = u32draw(id) · 10⁶ div weight` —
+    * smaller wins, so selection odds rise with weight while
+    * membership stays a pure function of (salt, id): reshuffle-,
+    * retry-, and append-stable like [[capPerGroup]], but
+    * quality-weighted ("prefer longer / higher-scoring docs without
+    * hard-cutting the tail"). The exact Efraimidis–Espirikidis form
+    * (u^(1/w)) needs transcendental floats whose cross-engine
+    * rounding would break the bit-exact oracle contract; the integer
+    * race keeps weight-monotone odds AND exact replayability.
+    * Rows with null or non-positive weight are excluded (a weight of
+    * zero means "never sample", and a negative weight is a data
+    * error upstream). Ranks through the k-bounded heap node — no
+    * Window, one exchange on the group key. Output adds `_prio`
+    * (callers may drop it; the oracle gates on it). */
+  def weightedPrioritySample(df: DataFrame, groupCol: String,
+                             idCol: String, weightMilliCol: String,
+                             k: Int,
+                             salt: String = "wsamp"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val drawn = df
+      .filter(col(weightMilliCol).isNotNull && col(weightMilliCol) > 0)
+      .withColumn("_u", md5Draw(salt, col(idCol)))
+      .withColumn("_prio",
+        expr(s"(_u * 1000000L) div `$weightMilliCol`"))
+      .drop("_u")
+    graft.plans.TopKPerGroup(drawn, Seq(groupCol),
+      Seq(("_prio", true), (idCol, true)), k)
+  }
+
   /** Token-BUDGET corpus selection — "fill a 1-trillion-token training
     * budget with the best documents": keep the maximal prefix of the
     * corpus in (score DESC, md5 draw ASC, id ASC) order whose

@@ -364,6 +364,45 @@ class DatasetOpsSpec extends AnyFunSuite {
       "an appended doc must never PROMOTE a previously-cut doc")
   }
 
+  test("weightedPrioritySample: weight-monotone, deterministic, heap-planned") {
+    // two groups; ids 0..99 weight 1, ids 100..199 weight 100000
+    val df = (0L until 200L)
+      .map(i => (i, if (i < 100) "g0" else "g1",
+        if (i % 2 == 0) 1L else 100000L))
+      .toDF("id", "grp", "w")
+    val got = DatasetOps.weightedPrioritySample(df, "grp", "id", "w", k = 10)
+      .select($"id", $"grp").as[(Long, String)].collect().toSet
+    assert(got.size == 20 && got.groupBy(_._2).forall(_._2.size == 10))
+    // JVM replay of the race
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsamp:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def prio(id: Long, w: Long): Long = draw(id) * 1000000L / w
+    val expected = (0L until 200L)
+      .map(i => (i, if (i < 100) "g0" else "g1",
+        if (i % 2 == 0) 1L else 100000L))
+      .groupBy(_._2).flatMap { case (g, rows) =>
+        rows.sortBy(r => (prio(r._1, r._3), r._1)).take(10)
+          .map(r => (r._1, g))
+      }.toSet
+    assert(got == expected)
+    // with a 100000:1 weight ratio the heavy rows should dominate
+    assert(got.count(_._1 % 2 == 1) >= 18,
+      s"heavy-weight rows should win almost every slot: $got")
+    // zero/null weights never sample
+    val withZero = df.union(Seq((999L, "g0", 0L)).toDF("id", "grp", "w"))
+    assert(!DatasetOps.weightedPrioritySample(withZero, "grp", "id", "w", 10)
+      .select($"id").as[Long].collect().contains(999L))
+    // plans the bounded heap, not a Window
+    val plan = DatasetOps.weightedPrioritySample(df, "grp", "id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected heap plan, got:\n$plan")
+    assert(plan.contains("TopKPerGroup"), plan)
+  }
+
   test("mask_spans TVF matches the Scala operator and validates its arguments") {
     val span = (0 until 10).map(i => s"sp$i").mkString(" ")
     Seq((1L, s"a b $span c"), (2L, s"$span d e f g h"), (3L, "lone doc text here"))
