@@ -140,4 +140,42 @@ object ScaleOps {
       .orderBy(col("n_rows").desc, col("key"))
       .limit(topN)
   }
+
+  /** Z-order (Morton) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Sorting by this value clusters rows so
+    * that a range predicate on EITHER dimension touches a bounded
+    * band of the sort order — which is what turns parquet min/max
+    * footer stats into file skipping for multi-dimensional filters
+    * (the Delta/Iceberg OPTIMIZE ZORDER story, done with plain
+    * arithmetic). Pure bit ops, codegen-friendly, and exactly
+    * replayable in any engine with shifts (the q-oracle rebuilds it
+    * term by term). Caller guarantees 0 ≤ value < 2^bits (mod/clamp
+    * upstream); bits ≤ 31 keeps the result in the long's positive
+    * range with room. */
+  def zOrder2(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(
+          shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` parquet laid out along the z-curve of (`colA` mod
+    * 2^bits, `colB` mod 2^bits): range-repartition + in-partition
+    * sort by the z-value, so each output file owns a contiguous,
+    * disjoint z-range (ScaleOpsSpec asserts the disjointness — the
+    * property parquet min/max pruning needs). One range exchange; no
+    * global sort barrier beyond its sampling pass. */
+  def zOrderWrite(df: DataFrame, dir: String, colA: String,
+                  colB: String, bits: Int, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val z = zOrder2(pmod(col(colA).cast("long"), lit(1L << bits)),
+      pmod(col(colB).cast("long"), lit(1L << bits)), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }

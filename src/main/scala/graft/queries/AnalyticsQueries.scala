@@ -266,6 +266,123 @@ object AnalyticsQueries {
         SELECT id, min(lab) AS entity_rep FROM reach GROUP BY id)
       GROUP BY entity_rep ORDER BY entity_rep"""))
 
-  def all: Seq[GraftQuery] = Seq(q192, q193, q194, q195, q196, q197)
+  // ---- q198: incremental aggregate-view maintenance -------------------
+  // The materialized-view leg of the CDC family: per-customer
+  // (count, cents-total) view over orders, maintained under a
+  // synthesized disjoint changelog (q91's construction): deletes
+  // (key%7=1), group-MOVING updates (key%10=0 → custkey+1, value
+  // +12345 cents), inserts (key%5=4, exactly the ids the base
+  // lacks). The Spark side goes through the maintenance path
+  // (ViewMaintenance.maintainAggView over the pre-built state); the
+  // oracle recomputes the view FROM SCRATCH over the merged corpus —
+  // so any drift in the delta algebra (old-side fetch, group moves,
+  // zero-count eviction) flips the hash.
+
+  private val q198 = GraftQuery(
+    "q198_incremental_agg",
+    (s, d) => {
+      val fact = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), col("o_custkey").as("grp"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("val"))
+      val base = fact.filter(col("id") % 5 =!= 4)
+      val changelog = fact.select(col("id"),
+          when(col("id") % 5 === 4, "I")
+            .when(col("id") % 7 === 1, "D")
+            .when(col("id") % 10 === 0, "U").as("op"),
+          when(col("id") % 10 === 0 && col("id") % 5 =!= 4
+              && col("id") % 7 =!= 1, col("grp") + 1)
+            .otherwise(col("grp")).as("grp"),
+          when(col("id") % 10 === 0 && col("id") % 5 =!= 4
+              && col("id") % 7 =!= 1, col("val") + 12345)
+            .otherwise(col("val")).as("val"))
+        .filter(col("op").isNotNull)
+      val state = graft.operators.ViewMaintenance.aggView(
+        base, "grp", "val")
+      graft.operators.ViewMaintenance.maintainAggView(
+        state, base, changelog, "id", "grp", "val")
+        .orderBy("grp")
+    },
+    Some("""WITH fact AS (SELECT o_orderkey AS id, o_custkey AS grp,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS val
+        FROM orders),
+      base AS (SELECT * FROM fact WHERE id % 5 <> 4),
+      chg AS (SELECT id,
+          CASE WHEN id % 5 = 4 THEN 'I'
+            WHEN id % 7 = 1 THEN 'D'
+            WHEN id % 10 = 0 THEN 'U' END AS op,
+          CASE WHEN id % 10 = 0 AND id % 5 <> 4 AND id % 7 <> 1
+            THEN grp + 1 ELSE grp END AS grp,
+          CASE WHEN id % 10 = 0 AND id % 5 <> 4 AND id % 7 <> 1
+            THEN val + 12345 ELSE val END AS val
+        FROM fact
+        WHERE id % 5 = 4 OR id % 7 = 1 OR id % 10 = 0),
+      merged AS (
+        SELECT id, grp, val FROM base
+        WHERE id NOT IN (SELECT id FROM chg WHERE op IN ('D', 'U'))
+        UNION ALL
+        SELECT id, grp, val FROM chg WHERE op IN ('U', 'I'))
+      SELECT grp, count(*) AS cnt, CAST(sum(val) AS BIGINT) AS total
+      FROM merged GROUP BY grp ORDER BY grp"""))
+
+  // ---- q199: weighted deterministic sample ----------------------------
+  // capPerGroup's quality-weighted sibling: per source, the 5 docs
+  // winning the integer priority race u32draw·10⁶ div n_chars —
+  // longer docs favored, membership still a pure function of
+  // (salt, id). Plans the k-bounded heap (no Window); the oracle
+  // replays the draw and the race with row_number.
+
+  private val q199 = GraftQuery(
+    "q199_weighted_sample",
+    (s, d) => graft.operators.DatasetOps.weightedPrioritySample(
+        docs(s, d), "source", "doc_id", "n_chars", k = 5)
+      .select(col("source"), col("doc_id"), col("_prio").as("prio"))
+      .orderBy("source", "prio", "doc_id"),
+    Some("""WITH dr AS (SELECT source, doc_id,
+          (CAST(concat('0x', substring(md5('wsamp:' || doc_id), 1, 8))
+            AS BIGINT) * 1000000) // n_chars AS prio
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT source, doc_id, prio,
+          row_number() OVER (PARTITION BY source
+            ORDER BY prio, doc_id) AS rn
+        FROM dr)
+      SELECT source, doc_id, prio FROM r WHERE rn <= 5
+      ORDER BY source, prio, doc_id"""))
+
+  // ---- q200: z-order curve census -------------------------------------
+  // Gates ScaleOps.zOrder2's interleave arithmetic bit-for-bit (the
+  // layout/pruning property itself — disjoint per-file z-ranges — is
+  // a filesystem effect, asserted in ScaleOpsSpec; DuckDB can't see
+  // files, but it CAN replay the curve). 10 bits per dimension over
+  // (l_partkey, l_suppkey); the census buckets the curve into 64
+  // bands.
+
+  private val zBits = 10
+  private val zExprSql = (0 until zBits).map { i =>
+    s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" | ")
+
+  private val q200 = GraftQuery(
+    "q200_zorder_census",
+    (s, d) => {
+      val z = graft.operators.ScaleOps.zOrder2(
+        pmod(col("l_partkey"), lit(1024L)),
+        pmod(col("l_suppkey"), lit(1024L)), zBits)
+      Tables.lineitem(s, d).select(z.as("z"))
+        .groupBy(expr("z div 16384").as("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("z").as("z_lo"), max("z").as("z_hi"))
+        .orderBy("zbucket")
+    },
+    Some(s"""WITH ab AS (SELECT l_partkey % 1024 AS a,
+          l_suppkey % 1024 AS b FROM lineitem),
+      zz AS (SELECT ($zExprSql) AS z FROM ab)
+      SELECT z // 16384 AS zbucket, count(*) AS n_rows,
+        min(z) AS z_lo, max(z) AS z_hi
+      FROM zz GROUP BY zbucket ORDER BY zbucket"""))
+
+  def all: Seq[GraftQuery] =
+    Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }
 

@@ -140,4 +140,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.Association.associationRules(b, "bid", "item", 1L, 0) }
   }
+
+  test("zOrder2: hand-computed interleaves") {
+    val rows = Seq((3L, 1L), (0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L))
+      .toDF("a", "b")
+      .select(ScaleOps.zOrder2(col("a"), col("b"), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(a,b): bit i of a -> 2i, bit i of b -> 2i+1
+    // (3,1): a bits {0,1} -> 1+4=5; b bit {0} -> 2 => 7
+    assert(rows === Seq(7L, 0L, 1L, 2L, (1L << 20) - 1))
+  }
+
+  test("zOrderWrite: per-file z-ranges are disjoint and ordered") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder_").toString
+    val df = (0 until 4096).map(i => (i % 64, (i * 7) % 64))
+      .toDF("x", "y")
+    ScaleOps.zOrderWrite(df, dir, "x", "y", bits = 6, numFiles = 8)
+    val z = ScaleOps.zOrder2(pmod(col("x").cast("long"), lit(64L)),
+      pmod(col("y").cast("long"), lit(64L)), 6)
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), z.as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perFile.length > 1)
+    perFile.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+    // pruning proxy: a narrow z-band intersects few files' ranges
+    val (zLo, zHi) = (perFile.head._1, perFile.head._2)
+    val touched = perFile.count { case (lo, hi) => hi >= zLo && lo <= zHi }
+    assert(touched < perFile.length)
+  }
 }
