@@ -783,6 +783,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(children(3), "token_col"), budget)
           .queryExecution.analyzed
       }))
+    // Distributed exact order statistics from SQL (q193/q194's
+    // operators). Quantile probes ride as a comma-separated ppm
+    // literal ('250000,500000') — SQL-side callers have no array
+    // literal path into a TVF argument list here.
+    ext.injectTableFunction((
+      new FunctionIdentifier("exact_quantiles"),
+      new ExpressionInfo("graft.operators.Stats", "exact_quantiles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: exact_quantiles(table, value_col, 'ppm1,ppm2,...')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ppms = strLit(children(2), "q_ppms").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { t =>
+            scala.util.Try(t.toLong).getOrElse(
+              throw new IllegalArgumentException(
+                s"exact_quantiles: q_ppms must be comma-separated " +
+                  s"integers, got '$t'"))
+          }
+        graft.operators.Stats.exactQuantiles(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "value_col"), ppms)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("equidepth_hist"),
+      new ExpressionInfo("graft.operators.Stats", "equidepth_hist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: equidepth_hist(table, value_col, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Stats.equiDepthHistogram(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "value_col"), intLit(children(2), "k"))
+          .queryExecution.analyzed
+      }))
+    // Weighted deterministic sampling from SQL (q199's operator).
+    ext.injectTableFunction((
+      new FunctionIdentifier("weighted_sample"),
+      new ExpressionInfo("graft.operators.DatasetOps", "weighted_sample"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: weighted_sample(table, group_col, id_col, weight_col, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.DatasetOps.weightedPrioritySample(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "group_col"), strLit(children(2), "id_col"),
+            strLit(children(3), "weight_col"), intLit(children(4), "k"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "nfc_clean"),

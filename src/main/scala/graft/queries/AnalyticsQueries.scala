@@ -382,7 +382,56 @@ object AnalyticsQueries {
         min(z) AS z_lo, max(z) AS z_hi
       FROM zz GROUP BY zbucket ORDER BY zbucket"""))
 
+  // ---- q201–q203: the SQL TVF surface for the new stats ops -----------
+  // Same semantics reached entirely through SQL (the q92/q162
+  // tradition): the injected exact_quantiles / equidepth_hist /
+  // weighted_sample TVFs plan the very operators q193/q194/q199
+  // gate, so each SQL twin reuses that query's oracle VERBATIM — a
+  // parser-path or argument-plumbing drift flips the hash against
+  // the same ground truth.
+
+  private def registerCentsView(s: SparkSession, d: String): Unit = {
+    Tables.registerAllOnce(s, d)
+    s.sql("""CREATE OR REPLACE TEMP VIEW graft_cents AS
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL""")
+  }
+
+  private val q201 = GraftQuery(
+    "q201_sql_quantiles",
+    (s, d) => {
+      registerCentsView(s, d)
+      s.sql("""SELECT q_ppm, rank_, value
+        FROM exact_quantiles('graft_cents', 'cents',
+          '250000,500000,750000,900000,990000')
+        ORDER BY q_ppm""")
+    },
+    q193.oracle)
+
+  private val q202 = GraftQuery(
+    "q202_sql_equidepth",
+    (s, d) => {
+      registerCentsView(s, d)
+      s.sql("""SELECT bucket, lo, hi, n_rows
+        FROM equidepth_hist('graft_cents', 'cents', 8)
+        ORDER BY bucket""")
+    },
+    q194.oracle)
+
+  private val q203 = GraftQuery(
+    "q203_sql_weighted_sample",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT source, doc_id, _prio AS prio
+        FROM weighted_sample('documents', 'source', 'doc_id',
+          'n_chars', 5)
+        ORDER BY source, prio, doc_id""")
+    },
+    q199.oracle)
+
   def all: Seq[GraftQuery] =
-    Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
+      q201, q202, q203)
 }
 

@@ -66,6 +66,37 @@ class StatsSpec extends AnyFunSuite {
     assert(s.getDouble(4) >= 0.0)
   }
 
+  test("stats TVFs: SQL path matches the Scala operator; bad args refuse loudly") {
+    values.createOrReplaceTempView("graft_stats_tvf")
+    try {
+      val viaSql = spark.sql(
+        """SELECT q_ppm, rank_, value
+          FROM exact_quantiles('graft_stats_tvf', 'v', '500000, 1000000')
+          ORDER BY q_ppm""").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val viaScala = Stats.exactQuantiles(values, "v",
+          Seq(500000L, 1000000L)).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaSql === viaScala)
+      val histSql = spark.sql(
+        """SELECT bucket, lo, hi, n_rows
+          FROM equidepth_hist('graft_stats_tvf', 'v', 4)
+          ORDER BY bucket""").collect().map(_.toSeq).toSeq
+      val histScala = Stats.equiDepthHistogram(values, "v", 4)
+        .collect().map(_.toSeq).toSeq
+      assert(histSql === histScala)
+      intercept[Exception] {
+        spark.sql("SELECT * FROM exact_quantiles('graft_stats_tvf', 'v', 'nope')")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM equidepth_hist('graft_stats_tvf', 'v')")
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM weighted_sample('graft_stats_tvf', 'v', 'v', 'v')")
+      }
+    } finally spark.catalog.dropTempView("graft_stats_tvf")
+  }
+
   test("no global window in the quantile plan (the q130 guard)") {
     def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
