@@ -335,4 +335,51 @@ object DocIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
       .start()
+
+  /** FREQUENCY-SKETCH ingest: each arriving micro-batch folds its
+    * token census into a persisted count-min grid
+    * ([[graft.operators.Sketches.countMinBuild]]) — the monitoring
+    * sibling of the index-family ingests (postings / IVF / image
+    * fingerprints): a term-frequency monitor that grows with
+    * ingestion at CONSTANT state per batch (d·w cells, never a
+    * vocabulary).
+    *
+    * Idempotence is NOT keep-first here — sketch cells are sums, so a
+    * re-delivered batch would silently double-count where a re-landed
+    * posting row merely duplicates. Each batch therefore lands its
+    * partial grid stamped with the foreachBatch `batchId`;
+    * [[readSketch]] collapses retries keep-first on
+    * (batch_id, row, cell) BEFORE the cell-wise merge — the dedup key
+    * the at-least-once contract needs, applied by the provided
+    * reader rather than deferred to an undocumented consumer. */
+  def runSketchIngest(spark: SparkSession, rawDir: String,
+                      sketchDir: String, checkpointDir: String,
+                      depth: Int = 3, width: Int = 1024,
+                      minTokens: Int = 3,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger), minTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch.select(
+          explode(whitespaceTokens(col("text"))).as("token"))
+        graft.operators.Sketches.countMinBuild(toks, "token", depth, width)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sketchDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merge the landed per-batch partial grids into the current sketch
+    * (cell-wise sum — the count-min merge law), collapsing
+    * at-least-once re-deliveries keep-first on (batch_id, row, cell)
+    * first. Output schema matches [[graft.operators.Sketches.countMinBuild]]. */
+  def readSketch(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .dropDuplicates("batch_id", "row", "cell")
+      .groupBy("row", "cell")
+      .agg(sum("cnt").as("cnt"))
 }

@@ -472,6 +472,47 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming sketch ingest: merged grid equals the batch build; replay repaired") {
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions.whitespaceTokens
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_sketchingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val sk = root.resolve("sketch")
+    val ckpt = root.resolve("ckpt")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    docs.filter(col("doc_id") % 4 =!= 1).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    graft.streaming.DocIngest.runSketchIngest(spark,
+      raw.toString + "/*/", sk.toString, ckpt.toString,
+      depth = 3, width = 32)
+    // cross-batch digest dedup means the merged grid covers each doc
+    // ONCE even though shard 2 re-delivers half of shard 1
+    val ingested = graft.streaming.DocIngest.ingest(
+      docs.filter(col("doc_id") % 2 === 0)
+        .union(docs.filter(col("doc_id") % 4 =!= 1)))
+    val want = Sketches.countMinBuild(
+        ingested.select(explode(whitespaceTokens(col("text"))).as("token")),
+        "token", 3, 32)
+      .collect().map(_.toSeq).toSet
+    def merged(): Set[Seq[Any]] =
+      graft.streaming.DocIngest.readSketch(spark, sk.toString)
+        .collect().map(_.toSeq).toSet
+    assert(merged() == want)
+    // the at-least-once failure mode: a batch re-executed after its
+    // parquet commit re-lands its IDENTICAL stamped grid rows. Raw
+    // cell sums would double-count; the keep-first on
+    // (batch_id, row, cell) restores the exactly-once sketch.
+    val batch0 = spark.read.parquet(sk.toString)
+      .filter(col("batch_id") === 0L)
+    assert(batch0.count() > 0, "no batch-0 rows — replay fixture empty")
+    batch0.write.mode("append").parquet(sk.toString)
+    assert(merged() == want)
+    deleteRec(root)
+  }
+
   test("streaming IVF ingest: the embedding index grown per batch probes like a batch build; replay repaired") {
     import graft.operators.Similarity
     import spark.implicits._
