@@ -185,12 +185,27 @@ object AnalyticsQueries {
         element_at(col("rawtok"), -1).as("lastt"),
         col("brand"), col("typ"), col("sz"))
 
+  // Matched pairs materialized once per (JVM, sfDir) — q196 and
+  // q197 share one scoring pass (the q63 verdict-table pattern):
+  // q196 reads the landed pairs; q197's fixpoint consumes them with
+  // checkpointPairs=false (a parquet read needs no extra
+  // materialization barrier).
+  private val erPairsByInput = new graft.sources.JvmMemo[String]
+  private def entityPairsMaterialized(s: SparkSession,
+                                      d: String): DataFrame = {
+    val dir = LlmOps.materializedTempDir(erPairsByInput, d,
+      "graft_erpairs_") { out =>
+      entityPairs(s, d).write.mode("overwrite").parquet(s"$out/pairs")
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
   private def entityPairs(s: SparkSession, d: String): DataFrame = {
     val recs = partRecords(s, d)
     val blockKey = concat(col("lastt"), lit(":"),
       expr("sz div 4").cast(StringType))
     val cand = graft.operators.EntityResolution.blockedCandidates(
-      recs, "pid", blockKey, maxBlockSize = 64)
+      recs, "pid", blockKey, maxBlockSize = 1024)
     graft.operators.EntityResolution.joinPairFields(
       cand, recs, "pid", Seq("tok", "brand", "typ", "sz"))
       .withColumn("shared",
@@ -218,7 +233,7 @@ object AnalyticsQueries {
       k AS (SELECT *, lastt || ':' || CAST(sz // 4 AS VARCHAR) AS bk
         FROM r),
       c AS (SELECT bk, count(*) AS bn FROM k GROUP BY bk),
-      kk AS (SELECT k.* FROM k JOIN c USING (bk) WHERE c.bn <= 64),
+      kk AS (SELECT k.* FROM k JOIN c USING (bk) WHERE c.bn <= 1024),
       p AS (SELECT a.id AS id_a, b.id AS id_b,
           len(list_filter(a.tok, x -> list_contains(b.tok, x)))
             AS shared,
@@ -236,7 +251,7 @@ object AnalyticsQueries {
 
   private val q196 = GraftQuery(
     "q196_entity_pairs",
-    (s, d) => entityPairs(s, d)
+    (s, d) => entityPairsMaterialized(s, d)
       .select(col("id_a"), col("id_b"), col("jac_milli"),
         col("score").cast(LongType).as("score"))
       .orderBy("id_a", "id_b"),
@@ -248,8 +263,8 @@ object AnalyticsQueries {
     "q197_entity_groups",
     (s, d) => {
       val reps = graft.operators.Dedup.clusterReps(
-        entityPairs(s, d).select(col("id_a").as("idA"),
-          col("id_b").as("idB")))
+        entityPairsMaterialized(s, d).select(col("id_a").as("idA"),
+          col("id_b").as("idB")), checkpointPairs = false)
       reps.groupBy(col("rep").as("entity_rep"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy("entity_rep")
