@@ -425,6 +425,45 @@ object DatasetOps {
       .drop("_draw")
   }
 
+  /** Hashing-trick TF-IDF featurization — the EXPORT side of the
+    * fasttext-shaped pipeline ([[classifierScores]] folds hashed
+    * features into a score; this emits them, relational-sparse, for
+    * an external trainer): tokens hash into `buckets` fixed feature
+    * ids (vocabulary-independent — the property that lets two corpus
+    * shards featurize without coordinating a dictionary), tf per
+    * (doc, bucket), and an integer ratio-idf
+    * `idf_scaled = N·10⁶ div df(bucket)` — monotone in the true
+    * log-idf (log is monotone), exact in any engine where `ln` drifts.
+    * Plan: one explode→groupBy((id, bucket)) with map-side combine;
+    * the bucket df table is ≤ `buckets` rows, broadcast back — the
+    * corpus never joins itself. N counts docs with ≥ 1 token (docs
+    * contributing no feature mass are outside the feature space). */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 1 << 18,
+                  salt: String = "feat"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = df.select(col(idCol),
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+          .as("_tks"))
+      .filter(size(col("_tks")) > 0)
+    val tf = toks
+      .select(col(idCol), explode(col("_tks")).as("_t"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit(s"$salt:"), col("_t"))),
+          1, 8), 16, 10).cast(LongType), lit(buckets.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val n = toks.agg(count(lit(1)).as("_n"))
+    val dfreq = tf.groupBy("bucket")
+      .agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_scaled", expr("(_n * 1000000L) div _df"))
+      .select("bucket", "idf_scaled")
+    tf.join(broadcast(dfreq), Seq("bucket"))
+      .select(col(idCol), col("bucket"), col("tf"),
+        (col("tf") * col("idf_scaled")).as("w"))
+  }
+
   /** Weighted deterministic sample: per group, the k rows winning an
     * integer priority race `prio = u32draw(id) · 10⁶ div weight` —
     * smaller wins, so selection odds rise with weight while
