@@ -141,6 +141,54 @@ object ScaleOps {
       .limit(topN)
   }
 
+  /** Small-file compaction — the table-maintenance chore every
+    * long-lived 100 TB parquet table needs (streaming ingests and
+    * per-batch appends accumulate kilobyte files whose per-file open/
+    * footer/task overhead eventually dominates scans): files under
+    * `smallBytes` are read back and rewritten bin-packed toward
+    * `targetBytes` outputs; files already big enough are COPIED
+    * byte-identical, never decoded. Out-of-place publish (`outDir`),
+    * the q108/q128 convention — readers of `inDir` are never racing a
+    * half-compacted table, and the swap is the caller's atomic
+    * rename. Row content is exactly preserved (the q205 oracle gates
+    * the census); file-level layout is not (that is the point).
+    *
+    * @return (n_small_compacted, n_big_copied, n_files_out) one-row
+    *         report */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+                        inDir: String, outDir: String,
+                        smallBytes: Long, targetBytes: Long): DataFrame = {
+    require(smallBytes > 0 && targetBytes > 0,
+      s"byte thresholds must be positive")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val parts = fs.listStatus(in).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val (small, big) = parts.partition(_.getLen < smallBytes)
+    val out = new Path(outDir)
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    big.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new Path(out, st.getPath.getName), false, conf)
+    }
+    if (small.nonEmpty) {
+      val totalSmall = small.map(_.getLen).sum
+      val nOut = math.max(1L,
+        (totalSmall + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(small.map(_.getPath.toString): _*)
+        .repartition(nOut)
+        .write.mode("append").parquet(outDir)
+    }
+    val nOut = fs.listStatus(out).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    import spark.implicits._
+    Seq((small.size.toLong, big.size.toLong, nOut.toLong))
+      .toDF("n_small_compacted", "n_big_copied", "n_files_out")
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two
     * non-negative integer columns: bit i of `a` lands at position 2i,
     * bit i of `b` at 2i+1. Sorting by this value clusters rows so

@@ -141,6 +141,51 @@ class ScaleOpsSpec extends AnyFunSuite {
       graft.operators.Association.associationRules(b, "bid", "item", 1L, 0) }
   }
 
+  test("compactSmallFiles: content preserved, big files copied byte-identical, debris collapsed") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec_").toString
+    val inDir = root + "/in"
+    // one BIG file (50k rows) + 8 kilobyte debris files, landed as
+    // separate writes the way a streaming ingest accumulates them
+    val bigTmp = root + "/bigtmp"
+    (0L until 50000L).map(i => (i, s"payload_$i")).toDF("id", "p")
+      .coalesce(1).write.parquet(bigTmp)
+    val smallTmp = root + "/smalltmp"
+    (100000L until 100160L).map(i => (i, s"tiny_$i")).toDF("id", "p")
+      .repartition(8).write.parquet(smallTmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+    var n = 0
+    Seq(bigTmp, smallTmp).foreach { src =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+          n += 1
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new org.apache.hadoop.fs.Path(inDir, f"part-$n%05d.parquet"),
+            false, spark.sparkContext.hadoopConfiguration)
+        }
+    }
+    val bigLen = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .map(_.getLen).max
+    val outDir = root + "/out"
+    val report = ScaleOps.compactSmallFiles(spark, inDir, outDir,
+      smallBytes = bigLen, targetBytes = 1L << 22).collect().head
+    assert(report.getLong(0) === 8L) // debris compacted
+    assert(report.getLong(1) === 1L) // big file copied
+    assert(report.getLong(2) < 9L)   // layout collapsed
+    // content equality
+    val before = spark.read.parquet(inDir)
+      .collect().map(_.toSeq).toSet
+    val after = spark.read.parquet(outDir)
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    // the big file rode along byte-identical, never re-encoded
+    val bigOut = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    assert(bigOut.contains(bigLen))
+  }
+
   test("zOrder2: hand-computed interleaves") {
     val rows = Seq((3L, 1L), (0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L))
       .toDF("a", "b")
