@@ -445,8 +445,136 @@ object AnalyticsQueries {
     },
     q199.oracle)
 
+  // ---- q204: hashing-trick TF-IDF feature export ----------------------
+  // classifierScores' sibling surface: the (doc, bucket, tf, w) rows
+  // an external trainer consumes. 64 buckets at sf0.01 forces hash
+  // collisions, so the oracle exercises colliding-bucket df, not
+  // just the identity mapping. Integer ratio-idf (monotone in
+  // log-idf) keeps the weights engine-exact.
+
+  private val q204 = GraftQuery(
+    "q204_hashed_tfidf",
+    (s, d) => graft.operators.DatasetOps.hashedTfIdf(
+        docs(s, d), "doc_id", "text", buckets = 64)
+      .orderBy("doc_id", "bucket"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents),
+      t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+      tx AS (SELECT doc_id, unnest(tk) AS tok FROM t2),
+      tf AS (SELECT doc_id,
+          CAST(concat('0x', substring(md5('feat:' || tok), 1, 8))
+            AS BIGINT) % 64 AS bucket,
+          count(*) AS tf
+        FROM tx GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n FROM t2),
+      dfq AS (SELECT bucket, count(*) AS df_ FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.bucket, tf.tf,
+        tf.tf * ((n.n * 1000000) // dfq.df_) AS w
+      FROM tf JOIN dfq USING (bucket), n
+      ORDER BY tf.doc_id, tf.bucket"""))
+
+  // ---- q205: small-file compaction round-trip -------------------------
+  // Fixture (once per JVM/sfDir): documents fragmented into 64
+  // kilobyte files — the streaming-ingest debris shape — then
+  // compacted out-of-place. The query reads the COMPACTED table; the
+  // oracle reads the original — so the gate is "compaction preserves
+  // every row" while the layout collapses (the report's file counts
+  // are environment-sensitive codec facts, deliberately not hashed).
+
+  private val compactDirByInput = new graft.sources.JvmMemo[String]
+  private def compactedDocsDir(s: SparkSession, d: String): String =
+    LlmOps.materializedTempDir(compactDirByInput, d,
+      "graft_compact_") { out =>
+      docs(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$out/frag")
+      graft.operators.ScaleOps.compactSmallFiles(s, s"$out/frag",
+        s"$out/compacted", smallBytes = 1L << 20,
+        targetBytes = 1L << 22).collect()
+      ()
+    }
+
+  private val q205 = GraftQuery(
+    "q205_compaction_roundtrip",
+    (s, d) => s.read.parquet(s"${compactedDocsDir(s, d)}/compacted")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(md5Mass(col("text"))).as("text_mass"))
+      .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars,
+        CAST(sum(CAST(concat('0x', substring(md5(text), 1, 8))
+          AS BIGINT)) AS BIGINT) AS text_mass
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Order-independent content mass: the md5-prefix of each payload,
+    * summed — catches a corrupted/duplicated/lost row where plain
+    * counts cannot. */
+  private def md5Mass(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // ---- q206: percentile-calibrated classifier scores ------------------
+  // The interop composition: raw classifier scores (q150's hashed
+  // fold) are corpus-relative — a threshold tuned on one crawl is
+  // wrong on the next. Calibration maps each doc's score to its
+  // percentile rank via the distributed cumulative census
+  // (Stats.cumulativeValueCensus over the score column): pct_milli =
+  // cum·1000 div N. The score frame is localCheckpointed (it feeds
+  // the census AND the rank join — the q168 multiply-consumed-
+  // id-frame rule). The oracle replays the classifier fold AND the
+  // census chain, so drift at either stage flips the hash.
+
+  private val q206 = GraftQuery(
+    "q206_calibrated_scores",
+    (s, d) => {
+      val scores = graft.operators.DatasetOps.classifierScores(
+          docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+        .localCheckpoint(true)
+      val cum = graft.operators.Stats
+        .cumulativeValueCensus(scores, "score")
+        .select(col("v").as("score"), col("cum"))
+      val n = scores.agg(count(lit(1)).as("_n"))
+      scores.join(cum, Seq("score"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("score"),
+          expr("(cum * 1000L) div _n").as("pct_milli"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(list_concat(
+          list_transform(tk, t -> 'clf:u:' || t),
+          list_transform(generate_series(1, len(tk) - 1),
+            i -> 'clf:b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+        FROM toks),
+      bw AS (
+        SELECT doc_id,
+          CAST(concat('0x', substring(md5('w:clf:' ||
+            (CAST(concat('0x', substring(md5(f), 1, 8)) AS BIGINT)
+              % 262144)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM feats),
+      sc AS (
+        SELECT doc_id, sum(w) AS score FROM bw GROUP BY doc_id),
+      scores AS (
+        SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+        FROM documents d LEFT JOIN sc s USING (doc_id)),
+      cen AS (SELECT score AS v, count(*) AS cnt FROM scores GROUP BY 1),
+      cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM cen),
+      n AS (SELECT count(*) AS n FROM scores)
+      SELECT s2.doc_id, s2.score,
+        CAST((cum.cum * 1000) // n.n AS BIGINT) AS pct_milli
+      FROM scores s2 JOIN cum ON s2.score = cum.v, n
+      ORDER BY s2.doc_id"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203)
+      q201, q202, q203, q204, q205, q206)
 }
 

@@ -77,7 +77,16 @@ class GoldenPlanSpec extends AnyFunSuite {
     // census arriving from a parquet scan (a resurrected lineitem
     // self-join in this plan means the materialization seam broke)
     "q178_substring_search",
-    "q182_association_rules")
+    "q182_association_rules",
+    // r7c: the exact-quantile plan — load-bearing tokens are the
+    // per-bucket WindowExec partitioned on _cb (an empty/foldable
+    // partition spec reappearing IS the global-sort funnel), the
+    // broadcast triangular offset join over the bucket totals, and
+    // the broadcast rank probes; and the weighted sample — the
+    // TopKPerGroup heap phases over the integer priority race (a
+    // reappearing Window sort IS the regression)
+    "q193_exact_quantiles",
+    "q199_weighted_sample")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
