@@ -107,6 +107,72 @@ object Stats {
       .orderBy("q_ppm")
   }
 
+  /** Per-GROUP cumulative census — [[cumulativeValueCensus]] with a
+    * group key threaded through every stage: census on (grp, v),
+    * per-group value-derived coarse buckets (bounds joined on the
+    * group key — AQE-splittable, never broadcast-assumed: the group
+    * count is unbounded in general), per-(grp, bucket) prefix
+    * windows, triangular offset join WITHIN each group. Output:
+    * (grp, v, cnt, cum). */
+  def groupedCumulativeCensus(df: DataFrame, grpCol: String,
+                              valueCol: String,
+                              coarseBuckets: Int = 1024): DataFrame = {
+    require(coarseBuckets > 0, s"coarseBuckets must be > 0")
+    val census = df
+      .filter(col(valueCol).isNotNull && col(grpCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"),
+        col(valueCol).cast(LongType).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = census.groupBy("grp")
+      .agg(min("v").as("_lo"), max("v").as("_hi"))
+    val withB = census.join(bounds, Seq("grp"))
+      .withColumn("_cb",
+        floor((col("v").cast(D) - col("_lo").cast(D)) * lit(coarseBuckets)
+          / (col("_hi").cast(D) - col("_lo").cast(D) + 1))
+          .cast(LongType))
+      .drop("_lo", "_hi")
+    val wLocal = Window.partitionBy(col("grp"), col("_cb"))
+      .orderBy(col("v"))
+    val local = withB.withColumn("_local", sum("cnt").over(wLocal))
+    val totals = withB.groupBy("grp", "_cb").agg(sum("cnt").as("_bt"))
+    val below = totals.select(col("grp").as("_grpb"),
+      col("_cb").as("_cbb"), col("_bt").as("_btb"))
+    val offsets = totals.join(below,
+        col("_grpb") === col("grp") && col("_cbb") < col("_cb"), "left")
+      .groupBy("grp", "_cb")
+      .agg(coalesce(sum("_btb"), lit(0L)).as("_off"))
+    local.join(offsets, Seq("grp", "_cb"))
+      .select(col("grp"), col("v"), col("cnt"),
+        (col("_local") + col("_off")).as("cum"))
+  }
+
+  /** Per-group exact quantiles — the per-service latency-percentile
+    * board shape. Same rank definition as [[exactQuantiles]], applied
+    * within each group. Output: (grp, q_ppm, rank_, value) ordered by
+    * (grp, q_ppm). */
+  def groupedExactQuantiles(df: DataFrame, grpCol: String,
+                            valueCol: String, qPpms: Seq[Long],
+                            coarseBuckets: Int = 1024): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q > 0 && q <= 1000000L),
+      s"q_ppm probes must be in (0, 1000000]")
+    val cum = groupedCumulativeCensus(df, grpCol, valueCol,
+      coarseBuckets)
+    val ns = cum.groupBy("grp").agg(sum("cnt").as("_n"))
+    val qlits = array(qPpms.map(q => lit(q)): _*)
+    val probes = ns
+      .select(col("grp").as("_grpq"), explode(qlits).as("q_ppm"),
+        col("_n"))
+      .withColumn("rank_",
+        floor((col("q_ppm").cast(D) * col("_n").cast(D) + 999999)
+          / 1000000).cast(LongType))
+      .drop("_n")
+    cum.join(probes,
+        col("_grpq") === col("grp") && cum("cum") >= probes("rank_"))
+      .groupBy(col("grp"), col("q_ppm"), col("rank_"))
+      .agg(min("v").as("value"))
+      .orderBy("grp", "q_ppm")
+  }
+
   /** Equi-depth histogram with k buckets. Each DISTINCT value lands
     * whole in the bucket of its first row (rank cum−cnt), so bucket
     * populations are as even as duplicate mass allows while bucket

@@ -573,8 +573,231 @@ object AnalyticsQueries {
       FROM scores s2 JOIN cum ON s2.score = cum.v, n
       ORDER BY s2.doc_id"""))
 
+  // ---- q207: top session paths (behavioral sequence mining) -----------
+  // The product-analytics "what do users DO" board: 30-min-gap
+  // sessions (q26's assignment, verbatim), event-type trigrams via
+  // lead() within each session (per-(user, session) windows —
+  // parallel, never global), one map-side-combined path census,
+  // TakeOrdered board. concat (not concat_ws) so a truncated
+  // window yields NULL like SQL's || — the filter and the oracle
+  // agree on which rows exist.
+
+  private val q207 = GraftQuery(
+    "q207_event_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("is_new",
+          col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 1800000000L)
+        .withColumn("session_idx",
+          count(when(col("is_new"), lit(1))).over(wRun))
+      val wS = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(wS))
+        .withColumn("t3", lead(col("event_type"), 2).over(wS))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat(col("event_type"), lit(">"), col("t2"),
+          lit(">"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("path"))
+        .limit(10)
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts, event_type,
+          count(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_idx
+        FROM flagged),
+      paths AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER ws
+            || '>' || lead(event_type, 2) OVER ws AS path
+        FROM sess
+        WINDOW ws AS (PARTITION BY user_id, session_idx
+          ORDER BY ts, event_id))
+      SELECT path, count(*) AS n_paths FROM paths
+      WHERE path IS NOT NULL
+      GROUP BY path ORDER BY n_paths DESC, path LIMIT 10"""))
+
+  // ---- q208: per-group exact latency percentiles ----------------------
+  // The per-service latency board (p50/p95/p99 by event type) through
+  // Stats.groupedCumulativeCensus — the distributed-quantile
+  // machinery with the group key threaded through every stage.
+  // Values in exact milli units (the DECIMAL rule).
+
+  private val q208 = GraftQuery(
+    "q208_grouped_quantiles",
+    (s, d) => graft.operators.Stats.groupedExactQuantiles(
+      Tables.events(s, d).select(col("event_type"),
+        (col("value").cast(DecimalType(12, 3)) * 1000)
+          .cast(LongType).as("v_milli")),
+      "event_type", "v_milli", Seq(500000L, 950000L, 990000L)),
+    Some("""WITH c AS (SELECT event_type AS grp,
+          CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      cen AS (SELECT grp, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+      cum AS (SELECT grp, v, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum FROM cen),
+      n AS (SELECT grp, count(*) AS n FROM c GROUP BY 1),
+      q(q_ppm) AS (SELECT unnest([500000, 950000, 990000])),
+      r AS (SELECT n.grp, q.q_ppm,
+          (q.q_ppm * n.n + 999999) // 1000000 AS rank_ FROM n, q)
+      SELECT r.grp AS grp, CAST(r.q_ppm AS BIGINT) AS q_ppm,
+        CAST(r.rank_ AS BIGINT) AS rank_, min(cum.v) AS value
+      FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank_
+      GROUP BY 1, 2, 3 ORDER BY r.grp, q_ppm"""))
+
+  // ---- q209: Pearson correlation matrix -------------------------------
+  // Decimal-exact moment sums (aggregation-order-independent), final
+  // arithmetic in IEEE double with an expression shape mirrored
+  // TOKEN-FOR-TOKEN in the oracle (same casts, same operation order —
+  // double ops are deterministic, so identical expressions over
+  // identical integers match bit-for-bit). Quantity in integer units,
+  // price in cents, discount in milli.
+
+  private val q209 = GraftQuery(
+    "q209_correlation",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast(DecimalType(12, 0)).as("x"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(38, 0)).as("y"),
+        (col("l_discount").cast(DecimalType(6, 3)) * 1000)
+          .cast(DecimalType(38, 0)).as("z"))
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def r(sa: String, sb: String, sab: String, saa: String,
+            sbb: String): String =
+        s"""round((CAST(n AS DOUBLE) * CAST($sab AS DOUBLE)
+           - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST($saa AS DOUBLE)
+             - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE)
+               - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE))), 6)"""
+      m.selectExpr(s"""stack(3,
+          'qty_price', ${r("sx", "sy", "sxy", "sxx", "syy")},
+          'qty_disc', ${r("sx", "sz", "sxz", "sxx", "szz")},
+          'price_disc', ${r("sy", "sz", "syz", "syy", "szz")})
+        AS (pair, r)""")
+        .orderBy("pair")
+    },
+    Some("""WITH v AS (SELECT
+          CAST(CAST(l_quantity AS DECIMAL(12,0)) AS HUGEINT) AS x,
+          CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+            AS DECIMAL(38,0)) AS HUGEINT) AS y,
+          CAST(CAST(CAST(l_discount AS DECIMAL(6,3)) * 1000
+            AS DECIMAL(38,0)) AS HUGEINT) AS z
+        FROM lineitem),
+      m AS (SELECT count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+          sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+          sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+        FROM v)
+      SELECT pair, r FROM (
+        SELECT 'qty_price' AS pair,
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        FROM m
+        UNION ALL
+        SELECT 'qty_disc',
+          round((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+        FROM m
+        UNION ALL
+        SELECT 'price_disc',
+          round((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+        FROM m)
+      ORDER BY pair"""))
+
+  // ---- q210: chi-square independence (lang × source) ------------------
+  // The categorical-dependence check in EXACT integers: per-cell
+  // contribution floor((o·N − r·c)²·10⁶ / (N·r·c)) in DECIMAL(38)/
+  // HUGEINT (the naive double Σ is summation-order-dependent across
+  // engines — the same reason the money rule exists), summed to
+  // chi2_micro. One contingency census + two marginal censuses,
+  // all map-side-combined; dof from the marginal cardinalities.
+
+  private val q210 = GraftQuery(
+    "q210_chi2_independence",
+    (s, d) => {
+      val dd = docs(s, d)
+      val cells = dd.groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rows_ = dd.groupBy("lang").agg(count(lit(1)).as("r"))
+      val cols_ = dd.groupBy("source").agg(count(lit(1)).as("c"))
+      val n = dd.agg(count(lit(1)).as("nn"))
+      cells.join(rows_, Seq("lang")).join(cols_, Seq("source"))
+        .crossJoin(broadcast(n))
+        .select(expr("""CAST((CAST(o AS DECIMAL(38,0)) * nn
+            - CAST(r AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))""")
+          .as("_num"), col("r"), col("c"), col("nn"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(expr("""CAST(FLOOR(_num * _num * 1000000 /
+            (CAST(nn AS DECIMAL(38,0)) * r * c)) AS DECIMAL(38,0))"""))
+            .cast(LongType).as("chi2_micro"))
+        .crossJoin(broadcast(
+          rows_.agg(count(lit(1)).as("_nr"))))
+        .crossJoin(broadcast(
+          cols_.agg(count(lit(1)).as("_nc"))))
+        .select(col("n_cells"),
+          expr("(_nr - 1) * (_nc - 1)").as("dof"),
+          col("chi2_micro"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+        FROM documents GROUP BY 1, 2),
+      rw AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+      cl AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      n AS (SELECT count(*) AS nn FROM documents),
+      terms AS (SELECT
+          CAST(cells.o AS HUGEINT) * n.nn
+            - CAST(rw.r AS HUGEINT) * cl.c AS num,
+          rw.r, cl.c, n.nn
+        FROM cells JOIN rw USING (lang) JOIN cl USING (source), n)
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        CAST((SELECT count(*) FROM rw) - 1 AS BIGINT)
+          * ((SELECT count(*) FROM cl) - 1) AS dof,
+        CAST(sum((num * num * 1000000)
+          // (CAST(nn AS HUGEINT) * r * c)) AS BIGINT) AS chi2_micro
+      FROM terms"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206)
+      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }
 

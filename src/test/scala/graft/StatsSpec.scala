@@ -66,6 +66,30 @@ class StatsSpec extends AnyFunSuite {
     assert(s.getDouble(4) >= 0.0)
   }
 
+  test("grouped quantiles match the per-group single-node definition") {
+    val grouped = values.withColumn("g",
+      (col("v") % 3 === 0).cast("string"))
+    val got = Stats.groupedExactQuantiles(grouped, "g", "v",
+        Seq(500000L, 1000000L), coarseBuckets = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val local = values.collect().map(_.getLong(0))
+      .groupBy(v => (v % 3 == 0).toString)
+    local.foreach { case (g, vs) =>
+      val sorted = vs.sorted
+      val n = sorted.length
+      assert(got((g, 1000000L)) === sorted.max)
+      assert(got((g, 500000L)) === sorted((n + 1) / 2 - 1))
+    }
+    // null groups and null values are excluded, not a crash
+    val withNulls = grouped.union(
+      Seq((Option.empty[Long], Option("x")),
+        (Option(5L), Option.empty[String]))
+        .toDF("v", "g"))
+    assert(Stats.groupedExactQuantiles(withNulls, "g", "v",
+      Seq(500000L)).filter(col("grp") === "x").count() === 0)
+  }
+
   test("stats TVFs: SQL path matches the Scala operator; bad args refuse loudly") {
     values.createOrReplaceTempView("graft_stats_tvf")
     try {
