@@ -141,6 +141,43 @@ object ScaleOps {
       .limit(topN)
   }
 
+  /** SCD2 temporal dimension join — facts against a slowly-changing
+    * dimension HISTORY: each fact row picks the dimension version
+    * whose `[fromCol, toCol)` validity covers the fact's date, for
+    * its key. Planned as a plain equi-join on the key with the range
+    * test as a post-join filter — the equi key keeps it a hash/SMJ
+    * join (a bare range join would plan BroadcastNestedLoop, the
+    * [[intervalJoin]] problem; here the key IS the bucket). Inner
+    * semantics: a fact with no covering version is dropped — with a
+    * well-formed history (contiguous, non-overlapping) that only
+    * happens for dates outside the history's span, and
+    * [[scd2Overlaps]] is the contract check that the history IS
+    * well-formed (overlapping versions would DUPLICATE facts here —
+    * run the check when the history lands, not per join). */
+  def scd2Join(facts: DataFrame, dimHistory: DataFrame, keyCol: String,
+               factDateCol: String, fromCol: String,
+               toCol: String): DataFrame =
+    facts.join(dimHistory, Seq(keyCol))
+      .filter(col(factDateCol) >= col(fromCol) &&
+        col(factDateCol) < col(toCol))
+
+  /** Overlapping-version pairs in an SCD2 history (empty = well-
+    * formed). Self-join per key — version counts per key are small
+    * by construction (a dimension row changes a handful of times),
+    * so the per-key product is bounded; the hottest key is an
+    * AQE-splittable join key. */
+  def scd2Overlaps(dimHistory: DataFrame, keyCol: String,
+                   fromCol: String, toCol: String): DataFrame = {
+    val a = dimHistory.select(col(keyCol), col(fromCol).as("_fa"),
+      col(toCol).as("_ta"))
+    val b = dimHistory.select(col(keyCol), col(fromCol).as("_fb"),
+      col(toCol).as("_tb"))
+    a.join(b, Seq(keyCol))
+      .filter(col("_fa") < col("_fb") ||
+        (col("_fa") === col("_fb") && col("_ta") < col("_tb")))
+      .filter(col("_fb") < col("_ta"))
+  }
+
   /** Small-file compaction — the table-maintenance chore every
     * long-lived 100 TB parquet table needs (streaming ingests and
     * per-batch appends accumulate kilobyte files whose per-file open/

@@ -193,6 +193,39 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** Long-format numeric profiler — the "describe this table" read a
+    * data platform runs when a dataset lands: per column, non-null
+    * count, distinct count, min, max and the exact median, as
+    * (column_, stat, value) rows. One aggregate pass plus one
+    * [[exactQuantiles]] chain per column (columns are few; each
+    * chain is the distributed-census shape), plus a table row-count
+    * row. A column whose values are ALL null contributes its
+    * aggregate stats but no p50 row (there is no median of nothing).
+    * Values must be integral — the caller pre-projects decimal
+    * conversions (the cents rule). */
+  def profile(df: DataFrame, cols: Seq[String],
+              coarseBuckets: Int = 1024): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val perCol = cols.map { c =>
+      val base = df.select(col(c).cast(LongType).as("v"))
+      val agg = base.agg(
+          count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct"),
+          min("v").as("min_"), max("v").as("max_"))
+        .selectExpr(s"'$c' AS column_",
+          """stack(4, 'n_nonnull', n_nonnull, 'n_distinct', n_distinct,
+            'min', min_, 'max', max_) AS (stat, value)""")
+      val med = exactQuantiles(base, "v", Seq(500000L), coarseBuckets)
+        .select(lit(c).as("column_"), lit("p50").as("stat"),
+          col("value"))
+      agg.union(med)
+    }
+    val nRows = df.agg(count(lit(1)).as("value"))
+      .select(lit("_table").as("column_"), lit("n_rows").as("stat"),
+        col("value"))
+    (perCol :+ nRows).reduce(_ union _).orderBy("column_", "stat")
+  }
+
   /** Winsorized mean/stddev: clamp to the [loPpm, hiPpm] exact
     * quantiles, then decimal-exact moment sums (aggregation-order-
     * independent), final division/sqrt in double with fixed rounding.

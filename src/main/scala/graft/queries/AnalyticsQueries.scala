@@ -796,8 +796,108 @@ object AnalyticsQueries {
           // (CAST(nn AS HUGEINT) * r * c)) AS BIGINT) AS chi2_micro
       FROM terms"""))
 
+  // ---- q211: SCD2 temporal dimension join -----------------------------
+  // The slowly-changing-dimension read every star-schema warehouse
+  // runs: a two-epoch segment history synthesized from customer
+  // (epoch 2 moves every custkey≡0 mod 3 to 'MOVED' at 1998-01-01),
+  // orders joined to the version covering their order date. The
+  // equi-key keeps the plan a hash join (never the nested-loop a
+  // bare range join gets); the oracle replays history synthesis,
+  // range semantics and the census.
+
+  private val q211 = GraftQuery(
+    "q211_scd2_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val v1 = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("1990-01-01").cast(TimestampType).as("valid_from"),
+        lit("1998-01-01").cast(TimestampType).as("valid_to"))
+      val v2 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        lit("1998-01-01").cast(TimestampType).as("valid_from"),
+        lit("2990-01-01").cast(TimestampType).as("valid_to"))
+      val facts = Tables.orders(s, d).select(
+        col("o_custkey").as("c_custkey"), col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      graft.operators.ScaleOps.scd2Join(facts, v1.union(v2),
+          "c_custkey", "o_orderdate", "valid_from", "valid_to")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .orderBy("segment")
+    },
+    Some("""WITH hist AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+          TIMESTAMP '1990-01-01' AS f, TIMESTAMP '1998-01-01' AS t
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+            ELSE c_mktsegment END,
+          TIMESTAMP '1998-01-01', TIMESTAMP '2990-01-01'
+        FROM customer)
+      SELECT h.segment, count(*) AS n_orders,
+        CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+        AND o.o_orderdate >= h.f AND o.o_orderdate < h.t
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---- q212: numeric table profiler -----------------------------------
+  // Stats.profile over orders' cents and custkey — the landing-time
+  // "describe" read, long-format so any column count fits one
+  // schema. The oracle replays every aggregate AND the median's
+  // cumulative-rank definition per column.
+
+  private val q212 = GraftQuery(
+    "q212_table_profile",
+    (s, d) => graft.operators.Stats.profile(
+      Tables.orders(s, d).select(
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"),
+        col("o_custkey")),
+      Seq("cents", "o_custkey")),
+    Some("""WITH src AS (SELECT
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents, o_custkey
+        FROM orders),
+      p50c AS (
+        SELECT min(v) AS v FROM (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+            (SELECT count(cents) FROM src) AS n
+          FROM (SELECT cents AS v, count(*) AS cnt FROM src
+            WHERE cents IS NOT NULL GROUP BY 1))
+        WHERE cum >= (500000 * n + 999999) // 1000000),
+      p50k AS (
+        SELECT min(v) AS v FROM (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+            (SELECT count(o_custkey) FROM src) AS n
+          FROM (SELECT o_custkey AS v, count(*) AS cnt FROM src
+            WHERE o_custkey IS NOT NULL GROUP BY 1))
+        WHERE cum >= (500000 * n + 999999) // 1000000)
+      SELECT column_, stat, CAST(value AS BIGINT) AS value FROM (
+        SELECT 'cents' AS column_, 'n_nonnull' AS stat,
+          count(cents) AS value FROM src
+        UNION ALL SELECT 'cents', 'n_distinct',
+          count(DISTINCT cents) FROM src
+        UNION ALL SELECT 'cents', 'min', min(cents) FROM src
+        UNION ALL SELECT 'cents', 'max', max(cents) FROM src
+        UNION ALL SELECT 'cents', 'p50', v FROM p50c
+        UNION ALL SELECT 'o_custkey', 'n_nonnull',
+          count(o_custkey) FROM src
+        UNION ALL SELECT 'o_custkey', 'n_distinct',
+          count(DISTINCT o_custkey) FROM src
+        UNION ALL SELECT 'o_custkey', 'min', min(o_custkey) FROM src
+        UNION ALL SELECT 'o_custkey', 'max', max(o_custkey) FROM src
+        UNION ALL SELECT 'o_custkey', 'p50', v FROM p50k
+        UNION ALL SELECT '_table', 'n_rows', count(*) FROM src)
+      ORDER BY column_, stat"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
+      q211, q212)
 }
 

@@ -141,6 +141,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       graft.operators.Association.associationRules(b, "bid", "item", 1L, 0) }
   }
 
+  test("scd2Join picks the version covering each fact date; outside-span facts drop") {
+    val hist = Seq(
+      (1L, "v1", 100L, 200L), (1L, "v2", 200L, 300L),
+      (2L, "w1", 0L, 1000L)
+    ).toDF("k", "ver", "f", "t")
+    val facts = Seq((1L, 150L), (1L, 200L), (1L, 299L), (1L, 300L),
+      (2L, 500L), (3L, 150L)).toDF("k", "d")
+    val got = ScaleOps.scd2Join(facts, hist, "k", "d", "f", "t")
+      .select($"k", $"d", $"ver").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got === Set((1L, 150L, "v1"), (1L, 200L, "v2"),
+      (1L, 299L, "v2"), (2L, 500L, "w1")))
+  }
+
+  test("scd2Overlaps flags overlapping versions and passes a clean history") {
+    val clean = Seq((1L, 100L, 200L), (1L, 200L, 300L),
+      (2L, 0L, 50L)).toDF("k", "f", "t")
+    assert(ScaleOps.scd2Overlaps(clean, "k", "f", "t").count() === 0)
+    val dirty = clean.union(Seq((1L, 150L, 250L)).toDF("k", "f", "t"))
+    assert(ScaleOps.scd2Overlaps(dirty, "k", "f", "t").count() > 0)
+  }
+
   test("compactSmallFiles: content preserved, big files copied byte-identical, debris collapsed") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_compact_spec_").toString
