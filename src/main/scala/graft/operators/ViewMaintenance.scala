@@ -61,4 +61,33 @@ object ViewMaintenance {
           .as("total"))
       .filter(col("cnt") > 0)
   }
+
+  /** [[maintainAggView]] for a BEFORE-IMAGE changelog (the Debezium
+    * shape: D/U rows carry `old_grp`/`old_val`) — no base-table
+    * access at all, which is what a STREAMING maintainer needs: the
+    * view is the only state; facts never ride along. Work is purely
+    * changelog + delta-group sized. */
+  def maintainAggViewCdc(state: DataFrame, changelog: DataFrame,
+                         grpCol: String, valCol: String,
+                         oldGrpCol: String = "old_grp",
+                         oldValCol: String = "old_val",
+                         opCol: String = "op"): DataFrame = {
+    val op = col(opCol)
+    val oldSide = changelog.filter(op.isin("D", "U"))
+      .select(col(oldGrpCol).as("grp"), lit(-1L).as("_dc"),
+        (-col(oldValCol)).as("_dv"))
+    val newSide = changelog.filter(op.isin("U", "I"))
+      .select(col(grpCol).as("grp"), lit(1L).as("_dc"),
+        col(valCol).as("_dv"))
+    val delta = oldSide.union(newSide)
+      .groupBy("grp")
+      .agg(sum("_dc").as("_dc"), sum("_dv").as("_dv"))
+    state.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dc"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("_dv"), lit(0L)))
+          .as("total"))
+      .filter(col("cnt") > 0)
+  }
 }

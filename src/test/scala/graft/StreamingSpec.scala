@@ -472,6 +472,37 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming view maintenance: the maintained state equals the batch rebuild; drained re-run is a no-op") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_viewingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val st = root.resolve("state")
+    val ckpt = root.resolve("ckpt")
+    // shard 1: inserts; shard 2: a delete, a group-moving update, an insert
+    Seq(("I", "a", 10L, null.asInstanceOf[String], 0L),
+      ("I", "a", 20L, null.asInstanceOf[String], 0L),
+      ("I", "b", 30L, null.asInstanceOf[String], 0L))
+      .toDF("op", "grp", "val", "old_grp", "old_val")
+      .coalesce(1).write.json(raw.resolve("f1").toString)
+    Seq(("D", null.asInstanceOf[String], 0L, "b", 30L),
+      ("U", "c", 25L, "a", 20L),
+      ("I", "d", 50L, null.asInstanceOf[String], 0L))
+      .toDF("op", "grp", "val", "old_grp", "old_val")
+      .coalesce(1).write.json(raw.resolve("f2").toString)
+    graft.streaming.ViewIngest.runAggViewIngest(spark,
+      raw.toString + "/*/", st.toString, ckpt.toString)
+    def state(): Set[(String, Long, Long)] =
+      graft.streaming.ViewIngest.readAggView(spark, st.toString)
+        .as[(String, Long, Long)].collect().toSet
+    // final facts: a=10, c=25, d=50 → b evicted at zero count
+    val expected = Set(("a", 1L, 10L), ("c", 1L, 25L), ("d", 1L, 50L))
+    assert(state() === expected)
+    // drained re-run (no new files) must not disturb the state
+    graft.streaming.ViewIngest.runAggViewIngest(spark,
+      raw.toString + "/*/", st.toString, ckpt.toString)
+    assert(state() === expected)
+  }
+
   test("streaming sketch ingest: merged grid equals the batch build; replay repaired") {
     import graft.operators.Sketches
     import graft.functions.TextFunctions.whitespaceTokens

@@ -58,6 +58,21 @@ class ViewMaintenanceSpec extends AnyFunSuite {
     assert(m("d") === (1L, 50L))
   }
 
+  test("before-image changelog path equals the base-consulting path") {
+    val state = ViewMaintenance.aggView(base, "grp", "val")
+    // same ops as `changelog`, with old images attached (ids 3, 2)
+    val cdc = Seq(
+      ("D", "b", 30L, "b", 30L), ("U", "c", 25L, "a", 20L),
+      ("I", "d", 50L, null.asInstanceOf[String], 0L),
+      ("I", "a", 60L, null.asInstanceOf[String], 0L)
+    ).toDF("op", "grp", "val", "old_grp", "old_val")
+    val viaCdc = ViewMaintenance.maintainAggViewCdc(state, cdc,
+      "grp", "val")
+    val viaBase = ViewMaintenance.maintainAggView(state, base,
+      changelog, "id", "grp", "val")
+    assert(collectView(viaCdc) === collectView(viaBase))
+  }
+
   test("an empty changelog is the identity") {
     val state = ViewMaintenance.aggView(base, "grp", "val")
     val out = ViewMaintenance.maintainAggView(state, base,
