@@ -895,9 +895,96 @@ object AnalyticsQueries {
         UNION ALL SELECT '_table', 'n_rows', count(*) FROM src)
       ORDER BY column_, stat"""))
 
+  // ---- q214: per-customer time-series features ------------------------
+  // The churn-model feature generator: lag, 3-order rolling sum,
+  // prior-order count and inter-purchase gap per customer — one
+  // shuffle on the customer key, every window sharing that
+  // partitioning (parallel per-customer state, never global). All
+  // integer (cents, days).
+
+  private val q214 = GraftQuery(
+    "q214_ts_features",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("roll3_cents",
+          sum(col("cents")).over(w.rowsBetween(-2, 0)))
+        .withColumn("n_prior",
+          (row_number().over(w) - 1).cast(LongType))
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast(LongType))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          col("prev_cents"), col("roll3_cents"), col("n_prior"),
+          col("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders)
+      SELECT o_custkey, o_orderkey, cents,
+        lag(cents) OVER w AS prev_cents,
+        CAST(sum(cents) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS roll3_cents,
+        CAST(row_number() OVER w - 1 AS BIGINT) AS n_prior,
+        CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+      FROM f
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- q215: zero-filled date spine -----------------------------------
+  // The BI gap-filling read: a calendar spine left-joined to the
+  // daily revenue census so empty days report 0 instead of
+  // vanishing (a dashboard that skips silent days hides outages).
+  // Spine bounds are literals — the report window is a contract, not
+  // data-derived.
+
+  private val q215 = GraftQuery(
+    "q215_date_spine",
+    (s, d) => {
+      val spine = s.sql("""SELECT explode(sequence(
+          to_date('1995-01-01'), to_date('1995-03-31'),
+          interval 1 day)) AS day""")
+      val daily = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("day"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .orderBy("day")
+    },
+    Some("""WITH spine AS (SELECT unnest(generate_series(
+          DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))
+          AS day),
+      daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          count(*) AS n_orders,
+          sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS cents
+        FROM orders GROUP BY 1)
+      SELECT CAST(spine.day AS DATE) AS day,
+        CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders,
+        CAST(coalesce(daily.cents, 0) AS BIGINT) AS cents
+      FROM spine LEFT JOIN daily USING (day)
+      ORDER BY day"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-      q211, q212)
+      q211, q212, q214, q215)
 }
 

@@ -1012,8 +1012,63 @@ object Relational2 {
         CAST((conf_ppm * n.n) // nb AS BIGINT) AS lift_ppm
       FROM r, n ORDER BY lift_ppm DESC, ante, cons LIMIT 25"""))
 
+  // ---- q213: item-item cosine similarity (collaborative filtering) ----
+  // The "customers also bought" board beside q182's rules: cosine
+  // normalization (squared, to stay rational — sim_micro =
+  // n_ab²·10⁶ div (n_a·n_b)) over the SAME materialized canonical
+  // pair census, per-item top-3 through the bounded heap. Rules rank
+  // by confidence/lift (directional); cosine is the symmetric
+  // geometry the recommender tier uses.
+
+  private val q213 = GraftQuery(
+    "q213_item_similarity",
+    (s, d) => {
+      val canon = pairCountsMaterialized(s, d)
+      val directed = canon
+        .select(col("pa").as("item"), col("pb").as("nbr"),
+          col("w").as("n_ab"))
+        .union(canon.select(col("pb").as("item"), col("pa").as("nbr"),
+          col("w").as("n_ab")))
+        .filter(col("n_ab") >= 3)
+      val ic = li(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+        .groupBy(col("i")).agg(count(lit(1)).as("ni"))
+      val scored = directed
+        .join(ic.select(col("i").as("item"), col("ni").as("n_a")),
+          Seq("item"))
+        .join(ic.select(col("i").as("nbr"), col("ni").as("n_b")),
+          Seq("nbr"))
+        .withColumn("sim_micro",
+          expr("(n_ab * n_ab * 1000000L) div (n_a * n_b)"))
+      graft.plans.TopKPerGroup(scored, Seq("item"),
+          Seq(("sim_micro", false), ("nbr", true)), 3)
+        .select(col("item"), col("nbr"), col("n_ab"),
+          col("sim_micro"))
+        .orderBy(col("item"), col("sim_micro").desc, col("nbr"))
+    },
+    Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem),
+      ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+      pc AS (SELECT a.i AS pa, b.i AS pb, count(*) AS w
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2),
+      dir AS (SELECT pa AS item, pb AS nbr, w FROM pc
+        UNION ALL SELECT pb, pa, w FROM pc),
+      sc AS (SELECT dir.item, dir.nbr, dir.w AS n_ab,
+          (dir.w * dir.w * 1000000) // (ca.ni * cb.ni) AS sim_micro
+        FROM dir JOIN ic ca ON ca.i = dir.item
+        JOIN ic cb ON cb.i = dir.nbr
+        WHERE dir.w >= 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY item
+          ORDER BY sim_micro DESC, nbr) AS rn FROM sc)
+      SELECT item, nbr, CAST(n_ab AS BIGINT) AS n_ab,
+        CAST(sim_micro AS BIGINT) AS sim_micro
+      FROM r WHERE rn <= 3
+      ORDER BY item, sim_micro DESC, nbr"""))
+
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
       q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180, q182,
-      q184, q186, q187)
+      q184, q186, q187, q213)
 }
