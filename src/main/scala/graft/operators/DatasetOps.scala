@@ -425,6 +425,70 @@ object DatasetOps {
       .drop("_draw")
   }
 
+  /** Class-balance oversampling to EXACT parity: every label is
+    * replicated up to the majority class's count — `target div c`
+    * full copies per row plus ONE extra copy for exactly
+    * `r = target mod c` deterministically-chosen rows. The remainder
+    * pick needs a per-class rank, and a naive per-class
+    * `row_number()` is a one-task sort of the largest class (the
+    * q130 smell); instead rows are md5-dealt over `nShards` shards
+    * and each shard picks a QUOTA of its own rows (per-(label,
+    * shard) windows — executor-resident, the q99/q127 trick).
+    * Quotas are exact by largest-remainder apportionment over the
+    * per-shard SIZES (a naive `r div S` deal under-fills when a
+    * shard holds fewer rows than its quota — the md5 deal is
+    * uneven): base `⌊r·size_s/c⌋` ≤ size_s because r < c, the
+    * shortfall goes to the shards with the largest integer
+    * remainders `(r·size_s) mod c` (ties by shard id), and that
+    * allocation runs in windows over ≤ nShards rows per label — a
+    * bounded constant, never data-sized. Membership is a pure
+    * function of (salt, id): reshuffle/append-stable, and the
+    * oracle replays the deal, the apportionment and the picks.
+    * Output: input columns plus `copy_idx` (1-based) — one row per
+    * copy, the dataset a class-balanced trainer actually reads. */
+  def oversampleToParity(df: DataFrame, idCol: String,
+                         labelCol: String, salt: String = "bal",
+                         nShards: Int = 64): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val rows = df.filter(col(labelCol).isNotNull)
+      .withColumn("_draw", md5Draw(salt, col(idCol)))
+      .withColumn("_shard", pmod(col("_draw"), lit(nShards.toLong)))
+    val census = rows.groupBy(col(labelCol)).agg(count(lit(1)).as("_c"))
+    val target = census.agg(max("_c").as("_t"))
+    // per-(label, shard) sizes → exact quota apportionment over a
+    // ≤ nShards-row frame per label
+    val sizes = rows.groupBy(col(labelCol), col("_shard"))
+      .agg(count(lit(1)).as("_ss"))
+      .join(census, Seq(labelCol))
+      .crossJoin(broadcast(target))
+      .withColumn("_r", expr("_t % _c"))
+      .withColumn("_base", expr("(_r * _ss) div _c"))
+      .withColumn("_frac", expr("(_r * _ss) % _c"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(col("_frac").desc, col("_shard"))
+    val baseSums = sizes.groupBy(col(labelCol))
+      .agg(sum("_base").as("_baseSum"), min("_r").as("_rr"))
+    val quotas = sizes
+      .withColumn("_frank", row_number().over(wRank))
+      .join(baseSums, Seq(labelCol))
+      .withColumn("_q", expr(
+        "_base + (CASE WHEN _frank <= _rr - _baseSum THEN 1 ELSE 0 END)"))
+      .select(col(labelCol), col("_shard"), col("_q"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol), col("_shard"))
+      .orderBy(col("_draw"), col(idCol))
+    rows.join(quotas, Seq(labelCol, "_shard"))
+      .join(census, Seq(labelCol))
+      .crossJoin(broadcast(target))
+      .withColumn("_rs", row_number().over(wPick))
+      .withColumn("copies", expr(
+        "_t div _c + (CASE WHEN _rs <= _q THEN 1 ELSE 0 END)"))
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("copies"))))
+      .drop("_c", "_t", "_draw", "_shard", "_q", "_rs", "copies")
+  }
+
   /** Hashing-trick TF-IDF featurization — the EXPORT side of the
     * fasttext-shaped pipeline ([[classifierScores]] folds hashed
     * features into a score; this emits them, relational-sparse, for

@@ -54,6 +54,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training feed beside
+    * [[graft.operators.Similarity]]'s kNN and triplet ops: for each
+    * query, the k most-similar candidates whose LABEL DIFFERS (the
+    * "looks alike but isn't" examples that sharpen a classifier far
+    * more than random negatives). Same exact-tier shape as
+    * [[bruteForceTopK]] (queries broadcast over one corpus scan, the
+    * label test fused into the scan's filter) with the same bounded-
+    * heap ranking; the production path swaps the scan for an ANN
+    * probe, the contract is identical.
+    * @param queries    (qid, qvec, qlab)
+    * @param candidates (cid, cvec, clab)
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("qid") && col("clab") =!= col("qlab"))
+      .select(col("qid"), col("cid"),
+        round(cosineFast(col("qvec"), col("cvec")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Multi-probe LSH ANN: exact cosine within matching signature
     * buckets only. Each query probes every signature within Hamming
     * distance `probeHamming` of its own — a true neighbor lands in a

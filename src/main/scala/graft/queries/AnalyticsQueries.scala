@@ -982,9 +982,103 @@ object AnalyticsQueries {
       FROM spine LEFT JOIN daily USING (day)
       ORDER BY day"""))
 
+  // ---- q216: hard-negative mining -------------------------------------
+  // The contrastive-training feed: per query vector, the 3 most
+  // cosine-similar candidates with a DIFFERENT label — "looks alike
+  // but isn't". Exact tier (queries broadcast, label test fused in
+  // the scan filter, bounded-heap rank); oracle is q45's replay with
+  // the label clause.
+
+  private val q216 = GraftQuery(
+    "q216_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"),
+          col("label").as("qlab"))
+      val cs = e.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec"),
+        col("label").as("clab"))
+      graft.operators.Similarity.hardNegatives(qs, cs, 3)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid,
+          CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+          label AS cl
+        FROM embeddings),
+      s AS (SELECT qid, cid,
+          round(list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))), 6) AS sim
+        FROM q CROSS JOIN c WHERE cid <> qid AND cl <> ql)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid
+          ORDER BY sim DESC, cid) AS rank FROM s) t
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  // ---- q217: class-balance oversampling to exact parity ---------------
+  // Every label replicated to the majority count; the remainder pick
+  // is sharded (never a one-task class sort — DatasetOps scaladoc).
+  // The census gates n_final == target for every label AND the
+  // draw-mass gates WHICH rows got the extra copies.
+
+  private val q217 = GraftQuery(
+    "q217_class_balance",
+    (s, d) => {
+      val bal = graft.operators.DatasetOps.oversampleToParity(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id", "label")
+      val draw = conv(substring(md5(concat(lit("bal:"),
+        col("vec_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType)
+      bal.groupBy("label")
+        .agg(countDistinct(col("vec_id")).as("n_orig"),
+          count(lit(1)).as("n_final"),
+          sum(draw).as("draw_mass"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label FROM embeddings
+        WHERE label IS NOT NULL),
+      c AS (SELECT label, count(*) AS c FROM e GROUP BY 1),
+      t AS (SELECT max(c) AS t FROM c),
+      d AS (SELECT e.vec_id, e.label,
+          CAST(concat('0x', substring(md5('bal:' || vec_id), 1, 8))
+            AS BIGINT) AS draw,
+          CAST(concat('0x', substring(md5('bal:' || vec_id), 1, 8))
+            AS BIGINT) % 64 AS shard
+        FROM e),
+      ss AS (SELECT label, shard, count(*) AS ss FROM d GROUP BY 1, 2),
+      s2 AS (SELECT ss.label, ss.shard, ss.ss, c.c, t.t,
+          t.t % c.c AS r,
+          ((t.t % c.c) * ss.ss) // c.c AS base,
+          ((t.t % c.c) * ss.ss) % c.c AS frac
+        FROM ss JOIN c USING (label), t),
+      bs AS (SELECT label, sum(base) AS basesum, min(r) AS r
+        FROM s2 GROUP BY 1),
+      qt AS (SELECT s2.label, s2.shard,
+          s2.base + (CASE WHEN row_number() OVER (
+              PARTITION BY s2.label ORDER BY s2.frac DESC, s2.shard)
+            <= bs.r - bs.basesum THEN 1 ELSE 0 END) AS q
+        FROM s2 JOIN bs USING (label)),
+      r2 AS (SELECT d.vec_id, d.label, d.draw, qt.q, c.c, t.t,
+          row_number() OVER (PARTITION BY d.label, d.shard
+            ORDER BY d.draw, d.vec_id) AS rs
+        FROM d JOIN qt ON qt.label = d.label AND qt.shard = d.shard
+        JOIN c ON c.label = d.label, t),
+      x AS (SELECT vec_id, label, draw,
+          t // c + (CASE WHEN rs <= q THEN 1 ELSE 0 END) AS copies
+        FROM r2)
+      SELECT label, count(*) AS n_orig,
+        CAST(sum(copies) AS BIGINT) AS n_final,
+        CAST(sum(draw * copies) AS BIGINT) AS draw_mass
+      FROM x GROUP BY label ORDER BY label"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-      q211, q212, q214, q215)
+      q211, q212, q214, q215, q216, q217)
 }
 

@@ -364,6 +364,40 @@ class DatasetOpsSpec extends AnyFunSuite {
       "an appended doc must never PROMOTE a previously-cut doc")
   }
 
+  test("oversampleToParity: every class reaches the majority count exactly") {
+    // classes of 40 / 23 / 7 -> target 40
+    val df = ((0L until 40L).map((_, "big")) ++
+      (100L until 123L).map((_, "mid")) ++
+      (200L until 207L).map((_, "small"))).toDF("id", "lab")
+    val out = DatasetOps.oversampleToParity(df, "id", "lab",
+      nShards = 8)
+    val census = out.groupBy("lab")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(census("big") === (40L, 40L))
+    assert(census("mid") === (40L, 23L))
+    assert(census("small") === (40L, 7L))
+    // per-row copies are full or full+1, never more
+    val copies = out.groupBy("id", "lab").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(copies.filter(_._1 == "mid").forall(c => c._2 == 1L || c._2 == 2L))
+    assert(copies.filter(_._1 == "small").forall(c => c._2 == 5L || c._2 == 6L))
+    // layout invariance
+    val out2 = DatasetOps.oversampleToParity(df.repartition(7), "id",
+      "lab", nShards = 8)
+      .groupBy("id").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = out.groupBy("id").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 === base)
+    // copy_idx enumerates 1..copies
+    val idx = out.filter(col("id") === 200L)
+      .select("copy_idx").as[Long].collect().sorted
+    assert(idx === (1L to idx.length).toArray)
+  }
+
   test("weightedPrioritySample: weight-monotone, deterministic, heap-planned") {
     // two groups; ids 0..99 weight 1, ids 100..199 weight 100000
     val df = (0L until 200L)
