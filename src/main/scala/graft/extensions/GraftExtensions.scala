@@ -818,6 +818,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(children(1), "value_col"), intLit(children(2), "k"))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("grouped_quantiles"),
+      new ExpressionInfo("graft.operators.Stats", "grouped_quantiles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: grouped_quantiles(table, group_col, value_col, 'ppm1,ppm2,...')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val ppms = strLit(children(3), "q_ppms").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { t =>
+            scala.util.Try(t.toLong).getOrElse(
+              throw new IllegalArgumentException(
+                s"grouped_quantiles: q_ppms must be comma-separated " +
+                  s"integers, got '$t'"))
+          }
+        graft.operators.Stats.groupedExactQuantiles(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "group_col"),
+            strLit(children(2), "value_col"), ppms)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_profile"),
+      new ExpressionInfo("graft.operators.Stats", "table_profile"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "usage: table_profile(table, 'col1,col2,...')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val cols_ = strLit(children(1), "cols").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        require(cols_.nonEmpty,
+          "table_profile: at least one column required")
+        graft.operators.Stats.profile(
+            spark.table(strLit(children(0), "table")), cols_)
+          .queryExecution.analyzed
+      }))
     // Weighted deterministic sampling from SQL (q199's operator).
     ext.injectTableFunction((
       new FunctionIdentifier("weighted_sample"),
