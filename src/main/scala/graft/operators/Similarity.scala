@@ -75,6 +75,91 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product quantization (Jégou et al. 2011) — the memory side of
+    * the ANN stack (IVF prunes WHICH vectors to score; PQ shrinks
+    * WHAT is stored per vector): each vector is split into `m`
+    * subvectors and each subvector replaced by the index of its
+    * nearest codebook centroid — m bytes instead of m·subDim·8, the
+    * compression that lets a 100 TB embedding store fit an ADC scan
+    * in memory. Codebooks are md5-derived ([[graft.functions
+    * .VectorFunctions.md5Vectors]], the q46/q55 replay trick) so the
+    * oracle rebuilds codes, lookup tables and rankings bit-for-bit.
+    * The md5 tier gates the PLUMBING (codes, luts, ADC sums — the
+    * SimilaritySpec replays est == distance-to-coded-centroids);
+    * NEIGHBORHOOD fidelity additionally needs codebooks trained on
+    * the data (one [[KMeans]] run per subspace — drops in without
+    * changing any plumbing, but its data-averaged centroids are
+    * float-sum-order-dependent and so deliberately outside the
+    * bit-exact oracle contract, the same reason q55's IVF uses md5
+    * centroids).
+    *
+    * Float discipline: every squared distance is an UNROLLED
+    * left-associated expression (identical operation order in Spark
+    * and the oracle — IEEE doubles then match bit-for-bit), and ADC
+    * sums integer micro-units (`floor(dist·10⁶)`) so the per-pair
+    * accumulation is order-independent. */
+  object Pq {
+    val m = 8; val ksub = 16; val subDim = 8
+
+    def codebook(sub: Int): Seq[Seq[Double]] =
+      graft.functions.VectorFunctions.md5Vectors(ksub, subDim,
+        s"pq:$sub")
+
+    /** Unrolled squared L2 between `vec`'s subvector `sub` and the
+      * centroid (sub, k) — fixed evaluation order. */
+    private def distSq(vec: Column, sub: Int, k: Int): Column = {
+      val cent = codebook(sub)(k)
+      (0 until subDim).map { dd =>
+        val x = element_at(vec, sub * subDim + dd + 1)
+        val c = lit(cent(dd))
+        (x - c) * (x - c)
+      }.reduceLeft(_ + _)
+    }
+
+    /** PQ codes, relational form: (id, sub, code) — m rows per
+      * vector, each code the FIRST argmin (ties to the smallest
+      * index, matching the oracle's (dist, k) order). */
+    def encode(df: DataFrame, idCol: String,
+               vecCol: String): DataFrame = {
+      val v = col(vecCol)
+      val codeCols = (0 until m).map { sub =>
+        val dists = array((0 until ksub).map(k => distSq(v, sub, k)): _*)
+        (array_position(dists, array_min(dists)) - 1).cast(LongType)
+      }
+      df.select(col(idCol), posexplode(array(codeCols: _*)))
+        .select(col(idCol), col("pos").cast(LongType).as("sub"),
+          col("col").as("code"))
+    }
+
+    /** ADC top-k: per query, an m×ksub lookup table of integer
+      * micro-distances (one projection + posexplode — never a
+      * 128-way union), joined against the candidate codes and
+      * summed. Queries are few and the lut broadcasts; candidates
+      * contribute m CODE rows each — the raw vectors never ride.
+      * @param queries (qid, qvec) — qid must not collide with cids
+      * @param codes   output of [[encode]] as (cid, sub, code) */
+    def adcTopK(queries: DataFrame, codes: DataFrame,
+                k: Int): DataFrame = {
+      val lutExprs = for (sub <- 0 until m; kk <- 0 until ksub)
+        yield floor(distSq(col("qvec"), sub, kk) * 1e6).cast(LongType)
+      val lut = queries
+        .select(col("qid"), posexplode(array(lutExprs: _*)))
+        .select(col("qid"), expr(s"pos div $ksub").cast(LongType).as("sub"),
+          expr(s"pos % $ksub").cast(LongType).as("code"),
+          col("col").as("_lm"))
+      val est = codes.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("cid") =!= col("qid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum("_lm").as("est_micro"))
+      val kept = graft.plans.TopKPerGroup(est, Seq("qid"),
+        Seq(("est_micro", true), ("cid", true)), k)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("est_micro"), col("cid"))
+      kept.withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("qid"), col("rank"), col("cid"), col("est_micro"))
+    }
+  }
+
   /** Multi-probe LSH ANN: exact cosine within matching signature
     * buckets only. Each query probes every signature within Hamming
     * distance `probeHamming` of its own — a true neighbor lands in a

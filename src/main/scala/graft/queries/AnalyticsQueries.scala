@@ -1076,9 +1076,156 @@ object AnalyticsQueries {
         CAST(sum(draw * copies) AS BIGINT) AS draw_mass
       FROM x GROUP BY label ORDER BY label"""))
 
+  // ---- q218/q219: SQL TVF twins for profiler + grouped quantiles ------
+  // Parser-path parity for the two newest stats surfaces, oracles
+  // reused verbatim (the q201 convention).
+
+  private val q218 = GraftQuery(
+    "q218_sql_profile",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMP VIEW graft_profile_src AS
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS cents, o_custkey
+        FROM orders""")
+      s.sql("""SELECT column_, stat, value
+        FROM table_profile('graft_profile_src', 'cents, o_custkey')
+        ORDER BY column_, stat""")
+    },
+    q212.oracle)
+
+  private val q219 = GraftQuery(
+    "q219_sql_grouped_quantiles",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMP VIEW graft_events_milli AS
+        SELECT event_type, CAST(CAST(value AS DECIMAL(12,3)) * 1000
+          AS BIGINT) AS v_milli
+        FROM events""")
+      s.sql("""SELECT grp, q_ppm, rank_, value
+        FROM grouped_quantiles('graft_events_milli', 'event_type',
+          'v_milli', '500000, 950000, 990000')
+        ORDER BY grp, q_ppm""")
+    },
+    q208.oracle)
+
+  // ---- q220: IQR outlier fences per group -----------------------------
+  // Tukey's rule composed over the grouped-quantile machinery: per
+  // event type, fences at q1/q3 ∓ 1.5·IQR (3·IQR div 2 — exact
+  // integers), outliers counted by one join back to the raw values.
+
+  private val q220 = GraftQuery(
+    "q220_iqr_outliers",
+    (s, d) => {
+      val vals = Tables.events(s, d).select(col("event_type"),
+        (col("value").cast(DecimalType(12, 3)) * 1000)
+          .cast(LongType).as("v_milli"))
+      val qs = graft.operators.Stats.groupedExactQuantiles(
+          vals, "event_type", "v_milli", Seq(250000L, 750000L))
+        .groupBy(col("grp").as("event_type"))
+        .agg(min(when(col("q_ppm") === 250000L, col("value")))
+            .as("q1"),
+          min(when(col("q_ppm") === 750000L, col("value"))).as("q3"))
+        .withColumn("lo_fence", expr("q1 - (3 * (q3 - q1)) div 2"))
+        .withColumn("hi_fence", expr("q3 + (3 * (q3 - q1)) div 2"))
+      vals.join(qs, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min("q1").as("q1"), min("q3").as("q3"),
+          min("lo_fence").as("lo_fence"), min("hi_fence").as("hi_fence"),
+          sum(when(col("v_milli") < col("lo_fence")
+            || col("v_milli") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH c AS (SELECT event_type AS grp,
+          CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      cen AS (SELECT grp, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+      cum AS (SELECT grp, v, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum FROM cen),
+      n AS (SELECT grp, count(*) AS n FROM c GROUP BY 1),
+      q(q_ppm) AS (SELECT unnest([250000, 750000])),
+      r AS (SELECT n.grp, q.q_ppm,
+          (q.q_ppm * n.n + 999999) // 1000000 AS rank_ FROM n, q),
+      qv AS (SELECT r.grp, r.q_ppm, min(cum.v) AS value
+        FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank_
+        GROUP BY 1, 2),
+      f AS (SELECT grp,
+          min(CASE WHEN q_ppm = 250000 THEN value END) AS q1,
+          min(CASE WHEN q_ppm = 750000 THEN value END) AS q3
+        FROM qv GROUP BY 1),
+      f2 AS (SELECT grp, q1, q3,
+          q1 - (3 * (q3 - q1)) // 2 AS lo_fence,
+          q3 + (3 * (q3 - q1)) // 2 AS hi_fence
+        FROM f)
+      SELECT c.grp AS event_type, min(f2.q1) AS q1, min(f2.q3) AS q3,
+        min(f2.lo_fence) AS lo_fence, min(f2.hi_fence) AS hi_fence,
+        CAST(sum(CASE WHEN c.v < f2.lo_fence OR c.v > f2.hi_fence
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM c JOIN f2 USING (grp)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---- q221: product-quantization ADC search --------------------------
+  // The memory half of the ANN stack (Similarity.Pq scaladoc): 64-d
+  // vectors → 8 one-byte codes against md5-derived codebooks, top-5
+  // by asymmetric-distance lookup sums. The oracle rebuilds
+  // codebooks, every argmin code, the 8×16 lookup tables and the
+  // integer ADC ranking — the unrolled fixed-order distance text
+  // below is GENERATED so Spark and DuckDB evaluate the identical
+  // IEEE expression (the float-discipline contract).
+
+  /** DuckDB text of Pq's unrolled squared distance, with `sub`/`k`
+    * as column references — must mirror Similarity.Pq.distSq and
+    * VectorFunctions.md5Vectors term for term. */
+  private def pqDistSql(vecExpr: String): String =
+    (0 until 8).map { dd =>
+      val c = "(CAST(concat('0x', substring(md5('pq:' " +
+        s"|| CAST(sub AS VARCHAR) || ':' || CAST(k AS VARCHAR) " +
+        s"|| ':$dd'), 1, 8)) AS BIGINT) / 4294967296.0 * 2.0 - 1.0)"
+      val x = s"$vecExpr[sub * 8 + $dd + 1]"
+      s"(($x - $c) * ($x - $c))"
+    }.mkString(" + ")
+
+  private val q221 = GraftQuery(
+    "q221_pq_adc",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val codes = graft.operators.Similarity.Pq.encode(
+        e.select(col("vec_id").as("cid"), col("v")), "cid", "v")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      graft.operators.Similarity.Pq.adcTopK(queries, codes, 5)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      subs(sub) AS (SELECT unnest(range(8))),
+      ks(k) AS (SELECT unnest(range(16))),
+      dists AS (SELECT vec_id, sub, k, ${pqDistSql("v")} AS dist
+        FROM e, subs, ks),
+      codes AS (SELECT vec_id AS cid, sub, k AS code FROM (
+          SELECT vec_id, sub, k, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+          FROM dists) WHERE rn = 1),
+      lut AS (SELECT vec_id AS qid, sub, k AS code,
+          CAST(floor(dist * 1000000.0) AS BIGINT) AS lm
+        FROM dists WHERE vec_id < 10),
+      est AS (SELECT lut.qid, codes.cid, sum(lut.lm) AS est_micro
+        FROM codes JOIN lut ON lut.sub = codes.sub
+          AND lut.code = codes.code
+        WHERE codes.cid <> lut.qid GROUP BY 1, 2),
+      r AS (SELECT qid, cid, est_micro, row_number() OVER (
+          PARTITION BY qid ORDER BY est_micro, cid) AS rank
+        FROM est)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+        CAST(est_micro AS BIGINT) AS est_micro
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-      q211, q212, q214, q215, q216, q217)
+      q211, q212, q214, q215, q216, q217, q218, q219, q220, q221)
 }
 

@@ -368,4 +368,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("PQ: codes bounded, layout-invariant; ADC equals the coded-centroid distance sum") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("v"))
+    val codes = Similarity.Pq.encode(e, "cid", "v")
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() === 0)
+    assert(codes.groupBy("cid").count().filter(col("count") =!= 8).count() === 0)
+    val again = Similarity.Pq.encode(e.repartition(5), "cid", "v")
+    assert(codes.collect().map(_.toSeq).toSet ===
+      again.collect().map(_.toSeq).toSet)
+// the defining ADC property: est_micro equals the sum of
+    // integer-floored subspace distances to the CODED centroids —
+    // replayed here in plain JVM arithmetic for every ranked pair
+    val queries = e.filter(col("cid") < 5)
+      .select(col("cid").as("qid"), col("v").as("qvec"))
+    val adc = Similarity.Pq.adcTopK(queries, codes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val codeMap = codes.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def lutMicro(q: Seq[Double], sub: Int, k: Int): Long = {
+      val cent = Similarity.Pq.codebook(sub)(k)
+      val d2 = (0 until 8).map { dd =>
+        val x = q(sub * 8 + dd) - cent(dd); x * x
+      }.reduceLeft(_ + _)
+      math.floor(d2 * 1e6).toLong
+    }
+    adc.foreach { case ((qid, cid), est) =>
+      val want = (0 until 8).map(sub =>
+        lutMicro(vecs(qid), sub, codeMap((cid, sub.toLong)).toInt)).sum
+      assert(est === want, s"ADC mismatch for ($qid, $cid)")
+    }
+  }
 }
