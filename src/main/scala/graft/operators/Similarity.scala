@@ -118,39 +118,75 @@ object Similarity {
 
     /** PQ codes, relational form: (id, sub, code) — m rows per
       * vector, each code the FIRST argmin (ties to the smallest
-      * index, matching the oracle's (dist, k) order). */
+      * index, matching the oracle's (dist, k) order).
+      *
+      * Shape lesson (measured at sf0.1): a single projection
+      * materializing all m·ksub distances per row is a ~2000-node
+      * expression tree that falls out of whole-stage codegen into
+      * interpreted evaluation (16 s; still 6 s with a NoInline-fenced
+      * shared array). The relational form instead EXPLODES the
+      * (sub, k) grid — m·ksub small rows per vector, each carrying
+      * one 8-term codegen'd distance — and takes the argmin as a
+      * map-side-combined `min(struct(dist, k))` aggregate (struct
+      * ordering = (dist, k) lexicographic, the oracle's exact
+      * tie-break; never a per-vector window). 1.1 s at sf0.1. */
     def encode(df: DataFrame, idCol: String,
                vecCol: String): DataFrame = {
-      val v = col(vecCol)
-      val codeCols = (0 until m).map { sub =>
-        val dists = array((0 until ksub).map(k => distSq(v, sub, k)): _*)
-        (array_position(dists, array_min(dists)) - 1).cast(LongType)
-      }
-      df.select(col(idCol), posexplode(array(codeCols: _*)))
-        .select(col(idCol), col("pos").cast(LongType).as("sub"),
-          col("col").as("code"))
+      val cents: Seq[Seq[Double]] =
+        (0 until m).flatMap(sub => codebook(sub))
+      val centLit = typedLit(cents)
+      val dist = (0 until subDim).map { dd =>
+        val x = element_at(col("_v"),
+          (col("sub") * subDim + dd + 1).cast(IntegerType))
+        val c = element_at(
+          element_at(centLit, (col("_sk") + 1).cast(IntegerType)), dd + 1)
+        (x - c) * (x - c)
+      }.reduceLeft(_ + _)
+      df.select(col(idCol), col(vecCol).as("_v"))
+        .withColumn("_sk", explode(sequence(lit(0), lit(m * ksub - 1))))
+        .withColumn("sub", expr(s"_sk div $ksub").cast(LongType))
+        .withColumn("k", expr(s"_sk % $ksub").cast(LongType))
+        .withColumn("_d", dist)
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("_d").as("d"), col("k").as("k"))).as("_m"))
+        .select(col(idCol), col("sub"), col("_m.k").as("code"))
     }
 
-    /** ADC top-k: per query, an m×ksub lookup table of integer
-      * micro-distances (one projection + posexplode — never a
-      * 128-way union), joined against the candidate codes and
-      * summed. Queries are few and the lut broadcasts; candidates
-      * contribute m CODE rows each — the raw vectors never ride.
-      * @param queries (qid, qvec) — qid must not collide with cids
-      * @param codes   output of [[encode]] as (cid, sub, code) */
-    def adcTopK(queries: DataFrame, codes: DataFrame,
+    /** [[encode]] pivoted to one row per vector (cid, c0..c7) — the
+      * stored-index form (m bytes of payload per vector); the one
+      * extra aggregate runs at index-build time, not per probe. */
+    def encodeWide(df: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+      val aggs = (0 until m).map(s =>
+        min(when(col("sub") === s, col("code"))).as(s"c$s"))
+      encode(df, idCol, vecCol)
+        .groupBy(col(idCol))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
+    /** ADC top-k over the wide code table: each query carries its
+      * whole m×ksub lookup table as ONE integer array (a projection
+      * over the few query rows), broadcast-crossed with the codes —
+      * the estimate is m array lookups + integer adds PER ROW, so
+      * there is no per-pair aggregation exchange at all (the first
+      * relational form shuffled candidates×queries×m rows into a
+      * group-by — measured 3.6 s vs ~1 s at sf0.1); the only
+      * exchange left is the bounded heap's final pass.
+      * @param queries   (qid, qvec) — qid must not collide with cids
+      * @param codesWide output of [[encodeWide]] */
+    def adcTopK(queries: DataFrame, codesWide: DataFrame,
                 k: Int): DataFrame = {
       val lutExprs = for (sub <- 0 until m; kk <- 0 until ksub)
         yield floor(distSq(col("qvec"), sub, kk) * 1e6).cast(LongType)
-      val lut = queries
-        .select(col("qid"), posexplode(array(lutExprs: _*)))
-        .select(col("qid"), expr(s"pos div $ksub").cast(LongType).as("sub"),
-          expr(s"pos % $ksub").cast(LongType).as("code"),
-          col("col").as("_lm"))
-      val est = codes.join(broadcast(lut), Seq("sub", "code"))
+      val lut = queries.select(col("qid"),
+        array(lutExprs: _*).as("_lut"))
+      val est = codesWide.crossJoin(broadcast(lut))
         .filter(col("cid") =!= col("qid"))
-        .groupBy(col("qid"), col("cid"))
-        .agg(sum("_lm").as("est_micro"))
+        .withColumn("est_micro", (0 until m).map { s =>
+          element_at(col("_lut"),
+            (lit(s * ksub) + col(s"c$s") + 1).cast(IntegerType))
+        }.reduceLeft(_ + _))
+        .select(col("qid"), col("cid"), col("est_micro"))
       val kept = graft.plans.TopKPerGroup(est, Seq("qid"),
         Seq(("est_micro", true), ("cid", true)), k)
       val w = Window.partitionBy(col("qid"))

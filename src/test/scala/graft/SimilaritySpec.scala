@@ -383,9 +383,16 @@ class SimilaritySpec extends AnyFunSuite {
 // the defining ADC property: est_micro equals the sum of
     // integer-floored subspace distances to the CODED centroids —
     // replayed here in plain JVM arithmetic for every ranked pair
+    // wide form agrees with the relational form
+    val wide = Similarity.Pq.encodeWide(e, "cid", "v")
+    val wideAsRows = wide.collect().flatMap { r =>
+      (0 until 8).map(s2 => (r.getLong(0), s2.toLong, r.getLong(1 + s2)))
+    }.toSet
+    assert(wideAsRows === codes.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
     val queries = e.filter(col("cid") < 5)
       .select(col("cid").as("qid"), col("v").as("qvec"))
-    val adc = Similarity.Pq.adcTopK(queries, codes, 5).collect()
+    val adc = Similarity.Pq.adcTopK(queries, wide, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
     val vecs = e.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
