@@ -373,6 +373,41 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** PQ-CODE ingest — the embedding-compression twin of
+    * [[runIvfIngest]]: each arriving micro-batch of vectors is
+    * PQ-encoded against the fixed md5 codebooks
+    * ([[graft.operators.Similarity.Pq.encodeWide]]) and its m-byte
+    * codes appended to the stored code table — the ADC-searchable
+    * index grows with ingestion; raw vectors never land in it.
+    * Delivery is the foreachBatch contract: at-least-once — a retry
+    * re-appends IDENTICAL (cid, c0..c7) rows, so readers keep-first
+    * on cid (the [[graft.operators.Search.dedupIngestedIndex]]
+    * convention; codes are a pure function of the vector, so any
+    * copy is the right one).
+    * @param rawDir JSONL of (vec_id: long, embedding: array<double>) */
+  def runPqIngest(spark: SparkSession, rawDir: String,
+                  codesDir: String, checkpointDir: String,
+                  maxFilesPerTrigger: Int = 1): Unit = {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val q = spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .select(col("vec_id").as("cid"), col("embedding").as("v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.Pq.encodeWide(batch, "cid", "v")
+          .write.mode("append").parquet(codesDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Merge the landed per-batch partial grids into the current sketch
     * (cell-wise sum — the count-min merge law), collapsing
     * at-least-once re-deliveries keep-first on (batch_id, row, cell)

@@ -503,6 +503,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === expected)
   }
 
+  test("streaming PQ ingest: the grown code table equals the batch encode; replay collapses keep-first") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_pqingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val cd = root.resolve("codes")
+    val ckpt = root.resolve("ckpt")
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    e.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    e.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    graft.streaming.DocIngest.runPqIngest(spark,
+      raw.toString + "/*/", cd.toString, ckpt.toString)
+    val want = graft.operators.Similarity.Pq.encodeWide(
+        e.select(col("vec_id").as("cid"),
+          col("embedding").as("v")), "cid", "v")
+      .collect().map(_.toSeq).toSet
+    def landed(): Set[Seq[Any]] =
+      spark.read.parquet(cd.toString).dropDuplicates("cid")
+        .collect().map(_.toSeq).toSet
+    assert(landed() === want)
+    // at-least-once: re-land batch 0's identical rows; keep-first
+    // read restores the exactly-once table (codes are pure functions
+    // of the vector, so any copy is the right one)
+    graft.operators.Similarity.Pq.encodeWide(
+        e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("v")),
+        "cid", "v")
+      .write.mode("append").parquet(cd.toString)
+    assert(landed() === want)
+    deleteRec(root)
+  }
+
   test("streaming sketch ingest: merged grid equals the batch build; replay repaired") {
     import graft.operators.Sketches
     import graft.functions.TextFunctions.whitespaceTokens
