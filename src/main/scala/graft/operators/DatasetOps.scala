@@ -425,6 +425,18 @@ object DatasetOps {
       .drop("_draw")
   }
 
+  /** K-fold cross-validation assignment — [[hashSplit]]'s k-ary
+    * sibling: `fold = u32draw(salt, id) mod k`, every row in exactly
+    * one fold, membership a pure function of (salt, id) so folds
+    * survive reshuffles, retries and appends (a `rand()` deal
+    * re-assigns on every one of those and leaks validation rows into
+    * training across runs). Narrow projection — no shuffle. */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int,
+                  salt: String = "fold"): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    df.withColumn("fold", pmod(md5Draw(salt, col(idCol)), lit(k.toLong)))
+  }
+
   /** Class-balance oversampling to EXACT parity: every label is
     * replicated up to the majority class's count — `target div c`
     * full copies per row plus ONE extra copy for exactly

@@ -1238,9 +1238,83 @@ object AnalyticsQueries {
         CAST(est_micro AS BIGINT) AS est_micro
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---- q222: per-customer spend-trend slopes --------------------------
+  // The "top movers" board: least-squares slope of (order day,
+  // cents) per customer — q209's moment discipline applied per
+  // group (decimal-exact sums, final IEEE division mirrored
+  // token-for-token), n ≥ 5 and nonzero day-variance groups only,
+  // bounded-heap board by (slope desc, custkey).
+
+  private val q222 = GraftQuery(
+    "q222_trend_slopes",
+    (s, d) => {
+      val f = Tables.orders(s, d).select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(DecimalType(38, 0)).as("x"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(DecimalType(38, 0)).as("y"))
+      val m = f.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") >= 5)
+        .withColumn("_den", expr(
+          "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+        .filter(col("_den") > 0d)
+        .withColumn("slope", expr(
+          """round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / _den, 6)"""))
+        .select(col("o_custkey"), col("n"), col("slope"))
+      graft.plans.TopKPerGroup(
+          m.withColumn("_g", lit(0)), Seq("_g"),
+          Seq(("slope", false), ("o_custkey", true)), 10)
+        .select("o_custkey", "n", "slope")
+        .orderBy(col("slope").desc, col("o_custkey"))
+    },
+    Some("""WITH f AS (SELECT o_custkey,
+          CAST(date_diff('day', DATE '1995-01-01',
+            CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+          CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT) AS HUGEINT) AS y
+        FROM orders),
+      m AS (SELECT o_custkey, count(*) AS n, sum(x) AS sx,
+          sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM f GROUP BY 1 HAVING count(*) >= 5),
+      sl AS (SELECT o_custkey, n,
+          CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+        FROM m)
+      SELECT o_custkey, CAST(n AS BIGINT) AS n, slope
+      FROM sl WHERE den > 0
+      ORDER BY slope DESC, o_custkey LIMIT 10"""))
+
+  // ---- q223: k-fold cross-validation assignment -----------------------
+  // hashSplit's k-ary sibling: fold = u32draw(id) mod k — membership
+  // a pure function of (salt, id), every row in exactly one fold,
+  // reshuffle/append-stable. Census per (fold, source) gates the
+  // deal.
+
+  private val q223 = GraftQuery(
+    "q223_kfold_assign",
+    (s, d) => graft.operators.DatasetOps.kFoldAssign(
+        docs(s, d), "doc_id", k = 5)
+      .groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("fold", "source"),
+    Some("""SELECT CAST(concat('0x', substring(md5('fold:' || doc_id),
+          1, 8)) AS BIGINT) % 5 AS fold, source,
+        count(*) AS n_docs
+      FROM documents GROUP BY 1, 2 ORDER BY fold, source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-      q211, q212, q214, q215, q216, q217, q218, q219, q220, q221)
+      q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
+      q222, q223)
 }
 

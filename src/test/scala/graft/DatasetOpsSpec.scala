@@ -364,6 +364,25 @@ class DatasetOpsSpec extends AnyFunSuite {
       "an appended doc must never PROMOTE a previously-cut doc")
   }
 
+  test("kFoldAssign: exact partition, layout- and append-stable") {
+    val df = (0L until 500L).toDF("id")
+    val folds = DatasetOps.kFoldAssign(df, "id", k = 5)
+    assert(folds.filter(col("fold") < 0 || col("fold") >= 5).count() === 0)
+    assert(folds.count() === 500L)
+    val byId = folds.select($"id", $"fold").as[(Long, Long)]
+      .collect().toMap
+    val reparted = DatasetOps.kFoldAssign(df.repartition(9), "id", 5)
+      .select($"id", $"fold").as[(Long, Long)].collect().toMap
+    assert(reparted === byId)
+    // appending rows never moves an existing row's fold
+    val appended = DatasetOps.kFoldAssign(
+      (0L until 800L).toDF("id"), "id", 5)
+      .select($"id", $"fold").as[(Long, Long)].collect().toMap
+    assert(byId.forall { case (i, f) => appended(i) == f })
+    intercept[IllegalArgumentException] {
+      DatasetOps.kFoldAssign(df, "id", 1) }
+  }
+
   test("oversampleToParity: every class reaches the majority count exactly") {
     // classes of 40 / 23 / 7 -> target 40
     val df = ((0L until 40L).map((_, "big")) ++
