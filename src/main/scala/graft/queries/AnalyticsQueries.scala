@@ -1311,10 +1311,93 @@ object AnalyticsQueries {
         count(*) AS n_docs
       FROM documents GROUP BY 1, 2 ORDER BY fold, source"""))
 
+  // ---- q224: warehouse-health recipe ----------------------------------
+  // The composed morning-dashboard read (the q75/q168 recipe pattern
+  // for the OPS surface): expectation gate over orders + hot-key
+  // sizing over events + the numeric profile, normalized into ONE
+  // long-format report — the contract under test is interop at all
+  // three stage boundaries, replayed by one oracle statement.
+
+  private val q224 = GraftQuery(
+    "q224_health_recipe",
+    (s, d) => {
+      val constraint = graft.operators.DatasetOps.constraintReport(
+        Tables.orders(s, d), Seq(
+          "order_key_present" -> col("o_orderkey").isNotNull,
+          "price_positive" -> (col("o_totalprice") > 0d),
+          "price_under_300k" -> (col("o_totalprice") <= 300000d),
+          "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+        .select(lit("constraint").as("section"), col("rule").as("key"),
+          col("viol_ppm").as("value"))
+      val skew = graft.operators.ScaleOps.skewReport(
+          Tables.events(s, d), "event_type",
+          targetRowsPerTask = 500L, topN = 3)
+        .select(lit("skew").as("section"),
+          col("key").cast(StringType).as("key"),
+          col("share_ppm").as("value"))
+      val prof = graft.operators.Stats.profile(
+          Tables.orders(s, d).select(
+            (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+              .cast(LongType).as("cents")),
+          Seq("cents"))
+        .select(lit("profile").as("section"),
+          concat(col("column_"), lit(":"), col("stat")).as("key"),
+          col("value"))
+      constraint.union(skew).union(prof)
+        .orderBy("section", "key")
+    },
+    Some("""WITH a AS (SELECT count(*) AS n,
+        sum(CASE WHEN coalesce(o_orderkey IS NOT NULL, false)
+          THEN 0 ELSE 1 END) AS v1,
+        sum(CASE WHEN coalesce(o_totalprice > 0, false)
+          THEN 0 ELSE 1 END) AS v2,
+        sum(CASE WHEN coalesce(o_totalprice <= 300000, false)
+          THEN 0 ELSE 1 END) AS v3,
+        sum(CASE WHEN coalesce(o_orderstatus IN ('O', 'F', 'P'), false)
+          THEN 0 ELSE 1 END) AS v4
+        FROM orders),
+      cons(key, v) AS (
+        SELECT 'order_key_present', v1 FROM a
+        UNION ALL SELECT 'price_positive', v2 FROM a
+        UNION ALL SELECT 'price_under_300k', v3 FROM a
+        UNION ALL SELECT 'status_known', v4 FROM a),
+      consrows AS (SELECT 'constraint' AS section, cons.key,
+          CAST(CASE WHEN a.n = 0 THEN 0
+            ELSE (coalesce(cons.v, 0) * 1000000) // a.n END AS BIGINT)
+            AS value
+        FROM cons, a),
+      ec AS (SELECT event_type AS key, count(*) AS n_rows
+        FROM events GROUP BY 1),
+      et AS (SELECT sum(n_rows) AS total FROM ec),
+      skewrows AS (SELECT 'skew' AS section, key,
+          CAST((n_rows * 1000000) // et.total AS BIGINT) AS value
+        FROM ec, et ORDER BY n_rows DESC, key LIMIT 3),
+      src AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+          AS BIGINT) AS cents FROM orders),
+      p50 AS (SELECT min(v) AS v FROM (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+            (SELECT count(cents) FROM src) AS n
+          FROM (SELECT cents AS v, count(*) AS cnt FROM src
+            WHERE cents IS NOT NULL GROUP BY 1))
+        WHERE cum >= (500000 * n + 999999) // 1000000),
+      profrows AS (SELECT 'profile' AS section, key,
+          CAST(value AS BIGINT) AS value FROM (
+        SELECT 'cents:n_nonnull' AS key, count(cents) AS value FROM src
+        UNION ALL SELECT 'cents:n_distinct', count(DISTINCT cents)
+          FROM src
+        UNION ALL SELECT 'cents:min', min(cents) FROM src
+        UNION ALL SELECT 'cents:max', max(cents) FROM src
+        UNION ALL SELECT 'cents:p50', v FROM p50
+        UNION ALL SELECT '_table:n_rows', count(*) FROM src))
+      SELECT section, key, value FROM consrows
+      UNION ALL SELECT section, key, value FROM skewrows
+      UNION ALL SELECT section, key, value FROM profrows
+      ORDER BY section, key"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223)
+      q222, q223, q224)
 }
 
