@@ -86,7 +86,18 @@ class GoldenPlanSpec extends AnyFunSuite {
     // TopKPerGroup heap phases over the integer priority race (a
     // reappearing Window sort IS the regression)
     "q193_exact_quantiles",
-    "q199_weighted_sample")
+    "q199_weighted_sample",
+    // r7d: the PQ ADC probe — load-bearing tokens are the stored-code
+    // FileScan feeding a BroadcastNestedLoopJoin against the tiny
+    // query-side lut-array build and the heap phases (a reappearing
+    // per-pair aggregation Exchange or a Window sort IS the
+    // regression the wide-code form removed); and the incremental
+    // view maintenance — load-bearing are the left-semi old-row
+    // fetch and the full-outer delta apply (a resurrected full
+    // re-aggregation of the base in this plan means the delta
+    // algebra broke)
+    "q221_pq_adc",
+    "q198_incremental_agg")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
