@@ -1394,10 +1394,66 @@ object AnalyticsQueries {
       UNION ALL SELECT section, key, value FROM profrows
       ORDER BY section, key"""))
 
+  // ---- q225: collocation board (adjacent-bigram PMI) ------------------
+  // The corpus-wide "these words travel together" board beside
+  // q136's per-query expansion (doc-level co-occurrence) and q179's
+  // per-doc surprisal: ADJACENT bigram PMI over occurrence counts,
+  // q136's staged integer division (never the naive product — int64
+  // to ~10¹² tokens), support floor, TakeOrdered board. Censuses
+  // map-side-combined; the total is the census sum (a scalar, the
+  // q130 discipline).
+
+  private val q225 = GraftQuery(
+    "q225_collocations",
+    (s, d) => {
+      val tk = docs(s, d)
+        .select(whitespaceTokens(col("text")).as("_tk"))
+      val uni = tk.select(explode(col("_tk")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("_t"))
+      val bg = tk.select(explode(
+          graft.functions.TextFunctions.wordShingles(col("_tk"), 2))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("joint"))
+        .filter(col("joint") >= 5)
+      bg.withColumn("_a", split(col("bigram"), " ").getItem(0))
+        .withColumn("_b", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("token").as("_a"), col("c").as("_ca")),
+          Seq("_a"))
+        .join(uni.select(col("token").as("_b"), col("c").as("_cb")),
+          Seq("_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("bigram"), col("joint"),
+          expr("(((joint * 1000000L) div _ca) * _t) div _cb")
+            .as("pmi6"))
+        .orderBy(col("pmi6").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      tok AS (SELECT unnest(tk) AS token FROM toks),
+      uni AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      t AS (SELECT count(*) AS t FROM tok),
+      big AS (SELECT unnest(list_transform(
+          generate_series(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        FROM toks),
+      bc AS (SELECT bigram, count(*) AS joint FROM big
+        GROUP BY 1 HAVING count(*) >= 5),
+      sc AS (SELECT bc.bigram, bc.joint,
+          (((bc.joint * 1000000) // ca.c) * t.t) // cb.c AS pmi6
+        FROM bc
+        JOIN uni ca ON ca.token = split_part(bc.bigram, ' ', 1)
+        JOIN uni cb ON cb.token = split_part(bc.bigram, ' ', 2), t)
+      SELECT bigram, joint, CAST(pmi6 AS BIGINT) AS pmi6
+      FROM sc ORDER BY pmi6 DESC, bigram LIMIT 20"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224)
+      q222, q223, q224, q225)
 }
 
