@@ -1450,10 +1450,72 @@ object AnalyticsQueries {
       SELECT bigram, joint, CAST(pmi6 AS BIGINT) AS pmi6
       FROM sc ORDER BY pmi6 DESC, bigram LIMIT 20"""))
 
+  // ---- q226: MAD robust outliers per group ----------------------------
+  // The other robust scale estimator beside q220's IQR — median
+  // absolute deviation, composed from TWO grouped-quantile passes
+  // (median of values, then median of |v − med|): the stats stack
+  // composing with itself. Outlier rule |v − med| > 3·MAD in exact
+  // integers; MAD-degenerate groups (mad = 0, a majority-constant
+  // column) report -1 outliers instead of a divide-by-zero-shaped
+  // lie.
+
+  private val q226 = GraftQuery(
+    "q226_mad_outliers",
+    (s, d) => {
+      val vals = Tables.events(s, d).select(col("event_type"),
+        (col("value").cast(DecimalType(12, 3)) * 1000)
+          .cast(LongType).as("v"))
+      val med = graft.operators.Stats.groupedExactQuantiles(
+          vals, "event_type", "v", Seq(500000L))
+        .select(col("grp").as("event_type"), col("value").as("med"))
+      val dev = vals.join(med, Seq("event_type"))
+        .select(col("event_type"), col("v"), col("med"),
+          abs(col("v") - col("med")).as("ad"))
+      val mad = graft.operators.Stats.groupedExactQuantiles(
+          dev, "event_type", "ad", Seq(500000L))
+        .select(col("grp").as("event_type"), col("value").as("mad"))
+      dev.join(mad, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min("med").as("med"), min("mad").as("mad"),
+          when(min("mad") === 0L, lit(-1L)).otherwise(
+            sum(when(col("ad") > lit(3L) * col("mad"), 1L)
+              .otherwise(0L))).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH c AS (SELECT event_type AS grp,
+          CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      cen AS (SELECT grp, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+      cum AS (SELECT grp, v, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum FROM cen),
+      n AS (SELECT grp, count(*) AS n FROM c GROUP BY 1),
+      med AS (SELECT n.grp, min(cum.v) AS med
+        FROM n JOIN cum ON cum.grp = n.grp
+          AND cum.cum >= (500000 * n.n + 999999) // 1000000
+        GROUP BY 1),
+      dev AS (SELECT c.grp, c.v, med.med, abs(c.v - med.med) AS ad
+        FROM c JOIN med USING (grp)),
+      dcen AS (SELECT grp, ad, count(*) AS cnt FROM dev GROUP BY 1, 2),
+      dcum AS (SELECT grp, ad, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY ad) AS cum
+        FROM dcen),
+      mad AS (SELECT n.grp, min(dcum.ad) AS mad
+        FROM n JOIN dcum ON dcum.grp = n.grp
+          AND dcum.cum >= (500000 * n.n + 999999) // 1000000
+        GROUP BY 1)
+      SELECT dev.grp AS event_type, min(dev.med) AS med,
+        min(mad.mad) AS mad,
+        CAST(CASE WHEN min(mad.mad) = 0 THEN -1
+          ELSE sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+          END AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (grp)
+      GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224, q225)
+      q222, q223, q224, q225, q226)
 }
 
