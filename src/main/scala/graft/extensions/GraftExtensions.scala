@@ -853,6 +853,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             spark.table(strLit(children(0), "table")), cols_)
           .queryExecution.analyzed
       }))
+    // Count-min point estimates from SQL (q192's operator): builds
+    // the d×w grid over the named column and probes the
+    // comma-separated terms in one call (the ad-hoc tier — the Scala
+    // surface persists the grid for build-once/probe-many).
+    ext.injectTableFunction((
+      new FunctionIdentifier("count_min_probe"),
+      new ExpressionInfo("graft.operators.Sketches", "count_min_probe"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: count_min_probe(table, term_col, depth, width, 'p1,p2,...')")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val probes = strLit(children(4), "probes").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        require(probes.nonEmpty,
+          "count_min_probe: at least one probe term required")
+        val depth = intLit(children(2), "depth")
+        val width = intLit(children(3), "width")
+        val sketch = graft.operators.Sketches.countMinBuild(
+          spark.table(strLit(children(0), "table")),
+          strLit(children(1), "term_col"), depth, width)
+        import spark.implicits._
+        graft.operators.Sketches.countMinEstimate(sketch,
+            probes.toDF("term"), "term", depth, width)
+          .queryExecution.analyzed
+      }))
     // Weighted deterministic sampling from SQL (q199's operator).
     ext.injectTableFunction((
       new FunctionIdentifier("weighted_sample"),

@@ -1533,10 +1533,112 @@ object AnalyticsQueries {
       FROM dev JOIN mad USING (grp)
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---- q227: count-min from SQL ---------------------------------------
+  // The parser path into the sketch (q201 convention): a token view +
+  // the count_min_probe TVF, oracle = q192's grid replay restricted
+  // to estimates.
+
+  private val q227 = GraftQuery(
+    "q227_sql_count_min",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMP VIEW graft_cms_tokens AS
+        SELECT explode(filter(split(lower(text), '\\s+'),
+          t -> length(t) > 0)) AS token
+        FROM documents""")
+      s.sql("""SELECT term, est
+        FROM count_min_probe('graft_cms_tokens', 'token', 3, 16,
+          'spark, table, the, merge, zzxq')
+        ORDER BY term""")
+    },
+    Some(s"""WITH $tokensCte,
+      rows_(r) AS (SELECT unnest([0, 1, 2])),
+      grid AS (
+        SELECT r.r AS row_,
+          CAST(concat('0x', substring(md5(
+            'cms:' || CAST(r.r AS VARCHAR) || ':' || token), 1, 8))
+            AS BIGINT) % 16 AS cell,
+          count(*) AS cnt
+        FROM tok, rows_ r GROUP BY 1, 2),
+      probes(term) AS (
+        SELECT unnest(['spark', 'table', 'the', 'merge', 'zzxq'])),
+      pc AS (
+        SELECT term, r.r AS row_,
+          CAST(concat('0x', substring(md5(
+            'cms:' || CAST(r.r AS VARCHAR) || ':' || term), 1, 8))
+            AS BIGINT) % 16 AS cell
+        FROM probes, rows_ r)
+      SELECT term, min(coalesce(g.cnt, 0)) AS est
+      FROM pc LEFT JOIN grid g
+        ON pc.row_ = g.row_ AND pc.cell = g.cell
+      GROUP BY term ORDER BY term"""))
+
+  // ---- q228: funnel step-latency percentiles --------------------------
+  // "How long do users take between funnel steps": per user the
+  // first view → first subsequent click → first subsequent purchase
+  // (strict event-time progression, the q88 funnel semantics), stage
+  // latencies in exact micros, then the grouped-quantile board
+  // (median + p90 per stage). Three min-aggregates + two
+  // delta-joins; the quantile machinery gets a stage column with
+  // TWO groups — composition, not new plumbing.
+
+  private val q228 = GraftQuery(
+    "q228_funnel_latency",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("us") > col("v_us"))
+        .groupBy(col("user_id"), col("v_us"))
+        .agg(min("us").as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("us") > col("c_us"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(min("us").as("p_us"))
+      val stages = c.select(lit("1_view_to_click").as("stage"),
+          (col("c_us") - col("v_us")).as("lat_us"))
+        .union(p.select(lit("2_click_to_purchase").as("stage"),
+          (col("p_us") - col("c_us")).as("lat_us")))
+      graft.operators.Stats.groupedExactQuantiles(
+        stages, "stage", "lat_us", Seq(500000L, 900000L))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      v AS (SELECT user_id, min(us) AS v_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT ev.user_id, v.v_us, min(ev.us) AS c_us
+        FROM ev JOIN v USING (user_id)
+        WHERE ev.event_type = 'click' AND ev.us > v.v_us
+        GROUP BY 1, 2),
+      p AS (SELECT ev.user_id, c.c_us, min(ev.us) AS p_us
+        FROM ev JOIN c USING (user_id)
+        WHERE ev.event_type = 'purchase' AND ev.us > c.c_us
+        GROUP BY 1, 2),
+      st AS (SELECT '1_view_to_click' AS grp, c_us - v_us AS lat
+          FROM c
+        UNION ALL
+        SELECT '2_click_to_purchase', p_us - c_us FROM p),
+      cen AS (SELECT grp, lat AS v, count(*) AS cnt FROM st
+        GROUP BY 1, 2),
+      cum AS (SELECT grp, v, cnt,
+          sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum FROM cen),
+      n AS (SELECT grp, count(*) AS n FROM st GROUP BY 1),
+      q(q_ppm) AS (SELECT unnest([500000, 900000])),
+      r AS (SELECT n.grp, q.q_ppm,
+          (q.q_ppm * n.n + 999999) // 1000000 AS rank_ FROM n, q)
+      SELECT r.grp AS grp, CAST(r.q_ppm AS BIGINT) AS q_ppm,
+        CAST(r.rank_ AS BIGINT) AS rank_, min(cum.v) AS value
+      FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank_
+      GROUP BY 1, 2, 3 ORDER BY r.grp, q_ppm"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224, q225, q226)
+      q222, q223, q224, q225, q226, q227, q228)
 }
 
