@@ -174,25 +174,74 @@ object Similarity {
       * exchange left is the bounded heap's final pass.
       * @param queries   (qid, qvec) — qid must not collide with cids
       * @param codesWide output of [[encodeWide]] */
-    def adcTopK(queries: DataFrame, codesWide: DataFrame,
-                k: Int): DataFrame = {
+    /** Per-query lookup-table array (m·ksub integer micro-distances,
+      * index sub·ksub+code+1). */
+    private def lutFor(queries: DataFrame): DataFrame = {
       val lutExprs = for (sub <- 0 until m; kk <- 0 until ksub)
         yield floor(distSq(col("qvec"), sub, kk) * 1e6).cast(LongType)
-      val lut = queries.select(col("qid"),
-        array(lutExprs: _*).as("_lut"))
-      val est = codesWide.crossJoin(broadcast(lut))
-        .filter(col("cid") =!= col("qid"))
-        .withColumn("est_micro", (0 until m).map { s =>
-          element_at(col("_lut"),
-            (lit(s * ksub) + col(s"c$s") + 1).cast(IntegerType))
-        }.reduceLeft(_ + _))
-        .select(col("qid"), col("cid"), col("est_micro"))
+      queries.select(col("qid"), array(lutExprs: _*).as("_lut"))
+    }
+
+    /** m array lookups + integer adds over the wide code columns. */
+    private def estCol: Column = (0 until m).map { s =>
+      element_at(col("_lut"),
+        (lit(s * ksub) + col(s"c$s") + 1).cast(IntegerType))
+    }.reduceLeft(_ + _)
+
+    private def rankAsc(est: DataFrame, k: Int): DataFrame = {
       val kept = graft.plans.TopKPerGroup(est, Seq("qid"),
         Seq(("est_micro", true), ("cid", true)), k)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("est_micro"), col("cid"))
       kept.withColumn("rank", row_number().over(w).cast(LongType))
         .select(col("qid"), col("rank"), col("cid"), col("est_micro"))
+    }
+
+    def adcTopK(queries: DataFrame, codesWide: DataFrame,
+                k: Int): DataFrame = {
+      val est = codesWide.crossJoin(broadcast(lutFor(queries)))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("est_micro", estCol)
+        .select(col("qid"), col("cid"), col("est_micro"))
+      rankAsc(est, k)
+    }
+
+    /** The composed serving shape: IVF prunes WHICH vectors (nProbe
+      * nearest cells per query — the q55 geometry, caller-supplied
+      * centroids so the oracle replays the cells), PQ codes decide
+      * the ORDER — the scan touches ~nProbe/nCells of the corpus and
+      * reads only m-byte codes for it, which is the pairing that
+      * makes a 100 TB embedding store servable from memory. Scoring
+      * is exactly [[adcTopK]]'s (candidate set is the only
+      * difference — recall comes from the cell prune, never from a
+      * different estimator).
+      * @param candidates (cid, cvec) — cell-assigned in-session;
+      *        the stored-index path reads (cid, _cell) from
+      *        [[Similarity.writeIvfIndex]]'s layout instead */
+    def ivfAdcTopK(queries: DataFrame, candidates: DataFrame,
+                   codesWide: DataFrame, cents: Seq[Seq[Double]],
+                   k: Int, nProbe: Int = 3): DataFrame = {
+      val centLit = typedLit(cents)
+      val cells = candidates
+        .withColumn("_cell", bestCell(cents)(col("cvec")))
+        .select("cid", "_cell")
+      val probes = queries
+        .select(col("qid"), col("qvec"),
+          posexplode(centLit).as(Seq("_cell", "_cent")))
+        .select(col("qid"), col("qvec"), col("_cell"),
+          cosineFast(col("_cent"), col("qvec")).as("_csim"))
+        .withColumn("_crank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("_csim").desc, col("_cell"))))
+        .filter(col("_crank") <= nProbe)
+        .select(col("qid"), col("_cell"))
+      val est = cells.join(broadcast(probes), Seq("_cell"))
+        .filter(col("cid") =!= col("qid"))
+        .join(codesWide, Seq("cid"))
+        .join(broadcast(lutFor(queries)), Seq("qid"))
+        .withColumn("est_micro", estCol)
+        .select(col("qid"), col("cid"), col("est_micro"))
+      rankAsc(est, k)
     }
   }
 

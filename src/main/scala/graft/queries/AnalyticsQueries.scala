@@ -1635,10 +1635,79 @@ object AnalyticsQueries {
       FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank_
       GROUP BY 1, 2, 3 ORDER BY r.grp, q_ppm"""))
 
+  // ---- q229: IVF-pruned ADC search ------------------------------------
+  // The composed ANN serving shape (Similarity.Pq.ivfAdcTopK
+  // scaladoc): q55's md5-centroid cell prune picks the candidates,
+  // q221's PQ codes order them. The oracle stitches both proven
+  // replay families — cell geometry/argmax/probe ranking AND
+  // codebooks/codes/luts — into one statement, so drift at the
+  // composition boundary (a candidate leaking across cells, an ADC
+  // score off by one lut row) flips the hash.
+
+  private val q229 = GraftQuery(
+    "q229_ivf_pq_adc",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      graft.operators.Similarity.Pq.ivfAdcTopK(queries,
+        e.select(col("vec_id").as("cid"), col("v").as("cvec")),
+        pqCodesMaterialized(s, d),
+        cents = graft.functions.VectorFunctions
+          .md5Vectors(16, 64, "cent"),
+        k = 5, nProbe = 4).orderBy("qid", "rank")
+    },
+    Some(s"""WITH cents AS (
+        SELECT c.c AS c, list(
+            CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d),
+              1, 8)) AS BIGINT) / 4294967296.0 * 2 - 1 ORDER BY d.d)
+            AS cv
+        FROM generate_series(0, 15) c(c), generate_series(0, 63) d(d)
+        GROUP BY c.c),
+      vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, c,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, c) AS rn
+        FROM (SELECT t.vec_id, t.v, kk.c,
+                list_dot_product(t.v, kk.cv) /
+                  (sqrt(list_dot_product(t.v, t.v)) *
+                   sqrt(list_dot_product(kk.cv, kk.cv))) AS sim
+              FROM vecs t CROSS JOIN cents kk)),
+      cellm AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, c AS cell
+        FROM ranked WHERE rn <= 4 AND vec_id < 10),
+      subs(sub) AS (SELECT unnest(range(8))),
+      ks(k) AS (SELECT unnest(range(16))),
+      dists AS (SELECT vec_id, sub, k, ${pqDistSql("v")} AS dist
+        FROM vecs, subs, ks),
+      codes AS (SELECT vec_id AS cid, sub, k AS code FROM (
+          SELECT vec_id, sub, k, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+          FROM dists) WHERE rn = 1),
+      lut AS (SELECT vec_id AS qid, sub, k AS code,
+          CAST(floor(dist * 1000000.0) AS BIGINT) AS lm
+        FROM dists WHERE vec_id < 10),
+      est AS (SELECT p.qid, ce.vec_id AS cid, sum(l.lm) AS est_micro
+        FROM probes p
+        JOIN cellm ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+        JOIN codes co ON co.cid = ce.vec_id
+        JOIN lut l ON l.qid = p.qid AND l.sub = co.sub
+          AND l.code = co.code
+        GROUP BY 1, 2),
+      r AS (SELECT qid, cid, est_micro, row_number() OVER (
+          PARTITION BY qid ORDER BY est_micro, cid) AS rank
+        FROM est)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+        CAST(est_micro AS BIGINT) AS est_micro
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224, q225, q226, q227, q228)
+      q222, q223, q224, q225, q226, q227, q228, q229)
 }
 

@@ -411,4 +411,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(est === want, s"ADC mismatch for ($qid, $cid)")
     }
   }
+
+  test("IVF+PQ composition: same estimator, candidates confined to probed cells") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val codes = Similarity.Pq.encodeWide(
+      e.select(col("vec_id").as("cid"), col("v")), "cid", "v")
+    val cents = graft.functions.VectorFunctions.md5Vectors(16, 64, "cent")
+    val full = Similarity.Pq.adcTopK(queries, codes, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val pruned = Similarity.Pq.ivfAdcTopK(queries, cands, codes,
+      cents, k = 5, nProbe = 4).collect()
+    // the pruned ranking never invents a score: every returned pair's
+    // est equals the full ADC estimate for that pair
+    pruned.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(2))) === r.getLong(3))
+    }
+    // and pruning prunes: with nProbe=1 the candidate set shrinks
+    val tight = Similarity.Pq.ivfAdcTopK(queries, cands, codes,
+      cents, k = 1000, nProbe = 1).count()
+    val wide = Similarity.Pq.ivfAdcTopK(queries, cands, codes,
+      cents, k = 1000, nProbe = 16).count()
+    assert(tight < wide)
+  }
 }
