@@ -64,4 +64,13 @@ class SketchesSpec extends AnyFunSuite {
     val total = sketch.agg(sum("cnt")).collect().head.getLong(0)
     assert(total === 2L * depth)
   }
+
+  test("probing an empty sketch estimates 0 for every term") {
+    val emptySketch = Sketches.countMinBuild(
+      terms.filter(col("term") === "no_such"), "term", depth, width)
+    val est = Sketches.countMinEstimate(emptySketch,
+      Seq("alpha", "beta").toDF("term"), "term", depth, width)
+      .collect().map(_.getLong(1))
+    assert(est.forall(_ === 0L))
+  }
 }

@@ -137,4 +137,19 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(global.isEmpty)
   }
+
+  test("empty and all-null inputs yield empty results, not crashes") {
+    val empty = values.filter(col("v") > Long.MaxValue - 1)
+    assert(Stats.cumulativeValueCensus(empty, "v").count() === 0)
+    assert(Stats.exactQuantiles(empty, "v", Seq(500000L)).count() === 0)
+    assert(Stats.equiDepthHistogram(empty, "v", 4).count() === 0)
+    val allNull = Seq(Option.empty[Long], Option.empty[Long]).toDF("v")
+    assert(Stats.exactQuantiles(allNull, "v", Seq(500000L)).count() === 0)
+    // profile still reports aggregate stats (null-valued) + row count,
+    // but no p50 row for a value-less column
+    val prof = Stats.profile(allNull, Seq("v")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(prof.contains(("_table", "n_rows")))
+    assert(!prof.contains(("v", "p50")))
+  }
 }
