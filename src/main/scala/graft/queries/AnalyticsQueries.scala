@@ -1191,8 +1191,7 @@ object AnalyticsQueries {
   // probe many" deployment shape every index family here uses; the
   // encode bill rides first_run, steady state is the ADC probe.
   private val pqDirByInput = new graft.sources.JvmMemo[String]
-  private def pqCodesMaterialized(s: SparkSession,
-                                  d: String): DataFrame = {
+  private def pqCodesDir(s: SparkSession, d: String): String = {
     val dir = LlmOps.materializedTempDir(pqDirByInput, d,
       "graft_pqcodes_") { out =>
       val e = Tables.embeddings(s, d).select(
@@ -1201,8 +1200,11 @@ object AnalyticsQueries {
       graft.operators.Similarity.Pq.encodeWide(e, "cid", "v")
         .write.mode("overwrite").parquet(s"$out/codes")
     }
-    s.read.parquet(s"$dir/codes")
+    s"$dir/codes"
   }
+  private def pqCodesMaterialized(s: SparkSession,
+                                  d: String): DataFrame =
+    s.read.parquet(pqCodesDir(s, d))
 
   private val q221 = GraftQuery(
     "q221_pq_adc",
@@ -1704,10 +1706,90 @@ object AnalyticsQueries {
         CAST(est_micro AS BIGINT) AS est_micro
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---- q230: PQ code-table maintenance (CDC compaction) ---------------
+  // The q108/q128/q137 pattern applied to the LAST persisted index
+  // artifact without it (VERDICT r7 missing item 2): runPqIngest only
+  // appends, so deletes and re-embeddings left stale code rows that
+  // adcTopK kept ranking. The q137 changelog family (deleted %13,
+  // re-embedded-negated %17, inserted-reversed %19 — deterministic so
+  // DuckDB replays it) compacts the stored codes to their successor
+  // snapshot; the verdict is the full q221 ADC probe against the
+  // compacted snapshot, while the oracle rebuilds the post-changelog
+  // corpus and re-derives codebooks/codes/LUTs/ranking from scratch —
+  // a stale surviving code row, a lost fresh row, or a mis-encoded
+  // update flips the hash red.
+
+  private val pqCmpDirByInput = new graft.sources.JvmMemo[String]
+  private def pqCompactedMaterialized(s: SparkSession,
+                                      d: String): DataFrame =
+    s.read.parquet(
+      LlmOps.materializedTempDir(pqCmpDirByInput, d, "graft_pqcmp_") {
+        out =>
+          val e = Tables.embeddings(s, d).select(
+            col("vec_id").as("cid"),
+            col("embedding").cast("array<double>").as("v"))
+          val del = e.filter(col("cid") % 13 === 0)
+            .select(col("cid"), lit("D").as("op"),
+              lit(null).cast("array<double>").as("v"))
+          val upd = e.filter(col("cid") % 17 === 0 && col("cid") % 13 =!= 0)
+            .select(col("cid"), lit("U").as("op"),
+              transform(col("v"), x => -x).as("v"))
+          val ins = e.filter(col("cid") % 19 === 0)
+            .select((col("cid") + 1000000L).as("cid"), lit("I").as("op"),
+              reverse(col("v")).as("v"))
+          graft.operators.Similarity.Pq.compactPqCodes(s, pqCodesDir(s, d),
+            del.unionByName(upd).unionByName(ins), out)
+      })
+
+  private val q230 = GraftQuery(
+    "q230_pq_compaction",
+    (s, d) => {
+      val queries = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      graft.operators.Similarity.Pq.adcTopK(queries,
+        pqCompactedMaterialized(s, d), 5).orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      corpus2 AS (
+        SELECT vec_id, v FROM e
+        WHERE vec_id % 13 <> 0 AND vec_id % 17 <> 0
+        UNION ALL
+        SELECT vec_id, list_transform(v, x -> -x) FROM e
+        WHERE vec_id % 17 = 0 AND vec_id % 13 <> 0
+        UNION ALL
+        SELECT vec_id + 1000000, list_reverse(v) FROM e
+        WHERE vec_id % 19 = 0),
+      subs(sub) AS (SELECT unnest(range(8))),
+      ks(k) AS (SELECT unnest(range(16))),
+      cdists AS (SELECT vec_id, sub, k, ${pqDistSql("v")} AS dist
+        FROM corpus2, subs, ks),
+      codes AS (SELECT vec_id AS cid, sub, k AS code FROM (
+          SELECT vec_id, sub, k, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+          FROM cdists) WHERE rn = 1),
+      qdists AS (SELECT vec_id, sub, k, ${pqDistSql("v")} AS dist
+        FROM e, subs, ks WHERE vec_id < 10),
+      lut AS (SELECT vec_id AS qid, sub, k AS code,
+          CAST(floor(dist * 1000000.0) AS BIGINT) AS lm
+        FROM qdists),
+      est AS (SELECT lut.qid, codes.cid, sum(lut.lm) AS est_micro
+        FROM codes JOIN lut ON lut.sub = codes.sub
+          AND lut.code = codes.code
+        WHERE codes.cid <> lut.qid GROUP BY 1, 2),
+      r AS (SELECT qid, cid, est_micro, row_number() OVER (
+          PARTITION BY qid ORDER BY est_micro, cid) AS rank
+        FROM est)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+        CAST(est_micro AS BIGINT) AS est_micro
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224, q225, q226, q227, q228, q229)
+      q222, q223, q224, q225, q226, q227, q228, q229, q230)
 }
 

@@ -491,6 +491,56 @@ class SimilaritySpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("compactPqCodes: D/U/I compaction equals a from-scratch re-encode; a deleted neighbor vanishes") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqcmp_spec_").toString
+    try {
+      val rnd = new scala.util.Random(23)
+      val rows = (0L until 60L).map(i => (i, Seq.fill(64)(rnd.nextGaussian())))
+      val df = rows.toDF("cid", "v")
+      Similarity.Pq.encodeWide(df, "cid", "v")
+        .write.parquet(s"$base/old")
+      // at-least-once re-delivery from runPqIngest: a duplicate slice
+      // lands in the stored table; compaction must collapse it
+      Similarity.Pq.encodeWide(df.filter($"cid" < 5), "cid", "v")
+        .write.mode("append").parquet(s"$base/old")
+      val del = df.filter($"cid" % 7 === 0)
+        .select($"cid", lit("D").as("op"),
+          lit(null).cast("array<double>").as("v"))
+      val upd = df.filter($"cid" % 11 === 0 && $"cid" % 7 =!= 0)
+        .select($"cid", lit("U").as("op"),
+          transform($"v", x => -x).as("v"))
+      val ins = df.filter($"cid" % 13 === 0)
+        .select(($"cid" + 100000L).as("cid"), lit("I").as("op"),
+          reverse($"v").as("v"))
+      Similarity.Pq.compactPqCodes(spark, s"$base/old",
+        del.unionByName(upd).unionByName(ins), s"$base/new")
+      // the compacted snapshot must equal a from-scratch encode of the
+      // post-changelog corpus, row for row
+      val corpus2 = df.filter($"cid" % 7 =!= 0 && $"cid" % 11 =!= 0)
+        .unionByName(df.filter($"cid" % 11 === 0 && $"cid" % 7 =!= 0)
+          .select($"cid", transform($"v", x => -x).as("v")))
+        .unionByName(df.filter($"cid" % 13 === 0)
+          .select(($"cid" + 100000L).as("cid"), reverse($"v").as("v")))
+      val rebuilt = Similarity.Pq.encodeWide(corpus2, "cid", "v")
+        .collect().map(_.toSeq).toSet
+      val compacted = spark.read.parquet(s"$base/new")
+        .collect().map(_.toSeq).toSet
+      assert(compacted === rebuilt)
+      // and the stale-rank bug is dead: no deleted id survives into an
+      // ADC ranking over the compacted snapshot
+      val queries = df.filter($"cid" < 3)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      val ranked = Similarity.Pq.adcTopK(queries,
+        spark.read.parquet(s"$base/new"), 60)
+      assert(ranked.filter($"cid" < 100000L && $"cid" % 7 === 0)
+        .count() === 0)
+    } finally {
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   test("IVF+PQ composition: same estimator, candidates confined to probed cells") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
