@@ -1077,6 +1077,91 @@ object SearchQueries {
       SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
       FROM v ORDER BY n_occurrences DESC, doc_id"""))
 
+  // ---- q231: BM25 over the PERSISTED index from pure SQL --------------
+  // VERDICT r7 Missing #4: the ad-hoc bm25_search TVF rebuilds the
+  // index per call by documented design, and the SQL-only persona had
+  // no route at all to the build-once-probe-many tier (q124's path).
+  // bm25_search_idx probes REGISTERED postings + lens tables — same
+  // ranking machinery, index built once outside the call — so the
+  // oracle is q126's verbatim: the parser path and the table
+  // indirection must add no semantics.
+
+  private def registerIndexViews(s: SparkSession, d: String): Unit = {
+    val dir = idxDir(s, d)
+    s.read.parquet(s"$dir/post").createOrReplaceTempView("bm25_postings")
+    s.read.parquet(s"$dir/lens").createOrReplaceTempView("bm25_lens")
+    s.read.parquet(s"$dir/grams").createOrReplaceTempView("trigram_postings")
+  }
+
+  private val q231 = GraftQuery(
+    "q231_sql_bm25_idx",
+    (s, d) => {
+      registerIndexViews(s, d)
+      s.sql("""SELECT qid, rank, doc_id, score
+        FROM bm25_search_idx('bm25_postings', 'bm25_lens',
+          'dup scan table', 10)
+        ORDER BY rank""")
+    },
+    Some(s"""WITH $toksCte,
+      occ AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+          unnest(tk) AS term FROM toks),
+      post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+          any_value(dl) AS dl
+        FROM occ GROUP BY term, doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST((sum(CAST(len(tk) AS BIGINT)) * 1000) // count(*) AS BIGINT)
+            AS a3
+        FROM toks),
+      qt(term) AS (VALUES ('dup'), ('scan'), ('table')),
+      hdf AS (SELECT post.*, CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+          AS df
+        FROM post JOIN qt USING (term)),
+      sc AS (SELECT doc_id,
+          CAST(sum(
+            (((n_docs - df + 1) * 100000) // (df + 1)) *
+            ((tf * 44 * a3 * 100000) //
+              (20 * tf * a3 + 6 * a3 + 18000 * dl))) AS BIGINT) AS score
+        FROM hdf, stats GROUP BY doc_id),
+      r AS (SELECT CAST(0 AS BIGINT) AS qid,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank,
+          doc_id, score
+        FROM sc)
+      SELECT qid, rank, doc_id, score FROM r
+      WHERE rank <= 10 ORDER BY rank"""))
+
+  // ---- q232: substring search over the PERSISTED index from SQL -------
+  // q183's other half: substring_search_idx probes the registered
+  // charGramPostings landing instead of regramming the corpus per
+  // call (~15× on the q183/q178 pair). Oracle is q178/q183's
+  // verbatim — same gram gate, same verify, same replace-arithmetic.
+
+  private val q232 = GraftQuery(
+    "q232_sql_substring_idx",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      registerIndexViews(s, d)
+      s.sql("""SELECT id AS doc_id, n_occurrences
+        FROM substring_search_idx('trigram_postings', 'documents',
+          'doc_id', 'text', 'sh jo')
+        ORDER BY n_occurrences DESC, doc_id""")
+    },
+    Some("""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+      tg AS (SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+        FROM (SELECT doc_id, t,
+            unnest(generate_series(1, length(t) - 2)) AS i
+          FROM lt)),
+      cand AS (SELECT doc_id FROM tg
+        WHERE gram IN ('sh ', 'h j', ' jo')
+        GROUP BY doc_id HAVING count(*) = 3),
+      v AS (SELECT l.doc_id,
+          (length(l.t) - length(replace(l.t, 'sh jo', ''))) // 5
+            AS n_occurrences
+        FROM lt l JOIN cand c ON c.doc_id = l.doc_id
+        WHERE contains(l.t, 'sh jo'))
+      SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      FROM v ORDER BY n_occurrences DESC, doc_id"""))
+
   // ---- q176: retrieval-quality grading (MRR / hits@k) -----------------
   // The eval loop over the BM25 surface: q124's three-query ranking
   // graded against deterministic relevance labels (a doc is relevant
@@ -1150,5 +1235,5 @@ object SearchQueries {
   def all: Seq[GraftQuery] =
     Seq(q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q136, q138, q139, q140, q141, q142, q144, q151, q158, q159,
-      q171, q175, q176, q178, q183)
+      q171, q175, q176, q178, q183, q231, q232)
 }

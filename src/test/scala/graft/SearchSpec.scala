@@ -880,4 +880,59 @@ class SearchSpec extends AnyFunSuite {
         s"mustNot=$mustNot k=$k\ngot:  $got\nwant: $want")
     }
   }
+
+  // -- persisted-index TVFs (the SQL route to the 0.26 s tier) ----------
+
+  test("bm25_search_idx / substring_search_idx: equal the direct indexed path; wrong tables refused loudly") {
+    corpus.createOrReplaceTempView("idx_tvf_docs")
+    Search.termPostings(corpus, "doc_id", "text")
+      .createOrReplaceTempView("idx_tvf_post")
+    Search.docLens(corpus, "doc_id", "text")
+      .createOrReplaceTempView("idx_tvf_lens")
+    Search.charGramPostings(corpus, "doc_id", "text")
+      .createOrReplaceTempView("idx_tvf_grams")
+    // the TVF must be the direct Scala path through a parser door —
+    // identical rows, identical order
+    val qdf = Seq((0L, "red fox")).toDF("qid", "qtext")
+    val direct = Search.bm25TopK(qdf,
+        spark.table("idx_tvf_post"),
+        Search.statsFromLens(spark.table("idx_tvf_lens")), k = 3)
+      .collect().map(_.toSeq).toSeq
+    val viaSql = spark.sql(
+      """SELECT * FROM bm25_search_idx('idx_tvf_post', 'idx_tvf_lens',
+        'red fox', 3) ORDER BY rank""").collect().map(_.toSeq).toSeq
+    assert(viaSql == direct)
+    val directSub = Search.substringSearchFromIndex(
+        spark.table("idx_tvf_grams"), corpus, "doc_id", "text", "ed fo")
+      .collect().map(_.toSeq).toSeq
+    val viaSqlSub = spark.sql(
+      """SELECT * FROM substring_search_idx('idx_tvf_grams',
+        'idx_tvf_docs', 'doc_id', 'text', 'ed fo')
+        ORDER BY n_occurrences DESC, id""").collect().map(_.toSeq).toSeq
+    assert(viaSqlSub == directSub)
+    // a wrong table (the docs table where an index landing belongs)
+    // is refused with the expected layout named, not an unresolved-
+    // column error deep in the scoring plan
+    val e1 = intercept[Exception] {
+      spark.sql("""SELECT * FROM bm25_search_idx('idx_tvf_docs',
+        'idx_tvf_lens', 'red fox', 3)""").collect()
+    }
+    assert(e1.getMessage.contains("termPostings"), e1.getMessage.take(300))
+    val e2 = intercept[Exception] {
+      spark.sql("""SELECT * FROM bm25_search_idx('idx_tvf_post',
+        'idx_tvf_docs', 'red fox', 3)""").collect()
+    }
+    assert(e2.getMessage.contains("docLens"), e2.getMessage.take(300))
+    val e3 = intercept[Exception] {
+      spark.sql("""SELECT * FROM substring_search_idx('idx_tvf_docs',
+        'idx_tvf_docs', 'doc_id', 'text', 'ed fo')""").collect()
+    }
+    assert(e3.getMessage.contains("charGramPostings"), e3.getMessage.take(300))
+    // k and arity validation fire before any table is touched
+    val e4 = intercept[Exception] {
+      spark.sql("""SELECT * FROM bm25_search_idx('idx_tvf_post',
+        'idx_tvf_lens', 'red fox', 0)""").collect()
+    }
+    assert(e4.getMessage.contains("k must be >= 1"), e4.getMessage.take(300))
+  }
 }
