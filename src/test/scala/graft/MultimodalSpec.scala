@@ -199,4 +199,141 @@ class MultimodalSpec extends AnyFunSuite {
     // random frames almost surely exceed hamming 3 — nothing else
     assert(got == Seq((0L, 2L, 1L, 2L, 0L)), got)
   }
+
+  // -- real codec seam: WAV audio + MJPEG-AVI video ---------------------
+
+  /** Real WAV bytes rendered in-test through the JDK's own writer:
+    * 16-bit signed mono PCM, first half silence, second half full
+    * square wave — unambiguous envelope structure. */
+  private def realWav(rate: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nFrames * 2)
+    for (f <- nFrames / 2 until nFrames) {
+      val v: Short = if (f % 2 == 0) 32767 else -32768
+      pcm(2 * f) = (v & 0xFF).toByte        // little-endian
+      pcm(2 * f + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioDecodeBatch really decodes WAV: true rate/frames, envelope features") {
+    val wav = realWav(8000, 4000)
+    val in = Seq((1L, wav), (2L, junk)).toDF("id", "media")
+    val rows = Multimodal.audioDecodeBatch(in, "id", "media", bins = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getInt(1) == 8000 && r1.getInt(2) == 1, r1)
+    assert(r1.getLong(3) == 4000L, r1)
+    assert(r1.getLong(4) == 500L, r1) // 4000 frames @ 8 kHz = 500 ms
+    val f = r1.getSeq[Float](5)
+    assert(f.size == 4)
+    // first half silence, second half full-scale square wave
+    assert(f(0) == 0f && f(1) == 0f, s"silent bins not silent: $f")
+    assert(f(2) > 0.99f && f(3) > 0.99f, s"loud bins not loud: $f")
+    // undecodable bytes degrade to a null row
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(5))
+    // the sniffer sees the same bytes as RIFF
+    val sniff = in.select($"id", Multimodal.sniffFormat($"media"))
+      .as[(Long, String)].collect().toMap
+    assert(sniff(1L) == "riff")
+  }
+
+  private def u32le(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ u32le(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(subtype: String, data: Array[Byte]): Array[Byte] =
+    chunk("LIST", subtype.getBytes("US-ASCII") ++ data)
+
+  /** Real MJPEG-AVI bytes built chunk by chunk: RIFF('AVI ') with an
+    * avih/strh/strf header list and the frames as JPEG '00dc' chunks
+    * inside 'movi' — the layout every MJPEG camera writes. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val avih = u32le(40000) ++ u32le(0) ++ u32le(0) ++ u32le(0x10) ++
+      u32le(frames.size) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+      u32le(w) ++ u32le(h) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      u32le(0) ++ u32le(0) ++ u32le(0) ++ u32le(1) ++ u32le(25) ++
+      u32le(0) ++ u32le(frames.size) ++ u32le(0) ++ u32le(0) ++
+      u32le(0) ++ Array.fill(8)(0.toByte)
+    val strf = u32le(40) ++ u32le(w) ++ u32le(h) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+      "MJPG".getBytes("US-ASCII") ++ u32le(w * h * 3) ++ Array.fill(16)(0.toByte)
+    val hdrl = riffList("hdrl", chunk("avih", avih) ++
+      riffList("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.flatMap(fb => chunk("00dc", fb)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+  }
+
+  /** A deterministic noise JPEG — per-pixel colors from a seeded RNG,
+    * so different seeds give perceptually distant frames while the
+    * same seed gives byte-identical JPEGs. */
+  private def noiseJpeg(seed: Long, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt(0x1000000))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("videoDecodeBatch really parses MJPEG-AVI: frame count, dims, sampled rasters") {
+    val fs = Seq(noiseJpeg(1), noiseJpeg(2), noiseJpeg(3), noiseJpeg(4))
+    val avi = mjpegAvi(fs, 32, 24)
+    val in = Seq((1L, avi), (2L, junk)).toDF("id", "media")
+    val rows = Multimodal.videoDecodeBatch(in, "id", "media",
+        w = 8, h = 8, nFrames = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getInt(1) == 32 && r1.getInt(2) == 24, r1) // true JPEG dims
+    assert(r1.getInt(3) == 4, r1) // container's total frame count
+    val rasters = r1.getSeq[String](4)
+    assert(rasters.size == 2) // sampled down to nFrames
+    assert(rasters.forall(_.length == 8 * 8 * 2)) // 2 hex chars / pixel
+    assert(rasters.forall(_.matches("[0-9A-F]+")))
+    assert(rasters(0) != rasters(1)) // distinct noise frames differ
+    // junk bytes degrade to a null row, not a task failure
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
+    // the chunk walk itself: all four payloads recovered byte-exact
+    val chunks = Multimodal.aviVideoFrames(avi)
+    assert(chunks.exists(_.length == 4))
+    assert(chunks.get.map(_.toSeq).toSeq == fs.map(_.toSeq),
+      "frame payloads must round-trip byte-exact")
+    // a truncated container stops cleanly instead of reading past end
+    val cut = Multimodal.aviVideoFrames(avi.take(avi.length / 2))
+    assert(cut.isDefined) // RIFF header parses; walk clamps
+    assert(Multimodal.aviVideoFrames(junk).isEmpty)
+  }
+
+  test("videoNearDupsFromMedia: dup clip found across REAL encoded videos") {
+    // videos A and B share frame seed 7 (byte-identical JPEG chunks);
+    // C is all fresh noise; B also repeats its own frame (same-video
+    // pair must not surface)
+    val a = mjpegAvi(Seq(noiseJpeg(1), noiseJpeg(7)), 32, 24)
+    val b = mjpegAvi(Seq(noiseJpeg(7), noiseJpeg(9), noiseJpeg(9)), 32, 24)
+    val c = mjpegAvi(Seq(noiseJpeg(20), noiseJpeg(21)), 32, 24)
+    val in = Seq((0L, a), (1L, b), (2L, c), (3L, junk)).toDF("id", "media")
+    val got = Multimodal.videoNearDupsFromMedia(in, "id", "media",
+        w = 9, h = 8, nFrames = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // A's frame 1 == B's frame 0, decoded from real JPEG bytes →
+    // identical rasters → hamming 0; B samples 3 frames (7,9,9)
+    assert(got.contains((0L, 1L, 1L, 0L, 0L)), s"shared clip missing: $got")
+    assert(!got.exists(r => r._1 == r._3), s"same-video pair leaked: $got")
+    // every reported pair is within the gate
+    assert(got.forall(_._5 <= 3), got)
+  }
 }
