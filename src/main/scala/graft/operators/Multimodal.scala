@@ -520,9 +520,12 @@ object Multimodal {
         if (chunks.isEmpty) Row(r.get(0), null, null, null, null)
         else {
           val total = chunks.get.length
+          // Long product: a multi-million-chunk container times a large
+          // nFrames overflows Int and would index negative (ADVICE r8)
           val picks =
             if (total <= nFrames) chunks.get
-            else Array.tabulate(nFrames)(i => chunks.get(i * total / nFrames))
+            else Array.tabulate(nFrames)(i =>
+              chunks.get((i.toLong * total / nFrames).toInt))
           val decoded = picks.flatMap { fb =>
             val img =
               try javax.imageio.ImageIO.read(

@@ -1786,10 +1786,67 @@ object AnalyticsQueries {
         CAST(est_micro AS BIGINT) AS est_micro
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---- q233: persisted PQ index probe (books sidecar) -----------------
+  // The store-through route of the PQ tier (VERDICT r8 missing item
+  // 1): writePqIndex lands codes + the codebooks SIDECAR, and the
+  // probe recovers EVERYTHING from disk — no session book knowledge,
+  // the exact capability the sidecar exists for ("a second session
+  // probing a stored code table has no way to recover which books
+  // built it"). The md5 tier keeps the oracle bit-replayable (the
+  // q221 contract verbatim); the trained-book route through the same
+  // store is SimilaritySpec-gated (float means are not replayable).
+  // The oracle is q221's full from-scratch rebuild — a sidecar that
+  // round-tripped wrong, or a probe that guessed different books,
+  // mis-ranks and flips the hash.
+
+  private val pqIdxDirByInput = new graft.sources.JvmMemo[String]
+  private def pqIndexDir(s: SparkSession, d: String): String =
+    LlmOps.materializedTempDir(pqIdxDirByInput, d, "graft_pqindex_") {
+      out =>
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("v"))
+        graft.operators.Similarity.Pq.writePqIndex(e, "cid", "v", out)
+    }
+
+  private val q233 = GraftQuery(
+    "q233_pq_index_probe",
+    (s, d) => {
+      val queries = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      graft.operators.Similarity.Pq.probePqIndex(s,
+        pqIndexDir(s, d), queries, 5).orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      subs(sub) AS (SELECT unnest(range(8))),
+      ks(k) AS (SELECT unnest(range(16))),
+      dists AS (SELECT vec_id, sub, k, ${pqDistSql("v")} AS dist
+        FROM e, subs, ks),
+      codes AS (SELECT vec_id AS cid, sub, k AS code FROM (
+          SELECT vec_id, sub, k, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+          FROM dists) WHERE rn = 1),
+      lut AS (SELECT vec_id AS qid, sub, k AS code,
+          CAST(floor(dist * 1000000.0) AS BIGINT) AS lm
+        FROM dists WHERE vec_id < 10),
+      est AS (SELECT lut.qid, codes.cid, sum(lut.lm) AS est_micro
+        FROM codes JOIN lut ON lut.sub = codes.sub
+          AND lut.code = codes.code
+        WHERE codes.cid <> lut.qid GROUP BY 1, 2),
+      r AS (SELECT qid, cid, est_micro, row_number() OVER (
+          PARTITION BY qid ORDER BY est_micro, cid) AS rank
+        FROM est)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+        CAST(est_micro AS BIGINT) AS est_micro
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224, q225, q226, q227, q228, q229, q230)
+      q222, q223, q224, q225, q226, q227, q228, q229, q230, q233)
 }
 

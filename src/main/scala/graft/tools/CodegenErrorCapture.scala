@@ -28,6 +28,11 @@ object CodegenErrorCapture {
 
   private val errors = new AtomicInteger(0)
   private val samples = new ConcurrentLinkedQueue[String]
+  @volatile private var selfTestSeen = false
+
+  /** Marker for the install-time self-test event — counted into its
+    * own flag, never into [[errors]]. */
+  private val SelfTestMarker = "graft-codegen-capture-selftest"
 
   /** Loggers whose ERRORs mean "generated code failed to compile". */
   private val CodegenLoggers = Seq(
@@ -43,11 +48,15 @@ object CodegenErrorCapture {
         val n = e.getLoggerName
         if (e.getLevel.isMoreSpecificThan(Level.ERROR) &&
             CodegenLoggers.exists(n.startsWith)) {
-          errors.incrementAndGet()
-          if (samples.size < 8)
-            samples.add(n + ": " +
-              e.getMessage.getFormattedMessage.linesIterator
+          val msg = e.getMessage.getFormattedMessage
+          if (msg != null && msg.contains(SelfTestMarker)) {
+            selfTestSeen = true
+          } else {
+            errors.incrementAndGet()
+            if (samples.size < 8)
+              samples.add(n + ": " + msg.linesIterator
                 .take(2).mkString(" | ").take(400))
+          }
         }
       }
     }
@@ -58,6 +67,18 @@ object CodegenErrorCapture {
     // `setLogLevel("WARN")` keeps ERROR flowing regardless
     config.getRootLogger.addAppender(appender, Level.ERROR, null)
     ctx.updateLoggers()
+    // Self-verify delivery (ADVICE r8): a non-additive LoggerConfig
+    // covering the codegen classes, or a different resolved
+    // LoggerContext, would starve this appender and every downstream
+    // assert would pass vacuously — a silent guard guarding against a
+    // silent failure. Push one synthetic ERROR through the real
+    // codegen logger name and demand it arrived.
+    LogManager.getLogger(CodegenLoggers.head).error(SelfTestMarker)
+    if (!selfTestSeen)
+      throw new IllegalStateException(
+        "CodegenErrorCapture appender is NOT receiving codegen logger " +
+          "events (non-additive LoggerConfig or foreign LoggerContext?) " +
+          "— codegen-health asserts would be vacuous")
     true
   }
 

@@ -15,6 +15,9 @@ class SimilaritySpec extends AnyFunSuite {
 
   private val dim = 16
 
+  private def deleteRec(base: String): Unit =
+    graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(base))
+
   /** Deterministic pseudo-random vectors (seeded Random —
     * reproducible across runs and JVMs). */
   private lazy val corpus: DataFrame = {
@@ -539,6 +542,119 @@ class SimilaritySpec extends AnyFunSuite {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.delete(f))
     }
+  }
+
+  test("persisted PQ index: trained books round-trip the sidecar; probe from disk equals the build session") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqidx_spec_").toString
+    try {
+      // the trained-codebook deployment path (VERDICT r8 Missing #1):
+      // blobs → trained books → writePqIndex → a probe that recovers
+      // EVERYTHING from disk must rank identically to the build
+      // session's in-memory books
+      val rnd = new scala.util.Random(31)
+      val centers = Seq.fill(16)(Array.fill(64)(rnd.nextGaussian() * 4.0))
+      val rows = (0L until 160L).map { i =>
+        val c = centers((i % 16).toInt)
+        (i, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+      }
+      val df = rows.toDF("cid", "v").cache()
+      val books = Similarity.Pq.trainCodebooks(df, "cid", "v")
+      Similarity.Pq.writePqIndex(df, "cid", "v", s"$base/idx", books)
+      // bit-exact sidecar round-trip — the identical-LUT precondition
+      assert(Similarity.Pq.readPqBooks(spark, s"$base/idx") === books)
+      val queries = df.filter($"cid" < 8)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      val fromDisk = Similarity.Pq
+        .probePqIndex(spark, s"$base/idx", queries, 9)
+        .collect().map(_.toSeq).toSet
+      val inSession = Similarity.Pq.adcTopKWith(queries,
+          Similarity.Pq.encodeWideWith(df, "cid", "v", books), 9, books)
+        .collect().map(_.toSeq).toSet
+      assert(fromDisk === inSession)
+      // and the books MATTER: probing the same codes with md5 books
+      // (the pre-sidecar failure mode) ranks differently
+      val misRanked = Similarity.Pq.adcTopK(queries,
+          spark.read.parquet(s"$base/idx/codes"), 9)
+        .collect().map(_.toSeq).toSet
+      assert(misRanked !== fromDisk,
+        "fixture cannot distinguish trained from md5 books")
+      df.unpersist()
+    } finally deleteRec(base)
+  }
+
+  test("persisted PQ index: missing sidecar and mismatched append books refuse loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqidx_refuse_").toString
+    try {
+      val rnd = new scala.util.Random(37)
+      val rows = (0L until 40L).map(i => (i, Seq.fill(64)(rnd.nextGaussian())))
+      val df = rows.toDF("cid", "v")
+      // a bare code table without books — the exact artifact class the
+      // sidecar exists to prevent — must refuse the probe, not guess
+      Similarity.Pq.encodeWide(df, "cid", "v")
+        .write.parquet(s"$base/bare/codes")
+      val queries = df.filter($"cid" < 2)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.Pq.probePqIndex(spark, s"$base/bare", queries, 3)
+      }
+      assert(e1.getMessage.contains("books"), e1.getMessage.take(200))
+      // an append carrying DIFFERENT books than the sidecar must
+      // refuse instead of silently mixing geometries in one table
+      Similarity.Pq.writePqIndex(df, "cid", "v", s"$base/idx")
+      val other = Similarity.Pq.md5Codebooks.map(_.map(_.map(-_)))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.Pq.appendToPqIndex(spark, s"$base/idx",
+          df.limit(1), "cid", "v", Some(other))
+      }
+      assert(e2.getMessage.contains("sidecar"), e2.getMessage.take(200))
+      // matching books append fine, and the grown index still probes
+      Similarity.Pq.appendToPqIndex(spark, s"$base/idx",
+        df.limit(5), "cid", "v", Some(Similarity.Pq.md5Codebooks))
+      val probed = Similarity.Pq
+        .probePqIndex(spark, s"$base/idx", queries, 3)
+      val direct = Similarity.Pq.adcTopK(queries,
+        Similarity.Pq.encodeWide(df, "cid", "v"), 3)
+      assert(probed.collect().map(_.toSeq).toSet ===
+        direct.collect().map(_.toSeq).toSet)
+    } finally deleteRec(base)
+  }
+
+  test("compactPqIndex: sidecar books drive the re-encode and ride to the successor snapshot") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqidxcmp_").toString
+    try {
+      val rnd = new scala.util.Random(41)
+      val rows = (0L until 60L).map(i => (i, Seq.fill(64)(rnd.nextGaussian())))
+      val df = rows.toDF("cid", "v")
+      // non-default books: the compaction must re-encode U/I rows with
+      // THESE (from the sidecar), not the md5 default the raw-table
+      // form would have assumed
+      val books = Similarity.Pq.md5Codebooks.map(_.map(_.map(-_)))
+      Similarity.Pq.writePqIndex(df, "cid", "v", s"$base/old", books)
+      val del = df.filter($"cid" % 7 === 0)
+        .select($"cid", lit("D").as("op"),
+          lit(null).cast("array<double>").as("v"))
+      val upd = df.filter($"cid" % 11 === 0 && $"cid" % 7 =!= 0)
+        .select($"cid", lit("U").as("op"),
+          transform($"v", x => -x).as("v"))
+      Similarity.Pq.compactPqIndex(spark, s"$base/old",
+        del.unionByName(upd), s"$base/new")
+      val corpus2 = df.filter($"cid" % 7 =!= 0 && $"cid" % 11 =!= 0)
+        .unionByName(df.filter($"cid" % 11 === 0 && $"cid" % 7 =!= 0)
+          .select($"cid", transform($"v", x => -x).as("v")))
+      val rebuilt = Similarity.Pq
+        .encodeWideWith(corpus2, "cid", "v", books)
+        .collect().map(_.toSeq).toSet
+      assert(spark.read.parquet(s"$base/new/codes")
+        .collect().map(_.toSeq).toSet === rebuilt)
+      // books rode along: the successor is self-describing too
+      assert(Similarity.Pq.readPqBooks(spark, s"$base/new") === books)
+      // and the enforced out-of-place contract (ADVICE r8)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.Pq.compactPqIndex(spark, s"$base/new", del,
+          s"$base/new")
+      }
+      assert(e.getMessage.contains("out-of-place"), e.getMessage.take(200))
+    } finally deleteRec(base)
   }
 
   test("IVF+PQ composition: same estimator, candidates confined to probed cells") {

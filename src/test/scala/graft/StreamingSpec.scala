@@ -507,7 +507,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_pqingest_spec")
     deleteRec(root)
-    val raw = root.resolve("raw"); val cd = root.resolve("codes")
+    val raw = root.resolve("raw"); val idx = root.resolve("pqidx")
     val ckpt = root.resolve("ckpt")
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -517,15 +517,21 @@ class StreamingSpec extends AnyFunSuite {
     e.filter(col("vec_id") % 2 =!= 0).coalesce(1)
       .write.json(raw.resolve("f2").toString)
     graft.streaming.DocIngest.runPqIngest(spark,
-      raw.toString + "/*/", cd.toString, ckpt.toString)
+      raw.toString + "/*/", idx.toString, ckpt.toString)
     val want = graft.operators.Similarity.Pq.encodeWide(
         e.select(col("vec_id").as("cid"),
           col("embedding").as("v")), "cid", "v")
       .collect().map(_.toSeq).toSet
     def landed(): Set[Seq[Any]] =
-      spark.read.parquet(cd.toString).dropDuplicates("cid")
+      spark.read.parquet(idx.resolve("codes").toString)
+        .dropDuplicates("cid")
         .collect().map(_.toSeq).toSet
     assert(landed() === want)
+    // the bootstrap seeded a books sidecar, so the grown index is
+    // probeable by ANY session with no out-of-band book knowledge
+    assert(graft.operators.Similarity.Pq
+      .readPqBooks(spark, idx.toString) ===
+      graft.operators.Similarity.Pq.md5Codebooks)
     // at-least-once: re-land batch 0's identical rows; keep-first
     // read restores the exactly-once table (codes are pure functions
     // of the vector, so any copy is the right one)
@@ -533,8 +539,47 @@ class StreamingSpec extends AnyFunSuite {
         e.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("v")),
         "cid", "v")
-      .write.mode("append").parquet(cd.toString)
+      .write.mode("append").parquet(idx.resolve("codes").toString)
     assert(landed() === want)
+    deleteRec(root)
+  }
+
+  test("streaming PQ ingest onto a trained-book index encodes with the SIDECAR books, not the md5 default") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_pqingest_books_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val idx = root.resolve("pqidx")
+    val ckpt = root.resolve("ckpt")
+    val Pq = graft.operators.Similarity.Pq
+    // distinguishable non-default books: md5 books with every
+    // centroid negated — any vector whose md5 code differs from its
+    // negated-book code proves which books the ingest used
+    val books = Pq.md5Codebooks.map(_.map(_.map(-_)))
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    // existing index built with the trained books, empty code table
+    Pq.writePqIndex(e.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("v")),
+      "cid", "v", idx.toString, books)
+    e.coalesce(1).write.json(raw.resolve("f1").toString)
+    graft.streaming.DocIngest.runPqIngest(spark,
+      raw.toString + "/*/", idx.toString, ckpt.toString)
+    val want = Pq.encodeWideWith(
+        e.select(col("vec_id").as("cid"), col("embedding").as("v")),
+        "cid", "v", books)
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(idx.resolve("codes").toString)
+      .dropDuplicates("cid").collect().map(_.toSeq).toSet
+    assert(got === want)
+    // and the plant is live: the md5 default would have landed codes
+    // that differ (negated books flip argmins on this corpus)
+    val md5Want = Pq.encodeWide(
+        e.select(col("vec_id").as("cid"), col("embedding").as("v")),
+        "cid", "v")
+      .collect().map(_.toSeq).toSet
+    assert(got !== md5Want,
+      "fixture cannot distinguish sidecar books from the md5 default")
     deleteRec(root)
   }
 
