@@ -3737,6 +3737,65 @@ object LlmOps {
       FROM documents d LEFT JOIN ag a USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---- q234: audio perceptual near-dup --------------------------------
+  // The audio tier of perceptual dedup (VERDICT r8 missing item 2 —
+  // image q188 and video q189 had dedup tiers; real audio decode fed
+  // nothing): 100 synthetic 65-bin loudness envelopes (md5-uniform
+  // values, the q160 convention) where each even id's envelope
+  // reappears at the odd id with ONE bin overwritten — a level blip
+  // that moves at most 2 of the 64 gradient-sign bits, the
+  // controlled near-dup a content hash cannot see. Gradient-sign
+  // fingerprint (the dHash idea on the time axis) + the q188 banded
+  // machinery verbatim; bands > maxHamming makes the banded result
+  // the EXACT hamming ≤ 3 relation, so the oracle computes that
+  // relation directly (envelopes, sign bits, all pairs). The
+  // real-codec end (WAV bytes → decodeWav envelopes → this
+  // fingerprint) is MultimodalSpec-gated on AudioSystem-written
+  // fixtures.
+
+  private val q234: GraftQuery = GraftQuery(
+    "q234_audio_near_dup",
+    (s, d) => {
+      val env = transform(sequence(lit(0), lit(64)), i =>
+        conv(substring(md5(concat(lit("ae:"), col("k").cast(StringType),
+          lit(":"), i.cast(StringType))), 1, 8), 16, 10)
+          .cast(DoubleType) / 4294967296.0)
+      val base = docs(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id").as("k"))
+      val corpus = base
+        .select((col("k") * 2).as("id"), env.as("env"))
+        .union(base.select((col("k") * 2 + 1).as("id"),
+          transform(env, (x, i) =>
+            when(i === 3, lit(0.5)).otherwise(x)).as("env")))
+      val hashed = corpus.select(col("id"),
+        Multimodal.audioFingerprintBits(col("env")).as("bits"))
+      Multimodal.audioNearDupPairs(hashed, "id", "bits",
+        maxHamming = 3, bands = 4)
+    },
+    Some("""WITH d AS (SELECT doc_id AS k FROM documents
+        WHERE doc_id < 50),
+      rs AS (SELECT k * 2 AS id, k, 0 AS variant FROM d
+        UNION ALL SELECT k * 2 + 1, k, 1 FROM d),
+      env AS (SELECT id, list_transform(generate_series(0, 64), i ->
+          CASE WHEN variant = 1 AND i = 3 THEN 0.5
+            ELSE CAST(concat('0x',
+              substr(md5('ae:' || k || ':' || i), 1, 8)) AS BIGINT)
+              / 4294967296.0 END) AS env
+        FROM rs),
+      bits AS (SELECT id, list_aggregate(
+          list_transform(generate_series(0, 63), j ->
+            CASE WHEN env[j + 1] > env[j + 2] THEN '1' ELSE '0' END),
+          'string_agg', '') AS bits
+        FROM env),
+      pr AS (SELECT a.id AS idA, b.id AS idB, a.bits AS ba, b.bits AS bb
+        FROM bits a JOIN bits b ON a.id < b.id),
+      h AS (SELECT idA, idB,
+          len(list_filter(generate_series(1, 64),
+            i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS hamming
+        FROM pr)
+      SELECT idA, idB, CAST(hamming AS BIGINT) AS hamming
+      FROM h WHERE hamming <= 3 ORDER BY idA, idB"""))
+
   def all: Seq[GraftQuery] =
     Seq(q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
       q51, q52, q53, q54, q55, q60, q63, q64, q65, q66, q67, q68, q69,
@@ -3745,7 +3804,7 @@ object LlmOps {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
       q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188,
-      q189, q190, q191)
+      q189, q190, q191, q234)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -243,6 +243,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sniff(1L) == "riff")
   }
 
+  /** Real WAV with a per-bin amplitude PATTERN: 65 envelope bins of
+    * `framesPerBin` square-wave frames each, bin i at amplitude
+    * `amps(i)` — so [[Multimodal.audioDecodeBatch]]'s 65-bin envelope
+    * reproduces `amps` up to scale and the gradient-sign fingerprint
+    * is fully controlled. */
+  private def realWavPattern(amps: Seq[Double],
+                             framesPerBin: Int = 40): Array[Byte] = {
+    import javax.sound.sampled._
+    val nFrames = amps.size * framesPerBin
+    val pcm = new Array[Byte](nFrames * 2)
+    for (f <- 0 until nFrames) {
+      val a = amps(f / framesPerBin)
+      val v = (if (f % 2 == 0) a * 32000 else -a * 32000).toInt.toShort
+      pcm(2 * f) = (v & 0xFF).toByte
+      pcm(2 * f + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioNearDupsFromMedia: re-gained copy found across REAL WAVs, reshuffled envelope is not a dup") {
+    // deterministic amplitude walk with distinct neighbors (steps of
+    // 37 mod 64 never tie), so all 64 gradient signs are unambiguous
+    val amps = (0 until 65).map(i => ((i * 37) % 64 + 1) / 65.0)
+    val a = realWavPattern(amps)
+    // uniform gain: every gradient SIGN survives → hamming 0 — the
+    // re-encoded/re-mastered copy a content hash cannot see
+    val b = realWavPattern(amps.map(_ * 0.5))
+    // same values in reversed bin order: a different loudness contour
+    val c = realWavPattern(amps.reverse)
+    val in = Seq((1L, a), (2L, b), (3L, c), (4L, junk))
+      .toDF("id", "media")
+    val got = Multimodal.audioNearDupsFromMedia(in, "id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.contains((1L, 2L, 0L)), s"planted dup not found: ${got.toSeq}")
+    // the reversed contour must not pair with either copy, and the
+    // junk row degrades to no fingerprint, never a failure
+    assert(got.forall { case (x, y, _) => Set(x, y) == Set(1L, 2L) },
+      s"false pairs: ${got.toSeq}")
+  }
+
   private def u32le(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)

@@ -792,6 +792,42 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming audio-dedup ingest: later-shard perturbed envelope blocked, index grows") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.Multimodal
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_audgate_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val rnd = new scala.util.Random(883L)
+    def randEnv(): Seq[Double] = Seq.fill(65)(rnd.nextDouble())
+    val a = randEnv(); val b = randEnv(); val c = randEnv()
+    // shard 1: originals A, B; shard 2: A with one bin blipped (moves
+    // ≤ 2 gradient bits — must be blocked by shard 1's fingerprint)
+    // plus fresh C
+    val aBlip = a.updated(7, 0.5)
+    Seq((1L, a), (2L, b)).toDF("id", "env").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    Seq((3L, aBlip), (4L, c)).toDF("id", "env").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runAudioDedupIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, ckpt.toString)
+    val landed = spark.read.json(out.toString)
+      .select($"id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 4L), s"got $landed")
+    // the index carries exactly the survivors' fingerprints, equal to
+    // batch-computed gradient signs
+    val indexed = spark.read.parquet(idx.toString)
+      .as[(Long, String)].collect().toMap
+    val wantBits = Seq((1L, a), (2L, b), (4L, c)).toDF("id", "env")
+      .select($"id", Multimodal.audioFingerprintBits($"env").as("bits"))
+      .as[(Long, String)].collect().toMap
+    assert(indexed == wantBits, s"index $indexed != $wantBits")
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
