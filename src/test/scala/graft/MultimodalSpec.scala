@@ -381,4 +381,28 @@ class MultimodalSpec extends AnyFunSuite {
     // every reported pair is within the gate
     assert(got.forall(_._5 <= 3), got)
   }
+
+  test("torn mid-stream frame: survivors keep TRUE container indices, dup verdicts name them") {
+    // container A: [good, TORN, good] — the torn chunk walks (valid
+    // RIFF size) but fails JPEG decode; the surviving second good
+    // frame is container frame 2, and compacted array-position
+    // numbering would mis-name it 1 (VERDICT r8 minor)
+    val torn = Array.fill(200)(0x55.toByte)
+    val a = mjpegAvi(Seq(noiseJpeg(1), torn, noiseJpeg(7)), 32, 24)
+    val b = mjpegAvi(Seq(noiseJpeg(7)), 32, 24)
+    val dec = Multimodal.videoDecodeBatch(
+        Seq((0L, a)).toDF("id", "media"), "id", "media",
+        w = 9, h = 8, nFrames = 3)
+      .collect().head
+    assert(dec.getInt(3) == 3, dec) // container count includes the torn
+    assert(dec.getSeq[String](4).size == 2) // two frames decoded
+    assert(dec.getSeq[Int](5) == Seq(0, 2), // true container indices
+      s"frame_idx = ${dec.getSeq[Int](5)}")
+    val got = Multimodal.videoNearDupsFromMedia(
+        Seq((0L, a), (1L, b)).toDF("id", "media"), "id", "media",
+        w = 9, h = 8, nFrames = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.contains((0L, 2L, 1L, 0L, 0L)),
+      s"shared clip must be named by container frame 2, got: $got")
+  }
 }
