@@ -262,11 +262,19 @@ object Similarity {
       // enforce the out-of-place contract rather than just documenting
       // it (ADVICE r8): an in-place call would otherwise gamble on
       // Spark's path-overlap AnalysisException firing for every path
-      // normalization, with the only code snapshot as the stake
-      require(new org.apache.hadoop.fs.Path(newDir) !=
-        new org.apache.hadoop.fs.Path(oldDir),
+      // normalization, with the only code snapshot as the stake.
+      // Both paths are FS-qualified first (ADVICE r9): raw Path
+      // equality misses relative-vs-absolute spellings and `.`/`..`
+      // components, exactly the aliased-in-place call the guard exists
+      // to refuse.
+      val hconf = spark.sessionState.newHadoopConf()
+      def qualified(dir: String): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(hconf).makeQualified(p)
+      }
+      require(qualified(newDir) != qualified(oldDir),
         s"compactPqCodes publishes out-of-place: newDir must differ " +
-          s"from oldDir, got both = $oldDir")
+          s"from oldDir, got both = ${qualified(oldDir)}")
       val touched = changelog.select(col("cid")).distinct()
       val fresh = encodeWideWith(
         changelog.filter(col("op").isin("U", "I"))
@@ -497,7 +505,11 @@ object Similarity {
       val cells = candidates
         .withColumn("_cell", bestCell(cents)(col("cvec")))
         .select("cid", "_cell")
-      val probes = queries
+      // same keep-one qid collapse lutForWith applies (ADVICE r9):
+      // without it a duplicated qid fans out the probe side and the
+      // duplicate (qid, cid) candidate rows occupy top-k slots
+      val qOnce = queries.dropDuplicates("qid")
+      val probes = qOnce
         .select(col("qid"), col("qvec"),
           posexplode(centLit).as(Seq("_cell", "_cent")))
         .select(col("qid"), col("qvec"), col("_cell"),

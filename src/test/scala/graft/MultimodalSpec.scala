@@ -288,6 +288,37 @@ class MultimodalSpec extends AnyFunSuite {
       s"false pairs: ${got.toSeq}")
   }
 
+  test("audioNearDupsFromMedia: silence-padded copy of a REAL WAV is found (alignment normalization)") {
+    val amps = (0 until 65).map(i => ((i * 37) % 64 + 1) / 65.0)
+    val a = realWavPattern(amps)
+    // the commonest real-world audio dup: the same clip re-encoded
+    // with leading/trailing silence — every duration-relative bin
+    // shifts unless the envelope is binned over the trimmed loud span
+    val padded = realWavPattern(
+      Seq.fill(10)(0.0) ++ amps ++ Seq.fill(7)(0.0))
+    val in = Seq((1L, a), (2L, padded)).toDF("id", "media")
+    val got = Multimodal.audioNearDupsFromMedia(in, "id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0L)),
+      s"padded copy not recognized: ${got.toSeq}")
+  }
+
+  test("audioFingerprintBits: short envelope degrades to NULL, 65-bin fingerprints unchanged") {
+    import org.apache.spark.sql.functions._
+    val in = Seq(
+      (1L, (0 until 65).map(i => i.toDouble)), // full: monotone up
+      (2L, (0 until 64).map(i => i.toDouble)), // one short of contract
+      (3L, Seq(1.0, 2.0, 3.0)))                // way short
+      .toDF("id", "env")
+    val got = in.select($"id",
+      Multimodal.audioFingerprintBits($"env").as("bits"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "0" * 64, got(1L)) // env[j] > env[j+1] never
+    assert(got(2L) == null && got(3L) == null,
+      s"short envelopes must degrade to null, got $got")
+  }
+
   private def u32le(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)

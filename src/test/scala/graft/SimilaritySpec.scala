@@ -683,4 +683,48 @@ class SimilaritySpec extends AnyFunSuite {
       cents, k = 1000, nProbe = 16).count()
     assert(tight < wide)
   }
+
+  test("ivfAdcTopK: duplicated qid rows collapse keep-one, no duplicate top-k slots") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val codes = Similarity.Pq.encodeWide(
+      e.select(col("vec_id").as("cid"), col("v")), "cid", "v")
+    val cents = graft.functions.VectorFunctions.md5Vectors(16, 64, "cent")
+    val clean = Similarity.Pq.ivfAdcTopK(queries, cands, codes,
+      cents, k = 5, nProbe = 4).collect().map(_.toSeq).toSet
+    // the same queries delivered twice (an upstream at-least-once
+    // retry): without the probe-side collapse each (qid, cid)
+    // candidate row doubles and duplicates occupy top-k slots
+    val doubled = Similarity.Pq.ivfAdcTopK(queries.union(queries),
+      cands, codes, cents, k = 5, nProbe = 4)
+      .collect().map(_.toSeq)
+    assert(doubled.toSet === clean, "doubled-qid ranking diverged")
+    assert(doubled.length == doubled.toSet.size, "duplicate output rows")
+  }
+
+  test("compactPqCodes: aliased relative/absolute spellings of the same dir refuse out-of-place") {
+    import org.apache.spark.sql.functions._
+    val rel = "target/tmp/simspec_alias_pq"
+    val abs = new java.io.File(rel).getAbsolutePath
+    val df = spark.range(4)
+      .select($"id".as("cid"),
+        transform(sequence(lit(0), lit(63)),
+          i => ($"id" + i).cast("double")).as("v"))
+    val cl = df.limit(1).select($"cid", lit("D").as("op"),
+      lit(null).cast("array<double>").as("v"))
+    try {
+      Similarity.Pq.encodeWide(df, "cid", "v")
+        .write.mode("overwrite").parquet(rel)
+      // raw Path equality misses this aliasing; FS-qualification
+      // must not (ADVICE r9)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.Pq.compactPqCodes(spark, rel, cl, abs)
+      }
+      assert(e.getMessage.contains("out-of-place"), e.getMessage.take(200))
+    } finally deleteRec(new java.io.File(rel).getAbsolutePath)
+  }
 }
