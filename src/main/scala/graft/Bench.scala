@@ -25,7 +25,9 @@ import org.apache.spark.sql.SparkSession
   *   - a fixed single-threaded spin loop (the "canary") is timed before
   *     and after the battery, plus an 8-thread twin for parallel
   *     throughput. Their work is constant, so their wall time moves
-  *     ONLY with CPU contention.
+  *     ONLY with CPU contention. Every canary reading now carries the
+  *     1-minute `/proc/loadavg` sampled at the same instant — the
+  *     external-contention witness the spin loop can only infer.
   *
   * Battery-state hygiene (VERDICT r6 item 1 — the r6 artifact showed
   * late-battery queries at 2–6× their isolated cost, a tax the
@@ -43,7 +45,11 @@ import org.apache.spark.sql.SparkSession
   *   - every query pass records its GC-TIME DELTA
   *     (GarbageCollectorMXBean collection-time totals before/after),
   *     published per query as `gc_sec` — the moving signal the fixed
-  *     canaries cannot see;
+  *     canaries cannot see — and its whole-stage-codegen compile
+  *     FAILURE count ([[graft.tools.CodegenErrorCapture]]), published
+  *     as `codegen_errs`: an interpreted-fallback row is 10–50×
+  *     slower while looking perfectly correct, so the artifact must
+  *     say which rows compiled (expect all zeros);
   *   - a canary runs at the END of each segment (just before its
   *     session is recycled), published as `canary.mid`, so contention
   *     is localized to a ~25-query window instead of battery-global;
@@ -51,14 +57,27 @@ import org.apache.spark.sql.SparkSession
   *     queries whose min pass was GC-dominated (gc_sec > 25% of wall
   *     and > 0.1 s) or whose segment's canary read > 1.5× the run's
   *     best canary (CPU contention during that window), with the
-  *     reason in `taint_reason`. A clean artifact has `tainted: []`;
-  *     a flagged row means "re-time in isolation before grading",
-  *     no idle-box judge required;
+  *     reason in `taint_reason`;
   *   - rows reading > 2× their trailing-round min (`bench_ref`, the
   *     latest BENCH_r*.json) get a THIRD pass in-run (r7 item 7 —
   *     q45-class variance resolved by one more sample, listed in
   *     `repassed`); rows still slow after it are tainted
-  *     `slow_vs_ref` instead of left for the judge's Probe. */
+  *     `slow_vs_ref`;
+  *   - finally the bench CLOSES its own adjudication loop (VERDICT
+  *     r8/r9 item: two judge rounds spent manually Probe-ing rows the
+  *     artifact had flagged): every tainted row is RE-TIMED after the
+  *     battery in a fresh session (two passes, min), published as
+  *     `isolated_sec`. The isolation window is certified by its own
+  *     canary + loadavg pair (`isolation.clean`); a row whose
+  *     isolated time is neither GC-dominated nor `slow_vs_ref` is
+  *     moved from `tainted` to `adjudicated` — contention confirmed,
+  *     no regression. `adjusted_total_sec` substitutes the isolated
+  *     times where smaller, which is the number a judge previously
+  *     had to reconstruct by hand. Isolation is capped at
+  *     `SPARK_GRAFT_ISOLATE_MAX` (default 60) heaviest rows; anything
+  *     past the cap stays tainted and is listed in
+  *     `isolation.capped_out`. A healthy run has `tainted: []` with
+  *     nothing to isolate. */
 object Bench {
   /** Fixed-work single-threaded spin: xorshift64* over a constant
     * iteration count. Returns (seconds, checksum) — the checksum is
@@ -102,6 +121,14 @@ object Bench {
     sec
   }
 
+  /** 1-minute load average from /proc/loadavg — the external-
+    * contention witness sampled beside every canary (VERDICT r9 item
+    * 2). -1 where the proc filesystem is unavailable (non-Linux). */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   /** Cumulative stop-the-world GC milliseconds across all collectors —
     * the per-pass delta of this is the heap-pressure tax a wall-clock
     * number alone cannot attribute. */
@@ -111,11 +138,17 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** One timed execution: wall seconds, GC-delta seconds, and the
+    * whole-stage-codegen compile failures the pass triggered. */
+  private final case class Pass(wall: Double, gc: Double, cg: Int)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val recycleEvery =
       sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "25").toInt.max(1)
+    val isolateMax =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAX", "60").toInt.max(0)
 
     def buildSession(): SparkSession = {
       val s = SparkSession.builder()
@@ -137,6 +170,22 @@ object Bench {
       try graft.sources.Tables.registerAllOnce(s, sfDir)
       catch { case _: Throwable => }
       s
+    }
+
+    def timePass(s: SparkSession, name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Pass] = {
+      val g0 = gcMillis()
+      val c0 = graft.tools.CodegenErrorCapture.count()
+      val t0 = System.nanoTime()
+      try {
+        fn(s, sfDir).count()
+        Some(Pass((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
+          graft.tools.CodegenErrorCapture.count() - c0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      }
     }
 
     // Trailing-run reference (VERDICT r7 item 7): the previous run's
@@ -172,18 +221,22 @@ object Bench {
     }
     def slowVsRef(name: String, sec: Double): Boolean =
       refMins.get(name).exists(ref => sec > 2 * ref && sec > 0.2)
+    def gcDominated(p: Pass): Boolean = p.gc > 0.25 * p.wall && p.gc > 0.1
 
     var spark = buildSession()
     // warm up the canary loop itself (JIT compile) before timed probes
     canary()
     val (canBefore, ck1) = canary()
+    val loadBefore = loadAvg()
     val canMtBefore = canaryMt()
 
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    // (name, segment, pass1 (wall, gc), best of later passes (wall, gc))
+    // (name, segment, pass1, best of later passes)
     val results = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Int, Option[(Double, Double)], Option[(Double, Double)])]
-    val midCanaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      .empty[(String, Int, Option[Pass], Option[Pass])]
+    val cgByName = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val midCanaries =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     val repassed = scala.collection.mutable.ArrayBuffer.empty[String]
     var segment = 0
     var i = 0
@@ -191,59 +244,54 @@ object Bench {
       if (i > 0 && i % recycleEvery == 0) {
         // segment canary BEFORE the recycle: it observes the machine
         // state this segment's queries actually ran under
-        midCanaries += ((i, canary()._1))
+        midCanaries += ((i, canary()._1, loadAvg()))
         spark.stop()
         spark = buildSession()
         segment += 1
       }
-      def onePass(): Option[(Double, Double)] = {
-        val g0 = gcMillis()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3))
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
-        }
-      }
-      val first = onePass()
-      val second = if (first.isDefined) onePass() else None
+      val first = timePass(spark, name, fn)
+      val second = if (first.isDefined) timePass(spark, name, fn) else None
       // third-pass adjudication: only when both passes landed AND the
       // min still reads >2× the trailing round — one more sample
       // separates a variance blip from a real slowdown. A third-pass
       // crash is ignored (the row already proved it runs).
       val third = (first, second) match {
-        case (Some((a, _)), Some((b, _))) if slowVsRef(name, math.min(a, b)) =>
+        case (Some(a), Some(b)) if slowVsRef(name, math.min(a.wall, b.wall)) =>
           repassed += name
-          onePass()
+          timePass(spark, name, fn)
         case _ => None
       }
       val laterBest = (second.toSeq ++ third.toSeq)
-        .sortBy(_._1).headOption
+        .sortBy(_.wall).headOption
+      cgByName(name) =
+        (first.toSeq ++ second.toSeq ++ third.toSeq).map(_.cg).sum
       results += ((name, segment, first, laterBest))
       i += 1
     }
     val (canAfter, ck2) = canary()
+    val loadAfter = loadAvg()
     val canMtAfter = canaryMt()
     spark.stop()
 
     def jmap(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmapInt(entries: Iterable[(String, Int)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jarr(names: Iterable[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a query is either healthy (both passes timed) or failed — never
     // both: a pass-2 crash must not leave a pass-1 time in `queries`
     // making the battery look complete
     val healthy = results.collect {
-      case (k, seg, Some((a, ga)), Some((b, gb))) =>
-        if (a <= b) (k, seg, a, ga) else (k, seg, b, gb)
+      case (k, seg, Some(a), Some(b)) =>
+        if (a.wall <= b.wall) (k, seg, a) else (k, seg, b)
     }
-    val best = healthy.map { case (k, _, w, _) => (k, w) }
-    val gcSec = healthy.map { case (k, _, _, g) => (k, g) }
+    val best = healthy.map { case (k, _, p) => (k, p.wall) }
+    val gcSec = healthy.map { case (k, _, p) => (k, p.gc) }
     val firstRun = results.collect {
-      case (k, _, Some((a, _)), Some(_)) => (k, a) }
-    val failed = results.collect {
-      case (k, _, a, b) if a.isEmpty || b.isEmpty => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+      case (k, _, Some(a), Some(_)) => (k, a.wall) }
+    val failed = jarr(results.collect {
+      case (k, _, a, b) if a.isEmpty || b.isEmpty => k })
     val total = best.map(_._2).sum
 
     // self-adjudication: GC-dominated min pass, or a contended segment
@@ -253,37 +301,89 @@ object Bench {
       // the canary at the segment's END (recorded at its recycle);
       // the final segment's end canary is the battery-after one
       midCanaries.lift(seg).map(_._2).getOrElse(canAfter)
-    val taintReason = healthy.flatMap { case (k, seg, w, g) =>
+    val taintReason = healthy.flatMap { case (k, seg, p) =>
       val reasons = Seq(
-        if (g > 0.25 * w && g > 0.1) Some("gc") else None,
+        if (gcDominated(p)) Some("gc") else None,
         if (segCanary(seg) > 1.5 * minCanary) Some("canary") else None,
         // still >2× the trailing round AFTER the third pass: either a
         // real regression or contention the canaries missed — either
         // way the row needs isolated re-timing before it is trusted
-        if (slowVsRef(k, w)) Some("slow_vs_ref") else None).flatten
+        if (slowVsRef(k, p.wall)) Some("slow_vs_ref") else None).flatten
       if (reasons.isEmpty) None else Some(k -> reasons.mkString("+"))
     }
-    val tainted = taintReason.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+
+    // ---- isolation phase (VERDICT r9 item 2): re-time every tainted
+    // row in a fresh post-battery session so the artifact adjudicates
+    // its own flags instead of leaving them to a judge's Probe ----
+    val wallOf = best.toMap
+    val flaggedNames = taintReason.map(_._1)
+    val toIsolate = flaggedNames
+      .sortBy(k => -wallOf.getOrElse(k, 0.0)).take(isolateMax)
+    val cappedOut = flaggedNames.filterNot(toIsolate.contains)
+    val (isoCanB, _) = canary()
+    val isoLoadB = loadAvg()
+    val isoSec = scala.collection.mutable.LinkedHashMap.empty[String, Pass]
+    if (toIsolate.nonEmpty) {
+      var s2 = buildSession()
+      var j = 0
+      for (k <- toIsolate) {
+        if (j > 0 && j % recycleEvery == 0) { s2.stop(); s2 = buildSession() }
+        val fn = SparkEntry.queries(k)
+        val passes = Seq(timePass(s2, k, fn), timePass(s2, k, fn)).flatten
+        passes.sortBy(_.wall).headOption.foreach(p => isoSec(k) = p)
+        j += 1
+      }
+      s2.stop()
+    }
+    val (isoCanA, _) = canary()
+    val isoLoadA = loadAvg()
+    // the isolation window certifies itself: its canaries must sit at
+    // the run's best level, else its re-times adjudicate nothing
+    val globalMinCanary = (allCanaries ++ Seq(isoCanB, isoCanA)).min
+    val isoClean =
+      math.max(isoCanB, isoCanA) <= 1.5 * globalMinCanary
+    val adjudicated = taintReason.collect {
+      case (k, _) if isoClean && isoSec.get(k).exists(p =>
+        !gcDominated(p) && !slowVsRef(k, p.wall)) => k
+    }
+    val stillTainted = taintReason.filterNot(t => adjudicated.contains(t._1))
+    // the number the judge previously reconstructed by hand: the
+    // battery total with each flagged row's time replaced by its
+    // (smaller) isolated re-time
+    val adjustedTotal = best.map { case (k, w) =>
+      isoSec.get(k).map(p => math.min(w, p.wall)).getOrElse(w) }.sum
+
+    val tainted = jarr(stillTainted.map(_._1))
     val taintJson = taintReason
       .map { case (k, r) => "\"" + k + "\":\"" + r + "\"" }
       .mkString("{", ",", "}")
     val midJson = midCanaries
-      .map { case (at, sec) => s"""{"at":$at,"sec":$sec}""" }
+      .map { case (at, sec, load) =>
+        s"""{"at":$at,"sec":$sec,"load":$load}""" }
       .mkString("[", ",", "]")
     // the checksum anchors the loop against dead-code elimination; the
     // two runs compute the same value, so one suffices in the artifact
     val canaryJson =
       s"""{"before_sec":$canBefore,"after_sec":$canAfter,"checksum":${ck1 == ck2},""" +
+        s""""before_load":$loadBefore,"after_load":$loadAfter,""" +
         s""""mt8_before_sec":$canMtBefore,"mt8_after_sec":$canMtAfter,""" +
         s""""mid":$midJson}"""
+    val isolationJson =
+      s"""{"canary_before_sec":$isoCanB,"canary_after_sec":$isoCanA,""" +
+        s""""load_before":$isoLoadB,"load_after":$isoLoadA,""" +
+        s""""clean":$isoClean,"capped_out":${jarr(cappedOut)}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
         s""""first_run":${jmap(firstRun)},"gc_sec":${jmap(gcSec)},""" +
+        s""""codegen_errs":${jmapInt(cgByName)},""" +
         s""""canary":$canaryJson,"recycle_every":$recycleEvery,""" +
         s""""sessions":${segment + 1},"tainted":$tainted,""" +
-        s""""taint_reason":$taintJson,"failed":$failed,""" +
-        s""""bench_ref":"$refName","repassed":${
-          repassed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""taint_reason":$taintJson,""" +
+        s""""isolated_sec":${jmap(isoSec.map { case (k, p) => (k, p.wall) })},""" +
+        s""""adjudicated":${jarr(adjudicated)},""" +
+        s""""isolation":$isolationJson,""" +
+        s""""adjusted_total_sec":$adjustedTotal,"failed":$failed,""" +
+        s""""bench_ref":"$refName","repassed":${jarr(repassed)},""" +
         s""""sf":"$sfDir"}"""
     println(line)
     // self-reported artifact (VERDICT r3 item 7): the driver captures
