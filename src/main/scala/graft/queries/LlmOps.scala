@@ -2243,7 +2243,13 @@ object LlmOps {
       Similarity.probeIvfIndex(s, dir, queryVecs(s, d), k = 8, nProbe = 3)
         .orderBy(col("qid"), col("rank"))
     },
-    Some("""WITH cents AS (
+    Some(ivfProbeOracleSql))
+
+  /** q107's full-replay oracle (assignment, probe ranking, within-cell
+    * top-8 rebuilt in SQL) — shared verbatim by the SQL-door probe
+    * q236: the ivf_search TVF must rank exactly like the library call
+    * it wraps. */
+  private lazy val ivfProbeOracleSql: String = """WITH cents AS (
         SELECT c.c AS c, list(
             CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d), 1, 8)) AS BIGINT)
               / 4294967296.0 * 2 - 1 ORDER BY d.d) AS cv
@@ -2272,7 +2278,26 @@ object LlmOps {
         SELECT qid, cid, sim,
           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
         FROM scored) t
-      WHERE rank <= 8 ORDER BY qid, rank"""))
+      WHERE rank <= 8 ORDER BY qid, rank"""
+
+  // ---- q236: ivf_search TVF — the SQL door to the stored IVF index ----
+  // pq_search's sibling (VERDICT r9 Missing #2): the IDENTICAL stored
+  // index q107 probes, reached as
+  // `ivf_search('<dir>', 'ivf_queries_sql', 8, 3)` — centroids + cell
+  // partitions read from disk by the TVF's probeIvfIndex call (same
+  // DPP-pruned scan), query vectors from a registered temp view. The
+  // oracle is q107's full replay verbatim.
+
+  private val q236 = GraftQuery(
+    "q236_ivf_search_sql",
+    (s, d) => {
+      val dir = ivfIndexMaterialized(s, d)
+      queryVecs(s, d).createOrReplaceTempView("ivf_queries_sql")
+      s.sql(s"SELECT * FROM ivf_search('$dir', 'ivf_queries_sql', 8, 3) " +
+        "ORDER BY qid, rank")
+    },
+    Some(ivfProbeOracleSql))
+
 
   // ---- q108: near-dup index maintenance under a CDC changelog ---------
   // q91 (changelog merge) meets q106 (persisted near-dup index): the
@@ -3804,7 +3829,7 @@ object LlmOps {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q137, q143,
       q145, q146, q147, q149, q150, q152, q154, q155, q156, q157, q160,
       q161, q162, q165, q167, q168, q170, q173, q174, q179, q185, q188,
-      q189, q190, q191, q234)
+      q189, q190, q191, q234, q236)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

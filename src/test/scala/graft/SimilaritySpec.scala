@@ -706,6 +706,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(doubled.length == doubled.toSet.size, "duplicate output rows")
   }
 
+  test("pq_search / ivf_search TVFs: equal the direct probe; wrong layouts refused loudly") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_vec_tvf_").toString
+    try {
+      val vecs = spark.range(40)
+        .select($"id".as("cid"),
+          transform(sequence(lit(0), lit(63)),
+            i => sin($"id" * 7 + i).as("x")).as("v"))
+      Similarity.Pq.writePqIndex(vecs, "cid", "v", s"$base/pq")
+      Similarity.writeIvfIndex(
+        vecs.select($"cid", $"v".as("cvec")), s"$base/ivf",
+        graft.functions.VectorFunctions.md5Vectors(8, 64, "tvf-cent"))
+      val queries = vecs.filter($"cid" < 3)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      queries.createOrReplaceTempView("vec_tvf_queries")
+      // the TVF must be the direct Scala path through a parser door
+      val directPq = Similarity.Pq
+        .probePqIndex(spark, s"$base/pq", queries, 4)
+        .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+      val viaSqlPq = spark.sql(
+        s"SELECT * FROM pq_search('$base/pq', 'vec_tvf_queries', 4) " +
+          "ORDER BY qid, rank").collect().map(_.toSeq).toSeq
+      assert(viaSqlPq == directPq && directPq.nonEmpty)
+      val directIvf = Similarity
+        .probeIvfIndex(spark, s"$base/ivf", queries, 4, nProbe = 3)
+        .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+      val viaSqlIvf = spark.sql(
+        s"SELECT * FROM ivf_search('$base/ivf', 'vec_tvf_queries', 4, 3) " +
+          "ORDER BY qid, rank").collect().map(_.toSeq).toSeq
+      assert(viaSqlIvf == directIvf && directIvf.nonEmpty)
+      // wrong queries schema: named refusal, not an unresolved column
+      vecs.createOrReplaceTempView("vec_tvf_not_queries")
+      val e1 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM pq_search('$base/pq', " +
+          "'vec_tvf_not_queries', 4)").collect()
+      }
+      assert(e1.getMessage.contains("qid, qvec"), e1.getMessage.take(300))
+      // a dir that is not an index: the expected layout is named
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM pq_search('$base/nowhere', " +
+          "'vec_tvf_queries', 4)").collect()
+      }
+      assert(e2.getMessage.contains("writePqIndex layout"),
+        e2.getMessage.take(300))
+      val e3 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM ivf_search('$base/pq', " +
+          "'vec_tvf_queries', 4, 3)").collect()
+      }
+      assert(e3.getMessage.contains("writeIvfIndex layout"),
+        e3.getMessage.take(300))
+      // k / n_probe validation fires before any table is touched
+      val e4 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM ivf_search('$base/ivf', " +
+          "'vec_tvf_queries', 4, 0)").collect()
+      }
+      assert(e4.getMessage.contains("n_probe must be >= 1"),
+        e4.getMessage.take(300))
+    } finally deleteRec(base)
+  }
+
   test("compactPqCodes: aliased relative/absolute spellings of the same dir refuse out-of-place") {
     import org.apache.spark.sql.functions._
     val rel = "target/tmp/simspec_alias_pq"
