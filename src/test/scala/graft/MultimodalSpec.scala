@@ -319,6 +319,51 @@ class MultimodalSpec extends AnyFunSuite {
       s"short envelopes must degrade to null, got $got")
   }
 
+  /** Real MPEG1 Layer III frames built header-by-header: 4-byte
+    * header (sync, version, layer, bitrate idx, samplerate idx,
+    * mono) + zero-filled payload to the standard frame length. */
+  private def mp3Frames(kbpsSeq: Seq[Int]): Array[Byte] = {
+    val brIdxV1L3 =
+      Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    kbpsSeq.flatMap { kbps =>
+      val idx = brIdxV1L3.indexOf(kbps)
+      require(idx > 0, s"not a V1L3 bitrate: $kbps")
+      val frameLen = 144 * kbps * 1000 / 44100
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xFF.toByte           // sync
+      f(1) = 0xFB.toByte           // MPEG1, layer III, no CRC
+      f(2) = (idx << 4).toByte     // bitrate idx, 44100, no padding
+      f(3) = 0xC0.toByte           // mono
+      f
+    }.toArray
+  }
+
+  test("mp3MetadataBatch: frame-header walk yields true rate/frames/duration/bitrate, no PCM") {
+    val cbr = mp3Frames(Seq.fill(50)(128))
+    // ID3v2 tag in front: 10-byte header + 200-byte body, syncsafe len
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array(4, 0, 0, 0, 0, 1, 72).map(_.toByte) ++
+      new Array[Byte](200) ++ cbr
+    val vbr = mp3Frames(Seq.tabulate(40)(i => if (i % 2 == 0) 128 else 160))
+    val in = Seq((1L, cbr), (2L, id3), (3L, vbr), (4L, junk))
+      .toDF("id", "media")
+    val rows = Multimodal.mp3MetadataBatch(in, "id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) { // the tag must not change the walk
+      val r = rows(id)
+      assert(r.getInt(1) == 44100 && r.getInt(2) == 1, r)
+      assert(r.getLong(3) == 50L, r)
+      // 50 frames × 1152 samples at 44.1 kHz = 1306 ms exact-integer
+      assert(r.getLong(4) == 50L * 1152 * 1000 / 44100, r)
+      assert(r.getInt(5) == 128, r)
+    }
+    val v = rows(3L)
+    assert(v.getLong(3) == 40L, v)
+    assert(v.getInt(5) == 144, s"VBR avg nominal bitrate: $v") // (128+160)/2
+    // junk degrades to a null row, never a failure
+    assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(4))
+  }
+
   private def u32le(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
