@@ -1,0 +1,1039 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{DatasetOps, Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Corpus recipes, CDC, packing/chunking, cleaning pipeline queries (q75-q105 region) — one section of the [[LlmOps]] registry, split from the
+  * single 3.8k-line file along its section comments (VERDICT r9 item
+  * 4; no behavior change). The self-type gives every section
+  * unqualified access to the shared helpers and to sibling sections'
+  * materialized artifacts, exactly as when all sections shared one
+  * object body. */
+private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
+
+  // ---- q75: the corpus-cleaning recipe, end to end --------------------
+  // The composition a real training-data build runs as one job:
+  // language filter → token-count quality floor → exact dedup
+  // (keep-first) → deterministic split → census. Each stage is an
+  // already-oracled operator; this query gates that they COMPOSE —
+  // one plan, narrow until the dedup window and the final census.
+
+  private[queries] val q75 = GraftQuery(
+    "q75_corpus_recipe",
+    (s, d) => {
+      val base = docs(s, d)
+        .filter(col("lang") === "en" && tokenCount(col("text")) >= 20)
+      val kept = Dedup.exactDedup(base, "text", "doc_id")
+      DatasetOps.hashSplit(kept, "doc_id")
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE lang = 'en' AND len(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0)) >= 20),
+      kept AS (
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM base) WHERE rn = 1)
+      SELECT CASE
+          WHEN u < ${DatasetOps.thr(0.9)} THEN 'train'
+          WHEN u < ${DatasetOps.thr(0.9 + 0.05)} THEN 'val'
+          ELSE 'test' END AS split,
+        source, count(*) AS n_docs
+      FROM (SELECT source,
+        CAST(concat('0x', substring(md5('split:'||doc_id),1,8)) AS BIGINT) AS u
+        FROM kept)
+      GROUP BY 1, 2 ORDER BY split, source"""))
+
+  // ---- q84: temperature-rebalanced language mixing (α = 0.5) ----------
+  // The low-resource upsampling step of a multilingual training mix:
+  // language shares flatten from ∝n to ∝√n at constant corpus size,
+  // per-doc replication decided by the integer part of target/n plus
+  // an md5 draw for the remainder (DatasetOps.temperatureMix). The
+  // oracle replays the whole computation — √ sums pinned through
+  // DECIMAL, draws through the md5 convention — and the census gates
+  // original count, target, and realized post-mix count per language.
+
+  private[queries] val q84 = GraftQuery(
+    "q84_temperature_mix",
+    (s, d) => {
+      val dd = docs(s, d)
+      val mixed = DatasetOps.temperatureMix(dd, "lang", "doc_id")
+      mixed.groupBy(col("lang"))
+        .agg(min(col("mix_target")).cast(LongType).as("target"),
+          count(lit(1)).as("n_after"))
+        .join(dd.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("target"), col("n_after"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s AS (SELECT CAST(sum(n) AS DOUBLE) AS tot_n,
+        CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS tot_w
+        FROM c),
+      t AS (SELECT lang, n,
+        floor(tot_n * (sqrt(CAST(n AS DOUBLE)) / tot_w) + 0.5) AS tgt FROM c, s),
+      d AS (SELECT doc.doc_id, doc.lang, t.n, t.tgt,
+        tgt / CAST(n AS DOUBLE) AS ratio,
+        CAST(concat('0x', substring(md5('mix:'||doc.doc_id),1,8)) AS BIGINT) AS u
+        FROM documents doc JOIN t USING (lang)),
+      k AS (SELECT lang, n, tgt,
+        CAST(floor(ratio) AS BIGINT) +
+          CASE WHEN u < CAST(floor((ratio - floor(ratio)) * 4294967296.0) AS BIGINT)
+            THEN 1 ELSE 0 END AS copies
+        FROM d)
+      SELECT lang, CAST(min(n) AS BIGINT) AS n_docs,
+        CAST(min(tgt) AS BIGINT) AS target,
+        CAST(sum(copies) AS BIGINT) AS n_after
+      FROM k GROUP BY lang
+      HAVING sum(copies) > 0
+      ORDER BY lang"""))
+  // ^ HAVING matches the operator's semantics exactly: a stratum whose
+  // every document draws zero copies has vanished from the MIXED
+  // corpus, so its census row does not exist (possible only for
+  // pathological strata far below the √n pivot; every fixture stratum
+  // is far above it)
+
+  // ---- q85: vocabulary coverage / OOV-rate census ----------------------
+  // Tokenizer-coverage sweep: the top-50 corpus tokens (count desc,
+  // token asc — a total order, so the vocab is deterministic) play the
+  // vocabulary; each doc's out-of-vocabulary token fraction rolls up
+  // to a per-language average. Per-doc fractions are IEEE-rounded to
+  // 6dp, then averaged through the DECIMAL-sum rule so the cross-row
+  // summation order cannot diverge between engines.
+
+  private[queries] val q85 = GraftQuery(
+    "q85_oov_census",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+        explode(whitespaceTokens(col("text"))).as("_t"))
+      val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("_t")).limit(50)
+        .select(col("_t"), lit(1).as("_in"))
+      val perDoc = toks.join(broadcast(vocab), Seq("_t"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((floor(
+          sum(when(col("_in").isNull, 1).otherwise(0)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) * 1e6 + 0.5) / 1e6).as("_frac"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(
+            sum(col("_frac").cast(DecimalType(12, 6))).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType) * 1e6 + 0.5) / 1e6).as("avg_oov"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, lang,
+          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS t
+        FROM documents),
+      vocab AS (
+        SELECT t FROM tok GROUP BY t
+        ORDER BY count(*) DESC, t LIMIT 50),
+      per_doc AS (
+        SELECT doc_id, lang,
+          floor(CAST(count(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab))
+              AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS frac
+        FROM tok GROUP BY doc_id, lang)
+      SELECT lang, count(*) AS n_docs,
+        floor(CAST(sum(CAST(frac AS DECIMAL(12,6))) AS DOUBLE)
+          / count(*) * 1e6 + 0.5) / 1e6 AS avg_oov
+      FROM per_doc GROUP BY lang ORDER BY lang"""))
+
+  // ---- q86: corpus snapshot diff (dataset versioning) ------------------
+  // Two crawl epochs derived deterministically from the documents
+  // table: epoch 1 lacks every doc_id ≡ 0 (mod 3); epoch 2 drops
+  // doc_id ≡ 3 (mod 7) and rewrites the text of doc_id ≡ 0 (mod 5).
+  // snapshotDiff classifies every id by digest comparison across a
+  // full outer join; the census gates all four classes non-vacuously.
+
+  private[queries] val q86 = GraftQuery(
+    "q86_snapshot_diff",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val epoch1 = dd.filter(col("doc_id") % 3 =!= 0)
+      val epoch2 = dd.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      DatasetOps.snapshotDiff(epoch1, epoch2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH e1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      e2 AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text||' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 7 <> 3)
+      SELECT CASE WHEN e1.h IS NULL THEN 'added'
+          WHEN e2.h IS NULL THEN 'removed'
+          WHEN e1.h = e2.h THEN 'retained'
+          ELSE 'changed' END AS status,
+        count(*) AS n_docs
+      FROM e1 FULL OUTER JOIN e2 USING (doc_id)
+      GROUP BY 1 ORDER BY status"""))
+
+  // ---- q90: token heavy hitters (approximate frequent items) ----------
+  // The sketch tier of vocabulary analysis: one distributed
+  // Misra-Gries pass (`stat.freqItems`) over the exploded token
+  // stream. Same self-gating pattern as the other sketches (q62/q70):
+  // the sketch CANNOT be replayed by the oracle, but its one hard
+  // guarantee — no false negatives above the support threshold — can
+  // be: the query emits the EXACT top-5 tokens (deterministic,
+  // replayable) plus a boolean asserting each is contained in the
+  // sketch's candidate set, and the oracle expects literal `true`.
+  // The exact top-5 all sit far above the 1% support on this corpus,
+  // so containment is a theorem, not a flake.
+
+  private[queries] val q90 = GraftQuery(
+    "q90_heavy_hitters",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(explode(whitespaceTokens(col("text"))).as("tok"))
+      // freqItems is an aggregate-to-one-row stat API: the sketch's
+      // candidate set (≤ 1/support entries by construction) comes back
+      // as a single row and re-enters the plan as a literal — the same
+      // tiny-aggregate-to-driver shape as an Observation read, not a
+      // per-row collect
+      val sketch: Seq[String] = toks.stat.freqItems(Seq("tok"), 0.01)
+        .head().getSeq[String](0)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(5)
+        .select(col("tok"), col("n"),
+          col("tok").isin(sketch: _*).as("in_sketch"))
+        .orderBy(col("tok"))
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0)) AS tok
+        FROM documents),
+      top5 AS (
+        SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 5)
+      SELECT tok, n, true AS in_sketch FROM top5 ORDER BY tok"""))
+
+  // ---- q91: changelog merge (CDC apply) --------------------------------
+  // Upsert semantics without a table format: a deterministic changelog
+  // over the documents snapshot — deletes (id ≡ 1 mod 4), updates
+  // (id ≡ 0 mod 10: text gains a suffix), inserts (id ≡ 3 mod 4, the
+  // ids the base snapshot lacks; the three op classes are disjoint by
+  // construction). DatasetOps.applyChangelog merges in one full-outer
+  // join; the census groups the merged snapshot by id lane so every
+  // op's effect (rows gone, payloads rewritten, rows added) lands in
+  // a hash-gated count + char-mass.
+
+  private[queries] val q91 = GraftQuery(
+    "q91_cdc_merge",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val base = dd.filter(col("doc_id") % 4 =!= 3)
+      val changelog = dd.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, "D")
+          .when(col("doc_id") % 10 === 0, "U")
+          .when(col("doc_id") % 4 === 3, "I").as("op"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+        .filter(col("op").isNotNull)
+      DatasetOps.applyChangelog(base, changelog, "doc_id", "text")
+        .groupBy((col("doc_id") % 4).as("lane"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lane"))
+    },
+    Some("""WITH merged AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN text||' updated' ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 4 <> 1)
+      SELECT doc_id % 4 AS lane, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM merged GROUP BY 1 ORDER BY lane"""))
+
+  // ---- q168: corpus-curation recipe (this round's ops composed) -------
+  // The composed curation read a training-data team actually runs,
+  // interop at every stage boundary (the q75/q102/q141 recipe
+  // pattern): classifier gate (score ≥ 0) ∩ surprisal cap (≤ 5000
+  // milli-bits/token — drops the rare-token tail) → near-dup clusters
+  // among the SURVIVORS resolved keep-best → per-source census of the
+  // final corpus. Survivor pairs come from the materialized
+  // full-corpus verdict table restricted by two semi-joins (pairwise
+  // Jaccard is corpus-independent, so the restriction is exact). The
+  // oracle replays all four stages in one SQL composition — drift at
+  // any boundary flips the hash.
+
+  private[queries] val q168: GraftQuery = GraftQuery(
+    "q168_curation_recipe",
+    (s, d) => {
+      val dd = docs(s, d)
+      val cls = DatasetOps.classifierScores(dd, "doc_id", "text",
+        threshold = 0L).filter(col("keep")).select(col("doc_id"))
+      val sur = DatasetOps.surprisalScores(dd, "doc_id", "text")
+        .filter(col("milli_bits_per_token") <= 5000L).select(col("doc_id"))
+      // keepIds feeds FOUR subtrees (the survivor filter, both pair
+      // semi-joins, and keep-best's internal df duplication) — left
+      // lazy, each consumer re-derives both full-corpus scorers and
+      // the final plan balloons to ~80 exchanges of pure scheduler
+      // tax (measured 23 s/pass at sf0.1; ~2 s with the cut). The
+      // frame is id-sized at ANY corpus scale, so the eager
+      // materialization is the cheap side of the trade everywhere.
+      val keepIds = cls.join(sur, Seq("doc_id")).localCheckpoint(true)
+      val filtered = dd.join(keepIds, Seq("doc_id"), "left_semi")
+      val pairs = docPairsMaterialized(s, d)
+        .join(keepIds.withColumnRenamed("doc_id", "idA"),
+          Seq("idA"), "left_semi")
+        .join(keepIds.withColumnRenamed("doc_id", "idB"),
+          Seq("idB"), "left_semi")
+      val resolved = Dedup.keepBestPerCluster(filtered, "doc_id",
+          "n_chars", pairs, checkpointPairs = false)
+        .filter(col("kept")).select(col("doc_id"))
+      filtered.join(resolved, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH RECURSIVE tk AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(list_concat(
+          list_transform(tk, t -> 'clf:u:' || t),
+          list_transform(generate_series(1, len(tk) - 1),
+            i -> 'clf:b:' || tk[i] || ' ' || tk[i + 1]))) AS f
+        FROM tk),
+      bw AS (
+        SELECT doc_id,
+          CAST(concat('0x', substring(md5('w:clf:' ||
+            (CAST(concat('0x', substring(md5(f), 1, 8)) AS BIGINT)
+              % 262144)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+        FROM feats),
+      clf AS (SELECT doc_id, sum(w) AS s FROM bw GROUP BY doc_id),
+      occ AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+      census AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM census),
+      dt AS (SELECT doc_id, t, count(*) AS tf FROM occ GROUP BY doc_id, t),
+      sq AS (SELECT doc_id, sum(tf) AS nt,
+          sum(tf * (length(bin(tot.n)) - length(bin(census.c)))) AS bits
+        FROM dt JOIN census USING (t), tot GROUP BY doc_id),
+      surv AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN clf ON clf.doc_id = d.doc_id
+        LEFT JOIN sq ON sq.doc_id = d.doc_id
+        WHERE coalesce(clf.s, 0) >= 0
+          AND (CASE WHEN coalesce(sq.nt, 0) = 0 THEN 0
+            ELSE sq.bits * 1000 // sq.nt END) <= 5000),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(
+              generate_series(1, len(tk) - 2),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+            ELSE [] END AS sh
+        FROM tk WHERE doc_id IN (SELECT doc_id FROM surv)),
+      pairs AS (
+        SELECT a.doc_id AS idA, b.doc_id AS idB
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      sym AS (
+        SELECT idA AS id, idB AS nbr FROM pairs
+        UNION SELECT idB, idA FROM pairs),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT s.id, r.lab FROM sym s JOIN reach r ON r.id = s.nbr),
+      lab AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id),
+      best AS (SELECT l.cluster_rep,
+          (list(d.doc_id ORDER BY d.n_chars DESC, d.doc_id))[1] AS best_id
+        FROM lab l JOIN documents d ON d.doc_id = l.id
+        GROUP BY l.cluster_rep)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(len(t.tk)) AS BIGINT) AS n_tokens
+      FROM best b
+      JOIN documents d ON d.doc_id = b.best_id
+      JOIN tk t ON t.doc_id = b.best_id
+      GROUP BY d.source ORDER BY d.source"""))
+
+  // ---- q170: corpus data card ------------------------------------------
+  // The one-row release profile every dataset ships with: doc/token/
+  // char totals, language and source cardinalities, exact-dup count,
+  // vocabulary size, English share in ppm and mean chars per doc
+  // (integer div). Two narrow aggregates (row stats; exploded vocab
+  // census) joined by a 1×1 broadcast — nothing here shuffles more
+  // than census rows at any corpus size.
+
+  private[queries] val q170: GraftQuery = GraftQuery(
+    "q170_data_card",
+    (s, d) => {
+      val dd = docs(s, d)
+      val stats = dd.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(tokenCount(col("text")).cast(LongType)), lit(0L))
+          .as("n_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        (count(lit(1)) - count_distinct(col("text"))).as("n_dup_docs"),
+        coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)),
+          lit(0L)).as("_n_en"))
+      val vocab = dd
+        .select(explode(whitespaceTokens(col("text"))).as("_t"))
+        .agg(count_distinct(col("_t")).as("n_vocab"))
+      stats.crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"), col("n_dup_docs"),
+          col("n_vocab"),
+          when(col("n_docs") === 0L, lit(0L))
+            .otherwise(expr("(_n_en * 1000000L) div n_docs"))
+            .as("en_ppm"),
+          when(col("n_docs") === 0L, lit(0L))
+            .otherwise(expr("n_chars div n_docs")).as("mean_chars"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0)) AS t FROM documents),
+      v AS (SELECT count(DISTINCT t) AS n_vocab FROM toks),
+      st AS (SELECT count(*) AS n_docs,
+          coalesce(sum(len(list_filter(
+            regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0))), 0) AS n_tokens,
+          coalesce(sum(n_chars), 0) AS n_chars,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          count(*) - count(DISTINCT text) AS n_dup_docs,
+          coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS n_en
+        FROM documents)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(n_langs AS BIGINT) AS n_langs,
+        CAST(n_sources AS BIGINT) AS n_sources,
+        CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+        CAST(v.n_vocab AS BIGINT) AS n_vocab,
+        CAST(CASE WHEN n_docs = 0 THEN 0
+          ELSE (n_en * 1000000) // n_docs END AS BIGINT) AS en_ppm,
+        CAST(CASE WHEN n_docs = 0 THEN 0
+          ELSE n_chars // n_docs END AS BIGINT) AS mean_chars
+      FROM st, v"""))
+
+  // ---- q179: bigram conditional-LM surprisal --------------------------
+  // The sharper perplexity proxy beside q157's unigram model: per-doc
+  // conditional surprisal in exact bitlen arithmetic. The oracle
+  // replays both censuses (bigram and context counts), the per-doc
+  // fold and both integer divisions.
+
+  private[queries] val q179: GraftQuery = GraftQuery(
+    "q179_bigram_surprisal",
+    (s, d) =>
+      DatasetOps.bigramSurprisalScores(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '\s+'),
+        x -> length(x) > 0) AS tk FROM documents),
+      bgr AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg, tk[i] AS cx
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM toks)),
+      cb AS (SELECT bg, count(*) AS cb FROM bgr GROUP BY bg),
+      cc AS (SELECT cx, count(*) AS cc FROM bgr GROUP BY cx),
+      dbg AS (SELECT doc_id, bg, cx, count(*) AS tf
+        FROM bgr GROUP BY doc_id, bg, cx),
+      sc AS (SELECT doc_id, sum(tf) AS nb,
+          sum(tf * (length(bin(cc.cc)) - length(bin(cb.cb)))) AS bits
+        FROM dbg JOIN cb USING (bg) JOIN cc USING (cx)
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(s.bits, 0) AS BIGINT) AS surprisal_bits,
+        CAST(CASE WHEN coalesce(s.nb, 0) = 0 THEN 0
+          ELSE (s.bits * 1000) // s.nb END AS BIGINT)
+          AS milli_bits_per_bigram
+      FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  // ---- q185: histogram from pure SQL (the TVF path) -------------------
+  // q181's operator over the documents length column, reached through
+  // the injected histogram table function; the oracle replays the bin
+  // formula directly (n_chars is already integral, so no fixed-point
+  // conversion rides along here).
+
+  private[queries] val q185: GraftQuery = GraftQuery(
+    "q185_sql_histogram",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT bin, n_rows
+        FROM histogram('documents', 'n_chars', 10, 50, 500)
+        ORDER BY bin""")
+    },
+    Some("""WITH b AS (SELECT CASE WHEN n_chars < 50 THEN -1
+          WHEN n_chars >= 500 THEN 10
+          ELSE ((n_chars - 50) * 10) // (500 - 50) END AS bin
+        FROM documents WHERE n_chars IS NOT NULL)
+      SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows
+      FROM b GROUP BY bin ORDER BY bin"""))
+
+  // ---- q174: HTML/markup stripping ------------------------------------
+  // The first transform of every web-crawl pipeline, exercised over
+  // deterministically constructed markup (the q160 raster pattern —
+  // the corpus is synthetic, so the query builds the HTML it strips):
+  // each doc wrapped in head/style/script scaffolding with an
+  // entity-escaped token planted mid-text. The oracle replays the
+  // wrap AND the whole strip chain (script/style blocks, tag removal,
+  // entity ordering with &amp; last, whitespace collapse) — the
+  // regexes are RE2-compatible by construction, so both engines run
+  // the identical automaton.
+
+  private[queries] val q174: GraftQuery = GraftQuery(
+    "q174_markup_strip",
+    (s, d) => {
+      val marked = docs(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><style type=\"text/css\">body{margin:0}" +
+              "</style></head><body><p id=\""),
+            col("doc_id").cast(StringType), lit("\">"),
+            regexp_replace(col("text"), "table", "&amp;lt;table&gt;"),
+            lit("</p><script src=\"x.js\">var i=0;</script> <br/>" +
+              "</body></html>")).as("html"))
+      marked
+        .select(col("doc_id"), stripMarkup(col("html")).as("stripped"))
+        .select(col("doc_id"),
+          length(col("stripped")).cast(LongType).as("n_chars"),
+          col("stripped"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          '<html><head><style type="text/css">body{margin:0}</style></head><body><p id="'
+            || CAST(doc_id AS VARCHAR) || '">'
+            || regexp_replace(text, 'table', '&amp;lt;table&gt;', 'g')
+            || '</p><script src="x.js">var i=0;</script> <br/></body></html>'
+            AS html
+        FROM documents WHERE doc_id < 100),
+      s1 AS (SELECT doc_id, regexp_replace(html,
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM m),
+      s2 AS (SELECT doc_id, regexp_replace(t,
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t,
+          '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+      e AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')
+            AS t FROM s3),
+      f AS (SELECT doc_id,
+          trim(regexp_replace(t, '\s+', ' ', 'g')) AS stripped FROM e)
+      SELECT doc_id, CAST(length(stripped) AS BIGINT) AS n_chars, stripped
+      FROM f ORDER BY doc_id"""))
+
+  // ---- q167: k-anonymity suppression ----------------------------------
+  // Privacy.kAnonymize over the (lang, source) quasi pair at k=5 —
+  // 55 of the sf0.01 groups fall below the threshold, so the
+  // suppressed '*'/'*' bucket is well-populated. Output is the census
+  // of the ANONYMIZED release; the oracle replays the group census,
+  // the k test and the collapse.
+
+  private[queries] val q167: GraftQuery = GraftQuery(
+    "q167_k_anonymity",
+    (s, d) =>
+      graft.operators.Privacy.kAnonymize(docs(s, d),
+          Seq("lang", "source"), k = 5)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("source")),
+    Some("""WITH g AS (SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY 1, 2),
+      a AS (SELECT
+          CASE WHEN g.n < 5 THEN '*' ELSE d.lang END AS lang,
+          CASE WHEN g.n < 5 THEN '*' ELSE d.source END AS source
+        FROM documents d JOIN g USING (lang, source))
+      SELECT lang, source, count(*) AS n_docs FROM a
+      GROUP BY 1, 2 ORDER BY lang, source"""))
+
+  // ---- q165: snapshot-as-of (changelog time travel) -------------------
+  // The data-lake time-travel read over q91's CDC machinery: a
+  // 3-version changelog (v1 updates the %10 lane, v2 deletes the %7
+  // lane, v3 updates the %5 lane) read AS OF version 2 — v3 must be
+  // invisible and the v2 delete must override a v1 update on ids
+  // divisible by 70. The oracle is the as-of state computed directly.
+
+  private[queries] val q165: GraftQuery = GraftQuery(
+    "q165_snapshot_asof",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val chg = dd
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("version"), lit("U").as("op"),
+          concat(col("text"), lit(" v1")).as("text"))
+        .union(dd.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L), lit("D"), col("text")))
+        .union(dd.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit(3L), lit("U"),
+            concat(col("text"), lit(" v3"))))
+      DatasetOps.applyChangelogAsOf(dd, chg, "doc_id", "text",
+          "version", asOf = 2L)
+        .groupBy((col("doc_id") % 5).as("lane"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy(col("lane"))
+    },
+    Some("""WITH merged AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN text || ' v1' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0)
+      SELECT doc_id % 5 AS lane, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM merged GROUP BY 1 ORDER BY lane"""))
+
+  // ---- q97: line-level boilerplate dedup (RefinedWeb/CCNet) -----------
+  // The remaining dedup granularity between document-level (q40–q44)
+  // and n-gram-level (q65): lines recurring across documents are
+  // template chrome and are cut from every doc, which is then
+  // REASSEMBLED from its surviving lines in order — the emitted
+  // cleaned text is what gates reassembly-order correctness. The
+  // synthetic docs have no newlines, so "line" here is an 8-token
+  // chunk — the decomposition is part of the query spec and the
+  // oracle replays it exactly (the operator itself takes any
+  // array<string> decomposition).
+
+  /** Deterministic pseudo-lines for newline-free fixtures: consecutive
+    * `w`-token chunks (last chunk may be short). `tk` MUST be a
+    * projected attribute, not the tokenizer expression itself —
+    * Catalyst does not CSE inside lambdas, so an inlined tokenizer
+    * would re-split the whole text once per LINE (quadratic per doc;
+    * measured 3.1s → 0.6s at sf0.1 from this alone). */
+  private[queries] def chunkLines(tk: Column, w: Int): Column =
+    graft.functions.TextFunctions.tokenChunks(tk, window = w, stride = w)
+
+  private[queries] val q97 = GraftQuery(
+    "q97_line_dedup",
+    (s, d) =>
+      Dedup.removeBoilerplateLines(
+          docs(s, d).select(col("doc_id"),
+            whitespaceTokens(col("text")).as("_tk")),
+          "doc_id", chunkLines(col("_tk"), 8), minDocs = 2, sep = " ")
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"), col("cleaned"))
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      lp AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+          i -> struct_pack(pos := i,
+            line := array_to_string(tk[(i-1)*8+1 : i*8], ' ')))) AS u
+        FROM toks),
+      l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lp),
+      boiler AS (
+        SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+      re AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(line, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_lines FROM toks)
+      SELECT b.doc_id, b.n_lines,
+        b.n_lines - coalesce(r.n_kept, 0) AS n_removed,
+        coalesce(r.cleaned, '') AS cleaned
+      FROM base b LEFT JOIN re r USING (doc_id)
+      WHERE b.n_lines - coalesce(r.n_kept, 0) > 0
+      ORDER BY b.doc_id"""))
+
+  // ---- q98: per-doc contamination scoring ------------------------------
+  // The soft form of q65: a threshold policy consumes the FRACTION of
+  // a doc's distinct 5-grams hitting the benchmark, not a boolean.
+  // Same %97 bench/corpus split as q65; integer counts + exact double
+  // division keep the score engine-portable.
+
+  private[queries] val q98 = GraftQuery(
+    "q98_contamination_score",
+    (s, d) => {
+      val dd = docs(s, d)
+      DatasetOps.contaminationScores(
+          dd.filter(col("doc_id") % 97 =!= 0),
+          dd.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM toks),
+      bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+        FROM g LEFT JOIN bg b ON g.gram = b.gram
+        WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        coalesce(s.n_grams, 0) AS n_grams,
+        coalesce(s.n_hit, 0) AS n_hit,
+        CASE WHEN coalesce(s.n_grams, 0) > 0
+          THEN round(CAST(s.n_hit AS DOUBLE) / s.n_grams, 6)
+          ELSE 0.0 END AS contamination
+      FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""))
+
+  // ---- q99: greedy sequence packing ------------------------------------
+  // Corpus → fixed-length training sequences: md5-sharded, per-shard
+  // ordered prefix sum assigns every doc a deterministic starting
+  // offset; seqLen=256 so shards pack multiple docs per sequence at
+  // this fixture's 8–110-token docs. The oracle replays shard deal,
+  // order, and prefix sum bit-for-bit (all integer arithmetic).
+
+  private[queries] val q99 = GraftQuery(
+    "q99_sequence_packing",
+    (s, d) =>
+      DatasetOps.packSequences(docs(s, d), "doc_id",
+          tokenCount(col("text")), seqLen = 256, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          ceil(sum(col("n_tokens")) / lit(256.0)).cast(LongType).as("n_seqs"),
+          countDistinct(col("bin")).as("n_start_bins"),
+          max(col("offset")).as("max_offset"))
+        .orderBy(col("shard")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS n_tok,
+          CAST(concat('0x', substring(md5('pack:'||doc_id), 1, 8)) AS BIGINT) AS u
+        FROM documents),
+      w AS (
+        SELECT doc_id, u % 8 AS shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY u % 8 ORDER BY u, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        FROM t)
+      SELECT shard, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(ceil(sum(n_tok) / 256.0) AS BIGINT) AS n_seqs,
+        count(DISTINCT off // 256) AS n_start_bins,
+        CAST(max(off) AS BIGINT) AS max_offset
+      FROM w GROUP BY shard ORDER BY shard"""))
+
+  // ---- q100: sliding-window chunking -----------------------------------
+  // Long-doc training prep: overlapping 32-token windows every 24
+  // tokens; the emitted chunk TEXT (not just counts) gates the
+  // window/stride arithmetic and the clip at doc end.
+
+  private[queries] val q100 = GraftQuery(
+    "q100_doc_chunking",
+    (s, d) =>
+      DatasetOps.chunkDocs(
+          docs(s, d).select(col("doc_id"),
+            whitespaceTokens(col("text")).as("_tk")),
+          "doc_id", col("_tk"), window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk, len(tk) AS n,
+          CASE WHEN len(tk) <= 32 THEN 1
+               ELSE (len(tk) - 32 + 24 - 1) // 24 + 1 END AS nchunks
+        FROM toks WHERE len(tk) > 0),
+      c AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(0, nchunks - 1),
+          i -> struct_pack(idx := i,
+            txt := array_to_string(tk[i*24+1 : i*24+32], ' ')))) AS u
+        FROM n)
+      SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+        u.txt AS chunk_text,
+        CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
+  // ---- q101: TF-IDF top terms per source -------------------------------
+  // The classic corpus analytic, shaped so the whole plan is
+  // integer-deterministic: the score is tf·10⁶ DIV df (integer
+  // division — no float logs, so any engine replays it), and the
+  // per-source top-5 is written as the row_number()<=k idiom so
+  // WindowTopKRewrite plans the bounded heap (PlanSpec pins it): a
+  // brand-new analytic gets the heap plan for free, which is the
+  // point of having the rewrite.
+
+  private[queries] val q101 = GraftQuery(
+    "q101_tfidf_terms",
+    (s, d) => {
+      val dd = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          whitespaceTokens(col("text")).as("_tk"))
+      val tf = dd.select(col("source"), explode(col("_tk")).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = dd.select(col("doc_id"),
+          explode(array_distinct(col("_tk"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, Seq("token"))
+        .withColumn("score", expr("tf * 1000000L div df"))
+      // plain DSL window idiom (no session-state temp view) — the
+      // rewrite fires on the logical Window node either way, and q92/
+      // q94/q95 already pin the SQL-text route; the rank filter sits
+      // directly on the un-cast window column so the rule matches
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("token"), col("tf"), col("df"),
+          col("score"), col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents),
+      tf AS (
+        SELECT source, unnest(tk) AS token FROM toks),
+      tfc AS (
+        SELECT source, token, count(*) AS tf FROM tf GROUP BY source, token),
+      dfc AS (
+        SELECT token, count(*) AS df FROM (
+          SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks)
+        GROUP BY token),
+      scored AS (
+        SELECT s.source, s.token, s.tf, d.df, (s.tf * 1000000) // d.df AS score
+        FROM tfc s JOIN dfc d USING (token)),
+      ranked AS (
+        SELECT source, token, tf, df, score,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score DESC, token) AS rnk
+        FROM scored)
+      SELECT source, token, CAST(tf AS BIGINT) AS tf,
+        CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score, rnk
+      FROM ranked WHERE rnk <= 5 ORDER BY source, rnk"""))
+
+  // ---- q102: the training-prep recipe, end to end ----------------------
+  // The q75 pattern one layer up: the NEW operators composed as a real
+  // dataset build runs them — line-level boilerplate dedup (cleaned
+  // text flows downstream) → token-count quality floor → contamination
+  // gate vs the %97 benchmark → deterministic split → per-split
+  // sequence packing census. One plan; every stage is an
+  // already-oracled operator, this row gates that they COMPOSE.
+
+  /** The line-dedup'd corpus — q102's stage-1 product — materialized
+    * once per (session, sfDir), exactly like the q53 pair verdicts:
+    * the recipe's three downstream consumers (gram scoring, the
+    * keep-set join, the packing census) would otherwise each replay
+    * the full boilerplate-removal plan. This mirrors what a real
+    * training-data build does at 100 TB — the cleaned corpus is
+    * WRITTEN once (it is itself a product) and every later stage
+    * reads the columnar output. The bench's `first_run` carries the
+    * one-time write, like q30's corrupted-table build. */
+  private[queries] val cleanedDirByInput = new graft.sources.JvmMemo[String]
+  private[queries] def cleanedDocsMaterialized(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(
+      materializedTempDir(cleanedDirByInput, d, "graft_cleaned_") { out =>
+        val base = docs(s, d).select(col("doc_id"),
+          whitespaceTokens(col("text")).as("_tk"))
+        Dedup.removeBoilerplateLines(
+            base, "doc_id", chunkLines(col("_tk"), 8), minDocs = 2, sep = " ")
+          .select(col("doc_id"), col("cleaned"))
+          .write.mode("overwrite").parquet(out)
+      })
+
+  private[queries] val q102 = GraftQuery(
+    "q102_trainprep_recipe",
+    (s, d) => {
+      val cleaned = cleanedDocsMaterialized(s, d)
+        .select(col("doc_id"), col("cleaned"),
+          whitespaceTokens(col("cleaned")).as("_ctk"))
+        .filter(size(col("_ctk")) >= 8)
+      val scores = DatasetOps.contaminationScores(
+        cleaned.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("cleaned").as("text")),
+        docs(s, d).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+      val keep = cleaned.join(
+          scores.filter(col("contamination") < 0.25).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      // packSequences preserves input columns, so the split label rides
+      // along — re-joining it would replay the whole cleaning plan
+      val split = DatasetOps.hashSplit(keep, "doc_id")
+        .select(col("doc_id"), col("split"),
+          size(col("_ctk")).cast(LongType).as("_nt"))
+      DatasetOps.packSequences(split, "doc_id", col("_nt"),
+          seqLen = 256, nShards = 4)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("shard"), col("bin")).as("n_start_bins"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      lp AS (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+          i -> struct_pack(pos := i,
+            line := array_to_string(tk[(i-1)*8+1 : i*8], ' ')))) AS u
+        FROM toks),
+      l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lp),
+      boiler AS (
+        SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      re AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned
+        FROM l WHERE line NOT IN (SELECT line FROM boiler)
+        GROUP BY doc_id),
+      cl AS (
+        SELECT doc_id, cleaned,
+          list_filter(regexp_split_to_array(lower(cleaned), '\\s+'),
+            x -> length(x) > 0) AS ctk
+        FROM re
+        WHERE len(list_filter(regexp_split_to_array(lower(cleaned), '\\s+'),
+          x -> length(x) > 0)) >= 8),
+      cg AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(ctk) - 4),
+            i -> array_to_string(ctk[i:i+4], ' ')))) AS gram
+        FROM cl WHERE doc_id % 97 <> 0),
+      bg AS (
+        SELECT DISTINCT unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM toks WHERE doc_id % 97 = 0),
+      sc AS (
+        SELECT cg.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+        FROM cg LEFT JOIN bg b ON cg.gram = b.gram GROUP BY cg.doc_id),
+      keep AS (
+        SELECT cl.doc_id, len(cl.ctk) AS n_tok
+        FROM cl JOIN sc ON cl.doc_id = sc.doc_id
+        WHERE cl.doc_id % 97 <> 0
+          AND (CASE WHEN sc.n_grams > 0
+            THEN round(CAST(sc.n_hit AS DOUBLE) / sc.n_grams, 6)
+            ELSE 0.0 END) < 0.25),
+      sp AS (
+        SELECT doc_id, n_tok,
+          CAST(concat('0x', substring(md5('split:'||doc_id), 1, 8)) AS BIGINT)
+            AS su,
+          CAST(concat('0x', substring(md5('pack:'||doc_id), 1, 8)) AS BIGINT)
+            AS pu
+        FROM keep),
+      lab AS (
+        SELECT doc_id, n_tok, pu,
+          CASE WHEN su < ${DatasetOps.thr(0.9)} THEN 'train'
+               WHEN su < ${DatasetOps.thr(0.95)} THEN 'val'
+               ELSE 'test' END AS split
+        FROM sp),
+      packed AS (
+        SELECT doc_id, n_tok, split, pu % 4 AS shard,
+          sum(n_tok) OVER (PARTITION BY pu % 4 ORDER BY pu, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        FROM lab)
+      SELECT split, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        count(DISTINCT (shard, off // 256))
+          AS n_start_bins
+      FROM packed GROUP BY split ORDER BY split"""))
+
+  // ---- q103: ingest-time decontamination census -------------------------
+  // The batch twin of DocIngest.ingestDecontaminated (the streaming
+  // gate StreamingSpec proves streamed-equals-batch): incoming docs →
+  // quality floor → digest dedup → benchmark-gram gate. A GLOBAL
+  // census, deliberately not per-source: sf0.1 has 8 duplicate texts
+  // spanning sources, so per-source counts after keep-one dedup would
+  // depend on which survivor dropDuplicates picked — distinct-hash
+  // counts are survivor-independent.
+
+  private[queries] val q103 = GraftQuery(
+    "q103_ingest_decontam",
+    (s, d) => {
+      val dd = docs(s, d)
+      val hashes = graft.streaming.DocIngest.benchGramHashes(
+        dd.filter(col("doc_id") % 97 === 0), "text")
+      val incoming = dd.filter(col("doc_id") % 97 =!= 0)
+      val landed = graft.streaming.DocIngest
+        .ingestDecontaminated(incoming, hashes)
+      incoming
+        .withColumn("_tks", whitespaceTokens(col("text")))
+        .agg(count(lit(1)).as("n_incoming"),
+          countDistinct(when(size(col("_tks")) >= 3, md5(col("text"))))
+            .as("n_quality_distinct"))
+        .crossJoin(broadcast(landed.agg(count(lit(1)).as("n_landed"))))
+        .withColumn("n_blocked", col("n_quality_distinct") - col("n_landed"))
+        .select(col("n_incoming"), col("n_quality_distinct"),
+          col("n_blocked"), col("n_landed"))
+    },
+    Some("""WITH inc AS (
+        SELECT doc_id, text, md5(text) AS h,
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents WHERE doc_id % 97 <> 0),
+      g AS (
+        SELECT h, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM inc),
+      bg AS (
+        SELECT DISTINCT unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 4),
+            i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS tk
+          FROM documents WHERE doc_id % 97 = 0)),
+      cont AS (SELECT DISTINCT g.h FROM g JOIN bg ON g.gram = bg.gram),
+      q AS (SELECT DISTINCT h FROM inc WHERE len(tk) >= 3)
+      SELECT (SELECT count(*) FROM inc) AS n_incoming,
+        (SELECT count(*) FROM q) AS n_quality_distinct,
+        (SELECT count(*) FROM q WHERE h IN (SELECT h FROM cont))
+          AS n_blocked,
+        (SELECT count(*) FROM q WHERE h NOT IN (SELECT h FROM cont))
+          AS n_landed"""))
+
+  // ---- q104/q105: the SQL (table-function) surface for the r6 ops ------
+  // The q92/q93 pattern: the operators reached entirely through SQL
+  // text must hash-match the same DuckDB oracles as their DataFrame
+  // twins (q97/q99) — the TVF layer adds a parser/analyzer path, not
+  // new semantics.
+
+  private[queries] val q104 = GraftQuery(
+    "q104_sql_line_dedup",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT doc_id, n_lines, n_removed, cleaned
+        FROM line_dedup('documents', 'doc_id', 'text', 2, 8)
+        WHERE n_removed > 0 ORDER BY doc_id""")
+    },
+    q97.oracle)
+
+  private[queries] val q105 = GraftQuery(
+    "q105_sql_pack",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT CAST(shard AS BIGINT) AS shard,
+          count(*) AS n_docs,
+          sum(n_tokens) AS n_tokens,
+          CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_seqs,
+          count(DISTINCT bin) AS n_start_bins,
+          max(offset) AS max_offset
+        FROM pack_sequences('documents', 'doc_id', 'text', 256, 8)
+        GROUP BY shard ORDER BY shard""")
+    },
+    q99.oracle)
+}
