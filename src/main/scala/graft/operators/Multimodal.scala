@@ -763,6 +763,127 @@ object Multimodal {
       (kbpsSum / nFrames).toInt))
   }
 
+  /** REAL MP4 METADATA from an ISO-BMFF box walk — [[mp3MetadataBatch]]'s
+    * container sibling, closing the other half of the "MP3/MP4
+    * metadata remain stubs" item: H.264 PCM needs a codec the JDK
+    * lacks, but the MOV/MP4 container is a plain size+type box tree
+    * (public ISO 14496-12 layout), so brand, movie
+    * timescale/duration, track count and the video track's coded
+    * dimensions come from pure byte arithmetic — the
+    * [[aviVideoFrames]] discipline. Emits (brand, timescale,
+    * duration_ms, n_tracks, width, height); width/height are the
+    * FIRST track with nonzero `tkhd` dimensions (the video track by
+    * construction — audio tracks carry 0×0), null when no track
+    * does. Undecodable bytes yield a null row. Frame/sample decode
+    * stays with [[stubDecodeFeatures]]. */
+  def mp4MetadataBatch(df: DataFrame, idCol: String,
+                       mediaCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(mediaCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head,
+      StructField("brand", StringType),
+      StructField("timescale", LongType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        decodeMp4Meta(r.getAs[Array[Byte]](1)) match {
+          case Some((brand, ts, dur, nTracks, w, h)) =>
+            Row(r.get(0), brand, ts, dur, nTracks,
+              if (w > 0) w else null, if (h > 0) h else null)
+          case None => Row(r.get(0), null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The ISO-BMFF walk behind [[mp4MetadataBatch]]: big-endian
+    * [size:4][type:4] boxes, size==1 → 64-bit largesize follows,
+    * size==0 → box runs to end of enclosure; descend only into
+    * `moov` and its `trak` children; read `ftyp` major_brand,
+    * `mvhd` (v0 and v1 layouts) and each `tkhd`'s 16.16-fixed
+    * width/height. Bounds-clamped everywhere; None when no `moov`
+    * with a sane `mvhd` exists. */
+  private[graft] def decodeMp4Meta(bytes: Array[Byte])
+      : Option[(String, Long, Long, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // iterate the boxes in [from, to): calls f(type, payloadStart,
+    // payloadEnd); returns false on a malformed size to stop the walk
+    def boxes(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz = u32(i)
+        val tpe = fourcc(i + 4)
+        val (payload, end) =
+          if (sz == 1L && i + 16 <= to) {
+            val ls = u64(i + 8)
+            (i + 16, if (ls >= 16 && i + ls <= to) (i + ls).toInt else to)
+          }
+          else if (sz == 0L) (i + 8, to) // "to end of enclosure"
+          else if (sz >= 8L && i + sz <= to) (i + 8, (i + sz).toInt)
+          else (i + 8, -1) // malformed: stop
+        if (end < 0) return
+        f(tpe, payload, end)
+        i = end
+      }
+    }
+    var brand: String = null
+    var timescale = 0L
+    var duration = -1L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var sane = false
+    boxes(0, bytes.length) { (tpe, p, e) =>
+      tpe match {
+        case "ftyp" if e - p >= 4 => brand = fourcc(p)
+        case "moov" =>
+          boxes(p, e) { (t2, p2, e2) =>
+            t2 match {
+              case "mvhd" if e2 - p2 >= 4 =>
+                val v = bytes(p2) & 0xFF
+                if (v == 1 && e2 - p2 >= 32) {
+                  timescale = u32(p2 + 20); duration = u64(p2 + 24)
+                } else if (v == 0 && e2 - p2 >= 20) {
+                  timescale = u32(p2 + 12); duration = u32(p2 + 16)
+                }
+                sane = sane || timescale > 0
+              case "trak" =>
+                nTracks += 1
+                boxes(p2, e2) { (t3, p3, e3) =>
+                  if (t3 == "tkhd" && width == 0) {
+                    val v = bytes(p3) & 0xFF
+                    // width/height are the LAST 8 payload bytes
+                    // (after the version-dependent times + matrix)
+                    val need = if (v == 1) 96 else 84
+                    if (e3 - p3 >= need) {
+                      val w = (u32(e3 - 8) >> 16).toInt // 16.16 fixed
+                      val h = (u32(e3 - 4) >> 16).toInt
+                      if (w > 0 && h > 0) { width = w; height = h }
+                    }
+                  }
+                }
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
+    if (!sane) None
+    else Some((brand, timescale,
+      if (duration >= 0 && timescale > 0) duration * 1000L / timescale
+      else -1L, nTracks, width, height))
+  }
+
   /** REAL in-JVM video decode (closes VERDICT r7 Missing #3's video
     * half): MJPEG-in-AVI — the RIFF container whose video chunks are
     * plain JPEG images — parses with the [[aviVideoFrames]] chunk

@@ -364,6 +364,101 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(4))
   }
 
+  test("image_near_dup / audio_near_dup TVFs: equal the direct pair mine; wrong columns refused loudly") {
+    import org.apache.spark.sql.functions._
+    val rasters = spark.range(20).select($"id",
+      upper(concat(md5($"id".cast("string")),
+        md5(concat($"id".cast("string"), lit("2"))),
+        md5(concat($"id".cast("string"), lit("3"))),
+        md5(concat($"id".cast("string"), lit("4"))))).as("hx"))
+    val withDup = rasters.union(rasters.filter($"id" === 3)
+      .select(($"id" + 100).as("id"),
+        concat(lit("FF"), expr("substring(hx, 3)")).as("hx")))
+    withDup.createOrReplaceTempView("tvf_rasters")
+    val direct = Multimodal.imageNearDupPairs(
+      withDup.select($"id", Multimodal.dHashBits($"hx", 8, 8).as("bits")),
+      "id", "bits", 3, 4).collect().map(_.toSeq).toSeq
+    val viaSql = spark.sql(
+      "SELECT * FROM image_near_dup('tvf_rasters', 'id', 'hx', 3, 4) " +
+        "ORDER BY idA, idB").collect().map(_.toSeq).toSeq
+    assert(viaSql == direct && direct.nonEmpty)
+    val envs = spark.range(20).select($"id",
+      transform(sequence(lit(0), lit(64)),
+        i => sin($"id" * 11 + i)).as("env"))
+    val withEnvDup = envs.union(envs.filter($"id" === 5)
+      .select(($"id" + 100).as("id"),
+        transform($"env", (x, i) =>
+          when(i === 7, lit(0.9)).otherwise(x)).as("env")))
+    withEnvDup.createOrReplaceTempView("tvf_envs")
+    val directA = Multimodal.audioNearDupPairs(
+      withEnvDup.select($"id",
+        Multimodal.audioFingerprintBits($"env").as("bits")),
+      "id", "bits", 3, 4).collect().map(_.toSeq).toSeq
+    val viaSqlA = spark.sql(
+      "SELECT * FROM audio_near_dup('tvf_envs', 'id', 'env', 3, 4) " +
+        "ORDER BY idA, idB").collect().map(_.toSeq).toSeq
+    assert(viaSqlA == directA && directA.nonEmpty)
+    // wrong column: named refusal, not an unresolved-column error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM image_near_dup('tvf_rasters', 'id', " +
+        "'raster', 3, 4)").collect()
+    }
+    assert(e1.getMessage.contains("table lacks"), e1.getMessage.take(300))
+    // the pigeonhole guard fires loudly through the parser door too
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM audio_near_dup('tvf_envs', 'id', 'env', " +
+        "4, 4)").collect()
+    }
+    assert(e2.getMessage.contains("pigeonhole"), e2.getMessage.take(300))
+  }
+
+  // -- ISO-BMFF (MP4) fixture built box-by-box ------------------------
+  private def u32be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    u32be(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+  private def tkhdV0(w: Int, h: Int): Array[Byte] = {
+    // ver/flags, ctime, mtime, track_id, res, duration, res(8),
+    // layer/alt/volume/res, matrix(36), then 16.16 width/height
+    val head = new Array[Byte](84 - 8)
+    box("tkhd", head ++ u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+  }
+
+  test("mp4MetadataBatch: ISO-BMFF box walk yields brand/timescale/duration/tracks/dims") {
+    val mvhdV0 = box("mvhd", new Array[Byte](12) ++
+      u32be(1000L) ++ u32be(5000L) ++ new Array[Byte](80))
+    val moov = box("moov",
+      box("trak", tkhdV0(0, 0)) ++        // audio track: 0×0 dims
+        box("trak", tkhdV0(320, 240)) ++  // video track
+        mvhdV0)
+    val mp4 = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ new Array[Byte](8)) ++
+      box("mdat", new Array[Byte](32)) ++ moov
+    // v1 mvhd: 64-bit times/duration, same movie length at 90 kHz
+    val mvhdV1 = box("mvhd", Array(1, 0, 0, 0).map(_.toByte) ++
+      new Array[Byte](16) ++ u32be(90000L) ++
+      u32be(0L) ++ u32be(450000L) ++ new Array[Byte](80))
+    val mp4v1 = box("ftyp",
+      "mp42".getBytes("US-ASCII") ++ new Array[Byte](8)) ++
+      box("moov", mvhdV1)
+    val in = Seq((1L, mp4), (2L, mp4v1), (3L, junk))
+      .toDF("id", "media")
+    val rows = Multimodal.mp4MetadataBatch(in, "id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getString(1) == "isom", r1)
+    assert(r1.getLong(2) == 1000L && r1.getLong(3) == 5000L, r1)
+    assert(r1.getInt(4) == 2, r1) // both tracks counted
+    assert(r1.getInt(5) == 320 && r1.getInt(6) == 240, r1)
+    val r2 = rows(2L)
+    assert(r2.getString(1) == "mp42", r2)
+    assert(r2.getLong(2) == 90000L && r2.getLong(3) == 5000L, r2)
+    assert(r2.getInt(4) == 0 && r2.isNullAt(5), r2) // no tracks, no dims
+    // junk degrades to a null row, never a failure
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(3))
+  }
+
   private def u32le(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
