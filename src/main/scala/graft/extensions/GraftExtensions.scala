@@ -714,6 +714,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .probeIvfIndex(spark, dir, queries, k, nProbe)
           .queryExecution.analyzed
       }))
+    // Perceptual image near-dup mining from SQL — the multimodal twin
+    // of cosine_near_dup (r10: the SQL persona reached every text and
+    // vector dedup tier but none of the perceptual ones):
+    //   image_near_dup(table, id_col, raster_hx_col, max_hamming, bands)
+    // `raster_hx_col` is the 8×9 gray hex raster contract dHashBits
+    // consumes (imageDecodeBatch / videoDecodeBatch emit it); the TVF
+    // runs the exact banded-hamming Scala path — pigeonhole-exact at
+    // bands > max_hamming, enforced loudly by the operator. Emits
+    // (idA, idB, hamming) with idA < idB.
+    ext.injectTableFunction((
+      new FunctionIdentifier("image_near_dup"),
+      new ExpressionInfo("graft.operators.Multimodal", "image_near_dup"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: image_near_dup(table, id_col, raster_hx_col, " +
+            "max_hamming, bands)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val t = spark.table(strLit(children(0), "table"))
+        val idCol = strLit(children(1), "id_col")
+        val hxCol = strLit(children(2), "raster_hx_col")
+        val missing = Seq(idCol, hxCol).filterNot(t.columns.contains)
+        require(missing.isEmpty,
+          s"image_near_dup: table lacks ${missing.mkString(", ")}")
+        import org.apache.spark.sql.functions.col
+        val hashed = t.select(col(idCol).as("id"),
+          graft.operators.Multimodal.dHashBits(col(hxCol), 8, 8).as("bits"))
+        graft.operators.Multimodal
+          .imageNearDupPairs(hashed, "id", "bits",
+            intLit(children(3), "max_hamming"), intLit(children(4), "bands"))
+          .queryExecution.analyzed
+      }))
+    // Audio twin over loudness envelopes (audioDecodeBatch's 65-bin
+    // output): gradient-sign fingerprint + the same banded machinery;
+    // short envelopes degrade to null fingerprints and are filtered
+    // (audioFingerprintBits' guard contract).
+    //   audio_near_dup(table, id_col, envelope_col, max_hamming, bands)
+    ext.injectTableFunction((
+      new FunctionIdentifier("audio_near_dup"),
+      new ExpressionInfo("graft.operators.Multimodal", "audio_near_dup"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: audio_near_dup(table, id_col, envelope_col, " +
+            "max_hamming, bands)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val t = spark.table(strLit(children(0), "table"))
+        val idCol = strLit(children(1), "id_col")
+        val envCol = strLit(children(2), "envelope_col")
+        val missing = Seq(idCol, envCol).filterNot(t.columns.contains)
+        require(missing.isEmpty,
+          s"audio_near_dup: table lacks ${missing.mkString(", ")}")
+        import org.apache.spark.sql.functions.col
+        val hashed = t.select(col(idCol).as("id"),
+          graft.operators.Multimodal.audioFingerprintBits(col(envCol))
+            .as("bits"))
+          .filter(col("bits").isNotNull)
+        graft.operators.Multimodal
+          .audioNearDupPairs(hashed, "id", "bits",
+            intLit(children(3), "max_hamming"), intLit(children(4), "bands"))
+          .queryExecution.analyzed
+      }))
     // Unigram LM surprisal scoring from SQL (q157's operator):
     //   surprisal_score(table, id_col, text_col)
     // Emits (id_col, n_tokens, surprisal_bits, milli_bits_per_token).

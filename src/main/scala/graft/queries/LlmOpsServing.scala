@@ -245,22 +245,35 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   private[queries] val q188: GraftQuery = GraftQuery(
     "q188_image_near_dup",
     (s, d) => {
-      val hx = upper(concat(md5(col("text")),
-        md5(concat(col("text"), lit("2"))),
-        md5(concat(col("text"), lit("3"))),
-        md5(concat(col("text"), lit("4")))))
-      val base = docs(s, d).filter(col("doc_id") < 50)
-        .select(col("doc_id"), hx.as("hx"))
-      val rasters = base
-        .select((col("doc_id") * 2).as("id"), col("hx"))
-        .union(base.select((col("doc_id") * 2 + 1).as("id"),
-          concat(lit("FF"), expr("substring(hx, 3)")).as("hx")))
-      val hashed = rasters.select(col("id"),
+      val hashed = imageRasterFixture(s, d).select(col("id"),
         Multimodal.dHashBits(col("hx"), 8, 8).as("bits"))
       Multimodal.imageNearDupPairs(hashed, "id", "bits",
         maxHamming = 3, bands = 4)
     },
-    Some("""WITH r0 AS (SELECT doc_id,
+    Some(imageNearDupOracleSql))
+
+  /** q188's planted raster corpus — 50 md5-chain rasters, each
+    * reappearing at the odd id with its first pixel forced to 0xFF
+    * (the one-pixel-variant plant) — shared with the SQL-door probe
+    * q237. */
+  private[queries] def imageRasterFixture(s: SparkSession,
+                                          d: String): DataFrame = {
+    val hx = upper(concat(md5(col("text")),
+      md5(concat(col("text"), lit("2"))),
+      md5(concat(col("text"), lit("3"))),
+      md5(concat(col("text"), lit("4")))))
+    val base = docs(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), hx.as("hx"))
+    base
+      .select((col("doc_id") * 2).as("id"), col("hx"))
+      .union(base.select((col("doc_id") * 2 + 1).as("id"),
+        concat(lit("FF"), expr("substring(hx, 3)")).as("hx")))
+  }
+
+  /** q188's full-replay oracle (rasters, fingerprints, the exact
+    * hamming ≤ 3 relation) — shared verbatim by q237's TVF door. */
+  private[queries] lazy val imageNearDupOracleSql: String =
+    """WITH r0 AS (SELECT doc_id,
         upper(md5(text) || md5(text || '2') || md5(text || '3') ||
           md5(text || '4')) AS hx
         FROM documents WHERE doc_id < 50),
@@ -284,7 +297,27 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
             i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS hamming
         FROM pr)
       SELECT idA, idB, CAST(hamming AS BIGINT) AS hamming
-      FROM h WHERE hamming <= 3 ORDER BY idA, idB"""))
+      FROM h WHERE hamming <= 3 ORDER BY idA, idB"""
+
+  // ---- q237: image_near_dup TVF — the SQL door to perceptual dedup ----
+  // The parser route to the image dedup tier (the q235/q236 pattern
+  // extended to multimodal): the IDENTICAL planted raster corpus q188
+  // mines, reached as image_near_dup('view', 'id', 'hx', 3, 4) — the
+  // TVF computes the dHash fingerprints and runs the banded-hamming
+  // pair mine. The oracle is q188's full replay verbatim: the door
+  // must find exactly the pairs the library call finds.
+
+  private[queries] val q237: GraftQuery = GraftQuery(
+    "q237_sql_image_near_dup",
+    (s, d) => {
+      imageRasterFixture(s, d)
+        .createOrReplaceTempView("image_rasters_sql")
+      s.sql("""SELECT * FROM
+        image_near_dup('image_rasters_sql', 'id', 'hx', 3, 4)
+        ORDER BY idA, idB""")
+    },
+    Some(imageNearDupOracleSql))
+
 
   // ---- q189: video duplicate-clip detection ---------------------------
   // The video tier of perceptual dedup: 40 synthetic 4-frame "videos"
@@ -751,23 +784,36 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   private[queries] val q234: GraftQuery = GraftQuery(
     "q234_audio_near_dup",
     (s, d) => {
-      val env = transform(sequence(lit(0), lit(64)), i =>
-        conv(substring(md5(concat(lit("ae:"), col("k").cast(StringType),
-          lit(":"), i.cast(StringType))), 1, 8), 16, 10)
-          .cast(DoubleType) / 4294967296.0)
-      val base = docs(s, d).filter(col("doc_id") < 50)
-        .select(col("doc_id").as("k"))
-      val corpus = base
-        .select((col("k") * 2).as("id"), env.as("env"))
-        .union(base.select((col("k") * 2 + 1).as("id"),
-          transform(env, (x, i) =>
-            when(i === 3, lit(0.5)).otherwise(x)).as("env")))
-      val hashed = corpus.select(col("id"),
+      val hashed = audioEnvFixture(s, d).select(col("id"),
         Multimodal.audioFingerprintBits(col("env")).as("bits"))
       Multimodal.audioNearDupPairs(hashed, "id", "bits",
         maxHamming = 3, bands = 4)
     },
-    Some("""WITH d AS (SELECT doc_id AS k FROM documents
+    Some(audioNearDupOracleSql))
+
+  /** q234's planted envelope corpus — 50 md5-uniform 65-bin
+    * envelopes, each reappearing at the odd id with bin 3 overwritten
+    * (the one-bin level blip) — shared with the SQL-door probe
+    * q238. */
+  private[queries] def audioEnvFixture(s: SparkSession,
+                                       d: String): DataFrame = {
+    val env = transform(sequence(lit(0), lit(64)), i =>
+      conv(substring(md5(concat(lit("ae:"), col("k").cast(StringType),
+        lit(":"), i.cast(StringType))), 1, 8), 16, 10)
+        .cast(DoubleType) / 4294967296.0)
+    val base = docs(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id").as("k"))
+    base
+      .select((col("k") * 2).as("id"), env.as("env"))
+      .union(base.select((col("k") * 2 + 1).as("id"),
+        transform(env, (x, i) =>
+          when(i === 3, lit(0.5)).otherwise(x)).as("env")))
+  }
+
+  /** q234's full-replay oracle (envelopes, sign bits, the exact
+    * hamming ≤ 3 relation) — shared verbatim by q238's TVF door. */
+  private[queries] lazy val audioNearDupOracleSql: String =
+    """WITH d AS (SELECT doc_id AS k FROM documents
         WHERE doc_id < 50),
       rs AS (SELECT k * 2 AS id, k, 0 AS variant FROM d
         UNION ALL SELECT k * 2 + 1, k, 1 FROM d),
@@ -789,5 +835,23 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
             i -> substr(ba, i, 1) <> substr(bb, i, 1))) AS hamming
         FROM pr)
       SELECT idA, idB, CAST(hamming AS BIGINT) AS hamming
-      FROM h WHERE hamming <= 3 ORDER BY idA, idB"""))
+      FROM h WHERE hamming <= 3 ORDER BY idA, idB"""
+
+  // ---- q238: audio_near_dup TVF — the audio twin of q237's door -------
+  // Same pattern: the IDENTICAL planted envelope corpus q234 mines,
+  // reached as audio_near_dup('view', 'id', 'env', 3, 4); the TVF
+  // fingerprints the envelopes (null-degrading on short arrays) and
+  // runs the banded pair mine. Oracle = q234's full replay verbatim.
+
+  private[queries] val q238: GraftQuery = GraftQuery(
+    "q238_sql_audio_near_dup",
+    (s, d) => {
+      audioEnvFixture(s, d)
+        .createOrReplaceTempView("audio_envs_sql")
+      s.sql("""SELECT * FROM
+        audio_near_dup('audio_envs_sql', 'id', 'env', 3, 4)
+        ORDER BY idA, idB""")
+    },
+    Some(audioNearDupOracleSql))
+
 }
