@@ -105,6 +105,33 @@ object TextFunctions {
         .as("stopword_ratio"))
   }
 
+  /** The script classes [[scriptCounts]] censuses: fixed Unicode BMP
+    * ranges in `\x{...}` syntax (the subset Java regex and RE2 share,
+    * so the DuckDB oracle runs the IDENTICAL patterns), plus U+FFFD —
+    * the replacement character every broken transcode leaves behind,
+    * the cheapest mojibake witness a corpus scan can count. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "replacement" -> "\\x{FFFD}")
+
+  /** Per-script code-point counts as a struct column — the
+    * script-census primitive beside [[langid]] (which guesses ONE
+    * language; this measures what alphabets the bytes actually carry,
+    * the standard multilingual-curation signal for catching mis-tagged
+    * languages, transliterated spam and encoding damage). One
+    * codegen'd `regexp_count` per class over the raw text — a narrow
+    * projection, no tokenization, no shuffle: at 100 TB the census is
+    * one corpus scan feeding a lang-sized aggregate. */
+  def scriptCounts(text: Column): Column =
+    struct(scriptClasses.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).as(name)
+    }: _*)
+
   // ---- language identification ---------------------------------------
 
   /** Lowercased letter-run tokens — the single regex pass shared by

@@ -736,4 +736,46 @@ object Dedup {
       .select(col(idCol), col("cluster_rep"),
         (col(idCol) === col("_best_id")).as("kept"))
   }
+
+  /** Content-defined chunking (the FastCDC/rsync idea in replayable
+    * form): split a text into variable-size chunks whose BOUNDARIES
+    * depend only on local content — a rolling `window`-char hash, cut
+    * where it lands in the zero residue class mod `avgMask`+1 — so an
+    * insertion early in a document moves ONE chunk's boundary, not
+    * every downstream boundary the way fixed-width blocks would. That
+    * is the property that makes block-level dedup across near-copies
+    * work: shared boilerplate lands in IDENTICAL chunks regardless of
+    * its byte offset, independent of line structure (the seam
+    * [[removeBoilerplateLines]] needs and mid-line templating
+    * defeats). Default geometry: 16-char window, 1/64 cut probability
+    * → ~64-char expected chunks.
+    *
+    * Boundary hash is the first 8 md5 hex chars of each window (the
+    * shared replay family): one expression per position — O(len·
+    * window) per doc, a deliberate oracle-tier cost; the codegen'd
+    * pipeline stays one narrow projection, no shuffle. Texts shorter
+    * than `window` form one chunk; empty/null texts yield an empty
+    * array (null-degrade). Chunks concatenate back to the text by
+    * construction (boundaries partition [0, len)). */
+  def cdcChunks(text: Column, window: Int = 16,
+                avgMask: Int = 63): Column = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(avgMask >= 1, s"avgMask must be >= 1, got $avgMask")
+    val len = length(text)
+    // candidate cut positions: every i in [window, len] whose trailing
+    // window hashes to the zero class (sequence() must never run
+    // descending — the greatest() keeps it ascending, the i <= len
+    // test voids the len < window case)
+    val hits = filter(sequence(lit(window), greatest(len, lit(window))),
+      i => i <= len &&
+        (conv(substring(md5(text.substr(i - (window - 1), lit(window))),
+          1, 8), 16, 10).cast(LongType) % (avgMask + 1)) === 0)
+    val ends = array_distinct(concat(hits,
+      when(len > 0, array(len)).otherwise(array().cast("array<int>"))))
+    // starts = 0 :: ends-without-last; slicing the 0-prefixed bounds
+    // to ends' size pairs them off (both empty for an empty text —
+    // zip_with then yields the empty array, no special case)
+    val starts = slice(concat(array(lit(0)), ends), lit(1), size(ends))
+    zip_with(starts, ends, (st, en) => text.substr(st + 1, en - st))
+  }
 }

@@ -1061,4 +1061,108 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
           AS avg_max_err,
         round(max(err), 6) AS worst_err
       FROM r GROUP BY bucket ORDER BY bucket"""))
+
+  // ---- q239: Unicode script census ------------------------------------
+  // The alphabet-level companion to q47's langid (which guesses ONE
+  // language; this measures what scripts the bytes actually carry —
+  // the mC4/ROOTS-style multilingual-curation signal for catching
+  // mis-tagged languages, transliterated spam, and encoding damage
+  // via the U+FFFD replacement-character count): per tagged language,
+  // corpus-total chars and integer ppm of each script class. The
+  // script patterns are `\x{...}` BMP ranges shared VERBATIM between
+  // Java regex and DuckDB's RE2, so the oracle runs the identical
+  // census; ratios are ppm integer divisions (bit-replayable). One
+  // narrow scan, one lang-sized aggregate — the 100 TB shape.
+
+  private[queries] val q239: GraftQuery = GraftQuery(
+    "q239_script_census",
+    (s, d) => {
+      val agg = docs(s, d)
+        .select(col("lang"), length(col("text")).as("n"),
+          graft.functions.TextFunctions.scriptCounts(col("text")).as("sc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast(LongType).as("total_chars") +:
+            graft.functions.TextFunctions.scriptClasses.map { case (sn, _) =>
+              sum(col(s"sc.$sn")).cast(LongType).as(s"_$sn")
+            }: _*)
+      graft.functions.TextFunctions.scriptClasses
+        .foldLeft(agg) { case (df, (sn, _)) =>
+          df.withColumn(s"${sn}_ppm",
+            expr(s"(_$sn * 1000000L) div greatest(total_chars, 1L)"))
+        }
+        .select(col("lang") +: col("n_docs") +: col("total_chars") +:
+          graft.functions.TextFunctions.scriptClasses
+            .map { case (sn, _) => col(s"${sn}_ppm") }: _*)
+        .orderBy(col("lang"))
+    },
+    Some(s"""SELECT lang, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        ${graft.functions.TextFunctions.scriptClasses.map { case (sn, pat) =>
+          // the pattern string embeds verbatim: SQL single-quoted
+          // literals pass backslashes through untouched, so RE2 sees
+          // exactly what Java regex saw
+          s"""CAST(sum(len(regexp_extract_all(text, '$pat'))) * 1000000
+            // greatest(sum(length(text)), 1) AS BIGINT) AS ${sn}_ppm"""
+        }.mkString(",\n        ")}
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  // ---- q240: content-defined chunk dedup census -----------------------
+  // Block-level duplication measured with FastCDC-shaped chunking
+  // (Dedup.cdcChunks): boundaries depend only on local content (md5
+  // rolling window, zero residue mod 64), so shared boilerplate lands
+  // in identical chunks at ANY byte offset — the seam line dedup
+  // (q97) misses when templating shifts text mid-line. Per source:
+  // chunk counts, distinct-chunk counts, and the dedupable-bytes
+  // ratio a storage/cleaning planner acts on. The oracle rebuilds
+  // every boundary (same md5-hex8 residue per window position), every
+  // chunk substring, and both censuses.
+
+  private[queries] val q240: GraftQuery = GraftQuery(
+    "q240_cdc_chunk_census",
+    (s, d) => {
+      val ch = docs(s, d).select(col("source"),
+        explode(Dedup.cdcChunks(col("text"))).as("chunk"))
+      val tot = ch.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk"))).cast(LongType).as("total_chars"))
+      val dst = ch.distinct().groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct_chunks"),
+          sum(length(col("chunk"))).cast(LongType).as("distinct_chars"))
+      tot.join(dst, Seq("source"))
+        .withColumn("dup_chars_ppm",
+          expr("((total_chars - distinct_chars) * 1000000L) " +
+            "div greatest(total_chars, 1L)"))
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          col("total_chars"), col("distinct_chars"), col("dup_chars_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+        FROM documents),
+      ends AS (SELECT doc_id, source, text, n,
+          list_sort(list_distinct(list_append(
+            list_filter(generate_series(16, greatest(n, 16)),
+              i -> i <= n AND
+                CAST(concat('0x',
+                  substr(md5(substr(text, i - 15, 16)), 1, 8)) AS BIGINT)
+                  % 64 = 0),
+            n))) AS e
+        FROM d WHERE n > 0),
+      ch AS (SELECT source,
+          unnest(list_transform(generate_series(1, len(e)),
+            j -> substr(text,
+              (CASE WHEN j = 1 THEN 0 ELSE e[j - 1] END) + 1,
+              e[j] - CASE WHEN j = 1 THEN 0 ELSE e[j - 1] END))) AS chunk
+        FROM ends),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(sum(length(chunk)) AS BIGINT) AS total_chars
+        FROM ch GROUP BY source),
+      dst AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+          CAST(sum(length(chunk)) AS BIGINT) AS distinct_chars
+        FROM (SELECT DISTINCT source, chunk FROM ch) GROUP BY source)
+      SELECT source, n_chunks, n_distinct_chunks, total_chars,
+        distinct_chars,
+        CAST(((total_chars - distinct_chars) * 1000000)
+          // greatest(total_chars, 1) AS BIGINT) AS dup_chars_ppm
+      FROM tot JOIN dst USING (source) ORDER BY source"""))
 }

@@ -589,4 +589,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kf.map(r => r._1 -> r._3).toMap ==
       Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
   }
+
+  test("cdcChunks: chunks partition the text; an early edit moves one boundary, not the rest") {
+    // deterministic pseudo-text long enough to carry many boundaries
+    val text = (0 until 40)
+      .map(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString(" ")
+    def chunksOf(t: String): Seq[String] =
+      Seq(t).toDF("text")
+        .select(Dedup.cdcChunks(col("text")).as("c"))
+        .as[Seq[String]].head()
+    val base = chunksOf(text)
+    assert(base.size > 5, s"expected many chunks, got ${base.size}")
+    // partition property: the chunks concatenate back to the text
+    assert(base.mkString == text)
+    // content-defined property: a prefix edit re-cuts only the chunks
+    // it touches — downstream boundaries (content-addressed) survive,
+    // where fixed-width blocks would all shift and share NOTHING
+    val edited = chunksOf("PREFIX EDIT " + text)
+    assert(edited.mkString == "PREFIX EDIT " + text)
+    val shared = base.toSet intersect edited.toSet
+    assert(shared.size >= base.size - 2,
+      s"only ${shared.size}/${base.size} chunks survived a prefix edit")
+    // edges: short text is one chunk; empty text is no chunks
+    assert(chunksOf("tiny") == Seq("tiny"))
+    assert(chunksOf("") == Seq())
+  }
 }

@@ -78,4 +78,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(st("plain text stays") == "plain text stays")
     assert(st("<p>x &lt;y&gt;</p>") == "x <y>")
   }
+
+  test("scriptCounts: real Cyrillic/Greek/Arabic/Devanagari/CJK/FFFD code points counted per class") {
+    // the synthetic corpus is all-Latin, so q239's oracle gates the
+    // machinery on zeros; this is the non-zero evidence on real
+    // non-Latin text (and the mojibake witness)
+    val mixed = "abc привет " + // привет
+      "αβ " +                                        // αβ
+      "مرحبا " +                      // مرحبا
+      "नमस्ते " +                // नमस्ते
+      "你好世界 " +                            // 你好世界
+      "x��y"
+    val r = Seq(mixed).toDF("text")
+      .select(scriptCounts($"text").as("sc"))
+      .select($"sc.latin", $"sc.cyrillic", $"sc.greek", $"sc.arabic",
+        $"sc.devanagari", $"sc.cjk", $"sc.replacement")
+      .as[(Int, Int, Int, Int, Int, Int, Int)].head()
+    assert(r == ((5, 6, 2, 5, 6, 4, 2)), r)
+    // empty text: every class zero, never null
+    val z = Seq("").toDF("text")
+      .select(scriptCounts($"text").as("sc"))
+      .select($"sc.latin", $"sc.replacement").as[(Int, Int)].head()
+    assert(z == ((0, 0)))
+  }
 }
