@@ -132,6 +132,107 @@ object TextFunctions {
       regexp_count(text, lit(pat)).as(name)
     }: _*)
 
+  // ---- mojibake repair ------------------------------------------------
+
+  /** (mojibake, fixed) pairs for the classic transcoding accident —
+    * UTF-8 bytes decoded as Windows-1252 ("Ã©" for "é", "â€™" for
+    * "’") — GENERATED from the JDK's own charset tables rather than
+    * hand-listed: for each target char, its mojibake spelling is
+    * `new String(utf8Bytes, "windows-1252")`. Targets are the
+    * printable Latin-1 supplement plus the common General-Punctuation
+    * set; pairs whose mojibake contains an unprintable char are
+    * dropped — the five undefined CP1252 bytes decode to U+FFFD
+    * under the JDK's REPLACE action, which would make five distinct
+    * targets share one mojibake spelling (a non-injective chain that
+    * repairs Í to Á). The surviving map is asserted injective both
+    * ways. Ordered
+    * longest-mojibake-first (3-byte UTF-8 sequences like "â€™" before
+    * 2-byte like "Ã©"): lead bytes differ per length class, so the
+    * sequential replace chain in [[fixMojibake]] — and the IDENTICAL
+    * chain the DuckDB oracle runs — never half-consumes a longer
+    * sequence. */
+  val mojibakePairs: Seq[(String, String)] = {
+    val targets = ((0xA1 to 0xFF).map(_.toChar) ++
+      Seq('–', '—', '‘', '’', '‚', '“',
+        '”', '„', '†', '‡', '•', '…',
+        '‰', '‹', '›', '€', '™')).map(_.toString)
+    val pairs = targets.flatMap { t =>
+      val moji = new String(t.getBytes("UTF-8"), "windows-1252")
+      if (moji.length >= 2 && moji != t &&
+        moji.forall(c => !Character.isISOControl(c) && c != '�'))
+        Some(moji -> t)
+      else None
+    }.sortBy { case (m, _) => (-m.length, m) }
+    require(pairs.map(_._1).distinct.size == pairs.size &&
+      pairs.map(_._2).distinct.size == pairs.size,
+      "mojibake map must be injective both ways")
+    pairs
+  }
+
+  /** Repair CP1252-mojibake in place: one sequential `replace` chain
+    * over [[mojibakePairs]] — pure codegen'd string work, no regex
+    * backtracking, no UDF; a narrow per-row map at any scale. Repairs
+    * ONE round of mis-decoding (the overwhelmingly common case);
+    * doubly-encoded text needs two applications. Text with no
+    * mojibake passes through byte-identical, so the repair is safe to
+    * run unconditionally in a cleaning recipe — gate on
+    * [[scriptCounts]]' replacement/CJK census only to SKIP the scan
+    * cost, never for correctness. */
+  def fixMojibake(text: Column): Column =
+    mojibakePairs.foldLeft(text) { case (c, (m, t)) =>
+      replace(c, lit(m), lit(t))
+    }
+
+  // ---- PII detection and redaction ------------------------------------
+
+  /** (name, pattern, replacement) triples for the free-text PII scrub
+    * (C4/RefinedWeb-style pre-training hygiene). Patterns are the
+    * RE2-safe subset shared VERBATIM with the DuckDB oracle — no
+    * backreferences, no lookaround — so detection counts replay
+    * exactly. Order matters and is part of the contract: the
+    * redaction chain in [[redactPii]] applies them in THIS order
+    * (email before phone before card before IP, so a number embedded
+    * in an email local part is consumed by the email rule first). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("card", "\\b[0-9]{16}\\b", "<CARD>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"))
+
+  /** Luhn checksum over a 16-digit string: double every second digit
+    * from the right (left positions 1,3,…,15 for length 16), subtract
+    * 9 when the double exceeds 9, valid iff the sum is ≡ 0 (mod 10).
+    * Pure codegen'd integer arithmetic (an intra-row fold — no UDF),
+    * replayable bit-for-bit by any engine; the classifier that
+    * separates card-SHAPED digit runs from actual card numbers, so a
+    * redaction census can report both. Callers pass a 16-char digit
+    * string (the `card` pattern's match). */
+  def luhnValid16(card: Column): Column = {
+    val total = aggregate(
+      transform(sequence(lit(1), lit(16)), i => {
+        val d = card.substr(i, lit(1)).cast(IntegerType)
+        val doubled = d * 2
+        when(i % 2 === 1,
+          when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** Count of `pattern` matches in `text` — one codegen'd
+    * `regexp_extract_all` per pattern, no shuffle. */
+  def piiMatches(text: Column, pattern: String): Column =
+    regexp_extract_all(text, lit(pattern), lit(0))
+
+  /** Redact all [[piiPatterns]] in order: a sequential
+    * `regexp_replace` chain (email → phone → card → IP), each match
+    * replaced by its typed placeholder. Narrow per-row map at any
+    * scale; run AFTER detection censuses, which want the raw text. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
   // ---- language identification ---------------------------------------
 
   /** Lowercased letter-run tokens — the single regex pass shared by

@@ -1236,4 +1236,89 @@ object DatasetOps {
     out.toDF("source", "n_tokens", "capacity_tokens", "alloc_tokens",
       "saturated", "milli_epochs")
   }
+
+  // ---- Bloom membership gate ------------------------------------------
+
+  /** Bloom bitmap over the values of `itemCol`: `nHash` md5-derived
+    * bit positions per item (`bf:<h>:<item>` — the shared md5-replay
+    * family, so any engine rebuilds the identical bitmap), folded
+    * distributed into ≤ `mBits`/64 words with a map-side-combined
+    * `bit_or`, then picked up bounded (4096 rows at the default m).
+    * The 100 TB decontamination shape: the benchmark's n-gram set
+    * compresses to a bitmap that ships in the PLAN (see
+    * [[bloomHitCount]]) instead of shuffling the corpus's n-gram
+    * stream through a join — membership is one-sided-error
+    * (hits ⊇ members) with a deterministic, replayable FP set. */
+  def bloomBitmap(items: DataFrame, itemCol: String,
+                  mBits: Int = 1 << 18, nHash: Int = 3): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(nHash >= 1, s"nHash must be >= 1, got $nHash")
+    val posCols = (0 until nHash).map(h =>
+      conv(substring(md5(concat(lit(s"bf:$h:"), col(itemCol))), 1, 8), 16, 10)
+        .cast(LongType) % mBits)
+    val words = items.select(explode(array(posCols: _*)).as("p")).distinct()
+      .selectExpr("cast(p div 64 as int) AS w",
+        "shiftleft(1L, cast(p % 64 as int)) AS bit")
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val bits = Array.fill[Long](mBits / 64)(0L)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    bits
+  }
+
+  /** Count of `arrCol`'s elements whose `nHash` bloom bits are all
+    * set in `bitsCol` (attach the [[bloomBitmap]] once with
+    * `typedLit(bits.toSeq)`): the probe is pure codegen'd bit
+    * arithmetic against a plan literal — no join, no broadcast
+    * exchange, no shuffle, whole-stage codegen throughout. */
+  def bloomHitCount(arrCol: String, bitsCol: String,
+                    mBits: Int = 1 << 18, nHash: Int = 3): Column = {
+    val hit = (0 until nHash).map { h =>
+      val p = s"(cast(conv(substring(md5(concat('bf:$h:', _g)), 1, 8), " +
+        s"16, 10) as bigint) % $mBits)"
+      s"(element_at($bitsCol, cast($p div 64 as int) + 1) & " +
+        s"shiftleft(1L, cast($p % 64 as int))) != 0"
+    }.mkString(" AND ")
+    expr(s"size(filter($arrCol, _g -> $hit))")
+  }
+
+  /** Persist a [[bloomBitmap]] as a self-describing index:
+    * `dir/words` holds the non-zero (w, word) rows (≤ mBits/64, tiny
+    * — `coalesce(1)`), `dir/meta` the (m_bits, n_hash) parameters the
+    * probe MUST use (a probe with different params reads garbage bits
+    * — the same silent-mis-rank footgun the PQ books sidecar closes,
+    * so the reader refuses loudly on mismatch instead). */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      bits: Array[Long], mBits: Int = 1 << 18,
+                      nHash: Int = 3): Unit = {
+    require(bits.length == mBits / 64,
+      s"bitmap has ${bits.length} words; mBits=$mBits needs ${mBits / 64}")
+    import spark.implicits._
+    bits.toSeq.zipWithIndex.collect { case (w, i) if w != 0L => (i, w) }
+      .toDF("w", "word").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/words")
+    Seq((mBits, nHash)).toDF("m_bits", "n_hash").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read a persisted bloom index back as (bits, mBits, nHash) — a
+    * bounded pickup (≤ mBits/64 + 1 rows). Refuses loudly when the
+    * caller pins parameters that disagree with the stored meta. */
+  def readBloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     expectMBits: Option[Int] = None,
+                     expectNHash: Option[Int] = None)
+      : (Array[Long], Int, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()
+    require(meta.length == 1, s"bloom meta at $dir/meta has ${meta.length} rows")
+    val (m, k) = (meta(0).getInt(0), meta(0).getInt(1))
+    expectMBits.foreach(e => require(e == m,
+      s"bloom index at $dir was built with m_bits=$m, probe asked $e"))
+    expectNHash.foreach(e => require(e == k,
+      s"bloom index at $dir was built with n_hash=$k, probe asked $e"))
+    val bits = Array.fill[Long](m / 64)(0L)
+    spark.read.parquet(s"$dir/words").collect()
+      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    (bits, m, k)
+  }
 }

@@ -1036,4 +1036,341 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         GROUP BY shard ORDER BY shard""")
     },
     q99.oracle)
+
+  // ---- q241: mojibake repair census -----------------------------------
+  // The repair companion to q239's detection census: fixMojibake's
+  // replace chain (generated from the JDK CP1252 tables,
+  // TextFunctions.mojibakePairs) undoes UTF-8-read-as-Windows-1252
+  // damage. The synthetic corpus is clean ASCII, so the round-trip is
+  // exercised on PLANTED damage: each doc gets a deterministic
+  // 8-char accented string (md5-indexed into the repairable-char
+  // alphabet — the q234 planted-fixture pattern), corrupted per-char
+  // through the INVERSE map, then repaired. The oracle rebuilds the
+  // plant, the corruption and the ENTIRE repair chain (same pairs,
+  // same order, literals generated from the same Seq), so a drift in
+  // any of the ~100 pairs, the chain order, or the replace semantics
+  // flips the row hash. Census per source: docs, clean vs mojibake
+  // char mass (the inflation a storage planner sees), and the
+  // round-trip-exact count — n_docs when the chain is right (planted
+  // chars are separator-delimited, the real-text shape; PACKED
+  // adjacent mojibake can interfere under a greedy chain, which is
+  // why the plant mirrors text, not a worst-case byte soup).
+
+  private def sqlQuote(c: String): String = c.replace("'", "''")
+
+  private[queries] val q241: GraftQuery = {
+    val pairs = graft.functions.TextFunctions.mojibakePairs
+    val alph = pairs.map(_._2)
+    val n = alph.size
+    val alphSql = alph.map(c => s"'${sqlQuote(c)}'").mkString("[", ", ", "]")
+    val mojiSql = pairs.map { case (m, _) => s"'${sqlQuote(m)}'" }
+      .mkString("[", ", ", "]")
+    val chainSql = pairs.foldLeft("corrupted") { case (e, (m, t)) =>
+      s"replace($e, '${sqlQuote(m)}', '${sqlQuote(t)}')"
+    }
+    GraftQuery(
+      "q241_mojibake_repair",
+      (s, d) => {
+        val alphLit = typedLit(alph)
+        val mojiByFixed = typedLit(pairs.map { case (m, t) => t -> m }.toMap)
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            transform(sequence(lit(0), lit(7)), i =>
+              element_at(alphLit,
+                (conv(substring(md5(concat(lit("moji:"),
+                  col("doc_id").cast(StringType), lit(":"),
+                  i.cast(StringType))), 1, 8), 16, 10)
+                  .cast(LongType) % n).cast(IntegerType) + 1)).as("ca"))
+          // space-joined: adjacent mojibake sequences can interfere
+          // under a greedy replace chain (repairing one char can
+          // expose a substring an earlier pair matches), so the plant
+          // keeps a separator between chars — the real-text shape,
+          // where mojibake sits inside otherwise-intact words
+          .select(col("doc_id"), col("source"),
+            array_join(col("ca"), " ").as("clean"),
+            array_join(transform(col("ca"),
+              c => element_at(mojiByFixed, c)), " ").as("corrupted"))
+          .withColumn("repaired", fixMojibake(col("corrupted")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("clean"))).cast(LongType).as("clean_chars"),
+            sum(length(col("corrupted"))).cast(LongType).as("moji_chars"),
+            sum(when(col("repaired") === col("clean"), 1L).otherwise(0L))
+              .cast(LongType).as("round_trip_ok"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH planted AS (
+          SELECT doc_id, source, a, mj,
+            list_transform(generate_series(0, 7), i ->
+              a[CAST(CAST(concat('0x', substr(md5(
+                'moji:' || CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % $n AS INT) + 1])
+              AS ca
+          FROM documents
+          CROSS JOIN (SELECT $alphSql AS a, $mojiSql AS mj)),
+        built AS (
+          SELECT doc_id, source,
+            array_to_string(ca, ' ') AS clean,
+            array_to_string(list_transform(ca,
+              c -> mj[list_position(a, c)]), ' ') AS corrupted
+          FROM planted)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+          CAST(sum(length(corrupted)) AS BIGINT) AS moji_chars,
+          CAST(sum(CASE WHEN $chainSql = clean THEN 1 ELSE 0 END)
+            AS BIGINT) AS round_trip_ok
+        FROM built GROUP BY source ORDER BY source"""))
+  }
+
+  // ---- q242: dictionary tagging ---------------------------------------
+  // Lexicon tagging the RELATIONAL way: explode tokens (and 2-gram
+  // shingles for phrases) and broadcast-hash-join the dictionary,
+  // instead of a regex alternation that grows linearly in pattern
+  // size per char scanned. At 100 TB the docs side never shuffles —
+  // the dictionary (KBs to low MBs: topic lexicons, blocklists, PII
+  // term lists) broadcasts, the join is map-side, and the per-doc
+  // rollup is the only exchange. The phrase path rides the same
+  // machinery through wordShingles — no automaton needed for
+  // word-boundary dictionaries. Census per (tag, source): tagged-doc
+  // and hit counts.
+
+  private[queries] val q242: GraftQuery = {
+    val termDict = Seq(
+      "scan" -> "exec", "filter" -> "exec", "sort" -> "exec",
+      "merge" -> "exec", "join" -> "exec",
+      "table" -> "storage", "row" -> "storage", "column" -> "storage",
+      "part" -> "storage",
+      "stream" -> "streaming", "window" -> "streaming", "batch" -> "streaming",
+      "slow" -> "perf", "fast" -> "perf")
+    val phraseDict = Seq(
+      "hash join" -> "exec", "merge join" -> "exec", "sort merge" -> "exec",
+      "big table" -> "storage", "fast scan" -> "perf")
+    def valuesSql(dd: Seq[(String, String)]) =
+      dd.map { case (t, g) => s"('$t', '$g')" }.mkString(", ")
+    GraftQuery(
+      "q242_dict_tagging",
+      (s, d) => {
+        val uni = s.createDataFrame(termDict).toDF("term", "tag")
+        val bi = s.createDataFrame(phraseDict).toDF("term", "tag")
+        val toks = docs(s, d).select(col("doc_id"), col("source"),
+          whitespaceTokens(col("text")).as("t"))
+        val uniHits = toks.select(col("doc_id"), col("source"),
+          explode(col("t")).as("term")).join(broadcast(uni), "term")
+        val biHits = toks.select(col("doc_id"), col("source"),
+          explode(wordShingles(col("t"), 2)).as("term"))
+          .join(broadcast(bi), "term")
+        uniHits.unionByName(biHits)
+          .groupBy(col("tag"), col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_hits"))
+          .orderBy(col("tag"), col("source"))
+      },
+      Some(s"""WITH dict(term, tag) AS (VALUES ${valuesSql(termDict)}),
+        pdict(term, tag) AS (VALUES ${valuesSql(phraseDict)}),
+        toks AS (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> length(x) > 0) AS t
+          FROM documents),
+        uni AS (SELECT doc_id, source, unnest(t) AS term FROM toks),
+        bi AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(generate_series(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS term FROM toks),
+        hits AS (
+          SELECT u.doc_id, u.source, d.tag
+          FROM uni u JOIN dict d ON d.term = u.term
+          UNION ALL
+          SELECT b.doc_id, b.source, p.tag
+          FROM bi b JOIN pdict p ON p.term = b.term)
+        SELECT tag, source, count(DISTINCT doc_id) AS n_docs,
+          count(*) AS n_hits
+        FROM hits GROUP BY tag, source ORDER BY tag, source"""))
+  }
+
+  // ---- q244: Bloom-filter decontamination gate -------------------------
+  // The 100 TB decontamination shape: instead of JOINING every corpus
+  // shingle against a benchmark table (q98's exact tier — a shuffle
+  // of the whole corpus's n-gram stream), the benchmark's 8-gram set
+  // is folded into a Bloom BITMAP (m = 2^18 bits here, 32 KB; a few
+  // hundred MB at real benchmark scale) that ships inside the plan as
+  // one array literal — the probe is a codegen'd per-row bit test,
+  // zero shuffle, zero join. k = 3 md5-derived hash positions per
+  // shingle; a shingle "hits" iff all three bits are set, so hits ⊇
+  // true overlaps with a deterministic, replayable false-positive set
+  // (~1e-6 at this fill ratio). The oracle rebuilds the position set
+  // and replays membership semantics exactly — FPs included — so the
+  // hash arithmetic, the bitmap fold and the probe are all gated.
+  // "Benchmark" here: the deterministic doc_id % 97 slice, the
+  // planted-contamination convention.
+
+  private[queries] val q244: GraftQuery = {
+    val m = 1 << 18
+    val nHash = 3
+    GraftQuery(
+      "q244_bloom_decontamination",
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"), col("source"),
+          wordShingles(whitespaceTokens(col("text")), 8).as("gs"))
+        // build: ≤ m/64 bitmap words from the benchmark slice — a
+        // bounded driver pickup (4096 rows max), the index-build tier
+        val bits = DatasetOps.bloomBitmap(
+          toks.filter(col("doc_id") % 97 === 0)
+            .select(explode(col("gs")).as("g")), "g", m, nHash)
+        // probe: the bitmap is ONE array literal in the plan — no
+        // join, no broadcast exchange, whole-stage codegen throughout
+        toks.withColumn("bits", typedLit(bits.toSeq))
+          .withColumn("n_hits",
+            DatasetOps.bloomHitCount("gs", "bits", m, nHash))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("gs"))).cast(LongType).as("n_shingles"),
+            sum(col("n_hits")).cast(LongType).as("n_bloom_hits"),
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L)).cast(LongType)
+              .as("flagged_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              x -> length(x) > 0) AS t
+          FROM documents),
+        sh AS (SELECT doc_id, source,
+            CASE WHEN len(t) >= 8 THEN
+              list_transform(generate_series(1, len(t) - 7),
+                i -> array_to_string(list_slice(t, i, i + 7), ' '))
+            ELSE [] END AS gs
+          FROM toks),
+        bpos AS (SELECT DISTINCT
+            (CAST(concat('0x', substr(md5(
+              'bf:' || CAST(h AS VARCHAR) || ':' || g), 1, 8)) AS BIGINT)
+              % $m) AS p
+          FROM (SELECT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0)
+          CROSS JOIN generate_series(0, ${nHash - 1}) hs(h)),
+        bl AS (SELECT list(p ORDER BY p) AS pl FROM bpos),
+        dh AS (SELECT doc_id, source, len(gs) AS n_sh,
+            len(list_filter(gs, g ->
+              ${(0 until nHash).map(h =>
+                s"list_contains(pl, CAST(concat('0x', substr(md5('bf:$h:' || g), 1, 8)) AS BIGINT) % $m)")
+                .mkString(" AND ")})) AS n_hits
+          FROM sh CROSS JOIN bl)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+          CAST(sum(n_hits) AS BIGINT) AS n_bloom_hits,
+          CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS flagged_docs
+        FROM dh GROUP BY source ORDER BY source"""))
+  }
+
+  // ---- q245: PII detection + redaction census --------------------------
+  // The pre-training hygiene pass (C4/RefinedWeb lineage): email /
+  // phone / 16-digit card / IPv4 patterns (TextFunctions.piiPatterns,
+  // the RE2-safe subset shared VERBATIM with the oracle) detected
+  // with regexp_extract_all and scrubbed with an ordered
+  // regexp_replace chain — one narrow codegen'd scan, no shuffle
+  // beyond the census rollup. Card-SHAPED digit runs are classified
+  // by the Luhn checksum (exact integer fold), so the census reports
+  // detected vs actually-valid separately — the precision knob a real
+  // scrub policy needs. The synthetic corpus is PII-free, so each doc
+  // gets a deterministic planted contact blob (md5-digit card/phone/
+  // IP + a doc_id email — the q241 planting pattern); the oracle
+  // rebuilds the plant, every pattern count, the Luhn verdicts and
+  // the full redaction chain, so a drift in any pattern, the chain
+  // order, or the Luhn arithmetic flips the row hash.
+
+  private[queries] val q245: GraftQuery = {
+    val pats = graft.functions.TextFunctions.piiPatterns.map {
+      case (n, p, r) => n -> ((p, r))
+    }.toMap
+    val (emailPat, phonePat, cardPat, ipPat) =
+      (pats("email")._1, pats("phone")._1, pats("card")._1, pats("ipv4")._1)
+    GraftQuery(
+      "q245_pii_redaction",
+      (s, d) => {
+        val h = md5(concat(lit("pii:"), col("doc_id").cast(StringType)))
+        val withPlant = docs(s, d)
+          .select(col("doc_id"), col("source"), col("text"), h.as("h"))
+          .withColumn("ds", transform(sequence(lit(1), lit(26)), i =>
+            (conv(col("h").substr(i, lit(1)), 16, 10)
+              .cast(LongType) % 10).cast(StringType)))
+        withPlant
+          .withColumn("txt", concat_ws(" ", col("text"),
+            concat(lit("user"), col("doc_id").cast(StringType), lit("@ex"),
+              (col("doc_id") % 7).cast(StringType), lit(".com")),
+            concat(lit("+1-"), array_join(slice(col("ds"), 17, 3), ""),
+              lit("-"), array_join(slice(col("ds"), 20, 3), ""),
+              lit("-"), array_join(slice(col("ds"), 23, 4), "")),
+            concat(lit("10."),
+              (conv(substring(col("h"), 27, 2), 16, 10).cast(LongType) % 256)
+                .cast(StringType), lit("."),
+              (conv(substring(col("h"), 29, 2), 16, 10).cast(LongType) % 256)
+                .cast(StringType), lit("."),
+              (conv(substring(col("h"), 31, 2), 16, 10).cast(LongType) % 256)
+                .cast(StringType)),
+            array_join(slice(col("ds"), 1, 16), "")))
+          .select(col("source"), col("txt"),
+            piiMatches(col("txt"), emailPat).as("em"),
+            piiMatches(col("txt"), phonePat).as("ph"),
+            piiMatches(col("txt"), cardPat).as("cd"),
+            piiMatches(col("txt"), ipPat).as("ip"),
+            redactPii(col("txt")).as("red"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("em"))).cast(LongType).as("n_emails"),
+            sum(size(col("ph"))).cast(LongType).as("n_phones"),
+            sum(size(col("cd"))).cast(LongType).as("n_cards"),
+            sum(size(filter(col("cd"), c =>
+              graft.functions.TextFunctions.luhnValid16(c))))
+              .cast(LongType).as("n_luhn_valid"),
+            sum(size(col("ip"))).cast(LongType).as("n_ips"),
+            sum(length(col("txt"))).cast(LongType).as("raw_chars"),
+            sum(length(col("red"))).cast(LongType).as("redacted_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH p AS (
+          SELECT doc_id, source, text,
+            md5('pii:' || CAST(doc_id AS VARCHAR)) AS h,
+            list_transform(generate_series(1, 26), i ->
+              CAST(CAST(concat('0x', substr(md5('pii:' ||
+                CAST(doc_id AS VARCHAR)), i, 1)) AS BIGINT) % 10
+                AS VARCHAR)) AS ds
+          FROM documents),
+        built AS (
+          SELECT source,
+            text || ' ' ||
+            'user' || CAST(doc_id AS VARCHAR) || '@ex' ||
+              CAST(doc_id % 7 AS VARCHAR) || '.com' || ' ' ||
+            '+1-' || array_to_string(list_slice(ds, 17, 19), '') || '-' ||
+              array_to_string(list_slice(ds, 20, 22), '') || '-' ||
+              array_to_string(list_slice(ds, 23, 26), '') || ' ' ||
+            '10.' || CAST(CAST(concat('0x', substr(h, 27, 2)) AS BIGINT)
+              % 256 AS VARCHAR) || '.' ||
+              CAST(CAST(concat('0x', substr(h, 29, 2)) AS BIGINT)
+                % 256 AS VARCHAR) || '.' ||
+              CAST(CAST(concat('0x', substr(h, 31, 2)) AS BIGINT)
+                % 256 AS VARCHAR) || ' ' ||
+            array_to_string(list_slice(ds, 1, 16), '') AS txt
+          FROM p)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(regexp_extract_all(txt, '$emailPat')))
+            AS BIGINT) AS n_emails,
+          CAST(sum(len(regexp_extract_all(txt, '$phonePat')))
+            AS BIGINT) AS n_phones,
+          CAST(sum(len(regexp_extract_all(txt, '$cardPat')))
+            AS BIGINT) AS n_cards,
+          CAST(sum(len(list_filter(regexp_extract_all(txt, '$cardPat'),
+            c -> list_sum(list_transform(generate_series(1, 16), i ->
+              CASE WHEN i % 2 = 1 THEN
+                CASE WHEN CAST(c[i] AS INT) * 2 > 9
+                  THEN CAST(c[i] AS INT) * 2 - 9
+                  ELSE CAST(c[i] AS INT) * 2 END
+              ELSE CAST(c[i] AS INT) END)) % 10 = 0)))
+            AS BIGINT) AS n_luhn_valid,
+          CAST(sum(len(regexp_extract_all(txt, '$ipPat')))
+            AS BIGINT) AS n_ips,
+          CAST(sum(length(txt)) AS BIGINT) AS raw_chars,
+          CAST(sum(length(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(txt, '$emailPat', '<EMAIL>', 'g'),
+            '$phonePat', '<PHONE>', 'g'),
+            '$cardPat', '<CARD>', 'g'),
+            '$ipPat', '<IP>', 'g'))) AS BIGINT) AS redacted_chars
+        FROM built GROUP BY source ORDER BY source"""))
+  }
 }

@@ -1165,4 +1165,74 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
         CAST(((total_chars - distinct_chars) * 1000000)
           // greatest(total_chars, 1) AS BIGINT) AS dup_chars_ppm
       FROM tot JOIN dst USING (source) ORDER BY source"""))
+
+  // ---- q243: Johnson-Lindenstrauss random projection -------------------
+  // Dimensionality reduction for the vector tier: project 64-d
+  // embeddings onto 16 md5-derived random directions (y_j = v·r_j /
+  // √16 — the JL scaling that makes E[‖ya−yb‖²] = ‖va−vb‖²), the
+  // cheap pre-step that cuts ANN shuffle bytes 4× before banding/IVF.
+  // The projection is a narrow per-row map — no shuffle, codegen'd
+  // dot products against plan literals. The census is the evaluation
+  // tier: every pair among vec_id < 40, original vs projected L2 and
+  // the distortion ratio, all 6dp-rounded — the md5-portable geometry
+  // (q46/q55's replay trick) lets the oracle rebuild the planes, the
+  // projections, and every distance bit-for-bit, so a drift anywhere
+  // in the projection math flips the row hash. DedupSpec-side: the JL
+  // guarantee itself (distortion concentrated near 1) is the
+  // spec-pinned property.
+
+  private[queries] val q243: GraftQuery = {
+    val planes = md5Vectors(16, 64, "jl")
+    // uniform[-1,1) components have variance 1/3, so the
+    // distance-preserving scale is √(3/k) = √3/4, not 1/√k; the
+    // oracle embeds the identical shortest-round-trip double literal
+    val scale = math.sqrt(3.0) / 4.0
+    GraftQuery(
+      "q243_jl_projection",
+      (s, d) => {
+        val vecs = emb(s, d).filter(col("vec_id") < 40)
+          .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        val proj = vecs.select(col("vec_id"), col("v"),
+          array(planes.map(p => dot(col("v"), typedLit(p)) * scale): _*)
+            .as("y"))
+        val a = proj.select(col("vec_id").as("a"), col("v").as("va"),
+          col("y").as("ya"))
+        val b = proj.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("y").as("yb"))
+        a.join(broadcast(b), col("a") < col("b"))
+          .where(l2Distance(col("va"), col("vb")) > 0)
+          .select(col("a"), col("b"),
+            round(l2Distance(col("va"), col("vb")), 6).as("orig_dist"),
+            round(l2Distance(col("ya"), col("yb")), 6).as("proj_dist"),
+            round(l2Distance(col("ya"), col("yb")) /
+              l2Distance(col("va"), col("vb")), 6).as("distortion"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH planes AS (
+          SELECT p.p AS p, list(
+              CAST(concat('0x', substring(md5('jl:'||p.p||':'||d.d), 1, 8)) AS BIGINT)
+                / 4294967296.0 * 2 - 1 ORDER BY d.d) AS pv
+          FROM generate_series(0, 15) p(p), generate_series(0, 63) d(d)
+          GROUP BY p.p),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 40),
+        proj AS (SELECT vec_id, first(v) AS v, list(dp ORDER BY p) AS y
+          FROM (SELECT t.vec_id, t.v, pl.p,
+              list_dot_product(t.v, pl.pv) * $scale AS dp
+            FROM vecs t CROSS JOIN planes pl)
+          GROUP BY vec_id),
+        pairs AS (SELECT pa.vec_id AS a, pb.vec_id AS b,
+            list_transform(generate_series(1, 64),
+              i -> pa.v[i] - pb.v[i]) AS da,
+            list_transform(generate_series(1, 16),
+              i -> pa.y[i] - pb.y[i]) AS dy
+          FROM proj pa JOIN proj pb ON pa.vec_id < pb.vec_id)
+        SELECT a, b,
+          round(sqrt(list_dot_product(da, da)), 6) AS orig_dist,
+          round(sqrt(list_dot_product(dy, dy)), 6) AS proj_dist,
+          round(sqrt(list_dot_product(dy, dy)) /
+            sqrt(list_dot_product(da, da)), 6) AS distortion
+        FROM pairs WHERE list_dot_product(da, da) > 0
+        ORDER BY a, b"""))
+  }
 }

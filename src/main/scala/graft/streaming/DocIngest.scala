@@ -399,6 +399,64 @@ object DocIngest {
       maxHamming = maxHamming, bands = bands,
       maxFilesPerTrigger = maxFilesPerTrigger)
 
+  /** Streaming benchmark-decontamination gate — the streaming twin of
+    * the q244 batch census, and the PERSISTED-index sibling of
+    * [[ingestDecontaminatedBloom]] (whose `stat.bloomFilter` sketch
+    * is session-built and engine-opaque; this gate's md5-position
+    * bitmap is stored once, survives sessions, and replays bit-exact
+    * in any engine — the build-once/probe-many convention of the five
+    * index families): each arriving micro-batch of docs is
+    * 8-gram shingled and probed against a PERSISTED bloom index
+    * ([[graft.operators.DatasetOps.writeBloomIndex]] — the benchmark
+    * set, built once); docs with any bloom hit are quarantined to
+    * `quarantineDir` WITH their hit count (the audit trail a
+    * decontamination policy needs — one-sided error means a hit is
+    * "possibly contaminated", and the quarantine file is what a human
+    * or an exact-tier recheck reviews), clean docs land in `outDir`.
+    * The bitmap is read ONCE per drain (a bounded driver pickup) and
+    * ships in every micro-batch's PLAN as one array literal — the
+    * probe is codegen'd bit arithmetic, no join, no broadcast, no
+    * state store. Unlike the dedup gates the index is NOT seeded when
+    * missing: decontaminating against a benchmark set that does not
+    * exist is a configuration error, and a silently-empty bitmap
+    * would pass everything — the gate refuses loudly instead.
+    * Delivery is the foreachBatch contract — at-least-once; a retry
+    * re-lands identical rows, collapsed keep-first by readers. */
+  def runBloomDecontamIngest(spark: SparkSession, rawDir: String,
+                             indexDir: String, outDir: String,
+                             quarantineDir: String, checkpointDir: String,
+                             shingleK: Int = 8,
+                             maxFilesPerTrigger: Int = 1): Unit = {
+    require(hadoopExists(spark, indexDir),
+      s"no bloom index at $indexDir — build it with writeBloomIndex " +
+        "first; an empty decontamination gate would pass everything")
+    val (bits, m, k) = graft.operators.DatasetOps.readBloomIndex(spark, indexDir)
+    val q = readDocStream(spark, rawDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val probed = batch
+          .withColumn("gs", graft.functions.TextFunctions.wordShingles(
+            graft.functions.TextFunctions.whitespaceTokens(col("text")),
+            shingleK))
+          .withColumn("bits", typedLit(bits.toSeq))
+          .withColumn("n_hits",
+            graft.operators.DatasetOps.bloomHitCount("gs", "bits", m, k))
+          .drop("gs", "bits")
+        probed.persist()
+        try {
+          probed.filter(col("n_hits") > 0)
+            .write.mode("append").json(quarantineDir)
+          probed.filter(col("n_hits") === 0).drop("n_hits")
+            .write.mode("append").json(outDir)
+        } finally probed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

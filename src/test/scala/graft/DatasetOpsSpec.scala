@@ -961,4 +961,49 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(split(100L) == plain && group(100L) == 100L)
     assert(rows.length == 200)
   }
+
+  test("bloomBitmap/bloomHitCount: no false negatives; FP rate bounded; empty array is zero") {
+    val members = (0 until 500).map(i => s"member:$i")
+    val bits = DatasetOps.bloomBitmap(members.toDF("g"), "g")
+    assert(bits.length == (1 << 18) / 64)
+    val setBits = bits.map(java.lang.Long.bitCount).sum
+    assert(setBits > 0 && setBits <= 1500, s"setBits=$setBits")
+    // probe: every member hits (one-sided error — the gate contract);
+    // non-members essentially never do at this fill ratio
+    val probe = Seq(
+      ("all_members", members.take(50)),
+      ("none", (0 until 2000).map(i => s"other:$i")),
+      ("mixed", Seq("member:3", "other:x", "member:7")),
+      ("empty", Seq.empty[String]))
+      .toDF("label", "gs")
+      .withColumn("bits", typedLit(bits.toSeq))
+      .withColumn("n_hits", DatasetOps.bloomHitCount("gs", "bits"))
+      .select($"label", $"n_hits").as[(String, Int)].collect().toMap
+    assert(probe("all_members") == 50, s"false negative: ${probe("all_members")}/50")
+    assert(probe("none") <= 1, s"FP count ${probe("none")}/2000 over the ~1e-6 design rate")
+    assert(probe("mixed") == 2)
+    assert(probe("empty") == 0)
+  }
+
+  test("writeBloomIndex/readBloomIndex: bit-exact round trip; param mismatch refused loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
+    try {
+      val bits = DatasetOps.bloomBitmap(
+        (0 until 300).map(i => s"g:$i").toDF("g"), "g")
+      DatasetOps.writeBloomIndex(spark, dir, bits)
+      val (back, m, k) = DatasetOps.readBloomIndex(spark, dir)
+      assert(m == (1 << 18) && k == 3)
+      assert(back.sameElements(bits), "round-tripped bitmap differs")
+      val e = intercept[IllegalArgumentException] {
+        DatasetOps.readBloomIndex(spark, dir, expectMBits = Some(1 << 16))
+      }
+      assert(e.getMessage.contains("m_bits"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        DatasetOps.writeBloomIndex(spark, dir, bits, mBits = 1 << 16)
+      }
+      assert(e2.getMessage.contains("words"), e2.getMessage)
+    } finally {
+      graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(dir))
+    }
+  }
 }

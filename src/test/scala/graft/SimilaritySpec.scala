@@ -787,4 +787,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(e.getMessage.contains("out-of-place"), e.getMessage.take(200))
     } finally deleteRec(new java.io.File(rel).getAbsolutePath)
   }
+
+  test("JL projection (q243 geometry): distortion concentrates near 1 under the √(3/k) scale") {
+    // uniform[-1,1) plane components have variance 1/3, so the
+    // distance-preserving scale is √(3/k), NOT the gaussian 1/√k —
+    // this pins the constant q243 ships (a 1/√k regression would read
+    // ~0.577 mean distortion and fail here)
+    import graft.functions.VectorFunctions.md5Vectors
+    val planes = md5Vectors(16, 64, "jl")
+    val vs = md5Vectors(40, 64, "jldata")
+    val scale = math.sqrt(3.0) / 4.0
+    def proj(v: Seq[Double]): Seq[Double] =
+      planes.map(p => p.lazyZip(v).map(_ * _).sum * scale)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum)
+    val ys = vs.map(proj)
+    val ds = for (i <- vs.indices; j <- vs.indices if i < j)
+      yield l2(ys(i), ys(j)) / l2(vs(i), vs(j))
+    val mean = ds.sum / ds.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
+    assert(ds.forall(d => d > 0.3 && d < 2.2), s"range ${ds.min}..${ds.max}")
+  }
 }

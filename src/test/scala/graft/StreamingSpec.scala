@@ -875,6 +875,56 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("persisted-bloom decontamination gate: hits quarantined with counts, clean docs land, missing index refused") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.DatasetOps
+    import graft.functions.TextFunctions.{whitespaceTokens, wordShingles}
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_bloomgate_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val quar = root.resolve("quar")
+    // the gate refuses to run against a missing index (an empty
+    // bitmap would silently pass everything)
+    val e = intercept[IllegalArgumentException] {
+      DocIngest.runBloomDecontamIngest(spark, raw.toString + "/*/",
+        idx.toString, out.toString, quar.toString, ckpt.toString)
+    }
+    assert(e.getMessage.contains("writeBloomIndex"), e.getMessage)
+    // benchmark: one doc whose 8-grams feed the persisted bitmap
+    val benchText = "one two three four five six seven eight nine ten"
+    val bench = Seq((999L, benchText)).toDF("doc_id", "text")
+    val bits = DatasetOps.bloomBitmap(
+      bench.select(explode(wordShingles(
+        whitespaceTokens(col("text")), 8)).as("g")), "g")
+    DatasetOps.writeBloomIndex(spark, idx.toString, bits)
+    // shard 1: clean doc + contaminated doc (embeds a bench 8-gram);
+    // shard 2: another clean + another contaminated
+    Seq((1L, "s0", "en", "totally clean document alpha beta gamma delta epsilon"),
+      (2L, "s0", "en", s"prefix $benchText suffix"))
+      .toDF("doc_id", "source", "lang", "text").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    Seq((3L, "s0", "en", "another clean one with its very own eight words here"),
+      (4L, "s0", "en", "two three four five six seven eight nine"))
+      .toDF("doc_id", "source", "lang", "text").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runBloomDecontamIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString)
+    val landed = spark.read.json(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 3L), s"got $landed")
+    val quarantined = spark.read.json(quar.toString)
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    assert(quarantined.keySet == Set(2L, 4L), s"got $quarantined")
+    // doc 2 embeds 3 bench 8-grams (prefix/suffix shift the window);
+    // doc 4 is itself exactly one bench 8-gram
+    assert(quarantined(2L) == 3L, s"doc2 hits ${quarantined(2L)}")
+    assert(quarantined(4L) == 1L, s"doc4 hits ${quarantined(4L)}")
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")

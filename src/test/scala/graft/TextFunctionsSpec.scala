@@ -79,6 +79,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(st("<p>x &lt;y&gt;</p>") == "x <y>")
   }
 
+  test("fixMojibake: real CP1252 mojibake phrases repaired; clean text untouched") {
+    def fm(t: String): String = one[String](fixMojibake($"text"), t)
+    // the classic UTF-8-read-as-CP1252 accidents
+    assert(fm("Ã©tÃ©") == "été")
+    assert(fm("donâ€™t â€œquoteâ€¦ naÃ¯ve") == "don’t “quote… naïve")
+    assert(fm("â‚¬ 5 â€“ cafÃ©") == "€ 5 – café")
+    // clean text — including already-correct accents — passes through
+    assert(fm("plain ascii stays") == "plain ascii stays")
+    assert(fm("déjà vu — fine") == "déjà vu — fine")
+    // the map is injective both ways (the JDK REPLACE action maps the
+    // five undefined CP1252 bytes to U+FFFD, which would alias five
+    // targets to one spelling if not excluded)
+    assert(mojibakePairs.map(_._1).distinct.size == mojibakePairs.size)
+    assert(mojibakePairs.map(_._2).distinct.size == mojibakePairs.size)
+    assert(mojibakePairs.size > 90, s"expected ~100 pairs, got ${mojibakePairs.size}")
+  }
+
+  test("redactPii/luhnValid16: real PII phrases redacted; Luhn separates valid from shaped") {
+    def rp(t: String): String = one[String](redactPii($"text"), t)
+    assert(rp("mail me at jo.doe+x@mail.example.org today") ==
+      "mail me at <EMAIL> today")
+    assert(rp("call +1-555-867-5309 or ping 192.168.1.254 now") ==
+      "call <PHONE> or ping <IP> now")
+    assert(rp("card 4532015112830366 on file") == "card <CARD> on file")
+    // ordering: the email rule consumes its digits before the card rule
+    assert(rp("a1234567890123456b@x.io") == "<EMAIL>")
+    assert(rp("nothing sensitive here") == "nothing sensitive here")
+    // Luhn: 4532015112830366 is valid; flip the last digit and it isn't
+    def lv(c: String): Boolean = one[Boolean](luhnValid16($"text"), c)
+    assert(lv("4532015112830366"))
+    assert(!lv("4532015112830367"))
+    assert(lv("0000000000000000"))
+  }
+
   test("scriptCounts: real Cyrillic/Greek/Arabic/Devanagari/CJK/FFFD code points counted per class") {
     // the synthetic corpus is all-Latin, so q239's oracle gates the
     // machinery on zeros; this is the non-zero evidence on real
