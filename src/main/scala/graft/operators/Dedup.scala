@@ -750,31 +750,83 @@ object Dedup {
     * defeats). Default geometry: 16-char window, 1/64 cut probability
     * → ~64-char expected chunks.
     *
-    * Boundary hash is the first 8 md5 hex chars of each window (the
-    * shared replay family): one expression per position — O(len·
-    * window) per doc, a deliberate oracle-tier cost; the codegen'd
-    * pipeline stays one narrow projection, no shuffle. Texts shorter
+    * Boundary hash is a TRUE rolling polynomial hash — `h_i =
+    * (h_{i-1}·B + c_i − c_{i−w}·B^w) mod M` over the char codes, one
+    * incremental fold across the text (O(len) integer ops per doc;
+    * the first cut of this operator hashed md5 over every window —
+    * O(len) md5 CALLS per doc — and was the whole bench's slowest row
+    * at 16.5 s for sf0.1). The oracle replays each window's
+    * polynomial sum directly (`Σ c_j·B^{w−1−j} mod M` — same residue
+    * as the incremental form by construction), so boundaries still
+    * gate bit-exactly. Char codes come from per-char `ascii()` —
+    * byte-exact cross-engine for ASCII corpora (the [[Bpe]] contract;
+    * non-ASCII text still chunks deterministically, only the oracle's
+    * code-point view could differ). Texts shorter
     * than `window` form one chunk; empty/null texts yield an empty
     * array (null-degrade). Chunks concatenate back to the text by
-    * construction (boundaries partition [0, len)). */
+    * construction (boundaries partition [0, len)).
+    *
+    * SCALE CONTRACT (the [[graft.functions.TextFunctions.tokenChunks]]
+    * discipline): `codes` and `ends` MUST be projected attributes at
+    * their consumption sites — Catalyst neither CSEs inside lambdas
+    * nor across references, so an inlined `codes` subtree would be
+    * re-evaluated once PER FOLD STEP (O(len²) per doc — measured as a
+    * multi-minute hang at sf0.1 before this split). [[cdcChunks]] is
+    * the one-Column convenience composition for specs/small frames;
+    * corpus-scale callers stage three projections:
+    * {{{
+    *   .withColumn("codes", Dedup.cdcCodes(col("text")))
+    *   .withColumn("ends", Dedup.cdcBoundaries(col("codes"), length(col("text"))))
+    *   .select(explode(Dedup.cdcChunksAt(col("text"), col("ends"))))
+    * }}} */
   def cdcChunks(text: Column, window: Int = 16,
-                avgMask: Int = 63): Column = {
+                avgMask: Int = 63): Column =
+    cdcChunksAt(text, cdcBoundaries(cdcCodes(text), length(text),
+      window, avgMask))
+
+  /** Per-char code array for [[cdcBoundaries]] — project it. */
+  def cdcCodes(text: Column): Column =
+    transform(split(text, ""), c => ascii(c).cast(LongType))
+
+  /** Cut positions (chunk END offsets, ascending, final `len`
+    * included) from a PROJECTED code array: one O(len) incremental
+    * fold per doc maintaining (rolling hash, hits). */
+  def cdcBoundaries(codes: Column, len: Column, window: Int = 16,
+                    avgMask: Int = 63): Column = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(avgMask >= 1, s"avgMask must be >= 1, got $avgMask")
-    val len = length(text)
-    // candidate cut positions: every i in [window, len] whose trailing
-    // window hashes to the zero class (sequence() must never run
-    // descending — the greatest() keeps it ascending, the i <= len
-    // test voids the len < window case)
-    val hits = filter(sequence(lit(window), greatest(len, lit(window))),
-      i => i <= len &&
-        (conv(substring(md5(text.substr(i - (window - 1), lit(window))),
-          1, 8), 16, 10).cast(LongType) % (avgMask + 1)) === 0)
-    val ends = array_distinct(concat(hits,
+    val M = 1000000007L
+    val B = 131L
+    val bw = BigInt(B).modPow(window, BigInt(M)).toLong
+    // h_i covers the window ending at i once i ≥ window; cuts are the
+    // zero residue class mod avgMask+1 — appends stay ascending, so
+    // the result needs no sort
+    val hits = when(len >= window,
+      aggregate(
+        sequence(lit(1), len),
+        struct(lit(0L).as("h"),
+          array().cast("array<int>").as("hits")),
+        (acc, i) => {
+          val cIn = element_at(codes, i)
+          val cOut = when(i > window, element_at(codes, i - window))
+            .otherwise(lit(0L))
+          val h2 = pmod(acc.getField("h") * B + cIn - cOut * bw, lit(M))
+          struct(h2.as("h"),
+            when(i >= window && h2 % (avgMask + 1) === 0,
+              concat(acc.getField("hits"), array(i)))
+              .otherwise(acc.getField("hits")).as("hits"))
+        },
+        acc => acc.getField("hits")))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(concat(hits,
       when(len > 0, array(len)).otherwise(array().cast("array<int>"))))
-    // starts = 0 :: ends-without-last; slicing the 0-prefixed bounds
-    // to ends' size pairs them off (both empty for an empty text —
-    // zip_with then yields the empty array, no special case)
+  }
+
+  /** Chunks from a PROJECTED `ends` array: starts = 0 :: ends-without-
+    * last; slicing the 0-prefixed bounds to ends' size pairs them off
+    * (both empty for an empty text — zip_with then yields the empty
+    * array, no special case). */
+  def cdcChunksAt(text: Column, ends: Column): Column = {
     val starts = slice(concat(array(lit(0)), ends), lit(1), size(ends))
     zip_with(starts, ends, (st, en) => text.substr(st + 1, en - st))
   }

@@ -1121,8 +1121,17 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
   private[queries] val q240: GraftQuery = GraftQuery(
     "q240_cdc_chunk_census",
     (s, d) => {
-      val ch = docs(s, d).select(col("source"),
-        explode(Dedup.cdcChunks(col("text"))).as("chunk"))
+      // three staged projections (codes and ends land as attributes)
+      // — inlining either into the next lambda re-evaluates it per
+      // element (no CSE inside lambdas): O(len²) per doc, measured as
+      // a multi-minute hang at sf0.1
+      val ch = docs(s, d)
+        .select(col("source"), col("text"),
+          Dedup.cdcCodes(col("text")).as("codes"))
+        .select(col("source"), col("text"),
+          Dedup.cdcBoundaries(col("codes"), length(col("text"))).as("ends"))
+        .select(col("source"),
+          explode(Dedup.cdcChunksAt(col("text"), col("ends"))).as("chunk"))
       val tot = ch.groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(length(col("chunk"))).cast(LongType).as("total_chars"))
@@ -1137,17 +1146,26 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
           col("total_chars"), col("distinct_chars"), col("dup_chars_ppm"))
         .orderBy(col("source"))
     },
-    Some("""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+    Some({
+      // B^(16-j) mod M for j = 1..16 — the per-slot powers whose
+      // window sum equals the engine's incremental rolling hash
+      val powers = (1 to 16).map(j =>
+        BigInt(131L).modPow(16 - j, BigInt(1000000007L))).mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source, text, length(text) AS n
         FROM documents),
+      cd AS (SELECT doc_id, source, text, n,
+          list_transform(generate_series(1, n), i ->
+            CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+        FROM d WHERE n > 0),
       ends AS (SELECT doc_id, source, text, n,
           list_sort(list_distinct(list_append(
             list_filter(generate_series(16, greatest(n, 16)),
               i -> i <= n AND
-                CAST(concat('0x',
-                  substr(md5(substr(text, i - 15, 16)), 1, 8)) AS BIGINT)
-                  % 64 = 0),
+                list_sum(list_transform(generate_series(1, 16),
+                  j -> codes[i - 16 + j] * ([$powers])[j]))
+                  % 1000000007 % 64 = 0),
             n))) AS e
-        FROM d WHERE n > 0),
+        FROM cd),
       ch AS (SELECT source,
           unnest(list_transform(generate_series(1, len(e)),
             j -> substr(text,
@@ -1164,7 +1182,8 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
         distinct_chars,
         CAST(((total_chars - distinct_chars) * 1000000)
           // greatest(total_chars, 1) AS BIGINT) AS dup_chars_ppm
-      FROM tot JOIN dst USING (source) ORDER BY source"""))
+      FROM tot JOIN dst USING (source) ORDER BY source"""
+    }))
 
   // ---- q243: Johnson-Lindenstrauss random projection -------------------
   // Dimensionality reduction for the vector tier: project 64-d
