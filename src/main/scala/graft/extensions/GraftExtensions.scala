@@ -58,6 +58,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "jaccard_sim expects exactly 2 arguments")
         JaccardSimilarity(children.head, children(1))
       }))
+    // text-cleaner doors: the SQL persona's route to the repair tier.
+    // Both expand AT RESOLUTION into the same expression chains the
+    // Column API builds (no new eval code, no UDF — the trees are
+    // built from stock codegen'd StringReplace/RegExpReplace nodes),
+    // so `SELECT fix_mojibake(text)` and
+    // `TextFunctions.fixMojibake(col)` are one implementation.
+    ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.StringReplace].getName,
+        "fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "fix_mojibake expects exactly 1 argument")
+        graft.functions.TextFunctions.mojibakePairs.foldLeft(children.head) {
+          case (e, (m, t)) =>
+            org.apache.spark.sql.catalyst.expressions.StringReplace(e,
+              org.apache.spark.sql.catalyst.expressions.Literal(m),
+              org.apache.spark.sql.catalyst.expressions.Literal(t))
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "redact_pii"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "redact_pii expects exactly 1 argument")
+        graft.functions.TextFunctions.piiPatterns.foldLeft(children.head) {
+          case (e, (_, pat, repl)) =>
+            org.apache.spark.sql.catalyst.expressions.RegExpReplace(e,
+              org.apache.spark.sql.catalyst.expressions.Literal(pat),
+              org.apache.spark.sql.catalyst.expressions.Literal(repl))
+        }
+      }))
     // whole-operator tier: the top-k-per-group plan node (ladder (c) —
     // logical node + strategy + physical heaps; see graft.plans) …
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

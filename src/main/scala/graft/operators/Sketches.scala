@@ -78,4 +78,63 @@ object Sketches {
       .groupBy(col("term"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ---- KMV distinct-count sketch --------------------------------------
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002) — the CARDINALITY member of the sketch family beside
+    * count-min's frequencies: per group, the k smallest md5-uint32
+    * draws over the distinct items. Where HLL (`approx_count_distinct`)
+    * is engine-opaque, KMV is md5-REPLAYABLE — any engine rebuilds
+    * the identical k-set, kth-minimum and estimate bit-for-bit, which
+    * is what lets the oracle gate it exactly.
+    *
+    * Output: (groupCols…, kth_min, n_mins) — the sketch rows. With
+    * fewer than k distinct items the group's sketch IS its exact
+    * distinct set (n_mins < k), and [[kmvEstimate]] reports n_mins
+    * exactly; otherwise estimate = `(k−1)·2³² div kth_min` (the
+    * normalized-spacing estimator, integer division — no float
+    * drift).
+    *
+    * Scale shape: hash + distinct collapses to (group, hash) — one
+    * map-side-combined exchange — then the k smallest ride the
+    * bounded-heap [[graft.plans.TopKPerGroup]] node (partial heaps
+    * per task, ONE exchange on the group key, never a per-group
+    * sort/window). State is groups×k everywhere. Merging shards =
+    * union the per-shard sketch minima and re-run the same top-k —
+    * min-k is associative/commutative/idempotent, the KMV merge law
+    * ([[kmvMergeMins]]; spec-pinned). */
+  def kmvMins(df: DataFrame, groupCols: Seq[String], itemCol: String,
+              k: Int = 256, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df.filter(col(itemCol).isNotNull)
+      .select(groupCols.map(col) :+
+        conv(substring(md5(concat(lit(salt + ":"),
+          col(itemCol).cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType).as("_h"): _*)
+      .distinct()
+    graft.plans.TopKPerGroup(hashed, groupCols, Seq(("_h", true)), k)
+  }
+
+  /** Union-merge of per-shard KMV min-sets carried as `_h` rows:
+    * distinct-then-re-top-k (a re-hashed duplicate row from shard
+    * overlap must not occupy two of the k slots). */
+  def kmvMergeMins(shards: Seq[DataFrame], groupCols: Seq[String],
+                   k: Int = 256): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard sketch")
+    val all = shards.reduce(_ unionByName _).distinct()
+    graft.plans.TopKPerGroup(all, groupCols, Seq(("_h", true)), k)
+  }
+
+  /** Collapse a [[kmvMins]] frame to per-group estimates:
+    * (groupCols…, n_distinct_est). Exact below k; the integer
+    * spacing estimator at and above it. */
+  def kmvEstimate(mins: DataFrame, groupCols: Seq[String],
+                  k: Int = 256): DataFrame =
+    mins.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), max(col("_h")).as("_kth"))
+      .withColumn("n_distinct_est",
+        when(col("_n") < k, col("_n"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div _kth")))
+      .drop("_n", "_kth")
 }

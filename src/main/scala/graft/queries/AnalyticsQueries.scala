@@ -1872,10 +1872,71 @@ object AnalyticsQueries {
     },
     Some(pqProbeOracleSql))
 
+  // ---- q248: KMV distinct-count sketch --------------------------------
+  // The cardinality member of the sketch family: per-source distinct-
+  // token estimates from the k=64 smallest md5-uint32 draws, beside
+  // the exact distinct count and the error in ppm. Where HLL is
+  // engine-opaque, KMV replays exactly: the oracle rebuilds the
+  // hashed distinct set, ranks it per source, takes the same k
+  // minima, the same kth value and the same integer spacing
+  // estimator — a drift in the hash, the heap, the <k exact path or
+  // the divisor flips the row hash. The minima ride the bounded-heap
+  // TopKPerGroup node (no per-group sort/window); state is
+  // sources×64 everywhere.
+
+  private val kmvK = 64
+
+  private val q248 = GraftQuery(
+    "q248_kmv_distinct",
+    (s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(whitespaceTokens(col("text"))).as("tok"))
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvMins(toks, Seq("source"), "tok", kmvK),
+        Seq("source"), kmvK)
+      val exact = toks.select(col("source"), col("tok")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_distinct_est"),
+          expr("abs(n_distinct_est - n_exact) * 1000000L div n_exact")
+            .as("err_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'),
+            x -> length(x) > 0)) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT DISTINCT source,
+          CAST(concat('0x', substring(md5('kmv:' || tok), 1, 8))
+            AS BIGINT) AS h
+        FROM toks),
+      ranked AS (
+        SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed),
+      sk AS (
+        SELECT source, count(*) AS n, max(h) AS kth
+        FROM ranked WHERE rn <= $kmvK GROUP BY source),
+      ex AS (
+        SELECT source, count(DISTINCT tok) AS n_exact FROM toks
+        GROUP BY source)
+      SELECT s.source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+        CAST(CASE WHEN s.n < $kmvK THEN s.n
+          ELSE (${kmvK - 1} * 4294967296) // s.kth END AS BIGINT)
+          AS n_distinct_est,
+        CAST(abs(CASE WHEN s.n < $kmvK THEN s.n
+            ELSE (${kmvK - 1} * 4294967296) // s.kth END - ex.n_exact)
+          * 1000000 // ex.n_exact AS BIGINT) AS err_ppm
+      FROM sk s JOIN ex ON s.source = ex.source
+      ORDER BY s.source"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
-      q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235)
+      q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235,
+      q248)
 }
 

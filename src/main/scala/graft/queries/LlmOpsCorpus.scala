@@ -1058,6 +1058,32 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
 
   private def sqlQuote(c: String): String = c.replace("'", "''")
 
+  /** The q241/q246 planted-damage frame: per doc a deterministic
+    * 8-char accented string (md5-indexed into the repairable
+    * alphabet), clean and CP1252-corrupted spellings side by side —
+    * space-joined because adjacent mojibake sequences can interfere
+    * under a greedy replace chain (repairing one char can expose a
+    * substring an earlier pair matches); the separator mirrors real
+    * text, where mojibake sits inside otherwise-intact words. */
+  private def mojibakePlant(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.functions.TextFunctions.mojibakePairs
+    val alph = pairs.map(_._2)
+    val alphLit = typedLit(alph)
+    val mojiByFixed = typedLit(pairs.map { case (m, t) => t -> m }.toMap)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        transform(sequence(lit(0), lit(7)), i =>
+          element_at(alphLit,
+            (conv(substring(md5(concat(lit("moji:"),
+              col("doc_id").cast(StringType), lit(":"),
+              i.cast(StringType))), 1, 8), 16, 10)
+              .cast(LongType) % alph.size).cast(IntegerType) + 1)).as("ca"))
+      .select(col("doc_id"), col("source"),
+        array_join(col("ca"), " ").as("clean"),
+        array_join(transform(col("ca"),
+          c => element_at(mojiByFixed, c)), " ").as("corrupted"))
+  }
+
   private[queries] val q241: GraftQuery = {
     val pairs = graft.functions.TextFunctions.mojibakePairs
     val alph = pairs.map(_._2)
@@ -1071,25 +1097,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     GraftQuery(
       "q241_mojibake_repair",
       (s, d) => {
-        val alphLit = typedLit(alph)
-        val mojiByFixed = typedLit(pairs.map { case (m, t) => t -> m }.toMap)
-        docs(s, d)
-          .select(col("doc_id"), col("source"),
-            transform(sequence(lit(0), lit(7)), i =>
-              element_at(alphLit,
-                (conv(substring(md5(concat(lit("moji:"),
-                  col("doc_id").cast(StringType), lit(":"),
-                  i.cast(StringType))), 1, 8), 16, 10)
-                  .cast(LongType) % n).cast(IntegerType) + 1)).as("ca"))
-          // space-joined: adjacent mojibake sequences can interfere
-          // under a greedy replace chain (repairing one char can
-          // expose a substring an earlier pair matches), so the plant
-          // keeps a separator between chars — the real-text shape,
-          // where mojibake sits inside otherwise-intact words
-          .select(col("doc_id"), col("source"),
-            array_join(col("ca"), " ").as("clean"),
-            array_join(transform(col("ca"),
-              c => element_at(mojiByFixed, c)), " ").as("corrupted"))
+        mojibakePlant(s, d)
           .withColumn("repaired", fixMojibake(col("corrupted")))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -1275,56 +1283,37 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   // the full redaction chain, so a drift in any pattern, the chain
   // order, or the Luhn arithmetic flips the row hash.
 
-  private[queries] val q245: GraftQuery = {
-    val pats = graft.functions.TextFunctions.piiPatterns.map {
-      case (n, p, r) => n -> ((p, r))
-    }.toMap
-    val (emailPat, phonePat, cardPat, ipPat) =
-      (pats("email")._1, pats("phone")._1, pats("card")._1, pats("ipv4")._1)
-    GraftQuery(
-      "q245_pii_redaction",
-      (s, d) => {
-        val h = md5(concat(lit("pii:"), col("doc_id").cast(StringType)))
-        val withPlant = docs(s, d)
-          .select(col("doc_id"), col("source"), col("text"), h.as("h"))
-          .withColumn("ds", transform(sequence(lit(1), lit(26)), i =>
-            (conv(col("h").substr(i, lit(1)), 16, 10)
-              .cast(LongType) % 10).cast(StringType)))
-        withPlant
-          .withColumn("txt", concat_ws(" ", col("text"),
-            concat(lit("user"), col("doc_id").cast(StringType), lit("@ex"),
-              (col("doc_id") % 7).cast(StringType), lit(".com")),
-            concat(lit("+1-"), array_join(slice(col("ds"), 17, 3), ""),
-              lit("-"), array_join(slice(col("ds"), 20, 3), ""),
-              lit("-"), array_join(slice(col("ds"), 23, 4), "")),
-            concat(lit("10."),
-              (conv(substring(col("h"), 27, 2), 16, 10).cast(LongType) % 256)
-                .cast(StringType), lit("."),
-              (conv(substring(col("h"), 29, 2), 16, 10).cast(LongType) % 256)
-                .cast(StringType), lit("."),
-              (conv(substring(col("h"), 31, 2), 16, 10).cast(LongType) % 256)
-                .cast(StringType)),
-            array_join(slice(col("ds"), 1, 16), "")))
-          .select(col("source"), col("txt"),
-            piiMatches(col("txt"), emailPat).as("em"),
-            piiMatches(col("txt"), phonePat).as("ph"),
-            piiMatches(col("txt"), cardPat).as("cd"),
-            piiMatches(col("txt"), ipPat).as("ip"),
-            redactPii(col("txt")).as("red"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(col("em"))).cast(LongType).as("n_emails"),
-            sum(size(col("ph"))).cast(LongType).as("n_phones"),
-            sum(size(col("cd"))).cast(LongType).as("n_cards"),
-            sum(size(filter(col("cd"), c =>
-              graft.functions.TextFunctions.luhnValid16(c))))
-              .cast(LongType).as("n_luhn_valid"),
-            sum(size(col("ip"))).cast(LongType).as("n_ips"),
-            sum(length(col("txt"))).cast(LongType).as("raw_chars"),
-            sum(length(col("red"))).cast(LongType).as("redacted_chars"))
-          .orderBy(col("source"))
-      },
-      Some(s"""WITH p AS (
+  /** The q245/q247 planted-PII frame: each doc's text extended with a
+    * deterministic contact blob — doc_id email, md5-digit phone,
+    * md5-octet IP, md5-digit 16-char card — so the pattern counts,
+    * Luhn verdicts and redaction all have non-trivial mass to gate. */
+  private def piiPlant(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(lit("pii:"), col("doc_id").cast(StringType)))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("text"), h.as("h"))
+      .withColumn("ds", transform(sequence(lit(1), lit(26)), i =>
+        (conv(col("h").substr(i, lit(1)), 16, 10)
+          .cast(LongType) % 10).cast(StringType)))
+      .withColumn("txt", concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id").cast(StringType), lit("@ex"),
+          (col("doc_id") % 7).cast(StringType), lit(".com")),
+        concat(lit("+1-"), array_join(slice(col("ds"), 17, 3), ""),
+          lit("-"), array_join(slice(col("ds"), 20, 3), ""),
+          lit("-"), array_join(slice(col("ds"), 23, 4), "")),
+        concat(lit("10."),
+          (conv(substring(col("h"), 27, 2), 16, 10).cast(LongType) % 256)
+            .cast(StringType), lit("."),
+          (conv(substring(col("h"), 29, 2), 16, 10).cast(LongType) % 256)
+            .cast(StringType), lit("."),
+          (conv(substring(col("h"), 31, 2), 16, 10).cast(LongType) % 256)
+            .cast(StringType)),
+        array_join(slice(col("ds"), 1, 16), "")))
+      .select(col("doc_id"), col("source"), col("txt"))
+  }
+
+  /** DuckDB replay of [[piiPlant]] — the `p`/`built` CTE pair ending
+    * in `built(source, txt)`, shared by the q245 and q247 oracles. */
+  private val piiPlantOracleSql: String = """p AS (
           SELECT doc_id, source, text,
             md5('pii:' || CAST(doc_id AS VARCHAR)) AS h,
             list_transform(generate_series(1, 26), i ->
@@ -1347,7 +1336,36 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
               CAST(CAST(concat('0x', substr(h, 31, 2)) AS BIGINT)
                 % 256 AS VARCHAR) || ' ' ||
             array_to_string(list_slice(ds, 1, 16), '') AS txt
-          FROM p)
+          FROM p)"""
+
+  private[queries] val q245: GraftQuery = {
+    val pats = graft.functions.TextFunctions.piiPatterns.map {
+      case (n, p, r) => n -> ((p, r))
+    }.toMap
+    val (emailPat, phonePat, cardPat, ipPat) =
+      (pats("email")._1, pats("phone")._1, pats("card")._1, pats("ipv4")._1)
+    GraftQuery(
+      "q245_pii_redaction",
+      (s, d) => piiPlant(s, d)
+          .select(col("source"), col("txt"),
+            piiMatches(col("txt"), emailPat).as("em"),
+            piiMatches(col("txt"), phonePat).as("ph"),
+            piiMatches(col("txt"), cardPat).as("cd"),
+            piiMatches(col("txt"), ipPat).as("ip"),
+            redactPii(col("txt")).as("red"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("em"))).cast(LongType).as("n_emails"),
+            sum(size(col("ph"))).cast(LongType).as("n_phones"),
+            sum(size(col("cd"))).cast(LongType).as("n_cards"),
+            sum(size(filter(col("cd"), c =>
+              graft.functions.TextFunctions.luhnValid16(c))))
+              .cast(LongType).as("n_luhn_valid"),
+            sum(size(col("ip"))).cast(LongType).as("n_ips"),
+            sum(length(col("txt"))).cast(LongType).as("raw_chars"),
+            sum(length(col("red"))).cast(LongType).as("redacted_chars"))
+          .orderBy(col("source")),
+      Some(s"""WITH $piiPlantOracleSql
         SELECT source, count(*) AS n_docs,
           CAST(sum(len(regexp_extract_all(txt, '$emailPat')))
             AS BIGINT) AS n_emails,
@@ -1371,6 +1389,54 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             '$phonePat', '<PHONE>', 'g'),
             '$cardPat', '<CARD>', 'g'),
             '$ipPat', '<IP>', 'g'))) AS BIGINT) AS redacted_chars
+        FROM built GROUP BY source ORDER BY source"""))
+  }
+
+  // ---- q246/q247: the text-cleaner SQL doors ---------------------------
+  // The parser-door probes for the repair tier (the q93/q111/q161
+  // convention — every operator the SQL persona can reach gets an
+  // oracled query THROUGH the SQL surface): `fix_mojibake` and
+  // `redact_pii` expand at resolution into the same
+  // StringReplace/RegExpReplace chains the Column API builds, so the
+  // door queries replay the q241/q245 plants verbatim through pure
+  // SQL text. q246's oracle IS q241's; q247's reuses the shared
+  // plant-replay CTE with the redaction chain alone.
+
+  private[queries] val q246: GraftQuery = GraftQuery(
+    "q246_sql_mojibake_door",
+    (s, d) => {
+      mojibakePlant(s, d).createOrReplaceTempView("moji_plant")
+      s.sql("""SELECT source, count(*) AS n_docs,
+          CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+          CAST(sum(length(corrupted)) AS BIGINT) AS moji_chars,
+          CAST(sum(CASE WHEN fix_mojibake(corrupted) = clean
+            THEN 1 ELSE 0 END) AS BIGINT) AS round_trip_ok
+        FROM moji_plant GROUP BY source ORDER BY source""")
+    },
+    q241.oracle)
+
+  private[queries] val q247: GraftQuery = {
+    val chain = graft.functions.TextFunctions.piiPatterns
+      .foldLeft("txt") { case (e, (_, p, r)) =>
+        s"regexp_replace($e, '$p', '$r', 'g')"
+      }
+    GraftQuery(
+      "q247_sql_redact_door",
+      (s, d) => {
+        piiPlant(s, d).createOrReplaceTempView("pii_plant")
+        s.sql("""SELECT source, count(*) AS n_docs,
+            CAST(sum(length(txt)) AS BIGINT) AS raw_chars,
+            CAST(sum(length(redact_pii(txt))) AS BIGINT) AS redacted_chars,
+            CAST(sum(CASE WHEN redact_pii(txt) <> txt THEN 1 ELSE 0 END)
+              AS BIGINT) AS changed_docs
+          FROM pii_plant GROUP BY source ORDER BY source""")
+      },
+      Some(s"""WITH $piiPlantOracleSql
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(length(txt)) AS BIGINT) AS raw_chars,
+          CAST(sum(length($chain)) AS BIGINT) AS redacted_chars,
+          CAST(sum(CASE WHEN $chain <> txt THEN 1 ELSE 0 END)
+            AS BIGINT) AS changed_docs
         FROM built GROUP BY source ORDER BY source"""))
   }
 }

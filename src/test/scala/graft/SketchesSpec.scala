@@ -73,4 +73,34 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(est.forall(_ === 0L))
   }
+
+  test("KMV: exact below k; estimator within 30% at 50x k; shard merge equals whole-corpus sketch") {
+    val k = 32
+    // small group: 10 distinct items -> the sketch IS the set, exact
+    val small = (0 until 10).map(i => ("g1", s"item$i")).toDF("g", "item")
+    val estSmall = Sketches.kmvEstimate(
+      Sketches.kmvMins(small, Seq("g"), "item", k), Seq("g"), k)
+      .as[(String, Long)].collect().toMap
+    assert(estSmall("g1") == 10L)
+    // big group: 1600 distinct items, duplicated rows (distinct-ness
+    // is the sketch's job); estimator concentrates near truth
+    val big = ((0 until 1600) ++ (0 until 400)).map(i => ("g2", s"val:$i"))
+      .toDF("g", "item")
+    val estBig = Sketches.kmvEstimate(
+      Sketches.kmvMins(big, Seq("g"), "item", k), Seq("g"), k)
+      .as[(String, Long)].collect().toMap
+    assert(estBig("g2") > 1100 && estBig("g2") < 2100,
+      s"estimate ${estBig("g2")} for 1600 truth")
+    // merge law: per-shard min-sets union-merged == whole-corpus
+    // sketch, row for row (min-k is associative/commutative)
+    val shardA = big.filter(col("item") < "val:5")
+    val shardB = big.filter(col("item") >= "val:2") // overlapping
+    val merged = Sketches.kmvMergeMins(
+      Seq(Sketches.kmvMins(shardA, Seq("g"), "item", k),
+        Sketches.kmvMins(shardB, Seq("g"), "item", k)), Seq("g"), k)
+      .as[(String, Long)].collect().toSet
+    val whole = Sketches.kmvMins(big, Seq("g"), "item", k)
+      .as[(String, Long)].collect().toSet
+    assert(merged == whole, s"merge law broken: ${merged.size}/${whole.size}")
+  }
 }

@@ -113,6 +113,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(lv("0000000000000000"))
   }
 
+  test("fix_mojibake / redact_pii SQL doors: equal the Column API on real phrases") {
+    val phrases = Seq(
+      "donâ€™t â€œquoteâ€¦ naÃ¯ve Ã©tÃ©",
+      "mail jo@x.io, card 4532015112830366, ip 10.1.2.3, +1-555-867-5309",
+      "plain text stays put")
+    val df = phrases.toDF("text")
+    val viaSql = df.selectExpr("fix_mojibake(text) AS f", "redact_pii(text) AS r")
+      .as[(String, String)].collect()
+    val viaCol = df.select(fixMojibake($"text"), redactPii($"text"))
+      .as[(String, String)].collect()
+    assert(viaSql.sameElements(viaCol))
+    assert(intercept[Exception] {
+      spark.sql("SELECT fix_mojibake('a', 'b')")
+    }.getMessage.contains("1 argument"))
+  }
+
   test("scriptCounts: real Cyrillic/Greek/Arabic/Devanagari/CJK/FFFD code points counted per class") {
     // the synthetic corpus is all-Latin, so q239's oracle gates the
     // machinery on zeros; this is the non-zero evidence on real
