@@ -748,6 +748,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .probeIvfIndex(spark, dir, queries, k, nProbe)
           .queryExecution.analyzed
       }))
+    // Asymmetric probe of a PERSISTED SQ (int8 scalar-quantization)
+    // index from SQL — completing the stored-vector-index door set
+    // (pq_search ranks by ADC over sub-quantizer codes; sq_search
+    // ranks by exact l2 to the int8 reconstruction):
+    //   sq_search(index_dir, queries_table, k)
+    // `index_dir` is a Similarity.Sq.writeSqIndex layout — codes at
+    // dir/codes plus the per-dim (min, max) SIDECAR at dir/minmax,
+    // which the probe recovers from disk (never guesses: decoding
+    // with wrong ranges silently mis-ranks, so a missing sidecar
+    // refuses loudly). Emits (qid, rank, cid, est_micro).
+    ext.injectTableFunction((
+      new FunctionIdentifier("sq_search"),
+      new ExpressionInfo("graft.operators.Similarity", "sq_search"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: sq_search(index_dir, queries_table, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strLit(children(0), "index_dir")
+        val queries = spark.table(strLit(children(1), "queries_table"))
+        val missingQ = Seq("qid", "qvec").filterNot(queries.columns.contains)
+        require(missingQ.isEmpty,
+          s"sq_search: queries_table lacks ${missingQ.mkString(", ")}" +
+            " — expected (qid, qvec: array<double>)")
+        val k = intLit(children(2), "k")
+        require(k >= 1, s"sq_search: k must be >= 1, got $k")
+        val codes = try spark.read.parquet(s"$dir/codes")
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"sq_search: cannot read $dir/codes — expected a " +
+              s"Similarity.Sq.writeSqIndex layout (codes + minmax)", e) }
+        val missingC = Seq("cid", "codes").filterNot(codes.columns.contains)
+        require(missingC.isEmpty,
+          s"sq_search: $dir/codes lacks ${missingC.mkString(", ")}" +
+            " — expected Similarity.Sq.writeSqIndex's code layout")
+        graft.operators.Similarity.Sq
+          .probeSqIndex(spark, dir, queries, k)
+          .queryExecution.analyzed
+      }))
     // Perceptual image near-dup mining from SQL — the multimodal twin
     // of cosine_near_dup (r10: the SQL persona reached every text and
     // vector dedup tier but none of the perceptual ones):

@@ -460,7 +460,7 @@ object Similarity {
         (lit(s * ksub) + col(s"c$s") + 1).cast(IntegerType))
     }.reduceLeft(_ + _)
 
-    private def rankAsc(est: DataFrame, k: Int): DataFrame = {
+    private[operators] def rankAsc(est: DataFrame, k: Int): DataFrame = {
       val kept = graft.plans.TopKPerGroup(est, Seq("qid"),
         Seq(("est_micro", true), ("cid", true)), k)
       val w = Window.partitionBy(col("qid"))
@@ -1093,5 +1093,214 @@ object Similarity {
         round(cosineFast(col("_vA"), col("_vB")), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
+  }
+
+  // ---- scalar quantization (int8) --------------------------------------
+
+  /** Per-dimension (min, max) over a vector column — the SQ training
+    * pass: `dim` min aggregates + `dim` max aggregates, all
+    * map-side-combined into ONE picked-up row (the index-build-tier
+    * driver pickup, 2·dim doubles). */
+  object Sq {
+
+    def minMax(df: DataFrame, vecCol: String,
+               dim: Int): (Seq[Double], Seq[Double]) = {
+      val row = df.agg(
+        array((0 until dim).map(j => min(col(vecCol)(j))): _*).as("mns"),
+        array((0 until dim).map(j => max(col(vecCol)(j))): _*).as("mxs"))
+        .head()
+      (row.getSeq[Double](0), row.getSeq[Double](1))
+    }
+
+    /** int8 codes: `floor((v_j − min_j)·255 / (max_j − min_j))`
+      * clamped to [0, 255]; a degenerate dimension (max == min)
+      * codes 0. The operand ORDER is the cross-engine contract —
+      * the oracle runs the identical expression on the identical
+      * doubles, so codes replay bit-exactly (floor, not round:
+      * round-half ties break differently across engines). One narrow
+      * codegen'd map — 4× memory cut on the serving tier, no shuffle. */
+    def encode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+      val (mn, mx) = (typedLit(mins), typedLit(maxs))
+      transform(sequence(lit(1), lit(mins.size)), j => {
+        val lo = element_at(mn, j); val hi = element_at(mx, j)
+        when(hi > lo,
+          least(greatest(
+            floor((element_at(v, j) - lo) * 255.0 / (hi - lo)), lit(0.0)),
+            lit(255.0)).cast(IntegerType))
+          .otherwise(lit(0))
+      })
+    }
+
+    /** Dequantize codes back to the cell floor:
+      * `min_j + code_j·(max_j − min_j) / 255` — same operand-order
+      * contract as [[encode]]. */
+    def decode(codes: Column, mins: Seq[Double],
+               maxs: Seq[Double]): Column = {
+      val (mn, mx) = (typedLit(mins), typedLit(maxs))
+      transform(sequence(lit(1), lit(mins.size)), j => {
+        val lo = element_at(mn, j); val hi = element_at(mx, j)
+        lo + element_at(codes, j).cast(DoubleType) * (hi - lo) / 255.0
+      })
+    }
+
+    /** Asymmetric SQ top-k: float queries against int8-coded
+      * candidates, ranked by micro-l2 to the RECONSTRUCTION
+      * (`floor(l2(q, decode(codes))·10⁶)` — the dequantized corpus is
+      * what an SQ store can ever serve, so that IS the serving
+      * metric; floor-micro keeps the order replayable across
+      * engines). The query frame broadcasts (small by construction,
+      * keep-one on qid — the [[Pq.ivfAdcTopK]] lesson applied from
+      * the start); candidates stream one narrow codegen'd scan of
+      * m-byte codes, never raw vectors — the 4× memory cut is what
+      * makes a 100 TB embedding store scannable. Ranking rides the
+      * shared bounded-heap tail ([[Pq.rankAsc]]): only queries×k rows
+      * meet a sort. Self-matches (cid == qid) excluded, the ADC
+      * convention. */
+    def sqTopK(queries: DataFrame, codes: DataFrame, k: Int,
+               mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+      val qOnce = queries.dropDuplicates("qid")
+        .select(col("qid"), col("qvec").as("_qv"))
+      val est = codes.crossJoin(broadcast(qOnce))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("est_micro",
+          floor(l2Distance(col("_qv"),
+            decode(col("codes"), mins, maxs)) * 1e6).cast(LongType))
+        .select(col("qid"), col("cid"), col("est_micro"))
+      Pq.rankAsc(est, k)
+    }
+
+    // ---- persisted SQ index (codes + minmax sidecar) -------------------
+    // The [[Pq.writePqIndex]] layout lifted to the SQ tier: codes at
+    // dir/codes, the per-dim (min, max) geometry BESIDE them at
+    // dir/minmax — dim tiny rows, the recoverable record of the exact
+    // affine map that coded every stored vector. Doubles round-trip
+    // parquet bit-exactly, so a later session reconstructs the
+    // IDENTICAL encode/decode the build session used; a bare code
+    // table without its ranges is un-probeable by construction
+    // (decoding with guessed ranges silently mis-ranks — the same
+    // footgun the PQ books sidecar closed in r9).
+
+    /** Persist codes + the minmax sidecar as one unit. */
+    def writeSqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                     dir: String, mins: Seq[Double],
+                     maxs: Seq[Double]): Unit = {
+      vectors.select(col(idCol).as("cid"),
+        encode(col(vecCol), mins, maxs).as("codes"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      writeSqMinMax(vectors.sparkSession, dir, mins, maxs)
+    }
+
+    /** Land the minmax sidecar alone — the bootstrap step a streaming
+      * ingest needs before its first batch. */
+    def writeSqMinMax(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, mins: Seq[Double],
+                      maxs: Seq[Double]): Unit = {
+      require(mins.nonEmpty && mins.size == maxs.size,
+        s"minmax must be two equal-length non-empty ranges, got " +
+          s"${mins.size} mins / ${maxs.size} maxs")
+      require(mins.zip(maxs).forall { case (lo, hi) => lo <= hi },
+        "minmax sidecar requires min <= max in every dimension")
+      import spark.implicits._
+      mins.indices.map(j => (j, mins(j), maxs(j)))
+        .toDF("j", "mn", "mx")
+        .coalesce(1) // dim rows: one footer beats 32 task files
+        .write.mode("overwrite").parquet(s"$dir/minmax")
+    }
+
+    /** Read the minmax sidecar back — loud when missing or malformed
+      * (guessing ranges against stored codes silently mis-ranks).
+      * Bounded pickup: dim rows. */
+    def readSqMinMax(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Seq[Double], Seq[Double]) = {
+      val rows =
+        try spark.read.parquet(s"$dir/minmax")
+          .select(col("j").cast(IntegerType), col("mn"), col("mx"))
+          .collect() // bounded: dim sidecar rows
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"SQ index at $dir has no readable minmax sidecar " +
+                s"($dir/minmax) — a code table without its ranges " +
+                s"cannot be decoded (guessed ranges silently " +
+                s"mis-rank); rebuild via writeSqIndex", e)
+        }
+      val byJ = rows.map(r => r.getInt(0) -> (r.getDouble(1),
+        r.getDouble(2))).toMap
+      require(byJ.size == rows.length && rows.nonEmpty &&
+        (0 until rows.length).forall(byJ.contains),
+        s"minmax sidecar at $dir/minmax is malformed: expected one " +
+          s"row per dimension 0..dim-1, got ${rows.length} rows")
+      val dim = rows.length
+      ((0 until dim).map(j => byJ(j)._1), (0 until dim).map(j => byJ(j)._2))
+    }
+
+    /** Append a batch, encoding with the SIDECAR ranges — the only
+      * ranges that match the stored codes. A caller holding its own
+      * (the build session appending a late batch) passes them via
+      * `expect` and gets a LOUD refusal on any mismatch; bit-exact
+      * equality is the right test because the sidecar round-trips
+      * doubles exactly. Ranges are FROZEN at build time by design:
+      * an out-of-range append value clamps (the [[encode]] contract)
+      * rather than silently shifting every stored code the way
+      * re-deriving ranges per batch would. */
+    def appendToSqIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, vectors: DataFrame,
+                        idCol: String, vecCol: String,
+                        expect: Option[(Seq[Double], Seq[Double])] = None)
+        : Unit = {
+      val sidecar = readSqMinMax(spark, dir)
+      expect.foreach(e => require(e == sidecar,
+        s"appendToSqIndex: caller ranges differ from the sidecar at " +
+          s"$dir/minmax — encoding with mismatched ranges would " +
+          s"silently mis-rank every probe; rebuild the index with " +
+          s"writeSqIndex if the ranges changed"))
+      vectors.select(col(idCol).as("cid"),
+        encode(col(vecCol), sidecar._1, sidecar._2).as("codes"))
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+
+    /** Probe a persisted index: ranges come from the sidecar — the
+      * build geometry, never a guess. Keep-first on cid is the
+      * at-least-once read repair (codes are a pure function of the
+      * vector under frozen ranges, so retried appends re-land
+      * identical rows). Same ranking as [[sqTopK]] by construction. */
+    def probeSqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, queries: DataFrame, k: Int): DataFrame = {
+      val (mns, mxs) = readSqMinMax(spark, dir)
+      sqTopK(queries,
+        spark.read.parquet(s"$dir/codes").dropDuplicates("cid"),
+        k, mns, mxs)
+    }
+
+    /** CDC compaction, the [[Pq.compactPqIndex]] shape: deletes and
+      * stale versions anti-joined away with the broadcast changelog,
+      * upserts re-encoded with the SIDECAR ranges, ranges riding to
+      * the successor snapshot unchanged — codes and minmax stay
+      * consistent as one unit, published out-of-place (enforced on
+      * QUALIFIED paths). Range movement (retraining) invalidates
+      * every stored code, which is a [[writeSqIndex]] rebuild by
+      * definition. */
+    def compactSqIndex(spark: org.apache.spark.sql.SparkSession,
+                       oldDir: String, changelog: DataFrame,
+                       newDir: String): Unit = {
+      val hconf = spark.sessionState.newHadoopConf()
+      def qualified(dir: String): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(hconf).makeQualified(p)
+      }
+      require(qualified(newDir) != qualified(oldDir),
+        s"compactSqIndex publishes out-of-place: newDir must differ " +
+          s"from oldDir, got both = ${qualified(oldDir)}")
+      val (mns, mxs) = readSqMinMax(spark, oldDir)
+      val touched = changelog.select(col("cid")).distinct()
+      val fresh = changelog.filter(col("op").isin("U", "I"))
+        .select(col("cid"), encode(col("v"), mns, mxs).as("codes"))
+      spark.read.parquet(s"$oldDir/codes")
+        .dropDuplicates("cid")
+        .join(broadcast(touched), Seq("cid"), "left_anti")
+        .unionByName(fresh)
+        .write.mode("overwrite").parquet(s"$newDir/codes")
+      writeSqMinMax(spark, newDir, mns, mxs)
+    }
   }
 }

@@ -1932,11 +1932,106 @@ object AnalyticsQueries {
       FROM sk s JOIN ex ON s.source = ex.source
       ORDER BY s.source"""))
 
+  // ---- q250: persisted SQ index probe (minmax sidecar) ----------------
+  // The store-through route of the SQ tier (the q233 shape lifted to
+  // scalar quantization): writeSqIndex lands int8 codes + the per-dim
+  // (min, max) SIDECAR, and the probe recovers EVERYTHING from disk —
+  // ranges trained by the build session, zero session knowledge at
+  // probe time. Ranking is exact l2 to the reconstruction in micro
+  // units (the only metric an SQ store can serve). The oracle
+  // rebuilds ranges, every code, every reconstruction and the full
+  // ranking from the raw embeddings — a sidecar that round-tripped
+  // wrong, a probe that guessed ranges, or a drifted decode flips
+  // the hash (the q249-proven l2/list_dot_product parity carries the
+  // float leg).
+
+  private val sqIdxDirByInput = new graft.sources.JvmMemo[String]
+  private def sqIndexDir(s: SparkSession, d: String): String =
+    LlmOps.materializedTempDir(sqIdxDirByInput, d, "graft_sqindex_") {
+      out =>
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("v"))
+        val (mns, mxs) = graft.operators.Similarity.Sq.minMax(e, "v", 64)
+        graft.operators.Similarity.Sq.writeSqIndex(e, "cid", "v", out,
+          mns, mxs)
+    }
+
+  private def sqProbeQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+
+  /** The q250/q251 full-replay oracle (ranges, codes, reconstructions
+    * and the micro-l2 ranking rebuilt from scratch in SQL) — shared
+    * verbatim by the SQL-door probe q251: the TVF must rank EXACTLY
+    * like the library call it wraps. */
+  private lazy val sqProbeOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      dims AS (
+        SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        FROM e CROSS JOIN generate_series(1, 64) t(j) GROUP BY j),
+      mm AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
+        FROM dims),
+      codes AS (
+        SELECT vec_id AS cid,
+          list_transform(generate_series(1, 64), j ->
+            CASE WHEN mxs[j] > mns[j] THEN
+              CAST(least(greatest(
+                floor((v[j] - mns[j]) * 255.0 / (mxs[j] - mns[j])),
+                0.0), 255.0) AS BIGINT)
+            ELSE 0 END) AS codes
+        FROM e CROSS JOIN mm),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      pairs AS (
+        SELECT q.qid, c.cid,
+          list_transform(generate_series(1, 64), j ->
+            q.qv[j] - (mm.mns[j] + c.codes[j] * (mm.mxs[j] - mm.mns[j])
+              / 255.0)) AS dv
+        FROM q, codes c, mm WHERE c.cid <> q.qid),
+      est AS (
+        SELECT qid, cid,
+          CAST(floor(sqrt(list_dot_product(dv, dv)) * 1000000.0)
+            AS BIGINT) AS est_micro
+        FROM pairs),
+      r AS (SELECT qid, cid, est_micro, row_number() OVER (
+          PARTITION BY qid ORDER BY est_micro, cid) AS rank
+        FROM est)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, cid, est_micro
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+
+  private val q250 = GraftQuery(
+    "q250_sq_index_probe",
+    (s, d) => {
+      graft.operators.Similarity.Sq.probeSqIndex(s,
+        sqIndexDir(s, d), sqProbeQueries(s, d), 5).orderBy("qid", "rank")
+    },
+    Some(sqProbeOracleSql))
+
+  // ---- q251: sq_search TVF — the SQL door to the stored SQ index ------
+  // pq_search's scalar-quantization sibling: the IDENTICAL stored
+  // index q250 probes, reached as `sq_search('<dir>',
+  // 'sq_queries_sql', 5)` — codes + minmax sidecar recovered from
+  // disk by the TVF's probeSqIndex call. Oracle shared verbatim with
+  // q250: a door that ranks differently is a second engine.
+
+  private val q251 = GraftQuery(
+    "q251_sq_search_sql",
+    (s, d) => {
+      val dir = sqIndexDir(s, d)
+      sqProbeQueries(s, d).createOrReplaceTempView("sq_queries_sql")
+      s.sql(s"SELECT * FROM sq_search('$dir', 'sq_queries_sql', 5) " +
+        "ORDER BY qid, rank")
+    },
+    Some(sqProbeOracleSql))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
       q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235,
-      q248)
+      q248, q250, q251)
 }
 

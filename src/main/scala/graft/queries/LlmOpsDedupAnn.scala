@@ -1254,4 +1254,67 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
         FROM pairs WHERE list_dot_product(da, da) > 0
         ORDER BY a, b"""))
   }
+
+  // ---- q249: scalar quantization (int8) census -------------------------
+  // The SQ member of the quantization family beside PQ (q221): per-dim
+  // (min, max) → int8 codes → 4× memory cut on the serving tier, a
+  // narrow codegen'd map with NO shuffle (the training pass is 2·64
+  // map-side-combined aggregates picked up as one row). Codes use
+  // floor, not round — round-half ties break differently across
+  // engines — and both engines run the IDENTICAL operand order, so
+  // the oracle rebuilds every code and every reconstruction double
+  // bit-for-bit: census gates the per-label code checksum (encode
+  // exactness) and the floor(err·10⁶) reconstruction stats (decode
+  // exactness via the q243-proven l2/list_dot_product parity).
+
+  private[queries] val q249: GraftQuery = GraftQuery(
+    "q249_sq_quantization",
+    (s, d) => {
+      val vecs = emb(s, d).select(col("vec_id"), col("label"),
+        toDoubleVec(col("embedding")).as("v"))
+      val (mns, mxs) = Similarity.Sq.minMax(vecs, "v", 64)
+      vecs
+        .withColumn("codes", Similarity.Sq.encode(col("v"), mns, mxs))
+        .withColumn("vhat", Similarity.Sq.decode(col("codes"), mns, mxs))
+        .select(col("label"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x)
+            .as("code_sum"),
+          floor(l2Distance(col("v"), col("vhat")) * 1e6)
+            .cast(LongType).as("err_e6"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("code_sum")).cast(LongType).as("codes_checksum"),
+          expr("sum(err_e6) div count(1)").as("mean_err_e6"),
+          max(col("err_e6")).as("max_err_e6"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      dims AS (
+        SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        FROM vecs CROSS JOIN generate_series(1, 64) t(j) GROUP BY j),
+      mm AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
+        FROM dims),
+      enc AS (
+        SELECT label, v, mns, mxs,
+          list_transform(generate_series(1, 64), j ->
+            CASE WHEN mxs[j] > mns[j] THEN
+              CAST(least(greatest(
+                floor((v[j] - mns[j]) * 255.0 / (mxs[j] - mns[j])),
+                0.0), 255.0) AS BIGINT)
+            ELSE 0 END) AS codes
+        FROM vecs CROSS JOIN mm),
+      errs AS (
+        SELECT label, codes,
+          list_transform(generate_series(1, 64), j ->
+            v[j] - (mns[j] + codes[j] * (mxs[j] - mns[j]) / 255.0)) AS dv
+        FROM enc)
+      SELECT label, count(*) AS n_vecs,
+        CAST(sum(list_sum(codes)) AS BIGINT) AS codes_checksum,
+        CAST(sum(CAST(floor(sqrt(list_dot_product(dv, dv)) * 1000000.0)
+          AS BIGINT)) // count(*) AS BIGINT) AS mean_err_e6,
+        CAST(max(CAST(floor(sqrt(list_dot_product(dv, dv)) * 1000000.0)
+          AS BIGINT)) AS BIGINT) AS max_err_e6
+      FROM errs GROUP BY label ORDER BY label"""))
 }

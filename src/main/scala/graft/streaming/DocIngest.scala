@@ -457,6 +457,61 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** Current per-source KMV min-set = the highest published version
+    * (empty before the first batch). Feed through
+    * [[graft.operators.Sketches.kmvEstimate]] for the running
+    * distinct-count board. */
+  private def emptyKmv(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("source", StringType),
+        StructField("_h", LongType))))
+
+  def readKmvState(spark: SparkSession, stateDir: String): DataFrame =
+    ViewIngest.versionDirs(spark, stateDir).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None => emptyKmv(spark)
+    }
+
+  /** Streaming running-cardinality maintenance — the KMV twin of the
+    * count-min ingest: each micro-batch's tokens are hashed and
+    * min-k-merged into the persisted per-source min-set
+    * ([[graft.operators.Sketches.kmvMergeMins]] — min-k is
+    * associative/commutative/idempotent, so arrival order and shard
+    * boundaries cannot change the converged sketch), published as
+    * immutable `v=<batchId>` versions (the [[ViewIngest]] out-of-place
+    * convention: a retried batch reads the latest version strictly
+    * below its own id and re-lands the identical version —
+    * idempotent without a transactional sink). State is
+    * sources×k rows no matter how much text has streamed past —
+    * the whole point of sketched cardinality at 100 TB. */
+  def runKmvIngest(spark: SparkSession, rawDir: String, stateDir: String,
+                   checkpointDir: String, k: Int = 256,
+                   maxFilesPerTrigger: Int = 1): Unit = {
+    val q = readDocStream(spark, rawDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val prev = ViewIngest.versionDirs(spark, stateDir)
+          .filter(_._1 < batchId).sortBy(_._1).lastOption match {
+          case Some((_, dir)) => spark.read.parquet(dir)
+          case None => emptyKmv(spark)
+        }
+        val batchMins = graft.operators.Sketches.kmvMins(
+          batch.select(col("source"), explode(
+            graft.functions.TextFunctions.whitespaceTokens(col("text")))
+            .as("tok")),
+          Seq("source"), "tok", k)
+        graft.operators.Sketches
+          .kmvMergeMins(Seq(prev, batchMins), Seq("source"), k)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

@@ -28,8 +28,8 @@ object ViewIngest {
     StructField("old_grp", StringType),
     StructField("old_val", LongType)))
 
-  private def versionDirs(spark: SparkSession,
-                          stateDir: String): Seq[(Long, String)] = {
+  private[streaming] def versionDirs(spark: SparkSession,
+                                     stateDir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty

@@ -763,6 +763,27 @@ class SimilaritySpec extends AnyFunSuite {
       }
       assert(e4.getMessage.contains("n_probe must be >= 1"),
         e4.getMessage.take(300))
+      // sq_search: the SQ sibling through the same door pattern
+      val (mns, mxs) = Similarity.Sq.minMax(vecs, "v", 64)
+      Similarity.Sq.writeSqIndex(vecs, "cid", "v", s"$base/sq", mns, mxs)
+      val directSq = Similarity.Sq
+        .probeSqIndex(spark, s"$base/sq", queries, 4)
+        .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+      val viaSqlSq = spark.sql(
+        s"SELECT * FROM sq_search('$base/sq', 'vec_tvf_queries', 4) " +
+          "ORDER BY qid, rank").collect().map(_.toSeq).toSeq
+      assert(viaSqlSq == directSq && directSq.nonEmpty)
+      val e5 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM sq_search('$base/nowhere', " +
+          "'vec_tvf_queries', 4)").collect()
+      }
+      assert(e5.getMessage.contains("writeSqIndex layout"),
+        e5.getMessage.take(300))
+      val e6 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM sq_search('$base/sq', " +
+          "'vec_tvf_not_queries', 4)").collect()
+      }
+      assert(e6.getMessage.contains("qid, qvec"), e6.getMessage.take(300))
     } finally deleteRec(base)
   }
 
@@ -807,5 +828,135 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ds.sum / ds.size
     assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
     assert(ds.forall(d => d > 0.3 && d < 2.2), s"range ${ds.min}..${ds.max}")
+  }
+
+  test("SQ: codes in [0,255], per-dim error under one cell, degenerate dims code 0 and decode exactly") {
+    import graft.functions.VectorFunctions.md5Vectors
+    // 8 varying dims + a constant 9th (the degenerate-dim guard path)
+    val vs = md5Vectors(30, 8, "sq").map(_ :+ 5.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val (mns, mxs) = Similarity.Sq.minMax(df, "v", 9)
+    assert(mns(8) == 5.0 && mxs(8) == 5.0)
+    val rows = df
+      .withColumn("codes", Similarity.Sq.encode($"v", mns, mxs))
+      .withColumn("vhat", Similarity.Sq.decode($"codes", mns, mxs))
+      .select($"v", $"codes", $"vhat")
+      .as[(Seq[Double], Seq[Int], Seq[Double])].collect()
+    rows.foreach { case (v, codes, vhat) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(codes(8) == 0 && vhat(8) == 5.0)
+      (0 until 8).foreach { j =>
+        val cell = (mxs(j) - mns(j)) / 255.0
+        assert(math.abs(v(j) - vhat(j)) <= cell + 1e-12,
+          s"dim $j err ${math.abs(v(j) - vhat(j))} > cell $cell")
+      }
+    }
+    // extremes: the dim max codes exactly 255 (clamp), the min 0
+    val atMax = rows.map(_._2.take(8).max).max
+    val atMin = rows.map(_._2.take(8).min).min
+    assert(atMax == 255 && atMin == 0)
+  }
+
+  test("persisted SQ index: minmax sidecar round-trips; probe from disk equals the build session; ranges matter") {
+    import graft.functions.VectorFunctions.md5Vectors
+    val base = java.nio.file.Files.createTempDirectory("graft_sqidx_spec_").toString
+    try {
+      val vs = md5Vectors(80, 16, "sqidx")
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("cid", "v")
+      val (mns, mxs) = Similarity.Sq.minMax(df, "v", 16)
+      Similarity.Sq.writeSqIndex(df, "cid", "v", s"$base/idx", mns, mxs)
+      // bit-exact sidecar round-trip — the identical-decode precondition
+      assert(Similarity.Sq.readSqMinMax(spark, s"$base/idx") ===
+        ((mns, mxs)))
+      val queries = df.filter($"cid" < 5)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      val fromDisk = Similarity.Sq
+        .probeSqIndex(spark, s"$base/idx", queries, 7)
+        .collect().map(_.toSeq).toSet
+      val inSession = Similarity.Sq.sqTopK(queries,
+          df.select($"cid",
+            Similarity.Sq.encode($"v", mns, mxs).as("codes")),
+          7, mns, mxs)
+        .collect().map(_.toSeq).toSet
+      assert(fromDisk === inSession)
+      // and the ranges MATTER: decoding the same codes under squashed
+      // ranges (the guessed-geometry failure mode) ranks differently
+      val squashed = Similarity.Sq.sqTopK(queries,
+          spark.read.parquet(s"$base/idx/codes"),
+          7, mns.map(_ * 0.1), mxs.map(_ * 3.0))
+        .collect().map(_.toSeq).toSet
+      assert(squashed !== fromDisk,
+        "fixture cannot distinguish sidecar from guessed ranges")
+      // duplicated qid rows collapse keep-one (no duplicate top-k slots)
+      val dupQ = queries.unionByName(queries.limit(2))
+      val dup = Similarity.Sq.probeSqIndex(spark, s"$base/idx", dupQ, 7)
+        .collect().map(_.toSeq).toSet
+      assert(dup === fromDisk)
+    } finally deleteRec(base)
+  }
+
+  test("persisted SQ index: missing sidecar / mismatched append refuse; compaction uses sidecar ranges out-of-place") {
+    import graft.functions.VectorFunctions.md5Vectors
+    val base = java.nio.file.Files.createTempDirectory("graft_sqidx_refuse_").toString
+    try {
+      val vs = md5Vectors(40, 16, "sqref")
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("cid", "v")
+      val (mns, mxs) = Similarity.Sq.minMax(df, "v", 16)
+      // a bare code table without its ranges must refuse the probe
+      df.select($"cid", Similarity.Sq.encode($"v", mns, mxs).as("codes"))
+        .write.parquet(s"$base/bare/codes")
+      val queries = df.filter($"cid" < 2)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.Sq.probeSqIndex(spark, s"$base/bare", queries, 3)
+      }
+      assert(e1.getMessage.contains("minmax"), e1.getMessage.take(200))
+      // an append carrying DIFFERENT ranges than the sidecar refuses
+      Similarity.Sq.writeSqIndex(df, "cid", "v", s"$base/idx", mns, mxs)
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.Sq.appendToSqIndex(spark, s"$base/idx",
+          df.limit(1), "cid", "v", Some((mns.map(_ - 1.0), mxs)))
+      }
+      assert(e2.getMessage.contains("sidecar"), e2.getMessage.take(200))
+      // matching ranges append fine; keep-first absorbs the retry re-land
+      Similarity.Sq.appendToSqIndex(spark, s"$base/idx",
+        df.limit(5), "cid", "v", Some((mns, mxs)))
+      val probed = Similarity.Sq
+        .probeSqIndex(spark, s"$base/idx", queries, 3)
+        .collect().map(_.toSeq).toSet
+      val direct = Similarity.Sq.sqTopK(queries,
+          df.select($"cid",
+            Similarity.Sq.encode($"v", mns, mxs).as("codes")),
+          3, mns, mxs)
+        .collect().map(_.toSeq).toSet
+      assert(probed === direct)
+      // compaction: D/U/I equals a from-scratch re-encode, ranges ride
+      val del = df.filter($"cid" % 7 === 0)
+        .select($"cid", lit("D").as("op"),
+          lit(null).cast("array<double>").as("v"))
+      val upd = df.filter($"cid" % 11 === 0 && $"cid" % 7 =!= 0)
+        .select($"cid", lit("U").as("op"),
+          transform($"v", x => -x).as("v"))
+      Similarity.Sq.compactSqIndex(spark, s"$base/idx",
+        del.unionByName(upd), s"$base/new")
+      val corpus2 = df.filter($"cid" % 7 =!= 0 && $"cid" % 11 =!= 0)
+        .unionByName(df.filter($"cid" % 11 === 0 && $"cid" % 7 =!= 0)
+          .select($"cid", transform($"v", x => -x).as("v")))
+      val rebuilt = corpus2
+        .select($"cid", Similarity.Sq.encode($"v", mns, mxs).as("codes"))
+        .collect().map(_.toSeq).toSet
+      assert(spark.read.parquet(s"$base/new/codes")
+        .collect().map(_.toSeq).toSet === rebuilt)
+      assert(Similarity.Sq.readSqMinMax(spark, s"$base/new") ===
+        ((mns, mxs)))
+      val e3 = intercept[IllegalArgumentException] {
+        Similarity.Sq.compactSqIndex(spark, s"$base/new", del,
+          s"$base/new")
+      }
+      assert(e3.getMessage.contains("out-of-place"), e3.getMessage.take(200))
+    } finally deleteRec(base)
   }
 }

@@ -925,6 +925,44 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming KMV ingest: running distinct estimate equals the batch sketch over the union") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions.whitespaceTokens
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_kmv_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val state = root.resolve("state")
+    val ckpt = root.resolve("ckpt")
+    val k = 16
+    // two shards with overlapping vocab — min-k idempotence means the
+    // overlap cannot double-occupy sketch slots
+    def doc(id: Long, src: String, lo: Int, hi: Int) =
+      (id, src, "en", (lo until hi).map(i => s"w$i").mkString(" "))
+    val shard1 = Seq(doc(1, "a", 0, 120), doc(2, "b", 0, 10))
+    val shard2 = Seq(doc(3, "a", 80, 200), doc(4, "b", 5, 12))
+    shard1.toDF("doc_id", "source", "lang", "text").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    shard2.toDF("doc_id", "source", "lang", "text").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runKmvIngest(spark, raw.toString + "/*/",
+      state.toString, ckpt.toString, k = k)
+    val streamed = Sketches.kmvEstimate(
+      DocIngest.readKmvState(spark, state.toString), Seq("source"), k)
+      .as[(String, Long)].collect().toMap
+    val union = (shard1 ++ shard2).toDF("doc_id", "source", "lang", "text")
+      .select($"source", explode(whitespaceTokens($"text")).as("tok"))
+    val batch = Sketches.kmvEstimate(
+      Sketches.kmvMins(union, Seq("source"), "tok", k), Seq("source"), k)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // source b has 12 distinct tokens < k: the running estimate is
+    // EXACT, proving overlap dedup across shards (7 + 7 -> 12)
+    assert(streamed("b") == 12L, s"got ${streamed("b")}")
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
