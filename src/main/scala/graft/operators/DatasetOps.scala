@@ -1321,4 +1321,84 @@ object DatasetOps {
       .foreach(r => bits(r.getInt(0)) = r.getLong(1))
     (bits, m, k)
   }
+
+  /** WITHIN-doc repetition signals — the Gopher/MassiveText repetition
+    * rules (Rae et al. 2021 §A1.1), the quality family member the
+    * cross-doc tiers deliberately spare: q97/q113 cut text repeated
+    * ACROSS documents, but a doc that repeats ITSELF (scraper loops,
+    * boilerplate stutter, keyword-stuffed spam) sails through both
+    * and through q48's character-class ratios. Two signals per doc,
+    * in ppm of word characters (integer div — replayable where float
+    * fractions are not):
+    *
+    *  - `top2_ppm`: characters inside occurrences of the single most
+    *    frequent word 2-gram ("fraction of characters in the most
+    *    common n-gram"). Argmax is ONE map-side-combined
+    *    `max(struct(cnt, gram))` per doc — count first, gram-DESC
+    *    tie-break, never a per-doc window (the q156 discipline).
+    *  - `dup3_ppm`: characters COVERED by any occurrence of a
+    *    duplicated word 3-gram ("fraction of characters in duplicate
+    *    n-grams") — coverage, not a sum over occurrences: overlapping
+    *    duplicate grams count each character once, via a distinct
+    *    (id, position) expansion.
+    *
+    * Scale shape: signals are strictly within-doc, so every census
+    * groups on (id, gram) — doc id rides every key as the natural
+    *  salt, partials combine map-side, and NO corpus-wide state
+    * exists (the q116 hot-gram lesson does not even arise). The
+    * 2-gram side needs token adjacency: one `lead` window per doc id
+    * — bounded by doc length, the q113 exchange. Docs with no tokens
+    * emit zero signals (n_words = 0), kept by the left join from the
+    * input. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(whitespaceTokens(col(textCol))).as(Seq("_pos", "_w")))
+    val led = toks
+      .withColumn("_w2", lead(col("_w"), 1).over(w))
+      .withColumn("_w3", lead(col("_w"), 2).over(w))
+    val totals = toks.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("_w"))).cast(LongType).as("word_chars"))
+    val top2 = led.filter(col("_w2").isNotNull)
+      .select(col("_id"),
+        concat_ws(" ", col("_w"), col("_w2")).as("_g"),
+        (length(col("_w")) + length(col("_w2"))).cast(LongType)
+          .as("_gchars"))
+      .groupBy(col("_id"), col("_g"), col("_gchars"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col("_id"))
+      .agg(max(struct(col("_cnt"), col("_g"), col("_gchars"))).as("_top"))
+      .select(col("_id"), col("_top._cnt").as("top2_cnt"),
+        (col("_top._cnt") * col("_top._gchars")).as("_top2_chars"))
+    val g3 = led.filter(col("_w3").isNotNull)
+      .select(col("_id"), col("_pos"),
+        concat_ws(" ", col("_w"), col("_w2"), col("_w3")).as("_g"))
+    val dup3 = g3.groupBy(col("_id"), col("_g"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
+      .select(col("_id"), col("_g"))
+    val covChars = g3.join(dup3, Seq("_id", "_g"))
+      .select(col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + 2)).as("_cp"))
+      .distinct()
+      .join(toks.withColumnRenamed("_pos", "_cp"), Seq("_id", "_cp"))
+      .groupBy(col("_id"))
+      .agg(sum(length(col("_w"))).cast(LongType).as("_cov_chars"))
+    docs.select(col(idCol).as("_id"))
+      .join(totals, Seq("_id"), "left")
+      .join(top2, Seq("_id"), "left")
+      .join(covChars, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("word_chars"), lit(0L)).as("word_chars"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        when(coalesce(col("word_chars"), lit(0L)) > 0,
+          expr("coalesce(_top2_chars, 0L) * 1000000L div word_chars"))
+          .otherwise(lit(0L)).as("top2_ppm"),
+        when(coalesce(col("word_chars"), lit(0L)) > 0,
+          expr("coalesce(_cov_chars, 0L) * 1000000L div word_chars"))
+          .otherwise(lit(0L)).as("dup3_ppm"))
+  }
 }

@@ -1439,4 +1439,93 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             AS BIGINT) AS changed_docs
         FROM built GROUP BY source ORDER BY source"""))
   }
+
+  // ---- q252: within-doc repetition signals (Gopher rules) -------------
+  // The self-repetition quality tier (Rae et al. 2021): q97/q113 cut
+  // text repeated ACROSS docs and q48 measures character classes, but
+  // a scraper-loop / keyword-stuffed doc that repeats ITSELF passes
+  // all three. Per-source board over per-doc signals: characters in
+  // the most frequent word 2-gram and characters COVERED by
+  // duplicated word 3-grams (coverage via distinct positions —
+  // overlapping duplicate grams count each char once), both in ppm
+  // (integer div). The oracle replays tokenization, adjacency, the
+  // (cnt, gram-DESC) argmax, the coverage expansion and every
+  // division — a drifted tie-break or a double-counted overlap flips
+  // the hash.
+
+  private[queries] val q252: GraftQuery = GraftQuery(
+    "q252_repetition_signals",
+    (s, d) => {
+      val sig = DatasetOps.repetitionSignals(docs(s, d), "doc_id", "text")
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(sig, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(top2_ppm) div count(1)").as("avg_top2_ppm"),
+          expr("sum(dup3_ppm) div count(1)").as("avg_dup3_ppm"),
+          max(col("dup3_ppm")).as("max_dup3_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, source, list_filter(
+            regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0) AS ws
+        FROM documents),
+      toksr AS (
+        SELECT doc_id, source, ws,
+          unnest(generate_series(1, len(ws))) AS pos
+        FROM d),
+      toks AS (
+        SELECT doc_id, source, pos, ws[pos] AS w FROM toksr),
+      totals AS (
+        SELECT doc_id, count(*) AS n_words,
+          sum(length(w)) AS word_chars
+        FROM toks GROUP BY doc_id),
+      g2 AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS g,
+          length(a.w) + length(b.w) AS gchars
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      c2 AS (
+        SELECT doc_id, g, gchars, count(*) AS cnt
+        FROM g2 GROUP BY 1, 2, 3),
+      top2 AS (
+        SELECT doc_id, cnt AS top2_cnt, cnt * gchars AS top2_chars
+        FROM (SELECT doc_id, cnt, gchars, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+          FROM c2) WHERE rn = 1),
+      g3 AS (
+        SELECT a.doc_id, a.pos, a.w || ' ' || b.w || ' ' || c.w AS g
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      dup3 AS (
+        SELECT doc_id, g FROM g3 GROUP BY 1, 2 HAVING count(*) >= 2),
+      covr AS (
+        SELECT g3.doc_id,
+          unnest(generate_series(g3.pos, g3.pos + 2)) AS p
+        FROM g3 JOIN dup3 ON g3.doc_id = dup3.doc_id AND g3.g = dup3.g),
+      cov AS (SELECT DISTINCT doc_id, p FROM covr),
+      covch AS (
+        SELECT t.doc_id, sum(length(t.w)) AS cov_chars
+        FROM cov JOIN toks t
+          ON t.doc_id = cov.doc_id AND t.pos = cov.p
+        GROUP BY t.doc_id),
+      per AS (
+        SELECT d.doc_id, d.source,
+          CASE WHEN coalesce(t.word_chars, 0) > 0 THEN
+            coalesce(top2.top2_chars, 0) * 1000000 // t.word_chars
+          ELSE 0 END AS top2_ppm,
+          CASE WHEN coalesce(t.word_chars, 0) > 0 THEN
+            coalesce(covch.cov_chars, 0) * 1000000 // t.word_chars
+          ELSE 0 END AS dup3_ppm
+        FROM d
+        LEFT JOIN totals t ON d.doc_id = t.doc_id
+        LEFT JOIN top2 ON d.doc_id = top2.doc_id
+        LEFT JOIN covch ON d.doc_id = covch.doc_id)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(top2_ppm) // count(*) AS BIGINT) AS avg_top2_ppm,
+        CAST(sum(dup3_ppm) // count(*) AS BIGINT) AS avg_dup3_ppm,
+        CAST(max(dup3_ppm) AS BIGINT) AS max_dup3_ppm
+      FROM per GROUP BY source ORDER BY source"""))
 }

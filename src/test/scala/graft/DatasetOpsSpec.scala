@@ -1006,4 +1006,28 @@ class DatasetOpsSpec extends AnyFunSuite {
       graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("repetitionSignals: hand-computed top-2gram and dup-3gram coverage, overlap counted once, degenerate docs zeroed") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // "a b"x3; both 3-grams duplicated -> full cover
+      (2L, "x y z w"),     // all 2-grams unique; tie-break -> max gram "z w"
+      (3L, "hi"),          // one word: no 2-grams at all
+      (4L, "")             // no tokens
+    ).toDF("doc_id", "text")
+    val got = DatasetOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // (id, n_words, word_chars, top2_cnt, top2_ppm, dup3_ppm)
+      (1L, 6L, 6L, 3L, 1000000L, 1000000L), // 3*2 chars / 6; cover = all 6
+      (2L, 4L, 4L, 1L, 500000L, 0L),        // 1*2 / 4; no duplicated 3-gram
+      (3L, 1L, 2L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L, 0L)), got.toString)
+    // overlap counted ONCE: "c c c c c" has "c c c c? " -> 3-gram "c c c"
+    // x3 occurrences covering positions 0..4; coverage is 5 chars, not 9
+    val over = DatasetOps.repetitionSignals(
+      Seq((9L, "c c c c c")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"dup3_ppm").as[Long].head()
+    assert(over == 1000000L, s"coverage must dedup overlaps, got $over")
+  }
 }
