@@ -350,6 +350,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             keepFrac = frac)
           .queryExecution.analyzed
       }))
+    // Within-doc repetition signals from SQL (q252's operator — the
+    // Gopher self-repetition rules):
+    //   repetition_signals(table, id_col, text_col)
+    // Emits (id, n_words, word_chars, top2_cnt, top2_ppm, dup3_ppm).
+    ext.injectTableFunction((
+      new FunctionIdentifier("repetition_signals"),
+      new ExpressionInfo("graft.operators.DatasetOps", "repetition_signals"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: repetition_signals(table, id_col, text_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.DatasetOps.repetitionSignals(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "text_col"))
+          .queryExecution.analyzed
+      }))
     // DSIR-shaped importance scoring from SQL (q116's operator):
     //   importance_score(corpus_table, target_table, id_col, text_col[, k])
     // Emits (id, n_grams, score, avg_ratio).
@@ -1164,6 +1180,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import spark.implicits._
         graft.operators.Sketches.countMinEstimate(sketch,
             probes.toDF("term"), "term", depth, width)
+          .queryExecution.analyzed
+      }))
+    // KMV distinct-count estimates from SQL (q248's operator — the
+    // cardinality sibling of count_min_probe's frequency estimates):
+    // per-group k-minimum-values sketch over the named item column,
+    // emitting (group, n_distinct_est). The ad-hoc tier — the Scala
+    // surface (kmvMins/kmvMergeMins + DocIngest.runKmvIngest)
+    // persists and merges min-sets for build-once/probe-many.
+    ext.injectTableFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo("graft.operators.Sketches", "kmv_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: kmv_distinct(table, group_col, item_col, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val k = intLit(children(3), "k")
+        require(k >= 2, s"kmv_distinct: k must be >= 2, got $k")
+        val grp = strLit(children(1), "group_col")
+        graft.operators.Sketches.kmvEstimate(
+            graft.operators.Sketches.kmvMins(
+              spark.table(strLit(children(0), "table")),
+              Seq(grp), strLit(children(2), "item_col"), k),
+            Seq(grp), k)
           .queryExecution.analyzed
       }))
     // Weighted deterministic sampling from SQL (q199's operator).

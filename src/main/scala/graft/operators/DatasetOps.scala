@@ -1322,6 +1322,21 @@ object DatasetOps {
     (bits, m, k)
   }
 
+  /** Per-input-file provenance manifest — the ops census a 100 TB
+    * backfill debug starts from ("which landed file fed these rows,
+    * and how much"): rows grouped by [[input_file_name]], emitting
+    * row count and a payload sum per physical file. ONE map-side-
+    * combined aggregate keyed on the file name the scan already
+    * carries — metadata-scale output (files, not rows), no second
+    * read, no driver collection. The file name is the TASK's input
+    * split, so the census is exact under any partitioning; callers
+    * wanting logical lineage (shard id, date) parse it from the
+    * path (hive-style `k=v` components survive verbatim). */
+  def shardManifest(df: DataFrame, payload: Column): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(payload).cast(LongType).as("payload_sum"))
+
   /** WITHIN-doc repetition signals — the Gopher/MassiveText repetition
     * rules (Rae et al. 2021 §A1.1), the quality family member the
     * cross-doc tiers deliberately spare: q97/q113 cut text repeated

@@ -1169,6 +1169,45 @@ object Similarity {
       Pq.rankAsc(est, k)
     }
 
+    /** The composed serving shape, [[Pq.ivfAdcTopK]]'s SQ twin: IVF
+      * prunes WHICH vectors (nProbe nearest cells per query — the
+      * same caller-supplied-centroid geometry, so the oracle replays
+      * the cells), SQ reconstructions decide the ORDER — the scan
+      * touches ~nProbe/nCells of the corpus and reads only int8
+      * codes for it. Scoring is exactly [[sqTopK]]'s (the candidate
+      * set is the only difference — recall comes from the cell
+      * prune, never from a different estimator). */
+    def ivfSqTopK(queries: DataFrame, candidates: DataFrame,
+                  codes: DataFrame, cents: Seq[Seq[Double]], k: Int,
+                  nProbe: Int, mins: Seq[Double],
+                  maxs: Seq[Double]): DataFrame = {
+      val cells = candidates
+        .withColumn("_cell", bestCell(cents)(col("cvec")))
+        .select("cid", "_cell")
+      val qOnce = queries.dropDuplicates("qid")
+      val centLit = typedLit(cents)
+      val probes = qOnce
+        .select(col("qid"), col("qvec"),
+          posexplode(centLit).as(Seq("_cell", "_cent")))
+        .select(col("qid"), col("qvec"), col("_cell"),
+          cosineFast(col("_cent"), col("qvec")).as("_csim"))
+        .withColumn("_crank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("_csim").desc, col("_cell"))))
+        .filter(col("_crank") <= nProbe)
+        .select(col("qid"), col("_cell"))
+      val est = cells.join(broadcast(probes), Seq("_cell"))
+        .filter(col("cid") =!= col("qid"))
+        .join(codes, Seq("cid"))
+        .join(broadcast(qOnce.select(col("qid"), col("qvec").as("_qv"))),
+          Seq("qid"))
+        .withColumn("est_micro",
+          floor(l2Distance(col("_qv"),
+            decode(col("codes"), mins, maxs)) * 1e6).cast(LongType))
+        .select(col("qid"), col("cid"), col("est_micro"))
+      Pq.rankAsc(est, k)
+    }
+
     // ---- persisted SQ index (codes + minmax sidecar) -------------------
     // The [[Pq.writePqIndex]] layout lifted to the SQ tier: codes at
     // dir/codes, the per-dim (min, max) geometry BESIDE them at

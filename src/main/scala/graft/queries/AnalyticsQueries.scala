@@ -2027,11 +2027,136 @@ object AnalyticsQueries {
     },
     Some(sqProbeOracleSql))
 
+  // ---- q253: kmv_distinct TVF — the SQL door to the KMV sketch --------
+  // count_min_probe's cardinality sibling: the SQL persona asks "how
+  // many distinct tokens per source, approximately" without knowing
+  // the min-set machinery. Oracle = q248's replay (hash, rank, k
+  // minima, spacing estimator) trimmed to the estimate — the door
+  // must estimate exactly like the library call.
+
+  private val q253 = GraftQuery(
+    "q253_sql_kmv_distinct",
+    (s, d) => {
+      docs(s, d).select(col("source"),
+          explode(whitespaceTokens(col("text"))).as("tok"))
+        .createOrReplaceTempView("kmv_toks_sql")
+      s.sql(s"SELECT * FROM kmv_distinct('kmv_toks_sql', 'source', " +
+        s"'tok', $kmvK) ORDER BY source")
+    },
+    Some(s"""WITH toks AS (
+        SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'),
+            x -> length(x) > 0)) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT DISTINCT source,
+          CAST(concat('0x', substring(md5('kmv:' || tok), 1, 8))
+            AS BIGINT) AS h
+        FROM toks),
+      ranked AS (
+        SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed),
+      sk AS (
+        SELECT source, count(*) AS n, max(h) AS kth
+        FROM ranked WHERE rn <= $kmvK GROUP BY source)
+      SELECT source,
+        CAST(CASE WHEN n < $kmvK THEN n
+          ELSE (${kmvK - 1} * 4294967296) // kth END AS BIGINT)
+          AS n_distinct_est
+      FROM sk ORDER BY source"""))
+
+  // ---- q255: IVF-pruned SQ search --------------------------------------
+  // q229's scalar-quantization twin, completing the composed-serving
+  // matrix ({IVF prune} × {PQ, SQ} order): q55's md5-centroid cell
+  // prune picks the candidates, q250's int8 reconstructions order
+  // them. The oracle stitches the proven cell replay (geometry,
+  // argmax, probe ranking) to the proven SQ replay (ranges, codes,
+  // reconstruction l2) — drift at the composition boundary flips the
+  // hash.
+
+  private val q255 = GraftQuery(
+    "q255_ivf_sq_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val ev = e.select(col("vec_id").as("cid"), col("v"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))
+      val (mns, mxs) = graft.operators.Similarity.Sq.minMax(ev, "v", 64)
+      graft.operators.Similarity.Sq.ivfSqTopK(queries,
+        ev.select(col("cid"), col("v").as("cvec")),
+        ev.select(col("cid"), graft.operators.Similarity.Sq
+          .encode(col("v"), mns, mxs).as("codes")),
+        cents = graft.functions.VectorFunctions
+          .md5Vectors(16, 64, "cent"),
+        k = 5, nProbe = 4, mins = mns, maxs = mxs).orderBy("qid", "rank")
+    },
+    Some("""WITH cents AS (
+        SELECT c.c AS c, list(
+            CAST(concat('0x', substring(md5('cent:'||c.c||':'||d.d),
+              1, 8)) AS BIGINT) / 4294967296.0 * 2 - 1 ORDER BY d.d)
+            AS cv
+        FROM generate_series(0, 15) c(c), generate_series(0, 63) d(d)
+        GROUP BY c.c),
+      vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      ranked AS (
+        SELECT vec_id, v, c,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, c) AS rn
+        FROM (SELECT t.vec_id, t.v, kk.c,
+                list_dot_product(t.v, kk.cv) /
+                  (sqrt(list_dot_product(t.v, t.v)) *
+                   sqrt(list_dot_product(kk.cv, kk.cv))) AS sim
+              FROM vecs t CROSS JOIN cents kk)),
+      cellm AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, c AS cell
+        FROM ranked WHERE rn <= 4 AND vec_id < 10),
+      dims AS (
+        SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        FROM vecs CROSS JOIN generate_series(1, 64) t(j) GROUP BY j),
+      mm AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs
+        FROM dims),
+      codes AS (
+        SELECT vec_id AS cid,
+          list_transform(generate_series(1, 64), j ->
+            CASE WHEN mxs[j] > mns[j] THEN
+              CAST(least(greatest(
+                floor((v[j] - mns[j]) * 255.0 / (mxs[j] - mns[j])),
+                0.0), 255.0) AS BIGINT)
+            ELSE 0 END) AS codes
+        FROM vecs CROSS JOIN mm),
+      q AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+      cand AS (
+        SELECT p.qid, ce.vec_id AS cid
+        FROM probes p JOIN cellm ce
+          ON ce.cell = p.cell AND ce.vec_id <> p.qid),
+      pairs AS (
+        SELECT cand.qid, cand.cid,
+          list_transform(generate_series(1, 64), j ->
+            q.qv[j] - (mm.mns[j] + co.codes[j] * (mm.mxs[j] - mm.mns[j])
+              / 255.0)) AS dv
+        FROM cand
+        JOIN q ON q.qid = cand.qid
+        JOIN codes co ON co.cid = cand.cid
+        CROSS JOIN mm),
+      est AS (
+        SELECT qid, cid,
+          CAST(floor(sqrt(list_dot_product(dv, dv)) * 1000000.0)
+            AS BIGINT) AS est_micro
+        FROM pairs),
+      r AS (SELECT qid, cid, est_micro, row_number() OVER (
+          PARTITION BY qid ORDER BY est_micro, cid) AS rank
+        FROM est)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, cid, est_micro
+      FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
       q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235,
-      q248, q250, q251)
+      q248, q250, q251, q253, q255)
 }
 

@@ -1466,7 +1466,12 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           max(col("dup3_ppm")).as("max_dup3_ppm"))
         .orderBy(col("source"))
     },
-    Some("""WITH d AS (
+    Some(repetitionOracleSql))
+
+  /** The q252/q254 full-replay oracle — shared verbatim by the SQL
+    * door: the TVF must score exactly like the library call. */
+  private[queries] lazy val repetitionOracleSql: String =
+    ("""WITH d AS (
         SELECT doc_id, source, list_filter(
             regexp_split_to_array(lower(text), '\s+'),
             x -> length(x) > 0) AS ws
@@ -1527,5 +1532,67 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST(sum(top2_ppm) // count(*) AS BIGINT) AS avg_top2_ppm,
         CAST(sum(dup3_ppm) // count(*) AS BIGINT) AS avg_dup3_ppm,
         CAST(max(dup3_ppm) AS BIGINT) AS max_dup3_ppm
-      FROM per GROUP BY source ORDER BY source"""))
+      FROM per GROUP BY source ORDER BY source""")
+
+  // ---- q254: repetition_signals TVF — the SQL door --------------------
+  // The quality persona reaches the Gopher rules from pure SQL text:
+  // the TVF plans the identical operator, the query aggregates its
+  // per-doc rows exactly like q252's Scala side, and the oracle is
+  // q252's verbatim.
+
+  // ---- q256: shard provenance manifest ---------------------------------
+  // The ops census a 100 TB backfill debug starts from: docs land in
+  // an md5-sharded hive layout (the deterministic q64 draw family, so
+  // the oracle replays the assignment), the manifest reads them BACK
+  // and censuses by input_file_name — the physical file each row
+  // actually came from — then rolls files up to their parsed
+  // `shard=` component. Counts are invariant to how many part-files
+  // each shard dir holds (the file census re-aggregates exactly), so
+  // the row is deterministic while input_file_name stays load-bearing:
+  // a row attributed to the wrong physical file lands in the wrong
+  // shard and flips the hash.
+
+  private[queries] val manifestDirByInput = new graft.sources.JvmMemo[String]
+
+  private[queries] val q256: GraftQuery = GraftQuery(
+    "q256_shard_manifest",
+    (s, d) => {
+      val dir = LlmOps.materializedTempDir(manifestDirByInput, d,
+        "graft_mfst_") { out =>
+        docs(s, d)
+          .withColumn("shard",
+            expr("cast(conv(substring(md5(concat('mfst:', " +
+              "cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 4"))
+          .write.partitionBy("shard").mode("overwrite").parquet(out)
+      }
+      DatasetOps.shardManifest(s.read.parquet(dir), length(col("text")))
+        .withColumn("shard",
+          regexp_extract(col("file"), "shard=(\\d+)", 1).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_rows")).cast(LongType).as("n_docs"),
+          sum(col("payload_sum")).cast(LongType).as("n_chars"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH h AS (
+        SELECT doc_id, text,
+          CAST(concat('0x', substring(md5('mfst:' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard
+        FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM h GROUP BY 1 ORDER BY 1"""))
+
+  private[queries] val q254: GraftQuery = GraftQuery(
+    "q254_sql_repetition_door",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT d.source, count(*) AS n_docs,
+          sum(r.top2_ppm) div count(1) AS avg_top2_ppm,
+          sum(r.dup3_ppm) div count(1) AS avg_dup3_ppm,
+          max(r.dup3_ppm) AS max_dup3_ppm
+        FROM repetition_signals('documents', 'doc_id', 'text') r
+        JOIN documents d ON r.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source""")
+    },
+    Some(repetitionOracleSql))
 }

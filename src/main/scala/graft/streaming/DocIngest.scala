@@ -623,6 +623,60 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** SQ-CODE ingest — [[runPqIngest]]'s scalar-quantization twin:
+    * each arriving micro-batch of vectors is int8-coded with the
+    * index's SIDECAR ranges (`indexDir/minmax` —
+    * [[graft.operators.Similarity.Sq.writeSqIndex]]'s layout) and
+    * appended to `indexDir/codes`; raw vectors never land. A missing
+    * sidecar is BOOTSTRAPPED with `seedMinMax` (REQUIRED then — SQ
+    * has no md5 default: ranges are data geometry, and inventing them
+    * would quantize every later batch against a fiction); an existing
+    * sidecar always wins, so seeding never rewrites established
+    * geometry, and ranges stay FROZEN across the ingest — an
+    * out-of-range arrival clamps (the encode contract) instead of
+    * silently re-scaling the stored corpus. Sidecar read ONCE per
+    * drain. Delivery is the foreachBatch contract: at-least-once — a
+    * retry re-appends IDENTICAL (cid, codes) rows (codes are a pure
+    * function of the vector under frozen ranges), and
+    * [[graft.operators.Similarity.Sq.probeSqIndex]] applies the
+    * keep-first repair.
+    * @param rawDir JSONL of (vec_id: long, embedding: array<double>) */
+  def runSqIngest(spark: SparkSession, rawDir: String,
+                  indexDir: String, checkpointDir: String,
+                  maxFilesPerTrigger: Int = 1,
+                  seedMinMax: Option[(Seq[Double], Seq[Double])] = None)
+      : Unit = {
+    val Sq = graft.operators.Similarity.Sq
+    if (!hadoopExists(spark, s"$indexDir/minmax")) {
+      val (mns, mxs) = seedMinMax.getOrElse(throw new
+          IllegalArgumentException(
+            s"runSqIngest: no minmax sidecar at $indexDir/minmax and " +
+              s"no seedMinMax — SQ ranges are trained geometry " +
+              s"(Similarity.Sq.minMax); refusing to invent them"))
+      Sq.writeSqMinMax(spark, indexDir, mns, mxs)
+    }
+    val (mns, mxs) = Sq.readSqMinMax(spark, indexDir)
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val q = spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .select(col("vec_id").as("cid"), col("embedding").as("v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("cid"),
+          Sq.encode(col("v"), mns, mxs).as("codes"))
+          .write.mode("append").parquet(s"$indexDir/codes")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Merge the landed per-batch partial grids into the current sketch
     * (cell-wise sum — the count-min merge law), collapsing
     * at-least-once re-deliveries keep-first on (batch_id, row, cell)

@@ -1030,4 +1030,31 @@ class DatasetOpsSpec extends AnyFunSuite {
       .select($"dup3_ppm").as[Long].head()
     assert(over == 1000000L, s"coverage must dedup overlaps, got $over")
   }
+
+  test("shardManifest: per-physical-file counts and payload sums are exact, re-aggregation is split-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfst_spec_").toString
+    try {
+      val a = Seq((1L, "aa"), (2L, "bbb")).toDF("id", "t")
+      val b = Seq((3L, "cccc")).toDF("id", "t")
+      a.coalesce(1).write.parquet(s"$dir/p1")
+      b.coalesce(1).write.parquet(s"$dir/p2")
+      val got = DatasetOps.shardManifest(
+          spark.read.parquet(s"$dir/p1", s"$dir/p2"), length($"t"))
+        .collect().map(r => (r.getString(0).contains("/p1/"),
+          r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((true, 2L, 5L), (false, 1L, 4L)), got.toString)
+      // split-invariance: many part-files per logical key re-aggregate
+      // to the same totals (the q256 contract)
+      val many = Seq.tabulate(20)(i => (i.toLong, "x" * (i % 3 + 1)))
+        .toDF("id", "t").repartition(7)
+      many.write.mode("overwrite").parquet(s"$dir/p3")
+      val total = DatasetOps.shardManifest(
+          spark.read.parquet(s"$dir/p3"), length($"t"))
+        .agg(sum($"n_rows"), sum($"payload_sum"))
+        .as[(Long, Long)].head()
+      assert(total == ((20L, Seq.tabulate(20)(i => (i % 3 + 1).toLong).sum)))
+    } finally {
+      graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(dir))
+    }
+  }
 }

@@ -684,6 +684,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tight < wide)
   }
 
+  test("IVF+SQ composition: same estimator, candidates confined to probed cells") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ev = e.select(col("vec_id").as("cid"), col("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val (mns, mxs) = Similarity.Sq.minMax(ev, "v", 64)
+    val codes = ev.select(col("cid"),
+      Similarity.Sq.encode(col("v"), mns, mxs).as("codes"))
+    val cents = graft.functions.VectorFunctions.md5Vectors(16, 64, "cent")
+    val full = Similarity.Sq.sqTopK(queries, codes, 1000, mns, mxs)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val pruned = Similarity.Sq.ivfSqTopK(queries, cands, codes,
+      cents, k = 5, nProbe = 4, mins = mns, maxs = mxs).collect()
+    // the pruned ranking never invents a score: every returned pair's
+    // est equals the full SQ estimate for that pair
+    pruned.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(2))) === r.getLong(3))
+    }
+    // and pruning prunes: with nProbe=1 the candidate set shrinks
+    val tight = Similarity.Sq.ivfSqTopK(queries, cands, codes,
+      cents, k = 1000, nProbe = 1, mins = mns, maxs = mxs).count()
+    val wide = Similarity.Sq.ivfSqTopK(queries, cands, codes,
+      cents, k = 1000, nProbe = 16, mins = mns, maxs = mxs).count()
+    assert(tight < wide)
+  }
+
   test("ivfAdcTopK: duplicated qid rows collapse keep-one, no duplicate top-k slots") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -103,4 +103,22 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(merged == whole, s"merge law broken: ${merged.size}/${whole.size}")
   }
+
+  test("kmv_distinct TVF equals the Scala sketch; bad k refused") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", s"it${i % 97}"))
+      .toDF("g", "item")
+    df.createOrReplaceTempView("kmv_tvf_spec")
+    val viaSql = spark.sql(
+      "SELECT * FROM kmv_distinct('kmv_tvf_spec', 'g', 'item', 16) " +
+        "ORDER BY g").collect().map(_.toSeq).toSeq
+    val direct = Sketches.kmvEstimate(
+        Sketches.kmvMins(df, Seq("g"), "item", 16), Seq("g"), 16)
+      .orderBy($"g").collect().map(_.toSeq).toSeq
+    assert(viaSql == direct && direct.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM kmv_distinct('kmv_tvf_spec', 'g', " +
+        "'item', 1)").collect()
+    }
+    assert(e.getMessage.contains("k must be >= 2"), e.getMessage.take(200))
+  }
 }

@@ -583,6 +583,54 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming SQ ingest: grown codes equal the batch encode under frozen sidecar ranges; missing seed refuses") {
+    import spark.implicits._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_sqingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val idx = root.resolve("sqidx")
+    val ckpt = root.resolve("ckpt")
+    val Sq = graft.operators.Similarity.Sq
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val ev = e.select(col("vec_id").as("cid"), col("embedding").as("v"))
+    // no sidecar and no seed: loud refusal (ranges are trained
+    // geometry — inventing them would mis-quantize every batch)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.DocIngest.runSqIngest(spark,
+        raw.toString + "/*/", idx.toString, ckpt.toString)
+    }
+    assert(err.getMessage.contains("seedMinMax"), err.getMessage.take(200))
+    // seed trained on the FIRST shard only, then both shards ingest
+    // under those frozen ranges — shard 2 values outside them clamp,
+    // exactly like the batch encode with the same ranges
+    val (mns, mxs) = Sq.minMax(
+      ev.filter(col("cid") % 2 === 0), "v", 64)
+    e.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    e.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    graft.streaming.DocIngest.runSqIngest(spark,
+      raw.toString + "/*/", idx.toString, ckpt.toString,
+      seedMinMax = Some((mns, mxs)))
+    val want = ev.select(col("cid"), Sq.encode(col("v"), mns, mxs)
+        .as("codes"))
+      .collect().map(_.toSeq).toSet
+    def landed(): Set[Seq[Any]] =
+      spark.read.parquet(idx.resolve("codes").toString)
+        .dropDuplicates("cid").collect().map(_.toSeq).toSet
+    assert(landed() === want)
+    // the sidecar recorded the seed ranges: probeable by ANY session
+    assert(Sq.readSqMinMax(spark, idx.toString) === ((mns, mxs)))
+    // at-least-once: re-land shard 1's identical rows; keep-first
+    // read restores the exactly-once table
+    ev.filter(col("cid") % 2 === 0)
+      .select(col("cid"), Sq.encode(col("v"), mns, mxs).as("codes"))
+      .write.mode("append").parquet(idx.resolve("codes").toString)
+    assert(landed() === want)
+    deleteRec(root)
+  }
+
   test("streaming sketch ingest: merged grid equals the batch build; replay repaired") {
     import graft.operators.Sketches
     import graft.functions.TextFunctions.whitespaceTokens
