@@ -1255,6 +1255,87 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
         ORDER BY a, b"""))
   }
 
+  // ---- q257: semantic kNN from raw TEXT --------------------------------
+  // The end-to-end text→vector→serving composition with ZERO external
+  // models: docs → hashing-trick term-frequency vectors (q204's
+  // 'feat:' bucketing, 64 buckets) → JL projection to 16 dims (q243's
+  // md5 planes and √(3/k) scale) → exact cosine top-5 (q45's ranking
+  // contract). Every stage is an already-oracled operator; this query
+  // gates that they COMPOSE — the deterministic answer to "find me
+  // documents like this one" when no embedding model exists yet, and
+  // the feed a bootstrap semantic-dedup pass runs on. Scale shape:
+  // the tf build and the projection are narrow maps over (id, bucket)
+  // censuses; the exact scan is the q45 ground-truth tier (queries
+  // broadcast, corpus scanned once, bounded-heap ranking) — the
+  // banded/IVF tiers take over at production scale, fed by the SAME
+  // projected vectors.
+
+  private[queries] val q257: GraftQuery = {
+    val planes = md5Vectors(16, 64, "jl")
+    val scale = math.sqrt(3.0) / 4.0
+    GraftQuery(
+      "q257_text_semantic_knn",
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"),
+          explode(whitespaceTokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("doc_id"),
+            (conv(substring(md5(concat(lit("feat:"), col("tok"))), 1, 8),
+              16, 10).cast(LongType) % 64).as("b"))
+          .agg(count(lit(1)).as("tf"))
+        val dense = tf.groupBy(col("doc_id"))
+          .agg(array((0 until 64).map(j =>
+            sum(when(col("b") === j, col("tf")).otherwise(0L))
+              .cast(DoubleType)): _*).as("v"))
+        val proj = dense.select(col("doc_id"),
+          array(planes.map(p => dot(col("v"), typedLit(p)) * scale): _*)
+            .as("y"))
+        Similarity.bruteForceTopK(
+          proj.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("qid"), col("y").as("qvec")),
+          proj.select(col("doc_id").as("cid"), col("y").as("cvec")), 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> length(x) > 0) AS tk
+        FROM documents),
+      d1 AS (SELECT doc_id, tk FROM d0 WHERE len(tk) > 0),
+      tx AS (SELECT doc_id, unnest(tk) AS tok FROM d1),
+      tf AS (SELECT doc_id,
+          CAST(concat('0x', substring(md5('feat:' || tok), 1, 8))
+            AS BIGINT) % 64 AS b,
+          count(*) AS tf
+        FROM tx GROUP BY 1, 2),
+      grid AS (SELECT d1.doc_id, g.b
+        FROM d1 CROSS JOIN generate_series(0, 63) g(b)),
+      dense AS (SELECT grid.doc_id,
+          list(CAST(coalesce(tf.tf, 0) AS DOUBLE) ORDER BY grid.b) AS v
+        FROM grid LEFT JOIN tf
+          ON tf.doc_id = grid.doc_id AND tf.b = grid.b
+        GROUP BY grid.doc_id),
+      planes AS (SELECT p.p AS p, list(
+            CAST(concat('0x', substring(md5('jl:'||p.p||':'||d.d), 1, 8))
+              AS BIGINT) / 4294967296.0 * 2 - 1 ORDER BY d.d) AS pv
+        FROM generate_series(0, 15) p(p), generate_series(0, 63) d(d)
+        GROUP BY p.p),
+      proj AS (SELECT doc_id, list(dp ORDER BY p) AS y
+        FROM (SELECT t.doc_id, pl.p,
+            list_dot_product(t.v, pl.pv) * $scale AS dp
+          FROM dense t CROSS JOIN planes pl)
+        GROUP BY doc_id),
+      q AS (SELECT doc_id AS qid, y AS qy FROM proj WHERE doc_id < 10),
+      sc AS (SELECT qid, proj.doc_id AS cid,
+          round(list_dot_product(qy, y) /
+            (sqrt(list_dot_product(qy, qy)) *
+             sqrt(list_dot_product(y, y))), 6) AS sim
+        FROM q CROSS JOIN proj WHERE proj.doc_id <> qid)
+      SELECT qid, rank, cid, sim FROM (
+        SELECT qid, cid, sim, row_number() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM sc) t
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+  }
+
   // ---- q249: scalar quantization (int8) census -------------------------
   // The SQ member of the quantization family beside PQ (q221): per-dim
   // (min, max) → int8 codes → 4× memory cut on the serving tier, a
