@@ -1118,7 +1118,8 @@ object Similarity {
       * the oracle runs the identical expression on the identical
       * doubles, so codes replay bit-exactly (floor, not round:
       * round-half ties break differently across engines). One narrow
-      * codegen'd map — 4× memory cut on the serving tier, no shuffle. */
+      * map (higher-order transform — interpreted eval, dim-bounded
+      * per row) — 4× memory cut on the serving tier, no shuffle. */
     def encode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
       val (mn, mx) = (typedLit(mins), typedLit(maxs))
       transform(sequence(lit(1), lit(mins.size)), j => {
@@ -1150,11 +1151,14 @@ object Similarity {
       * metric; floor-micro keeps the order replayable across
       * engines). The query frame broadcasts (small by construction,
       * keep-one on qid — the [[Pq.ivfAdcTopK]] lesson applied from
-      * the start); candidates stream one narrow codegen'd scan of
-      * m-byte codes, never raw vectors — the 4× memory cut is what
-      * makes a 100 TB embedding store scannable. Ranking rides the
-      * shared bounded-heap tail ([[Pq.rankAsc]]): only queries×k rows
-      * meet a sort. Self-matches (cid == qid) excluded, the ADC
+      * the start); candidates stream one narrow scan of int8 codes,
+      * never raw vectors — the 4× memory cut is what makes a 100 TB
+      * embedding store scannable. The per-row distance is a
+      * higher-order-function fold (interpreted eval — bounded at
+      * 2·dim ops per candidate row; the integer-LUT fast path at
+      * scale is [[Pq.adcTopK]], by design). Ranking rides the shared
+      * bounded-heap tail ([[Pq.rankAsc]]): only queries×k rows meet a
+      * sort. Self-matches (cid == qid) excluded, the ADC
       * convention. */
     def sqTopK(queries: DataFrame, codes: DataFrame, k: Int,
                mins: Seq[Double], maxs: Seq[Double]): DataFrame = {

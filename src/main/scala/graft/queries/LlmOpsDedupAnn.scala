@@ -1339,7 +1339,7 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
   // ---- q249: scalar quantization (int8) census -------------------------
   // The SQ member of the quantization family beside PQ (q221): per-dim
   // (min, max) → int8 codes → 4× memory cut on the serving tier, a
-  // narrow codegen'd map with NO shuffle (the training pass is 2·64
+  // narrow per-row map with NO shuffle (the training pass is 2·64
   // map-side-combined aggregates picked up as one row). Codes use
   // floor, not round — round-half ties break differently across
   // engines — and both engines run the IDENTICAL operand order, so

@@ -97,7 +97,17 @@ class GoldenPlanSpec extends AnyFunSuite {
     // re-aggregation of the base in this plan means the delta
     // algebra broke)
     "q221_pq_adc",
-    "q198_incremental_agg")
+    "q198_incremental_agg",
+    // r10: the stored-SQ probe — load-bearing tokens are the stored-
+    // code FileScan cross-joined against the tiny BROADCAST query
+    // side and the TopKPerGroup heap phases (a reappearing Window
+    // sort of the scored set, or the query side arriving by shuffle,
+    // IS the regression); and the IVF+SQ composition — load-bearing
+    // are the broadcast probe join confining candidates to probed
+    // cells BEFORE the code join (candidates scored without a cell
+    // filter means the prune broke) and the same heap tail
+    "q250_sq_index_probe",
+    "q255_ivf_sq_search")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
