@@ -39,6 +39,34 @@ object ViewIngest {
         st.getPath.toString))
   }
 
+  /** Retention GC for the `v=<batchId>` versioned-state convention —
+    * the missing lifecycle step of the out-of-place publish (every
+    * batch lands a FULL successor snapshot, so superseded versions
+    * accumulate forever without this): keep the newest `keep`
+    * versions, delete the rest, return the pruned batch ids.
+    *
+    * Safety contract: readers ([[readAggView]],
+    * [[graft.streaming.DocIngest.readKmvState]]) read the HIGHEST
+    * version, which is never pruned — a concurrent reader can at
+    * worst lose a superseded version it would not have picked. The
+    * retried-batch repair, however, reads the latest version
+    * STRICTLY BELOW the retried id — so `keep` must cover the
+    * maximum expected retry lag while the stream is live; `keep = 1`
+    * is only safe on a drained stream. */
+  def pruneVersions(spark: SparkSession, stateDir: String,
+                    keep: Int): Seq[Long] = {
+    require(keep >= 1,
+      s"pruneVersions: keep must be >= 1 (the newest version is the " +
+        s"live state), got $keep")
+    val victims = versionDirs(spark, stateDir).sortBy(-_._1).drop(keep)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    victims.foreach { case (_, dir) =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    victims.map(_._1)
+  }
+
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1011,6 +1011,43 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("pruneVersions: superseded state versions deleted, live version and readers untouched, keep=0 refused") {
+    import spark.implicits._
+    import graft.streaming.{DocIngest, ViewIngest}
+    import graft.operators.Sketches
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_prune_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val state = root.resolve("state")
+    val ckpt = root.resolve("ckpt")
+    def doc(id: Long, lo: Int, hi: Int) =
+      (id, "a", "en", (lo until hi).map(i => s"w$i").mkString(" "))
+    Seq(doc(1, 0, 40)).toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.json(raw.resolve("f1").toString)
+    Seq(doc(2, 30, 80)).toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.json(raw.resolve("f2").toString)
+    DocIngest.runKmvIngest(spark, raw.toString + "/*/",
+      state.toString, ckpt.toString, k = 16)
+    val before = DocIngest.readKmvState(spark, state.toString)
+      .collect().map(_.toSeq).toSet
+    assert(java.nio.file.Files.list(state).count() >= 2,
+      "fixture needs >= 2 versions")
+    val pruned = ViewIngest.pruneVersions(spark, state.toString, keep = 1)
+    assert(pruned.nonEmpty, "expected at least one superseded version")
+    // exactly one version dir survives, and it is the one readers see
+    val left = java.nio.file.Files.list(state).iterator()
+    var dirs = List.empty[String]
+    while (left.hasNext) dirs ::= left.next().getFileName.toString
+    assert(dirs.count(_.startsWith("v=")) == 1, dirs.toString)
+    assert(DocIngest.readKmvState(spark, state.toString)
+      .collect().map(_.toSeq).toSet === before)
+    val e = intercept[IllegalArgumentException] {
+      ViewIngest.pruneVersions(spark, state.toString, keep = 0)
+    }
+    assert(e.getMessage.contains("keep must be >= 1"),
+      e.getMessage.take(200))
+    deleteRec(root)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_state_spec")
