@@ -350,6 +350,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             keepFrac = frac)
           .queryExecution.analyzed
       }))
+    // WARC record extraction from SQL (q258's operator — crawl stage
+    // zero through the parser door):
+    //   warc_records(table, blob_col)
+    // Emits the input columns plus (uri, content_length, payload,
+    // len_ok) — one row per recovered record.
+    ext.injectTableFunction((
+      new FunctionIdentifier("warc_records"),
+      new ExpressionInfo("graft.sources.Warc", "warc_records"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "usage: warc_records(table, blob_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tbl = spark.table(strLit(children(0), "table"))
+        val blobCol = strLit(children(1), "blob_col")
+        require(tbl.columns.contains(blobCol),
+          s"warc_records: table lacks column '$blobCol'")
+        graft.sources.Warc.parseRecords(tbl, blobCol)
+          .queryExecution.analyzed
+      }))
     // Within-doc repetition signals from SQL (q252's operator — the
     // Gopher self-repetition rules):
     //   repetition_signals(table, id_col, text_col)

@@ -1534,6 +1534,114 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST(max(dup3_ppm) AS BIGINT) AS max_dup3_ppm
       FROM per GROUP BY source ORDER BY source""")
 
+  // ---- q258: WARC record extraction (crawl stage zero) ----------------
+  // The seam every web-crawl pipeline STARTS at, previously absent
+  // from the inventory: documents are rendered as WARC/1.0 response
+  // records (the writer side of the seam — deterministic, so the
+  // oracle rebuilds the identical blobs), concatenated per source in
+  // doc_id order, then the parser recovers every record and the
+  // census gates structure (n_records), integrity (Content-Length ==
+  // recovered payload, the mis-split detector) and CONTENT (payload
+  // byte-equal to the original text, per record via the URI join) —
+  // a parser off by one CRLF anywhere flips at least one of the
+  // three.
+
+  private[queries] def warcBlobs(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Warc
+    val uri = concat(lit("http://"), col("source"), lit("/"),
+      col("doc_id"))
+    docs(s, d).select(col("source"), col("doc_id"),
+        Warc.record(uri, col("text")).as("r"))
+      .groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id").as("i"),
+          col("r").as("r")))),
+        e => e.getField("r")), "\r\n\r\n").as("blob"))
+  }
+
+  private[queries] val q258: GraftQuery = GraftQuery(
+    "q258_warc_extract",
+    (s, d) => {
+      val uri = concat(lit("http://"), col("source"), lit("/"),
+        col("doc_id"))
+      val parsed = graft.sources.Warc.parseRecords(warcBlobs(s, d), "blob")
+        .select(col("source"), col("uri"), col("payload"), col("len_ok"))
+      parsed
+        .join(docs(s, d).select(col("source"), uri.as("uri"),
+          col("text")), Seq("source", "uri"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+          sum(length(col("payload"))).cast(LongType).as("payload_chars"),
+          sum(when(col("payload") === col("text"), 1L).otherwise(0L))
+            .as("n_roundtrip"))
+        .orderBy(col("source"))
+    },
+    Some(warcOracleSql))
+
+  /** The q258/q259 full-replay oracle — shared verbatim by the SQL
+    * door: the TVF must parse exactly like the library call. */
+  private[queries] lazy val warcOracleSql: String =
+    ("""WITH rec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || length(text) ||
+            e'\r\n\r\n' || text AS r
+        FROM documents),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM rec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Target-URI: ([^\r]*)', 1) AS uri,
+          TRY_CAST(regexp_extract(rc, 'Content-Length: (\d+)', 1)
+            AS BIGINT) AS cl,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm),
+      d2 AS (
+        SELECT source, 'http://' || source || '/' || doc_id AS uri, text
+        FROM documents)
+      SELECT p.source, count(*) AS n_records,
+        CAST(sum(CASE WHEN p.cl IS NOT NULL AND p.cl = length(p.payload)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        CAST(sum(length(p.payload)) AS BIGINT) AS payload_chars,
+        CAST(sum(CASE WHEN p.payload = d2.text THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_roundtrip
+      FROM parsed p JOIN d2 ON p.source = d2.source AND p.uri = d2.uri
+      GROUP BY p.source ORDER BY p.source""")
+
+  // ---- q259: warc_records TVF — the SQL door ---------------------------
+  // Crawl stage zero from pure SQL: the registered blob table flows
+  // through the injected parser and the census aggregates the TVF's
+  // rows exactly like q258's Scala side; oracle shared verbatim.
+
+  private[queries] val q259: GraftQuery = GraftQuery(
+    "q259_sql_warc_door",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      warcBlobs(s, d).createOrReplaceTempView("warc_blobs_sql")
+      s.sql("""SELECT w.source, count(*) AS n_records,
+          sum(CASE WHEN w.len_ok THEN 1L ELSE 0L END) AS n_len_ok,
+          CAST(sum(length(w.payload)) AS BIGINT) AS payload_chars,
+          sum(CASE WHEN w.payload = d.text THEN 1L ELSE 0L END)
+            AS n_roundtrip
+        FROM warc_records('warc_blobs_sql', 'blob') w
+        JOIN (SELECT source,
+            concat('http://', source, '/', doc_id) AS uri, text
+          FROM documents) d
+          ON w.source = d.source AND w.uri = d.uri
+        GROUP BY w.source ORDER BY w.source""")
+    },
+    Some(warcOracleSql))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its
