@@ -319,4 +319,29 @@ object TextFunctions {
         regexp_replace(c, from, to) }
     trim(regexp_replace(ent, "\\s+", " "))
   }
+
+  /** URL canonicalization — the crawl-frontier dedup key: the same
+    * page arrives spelled a dozen ways (`HTTP://WWW.Host:80/p/`,
+    * `http://host/p#frag`, …) and a frontier keyed on raw strings
+    * re-fetches every spelling. Normalizes, in order: fragment
+    * stripped, scheme+authority lowercased (the case-insensitive
+    * parts per RFC 3986 — the PATH keeps its case, it is
+    * case-sensitive), default ports dropped (`:80` for http, `:443`
+    * for https), a leading `www.` dropped, trailing path slashes
+    * trimmed. A chain of codegen'd regexp ops, zero-shuffle,
+    * RE2-compatible (the lowercase leg splits authority from path
+    * relationally — no \L case-fold escapes, which RE2 replayers
+    * lack). Contract: absolute http(s) URLs; query strings pass
+    * through verbatim (param reordering is site-semantic, not
+    * syntax — deliberately NOT normalized). */
+  def urlNormalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val auth = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z]+://[^/]*", "")
+    val noPort = regexp_replace(
+      regexp_replace(auth, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    concat(noWww, regexp_replace(rest, "/+$", ""))
+  }
 }

@@ -1642,6 +1642,83 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     },
     Some(warcOracleSql))
 
+  // ---- q260: URL canonicalization census --------------------------------
+  // The crawl-frontier dedup key: deterministic spelling variants
+  // (scheme/www case, default ports, trailing slash, fragments) are
+  // planted around a canonical (scheme-class, host, path) identity,
+  // and the census gates that normalization collapses raw spellings
+  // to exactly the canonical count — plus an md5 mass over the
+  // DISTINCT normalized strings, so a normalization that drifts while
+  // preserving counts (lowercasing the path, say — which is WRONG,
+  // paths are case-sensitive) still flips the hash.
+
+  private[queries] val q260: GraftQuery = GraftQuery(
+    "q260_url_normalize",
+    (s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 4 === 0, "HTTP://").when(id % 4 === 1, "http://")
+          .when(id % 4 === 2, "https://").otherwise("HTTPS://"),
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "www.")
+          .otherwise(""),
+        col("source"), lit(".example.com"),
+        when(id % 5 === 0 && id % 4 < 2, ":80")
+          .when(id % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), id % 7,
+        when(id % 2 === 0, "/").otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise(""))
+      val withN = docs(s, d).select(col("source"), raw.as("u"))
+        .withColumn("n", urlNormalize(col("u")))
+      val counts = withN.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("u")).as("n_raw_distinct"),
+          countDistinct(col("n")).as("n_norm_distinct"))
+      val mass = withN.select(col("source"), col("n")).distinct()
+        .groupBy(col("source"))
+        .agg(sum(conv(substring(md5(col("n")), 1, 8), 16, 10)
+          .cast(LongType)).cast(LongType).as("norm_mass"))
+      counts.join(mass, Seq("source")).orderBy(col("source"))
+    },
+    Some("""WITH u0 AS (
+        SELECT source,
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+            WHEN doc_id % 4 = 1 THEN 'http://'
+            WHEN doc_id % 4 = 2 THEN 'https://'
+            ELSE 'HTTPS://' END ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+          source || '.example.com' ||
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || (doc_id % 7) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        FROM documents),
+      parts AS (
+        SELECT source, u, regexp_replace(u, '#.*$', '') AS nofrag
+        FROM u0),
+      norm AS (
+        SELECT source, u,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(nofrag, '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(nofrag,
+            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+        FROM parts)
+      SELECT nm.source, nm.n_urls, nm.n_raw_distinct,
+        nm.n_norm_distinct, ms.norm_mass
+      FROM (SELECT source, count(*) AS n_urls,
+          count(DISTINCT u) AS n_raw_distinct,
+          count(DISTINCT n) AS n_norm_distinct
+        FROM norm GROUP BY source) nm
+      JOIN (SELECT source, CAST(sum(CAST(concat('0x',
+            substring(md5(n), 1, 8)) AS BIGINT)) AS BIGINT) AS norm_mass
+        FROM (SELECT DISTINCT source, n FROM norm) GROUP BY source) ms
+        ON nm.source = ms.source
+      ORDER BY nm.source"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

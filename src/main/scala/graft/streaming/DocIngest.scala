@@ -44,6 +44,48 @@ object DocIngest {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
 
+  /** WARC-shard ingest — crawl stage zero as a stream: each arriving
+    * FILE is one WARC blob (`wholetext` — a line-framed reader would
+    * shred records at every CRLF), records recovered by
+    * [[graft.sources.Warc.parseRecords]], integrity-failed records
+    * (`len_ok = false` — truncation or a boundary mis-split)
+    * quarantined WITH their declared/recovered lengths (the audit
+    * trail), clean payloads fed through the standard [[ingest]] gate
+    * (quality floor + digest dedup — WITHIN each micro-batch here:
+    * foreachBatch runs the transform on plain batches, so cross-shard
+    * exact dedup belongs to the downstream keep-first on content_hash
+    * or a persisted-index gate, the [[runNearDupGate]] pattern) and
+    * landed. The uri rides along as the doc's provenance. Delivery is
+    * the foreachBatch contract — at-least-once. */
+  def runWarcIngest(spark: SparkSession, rawDir: String, outDir: String,
+                    quarantineDir: String, checkpointDir: String,
+                    minTokens: Int = 3,
+                    maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .option("wholetext", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val recs = graft.sources.Warc.parseRecords(batch, "value")
+          .persist() // two consumers: quarantine split + clean landing
+        try {
+          recs.filter(!col("len_ok"))
+            .select(col("uri"), col("content_length"),
+              length(col("payload")).as("recovered_length"))
+            .write.mode("append").json(quarantineDir)
+          ingest(recs.filter(col("len_ok"))
+              .select(col("uri"), col("payload").as("text")),
+              minTokens)
+            .write.mode("append").json(outDir)
+        } finally { recs.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Distinct benchmark word-`k`-gram hashes, driver-collected ONCE —
     * the EXACT static side of the streaming decontamination gate. One
     * small batch job (the benchmark is the small table by

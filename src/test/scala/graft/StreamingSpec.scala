@@ -1011,6 +1011,43 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming WARC ingest: records recovered per shard file, truncated record quarantined with lengths, clean docs land") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_warc_ingest")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val quar = root.resolve("quar"); val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    def rec(uri: String, p: String, declared: Int = -1) =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${if (declared >= 0) declared else p.length}" +
+        s"\r\n\r\n$p"
+    // shard 1: two clean records; shard 2: one clean + one TRUNCATED
+    // (declared 50, delivered 19) — the integrity split under stream
+    java.nio.file.Files.write(raw.resolve("shard1.warc"),
+      Seq(rec("http://a/1", "alpha beta gamma delta"),
+        rec("http://a/2", "epsilon zeta eta theta"))
+        .mkString("\r\n\r\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(raw.resolve("shard2.warc"),
+      Seq(rec("http://a/3", "iota kappa lambda mu"),
+        rec("http://a/4", "truncated body here", declared = 50))
+        .mkString("\r\n\r\n").getBytes("UTF-8"))
+    DocIngest.runWarcIngest(spark, raw.toString, out.toString,
+      quar.toString, ckpt.toString, minTokens = 3)
+    val landed = spark.read.json(out.toString)
+      .select($"uri", $"text").as[(String, String)].collect().toMap
+    assert(landed == Map(
+      "http://a/1" -> "alpha beta gamma delta",
+      "http://a/2" -> "epsilon zeta eta theta",
+      "http://a/3" -> "iota kappa lambda mu"), landed.toString)
+    val q = spark.read.json(quar.toString)
+      .select($"uri", $"content_length", $"recovered_length")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(q == Seq(("http://a/4", 50L, 19L)), q.toString)
+    deleteRec(root)
+  }
+
   test("pruneVersions: superseded state versions deleted, live version and readers untouched, keep=0 refused") {
     import spark.implicits._
     import graft.streaming.{DocIngest, ViewIngest}

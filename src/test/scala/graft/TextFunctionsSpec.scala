@@ -151,4 +151,28 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select($"sc.latin", $"sc.replacement").as[(Int, Int)].head()
     assert(z == ((0, 0)))
   }
+
+  test("urlNormalize: case/port/www/fragment/trailing-slash collapse; path case and query preserved") {
+    def norm(u: String): String = Seq(u).toDF("u")
+      .select(urlNormalize($"u")).as[String].head()
+    // the full variant stack collapses to the canonical spelling
+    assert(norm("HTTP://WWW.Host.Example.COM:80/p/3/#sec") ==
+      "http://host.example.com/p/3")
+    assert(norm("https://www.host.example.com:443/p/3") ==
+      "https://host.example.com/p/3")
+    // already-canonical input is a fixed point (idempotence)
+    assert(norm("http://host.example.com/p/3") ==
+      "http://host.example.com/p/3")
+    assert(norm(norm("HTTPS://WWW.H.io:443/A/")) == norm("HTTPS://WWW.H.io:443/A/"))
+    // the PATH keeps its case (case-sensitive per RFC 3986)...
+    assert(norm("http://Host.com/CaseSensitive/Path") ==
+      "http://host.com/CaseSensitive/Path")
+    // ...non-default ports survive, and so do query strings, verbatim
+    assert(norm("http://host.com:8080/x") == "http://host.com:8080/x")
+    assert(norm("http://host.com/x?b=2&a=1") == "http://host.com/x?b=2&a=1")
+    // a www-less host never loses its prefix-lookalike
+    assert(norm("http://wwwhost.com/x") == "http://wwwhost.com/x")
+    // :443 on http (or :80 on https) is NOT a default port — kept
+    assert(norm("http://host.com:443/x") == "http://host.com:443/x")
+  }
 }
