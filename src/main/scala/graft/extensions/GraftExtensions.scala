@@ -78,6 +78,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.catalyst.expressions.Literal(t))
         }
       }))
+    // URL canonicalization from SQL — TextFunctions.urlNormalize's
+    // chain expanded at resolution into the same stock RegExp/Lower/
+    // Concat nodes the Column API builds (the fix_mojibake pattern:
+    // one implementation, two doors).
+    ext.injectFunction((
+      new FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "url_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "url_normalize expects exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{Concat, Literal,
+          Lower, RegExpExtract, RegExpReplace}
+        def rr(e: Expression, p: String, r: String): Expression =
+          RegExpReplace(e, Literal(p), Literal(r))
+        val noFrag = rr(children.head, "#.*$", "")
+        val auth = Lower(RegExpExtract(noFrag,
+          Literal("^([A-Za-z]+://[^/]*)"), Literal(1)))
+        val rest = rr(noFrag, "^[A-Za-z]+://[^/]*", "")
+        val noWww = rr(rr(rr(auth,
+          "^(http://[^/:]*):80$", "$1"),
+          "^(https://[^/:]*):443$", "$1"),
+          "^(https?://)www\\.", "$1")
+        Concat(Seq(noWww, rr(rest, "/+$", "")))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("redact_pii"),
       new ExpressionInfo(

@@ -1679,7 +1679,13 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           .cast(LongType)).cast(LongType).as("norm_mass"))
       counts.join(mass, Seq("source")).orderBy(col("source"))
     },
-    Some("""WITH u0 AS (
+    Some(urlOracleSql))
+
+  /** The q260/q261 full-replay oracle — shared verbatim by the SQL
+    * door: `url_normalize` must normalize exactly like the Column
+    * chain it expands to. */
+  private[queries] lazy val urlOracleSql: String =
+    ("""WITH u0 AS (
         SELECT source,
           CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
             WHEN doc_id % 4 = 1 THEN 'http://'
@@ -1717,7 +1723,45 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             substring(md5(n), 1, 8)) AS BIGINT)) AS BIGINT) AS norm_mass
         FROM (SELECT DISTINCT source, n FROM norm) GROUP BY source) ms
         ON nm.source = ms.source
-      ORDER BY nm.source"""))
+      ORDER BY nm.source""")
+
+  // ---- q261: url_normalize SQL door -------------------------------------
+  // q260's census through pure SQL text: the injected scalar expands
+  // into the identical RegExp/Lower/Concat chain at resolution, so
+  // one implementation serves both doors; oracle shared verbatim.
+
+  private[queries] val q261: GraftQuery = GraftQuery(
+    "q261_sql_url_door",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""WITH u0 AS (
+          SELECT source, concat(
+            CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+              WHEN doc_id % 4 = 1 THEN 'http://'
+              WHEN doc_id % 4 = 2 THEN 'https://'
+              ELSE 'HTTPS://' END,
+            CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+              WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END,
+            source, '.example.com',
+            CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+              WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+            '/p/', CAST(doc_id % 7 AS STRING),
+            CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS u
+          FROM documents),
+        n0 AS (SELECT source, u, url_normalize(u) AS n FROM u0),
+        c AS (SELECT source, count(*) AS n_urls,
+            count(DISTINCT u) AS n_raw_distinct,
+            count(DISTINCT n) AS n_norm_distinct
+          FROM n0 GROUP BY source),
+        m AS (SELECT source, CAST(sum(CAST(conv(substring(md5(n), 1, 8),
+              16, 10) AS BIGINT)) AS BIGINT) AS norm_mass
+          FROM (SELECT DISTINCT source, n FROM n0) GROUP BY source)
+        SELECT c.source, c.n_urls, c.n_raw_distinct, c.n_norm_distinct,
+          m.norm_mass
+        FROM c JOIN m ON c.source = m.source ORDER BY c.source""")
+    },
+    Some(urlOracleSql))
 
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:

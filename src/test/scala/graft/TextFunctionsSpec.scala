@@ -175,4 +175,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     // :443 on http (or :80 on https) is NOT a default port — kept
     assert(norm("http://host.com:443/x") == "http://host.com:443/x")
   }
+
+  test("url_normalize SQL door equals the Column API; arity refused") {
+    val urls = Seq("HTTP://WWW.Host.COM:80/A/b/#f",
+      "https://www.h.io:443/x?q=1", "http://plain.org/p",
+      "not-a-url").toDF("u")
+    urls.createOrReplaceTempView("url_door_spec")
+    val viaSql = spark.sql(
+      "SELECT url_normalize(u) FROM url_door_spec ORDER BY u")
+      .as[String].collect().toSeq
+    val direct = urls.select(urlNormalize($"u").as("n"))
+      .orderBy($"u").as[String].collect().toSeq
+    assert(viaSql == direct && direct.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql("SELECT url_normalize('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument"),
+      e.getMessage.take(200))
+  }
 }
