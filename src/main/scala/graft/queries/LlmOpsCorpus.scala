@@ -1763,6 +1763,107 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     },
     Some(urlOracleSql))
 
+  // ---- q262: robots.txt verdict census -----------------------------------
+  // Crawl politeness between the frontier (q260) and the fetch
+  // (q258): every host publishes the same deterministic robots body
+  // (two groups, comments, an ignored Crawl-delay, a boundary where
+  // an agent line follows a rule line), and two agents — one with its
+  // own group, one falling back to `*` — take verdicts over the
+  // frontier's paths. The oracle replays the ENTIRE stack: line
+  // classification, group numbering, agent fallback, longest-prefix
+  // match with allow-wins-ties. Expected shape: graftbot sees only
+  // its Allow'd path, otherbot only the `*` group's — one flipped
+  // verdict anywhere flips a census cell.
+
+  private[queries] val robotsFixture: String =
+    "# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\n" +
+      "Crawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5"
+
+  private[queries] val q262: GraftQuery = GraftQuery(
+    "q262_robots_verdicts",
+    (s, d) => {
+      import graft.operators.Robots
+      val host = concat(col("source"), lit(".example.com"))
+      val hosts = docs(s, d).select(host.as("host")).distinct()
+        .withColumn("txt", lit(robotsFixture))
+      val reqs = docs(s, d)
+        .select(host.as("host"),
+          concat(lit("/p/"), col("doc_id") % 7).as("upath"))
+        .withColumn("agent",
+          explode(array(lit("graftbot"), lit("otherbot"))))
+      Robots.verdicts(Robots.rules(hosts, "host", "txt"), reqs)
+        .withColumn("source",
+          regexp_replace(col("host"), "\\.example\\.com$", ""))
+        .groupBy(col("source"), col("agent"))
+        .agg(count(lit(1)).as("n_paths"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_denied"))
+        .orderBy(col("source"), col("agent"))
+    },
+    Some("""WITH hosts AS (
+        SELECT DISTINCT source || '.example.com' AS host, source
+        FROM documents),
+      base AS (SELECT host, source, string_split(
+          e'# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\nCrawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5',
+          e'\n') AS ls
+        FROM hosts),
+      lr AS (SELECT host, source, ls,
+          unnest(generate_series(1, len(ls))) AS ln
+        FROM base),
+      lines AS (SELECT host, source, ln,
+          trim(regexp_replace(ls[ln], '#.*$', '')) AS line
+        FROM lr),
+      typed AS (SELECT host, source, ln, line,
+          CASE WHEN regexp_matches(line, '(?i)^user-agent:') THEN 'agent'
+            WHEN regexp_matches(line, '(?i)^allow:') THEN 'allow'
+            WHEN regexp_matches(line, '(?i)^disallow:') THEN 'disallow'
+            ELSE 'other' END AS kind,
+          trim(regexp_extract(line, '^[A-Za-z-]+:\s*(.*)$', 1)) AS val
+        FROM lines WHERE length(line) > 0),
+      lagged AS (SELECT *, coalesce(lag(kind)
+            OVER (PARTITION BY host ORDER BY ln), '') AS prev_kind
+        FROM typed),
+      grpd AS (SELECT *, sum(CASE WHEN kind = 'agent' AND
+            prev_kind <> 'agent' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING)
+          AS grp
+        FROM lagged),
+      agents AS (SELECT host, grp, lower(val) AS agent
+        FROM grpd WHERE kind = 'agent'),
+      rls AS (SELECT host, grp, kind = 'allow' AS allow, val AS rpath
+        FROM grpd WHERE kind IN ('allow', 'disallow')
+          AND length(val) > 0),
+      rr AS (SELECT a.host, a.agent, r.allow, r.rpath
+        FROM agents a JOIN rls r ON a.host = r.host AND a.grp = r.grp),
+      reqs AS (SELECT DISTINCT source || '.example.com' AS host, source,
+          ag.agent, '/p/' || (doc_id % 7) AS upath
+        FROM documents,
+          (VALUES ('graftbot'), ('otherbot')) ag(agent)),
+      eff AS (SELECT q.*, CASE WHEN EXISTS (SELECT 1 FROM rr
+            WHERE rr.host = q.host AND rr.agent = lower(q.agent))
+          THEN lower(q.agent) ELSE '*' END AS e
+        FROM reqs q),
+      scored AS (SELECT eff.host, eff.source, eff.agent, eff.upath,
+          CASE WHEN rr.rpath IS NOT NULL AND
+            substring(eff.upath, 1, length(rr.rpath)) = rr.rpath
+            THEN length(rr.rpath) ELSE -1 END AS mlen,
+          CASE WHEN coalesce(rr.allow, false) THEN 1 ELSE 0 END AS aint
+        FROM eff LEFT JOIN rr
+          ON rr.host = eff.host AND rr.agent = eff.e),
+      best AS (SELECT *, row_number() OVER (
+            PARTITION BY host, agent, upath
+            ORDER BY mlen DESC, aint DESC) AS rn
+        FROM scored),
+      verd AS (SELECT source, agent, upath,
+          (mlen < 0 OR aint = 1) AS allowed
+        FROM best WHERE rn = 1)
+      SELECT source, agent, count(*) AS n_paths,
+        CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_allowed,
+        CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_denied
+      FROM verd GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Robots
+
+/** robots.txt semantics, hand-computed: group attribution, agent
+  * fallback, longest-prefix match, allow-wins-ties, the empty-
+  * Disallow allow-all form, and case rules (directives and agent
+  * names fold; paths do not). */
+class RobotsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def verdicts(txt: String, reqs: Seq[(String, String)])
+      : Map[(String, String), Boolean] = {
+    val hosts = Seq(("h", txt)).toDF("host", "txt")
+    val r = reqs.map { case (a, p) => ("h", a, p) }
+      .toDF("host", "agent", "upath")
+    Robots.verdicts(Robots.rules(hosts, "host", "txt"), r)
+      .select($"agent", $"upath", $"allowed")
+      .as[(String, String, Boolean)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("longest prefix wins, allow breaks ties, unmatched paths allowed") {
+    val txt = "User-agent: *\nDisallow: /p\nAllow: /p/ok\n" +
+      "Disallow: /x\nAllow: /x" // exact tie on /x: allow wins
+    val v = verdicts(txt, Seq(
+      ("bot", "/p/no"), ("bot", "/p/ok"), ("bot", "/p/okay"),
+      ("bot", "/x"), ("bot", "/free")))
+    assert(v(("bot", "/p/no")) === false)   // /p (2) beats nothing
+    assert(v(("bot", "/p/ok")) === true)    // /p/ok (5) beats /p (2)
+    assert(v(("bot", "/p/okay")) === true)  // prefix of a longer path
+    assert(v(("bot", "/x")) === true)       // tie -> Allow
+    assert(v(("bot", "/free")) === true)    // no rule matches
+  }
+
+  test("agent groups: exact beats *, shared agent lines, boundary after rules, unknown directives ignored") {
+    val txt = "# hdr\nUSER-AGENT: alpha\nUser-agent: beta\n" +
+      "Disallow: /both\nCrawl-delay: 9\n" +
+      "User-agent: *\nDisallow: /star\n"
+    val v = verdicts(txt, Seq(
+      ("alpha", "/both"), ("beta", "/both"), ("ALPHA", "/star"),
+      ("gamma", "/star"), ("gamma", "/both")))
+    // alpha and beta share one group (consecutive agent lines); the
+    // Crawl-delay does NOT end it, the next User-agent line does
+    assert(v(("alpha", "/both")) === false)
+    assert(v(("beta", "/both")) === false)
+    // exact group chosen -> the * rules do not apply to alpha
+    assert(v(("ALPHA", "/star")) === true)
+    // unknown agent falls back to *
+    assert(v(("gamma", "/star")) === false)
+    assert(v(("gamma", "/both")) === true)
+  }
+
+  test("empty Disallow is allow-everything; paths stay case-sensitive; no robots at all allows") {
+    val v1 = verdicts("User-agent: *\nDisallow:", Seq(("b", "/any")))
+    assert(v1(("b", "/any")) === true)
+    val v2 = verdicts("User-agent: *\nDisallow: /Case",
+      Seq(("b", "/Case/x"), ("b", "/case/x")))
+    assert(v2(("b", "/Case/x")) === false)
+    assert(v2(("b", "/case/x")) === true)
+    val v3 = verdicts("# nothing here", Seq(("b", "/p")))
+    assert(v3(("b", "/p")) === true)
+  }
+}
