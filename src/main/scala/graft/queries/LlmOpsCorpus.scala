@@ -1864,6 +1864,144 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           AS n_denied
       FROM verd GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---- q263: the crawl-frontier recipe, end to end ---------------------
+  // The crawl-side composition capstone (the q75 pattern applied to
+  // stage zero): raw spelling variants → urlNormalize → DISTINCT
+  // (frontier dedup — the re-fetch eliminator) → robots verdicts for
+  // the crawler's own agent → fetchable census, in ONE plan. Each
+  // stage is already oracled (q260, q262); this query gates that they
+  // COMPOSE — the counts narrow monotonically raw → frontier →
+  // fetchable, and the oracle replays both stacks stitched.
+
+  private[queries] val q263: GraftQuery = GraftQuery(
+    "q263_crawl_recipe",
+    (s, d) => {
+      import graft.operators.Robots
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 4 === 0, "HTTP://").when(id % 4 === 1, "http://")
+          .when(id % 4 === 2, "https://").otherwise("HTTPS://"),
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "www.")
+          .otherwise(""),
+        col("source"), lit(".example.com"),
+        when(id % 5 === 0 && id % 4 < 2, ":80")
+          .when(id % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), id % 7,
+        when(id % 2 === 0, "/").otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise(""))
+      val urls = docs(s, d).select(col("source"), raw.as("u"))
+      val frontier = urls
+        .select(col("source"), urlNormalize(col("u")).as("n")).distinct()
+      val reqs = frontier
+        .select(col("source"),
+          regexp_extract(col("n"), "^https?://([^/]+)", 1).as("host"),
+          regexp_replace(col("n"), "^https?://[^/]+", "").as("upath"))
+        .withColumn("agent", lit("graftbot"))
+      val hosts = reqs.select(col("host")).distinct()
+        .withColumn("txt", lit(robotsFixture))
+      val fetchable = Robots
+        .verdicts(Robots.rules(hosts, "host", "txt"), reqs)
+        .filter(col("allowed"))
+        .withColumn("source",
+          regexp_replace(col("host"), "\\.example\\.com$", ""))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fetchable"))
+      val counts = urls.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"))
+        .join(frontier.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_frontier")), Seq("source"))
+      counts.join(fetchable, Seq("source")).orderBy(col("source"))
+    },
+    Some("""WITH u0 AS (
+        SELECT source,
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+            WHEN doc_id % 4 = 1 THEN 'http://'
+            WHEN doc_id % 4 = 2 THEN 'https://'
+            ELSE 'HTTPS://' END ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+          source || '.example.com' ||
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || (doc_id % 7) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        FROM documents),
+      parts AS (
+        SELECT source, u, regexp_replace(u, '#.*$', '') AS nofrag
+        FROM u0),
+      norm AS (
+        SELECT source, u,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(nofrag, '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(nofrag,
+            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+        FROM parts),
+      frontier AS (SELECT DISTINCT source, n FROM norm),
+      reqs AS (
+        SELECT DISTINCT source,
+          regexp_extract(n, '^https?://([^/]+)', 1) AS host,
+          regexp_replace(n, '^https?://[^/]+', '') AS upath
+        FROM frontier),
+      base AS (SELECT DISTINCT host, string_split(
+          e'# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\nCrawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5',
+          e'\n') AS ls
+        FROM reqs),
+      lr AS (SELECT host, ls, unnest(generate_series(1, len(ls))) AS ln
+        FROM base),
+      lines AS (SELECT host, ln,
+          trim(regexp_replace(ls[ln], '#.*$', '')) AS line
+        FROM lr),
+      typed AS (SELECT host, ln, line,
+          CASE WHEN regexp_matches(line, '(?i)^user-agent:') THEN 'agent'
+            WHEN regexp_matches(line, '(?i)^allow:') THEN 'allow'
+            WHEN regexp_matches(line, '(?i)^disallow:') THEN 'disallow'
+            ELSE 'other' END AS kind,
+          trim(regexp_extract(line, '^[A-Za-z-]+:\s*(.*)$', 1)) AS val
+        FROM lines WHERE length(line) > 0),
+      lagged AS (SELECT *, coalesce(lag(kind)
+            OVER (PARTITION BY host ORDER BY ln), '') AS prev_kind
+        FROM typed),
+      grpd AS (SELECT *, sum(CASE WHEN kind = 'agent' AND
+            prev_kind <> 'agent' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING)
+          AS grp
+        FROM lagged),
+      agents AS (SELECT host, grp, lower(val) AS agent
+        FROM grpd WHERE kind = 'agent'),
+      rls AS (SELECT host, grp, kind = 'allow' AS allow, val AS rpath
+        FROM grpd WHERE kind IN ('allow', 'disallow')
+          AND length(val) > 0),
+      rr AS (SELECT a.host, a.agent, r.allow, r.rpath
+        FROM agents a JOIN rls r ON a.host = r.host AND a.grp = r.grp),
+      eff AS (SELECT q.*, CASE WHEN EXISTS (SELECT 1 FROM rr
+            WHERE rr.host = q.host AND rr.agent = 'graftbot')
+          THEN 'graftbot' ELSE '*' END AS e
+        FROM reqs q),
+      scored AS (SELECT eff.host, eff.source, eff.upath,
+          CASE WHEN rr.rpath IS NOT NULL AND
+            substring(eff.upath, 1, length(rr.rpath)) = rr.rpath
+            THEN length(rr.rpath) ELSE -1 END AS mlen,
+          CASE WHEN coalesce(rr.allow, false) THEN 1 ELSE 0 END AS aint
+        FROM eff LEFT JOIN rr
+          ON rr.host = eff.host AND rr.agent = eff.e),
+      best AS (SELECT *, row_number() OVER (
+            PARTITION BY host, upath ORDER BY mlen DESC, aint DESC)
+          AS rn
+        FROM scored),
+      fb AS (SELECT source, count(*) AS n_fetchable
+        FROM best WHERE rn = 1 AND (mlen < 0 OR aint = 1)
+        GROUP BY source)
+      SELECT c.source, c.n_raw, f2.n_frontier, fb.n_fetchable
+      FROM (SELECT source, count(*) AS n_raw FROM u0 GROUP BY source) c
+      JOIN (SELECT source, count(*) AS n_frontier FROM frontier
+        GROUP BY source) f2 ON c.source = f2.source
+      JOIN fb ON c.source = fb.source
+      ORDER BY c.source"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

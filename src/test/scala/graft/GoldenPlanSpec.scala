@@ -116,6 +116,9 @@ class GoldenPlanSpec extends AnyFunSuite {
       // so an unrelated new test would otherwise "drift" every pinned
       // plan that contains a higher-order function
       .replaceAll("lambda x_\\d+", "lambda x_N")
+      // zip_with allocates a SECOND lambda variable (y_<n>) from the
+      // same JVM-global counter — the SQ distance plans carry it
+      .replaceAll("lambda y_\\d+", "lambda y_N")
       // Spark truncates the DataFilters blob at a CHARACTER budget, so
       // its cut point moves with the digit count of the (just
       // normalized) lambda ids — collapse the list entirely, CONSUMING
