@@ -334,6 +334,15 @@ object TextFunctions {
     * lack). Contract: absolute http(s) URLs; query strings pass
     * through verbatim (param reordering is site-semantic, not
     * syntax — deliberately NOT normalized). */
+  /** Sitemap URL discovery — the crawl-frontier's feed: every `<loc>`
+    * entry of a sitemap XML body, whitespace-trimmed, document order
+    * preserved. Non-greedy RE2-compatible extraction (sitemaps are
+    * flat by spec — `<loc>` never nests), one narrow codegen'd
+    * projection; pair with [[urlNormalize]] before the frontier
+    * dedup. */
+  def sitemapLocs(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
+
   def urlNormalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val auth = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/]*)", 1))

@@ -2002,6 +2002,87 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       JOIN fb ON c.source = fb.source
       ORDER BY c.source"""))
 
+  // ---- q264: sitemap discovery feeds the frontier -----------------------
+  // The discovery side of crawl stage zero (robots gates the FETCH;
+  // sitemaps announce WHAT EXISTS): each host publishes its raw
+  // spelling-variant URLs as a sitemap body (whitespace-padded <loc>
+  // entries — the trim is part of the extraction contract), the
+  // extractor recovers every loc in document order, and the census
+  // gates extraction (n_locs == docs) AND the handoff: normalized
+  // distinct locs must equal q260's frontier width exactly.
+
+  private[queries] val q264: GraftQuery = GraftQuery(
+    "q264_sitemap_discovery",
+    (s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 4 === 0, "HTTP://").when(id % 4 === 1, "http://")
+          .when(id % 4 === 2, "https://").otherwise("HTTPS://"),
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "www.")
+          .otherwise(""),
+        col("source"), lit(".example.com"),
+        when(id % 5 === 0 && id % 4 < 2, ":80")
+          .when(id % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), id % 7,
+        when(id % 2 === 0, "/").otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise(""))
+      val xml = docs(s, d)
+        .select(col("source"), col("doc_id"),
+          concat(lit("  <url><loc>\n    "), raw,
+            lit("\n  </loc></url>")).as("e"))
+        .groupBy(col("source"))
+        .agg(concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("doc_id").as("i"), col("e").as("e")))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+      xml.select(col("source"),
+          explode(sitemapLocs(col("xml"))).as("u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_locs"),
+          countDistinct(urlNormalize(col("u"))).as("n_frontier"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH u0 AS (
+        SELECT source, doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+            WHEN doc_id % 4 = 1 THEN 'http://'
+            WHEN doc_id % 4 = 2 THEN 'https://'
+            ELSE 'HTTPS://' END ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+          source || '.example.com' ||
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || (doc_id % 7) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        FROM documents),
+      xmls AS (
+        SELECT source, '<?xml version="1.0"?>' || e'\n<urlset>\n' ||
+          string_agg('  <url><loc>' || e'\n    ' || u ||
+            e'\n  </loc></url>', e'\n' ORDER BY doc_id) ||
+          e'\n</urlset>' AS xml
+        FROM u0 GROUP BY source),
+      locs AS (
+        SELECT source, unnest(regexp_extract_all(xml,
+          '(?s)<loc>\s*(.*?)\s*</loc>', 1)) AS u
+        FROM xmls),
+      norm AS (
+        SELECT source, u,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+        FROM locs)
+      SELECT source, count(*) AS n_locs,
+        count(DISTINCT n) AS n_frontier
+      FROM norm GROUP BY source ORDER BY source"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

@@ -176,6 +176,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(norm("http://host.com:443/x") == "http://host.com:443/x")
   }
 
+  test("sitemapLocs: document order, whitespace trim, empty/locless bodies degrade to empty") {
+    def locs(xml: String): Seq[String] = Seq(xml).toDF("x")
+      .select(sitemapLocs($"x")).as[Seq[String]].head()
+    assert(locs("<urlset><url><loc>http://a/1</loc></url>" +
+      "<url><loc>\n  http://a/2 \t</loc></url></urlset>") ==
+      Seq("http://a/1", "http://a/2"))
+    assert(locs("<urlset></urlset>") == Seq.empty)
+    assert(locs("") == Seq.empty)
+    // non-greedy: two locs never merge into one spanning match
+    assert(locs("<loc>u1</loc><lastmod>x</lastmod><loc>u2</loc>") ==
+      Seq("u1", "u2"))
+  }
+
   test("url_normalize SQL door equals the Column API; arity refused") {
     val urls = Seq("HTTP://WWW.Host.COM:80/A/b/#f",
       "https://www.h.io:443/x?q=1", "http://plain.org/p",
