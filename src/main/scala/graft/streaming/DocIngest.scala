@@ -86,6 +86,58 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** URL-frontier gate — the crawl loop's STATE: discovered URLs
+    * arrive in shards (sitemaps, link extraction, recrawl feeds),
+    * each is canonicalized
+    * ([[graft.functions.TextFunctions.urlNormalize]] — the dedup KEY;
+    * raw spellings of one page must collapse or the crawler fetches
+    * it once per spelling), probed against the PERSISTED seen-set,
+    * and only never-seen pages land in `outDir` (the fetch queue)
+    * WITH their normalized key appended to the set — so a spelling
+    * variant arriving in a later shard is blocked by the earlier
+    * sighting. Within-batch variants collapse to the lexicographically
+    * smallest raw spelling (deterministic under retries). Seen-set
+    * rows are normalized strings only — fixed-width state that grows
+    * with distinct PAGES, not with crawl traffic. Delivery is the
+    * foreachBatch contract — at-least-once; a retry re-lands
+    * identical (n, url) rows, which readers collapse keep-first on n
+    * (the [[graft.operators.Search.dedupIngestedIndex]] convention). */
+  def runFrontierIngest(spark: SparkSession, rawDir: String,
+                        seenDir: String, outDir: String,
+                        checkpointDir: String,
+                        maxFilesPerTrigger: Int = 1): Unit = {
+    if (!hadoopExists(spark, seenDir)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("n").write.mode("overwrite").parquet(seenDir)
+    }
+    val urlSchema = StructType(Seq(StructField("url", StringType)))
+    val q = spark.readStream
+      .schema(urlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"), col("url"))
+          .groupBy(col("n")).agg(min(col("url")).as("url"))
+        val fresh = cand.join(
+          spark.read.parquet(seenDir).select(col("n")).distinct(),
+          Seq("n"), "left_anti")
+        fresh.persist() // two sinks: fetch queue + seen-set append
+        try {
+          fresh.select(col("n"), col("url"))
+            .write.mode("append").json(outDir)
+          fresh.select(col("n"))
+            .write.mode("append").parquet(seenDir)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Distinct benchmark word-`k`-gram hashes, driver-collected ONCE —
     * the EXACT static side of the streaming decontamination gate. One
     * small batch job (the benchmark is the small table by

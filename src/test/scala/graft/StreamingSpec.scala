@@ -1048,6 +1048,35 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming URL frontier: spelling variants collapse, later-shard variants blocked by the persisted seen-set") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_frontier_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val out = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    // shard 1: page A twice (spelling variants) + page B
+    Seq("HTTP://WWW.h.io:80/a/", "http://h.io/a#x", "http://h.io/b")
+      .toDF("url").coalesce(1).write.json(raw.resolve("f1").toString)
+    // shard 2: a THIRD spelling of A (must be blocked by the
+    // persisted set, not by in-batch dedup) + new page C
+    Seq("http://h.io/a/", "https://h.io/c")
+      .toDF("url").coalesce(1).write.json(raw.resolve("f2").toString)
+    DocIngest.runFrontierIngest(spark, raw.toString + "/*/",
+      seen.toString, out.toString, ckpt.toString)
+    val queue = spark.read.json(out.toString)
+      .select($"n", $"url").as[(String, String)].collect().toMap
+    // A kept once, lexicographically smallest raw spelling
+    assert(queue == Map(
+      "http://h.io/a" -> "HTTP://WWW.h.io:80/a/",
+      "http://h.io/b" -> "http://h.io/b",
+      "https://h.io/c" -> "https://h.io/c"), queue.toString)
+    val seenSet = spark.read.parquet(seen.toString)
+      .as[String].collect().toSet
+    assert(seenSet == queue.keySet)
+    deleteRec(root)
+  }
+
   test("pruneVersions: superseded state versions deleted, live version and readers untouched, keep=0 refused") {
     import spark.implicits._
     import graft.streaming.{DocIngest, ViewIngest}
