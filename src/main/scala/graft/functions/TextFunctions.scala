@@ -343,6 +343,27 @@ object TextFunctions {
   def sitemapLocs(xml: Column): Column =
     regexp_extract_all(xml, lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
 
+  /** Anchor-link extraction — what closes the crawl LOOP (fetch →
+    * discover → frontier): every `<a href="…">`/`<a href='…'>` target
+    * in a fetched HTML body, with root-relative paths (`/x`) resolved
+    * against `base` (scheme+host, no trailing slash) and absolute
+    * http(s) URLs kept as-is. Fragment-only, protocol-relative,
+    * page-relative and non-http(s) (`mailto:`, `javascript:`) targets
+    * are dropped — the usual crawler contract: only unambiguous
+    * fetchable URLs enter the frontier. Non-greedy RE2 extraction +
+    * one filter/transform — narrow, no shuffle; feed through
+    * [[urlNormalize]] before the frontier dedup. */
+  def extractLinks(html: Column, base: Column): Column = {
+    val hrefs = regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
+    filter(
+      transform(hrefs, h =>
+        when(h.rlike("^https?://"), h)
+          .when(h.rlike("^/([^/]|$)"), concat(base, h))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+  }
+
   def urlNormalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val auth = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/]*)", 1))

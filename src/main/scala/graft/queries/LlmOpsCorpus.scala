@@ -2083,6 +2083,74 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         count(DISTINCT n) AS n_frontier
       FROM norm GROUP BY source ORDER BY source"""))
 
+  // ---- q265: link extraction closes the crawl loop ----------------------
+  // fetch → DISCOVER → frontier: deterministic HTML bodies carry an
+  // absolute external anchor, a root-relative internal one (resolved
+  // against the host base), and three drop-cases (fragment-only,
+  // mailto:, protocol-relative) — both quote styles exercised. The
+  // census gates extraction counts, the internal/external split, and
+  // the frontier handoff (distinct normalized targets).
+
+  private[queries] val q265: GraftQuery = GraftQuery(
+    "q265_link_extraction",
+    (s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><p>t</p><a href=\"http://hub.example.com/p/"),
+        id % 7,
+        lit("\">e</a><a href='/p/"), id % 5,
+        lit("'>i</a><a href=\"#top\">f</a>" +
+          "<a href=\"mailto:x@y.z\">m</a>" +
+          "<a href=\"//cdn.example.com/x\">p</a></body></html>"))
+      val base = concat(lit("https://"), col("source"),
+        lit(".example.com"))
+      val links = docs(s, d)
+        .select(col("source"), base.as("base"),
+          explode(extractLinks(html, base)).as("u"))
+      links.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(substring(col("u"), lit(1), length(col("base"))) ===
+            col("base"), 1L).otherwise(0L)).as("n_internal"),
+          sum(when(substring(col("u"), lit(1), length(col("base"))) ===
+            col("base"), 0L).otherwise(1L)).as("n_external"),
+          countDistinct(urlNormalize(col("u"))).as("n_frontier"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH pages AS (
+        SELECT source, 'https://' || source || '.example.com' AS base,
+          '<html><body><p>t</p><a href="http://hub.example.com/p/' ||
+          (doc_id % 7) || '">e</a><a href=''/p/' || (doc_id % 5) ||
+          '''>i</a><a href="#top">f</a>' ||
+          '<a href="mailto:x@y.z">m</a>' ||
+          '<a href="//cdn.example.com/x">p</a></body></html>' AS html
+        FROM documents),
+      links AS (
+        SELECT source, base, unnest(list_filter(list_transform(
+          regexp_extract_all(html,
+            '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["'']', 1),
+          h -> CASE WHEN regexp_matches(h, '^https?://') THEN h
+            WHEN regexp_matches(h, '^/([^/]|$)') THEN base || h
+            ELSE NULL END), x -> x IS NOT NULL)) AS u
+        FROM pages),
+      norm AS (
+        SELECT source, base, u,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+        FROM links)
+      SELECT source, count(*) AS n_links,
+        CAST(sum(CASE WHEN substring(u, 1, length(base)) = base
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+        CAST(sum(CASE WHEN substring(u, 1, length(base)) = base
+          THEN 0 ELSE 1 END) AS BIGINT) AS n_external,
+        count(DISTINCT n) AS n_frontier
+      FROM norm GROUP BY source ORDER BY source"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

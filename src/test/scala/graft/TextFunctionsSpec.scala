@@ -189,6 +189,19 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("u1", "u2"))
   }
 
+  test("extractLinks: absolute kept, root-relative resolved, fragment/mailto/protocol-relative/page-relative dropped") {
+    def links(html: String): Seq[String] = Seq(html).toDF("h")
+      .select(extractLinks($"h", lit("https://me.io")))
+      .as[Seq[String]].head()
+    assert(links(
+      """<a href="http://a.io/x">1</a><a href='/p/2'>2</a>""" +
+        """<a href="#top">3</a><a href="mailto:a@b.c">4</a>""" +
+        """<a href="//cdn.io/x">5</a><a href="rel/path">6</a>""" +
+        """<a class="z" href="/">7</a>""") ==
+      Seq("http://a.io/x", "https://me.io/p/2", "https://me.io/"))
+    assert(links("<p>no anchors</p>") == Seq.empty)
+  }
+
   test("url_normalize SQL door equals the Column API; arity refused") {
     val urls = Seq("HTTP://WWW.Host.COM:80/A/b/#f",
       "https://www.h.io:443/x?q=1", "http://plain.org/p",
