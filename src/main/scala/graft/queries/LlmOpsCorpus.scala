@@ -2151,6 +2151,86 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         count(DISTINCT n) AS n_frontier
       FROM norm GROUP BY source ORDER BY source"""))
 
+  // ---- q266: polite fetch schedule ---------------------------------------
+  // The frontier's ORDER (the gate decides what to fetch; politeness
+  // decides WHEN): the q260 frontier interleaved round-robin across
+  // hosts by the q127 stride scheduler at equal weights — any prefix
+  // of the schedule carries hosts evenly, so no host is hammered
+  // while others idle, epoch-free. The oracle stitches the q260
+  // normalization stack to the q127 interleave arithmetic (md5 deal,
+  // per-(host, shard) rank, round-robin reconstruction, stride
+  // division) — a drifted rank anywhere reorders the prefix and
+  // flips the hash.
+
+  private[queries] val q266: GraftQuery = GraftQuery(
+    "q266_polite_schedule",
+    (s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 4 === 0, "HTTP://").when(id % 4 === 1, "http://")
+          .when(id % 4 === 2, "https://").otherwise("HTTPS://"),
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "www.")
+          .otherwise(""),
+        col("source"), lit(".example.com"),
+        when(id % 5 === 0 && id % 4 < 2, ":80")
+          .when(id % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), id % 7,
+        when(id % 2 === 0, "/").otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise(""))
+      val frontier = docs(s, d)
+        .select(urlNormalize(raw).as("n")).distinct()
+        .withColumn("host",
+          regexp_extract(col("n"), "^https?://([^/]+)", 1))
+      DatasetOps.interleaveSources(frontier, "n", "host",
+          Map.empty[String, Long], defaultWeight = 1L, nShards = 8)
+        .select(col("vtime"), col("host"), col("n"),
+          col("src_rank"), col("shard"))
+        .orderBy(col("vtime"), col("host"), col("n"))
+        .limit(60)
+    },
+    Some("""WITH u0 AS (
+        SELECT source,
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+            WHEN doc_id % 4 = 1 THEN 'http://'
+            WHEN doc_id % 4 = 2 THEN 'https://'
+            ELSE 'HTTPS://' END ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+          source || '.example.com' ||
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || (doc_id % 7) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        FROM documents),
+      norm AS (
+        SELECT
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+        FROM u0),
+      frontier AS (SELECT DISTINCT n FROM norm),
+      f2 AS (SELECT n,
+          regexp_extract(n, '^https?://([^/]+)', 1) AS host,
+          CAST(concat('0x', substring(md5('mix:' || n), 1, 8))
+            AS BIGINT) AS u
+        FROM frontier),
+      s2 AS (SELECT *, u % 8 AS shard FROM f2),
+      r AS (SELECT n, host, shard,
+          (row_number() OVER (PARTITION BY host, shard ORDER BY u, n)
+            - 1) * 8 + shard + 1 AS src_rank
+        FROM s2),
+      v AS (SELECT n, host, shard, src_rank,
+          (src_rank * 1000000) // 1 AS vtime
+        FROM r)
+      SELECT vtime, host, n, src_rank, shard FROM v
+      ORDER BY vtime, host, n LIMIT 60"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

@@ -98,10 +98,15 @@ object DocIngest {
     * sighting. Within-batch variants collapse to the lexicographically
     * smallest raw spelling (deterministic under retries). Seen-set
     * rows are normalized strings only — fixed-width state that grows
-    * with distinct PAGES, not with crawl traffic. Delivery is the
-    * foreachBatch contract — at-least-once; a retry re-lands
-    * identical (n, url) rows, which readers collapse keep-first on n
-    * (the [[graft.operators.Search.dedupIngestedIndex]] convention). */
+    * with distinct PAGES, not with crawl traffic. The probe is one
+    * columnar scan of the stored set per micro-batch; at web scale,
+    * bucket the set on the key hash (exchange-free anti join — the
+    * [[graft.operators.Dedup]] writeMinhashIndexBucketed convention)
+    * and front it with a bloom sidecar for the never-seen common
+    * case. Delivery is the foreachBatch contract — at-least-once; a
+    * retry re-lands identical (n, url) rows, which readers collapse
+    * keep-first on n (the
+    * [[graft.operators.Search.dedupIngestedIndex]] convention). */
   def runFrontierIngest(spark: SparkSession, rawDir: String,
                         seenDir: String, outDir: String,
                         checkpointDir: String,
