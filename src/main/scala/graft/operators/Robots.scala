@@ -35,14 +35,12 @@ import org.apache.spark.sql.types._
   * of URLs take verdicts as one join. */
 object Robots {
 
-  /** Parse robots.txt bodies into flat rule rows:
-    * `(host, grp, agent, allow, rpath)` — one row per (agent-in-group
-    * × rule-in-group). Agents lowercase (agent names are
-    * case-insensitive; PATHS are not and keep case). */
-  def rules(robots: DataFrame, hostCol: String,
-            txtCol: String): DataFrame = {
+  /** Shared line classifier + group numbering: one row per non-blank
+    * directive line, `(host, grp, _kind, _val)`. */
+  private def classified(robots: DataFrame, hostCol: String,
+                         txtCol: String): DataFrame = {
     val w = Window.partitionBy(col("_h")).orderBy(col("_ln"))
-    val typed = robots
+    robots
       .select(col(hostCol).as("_h"),
         posexplode(split(col(txtCol), "\n")).as(Seq("_ln", "_raw")))
       .withColumn("_line", trim(regexp_replace(col("_raw"), "#.*$", "")))
@@ -51,6 +49,7 @@ object Robots {
         when(col("_line").rlike("(?i)^user-agent:"), "agent")
           .when(col("_line").rlike("(?i)^allow:"), "allow")
           .when(col("_line").rlike("(?i)^disallow:"), "disallow")
+          .when(col("_line").rlike("(?i)^crawl-delay:"), "delay")
           .otherwise("other"))
       .withColumn("_val",
         trim(regexp_extract(col("_line"), "^[A-Za-z-]+:\\s*(.*)$", 1)))
@@ -61,15 +60,45 @@ object Robots {
           1L).otherwise(0L))
       .withColumn("grp", sum(col("_b")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val agents = typed.filter(col("_kind") === "agent")
+  }
+
+  private def agentsOf(typed: DataFrame): DataFrame =
+    typed.filter(col("_kind") === "agent")
       .select(col("_h").as("host"), col("grp"),
         lower(col("_val")).as("agent"))
+
+  /** Parse robots.txt bodies into flat rule rows:
+    * `(host, grp, agent, allow, rpath)` — one row per (agent-in-group
+    * × rule-in-group). Agents lowercase (agent names are
+    * case-insensitive; PATHS are not and keep case). */
+  def rules(robots: DataFrame, hostCol: String,
+            txtCol: String): DataFrame = {
+    val typed = classified(robots, hostCol, txtCol)
     val ruleRows = typed
       .filter(col("_kind").isin("allow", "disallow") &&
         length(col("_val")) > 0) // empty Disallow: = allow-all, no rule
       .select(col("_h").as("host"), col("grp"),
         (col("_kind") === "allow").as("allow"), col("_val").as("rpath"))
-    agents.join(ruleRows, Seq("host", "grp"))
+    agentsOf(typed).join(ruleRows, Seq("host", "grp"))
+  }
+
+  /** Crawl-delay extraction — the politeness KNOB the scheduler
+    * ([[graft.operators.DatasetOps.interleaveSources]]' weights)
+    * consumes: `(host, agent, delay_s)` per group that declares one,
+    * integer seconds (the de-facto form; fractional or malformed
+    * values drop — a crawler must not guess a rate limit). Several
+    * delay lines in one group keep the LARGEST (the conservative
+    * read). */
+  def crawlDelays(robots: DataFrame, hostCol: String,
+                  txtCol: String): DataFrame = {
+    val typed = classified(robots, hostCol, txtCol)
+    val delays = typed
+      .filter(col("_kind") === "delay" && col("_val").rlike("^\\d+$"))
+      .select(col("_h").as("host"), col("grp"),
+        col("_val").cast(LongType).as("delay_s"))
+    agentsOf(typed).join(delays, Seq("host", "grp"))
+      .groupBy(col("host"), col("agent"))
+      .agg(max(col("delay_s")).as("delay_s"))
   }
 
   /** Verdicts for `(host, agent, upath)` requests against [[rules]]

@@ -2231,6 +2231,80 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       SELECT vtime, host, n, src_rank, shard FROM v
       ORDER BY vtime, host, n LIMIT 60"""))
 
+  // ---- q267: crawl-delay extraction ---------------------------------------
+  // The politeness KNOB behind q266's scheduler: per-(host, agent)
+  // Crawl-delay seconds recovered from robots bodies — shared agent
+  // lines inherit the group's delay, several delays keep the largest
+  // (the conservative read), malformed values drop (a crawler must
+  // not guess a rate limit). Delay varies by host so a cross-host mixup
+  // flips a cell; the oracle replays classification, grouping, the
+  // integer guard and the max.
+
+  private[queries] val q267: GraftQuery = GraftQuery(
+    "q267_crawl_delays",
+    (s, d) => {
+      import graft.operators.Robots
+      val robots = docs(s, d)
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          col("source")).distinct()
+        .withColumn("txt", concat(
+          lit("User-agent: *\nCrawl-delay: "), length(col("source")),
+          lit("\nDisallow: /x\n\nUser-agent: graftbot\n" +
+            "User-agent: mirrorbot\nCrawl-delay: 1\nCrawl-delay: "),
+          length(col("source")) * 2,
+          lit("\n\nUser-agent: brokenbot\nCrawl-delay: fast")))
+      Robots.crawlDelays(robots, "host", "txt")
+        .withColumn("source",
+          regexp_replace(col("host"), "\\.example\\.com$", ""))
+        .select(col("source"), col("agent"), col("delay_s"))
+        .orderBy(col("source"), col("agent"))
+    },
+    Some("""WITH hosts AS (
+        SELECT DISTINCT source || '.example.com' AS host, source
+        FROM documents),
+      base AS (SELECT host, source, string_split(
+          'User-agent: *' || e'\n' || 'Crawl-delay: ' ||
+            length(source) || e'\n' || 'Disallow: /x' || e'\n\n' ||
+            'User-agent: graftbot' || e'\n' || 'User-agent: mirrorbot' ||
+            e'\n' || 'Crawl-delay: 1' || e'\n' || 'Crawl-delay: ' ||
+            (length(source) * 2) || e'\n\n' ||
+            'User-agent: brokenbot' || e'\n' || 'Crawl-delay: fast',
+          e'\n') AS ls
+        FROM hosts),
+      lr AS (SELECT host, source, ls,
+          unnest(generate_series(1, len(ls))) AS ln
+        FROM base),
+      lines AS (SELECT host, source, ln,
+          trim(regexp_replace(ls[ln], '#.*$', '')) AS line
+        FROM lr),
+      typed AS (SELECT host, source, ln, line,
+          CASE WHEN regexp_matches(line, '(?i)^user-agent:') THEN 'agent'
+            WHEN regexp_matches(line, '(?i)^allow:') THEN 'allow'
+            WHEN regexp_matches(line, '(?i)^disallow:') THEN 'disallow'
+            WHEN regexp_matches(line, '(?i)^crawl-delay:') THEN 'delay'
+            ELSE 'other' END AS kind,
+          trim(regexp_extract(line, '^[A-Za-z-]+:\s*(.*)$', 1)) AS val
+        FROM lines WHERE length(line) > 0),
+      lagged AS (SELECT *, coalesce(lag(kind)
+            OVER (PARTITION BY host ORDER BY ln), '') AS prev_kind
+        FROM typed),
+      grpd AS (SELECT *, sum(CASE WHEN kind = 'agent' AND
+            prev_kind <> 'agent' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING)
+          AS grp
+        FROM lagged),
+      agents AS (SELECT host, source, grp, lower(val) AS agent
+        FROM grpd WHERE kind = 'agent'),
+      delays AS (SELECT host, grp, CAST(val AS BIGINT) AS delay_s
+        FROM grpd WHERE kind = 'delay'
+          AND regexp_matches(val, '^\d+$'))
+      SELECT a.source, a.agent,
+        CAST(max(d.delay_s) AS BIGINT) AS delay_s
+      FROM agents a JOIN delays d
+        ON a.host = d.host AND a.grp = d.grp
+      GROUP BY a.source, a.agent
+      ORDER BY a.source, a.agent"""))
+
   // ---- q254: repetition_signals TVF — the SQL door --------------------
   // The quality persona reaches the Gopher rules from pure SQL text:
   // the TVF plans the identical operator, the query aggregates its

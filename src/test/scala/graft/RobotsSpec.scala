@@ -54,6 +54,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(v(("gamma", "/both")) === true)
   }
 
+  test("crawlDelays: group attribution, shared agents, max-of-delays, malformed dropped") {
+    val txt = "User-agent: *\nCrawl-delay: 4\nDisallow: /x\n\n" +
+      "User-agent: a\nUser-agent: b\nCrawl-delay: 2\nCrawl-delay: 9\n\n" +
+      "User-agent: c\nCrawl-delay: fast\n\n" +
+      "User-agent: d\nDisallow: /y"
+    val got = Robots.crawlDelays(
+        Seq(("h", txt)).toDF("host", "txt"), "host", "txt")
+      .select($"agent", $"delay_s").as[(String, Long)].collect().toMap
+    // shared agent lines inherit; two delays keep the larger;
+    // malformed 'fast' and delay-less groups contribute nothing
+    assert(got == Map("*" -> 4L, "a" -> 9L, "b" -> 9L), got.toString)
+  }
+
   test("empty Disallow is allow-everything; paths stay case-sensitive; no robots at all allows") {
     val v1 = verdicts("User-agent: *\nDisallow:", Seq(("b", "/any")))
     assert(v1(("b", "/any")) === true)
