@@ -394,6 +394,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.Warc.parseRecords(tbl, blobCol)
           .queryExecution.analyzed
       }))
+    // robots.txt verdicts from SQL (q262's operator — crawl
+    // politeness through the parser door):
+    //   robots_verdicts(robots_table, requests_table)
+    // `robots_table` is (host, txt); `requests_table` is
+    // (host, agent, upath). Emits (host, agent, upath, allowed).
+    ext.injectTableFunction((
+      new FunctionIdentifier("robots_verdicts"),
+      new ExpressionInfo("graft.operators.Robots", "robots_verdicts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "usage: robots_verdicts(robots_table, requests_table)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val robots = spark.table(strLit(children(0), "robots_table"))
+        val missingR = Seq("host", "txt").filterNot(robots.columns.contains)
+        require(missingR.isEmpty,
+          s"robots_verdicts: robots_table lacks ${missingR.mkString(", ")}" +
+            " — expected (host, txt)")
+        val reqs = spark.table(strLit(children(1), "requests_table"))
+        val missingQ = Seq("host", "agent", "upath")
+          .filterNot(reqs.columns.contains)
+        require(missingQ.isEmpty,
+          s"robots_verdicts: requests_table lacks " +
+            s"${missingQ.mkString(", ")} — expected (host, agent, upath)")
+        graft.operators.Robots.verdicts(
+            graft.operators.Robots.rules(robots, "host", "txt"), reqs)
+          .queryExecution.analyzed
+      }))
     // Within-doc repetition signals from SQL (q252's operator — the
     // Gopher self-repetition rules):
     //   repetition_signals(table, id_col, text_col)

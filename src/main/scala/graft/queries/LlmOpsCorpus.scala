@@ -1800,7 +1800,12 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           sum(when(col("allowed"), 0L).otherwise(1L)).as("n_denied"))
         .orderBy(col("source"), col("agent"))
     },
-    Some("""WITH hosts AS (
+    Some(robotsOracleSql))
+
+  /** The q262/q268 full-replay oracle — shared verbatim by the SQL
+    * door: the TVF must gate exactly like the library call. */
+  private[queries] lazy val robotsOracleSql: String =
+    ("""WITH hosts AS (
         SELECT DISTINCT source || '.example.com' AS host, source
         FROM documents),
       base AS (SELECT host, source, string_split(
@@ -1862,7 +1867,36 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           AS n_allowed,
         CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
           AS n_denied
-      FROM verd GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM verd GROUP BY 1, 2 ORDER BY 1, 2""")
+
+  // ---- q268: robots_verdicts TVF — the SQL door -----------------------
+  // Crawl politeness from pure SQL: the registered robots and request
+  // tables flow through the injected parser/matcher and the census
+  // aggregates the TVF's verdicts exactly like q262's Scala side;
+  // oracle shared verbatim.
+
+  private[queries] val q268: GraftQuery = GraftQuery(
+    "q268_sql_robots_door",
+    (s, d) => {
+      val host = concat(col("source"), lit(".example.com"))
+      docs(s, d).select(host.as("host")).distinct()
+        .withColumn("txt", lit(robotsFixture))
+        .createOrReplaceTempView("robots_sql")
+      docs(s, d)
+        .select(host.as("host"),
+          concat(lit("/p/"), col("doc_id") % 7).as("upath"))
+        .withColumn("agent",
+          explode(array(lit("graftbot"), lit("otherbot"))))
+        .createOrReplaceTempView("robots_reqs_sql")
+      s.sql("""SELECT regexp_replace(host, '\\.example\\.com$', '')
+            AS source, agent,
+          count(*) AS n_paths,
+          sum(CASE WHEN allowed THEN 1L ELSE 0L END) AS n_allowed,
+          sum(CASE WHEN allowed THEN 0L ELSE 1L END) AS n_denied
+        FROM robots_verdicts('robots_sql', 'robots_reqs_sql')
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+    Some(robotsOracleSql))
 
   // ---- q263: the crawl-frontier recipe, end to end ---------------------
   // The crawl-side composition capstone (the q75 pattern applied to
