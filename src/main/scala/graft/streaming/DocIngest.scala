@@ -143,6 +143,57 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** [[runFrontierIngest]]'s at-scale landing, IMPLEMENTED (the
+    * [[graft.operators.Dedup.writeMinhashIndexBucketed]] convention):
+    * the seen-set lives as a table BUCKETED on the normalized key, so
+    * every micro-batch's anti join reads it with ZERO exchange on the
+    * set side — only the (small) batch shuffles to the bucket layout.
+    * At web scale the set is the big side by orders of magnitude;
+    * this is the difference between a probe that reshuffles billions
+    * of keys per micro-batch and one that never moves them. Appends
+    * ride the same bucket spec, so the property survives growth.
+    * Semantics identical to the directory variant. */
+  def runFrontierIngestBucketed(spark: SparkSession, rawDir: String,
+                                seenTable: String, outDir: String,
+                                checkpointDir: String,
+                                numBuckets: Int = 8,
+                                maxFilesPerTrigger: Int = 1): Unit = {
+    if (!spark.catalog.tableExists(seenTable)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("n")
+        .write.bucketBy(numBuckets, "n").sortBy("n")
+        .saveAsTable(seenTable)
+    }
+    val urlSchema = StructType(Seq(StructField("url", StringType)))
+    val q = spark.readStream
+      .schema(urlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"), col("url"))
+          .groupBy(col("n")).agg(min(col("url")).as("url"))
+        val fresh = cand.join(
+          spark.table(seenTable).select(col("n")),
+          Seq("n"), "left_anti")
+        fresh.persist() // two sinks: fetch queue + seen-set append
+        try {
+          fresh.select(col("n"), col("url"))
+            .write.mode("append").json(outDir)
+          fresh.select(col("n"))
+            .write.mode("append")
+            .bucketBy(numBuckets, "n").sortBy("n")
+            .saveAsTable(seenTable)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Distinct benchmark word-`k`-gram hashes, driver-collected ONCE —
     * the EXACT static side of the streaming decontamination gate. One
     * small batch job (the benchmark is the small table by

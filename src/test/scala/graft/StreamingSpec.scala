@@ -1077,6 +1077,52 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("bucketed URL frontier: same verdicts as the directory variant, seen-set probed with zero set-side exchange") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_frontier_bkt")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    try {
+      Seq("HTTP://WWW.h.io:80/a/", "http://h.io/a#x", "http://h.io/b")
+        .toDF("url").coalesce(1).write.json(raw.resolve("f1").toString)
+      Seq("http://h.io/a/", "https://h.io/c")
+        .toDF("url").coalesce(1).write.json(raw.resolve("f2").toString)
+      DocIngest.runFrontierIngestBucketed(spark, raw.toString + "/*/",
+        "graft_frontier_seen", out.toString, ckpt.toString,
+        numBuckets = 4)
+      val queue = spark.read.json(out.toString)
+        .select($"n", $"url").as[(String, String)].collect().toMap
+      assert(queue == Map(
+        "http://h.io/a" -> "HTTP://WWW.h.io:80/a/",
+        "http://h.io/b" -> "http://h.io/b",
+        "https://h.io/c" -> "https://h.io/c"), queue.toString)
+      assert(spark.table("graft_frontier_seen").as[String]
+        .collect().toSet == queue.keySet)
+      // the scale property: probing the grown set engages the
+      // write-time bucketing — zero exchange on the set side
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = Seq("http://h.io/z").toDF("n")
+          .join(spark.table("graft_frontier_seen"), Seq("n"), "left_anti")
+        val plan = probe.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"bucketed scan not engaged:\n${plan.take(2000)}")
+        val exchanges = "Exchange hashpartitioning\\(n#".r
+          .findAllIn(plan).size
+        assert(exchanges == 1,
+          s"expected 1 probe-side exchange, got $exchanges:\n${plan.take(3000)}")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_frontier_seen")
+      deleteRec(root)
+    }
+  }
+
   test("pruneVersions: superseded state versions deleted, live version and readers untouched, keep=0 refused") {
     import spark.implicits._
     import graft.streaming.{DocIngest, ViewIngest}
