@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,14 +19,28 @@ import org.apache.spark.sql.types._
   *  - AGENT PICK: a request matches its exact agent's groups when any
   *    exist for the host, else the `*` groups (the RFC's most-
   *    specific-agent rule at the granularity real robots files use).
-  *  - RULE PICK: longest-path-prefix match wins; a tie goes to
-  *    `Allow`; no matching rule (or no rules at all) means allowed.
-  *    An empty rule value (`Disallow:` alone) is the RFC's explicit
-  *    allow-everything form — it contributes no rule.
+  *  - RULE PICK: the most specific matching rule wins (the RFC's
+  *    most-octets rule — rule LENGTH is the specificity, for literal
+  *    prefixes identical to matched length); a tie goes to `Allow`;
+  *    no matching rule (or no rules at all) means allowed. An empty
+  *    rule value (`Disallow:` alone) is the RFC's explicit
+  *    allow-everything form — it contributes no rule but DOES make
+  *    its group exist for the agent pick (the common whitelist shape
+  *    `User-agent: goodbot / Disallow:` + `User-agent: * /
+  *    Disallow: /` must send goodbot to its own allow-all group,
+  *    not to `*`).
+  *  - PATTERNS: the RFC's optional `*` (any char run) and trailing
+  *    `$` (end anchor) extensions are honored — a Disallow of
+  *    slash-star-`?sid=` blocks every path carrying the parameter,
+  *    the shape modern robots files lean on; a `$` anywhere but the
+  *    end is literal.
+  *    Literal rules (the overwhelming majority) keep the codegen'd
+  *    substring prefix test; only rules that actually carry a
+  *    metachar compile to an RE2-safe regex (escape specials, then
+  *    `*` → `.*`, then re-anchor the stripped trailing `$`) — the
+  *    per-row pattern compile is confined to the rare wildcard rows.
   *
-  * Contract: literal path prefixes (the 1994 core every crawler
-  * honors); the RFC's optional `*`/`$` pattern extensions are out of
-  * scope and their rules match as literals. Everything is relational:
+  * Everything is relational:
   * line classification is one narrow projection, group numbering one
   * per-host window (bounded by file length — robots files are KB),
   * and the verdict join ships (host, agent, path) tuples against
@@ -70,7 +84,12 @@ object Robots {
   /** Parse robots.txt bodies into flat rule rows:
     * `(host, grp, agent, allow, rpath)` — one row per (agent-in-group
     * × rule-in-group). Agents lowercase (agent names are
-    * case-insensitive; PATHS are not and keep case). */
+    * case-insensitive; PATHS are not and keep case). A group with NO
+    * rules (only the empty `Disallow:` allow-all form, or nothing)
+    * still emits one row per agent with NULL `allow`/`rpath` — the
+    * group-EXISTENCE marker [[verdicts]]' agent pick needs: dropping
+    * such groups entirely would wrongly send their agents to `*`
+    * (RFC 9309 group selection inverted for the whitelist pattern). */
   def rules(robots: DataFrame, hostCol: String,
             txtCol: String): DataFrame = {
     val typed = classified(robots, hostCol, txtCol)
@@ -79,33 +98,60 @@ object Robots {
         length(col("_val")) > 0) // empty Disallow: = allow-all, no rule
       .select(col("_h").as("host"), col("grp"),
         (col("_kind") === "allow").as("allow"), col("_val").as("rpath"))
-    agentsOf(typed).join(ruleRows, Seq("host", "grp"))
+    agentsOf(typed).join(ruleRows, Seq("host", "grp"), "left")
   }
 
   /** Crawl-delay extraction — the politeness KNOB the scheduler
-    * ([[graft.operators.DatasetOps.interleaveSources]]' weights)
-    * consumes: `(host, agent, delay_s)` per group that declares one,
-    * integer seconds (the de-facto form; fractional or malformed
-    * values drop — a crawler must not guess a rate limit). Several
-    * delay lines in one group keep the LARGEST (the conservative
-    * read). */
+    * ([[graft.operators.DatasetOps.politeFetchSchedule]]) consumes:
+    * `(host, agent, delay_s)` per group that declares one, in whole
+    * seconds. Fractional values (`Crawl-delay: 0.5`) are honored and
+    * CEILED — rounding a declared limit up is the conservative
+    * direction; dropping it (the impolite one) is reserved for truly
+    * non-numeric values like `fast`, which a crawler must not guess
+    * at. Several delay lines in one group keep the LARGEST (the
+    * conservative read). */
   def crawlDelays(robots: DataFrame, hostCol: String,
                   txtCol: String): DataFrame = {
     val typed = classified(robots, hostCol, txtCol)
     val delays = typed
-      .filter(col("_kind") === "delay" && col("_val").rlike("^\\d+$"))
+      .filter(col("_kind") === "delay" &&
+        col("_val").rlike("^\\d+(\\.\\d+)?$"))
       .select(col("_h").as("host"), col("grp"),
-        col("_val").cast(LongType).as("delay_s"))
+        ceil(col("_val").cast(DecimalType(18, 6))).cast(LongType)
+          .as("delay_s"))
     agentsOf(typed).join(delays, Seq("host", "grp"))
       .groupBy(col("host"), col("agent"))
       .agg(max(col("delay_s")).as("delay_s"))
   }
 
+  /** Compile an RFC 9309 pattern rule to its RE2-safe regex: strip
+    * ONE trailing `$` (the only position where it anchors — anywhere
+    * else it is literal and gets escaped), escape every regex special
+    * except `*`, turn `*` into `.*`, re-anchor. The left `^` makes an
+    * un-`$`-anchored pattern a PREFIX match — exactly the literal
+    * rule semantics, extended. */
+  private def rulePattern(rpath: Column): Column = {
+    val anchored = rpath.endsWith("$")
+    val bare = regexp_replace(rpath, "\\$$", "")
+    val esc = regexp_replace(bare,
+      "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    val wild = regexp_replace(esc, "\\*", ".*")
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Verdicts for `(host, agent, upath)` requests against [[rules]]
-    * rows: emits `(host, agent, upath, allowed)`. Longest matching
-    * prefix wins, ties to Allow, no match (or no applicable group)
-    * means allowed. ONE map-side-combined `max(struct(len, allow))`
-    * per request — never a per-request sort. */
+    * rows: emits `(host, agent, upath, allowed)`. Most specific
+    * matching rule wins (rule length = the RFC's most-octets
+    * specificity; identical to matched length for literal rules),
+    * ties to Allow, no match (or no applicable group) means allowed.
+    * A NULL-rule row (a rule-less group's existence marker from
+    * [[rules]]) claims the agent but contributes no match — its
+    * verdicts all come out allowed, the RFC's semantics for an
+    * allow-all group. Literal rules match via the codegen'd substring
+    * prefix test; only rows actually carrying `*`/`$` pay the regex
+    * path ([[rulePattern]]). ONE map-side-combined
+    * `max(struct(len, allow))` per request — never a per-request
+    * sort. */
   def verdicts(ruleRows: DataFrame, requests: DataFrame): DataFrame = {
     val reqs = requests.select(col("host"), col("agent"),
       col("upath")).distinct()
@@ -120,14 +166,18 @@ object Robots {
         reqs("host") === avail("host") && lower(reqs("agent")) === avail("_eff"),
         "left_anti")
       .withColumn("_eff", lit("*"))
+    val wild = col("rpath").contains("*") || col("rpath").endsWith("$")
     exact.unionByName(star)
       .join(ruleRows.withColumnRenamed("agent", "_eff"),
         Seq("host", "_eff"), "left")
       .withColumn("_mlen",
-        when(col("rpath").isNotNull &&
-          substring(col("upath"), lit(1), length(col("rpath"))) ===
-            col("rpath"),
-          length(col("rpath"))).otherwise(lit(-1)))
+        when(col("rpath").isNull, lit(-1))
+          .when(!wild,
+            when(substring(col("upath"), lit(1), length(col("rpath"))) ===
+              col("rpath"), length(col("rpath"))).otherwise(lit(-1)))
+          .otherwise(
+            when(regexp_like(col("upath"), rulePattern(col("rpath"))),
+              length(col("rpath"))).otherwise(lit(-1))))
       .groupBy(col("host"), col("agent"), col("upath"))
       .agg(max(struct(col("_mlen").as("l"),
         when(col("allow"), 1).otherwise(0).as("a"))).as("_best"))

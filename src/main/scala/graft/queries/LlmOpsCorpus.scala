@@ -1766,18 +1766,23 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   // ---- q262: robots.txt verdict census -----------------------------------
   // Crawl politeness between the frontier (q260) and the fetch
   // (q258): every host publishes the same deterministic robots body
-  // (two groups, comments, an ignored Crawl-delay, a boundary where
-  // an agent line follows a rule line), and two agents — one with its
-  // own group, one falling back to `*` — take verdicts over the
-  // frontier's paths. The oracle replays the ENTIRE stack: line
-  // classification, group numbering, agent fallback, longest-prefix
-  // match with allow-wins-ties. Expected shape: graftbot sees only
-  // its Allow'd path, otherbot only the `*` group's — one flipped
-  // verdict anywhere flips a census cell.
+  // (three groups, comments, an ignored Crawl-delay, a boundary where
+  // an agent line follows a rule line, a wildcard rule, a rule-less
+  // whitelist group), and three agents — one with its own group, one
+  // falling back to `*`, one whose exact group carries only the
+  // empty allow-all Disallow — take verdicts over the frontier's
+  // paths. The oracle replays the ENTIRE stack: line classification,
+  // group numbering, agent fallback (incl. the rule-less-group
+  // existence rule), most-specific match with the RFC's `*`/`$`
+  // pattern forms, allow-wins-ties. Expected shape: graftbot sees
+  // only its Allow'd path, otherbot the `*` group's /p/3 AND the
+  // wildcard-Allow'd /p/4, nullbot everything — one flipped verdict
+  // anywhere flips a census cell.
 
   private[queries] val robotsFixture: String =
     "# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\n" +
-      "Crawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5"
+      "Allow: /*/4$\nCrawl-delay: 5\n\nUser-agent: graftbot\n" +
+      "Disallow: /\nAllow: /p/5\n\nUser-agent: nullbot\nDisallow:"
 
   private[queries] val q262: GraftQuery = GraftQuery(
     "q262_robots_verdicts",
@@ -1790,7 +1795,8 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         .select(host.as("host"),
           concat(lit("/p/"), col("doc_id") % 7).as("upath"))
         .withColumn("agent",
-          explode(array(lit("graftbot"), lit("otherbot"))))
+          explode(array(lit("graftbot"), lit("otherbot"),
+            lit("nullbot"))))
       Robots.verdicts(Robots.rules(hosts, "host", "txt"), reqs)
         .withColumn("source",
           regexp_replace(col("host"), "\\.example\\.com$", ""))
@@ -1809,7 +1815,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         SELECT DISTINCT source || '.example.com' AS host, source
         FROM documents),
       base AS (SELECT host, source, string_split(
-          e'# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\nCrawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5',
+          e'# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\nAllow: /*/4$\nCrawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5\n\nUser-agent: nullbot\nDisallow:',
           e'\n') AS ls
         FROM hosts),
       lr AS (SELECT host, source, ls,
@@ -1839,19 +1845,29 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         FROM grpd WHERE kind IN ('allow', 'disallow')
           AND length(val) > 0),
       rr AS (SELECT a.host, a.agent, r.allow, r.rpath
-        FROM agents a JOIN rls r ON a.host = r.host AND a.grp = r.grp),
+        FROM agents a LEFT JOIN rls r
+          ON a.host = r.host AND a.grp = r.grp),
       reqs AS (SELECT DISTINCT source || '.example.com' AS host, source,
           ag.agent, '/p/' || (doc_id % 7) AS upath
         FROM documents,
-          (VALUES ('graftbot'), ('otherbot')) ag(agent)),
+          (VALUES ('graftbot'), ('otherbot'), ('nullbot')) ag(agent)),
       eff AS (SELECT q.*, CASE WHEN EXISTS (SELECT 1 FROM rr
             WHERE rr.host = q.host AND rr.agent = lower(q.agent))
           THEN lower(q.agent) ELSE '*' END AS e
         FROM reqs q),
       scored AS (SELECT eff.host, eff.source, eff.agent, eff.upath,
-          CASE WHEN rr.rpath IS NOT NULL AND
-            substring(eff.upath, 1, length(rr.rpath)) = rr.rpath
-            THEN length(rr.rpath) ELSE -1 END AS mlen,
+          CASE WHEN rr.rpath IS NULL THEN -1
+            WHEN rr.rpath NOT LIKE '%*%' AND rr.rpath NOT LIKE '%$'
+              THEN CASE WHEN substring(eff.upath, 1,
+                  length(rr.rpath)) = rr.rpath
+                THEN length(rr.rpath) ELSE -1 END
+            WHEN regexp_matches(eff.upath,
+                '^' || regexp_replace(regexp_replace(regexp_replace(
+                  rr.rpath, '\$$', ''),
+                  '([\\.\[\]{}()+?^$|])', '\\\1', 'g'),
+                  '\*', '.*', 'g') ||
+                CASE WHEN rr.rpath LIKE '%$' THEN '$' ELSE '' END)
+              THEN length(rr.rpath) ELSE -1 END AS mlen,
           CASE WHEN coalesce(rr.allow, false) THEN 1 ELSE 0 END AS aint
         FROM eff LEFT JOIN rr
           ON rr.host = eff.host AND rr.agent = eff.e),
@@ -1886,7 +1902,8 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         .select(host.as("host"),
           concat(lit("/p/"), col("doc_id") % 7).as("upath"))
         .withColumn("agent",
-          explode(array(lit("graftbot"), lit("otherbot"))))
+          explode(array(lit("graftbot"), lit("otherbot"),
+            lit("nullbot"))))
         .createOrReplaceTempView("robots_reqs_sql")
       s.sql("""SELECT regexp_replace(host, '\\.example\\.com$', '')
             AS source, agent,
@@ -1981,7 +1998,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           regexp_replace(n, '^https?://[^/]+', '') AS upath
         FROM frontier),
       base AS (SELECT DISTINCT host, string_split(
-          e'# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\nCrawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5',
+          e'# graft test\nUser-agent: *\nDisallow: /p\nAllow: /p/3\nAllow: /*/4$\nCrawl-delay: 5\n\nUser-agent: graftbot\nDisallow: /\nAllow: /p/5\n\nUser-agent: nullbot\nDisallow:',
           e'\n') AS ls
         FROM reqs),
       lr AS (SELECT host, ls, unnest(generate_series(1, len(ls))) AS ln
@@ -2269,10 +2286,13 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   // The politeness KNOB behind q266's scheduler: per-(host, agent)
   // Crawl-delay seconds recovered from robots bodies — shared agent
   // lines inherit the group's delay, several delays keep the largest
-  // (the conservative read), malformed values drop (a crawler must
-  // not guess a rate limit). Delay varies by host so a cross-host mixup
-  // flips a cell; the oracle replays classification, grouping, the
-  // integer guard and the max.
+  // (the conservative read), fractional delays ceil up to whole
+  // seconds (rounding a declared limit UP is the polite direction;
+  // dropping it would remove a rate limit the site asked for), and
+  // truly non-numeric values drop (a crawler must not guess a rate
+  // limit). Delay varies by host so a cross-host mixup flips a cell;
+  // the oracle replays classification, grouping, the numeric guard,
+  // the ceil and the max.
 
   private[queries] val q267: GraftQuery = GraftQuery(
     "q267_crawl_delays",
@@ -2286,7 +2306,8 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           lit("\nDisallow: /x\n\nUser-agent: graftbot\n" +
             "User-agent: mirrorbot\nCrawl-delay: 1\nCrawl-delay: "),
           length(col("source")) * 2,
-          lit("\n\nUser-agent: brokenbot\nCrawl-delay: fast")))
+          lit("\n\nUser-agent: brokenbot\nCrawl-delay: fast\n" +
+            "Crawl-delay: 0.5")))
       Robots.crawlDelays(robots, "host", "txt")
         .withColumn("source",
           regexp_replace(col("host"), "\\.example\\.com$", ""))
@@ -2302,7 +2323,8 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             'User-agent: graftbot' || e'\n' || 'User-agent: mirrorbot' ||
             e'\n' || 'Crawl-delay: 1' || e'\n' || 'Crawl-delay: ' ||
             (length(source) * 2) || e'\n\n' ||
-            'User-agent: brokenbot' || e'\n' || 'Crawl-delay: fast',
+            'User-agent: brokenbot' || e'\n' || 'Crawl-delay: fast' ||
+            e'\n' || 'Crawl-delay: 0.5',
           e'\n') AS ls
         FROM hosts),
       lr AS (SELECT host, source, ls,
@@ -2329,9 +2351,10 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         FROM lagged),
       agents AS (SELECT host, source, grp, lower(val) AS agent
         FROM grpd WHERE kind = 'agent'),
-      delays AS (SELECT host, grp, CAST(val AS BIGINT) AS delay_s
+      delays AS (SELECT host, grp,
+          CAST(ceil(CAST(val AS DECIMAL(18,6))) AS BIGINT) AS delay_s
         FROM grpd WHERE kind = 'delay'
-          AND regexp_matches(val, '^\d+$'))
+          AND regexp_matches(val, '^\d+(\.\d+)?$'))
       SELECT a.source, a.agent,
         CAST(max(d.delay_s) AS BIGINT) AS delay_s
       FROM agents a JOIN delays d

@@ -67,6 +67,57 @@ class RobotsSpec extends AnyFunSuite {
     assert(got == Map("*" -> 4L, "a" -> 9L, "b" -> 9L), got.toString)
   }
 
+  test("crawlDelays: fractional delays ceil up (the polite direction), non-numeric still drop") {
+    val txt = "User-agent: a\nCrawl-delay: 0.5\n\n" +
+      "User-agent: b\nCrawl-delay: 2.4\nCrawl-delay: 1\n\n" +
+      "User-agent: c\nCrawl-delay: fast"
+    val got = Robots.crawlDelays(
+        Seq(("h", txt)).toDF("host", "txt"), "host", "txt")
+      .select($"agent", $"delay_s").as[(String, Long)].collect().toMap
+    // 0.5 -> 1 (dropping a declared limit would be the IMPOLITE
+    // read); max(ceil(2.4)=3, 1) = 3; 'fast' contributes nothing
+    assert(got == Map("a" -> 1L, "b" -> 3L), got.toString)
+  }
+
+  test("whitelist pattern: a rule-less exact group still wins the agent pick (allow-all, not * fallback)") {
+    val txt = "User-agent: goodbot\nDisallow:\n\n" +
+      "User-agent: *\nDisallow: /"
+    val v = verdicts(txt, Seq(
+      ("goodbot", "/p"), ("goodbot", "/"), ("badbot", "/p")))
+    // goodbot's own group exists (its only directive is the empty
+    // allow-all Disallow:), so it must NOT fall back to the * group
+    assert(v(("goodbot", "/p")) === true)
+    assert(v(("goodbot", "/")) === true)
+    assert(v(("badbot", "/p")) === false)
+  }
+
+  test("wildcard rules: * spans, $ anchors, metachars stay literal, rule length is the specificity") {
+    val txt = "User-agent: *\nDisallow: /*?sid=\n" +
+      "Disallow: /*.pdf$\nAllow: /p\nDisallow: /a.b"
+    val v = verdicts(txt, Seq(
+      ("bot", "/page?sid=1"), ("bot", "/page"),
+      ("bot", "/docs/x.pdf"), ("bot", "/docs/x.pdfx"),
+      ("bot", "/p/r.pdf"), ("bot", "/a.b/x"), ("bot", "/aXb/x")))
+    assert(v(("bot", "/page?sid=1")) === false) // /*?sid= spans 'page'
+    assert(v(("bot", "/page")) === true)        // no rule matches
+    assert(v(("bot", "/docs/x.pdf")) === false) // $ anchors the end
+    assert(v(("bot", "/docs/x.pdfx")) === true) // past the anchor
+    // /*.pdf$ (len 7) beats Allow /p (len 2) on the SAME path
+    assert(v(("bot", "/p/r.pdf")) === false)
+    // literal rules keep exact-prefix semantics even with metachars
+    assert(v(("bot", "/a.b/x")) === false)
+    assert(v(("bot", "/aXb/x")) === true)       // '.' is not a regex dot
+  }
+
+  test("wildcard rules: mid-rule $ is literal, only the trailing one anchors") {
+    val txt = "User-agent: *\nDisallow: /x$y*z$"
+    val v = verdicts(txt, Seq(
+      ("bot", "/x$yQQz"), ("bot", "/x$yQQzZ"), ("bot", "/xAyQQz")))
+    assert(v(("bot", "/x$yQQz")) === false)  // literal $, * span, anchor
+    assert(v(("bot", "/x$yQQzZ")) === true)  // anchored: no tail allowed
+    assert(v(("bot", "/xAyQQz")) === true)   // mid $ must match literally
+  }
+
   test("empty Disallow is allow-everything; paths stay case-sensitive; no robots at all allows") {
     val v1 = verdicts("User-agent: *\nDisallow:", Seq(("b", "/any")))
     assert(v1(("b", "/any")) === true)
