@@ -101,7 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "^(http://[^/:]*):80$", "$1"),
           "^(https://[^/:]*):443$", "$1"),
           "^(https?://)www\\.", "$1")
-        Concat(Seq(noWww, rr(rest, "/+$", "")))
+        // trailing-slash trim only when no query string is present
+        // ([^?] spans the whole rest or nothing) — '?next=/' is data
+        Concat(Seq(noWww, rr(rest, "^([^?]*?)/+$", "$1")))
       }))
     ext.injectFunction((
       new FunctionIdentifier("redact_pii"),

@@ -333,7 +333,10 @@ object TextFunctions {
     * relationally — no \L case-fold escapes, which RE2 replayers
     * lack). Contract: absolute http(s) URLs; query strings pass
     * through verbatim (param reordering is site-semantic, not
-    * syntax — deliberately NOT normalized). */
+    * syntax — deliberately NOT normalized), and the trailing-slash
+    * trim applies only when NO query string is present (the `[^?]`
+    * guard) — `?next=/` is query DATA, not a path slash; collapsing
+    * it would merge genuinely distinct frontier keys. */
   /** Sitemap URL discovery — the crawl-frontier's feed: every `<loc>`
     * entry of a sitemap XML body, whitespace-trimmed, document order
     * preserved. Non-greedy RE2-compatible extraction (sitemaps are
@@ -345,22 +348,52 @@ object TextFunctions {
 
   /** Anchor-link extraction — what closes the crawl LOOP (fetch →
     * discover → frontier): every `<a href="…">`/`<a href='…'>` target
-    * in a fetched HTML body, with root-relative paths (`/x`) resolved
-    * against `base` (scheme+host, no trailing slash) and absolute
-    * http(s) URLs kept as-is. Fragment-only, protocol-relative,
-    * page-relative and non-http(s) (`mailto:`, `javascript:`) targets
-    * are dropped — the usual crawler contract: only unambiguous
-    * fetchable URLs enter the frontier. Non-greedy RE2 extraction +
-    * one filter/transform — narrow, no shuffle; feed through
-    * [[urlNormalize]] before the frontier dedup. */
-  def extractLinks(html: Column, base: Column): Column = {
+    * in a fetched HTML body, resolved against `pageUrl` (the URL the
+    * body was fetched from — a full URL, path included):
+    *
+    *  - absolute http(s) targets kept as-is;
+    *  - root-relative (`/x`) resolved against the page's scheme+host;
+    *  - page-relative (`x`, `./x`) resolved against the page's
+    *    DIRECTORY (the majority shape on real pages — a crawler that
+    *    drops them misses most of a site), and one `../x` level
+    *    against the parent directory;
+    *  - fragment-only, protocol-relative (`//…` — the scheme is
+    *    ambiguous without context), other-scheme (`mailto:`,
+    *    `javascript:`) and deeper-than-one `../../…` targets dropped
+    *    (the documented contract: only unambiguous fetchable URLs
+    *    enter the frontier; multi-level dot-normalization is the
+    *    long tail, not the 90% case).
+    *
+    * A page with no path (`https://h`) resolves relatives against the
+    * root. Non-greedy RE2 extraction + one filter/transform — narrow,
+    * no shuffle; feed through [[urlNormalize]] before the frontier
+    * dedup. */
+  def extractLinks(html: Column, pageUrl: Column): Column = {
+    val base = regexp_extract(pageUrl, "^(https?://[^/]+)", 1)
+    // the page's directory path: host-relative, up to and including
+    // the last '/' — "/" when the page sits at the root
+    val dirPath = when(pageUrl.rlike("^https?://[^/]+/"),
+      regexp_replace(regexp_replace(pageUrl, "^https?://[^/]+", ""),
+        "[^/]*$", "")).otherwise(lit("/"))
+    val parentPath = regexp_replace(dirPath, "[^/]+/$", "")
     val hrefs = regexp_extract_all(html,
       lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
     filter(
       transform(hrefs, h =>
         when(h.rlike("^https?://"), h)
-          .when(h.rlike("^/([^/]|$)"), concat(base, h))
-          .otherwise(lit(null))),
+          .when(h.rlike("^//"), lit(null))
+          .when(h.rlike("^/"), concat(base, h))
+          .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+          .when(h.rlike("^#"), lit(null))
+          .when(h.rlike("^\\.\\./"),
+            when(regexp_replace(h, "^\\.\\./", "")
+                .rlike("^\\.\\.?(/|$)"), lit(null))
+              .otherwise(concat(base, parentPath,
+                regexp_replace(h, "^\\.\\./", ""))))
+          .when(h.rlike("^\\.\\.?$"), lit(null))
+          .when(h.rlike("^\\./"),
+            concat(base, dirPath, regexp_replace(h, "^\\./", "")))
+          .otherwise(concat(base, dirPath, h))),
       x => x.isNotNull)
   }
 
@@ -372,6 +405,6 @@ object TextFunctions {
       regexp_replace(auth, "^(http://[^/:]*):80$", "$1"),
       "^(https://[^/:]*):443$", "$1")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
-    concat(noWww, regexp_replace(rest, "/+$", ""))
+    concat(noWww, regexp_replace(rest, "^([^?]*?)/+$", "$1"))
   }
 }

@@ -1711,7 +1711,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             '^(https://[^/:]*):443$', '\1'),
             '^(https?://)www\.', '\1') ||
           regexp_replace(regexp_replace(nofrag,
-            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
         FROM parts)
       SELECT nm.source, nm.n_urls, nm.n_raw_distinct,
         nm.n_norm_distinct, ms.norm_mass
@@ -1989,7 +1989,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             '^(https://[^/:]*):443$', '\1'),
             '^(https?://)www\.', '\1') ||
           regexp_replace(regexp_replace(nofrag,
-            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
         FROM parts),
       frontier AS (SELECT DISTINCT source, n FROM norm),
       reqs AS (
@@ -2128,7 +2128,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             '^(https://[^/:]*):443$', '\1'),
             '^(https?://)www\.', '\1') ||
           regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
-            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
         FROM locs)
       SELECT source, count(*) AS n_locs,
         count(DISTINCT n) AS n_frontier
@@ -2136,55 +2136,92 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
 
   // ---- q265: link extraction closes the crawl loop ----------------------
   // fetch → DISCOVER → frontier: deterministic HTML bodies carry an
-  // absolute external anchor, a root-relative internal one (resolved
-  // against the host base), and three drop-cases (fragment-only,
-  // mailto:, protocol-relative) — both quote styles exercised. The
-  // census gates extraction counts, the internal/external split, and
-  // the frontier handoff (distinct normalized targets).
+  // absolute external anchor, a root-relative internal one (with a
+  // query string whose VALUE ends in '/' — pinning that the frontier
+  // normalization never trims query data), page-relative, ./ and
+  // one-level ../ anchors (the majority shape on real pages, resolved
+  // against the page URL's directory), and four drop-cases
+  // (fragment-only, mailto:, protocol-relative, ../../ past the
+  // one-level contract) — both quote styles exercised. The census
+  // gates extraction counts, the internal/external split, the
+  // frontier handoff (distinct normalized targets) and an md5 mass
+  // over the distinct normalized strings, so a resolution that lands
+  // on the wrong directory — or a normalization that collapses query
+  // data — flips the hash even when counts survive.
 
   private[queries] val q265: GraftQuery = GraftQuery(
     "q265_link_extraction",
     (s, d) => {
       val id = col("doc_id")
+      val site = concat(lit("https://"), col("source"),
+        lit(".example.com"))
+      val page = concat(site, lit("/sec/"), id % 3, lit("/page.html"))
       val html = concat(
         lit("<html><body><p>t</p><a href=\"http://hub.example.com/p/"),
         id % 7,
         lit("\">e</a><a href='/p/"), id % 5,
         lit("'>i</a><a href=\"#top\">f</a>" +
           "<a href=\"mailto:x@y.z\">m</a>" +
-          "<a href=\"//cdn.example.com/x\">p</a></body></html>"))
-      val base = concat(lit("https://"), col("source"),
-        lit(".example.com"))
+          "<a href=\"//cdn.example.com/x\">p</a>" +
+          "<a href=\"rel"), id % 2,
+        lit(".html\">r</a><a href=\"./dot.html\">s</a>" +
+          "<a href=\"../up.html\">u</a>" +
+          "<a href=\"../../deep.html\">d</a>" +
+          "<a href=\"/q?next=/\">q</a></body></html>"))
       val links = docs(s, d)
-        .select(col("source"), base.as("base"),
-          explode(extractLinks(html, base)).as("u"))
-      links.groupBy(col("source"))
+        .select(col("source"), site.as("site"),
+          explode(extractLinks(html, page)).as("u"))
+      val counts = links.groupBy(col("source"))
         .agg(count(lit(1)).as("n_links"),
-          sum(when(substring(col("u"), lit(1), length(col("base"))) ===
-            col("base"), 1L).otherwise(0L)).as("n_internal"),
-          sum(when(substring(col("u"), lit(1), length(col("base"))) ===
-            col("base"), 0L).otherwise(1L)).as("n_external"),
+          sum(when(substring(col("u"), lit(1), length(col("site"))) ===
+            col("site"), 1L).otherwise(0L)).as("n_internal"),
+          sum(when(substring(col("u"), lit(1), length(col("site"))) ===
+            col("site"), 0L).otherwise(1L)).as("n_external"),
           countDistinct(urlNormalize(col("u"))).as("n_frontier"))
-        .orderBy(col("source"))
+      val mass = links
+        .select(col("source"), urlNormalize(col("u")).as("n")).distinct()
+        .groupBy(col("source"))
+        .agg(sum(conv(substring(md5(col("n")), 1, 8), 16, 10)
+          .cast(LongType)).cast(LongType).as("frontier_mass"))
+      counts.join(mass, Seq("source")).orderBy(col("source"))
     },
     Some("""WITH pages AS (
-        SELECT source, 'https://' || source || '.example.com' AS base,
+        SELECT source,
+          'https://' || source || '.example.com' AS site,
+          '/sec/' || (doc_id % 3) || '/' AS dir,
           '<html><body><p>t</p><a href="http://hub.example.com/p/' ||
           (doc_id % 7) || '">e</a><a href=''/p/' || (doc_id % 5) ||
           '''>i</a><a href="#top">f</a>' ||
           '<a href="mailto:x@y.z">m</a>' ||
-          '<a href="//cdn.example.com/x">p</a></body></html>' AS html
+          '<a href="//cdn.example.com/x">p</a>' ||
+          '<a href="rel' || (doc_id % 2) || '.html">r</a>' ||
+          '<a href="./dot.html">s</a>' ||
+          '<a href="../up.html">u</a>' ||
+          '<a href="../../deep.html">d</a>' ||
+          '<a href="/q?next=/">q</a></body></html>' AS html
         FROM documents),
       links AS (
-        SELECT source, base, unnest(list_filter(list_transform(
+        SELECT source, site, unnest(list_filter(list_transform(
           regexp_extract_all(html,
             '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["'']', 1),
           h -> CASE WHEN regexp_matches(h, '^https?://') THEN h
-            WHEN regexp_matches(h, '^/([^/]|$)') THEN base || h
-            ELSE NULL END), x -> x IS NOT NULL)) AS u
+            WHEN regexp_matches(h, '^//') THEN NULL
+            WHEN regexp_matches(h, '^/') THEN site || h
+            WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+              THEN NULL
+            WHEN regexp_matches(h, '^#') THEN NULL
+            WHEN regexp_matches(h, '^\.\./') THEN
+              CASE WHEN regexp_matches(regexp_replace(h, '^\.\./', ''),
+                  '^\.\.?(/|$)') THEN NULL
+                ELSE site || '/sec/' ||
+                  regexp_replace(h, '^\.\./', '') END
+            WHEN regexp_matches(h, '^\.\.?$') THEN NULL
+            WHEN regexp_matches(h, '^\./') THEN
+              site || dir || regexp_replace(h, '^\./', '')
+            ELSE site || dir || h END), x -> x IS NOT NULL)) AS u
         FROM pages),
       norm AS (
-        SELECT source, base, u,
+        SELECT source, site, u,
           regexp_replace(regexp_replace(regexp_replace(
             lower(regexp_extract(regexp_replace(u, '#.*$', ''),
               '^([A-Za-z]+://[^/]*)', 1)),
@@ -2192,15 +2229,22 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             '^(https://[^/:]*):443$', '\1'),
             '^(https?://)www\.', '\1') ||
           regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
-            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
-        FROM links)
-      SELECT source, count(*) AS n_links,
-        CAST(sum(CASE WHEN substring(u, 1, length(base)) = base
-          THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
-        CAST(sum(CASE WHEN substring(u, 1, length(base)) = base
-          THEN 0 ELSE 1 END) AS BIGINT) AS n_external,
-        count(DISTINCT n) AS n_frontier
-      FROM norm GROUP BY source ORDER BY source"""))
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM links),
+      c AS (SELECT source, count(*) AS n_links,
+          CAST(sum(CASE WHEN substring(u, 1, length(site)) = site
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+          CAST(sum(CASE WHEN substring(u, 1, length(site)) = site
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_external,
+          count(DISTINCT n) AS n_frontier
+        FROM norm GROUP BY source),
+      m AS (SELECT source, CAST(sum(CAST(concat('0x',
+            substring(md5(n), 1, 8)) AS BIGINT)) AS BIGINT)
+            AS frontier_mass
+        FROM (SELECT DISTINCT source, n FROM norm) GROUP BY source)
+      SELECT c.source, c.n_links, c.n_internal, c.n_external,
+        c.n_frontier, m.frontier_mass
+      FROM c JOIN m ON c.source = m.source ORDER BY c.source"""))
 
   // ---- q266: polite fetch schedule ---------------------------------------
   // The frontier's ORDER (the gate decides what to fetch; politeness
@@ -2263,7 +2307,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             '^(https://[^/:]*):443$', '\1'),
             '^(https?://)www\.', '\1') ||
           regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
-            '^[A-Za-z]+://[^/]*', ''), '/+$', '') AS n
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
         FROM u0),
       frontier AS (SELECT DISTINCT n FROM norm),
       f2 AS (SELECT n,

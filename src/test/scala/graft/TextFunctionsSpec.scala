@@ -174,6 +174,12 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(norm("http://wwwhost.com/x") == "http://wwwhost.com/x")
     // :443 on http (or :80 on https) is NOT a default port — kept
     assert(norm("http://host.com:443/x") == "http://host.com:443/x")
+    // a trailing slash inside QUERY DATA is not a path slash — the
+    // trim must not collapse '?next=/' into '?next=' (distinct pages)
+    assert(norm("http://h.io/p?next=/") == "http://h.io/p?next=/")
+    assert(norm("http://h.io/p/?a=1") == "http://h.io/p/?a=1")
+    // ...while a genuine trailing path slash still trims
+    assert(norm("http://h.io/p/") == "http://h.io/p")
   }
 
   test("sitemapLocs: document order, whitespace trim, empty/locless bodies degrade to empty") {
@@ -189,7 +195,7 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("u1", "u2"))
   }
 
-  test("extractLinks: absolute kept, root-relative resolved, fragment/mailto/protocol-relative/page-relative dropped") {
+  test("extractLinks: absolute kept, root-relative resolved, fragment/mailto/protocol-relative dropped") {
     def links(html: String): Seq[String] = Seq(html).toDF("h")
       .select(extractLinks($"h", lit("https://me.io")))
       .as[Seq[String]].head()
@@ -198,8 +204,34 @@ class TextFunctionsSpec extends AnyFunSuite {
         """<a href="#top">3</a><a href="mailto:a@b.c">4</a>""" +
         """<a href="//cdn.io/x">5</a><a href="rel/path">6</a>""" +
         """<a class="z" href="/">7</a>""") ==
-      Seq("http://a.io/x", "https://me.io/p/2", "https://me.io/"))
+      Seq("http://a.io/x", "https://me.io/p/2",
+        // page-relative resolves against the root when the page URL
+        // carries no path
+        "https://me.io/rel/path", "https://me.io/"))
     assert(links("<p>no anchors</p>") == Seq.empty)
+  }
+
+  test("extractLinks: page-relative and ../ resolve against the page's directory; deeper dots drop") {
+    def links(html: String): Seq[String] = Seq(html).toDF("h")
+      .select(extractLinks($"h", lit("https://me.io/a/b/page.html")))
+      .as[Seq[String]].head()
+    assert(links(
+      """<a href="next.html">1</a><a href="./same.html">2</a>""" +
+        """<a href="../up.html">3</a><a href="../../top.html">4</a>""" +
+        """<a href="..">5</a><a href=".">6</a>""" +
+        """<a href="../">7</a><a href="/root.html">8</a>""") ==
+      Seq("https://me.io/a/b/next.html", "https://me.io/a/b/same.html",
+        "https://me.io/a/up.html",
+        // ../../ is past the one-level contract -> dropped; bare
+        // '.'/'..' dropped; '../' alone is the parent directory
+        "https://me.io/a/",
+        "https://me.io/root.html"))
+    // one level up from a root-level page clamps at the root
+    def rootLinks(html: String): Seq[String] = Seq(html).toDF("h")
+      .select(extractLinks($"h", lit("https://me.io/page.html")))
+      .as[Seq[String]].head()
+    assert(rootLinks("""<a href="../x.html">u</a>""") ==
+      Seq("https://me.io/x.html"))
   }
 
   test("url_normalize SQL door equals the Column API; arity refused") {
