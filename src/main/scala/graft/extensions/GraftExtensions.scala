@@ -396,6 +396,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.Warc.parseRecords(tbl, blobCol)
           .queryExecution.analyzed
       }))
+    // HTTP message split from SQL (q269's operator — the layer
+    // between the WARC record frame and the document):
+    //   http_split(table, payload_col)
+    // Emits the input columns plus (http_status, content_type,
+    // charset, body); non-HTTP payloads surface as NULLs.
+    ext.injectTableFunction((
+      new FunctionIdentifier("http_split"),
+      new ExpressionInfo("graft.sources.Warc", "http_split"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "usage: http_split(table, payload_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tbl = spark.table(strLit(children(0), "table"))
+        val pc = strLit(children(1), "payload_col")
+        require(tbl.columns.contains(pc),
+          s"http_split: table lacks column '$pc'")
+        graft.sources.Warc.httpSplit(tbl, pc)
+          .queryExecution.analyzed
+      }))
     // robots.txt verdicts from SQL (q262's operator — crawl
     // politeness through the parser door):
     //   robots_verdicts(robots_table, requests_table)

@@ -1586,7 +1586,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         SELECT source, doc_id,
           'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
             'WARC-Target-URI: http://' || source || '/' || doc_id ||
-            e'\r\n' || 'Content-Length: ' || length(text) ||
+            e'\r\n' || 'Content-Length: ' || strlen(text) ||
             e'\r\n\r\n' || text AS r
         FROM documents),
       blobs AS (
@@ -1610,7 +1610,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         SELECT source, 'http://' || source || '/' || doc_id AS uri, text
         FROM documents)
       SELECT p.source, count(*) AS n_records,
-        CAST(sum(CASE WHEN p.cl IS NOT NULL AND p.cl = length(p.payload)
+        CAST(sum(CASE WHEN p.cl IS NOT NULL AND p.cl = strlen(p.payload)
           THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
         CAST(sum(length(p.payload)) AS BIGINT) AS payload_chars,
         CAST(sum(CASE WHEN p.payload = d2.text THEN 1 ELSE 0 END)
@@ -2467,4 +2467,168 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         GROUP BY d.source ORDER BY d.source""")
     },
     Some(repetitionOracleSql))
+
+  // ---- q269: HTTP message split inside WARC payloads --------------------
+  // The realism layer q258 stopped short of: a real crawl record's
+  // block is a full HTTP response (status line, headers, blank line,
+  // body), and a cleaning stack fed the whole block would score
+  // headers as document text. Documents are wrapped as HTTP messages
+  // (status 200/404 by doc, Content-Type text/html+charset vs
+  // text/plain by parity), framed as WARC records, and the parse →
+  // split pipeline must recover status, media type, charset and the
+  // EXACT body (per-record roundtrip via the URI join) — the oracle
+  // replays render, record split, header walk and message split
+  // end to end; one CRLF miscount anywhere flips a census cell.
+
+  private[queries] def httpWarcBlobs(s: SparkSession,
+                                     d: String): DataFrame = {
+    import graft.sources.Warc
+    val id = col("doc_id")
+    val uri = concat(lit("http://"), col("source"), lit("/"), id)
+    val status = when(id % 11 === 0, lit(404)).otherwise(lit(200))
+    val ct = when(id % 2 === 0, lit("text/html; charset=UTF-8"))
+      .otherwise(lit("text/plain"))
+    docs(s, d).select(col("source"), id.as("doc_id"),
+        Warc.record(uri, Warc.httpResponse(status, ct, col("text")))
+          .as("r"))
+      .groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id").as("i"),
+          col("r").as("r")))),
+        e => e.getField("r")), "\r\n\r\n").as("blob"))
+  }
+
+  private[queries] val q269: GraftQuery = GraftQuery(
+    "q269_http_split",
+    (s, d) => {
+      import graft.sources.Warc
+      val uri = concat(lit("http://"), col("source"), lit("/"),
+        col("doc_id"))
+      val parsed = Warc.httpSplit(
+        Warc.parseRecords(httpWarcBlobs(s, d), "blob"), "payload")
+      parsed
+        .join(docs(s, d).select(col("source"), uri.as("uri"),
+          col("text")), Seq("source", "uri"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+          sum(when(col("http_status") === 200, 1L).otherwise(0L))
+            .as("n_200"),
+          sum(when(col("http_status") === 404, 1L).otherwise(0L))
+            .as("n_404"),
+          sum(when(col("content_type") === "text/html", 1L)
+            .otherwise(0L)).as("n_html"),
+          sum(when(col("charset") === "utf-8", 1L).otherwise(0L))
+            .as("n_charset"),
+          sum(when(col("body") === col("text"), 1L).otherwise(0L))
+            .as("n_body_roundtrip"))
+        .orderBy(col("source"))
+    },
+    Some(httpOracleSql))
+
+  /** The q269/q270 full-replay oracle — shared verbatim by the SQL
+    * door: the TVF must split exactly like the library call. */
+  private[queries] lazy val httpOracleSql: String =
+    ("""WITH rec AS (
+        SELECT source, doc_id,
+          'HTTP/1.1 ' ||
+            CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END ||
+            ' S' || e'\r\n' || 'Content-Type: ' ||
+            CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+              ELSE 'text/plain' END ||
+            e'\r\n' || 'Content-Length: ' || strlen(text) ||
+            e'\r\n\r\n' || text AS msg
+        FROM documents),
+      wrec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || strlen(msg) ||
+            e'\r\n\r\n' || msg AS r
+        FROM rec),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM wrec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Target-URI: ([^\r]*)', 1) AS uri,
+          TRY_CAST(regexp_extract(rc, 'Content-Length: (\d+)', 1)
+            AS BIGINT) AS cl,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm),
+      http AS (
+        SELECT source, uri, cl, payload,
+          TRY_CAST(regexp_extract(payload,
+            '^HTTP/\d(?:\.\d)? (\d{3})', 1) AS INTEGER) AS status,
+          regexp_extract(payload, '(?s)^(.*?)\r\n\r\n', 1) AS head,
+          regexp_extract(payload, '(?s)^.*?\r\n\r\n(.*)$', 1) AS body
+        FROM parsed),
+      fin AS (
+        SELECT source, uri, cl, payload, status, body,
+          lower(trim(regexp_extract(regexp_extract(head,
+            '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1),
+            '^([^;]*)', 1))) AS media,
+          lower(regexp_extract(regexp_extract(head,
+            '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1),
+            '(?i)charset="?([A-Za-z0-9_.:-]+)', 1)) AS cs
+        FROM http),
+      d2 AS (
+        SELECT source, 'http://' || source || '/' || doc_id AS uri, text
+        FROM documents)
+      SELECT f.source, count(*) AS n_records,
+        CAST(sum(CASE WHEN f.cl IS NOT NULL AND f.cl = strlen(f.payload)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        CAST(sum(CASE WHEN f.status = 200 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_200,
+        CAST(sum(CASE WHEN f.status = 404 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_404,
+        CAST(sum(CASE WHEN f.media = 'text/html' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_html,
+        CAST(sum(CASE WHEN f.cs = 'utf-8' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_charset,
+        CAST(sum(CASE WHEN f.body = d2.text THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_body_roundtrip
+      FROM fin f JOIN d2 ON f.source = d2.source AND f.uri = d2.uri
+      GROUP BY f.source ORDER BY f.source""")
+
+  // ---- q270: http_split TVF — the SQL door ------------------------------
+  // The message split from pure SQL: blobs flow through the
+  // warc_records TVF into a temp view, that view through the
+  // http_split TVF, and the census aggregates the split rows exactly
+  // like q269's Scala side; oracle shared verbatim.
+
+  private[queries] val q270: GraftQuery = GraftQuery(
+    "q270_sql_http_door",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      httpWarcBlobs(s, d).createOrReplaceTempView("http_blobs_sql")
+      s.sql("""CREATE OR REPLACE TEMP VIEW http_msgs_sql AS
+        SELECT * FROM warc_records('http_blobs_sql', 'blob')""")
+      s.sql("""SELECT h.source, count(*) AS n_records,
+          sum(CASE WHEN h.len_ok THEN 1L ELSE 0L END) AS n_len_ok,
+          sum(CASE WHEN h.http_status = 200 THEN 1L ELSE 0L END)
+            AS n_200,
+          sum(CASE WHEN h.http_status = 404 THEN 1L ELSE 0L END)
+            AS n_404,
+          sum(CASE WHEN h.content_type = 'text/html' THEN 1L ELSE 0L END)
+            AS n_html,
+          sum(CASE WHEN h.charset = 'utf-8' THEN 1L ELSE 0L END)
+            AS n_charset,
+          sum(CASE WHEN h.body = d.text THEN 1L ELSE 0L END)
+            AS n_body_roundtrip
+        FROM http_split('http_msgs_sql', 'payload') h
+        JOIN (SELECT source,
+            concat('http://', source, '/', doc_id) AS uri, text
+          FROM documents) d
+          ON h.source = d.source AND h.uri = d.uri
+        GROUP BY h.source ORDER BY h.source""")
+    },
+    Some(httpOracleSql))
 }

@@ -56,15 +56,132 @@ object Warc {
         regexp_extract(col("_rec"), "(?s)\\r\\n\\r\\n(.*)$", 1))
       .withColumn("len_ok",
         col("content_length").isNotNull &&
-          length(col("payload")) === col("content_length"))
+          // OCTETS, not characters — real WARC Content-Length counts
+          // bytes, and a char-length compare would flag every
+          // multibyte UTF-8 payload as corrupt
+          octet_length(col("payload")) === col("content_length"))
       .drop("_rec")
 
   /** Render `(uri, payload)` rows as minimal WARC/1.0 response
     * records — the writer side of the seam (test fixtures, re-export
-    * of a cleaned corpus in the format the crawl side speaks). */
+    * of a cleaned corpus in the format the crawl side speaks).
+    * Content-Length is the payload's OCTET count (UTF-8), matching
+    * both the WARC spec and [[parseRecords]]' `len_ok` gate. */
   def record(uri: Column, payload: Column): Column =
     concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
-      lit("\r\nContent-Length: "), length(payload),
+      lit("\r\nContent-Length: "), octet_length(payload),
       lit("\r\n\r\n"), payload)
+
+  /** Split the HTTP response message out of a WARC `response`
+    * payload — the layer BETWEEN the record frame and the document: a
+    * real crawl record's block is `HTTP/1.1 200 OK\r\nheaders…\r\n\r\n
+    * body`, and a cleaning stack fed the whole block would score
+    * status lines and headers as document text. Adds four columns:
+    *
+    *  - `http_status` — the status-line code; NULL when the payload
+    *    is not an HTTP message at all (resource records, fixtures);
+    *  - `content_type` — the media type of the `Content-Type` header,
+    *    lowercased, parameters stripped; NULL when absent;
+    *  - `charset` — the `charset=` parameter of that header,
+    *    lowercased; NULL when absent;
+    *  - `body` — everything after the first blank line; NULL when the
+    *    payload is not an HTTP message (fail-loud: a caller that
+    *    wants raw pass-through writes `coalesce(body, payload)`
+    *    explicitly rather than silently cleaning headers).
+    *
+    * One narrow codegen'd projection (anchored RE2-safe regexes), no
+    * shuffle; composes after [[parseRecords]], whose `len_ok` keeps
+    * gating the RECORD (declared vs recovered octets of the whole
+    * message) — this splits the recovered message, it does not
+    * re-judge it. */
+  def httpSplit(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val isHttp = p.rlike("^HTTP/\\d(\\.\\d)? \\d{3}")
+    val ct = regexp_extract(col("_head"),
+      "(?im)^Content-Type:[ \\t]*([^\\r\\n]*)", 1)
+    val media = lower(trim(regexp_extract(col("_ct"), "^([^;]*)", 1)))
+    val cs = lower(regexp_extract(col("_ct"),
+      "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
+    df.withColumn("http_status",
+        when(isHttp,
+          regexp_extract(p, "^HTTP/\\d(?:\\.\\d)? (\\d{3})", 1)
+            .cast(IntegerType)))
+      .withColumn("_head",
+        regexp_extract(p, "(?s)^(.*?)\\r\\n\\r\\n", 1))
+      .withColumn("_ct", when(col("http_status").isNotNull, ct))
+      .withColumn("content_type",
+        when(col("http_status").isNotNull && length(media) > 0, media))
+      .withColumn("charset",
+        when(col("http_status").isNotNull && length(cs) > 0, cs))
+      .withColumn("body",
+        when(col("http_status").isNotNull,
+          regexp_extract(p, "(?s)^.*?\\r\\n\\r\\n(.*)$", 1)))
+      .drop("_head", "_ct")
+  }
+
+  /** Render an HTTP response message — the writer side of
+    * [[httpSplit]] (fixtures, re-export): status line, Content-Type,
+    * octet-exact Content-Length, blank line, body. The reason phrase
+    * is a fixed `S` — synthetic by construction, and only the code
+    * carries semantics. */
+  def httpResponse(status: Column, contentType: Column,
+                   body: Column): Column =
+    concat(
+      lit("HTTP/1.1 "), status, lit(" S\r\nContent-Type: "),
+      contentType,
+      lit("\r\nContent-Length: "), octet_length(body),
+      lit("\r\n\r\n"), body)
+
+  /** Decompress a column of gzip MEMBERS (possibly several
+    * concatenated — the Common Crawl `.warc.gz` layout is one gzip
+    * member per record, so a whole shard file is a multi-member
+    * stream) into one UTF-8 blob string per row. This is the codec
+    * seam (the [[graft.operators.Multimodal]] decoder tier —
+    * `mapPartitions` is justified exactly here, where no Column
+    * expression can run a codec): each input row decompresses
+    * independently, so the op is shard-parallel and stateless; a
+    * corrupt stream yields NULL rather than killing the task, and the
+    * caller's quarantine split picks it up. Keeps the id column,
+    * drops the (large) binary. */
+  def gunzipBlobs(df: DataFrame, idCol: String,
+                  bytesCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bytesCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head, StructField("blob", StringType)))
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val blob =
+          try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            // GZIPInputStream walks ALL members of a concatenated
+            // stream — the multi-member contract comes from the JDK
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            in.close()
+            new String(out.toByteArray, "UTF-8")
+          } catch { case _: java.io.IOException => null }
+        Row(r.get(0), blob)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Read a directory of `.warc.gz` shards as parsed records: the
+    * `binaryFile` source (one row per shard file — WARC shards are
+    * the unit of parallelism by design), the multi-member gunzip
+    * seam, then [[parseRecords]]. `path` keeps the source file as
+    * provenance; a shard that fails to decompress surfaces as a NULL
+    * blob row, not a dropped file. */
+  def readWarcGz(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
+    val blobs = gunzipBlobs(bin, "path", "content")
+    parseRecords(blobs.filter(col("blob").isNotNull), "blob")
+  }
 }

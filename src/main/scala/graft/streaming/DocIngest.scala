@@ -44,19 +44,54 @@ object DocIngest {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
 
+  /** The shared landing half of the WARC ingests: parsed records →
+    * three-way split → sinks. Integrity-failed records (`len_ok` =
+    * false — truncation or a boundary mis-split) quarantine with
+    * their declared/recovered OCTET lengths; structurally-sound
+    * records then pass [[graft.sources.Warc.httpSplit]], and
+    * non-HTTP or non-200 messages quarantine with their status and
+    * media type (a 404 body or a redirect stub is not training
+    * text); only 200-message BODIES — never the raw payload, which
+    * would feed status lines and headers to the cleaning stack —
+    * flow through the standard [[ingest]] gate (quality floor +
+    * within-batch digest dedup; cross-shard dedup is the downstream
+    * keep-first or a persisted-index gate, the [[runNearDupGate]]
+    * pattern) and land. Every quarantine row carries a `reason`
+    * (`length` | `status`) so the audit trail says WHICH gate
+    * refused it. */
+  private def landWarcRecords(recs: DataFrame, outDir: String,
+                              quarantineDir: String,
+                              minTokens: Int): Unit = {
+    val r = recs.persist() // two consumers: quarantine + clean landing
+    try {
+      r.filter(!col("len_ok"))
+        .select(col("uri"), lit("length").as("reason"),
+          col("content_length"),
+          octet_length(col("payload")).as("recovered_length"))
+        .write.mode("append").json(quarantineDir)
+      val msgs = graft.sources.Warc.httpSplit(
+        r.filter(col("len_ok")), "payload").persist()
+      try {
+        msgs.filter(col("http_status").isNull ||
+            col("http_status") =!= 200)
+          .select(col("uri"), lit("status").as("reason"),
+            col("http_status"), col("content_type"))
+          .write.mode("append").json(quarantineDir)
+        ingest(msgs.filter(col("http_status") === 200)
+            .select(col("uri"), col("body").as("text")), minTokens)
+          .write.mode("append").json(outDir)
+      } finally { msgs.unpersist(); () }
+    } finally { r.unpersist(); () }
+  }
+
   /** WARC-shard ingest — crawl stage zero as a stream: each arriving
     * FILE is one WARC blob (`wholetext` — a line-framed reader would
     * shred records at every CRLF), records recovered by
-    * [[graft.sources.Warc.parseRecords]], integrity-failed records
-    * (`len_ok = false` — truncation or a boundary mis-split)
-    * quarantined WITH their declared/recovered lengths (the audit
-    * trail), clean payloads fed through the standard [[ingest]] gate
-    * (quality floor + digest dedup — WITHIN each micro-batch here:
-    * foreachBatch runs the transform on plain batches, so cross-shard
-    * exact dedup belongs to the downstream keep-first on content_hash
-    * or a persisted-index gate, the [[runNearDupGate]] pattern) and
-    * landed. The uri rides along as the doc's provenance. Delivery is
-    * the foreachBatch contract — at-least-once. */
+    * [[graft.sources.Warc.parseRecords]] and landed by
+    * [[landWarcRecords]] (integrity gate, HTTP message split, the
+    * [[ingest]] quality/dedup gate). The uri rides along as the
+    * doc's provenance. Delivery is the foreachBatch contract —
+    * at-least-once. */
   def runWarcIngest(spark: SparkSession, rawDir: String, outDir: String,
                     quarantineDir: String, checkpointDir: String,
                     minTokens: Int = 3,
@@ -67,18 +102,52 @@ object DocIngest {
       .text(rawDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val recs = graft.sources.Warc.parseRecords(batch, "value")
-          .persist() // two consumers: quarantine split + clean landing
+        landWarcRecords(graft.sources.Warc.parseRecords(batch, "value"),
+          outDir, quarantineDir, minTokens)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[runWarcIngest]] for COMPRESSED shards — the layout Common
+    * Crawl actually ships (`.warc.gz`, one gzip member per record,
+    * concatenated): the `binaryFile` source delivers each shard as
+    * bytes, [[graft.sources.Warc.gunzipBlobs]] walks the multi-member
+    * stream at the codec seam, shards that fail to decompress
+    * quarantine with `reason = gzip` (a corrupt shard must surface,
+    * not vanish), and recovered blobs land through the same
+    * [[landWarcRecords]] stack. */
+  def runWarcGzIngest(spark: SparkSession, rawDir: String,
+                      outDir: String, quarantineDir: String,
+                      checkpointDir: String, minTokens: Int = 3,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val q = spark.readStream
+      .format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val blobs = graft.sources.Warc
+          .gunzipBlobs(batch, "path", "content")
+          .persist() // two consumers: gzip quarantine + record landing
         try {
-          recs.filter(!col("len_ok"))
-            .select(col("uri"), col("content_length"),
-              length(col("payload")).as("recovered_length"))
+          blobs.filter(col("blob").isNull)
+            .select(col("path").as("uri"), lit("gzip").as("reason"))
             .write.mode("append").json(quarantineDir)
-          ingest(recs.filter(col("len_ok"))
-              .select(col("uri"), col("payload").as("text")),
-              minTokens)
-            .write.mode("append").json(outDir)
-        } finally { recs.unpersist(); () }
+          landWarcRecords(
+            graft.sources.Warc.parseRecords(
+              blobs.filter(col("blob").isNotNull), "blob"),
+            outDir, quarantineDir, minTokens)
+        } finally { blobs.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

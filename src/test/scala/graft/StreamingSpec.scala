@@ -1011,7 +1011,18 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
-  test("streaming WARC ingest: records recovered per shard file, truncated record quarantined with lengths, clean docs land") {
+  // real-crawl-shaped WARC fixtures: record payloads are full HTTP
+  // response messages (status line + headers + blank line + body)
+  private def httpMsg(status: Int, ct: String, body: String) =
+    s"HTTP/1.1 $status S\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
+  private def warcRec(uri: String, p: String, declared: Int = -1) =
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      "Content-Length: " +
+      s"${if (declared >= 0) declared else p.getBytes("UTF-8").length}" +
+      s"\r\n\r\n$p"
+
+  test("streaming WARC ingest: 200 bodies land (never headers), truncated/non-200/non-HTTP quarantine with reasons") {
     import spark.implicits._
     import graft.streaming.DocIngest
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_warc_ingest")
@@ -1019,32 +1030,86 @@ class StreamingSpec extends AnyFunSuite {
     val raw = root.resolve("raw"); val out = root.resolve("out")
     val quar = root.resolve("quar"); val ckpt = root.resolve("ckpt")
     java.nio.file.Files.createDirectories(raw)
-    def rec(uri: String, p: String, declared: Int = -1) =
-      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-        s"Content-Length: ${if (declared >= 0) declared else p.length}" +
-        s"\r\n\r\n$p"
-    // shard 1: two clean records; shard 2: one clean + one TRUNCATED
-    // (declared 50, delivered 19) — the integrity split under stream
+    val truncated = httpMsg(200, "text/html", "truncated body here")
+    // shard 1: two clean responses; shard 2: clean + truncated record
+    // + 404 + a headerless payload — every gate fires under stream
     java.nio.file.Files.write(raw.resolve("shard1.warc"),
-      Seq(rec("http://a/1", "alpha beta gamma delta"),
-        rec("http://a/2", "epsilon zeta eta theta"))
+      Seq(
+        warcRec("http://a/1",
+          httpMsg(200, "text/html; charset=utf-8",
+            "alpha beta gamma delta")),
+        warcRec("http://a/2",
+          httpMsg(200, "text/plain", "epsilon zeta eta theta")))
         .mkString("\r\n\r\n").getBytes("UTF-8"))
     java.nio.file.Files.write(raw.resolve("shard2.warc"),
-      Seq(rec("http://a/3", "iota kappa lambda mu"),
-        rec("http://a/4", "truncated body here", declared = 50))
+      Seq(
+        warcRec("http://a/3",
+          httpMsg(200, "text/html", "iota kappa lambda mu")),
+        warcRec("http://a/4", truncated, declared = 500),
+        warcRec("http://a/5", httpMsg(404, "text/html",
+          "page not found body")),
+        warcRec("http://a/6", "no http head here at all"))
         .mkString("\r\n\r\n").getBytes("UTF-8"))
     DocIngest.runWarcIngest(spark, raw.toString, out.toString,
       quar.toString, ckpt.toString, minTokens = 3)
     val landed = spark.read.json(out.toString)
       .select($"uri", $"text").as[(String, String)].collect().toMap
+    // the landed text is the message BODY — no status line, no header
     assert(landed == Map(
       "http://a/1" -> "alpha beta gamma delta",
       "http://a/2" -> "epsilon zeta eta theta",
       "http://a/3" -> "iota kappa lambda mu"), landed.toString)
     val q = spark.read.json(quar.toString)
+    val lenRows = q.filter($"reason" === "length")
       .select($"uri", $"content_length", $"recovered_length")
       .as[(String, Long, Long)].collect().toSeq
-    assert(q == Seq(("http://a/4", 50L, 19L)), q.toString)
+    assert(lenRows == Seq(("http://a/4", 500L,
+      truncated.getBytes("UTF-8").length.toLong)), lenRows.toString)
+    val statusRows = q.filter($"reason" === "status")
+      .select($"uri", $"http_status", $"content_type")
+      .as[(String, Option[Long], Option[String])].collect().toSet
+    assert(statusRows == Set(
+      ("http://a/5", Some(404L), Some("text/html")),
+      ("http://a/6", None, None)), statusRows.toString)
+    deleteRec(root)
+  }
+
+  test("streaming .warc.gz ingest: multi-member shards decompress and land, corrupt shards quarantine as gzip") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_warcgz_ing")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val quar = root.resolve("quar"); val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    def gz(parts: Seq[String]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      parts.foreach { p =>
+        val g = new java.util.zip.GZIPOutputStream(o)
+        g.write(p.getBytes("UTF-8")); g.finish(); g.close()
+      }
+      o.toByteArray
+    }
+    // one member per record, the Common Crawl framing
+    java.nio.file.Files.write(raw.resolve("s1.warc.gz"), gz(Seq(
+      warcRec("http://g/1", httpMsg(200, "text/html",
+        "gzip alpha body words")),
+      "\r\n\r\n" + warcRec("http://g/2", httpMsg(200, "text/plain",
+        "gzip beta body words")))))
+    java.nio.file.Files.write(raw.resolve("bad.warc.gz"),
+      "definitely not gzip".getBytes("UTF-8"))
+    DocIngest.runWarcGzIngest(spark, raw.toString, out.toString,
+      quar.toString, ckpt.toString, minTokens = 3)
+    val landed = spark.read.json(out.toString)
+      .select($"uri", $"text").as[(String, String)].collect().toMap
+    assert(landed == Map(
+      "http://g/1" -> "gzip alpha body words",
+      "http://g/2" -> "gzip beta body words"), landed.toString)
+    val gzRows = spark.read.json(quar.toString)
+      .filter($"reason" === "gzip").select($"uri")
+      .as[String].collect().toSeq
+    assert(gzRows.size == 1 && gzRows.head.endsWith("bad.warc.gz"),
+      gzRows.toString)
     deleteRec(root)
   }
 

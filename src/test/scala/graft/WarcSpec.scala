@@ -58,4 +58,95 @@ class WarcSpec extends AnyFunSuite {
     assert(e.exists(!_._4),
       s"mis-split must be flagged, not silent: $e")
   }
+
+  test("len_ok counts OCTETS: multibyte payloads round-trip clean; a char-count Content-Length is flagged") {
+    val p = "héllo • wörld" // 13 chars, 17 UTF-8 octets
+    assert(p.length == 13 && p.getBytes("UTF-8").length == 17)
+    // writer emits octets -> parser agrees
+    val rendered = Seq(("http://m/1", p)).toDF("uri", "payload")
+      .select(Warc.record($"uri", $"payload")).as[String].head()
+    assert(rendered.contains("Content-Length: 17"), rendered)
+    val ok = parse(rendered)
+    assert(ok.size == 1 && ok.head._4, ok.toString)
+    // a record declaring the CHARACTER count is the corruption the
+    // octet contract exists to catch — flagged, not silently passed
+    val charLen = "WARC/1.0\r\nWARC-Target-URI: http://m/2\r\n" +
+      s"Content-Length: ${p.length}\r\n\r\n$p"
+    val bad = parse(charLen)
+    assert(bad.size == 1 && !bad.head._4, bad.toString)
+  }
+
+  test("httpSplit: status/content-type/charset/body recovered; non-HTTP payloads fail loud with NULLs") {
+    def split(payload: String) =
+      Warc.httpSplit(Seq(payload).toDF("payload"), "payload")
+        .select($"http_status", $"content_type", $"charset", $"body")
+        .as[(Option[Int], Option[String], Option[String],
+          Option[String])].head()
+    val msg = "HTTP/1.1 200 OK\r\nServer: x\r\n" +
+      "Content-Type: Text/HTML; charset=UTF-8\r\n" +
+      "Content-Length: 11\r\n\r\nhello\r\nbody"
+    assert(split(msg) == ((Some(200), Some("text/html"), Some("utf-8"),
+      Some("hello\r\nbody")))) // body keeps ITS OWN CRLFs intact
+    // header casing folds; params beyond charset ignored; HTTP/2-ish
+    // one-digit versions parse
+    val msg2 = "HTTP/2 404 Not Found\r\ncontent-type: text/plain\r\n" +
+      "\r\nmissing"
+    assert(split(msg2) == ((Some(404), Some("text/plain"), None,
+      Some("missing"))))
+    // a Content-Type buried in the BODY must not leak into the split
+    val msg3 = "HTTP/1.1 200 S\r\nX: y\r\n\r\n" +
+      "Content-Type: evil/fake\r\nbody text"
+    val s3 = split(msg3)
+    assert(s3._1 == Some(200) && s3._2.isEmpty,
+      s"header parse must stop at the blank line: $s3")
+    // not an HTTP message at all: everything NULL (fail-loud — the
+    // caller opts into pass-through with coalesce(body, payload))
+    assert(split("just a raw fixture payload") ==
+      ((None, None, None, None)))
+  }
+
+  private def gzipMembers(parts: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach { p =>
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(p.getBytes("UTF-8")); g.finish(); g.close()
+    }
+    out.toByteArray
+  }
+
+  test("gunzipBlobs: multi-member streams concatenate, corrupt bytes degrade to NULL") {
+    val good = gzipMembers(Seq("part one|", "part two|", "part three"))
+    val corrupt = "not gzip at all".getBytes("UTF-8")
+    val got = Warc.gunzipBlobs(
+        Seq(("g", good), ("c", corrupt)).toDF("id", "bytes"),
+        "id", "bytes")
+      .select($"id", $"blob").as[(String, Option[String])]
+      .collect().toMap
+    assert(got("g") == Some("part one|part two|part three"), got.toString)
+    assert(got("c").isEmpty, got.toString)
+  }
+
+  test("readWarcGz: a per-record-gzipped shard round-trips through parseRecords") {
+    val docs = Seq(("http://z/1", "alpha body"), ("http://z/2", "beta"))
+    // the Common Crawl layout: each RECORD is its own gzip member,
+    // members separated so concatenation re-forms the record stream
+    val members = docs.zipWithIndex.map { case ((u, p), i) =>
+      val sep = if (i == 0) "" else "\r\n\r\n"
+      sep + s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $u" +
+        s"\r\nContent-Length: ${p.getBytes("UTF-8").length}\r\n\r\n$p"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcgz")
+    try {
+      java.nio.file.Files.write(dir.resolve("s1.warc.gz"),
+        gzipMembers(members))
+      java.nio.file.Files.write(dir.resolve("ignored.txt"),
+        "noise".getBytes("UTF-8")) // glob filter must skip this
+      val got = Warc.readWarcGz(spark, dir.toString)
+        .select($"uri", $"payload", $"len_ok")
+        .as[(String, String, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(got == docs.map { case (u, p) => (u, p, true) }, got.toString)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
 }
