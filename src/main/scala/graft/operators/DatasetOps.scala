@@ -941,6 +941,52 @@ object DatasetOps {
       .drop("_u", "_w")
   }
 
+  /** Crawl-delay-weighted fetch schedule — [[interleaveSources]]'
+    * politeness-aware twin, consuming
+    * [[graft.operators.Robots.crawlDelays]] instead of training-mix
+    * weights: a host with `Crawl-delay: d` contributes one URL per
+    * `d` seconds of virtual time (`vtime = src_rank · 10⁶ · d` —
+    * the stride PERIOD is the delay, so rate ∝ 1/d exactly; equal
+    * delays degrade to [[interleaveSources]]' round-robin). Hosts
+    * without a declared delay take `defaultDelayS`; delays clamp to
+    * [1, 86400] (0 would collapse a host's whole frontier to one
+    * instant — the impolite direction — and a day-plus delay is
+    * declaration noise, while the clamp also keeps
+    * `rank · 10⁶ · d` far from Long overflow). Ranking is the same
+    * md5-shard deal as [[interleaveSources]] — one exchange on
+    * (host, shard), executor-resident window sorts, plus one join
+    * against the (host-count-sized) delay table on the SAME host key
+    * the window partitions by. Emits the frontier rows plus
+    * (shard, src_rank, delay_s, vtime); consumers sort on read.
+    *
+    * @param delays `(hostCol, delay_s)` — e.g. `crawlDelays` output
+    *               filtered to the crawler's own agent */
+  def politeFetchSchedule(frontier: DataFrame, idCol: String,
+                          hostCol: String, delays: DataFrame,
+                          defaultDelayS: Long = 1L, nShards: Int = 8,
+                          salt: String = "mix"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(defaultDelayS >= 1L && defaultDelayS <= 86400L,
+      s"defaultDelayS must be in [1, 86400], got $defaultDelayS")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol), col("shard"))
+      .orderBy(col("_u"), col(idCol))
+    frontier
+      .join(delays.select(col(hostCol), col("delay_s")),
+        Seq(hostCol), "left")
+      .withColumn("delay_s",
+        least(greatest(coalesce(col("delay_s"), lit(defaultDelayS)),
+          lit(1L)), lit(86400L)))
+      .withColumn("_u", md5Draw(salt, col(idCol)))
+      .withColumn("shard", pmod(col("_u"), lit(nShards)).cast(LongType))
+      .withColumn("src_rank",
+        (row_number().over(wRank).cast(LongType) - 1L) * nShards +
+          col("shard") + 1L)
+      .withColumn("vtime",
+        col("src_rank") * lit(1000000L) * col("delay_s"))
+      .drop("_u")
+  }
+
   /** Hashed linear classifier INFERENCE — the fasttext-shaped quality
     * filter every published corpus recipe runs (CCNet/RefinedWeb/FineWeb
     * keep docs a linear model over hashed n-gram features scores above

@@ -2631,4 +2631,97 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         GROUP BY h.source ORDER BY h.source""")
     },
     Some(httpOracleSql))
+
+  // ---- q271: delay-weighted polite schedule ------------------------------
+  // The politeness pieces COMPOSED (q266 interleaves at equal
+  // weights; q267 extracts delays that previously sat unconsumed):
+  // each host's robots body declares a FRACTIONAL crawl-delay
+  // (length(source) + .5 — so the ceil is load-bearing), the
+  // extracted per-host delay becomes the stride period, and the
+  // schedule's any-prefix invariant flips from "hosts evenly" to
+  // "hosts inversely proportional to their declared delay". The
+  // oracle stitches the q260 normalization, the expected crawl-delay
+  // semantics (ceil of the declared fraction) and the stride
+  // arithmetic with the delay multiplier — a drifted rank OR a
+  // mis-extracted delay reorders the prefix.
+
+  private[queries] val q271: GraftQuery = GraftQuery(
+    "q271_delay_weighted_schedule",
+    (s, d) => {
+      import graft.operators.Robots
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 4 === 0, "HTTP://").when(id % 4 === 1, "http://")
+          .when(id % 4 === 2, "https://").otherwise("HTTPS://"),
+        when(id % 3 === 0, "WWW.").when(id % 3 === 1, "www.")
+          .otherwise(""),
+        col("source"), lit(".example.com"),
+        when(id % 5 === 0 && id % 4 < 2, ":80")
+          .when(id % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), id % 7,
+        when(id % 2 === 0, "/").otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise(""))
+      val frontier = docs(s, d)
+        .select(urlNormalize(raw).as("n")).distinct()
+        .withColumn("host",
+          regexp_extract(col("n"), "^https?://([^/]+)", 1))
+      val robots = frontier.select(col("host")).distinct()
+        .withColumn("txt", concat(lit("User-agent: *\nCrawl-delay: "),
+          length(regexp_replace(col("host"), "\\.example\\.com$", "")),
+          lit(".5\nDisallow: /x")))
+      val delays = Robots.crawlDelays(robots, "host", "txt")
+        .filter(col("agent") === "*")
+        .select(col("host"), col("delay_s"))
+      DatasetOps.politeFetchSchedule(frontier, "n", "host", delays,
+          defaultDelayS = 1L, nShards = 8)
+        .select(col("vtime"), col("host"), col("n"),
+          col("src_rank"), col("delay_s"))
+        .orderBy(col("vtime"), col("host"), col("n"))
+        .limit(60)
+    },
+    Some("""WITH u0 AS (
+        SELECT source,
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+            WHEN doc_id % 4 = 1 THEN 'http://'
+            WHEN doc_id % 4 = 2 THEN 'https://'
+            ELSE 'HTTPS://' END ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+          source || '.example.com' ||
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || (doc_id % 7) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        FROM documents),
+      norm AS (
+        SELECT
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM u0),
+      f2 AS (SELECT n,
+          regexp_extract(n, '^https?://([^/]+)', 1) AS host,
+          CAST(concat('0x', substring(md5('mix:' || n), 1, 8))
+            AS BIGINT) AS u
+        FROM (SELECT DISTINCT n FROM norm)),
+      s2 AS (SELECT *, u % 8 AS shard FROM f2),
+      r AS (SELECT n, host, shard,
+          (row_number() OVER (PARTITION BY host, shard ORDER BY u, n)
+            - 1) * 8 + shard + 1 AS src_rank
+        FROM s2),
+      dl AS (SELECT DISTINCT host,
+          CAST(strlen(regexp_replace(host, '\.example\.com$', '')) + 1
+            AS BIGINT) AS delay_s
+        FROM f2),
+      v AS (SELECT r.n, r.host, r.src_rank, dl.delay_s,
+          r.src_rank * 1000000 * dl.delay_s AS vtime
+        FROM r JOIN dl ON r.host = dl.host)
+      SELECT vtime, host, n, src_rank, delay_s FROM v
+      ORDER BY vtime, host, n LIMIT 60"""))
 }

@@ -221,7 +221,17 @@ object DocIngest {
     * this is the difference between a probe that reshuffles billions
     * of keys per micro-batch and one that never moves them. Appends
     * ride the same bucket spec, so the property survives growth.
-    * Semantics identical to the directory variant. */
+    * Semantics identical to the directory variant — INCLUDING the
+    * two-sink at-least-once window, stated explicitly since the
+    * failure mode differs (table append vs parquet append): if the
+    * batch dies BETWEEN the queue write and the seen-set append, the
+    * retry re-runs the whole batch against a seen-set that never
+    * recorded it, so the queue can carry the same (n, url) row
+    * twice. The repair is the same keep-first collapse on `n` every
+    * queue reader applies (the
+    * [[graft.operators.Search.dedupIngestedIndex]] convention) —
+    * rows for one key are identical by construction (the
+    * deterministic min-url pick), so keep-first loses nothing. */
   def runFrontierIngestBucketed(spark: SparkSession, rawDir: String,
                                 seenTable: String, outDir: String,
                                 checkpointDir: String,
@@ -255,6 +265,118 @@ object DocIngest {
             .write.mode("append")
             .bucketBy(numBuckets, "n").sortBy("n")
             .saveAsTable(seenTable)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[runFrontierIngest]] with the robots gate composed INTO the
+    * streaming loop (the batch recipe q263 composes them; this is
+    * the loop a live crawler actually runs): candidates are
+    * canonicalized, collapsed, probed against the seen-set AND
+    * anti-joined against a persisted DISALLOW set — normalized URLs
+    * the crawler's agent may not fetch, precomputed by
+    * [[graft.operators.Robots.verdicts]] over the discovered hosts'
+    * robots bodies (the verdict join runs once per robots refresh,
+    * not per micro-batch). A disallowed URL never lands in the fetch
+    * queue and is NOT recorded as seen: robots files change, and the
+    * disallow set — not the seen-set — is the authority, so a later
+    * policy relaxation lets the URL through with zero state surgery;
+    * until then each re-sighting costs one more probe of the same
+    * columnar scan. At scale both sets ride the bucketed-landing
+    * variant's layout ([[runFrontierIngestBucketed]]). */
+  def runFrontierIngestPolite(spark: SparkSession, rawDir: String,
+                              seenDir: String, disallowDir: String,
+                              outDir: String, checkpointDir: String,
+                              maxFilesPerTrigger: Int = 1): Unit = {
+    if (!hadoopExists(spark, seenDir)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("n").write.mode("overwrite").parquet(seenDir)
+    }
+    val urlSchema = StructType(Seq(StructField("url", StringType)))
+    val q = spark.readStream
+      .schema(urlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"), col("url"))
+          .groupBy(col("n")).agg(min(col("url")).as("url"))
+        val fresh = cand
+          .join(spark.read.parquet(seenDir).select(col("n")).distinct(),
+            Seq("n"), "left_anti")
+          .join(spark.read.parquet(disallowDir).select(col("n"))
+            .distinct(), Seq("n"), "left_anti")
+        fresh.persist() // two sinks: fetch queue + seen-set append
+        try {
+          fresh.select(col("n"), col("url"))
+            .write.mode("append").json(outDir)
+          fresh.select(col("n"))
+            .write.mode("append").parquet(seenDir)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[runFrontierIngest]] with a RECRAWL policy — the lifecycle
+    * step the plain gate lacks (it never re-fetches: fine for a
+    * one-shot corpus build, wrong for a living crawl): the seen-set
+    * carries `(n, b)` — the batch a URL last entered the QUEUE — and
+    * a re-sighted URL re-queues when at least `ttlBatches` batches
+    * have passed since (`batchId - max(b) >= ttl`), appending a new
+    * `(n, batchId)` row that pushes the next eligibility forward.
+    * The micro-batch id is the logical clock (monotone under the
+    * checkpoint contract — a wall clock would re-order under
+    * replay); max-per-key keeps the append-only set a valid
+    * last-seen map without compaction, and state stays
+    * (distinct pages × re-queue count) rows of string+long — compact
+    * the tail with the [[graft.operators.Dedup.compactMinhashIndex]]
+    * keep-max idiom when it matters. A URL sighted while still
+    * fresh is dropped (its `b` does NOT advance — the TTL is
+    * queue-to-queue, so discovery chatter cannot starve a recrawl
+    * forever). */
+  def runFrontierIngestRecrawl(spark: SparkSession, rawDir: String,
+                               seenDir: String, outDir: String,
+                               checkpointDir: String, ttlBatches: Long,
+                               maxFilesPerTrigger: Int = 1): Unit = {
+    require(ttlBatches >= 1L,
+      s"ttlBatches must be >= 1, got $ttlBatches")
+    if (!hadoopExists(spark, seenDir)) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("n", "b")
+        .write.mode("overwrite").parquet(seenDir)
+    }
+    val urlSchema = StructType(Seq(StructField("url", StringType)))
+    val q = spark.readStream
+      .schema(urlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"), col("url"))
+          .groupBy(col("n")).agg(min(col("url")).as("url"))
+        val lastSeen = spark.read.parquet(seenDir)
+          .groupBy(col("n")).agg(max(col("b")).as("_last"))
+        val fresh = cand.join(lastSeen, Seq("n"), "left")
+          .filter(col("_last").isNull ||
+            lit(batchId) - col("_last") >= ttlBatches)
+          .drop("_last")
+        fresh.persist() // two sinks: fetch queue + seen-set append
+        try {
+          fresh.select(col("n"), col("url"))
+            .write.mode("append").json(outDir)
+          fresh.select(col("n"), lit(batchId).as("b"))
+            .write.mode("append").parquet(seenDir)
         } finally { fresh.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)

@@ -1188,6 +1188,103 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("frontier retry window: a re-landed queue batch collapses under the reader's keep-first on n") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_frontier_rt")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val out = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    Seq("HTTP://WWW.h.io:80/a/", "http://h.io/b")
+      .toDF("url").coalesce(1).write.json(raw.toString)
+    DocIngest.runFrontierIngest(spark, raw.toString,
+      seen.toString, out.toString, ckpt.toString)
+    val once = spark.read.json(out.toString)
+      .select($"n", $"url").as[(String, String)].collect().toMap
+    // the documented at-least-once window: the batch dies between the
+    // queue write and the seen append, and the RETRY re-lands the
+    // identical rows — emulate by re-appending the queue output
+    spark.read.json(out.toString)
+      .write.mode("append").json(out.toString + "_retry")
+    spark.read.json(out.toString)
+      .write.mode("append").json(out.toString + "_retry")
+    val retried = spark.read.json(out.toString + "_retry")
+    assert(retried.count() == 2 * once.size) // duplicates ARE there...
+    // ...and the reader's keep-first collapse on n absorbs them
+    // losslessly, because rows for one key are identical by
+    // construction (deterministic min-url pick)
+    val collapsed = retried.dropDuplicates("n")
+      .select($"n", $"url").as[(String, String)].collect().toMap
+    assert(collapsed == once, s"$collapsed vs $once")
+    deleteRec(root)
+  }
+
+  test("polite frontier: a disallowed URL never enters the queue or the seen-set, allowed URLs flow") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_frontier_pol")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val dis = root.resolve("dis"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    // the persisted disallow set: robots verdicts precomputed over
+    // the host, keyed on NORMALIZED urls (the frontier key)
+    Seq("http://h.io/private/x").toDF("n")
+      .write.parquet(dis.toString)
+    Seq("http://h.io/a", "HTTP://WWW.h.io:80/private/x#frag",
+      "http://h.io/b").toDF("url")
+      .coalesce(1).write.json(raw.toString)
+    DocIngest.runFrontierIngestPolite(spark, raw.toString,
+      seen.toString, dis.toString, out.toString, ckpt.toString)
+    val queue = spark.read.json(out.toString)
+      .select($"n").as[String].collect().toSet
+    assert(queue == Set("http://h.io/a", "http://h.io/b"),
+      queue.toString)
+    // NOT seen either: the disallow set stays the authority, so a
+    // robots relaxation later lets the URL through with no surgery
+    val seenSet = spark.read.parquet(seen.toString)
+      .as[String].collect().toSet
+    assert(seenSet == queue, seenSet.toString)
+    deleteRec(root)
+  }
+
+  test("recrawl frontier: an expired URL re-queues once, a fresh one stays blocked, TTL is queue-to-queue") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_frontier_ttl")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val out = root.resolve("out"); val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    // three shards with EXPLICIT mtimes -> three ordered micro-batches
+    def shard(name: String, ts: Long, urls: String*): Unit = {
+      val d = raw.resolve(name)
+      urls.toSeq.toDF("url").coalesce(1).write.json(d.toString)
+      java.nio.file.Files.walk(d).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(ts)); ()
+      }
+    }
+    val t0 = 1700000000000L
+    shard("f1", t0, "http://h.io/a", "http://h.io/b")      // batch 0
+    shard("f2", t0 + 60000, "http://h.io/a/")              // batch 1
+    shard("f3", t0 + 120000, "http://h.io/a#x")            // batch 2
+    DocIngest.runFrontierIngestRecrawl(spark, raw.toString + "/*/",
+      seen.toString, out.toString, ckpt.toString, ttlBatches = 2L)
+    val queued = spark.read.json(out.toString)
+      .select($"n").as[String].collect().toSeq.sorted
+    // a queued at batch 0 and AGAIN at batch 2 (2 - 0 >= ttl 2); the
+    // batch-1 sighting was fresh and dropped; b queued once
+    assert(queued == Seq("http://h.io/a", "http://h.io/a",
+      "http://h.io/b"), queued.toString)
+    val seenRows = spark.read.parquet(seen.toString)
+      .select($"n", $"b").as[(String, Long)].collect().toSet
+    // the fresh batch-1 sighting did NOT advance a's clock
+    assert(seenRows == Set(("http://h.io/a", 0L),
+      ("http://h.io/b", 0L), ("http://h.io/a", 2L)), seenRows.toString)
+    deleteRec(root)
+  }
+
   test("pruneVersions: superseded state versions deleted, live version and readers untouched, keep=0 refused") {
     import spark.implicits._
     import graft.streaming.{DocIngest, ViewIngest}
