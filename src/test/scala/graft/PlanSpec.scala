@@ -192,6 +192,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "vocab join is not broadcast")
   }
 
+  test("q84/q85: every single-partition window runs over a census-sized frame, never the corpus") {
+    // the WindowExec 'No Partition Defined' warnings these plans emit
+    // are BY CONSTRUCTION bounded: the only global windows sit above
+    // a per-stratum aggregate, so the single partition holds
+    // stratum-cardinality rows (a handful), not documents. Pin that
+    // structurally so the warning never needs re-adjudicating.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // AQE's wrapper node hides the tree from collect(); the shape
+    // under test is the static plan, so build it with AQE off
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val execPlan = SparkEntry.queries("q84_temperature_mix")(spark, sf)
+        .queryExecution.executedPlan
+      val windows = execPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, "expected the census window in q84's plan")
+      windows.foreach { w =>
+        val unpartitioned = w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall(_.foldable)
+        if (unpartitioned) {
+          // the frame feeding the global window must be an AGGREGATE
+          // output (group-cardinality rows), not a raw scan
+          val agg = w.child.collectFirst { case a: BaseAggregateExec => a }
+          assert(agg.nonEmpty,
+            s"a global window sits on an unaggregated frame:\n$w")
+        }
+      }
+      // and the frame really is census-sized on the test corpus
+      val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      val nStrata = docsDf.select("lang").distinct().count()
+      assert(nStrata >= 1 && nStrata <= 64,
+        s"stratum census unexpectedly large: $nStrata")
+      // q85's plan has no window at all — its top-50 is a heap
+      val p85 = SparkEntry.queries("q85_oov_census")(spark, sf)
+        .queryExecution.executedPlan
+      assert(p85.collect { case w: WindowExec => w }.isEmpty,
+        "q85 grew a window node")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
   test("q46: multi-probe LSH broadcasts the probe side, not the corpus") {
     val p = plan("q46_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
