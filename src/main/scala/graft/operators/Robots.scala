@@ -64,6 +64,7 @@ object Robots {
           .when(col("_line").rlike("(?i)^allow:"), "allow")
           .when(col("_line").rlike("(?i)^disallow:"), "disallow")
           .when(col("_line").rlike("(?i)^crawl-delay:"), "delay")
+          .when(col("_line").rlike("(?i)^sitemap:"), "sitemap")
           .otherwise("other"))
       .withColumn("_val",
         trim(regexp_extract(col("_line"), "^[A-Za-z-]+:\\s*(.*)$", 1)))
@@ -123,6 +124,23 @@ object Robots {
       .groupBy(col("host"), col("agent"))
       .agg(max(col("delay_s")).as("delay_s"))
   }
+
+  /** Sitemap discovery from robots.txt — where a crawler learns a
+    * host's sitemap URLs without guessing paths. The `Sitemap:`
+    * directive is HOST-WIDE per the sitemaps protocol, NOT
+    * group-scoped (it may appear anywhere in the file, before any
+    * group or between them, and applies to every agent), so the
+    * extraction deliberately ignores group numbering: one distinct
+    * `(host, sitemap_url)` row per declared URL, value verbatim
+    * (it is a full URL by spec — fetch it and feed
+    * [[graft.functions.TextFunctions.sitemapLocs]]). One narrow
+    * projection + distinct, robots-file-census-sized. */
+  def sitemaps(robots: DataFrame, hostCol: String,
+               txtCol: String): DataFrame =
+    classified(robots, hostCol, txtCol)
+      .filter(col("_kind") === "sitemap" && length(col("_val")) > 0)
+      .select(col("_h").as("host"), col("_val").as("sitemap_url"))
+      .distinct()
 
   /** Compile an RFC 9309 pattern rule to its RE2-safe regex: strip
     * ONE trailing `$` (the only position where it anchors — anywhere

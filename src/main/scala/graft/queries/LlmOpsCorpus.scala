@@ -2486,7 +2486,9 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     val id = col("doc_id")
     val uri = concat(lit("http://"), col("source"), lit("/"), id)
     val status = when(id % 11 === 0, lit(404)).otherwise(lit(200))
-    val ct = when(id % 2 === 0, lit("text/html; charset=UTF-8"))
+    // moduli coprime to the testdata's per-source doc_id stride (20),
+    // so both branches occur WITHIN every source
+    val ct = when(id % 3 === 0, lit("text/html; charset=UTF-8"))
       .otherwise(lit("text/plain"))
     docs(s, d).select(col("source"), id.as("doc_id"),
         Warc.record(uri, Warc.httpResponse(status, ct, col("text")))
@@ -2534,7 +2536,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           'HTTP/1.1 ' ||
             CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END ||
             ' S' || e'\r\n' || 'Content-Type: ' ||
-            CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+            CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=UTF-8'
               ELSE 'text/plain' END ||
             e'\r\n' || 'Content-Length: ' || strlen(text) ||
             e'\r\n\r\n' || text AS msg
@@ -2724,4 +2726,290 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         FROM r JOIN dl ON r.host = dl.host)
       SELECT vtime, host, n, src_rank, delay_s FROM v
       ORDER BY vtime, host, n LIMIT 60"""))
+
+  // ---- q272: WARC record-type census ------------------------------------
+  // Real crawl files interleave a request/response/metadata record
+  // triple per fetch (the Common Crawl layout); a consumer that
+  // cannot tell them apart either ingests HTTP requests as documents
+  // or quarantines valid records as corrupt. Each doc renders all
+  // three types (metadata only every third doc — so the counts
+  // differ per type), and the census gates type attribution,
+  // integrity per type, and that ONLY response payloads roundtrip
+  // the document text. The oracle replays render, interleave, split
+  // and type extraction.
+
+  private[queries] val q272: GraftQuery = GraftQuery(
+    "q272_warc_type_census",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"), lit("/"), id)
+      val reqRec = Warc.record(uri,
+        concat(lit("GET /"), id, lit(" HTTP/1.1")), lit("request"))
+      val respRec = Warc.record(uri, col("text"), lit("response"))
+      val metaRec = Warc.record(uri, lit("fetchTimeMs: 7"),
+        lit("metadata"))
+      val per = when(id % 3 === 0,
+        concat_ws("\r\n\r\n", reqRec, respRec, metaRec))
+        .otherwise(concat_ws("\r\n\r\n", reqRec, respRec))
+      val blobs = docs(s, d)
+        .select(col("source"), id.as("doc_id"), per.as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+      Warc.parseRecords(blobs, "blob")
+        .join(docs(s, d).select(col("source"), uri.as("uri"),
+          col("text")), Seq("source", "uri"))
+        .groupBy(col("source"), col("warc_type"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+          sum(when(col("payload") === col("text"), 1L).otherwise(0L))
+            .as("n_roundtrip"))
+        .orderBy(col("source"), col("warc_type"))
+    },
+    Some("""WITH rec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: request' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' ||
+            strlen('GET /' || doc_id || ' HTTP/1.1') || e'\r\n\r\n' ||
+            'GET /' || doc_id || ' HTTP/1.1' ||
+          e'\r\n\r\n' ||
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || strlen(text) ||
+            e'\r\n\r\n' || text ||
+          CASE WHEN doc_id % 3 = 0 THEN e'\r\n\r\n' ||
+            'WARC/1.0' || e'\r\n' || 'WARC-Type: metadata' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || strlen('fetchTimeMs: 7') ||
+            e'\r\n\r\n' || 'fetchTimeMs: 7' ELSE '' END AS r
+        FROM documents),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM rec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Type: ([^\r]*)', 1) AS warc_type,
+          regexp_extract(rc, 'WARC-Target-URI: ([^\r]*)', 1) AS uri,
+          TRY_CAST(regexp_extract(rc, 'Content-Length: (\d+)', 1)
+            AS BIGINT) AS cl,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm),
+      d2 AS (
+        SELECT source, 'http://' || source || '/' || doc_id AS uri, text
+        FROM documents)
+      SELECT p.source, p.warc_type, count(*) AS n_records,
+        CAST(sum(CASE WHEN p.cl IS NOT NULL AND p.cl = strlen(p.payload)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        CAST(sum(CASE WHEN p.payload = d2.text THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_roundtrip
+      FROM parsed p JOIN d2 ON p.source = d2.source AND p.uri = d2.uri
+      GROUP BY p.source, p.warc_type
+      ORDER BY p.source, p.warc_type"""))
+
+  // ---- q273: sitemap discovery from robots.txt --------------------------
+  // The missing hop between q262 (robots rules) and q264 (sitemap
+  // parsing): where the sitemap URLS come from. The Sitemap:
+  // directive is host-wide — it may sit before any group, inside
+  // one, or after all of them, in any case spelling, and applies to
+  // every agent — so extraction ignores grouping entirely and
+  // duplicates collapse. Full URL values are the output (one row per
+  // declared sitemap), so a drifted extraction shows up verbatim.
+
+  private[queries] val q273: GraftQuery = GraftQuery(
+    "q273_robots_sitemaps",
+    (s, d) => {
+      import graft.operators.Robots
+      val host = concat(col("source"), lit(".example.com"))
+      val robots = docs(s, d)
+        .select(host.as("host")).distinct()
+        .withColumn("txt", concat(
+          lit("Sitemap: https://"), col("host"), lit("/s1.xml\n"),
+          lit("User-agent: *\nDisallow: /x\n"),
+          lit("SITEMAP: https://"), col("host"), lit("/s2.xml\n\n"),
+          lit("User-agent: a\nDisallow: /y\n"),
+          lit("sitemap: https://"), col("host"), lit("/s1.xml\n"),
+          lit("Sitemap:")))
+      Robots.sitemaps(robots, "host", "txt")
+        .withColumn("source",
+          regexp_replace(col("host"), "\\.example\\.com$", ""))
+        .select(col("source"), col("sitemap_url"))
+        .orderBy(col("source"), col("sitemap_url"))
+    },
+    Some("""WITH hosts AS (
+        SELECT DISTINCT source || '.example.com' AS host, source
+        FROM documents),
+      base AS (SELECT host, source, string_split(
+          'Sitemap: https://' || host || '/s1.xml' || e'\n' ||
+          'User-agent: *' || e'\n' || 'Disallow: /x' || e'\n' ||
+          'SITEMAP: https://' || host || '/s2.xml' || e'\n\n' ||
+          'User-agent: a' || e'\n' || 'Disallow: /y' || e'\n' ||
+          'sitemap: https://' || host || '/s1.xml' || e'\n' ||
+          'Sitemap:',
+          e'\n') AS ls
+        FROM hosts),
+      lr AS (SELECT host, source, ls,
+          unnest(generate_series(1, len(ls))) AS ln
+        FROM base),
+      lines AS (SELECT host, source,
+          trim(regexp_replace(ls[ln], '#.*$', '')) AS line
+        FROM lr),
+      sm AS (SELECT DISTINCT host, source,
+          trim(regexp_extract(line, '^[A-Za-z-]+:\s*(.*)$', 1))
+            AS sitemap_url
+        FROM lines
+        WHERE length(line) > 0
+          AND regexp_matches(line, '(?i)^sitemap:'))
+      SELECT source, sitemap_url FROM sm
+      WHERE length(sitemap_url) > 0
+      ORDER BY source, sitemap_url"""))
+
+  // ---- q274: redirect-target discovery ----------------------------------
+  // The 3xx half of a fetch: a redirect's Location header is new-URL
+  // DISCOVERY (resolve, normalize, hand to the frontier), and its
+  // stub body must never reach the cleaning stack (the q269 status
+  // gate already drops it — this query closes the loop on where the
+  // TARGET goes). Every fifth doc 301s, alternating absolute and
+  // root-relative Location values; the census gates redirect
+  // attribution, absolute/relative resolution against the record's
+  // own host, and the normalized-frontier handoff with an md5 mass.
+
+  private[queries] val q274: GraftQuery = GraftQuery(
+    "q274_redirect_census",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"),
+        lit(".example.com/p/"), id)
+      // moduli coprime to the per-source doc_id stride (20): every
+      // source carries 200s AND 301s, absolute AND relative targets
+      val locHdr = when(id % 7 < 4,
+        concat(lit("https://moved."), col("source"),
+          lit(".example.com/t/"), id % 7))
+        .otherwise(concat(lit("/t/"), id % 7))
+      val msg = when(id % 3 === 0,
+        concat(lit("HTTP/1.1 301 S\r\nLocation: "), locHdr,
+          lit("\r\nContent-Length: 0\r\n\r\n")))
+        .otherwise(Warc.httpResponse(lit(200), lit("text/html"),
+          col("text")))
+      val blobs = docs(s, d)
+        .select(col("source"), id.as("doc_id"),
+          Warc.record(uri, msg).as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+      val split = Warc.httpSplit(Warc.parseRecords(blobs, "blob"),
+        "payload")
+      val redirects = split.filter(col("location").isNotNull)
+        .withColumn("target",
+          when(col("location").rlike("^https?://"), col("location"))
+            .otherwise(concat(
+              regexp_extract(col("uri"), "^(https?://[^/]+)", 1),
+              col("location"))))
+        .withColumn("n", urlNormalize(col("target")))
+      val counts = split.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("http_status") === 301, 1L).otherwise(0L))
+            .as("n_redirects"),
+          sum(when(col("location").rlike("^https?://"), 1L)
+            .otherwise(0L)).as("n_abs"))
+      val mass = redirects.select(col("source"), col("n")).distinct()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frontier"),
+          sum(conv(substring(md5(col("n")), 1, 8), 16, 10)
+            .cast(LongType)).cast(LongType).as("target_mass"))
+      counts.join(mass, Seq("source")).orderBy(col("source"))
+    },
+    Some("""WITH m AS (
+        SELECT source, doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+            'HTTP/1.1 301 S' || e'\r\n' || 'Location: ' ||
+              CASE WHEN doc_id % 7 < 4 THEN 'https://moved.' || source ||
+                  '.example.com/t/' || (doc_id % 7)
+                ELSE '/t/' || (doc_id % 7) END ||
+              e'\r\n' || 'Content-Length: 0' || e'\r\n\r\n'
+          ELSE
+            'HTTP/1.1 200 S' || e'\r\n' ||
+              'Content-Type: text/html' || e'\r\n' ||
+              'Content-Length: ' || strlen(text) || e'\r\n\r\n' || text
+          END AS msg
+        FROM documents),
+      wrec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source ||
+            '.example.com/p/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || strlen(msg) ||
+            e'\r\n\r\n' || msg AS r
+        FROM m),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM wrec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm0 AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Target-URI: ([^\r]*)', 1) AS uri,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm0),
+      http AS (
+        SELECT source, uri,
+          TRY_CAST(regexp_extract(payload,
+            '^HTTP/\d(?:\.\d)? (\d{3})', 1) AS INTEGER) AS status,
+          regexp_extract(regexp_extract(payload,
+            '(?s)^(.*?)\r\n\r\n', 1),
+            '(?im)^Location:[ \t]*([^\r\n]*)', 1) AS loc
+        FROM parsed),
+      rt AS (
+        SELECT source, uri, status,
+          CASE WHEN length(loc) = 0 THEN NULL
+            WHEN regexp_matches(loc, '^https?://') THEN loc
+            ELSE regexp_extract(uri, '^(https?://[^/]+)', 1) || loc
+            END AS target
+        FROM http),
+      nn AS (
+        SELECT source,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(target, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(target,
+            '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM rt WHERE target IS NOT NULL),
+      c AS (
+        SELECT source, count(*) AS n_records,
+          CAST(sum(CASE WHEN status = 301 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_redirects,
+          CAST(sum(CASE WHEN target IS NOT NULL AND
+            regexp_matches(target, '^https?://moved')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_abs
+        FROM rt GROUP BY source),
+      f AS (
+        SELECT source, count(*) AS n_frontier,
+          CAST(sum(CAST(concat('0x', substring(md5(n), 1, 8))
+            AS BIGINT)) AS BIGINT) AS target_mass
+        FROM (SELECT DISTINCT source, n FROM nn) GROUP BY source)
+      SELECT c.source, c.n_records, c.n_redirects, c.n_abs,
+        f.n_frontier, f.target_mass
+      FROM c JOIN f ON c.source = f.source ORDER BY c.source"""))
 }

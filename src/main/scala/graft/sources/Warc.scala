@@ -33,17 +33,28 @@ object Warc {
   val boundaryRe = "\\r\\n\\r\\nWARC/1\\.0\\r\\n"
 
   /** Explode a column of WARC blobs into one row per record:
-    * `(…, uri, content_length, payload, len_ok)`. Records missing a
-    * header parse as empty string / null length; `len_ok` gates
-    * declared Content-Length against the recovered payload — the
-    * cheap structural-integrity check a crawl-ingest job fails loudly
-    * on. Keeps all input columns (the blob column included) so the
-    * caller controls projection. */
+    * `(…, warc_type, uri, content_length, payload, len_ok)`. A real
+    * crawl file INTERLEAVES record types (warcinfo, request,
+    * response, metadata — the Common Crawl layout writes a
+    * request/response/metadata triple per fetch), so `warc_type`
+    * is what lets a consumer keep the responses without mistaking a
+    * request message for a corrupt document; it parses NULL when the
+    * header is absent. Records missing a header parse as empty
+    * string / null length; `len_ok` gates declared Content-Length
+    * against the recovered payload — the cheap structural-integrity
+    * check a crawl-ingest job fails loudly on. Keeps all input
+    * columns (the blob column included) so the caller controls
+    * projection. */
   def parseRecords(df: DataFrame, blobCol: String): DataFrame =
     df.withColumn("_rec", explode(split(col(blobCol), boundaryRe)))
       .withColumn("_rec",
         regexp_replace(col("_rec"), "^WARC/1\\.0\\r\\n", ""))
       .filter(length(col("_rec")) > 0)
+      .withColumn("_wt",
+        regexp_extract(col("_rec"), "WARC-Type: ([^\\r]*)", 1))
+      .withColumn("warc_type",
+        when(length(col("_wt")) > 0, col("_wt")))
+      .drop("_wt")
       .withColumn("uri",
         regexp_extract(col("_rec"), "WARC-Target-URI: ([^\\r]*)", 1))
       .withColumn("_cl",
@@ -62,14 +73,18 @@ object Warc {
           octet_length(col("payload")) === col("content_length"))
       .drop("_rec")
 
-  /** Render `(uri, payload)` rows as minimal WARC/1.0 response
-    * records — the writer side of the seam (test fixtures, re-export
-    * of a cleaned corpus in the format the crawl side speaks).
+  /** Render `(uri, payload)` rows as minimal WARC/1.0 records — the
+    * writer side of the seam (test fixtures, re-export of a cleaned
+    * corpus in the format the crawl side speaks); `wtype` defaults to
+    * `response`, the type a corpus exports, and takes `request` /
+    * `metadata` for building realistically-interleaved fixtures.
     * Content-Length is the payload's OCTET count (UTF-8), matching
     * both the WARC spec and [[parseRecords]]' `len_ok` gate. */
-  def record(uri: Column, payload: Column): Column =
+  def record(uri: Column, payload: Column,
+             wtype: Column = lit("response")): Column =
     concat(
-      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("WARC/1.0\r\nWARC-Type: "), wtype,
+      lit("\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Length: "), octet_length(payload),
       lit("\r\n\r\n"), payload)
 
@@ -85,6 +100,10 @@ object Warc {
     *    lowercased, parameters stripped; NULL when absent;
     *  - `charset` — the `charset=` parameter of that header,
     *    lowercased; NULL when absent;
+    *  - `location` — the `Location` header verbatim (a 3xx's
+    *    redirect target, which is new-URL DISCOVERY: resolve +
+    *    normalize it into the frontier, do not treat the stub body
+    *    as a document); NULL when absent;
     *  - `body` — everything after the first blank line; NULL when the
     *    payload is not an HTTP message (fail-loud: a caller that
     *    wants raw pass-through writes `coalesce(body, payload)`
@@ -103,6 +122,8 @@ object Warc {
     val media = lower(trim(regexp_extract(col("_ct"), "^([^;]*)", 1)))
     val cs = lower(regexp_extract(col("_ct"),
       "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
+    val loc = regexp_extract(col("_head"),
+      "(?im)^Location:[ \\t]*([^\\r\\n]*)", 1)
     df.withColumn("http_status",
         when(isHttp,
           regexp_extract(p, "^HTTP/\\d(?:\\.\\d)? (\\d{3})", 1)
@@ -114,6 +135,8 @@ object Warc {
         when(col("http_status").isNotNull && length(media) > 0, media))
       .withColumn("charset",
         when(col("http_status").isNotNull && length(cs) > 0, cs))
+      .withColumn("location",
+        when(col("http_status").isNotNull && length(loc) > 0, loc))
       .withColumn("body",
         when(col("http_status").isNotNull,
           regexp_extract(p, "(?s)^.*?\\r\\n\\r\\n(.*)$", 1)))

@@ -45,7 +45,14 @@ object DocIngest {
       .dropDuplicates("content_hash")
 
   /** The shared landing half of the WARC ingests: parsed records →
-    * three-way split → sinks. Integrity-failed records (`len_ok` =
+    * type filter → three-way split → sinks. Non-`response` records
+    * (request, metadata, warcinfo — a real crawl file interleaves
+    * them per fetch) are FILTERED, not quarantined: they are valid
+    * records that simply are not documents, and quarantining them
+    * would bury real corruption under an audit row per fetch; a
+    * record with NO type header keeps flowing (benefit of the doubt —
+    * the length/status gates judge it). Integrity-failed records
+    * (`len_ok` =
     * false — truncation or a boundary mis-split) quarantine with
     * their declared/recovered OCTET lengths; structurally-sound
     * records then pass [[graft.sources.Warc.httpSplit]], and
@@ -62,7 +69,9 @@ object DocIngest {
   private def landWarcRecords(recs: DataFrame, outDir: String,
                               quarantineDir: String,
                               minTokens: Int): Unit = {
-    val r = recs.persist() // two consumers: quarantine + clean landing
+    val r = recs
+      .filter(col("warc_type").isNull || col("warc_type") === "response")
+      .persist() // two consumers: quarantine + clean landing
     try {
       r.filter(!col("len_ok"))
         .select(col("uri"), lit("length").as("reason"),

@@ -118,6 +118,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(v(("bot", "/xAyQQz")) === true)   // mid $ must match literally
   }
 
+  test("sitemaps: host-wide regardless of group position, case-folded directive, duplicates collapse") {
+    val txt = "Sitemap: https://h/s1.xml\n" +
+      "User-agent: *\nDisallow: /x\n" +
+      "SITEMAP: https://h/s2.xml\n\n" +          // inside a group
+      "User-agent: a\nDisallow: /y\n" +
+      "sitemap: https://h/s1.xml\n" +            // duplicate collapses
+      "Sitemap:"                                 // empty value drops
+    val got = Robots.sitemaps(
+        Seq(("h", txt)).toDF("host", "txt"), "host", "txt")
+      .select($"sitemap_url").as[String].collect().toSet
+    assert(got == Set("https://h/s1.xml", "https://h/s2.xml"),
+      got.toString)
+    // and declaring sitemaps does NOT perturb rule/delay grouping
+    val v = verdicts(txt, Seq(("a", "/y/z"), ("b", "/x/z")))
+    assert(v(("a", "/y/z")) === false && v(("b", "/x/z")) === false)
+  }
+
   test("empty Disallow is allow-everything; paths stay case-sensitive; no robots at all allows") {
     val v1 = verdicts("User-agent: *\nDisallow:", Seq(("b", "/any")))
     assert(v1(("b", "/any")) === true)

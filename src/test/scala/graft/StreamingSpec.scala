@@ -1016,8 +1016,9 @@ class StreamingSpec extends AnyFunSuite {
   private def httpMsg(status: Int, ct: String, body: String) =
     s"HTTP/1.1 $status S\r\nContent-Type: $ct\r\n" +
       s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
-  private def warcRec(uri: String, p: String, declared: Int = -1) =
-    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+  private def warcRec(uri: String, p: String, declared: Int = -1,
+                      wtype: String = "response") =
+    s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
       "Content-Length: " +
       s"${if (declared >= 0) declared else p.getBytes("UTF-8").length}" +
       s"\r\n\r\n$p"
@@ -1035,6 +1036,11 @@ class StreamingSpec extends AnyFunSuite {
     // + 404 + a headerless payload — every gate fires under stream
     java.nio.file.Files.write(raw.resolve("shard1.warc"),
       Seq(
+        // the interleaved request record a real crawl file carries:
+        // FILTERED (not a document, not corruption) — it must land
+        // nowhere and quarantine nowhere
+        warcRec("http://a/1", "GET /1 HTTP/1.1\r\nHost: a",
+          wtype = "request"),
         warcRec("http://a/1",
           httpMsg(200, "text/html; charset=utf-8",
             "alpha beta gamma delta")),

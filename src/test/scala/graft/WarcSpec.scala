@@ -105,6 +105,41 @@ class WarcSpec extends AnyFunSuite {
       ((None, None, None, None)))
   }
 
+  test("warc_type: interleaved request/response/metadata records keep their types; headerless parses NULL") {
+    val mk = (t: String, u: String, p: String) =>
+      s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Target-URI: $u\r\n" +
+        s"Content-Length: ${p.getBytes("UTF-8").length}\r\n\r\n$p"
+    val blob = Seq(
+      mk("request", "http://t/1", "GET /1 HTTP/1.1\r\nHost: t"),
+      mk("response", "http://t/1", "doc body one"),
+      mk("metadata", "http://t/1", "fetchTimeMs: 9"),
+      "WARC/1.0\r\nWARC-Target-URI: http://t/2\r\n" +
+        "Content-Length: 4\r\n\r\nuntyped".take(200))
+      .mkString("\r\n\r\n")
+    val got = Warc.parseRecords(Seq(blob).toDF("blob"), "blob")
+      .select($"warc_type", $"uri")
+      .as[(Option[String], String)].collect().toSeq
+    assert(got == Seq(
+      (Some("request"), "http://t/1"), (Some("response"), "http://t/1"),
+      (Some("metadata"), "http://t/1"), (None, "http://t/2")),
+      got.toString)
+  }
+
+  test("httpSplit: Location header surfaces for redirect chasing, absent elsewhere") {
+    def split(payload: String) =
+      Warc.httpSplit(Seq(payload).toDF("payload"), "payload")
+        .select($"http_status", $"location")
+        .as[(Option[Int], Option[String])].head()
+    val redirect = "HTTP/1.1 301 S\r\nLocation: https://n.io/new\r\n" +
+      "Content-Length: 0\r\n\r\n"
+    assert(split(redirect) == ((Some(301), Some("https://n.io/new"))))
+    val plain = "HTTP/1.1 200 S\r\nContent-Type: text/html\r\n\r\nbody"
+    assert(split(plain) == ((Some(200), None)))
+    // a 'Location:' in the BODY never leaks into the header split
+    val evil = "HTTP/1.1 200 S\r\nX: y\r\n\r\nLocation: /fake"
+    assert(split(evil) == ((Some(200), None)))
+  }
+
   private def gzipMembers(parts: Seq[String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     parts.foreach { p =>
