@@ -397,6 +397,22 @@ object TextFunctions {
       x => x.isNotNull)
   }
 
+  /** HTML meta-charset sniff — the in-document fallback when the
+    * HTTP `Content-Type` header declares no charset (the common case
+    * on real crawls): the first `<meta charset="x">` or
+    * `<meta http-equiv=Content-Type content="…; charset=x">`
+    * declaration, lowercased; NULL when absent. One case-insensitive
+    * non-greedy RE2 extraction over the head of the document — both
+    * forms reduce to the first `charset=` inside a `<meta` tag. The
+    * effective charset is then
+    * `coalesce(header_charset, htmlCharset(body), 'utf-8')` — the
+    * priority order the WHATWG encoding sniff prescribes. */
+  def htmlCharset(html: Column): Column = {
+    val cs = lower(regexp_extract(html,
+      "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1))
+    when(length(cs) > 0, cs)
+  }
+
   def urlNormalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val auth = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/]*)", 1))

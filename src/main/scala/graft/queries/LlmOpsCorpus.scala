@@ -3012,4 +3012,128 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       SELECT c.source, c.n_records, c.n_redirects, c.n_abs,
         f.n_frontier, f.target_mass
       FROM c JOIN f ON c.source = f.source ORDER BY c.source"""))
+
+  // ---- q275: the binary-exact WARC tier equals the relational one -------
+  // parseRecordsBinary is the Content-Length-driven byte walker that
+  // CLOSES the boundary-in-payload caveat (WarcSpec proves the evil
+  // case); on boundary-free data the two tiers must agree exactly —
+  // so this query runs q258's census through the BINARY walker
+  // (blobs as bytes, payloads decoded back) against q258's oracle
+  // VERBATIM. One oracle, two engines, two tiers.
+
+  private[queries] val q275: GraftQuery = GraftQuery(
+    "q275_warc_binary_tier",
+    (s, d) => {
+      import graft.sources.Warc
+      val uri = concat(lit("http://"), col("source"), lit("/"),
+        col("doc_id"))
+      val blobs = warcBlobs(s, d)
+        .select(col("source"), encode(col("blob"), "UTF-8").as("bb"))
+      val parsed = Warc.parseRecordsBinary(blobs, "bb", "source")
+        .withColumn("payload", decode(col("payload_bytes"), "UTF-8"))
+      parsed
+        .join(docs(s, d).select(col("source"), uri.as("uri"),
+          col("text")), Seq("source", "uri"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+          sum(length(col("payload"))).cast(LongType).as("payload_chars"),
+          sum(when(col("payload") === col("text"), 1L).otherwise(0L))
+            .as("n_roundtrip"))
+        .orderBy(col("source"))
+    },
+    Some(warcOracleSql))
+
+  // ---- q276: effective-charset census ------------------------------------
+  // The WHATWG-ordered charset decision a crawl pipeline must make
+  // before decoding bytes: HTTP header charset first, then the
+  // in-document meta sniff, then the UTF-8 default. Docs rotate the
+  // three cases (header-declared / meta-only / neither, modulus
+  // coprime to the per-source doc_id stride), and the census gates
+  // the priority order — a sniff that reads the meta tag when the
+  // header already decided (or misses the meta form) moves counts
+  // between cells.
+
+  private[queries] val q276: GraftQuery = GraftQuery(
+    "q276_effective_charset",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"), lit("/"), id)
+      val ct = when(id % 3 === 0, lit("text/html; charset=ISO-8859-1"))
+        .otherwise(lit("text/html"))
+      val body = when(id % 3 === 1,
+        concat(lit("<meta charset=\"windows-1252\">"), col("text")))
+        .otherwise(col("text"))
+      val blobs = docs(s, d)
+        .select(col("source"), id.as("doc_id"),
+          Warc.record(uri, Warc.httpResponse(lit(200), ct, body))
+            .as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+      Warc.httpSplit(Warc.parseRecords(blobs, "blob"), "payload")
+        .withColumn("eff", coalesce(col("charset"),
+          htmlCharset(col("body")), lit("utf-8")))
+        .groupBy(col("source"), col("eff"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("eff"))
+    },
+    Some("""WITH rec AS (
+        SELECT source, doc_id,
+          CASE WHEN doc_id % 3 = 1 THEN
+            '<meta charset="windows-1252">' || text ELSE text END
+            AS body,
+          CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=ISO-8859-1'
+            ELSE 'text/html' END AS ct
+        FROM documents),
+      msg AS (
+        SELECT source, doc_id,
+          'HTTP/1.1 200 S' || e'\r\n' || 'Content-Type: ' || ct ||
+            e'\r\n' || 'Content-Length: ' || strlen(body) ||
+            e'\r\n\r\n' || body AS m
+        FROM rec),
+      wrec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || strlen(m) ||
+            e'\r\n\r\n' || m AS r
+        FROM msg),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM wrec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm0 AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      http AS (
+        SELECT source,
+          regexp_extract(regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1),
+            '(?s)^(.*?)\r\n\r\n', 1) AS head,
+          regexp_extract(regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1),
+            '(?s)^.*?\r\n\r\n(.*)$', 1) AS hbody
+        FROM norm0),
+      eff0 AS (
+        SELECT source,
+          lower(regexp_extract(regexp_extract(head,
+            '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1),
+            '(?i)charset="?([A-Za-z0-9_.:-]+)', 1)) AS hcs,
+          lower(regexp_extract(hbody,
+            '(?is)<meta[^>]*charset\s*=\s*["'']?([A-Za-z0-9_.:-]+)',
+            1)) AS mcs
+        FROM http),
+      eff AS (
+        SELECT source,
+          CASE WHEN length(hcs) > 0 THEN hcs
+            WHEN length(mcs) > 0 THEN mcs
+            ELSE 'utf-8' END AS eff
+        FROM eff0)
+      SELECT source, eff, count(*) AS n_docs
+      FROM eff GROUP BY source, eff ORDER BY source, eff"""))
 }

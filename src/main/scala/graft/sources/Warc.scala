@@ -104,6 +104,10 @@ object Warc {
     *    redirect target, which is new-URL DISCOVERY: resolve +
     *    normalize it into the frontier, do not treat the stub body
     *    as a document); NULL when absent;
+    *  - `chunked` — whether `Transfer-Encoding: chunked` is declared
+    *    (the wire form a crawl records verbatim; route such bodies
+    *    through [[dechunkBatch]] before the cleaning stack, or chunk
+    *    size lines score as document text); NULL when not HTTP;
     *  - `body` — everything after the first blank line; NULL when the
     *    payload is not an HTTP message (fail-loud: a caller that
     *    wants raw pass-through writes `coalesce(body, payload)`
@@ -124,6 +128,8 @@ object Warc {
       "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
     val loc = regexp_extract(col("_head"),
       "(?im)^Location:[ \\t]*([^\\r\\n]*)", 1)
+    val te = regexp_extract(col("_head"),
+      "(?im)^Transfer-Encoding:[ \\t]*([^\\r\\n]*)", 1)
     df.withColumn("http_status",
         when(isHttp,
           regexp_extract(p, "^HTTP/\\d(?:\\.\\d)? (\\d{3})", 1)
@@ -137,6 +143,9 @@ object Warc {
         when(col("http_status").isNotNull && length(cs) > 0, cs))
       .withColumn("location",
         when(col("http_status").isNotNull && length(loc) > 0, loc))
+      .withColumn("chunked",
+        when(col("http_status").isNotNull,
+          lower(te).contains("chunked")))
       .withColumn("body",
         when(col("http_status").isNotNull,
           regexp_extract(p, "(?s)^.*?\\r\\n\\r\\n(.*)$", 1)))
@@ -155,6 +164,186 @@ object Warc {
       contentType,
       lit("\r\nContent-Length: "), octet_length(body),
       lit("\r\n\r\n"), body)
+
+  /** The BINARY-EXACT record walker — the tier [[parseRecords]]'
+    * contract points to: instead of splitting on the boundary byte
+    * sequence (which mis-splits when a payload CONTAINS it — the
+    * documented caveat `len_ok` detects), this walks each blob's
+    * bytes Content-Length-DRIVEN: read the header block up to the
+    * first CRLFCRLF, parse Content-Length, slice exactly that many
+    * payload OCTETS, skip the inter-record CRLFCRLF, repeat. A
+    * payload carrying the boundary sequence is recovered intact —
+    * the caveat is CLOSED on this tier, not detected. Emits one row
+    * per record: `(…, warc_type, uri, content_length, payload_bytes,
+    * len_ok)` — payload as BYTES (charset decoding is a separate,
+    * explicit step: [[decodePayloads]]); `len_ok=false` marks a
+    * truncated final record (fewer bytes than declared — the walk
+    * takes what exists) or a record whose Content-Length header is
+    * missing/unparsable (the walk then falls back to the next
+    * boundary sequence, the relational tier's behavior, flagged).
+    * The codec-seam tier (`mapPartitions` — byte arithmetic no
+    * Column expression can do); each blob walks independently, so
+    * the op stays shard-parallel and stateless. */
+  def parseRecordsBinary(df: DataFrame, bytesCol: String,
+                         idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bytesCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head,
+      StructField("warc_type", StringType),
+      StructField("uri", StringType),
+      StructField("content_length", LongType),
+      StructField("payload_bytes", BinaryType),
+      StructField("len_ok", BooleanType)))
+    val marker = "WARC/1.0\r\n".getBytes("US-ASCII")
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+      var i = from
+      val last = hay.length - needle.length
+      while (i <= last) {
+        var j = 0
+        while (j < needle.length && hay(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1
+    }
+    sel.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var pos = 0
+        while (pos >= 0 && pos < blob.length) {
+          // anchor on the version marker (tolerates leading noise
+          // exactly once per record, like the relational tier)
+          val start = indexOf(blob, marker, pos)
+          if (start < 0) { pos = -1 }
+          else {
+            val headStart = start + marker.length
+            val headEnd = indexOf(blob, sep, headStart)
+            if (headEnd < 0) { pos = -1 } // headers never terminated
+            else {
+              val head = new String(blob, headStart,
+                headEnd - headStart, "US-ASCII")
+              def header(name: String): Option[String] =
+                head.split("\r\n").iterator
+                  .find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
+                  .map(_.split(":", 2)(1).trim)
+              val wt = header("WARC-Type").orNull
+              val uri = header("WARC-Target-URI").getOrElse("")
+              val clOpt = header("Content-Length")
+                .flatMap(v => scala.util.Try(v.toLong).toOption)
+              val bodyStart = headEnd + sep.length
+              clOpt match {
+                case Some(cl) =>
+                  val avail = (blob.length - bodyStart).toLong
+                  val take = math.min(cl, avail).toInt
+                  val payload = java.util.Arrays.copyOfRange(
+                    blob, bodyStart, bodyStart + take)
+                  out += Row(r.get(0), wt, uri, cl, payload,
+                    take.toLong == cl)
+                  pos = bodyStart + take
+                case None =>
+                  // no declared length: fall back to the boundary
+                  // scan for THIS record only, flagged
+                  val next = indexOf(blob, sep ++ marker, bodyStart)
+                  val end = if (next < 0) blob.length else next
+                  val payload = java.util.Arrays.copyOfRange(
+                    blob, bodyStart, end)
+                  out += Row(r.get(0), wt, uri, null, payload, false)
+                  pos = end
+              }
+            }
+          }
+        }
+        out.iterator
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode payload BYTES to text under each row's charset — the
+    * explicit transcoding step between [[parseRecordsBinary]] and the
+    * cleaning stack (a UTF-8-always decode silently mojibakes every
+    * latin-1/GBK page; [[httpSplit]]'s `charset` column or
+    * [[graft.functions.TextFunctions]]' meta sniff supplies the
+    * name). NULL/unknown/unsupported charsets fall back to UTF-8
+    * with replacement (the crawl-side convention: a wrong label must
+    * not kill the shard — downstream mojibake/quality gates judge
+    * the result). Codec-seam tier; narrow, shard-parallel. */
+  def decodePayloads(df: DataFrame, bytesCol: String,
+                     charsetCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bytesCol), col(charsetCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head, StructField("text", StringType)))
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val csName = Option(r.getString(2)).getOrElse("utf-8")
+        val cs =
+          try java.nio.charset.Charset.forName(csName)
+          catch { case _: Exception =>
+            java.nio.charset.StandardCharsets.UTF_8 }
+        Row(r.get(0), new String(bytes, cs))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** De-chunk an HTTP `Transfer-Encoding: chunked` body: hex-size
+    * line, that many OCTETS of data, CRLF, repeated until the `0`
+    * chunk — the wire form a crawl records verbatim, which a cleaning
+    * stack must not see (chunk sizes inside document text). Walks
+    * octets (UTF-8 re-encode of the body string), so multibyte
+    * chunks slice correctly; a malformed walk (non-hex size line,
+    * truncated chunk) yields NULL — the caller's quarantine split
+    * picks it up. Codec-seam tier. */
+  def dechunkBatch(df: DataFrame, bodyCol: String,
+                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bodyCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head, StructField("dechunked", StringType)))
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        val body = r.getString(1)
+        val res: String =
+          if (body == null) null
+          else {
+            val bytes = body.getBytes("UTF-8")
+            val out = new java.io.ByteArrayOutputStream()
+            def crlfAt(i: Int): Boolean =
+              i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n'
+            var pos = 0
+            var ok = true
+            var done = false
+            while (ok && !done) {
+              // size line ends at CRLF; chunk extensions (;…) ignored
+              var eol = pos
+              while (eol < bytes.length && !crlfAt(eol)) eol += 1
+              if (!crlfAt(eol)) ok = false // size line never terminated
+              else {
+                val line = new String(bytes, pos, eol - pos, "US-ASCII")
+                val size = try
+                  java.lang.Long.parseLong(line.split(";")(0).trim, 16)
+                catch { case _: Exception => -1L }
+                if (size < 0) ok = false
+                else if (size == 0) done = true
+                else {
+                  val dataStart = eol + 2
+                  if (dataStart + size + 2 > bytes.length) ok = false
+                  else {
+                    out.write(bytes, dataStart, size.toInt)
+                    pos = dataStart + size.toInt + 2 // skip data CRLF
+                  }
+                }
+              }
+            }
+            if (ok) new String(out.toByteArray, "UTF-8") else null
+          }
+        Row(r.get(0), res)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Decompress a column of gzip MEMBERS (possibly several
     * concatenated — the Common Crawl `.warc.gz` layout is one gzip

@@ -63,8 +63,11 @@ object DocIngest {
     * flow through the standard [[ingest]] gate (quality floor +
     * within-batch digest dedup; cross-shard dedup is the downstream
     * keep-first or a persisted-index gate, the [[runNearDupGate]]
-    * pattern) and land. Every quarantine row carries a `reason`
-    * (`length` | `status`) so the audit trail says WHICH gate
+    * pattern) and land — `Transfer-Encoding: chunked` bodies
+    * reassembled at the [[graft.sources.Warc.dechunkBatch]] codec
+    * seam first (chunk-size lines must never score as document
+    * text). Every quarantine row carries a `reason` (`length` |
+    * `status` | `chunked`) so the audit trail says WHICH gate
     * refused it. */
   private def landWarcRecords(recs: DataFrame, outDir: String,
                               quarantineDir: String,
@@ -86,9 +89,24 @@ object DocIngest {
           .select(col("uri"), lit("status").as("reason"),
             col("http_status"), col("content_type"))
           .write.mode("append").json(quarantineDir)
-        ingest(msgs.filter(col("http_status") === 200)
-            .select(col("uri"), col("body").as("text")), minTokens)
-          .write.mode("append").json(outDir)
+        val ok = msgs.filter(col("http_status") === 200)
+        val plain = ok.filter(!coalesce(col("chunked"), lit(false)))
+          .select(col("uri"), col("body").as("text"))
+        // chunked bodies reassemble at the codec seam; a malformed
+        // walk (NULL) quarantines rather than landing chunk-size
+        // lines as document text
+        val dechunked = graft.sources.Warc.dechunkBatch(
+            ok.filter(coalesce(col("chunked"), lit(false))),
+            "body", "uri")
+          .select(col("uri"), col("dechunked").as("text")).persist()
+        try {
+          dechunked.filter(col("text").isNull)
+            .select(col("uri"), lit("chunked").as("reason"))
+            .write.mode("append").json(quarantineDir)
+          ingest(plain.unionByName(
+              dechunked.filter(col("text").isNotNull)), minTokens)
+            .write.mode("append").json(outDir)
+        } finally { dechunked.unpersist(); () }
       } finally { msgs.unpersist(); () }
     } finally { r.unpersist(); () }
   }

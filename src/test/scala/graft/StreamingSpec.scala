@@ -1047,6 +1047,19 @@ class StreamingSpec extends AnyFunSuite {
         warcRec("http://a/2",
           httpMsg(200, "text/plain", "epsilon zeta eta theta")))
         .mkString("\r\n\r\n").getBytes("UTF-8"))
+    // a chunked 200 (reassembles) and a MALFORMED chunked 200
+    // (quarantines — chunk-size lines must never land as text)
+    def chunk(s: String): String =
+      s"${s.getBytes("UTF-8").length.toHexString}\r\n$s\r\n"
+    val chunkedBody = chunk("nu xi omicron ") + chunk("pi rho") +
+      "0\r\n\r\n"
+    val chunkedMsg = "HTTP/1.1 200 S\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      s"Content-Length: ${chunkedBody.getBytes("UTF-8").length}" +
+      s"\r\n\r\n$chunkedBody"
+    val badChunkMsg = "HTTP/1.1 200 S\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Length: 14\r\n\r\n" +
+      "ZZ\r\nx\r\n0\r\n\r\n"
     java.nio.file.Files.write(raw.resolve("shard2.warc"),
       Seq(
         warcRec("http://a/3",
@@ -1054,17 +1067,21 @@ class StreamingSpec extends AnyFunSuite {
         warcRec("http://a/4", truncated, declared = 500),
         warcRec("http://a/5", httpMsg(404, "text/html",
           "page not found body")),
-        warcRec("http://a/6", "no http head here at all"))
+        warcRec("http://a/6", "no http head here at all"),
+        warcRec("http://a/7", chunkedMsg),
+        warcRec("http://a/8", badChunkMsg))
         .mkString("\r\n\r\n").getBytes("UTF-8"))
     DocIngest.runWarcIngest(spark, raw.toString, out.toString,
       quar.toString, ckpt.toString, minTokens = 3)
     val landed = spark.read.json(out.toString)
       .select($"uri", $"text").as[(String, String)].collect().toMap
-    // the landed text is the message BODY — no status line, no header
+    // the landed text is the message BODY — no status line, no
+    // header, and the chunked body lands REASSEMBLED
     assert(landed == Map(
       "http://a/1" -> "alpha beta gamma delta",
       "http://a/2" -> "epsilon zeta eta theta",
-      "http://a/3" -> "iota kappa lambda mu"), landed.toString)
+      "http://a/3" -> "iota kappa lambda mu",
+      "http://a/7" -> "nu xi omicron pi rho"), landed.toString)
     val q = spark.read.json(quar.toString)
     val lenRows = q.filter($"reason" === "length")
       .select($"uri", $"content_length", $"recovered_length")
@@ -1077,6 +1094,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(statusRows == Set(
       ("http://a/5", Some(404L), Some("text/html")),
       ("http://a/6", None, None)), statusRows.toString)
+    val chunkRows = q.filter($"reason" === "chunked")
+      .select($"uri").as[String].collect().toSeq
+    assert(chunkRows == Seq("http://a/8"), chunkRows.toString)
     deleteRec(root)
   }
 

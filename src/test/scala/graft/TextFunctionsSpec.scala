@@ -234,6 +234,21 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("https://me.io/x.html"))
   }
 
+  test("htmlCharset: both meta forms sniff, first declaration wins, case folds, absent is NULL") {
+    def sniff(html: String): Option[String] = Seq(html).toDF("h")
+      .select(htmlCharset($"h")).as[Option[String]].head()
+    assert(sniff("""<head><meta charset="UTF-8"></head>""") ==
+      Some("utf-8"))
+    assert(sniff("<meta charset=gb2312>") == Some("gb2312"))
+    assert(sniff("""<meta http-equiv="Content-Type" """ +
+      """content="text/html; charset=ISO-8859-1">""") ==
+      Some("iso-8859-1"))
+    // first declaration wins when several appear
+    assert(sniff("""<meta charset='a-1'><meta charset='b-2'>""") ==
+      Some("a-1"))
+    assert(sniff("<p>no meta here</p>") == None)
+  }
+
   test("url_normalize SQL door equals the Column API; arity refused") {
     val urls = Seq("HTTP://WWW.Host.COM:80/A/b/#f",
       "https://www.h.io:443/x?q=1", "http://plain.org/p",

@@ -140,6 +140,90 @@ class WarcSpec extends AnyFunSuite {
     assert(split(evil) == ((Some(200), None)))
   }
 
+  test("parseRecordsBinary: Content-Length-driven walk recovers a boundary-carrying payload intact — the relational tier's caveat CLOSED") {
+    val evil = "inner" + "\r\n\r\nWARC/1.0\r\n" + "tail"
+    val blob = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://b/1\r\n" +
+      s"Content-Length: ${evil.getBytes("UTF-8").length}\r\n\r\n$evil" +
+      "\r\n\r\n" +
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://b/2\r\nContent-Length: 4\r\n\r\nnext")
+      .getBytes("UTF-8")
+    val got = Warc.parseRecordsBinary(
+        Seq(("x", blob)).toDF("id", "bytes"), "bytes", "id")
+      .select($"uri", $"payload_bytes", $"len_ok")
+      .as[(String, Array[Byte], Boolean)].collect().toSeq
+    assert(got.size == 2, got.toString)
+    assert(new String(got(0)._2, "UTF-8") == evil && got(0)._3,
+      "the byte walker must recover the boundary-carrying payload")
+    assert(new String(got(1)._2, "UTF-8") == "next" && got(1)._3)
+  }
+
+  test("parseRecordsBinary: truncated tail flagged with what exists; missing Content-Length falls back flagged") {
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://b/3\r\nContent-Length: 100\r\n\r\nshort")
+      .getBytes("UTF-8")
+    val t = Warc.parseRecordsBinary(
+        Seq(("x", truncated)).toDF("id", "bytes"), "bytes", "id")
+      .select($"content_length", $"payload_bytes", $"len_ok")
+      .as[(Option[Long], Array[Byte], Boolean)].collect().toSeq
+    assert(t.size == 1 && t.head._1 == Some(100L) && !t.head._3)
+    assert(new String(t.head._2, "UTF-8") == "short")
+    val noLen = ("WARC/1.0\r\nWARC-Target-URI: http://b/4\r\n" +
+      "X-Other: y\r\n\r\npayload here\r\n\r\nWARC/1.0\r\n" +
+      "WARC-Target-URI: http://b/5\r\nContent-Length: 2\r\n\r\nok")
+      .getBytes("UTF-8")
+    val n = Warc.parseRecordsBinary(
+        Seq(("x", noLen)).toDF("id", "bytes"), "bytes", "id")
+      .select($"uri", $"content_length", $"len_ok")
+      .as[(String, Option[Long], Boolean)].collect().toSeq
+    assert(n.map(r => (r._1, r._2.isEmpty, r._3)) ==
+      Seq(("http://b/4", true, false), ("http://b/5", false, true)),
+      n.toString)
+  }
+
+  test("decodePayloads: latin-1 decodes under its label, unknown charsets fall back to UTF-8 replacement") {
+    val latin = "café déjà"
+    val rows = Seq(
+      ("l1", latin.getBytes("ISO-8859-1"), "iso-8859-1"),
+      ("u1", "plain utf-8 ü".getBytes("UTF-8"), null: String),
+      ("b1", "text".getBytes("UTF-8"), "no-such-charset"))
+      .toDF("id", "bytes", "cs")
+    val got = Warc.decodePayloads(rows, "bytes", "cs", "id")
+      .select($"id", $"text").as[(String, String)].collect().toMap
+    assert(got("l1") == latin, got("l1"))
+    assert(got("u1") == "plain utf-8 ü")
+    assert(got("b1") == "text") // unsupported label -> utf-8 fallback
+  }
+
+  test("dechunkBatch: chunks reassemble (multibyte-exact), extensions ignored, malformed walks yield NULL") {
+    def chunk(s: String): String =
+      s"${s.getBytes("UTF-8").length.toHexString}\r\n$s\r\n"
+    val body = chunk("hello ") + chunk("wörld") + "0\r\n\r\n"
+    val ext = "6;name=v\r\nhello \r\n0\r\n\r\n" // chunk extension
+    val bad = "ZZ\r\nnothex\r\n0\r\n\r\n"
+    val cut = "64\r\ntoo short\r\n" // declared 0x64, delivered 9
+    val got = Warc.dechunkBatch(
+        Seq(("a", body), ("e", ext), ("b", bad), ("c", cut))
+          .toDF("id", "body"), "body", "id")
+      .select($"id", $"dechunked")
+      .as[(String, Option[String])].collect().toMap
+    assert(got("a") == Some("hello wörld"), got.toString)
+    assert(got("e") == Some("hello "), got.toString)
+    assert(got("b").isEmpty && got("c").isEmpty, got.toString)
+  }
+
+  test("httpSplit: chunked flag from Transfer-Encoding, absent means false, non-HTTP means NULL") {
+    def split(payload: String) =
+      Warc.httpSplit(Seq(payload).toDF("payload"), "payload")
+        .select($"chunked").as[Option[Boolean]].head()
+    assert(split("HTTP/1.1 200 S\r\nTransfer-Encoding: chunked\r\n\r\nx")
+      == Some(true))
+    assert(split("HTTP/1.1 200 S\r\nContent-Type: text/html\r\n\r\nx")
+      == Some(false))
+    assert(split("no http head") == None)
+  }
+
   private def gzipMembers(parts: Seq[String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     parts.foreach { p =>
