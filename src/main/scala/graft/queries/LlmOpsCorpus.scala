@@ -3136,4 +3136,241 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         FROM eff0)
       SELECT source, eff, count(*) AS n_docs
       FROM eff GROUP BY source, eff ORDER BY source, eff"""))
+
+  // ---- q277: payload-digest revisit census -------------------------------
+  // Crawl-LEVEL dedup, the WARC-native form: every record carries a
+  // WARC-Payload-Digest, and a deduplicating crawler stores each
+  // distinct payload once, writing later captures as `revisit`
+  // records keyed on the digest. Docs share payloads by (source,
+  // id%7) so each source fetches the same few bodies many times; the
+  // census gates digest integrity (header == recomputed md5 of the
+  // recovered payload — a parse off by one byte flips it), the
+  // distinct-digest count, and the revisit count (captures beyond
+  // each digest's first — exactly what a crawler would dedup away).
+  // Fixture digests are `md5:<hex>` (engine-replayable on both
+  // sides; the wire spec's sha1:base32 differs in label only).
+
+  private[queries] val q277: GraftQuery = GraftQuery(
+    "q277_digest_revisits",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"), lit("/p/"), id)
+      val payload = concat(lit("shared body "), col("source"),
+        lit(" "), id % 7, lit(" content"))
+      val digest = concat(lit("md5:"), md5(payload))
+      val blobs = docs(s, d)
+        .select(col("source"), id.as("doc_id"),
+          Warc.record(uri, payload, lit("response"), digest).as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+      Warc.parseRecords(blobs, "blob")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("payload_digest") ===
+            concat(lit("md5:"), md5(col("payload"))), 1L)
+            .otherwise(0L)).as("n_digest_ok"),
+          countDistinct(col("payload_digest")).as("n_digests"),
+          (count(lit(1)) - countDistinct(col("payload_digest")))
+            .as("n_revisits"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH p AS (
+        SELECT source, doc_id,
+          'shared body ' || source || ' ' || (doc_id % 7) ||
+            ' content' AS payload
+        FROM documents),
+      rec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/p/' || doc_id ||
+            e'\r\n' || 'WARC-Payload-Digest: md5:' || md5(payload) ||
+            e'\r\n' || 'Content-Length: ' || strlen(payload) ||
+            e'\r\n\r\n' || payload AS r
+        FROM p),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM rec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm0 AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Payload-Digest: ([^\r]*)', 1) AS pd,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm0)
+      SELECT source, count(*) AS n_records,
+        CAST(sum(CASE WHEN pd = 'md5:' || md5(payload) THEN 1 ELSE 0
+          END) AS BIGINT) AS n_digest_ok,
+        count(DISTINCT pd) AS n_digests,
+        count(*) - count(DISTINCT pd) AS n_revisits
+      FROM parsed GROUP BY source ORDER BY source"""))
+
+  // ---- q278: spider-trap census ------------------------------------------
+  // The frontier-explosion detector every crawler needs: a trap host
+  // (session ids, calendars, faceted search) mints unboundedly many
+  // DISTINCT URLs over the same few pages, and urlNormalize
+  // deliberately preserves query strings — so the trap shows up as a
+  // URL-to-content ratio, not as frontier dedup. Odd-length sources
+  // append a per-doc ?sid= (every URL distinct); the census compares
+  // distinct normalized URLs against distinct content digests per
+  // host and flags ratio ≥ 3 — the signal that a per-host budget cap
+  // (capPerGroup) must step in before the frontier does the crawling
+  // equivalent of an infinite loop.
+
+  private[queries] val q278: GraftQuery = GraftQuery(
+    "q278_trap_census",
+    (s, d) => {
+      val id = col("doc_id")
+      val trap = length(col("source")) % 2 === 1
+      val raw = concat(lit("https://"), col("source"),
+        lit(".example.com/cat/"), id % 3,
+        when(trap, concat(lit("?sid="), id)).otherwise(lit("")))
+      val content = concat(lit("category page "), col("source"),
+        lit(" "), id % 3)
+      docs(s, d)
+        .select(col("source"), urlNormalize(raw).as("n"),
+          md5(content).as("digest"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("n")).as("n_urls"),
+          countDistinct(col("digest")).as("n_contents"))
+        .withColumn("urls_per_content_ppm",
+          expr("n_urls * 1000000L div n_contents"))
+        .withColumn("is_trap", col("n_urls") >= col("n_contents") * 3)
+        .orderBy(col("source"))
+    },
+    Some("""WITH u AS (
+        SELECT source,
+          'https://' || source || '.example.com/cat/' || (doc_id % 3) ||
+            CASE WHEN strlen(source) % 2 = 1
+              THEN '?sid=' || doc_id ELSE '' END AS raw,
+          md5('category page ' || source || ' ' || (doc_id % 3))
+            AS digest
+        FROM documents),
+      nn AS (
+        SELECT source, digest,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(raw, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM u),
+      c AS (
+        SELECT source, count(DISTINCT n) AS n_urls,
+          count(DISTINCT digest) AS n_contents
+        FROM nn GROUP BY source)
+      SELECT source, n_urls, n_contents,
+        n_urls * 1000000 // n_contents AS urls_per_content_ppm,
+        n_urls >= n_contents * 3 AS is_trap
+      FROM c ORDER BY source"""))
+
+  // ---- q279: WET-style export (conversion records) -----------------------
+  // The OTHER direction of the WARC seam: after the cleaning stack
+  // runs, a corpus re-exports as text-only `conversion` records (the
+  // WET layout downstream consumers read). Docs are wrapped in
+  // deterministic markup, stripped (q174's chain), framed as
+  // conversion records and parsed BACK — the census gates the type,
+  // integrity, and that every recovered payload equals the stripped
+  // text exactly (render → strip → frame → parse, one flipped byte
+  // anywhere breaks the roundtrip).
+
+  private[queries] val q279: GraftQuery = GraftQuery(
+    "q279_wet_export",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"), lit("/"), id)
+      val html = concat(
+        lit("<html><head><style>b{}</style></head><body><p>"),
+        col("text"),
+        lit("</p><script>var i=1;</script></body></html>"))
+      val wet = Warc.record(uri, stripMarkup(html), lit("conversion"))
+      val blobs = docs(s, d)
+        .select(col("source"), id.as("doc_id"), wet.as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+      val expected = docs(s, d)
+        .select(col("source"), uri.as("uri"),
+          stripMarkup(html).as("stripped"))
+      Warc.parseRecords(blobs, "blob")
+        .join(expected, Seq("source", "uri"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "conversion", 1L)
+            .otherwise(0L)).as("n_conversion"),
+          sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+          sum(when(col("payload") === col("stripped"), 1L)
+            .otherwise(0L)).as("n_roundtrip"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH m AS (
+        SELECT source, doc_id,
+          '<html><head><style>b{}</style></head><body><p>' || text ||
+            '</p><script>var i=1;</script></body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT source, doc_id, regexp_replace(html,
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM m),
+      s2 AS (SELECT source, doc_id, regexp_replace(t,
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT source, doc_id, regexp_replace(t,
+          '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+      e AS (SELECT source, doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g')
+            AS t FROM s3),
+      f AS (SELECT source, doc_id,
+          trim(regexp_replace(t, '\s+', ' ', 'g')) AS stripped FROM e),
+      rec AS (
+        SELECT source, doc_id, stripped,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: conversion' || e'\r\n' ||
+            'WARC-Target-URI: http://' || source || '/' || doc_id ||
+            e'\r\n' || 'Content-Length: ' || strlen(stripped) ||
+            e'\r\n\r\n' || stripped AS r
+        FROM f),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM rec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm0 AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Type: ([^\r]*)', 1) AS wt,
+          regexp_extract(rc, 'WARC-Target-URI: ([^\r]*)', 1) AS uri,
+          TRY_CAST(regexp_extract(rc, 'Content-Length: (\d+)', 1)
+            AS BIGINT) AS cl,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm0),
+      x AS (
+        SELECT source, 'http://' || source || '/' || doc_id AS uri,
+          stripped
+        FROM f)
+      SELECT p.source, count(*) AS n_records,
+        CAST(sum(CASE WHEN p.wt = 'conversion' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_conversion,
+        CAST(sum(CASE WHEN p.cl IS NOT NULL AND p.cl = strlen(p.payload)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        CAST(sum(CASE WHEN p.payload = x.stripped THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_roundtrip
+      FROM parsed p JOIN x ON p.source = x.source AND p.uri = x.uri
+      GROUP BY p.source ORDER BY p.source"""))
 }

@@ -33,7 +33,10 @@ object Warc {
   val boundaryRe = "\\r\\n\\r\\nWARC/1\\.0\\r\\n"
 
   /** Explode a column of WARC blobs into one row per record:
-    * `(…, warc_type, uri, content_length, payload, len_ok)`. A real
+    * `(…, warc_type, payload_digest, uri, content_length, payload,
+    * len_ok)`. `payload_digest` is the `WARC-Payload-Digest` header
+    * verbatim (NULL when absent) — the key crawl-level dedup and
+    * revisit attribution hang off. A real
     * crawl file INTERLEAVES record types (warcinfo, request,
     * response, metadata — the Common Crawl layout writes a
     * request/response/metadata triple per fetch), so `warc_type`
@@ -55,6 +58,11 @@ object Warc {
       .withColumn("warc_type",
         when(length(col("_wt")) > 0, col("_wt")))
       .drop("_wt")
+      .withColumn("_pd",
+        regexp_extract(col("_rec"), "WARC-Payload-Digest: ([^\\r]*)", 1))
+      .withColumn("payload_digest",
+        when(length(col("_pd")) > 0, col("_pd")))
+      .drop("_pd")
       .withColumn("uri",
         regexp_extract(col("_rec"), "WARC-Target-URI: ([^\\r]*)", 1))
       .withColumn("_cl",
@@ -77,14 +85,23 @@ object Warc {
     * writer side of the seam (test fixtures, re-export of a cleaned
     * corpus in the format the crawl side speaks); `wtype` defaults to
     * `response`, the type a corpus exports, and takes `request` /
-    * `metadata` for building realistically-interleaved fixtures.
-    * Content-Length is the payload's OCTET count (UTF-8), matching
-    * both the WARC spec and [[parseRecords]]' `len_ok` gate. */
+    * `metadata` / `conversion` for building realistic fixtures and
+    * WET-style exports. `digest` (when non-empty) rides as
+    * `WARC-Payload-Digest` — the header crawl-level dedup keys on
+    * (this engine's fixtures use `md5:<hex>`, engine-replayable on
+    * both sides; the wire spec's `sha1:<base32>` differs only in the
+    * label, not the machinery). Content-Length is the payload's
+    * OCTET count (UTF-8), matching both the WARC spec and
+    * [[parseRecords]]' `len_ok` gate. */
   def record(uri: Column, payload: Column,
-             wtype: Column = lit("response")): Column =
+             wtype: Column = lit("response"),
+             digest: Column = lit("")): Column =
     concat(
       lit("WARC/1.0\r\nWARC-Type: "), wtype,
       lit("\r\nWARC-Target-URI: "), uri,
+      when(length(digest) > 0,
+        concat(lit("\r\nWARC-Payload-Digest: "), digest))
+        .otherwise(lit("")),
       lit("\r\nContent-Length: "), octet_length(payload),
       lit("\r\n\r\n"), payload)
 

@@ -125,6 +125,20 @@ class WarcSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("payload digest: header renders only when supplied, extracts verbatim, NULL when absent") {
+    val rows = Seq(("http://d/1", "body one", "md5:abc123"),
+      ("http://d/2", "body two", ""))
+      .toDF("uri", "payload", "dg")
+    val blob = rows
+      .select(Warc.record($"uri", $"payload", lit("response"), $"dg"))
+      .as[String].collect().mkString("\r\n\r\n")
+    val got = Warc.parseRecords(Seq(blob).toDF("blob"), "blob")
+      .select($"uri", $"payload_digest", $"len_ok")
+      .as[(String, Option[String], Boolean)].collect().toSeq
+    assert(got == Seq(("http://d/1", Some("md5:abc123"), true),
+      ("http://d/2", None, true)), got.toString)
+  }
+
   test("httpSplit: Location header surfaces for redirect chasing, absent elsewhere") {
     def split(payload: String) =
       Warc.httpSplit(Seq(payload).toDF("payload"), "payload")
