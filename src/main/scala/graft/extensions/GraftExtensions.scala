@@ -119,6 +119,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               org.apache.spark.sql.catalyst.expressions.Literal(repl))
         }
       }))
+    // HTML meta-charset sniff from SQL (q276's in-document fallback
+    // leg — effective charset is coalesce(header, html_charset(body),
+    // 'utf-8')): html_charset(html) — NULL when no meta declaration.
+    ext.injectFunction((
+      new FunctionIdentifier("html_charset"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpExtract].getName,
+        "html_charset"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "html_charset expects exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{GreaterThan,
+          If, Length, Literal, Lower, RegExpExtract}
+        val cs = Lower(RegExpExtract(children.head,
+          Literal("(?is)<meta[^>]*charset\\s*=\\s*[\"']?" +
+            "([A-Za-z0-9_.:-]+)"),
+          Literal(1)))
+        If(GreaterThan(Length(cs), Literal(0)), cs,
+          Literal(null, org.apache.spark.sql.types.StringType))
+      }))
     // whole-operator tier: the top-k-per-group plan node (ladder (c) —
     // logical node + strategy + physical heaps; see graft.plans) …
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
@@ -413,6 +433,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(tbl.columns.contains(pc),
           s"http_split: table lacks column '$pc'")
         graft.sources.Warc.httpSplit(tbl, pc)
+          .queryExecution.analyzed
+      }))
+    // Sitemap discovery from robots.txt bodies (q273's operator):
+    //   robots_sitemaps(robots_table)
+    // `robots_table` is (host, txt). Emits (host, sitemap_url),
+    // distinct — the directive is host-wide, never group-scoped.
+    ext.injectTableFunction((
+      new FunctionIdentifier("robots_sitemaps"),
+      new ExpressionInfo("graft.operators.Robots", "robots_sitemaps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "usage: robots_sitemaps(robots_table)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val robots = spark.table(strLit(children(0), "robots_table"))
+        val missing = Seq("host", "txt").filterNot(robots.columns.contains)
+        require(missing.isEmpty,
+          s"robots_sitemaps: robots_table lacks ${missing.mkString(", ")}" +
+            " — expected (host, txt)")
+        graft.operators.Robots.sitemaps(robots, "host", "txt")
           .queryExecution.analyzed
       }))
     // robots.txt verdicts from SQL (q262's operator — crawl

@@ -2846,7 +2846,12 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         .select(col("source"), col("sitemap_url"))
         .orderBy(col("source"), col("sitemap_url"))
     },
-    Some("""WITH hosts AS (
+    Some(sitemapsOracleSql))
+
+  /** The q273/q281 full-replay oracle — shared verbatim by the SQL
+    * door: the TVF must extract exactly like the library call. */
+  private[queries] lazy val sitemapsOracleSql: String =
+    ("""WITH hosts AS (
         SELECT DISTINCT source || '.example.com' AS host, source
         FROM documents),
       base AS (SELECT host, source, string_split(
@@ -2872,7 +2877,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           AND regexp_matches(line, '(?i)^sitemap:'))
       SELECT source, sitemap_url FROM sm
       WHERE length(sitemap_url) > 0
-      ORDER BY source, sitemap_url"""))
+      ORDER BY source, sitemap_url""")
 
   // ---- q274: redirect-target discovery ----------------------------------
   // The 3xx half of a fetch: a redirect's Location header is new-URL
@@ -3081,7 +3086,13 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("eff"))
     },
-    Some("""WITH rec AS (
+    Some(charsetOracleSql))
+
+  /** The q276/q282 full-replay oracle — shared verbatim by the SQL
+    * door: the TVF + scalar pair must decide exactly like the
+    * library calls. */
+  private[queries] lazy val charsetOracleSql: String =
+    ("""WITH rec AS (
         SELECT source, doc_id,
           CASE WHEN doc_id % 3 = 1 THEN
             '<meta charset="windows-1252">' || text ELSE text END
@@ -3135,7 +3146,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
             ELSE 'utf-8' END AS eff
         FROM eff0)
       SELECT source, eff, count(*) AS n_docs
-      FROM eff GROUP BY source, eff ORDER BY source, eff"""))
+      FROM eff GROUP BY source, eff ORDER BY source, eff""")
 
   // ---- q277: payload-digest revisit census -------------------------------
   // Crawl-LEVEL dedup, the WARC-native form: every record carries a
@@ -3373,4 +3384,132 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           AS BIGINT) AS n_roundtrip
       FROM parsed p JOIN x ON p.source = x.source AND p.uri = x.uri
       GROUP BY p.source ORDER BY p.source"""))
+
+  // ---- q280: budgeted frontier — the trap's countermeasure ---------------
+  // q278 DETECTS frontier explosion; this bounds it: the same
+  // trap-vs-clean frontier capped at n URLs per host via capPerGroup
+  // (md5-draw membership — a pure function of the normalized URL, so
+  // the budget survives reshuffles, retries and later discoveries
+  // displacing but never promoting). Trap hosts clamp to the cap,
+  // clean hosts pass untouched; the census gates both and the oracle
+  // replays the draw and the cut.
+
+  private[queries] val q280: GraftQuery = GraftQuery(
+    "q280_budgeted_frontier",
+    (s, d) => {
+      val id = col("doc_id")
+      val trap = length(col("source")) % 2 === 1
+      val raw = concat(lit("https://"), col("source"),
+        lit(".example.com/cat/"), id % 3,
+        when(trap, concat(lit("?sid="), id)).otherwise(lit("")))
+      val frontier = docs(s, d)
+        .select(urlNormalize(raw).as("n")).distinct()
+        .withColumn("host",
+          regexp_extract(col("n"), "^https?://([^/]+)", 1))
+      val budgeted = DatasetOps.capPerGroup(frontier, "host", "n",
+        n = 5)
+      frontier.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_frontier"))
+        .join(budgeted.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_budgeted")), Seq("host"))
+        .withColumn("capped", col("n_frontier") > col("n_budgeted"))
+        .orderBy(col("host"))
+    },
+    Some("""WITH u AS (
+        SELECT source,
+          'https://' || source || '.example.com/cat/' || (doc_id % 3) ||
+            CASE WHEN strlen(source) % 2 = 1
+              THEN '?sid=' || doc_id ELSE '' END AS raw
+        FROM documents),
+      nn AS (
+        SELECT DISTINCT
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(raw, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM u),
+      f AS (
+        SELECT n, regexp_extract(n, '^https?://([^/]+)', 1) AS host,
+          CAST(concat('0x', substring(md5('cap:' || n), 1, 8))
+            AS BIGINT) AS u
+        FROM nn),
+      r AS (
+        SELECT host, n,
+          row_number() OVER (PARTITION BY host ORDER BY u, n) AS rn
+        FROM f),
+      c AS (
+        SELECT host, count(*) AS n_frontier,
+          CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_budgeted
+        FROM r GROUP BY host)
+      SELECT host, n_frontier, n_budgeted,
+        n_frontier > n_budgeted AS capped
+      FROM c ORDER BY host"""))
+
+  // ---- q281: robots_sitemaps TVF — the SQL door -------------------------
+  // Sitemap discovery from pure SQL: the registered robots table
+  // flows through the injected extractor and the query orders its
+  // rows exactly like q273's Scala side; oracle shared verbatim.
+
+  private[queries] val q281: GraftQuery = GraftQuery(
+    "q281_sql_sitemaps_door",
+    (s, d) => {
+      val host = concat(col("source"), lit(".example.com"))
+      docs(s, d)
+        .select(host.as("host")).distinct()
+        .withColumn("txt", concat(
+          lit("Sitemap: https://"), col("host"), lit("/s1.xml\n"),
+          lit("User-agent: *\nDisallow: /x\n"),
+          lit("SITEMAP: https://"), col("host"), lit("/s2.xml\n\n"),
+          lit("User-agent: a\nDisallow: /y\n"),
+          lit("sitemap: https://"), col("host"), lit("/s1.xml\n"),
+          lit("Sitemap:")))
+        .createOrReplaceTempView("robots_sm_sql")
+      s.sql("""SELECT regexp_replace(host, '\\.example\\.com$', '')
+            AS source, sitemap_url
+        FROM robots_sitemaps('robots_sm_sql')
+        ORDER BY source, sitemap_url""")
+    },
+    Some(sitemapsOracleSql))
+
+  // ---- q282: the charset decision from pure SQL -------------------------
+  // q276's census through SQL text alone: blobs → warc_records TVF →
+  // http_split TVF → the injected html_charset scalar inside the
+  // same coalesce priority — the whole decision reachable from the
+  // Athena-layer surface; oracle shared verbatim.
+
+  private[queries] val q282: GraftQuery = GraftQuery(
+    "q282_sql_charset_door",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"), lit("/"), id)
+      val ct = when(id % 3 === 0, lit("text/html; charset=ISO-8859-1"))
+        .otherwise(lit("text/html"))
+      val body = when(id % 3 === 1,
+        concat(lit("<meta charset=\"windows-1252\">"), col("text")))
+        .otherwise(col("text"))
+      docs(s, d)
+        .select(col("source"), id.as("doc_id"),
+          Warc.record(uri, Warc.httpResponse(lit(200), ct, body))
+            .as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+        .createOrReplaceTempView("charset_blobs_sql")
+      s.sql("""CREATE OR REPLACE TEMP VIEW charset_msgs_sql AS
+        SELECT * FROM warc_records('charset_blobs_sql', 'blob')""")
+      s.sql("""SELECT source,
+          coalesce(charset, html_charset(body), 'utf-8') AS eff,
+          count(*) AS n_docs
+        FROM http_split('charset_msgs_sql', 'payload')
+        GROUP BY source, eff ORDER BY source, eff""")
+    },
+    Some(charsetOracleSql))
 }
