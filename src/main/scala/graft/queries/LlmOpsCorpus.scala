@@ -3512,4 +3512,46 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         GROUP BY source, eff ORDER BY source, eff""")
     },
     Some(charsetOracleSql))
+
+  // ---- q283: the binary-exact HTTP tier equals the relational one -------
+  // q275's argument extended one layer down: the full BYTE pipeline
+  // (Content-Length-driven record walk → head/body byte split →
+  // wire-layer decode → charset) must agree with the relational
+  // string tier on data the string tier can represent — so q269's
+  // census runs through parseRecordsBinary + decodeHttpBinary
+  // against q269's oracle VERBATIM. The binary tier's extra powers
+  // (chunked, gzip, non-UTF-8 — WarcSpec's composed-wire-layers
+  // battery) are exactly what the oracle CANNOT replay, which is why
+  // the equivalence-on-common-ground query is the right gate.
+
+  private[queries] val q283: GraftQuery = GraftQuery(
+    "q283_http_binary_tier",
+    (s, d) => {
+      import graft.sources.Warc
+      val uri = concat(lit("http://"), col("source"), lit("/"),
+        col("doc_id"))
+      val blobs = httpWarcBlobs(s, d)
+        .select(col("source"), encode(col("blob"), "UTF-8").as("bb"))
+      val recs = Warc.parseRecordsBinary(blobs, "bb", "source")
+      val msgs = Warc.decodeHttpBinary(recs, "payload_bytes", "uri")
+      recs.select(col("source"), col("uri"), col("len_ok"))
+        .join(msgs, Seq("uri"))
+        .join(docs(s, d).select(col("source"), uri.as("uri"),
+          col("text").as("doc_text")), Seq("source", "uri"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+          sum(when(col("http_status") === 200, 1L).otherwise(0L))
+            .as("n_200"),
+          sum(when(col("http_status") === 404, 1L).otherwise(0L))
+            .as("n_404"),
+          sum(when(col("content_type") === "text/html", 1L)
+            .otherwise(0L)).as("n_html"),
+          sum(when(col("declared_charset") === "utf-8", 1L)
+            .otherwise(0L)).as("n_charset"),
+          sum(when(col("text") === col("doc_text"), 1L).otherwise(0L))
+            .as("n_body_roundtrip"))
+        .orderBy(col("source"))
+    },
+    Some(httpOracleSql))
 }

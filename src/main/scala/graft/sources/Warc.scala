@@ -306,6 +306,162 @@ object Warc {
     }(Encoders.row(outSchema))
   }
 
+  /** Multi-member gzip walk shared by the codec-seam ops; None on a
+    * corrupt stream. */
+  private def gunzipBytesOpt(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** Chunked-transfer byte walk shared by the codec-seam ops; None on
+    * a malformed stream (non-hex size, truncated chunk, unterminated
+    * size line). */
+  private def dechunkBytesOpt(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def crlfAt(i: Int): Boolean =
+      i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n'
+    var pos = 0
+    var ok = true
+    var done = false
+    while (ok && !done) {
+      var eol = pos
+      while (eol < bytes.length && !crlfAt(eol)) eol += 1
+      if (!crlfAt(eol)) ok = false
+      else {
+        val line = new String(bytes, pos, eol - pos, "US-ASCII")
+        val size = try
+          java.lang.Long.parseLong(line.split(";")(0).trim, 16)
+        catch { case _: Exception => -1L }
+        if (size < 0) ok = false
+        else if (size == 0) done = true
+        else {
+          val dataStart = eol + 2
+          if (dataStart + size + 2 > bytes.length) ok = false
+          else {
+            out.write(bytes, dataStart, size.toInt)
+            pos = dataStart + size.toInt + 2
+          }
+        }
+      }
+    }
+    if (ok) Some(out.toByteArray) else None
+  }
+
+  /** The binary-exact HTTP message decode — [[httpSplit]]'s
+    * byte-tier twin, composing the three wire layers a real fetch
+    * records in order: split head from body at the first CRLFCRLF,
+    * DE-CHUNK (`Transfer-Encoding: chunked` is the OUTER transfer
+    * layer), GUNZIP (`Content-Encoding: gzip` is the inner content
+    * layer), then DECODE under the declared charset — header
+    * `charset=` first, else the WHATWG meta sniff over the first
+    * 1024 body bytes (read through latin-1, which maps every byte,
+    * so the sniff itself cannot fail), else UTF-8. Emits
+    * `(…, http_status, content_type, declared_charset, text)`:
+    * `declared_charset` is what the MESSAGE said (NULL when the
+    * decode fell back to the default — the census-relevant
+    * distinction), `text` NULL when the payload is not HTTP or a
+    * wire layer is malformed (the caller's quarantine split).
+    * Codec-seam tier, row-independent, shard-parallel — the path
+    * [[parseRecordsBinary]]'s `payload_bytes` feed for non-ASCII /
+    * compressed / chunked crawls where the relational string tier
+    * cannot be byte-exact. */
+  def decodeHttpBinary(df: DataFrame, bytesCol: String,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bytesCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head,
+      StructField("http_status", IntegerType),
+      StructField("content_type", StringType),
+      StructField("declared_charset", StringType),
+      StructField("text", StringType)))
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    val statusRe = "^HTTP/\\d(?:\\.\\d)? (\\d{3})".r
+    val csRe = "(?i)charset=\"?([A-Za-z0-9_.:-]+)".r
+    val metaRe =
+      "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)".r
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        def sepIdx: Int = {
+          var i = 0
+          val last = bytes.length - sep.length
+          var found = -1
+          while (found < 0 && i <= last) {
+            var j = 0
+            while (j < sep.length && bytes(i + j) == sep(j)) j += 1
+            if (j == sep.length) found = i
+            i += 1
+          }
+          found
+        }
+        val he = if (bytes.length >= 5 &&
+          new String(bytes, 0, 5, "US-ASCII") == "HTTP/") sepIdx else -1
+        if (he < 0) Row(r.get(0), null, null, null, null)
+        else {
+          val head = new String(bytes, 0, he, "US-ASCII")
+          val status = statusRe.findFirstMatchIn(head)
+            .map(_.group(1).toInt)
+          def header(name: String): Option[String] =
+            head.split("\r\n").iterator
+              .find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
+              .map(_.split(":", 2)(1).trim)
+          status match {
+            case None => Row(r.get(0), null, null, null, null)
+            case Some(st) =>
+              val ctRaw = header("Content-Type").getOrElse("")
+              val media = ctRaw.split(";")(0).trim.toLowerCase match {
+                case "" => null
+                case m => m
+              }
+              val raw = java.util.Arrays.copyOfRange(
+                bytes, he + sep.length, bytes.length)
+              // outer transfer layer first, then the content layer
+              val unchunked =
+                if (header("Transfer-Encoding")
+                    .exists(_.toLowerCase.contains("chunked")))
+                  dechunkBytesOpt(raw)
+                else Some(raw)
+              val plain = unchunked.flatMap { b =>
+                if (header("Content-Encoding")
+                    .exists(_.toLowerCase.contains("gzip")))
+                  gunzipBytesOpt(b)
+                else Some(b)
+              }
+              plain match {
+                case None => Row(r.get(0), st, media, null, null)
+                case Some(body) =>
+                  val headerCs = csRe.findFirstMatchIn(ctRaw)
+                    .map(_.group(1).toLowerCase)
+                  val metaCs = headerCs match {
+                    case Some(_) => None
+                    case None =>
+                      val window = new String(body, 0,
+                        math.min(1024, body.length), "ISO-8859-1")
+                      metaRe.findFirstMatchIn(window)
+                        .map(_.group(1).toLowerCase)
+                  }
+                  val declared = headerCs.orElse(metaCs)
+                  val cs = declared.flatMap { name =>
+                    try Some(java.nio.charset.Charset.forName(name))
+                    catch { case _: Exception => None }
+                  }.getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+                  Row(r.get(0), st, media, declared.orNull,
+                    new String(body, cs))
+              }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** De-chunk an HTTP `Transfer-Encoding: chunked` body: hex-size
     * line, that many OCTETS of data, CRLF, repeated until the `0`
     * chunk — the wire form a crawl records verbatim, which a cleaning
@@ -325,38 +481,8 @@ object Warc {
         val body = r.getString(1)
         val res: String =
           if (body == null) null
-          else {
-            val bytes = body.getBytes("UTF-8")
-            val out = new java.io.ByteArrayOutputStream()
-            def crlfAt(i: Int): Boolean =
-              i + 1 < bytes.length && bytes(i) == '\r' && bytes(i + 1) == '\n'
-            var pos = 0
-            var ok = true
-            var done = false
-            while (ok && !done) {
-              // size line ends at CRLF; chunk extensions (;…) ignored
-              var eol = pos
-              while (eol < bytes.length && !crlfAt(eol)) eol += 1
-              if (!crlfAt(eol)) ok = false // size line never terminated
-              else {
-                val line = new String(bytes, pos, eol - pos, "US-ASCII")
-                val size = try
-                  java.lang.Long.parseLong(line.split(";")(0).trim, 16)
-                catch { case _: Exception => -1L }
-                if (size < 0) ok = false
-                else if (size == 0) done = true
-                else {
-                  val dataStart = eol + 2
-                  if (dataStart + size + 2 > bytes.length) ok = false
-                  else {
-                    out.write(bytes, dataStart, size.toInt)
-                    pos = dataStart + size.toInt + 2 // skip data CRLF
-                  }
-                }
-              }
-            }
-            if (ok) new String(out.toByteArray, "UTF-8") else null
-          }
+          else dechunkBytesOpt(body.getBytes("UTF-8"))
+            .map(new String(_, "UTF-8")).orNull
         Row(r.get(0), res)
       }
     }(Encoders.row(outSchema))
@@ -381,20 +507,10 @@ object Warc {
       sel.schema.head, StructField("blob", StringType)))
     sel.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val blob =
-          try {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            // GZIPInputStream walks ALL members of a concatenated
-            // stream — the multi-member contract comes from the JDK
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](64 * 1024)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            in.close()
-            new String(out.toByteArray, "UTF-8")
-          } catch { case _: java.io.IOException => null }
+        // GZIPInputStream walks ALL members of a concatenated
+        // stream — the multi-member contract comes from the JDK
+        val blob = gunzipBytesOpt(r.getAs[Array[Byte]](1))
+          .map(new String(_, "UTF-8")).orNull
         Row(r.get(0), blob)
       }
     }(Encoders.row(outSchema))

@@ -259,6 +259,57 @@ class WarcSpec extends AnyFunSuite {
     assert(got("c").isEmpty, got.toString)
   }
 
+  test("decodeHttpBinary: chunked → gzip → charset compose in wire order; meta sniff only without a header charset") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(b); g.finish(); g.close(); o.toByteArray
+    }
+    def chunkBytes(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val mid = b.length / 2
+      Seq(b.slice(0, mid), b.slice(mid, b.length)).foreach { part =>
+        o.write(s"${part.length.toHexString}\r\n".getBytes("US-ASCII"))
+        o.write(part); o.write("\r\n".getBytes("US-ASCII"))
+      }
+      o.write("0\r\n\r\n".getBytes("US-ASCII"))
+      o.toByteArray
+    }
+    def msg(headers: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"HTTP/1.1 200 S\r\n$headers\r\n\r\n"
+        .getBytes("US-ASCII"))
+      o.write(body); o.toByteArray
+    }
+    val latinDoc = "<meta charset=\"iso-8859-1\">café déjà vu"
+    val rows = Seq(
+      // outer chunked over inner gzip over latin-1 bytes; no header
+      // charset -> the meta sniff (over the DECODED wire layers)
+      // must find iso-8859-1
+      ("full", msg("Content-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+        chunkBytes(gz(latinDoc.getBytes("ISO-8859-1"))))),
+      // header charset WINS over a contradicting meta tag
+      ("hdr", msg("Content-Type: text/html; charset=UTF-8",
+        "<meta charset=\"iso-8859-1\">plain ü".getBytes("UTF-8"))),
+      // malformed gzip under a declared Content-Encoding -> NULL text
+      ("bad", msg("Content-Encoding: gzip",
+        "not gzip".getBytes("US-ASCII"))),
+      ("raw", "no http head".getBytes("US-ASCII")))
+      .toDF("id", "bytes")
+    val got = Warc.decodeHttpBinary(rows, "bytes", "id")
+      .select($"id", $"http_status", $"declared_charset", $"text")
+      .as[(String, Option[Int], Option[String], Option[String])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("full") ==
+      ((Some(200), Some("iso-8859-1"), Some(latinDoc))), got("full"))
+    assert(got("hdr") ==
+      ((Some(200), Some("utf-8"),
+        Some("<meta charset=\"iso-8859-1\">plain ü"))), got("hdr"))
+    assert(got("bad")._1 == Some(200) && got("bad")._3.isEmpty)
+    assert(got("raw") == ((None, None, None)))
+  }
+
   test("readWarcGz: a per-record-gzipped shard round-trips through parseRecords") {
     val docs = Seq(("http://z/1", "alpha body"), ("http://z/2", "beta"))
     // the Common Crawl layout: each RECORD is its own gzip member,
