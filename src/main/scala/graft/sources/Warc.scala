@@ -516,6 +516,23 @@ object Warc {
     }(Encoders.row(outSchema))
   }
 
+  /** [[gunzipBlobs]]' byte-preserving sibling: decompress to BYTES
+    * (no UTF-8 decode — the [[parseRecordsBinary]] feed, where the
+    * whole point is that no string conversion touches the payload
+    * before the charset decision). NULL on a corrupt stream. */
+  def gunzipBlobsBinary(df: DataFrame, idCol: String,
+                        bytesCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bytesCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head, StructField("blob_bytes", BinaryType)))
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(0), gunzipBytesOpt(r.getAs[Array[Byte]](1)).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Read a directory of `.warc.gz` shards as parsed records: the
     * `binaryFile` source (one row per shard file — WARC shards are
     * the unit of parallelism by design), the multi-member gunzip

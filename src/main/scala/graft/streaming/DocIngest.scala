@@ -412,6 +412,80 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** The BYTE-EXACT [[runWarcGzIngest]] — the pipeline Common Crawl
+    * actually requires when shards carry non-UTF-8, compressed or
+    * chunked content (the string tier silently mojibakes or feeds
+    * wire framing to the cleaning stack): gz shard → multi-member
+    * gunzip to BYTES → Content-Length-driven record walk
+    * ([[graft.sources.Warc.parseRecordsBinary]] — the tier where the
+    * boundary-in-payload caveat does not exist) → response-type
+    * filter → octet-integrity split → full wire-layer decode
+    * ([[graft.sources.Warc.decodeHttpBinary]]: de-chunk, gunzip,
+    * charset) → the [[ingest]] gate. Quarantine reasons: `gzip`
+    * (shard), `length` (record), `status` (non-200/non-HTTP),
+    * `decode` (a 200 whose wire layers are malformed). No string
+    * conversion touches a payload before its charset is decided. */
+  def runWarcGzIngestBinary(spark: SparkSession, rawDir: String,
+                            outDir: String, quarantineDir: String,
+                            checkpointDir: String, minTokens: Int = 3,
+                            maxFilesPerTrigger: Int = 1): Unit = {
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val q = spark.readStream
+      .format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val blobs = graft.sources.Warc
+          .gunzipBlobsBinary(batch, "path", "content").persist()
+        try {
+          blobs.filter(col("blob_bytes").isNull)
+            .select(col("path").as("uri"), lit("gzip").as("reason"))
+            .write.mode("append").json(quarantineDir)
+          val recs = graft.sources.Warc.parseRecordsBinary(
+              blobs.filter(col("blob_bytes").isNotNull),
+              "blob_bytes", "path")
+            .filter(col("warc_type").isNull ||
+              col("warc_type") === "response")
+            .persist()
+          try {
+            recs.filter(!col("len_ok"))
+              .select(col("uri"), lit("length").as("reason"),
+                col("content_length"),
+                length(col("payload_bytes")).as("recovered_length"))
+              .write.mode("append").json(quarantineDir)
+            val msgs = graft.sources.Warc.decodeHttpBinary(
+                recs.filter(col("len_ok")), "payload_bytes", "uri")
+              .persist()
+            try {
+              msgs.filter(col("http_status").isNull ||
+                  col("http_status") =!= 200)
+                .select(col("uri"), lit("status").as("reason"),
+                  col("http_status"), col("content_type"))
+                .write.mode("append").json(quarantineDir)
+              val ok = msgs.filter(col("http_status") === 200)
+              ok.filter(col("text").isNull)
+                .select(col("uri"), lit("decode").as("reason"))
+                .write.mode("append").json(quarantineDir)
+              ingest(ok.filter(col("text").isNotNull)
+                  .select(col("uri"), col("text")), minTokens)
+                .write.mode("append").json(outDir)
+            } finally { msgs.unpersist(); () }
+          } finally { recs.unpersist(); () }
+        } finally { blobs.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Distinct benchmark word-`k`-gram hashes, driver-collected ONCE —
     * the EXACT static side of the streaming decontamination gate. One
     * small batch job (the benchmark is the small table by

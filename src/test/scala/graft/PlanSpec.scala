@@ -235,6 +235,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q280: the frontier budget cap plans through the heap node — no Window, no per-group sort") {
+    val p = plan("q280_budgeted_frontier")
+    assert(p.contains("TopKPerGroupPartial") &&
+      p.contains("TopKPerGroupFinal"),
+      s"capPerGroup lost the bounded-heap plan:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "the budget cap is paying a window sort over the frontier")
+  }
+
   test("q46: multi-probe LSH broadcasts the probe side, not the corpus") {
     val p = plan("q46_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")

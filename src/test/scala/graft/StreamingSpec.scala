@@ -1214,6 +1214,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("binary .warc.gz ingest: latin-1, chunked+gzip and 404 records each land or quarantine byte-exactly") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_warcgz_bin")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val quar = root.resolve("quar"); val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(b); g.finish(); g.close(); o.toByteArray
+    }
+    def chunked(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"${b.length.toHexString}\r\n".getBytes("US-ASCII"))
+      o.write(b); o.write("\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      o.toByteArray
+    }
+    def httpBytes(headers: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"HTTP/1.1 200 S\r\n$headers\r\n\r\n".getBytes("US-ASCII"))
+      o.write(body); o.toByteArray
+    }
+    def warcBytes(uri: String, p: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${p.length}\r\n\r\n")
+        .getBytes("US-ASCII"))
+      o.write(p); o.toByteArray
+    }
+    val latinText = "café déjà aussi très bon"
+    val metaText = "<meta charset=\"iso-8859-1\">très bien ça va aussi"
+    val recs = Seq(
+      warcBytes("http://bz/1", httpBytes(
+        "Content-Type: text/plain; charset=ISO-8859-1",
+        latinText.getBytes("ISO-8859-1"))),
+      warcBytes("http://bz/2", httpBytes(
+        "Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n" +
+          "Content-Encoding: gzip",
+        chunked(gz(metaText.getBytes("ISO-8859-1"))))),
+      warcBytes("http://bz/3",
+        "HTTP/1.1 404 S\r\nContent-Length: 2\r\n\r\nno"
+          .getBytes("US-ASCII")))
+    val shard = new java.io.ByteArrayOutputStream()
+    recs.zipWithIndex.foreach { case (r, i) =>
+      val member = new java.io.ByteArrayOutputStream()
+      if (i > 0) member.write("\r\n\r\n".getBytes("US-ASCII"))
+      member.write(r)
+      shard.write(gz(member.toByteArray))
+    }
+    java.nio.file.Files.write(raw.resolve("s1.warc.gz"),
+      shard.toByteArray)
+    java.nio.file.Files.write(raw.resolve("bad.warc.gz"),
+      "junk".getBytes("US-ASCII"))
+    DocIngest.runWarcGzIngestBinary(spark, raw.toString, out.toString,
+      quar.toString, ckpt.toString, minTokens = 3)
+    val landed = spark.read.json(out.toString)
+      .select($"uri", $"text").as[(String, String)].collect().toMap
+    // NO mojibake: the latin-1 bytes decoded under their declared
+    // charsets — header-declared for 1, meta-sniffed under the
+    // de-chunked+gunzipped layers for 2
+    assert(landed == Map(
+      "http://bz/1" -> latinText,
+      "http://bz/2" -> metaText), landed.toString)
+    val reasons = spark.read.json(quar.toString)
+      .select($"uri", $"reason").as[(String, String)].collect().toSet
+    assert(reasons.exists(r => r._1 == "http://bz/3" &&
+      r._2 == "status"), reasons.toString)
+    assert(reasons.exists(r => r._1.endsWith("bad.warc.gz") &&
+      r._2 == "gzip"), reasons.toString)
+    deleteRec(root)
+  }
+
   test("frontier retry window: a re-landed queue batch collapses under the reader's keep-first on n") {
     import spark.implicits._
     import graft.streaming.DocIngest
