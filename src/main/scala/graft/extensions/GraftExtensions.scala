@@ -105,6 +105,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // ([^?] spans the whole rest or nothing) — '?next=/' is data
         Concat(Seq(noWww, rr(rest, "^([^?]*?)/+$", "$1")))
       }))
+    // SURT urlkey from SQL — TextFunctions.surtKey's chain expanded
+    // at resolution (stock RegExp/Split/Reverse/ArraySort/ArrayJoin/
+    // Lower/Concat nodes; one implementation, two doors). Feed it an
+    // url_normalize'd URL, per the Column twin's input contract.
+    ext.injectFunction((
+      new FunctionIdentifier("surt_key"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.ArrayJoin].getName,
+        "surt_key"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "surt_key expects exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{ArrayJoin,
+          ArraySort, Concat, GreaterThan, If, Length, Literal, Lower,
+          RegExpExtract, RegExpReplace, Reverse, StringSplit}
+        val u = children.head
+        def rx(e: Expression, p: String, g: Int): Expression =
+          RegExpExtract(e, Literal(p), Literal(g))
+        val hostPort = rx(u, "^[a-z]+://([^/?]*)", 1)
+        val host = rx(hostPort, "^([^:]*)", 1)
+        val port = rx(hostPort, "(:\\d+)$", 1)
+        val revHost = ArrayJoin(
+          Reverse(StringSplit(host, Literal("\\."), Literal(-1))),
+          Literal(","), None)
+        val rest = RegExpReplace(u,
+          Literal("^[a-z]+://[^/?]*"), Literal(""))
+        val path = Lower(rx(rest, "^([^?]*)", 1))
+        val q = rx(rest, "\\?(.*)$", 1)
+        val sortedQ = Lower(ArrayJoin(
+          new ArraySort(StringSplit(q, Literal("&"), Literal(-1))),
+          Literal("&"), None))
+        Concat(Seq(revHost, port, Literal(")"),
+          If(GreaterThan(Length(path), Literal(0)), path, Literal("/")),
+          If(GreaterThan(Length(q), Literal(0)),
+            Concat(Seq(Literal("?"), sortedQ)), Literal(""))))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("redact_pii"),
       new ExpressionInfo(

@@ -413,6 +413,43 @@ object TextFunctions {
     when(length(cs) > 0, cs)
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) key — the `urlkey`
+    * a CDX-style capture index sorts and prefix-scans on (the Common
+    * Crawl index layout): host labels REVERSED and comma-joined
+    * (`example.com` → `com,example` — every page of a registered
+    * domain becomes one contiguous key range, the property the whole
+    * index format exists for), non-default port kept (`:8080`), `)`
+    * separator, then the path LOWERCASED and the query string with
+    * its `&`-separated parameters SORTED and lowercased (`?b=2&a=1`
+    * and `?a=1&b=2` are the same capture). The case-fold is
+    * deliberate and DIFFERENT from [[urlNormalize]]: the normalize
+    * key is the frontier's exact-identity key (paths are
+    * case-sensitive per RFC 3986), while the SURT key is a LOOKUP
+    * key — case-folded so index scans match how users query, with
+    * the record digest disambiguating any collision. Scheme is
+    * dropped (an index lookup for a page must find it under either
+    * scheme). Input contract: an already-[[urlNormalize]]d absolute
+    * http(s) URL (lowercase scheme+host, no fragment, no default
+    * port, no leading www). One codegen'd
+    * split/reverse/sort/concat chain — narrow, zero shuffle;
+    * parameter sort is lexicographic over the raw `k=v` strings
+    * (ASCII keys — the multibyte-key caveat is the documented long
+    * tail). */
+  def surtKey(u: Column): Column = {
+    val hostPort = regexp_extract(u, "^[a-z]+://([^/?]*)", 1)
+    val host = regexp_extract(hostPort, "^([^:]*)", 1)
+    val port = regexp_extract(hostPort, "(:\\d+)$", 1)
+    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    val rest = regexp_replace(u, "^[a-z]+://[^/?]*", "")
+    val path = lower(regexp_extract(rest, "^([^?]*)", 1))
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    concat(revHost, port, lit(")"),
+      when(length(path) > 0, path).otherwise(lit("/")),
+      when(length(q) > 0,
+        concat(lit("?"), lower(array_join(array_sort(split(q, "&")), "&"))))
+        .otherwise(lit("")))
+  }
+
   def urlNormalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val auth = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/]*)", 1))

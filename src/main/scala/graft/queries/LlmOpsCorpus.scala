@@ -3554,4 +3554,240 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         .orderBy(col("source"))
     },
     Some(httpOracleSql))
+
+  // ---- q284: CDX-style capture index over the binary tier ---------------
+  // The sidecar artifact a real WARC corpus SHIPS WITH (the Common
+  // Crawl index layout): per capture, the SURT urlkey, the record's
+  // byte OFFSET and LENGTH in its shard (what lets a reader seek
+  // straight to one record without re-walking terabytes), HTTP
+  // status, media type, and a payload digest. Offsets come from the
+  // binary walker (the only tier that KNOWS byte positions); the
+  // oracle rebuilds every record's octet length and derives each
+  // offset as the running sum of predecessors + separators — one
+  // byte of drift anywhere shifts every subsequent offset, and the
+  // SURT/normalize replay gates the urlkey character-for-character.
+  // URIs are built SURT-adversarial: multi-label mixed-case host,
+  // non-default port, mixed-case path, unsorted query parameters,
+  // trailing-slash spellings.
+
+  private[queries] def cdxWarcBlobs(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Warc
+    val id = col("doc_id")
+    // %4=1 implies odd, so the trailing slash and the query string
+    // never co-occur (normalize's guarded trim stays exercised on the
+    // slash side, query spellings stay verbatim on the other)
+    val uri = concat(lit("http://WWW."), col("source"),
+      lit(".Example.COM"),
+      when(id % 13 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/Dir"), id % 3, lit("/p"), id,
+      when(id % 4 === 1, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("?b="), id % 5, lit("&a="), id % 7))
+        .otherwise(lit("")))
+    val status = when(id % 11 === 0, lit(404)).otherwise(lit(200))
+    val ct = when(id % 3 === 0, lit("text/html; charset=UTF-8"))
+      .otherwise(lit("text/plain"))
+    docs(s, d).select(col("source"), id.as("doc_id"),
+        Warc.record(uri, Warc.httpResponse(status, ct, col("text")))
+          .as("r"))
+      .groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id").as("i"),
+          col("r").as("r")))),
+        e => e.getField("r")), "\r\n\r\n").as("blob"))
+  }
+
+  private[queries] val q284: GraftQuery = GraftQuery(
+    "q284_cdx_index",
+    (s, d) => {
+      import graft.sources.Warc
+      import graft.functions.TextFunctions
+      val blobs = cdxWarcBlobs(s, d)
+        .select(col("source"), encode(col("blob"), "UTF-8").as("bb"))
+      val recs = Warc.parseRecordsBinary(blobs, "bb", "source")
+      val msgs = Warc.decodeHttpBinary(recs, "payload_bytes", "uri")
+      recs.select(col("source"), col("uri"), col("offset"),
+          col("rlength"))
+        .join(msgs, Seq("uri"))
+        .select(col("source").as("filename"),
+          TextFunctions.surtKey(
+            TextFunctions.urlNormalize(col("uri"))).as("urlkey"),
+          col("offset").as("roffset"), col("rlength"),
+          col("http_status").as("status"),
+          col("content_type").as("mime"),
+          md5(col("text")).as("digest"))
+        .orderBy(col("filename"), col("roffset"))
+    },
+    Some(cdxOracleSql))
+
+  /** The q284 full-replay oracle: render → octet lengths → running-sum
+    * offsets → normalize → SURT, row for row. */
+  private[queries] lazy val cdxOracleSql: String =
+    ("""WITH rec AS (
+        SELECT source, doc_id,
+          'http://WWW.' || source || '.Example.COM' ||
+            CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END ||
+            '/Dir' || (doc_id % 3) || '/p' || doc_id ||
+            CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0
+              THEN '?b=' || (doc_id % 5) || '&a=' || (doc_id % 7)
+              ELSE '' END AS uri,
+          CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+          CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=UTF-8'
+            ELSE 'text/plain' END AS ct,
+          text
+        FROM documents),
+      msg AS (
+        SELECT source, doc_id, uri, status, ct, text,
+          'HTTP/1.1 ' || status || ' S' || e'\r\n' ||
+            'Content-Type: ' || ct || e'\r\n' ||
+            'Content-Length: ' || strlen(text) || e'\r\n\r\n' || text AS m
+        FROM rec),
+      wrec AS (
+        SELECT source, doc_id, uri, status, ct, text,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: ' || uri || e'\r\n' ||
+            'Content-Length: ' || strlen(m) || e'\r\n\r\n' || m AS r
+        FROM msg),
+      pos AS (
+        SELECT source, doc_id, uri, status, ct, text,
+          CAST(strlen(r) AS BIGINT) AS rlength,
+          CAST(COALESCE(SUM(strlen(r) + 4) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS roffset
+        FROM wrec),
+      norm AS (
+        SELECT *, regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(uri, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(uri, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM pos),
+      parts AS (
+        SELECT *,
+          regexp_extract(n, '^[a-z]+://([^/?]*)', 1) AS hostport,
+          regexp_replace(n, '^[a-z]+://[^/?]*', '') AS rest
+        FROM norm),
+      parts2 AS (
+        SELECT *,
+          regexp_extract(hostport, '^([^:]*)', 1) AS host,
+          regexp_extract(hostport, '(:\d+)$', 1) AS prt,
+          lower(regexp_extract(rest, '^([^?]*)', 1)) AS pth,
+          regexp_extract(rest, '\?(.*)$', 1) AS q
+        FROM parts),
+      keyed AS (
+        SELECT *,
+          array_to_string(list_reverse(string_split(host, '.')), ',')
+            || prt || ')' ||
+            CASE WHEN length(pth) > 0 THEN pth ELSE '/' END ||
+            CASE WHEN length(q) > 0 THEN '?' ||
+              lower(array_to_string(list_sort(string_split(q, '&')),
+                '&'))
+              ELSE '' END AS urlkey
+        FROM parts2)
+      SELECT source AS filename, urlkey, roffset, rlength, status,
+        lower(regexp_extract(ct, '^([^;]*)', 1)) AS mime,
+        md5(text) AS digest
+      FROM keyed ORDER BY filename, roffset""")
+
+  // ---- q285: surt_key SQL door ------------------------------------------
+  // The SURT key from pure SQL text: the injected scalar expands into
+  // the identical Split/Reverse/ArraySort/ArrayJoin chain at
+  // resolution, composed over url_normalize exactly as the Column
+  // twins compose in q284 — q260's spelling variants all collapse to
+  // one key per (source, path) identity, and the md5 mass over the
+  // distinct keys gates every character of the key.
+
+  private[queries] val q285: GraftQuery = GraftQuery(
+    "q285_sql_surt_door",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""WITH u0 AS (
+          SELECT source, concat(
+            CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+              WHEN doc_id % 4 = 1 THEN 'http://'
+              WHEN doc_id % 4 = 2 THEN 'https://'
+              ELSE 'HTTPS://' END,
+            CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+              WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END,
+            source, '.example.com',
+            CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+              WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+            '/p/', CAST(doc_id % 7 AS STRING),
+            CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS u
+          FROM documents),
+        k0 AS (SELECT source, surt_key(url_normalize(u)) AS k FROM u0),
+        c AS (SELECT source, count(*) AS n_urls,
+            count(DISTINCT k) AS n_keys
+          FROM k0 GROUP BY source),
+        m AS (SELECT source, CAST(sum(CAST(conv(substring(md5(k), 1, 8),
+              16, 10) AS BIGINT)) AS BIGINT) AS key_mass
+          FROM (SELECT DISTINCT source, k FROM k0) GROUP BY source)
+        SELECT c.source, c.n_urls, c.n_keys, m.key_mass
+        FROM c JOIN m ON c.source = m.source ORDER BY c.source""")
+    },
+    Some(surtOracleSql))
+
+  /** The q285 oracle: q260's variant builder + normalize replay, then
+    * the SURT chain replay, then the distinct-key census. */
+  private[queries] lazy val surtOracleSql: String =
+    ("""WITH u0 AS (
+        SELECT source,
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+            WHEN doc_id % 4 = 1 THEN 'http://'
+            WHEN doc_id % 4 = 2 THEN 'https://'
+            ELSE 'HTTPS://' END ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+          source || '.example.com' ||
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 4 < 2 THEN ':80'
+            WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || (doc_id % 7) ||
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        FROM documents),
+      norm AS (
+        SELECT source, regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM u0),
+      parts AS (
+        SELECT source, n,
+          regexp_extract(n, '^[a-z]+://([^/?]*)', 1) AS hostport,
+          regexp_replace(n, '^[a-z]+://[^/?]*', '') AS rest
+        FROM norm),
+      parts2 AS (
+        SELECT source,
+          regexp_extract(hostport, '^([^:]*)', 1) AS host,
+          regexp_extract(hostport, '(:\d+)$', 1) AS prt,
+          lower(regexp_extract(rest, '^([^?]*)', 1)) AS pth,
+          regexp_extract(rest, '\?(.*)$', 1) AS q
+        FROM parts),
+      k0 AS (
+        SELECT source,
+          array_to_string(list_reverse(string_split(host, '.')), ',')
+            || prt || ')' ||
+            CASE WHEN length(pth) > 0 THEN pth ELSE '/' END ||
+            CASE WHEN length(q) > 0 THEN '?' ||
+              lower(array_to_string(list_sort(string_split(q, '&')),
+                '&'))
+              ELSE '' END AS k
+        FROM parts2),
+      c AS (SELECT source, count(*) AS n_urls,
+          count(DISTINCT k) AS n_keys
+        FROM k0 GROUP BY source),
+      m AS (SELECT source, CAST(sum(CAST(concat('0x',
+            substring(md5(k), 1, 8)) AS BIGINT)) AS BIGINT) AS key_mass
+        FROM (SELECT DISTINCT source, k FROM k0) GROUP BY source)
+      SELECT c.source, c.n_urls, c.n_keys, m.key_mass
+      FROM c JOIN m ON c.source = m.source ORDER BY c.source""")
 }

@@ -192,8 +192,13 @@ object Warc {
     * payload carrying the boundary sequence is recovered intact —
     * the caveat is CLOSED on this tier, not detected. Emits one row
     * per record: `(…, warc_type, uri, content_length, payload_bytes,
-    * len_ok)` — payload as BYTES (charset decoding is a separate,
-    * explicit step: [[decodePayloads]]); `len_ok=false` marks a
+    * len_ok, offset, rlength)` — payload as BYTES (charset decoding
+    * is a separate, explicit step: [[decodePayloads]]); `offset` is
+    * the record's byte position in the blob (the `WARC/1.0` marker)
+    * and `rlength` its total octet span (marker through payload end)
+    * — the pair a CDX-style capture index records so a reader can
+    * seek straight to one record without re-walking the shard;
+    * `len_ok=false` marks a
     * truncated final record (fewer bytes than declared — the walk
     * takes what exists) or a record whose Content-Length header is
     * missing/unparsable (the walk then falls back to the next
@@ -211,7 +216,9 @@ object Warc {
       StructField("uri", StringType),
       StructField("content_length", LongType),
       StructField("payload_bytes", BinaryType),
-      StructField("len_ok", BooleanType)))
+      StructField("len_ok", BooleanType),
+      StructField("offset", LongType),
+      StructField("rlength", LongType)))
     val marker = "WARC/1.0\r\n".getBytes("US-ASCII")
     val sep = "\r\n\r\n".getBytes("US-ASCII")
     def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
@@ -258,7 +265,8 @@ object Warc {
                   val payload = java.util.Arrays.copyOfRange(
                     blob, bodyStart, bodyStart + take)
                   out += Row(r.get(0), wt, uri, cl, payload,
-                    take.toLong == cl)
+                    take.toLong == cl, start.toLong,
+                    (bodyStart + take - start).toLong)
                   pos = bodyStart + take
                 case None =>
                   // no declared length: fall back to the boundary
@@ -267,7 +275,8 @@ object Warc {
                   val end = if (next < 0) blob.length else next
                   val payload = java.util.Arrays.copyOfRange(
                     blob, bodyStart, end)
-                  out += Row(r.get(0), wt, uri, null, payload, false)
+                  out += Row(r.get(0), wt, uri, null, payload, false,
+                    start.toLong, (end - start).toLong)
                   pos = end
               }
             }

@@ -249,6 +249,46 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sniff("<p>no meta here</p>") == None)
   }
 
+  test("surtKey: host reversal, port, case-fold, query-param sort — hand-computed") {
+    def k(u: String): String = Seq(u).toDF("u")
+      .select(surtKey($"u")).as[String].head()
+    // input contract: already-normalized URLs
+    assert(k("http://example.com/path") == "com,example)/path")
+    assert(k("https://a.b.example.co.uk/") == "uk,co,example,b,a)/")
+    // non-default port rides between host and ')'
+    assert(k("http://h.io:8080/x") == "io,h:8080)/x")
+    // path case-folds (the CDX lookup key is case-insensitive; the
+    // frontier key urlNormalize keeps case — deliberately different)
+    assert(k("http://h.io/Dir/Page") == "io,h)/dir/page")
+    // query params sort so ?b&a and ?a&b are one capture
+    assert(k("http://h.io/p?b=2&a=1") == "io,h)/p?a=1&b=2")
+    assert(k("http://h.io/p?a=1&b=2") == "io,h)/p?a=1&b=2")
+    // empty path renders the root
+    assert(k("http://h.io") == "io,h)/")
+    // normalize → surt composition collapses spelling variants
+    def nk(u: String): String = Seq(u).toDF("u")
+      .select(surtKey(urlNormalize($"u"))).as[String].head()
+    assert(nk("HTTP://WWW.Example.COM:80/A/b") == "com,example)/a/b")
+    assert(nk("http://example.com/A/b") == "com,example)/a/b")
+  }
+
+  test("surt_key SQL door equals the Column API; arity refused") {
+    val urls = Seq("http://example.com/path", "http://h.io:8080/x",
+      "http://h.io/Dir/Page?b=2&a=1", "http://h.io").toDF("u")
+    urls.createOrReplaceTempView("surt_door_spec")
+    val viaSql = spark.sql(
+      "SELECT surt_key(u) FROM surt_door_spec ORDER BY u")
+      .as[String].collect().toSeq
+    val direct = urls.select(surtKey($"u").as("k"))
+      .orderBy($"u").as[String].collect().toSeq
+    assert(viaSql == direct && direct.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql("SELECT surt_key('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument"),
+      e.getMessage.take(200))
+  }
+
   test("url_normalize SQL door equals the Column API; arity refused") {
     val urls = Seq("HTTP://WWW.Host.COM:80/A/b/#f",
       "https://www.h.io:443/x?q=1", "http://plain.org/p",

@@ -196,6 +196,30 @@ class WarcSpec extends AnyFunSuite {
       n.toString)
   }
 
+  test("parseRecordsBinary: offset/rlength are byte-exact seek coordinates — slicing the blob at (offset, rlength) re-yields each record") {
+    // multibyte payload: ü is 2 octets, so a char-based offset drifts
+    val p1 = "pay ün1"
+    val rec1 = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://b/1\r\n" +
+      s"Content-Length: ${p1.getBytes("UTF-8").length}\r\n\r\n$p1"
+    val rec2 = "WARC/1.0\r\nWARC-Target-URI: http://b/2\r\n" +
+      "Content-Length: 4\r\n\r\nnext"
+    val blob = (rec1 + "\r\n\r\n" + rec2).getBytes("UTF-8")
+    val got = Warc.parseRecordsBinary(
+        Seq(("x", blob)).toDF("id", "bytes"), "bytes", "id")
+      .select($"uri", $"offset", $"rlength")
+      .as[(String, Long, Long)].collect().toSeq
+    val r1Len = rec1.getBytes("UTF-8").length.toLong
+    assert(got == Seq(("http://b/1", 0L, r1Len),
+      ("http://b/2", r1Len + 4, rec2.getBytes("UTF-8").length.toLong)),
+      got.toString)
+    // the coordinates actually seek: re-slicing the blob at each
+    // (offset, rlength) reproduces the record byte-for-byte
+    got.zip(Seq(rec1, rec2)).foreach { case ((_, off, rl), rec) =>
+      assert(new String(blob, off.toInt, rl.toInt, "UTF-8") == rec)
+    }
+  }
+
   test("decodePayloads: latin-1 decodes under its label, unknown charsets fall back to UTF-8 replacement") {
     val latin = "café déjà"
     val rows = Seq(
