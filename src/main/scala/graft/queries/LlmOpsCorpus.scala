@@ -3790,4 +3790,120 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         FROM (SELECT DISTINCT source, k FROM k0) GROUP BY source)
       SELECT c.source, c.n_urls, c.n_keys, m.key_mass
       FROM c JOIN m ON c.source = m.source ORDER BY c.source""")
+
+  // ---- q286: link-authority crawl prioritization -------------------------
+  // The frontier-ORDERING signal the politeness stack doesn't have:
+  // which hosts DESERVE fetch budget. Composes the crawl loop's own
+  // discovery output into centrality — extracted anchors → host link
+  // graph (self-edges dropped, symmetrized: Graph.pageRank's dangling
+  // policy) → 3 damped integer PageRank rounds → per-host fetch-budget
+  // allocation (score-proportional integer split). The fixture links
+  // each source host to a PREFIX of the hub set sized by
+  // length(source) % 3, so host degrees differ and the scores carry
+  // real structure (a complete bipartite fixture would reduce PR to
+  // degree). The oracle replays extraction, normalization, the edge
+  // build and all three PR rounds in the same int64 DIV arithmetic —
+  // a drifted join or a float anywhere flips the budget split.
+
+  private[queries] val q286: GraftQuery = GraftQuery(
+    "q286_crawl_authority",
+    (s, d) => {
+      val id = col("doc_id")
+      val site = concat(lit("https://"), col("source"),
+        lit(".example.com"))
+      val page = concat(site, lit("/sec/page.html"))
+      val html = concat(lit("<html><body>"),
+        when(id % 4 <= length(col("source")) % 3,
+          concat(lit("<a href=\"http://h"), id % 4,
+            lit(".example.com/\">e</a>"))).otherwise(lit("")),
+        lit("<a href='/p/"), id % 5, lit("'>i</a></body></html>"))
+      val raw = docs(s, d).select(col("source"),
+          concat(col("source"), lit(".example.com")).as("page_host"),
+          explode(extractLinks(html, page)).as("u"))
+        .withColumn("n", urlNormalize(col("u")))
+        .withColumn("host",
+          regexp_extract(col("n"), "^https?://([^/]+)", 1))
+      val counts = raw.select(col("n"), col("host")).distinct()
+        .groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
+      val hp = raw.filter(col("host") =!= col("page_host"))
+        .select(col("page_host").as("a"), col("host").as("b")).distinct()
+      val edges = hp
+        .union(hp.select(col("b").as("a"), col("a").as("b")))
+      val pr = graft.operators.Graph.pageRank(edges, "a", "b",
+        iters = 3, assumeDistinct = true)
+      val total = pr.agg(sum(col("score")).as("t"))
+      pr.join(counts, col("node") === col("host"))
+        .crossJoin(broadcast(total))
+        .select(col("host"), col("score"), col("n_urls"),
+          expr("(score * 10000L) div t").as("fetch_budget"))
+        .orderBy(col("score").desc, col("host"))
+    },
+    Some("""WITH pages AS (
+        SELECT source, source || '.example.com' AS page_host,
+          'https://' || source || '.example.com' AS site,
+          '<html><body>' ||
+          CASE WHEN doc_id % 4 <= length(source) % 3
+            THEN '<a href="http://h' || (doc_id % 4) ||
+              '.example.com/">e</a>'
+            ELSE '' END ||
+          '<a href=''/p/' || (doc_id % 5) || '''>i</a></body></html>'
+            AS html
+        FROM documents),
+      links AS (
+        SELECT source, page_host, unnest(list_filter(list_transform(
+          regexp_extract_all(html,
+            '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["'']', 1),
+          h -> CASE WHEN regexp_matches(h, '^https?://') THEN h
+            WHEN regexp_matches(h, '^/') THEN site || h
+            ELSE NULL END), x -> x IS NOT NULL)) AS u
+        FROM pages),
+      norm AS (
+        SELECT source, page_host,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM links),
+      f AS (SELECT DISTINCT n,
+          regexp_extract(n, '^https?://([^/]+)', 1) AS host
+        FROM norm),
+      counts AS (SELECT host, count(*) AS n_urls FROM f GROUP BY host),
+      hp AS (SELECT DISTINCT page_host AS a,
+          regexp_extract(n, '^https?://([^/]+)', 1) AS b
+        FROM norm
+        WHERE regexp_extract(n, '^https?://([^/]+)', 1) <> page_host),
+      e AS (SELECT a, b FROM hp UNION SELECT b, a FROM hp),
+      nd AS (SELECT DISTINCT a AS node FROM e),
+      c AS (SELECT count(*) AS nn FROM nd),
+      deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+      r0 AS (SELECT node, 1000000000000 // c.nn AS base,
+          1000000000000 // c.nn AS r FROM nd, c),
+      i1 AS (SELECT e.b AS node, sum(r0.r // deg.d) AS m
+        FROM r0 JOIN deg ON deg.a = r0.node JOIN e ON e.a = r0.node
+        GROUP BY e.b),
+      r1 AS (SELECT r0.node, r0.base,
+          (15 * r0.base) // 100 + (85 * coalesce(i1.m, 0)) // 100 AS r
+        FROM r0 LEFT JOIN i1 ON i1.node = r0.node),
+      i2 AS (SELECT e.b AS node, sum(r1.r // deg.d) AS m
+        FROM r1 JOIN deg ON deg.a = r1.node JOIN e ON e.a = r1.node
+        GROUP BY e.b),
+      r2 AS (SELECT r1.node, r1.base,
+          (15 * r1.base) // 100 + (85 * coalesce(i2.m, 0)) // 100 AS r
+        FROM r1 LEFT JOIN i2 ON i2.node = r1.node),
+      i3 AS (SELECT e.b AS node, sum(r2.r // deg.d) AS m
+        FROM r2 JOIN deg ON deg.a = r2.node JOIN e ON e.a = r2.node
+        GROUP BY e.b),
+      r3 AS (SELECT r2.node, r2.base,
+          (15 * r2.base) // 100 + (85 * coalesce(i3.m, 0)) // 100 AS r
+        FROM r2 LEFT JOIN i3 ON i3.node = r2.node),
+      t AS (SELECT sum(r) AS t FROM r3)
+      SELECT r3.node AS host, CAST(r3.r AS BIGINT) AS score,
+        counts.n_urls,
+        CAST((r3.r * 10000) // t.t AS BIGINT) AS fetch_budget
+      FROM r3 JOIN counts ON r3.node = counts.host, t
+      ORDER BY score DESC, host"""))
 }
