@@ -3906,4 +3906,131 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST((r3.r * 10000) // t.t AS BIGINT) AS fetch_budget
       FROM r3 JOIN counts ON r3.node = counts.host, t
       ORDER BY score DESC, host"""))
+
+  // ---- q287: conditional revisit (ETag / 304) ----------------------------
+  // The recrawl's ECONOMICS: a crawler that re-downloads unchanged
+  // pages wastes most of its bandwidth. Round 1's captures retain the
+  // validator (`ETag`) and payload digest; the round-2 fetch sends the
+  // validator back, and the server answers 304 (empty body, validator
+  // echoed — the prior capture still stands, its digest carries
+  // forward, zero bytes re-downloaded) or 200 with new content and a
+  // NEW validator. The whole exchange rides the real seam — rendered
+  // as WARC response records, re-parsed, split — so a missed ETag
+  // header or a body fed to the digest on a 304 flips the census. The
+  // oracle replays render, parse, split, the validator echo and the
+  // digest carry-forward.
+
+  private[queries] val q287: GraftQuery = GraftQuery(
+    "q287_conditional_revisit",
+    (s, d) => {
+      import graft.sources.Warc
+      val id = col("doc_id")
+      val uri = concat(lit("http://"), col("source"), lit("/"), id)
+      val etag1 = concat(lit("\""), substring(md5(col("text")), 1, 12),
+        lit("\""))
+      val prior = docs(s, d).select(uri.as("uri"),
+        etag1.as("prior_etag"), md5(col("text")).as("prior_digest"),
+        octet_length(col("text")).cast(LongType).as("prior_octets"))
+      val changed = id % 3 =!= 0
+      val status2 = when(changed, lit(200)).otherwise(lit(304))
+      val body2 = when(changed, concat(col("text"), lit(" v2")))
+        .otherwise(lit(""))
+      val etag2 = when(changed,
+        concat(lit("\""),
+          substring(md5(concat(col("text"), lit(" v2"))), 1, 12),
+          lit("\""))).otherwise(etag1)
+      val blobs = docs(s, d).select(col("source"), id.as("doc_id"),
+          Warc.record(uri, Warc.httpResponse(status2, lit("text/html"),
+            body2, concat(lit("ETag: "), etag2, lit("\r\n")))).as("r"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"),
+            col("r").as("r")))),
+          e => e.getField("r")), "\r\n\r\n").as("blob"))
+      Warc.httpSplit(Warc.parseRecords(blobs, "blob"), "payload")
+        .join(prior, Seq("uri"))
+        .withColumn("not_modified", col("http_status") === 304)
+        .withColumn("digest",
+          when(col("not_modified"), col("prior_digest"))
+            .otherwise(md5(col("body"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(when(col("not_modified"), 1L).otherwise(0L)).as("n_304"),
+          sum(when(col("etag") === col("prior_etag"), 1L).otherwise(0L))
+            .as("n_tag_match"),
+          sum(when(col("not_modified"), col("prior_octets"))
+            .otherwise(0L)).cast(LongType).as("octets_saved"),
+          sum(conv(substring(col("digest"), 1, 8), 16, 10)
+            .cast(LongType)).cast(LongType).as("digest_mass"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (
+        SELECT source, doc_id,
+          'http://' || source || '/' || doc_id AS uri, text,
+          '"' || substring(md5(text), 1, 12) || '"' AS etag1,
+          md5(text) AS digest1, strlen(text) AS octets1,
+          doc_id % 3 <> 0 AS changed
+        FROM documents),
+      r2 AS (
+        SELECT *,
+          CASE WHEN changed THEN 200 ELSE 304 END AS status2,
+          CASE WHEN changed THEN text || ' v2' ELSE '' END AS body2,
+          CASE WHEN changed
+            THEN '"' || substring(md5(text || ' v2'), 1, 12) || '"'
+            ELSE etag1 END AS etag2
+        FROM base),
+      msg AS (
+        SELECT source, doc_id, uri, etag1, digest1, octets1,
+          'HTTP/1.1 ' || status2 || ' S' || e'\r\n' ||
+            'Content-Type: text/html' || e'\r\n' ||
+            'ETag: ' || etag2 || e'\r\n' ||
+            'Content-Length: ' || strlen(body2) || e'\r\n\r\n' ||
+            body2 AS m
+        FROM r2),
+      wrec AS (
+        SELECT source, doc_id,
+          'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n' ||
+            'WARC-Target-URI: ' || uri || e'\r\n' ||
+            'Content-Length: ' || strlen(m) || e'\r\n\r\n' || m AS r
+        FROM msg),
+      blobs AS (
+        SELECT source, string_agg(r, e'\r\n\r\n' ORDER BY doc_id) AS blob
+        FROM wrec GROUP BY source),
+      split_r AS (
+        SELECT source, unnest(regexp_split_to_array(blob,
+          '\r\n\r\nWARC/1\.0\r\n')) AS rc
+        FROM blobs),
+      norm AS (
+        SELECT source, regexp_replace(rc, '^WARC/1\.0\r\n', '') AS rc
+        FROM split_r WHERE length(rc) > 0),
+      parsed AS (
+        SELECT source,
+          regexp_extract(rc, 'WARC-Target-URI: ([^\r]*)', 1) AS uri,
+          regexp_extract(rc, '(?s)\r\n\r\n(.*)$', 1) AS payload
+        FROM norm),
+      http AS (
+        SELECT source, uri,
+          TRY_CAST(regexp_extract(payload,
+            '^HTTP/\d(?:\.\d)? (\d{3})', 1) AS INTEGER) AS status,
+          regexp_extract(regexp_extract(payload,
+            '(?s)^(.*?)\r\n\r\n', 1),
+            '(?im)^ETag:[ \t]*([^\r\n]*)', 1) AS etag_r,
+          regexp_extract(payload, '(?s)^.*?\r\n\r\n(.*)$', 1) AS body
+        FROM parsed),
+      fin AS (
+        SELECT h.source, h.status = 304 AS not_modified, h.etag_r,
+          b.etag1, b.octets1,
+          CASE WHEN h.status = 304 THEN b.digest1 ELSE md5(h.body) END
+            AS digest
+        FROM http h JOIN base b ON h.uri = b.uri)
+      SELECT source, count(*) AS n_fetches,
+        CAST(sum(CASE WHEN not_modified THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_304,
+        CAST(sum(CASE WHEN etag_r = etag1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tag_match,
+        CAST(sum(CASE WHEN not_modified THEN octets1 ELSE 0 END)
+          AS BIGINT) AS octets_saved,
+        CAST(sum(CAST(concat('0x', substring(digest, 1, 8)) AS BIGINT))
+          AS BIGINT) AS digest_mass
+      FROM fin GROUP BY source ORDER BY source"""))
 }

@@ -121,6 +121,11 @@ object Warc {
     *    redirect target, which is new-URL DISCOVERY: resolve +
     *    normalize it into the frontier, do not treat the stub body
     *    as a document); NULL when absent;
+    *  - `etag` / `last_modified` — the cache validators verbatim
+    *    (what a RECRAWL retains per capture: the next fetch sends
+    *    them back as `If-None-Match`/`If-Modified-Since`, and a 304
+    *    answer means the prior capture's payload — and digest — still
+    *    stand, no bytes re-downloaded); NULL when absent;
     *  - `chunked` — whether `Transfer-Encoding: chunked` is declared
     *    (the wire form a crawl records verbatim; route such bodies
     *    through [[dechunkBatch]] before the cleaning stack, or chunk
@@ -145,6 +150,10 @@ object Warc {
       "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
     val loc = regexp_extract(col("_head"),
       "(?im)^Location:[ \\t]*([^\\r\\n]*)", 1)
+    val et = regexp_extract(col("_head"),
+      "(?im)^ETag:[ \\t]*([^\\r\\n]*)", 1)
+    val lm = regexp_extract(col("_head"),
+      "(?im)^Last-Modified:[ \\t]*([^\\r\\n]*)", 1)
     val te = regexp_extract(col("_head"),
       "(?im)^Transfer-Encoding:[ \\t]*([^\\r\\n]*)", 1)
     df.withColumn("http_status",
@@ -160,6 +169,10 @@ object Warc {
         when(col("http_status").isNotNull && length(cs) > 0, cs))
       .withColumn("location",
         when(col("http_status").isNotNull && length(loc) > 0, loc))
+      .withColumn("etag",
+        when(col("http_status").isNotNull && length(et) > 0, et))
+      .withColumn("last_modified",
+        when(col("http_status").isNotNull && length(lm) > 0, lm))
       .withColumn("chunked",
         when(col("http_status").isNotNull,
           lower(te).contains("chunked")))
@@ -173,13 +186,17 @@ object Warc {
     * [[httpSplit]] (fixtures, re-export): status line, Content-Type,
     * octet-exact Content-Length, blank line, body. The reason phrase
     * is a fixed `S` — synthetic by construction, and only the code
-    * carries semantics. */
+    * carries semantics. `extraHeaders` (default none) rides verbatim
+    * between Content-Type and Content-Length — each entry must be a
+    * complete `Name: value\r\n` line (validator headers for the
+    * conditional-fetch fixtures). */
   def httpResponse(status: Column, contentType: Column,
-                   body: Column): Column =
+                   body: Column,
+                   extraHeaders: Column = lit("")): Column =
     concat(
       lit("HTTP/1.1 "), status, lit(" S\r\nContent-Type: "),
-      contentType,
-      lit("\r\nContent-Length: "), octet_length(body),
+      contentType, lit("\r\n"), extraHeaders,
+      lit("Content-Length: "), octet_length(body),
       lit("\r\n\r\n"), body)
 
   /** The BINARY-EXACT record walker — the tier [[parseRecords]]'

@@ -154,6 +154,23 @@ class WarcSpec extends AnyFunSuite {
     assert(split(evil) == ((Some(200), None)))
   }
 
+  test("httpSplit: ETag/Last-Modified validators surface verbatim; never leak from the body") {
+    def split(payload: String) =
+      Warc.httpSplit(Seq(payload).toDF("payload"), "payload")
+        .select($"etag", $"last_modified")
+        .as[(Option[String], Option[String])].head()
+    val full = "HTTP/1.1 200 S\r\nETag: \"abc123\"\r\n" +
+      "Last-Modified: Wed, 01 Jan 2025 00:00:00 GMT\r\n" +
+      "Content-Length: 4\r\n\r\nbody"
+    assert(split(full) == ((Some("\"abc123\""),
+      Some("Wed, 01 Jan 2025 00:00:00 GMT"))))
+    val none = "HTTP/1.1 200 S\r\nContent-Length: 4\r\n\r\nbody"
+    assert(split(none) == ((None, None)))
+    // an 'ETag:' line in the BODY never reaches the header split
+    val evil = "HTTP/1.1 200 S\r\nX: y\r\n\r\nETag: \"fake\""
+    assert(split(evil) == ((None, None)))
+  }
+
   test("parseRecordsBinary: Content-Length-driven walk recovers a boundary-carrying payload intact — the relational tier's caveat CLOSED") {
     val evil = "inner" + "\r\n\r\nWARC/1.0\r\n" + "tail"
     val blob = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
