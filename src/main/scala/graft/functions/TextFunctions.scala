@@ -413,6 +413,37 @@ object TextFunctions {
     when(length(cs) > 0, cs)
   }
 
+  /** The two-part effective-TLD suffixes [[registeredDomain]]
+    * recognizes — the common ccTLD second-level forms. Deliberately a
+    * HEURISTIC subset, not the Public Suffix List: the PSL is a data
+    * file (thousands of entries, updated continuously, and this
+    * engine takes no runtime data dependencies); the operator is the
+    * machinery, and a deployment swaps in the full list as a config
+    * table without touching the rollup logic. */
+  val twoPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ac.jp", "co.kr", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz")
+
+  /** Registered-domain extraction — the rollup key domain-level
+    * curation aggregates on (C4/FineWeb-style domain priors, UT1
+    * blocklists, per-domain crawl budgets all key on the REGISTERED
+    * domain, not the host: `news.bbc.co.uk` and `www.bbc.co.uk` are
+    * one publisher). Last two host labels, or three when the last two
+    * form a known second-level suffix ([[twoPartSuffixes]] — `co.uk`
+    * is a TLD in effect, so `bbc.co.uk` is the registration). A host
+    * that IS a suffix (or shorter) passes through unchanged. One
+    * codegen'd split/element_at chain, zero shuffle. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    when(size(parts) <= 2, host)
+      .when(array_contains(typedLit(twoPartSuffixes), last2), last3)
+      .otherwise(last2)
+  }
+
   /** SURT (Sort-friendly URI Reordering Transform) key — the `urlkey`
     * a CDX-style capture index sorts and prefix-scans on (the Common
     * Crawl index layout): host labels REVERSED and comma-joined

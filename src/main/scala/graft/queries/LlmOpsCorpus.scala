@@ -3573,15 +3573,17 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   private[queries] def cdxWarcBlobs(s: SparkSession, d: String): DataFrame = {
     import graft.sources.Warc
     val id = col("doc_id")
-    // %4=1 implies odd, so the trailing slash and the query string
-    // never co-occur (normalize's guarded trim stays exercised on the
-    // slash side, query spellings stay verbatim on the other)
+    // both shapes keyed on %7 (coprime to the per-source stride 20,
+    // so each occurs within every source) and DISJOINT: the trailing
+    // slash (%7=5) and the query string (%7<3) never co-occur, so
+    // normalize's guarded trim stays exercised on the slash side
+    // while query spellings stay verbatim on the other
     val uri = concat(lit("http://WWW."), col("source"),
       lit(".Example.COM"),
       when(id % 13 === 0, lit(":8080")).otherwise(lit("")),
       lit("/Dir"), id % 3, lit("/p"), id,
-      when(id % 4 === 1, lit("/")).otherwise(lit("")),
-      when(id % 2 === 0, concat(lit("?b="), id % 5, lit("&a="), id % 7))
+      when(id % 7 === 5, lit("/")).otherwise(lit("")),
+      when(id % 7 < 3, concat(lit("?b="), id % 11, lit("&a="), id % 3))
         .otherwise(lit("")))
     val status = when(id % 11 === 0, lit(404)).otherwise(lit(200))
     val ct = when(id % 3 === 0, lit("text/html; charset=UTF-8"))
@@ -3627,9 +3629,9 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           'http://WWW.' || source || '.Example.COM' ||
             CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END ||
             '/Dir' || (doc_id % 3) || '/p' || doc_id ||
-            CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END ||
-            CASE WHEN doc_id % 2 = 0
-              THEN '?b=' || (doc_id % 5) || '&a=' || (doc_id % 7)
+            CASE WHEN doc_id % 7 = 5 THEN '/' ELSE '' END ||
+            CASE WHEN doc_id % 7 < 3
+              THEN '?b=' || (doc_id % 11) || '&a=' || (doc_id % 3)
               ELSE '' END AS uri,
           CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
           CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=UTF-8'
@@ -3799,8 +3801,10 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   // policy) → 3 damped integer PageRank rounds → per-host fetch-budget
   // allocation (score-proportional integer split). The fixture links
   // each source host to a PREFIX of the hub set sized by
-  // length(source) % 3, so host degrees differ and the scores carry
-  // real structure (a complete bipartite fixture would reduce PR to
+  // length(source) % 3 + 1 (hub index doc_id % 3 — coprime to the
+  // testdata's per-source stride 20, so every index occurs within
+  // every source), so host degrees differ and the scores carry real
+  // structure (a complete bipartite fixture would reduce PR to
   // degree). The oracle replays extraction, normalization, the edge
   // build and all three PR rounds in the same int64 DIV arithmetic —
   // a drifted join or a float anywhere flips the budget split.
@@ -3813,10 +3817,10 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         lit(".example.com"))
       val page = concat(site, lit("/sec/page.html"))
       val html = concat(lit("<html><body>"),
-        when(id % 4 <= length(col("source")) % 3,
-          concat(lit("<a href=\"http://h"), id % 4,
+        when(id % 3 <= length(col("source")) % 3,
+          concat(lit("<a href=\"http://h"), id % 3,
             lit(".example.com/\">e</a>"))).otherwise(lit("")),
-        lit("<a href='/p/"), id % 5, lit("'>i</a></body></html>"))
+        lit("<a href='/p/"), id % 7, lit("'>i</a></body></html>"))
       val raw = docs(s, d).select(col("source"),
           concat(col("source"), lit(".example.com")).as("page_host"),
           explode(extractLinks(html, page)).as("u"))
@@ -3842,11 +3846,11 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         SELECT source, source || '.example.com' AS page_host,
           'https://' || source || '.example.com' AS site,
           '<html><body>' ||
-          CASE WHEN doc_id % 4 <= length(source) % 3
-            THEN '<a href="http://h' || (doc_id % 4) ||
+          CASE WHEN doc_id % 3 <= length(source) % 3
+            THEN '<a href="http://h' || (doc_id % 3) ||
               '.example.com/">e</a>'
             ELSE '' END ||
-          '<a href=''/p/' || (doc_id % 5) || '''>i</a></body></html>'
+          '<a href=''/p/' || (doc_id % 7) || '''>i</a></body></html>'
             AS html
         FROM documents),
       links AS (
@@ -4033,4 +4037,83 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST(sum(CAST(concat('0x', substring(digest, 1, 8)) AS BIGINT))
           AS BIGINT) AS digest_mass
       FROM fin GROUP BY source ORDER BY source"""))
+
+  // ---- q288: registered-domain quality prior -----------------------------
+  // Domain-LEVEL curation (the C4/FineWeb shape): per-doc quality
+  // signals roll up to the REGISTERED domain (news.x.co.uk and
+  // x.co.uk are one publisher — the effective-TLD heuristic decides
+  // where registration starts), and the domain's mean quality against
+  // the corpus mean becomes the keep/filter prior every doc of that
+  // domain inherits. Integer ppm arithmetic end to end (the 6dp
+  // ratio is exact DECIMAL, so both engines agg identically). The
+  // oracle replays host build, suffix classification, the ppm
+  // integerization and both means.
+
+  private[queries] val q288: GraftQuery = GraftQuery(
+    "q288_domain_prior",
+    (s, d) => {
+      val id = col("doc_id")
+      // modulus 7 is coprime to the testdata's per-source doc_id
+      // stride (20), so every host shape occurs WITHIN every source —
+      // the subdomain rollup (two hosts, one domain) is exercised per
+      // source, not just across the corpus
+      val m7 = id % 7
+      val host = when(m7 === 0,
+          concat(lit("news."), col("source"), lit(".co.uk")))
+        .when(m7 === 1, concat(col("source"), lit(".co.uk")))
+        .when(m7 === 2 || m7 === 5,
+          concat(lit("a.b."), col("source"), lit(".com")))
+        .when(m7 === 4, concat(col("source"), lit(".io")))
+        .otherwise(concat(lit("cdn."), col("source"), lit(".com")))
+      val perDoc = docs(s, d).select(
+        registeredDomain(host).as("domain"), host.as("host"),
+        (qualityMetrics(col("text")).getField("stopword_ratio")
+          .cast(DecimalType(12, 6)) * 1000000).cast(LongType).as("q_ppm"))
+      val agg = perDoc.groupBy(col("domain"))
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          count(lit(1)).as("n_docs"),
+          expr("sum(q_ppm) div count(1)").as("mean_ppm"))
+      val global = perDoc.agg(
+        expr("sum(q_ppm) div count(1)").as("g_ppm"))
+      agg.crossJoin(broadcast(global))
+        .withColumn("kept", col("mean_ppm") >= col("g_ppm"))
+        .select(col("domain"), col("n_hosts"), col("n_docs"),
+          col("mean_ppm"), col("kept"))
+        .orderBy(col("domain"))
+    },
+    Some("""WITH m AS (
+        SELECT source, doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN 'news.' || source || '.co.uk'
+            WHEN doc_id % 7 = 1 THEN source || '.co.uk'
+            WHEN doc_id % 7 IN (2, 5) THEN 'a.b.' || source || '.com'
+            WHEN doc_id % 7 = 4 THEN source || '.io'
+            ELSE 'cdn.' || source || '.com' END AS host,
+          CAST(CAST(round(len(list_filter(list_filter(
+              regexp_split_to_array(lower(text), '\s+'),
+              x -> length(x) > 0),
+              t -> list_contains(['the','a','an','and','or','of','in',
+                'to','is','it','that','for','on','with','as'], t)))
+            / greatest(len(list_filter(regexp_split_to_array(lower(text),
+                '\s+'), x -> length(x) > 0)), 1), 6) AS DECIMAL(12,6))
+            * 1000000 AS BIGINT) AS q_ppm
+        FROM documents),
+      dom AS (SELECT *, string_split(host, '.') AS parts FROM m),
+      dom2 AS (
+        SELECT host, q_ppm,
+          CASE WHEN len(parts) <= 2 THEN host
+            WHEN (parts[-2] || '.' || parts[-1]) IN ('co.uk','org.uk',
+              'ac.uk','gov.uk','com.au','net.au','org.au','co.jp',
+              'ac.jp','co.kr','com.br','com.cn','com.mx','co.in',
+              'co.nz')
+              THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+            ELSE parts[-2] || '.' || parts[-1] END AS domain
+        FROM dom),
+      agg AS (SELECT domain, count(DISTINCT host) AS n_hosts,
+          count(*) AS n_docs, sum(q_ppm) // count(*) AS mean_ppm
+        FROM dom2 GROUP BY domain),
+      g AS (SELECT sum(q_ppm) // count(*) AS g_ppm FROM dom2)
+      SELECT domain, n_hosts, n_docs, CAST(mean_ppm AS BIGINT)
+          AS mean_ppm,
+        mean_ppm >= g.g_ppm AS kept
+      FROM agg, g ORDER BY domain"""))
 }

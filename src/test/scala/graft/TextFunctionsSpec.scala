@@ -249,6 +249,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sniff("<p>no meta here</p>") == None)
   }
 
+  test("registeredDomain: suffix heuristic — hand-computed") {
+    def rd(h: String): String = Seq(h).toDF("h")
+      .select(registeredDomain($"h")).as[String].head()
+    assert(rd("news.bbc.co.uk") == "bbc.co.uk")
+    assert(rd("www.a.b.example.com") == "example.com")
+    assert(rd("example.com") == "example.com")
+    assert(rd("deep.sub.x.com.au") == "x.com.au")
+    // a bare suffix (or shorter) passes through unchanged
+    assert(rd("co.uk") == "co.uk")
+    assert(rd("localhost") == "localhost")
+    // three-label host whose last two are NOT a known suffix
+    assert(rd("a.github.io") == "github.io")
+  }
+
   test("surtKey: host reversal, port, case-fold, query-param sort — hand-computed") {
     def k(u: String): String = Seq(u).toDF("u")
       .select(surtKey($"u")).as[String].head()
