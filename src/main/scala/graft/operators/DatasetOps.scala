@@ -1329,6 +1329,23 @@ object DatasetOps {
     expr(s"size(filter($arrCol, _g -> $hit))")
   }
 
+  /** Scalar sibling of [[bloomHitCount]]: TRUE when `valueSql`'s
+    * `nHash` bloom bits are all set in `bitsCol` (the [[bloomBitmap]]
+    * attached as a plan literal). Same `bf:<h>:<value>` md5 family,
+    * same pure-codegen bit arithmetic — no join, no shuffle. One-sided
+    * error: FALSE is definitive (never a member), TRUE needs
+    * confirmation against the exact set. */
+  def bloomMightContain(valueSql: String, bitsCol: String,
+                        mBits: Int = 1 << 18, nHash: Int = 3): Column = {
+    val hit = (0 until nHash).map { h =>
+      val p = s"(cast(conv(substring(md5(concat('bf:$h:', $valueSql)), " +
+        s"1, 8), 16, 10) as bigint) % $mBits)"
+      s"(element_at($bitsCol, cast($p div 64 as int) + 1) & " +
+        s"shiftleft(1L, cast($p % 64 as int))) != 0"
+    }.mkString(" AND ")
+    expr(hit)
+  }
+
   /** Persist a [[bloomBitmap]] as a self-describing index:
     * `dir/words` holds the non-zero (w, word) rows (≤ mBits/64, tiny
     * — `coalesce(1)`), `dir/meta` the (m_bits, n_hash) parameters the

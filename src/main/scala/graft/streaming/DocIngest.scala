@@ -412,6 +412,155 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** [[runFrontierIngest]] fronted by a BLOOM sidecar — the
+    * never-seen fast path the plain gate's scaladoc points to: at web
+    * scale ~99% of discovered URLs are new, and anti-joining every
+    * candidate against a billion-row seen-set makes the COMMON case
+    * pay the exchange. Here each micro-batch probes the persisted
+    * bloom index first (a plan-literal bitmap — pure codegen'd bit
+    * arithmetic, no join, no shuffle): a bloom MISS is definitive
+    * (bloom membership is one-sided — no false negatives), so those
+    * candidates land directly; only the rare bloom HITS (true
+    * repeats + the bounded FP tail) take the exact anti-join. The
+    * batch then appends the seen-set as usual and ORs the fresh keys'
+    * bits into the index (driver-side word OR — the bitmap is
+    * mBits/64 longs, a bounded pickup by construction), so the
+    * invariant `index == bloomBitmap(seen-set)` holds after every
+    * batch and a restart rebuilds nothing. Semantics are EXACTLY the
+    * plain gate's (the spec replays both and compares); the sidecar
+    * only re-routes the never-seen majority off the exchange. */
+  def runFrontierIngestBloom(spark: SparkSession, rawDir: String,
+                             seenDir: String, bloomDir: String,
+                             outDir: String, checkpointDir: String,
+                             mBits: Int = 1 << 18, nHash: Int = 3,
+                             maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.DatasetOps
+    if (!hadoopExists(spark, seenDir)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("n").write.mode("overwrite").parquet(seenDir)
+    }
+    if (!hadoopExists(spark, s"$bloomDir/meta"))
+      DatasetOps.writeBloomIndex(spark, bloomDir,
+        Array.fill[Long](mBits / 64)(0L), mBits, nHash)
+    val urlSchema = StructType(Seq(StructField("url", StringType)))
+    val q = spark.readStream
+      .schema(urlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (bits, m, k) = DatasetOps.readBloomIndex(spark, bloomDir,
+          Some(mBits), Some(nHash))
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"), col("url"))
+          .groupBy(col("n")).agg(min(col("url")).as("url"))
+          .withColumn("_bits", typedLit(bits.toSeq))
+          .withColumn("_maybe",
+            DatasetOps.bloomMightContain("n", "_bits", m, k))
+        val fastFresh = cand.filter(!col("_maybe"))
+          .select(col("n"), col("url"))
+        val confirmed = cand.filter(col("_maybe"))
+          .select(col("n"), col("url"))
+          .join(spark.read.parquet(seenDir).select(col("n")).distinct(),
+            Seq("n"), "left_anti")
+        val fresh = fastFresh.unionByName(confirmed).persist()
+        try {
+          fresh.write.mode("append").json(outDir)
+          fresh.select(col("n")).write.mode("append").parquet(seenDir)
+          val newBits = DatasetOps.bloomBitmap(fresh.select(col("n")),
+            "n", m, k)
+          var i = 0
+          while (i < bits.length) { newBits(i) |= bits(i); i += 1 }
+          DatasetOps.writeBloomIndex(spark, bloomDir, newBits, m, k)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Conditional-revisit gate — q287's streaming twin, the fetch
+    * loop's OTHER state beside the frontier: fetch RESULTS arrive as
+    * micro-batches of `(url, status, etag, body)`, and the persisted
+    * validator store holds `(n, etag, digest, b)` per page
+    * (append-only; the max-`b` row is current — the recrawl gate's
+    * logical-clock idiom, compactable with the keep-max convention).
+    * A 200 mints a new capture: `digest = md5(body)`, a validator row
+    * appends, and `(n, digest, revisit=false, body)` lands in the
+    * capture log. A 304 re-downloads NOTHING: the stored validator's
+    * digest carries forward and `(n, digest, revisit=true)` lands
+    * bodyless — the crawl-level dedup attribution without a byte of
+    * payload. A 304 with NO stored validator is a protocol violation
+    * (the server confirmed a capture that never happened) and
+    * quarantines `reason=orphan_304`; other statuses quarantine
+    * `reason=status`. Within-batch duplicates collapse to the
+    * lexicographically smallest row (deterministic under retries).
+    * Delivery is the foreachBatch contract — at-least-once; a replay
+    * re-lands identical rows (digests are content-derived, validator
+    * rows version by batch id) and readers collapse keep-first. */
+  def runRevisitIngest(spark: SparkSession, rawDir: String,
+                       validatorDir: String, outDir: String,
+                       quarantineDir: String, checkpointDir: String,
+                       maxFilesPerTrigger: Int = 1): Unit = {
+    if (!hadoopExists(spark, validatorDir)) {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Long)]
+        .toDF("n", "etag", "digest", "b")
+        .write.mode("overwrite").parquet(validatorDir)
+    }
+    val fetchSchema = StructType(Seq(
+      StructField("url", StringType), StructField("status", LongType),
+      StructField("etag", StringType), StructField("body", StringType)))
+    val q = spark.readStream
+      .schema(fetchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"),
+            struct(col("url"), col("status"), col("etag"), col("body"))
+              .as("r"))
+          .groupBy(col("n")).agg(min(col("r")).as("r"))
+          .select(col("n"), col("r.status").as("status"),
+            col("r.etag").as("etag"), col("r.body").as("body"))
+        val cur = spark.read.parquet(validatorDir)
+          .groupBy(col("n"))
+          .agg(max(struct(col("b"), col("etag"), col("digest"))).as("s"))
+          .select(col("n"), col("s.digest").as("prior_digest"))
+        val joined = cand.join(cur, Seq("n"), "left").persist()
+        try {
+          joined.filter(col("status") === 304 &&
+              col("prior_digest").isNull)
+            .select(col("n"), lit("orphan_304").as("reason"))
+            .write.mode("append").json(quarantineDir)
+          joined.filter(col("status") =!= 200 && col("status") =!= 304)
+            .select(col("n"), lit("status").as("reason"), col("status"))
+            .write.mode("append").json(quarantineDir)
+          val fresh = joined.filter(col("status") === 200)
+          val revisit = joined.filter(col("status") === 304 &&
+            col("prior_digest").isNotNull)
+          fresh.select(col("n"), md5(col("body")).as("digest"),
+              lit(false).as("revisit"), col("body"))
+            .unionByName(revisit.select(col("n"),
+              col("prior_digest").as("digest"),
+              lit(true).as("revisit"),
+              lit(null).cast(StringType).as("body")))
+            .write.mode("append").json(outDir)
+          fresh.select(col("n"), col("etag"),
+              md5(col("body")).as("digest"), lit(batchId).as("b"))
+            .write.mode("append").parquet(validatorDir)
+        } finally { joined.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The BYTE-EXACT [[runWarcGzIngest]] — the pipeline Common Crawl
     * actually requires when shards carry non-UTF-8, compressed or
     * chunked content (the string tier silently mojibakes or feeds

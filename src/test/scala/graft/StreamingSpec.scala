@@ -1385,6 +1385,111 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("bloom-fronted frontier gate: semantics identical to the plain gate, index tracks the seen-set exactly") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.DatasetOps
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_frontier_bloom")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val bloom = root.resolve("bloom"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    def shard(name: String, ts: Long, urls: String*): Unit = {
+      val d = raw.resolve(name)
+      urls.toSeq.toDF("url").coalesce(1).write.json(d.toString)
+      java.nio.file.Files.walk(d).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(ts)); ()
+      }
+    }
+    val t0 = 1700000000000L
+    shard("f1", t0, "http://h.io/a", "http://h.io/b")
+    // batch 1: a spelling variant (must be blocked by the PERSISTED
+    // state through the bloom hit -> exact-join confirm path) and a
+    // never-seen URL (the bloom-miss fast path)
+    shard("f2", t0 + 60000, "HTTP://WWW.h.io:80/a#frag", "http://h.io/c")
+    // small bitmap (still 16 words) keeps the plan literal tiny
+    DocIngest.runFrontierIngestBloom(spark, raw.toString + "/*/",
+      seen.toString, bloom.toString, out.toString, ckpt.toString,
+      mBits = 1024, nHash = 3)
+    val queue = spark.read.json(out.toString)
+      .select($"n").as[String].collect().toSet
+    assert(queue == Set("http://h.io/a", "http://h.io/b",
+      "http://h.io/c"), queue.toString)
+    val seenSet = spark.read.parquet(seen.toString)
+      .as[String].collect().toSet
+    assert(seenSet == queue, seenSet.toString)
+    // the maintenance invariant: after every batch the sidecar equals
+    // the bitmap of the whole seen-set (a restart rebuilds nothing)
+    val (bits, m, k) = DatasetOps.readBloomIndex(spark, bloom.toString)
+    assert((m, k) == ((1024, 3)))
+    val expect = DatasetOps.bloomBitmap(
+      spark.read.parquet(seen.toString).select($"n"), "n", m, k)
+    assert(bits.toSeq == expect.toSeq)
+    deleteRec(root)
+  }
+
+  test("revisit gate: 304 carries the stored digest bodyless, 200 re-mints the validator, orphan 304 quarantined") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_revisit_gate")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val vals = root.resolve("vals")
+    val out = root.resolve("out"); val quar = root.resolve("quar")
+    val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    def shard(name: String, ts: Long,
+              rows: (String, Long, String, Option[String])*): Unit = {
+      val d = raw.resolve(name)
+      rows.toSeq.toDF("url", "status", "etag", "body")
+        .coalesce(1).write.json(d.toString)
+      java.nio.file.Files.walk(d).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(ts)); ()
+      }
+    }
+    val t0 = 1700000000000L
+    // batch 0: first captures for a and b
+    shard("f1", t0,
+      ("http://h.io/a", 200L, "\"e1\"", Some("aaa")),
+      ("http://h.io/b", 200L, "\"e2\"", Some("bbb")))
+    // batch 1: a unchanged (304), b changed (200, new validator),
+    // c answers 304 without any stored capture (protocol violation)
+    shard("f2", t0 + 60000,
+      ("HTTP://h.io:80/a#frag", 304L, "\"e1\"", None),
+      ("http://h.io/b", 200L, "\"e3\"", Some("bbb2")),
+      ("http://h.io/c", 304L, "\"e9\"", None))
+    DocIngest.runRevisitIngest(spark, raw.toString + "/*/",
+      vals.toString, out.toString, quar.toString, ckpt.toString)
+    def m5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val caps = spark.read.json(out.toString)
+      .select($"n", $"digest", $"revisit", $"body")
+      .as[(String, String, Boolean, Option[String])].collect().toSet
+    assert(caps == Set(
+      ("http://h.io/a", m5("aaa"), false, Some("aaa")),
+      ("http://h.io/b", m5("bbb"), false, Some("bbb")),
+      // the 304: spelling variant collapses to the same key, the
+      // batch-0 digest carries forward, NO body re-lands
+      ("http://h.io/a", m5("aaa"), true, None),
+      ("http://h.io/b", m5("bbb2"), false, Some("bbb2"))), caps.toString)
+    val quarRows = spark.read.json(quar.toString)
+      .select($"n", $"reason").as[(String, String)].collect().toSet
+    assert(quarRows == Set(("http://h.io/c", "orphan_304")),
+      quarRows.toString)
+    // the validator store's CURRENT row for b is the re-minted one
+    val cur = spark.read.parquet(vals.toString)
+      .groupBy($"n").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"b", $"etag", $"digest"))
+        .as("s"))
+      .select($"n", $"s.etag").as[(String, String)].collect().toSet
+    assert(cur == Set(("http://h.io/a", "\"e1\""),
+      ("http://h.io/b", "\"e3\"")), cur.toString)
+    deleteRec(root)
+  }
+
   test("pruneVersions: superseded state versions deleted, live version and readers untouched, keep=0 refused") {
     import spark.implicits._
     import graft.streaming.{DocIngest, ViewIngest}
