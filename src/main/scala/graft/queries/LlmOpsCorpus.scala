@@ -4116,4 +4116,84 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           AS mean_ppm,
         mean_ppm >= g.g_ppm AS kept
       FROM agg, g ORDER BY domain"""))
+
+  // ---- q289: domain blocklist gate ---------------------------------------
+  // The UT1-blocklist shape: a TABLE of banned registered domains
+  // (here minted deterministically — md5-first-hex < '4', ~25% of
+  // domains — so the oracle rebuilds the identical list), and the
+  // corpus gated by a BROADCAST anti-join on the rolled-up domain —
+  // the blocklist is list-sized (millions at worst), the corpus is
+  // the 100 TB side, so the ban ships to the data and no shuffle
+  // touches the corpus. Subdomains inherit the ban through
+  // registeredDomain (blocking x.com must block a.b.x.com — a
+  // host-keyed gate would miss every subdomain). The census counts
+  // blocked vs kept per source with an md5 mass over kept hosts.
+
+  private[queries] val q289: GraftQuery = GraftQuery(
+    "q289_domain_blocklist",
+    (s, d) => {
+      val id = col("doc_id")
+      val m7 = id % 7
+      val host = when(m7 === 0,
+          concat(lit("news."), col("source"), lit(".co.uk")))
+        .when(m7 === 1, concat(col("source"), lit(".co.uk")))
+        .when(m7 === 2 || m7 === 5,
+          concat(lit("a.b."), col("source"), lit(".com")))
+        .when(m7 === 4, concat(col("source"), lit(".io")))
+        .otherwise(concat(lit("cdn."), col("source"), lit(".com")))
+      val dd = docs(s, d).select(col("source"), host.as("host"))
+        .withColumn("domain", registeredDomain(col("host")))
+      val blocklist = dd.select(col("domain")).distinct()
+        .filter(substring(md5(col("domain")), 1, 1)
+          .isin("0", "1", "2", "3"))
+      val kept = dd.join(broadcast(blocklist), Seq("domain"), "left_anti")
+      val tot = dd.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val kc = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(conv(substring(md5(col("host")), 1, 8), 16, 10)
+            .cast(LongType)).cast(LongType).as("kept_mass"))
+      tot.join(kc, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_blocked"),
+          coalesce(col("kept_mass"), lit(0L)).as("kept_mass"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH dd AS (
+        SELECT source,
+          CASE WHEN doc_id % 7 = 0 THEN 'news.' || source || '.co.uk'
+            WHEN doc_id % 7 = 1 THEN source || '.co.uk'
+            WHEN doc_id % 7 IN (2, 5) THEN 'a.b.' || source || '.com'
+            WHEN doc_id % 7 = 4 THEN source || '.io'
+            ELSE 'cdn.' || source || '.com' END AS host
+        FROM documents),
+      dom AS (SELECT source, host, string_split(host, '.') AS parts
+        FROM dd),
+      dom2 AS (
+        SELECT source, host,
+          CASE WHEN len(parts) <= 2 THEN host
+            WHEN (parts[-2] || '.' || parts[-1]) IN ('co.uk','org.uk',
+              'ac.uk','gov.uk','com.au','net.au','org.au','co.jp',
+              'ac.jp','co.kr','com.br','com.cn','com.mx','co.in',
+              'co.nz')
+              THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+            ELSE parts[-2] || '.' || parts[-1] END AS domain
+        FROM dom),
+      bl AS (SELECT DISTINCT domain FROM dom2
+        WHERE substring(md5(domain), 1, 1) IN ('0', '1', '2', '3')),
+      kept AS (SELECT d.* FROM dom2 d
+        WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.domain = d.domain)),
+      tot AS (SELECT source, count(*) AS n_docs FROM dom2
+        GROUP BY source),
+      kc AS (SELECT source, count(*) AS n_kept,
+          CAST(sum(CAST(concat('0x', substring(md5(host), 1, 8))
+            AS BIGINT)) AS BIGINT) AS kept_mass
+        FROM kept GROUP BY source)
+      SELECT t.source, t.n_docs, coalesce(kc.n_kept, 0) AS n_kept,
+        t.n_docs - coalesce(kc.n_kept, 0) AS n_blocked,
+        coalesce(kc.kept_mass, 0) AS kept_mass
+      FROM tot t LEFT JOIN kc ON t.source = kc.source
+      ORDER BY t.source"""))
 }
