@@ -426,7 +426,15 @@ object DocIngest {
     * bits into the index (driver-side word OR — the bitmap is
     * mBits/64 longs, a bounded pickup by construction), so the
     * invariant `index == bloomBitmap(seen-set)` holds after every
-    * batch and a restart rebuilds nothing. Semantics are EXACTLY the
+    * batch and a restart rebuilds nothing. A crash BETWEEN the
+    * seen-set append and the bloom write leaves the index briefly
+    * behind the set (index ⊆ bitmap(seen)); the checkpoint replays
+    * the batch, whose keys then ride the fast path and re-land
+    * identical rows — absorbed by the reader's keep-first collapse
+    * exactly like the plain gate's at-least-once window — and the OR
+    * restores the invariant. Behind never means ahead: the index only
+    * gains bits for keys already landed, so a bloom MISS stays
+    * definitive. Semantics are EXACTLY the
     * plain gate's (the spec replays both and compares); the sidecar
     * only re-routes the never-seen majority off the exchange. */
   def runFrontierIngestBloom(spark: SparkSession, rawDir: String,
