@@ -369,6 +369,19 @@ object TextFunctions {
     * no shuffle; feed through [[urlNormalize]] before the frontier
     * dedup. */
   def extractLinks(html: Column, pageUrl: Column): Column = {
+    val (base, dirPath, parentPath) = pageParts(pageUrl)
+    val hrefs = regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
+    filter(
+      transform(hrefs, h => resolveHref(h, base, dirPath, parentPath)),
+      x => x.isNotNull)
+  }
+
+  /** The page URL decomposed for relative-href resolution:
+    * (scheme+host, directory path with trailing '/', parent
+    * directory path) — shared by [[extractLinks]] and
+    * [[extractAnchors]] so their resolution can never drift. */
+  private def pageParts(pageUrl: Column): (Column, Column, Column) = {
     val base = regexp_extract(pageUrl, "^(https?://[^/]+)", 1)
     // the page's directory path: host-relative, up to and including
     // the last '/' — "/" when the page sits at the root
@@ -376,25 +389,50 @@ object TextFunctions {
       regexp_replace(regexp_replace(pageUrl, "^https?://[^/]+", ""),
         "[^/]*$", "")).otherwise(lit("/"))
     val parentPath = regexp_replace(dirPath, "[^/]+/$", "")
-    val hrefs = regexp_extract_all(html,
-      lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))
+    (base, dirPath, parentPath)
+  }
+
+  /** One href through the [[extractLinks]] resolution contract;
+    * NULL = drop (fragment-only / protocol-relative / other-scheme /
+    * deeper than one `../`). */
+  private def resolveHref(h: Column, base: Column, dirPath: Column,
+                          parentPath: Column): Column =
+    when(h.rlike("^https?://"), h)
+      .when(h.rlike("^//"), lit(null))
+      .when(h.rlike("^/"), concat(base, h))
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .when(h.rlike("^#"), lit(null))
+      .when(h.rlike("^\\.\\./"),
+        when(regexp_replace(h, "^\\.\\./", "")
+            .rlike("^\\.\\.?(/|$)"), lit(null))
+          .otherwise(concat(base, parentPath,
+            regexp_replace(h, "^\\.\\./", ""))))
+      .when(h.rlike("^\\.\\.?$"), lit(null))
+      .when(h.rlike("^\\./"),
+        concat(base, dirPath, regexp_replace(h, "^\\./", "")))
+      .otherwise(concat(base, dirPath, h))
+
+  /** Anchor (target, text) pairs — the WAT-shaped signal beside
+    * [[extractLinks]]' frontier feed: what OTHER pages' authors call
+    * a URL is a query-independent description of it (anchor-text
+    * censuses are how web corpora mint titles/keywords for pages, and
+    * a classic retrieval signal). Each `<a href="…">text</a>` whose
+    * text is tag-free (nested-markup anchors drop by contract — both
+    * capture groups ride ONE pattern, so href and text can never
+    * pair off different anchors) resolves through the identical
+    * [[extractLinks]] chain; unresolvable targets drop WITH their
+    * text. Returns `array<struct<url, text>>` — narrow, no shuffle;
+    * normalize `url` before any census. */
+  def extractAnchors(html: Column, pageUrl: Column): Column = {
+    val (base, dirPath, parentPath) = pageParts(pageUrl)
+    val pat = "(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+    val hrefs = regexp_extract_all(html, lit(pat), lit(1))
+    val texts = regexp_extract_all(html, lit(pat), lit(2))
     filter(
-      transform(hrefs, h =>
-        when(h.rlike("^https?://"), h)
-          .when(h.rlike("^//"), lit(null))
-          .when(h.rlike("^/"), concat(base, h))
-          .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
-          .when(h.rlike("^#"), lit(null))
-          .when(h.rlike("^\\.\\./"),
-            when(regexp_replace(h, "^\\.\\./", "")
-                .rlike("^\\.\\.?(/|$)"), lit(null))
-              .otherwise(concat(base, parentPath,
-                regexp_replace(h, "^\\.\\./", ""))))
-          .when(h.rlike("^\\.\\.?$"), lit(null))
-          .when(h.rlike("^\\./"),
-            concat(base, dirPath, regexp_replace(h, "^\\./", "")))
-          .otherwise(concat(base, dirPath, h))),
-      x => x.isNotNull)
+      zip_with(hrefs, texts, (h, t) =>
+        struct(resolveHref(h, base, dirPath, parentPath).as("url"),
+          t.as("text"))),
+      x => x.getField("url").isNotNull)
   }
 
   /** HTML meta-charset sniff — the in-document fallback when the

@@ -830,4 +830,134 @@ object Dedup {
     val starts = slice(concat(array(lit(0)), ends), lit(1), size(ends))
     zip_with(starts, ends, (st, en) => text.substr(st + 1, en - st))
   }
+
+  /** Duplicate-SPAN mining — exact-substring dedup at sub-document
+    * granularity (the Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" shape, re-expressed relationally):
+    * a position is duplicated when its k-char gram occurs at some
+    * OTHER corpus location, the FIRST occurrence of each gram (min
+    * (id, pos) — the paper's keep-one copy) stays unmarked, and
+    * marked positions merge into maximal spans [[exciseSpans]] cuts
+    * out. This is the tier between whole-doc dedup (q40/q54 — misses
+    * every partial overlap) and CDC chunk dedup (q240 — a CENSUS of
+    * duplicated blocks, not a rewrite): boilerplate headers, licence
+    * blocks and quoted replies vanish while the unique remainder of
+    * each document survives.
+    *
+    * Relational shape, 100 TB discipline:
+    *  - grams are (id, pos, hash60) triples — bodies NEVER ride the
+    *    gram exchange; the text column stays behind in the doc table
+    *    and spans join back on the id;
+    *  - keep-first is a groupBy(hash) census (`min(struct(id, pos))`)
+    *    + an equi-join back, NOT a window over the hash — a
+    *    boilerplate gram shared by 10⁷ docs would single-task a
+    *    window partition, while the agg is map-side combined and the
+    *    join AQE-skew-splittable (the BM25-df lesson, golden-plan
+    *    pinned there);
+    *  - interval merge is a per-DOC window (running max of span ends
+    *    → group flag → prefix sum), bounded by one document's marked
+    *    positions at any corpus size;
+    *  - `sample` keeps only grams whose hash lands in ONE residue
+    *    class of `sample` — CONTENT-keyed (the winnowing idea), never
+    *    position-strided: the same gram is kept or dropped at every
+    *    location, so copies at unaligned offsets still collide, which
+    *    position striding would miss whenever the two offsets differ
+    *    mod s. Exchange volume (the term that scales with corpus
+    *    bytes — len·1 rows per doc at sample 1) drops s×; a
+    *    duplicated run of g grams is missed with probability
+    *    (1 − 1/s)^g — negligible for spans ≫ k — and detected span
+    *    boundaries coarsen to the sampled grams' extents. This is the
+    *    recall/volume knob a 100 TB pass turns (suffix arrays, the
+    *    paper's tool, do not distribute; sampled sorted grams are the
+    *    cluster-shaped equivalent).
+    *
+    * Hash = md5-prefix 60 bits (engine-portable, oracle-replayable —
+    * the md5Draw discipline): collisions ~n²/2⁶¹ mark a false span,
+    * the documented probabilistic contract exactDedup already carries
+    * at 64 bits. `idCol` must be integral (the keep-first order).
+    * Positions are 1-based CHARACTERS (both engines' substr
+    * semantics); spans are inclusive [span_start, span_end].
+    *
+    * @return (idCol, span_start, span_end) — merged spans of length
+    *         ≥ max(minSpan, k), disjoint per doc, sorted by caller.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 25, minSpan: Int = 0,
+               sample: Int = 1): DataFrame = {
+    require(k >= 8 && k <= 256, s"k must be in [8, 256], got $k")
+    require(sample >= 1 && sample <= 1024,
+      s"sample must be in [1, 1024], got $sample")
+    val locs = df
+      .select(col(idCol).cast(LongType).as("_id"), col(textCol).as("_t"))
+      .where(col("_t").isNotNull && length(col("_t")) >= k)
+      .select(col("_id"), col("_t"),
+        explode(sequence(lit(1L),
+          (length(col("_t")) - (k - 1)).cast(LongType))).as("_pos"))
+      .select(col("_id"), col("_pos"),
+        conv(substring(md5(col("_t").substr(col("_pos").cast(IntegerType),
+          lit(k))), 1, 15), 16, 10).cast(LongType).as("_h"))
+      .where(col("_h") % lit(sample.toLong) === 0)
+    val census = locs.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("_id"), col("_pos"))).as("_first"))
+      .where(col("_cnt") > 1)
+    val marked = locs.join(census, Seq("_h"))
+      .where(!(col("_id") === col("_first._id") &&
+        col("_pos") === col("_first._pos")))
+      .select(col("_id"), col("_pos"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val prevMax = max(col("_pos") + (k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("_flag",
+        when(col("_pos") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("_gid", sum(col("_flag"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_id"), col("_gid"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + (k - 1)).as("span_end"))
+      .where(col("span_end") - col("span_start") + 1 >=
+        math.max(minSpan, k).toLong)
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Excise [[dupSpans]] spans from their documents: per doc the
+    * disjoint spans sort into an array attribute and ONE ordered fold
+    * concatenates the kept segments (between-span gaps + the tail) —
+    * O(len) per doc, no re-tokenization, spans ride a doc-id join
+    * while bodies stay in place. Docs with no spans pass through
+    * verbatim (left join, `chars_removed = 0`); a doc that is one big
+    * duplicate cleans to the empty string, which downstream length
+    * gates then drop — excision never deletes ROWS, that verdict
+    * belongs to the quality tier.
+    *
+    * @return df + `clean_text` (textCol with spans removed) +
+    *         `chars_removed`.
+    */
+  def exciseSpans(df: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("_removed"))
+    df.join(sp, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("_spans").isNull, col(textCol)).otherwise(
+          aggregate(col("_spans"),
+            struct(lit(0L).as("last"), lit("").as("acc")),
+            (st, x) => struct(
+              x.getField("e").as("last"),
+              concat(st.getField("acc"),
+                col(textCol).substr(
+                  (st.getField("last") + 1).cast(IntegerType),
+                  (x.getField("s") - st.getField("last") - 1)
+                    .cast(IntegerType))).as("acc")),
+            st => concat(st.getField("acc"),
+              col(textCol).substr(
+                (st.getField("last") + 1).cast(IntegerType),
+                (length(col(textCol)) - st.getField("last"))
+                  .cast(IntegerType))))))
+      .withColumn("chars_removed", coalesce(col("_removed"), lit(0L)))
+      .drop("_spans", "_removed")
+  }
 }

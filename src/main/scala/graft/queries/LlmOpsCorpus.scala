@@ -4196,4 +4196,134 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         coalesce(kc.kept_mass, 0) AS kept_mass
       FROM tot t LEFT JOIN kc ON t.source = kc.source
       ORDER BY t.source"""))
+
+  // ---- q291: anchor-text census (the WAT-shaped signal) ------------------
+  // What the rest of the web CALLS a page: `extractAnchors` pairs
+  // each href with its anchor text under ONE pattern (so href and
+  // text can never pair off different anchors; nested-markup anchors
+  // drop whole — the fixture plants one), targets resolve through
+  // the extractLinks chain and normalize through urlNormalize
+  // (the mixed-case wiki host collapses), internal anchors are
+  // excluded, and each external target gets its incoming-anchor
+  // count, distinct referring hosts, and top-3 anchor TERMS (count
+  // desc, term asc — the rank-window idiom WindowTopKRewrite lowers
+  // onto the bounded-heap node; the window ranks the collapsed
+  // (target, term) census, never raw anchors). This is how web
+  // corpora mint query-independent titles/keywords for pages and a
+  // core retrieval signal (WAT files exist to carry it).
+
+  private[queries] val q291: GraftQuery = GraftQuery(
+    "q291_anchor_text_census",
+    (s, d) => {
+      val id = col("doc_id")
+      val site = concat(lit("https://"), col("source"),
+        lit(".example.com"))
+      val page = concat(site, lit("/sec/"), id % 3, lit("/page.html"))
+      val phrase = when(id % 4 === 0, "Best Cheap Deals")
+        .when(id % 4 === 1, "best deals today")
+        .when(id % 4 === 2, "Review and deals")
+        .otherwise("cheap review")
+      val html = concat(
+        lit("<html><body><a href=\"http://hub.example.com/p/"), id % 7,
+        lit("\">"), phrase,
+        lit("</a><a href='/p/"), id % 5,
+        lit("'>internal nav</a><a href=\"https://WIKI.example.org/w/"),
+        id % 4,
+        lit("/\">wiki "), id % 2,
+        lit(" entry</a><a href=\"http://hub.example.com/x\">" +
+          "<b>nested</b></a></body></html>"))
+      val anchors = docs(s, d)
+        .select(col("source"), site.as("site"),
+          explode(extractAnchors(html, page)).as("a"))
+        .select(col("source"),
+          urlNormalize(col("a.url")).as("target"),
+          lower(col("a.text")).as("t"), col("site"))
+        .where(substring(col("target"), lit(1), length(col("site"))) =!=
+          col("site"))
+        .select(col("source"), col("target"), col("t"))
+      val tot = anchors.groupBy(col("target"))
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("source")).as("n_hosts"))
+      val terms = anchors
+        .select(col("target"),
+          explode(split(col("t"), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy(col("target"), col("term"))
+        .agg(count(lit(1)).as("term_count"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("target"))
+        .orderBy(col("term_count").desc, col("term").asc)
+      terms.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 3)
+        .join(tot, Seq("target"))
+        .select(col("target"), col("n_anchors"), col("n_hosts"),
+          col("rank"), col("term"), col("term_count"))
+        .orderBy(col("target"), col("rank"))
+    },
+    Some("""WITH pages AS (
+        SELECT doc_id, source,
+          'https://' || source || '.example.com' AS site,
+          '<html><body><a href="http://hub.example.com/p/' ||
+          (doc_id % 7) || '">' ||
+          CASE WHEN doc_id % 4 = 0 THEN 'Best Cheap Deals'
+            WHEN doc_id % 4 = 1 THEN 'best deals today'
+            WHEN doc_id % 4 = 2 THEN 'Review and deals'
+            ELSE 'cheap review' END ||
+          '</a><a href=''/p/' || (doc_id % 5) ||
+          '''>internal nav</a><a href="https://WIKI.example.org/w/' ||
+          (doc_id % 4) || '/">wiki ' || (doc_id % 2) ||
+          ' entry</a><a href="http://hub.example.com/x">' ||
+          '<b>nested</b></a></body></html>' AS html
+        FROM documents),
+      pairs AS (
+        SELECT source, site,
+          unnest(regexp_extract_all(html,
+            '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*>([^<]*)</a>',
+            1)) AS h,
+          unnest(regexp_extract_all(html,
+            '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*>([^<]*)</a>',
+            2)) AS t
+        FROM pages),
+      resolved AS (
+        SELECT source, site,
+          CASE WHEN regexp_matches(h, '^https?://') THEN h
+            WHEN regexp_matches(h, '^//') THEN NULL
+            WHEN regexp_matches(h, '^/') THEN site || h
+            ELSE NULL END AS u,
+          lower(t) AS t
+        FROM pairs),
+      norm AS (
+        SELECT source, site, t,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS target
+        FROM resolved WHERE u IS NOT NULL),
+      ext AS (
+        SELECT source, target, t FROM norm
+        WHERE substring(target, 1, length(site)) <> site),
+      tot AS (
+        SELECT target, count(*) AS n_anchors,
+          count(DISTINCT source) AS n_hosts
+        FROM ext GROUP BY target),
+      terms AS (
+        SELECT target, term, count(*) AS term_count
+        FROM (SELECT target, unnest(string_split_regex(t, '\s+')) AS term
+          FROM ext)
+        WHERE length(term) > 0
+        GROUP BY target, term),
+      ranked AS (
+        SELECT target, term, term_count,
+          row_number() OVER (PARTITION BY target
+            ORDER BY term_count DESC, term ASC) AS rank
+        FROM terms)
+      SELECT r.target, tot.n_anchors, tot.n_hosts,
+        CAST(r.rank AS BIGINT) AS rank, r.term, r.term_count
+      FROM ranked r JOIN tot ON r.target = tot.target
+      WHERE r.rank <= 3
+      ORDER BY r.target, r.rank"""))
 }

@@ -1398,4 +1398,116 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
         CAST(max(CAST(floor(sqrt(list_dot_product(dv, dv)) * 1000000.0)
           AS BIGINT)) AS BIGINT) AS max_err_e6
       FROM errs GROUP BY label ORDER BY label"""))
+
+  // ---- q290: duplicate-span excision (exact substring dedup) ----------
+  // The Lee et al. 2022 tier between whole-doc dedup (q40 — misses
+  // every partial overlap) and the CDC chunk CENSUS (q240 — measures
+  // duplication, rewrites nothing): positions whose 25-char gram
+  // recurs anywhere in the corpus (keep-first: each gram's min
+  // (doc_id, pos) occurrence stays) merge into maximal spans that are
+  // CUT OUT of the text, so shared boilerplate vanishes while each
+  // document's unique remainder survives. Two boilerplate blocks are
+  // planted deterministically (an appended newsletter plea on
+  // doc_id % 7 = 0, a prepended cookie banner on doc_id % 11 = 3 —
+  // start-of-doc and end-of-doc spans both exercised); natural
+  // repetition in the synthetic text marks additional spans, which
+  // both engines replay identically. The census pins docs affected,
+  // exact chars removed, and an md5 mass over every cleaned text —
+  // one mis-assembled segment anywhere flips a cell.
+
+  private[queries] val q290: GraftQuery = {
+    val tailAd = " Subscribe to our newsletter for weekly updates" +
+      " and exclusive offers today."
+    val headAd = "Cookie notice: this site stores tracking cookies" +
+      " in your browser. "
+    GraftQuery(
+      "q290_dup_span_excision",
+      (s, d) => {
+        val planted = docs(s, d).select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(tailAd)))
+            .when(col("doc_id") % 11 === 3, concat(lit(headAd), col("text")))
+            .otherwise(col("text")).as("text"))
+        val spans = Dedup.dupSpans(planted, "doc_id", "text", k = 25)
+        Dedup.exciseSpans(planted, spans, "doc_id", "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("chars_removed") > 0, 1L).otherwise(0L))
+              .cast(LongType).as("docs_affected"),
+            sum(length(col("text"))).cast(LongType).as("chars_before"),
+            sum(col("chars_removed")).cast(LongType).as("chars_removed"),
+            sum(conv(substring(md5(concat(col("doc_id").cast(StringType),
+              lit(":"), col("clean_text"))), 1, 8), 16, 10)
+              .cast(LongType)).cast(LongType).as("clean_mass"))
+          .withColumn("removed_ppm",
+            expr("(chars_removed * 1000000L) div greatest(chars_before, 1L)"))
+          .select(col("source"), col("n_docs"), col("docs_affected"),
+            col("chars_before"), col("chars_removed"), col("removed_ppm"),
+            col("clean_mass"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 7 = 0 THEN text || '$tailAd'
+              WHEN doc_id % 11 = 3 THEN '$headAd' || text
+              ELSE text END AS text
+          FROM documents),
+        g AS (
+          SELECT doc_id, pos,
+            CAST(concat('0x', substring(md5(substr(text,
+              CAST(pos AS INT), 25)), 1, 15)) AS BIGINT) AS h
+          FROM d, unnest(generate_series(1, length(text) - 24)) AS u(pos)
+          WHERE length(text) >= 25),
+        f AS (
+          SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM g),
+        iv AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos > coalesce(max(pos + 24) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(-1 AS BIGINT))
+              THEN 1 ELSE 0 END AS flag
+          FROM f WHERE rn >= 2),
+        grp AS (
+          SELECT doc_id, pos,
+            sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+          FROM iv),
+        spans AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + 24 AS e
+          FROM grp GROUP BY doc_id, gid
+          HAVING max(pos) + 24 - min(pos) + 1 >= 25),
+        seg AS (
+          SELECT doc_id,
+            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p,
+            s - 1 AS q
+          FROM spans
+          UNION ALL
+          SELECT doc_id, max(e) AS p, NULL AS q FROM spans GROUP BY doc_id),
+        cleanedS AS (
+          SELECT seg.doc_id,
+            string_agg(substr(d.text, CAST(seg.p + 1 AS INT),
+              CAST(coalesce(seg.q, length(d.text)) - seg.p AS INT)), ''
+              ORDER BY seg.p) AS clean,
+            (SELECT sum(e - s + 1) FROM spans sp
+              WHERE sp.doc_id = seg.doc_id) AS removed
+          FROM seg JOIN d ON seg.doc_id = d.doc_id
+          GROUP BY seg.doc_id),
+        alldocs AS (
+          SELECT d.doc_id, d.source, length(d.text) AS n0,
+            coalesce(c.clean, d.text) AS clean,
+            coalesce(c.removed, 0) AS removed
+          FROM d LEFT JOIN cleanedS c ON d.doc_id = c.doc_id)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_affected,
+          CAST(sum(n0) AS BIGINT) AS chars_before,
+          CAST(sum(removed) AS BIGINT) AS chars_removed,
+          CAST(sum(removed) * 1000000 // greatest(sum(n0), 1) AS BIGINT)
+            AS removed_ppm,
+          CAST(sum(CAST(concat('0x', substring(md5(doc_id || ':' || clean),
+            1, 8)) AS BIGINT)) AS BIGINT) AS clean_mass
+        FROM alldocs GROUP BY source ORDER BY source"""))
+  }
 }

@@ -616,4 +616,94 @@ class DedupSpec extends AnyFunSuite {
     assert(chunksOf("tiny") == Seq("tiny"))
     assert(chunksOf("") == Seq())
   }
+
+  // unique per-doc filler with no 20-char overlap across docs: every
+  // token BEGINS AND ENDS with the doc tag, so no window crossing a
+  // token boundary can match another doc's window (a shared suffix
+  // like "word9q" would otherwise legitimately extend a planted span
+  // leftward — the operator is right to take it, the fixture must not
+  // offer it)
+  private def spanBody(tag: String, n: Int): String =
+    (0 until n).map(j => s"${tag}${j}${tag}").mkString(" ")
+
+  private def excised(d: DataFrame, k: Int, minSpan: Int = 0,
+                      sample: Int = 1): Map[Long, (String, Long)] = {
+    val spans = Dedup.dupSpans(d, "doc_id", "text", k = k,
+      minSpan = minSpan, sample = sample)
+    Dedup.exciseSpans(d, spans, "doc_id", "text")
+      .select($"doc_id", $"clean_text", $"chars_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("dupSpans/exciseSpans: keep-first copy survives, later copies lose exactly the block") {
+    val boiler = " Subscribe now for weekly updates and exclusive offers today!"
+    val b1 = spanBody("alpha", 12)
+    val b2 = spanBody("bravo", 12)
+    val b3 = spanBody("gamma", 12)
+    val d = Seq(
+      (1L, b1 + boiler),  // first occurrence (min doc_id) — keeps it
+      (2L, b2 + boiler),  // appended copy — excised exactly
+      (3L, boiler.drop(1) + " " + b3)) // prepended copy — excised
+      .toDF("doc_id", "text")
+    val got = excised(d, k = 20)
+    assert(got(1L) == ((b1 + boiler, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((b2, boiler.length.toLong)), s"got ${got(2L)}")
+    // doc 3 shares boiler.drop(1) (61 chars) with docs 1/2; the
+    // span is that shared prefix region
+    assert(got(3L)._1 == " " + b3, s"got ${got(3L)}")
+    assert(got(3L)._2 == boiler.length - 1L, s"got ${got(3L)}")
+  }
+
+  test("dupSpans: identical docs — the second cleans to empty, never the first") {
+    val t = spanBody("delta", 15)
+    val d = Seq((10L, t), (11L, t), (12L, spanBody("eps", 15)))
+      .toDF("doc_id", "text")
+    val got = excised(d, k = 20)
+    assert(got(10L) == ((t, 0L)))
+    assert(got(11L) == (("", t.length.toLong)))
+    assert(got(12L)._2 == 0L)
+  }
+
+  test("dupSpans: minSpan spares short duplicates; short docs pass through") {
+    val snip = "exactly-twenty-chars" // 20 chars = k → one gram only
+    assert(snip.length == 20)
+    val d = Seq(
+      (1L, spanBody("one", 10) + " " + snip),
+      (2L, spanBody("two", 10) + " " + snip),
+      (3L, "tiny")) // shorter than k: no grams, untouched
+      .toDF("doc_id", "text")
+    // the merged span (" " + snip = 21 chars — the joining space is
+    // shared too) < minSpan → spared
+    val spared = excised(d, k = 20, minSpan = 40)
+    assert(spared(2L)._2 == 0L, s"got ${spared(2L)}")
+    assert(spared(3L) == (("tiny", 0L)))
+    // without minSpan the same span IS excised
+    val cut = excised(d, k = 20)
+    assert(cut(2L)._2 == snip.length + 1L, s"got ${cut(2L)}")
+  }
+
+  test("dupSpans content-keyed sampling finds copies at unaligned offsets") {
+    // shared block at offsets differing by 1 (≠ 0 mod sample):
+    // position-strided sampling would miss it; content-keyed must not
+    val block = spanBody("shared", 20) // ~240 chars ≫ k
+    val d = Seq(
+      (1L, spanBody("pre", 8) + " " + block),
+      (2L, spanBody("quux", 8) + "xy " + block))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, "doc_id", "text", k = 20, sample = 4)
+      .filter($"doc_id" === 2L)
+      .select($"span_start", $"span_end").as[(Long, Long)].collect()
+    assert(spans.nonEmpty, "sampled mining missed an unaligned copy")
+    val off = (spanBody("quux", 8) + "xy ").length.toLong
+    spans.foreach { case (s, e) =>
+      assert(s >= off + 1 && e <= off + block.length,
+        s"span [$s,$e] outside the shared block [${off + 1},${off + block.length}]")
+    }
+    // sampled span still covers most of the block (boundaries coarsen
+    // to sampled gram extents, they don't collapse)
+    val covered = spans.map { case (s, e) => e - s + 1 }.sum
+    assert(covered >= block.length / 2,
+      s"sampled span covers only $covered of ${block.length}")
+  }
 }

@@ -234,6 +234,35 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("https://me.io/x.html"))
   }
 
+  test("extractAnchors: href/text pair under one pattern, resolution matches extractLinks, nested markup drops whole") {
+    def anchors(html: String, page: String): Seq[(String, String)] =
+      Seq(html).toDF("h")
+        .select(extractAnchors($"h", lit(page)).as("a"))
+        .select(explode($"a").as("x"))
+        .select($"x.url", $"x.text").as[(String, String)].collect().toSeq
+    assert(anchors(
+      """<a href="http://a.io/x">Best Deals</a>""" +
+        """<a href='/p/2'>two words</a>""" +
+        """<a href="#top">skip</a>""" +
+        """<a href="rel.html">rel text</a>""" +
+        """<a href="http://b.io/y"><b>nested</b></a>""" +
+        """<a href="http://c.io/z"></a>""",
+      "https://me.io/d/page.html") ==
+      Seq(("http://a.io/x", "Best Deals"),
+        ("https://me.io/p/2", "two words"),
+        ("https://me.io/d/rel.html", "rel text"),
+        // nested-markup anchor dropped WHOLE (never a mispaired
+        // href/text); empty text survives with its target
+        ("http://c.io/z", "")))
+    // pairing never slips even when a dropped href sits between two
+    // kept ones
+    assert(anchors(
+      """<a href="http://a.io/1">one</a><a href="mailto:x@y.z">m</a>""" +
+        """<a href="http://a.io/2">two</a>""",
+      "https://me.io") ==
+      Seq(("http://a.io/1", "one"), ("http://a.io/2", "two")))
+  }
+
   test("htmlCharset: both meta forms sniff, first declaration wins, case folds, absent is NULL") {
     def sniff(html: String): Option[String] = Seq(html).toDF("h")
       .select(htmlCharset($"h")).as[Option[String]].head()
