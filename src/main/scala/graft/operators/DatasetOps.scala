@@ -1209,6 +1209,65 @@ object DatasetOps {
           .as("milli_bits_per_bigram"))
   }
 
+  /** Reference-LM scoring — the CCNet shape (Wenzek et al. 2020):
+    * the LM is trained on a REFERENCE corpus (their Wikipedia) and
+    * scores the crawl, so "looks like the reference" becomes the
+    * quality signal — unlike [[bigramSurprisalScores]], whose
+    * self-corpus model scores boilerplate as predictable BECAUSE the
+    * crawl is full of it. Same integer bitlen discipline, plus the
+    * add-one smoothing a held-out model needs (the self-corpus model
+    * never meets an unseen bigram; this one does): each doc bigram
+    * contributes `bitlen(c_ref(prev,·) + V) − bitlen(c_ref(prev,cur)
+    * + 1)` bits, V = the reference vocabulary size — the integer
+    * proxy for −log₂((c+1)/(ctx+V)), nonnegative by c ≤ ctx, defined
+    * (P = 1/V) even for never-seen contexts. Docs with < 2 tokens
+    * return n_bigrams = 0 — they carry NO evidence under a
+    * conditional model, and the caller buckets them as unscored
+    * rather than "maximally clean".
+    *
+    * Scale shape: the reference censuses (bigram, context, V) are
+    * map-side-combined aggregates over the REFERENCE only (the small
+    * side by construction); the crawl folds to (doc, bigram, tf)
+    * before the gram-keyed LEFT joins (hot-bigram multiplicity ≤
+    * #docs, AQE-skew-splittable); V rides as a broadcast scalar.
+    *
+    * @return one row per doc: idCol, n_bigrams, surprisal_bits,
+    *         milli_bits_per_bigram. */
+  def referenceLmScores(docs: DataFrame, ref: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    def bgs(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(wordShingles(whitespaceTokens(col(textCol)), 2)).as("_bg"): _*)
+    val refBg = bgs(ref).groupBy(col("_bg")).agg(count(lit(1)).as("_cb"))
+    val refCtx = bgs(ref)
+      .select(substring_index(col("_bg"), " ", 1).as("_cx"))
+      .groupBy(col("_cx")).agg(count(lit(1)).as("_cc"))
+    val vocab = ref
+      .select(explode(whitespaceTokens(col(textCol))).as("_t"))
+      .agg(greatest(countDistinct(col("_t")), lit(1L)).as("_v"))
+    val dbg = bgs(docs, col(idCol))
+      .groupBy(col(idCol), col("_bg"))
+      .agg(count(lit(1)).as("_tf"))
+      .withColumn("_cx", substring_index(col("_bg"), " ", 1))
+    val scored = dbg
+      .join(refBg, Seq("_bg"), "left")
+      .join(refCtx, Seq("_cx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("_tf"),
+        (length(bin(coalesce(col("_cc"), lit(0L)) + col("_v"))) -
+          length(bin(coalesce(col("_cb"), lit(0L)) + 1)))
+          .cast(LongType).as("_bits"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_bigrams"),
+        sum(col("_tf") * col("_bits")).as("surprisal_bits"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("(surprisal_bits * 1000L) div n_bigrams"))
+          .as("milli_bits_per_bigram"))
+  }
+
   /** Training-mixture budget allocation by water-filling (the UniMax
     * shape, Chung et al. 2023): spread `budgetTokens` across sources
     * as evenly as possible, except no source may be repeated past

@@ -4326,4 +4326,114 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       FROM ranked r JOIN tot ON r.target = tot.target
       WHERE r.rank <= 3
       ORDER BY r.target, r.rank"""))
+
+  // ---- q292: CCNet reference-LM quality terciles --------------------------
+  // The CCNet gate (Wenzek et al. 2020): an LM trained on a REFERENCE
+  // corpus scores the crawl, and each language splits into
+  // head/middle/tail perplexity terciles — "looks like the reference"
+  // as the quality signal, where the self-corpus models (q157/q179)
+  // score crawl boilerplate as predictable BECAUSE the crawl is full
+  // of it. Reference = the md5-deterministic 25% of docs (both
+  // engines rebuild it); scoring = add-one-smoothed bigram bits in
+  // exact bitlen arithmetic (DatasetOps.referenceLmScores); tercile
+  // CUTOFFS come from the grouped-quantile machinery (threshold
+  // values per lang — never a corpus-wide ntile sort, the q208
+  // shape), then one broadcast threshold join buckets every doc;
+  // sub-2-token docs land in 'unscored' rather than masquerading as
+  // maximally clean. The oracle replays the reference deal, both LM
+  // censuses, the vocabulary size, the smoothing, every per-doc fold,
+  // the cumulative-census quantile ranks and the bucket CASE.
+
+  private[queries] val q292: GraftQuery = GraftQuery(
+    "q292_ccnet_lm_buckets",
+    (s, d) => {
+      val dd = docs(s, d)
+      val ref = dd.where(
+        conv(substring(md5(concat(lit("ccnet:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType) % 4 === 0)
+      val sc = DatasetOps.referenceLmScores(dd, ref, "doc_id", "text")
+        .join(dd.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val cuts = graft.operators.Stats.groupedExactQuantiles(
+          sc.where(col("n_bigrams") > 0)
+            .select(col("lang"), col("milli_bits_per_bigram")),
+          "lang", "milli_bits_per_bigram", Seq(333333L, 666667L))
+        .groupBy(col("grp").as("lang"))
+        .agg(min(when(col("q_ppm") === 333333L, col("value"))).as("c1"),
+          min(when(col("q_ppm") === 666667L, col("value"))).as("c2"))
+      sc.join(broadcast(cuts), Seq("lang"), "left")
+        .withColumn("bucket",
+          when(col("n_bigrams") === 0, "unscored")
+            .when(col("milli_bits_per_bigram") <= col("c1"), "head")
+            .when(col("milli_bits_per_bigram") <= col("c2"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("milli_bits_per_bigram")).as("_sm"))
+        .withColumn("mean_milli_bits",
+          expr("_sm div n_docs").cast(LongType))
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          col("mean_milli_bits"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some("""WITH ref AS (
+        SELECT text FROM documents
+        WHERE CAST(concat('0x', substring(md5('ccnet:' || doc_id), 1, 8))
+          AS BIGINT) % 4 = 0),
+      rt AS (SELECT list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0) AS tk FROM ref),
+      rbg AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, tk[i] AS cx
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM rt)),
+      rb AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY bg),
+      rc AS (SELECT cx, count(*) AS cc FROM rbg GROUP BY cx),
+      v AS (SELECT greatest(count(DISTINCT t), 1) AS v FROM
+        (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0)) AS t FROM ref)),
+      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      dbg0 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg,
+          tk[i] AS cx
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+      dbg AS (SELECT doc_id, bg, cx, count(*) AS tf
+        FROM dbg0 GROUP BY 1, 2, 3),
+      sc0 AS (SELECT doc_id, sum(tf) AS nb,
+          sum(tf * (length(bin(coalesce(rc.cc, 0) + v.v)) -
+            length(bin(coalesce(rb.cb, 0) + 1)))) AS bits
+        FROM dbg LEFT JOIN rb USING (bg) LEFT JOIN rc USING (cx)
+          CROSS JOIN v
+        GROUP BY doc_id),
+      sc AS (SELECT d.doc_id, d.lang,
+          coalesce(sc0.nb, 0) AS nb,
+          CASE WHEN coalesce(sc0.nb, 0) = 0 THEN 0
+            ELSE (sc0.bits * 1000) // sc0.nb END AS milli
+        FROM documents d LEFT JOIN sc0 USING (doc_id)),
+      cen AS (SELECT lang, milli, count(*) AS cnt FROM sc
+        WHERE nb > 0 GROUP BY 1, 2),
+      cum AS (SELECT lang, milli, cnt,
+          sum(cnt) OVER (PARTITION BY lang ORDER BY milli) AS cum
+        FROM cen),
+      n AS (SELECT lang, count(*) AS n FROM sc WHERE nb > 0
+        GROUP BY 1),
+      q(q_ppm) AS (SELECT unnest([333333, 666667])),
+      r AS (SELECT n.lang, q.q_ppm,
+          (q.q_ppm * n.n + 999999) // 1000000 AS rank_ FROM n, q),
+      qv AS (SELECT r.lang, r.q_ppm, min(cum.milli) AS value
+        FROM r JOIN cum ON cum.lang = r.lang AND cum.cum >= r.rank_
+        GROUP BY 1, 2),
+      cuts AS (SELECT lang,
+          min(CASE WHEN q_ppm = 333333 THEN value END) AS c1,
+          min(CASE WHEN q_ppm = 666667 THEN value END) AS c2
+        FROM qv GROUP BY lang),
+      b AS (SELECT sc.lang,
+          CASE WHEN nb = 0 THEN 'unscored'
+            WHEN milli <= c1 THEN 'head'
+            WHEN milli <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket, milli
+        FROM sc LEFT JOIN cuts ON sc.lang = cuts.lang)
+      SELECT lang, bucket, count(*) AS n_docs,
+        CAST(sum(milli) // count(*) AS BIGINT) AS mean_milli_bits
+      FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""))
 }

@@ -925,6 +925,47 @@ class DatasetOpsSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L)), got)
   }
 
+  test("referenceLmScores: hand-computed smoothed bits, OOV floor, self-corpus contrast") {
+    // reference: "a b a c" plus 36 distinct filler tokens → cb:
+    // "a b"=1, "b a"=1, "a c"=1; cx: a=2, b=1; V = 39 (a,b,c + r0..r35)
+    // — a vocabulary big enough that the add-one OOV floor COSTS
+    // something (with V=3 an all-OOV spam doc priced the same as
+    // under the self-corpus model, defeating the CCNet contrast below)
+    val ref = Seq((100L, "a b a c"),
+      (101L, (0 until 36).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),    // seen bigram: bitlen(2+39)-bitlen(1+1)=6-2=4
+      (2L, "a z"),    // seen ctx, unseen bigram: bitlen(41)-bitlen(1)=5
+      (3L, "q z"),    // unseen ctx: the 1/V floor — bitlen(39)-bitlen(1)=5
+      (4L, "x"), (5L, "")) // no conditional evidence → unscored zeros
+      .toDF("doc_id", "text")
+    val got = DatasetOps.referenceLmScores(docs, ref, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, 4000L),
+      (2L, 1L, 5L, 5000L),
+      (3L, 1L, 5L, 5000L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L)), got)
+    // the CCNet point: against the self-corpus model, boilerplate
+    // shared across crawl docs scores as predictable; against the
+    // reference model it costs what the REFERENCE says it costs
+    val boiler = (1L to 6L).map(i => (i, "spam spam spam buy now"))
+    val crawl = (boiler :+ (7L -> "a b a c")).toDF("doc_id", "text")
+    val selfScore = DatasetOps
+      .bigramSurprisalScores(crawl, "doc_id", "text")
+      .where($"doc_id" === 1L).select($"milli_bits_per_bigram")
+      .as[Long].head()
+    val refScore = DatasetOps
+      .referenceLmScores(crawl, ref, "doc_id", "text")
+      .where($"doc_id" === 1L).select($"milli_bits_per_bigram")
+      .as[Long].head()
+    assert(refScore > selfScore,
+      s"reference LM must not reward crawl-frequent spam: ref=$refScore self=$selfScore")
+  }
+
   test("histogram: integer bin edges, out-of-range bins, null exclusion") {
     // [0, 100) in 4 bins of width 25
     val df = Seq[java.lang.Long](0L, 24L, 25L, 99L, 100L, -5L, null, 50L)
