@@ -1227,24 +1227,31 @@ object DatasetOps {
     *
     * Scale shape: the reference censuses (bigram, context, V) are
     * map-side-combined aggregates over the REFERENCE only (the small
-    * side by construction); the crawl folds to (doc, bigram, tf)
-    * before the gram-keyed LEFT joins (hot-bigram multiplicity ≤
-    * #docs, AQE-skew-splittable); V rides as a broadcast scalar.
+    * side by construction; the context census derives FROM the bigram
+    * census — `c(prev,·) = Σ c(prev,cur)` — so the reference is
+    * shingled once); token arrays are projected attributes before
+    * shingling (the lambda-CSE rule, §8.2); the crawl folds to (doc,
+    * bigram, tf) before the gram-keyed LEFT joins (hot-bigram
+    * multiplicity ≤ #docs, AQE-skew-splittable); V rides as a
+    * broadcast scalar.
     *
-    * @return one row per doc: idCol, n_bigrams, surprisal_bits,
-    *         milli_bits_per_bigram. */
+    * @return docs + n_bigrams, surprisal_bits, milli_bits_per_bigram
+    *         (the [[exciseSpans]] append-columns shape). */
   def referenceLmScores(docs: DataFrame, ref: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    def bgs(df: DataFrame, cols: Column*) = df.select(cols :+
-      explode(wordShingles(whitespaceTokens(col(textCol)), 2)).as("_bg"): _*)
-    val refBg = bgs(ref).groupBy(col("_bg")).agg(count(lit(1)).as("_cb"))
-    val refCtx = bgs(ref)
-      .select(substring_index(col("_bg"), " ", 1).as("_cx"))
-      .groupBy(col("_cx")).agg(count(lit(1)).as("_cc"))
-    val vocab = ref
-      .select(explode(whitespaceTokens(col(textCol))).as("_t"))
+    val refToked = ref.select(whitespaceTokens(col(textCol)).as("_tk"))
+    val refBg = refToked
+      .select(explode(wordShingles(col("_tk"), 2)).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("_cb"))
+    val refCtx = refBg
+      .groupBy(substring_index(col("_bg"), " ", 1).as("_cx"))
+      .agg(sum(col("_cb")).as("_cc"))
+    val vocab = refToked
+      .select(explode(col("_tk")).as("_t"))
       .agg(greatest(countDistinct(col("_t")), lit(1L)).as("_v"))
-    val dbg = bgs(docs, col(idCol))
+    val dbg = docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(wordShingles(col("_tk"), 2)).as("_bg"))
       .groupBy(col(idCol), col("_bg"))
       .agg(count(lit(1)).as("_tf"))
       .withColumn("_cx", substring_index(col("_bg"), " ", 1))
@@ -1257,15 +1264,15 @@ object DatasetOps {
           length(bin(coalesce(col("_cb"), lit(0L)) + 1)))
           .cast(LongType).as("_bits"))
       .groupBy(col(idCol))
-      .agg(sum(col("_tf")).as("n_bigrams"),
-        sum(col("_tf") * col("_bits")).as("surprisal_bits"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
-        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
-          .otherwise(expr("(surprisal_bits * 1000L) div n_bigrams"))
-          .as("milli_bits_per_bigram"))
+      .agg(sum(col("_tf")).as("_nb"),
+        sum(col("_tf") * col("_bits")).as("_sb"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("_nb"), lit(0L)))
+      .withColumn("surprisal_bits", coalesce(col("_sb"), lit(0L)))
+      .withColumn("milli_bits_per_bigram",
+        when(col("n_bigrams") === 0L, lit(0L))
+          .otherwise(expr("(surprisal_bits * 1000L) div n_bigrams")))
+      .drop("_nb", "_sb")
   }
 
   /** Training-mixture budget allocation by water-filling (the UniMax

@@ -36,6 +36,30 @@ object Scratch {
         val d = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
         val fn = graft.SparkEntry.queries(name)
         for (i <- 1 to 3) time(s"$name-$i")(fn(spark, d).count())
+      case "lm" =>
+        // stage-by-stage timing of referenceLmScores (q292 tuning)
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions._
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+        val dd = graft.sources.Tables.documents(spark, d)
+        val ref = dd.where(conv(substring(md5(concat(lit("ccnet:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 4 === 0)
+        time("refBg") { ref.select(whitespaceTokens(col("text")).as("_tk"))
+          .select(explode(wordShingles(col("_tk"), 2)).as("_bg"))
+          .groupBy("_bg").count().count() }
+        time("dbg") { dd.select(col("doc_id"),
+            whitespaceTokens(col("text")).as("_tk"))
+          .select(col("doc_id"), explode(wordShingles(col("_tk"), 2)).as("_bg"))
+          .groupBy(col("doc_id"), col("_bg")).count().count() }
+        time("vocab") { ref.select(explode(whitespaceTokens(col("text"))).as("_t"))
+          .agg(countDistinct(col("_t"))).count() }
+        time("full") { graft.operators.DatasetOps
+          .referenceLmScores(dd, ref, "doc_id", "text")
+          .groupBy(col("lang")).count().count() }
+        time("full2") { graft.operators.DatasetOps
+          .referenceLmScores(dd, ref, "doc_id", "text")
+          .groupBy(col("lang")).count().count() }
       case "verify" =>
         // subset correctness dump (same arg order as graft.Verify):
         //   runMain graft.tools.Scratch verify <sfDir> <outDir> <name1> [...]

@@ -941,6 +941,8 @@ class DatasetOpsSpec extends AnyFunSuite {
       (4L, "x"), (5L, "")) // no conditional evidence → unscored zeros
       .toDF("doc_id", "text")
     val got = DatasetOps.referenceLmScores(docs, ref, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"surprisal_bits",
+        $"milli_bits_per_bigram")
       .orderBy($"doc_id")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
