@@ -432,6 +432,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             keepFrac = frac)
           .queryExecution.analyzed
       }))
+    // Duplicate-span excision from SQL (q290's operator — the
+    // exact-substring dedup tier through the parser door):
+    //   dup_span_excise(table, id_col, text_col, k)
+    // Emits the input columns plus (clean_text, chars_removed) — the
+    // same append-columns shape the Scala surface returns.
+    ext.injectTableFunction((
+      new FunctionIdentifier("dup_span_excise"),
+      new ExpressionInfo("graft.operators.Dedup", "dup_span_excise"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: dup_span_excise(table, id_col, text_col, k)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tbl = spark.table(strLit(children(0), "table"))
+        val idCol = strLit(children(1), "id_col")
+        val textCol = strLit(children(2), "text_col")
+        val k = longLit(children(3), "k")
+        Seq(idCol, textCol).foreach(c => require(tbl.columns.contains(c),
+          s"dup_span_excise: table lacks column '$c'"))
+        require(k >= 8 && k <= 256,
+          s"dup_span_excise: k must be in [8, 256], got $k")
+        val spans = graft.operators.Dedup.dupSpans(tbl, idCol, textCol,
+          k.toInt)
+        graft.operators.Dedup.exciseSpans(tbl, spans, idCol, textCol)
+          .queryExecution.analyzed
+      }))
     // WARC record extraction from SQL (q258's operator — crawl stage
     // zero through the parser door):
     //   warc_records(table, blob_col)

@@ -1510,4 +1510,69 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
             1, 8)) AS BIGINT)) AS BIGINT) AS clean_mass
         FROM alldocs GROUP BY source ORDER BY source"""))
   }
+
+  // ---- q293: span excision from SQL (the TVF door) ----------------------
+  // q290's operator reached from pure SQL text over the UNPLANTED
+  // corpus (the synthetic text carries natural 25-gram repetition):
+  // the `dup_span_excise` TVF expands into the same dupSpans →
+  // exciseSpans composition, and the oracle replays gram marking,
+  // keep-first, interval merge and reassembly per affected doc — the
+  // md5 signature over each cleaned text pins the rewrite row by row.
+
+  private[queries] val q293: GraftQuery = GraftQuery(
+    "q293_sql_span_excise",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT doc_id, chars_removed,
+          substring(md5(clean_text), 1, 8) AS clean_sig
+        FROM dup_span_excise('documents', 'doc_id', 'text', 25)
+        WHERE chars_removed > 0 ORDER BY doc_id""")
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, pos,
+          CAST(concat('0x', substring(md5(substr(text,
+            CAST(pos AS INT), 25)), 1, 15)) AS BIGINT) AS h
+        FROM documents, unnest(generate_series(1, length(text) - 24))
+          AS u(pos)
+        WHERE length(text) >= 25),
+      f AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM g),
+      iv AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 24) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(-1 AS BIGINT))
+            THEN 1 ELSE 0 END AS flag
+        FROM f WHERE rn >= 2),
+      grp AS (
+        SELECT doc_id, pos,
+          sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM iv),
+      spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 24 AS e
+        FROM grp GROUP BY doc_id, gid
+        HAVING max(pos) + 24 - min(pos) + 1 >= 25),
+      seg AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p,
+          s - 1 AS q
+        FROM spans
+        UNION ALL
+        SELECT doc_id, max(e) AS p, NULL AS q FROM spans GROUP BY doc_id),
+      cleanedS AS (
+        SELECT seg.doc_id,
+          string_agg(substr(d.text, CAST(seg.p + 1 AS INT),
+            CAST(coalesce(seg.q, length(d.text)) - seg.p AS INT)), ''
+            ORDER BY seg.p) AS clean,
+          (SELECT sum(e - s + 1) FROM spans sp
+            WHERE sp.doc_id = seg.doc_id) AS removed
+        FROM seg JOIN documents d ON seg.doc_id = d.doc_id
+        GROUP BY seg.doc_id)
+      SELECT doc_id, CAST(removed AS BIGINT) AS chars_removed,
+        substring(md5(clean), 1, 8) AS clean_sig
+      FROM cleanedS ORDER BY doc_id"""))
 }

@@ -683,6 +683,33 @@ class DedupSpec extends AnyFunSuite {
     assert(cut(2L)._2 == snip.length + 1L, s"got ${cut(2L)}")
   }
 
+  test("dup_span_excise TVF equals the direct path; bad args refuse loudly") {
+    val boiler = " Subscribe now for weekly updates and exclusive offers today!"
+    val d = Seq((1L, spanBody("alpha", 12) + boiler),
+      (2L, spanBody("bravo", 12) + boiler))
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("spanfix")
+    val viaSql = spark.sql(
+      """SELECT doc_id, clean_text, chars_removed
+        FROM dup_span_excise('spanfix', 'doc_id', 'text', 20)
+        ORDER BY doc_id""")
+      .as[(Long, String, Long)].collect().toSeq
+    val spans = Dedup.dupSpans(d, "doc_id", "text", k = 20)
+    val direct = Dedup.exciseSpans(d, spans, "doc_id", "text")
+      .select($"doc_id", $"clean_text", $"chars_removed")
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(viaSql == direct)
+    assert(direct(1)._3 == boiler.length.toLong)
+    val badK = intercept[Exception] {
+      spark.sql("SELECT * FROM dup_span_excise('spanfix', 'doc_id', 'text', 4)")
+    }
+    assert(badK.getMessage.contains("k must be in [8, 256]"))
+    val badCol = intercept[Exception] {
+      spark.sql("SELECT * FROM dup_span_excise('spanfix', 'doc_id', 'body', 20)")
+    }
+    assert(badCol.getMessage.contains("lacks column 'body'"))
+  }
+
   test("dupSpans content-keyed sampling finds copies at unaligned offsets") {
     // shared block at offsets differing by 1 (≠ 0 mod sample):
     // position-strided sampling would miss it; content-keyed must not
