@@ -184,6 +184,72 @@ object Graph {
   /** The shared damped-update loop (see [[pageRank]]'s scaladoc for
     * the lineage-hygiene design): `mkBase` builds the static
     * `(node, _base)` teleport table from the node set and its count. */
+  /** HITS hubs & authorities (Kleinberg 1999) — the OTHER link
+    * centrality: PageRank scores "where a random surfer lands"; HITS
+    * separates DIRECTORY pages (hubs — point at good content) from
+    * CONTENT pages (authorities — pointed at by good hubs), the
+    * asymmetry a crawl scheduler exploits (fetch authorities for the
+    * corpus, fetch hubs for DISCOVERY — a high-hub page refills the
+    * frontier). Same iterated-relational discipline as [[pageRank]]:
+    * each half-step is one join from the opposite score to the edge
+    * table plus a map-side-combined sum — no graph runtime.
+    *
+    * Integer determinism: scores start at `scale` per node and each
+    * half-step sum-normalizes back to ≈`scale` total via the integer
+    * quotient `raw div greatest(tot div scale, 1)` — one global
+    * scalar per half-step (HITS requires normalization; the L2 norm
+    * of the textbook is replaced by the sum norm, which steers the
+    * same power iteration and stays in int64: raw ≤ n·scale, so
+    * `scale ≤ 1e9` keeps every sum exact for n ≤ 9.2e9 nodes).
+    * Truncation loses mass deterministically, as in [[pageRank]].
+    *
+    * @return (node, hub_score, auth_score) for every node appearing
+    *         as src or dst; nodes with no in-edges carry auth 0,
+    *         no out-edges hub 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, scale: Long = 1000000000L,
+           assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters must be in [1, 20] (each is two edge shuffles), got $iters")
+    require(scale >= 1L && scale <= 1000000000L,
+      s"scale must be in [1, 1e9] (keeps n·scale sums int64-safe), got $scale")
+    val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct())
+      .localCheckpoint(true)
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct().localCheckpoint(true)
+    def normalized(rawPlan: DataFrame, keyCol: String): DataFrame = {
+      // raw is consumed TWICE (global total + per-node values); the
+      // eager checkpoint keeps lineage linear across rounds — without
+      // it each half-step doubles the logical plan (the clusterReps
+      // lesson). raw is node-sized, so the materialization is cheap.
+      val raw = rawPlan.localCheckpoint(true)
+      val tot = raw.agg(greatest(sum(col("_r")), lit(1L)).as("_t"))
+      nodes
+        .join(raw, nodes("node") === raw(keyCol), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"coalesce(_r, 0L) div greatest(_t div ${scale}L, 1L)")
+            .as("_s"))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("_s"))
+    var auth = nodes.select(col("node"), lit(scale).as("_s"))
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        e.join(hub, e("_src") === hub("node"))
+          .groupBy(col("_dst")).agg(sum(col("_s")).as("_r")),
+        "_dst")
+      hub = normalized(
+        e.join(auth, e("_dst") === auth("node"))
+          .groupBy(col("_src")).agg(sum(col("_s")).as("_r")),
+        "_src")
+    }
+    hub.select(col("node"), col("_s").as("hub_score"))
+      .join(auth.select(col("node"), col("_s").as("auth_score")),
+        Seq("node"))
+  }
+
   private def dampedLoop(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int, dampingPct: Int,
                          assumeDistinct: Boolean)(

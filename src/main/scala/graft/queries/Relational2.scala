@@ -780,6 +780,62 @@ object Relational2 {
       WHERE node LIKE 'p:%'
       ORDER BY score DESC, node LIMIT 25"""))
 
+  // ---- q294: HITS hubs & authorities over the purchase graph ---------
+  // The DIRECTED customer→part graph through Graph.hits: PageRank
+  // (q153) scores one centrality; HITS separates the two roles —
+  // customers that buy broadly are HUBS, parts bought by good hubs
+  // are AUTHORITIES — the asymmetry a crawl scheduler exploits
+  // (authorities fill the corpus, hubs refill the frontier). Two
+  // sum-normalized integer rounds; the oracle unrolls all four
+  // half-steps — raw sums, the global totals, the integer quotient
+  // normalization — in the same int64 arithmetic, so a drifted join
+  // direction or a float norm anywhere flips the hash.
+
+  private val q294 = GraftQuery(
+    "q294_hits",
+    (s, d) => {
+      val cp = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+      graft.operators.Graph.hits(cp, "src", "dst", iters = 2)
+        .orderBy(col("auth_score").desc, col("node")).limit(25)
+    },
+    Some("""WITH e AS (SELECT DISTINCT 'c:' || o_custkey AS src,
+          'p:' || l_partkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, 1000000000 AS s FROM n),
+      a0 AS (SELECT node, 1000000000 AS s FROM n),
+      ra1 AS (SELECT e.dst AS node, sum(h0.s) AS r
+        FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+      ta1 AS (SELECT greatest(sum(r), 1) AS t FROM ra1),
+      a1 AS (SELECT n.node,
+          coalesce(ra1.r, 0) // greatest(ta1.t // 1000000000, 1) AS s
+        FROM n LEFT JOIN ra1 ON ra1.node = n.node, ta1),
+      rh1 AS (SELECT e.src AS node, sum(a1.s) AS r
+        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+      th1 AS (SELECT greatest(sum(r), 1) AS t FROM rh1),
+      h1 AS (SELECT n.node,
+          coalesce(rh1.r, 0) // greatest(th1.t // 1000000000, 1) AS s
+        FROM n LEFT JOIN rh1 ON rh1.node = n.node, th1),
+      ra2 AS (SELECT e.dst AS node, sum(h1.s) AS r
+        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+      ta2 AS (SELECT greatest(sum(r), 1) AS t FROM ra2),
+      a2 AS (SELECT n.node,
+          coalesce(ra2.r, 0) // greatest(ta2.t // 1000000000, 1) AS s
+        FROM n LEFT JOIN ra2 ON ra2.node = n.node, ta2),
+      rh2 AS (SELECT e.src AS node, sum(a2.s) AS r
+        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+      th2 AS (SELECT greatest(sum(r), 1) AS t FROM rh2),
+      h2 AS (SELECT n.node,
+          coalesce(rh2.r, 0) // greatest(th2.t // 1000000000, 1) AS s
+        FROM n LEFT JOIN rh2 ON rh2.node = n.node, th2)
+      SELECT h2.node, CAST(h2.s AS BIGINT) AS hub_score,
+        CAST(a2.s AS BIGINT) AS auth_score
+      FROM h2 JOIN a2 ON h2.node = a2.node
+      ORDER BY auth_score DESC, h2.node LIMIT 25"""))
+
   /** Canonical co-purchase pair counts (`pa < pb`, weight = #distinct
     * orders containing both) as a materialized table shared by q169
     * (weight floor → triangle edges) and q182 (directed rules are the
@@ -1070,5 +1126,5 @@ object Relational2 {
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
       q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180, q182,
-      q184, q186, q187, q213)
+      q184, q186, q187, q213, q294)
 }

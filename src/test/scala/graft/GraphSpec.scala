@@ -138,4 +138,51 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got2 == got)
   }
+
+  /** JVM reference with the identical sum-normalized integer
+    * arithmetic as Graph.hits. */
+  private def referenceHits(edges: Seq[(String, String)], iters: Int,
+                            scale: Long = 1000000000L)
+      : Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> scale).toMap
+    def norm(raw: Map[String, Long]): Map[String, Long] = {
+      val t = math.max(raw.values.sum, 1L)
+      val q = math.max(t / scale, 1L)
+      nodes.map(n => n -> raw.getOrElse(n, 0L) / q).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = norm(e.groupBy(_._2).view
+        .mapValues(_.map(p => hub(p._1)).sum).toMap)
+      hub = norm(e.groupBy(_._1).view
+        .mapValues(_.map(p => auth(p._2)).sum).toMap)
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("hits equals the JVM reference; hubs and authorities separate on a directed star") {
+    // h1 points at everything (pure hub); a1 is pointed at by
+    // everything (pure authority); m does both
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h1", "m"),
+      ("m", "a1"), ("h2", "a1"))
+    val got = Graph.hits(edges.toDF("s", "t"), "s", "t", iters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = referenceHits(edges, 2)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // role separation: the pure hub has zero authority and the top
+    // hub score; the pure authority has zero hub and the top auth
+    assert(got("h1")._2 == 0L && got("a1")._1 == 0L)
+    assert(got("h1")._1 == got.values.map(_._1).max)
+    assert(got("a1")._2 == got.values.map(_._2).max)
+    // the mixed node carries both roles
+    assert(got("m")._1 > 0L && got("m")._2 > 0L)
+    // duplicate edges count once
+    val got3 = Graph.hits((edges ++ edges).toDF("s", "t"), "s", "t",
+      iters = 2).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got3 == got)
+  }
 }
