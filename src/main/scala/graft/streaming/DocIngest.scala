@@ -1072,6 +1072,85 @@ object DocIngest {
       case None => emptyKmv(spark)
     }
 
+  private def emptyLinkGraph(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("target", StringType),
+        StructField("src_host", StringType),
+        StructField("n_links", LongType))))
+
+  /** Streaming LINK-GRAPH census — the incrementally-maintained
+    * WAT-shaped view feeding the authority tier (q286's PageRank,
+    * q294's HITS rank whatever edge table they are handed; this keeps
+    * that table CURRENT as fetches land): each arriving page's
+    * anchors extract ([[graft.functions.TextFunctions.extractAnchors]]),
+    * resolve against the page URL, normalize, and fold into a
+    * persisted (target, src_host, n_links) census under the
+    * `v=<batchId>` out-of-place versioning (retry-idempotent: a
+    * replayed batch recomputes from the same prior version and
+    * overwrites its own snapshot — counts are sums, so the in-place
+    * append the sketch ingest uses would double-count here).
+    *
+    * State keys on (target, referring host), so it grows with the
+    * DISTINCT cross-site link set — never with crawl traffic — and
+    * distinct-host counts stay EXACT under merging (a (target, count)
+    * census could never merge them). Internal links are excluded:
+    * same-site nav would dominate every census and carries no
+    * cross-site signal. `page_url` is expected already-canonical —
+    * in this pipeline pages are fetched FROM the frontier queue,
+    * which stores urlNormalize output, so the internal-link compare
+    * sees both sides in the same spelling. */
+  def runLinkGraphIngest(spark: SparkSession, rawDir: String,
+                         stateDir: String, checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = StructType(Seq(StructField("page_url", StringType),
+      StructField("html", StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = ViewIngest.versionDirs(spark, stateDir)
+          .filter(_._1 < batchId).sortBy(_._1).lastOption match {
+          case Some((_, dir)) => spark.read.parquet(dir)
+          case None => emptyLinkGraph(spark)
+        }
+        val site = regexp_extract(col("page_url"), "^(https?://[^/]+)", 1)
+        val part = batch
+          .select(site.as("site"), col("page_url"), col("html"))
+          .select(col("site"),
+            explode(graft.functions.TextFunctions
+              .extractAnchors(col("html"), col("page_url"))).as("a"))
+          .select(col("site"),
+            graft.functions.TextFunctions.urlNormalize(col("a.url"))
+              .as("target"))
+          .where(substring(col("target"), lit(1), length(col("site"))) =!=
+            col("site"))
+          .select(col("target"),
+            regexp_extract(col("site"), "^https?://(.+)$", 1)
+              .as("src_host"))
+          .groupBy(col("target"), col("src_host"))
+          .agg(count(lit(1)).as("n_links"))
+        prev.unionByName(part)
+          .groupBy(col("target"), col("src_host"))
+          .agg(sum(col("n_links")).cast(LongType).as("n_links"))
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest link-graph snapshot: (target, src_host, n_links). */
+  def readLinkGraph(spark: SparkSession, stateDir: String): DataFrame =
+    ViewIngest.versionDirs(spark, stateDir).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None => emptyLinkGraph(spark)
+    }
+
   /** Streaming running-cardinality maintenance — the KMV twin of the
     * count-min ingest: each micro-batch's tokens are hashed and
     * min-k-merged into the persisted per-source min-set

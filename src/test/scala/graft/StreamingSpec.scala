@@ -1011,6 +1011,56 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming link-graph ingest: census equals the batch census over the union; hosts stay exact") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_linkgraph_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val state = root.resolve("state")
+    val ckpt = root.resolve("ckpt")
+    def page(host: String, path: String, hrefs: Seq[(String, String)]) =
+      (s"https://$host$path",
+        hrefs.map { case (u, t) => s"""<a href="$u">$t</a>""" }.mkString)
+    // shard 1: two hosts both link hub/x (internal nav excluded);
+    // shard 2: a REPEAT of one (target, host) edge — must sum, not
+    // re-key — plus a brand-new target
+    val shard1 = Seq(
+      page("alpha.org", "/p1", Seq(
+        ("http://hub.example.com/x", "good stuff"),
+        ("/nav", "internal"),
+        ("http://hub.example.com/y", "other"))),
+      page("beta.org", "/p1", Seq(
+        ("http://hub.example.com/x", "also good"))))
+    val shard2 = Seq(
+      page("alpha.org", "/p2", Seq(
+        ("http://hub.example.com/x", "again"),
+        ("http://wiki.example.org/w", "wiki"))))
+    shard1.toDF("page_url", "html").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    shard2.toDF("page_url", "html").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runLinkGraphIngest(spark, raw.toString + "/*/",
+      state.toString, ckpt.toString)
+    val got = DocIngest.readLinkGraph(spark, state.toString)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("http://hub.example.com/x", "alpha.org") -> 2L, // summed across shards
+      ("http://hub.example.com/x", "beta.org") -> 1L,
+      ("http://hub.example.com/y", "alpha.org") -> 1L,
+      ("http://wiki.example.org/w", "alpha.org") -> 1L), s"got $got")
+    // the exact distinct-host read the state keying exists for
+    val hosts = DocIngest.readLinkGraph(spark, state.toString)
+      .groupBy($"target")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_hosts"))
+      .as[(String, Long)].collect().toMap
+    assert(hosts("http://hub.example.com/x") == 2L)
+    // internal /nav never entered the census
+    assert(!got.keys.exists(_._1.contains("alpha.org")))
+    deleteRec(root)
+  }
+
   // real-crawl-shaped WARC fixtures: record payloads are full HTTP
   // response messages (status line + headers + blank line + body)
   private def httpMsg(status: Int, ct: String, body: String) =
