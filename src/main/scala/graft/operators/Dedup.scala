@@ -878,6 +878,15 @@ object Dedup {
     * Positions are 1-based CHARACTERS (both engines' substr
     * semantics); spans are inclusive [span_start, span_end].
     *
+    * Keep-first rides a PACKED location key `id·2²² + pos` — a
+    * `min(struct(id, pos))` is lexicographically identical but falls
+    * out of HashAggregate into a sort aggregate (structs are not
+    * mutable-buffer types), measured 10× slower on the gram census;
+    * the long min stays codegen'd. Pack contract: doc ids < 2⁴¹ and
+    * docs < 4 Mi chars (chunk longer docs first — q100's operator);
+    * violations would corrupt only the keep-first ORDER, never span
+    * detection.
+    *
     * @return (idCol, span_start, span_end) — merged spans of length
     *         ≥ max(minSpan, k), disjoint per doc, sorted by caller.
     */
@@ -890,6 +899,13 @@ object Dedup {
     val locs = df
       .select(col(idCol).cast(LongType).as("_id"), col(textCol).as("_t"))
       .where(col("_t").isNotNull && length(col("_t")) >= k)
+      // explicit pre-repartition before the row-multiplying explode
+      // (the q44/LSH lesson, SURVEY §8.3): a single-file scan would
+      // fan a corpus × len gram expansion out on one or two cores —
+      // and the partition count must be EXPLICIT or AQE coalesces the
+      // small pre-explode shuffle right back to one partition
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("_id"))
       .select(col("_id"), col("_t"),
         explode(sequence(lit(1L),
           (length(col("_t")) - (k - 1)).cast(LongType))).as("_pos"))
@@ -897,13 +913,12 @@ object Dedup {
         conv(substring(md5(col("_t").substr(col("_pos").cast(IntegerType),
           lit(k))), 1, 15), 16, 10).cast(LongType).as("_h"))
       .where(col("_h") % lit(sample.toLong) === 0)
+      .withColumn("_loc", col("_id") * lit(4194304L) + col("_pos"))
     val census = locs.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(col("_id"), col("_pos"))).as("_first"))
+      .agg(count(lit(1)).as("_cnt"), min(col("_loc")).as("_first"))
       .where(col("_cnt") > 1)
     val marked = locs.join(census, Seq("_h"))
-      .where(!(col("_id") === col("_first._id") &&
-        col("_pos") === col("_first._pos")))
+      .where(col("_loc") =!= col("_first"))
       .select(col("_id"), col("_pos"))
     val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     val prevMax = max(col("_pos") + (k - 1))

@@ -4464,4 +4464,173 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       SELECT lang, bucket, count(*) AS n_docs,
         CAST(sum(milli) // count(*) AS BIGINT) AS mean_milli_bits
       FROM b GROUP BY 1, 2 ORDER BY lang, bucket"""))
+
+  // ---- q295: cleaning recipe v2 (excise → reference-LM gate) -----------
+  // The round's new tiers composing end to end in ONE statement — the
+  // q75/q102/q263 recipe pattern: duplicated spans are CUT OUT first
+  // (q290's operator — dedup before LM scoring, or the boilerplate
+  // you are about to remove poisons the reference model trained on
+  // the same corpus), the reference LM then scores the CLEANED texts
+  // (reference = the md5 25% of cleaned docs), and the gate keeps
+  // scored docs at or below the per-lang middle-tercile cutoff
+  // (head + middle — the CCNet keep rule). Interop is the point: the
+  // LM tokenizes text whose excised seams created NEW bigrams, and
+  // both engines must replay those seams identically. Stage
+  // boundaries are eager localCheckpoints (narrow columns only — the
+  // cleaned corpus and the per-doc scores each feed two consumers;
+  // a deployment lands them as tables, which the recipe mirrors).
+  // Census per lang: docs, kept, kept chars, and an md5 mass over
+  // every kept (doc_id, cleaned text) — one wrong seam or one
+  // mis-bucketed doc flips a cell.
+
+  private[queries] val q295: GraftQuery = GraftQuery(
+    "q295_cleaning_recipe_v2",
+    (s, d) => {
+      val dd = docs(s, d)
+      val spans = Dedup.dupSpans(dd, "doc_id", "text", k = 25)
+      val cleaned = Dedup.exciseSpans(dd, spans, "doc_id", "text")
+        .select(col("doc_id"), col("lang"),
+          col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val ref = cleaned.where(
+        conv(substring(md5(concat(lit("ccnet:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType) % 4 === 0)
+      val sc = DatasetOps.referenceLmScores(cleaned, ref, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("milli_bits_per_bigram").as("milli"))
+        .localCheckpoint(true)
+      val cum = sc.where(col("n_bigrams") > 0)
+        .groupBy(col("lang"), col("milli"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("milli"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val ranks = sc.where(col("n_bigrams") > 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+        .withColumn("rank_", expr("(666667L * _n + 999999L) div 1000000L"))
+      val cuts = cum.join(ranks, Seq("lang"))
+        .where(col("cum") >= col("rank_"))
+        .groupBy(col("lang")).agg(min(col("milli")).as("c2"))
+      val gated = sc.join(broadcast(cuts), Seq("lang"), "left")
+        .withColumn("kept",
+          col("n_bigrams") > 0 && col("milli") <= col("c2"))
+      gated.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType)
+            .as("n_kept"),
+          sum(when(col("kept"), length(col("text"))).otherwise(0L))
+            .cast(LongType).as("kept_chars"),
+          sum(when(col("kept"),
+            conv(substring(md5(concat(col("doc_id").cast(StringType),
+              lit(":"), col("text"))), 1, 8), 16, 10).cast(LongType))
+            .otherwise(0L)).cast(LongType).as("kept_mass"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, pos,
+          CAST(concat('0x', substring(md5(substr(text,
+            CAST(pos AS INT), 25)), 1, 15)) AS BIGINT) AS h
+        FROM documents, unnest(generate_series(1, length(text) - 24))
+          AS u(pos)
+        WHERE length(text) >= 25),
+      f AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM g),
+      iv AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 24) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(-1 AS BIGINT))
+            THEN 1 ELSE 0 END AS flag
+        FROM f WHERE rn >= 2),
+      grp AS (
+        SELECT doc_id, pos,
+          sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM iv),
+      spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 24 AS e
+        FROM grp GROUP BY doc_id, gid
+        HAVING max(pos) + 24 - min(pos) + 1 >= 25),
+      seg AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p,
+          s - 1 AS q
+        FROM spans
+        UNION ALL
+        SELECT doc_id, max(e) AS p, NULL AS q FROM spans GROUP BY doc_id),
+      cleanedS AS (
+        SELECT seg.doc_id,
+          string_agg(substr(d.text, CAST(seg.p + 1 AS INT),
+            CAST(coalesce(seg.q, length(d.text)) - seg.p AS INT)), ''
+            ORDER BY seg.p) AS clean
+        FROM seg JOIN documents d ON seg.doc_id = d.doc_id
+        GROUP BY seg.doc_id),
+      corpus AS (
+        SELECT d.doc_id, d.lang, coalesce(c.clean, d.text) AS text
+        FROM documents d LEFT JOIN cleanedS c ON d.doc_id = c.doc_id),
+      ref AS (
+        SELECT text FROM corpus
+        WHERE CAST(concat('0x', substring(md5('ccnet:' || doc_id), 1, 8))
+          AS BIGINT) % 4 = 0),
+      rt AS (SELECT list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0) AS tk FROM ref),
+      rbg AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, tk[i] AS cx
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM rt)),
+      rb AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY bg),
+      rc AS (SELECT cx, count(*) AS cc FROM rbg GROUP BY cx),
+      v AS (SELECT greatest(count(DISTINCT t), 1) AS v FROM
+        (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0)) AS t FROM ref)),
+      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM corpus),
+      dbg0 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg,
+          tk[i] AS cx
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+      dbg AS (SELECT doc_id, bg, cx, count(*) AS tf
+        FROM dbg0 GROUP BY 1, 2, 3),
+      sc0 AS (SELECT doc_id, sum(tf) AS nb,
+          sum(tf * (length(bin(coalesce(rc.cc, 0) + v.v)) -
+            length(bin(coalesce(rb.cb, 0) + 1)))) AS bits
+        FROM dbg LEFT JOIN rb USING (bg) LEFT JOIN rc USING (cx)
+          CROSS JOIN v
+        GROUP BY doc_id),
+      sc AS (SELECT co.doc_id, co.lang, co.text,
+          coalesce(sc0.nb, 0) AS nb,
+          CASE WHEN coalesce(sc0.nb, 0) = 0 THEN 0
+            ELSE (sc0.bits * 1000) // sc0.nb END AS milli
+        FROM corpus co LEFT JOIN sc0 USING (doc_id)),
+      cen AS (SELECT lang, milli, count(*) AS cnt FROM sc
+        WHERE nb > 0 GROUP BY 1, 2),
+      cum AS (SELECT lang, milli, cnt,
+          sum(cnt) OVER (PARTITION BY lang ORDER BY milli) AS cum
+        FROM cen),
+      n AS (SELECT lang, count(*) AS n FROM sc WHERE nb > 0
+        GROUP BY 1),
+      r AS (SELECT n.lang,
+          (666667 * n.n + 999999) // 1000000 AS rank_ FROM n),
+      cuts AS (SELECT r.lang, min(cum.milli) AS c2
+        FROM r JOIN cum ON cum.lang = r.lang AND cum.cum >= r.rank_
+        GROUP BY r.lang),
+      gated AS (SELECT sc.*,
+          sc.nb > 0 AND sc.milli <= cuts.c2 AS kept
+        FROM sc LEFT JOIN cuts ON sc.lang = cuts.lang)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN length(text) ELSE 0 END) AS BIGINT)
+          AS kept_chars,
+        CAST(sum(CASE WHEN kept THEN CAST(concat('0x',
+          substring(md5(doc_id || ':' || text), 1, 8)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS kept_mass
+      FROM gated GROUP BY lang ORDER BY lang"""))
 }

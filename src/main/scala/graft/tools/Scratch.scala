@@ -60,6 +60,38 @@ object Scratch {
         time("full2") { graft.operators.DatasetOps
           .referenceLmScores(dd, ref, "doc_id", "text")
           .groupBy(col("lang")).count().count() }
+      case "recipe" =>
+        // stage-by-stage timing of the q295 composition
+        import org.apache.spark.sql.functions._
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+        val dd = graft.sources.Tables.documents(spark, d)
+        for (i <- 1 to 2) {
+          time(s"spans-$i") { graft.operators.Dedup
+            .dupSpans(dd, "doc_id", "text", k = 25).count() }
+          time(s"cleaned-ckpt-$i") {
+            val spans = graft.operators.Dedup
+              .dupSpans(dd, "doc_id", "text", k = 25)
+            graft.operators.Dedup.exciseSpans(dd, spans, "doc_id", "text")
+              .select(col("doc_id"), col("lang"),
+                col("clean_text").as("text"))
+              .localCheckpoint(true).count()
+          }
+          val spans = graft.operators.Dedup
+            .dupSpans(dd, "doc_id", "text", k = 25)
+          val cleaned = graft.operators.Dedup
+            .exciseSpans(dd, spans, "doc_id", "text")
+            .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+            .localCheckpoint(true)
+          val ref = cleaned.where(
+            conv(substring(md5(concat(lit("ccnet:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 4 === 0)
+          time(s"lm-$i") { graft.operators.DatasetOps
+            .referenceLmScores(cleaned, ref, "doc_id", "text")
+            .select(col("doc_id"), col("lang"), col("n_bigrams"),
+              col("milli_bits_per_bigram").as("milli"))
+            .localCheckpoint(true).count() }
+        }
       case "verify" =>
         // subset correctness dump (same arg order as graft.Verify):
         //   runMain graft.tools.Scratch verify <sfDir> <outDir> <name1> [...]
