@@ -105,6 +105,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // ([^?] spans the whole rest or nothing) — '?next=/' is data
         Concat(Seq(noWww, rr(rest, "^([^?]*?)/+$", "$1")))
       }))
+    // Anchor (href, text) extraction from SQL — the WAT-signal door:
+    //   extract_anchors(html, page_url) → array<struct<url, text>>
+    //   extract_links(html, page_url)   → array<string>
+    // Both expand at resolution into the IDENTICAL Column chains the
+    // Scala surface builds (GraftPlanBridge.columnOf/exprOf — the
+    // chains carry zip_with/filter lambdas, which have no practical
+    // hand-built raw-tree form), so resolution drift between the two
+    // doors is impossible by construction.
+    ext.injectFunction((
+      new FunctionIdentifier("extract_anchors"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "extract_anchors"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "extract_anchors expects (html, page_url)")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.extractAnchors(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(0)),
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(1))))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("extract_links"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "extract_links"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "extract_links expects (html, page_url)")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.extractLinks(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(0)),
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(1))))
+      }))
     // SURT urlkey from SQL — TextFunctions.surtKey's chain expanded
     // at resolution (stock RegExp/Split/Reverse/ArraySort/ArrayJoin/
     // Lower/Concat nodes; one implementation, two doors). Feed it an

@@ -959,18 +959,31 @@ object DatasetOps {
     * the window partitions by. Emits the frontier rows plus
     * (shard, src_rank, delay_s, vtime); consumers sort on read.
     *
+    * `priorityCol` (optional) replaces the md5 draw as the WITHIN-host
+    * order: each host's queue drains highest-priority-first (in-link
+    * counts, domain quality priors — q286/q288's signals) while the
+    * delay stride still owns WHEN the host is served at all —
+    * priority must never buy RATE, only position in the host's own
+    * line. Ties break on the id; the shard deal stays md5 (shards
+    * exist to parallelize the window, not to order).
+    *
     * @param delays `(hostCol, delay_s)` — e.g. `crawlDelays` output
     *               filtered to the crawler's own agent */
   def politeFetchSchedule(frontier: DataFrame, idCol: String,
                           hostCol: String, delays: DataFrame,
                           defaultDelayS: Long = 1L, nShards: Int = 8,
-                          salt: String = "mix"): DataFrame = {
+                          salt: String = "mix",
+                          priorityCol: Option[String] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(defaultDelayS >= 1L && defaultDelayS <= 86400L,
       s"defaultDelayS must be in [1, 86400], got $defaultDelayS")
+    val rankOrder = priorityCol match {
+      case Some(p) => Seq(col(p).desc, col(idCol).asc)
+      case None => Seq(col("_u").asc, col(idCol).asc)
+    }
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(hostCol), col("shard"))
-      .orderBy(col("_u"), col(idCol))
+      .orderBy(rankOrder: _*)
     frontier
       .join(delays.select(col(hostCol), col("delay_s")),
         Seq(hostCol), "left")

@@ -4327,6 +4327,167 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       WHERE r.rank <= 3
       ORDER BY r.target, r.rank"""))
 
+  // ---- q296: the anchor census from pure SQL text ------------------------
+  // q291 reached entirely through the parser: `extract_anchors` and
+  // `extract_links` expand AT RESOLUTION into the identical Column
+  // chains the Scala surface builds (GraftPlanBridge.columnOf/exprOf —
+  // these chains carry zip_with/filter lambdas, impractical as
+  // hand-built raw trees, which is why the earlier lambda-free doors
+  // re-spelled their chains node by node), url_normalize is the
+  // existing door, and the rank window is plain SQL. The oracle IS
+  // q291's, verbatim — the doors must add no semantics.
+
+  private[queries] val q296: GraftQuery = GraftQuery(
+    "q296_sql_anchor_census",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""WITH pages AS (
+          SELECT source,
+            concat('https://', source, '.example.com') AS site,
+            concat('https://', source, '.example.com/sec/',
+              doc_id % 3, '/page.html') AS page,
+            concat('<html><body><a href="http://hub.example.com/p/',
+              doc_id % 7, '">',
+              CASE WHEN doc_id % 4 = 0 THEN 'Best Cheap Deals'
+                WHEN doc_id % 4 = 1 THEN 'best deals today'
+                WHEN doc_id % 4 = 2 THEN 'Review and deals'
+                ELSE 'cheap review' END,
+              '</a><a href=''/p/', doc_id % 5,
+              '''>internal nav</a>',
+              '<a href="https://WIKI.example.org/w/', doc_id % 4,
+              '/">wiki ', doc_id % 2, ' entry</a>',
+              '<a href="http://hub.example.com/x"><b>nested</b></a>',
+              '</body></html>') AS html
+          FROM documents),
+        anchors AS (
+          SELECT source, site, a.url AS u, lower(a.text) AS t
+          FROM pages LATERAL VIEW explode(extract_anchors(html, page))
+            g AS a),
+        ext AS (
+          SELECT source, url_normalize(u) AS target, t
+          FROM anchors
+          WHERE substring(url_normalize(u), 1, length(site)) <> site),
+        tot AS (SELECT target, count(*) AS n_anchors,
+            count(DISTINCT source) AS n_hosts
+          FROM ext GROUP BY target),
+        terms AS (
+          SELECT target, term, count(*) AS term_count
+          FROM (SELECT target, explode(split(t, '\\s+')) AS term
+            FROM ext)
+          WHERE length(term) > 0 GROUP BY target, term),
+        ranked AS (
+          SELECT target, term, term_count,
+            row_number() OVER (PARTITION BY target
+              ORDER BY term_count DESC, term ASC) AS rank
+          FROM terms)
+        SELECT r.target, t.n_anchors, t.n_hosts,
+          CAST(r.rank AS BIGINT) AS rank, r.term, r.term_count
+        FROM ranked r JOIN tot t ON r.target = t.target
+        WHERE r.rank <= 3 ORDER BY r.target, r.rank""")
+    },
+    q291.oracle)
+
+  // ---- q297: priority-ordered polite fetch schedule -----------------------
+  // The last composition the crawl stack lacked: politeness decides
+  // WHEN a host is served (the delay stride, q271), authority decides
+  // WHAT of that host's queue goes first — and priority must never
+  // buy RATE, only position in the host's own line (a scheduler that
+  // lets popular hosts jump the delay is impolite by construction).
+  // Frontier = q291-shaped discovery (hub pages linked from every
+  // source, a /q/ section linked only from even sources — so
+  // in-degrees VARY within the hub host and the priority order is
+  // load-bearing), priority = distinct referring hosts per normalized
+  // target, delays minted per host. The oracle replays extraction,
+  // resolution, normalization, the in-degree census, the md5 shard
+  // deal, the priority-ordered rank and the delay-multiplied stride.
+
+  private[queries] val q297: GraftQuery = GraftQuery(
+    "q297_authority_schedule",
+    (s, d) => {
+      val id = col("doc_id")
+      val site = concat(lit("https://"), col("source"),
+        lit(".example.com"))
+      val page = concat(site, lit("/sec/"), id % 3, lit("/page.html"))
+      val html = concat(
+        lit("<html><body><a href=\"http://hub.example.com/p/"), id % 7,
+        lit("\">p</a>"),
+        when(id % 2 === 0,
+          concat(lit("<a href=\"http://hub.example.com/q/"), id % 5,
+            lit("\">q</a>"))).otherwise(lit("")),
+        lit("<a href='/p/"), id % 5,
+        lit("'>i</a><a href=\"https://WIKI.example.org/w/"), id % 4,
+        lit("/\">w</a></body></html>"))
+      val raw = docs(s, d).select(col("source"),
+          concat(col("source"), lit(".example.com")).as("page_host"),
+          explode(extractLinks(html, page)).as("u"))
+        .withColumn("n", urlNormalize(col("u")))
+      val frontier = raw.select(col("n"), col("page_host")).distinct()
+        .groupBy(col("n")).agg(count(lit(1)).as("indeg"))
+        .withColumn("host",
+          regexp_extract(col("n"), "^https?://([^/]+)", 1))
+      val delays = frontier.select(col("host")).distinct()
+        .withColumn("delay_s", (length(col("host")) % 3 + 1)
+          .cast(LongType))
+      DatasetOps.politeFetchSchedule(frontier, "n", "host", delays,
+          nShards = 8, priorityCol = Some("indeg"))
+        .select(col("vtime"), col("host"), col("n"), col("src_rank"),
+          col("shard"), col("indeg"))
+        .orderBy(col("vtime"), col("host"), col("n"))
+        .limit(60)
+    },
+    Some("""WITH pages AS (
+        SELECT source, source || '.example.com' AS page_host,
+          'https://' || source || '.example.com' AS site,
+          '<html><body><a href="http://hub.example.com/p/' ||
+          (doc_id % 7) || '">p</a>' ||
+          CASE WHEN doc_id % 2 = 0
+            THEN '<a href="http://hub.example.com/q/' || (doc_id % 5)
+              || '">q</a>' ELSE '' END ||
+          '<a href=''/p/' || (doc_id % 5) || '''>i</a>' ||
+          '<a href="https://WIKI.example.org/w/' || (doc_id % 4) ||
+          '/">w</a></body></html>' AS html
+        FROM documents),
+      links AS (
+        SELECT source, page_host, unnest(list_filter(list_transform(
+          regexp_extract_all(html,
+            '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["'']', 1),
+          h -> CASE WHEN regexp_matches(h, '^https?://') THEN h
+            WHEN regexp_matches(h, '^/') THEN site || h
+            ELSE NULL END), x -> x IS NOT NULL)) AS u
+        FROM pages),
+      norm AS (
+        SELECT page_host,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+            '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+        FROM links),
+      f AS (
+        SELECT n, count(DISTINCT page_host) AS indeg,
+          regexp_extract(n, '^https?://([^/]+)', 1) AS host
+        FROM norm GROUP BY n),
+      d2 AS (
+        SELECT host, length(host) % 3 + 1 AS delay_s
+        FROM (SELECT DISTINCT host FROM f)),
+      s2 AS (
+        SELECT f.n, f.indeg, f.host, d2.delay_s,
+          CAST(concat('0x', substring(md5('mix:' || f.n), 1, 8))
+            AS BIGINT) % 8 AS shard
+        FROM f JOIN d2 ON f.host = d2.host),
+      r AS (
+        SELECT n, indeg, host, delay_s, shard,
+          (row_number() OVER (PARTITION BY host, shard
+            ORDER BY indeg DESC, n ASC) - 1) * 8 + shard + 1 AS src_rank
+        FROM s2)
+      SELECT CAST(src_rank * 1000000 * delay_s AS BIGINT) AS vtime,
+        host, n, CAST(src_rank AS BIGINT) AS src_rank,
+        CAST(shard AS BIGINT) AS shard, indeg
+      FROM r ORDER BY vtime, host, n LIMIT 60"""))
+
   // ---- q292: CCNet reference-LM quality terciles --------------------------
   // The CCNet gate (Wenzek et al. 2020): an LM trained on a REFERENCE
   // corpus scores the crawl, and each language splits into

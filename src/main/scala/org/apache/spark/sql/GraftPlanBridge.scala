@@ -10,6 +10,22 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * CONSTRUCTION has no public entry point). Nothing else in this
   * repo reaches into Spark internals this way. */
 object GraftPlanBridge {
+
+  /** Column ↔ Expression, for the SQL scalar doors: a door receives
+    * raw catalyst children and must expand into EXACTLY the Column
+    * chain the Scala surface builds. Wrapping the children as Columns
+    * and unwrapping the result keeps ONE implementation behind both
+    * doors even when the chain carries higher-order lambdas
+    * (zip_with / filter), which have no practical hand-built raw-tree
+    * form — where the earlier doors (url_normalize, surt_key)
+    * re-spelled their chains node by node, lambda-free. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    // the EAGER converter — ExpressionUtils.expression returns a lazy
+    // ColumnNodeExpression placeholder that never resolves outside a
+    // session plan (surfaces as type VOID in an injected function)
+    classic.ColumnNodeToExpressionConverter(c.node)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 

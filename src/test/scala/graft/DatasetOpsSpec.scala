@@ -925,6 +925,30 @@ class DatasetOpsSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L)), got)
   }
 
+  test("politeFetchSchedule priority: host queue drains priority-first, rate unchanged") {
+    val frontier = Seq(
+      ("u1", "h.com", 5L), ("u2", "h.com", 9L), ("u3", "h.com", 1L),
+      ("u4", "i.net", 7L)).toDF("url", "host", "prio")
+    val delays = Seq(("h.com", 2L), ("i.net", 3L)).toDF("host", "delay_s")
+    val got = DatasetOps.politeFetchSchedule(frontier, "url", "host",
+        delays, nShards = 1, priorityCol = Some("prio"))
+      .select($"url", $"src_rank", $"vtime")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // one shard: rank IS the position in the priority-desc order
+    assert(got("u2")._1 == 1L && got("u1")._1 == 2L && got("u3")._1 == 3L,
+      s"got $got")
+    // vtime stride stays the host delay — priority never buys rate
+    assert(got("u2")._2 == 2000000L && got("u1")._2 == 4000000L &&
+      got("u3")._2 == 6000000L, s"got $got")
+    assert(got("u4") == ((1L, 3000000L)), s"got $got")
+    // default path (no priority) is untouched: same rows, md5 order
+    val plain = DatasetOps.politeFetchSchedule(frontier, "url", "host",
+        delays, nShards = 1)
+      .select($"url").as[String].collect().toSet
+    assert(plain == Set("u1", "u2", "u3", "u4"))
+  }
+
   test("referenceLmScores: hand-computed smoothed bits, OOV floor, self-corpus contrast") {
     // reference: "a b a c" plus 36 distinct filler tokens → cb:
     // "a b"=1, "b a"=1, "a c"=1; cx: a=2, b=1; V = 39 (a,b,c + r0..r35)

@@ -263,6 +263,28 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq(("http://a.io/1", "one"), ("http://a.io/2", "two")))
   }
 
+  test("extract_anchors / extract_links SQL doors equal the Column API; arity refused") {
+    Seq(("""<a href="http://a.io/x">one two</a><a href="rel.html">r</a>""",
+      "https://me.io/d/page.html")).toDF("h", "p")
+      .createOrReplaceTempView("anchfix")
+    val viaSql = spark.sql(
+      """SELECT explode(extract_anchors(h, p)) AS a FROM anchfix""")
+      .select($"a.url", $"a.text").as[(String, String)].collect().toSeq
+    val direct = Seq(("""<a href="http://a.io/x">one two</a><a href="rel.html">r</a>""",
+      "https://me.io/d/page.html")).toDF("h", "p")
+      .select(explode(extractAnchors($"h", $"p")).as("a"))
+      .select($"a.url", $"a.text").as[(String, String)].collect().toSeq
+    assert(viaSql == direct && direct.nonEmpty)
+    val links = spark.sql(
+      """SELECT explode(extract_links(h, p)) AS u FROM anchfix""")
+      .as[String].collect().toSeq
+    assert(links == Seq("http://a.io/x", "https://me.io/d/rel.html"))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT extract_anchors(h) FROM anchfix").collect()
+    }
+    assert(bad.getMessage.contains("expects (html, page_url)"))
+  }
+
   test("htmlCharset: both meta forms sniff, first declaration wins, case folds, absent is NULL") {
     def sniff(html: String): Option[String] = Seq(html).toDF("h")
       .select(htmlCharset($"h")).as[Option[String]].head()
