@@ -464,6 +464,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             keepFrac = frac)
           .queryExecution.analyzed
       }))
+    // Graph centrality from SQL — the link-analysis tier through the
+    // parser door (its iterated loops run at resolution; the returned
+    // plan reads the checkpointed score tables):
+    //   page_rank(edge_table, src_col, dst_col, iters) → (node, score)
+    //   hits(edge_table, src_col, dst_col, iters)
+    //     → (node, hub_score, auth_score)
+    ext.injectTableFunction((
+      new FunctionIdentifier("page_rank"),
+      new ExpressionInfo("graft.operators.Graph", "page_rank"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: page_rank(edge_table, src_col, dst_col, iters)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tbl = spark.table(strLit(children(0), "edge_table"))
+        val srcCol = strLit(children(1), "src_col")
+        val dstCol = strLit(children(2), "dst_col")
+        val iters = longLit(children(3), "iters")
+        Seq(srcCol, dstCol).foreach(c => require(tbl.columns.contains(c),
+          s"page_rank: table lacks column '$c'"))
+        require(iters >= 1 && iters <= 20,
+          s"page_rank: iters must be in [1, 20], got $iters")
+        graft.operators.Graph.pageRank(tbl, srcCol, dstCol, iters.toInt)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("hits"),
+      new ExpressionInfo("graft.operators.Graph", "hits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: hits(edge_table, src_col, dst_col, iters)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tbl = spark.table(strLit(children(0), "edge_table"))
+        val srcCol = strLit(children(1), "src_col")
+        val dstCol = strLit(children(2), "dst_col")
+        val iters = longLit(children(3), "iters")
+        Seq(srcCol, dstCol).foreach(c => require(tbl.columns.contains(c),
+          s"hits: table lacks column '$c'"))
+        require(iters >= 1 && iters <= 20,
+          s"hits: iters must be in [1, 20], got $iters")
+        graft.operators.Graph.hits(tbl, srcCol, dstCol, iters.toInt)
+          .queryExecution.analyzed
+      }))
     // Duplicate-span excision from SQL (q290's operator — the
     // exact-substring dedup tier through the parser door):
     //   dup_span_excise(table, id_col, text_col, k)

@@ -836,6 +836,44 @@ object Relational2 {
       FROM h2 JOIN a2 ON h2.node = a2.node
       ORDER BY auth_score DESC, h2.node LIMIT 25"""))
 
+  // ---- q298/q299: the link-analysis tier from pure SQL --------------------
+  // q153 and q294 reached entirely through the parser: the edge table
+  // registers as a temp view in SQL text, the `page_rank`/`hits` TVFs
+  // run the exact Scala operators (their iterated integer loops
+  // execute at resolution; the plans read the checkpointed scores),
+  // and the oracles are q153's/q294's VERBATIM — the doors must add
+  // no semantics.
+
+  private val q298 = GraftQuery(
+    "q298_sql_pagerank",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW pr_edges AS
+        WITH cp AS (SELECT DISTINCT concat('c:', o_custkey) AS src,
+            concat('p:', l_partkey) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT src, dst FROM cp
+        UNION ALL SELECT dst AS src, src AS dst FROM cp""")
+      s.sql("""SELECT node, score
+        FROM page_rank('pr_edges', 'src', 'dst', 3)
+        ORDER BY score DESC, node LIMIT 25""")
+    },
+    q153.oracle)
+
+  private val q299 = GraftQuery(
+    "q299_sql_hits",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW hits_edges AS
+        SELECT concat('c:', o_custkey) AS src,
+          concat('p:', l_partkey) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+      s.sql("""SELECT node, hub_score, auth_score
+        FROM hits('hits_edges', 'src', 'dst', 2)
+        ORDER BY auth_score DESC, node LIMIT 25""")
+    },
+    q294.oracle)
+
   /** Canonical co-purchase pair counts (`pa < pb`, weight = #distinct
     * orders containing both) as a materialized table shared by q169
     * (weight floor → triangle edges) and q182 (directed rules are the
@@ -1126,5 +1164,5 @@ object Relational2 {
   def all: Seq[GraftQuery] =
     Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q81,
       q82, q88, q89, q148, q153, q163, q164, q166, q169, q172, q180, q182,
-      q184, q186, q187, q213, q294)
+      q184, q186, q187, q213, q294, q298, q299)
 }
