@@ -506,6 +506,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Graph.hits(tbl, srcCol, dstCol, iters.toInt)
           .queryExecution.analyzed
       }))
+    // Reference-LM scoring from SQL (q292's operator — the CCNet
+    // quality signal through the parser door):
+    //   reference_lm_score(docs_table, ref_table, id_col, text_col)
+    // Emits the docs table's columns plus (n_bigrams, surprisal_bits,
+    // milli_bits_per_bigram).
+    ext.injectTableFunction((
+      new FunctionIdentifier("reference_lm_score"),
+      new ExpressionInfo("graft.operators.DatasetOps",
+        "reference_lm_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: reference_lm_score(docs_table, ref_table, id_col, text_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val docsT = spark.table(strLit(children(0), "docs_table"))
+        val refT = spark.table(strLit(children(1), "ref_table"))
+        val idCol = strLit(children(2), "id_col")
+        val textCol = strLit(children(3), "text_col")
+        require(docsT.columns.contains(idCol) &&
+          docsT.columns.contains(textCol),
+          s"reference_lm_score: docs table lacks '$idCol' or '$textCol'")
+        require(refT.columns.contains(textCol),
+          s"reference_lm_score: ref table lacks '$textCol'")
+        graft.operators.DatasetOps
+          .referenceLmScores(docsT, refT, idCol, textCol)
+          .queryExecution.analyzed
+      }))
     // Duplicate-span excision from SQL (q290's operator — the
     // exact-substring dedup tier through the parser door):
     //   dup_span_excise(table, id_col, text_col, k)

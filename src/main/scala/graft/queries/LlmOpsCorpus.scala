@@ -4387,6 +4387,66 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     },
     q291.oracle)
 
+  // ---- q300: reference-LM scoring from pure SQL ---------------------------
+  // q292's scoring tier through the parser: the reference deal is a
+  // temp view in SQL text, the `reference_lm_score` TVF runs the
+  // exact Scala operator, and the output is the PER-DOC score table
+  // (the q292 census consumed it; this door hands it to the SQL
+  // persona raw). The oracle replays the deal, both censuses, V, the
+  // smoothing and every per-doc fold — per doc, not per bucket.
+
+  private[queries] val q300: GraftQuery = GraftQuery(
+    "q300_sql_reference_lm",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW ccnet_ref AS
+        SELECT * FROM documents
+        WHERE CAST(conv(substring(md5(concat('ccnet:',
+          CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4 = 0""")
+      s.sql("""SELECT doc_id, n_bigrams, surprisal_bits,
+          milli_bits_per_bigram
+        FROM reference_lm_score('documents', 'ccnet_ref',
+          'doc_id', 'text')
+        ORDER BY doc_id""")
+    },
+    Some("""WITH ref AS (
+        SELECT text FROM documents
+        WHERE CAST(concat('0x', substring(md5('ccnet:' || doc_id), 1, 8))
+          AS BIGINT) % 4 = 0),
+      rt AS (SELECT list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0) AS tk FROM ref),
+      rbg AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, tk[i] AS cx
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM rt)),
+      rb AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY bg),
+      rc AS (SELECT cx, count(*) AS cc FROM rbg GROUP BY cx),
+      v AS (SELECT greatest(count(DISTINCT t), 1) AS v FROM
+        (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0)) AS t FROM ref)),
+      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      dbg0 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg,
+          tk[i] AS cx
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+      dbg AS (SELECT doc_id, bg, cx, count(*) AS tf
+        FROM dbg0 GROUP BY 1, 2, 3),
+      sc0 AS (SELECT doc_id, sum(tf) AS nb,
+          sum(tf * (length(bin(coalesce(rc.cc, 0) + v.v)) -
+            length(bin(coalesce(rb.cb, 0) + 1)))) AS bits
+        FROM dbg LEFT JOIN rb USING (bg) LEFT JOIN rc USING (cx)
+          CROSS JOIN v
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(sc0.nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(sc0.bits, 0) AS BIGINT) AS surprisal_bits,
+        CAST(CASE WHEN coalesce(sc0.nb, 0) = 0 THEN 0
+          ELSE (sc0.bits * 1000) // sc0.nb END AS BIGINT)
+          AS milli_bits_per_bigram
+      FROM documents d LEFT JOIN sc0 USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   // ---- q297: priority-ordered polite fetch schedule -----------------------
   // The last composition the crawl stack lacked: politeness decides
   // WHEN a host is served (the delay stride, q271), authority decides
