@@ -346,6 +346,31 @@ object TextFunctions {
   def sitemapLocs(xml: Column): Column =
     regexp_extract_all(xml, lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
 
+  /** The sitemaps protocol's OTHER record type: big sites ship a
+    * sitemap INDEX whose `<sitemap><loc>…</loc></sitemap>` entries
+    * point at more sitemaps, not at pages — and [[sitemapLocs]] over
+    * an index would hand child-SITEMAP URLs to the frontier as if
+    * they were pages (fetched once, scored as documents, never
+    * expanded). These two functions split the record types: the
+    * document is cut at the closing entry tag (RE2-safe — the
+    * `(?!…)` lookahead that could scope a single pattern per entry
+    * does not exist in RE2, and the oracle must replay this) and each
+    * fragment yields its one `<loc>` (entries hold exactly one by
+    * spec; `<lastmod>`/`<changefreq>` noise rides along either side).
+    * Index entries feed the FETCH queue for another sitemap pass;
+    * url entries feed [[urlNormalize]] and the frontier. */
+  def sitemapIndexLocs(xml: Column): Column =
+    filter(transform(split(xml, "</sitemap>"),
+      s => regexp_extract(s, "(?s)<sitemap>.*<loc>\\s*(.*?)\\s*</loc>", 1)),
+      x => length(x) > 0)
+
+  /** Page (`<url>`) entries only — [[sitemapIndexLocs]]' complement;
+    * see its scaladoc for the record-type contract. */
+  def sitemapUrlLocs(xml: Column): Column =
+    filter(transform(split(xml, "</url>"),
+      s => regexp_extract(s, "(?s)<url>.*<loc>\\s*(.*?)\\s*</loc>", 1)),
+      x => length(x) > 0)
+
   /** Anchor-link extraction — what closes the crawl LOOP (fetch →
     * discover → frontier): every `<a href="…">`/`<a href='…'>` target
     * in a fetched HTML body, resolved against `pageUrl` (the URL the

@@ -4387,6 +4387,126 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     },
     q291.oracle)
 
+  // ---- q301: sitemap INDEX discovery (the two record types) --------------
+  // Big sites ship a sitemap INDEX whose entries point at more
+  // SITEMAPS; the flat extractor (q264's sitemapLocs) over an index
+  // hands child-sitemap URLs to the frontier as if they were pages —
+  // fetched once, scored as documents, never expanded. The split
+  // extractors cut at the closing entry tag (RE2-safe — RE2 has no
+  // lookahead, and the oracle must replay the exact cut) and route
+  // each record type where it belongs: index entries to the NEXT
+  // sitemap fetch pass, url entries through urlNormalize to the
+  // frontier. The census also pins the confusion identity — the flat
+  // extractor's count equals children + pages, which is exactly why
+  // the types must be split.
+
+  private[queries] val q301: GraftQuery = GraftQuery(
+    "q301_sitemap_index",
+    (s, d) => {
+      val id = col("doc_id")
+      val host = concat(col("source"), lit(".example.com"))
+      // (id div 20) % 2: the testdata deals doc_ids mod 20 across
+      // sources, so id % 2 is CONSTANT within a source — the div-20
+      // parity varies within every source and both record types
+      // appear everywhere
+      val xml = when(expr("doc_id div 20") % 2 === 0, concat(
+          lit("<sitemapindex><sitemap><lastmod>2024-01-01</lastmod>" +
+            "<loc> https://"), host, lit("/sm/"), id % 5,
+          lit(".xml </loc></sitemap><sitemap><loc>https://"), host,
+          lit("/sm/"), id % 3,
+          lit("b.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>https://"), host, lit("/p/"), id % 7,
+          lit("</loc><changefreq>daily</changefreq></url><url><loc> " +
+            "https://"), host, lit("/q/"), id % 4,
+          lit(" </loc></url></urlset>")))
+      val base = docs(s, d).select(col("source"), xml.as("xml"))
+        .withColumn("idx", sitemapIndexLocs(col("xml")))
+        .withColumn("pages", sitemapUrlLocs(col("xml")))
+      val counts = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(size(col("idx")) > 0, 1L).otherwise(0L))
+            .cast(LongType).as("n_index_docs"),
+          sum(size(col("idx"))).cast(LongType).as("n_child_sitemaps"),
+          sum(size(col("pages"))).cast(LongType).as("n_pages"),
+          sum(size(sitemapLocs(col("xml")))).cast(LongType)
+            .as("n_flat_locs"))
+      val childMass = base
+        .select(col("source"), explode(col("idx")).as("u")).distinct()
+        .groupBy(col("source"))
+        .agg(sum(conv(substring(md5(col("u")), 1, 8), 16, 10)
+          .cast(LongType)).cast(LongType).as("child_mass"))
+      val pageMass = base
+        .select(col("source"),
+          explode(col("pages")).as("u"))
+        .select(col("source"), urlNormalize(col("u")).as("n")).distinct()
+        .groupBy(col("source"))
+        .agg(sum(conv(substring(md5(col("n")), 1, 8), 16, 10)
+          .cast(LongType)).cast(LongType).as("page_mass"))
+      counts.join(childMass, Seq("source")).join(pageMass, Seq("source"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+        SELECT source,
+          CASE WHEN (doc_id // 20) % 2 = 0 THEN
+            '<sitemapindex><sitemap><lastmod>2024-01-01</lastmod><loc> https://'
+            || source || '.example.com/sm/' || (doc_id % 5) ||
+            '.xml </loc></sitemap><sitemap><loc>https://' || source ||
+            '.example.com/sm/' || (doc_id % 3) ||
+            'b.xml</loc></sitemap></sitemapindex>'
+          ELSE
+            '<urlset><url><loc>https://' || source || '.example.com/p/'
+            || (doc_id % 7) ||
+            '</loc><changefreq>daily</changefreq></url><url><loc> https://'
+            || source || '.example.com/q/' || (doc_id % 4) ||
+            ' </loc></url></urlset>' END AS xml
+        FROM documents),
+      b AS (
+        SELECT source, xml,
+          list_filter(list_transform(string_split(xml, '</sitemap>'),
+            s -> regexp_extract(s,
+              '(?s)<sitemap>.*<loc>\s*(.*?)\s*</loc>', 1)),
+            x -> length(x) > 0) AS idx,
+          list_filter(list_transform(string_split(xml, '</url>'),
+            s -> regexp_extract(s,
+              '(?s)<url>.*<loc>\s*(.*?)\s*</loc>', 1)),
+            x -> length(x) > 0) AS pages,
+          regexp_extract_all(xml, '(?s)<loc>\s*(.*?)\s*</loc>', 1)
+            AS flat
+        FROM d),
+      counts AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN len(idx) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_index_docs,
+          CAST(sum(len(idx)) AS BIGINT) AS n_child_sitemaps,
+          CAST(sum(len(pages)) AS BIGINT) AS n_pages,
+          CAST(sum(len(flat)) AS BIGINT) AS n_flat_locs
+        FROM b GROUP BY source),
+      cm AS (
+        SELECT source, CAST(sum(CAST(concat('0x',
+            substring(md5(u), 1, 8)) AS BIGINT)) AS BIGINT)
+            AS child_mass
+        FROM (SELECT DISTINCT source, unnest(idx) AS u FROM b)
+        GROUP BY source),
+      pm AS (
+        SELECT source, CAST(sum(CAST(concat('0x',
+            substring(md5(n), 1, 8)) AS BIGINT)) AS BIGINT)
+            AS page_mass
+        FROM (SELECT DISTINCT source,
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+                '^([A-Za-z]+://[^/]*)', 1)),
+              '^(http://[^/:]*):80$', '\1'),
+              '^(https://[^/:]*):443$', '\1'),
+              '^(https?://)www\.', '\1') ||
+            regexp_replace(regexp_replace(regexp_replace(u, '#.*$', ''),
+              '^[A-Za-z]+://[^/]*', ''), '^([^?]*?)/+$', '\1') AS n
+          FROM (SELECT source, unnest(pages) AS u FROM b))
+        GROUP BY source)
+      SELECT counts.*, cm.child_mass, pm.page_mass
+      FROM counts JOIN cm USING (source) JOIN pm USING (source)
+      ORDER BY source"""))
+
   // ---- q300: reference-LM scoring from pure SQL ---------------------------
   // q292's scoring tier through the parser: the reference deal is a
   // temp view in SQL text, the `reference_lm_score` TVF runs the

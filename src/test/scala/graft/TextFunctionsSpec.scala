@@ -263,6 +263,29 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq(("http://a.io/1", "one"), ("http://a.io/2", "two")))
   }
 
+  test("sitemapIndexLocs/sitemapUrlLocs split the two record types; flat extractor conflates them") {
+    val index = "<sitemapindex><sitemap><lastmod>2024-01-01</lastmod>" +
+      "<loc> https://a.io/sm1.xml </loc></sitemap>" +
+      "<sitemap><loc>https://a.io/sm2.xml</loc></sitemap></sitemapindex>"
+    val urlset = "<urlset><url><loc>https://a.io/p1</loc>" +
+      "<changefreq>daily</changefreq></url>" +
+      "<url><loc> https://a.io/p2 </loc></url></urlset>"
+    def run(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+            xml: String): Seq[String] =
+      Seq(xml).toDF("x").select(f($"x")).as[Seq[String]].head()
+    assert(run(sitemapIndexLocs, index) ==
+      Seq("https://a.io/sm1.xml", "https://a.io/sm2.xml"))
+    assert(run(sitemapUrlLocs, index) == Seq.empty)
+    assert(run(sitemapUrlLocs, urlset) ==
+      Seq("https://a.io/p1", "https://a.io/p2"))
+    assert(run(sitemapIndexLocs, urlset) == Seq.empty)
+    // the confusion the split exists to prevent: the flat extractor
+    // reads child SITEMAPS as if they were pages
+    assert(run(sitemapLocs, index) ==
+      Seq("https://a.io/sm1.xml", "https://a.io/sm2.xml"))
+    assert(run(sitemapIndexLocs, "<p>not xml</p>") == Seq.empty)
+  }
+
   test("extract_anchors / extract_links SQL doors equal the Column API; arity refused") {
     Seq(("""<a href="http://a.io/x">one two</a><a href="rel.html">r</a>""",
       "https://me.io/d/page.html")).toDF("h", "p")
