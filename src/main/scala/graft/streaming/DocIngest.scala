@@ -1151,6 +1151,62 @@ object DocIngest {
       case None => emptyLinkGraph(spark)
     }
 
+  /** Streaming SITEMAP expansion — the discovery loop's second hop:
+    * fetched sitemap documents arrive as (sitemap_url, xml) and split
+    * by RECORD TYPE ([[graft.functions.TextFunctions.sitemapIndexLocs]]
+    * vs `sitemapUrlLocs` — an index's children are more SITEMAPS, not
+    * pages): index entries land in the sitemap FETCH queue (they come
+    * back through this same stream — the loop), url entries normalize
+    * and land in the frontier handoff (feed them to
+    * [[runFrontierIngest]]'s rawDir, whose gate owns page dedup).
+    * The loop terminates because queued sitemap URLs ride a persisted
+    * seen-set exactly like the frontier gate's — a re-fetched or
+    * re-referenced index cannot re-queue its children. Same two-sink
+    * at-least-once window and keep-first repair as the frontier gate
+    * (the queue reader collapses on `n`). */
+  def runSitemapIngest(spark: SparkSession, rawDir: String,
+                       seenDir: String, queueDir: String,
+                       frontierDir: String, checkpointDir: String,
+                       maxFilesPerTrigger: Int = 1): Unit = {
+    if (!hadoopExists(spark, seenDir)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("n").write.mode("overwrite").parquet(seenDir)
+    }
+    val schema = StructType(Seq(StructField("sitemap_url", StringType),
+      StructField("xml", StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.functions.TextFunctions._
+        val children = batch
+          .select(explode(sitemapIndexLocs(col("xml"))).as("u"))
+          .select(urlNormalize(col("u")).as("n"), col("u"))
+          .groupBy(col("n")).agg(min(col("u")).as("url"))
+        val fresh = children.join(
+          spark.read.parquet(seenDir).select(col("n")).distinct(),
+          Seq("n"), "left_anti")
+        fresh.persist()
+        try {
+          fresh.select(col("n"), col("url"))
+            .write.mode("append").json(queueDir)
+          fresh.select(col("n"))
+            .write.mode("append").parquet(seenDir)
+        } finally { fresh.unpersist(); () }
+        val pages = batch
+          .select(explode(sitemapUrlLocs(col("xml"))).as("u"))
+          .select(urlNormalize(col("u")).as("url"))
+        pages.write.mode("append").json(frontierDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming running-cardinality maintenance — the KMV twin of the
     * count-min ingest: each micro-batch's tokens are hashed and
     * min-k-merged into the persisted per-source min-set

@@ -1061,6 +1061,44 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming sitemap expansion: children queue once, pages hand off, re-referenced index blocked") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_sitemap_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val queue = root.resolve("queue"); val front = root.resolve("front")
+    val ckpt = root.resolve("ckpt")
+    val index = "<sitemapindex>" +
+      "<sitemap><loc>https://a.io/sm1.xml</loc></sitemap>" +
+      "<sitemap><loc> HTTPS://a.io/sm2.xml </loc></sitemap>" +
+      "</sitemapindex>"
+    val urlset = "<urlset><url><loc>https://a.io/p1</loc></url>" +
+      "<url><loc>https://a.io/p2#frag</loc></url></urlset>"
+    // shard 1: the index; shard 2: a child's urlset arrives AND the
+    // index is re-referenced — its children must not re-queue
+    Seq(("https://a.io/sitemap.xml", index))
+      .toDF("sitemap_url", "xml").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    Seq(("https://a.io/sm1.xml", urlset),
+      ("https://a.io/sitemap.xml", index))
+      .toDF("sitemap_url", "xml").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+
+    DocIngest.runSitemapIngest(spark, raw.toString + "/*/",
+      seen.toString, queue.toString, front.toString, ckpt.toString)
+    val queued = spark.read.json(queue.toString)
+      .select($"n").as[String].collect().sorted.toSeq
+    // normalized (case-folded scheme+host), each child exactly once
+    assert(queued == Seq("https://a.io/sm1.xml", "https://a.io/sm2.xml"),
+      s"got $queued")
+    val handed = spark.read.json(front.toString)
+      .select($"url").as[String].collect().sorted.toSeq
+    assert(handed == Seq("https://a.io/p1", "https://a.io/p2"),
+      s"got $handed")
+    deleteRec(root)
+  }
+
   // real-crawl-shaped WARC fixtures: record payloads are full HTTP
   // response messages (status line + headers + blank line + body)
   private def httpMsg(status: Int, ct: String, body: String) =
