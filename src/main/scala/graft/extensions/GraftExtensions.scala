@@ -137,6 +137,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.GraftPlanBridge.columnOf(children(0)),
             org.apache.spark.sql.GraftPlanBridge.columnOf(children(1))))
       }))
+    // Sitemap record types from SQL — q301's extractors through the
+    // bridge (same one-implementation contract as extract_anchors):
+    //   sitemap_index_locs(xml) → array<string>  (child SITEMAPS)
+    //   sitemap_url_locs(xml)   → array<string>  (page URLs)
+    ext.injectFunction((
+      new FunctionIdentifier("sitemap_index_locs"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "sitemap_index_locs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "sitemap_index_locs expects exactly 1 argument")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.sitemapIndexLocs(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sitemap_url_locs"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "sitemap_url_locs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "sitemap_url_locs expects exactly 1 argument")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.sitemapUrlLocs(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
+      }))
     // SURT urlkey from SQL — TextFunctions.surtKey's chain expanded
     // at resolution (stock RegExp/Split/Reverse/ArraySort/ArrayJoin/
     // Lower/Concat nodes; one implementation, two doors). Feed it an

@@ -284,6 +284,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(run(sitemapLocs, index) ==
       Seq("https://a.io/sm1.xml", "https://a.io/sm2.xml"))
     assert(run(sitemapIndexLocs, "<p>not xml</p>") == Seq.empty)
+    // the SQL doors expand into the identical chains
+    Seq(index).toDF("x").createOrReplaceTempView("smfix")
+    assert(spark.sql("SELECT sitemap_index_locs(x) FROM smfix")
+      .as[Seq[String]].head() == run(sitemapIndexLocs, index))
+    assert(spark.sql("SELECT sitemap_url_locs(x) FROM smfix")
+      .as[Seq[String]].head() == Seq.empty)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT sitemap_index_locs(x, x) FROM smfix").collect()
+    }
+    assert(bad.getMessage.contains("exactly 1 argument"))
   }
 
   test("extract_anchors / extract_links SQL doors equal the Column API; arity refused") {
