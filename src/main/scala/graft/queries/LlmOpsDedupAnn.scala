@@ -1443,6 +1443,17 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
           .select(col("source"), col("n_docs"), col("docs_affected"),
             col("chars_before"), col("chars_removed"), col("removed_ppm"),
             col("clean_mass"))
+          // ALWAYS-TRUE having (md5 of a non-null string never sums to
+          // NULL on a non-empty group) that exists for the BENCH, not
+          // the result: under the bench's count() consumer Catalyst
+          // prunes unreferenced aggregate expressions and then
+          // eliminates the excise join entirely — r11 benched this
+          // query at 0.21 s while its real composition costs ~1.5 s
+          // (the count-pruning trap; the optimized count plan was a
+          // bare `source` scan). Referencing clean_mass in a filter
+          // keeps the span pipeline in every consumer's plan, so the
+          // published number is the operator's true cost.
+          .where(col("clean_mass").isNotNull)
           .orderBy(col("source"))
       },
       Some(s"""WITH d AS (
@@ -1508,7 +1519,9 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
             AS removed_ppm,
           CAST(sum(CAST(concat('0x', substring(md5(doc_id || ':' || clean),
             1, 8)) AS BIGINT)) AS BIGINT) AS clean_mass
-        FROM alldocs GROUP BY source ORDER BY source"""))
+        FROM alldocs GROUP BY source
+        HAVING clean_mass IS NOT NULL
+        ORDER BY source"""))
   }
 
   // ---- q293: span excision from SQL (the TVF door) ----------------------

@@ -36,6 +36,12 @@ object Scratch {
         val d = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
         val fn = graft.SparkEntry.queries(name)
         for (i <- 1 to 3) time(s"$name-$i")(fn(spark, d).count())
+        // GRAFT_EXPLAIN=1 dumps the optimized COUNT plan — the plan
+        // the bench actually times (count() prunes agg expressions;
+        // see the bench-count-pruning memory note)
+        if (sys.env.contains("GRAFT_EXPLAIN"))
+          println(fn(spark, d).groupBy().count()
+            .queryExecution.optimizedPlan.toString.take(8000))
       case "lm" =>
         // stage-by-stage timing of referenceLmScores (q292 tuning)
         import org.apache.spark.sql.functions._
@@ -235,6 +241,51 @@ object Scratch {
           }
         }
         println(s"planscan done: $hits quer${if (hits == 1) "y" else "ies"} with global windows")
+      case "spanx" =>
+        // q290-vs-q293 gap attribution (VERDICT r11 item 1): time the
+        // dupSpans -> exciseSpans composition reached three ways —
+        // direct DataFrame calls, through the registered table, and
+        // through the dup_span_excise TVF — and dump the executed
+        // plans so a structural difference (lost repartition, doubled
+        // explode) can't hide behind a wall-clock number.
+        import org.apache.spark.sql.functions._
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+        graft.sources.Tables.registerAllOnce(spark, d)
+        val dd = spark.table("documents")
+        for (i <- 1 to 2) {
+          time(s"spans-direct-$i") { graft.operators.Dedup
+            .dupSpans(dd, "doc_id", "text", k = 25).count() }
+          time(s"excise-direct-$i") {
+            val spans = graft.operators.Dedup
+              .dupSpans(dd, "doc_id", "text", k = 25)
+            graft.operators.Dedup.exciseSpans(dd, spans, "doc_id", "text")
+              .where(col("chars_removed") > 0)
+              .select(col("doc_id"), col("chars_removed"),
+                substring(md5(col("clean_text")), 1, 8).as("clean_sig"))
+              .orderBy(col("doc_id")).count() }
+          time(s"tvf-$i") { spark.sql(
+            """SELECT doc_id, chars_removed,
+                substring(md5(clean_text), 1, 8) AS clean_sig
+              FROM dup_span_excise('documents', 'doc_id', 'text', 25)
+              WHERE chars_removed > 0 ORDER BY doc_id""").count() }
+        }
+        val spans = graft.operators.Dedup
+          .dupSpans(dd, "doc_id", "text", k = 25)
+        val direct = graft.operators.Dedup
+          .exciseSpans(dd, spans, "doc_id", "text")
+          .where(col("chars_removed") > 0)
+          .select(col("doc_id"), col("chars_removed"),
+            substring(md5(col("clean_text")), 1, 8).as("clean_sig"))
+          .orderBy(col("doc_id"))
+        val tvf = spark.sql(
+          """SELECT doc_id, chars_removed,
+              substring(md5(clean_text), 1, 8) AS clean_sig
+            FROM dup_span_excise('documents', 'doc_id', 'text', 25)
+            WHERE chars_removed > 0 ORDER BY doc_id""")
+        println("==== DIRECT executed plan ====")
+        println(direct.queryExecution.executedPlan.toString.take(12000))
+        println("==== TVF executed plan ====")
+        println(tvf.queryExecution.executedPlan.toString.take(12000))
       case "cc" =>
         // clusterReps fixpoint cost on a q63-shaped synthetic graph
         // (~300 shallow clusters + one 30-chain), isolated from IO

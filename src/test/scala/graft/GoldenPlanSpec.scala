@@ -107,7 +107,18 @@ class GoldenPlanSpec extends AnyFunSuite {
     // cells BEFORE the code join (candidates scored without a cell
     // filter means the prune broke) and the same heap tail
     "q250_sq_index_probe",
-    "q255_ivf_sq_search")
+    "q255_ivf_sq_search",
+    // r12: the span-excision TVF door — load-bearing tokens are the
+    // RepartitionByExpression on the doc id BEFORE the gram explode
+    // (the AQE-coalesce trap: losing it single-tasks the corpus × len
+    // expansion), the hash-census Aggregate + join-back pair (a
+    // Window over the gram hash IS the hot-gram regression), and the
+    // per-doc interval-merge windows partitioned on the id. r11 called
+    // this door 20× its Scala twin; the gap was the TWIN's phantom
+    // bench number (count-pruning collapsed q290 to a bare source
+    // scan), and the pin certifies the TVF expansion stays the same
+    // physical plan the Scala surface builds
+    "q293_sql_span_excise")
 
   private def normalize(p: String): String =
     p.replaceAll("#\\d+L?", "#N")
