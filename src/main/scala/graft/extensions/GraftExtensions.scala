@@ -163,10 +163,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.TextFunctions.sitemapUrlLocs(
             org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
       }))
-    // SURT urlkey from SQL — TextFunctions.surtKey's chain expanded
-    // at resolution (stock RegExp/Split/Reverse/ArraySort/ArrayJoin/
-    // Lower/Concat nodes; one implementation, two doors). Feed it an
-    // url_normalize'd URL, per the Column twin's input contract.
+    // SURT urlkey from SQL — TextFunctions.surtKey expanded at
+    // resolution through the bridge (ADVICE r11: the first cut
+    // hand-rebuilt the chain node by node, duplicating the exact
+    // implementation the bridge exists to share — surtKey is
+    // lambda-free, so the bridge works and the two doors cannot
+    // drift). Feed it an url_normalize'd URL, per the Column twin's
+    // input contract.
     ext.injectFunction((
       new FunctionIdentifier("surt_key"),
       new ExpressionInfo(
@@ -174,29 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "surt_key"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "surt_key expects exactly 1 argument")
-        import org.apache.spark.sql.catalyst.expressions.{ArrayJoin,
-          ArraySort, Concat, GreaterThan, If, Length, Literal, Lower,
-          RegExpExtract, RegExpReplace, Reverse, StringSplit}
-        val u = children.head
-        def rx(e: Expression, p: String, g: Int): Expression =
-          RegExpExtract(e, Literal(p), Literal(g))
-        val hostPort = rx(u, "^[a-z]+://([^/?]*)", 1)
-        val host = rx(hostPort, "^([^:]*)", 1)
-        val port = rx(hostPort, "(:\\d+)$", 1)
-        val revHost = ArrayJoin(
-          Reverse(StringSplit(host, Literal("\\."), Literal(-1))),
-          Literal(","), None)
-        val rest = RegExpReplace(u,
-          Literal("^[a-z]+://[^/?]*"), Literal(""))
-        val path = Lower(rx(rest, "^([^?]*)", 1))
-        val q = rx(rest, "\\?(.*)$", 1)
-        val sortedQ = Lower(ArrayJoin(
-          new ArraySort(StringSplit(q, Literal("&"), Literal(-1))),
-          Literal("&"), None))
-        Concat(Seq(revHost, port, Literal(")"),
-          If(GreaterThan(Length(path), Literal(0)), path, Literal("/")),
-          If(GreaterThan(Length(q), Literal(0)),
-            Concat(Seq(Literal("?"), sortedQ)), Literal(""))))
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.surtKey(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("redact_pii"),

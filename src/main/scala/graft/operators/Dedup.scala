@@ -899,6 +899,20 @@ object Dedup {
     val locs = df
       .select(col(idCol).cast(LongType).as("_id"), col(textCol).as("_t"))
       .where(col("_t").isNotNull && length(col("_t")) >= k)
+      // the pack contract (scaladoc above) enforced LOUDLY (ADVICE
+      // r11: a violating corpus would silently corrupt the keep-first
+      // ORDER): one per-doc check before the explode — negative or
+      // ≥ 2⁴¹ ids and ≥ 4 Mi-char docs raise instead of mis-packing
+      .select(
+        when(col("_id") < 0L || col("_id") >= lit(2199023255552L) ||
+            length(col("_t")) >= lit(4194304),
+          raise_error(concat(
+            lit("dupSpans pack contract: doc id must be in [0, 2^41) " +
+              "and doc length < 4194304 chars (chunk longer docs " +
+              "first - q100's operator); got id="),
+            col("_id"), lit(" len="), length(col("_t")))))
+          .otherwise(col("_id")).as("_id"),
+        col("_t"))
       // explicit pre-repartition before the row-multiplying explode
       // (the q44/LSH lesson, SURVEY §8.3): a single-file scan would
       // fan a corpus × len gram expansion out on one or two cores —

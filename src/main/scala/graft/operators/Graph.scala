@@ -32,6 +32,113 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-(JVM, edge-plan) materialized loop feeds — the r11 q298
+    * lesson generalized (its door re-derived purchase edges per call:
+    * 11.7 s → 4.2 s once materialized; r12 applies the same
+    * discipline to what the LOOPS re-derive per call): every
+    * centrality invocation used to re-pay the edge distinct, the
+    * degree census, the (src, dst, out_degree) flows join and the
+    * node-spine distinct as in-session localCheckpoints, so a family
+    * of queries over the SAME edge table (q153/q166/q286/q298 on the
+    * purchase graph; q294/q299 on its directed half) re-billed ~3
+    * shuffles + 2 materializations each. The feeds are a pure
+    * function of (edge plan, src, dst, assumeDistinct), so they are
+    * written ONCE per JVM to a temp parquet dir and every later call
+    * — including from a recycled bench session — re-READS them
+    * (parquet-backed lineage is linear by construction, which is all
+    * the localCheckpoints existed to guarantee).
+    *
+    * Key = the CANONICALIZED analyzed plan's string (exprIds
+    * normalized): two reads of the same parquet path — or a temp view
+    * over one, the SQL-door shape — canonicalize identically, while
+    * any real difference in the edge derivation changes the text.
+    * The full string is the key (not its 32-bit hash), so a collision
+    * cannot silently serve the wrong graph's feeds. Memoizing by plan
+    * accepts the same contract every dir-keyed materialization here
+    * accepts: the underlying files must not be rewritten mid-JVM.
+    *
+    * GATED to file-backed plans: a LocalRelation leaf (a DataFrame
+    * built from a Seq) renders WITHOUT its data in the canonicalized
+    * string, so two different in-memory graphs with the same schema
+    * would collide and the second would silently be served the
+    * first's feeds; a LogicalRDD leaf (a checkpointed upstream)
+    * carries a per-instance RDD identity, so its key never repeats
+    * and the memo would only leak temp dirs. Both fall back to the
+    * per-call localCheckpoint path — exactly the pre-r12 behavior.
+    */
+  private val feedsMemo = new graft.sources.JvmMemo[String]
+
+  private final case class Feeds(e: DataFrame, flows: DataFrame,
+                                 nodes: DataFrame)
+
+  /** The leaf scans' root paths, or None when any leaf is not a
+    * file-source relation (the memoization gate). The paths are a
+    * MANDATORY key component: a LogicalRelation's CANONICALIZED
+    * string renders as `Relation [cols] parquet` — location elided —
+    * so two different edge tables with the same schema (the directed
+    * and symmetrized purchase graphs) would otherwise collide and
+    * HITS would silently run over PageRank's graph (caught by the
+    * q294 oracle in r12 development). */
+  private def leafPaths(df: DataFrame): Option[Seq[String]] = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty) None
+    else {
+      val paths = leaves.map {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              Some(fs.location.rootPaths.map(_.toString).sorted.mkString(";"))
+            case _ => None
+          }
+        case _ => None
+      }
+      if (paths.forall(_.isDefined)) Some(paths.map(_.get)) else None
+    }
+  }
+
+  private def loopFeeds(edges: DataFrame, srcCol: String, dstCol: String,
+                        assumeDistinct: Boolean): Feeds = {
+    val spark = edges.sparkSession
+    val paths = leafPaths(edges)
+    if (paths.isEmpty) {
+      // per-call path (pre-r12 behavior) for plans whose canonical
+      // string is not a sound memo key — see the gate note above
+      val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      val e1 = (if (assumeDistinct) e0 else e0.distinct())
+        .localCheckpoint(true)
+      val deg = e1.groupBy(col("_src")).agg(count(lit(1)).as("_d"))
+      val flows = e1.join(deg, Seq("_src")).localCheckpoint(true)
+      val nodes = e1.select(col("_src").as("node"))
+        .union(e1.select(col("_dst").as("node"))).distinct()
+        .localCheckpoint(true)
+      return Feeds(e1, flows, nodes)
+    }
+    val key = edges.queryExecution.analyzed.canonicalized.toString +
+      paths.get.mkString("|") + s" $srcCol $dstCol $assumeDistinct"
+    val dir = feedsMemo.getOrElseCompute(key) {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_gfeeds_").toString
+      sys.addShutdownHook(graft.sources.AtomicCache
+        .deleteRec(java.nio.file.Paths.get(out)))
+      val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      val e1 = if (assumeDistinct) e0 else e0.distinct()
+      e1.write.mode("overwrite").parquet(s"$out/e")
+      val eR = spark.read.parquet(s"$out/e")
+      val deg = eR.groupBy(col("_src")).agg(count(lit(1)).as("_d"))
+      // flows carries each edge's out-degree, so a loop's only joins
+      // are flows⨝ranks (contribution) and spine⨝inMass (update)
+      eR.join(deg, Seq("_src"))
+        .write.mode("overwrite").parquet(s"$out/flows")
+      eR.select(col("_src").as("node"))
+        .union(eR.select(col("_dst").as("node")))
+        .distinct().write.mode("overwrite").parquet(s"$out/nodes")
+      out
+    }
+    Feeds(spark.read.parquet(s"$dir/e"),
+      spark.read.parquet(s"$dir/flows"),
+      spark.read.parquet(s"$dir/nodes"))
+  }
+
   /** `iters` rounds of damped PageRank over directed `edges`.
     * Duplicate edges count once (the edge set is deduplicated here
     * unless the caller vouches with `assumeDistinct` — multiplicity-
@@ -213,12 +320,11 @@ object Graph {
       s"iters must be in [1, 20] (each is two edge shuffles), got $iters")
     require(scale >= 1L && scale <= 1000000000L,
       s"scale must be in [1, 1e9] (keeps n·scale sums int64-safe), got $scale")
-    val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint(true)
-    val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node")))
-      .distinct().localCheckpoint(true)
+    // e and the node spine from the per-JVM feed materialization
+    // (see [[feedsMemo]]) — parquet-backed instead of per-call
+    // localCheckpoints
+    val Feeds(e, _, nodes) = loopFeeds(edges, srcCol, dstCol,
+      assumeDistinct)
     def normalized(rawPlan: DataFrame, keyCol: String): DataFrame = {
       // raw is consumed TWICE (global total + per-node values); the
       // eager checkpoint keeps lineage linear across rounds — without
@@ -256,24 +362,16 @@ object Graph {
       mkBase: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val preE = persistentIds
-    val e0 = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint(true)
-    val eIds = persistentIds -- preE
-    // flows carries each edge's out-degree, so the loop's only joins
-    // are flows⨝ranks (contribution) and nodesBase⨝inMass (update)
-    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_d"))
-    val flows = e.join(deg, Seq("_src")).localCheckpoint(true)
-    val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node")))
-      .distinct()
+    // flows and the node spine come from the per-JVM feed
+    // materialization (see [[feedsMemo]]) — parquet-backed, so every
+    // round's plan bottoms out in a scan and lineage stays linear
+    // without per-call checkpoints of the edge set
+    val Feeds(_, flows, nodes) = loopFeeds(edges, srcCol, dstCol,
+      assumeDistinct)
     val nn = nodes.agg(count(lit(1)).as("_n"))
+    // nodesBase differs per variant (uniform vs seeded teleport), so
+    // it stays a per-call checkpoint — node-sized, cheap
     val nodesBase = mkBase(nodes, nn).localCheckpoint(true)
-    // flows and nodesBase are materialized — the raw edge blocks are
-    // unreachable by any future plan; free them
-    eIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var ranks = nodesBase.select(col("node"), col("_base").as("score"))
     var supersededIds: Set[Int] = Set.empty
     for (i <- 1 to iters) {

@@ -545,7 +545,11 @@ object DocIngest {
               col("prior_digest").isNull)
             .select(col("n"), lit("orphan_304").as("reason"))
             .write.mode("append").json(quarantineDir)
-          joined.filter(col("status") =!= 200 && col("status") =!= 304)
+          // null-safe (ADVICE r11): a malformed line's NULL status
+          // made `=!= 200 && =!= 304` evaluate to NULL — the row then
+          // matched NO branch and vanished instead of quarantining
+          joined.filter(!(col("status") <=> 200) &&
+              !(col("status") <=> 304))
             .select(col("n"), lit("status").as("reason"), col("status"))
             .write.mode("append").json(quarantineDir)
           val fresh = joined.filter(col("status") === 200)
@@ -1125,8 +1129,13 @@ object DocIngest {
           .select(col("site"),
             graft.functions.TextFunctions.urlNormalize(col("a.url"))
               .as("target"))
-          .where(substring(col("target"), lit(1), length(col("site"))) =!=
-            col("site"))
+          // internal = same HOST, compared host-to-host (ADVICE r11:
+          // a raw string-prefix test against the origin classified
+          // https://alpha.organic-foo.com/... as internal to
+          // https://alpha.org — the prefix needs a boundary, and
+          // extracting both hosts is the boundary-free way to say it)
+          .where(regexp_extract(col("target"), "^https?://([^/?#]+)", 1)
+            =!= regexp_extract(col("site"), "^https?://(.+)$", 1))
           .select(col("target"),
             regexp_extract(col("site"), "^https?://(.+)$", 1)
               .as("src_host"))

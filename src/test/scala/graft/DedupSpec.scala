@@ -655,6 +655,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L)._2 == boiler.length - 1L, s"got ${got(3L)}")
   }
 
+  test("dupSpans: pack-contract violations raise instead of silently mis-packing") {
+    // the packed keep-first key id·2²² + pos assumes ids < 2⁴¹ and
+    // docs < 4 Mi chars (scaladoc contract); a violating corpus used
+    // to corrupt only the keep-first ORDER — invisible. ADVICE r11:
+    // enforce loudly.
+    val body = spanBody("zeta", 12)
+    val badId = Seq((1L << 41, body), (7L, body)).toDF("doc_id", "text")
+    val e1 = intercept[Exception] { excised(badId, k = 20) }
+    assert(e1.getMessage.contains("pack contract"), e1.getMessage)
+    val bigDoc = Seq((1L, "x" * 4194304), (2L, body)).toDF("doc_id", "text")
+    val e2 = intercept[Exception] { excised(bigDoc, k = 20) }
+    assert(e2.getMessage.contains("pack contract"), e2.getMessage)
+    // a NEGATIVE id would invert the packed order the same silent way
+    val negId = Seq((-1L, body), (3L, body)).toDF("doc_id", "text")
+    val e3 = intercept[Exception] { excised(negId, k = 20) }
+    assert(e3.getMessage.contains("pack contract"), e3.getMessage)
+  }
+
   test("dupSpans: identical docs — the second cleans to empty, never the first") {
     val t = spanBody("delta", 15)
     val d = Seq((10L, t), (11L, t), (12L, spanBody("eps", 15)))

@@ -1034,6 +1034,9 @@ class StreamingSpec extends AnyFunSuite {
     val shard2 = Seq(
       page("alpha.org", "/p2", Seq(
         ("http://hub.example.com/x", "again"),
+        // the ADVICE r11 prefix trap: a cross-site host that BEGINS
+        // with the origin string — external, must be counted
+        ("https://alpha.organic-foo.com/z", "prefix trap"),
         ("http://wiki.example.org/w", "wiki"))))
     shard1.toDF("page_url", "html").coalesce(1)
       .write.json(raw.resolve("f1").toString)
@@ -1049,6 +1052,7 @@ class StreamingSpec extends AnyFunSuite {
       ("http://hub.example.com/x", "alpha.org") -> 2L, // summed across shards
       ("http://hub.example.com/x", "beta.org") -> 1L,
       ("http://hub.example.com/y", "alpha.org") -> 1L,
+      ("https://alpha.organic-foo.com/z", "alpha.org") -> 1L,
       ("http://wiki.example.org/w", "alpha.org") -> 1L), s"got $got")
     // the exact distinct-host read the state keying exists for
     val hosts = DocIngest.readLinkGraph(spark, state.toString)
@@ -1056,8 +1060,10 @@ class StreamingSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_hosts"))
       .as[(String, Long)].collect().toMap
     assert(hosts("http://hub.example.com/x") == 2L)
-    // internal /nav never entered the census
-    assert(!got.keys.exists(_._1.contains("alpha.org")))
+    // internal /nav never entered the census (same-HOST exclusion —
+    // the prefix-trap target above shares the origin as a string
+    // prefix and must NOT be excluded with it)
+    assert(!got.keys.exists(_._1.startsWith("https://alpha.org/")))
     deleteRec(root)
   }
 
@@ -1528,7 +1534,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = root.resolve("ckpt")
     java.nio.file.Files.createDirectories(raw)
     def shard(name: String, ts: Long,
-              rows: (String, Long, String, Option[String])*): Unit = {
+              rows: (String, Option[Long], String, Option[String])*): Unit = {
       val d = raw.resolve(name)
       rows.toSeq.toDF("url", "status", "etag", "body")
         .coalesce(1).write.json(d.toString)
@@ -1540,14 +1546,18 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = 1700000000000L
     // batch 0: first captures for a and b
     shard("f1", t0,
-      ("http://h.io/a", 200L, "\"e1\"", Some("aaa")),
-      ("http://h.io/b", 200L, "\"e2\"", Some("bbb")))
+      ("http://h.io/a", Some(200L), "\"e1\"", Some("aaa")),
+      ("http://h.io/b", Some(200L), "\"e2\"", Some("bbb")))
     // batch 1: a unchanged (304), b changed (200, new validator),
-    // c answers 304 without any stored capture (protocol violation)
+    // c answers 304 without any stored capture (protocol violation),
+    // d arrives with a NULL status (malformed fetch line) — must
+    // quarantine reason=status, never vanish (ADVICE r11: the
+    // non-null-safe filters routed it to NO branch)
     shard("f2", t0 + 60000,
-      ("HTTP://h.io:80/a#frag", 304L, "\"e1\"", None),
-      ("http://h.io/b", 200L, "\"e3\"", Some("bbb2")),
-      ("http://h.io/c", 304L, "\"e9\"", None))
+      ("HTTP://h.io:80/a#frag", Some(304L), "\"e1\"", None),
+      ("http://h.io/b", Some(200L), "\"e3\"", Some("bbb2")),
+      ("http://h.io/c", Some(304L), "\"e9\"", None),
+      ("http://h.io/d", None, "\"e7\"", None))
     DocIngest.runRevisitIngest(spark, raw.toString + "/*/",
       vals.toString, out.toString, quar.toString, ckpt.toString)
     def m5(s: String): String =
@@ -1565,8 +1575,8 @@ class StreamingSpec extends AnyFunSuite {
       ("http://h.io/b", m5("bbb2"), false, Some("bbb2"))), caps.toString)
     val quarRows = spark.read.json(quar.toString)
       .select($"n", $"reason").as[(String, String)].collect().toSet
-    assert(quarRows == Set(("http://h.io/c", "orphan_304")),
-      quarRows.toString)
+    assert(quarRows == Set(("http://h.io/c", "orphan_304"),
+      ("http://h.io/d", "status")), quarRows.toString)
     // the validator store's CURRENT row for b is the re-minted one
     val cur = spark.read.parquet(vals.toString)
       .groupBy($"n").agg(org.apache.spark.sql.functions.max(
