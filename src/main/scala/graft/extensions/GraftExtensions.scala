@@ -163,6 +163,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.TextFunctions.sitemapUrlLocs(
             org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
       }))
+    // Main-content extraction from SQL — the boilerplate-removal tier
+    // through the bridge (one implementation, two doors):
+    //   html_blocks(html)  → array<struct<text, n_chars, n_words,
+    //                          link_ppm, stop_ppm, good>>
+    //   main_content(html) → string (good blocks joined with \n)
+    ext.injectFunction((
+      new FunctionIdentifier("html_blocks"),
+      new ExpressionInfo("graft.functions.TextFunctions", "html_blocks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "html_blocks expects exactly 1 argument")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.htmlBlocks(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("main_content"),
+      new ExpressionInfo("graft.functions.TextFunctions", "main_content"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "main_content expects exactly 1 argument")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.mainContent(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
+      }))
     // SURT urlkey from SQL — TextFunctions.surtKey expanded at
     // resolution through the bridge (ADVICE r11: the first cut
     // hand-rebuilt the chain node by node, duplicating the exact

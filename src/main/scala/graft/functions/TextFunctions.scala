@@ -371,6 +371,115 @@ object TextFunctions {
       s => regexp_extract(s, "(?s)<url>.*<loc>\\s*(.*?)\\s*</loc>", 1)),
       x => length(x) > 0)
 
+  /** The block-boundary tags [[htmlBlocks]] segments on — the
+    * block-LEVEL HTML elements (paragraphs, headings, list items,
+    * table cells, sectioning and landmark tags, breaks): text on
+    * opposite sides of any of these renders as separate visual blocks,
+    * which is the granularity boilerplate classification works at
+    * (jusText/trafilatura's unit). Inline tags (`<a>`, `<b>`, `<span>`)
+    * deliberately do NOT split — an anchor inside a paragraph is the
+    * paragraph's link DENSITY, not its own block. */
+  val blockBoundaryRe: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td" +
+      "|th|section|article|aside|header|footer|nav|main|figure" +
+      "|figcaption|blockquote|pre|form|fieldset|hr|br)(?:\\s[^>]*)?/?>"
+
+  /** The function words the block verdict's stopword density counts —
+    * deliberately a SMALL heuristic list, not a language-complete one
+    * (the [[twoPartSuffixes]] convention: the operator is the
+    * machinery; a deployment swaps in a full per-language stopword
+    * table and raises [[htmlBlocks]]' density cutoff to jusText's
+    * ~30%). */
+  val contentStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "were", "be", "as", "at", "by", "it",
+    "that", "this", "these", "those", "from", "but", "not", "we",
+    "you", "they")
+
+  /** Main-content extraction — the boilerplate-removal tier between
+    * [[markup-strip]]-everything and duplicate-span excision (VERDICT
+    * r11 Missing #1): a real CC-scale cleaner extracts the ARTICLE
+    * before quality scoring, else nav/footer text pollutes the LM
+    * terciles and the span exciser only catches boilerplate that is
+    * corpus-duplicated. jusText-shaped, made relational:
+    *
+    *  1. `<script>`/`<style>` element CONTENT and comments are
+    *     removed first (they render nothing; their text would poison
+    *     every density below);
+    *  2. the document splits into blocks on [[blockBoundaryRe]]
+    *     (block-level tag boundaries — the visual-block granularity);
+    *  3. per block, three densities decide the verdict:
+    *     word count (< 5 words never carries main content — headings
+    *     and button labels), LINK density (chars of `<a>` anchor text
+    *     over all chars — nav/promo blocks are mostly link text;
+    *     cutoff 1/3), and STOPWORD density (function words over
+    *     words — real prose uses them, keyword lists and copyright
+    *     lines do not; cutoff 3%, calibrated for
+    *     [[contentStopwords]]' deliberately small list);
+    *  4. `good = words ≥ 5 AND link_ppm ≤ 333333 AND
+    *     stop_ppm ≥ 30000`, all integer ppm arithmetic (the q101 DIV
+    *     convention — oracle-replayable, no float anywhere).
+    *
+    * One narrow projection (split + transform/filter lambdas), zero
+    * shuffle — the per-record enrichment shape
+    * (ecommerce-order-processor.py:122–161 is the reference's
+    * analogue) at 100 TB cost: one scan.
+    *
+    * @return array<struct<text, n_chars, n_words, link_ppm, stop_ppm,
+    *         good>> — empty-text blocks dropped, document order kept. */
+  def htmlBlocks(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val cleaned = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val stops = typedLit(contentStopwords)
+    val blocks = transform(split(cleaned, blockBoundaryRe), b => {
+      val linkChars = aggregate(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>([^<]*)</a>"), lit(1)),
+        lit(0L),
+        (acc, t) => acc +
+          length(trim(regexp_replace(t, "\\s+", " "))).cast(LongType))
+      val text = trim(regexp_replace(
+        regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
+      val words = filter(split(text, " "), w => length(w) > 0)
+      val nChars = length(text).cast(LongType)
+      val nWords = size(words).cast(LongType)
+      val stopCount = size(filter(words,
+        w => array_contains(stops, lower(w)))).cast(LongType)
+      // integer ppm (the q101 DIV convention): x·1e6 div max(den, 1) —
+      // int64-safe (chars/words < 2³¹, ×1e6 < 2⁵¹)
+      val linkPpm = intDiv(linkChars * lit(1000000L),
+        greatest(nChars, lit(1L)))
+      val stopPpm = intDiv(stopCount * lit(1000000L),
+        greatest(nWords, lit(1L)))
+      struct(text.as("text"), nChars.as("n_chars"), nWords.as("n_words"),
+        linkPpm.as("link_ppm"), stopPpm.as("stop_ppm"),
+        (nWords >= 5L && linkPpm <= 333333L && stopPpm >= 30000L)
+          .as("good"))
+    })
+    filter(blocks, s => s.getField("n_chars") > 0L)
+  }
+
+  /** Integer `div` over arbitrary Columns — the Column API has no
+    * integral-divide operator and `expr("a div b")` cannot reference
+    * LAMBDA variables by name, so the Catalyst node is built directly
+    * (the GraftPlanBridge doorway; same node SQL `div` parses to). */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.columnOf(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftPlanBridge.exprOf(a),
+        org.apache.spark.sql.GraftPlanBridge.exprOf(b)))
+
+  /** Good blocks joined with newlines — the extracted main content;
+    * empty string when no block passes (the caller's length gate then
+    * drops the doc: extraction never deletes ROWS, the q290/excise
+    * convention). */
+  def mainContent(html: Column): Column =
+    array_join(transform(
+      filter(htmlBlocks(html), s => s.getField("good")),
+      s => s.getField("text")), "\n")
+
   /** Anchor-link extraction — what closes the crawl LOOP (fetch →
     * discover → frontier): every `<a href="…">`/`<a href='…'>` target
     * in a fetched HTML body, resolved against `pageUrl` (the URL the

@@ -4974,4 +4974,347 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           substring(md5(doc_id || ':' || text), 1, 8)) AS BIGINT)
           ELSE 0 END) AS BIGINT) AS kept_mass
       FROM gated GROUP BY lang ORDER BY lang"""))
+
+  // ---- q302: main-content extraction (boilerplate removal) ---------------
+  // The jusText/trafilatura tier (VERDICT r11 Missing #1): pages
+  // split into BLOCKS on block-level tag boundaries, and three
+  // integer densities classify each — word count (headings/buttons
+  // fail), link density (nav/promo blocks are mostly anchor text),
+  // stopword density (real prose uses function words; keyword lists
+  // and copyright lines do not). The fixture wraps each document's
+  // text as the article of a page with nav, heading, promo and
+  // footer blocks (every doc) plus one CONSTANT extra paragraph on
+  // doc_id % 5 = 0 (multi-block extraction, and — in q304 — the
+  // corpus-duplicated block the span exciser then removes). The
+  // census pins per-source block counts, verdict counts, kept/raw
+  // chars and an md5 mass over every (doc_id, extracted content) —
+  // one block mis-classified or one join seam wrong flips a cell.
+
+  /** The q302/q303/q304 page fixture: `text` as the article inside
+    * boilerplate every real page carries. Script content varies per
+    * doc (a leak into any block moves the mass). */
+  private[queries] def contentHtml(id: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>T</title><script>var i="), id,
+      lit(";</script></head><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/p/"), id % 5,
+      lit("\">Products</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav><h1>Catalog "), id % 7,
+      lit("</h1><p>"), text, lit("</p>"),
+      when(id % 5 === 0, lit("<p>we went to the market and it was a " +
+        "good day for the family</p>")).otherwise(lit("")),
+      lit("<div class=\"promo\"><a href=\"/buy\">Buy now</a> " +
+        "<a href=\"/deals\">Big deal</a> limited offer</div>" +
+        "<footer>Copyright 2024 Example Corp All rights reserved" +
+        "</footer></body></html>"))
+
+  /** The DuckDB replay of [[graft.functions.TextFunctions.htmlBlocks]]
+    * over the [[contentHtml]] fixture — shared by the q302/q303/q304
+    * oracles. Ends with `ext(doc_id, source, lang, n_blocks, n_good,
+    * raw_chars, main)`. Every step mirrors the Column chain: script/
+    * style/comment strip, block split, tag strip + whitespace
+    * collapse, anchor-text chars, stopword count, the integer-ppm
+    * verdict, newline join in document order. */
+  private[queries] lazy val extractCtes: String = {
+    val stops = graft.functions.TextFunctions.contentStopwords
+      .map("'" + _ + "'").mkString(", ")
+    s"""WITH d AS (
+        SELECT doc_id, source, lang,
+          '<html><head><title>T</title><script>var i=' || doc_id ||
+          ';</script></head><body><nav><a href="/">Home</a> ' ||
+          '<a href="/p/' || (doc_id % 5) ||
+          '">Products</a> <a href="/about">About</a> ' ||
+          '<a href="/contact">Contact</a></nav><h1>Catalog ' ||
+          (doc_id % 7) || '</h1><p>' || text || '</p>' ||
+          CASE WHEN doc_id % 5 = 0 THEN '<p>we went to the market ' ||
+            'and it was a good day for the family</p>' ELSE '' END ||
+          '<div class="promo"><a href="/buy">Buy now</a> ' ||
+          '<a href="/deals">Big deal</a> limited offer</div>' ||
+          '<footer>Copyright 2024 Example Corp All rights reserved' ||
+          '</footer></body></html>' AS html
+        FROM documents),
+      frags AS (
+        SELECT doc_id, source, lang,
+          string_split_regex(
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead' ||
+            '|tbody|tr|td|th|section|article|aside|header|footer|nav' ||
+            '|main|figure|figcaption|blockquote|pre|form|fieldset|hr' ||
+            '|br)(?:\\s[^>]*)?/?>') AS fr
+        FROM d),
+      b1 AS (
+        SELECT doc_id, source, lang,
+          list_transform(fr, b -> {
+            't': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ',
+              'g'), '\\s+', ' ', 'g')),
+            'lc': coalesce(list_aggregate(list_transform(
+              regexp_extract_all(b, '(?is)<a[^>]*>([^<]*)</a>', 1),
+              a -> CAST(length(trim(regexp_replace(a, '\\s+', ' ',
+                'g'))) AS BIGINT)), 'sum'), 0)
+          }) AS bl
+        FROM frags),
+      b2 AS (
+        SELECT doc_id, source, lang,
+          list_filter(list_transform(bl, s -> {
+            't': s.t,
+            'nc': CAST(length(s.t) AS BIGINT),
+            'nw': CAST(len(list_filter(string_split(s.t, ' '),
+              w -> length(w) > 0)) AS BIGINT),
+            'sw': CAST(len(list_filter(string_split(s.t, ' '),
+              w -> lower(w) IN ($stops))) AS BIGINT),
+            'lc': CAST(s.lc AS BIGINT)
+          }), s -> s.nc > 0) AS bl
+        FROM b1),
+      ext AS (
+        SELECT doc_id, source, lang,
+          CAST(len(bl) AS BIGINT) AS n_blocks,
+          CAST(len(list_filter(bl, s -> s.nw >= 5
+            AND (s.lc * 1000000) // greatest(s.nc, 1) <= 333333
+            AND (s.sw * 1000000) // greatest(s.nw, 1) >= 30000))
+            AS BIGINT) AS n_good,
+          CAST(coalesce(list_aggregate(list_transform(bl, s -> s.nc),
+            'sum'), 0) AS BIGINT) AS raw_chars,
+          coalesce(array_to_string(list_transform(list_filter(bl,
+            s -> s.nw >= 5
+            AND (s.lc * 1000000) // greatest(s.nc, 1) <= 333333
+            AND (s.sw * 1000000) // greatest(s.nw, 1) >= 30000),
+            s -> s.t), chr(10)), '') AS main
+        FROM b2)"""
+  }
+
+  private[queries] val q302: GraftQuery = GraftQuery(
+    "q302_main_content",
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          contentHtml(col("doc_id"), col("text")).as("html"))
+        .withColumn("bl", htmlBlocks(col("html")))
+        .withColumn("main", array_join(transform(filter(col("bl"),
+          b => b.getField("good")), b => b.getField("text")), "\n"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("bl"))).cast(LongType).as("n_blocks"),
+          sum(size(filter(col("bl"), b => b.getField("good"))))
+            .cast(LongType).as("n_good"),
+          sum(aggregate(col("bl"), lit(0L),
+            (acc, b) => acc + b.getField("n_chars"))).cast(LongType)
+            .as("raw_chars"),
+          sum(length(col("main"))).cast(LongType).as("main_chars"),
+          sum(when(length(col("main")) > 0, 1L).otherwise(0L))
+            .cast(LongType).as("n_extracted"),
+          sum(conv(substring(md5(concat(col("doc_id").cast(StringType),
+            lit(":"), col("main"))), 1, 8), 16, 10).cast(LongType))
+            .cast(LongType).as("main_mass"))
+        .orderBy(col("source"))
+    },
+    Some(extractCtes + """
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+        CAST(sum(n_good) AS BIGINT) AS n_good,
+        CAST(sum(raw_chars) AS BIGINT) AS raw_chars,
+        CAST(sum(length(main)) AS BIGINT) AS main_chars,
+        CAST(sum(CASE WHEN length(main) > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_extracted,
+        CAST(sum(CAST(concat('0x', substring(md5(doc_id || ':' || main),
+          1, 8)) AS BIGINT)) AS BIGINT) AS main_mass
+      FROM ext GROUP BY source ORDER BY source"""))
+
+  // ---- q303: main-content extraction from SQL -----------------------------
+  // q302's operator through the parser door: `html_blocks` /
+  // `main_content` expand via the bridge into the identical Column
+  // chains (one implementation, two doors), and the per-doc output —
+  // block count, extracted length, an md5 signature over the
+  // extracted content — pins the rewrite row by row.
+
+  private[queries] val q303: GraftQuery = GraftQuery(
+    "q303_sql_main_content",
+    (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          contentHtml(col("doc_id"), col("text")).as("html"))
+        .createOrReplaceTempView("mc_pages_sql")
+      s.sql("""SELECT doc_id,
+          CAST(size(html_blocks(html)) AS BIGINT) AS n_blocks,
+          CAST(length(main_content(html)) AS BIGINT) AS main_chars,
+          substring(md5(main_content(html)), 1, 8) AS main_sig
+        FROM mc_pages_sql ORDER BY doc_id""")
+    },
+    Some(extractCtes + """
+      SELECT doc_id, n_blocks,
+        CAST(length(main) AS BIGINT) AS main_chars,
+        substring(md5(main), 1, 8) AS main_sig
+      FROM ext ORDER BY doc_id"""))
+
+  // ---- q304: cleaning recipe v3 (extract → excise → LM gate) -------------
+  // q295's successor with the extraction tier IN FRONT — the order a
+  // real CCNet/RefinedWeb pass runs: main content is extracted FIRST
+  // (nav/footer text must not reach the LM terciles), duplicated
+  // spans are cut out of the EXTRACTED corpus (the constant fixture
+  // paragraph on doc_id % 5 = 0 survives extraction as real prose
+  // and is exactly what span dedup exists to catch — it vanishes
+  // from every doc but the keep-first one), and the reference LM
+  // then scores the cleaned result with the head+middle gate.
+  // Interop is the point: extraction seams feed the gram walk, whose
+  // excision seams feed the tokenizer — both engines replay all
+  // three seams identically or the kept mass flips.
+
+  private[queries] val q304: GraftQuery = GraftQuery(
+    "q304_cleaning_recipe_v3",
+    (s, d) => {
+      val extracted = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          mainContent(contentHtml(col("doc_id"), col("text")))
+            .as("text"))
+        .localCheckpoint(true)
+      val spans = Dedup.dupSpans(extracted, "doc_id", "text", k = 25)
+      val cleaned = Dedup.exciseSpans(extracted, spans, "doc_id", "text")
+        .select(col("doc_id"), col("lang"),
+          col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val ref = cleaned.where(
+        conv(substring(md5(concat(lit("ccnet:"),
+          col("doc_id").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType) % 4 === 0)
+      val sc = DatasetOps.referenceLmScores(cleaned, ref, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("milli_bits_per_bigram").as("milli"))
+        .localCheckpoint(true)
+      val cum = sc.where(col("n_bigrams") > 0)
+        .groupBy(col("lang"), col("milli"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("milli"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val ranks = sc.where(col("n_bigrams") > 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+        .withColumn("rank_", expr("(666667L * _n + 999999L) div 1000000L"))
+      val cuts = cum.join(ranks, Seq("lang"))
+        .where(col("cum") >= col("rank_"))
+        .groupBy(col("lang")).agg(min(col("milli")).as("c2"))
+      val gated = sc.join(broadcast(cuts), Seq("lang"), "left")
+        .withColumn("kept",
+          col("n_bigrams") > 0 && col("milli") <= col("c2"))
+      gated.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType)
+            .as("n_kept"),
+          sum(when(col("kept"), length(col("text"))).otherwise(0L))
+            .cast(LongType).as("kept_chars"),
+          sum(when(col("kept"),
+            conv(substring(md5(concat(col("doc_id").cast(StringType),
+              lit(":"), col("text"))), 1, 8), 16, 10).cast(LongType))
+            .otherwise(0L)).cast(LongType).as("kept_mass"))
+        .orderBy(col("lang"))
+    },
+    Some(extractCtes + """,
+      extdocs AS (SELECT doc_id, lang, main AS text FROM ext),
+      g AS (
+        SELECT doc_id, pos,
+          CAST(concat('0x', substring(md5(substr(text,
+            CAST(pos AS INT), 25)), 1, 15)) AS BIGINT) AS h
+        FROM extdocs, unnest(generate_series(1, length(text) - 24))
+          AS u(pos)
+        WHERE length(text) >= 25),
+      f AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM g),
+      iv AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 24) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(-1 AS BIGINT))
+            THEN 1 ELSE 0 END AS flag
+        FROM f WHERE rn >= 2),
+      grp AS (
+        SELECT doc_id, pos,
+          sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM iv),
+      spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 24 AS e
+        FROM grp GROUP BY doc_id, gid
+        HAVING max(pos) + 24 - min(pos) + 1 >= 25),
+      seg AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p,
+          s - 1 AS q
+        FROM spans
+        UNION ALL
+        SELECT doc_id, max(e) AS p, NULL AS q FROM spans GROUP BY doc_id),
+      cleanedS AS (
+        SELECT seg.doc_id,
+          string_agg(substr(e2.text, CAST(seg.p + 1 AS INT),
+            CAST(coalesce(seg.q, length(e2.text)) - seg.p AS INT)), ''
+            ORDER BY seg.p) AS clean
+        FROM seg JOIN extdocs e2 ON seg.doc_id = e2.doc_id
+        GROUP BY seg.doc_id),
+      corpus AS (
+        SELECT e3.doc_id, e3.lang, coalesce(c.clean, e3.text) AS text
+        FROM extdocs e3 LEFT JOIN cleanedS c ON e3.doc_id = c.doc_id),
+      ref AS (
+        SELECT text FROM corpus
+        WHERE CAST(concat('0x', substring(md5('ccnet:' || doc_id), 1, 8))
+          AS BIGINT) % 4 = 0),
+      rt AS (SELECT list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0) AS tk FROM ref),
+      rbg AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, tk[i] AS cx
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          FROM rt)),
+      rb AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY bg),
+      rc AS (SELECT cx, count(*) AS cc FROM rbg GROUP BY cx),
+      v AS (SELECT greatest(count(DISTINCT t), 1) AS v FROM
+        (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          '\s+'), x -> length(x) > 0)) AS t FROM ref)),
+      toks AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM corpus),
+      dbg0 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg,
+          tk[i] AS cx
+        FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+      dbg AS (SELECT doc_id, bg, cx, count(*) AS tf
+        FROM dbg0 GROUP BY 1, 2, 3),
+      sc0 AS (SELECT doc_id, sum(tf) AS nb,
+          sum(tf * (length(bin(coalesce(rc.cc, 0) + v.v)) -
+            length(bin(coalesce(rb.cb, 0) + 1)))) AS bits
+        FROM dbg LEFT JOIN rb USING (bg) LEFT JOIN rc USING (cx)
+          CROSS JOIN v
+        GROUP BY doc_id),
+      sc AS (SELECT co.doc_id, co.lang, co.text,
+          coalesce(sc0.nb, 0) AS nb,
+          CASE WHEN coalesce(sc0.nb, 0) = 0 THEN 0
+            ELSE (sc0.bits * 1000) // sc0.nb END AS milli
+        FROM corpus co LEFT JOIN sc0 USING (doc_id)),
+      cen AS (SELECT lang, milli, count(*) AS cnt FROM sc
+        WHERE nb > 0 GROUP BY 1, 2),
+      cum AS (SELECT lang, milli, cnt,
+          sum(cnt) OVER (PARTITION BY lang ORDER BY milli) AS cum
+        FROM cen),
+      n AS (SELECT lang, count(*) AS n FROM sc WHERE nb > 0
+        GROUP BY 1),
+      r AS (SELECT n.lang,
+          (666667 * n.n + 999999) // 1000000 AS rank_ FROM n),
+      cuts AS (SELECT r.lang, min(cum.milli) AS c2
+        FROM r JOIN cum ON cum.lang = r.lang AND cum.cum >= r.rank_
+        GROUP BY r.lang),
+      gated AS (SELECT sc.*,
+          sc.nb > 0 AND sc.milli <= cuts.c2 AS kept
+        FROM sc LEFT JOIN cuts ON sc.lang = cuts.lang)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN length(text) ELSE 0 END) AS BIGINT)
+          AS kept_chars,
+        CAST(sum(CASE WHEN kept THEN CAST(concat('0x',
+          substring(md5(doc_id || ':' || text), 1, 8)) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS kept_mass
+      FROM gated GROUP BY lang ORDER BY lang"""))
 }

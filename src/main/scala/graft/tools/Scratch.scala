@@ -286,6 +286,27 @@ object Scratch {
         println(direct.queryExecution.executedPlan.toString.take(12000))
         println("==== TVF executed plan ====")
         println(tvf.queryExecution.executedPlan.toString.take(12000))
+      case "blocks" =>
+        // main-content extraction smoke: one fixture page, per-block
+        // metrics + the extracted content
+        import org.apache.spark.sql.functions._
+        val html = "<html><head><title>T</title><script>var x=1;" +
+          "</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/p\">Products</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>" +
+          "<h1>Catalog update</h1>" +
+          "<p>the quick brown fox jumps over a lazy dog in the sunny " +
+          "meadow and it was a fine day for all of them</p>" +
+          "<div class=\"promo\"><a href=\"/buy\">Buy now</a> " +
+          "<a href=\"/deal\">Big deal</a> limited offer</div>" +
+          "<footer>Copyright 2024 Example Corp All rights reserved" +
+          "</footer></body></html>"
+        val df = Seq(html).toDF("html")
+        df.select(explode(graft.functions.TextFunctions
+            .htmlBlocks(col("html"))).as("b"))
+          .select("b.*").show(20, 60)
+        df.select(graft.functions.TextFunctions.mainContent(col("html")))
+          .show(1, 200)
       case "cc" =>
         // clusterReps fixpoint cost on a q63-shaped synthetic graph
         // (~300 shallow clusters + one 30-chain), isolated from IO

@@ -333,6 +333,73 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sniff("<p>no meta here</p>") == None)
   }
 
+  test("htmlBlocks: jusText-shaped verdicts — nav/heading/promo/footer bad, article good; script content never leaks") {
+    val html = "<html><head><title>T</title><script>var shouldnotleak=1;" +
+      "</script><style>.x{color:red}</style></head><body>" +
+      "<!-- comment noise -->" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/p\">Products</a> " +
+      "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>" +
+      "<h1>Catalog update</h1>" +
+      "<p>the quick brown fox jumps over a lazy dog in the sunny " +
+      "meadow and it was a fine day for all of them</p>" +
+      "<div class=\"promo\"><a href=\"/buy\">Buy now</a> " +
+      "<a href=\"/deal\">Big deal</a> limited offer</div>" +
+      "<footer>Copyright 2024 Example Corp All rights reserved" +
+      "</footer></body></html>"
+    val rows = one[Seq[(String, Long, Long, Long, Long, Boolean)]](
+      htmlBlocks($"text"), html)
+    assert(!rows.exists(_._1.contains("shouldnotleak")))
+    assert(!rows.exists(_._1.contains("color:red")))
+    assert(!rows.exists(_._1.contains("comment noise")))
+    val byText = rows.map(r => r._1.split(" ").head -> r).toMap
+    // nav: 4 words (< 5) AND link-dense — bad on both counts
+    assert(byText("Home")._6 == false)
+    assert(byText("Home")._4 > 333333L, s"nav link_ppm ${byText("Home")._4}")
+    // heading: too short
+    assert(byText("Catalog")._6 == false)
+    // article: stopword-dense prose, no links — good
+    val art = rows.find(_._1.startsWith("the quick")).get
+    assert(art._6, s"article $art")
+    assert(art._4 == 0L && art._5 >= 30000L)
+    // promo: half its chars are anchor text — bad
+    assert(byText("Buy")._6 == false)
+    assert(byText("Buy")._4 == 500000L, s"promo link_ppm ${byText("Buy")._4}")
+    // footer: zero stopwords — bad despite length
+    assert(byText("Copyright")._6 == false && byText("Copyright")._3 >= 5L)
+    // extraction keeps exactly the article
+    assert(one[String](mainContent($"text"), html)
+      == "the quick brown fox jumps over a lazy dog in the sunny " +
+        "meadow and it was a fine day for all of them")
+  }
+
+  test("htmlBlocks: multi-block articles keep document order in mainContent; empty html degrades") {
+    val html = "<p>the first part of it was a good one for all of us " +
+      "to see</p><ul><li><a href=\"/x\">x</a></li></ul>" +
+      "<p>and then the second part of it was also a fine one to read</p>"
+    val got = one[String](mainContent($"text"), html)
+    assert(got == "the first part of it was a good one for all of us " +
+      "to see\nand then the second part of it was also a fine one to read")
+    assert(one[Seq[(String, Long, Long, Long, Long, Boolean)]](
+      htmlBlocks($"text"), "").isEmpty)
+    assert(one[String](mainContent($"text"), "") == "")
+  }
+
+  test("html_blocks / main_content SQL doors equal the Column API; arity refused") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/p\">P</a> " +
+      "<a href=\"/q\">Q</a></nav><p>the cat sat on a mat and it was " +
+      "happy for the rest of the day</p>"
+    val df = Seq(html).toDF("h")
+    df.createOrReplaceTempView("mc_door_spec")
+    val viaSql = spark.sql(
+      "SELECT main_content(h) AS m, size(html_blocks(h)) AS n " +
+        "FROM mc_door_spec").as[(String, Int)].head()
+    val viaCol = df.select(mainContent($"h"),
+      size(htmlBlocks($"h"))).as[(String, Int)].head()
+    assert(viaSql == viaCol, s"sql $viaSql vs col $viaCol")
+    intercept[Exception] { spark.sql("SELECT main_content('a', 'b')") }
+    intercept[Exception] { spark.sql("SELECT html_blocks()") }
+  }
+
   test("registeredDomain: suffix heuristic — hand-computed") {
     def rd(h: String): String = Seq(h).toDF("h")
       .select(registeredDomain($"h")).as[String].head()
