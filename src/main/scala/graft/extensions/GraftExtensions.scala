@@ -163,6 +163,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.TextFunctions.sitemapUrlLocs(
             org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
       }))
+    //   sitemap_url_entries(xml) → array<struct<loc, lastmod,
+    //     changefreq>> — the metadata-carrying twin (recrawl hints)
+    ext.injectFunction((
+      new FunctionIdentifier("sitemap_url_entries"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "sitemap_url_entries"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "sitemap_url_entries expects exactly 1 argument")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.sitemapUrlEntries(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children.head)))
+      }))
     // Main-content extraction from SQL — the boilerplate-removal tier
     // through the bridge (one implementation, two doors):
     //   html_blocks(html)  → array<struct<text, n_chars, n_words,

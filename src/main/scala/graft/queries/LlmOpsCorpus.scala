@@ -5317,4 +5317,163 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           substring(md5(doc_id || ':' || text), 1, 8)) AS BIGINT)
           ELSE 0 END) AS BIGINT) AS kept_mass
       FROM gated GROUP BY lang ORDER BY lang"""))
+
+  // ---- q305: sitemap recrawl schedule (lastmod/changefreq → TTL) ---------
+  // The metadata tier of the sitemaps protocol consumed (VERDICT r11
+  // Missing #2): entries carry the server's own recrawl hints, and a
+  // crawler that extracts only <loc> re-validates everything
+  // pointlessly. Per entry: changefreq maps to a TTL (integer DIV
+  // scaling off the 7-day default), lastmod against the stored
+  // last-fetch date decides MODIFIED (requeue now, no TTL wait) vs
+  // UNMODIFIED (TTL stretched 4× — the q287 revisit economics:
+  // sitemap-validated-unchanged URLs mostly skip, but lastmod is a
+  // hint and revalidation stays bounded) vs no-hint (plain TTL).
+  // ISO dates compare as STRINGS (both engines, same collation); the
+  // day arithmetic is engine date math replayed exactly. The second
+  // fixture entry carries no metadata at all — the no-hint leg.
+
+  /** The q305/q306 urlset fixture: one fully-hinted entry (lastmod +
+    * changefreq, the id%11=0 slice pinned to `never`) and one bare
+    * entry per page. */
+  private[queries] def sitemapEntriesXml(id: Column,
+                                         host: Column): Column =
+    concat(
+      lit("<urlset><url><loc>https://"), host, lit("/p/"), id % 7,
+      lit("</loc><lastmod>2024-0"), (id % 3) + 1, lit("-"),
+      lit(10) + id % 18,
+      lit("</lastmod><changefreq>"),
+      when(id % 11 === 0, "never")
+        .when(id % 6 === 0, "always").when(id % 6 === 1, "hourly")
+        .when(id % 6 === 2, "daily").when(id % 6 === 3, "weekly")
+        .when(id % 6 === 4, "monthly").otherwise("yearly"),
+      lit("</changefreq></url><url><loc> https://"), host,
+      lit("/q/"), id % 4, lit(" </loc></url></urlset>"))
+
+  private[queries] val sitemapEntriesOracleXml: String =
+    """'<urlset><url><loc>https://' || source || '.example.com/p/' ||
+      (doc_id % 7) || '</loc><lastmod>2024-0' || ((doc_id % 3) + 1) ||
+      '-' || (10 + doc_id % 18) || '</lastmod><changefreq>' ||
+      CASE WHEN doc_id % 11 = 0 THEN 'never'
+        WHEN doc_id % 6 = 0 THEN 'always'
+        WHEN doc_id % 6 = 1 THEN 'hourly'
+        WHEN doc_id % 6 = 2 THEN 'daily'
+        WHEN doc_id % 6 = 3 THEN 'weekly'
+        WHEN doc_id % 6 = 4 THEN 'monthly'
+        ELSE 'yearly' END ||
+      '</changefreq></url><url><loc> https://' || source ||
+      '.example.com/q/' || (doc_id % 4) || ' </loc></url></urlset>'"""
+
+  private[queries] val sitemapEntriesOracleUnnest: String =
+    """e0 AS (
+        SELECT doc_id,
+          unnest(list_filter(list_transform(string_split(xml, '</url>'),
+            s -> {
+              'loc': regexp_extract(s,
+                '(?s)<url>.*<loc>\s*(.*?)\s*</loc>', 1),
+              'lastmod': nullif(regexp_extract(s,
+                '(?s)<url>.*<lastmod>\s*(.*?)\s*</lastmod>', 1), ''),
+              'changefreq': nullif(regexp_extract(s,
+                '(?s)<url>.*<changefreq>\s*(.*?)\s*</changefreq>', 1),
+                '')
+            }), x -> length(x.loc) > 0)) AS e
+        FROM d),
+      e1 AS (
+        SELECT doc_id, e.loc AS loc, e.lastmod AS lastmod,
+          e.changefreq AS changefreq
+        FROM e0)"""
+
+  private[queries] val q305: GraftQuery = GraftQuery(
+    "q305_sitemap_recrawl",
+    (s, d) => {
+      val id = col("doc_id")
+      val host = concat(col("source"), lit(".example.com"))
+      val entries = docs(s, d)
+        .select(id.as("doc_id"),
+          explode(sitemapUrlEntries(sitemapEntriesXml(id, host)))
+            .as("e"))
+        .select(col("doc_id"), col("e.loc").as("loc"),
+          col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"))
+        .withColumn("last_fetch", date_format(
+          date_add(to_date(lit("2024-01-01")),
+            (col("doc_id") % 90).cast(IntegerType)), "yyyy-MM-dd"))
+        .withColumn("ttl_days", changefreqTtl(col("changefreq"), lit(7L)))
+        .withColumn("modified", col("lastmod").isNotNull &&
+          col("lastmod") > col("last_fetch"))
+        .withColumn("eff_ttl", col("ttl_days") *
+          when(col("lastmod").isNotNull &&
+            col("lastmod") <= col("last_fetch"), 4L).otherwise(1L))
+        .withColumn("days_since",
+          datediff(to_date(lit("2024-03-15")), to_date(col("last_fetch")))
+            .cast(LongType))
+      entries
+        .select(col("doc_id"), col("loc"), col("lastmod"),
+          col("changefreq"), col("ttl_days"), col("eff_ttl"),
+          col("last_fetch"),
+          when(col("modified"), "modified")
+            .when(col("days_since") >= col("eff_ttl"), "expired")
+            .otherwise("fresh").as("reason"),
+          (col("modified") || col("days_since") >= col("eff_ttl"))
+            .as("due"))
+        .orderBy(col("doc_id"), col("loc"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, $sitemapEntriesOracleXml AS xml
+        FROM documents),
+      $sitemapEntriesOracleUnnest,
+      m AS (
+        SELECT doc_id, loc, lastmod, changefreq,
+          strftime(DATE '2024-01-01' + CAST(doc_id % 90 AS INT),
+            '%Y-%m-%d') AS last_fetch,
+          CAST(CASE WHEN lower(changefreq) IN ('always', 'hourly')
+              THEN greatest(1, 7 // 4)
+            WHEN lower(changefreq) = 'daily' THEN greatest(1, 7 // 2)
+            WHEN lower(changefreq) = 'weekly' THEN 7
+            WHEN lower(changefreq) = 'monthly' THEN 14
+            WHEN lower(changefreq) = 'yearly' THEN 28
+            WHEN lower(changefreq) = 'never' THEN 1000000000
+            ELSE 7 END AS BIGINT) AS ttl_days,
+          date_diff('day', DATE '2024-01-01' + CAST(doc_id % 90 AS INT),
+            DATE '2024-03-15') AS days_since
+        FROM e1),
+      m2 AS (
+        SELECT *,
+          lastmod IS NOT NULL AND lastmod > last_fetch AS modified,
+          ttl_days * CASE WHEN lastmod IS NOT NULL
+            AND lastmod <= last_fetch THEN 4 ELSE 1 END AS eff_ttl
+        FROM m)
+      SELECT doc_id, loc, lastmod, changefreq, ttl_days,
+        CAST(eff_ttl AS BIGINT) AS eff_ttl, last_fetch,
+        CASE WHEN modified THEN 'modified'
+          WHEN days_since >= eff_ttl THEN 'expired'
+          ELSE 'fresh' END AS reason,
+        (modified OR days_since >= eff_ttl) AS due
+      FROM m2 ORDER BY doc_id, loc"""))
+
+  // ---- q306: sitemap url entries from SQL ---------------------------------
+  // q305's extractor through the parser door (the bridge contract —
+  // one implementation, two doors): per-entry rows with the raw
+  // metadata, pinned row by row.
+
+  private[queries] val q306: GraftQuery = GraftQuery(
+    "q306_sql_sitemap_entries",
+    (s, d) => {
+      val id = col("doc_id")
+      val host = concat(col("source"), lit(".example.com"))
+      docs(s, d)
+        .select(id.as("doc_id"),
+          sitemapEntriesXml(id, host).as("xml"))
+        .createOrReplaceTempView("sm_entries_sql")
+      s.sql("""SELECT doc_id, e.loc AS loc, e.lastmod AS lastmod,
+          e.changefreq AS changefreq
+        FROM (SELECT doc_id, explode(sitemap_url_entries(xml)) AS e
+          FROM sm_entries_sql)
+        ORDER BY doc_id, loc""")
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, $sitemapEntriesOracleXml AS xml
+        FROM documents),
+      $sitemapEntriesOracleUnnest
+      SELECT doc_id, loc, lastmod, changefreq
+      FROM e1 ORDER BY doc_id, loc"""))
 }

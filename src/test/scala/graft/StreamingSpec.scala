@@ -1524,6 +1524,49 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("hinted recrawl gate: stale-by-sitemap requeues immediately, sitemap-unmodified stretches the TTL, hintless keeps the default") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_hinted_recrawl")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val hints = root.resolve("hints"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    // hints on the gate's logical clock: A claims modification at
+    // batch 5 (after any fetch below — stale-by-sitemap), B at batch 0
+    // (never after — unmodified), C has no hint; ttl_b = 2 for both
+    Seq(("http://h.io/a", 5L, 2L), ("http://h.io/b", 0L, 2L))
+      .toDF("n", "lastmod_b", "ttl_b")
+      .write.mode("overwrite").parquet(hints.toString)
+    def shard(name: String, ts: Long, urls: String*): Unit = {
+      val dd = raw.resolve(name)
+      urls.toSeq.toDF("url").coalesce(1).write.json(dd.toString)
+      java.nio.file.Files.walk(dd).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(ts)); ()
+      }
+    }
+    val t0 = 1700000000000L
+    // batch 0: first sighting of all three — all queue
+    shard("f1", t0, "http://h.io/a", "http://h.io/b", "http://h.io/c")
+    // batch 1: all three re-discovered. A: lastmod_b 5 > last 0 →
+    // requeued NOW (no TTL wait). B: lastmod_b 0 <= last 0 →
+    // unmodified, eff TTL = 2×4 = 8 > 1 → skipped. C: no hint,
+    // default TTL 2 > 1 → skipped.
+    shard("f2", t0 + 60000, "http://h.io/a", "http://h.io/b",
+      "http://h.io/c")
+    DocIngest.runFrontierIngestRecrawlHinted(spark, raw.toString + "/*/",
+      hints.toString, seen.toString, out.toString, ckpt.toString,
+      ttlBatches = 2L)
+    val queued = spark.read.json(out.toString)
+      .select($"n").as[String].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(queued == Map("http://h.io/a" -> 2, "http://h.io/b" -> 1,
+      "http://h.io/c" -> 1), queued.toString)
+    deleteRec(root)
+  }
+
   test("revisit gate: 304 carries the stored digest bodyless, 200 re-mints the validator, orphan 304 quarantined") {
     import spark.implicits._
     import graft.streaming.DocIngest

@@ -333,6 +333,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sniff("<p>no meta here</p>") == None)
   }
 
+  test("sitemapUrlEntries: loc/lastmod/changefreq per entry, tag order free, absent metadata NULLs, locless entries drop") {
+    val xml = "<urlset>" +
+      "<url><loc> https://a.io/p1 </loc><lastmod>2024-02-01</lastmod>" +
+      "<changefreq>daily</changefreq></url>" +
+      "<url><changefreq>weekly</changefreq><loc>https://a.io/p2</loc>" +
+      "</url>" +
+      "<url><lastmod>2024-01-01</lastmod></url>" + // no loc: drops
+      "<url><loc>https://a.io/p3</loc></url></urlset>"
+    val got = one[Seq[(String, Option[String], Option[String])]](
+      sitemapUrlEntries($"text"), xml)
+    assert(got == Seq(
+      ("https://a.io/p1", Some("2024-02-01"), Some("daily")),
+      ("https://a.io/p2", None, Some("weekly")),
+      ("https://a.io/p3", None, None)), got.toString)
+    // the SQL door (bridge) agrees
+    val viaSql = spark.sql("SELECT sitemap_url_entries('" + xml + "')")
+      .as[Seq[(String, Option[String], Option[String])]].head()
+    assert(viaSql == got)
+  }
+
+  test("changefreqTtl: hint scaling off the base TTL — hand-computed") {
+    val cases = Seq("always" -> 2L, "hourly" -> 2L, "daily" -> 5L,
+      "weekly" -> 10L, "monthly" -> 20L, "yearly" -> 40L,
+      "never" -> 1000000000L, "garbage" -> 10L)
+    for ((cf, want) <- cases)
+      assert(one[Long](changefreqTtl(lit(cf), lit(10L)), "x") == want,
+        s"$cf")
+    // NULL changefreq (no hint) falls back to the base
+    assert(one[Long](changefreqTtl(lit(null).cast("string"), lit(10L)),
+      "x") == 10L)
+    // the quarter/half floors never reach 0
+    assert(one[Long](changefreqTtl(lit("always"), lit(1L)), "x") == 1L)
+  }
+
   test("htmlBlocks: jusText-shaped verdicts — nav/heading/promo/footer bad, article good; script content never leaks") {
     val html = "<html><head><title>T</title><script>var shouldnotleak=1;" +
       "</script><style>.x{color:red}</style></head><body>" +
