@@ -553,6 +553,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Graph.hits(tbl, srcCol, dstCol, iters.toInt)
           .queryExecution.analyzed
       }))
+    // Multi-hop redirect resolution from SQL:
+    //   resolve_redirects(table, src_col, dst_col, hop_cap)
+    //     → (start_url, final_url, n_hops, loop_flag)
+    ext.injectTableFunction((
+      new FunctionIdentifier("resolve_redirects"),
+      new ExpressionInfo("graft.operators.Graph", "resolve_redirects"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: resolve_redirects(table, src_col, dst_col, hop_cap)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val tbl = spark.table(strLit(children(0), "table"))
+        val srcCol = strLit(children(1), "src_col")
+        val dstCol = strLit(children(2), "dst_col")
+        val cap = longLit(children(3), "hop_cap")
+        Seq(srcCol, dstCol).foreach(c => require(tbl.columns.contains(c),
+          s"resolve_redirects: table lacks column '$c'"))
+        require(cap >= 1 && cap <= 16,
+          s"resolve_redirects: hop_cap must be in [1, 16], got $cap")
+        graft.operators.Graph.resolveRedirects(tbl, srcCol, dstCol,
+          cap.toInt).queryExecution.analyzed
+      }))
     // Reference-LM scoring from SQL (q292's operator — the CCNet
     // quality signal through the parser door):
     //   reference_lm_score(docs_table, ref_table, id_col, text_col)

@@ -5476,4 +5476,93 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       $sitemapEntriesOracleUnnest
       SELECT doc_id, loc, lastmod, changefreq
       FROM e1 ORDER BY doc_id, loc"""))
+
+  // ---- q307: multi-hop redirect resolution --------------------------------
+  // q274's single-hop census extended to what real crawls need
+  // (VERDICT r11 Missing #3): 301→301→200 chains resolve to their
+  // canonical endpoint with a hop cap and loop detection, so the
+  // frontier fetches final URLs instead of re-fetching every
+  // intermediate hop. The fixture gives every doc a chain of
+  // 1 + doc_id % 3 redirect edges (every intermediate hop is itself
+  // a start — the operator's contract) and closes doc_id % 17 = 0
+  // chains into a cycle; the oracle unrolls all five hops and the
+  // final has-outgoing-edge probe, so one mis-followed hop or one
+  // missed cycle flips rows.
+
+  /** The q307/q308 redirect edge fixture: per-doc chains
+    * `/c/{id}/0 → … → /c/{id}/L`, the `id % 17 = 0` slice closed
+    * back into a cycle. */
+  private[queries] def redirectEdges(s: SparkSession,
+                                     d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = concat(lit("https://"), col("source"),
+      lit(".example.com/c/"), id, lit("/"))
+    val chain = docs(s, d)
+      .select(id.as("doc_id"), col("source"),
+        explode(sequence(lit(0L), id % 3)).as("j"))
+      .select(
+        concat(concat(lit("https://"), col("source"),
+          lit(".example.com/c/"), col("doc_id"), lit("/")), col("j"))
+          .as("src"),
+        concat(concat(lit("https://"), col("source"),
+          lit(".example.com/c/"), col("doc_id"), lit("/")),
+          col("j") + 1L).as("dst"))
+    val loops = docs(s, d).filter(id % 17 === 0)
+      .select(concat(base, (id % 3) + 1L).as("src"),
+        concat(base, lit(0)).as("dst"))
+    chain.unionByName(loops)
+  }
+
+  private[queries] val redirectOracleEdges: String =
+    """d AS (SELECT doc_id, source, (doc_id % 3) + 1 AS l,
+        'https://' || source || '.example.com/c/' || doc_id || '/' AS b
+      FROM documents),
+      ch AS (SELECT b || j AS src, b || (j + 1) AS dst
+        FROM d, unnest(generate_series(0, l - 1)) AS u(j)),
+      lp AS (SELECT b || l AS src, b || 0 AS dst FROM d
+        WHERE doc_id % 17 = 0),
+      e AS (SELECT src AS s, min(dst) AS dd
+        FROM (SELECT * FROM ch UNION ALL SELECT * FROM lp)
+        GROUP BY src),
+      c1 AS (SELECT s AS start_url, dd AS cur, 1 AS h FROM e),
+      c2 AS (SELECT c.start_url, coalesce(e.dd, c.cur) AS cur,
+          c.h + CASE WHEN e.dd IS NULL THEN 0 ELSE 1 END AS h
+        FROM c1 c LEFT JOIN e ON c.cur = e.s),
+      c3 AS (SELECT c.start_url, coalesce(e.dd, c.cur) AS cur,
+          c.h + CASE WHEN e.dd IS NULL THEN 0 ELSE 1 END AS h
+        FROM c2 c LEFT JOIN e ON c.cur = e.s),
+      c4 AS (SELECT c.start_url, coalesce(e.dd, c.cur) AS cur,
+          c.h + CASE WHEN e.dd IS NULL THEN 0 ELSE 1 END AS h
+        FROM c3 c LEFT JOIN e ON c.cur = e.s),
+      c5 AS (SELECT c.start_url, coalesce(e.dd, c.cur) AS cur,
+          c.h + CASE WHEN e.dd IS NULL THEN 0 ELSE 1 END AS h
+        FROM c4 c LEFT JOIN e ON c.cur = e.s)"""
+
+  private[queries] val redirectOracleSelect: String =
+    """SELECT c.start_url, c.cur AS final_url,
+        CAST(c.h AS BIGINT) AS n_hops, e.s IS NOT NULL AS loop_flag
+      FROM c5 c LEFT JOIN e ON c.cur = e.s
+      ORDER BY c.start_url"""
+
+  private[queries] val q307: GraftQuery = GraftQuery(
+    "q307_redirect_chains",
+    (s, d) =>
+      graft.operators.Graph.resolveRedirects(redirectEdges(s, d),
+          "src", "dst", hopCap = 5)
+        .orderBy(col("start_url")),
+    Some(s"WITH $redirectOracleEdges $redirectOracleSelect"))
+
+  // ---- q308: redirect resolution from SQL ---------------------------------
+  // q307's operator through the parser door (the page_rank/hits TVF
+  // shape: the door must add no semantics — oracle shared verbatim).
+
+  private[queries] val q308: GraftQuery = GraftQuery(
+    "q308_sql_redirects",
+    (s, d) => {
+      redirectEdges(s, d).createOrReplaceTempView("redirects_sql")
+      s.sql("""SELECT start_url, final_url, n_hops, loop_flag
+        FROM resolve_redirects('redirects_sql', 'src', 'dst', 5)
+        ORDER BY start_url""")
+    },
+    q307.oracle)
 }

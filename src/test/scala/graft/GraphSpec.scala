@@ -185,4 +185,30 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got3 == got)
   }
+
+  test("resolveRedirects: chains resolve to endpoints, every hop is a start, cycles and over-cap chains flag") {
+    val edges = Seq(
+      ("a", "b"),                                  // 1 hop
+      ("c", "d"), ("d", "e"), ("e", "f"),          // 3-hop chain
+      ("g", "h"), ("h", "g"),                      // 2-cycle
+      ("a", "z"),                                  // dup source: min target wins
+      ("p1", "p2"), ("p2", "p3"), ("p3", "p4"),
+      ("p4", "p5"), ("p5", "p6"), ("p6", "p7"))    // 6 hops > cap 5
+    val got = Graph.resolveRedirects(edges.toDF("s", "t"), "s", "t",
+        hopCap = 5)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == (("b", 1L, false)))         // min("b","z") = "b"
+    assert(got("c") == (("f", 3L, false)))
+    assert(got("d") == (("f", 2L, false)))         // intermediate hop is a start
+    assert(got("e") == (("f", 1L, false)))
+    // the 2-cycle: both starts walk the cap and still face an edge
+    assert(got("g")._2 == 5L && got("g")._3, got("g").toString)
+    assert(got("h")._2 == 5L && got("h")._3, got("h").toString)
+    // over-cap straight chain: capped and flagged (trap policy —
+    // indistinguishable from a cycle without more hops, by design)
+    assert(got("p1") == (("p6", 5L, true)), got("p1").toString)
+    assert(got("p2") == (("p7", 5L, false)), got("p2").toString)
+    assert(got.size == edges.map(_._1).distinct.size)
+  }
 }
