@@ -137,6 +137,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.GraftPlanBridge.columnOf(children(0)),
             org.apache.spark.sql.GraftPlanBridge.columnOf(children(1))))
       }))
+    // rel=canonical from SQL (the content-identity key beside the
+    // SURT spelling key):
+    //   extract_canonical(html, page_url) → string (NULL when absent)
+    //   canonical_key(html, page_url)     → the dedup key
+    ext.injectFunction((
+      new FunctionIdentifier("extract_canonical"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "extract_canonical"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "extract_canonical expects (html, page_url)")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.extractCanonical(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(0)),
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(1))))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("canonical_key"),
+      new ExpressionInfo("graft.functions.TextFunctions",
+        "canonical_key"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "canonical_key expects (html, page_url)")
+        org.apache.spark.sql.GraftPlanBridge.exprOf(
+          graft.functions.TextFunctions.canonicalKey(
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(0)),
+            org.apache.spark.sql.GraftPlanBridge.columnOf(children(1))))
+      }))
     // Sitemap record types from SQL — q301's extractors through the
     // bridge (same one-implementation contract as extract_anchors):
     //   sitemap_index_locs(xml) → array<string>  (child SITEMAPS)

@@ -5565,4 +5565,149 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         ORDER BY start_url""")
     },
     q307.oracle)
+
+  // ---- q309: rel=canonical census (content-identity dedup) ---------------
+  // The SURT key (q284/q285) canonicalizes SPELLINGS; rel=canonical
+  // canonicalizes CONTENT identity and beats it when present (VERDICT
+  // r11 Missing #4): every fixture page carries a unique tracking
+  // parameter, so the plain normalized key never collapses anything —
+  // while pages declaring a canonical (absolute on one slice,
+  // RELATIVE + attribute-order-flipped + unquoted-rel on another)
+  // collapse to their 5 item URLs. The census pins both distinct-key
+  // counts side by side plus an md5 mass over every chosen key.
+
+  /** The q309/q310 page fixture: unique-spelling page URLs; absolute
+    * (id%3=0), relative href-first unquoted-rel (id%3=1), and absent
+    * (id%3=2) canonical declarations. */
+  private[queries] def canonicalPages(s: SparkSession,
+                                      d: String): DataFrame = {
+    val id = col("doc_id")
+    val host = concat(col("source"), lit(".example.com"))
+    val page = concat(lit("https://"), host, lit("/item/"), id % 5,
+      lit("?utm="), id)
+    val html = when(id % 3 === 0, concat(
+        lit("<html><head><link rel=\"canonical\" href=\"https://"),
+        host, lit("/item/"), id % 5,
+        lit("\"/></head><body>x</body></html>")))
+      .when(id % 3 === 1, concat(
+        lit("<html><head><link href=\"/item/"), id % 5,
+        lit("\" rel=canonical></head><body>x</body></html>")))
+      .otherwise(lit("<html><head><title>t</title></head>" +
+        "<body>x</body></html>"))
+    docs(s, d).select(id.as("doc_id"), col("source"),
+      page.as("page"), html.as("html"))
+  }
+
+  private[queries] val canonicalOracleFixture: String =
+    """SELECT doc_id, source,
+      'https://' || source || '.example.com/item/' || (doc_id % 5) ||
+        '?utm=' || doc_id AS page,
+      CASE WHEN doc_id % 3 = 0 THEN
+          '<html><head><link rel="canonical" href="https://' || source
+          || '.example.com/item/' || (doc_id % 5) ||
+          '"/></head><body>x</body></html>'
+        WHEN doc_id % 3 = 1 THEN
+          '<html><head><link href="/item/' || (doc_id % 5) ||
+          '" rel=canonical></head><body>x</body></html>'
+        ELSE '<html><head><title>t</title></head><body>x</body></html>'
+        END AS html
+      FROM documents"""
+
+  /** The extract + resolve + normalize replay — shared by q309/q310;
+    * ends with `k(doc_id, source, canon, ckey, pkey)`. */
+  private[queries] val canonicalOracleCtes: String =
+    """c0 AS (
+        SELECT doc_id, source, page,
+          nullif(coalesce(
+            nullif(regexp_extract(html,
+              '(?is)<link\s[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']([^"'']+)["'']',
+              1), ''),
+            nullif(regexp_extract(html,
+              '(?is)<link\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*rel\s*=\s*["'']?canonical["'']?',
+              1), '')), '') AS h
+        FROM d),
+      c1 AS (
+        SELECT doc_id, source, page,
+          CASE WHEN h IS NULL THEN NULL
+            WHEN regexp_matches(h, '^https?://') THEN h
+            WHEN regexp_matches(h, '^//') THEN NULL
+            WHEN regexp_matches(h, '^/') THEN
+              regexp_extract(page, '^(https?://[^/]+)', 1) || h
+            ELSE NULL END AS canon
+        FROM c0),
+      k AS (
+        SELECT doc_id, source, canon,
+          coalesce(
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(regexp_replace(canon, '#.*$', ''),
+                '^([A-Za-z]+://[^/]*)', 1)),
+              '^(http://[^/:]*):80$', '\1'),
+              '^(https://[^/:]*):443$', '\1'),
+              '^(https?://)www\.', '\1') ||
+            regexp_replace(regexp_replace(regexp_replace(canon,
+              '#.*$', ''), '^[A-Za-z]+://[^/]*', ''),
+              '^([^?]*?)/+$', '\1'),
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(regexp_replace(page, '#.*$', ''),
+                '^([A-Za-z]+://[^/]*)', 1)),
+              '^(http://[^/:]*):80$', '\1'),
+              '^(https://[^/:]*):443$', '\1'),
+              '^(https?://)www\.', '\1') ||
+            regexp_replace(regexp_replace(regexp_replace(page,
+              '#.*$', ''), '^[A-Za-z]+://[^/]*', ''),
+              '^([^?]*?)/+$', '\1')) AS ckey,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace(page, '#.*$', ''),
+              '^([A-Za-z]+://[^/]*)', 1)),
+            '^(http://[^/:]*):80$', '\1'),
+            '^(https://[^/:]*):443$', '\1'),
+            '^(https?://)www\.', '\1') ||
+          regexp_replace(regexp_replace(regexp_replace(page,
+            '#.*$', ''), '^[A-Za-z]+://[^/]*', ''),
+            '^([^?]*?)/+$', '\1') AS pkey
+        FROM c1)"""
+
+  private[queries] val q309: GraftQuery = GraftQuery(
+    "q309_canonical_census",
+    (s, d) => {
+      val base = canonicalPages(s, d)
+        .withColumn("canon", extractCanonical(col("html"), col("page")))
+        .withColumn("ckey", canonicalKey(col("html"), col("page")))
+        .withColumn("pkey", urlNormalize(col("page")))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("canon").isNotNull, 1L).otherwise(0L))
+            .cast(LongType).as("n_canonical"),
+          countDistinct(col("ckey")).cast(LongType)
+            .as("n_keys_canonical"),
+          countDistinct(col("pkey")).cast(LongType).as("n_keys_plain"),
+          sum(conv(substring(md5(col("ckey")), 1, 8), 16, 10)
+            .cast(LongType)).cast(LongType).as("key_mass"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS ($canonicalOracleFixture),
+      $canonicalOracleCtes
+      SELECT source, count(*) AS n_pages,
+        CAST(sum(CASE WHEN canon IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_canonical,
+        CAST(count(DISTINCT ckey) AS BIGINT) AS n_keys_canonical,
+        CAST(count(DISTINCT pkey) AS BIGINT) AS n_keys_plain,
+        CAST(sum(CAST(concat('0x', substring(md5(ckey), 1, 8))
+          AS BIGINT)) AS BIGINT) AS key_mass
+      FROM k GROUP BY source ORDER BY source"""))
+
+  // ---- q310: rel=canonical from SQL ---------------------------------------
+  // q309's extractors through the bridge doors, pinned per doc.
+
+  private[queries] val q310: GraftQuery = GraftQuery(
+    "q310_sql_canonical",
+    (s, d) => {
+      canonicalPages(s, d).createOrReplaceTempView("canon_pages_sql")
+      s.sql("""SELECT doc_id, extract_canonical(html, page) AS canon,
+          canonical_key(html, page) AS ckey
+        FROM canon_pages_sql ORDER BY doc_id""")
+    },
+    Some(s"""WITH d AS ($canonicalOracleFixture),
+      $canonicalOracleCtes
+      SELECT doc_id, canon, ckey FROM k ORDER BY doc_id"""))
 }

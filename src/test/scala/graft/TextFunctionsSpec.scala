@@ -333,6 +333,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sniff("<p>no meta here</p>") == None)
   }
 
+  test("extractCanonical: both attribute orders, relative resolution, unquoted rel, first wins, junk schemes drop") {
+    def canon(html: String): Option[String] =
+      Seq((html, "https://h.io/dir/page.html")).toDF("h", "p")
+        .select(extractCanonical($"h", $"p")).as[Option[String]].head()
+    assert(canon("<link rel=\"canonical\" href=\"https://c.io/x\">")
+      == Some("https://c.io/x"))
+    assert(canon("<link href=\"https://c.io/y\" rel=\"canonical\">")
+      == Some("https://c.io/y"))
+    assert(canon("<link rel=canonical href=\"/z\">")
+      == Some("https://h.io/z"))          // root-relative
+    assert(canon("<link rel=\"canonical\" href=\"other.html\">")
+      == Some("https://h.io/dir/other.html")) // page-relative
+    assert(canon("<link rel=\"stylesheet\" href=\"/css\">") == None)
+    assert(canon("<p>no head</p>") == None)
+    // rel-first declaration wins over a later href-first one
+    assert(canon("<link rel=\"canonical\" href=\"https://c.io/first\">" +
+      "<link href=\"https://c.io/second\" rel=\"canonical\">")
+      == Some("https://c.io/first"))
+    // unresolvable target (other scheme) → NULL, never garbage
+    assert(canon("<link rel=\"canonical\" href=\"mailto:x@y.z\">") == None)
+    // the dedup key falls back to the page's own normalized URL
+    val key = Seq(("<p>none</p>", "HTTPS://h.io:443/a?utm=1#f"))
+      .toDF("h", "p").select(canonicalKey($"h", $"p")).as[String].head()
+    assert(key == "https://h.io/a?utm=1")
+  }
+
   test("sitemapUrlEntries: loc/lastmod/changefreq per entry, tag order free, absent metadata NULLs, locless entries drop") {
     val xml = "<urlset>" +
       "<url><loc> https://a.io/p1 </loc><lastmod>2024-02-01</lastmod>" +
