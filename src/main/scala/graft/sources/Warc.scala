@@ -346,6 +346,68 @@ object Warc {
       Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
 
+  /** `Content-Encoding: deflate` walk (VERDICT r11 Missing #5): the
+    * wild ships BOTH forms under that name — zlib-wrapped (RFC 1950,
+    * what the HTTP spec means) and raw DEFLATE (RFC 1951, what
+    * certain servers actually send) — so try zlib first and fall
+    * back to raw, the browser behavior. None on a stream neither
+    * form accepts. */
+  private def inflateBytesOpt(bytes: Array[Byte]): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(nowrap)
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var ok = true
+        while (ok && !inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (!inf.finished()) ok = false // truncated input
+        }
+        inf.end()
+        if (ok) Some(out.toByteArray) else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+    run(false).orElse(run(true))
+  }
+
+  /** FIXTURE-side codec seam: each row's `bodyCol` deflated to an
+    * HTTP/1.1 200 message's bytes under `Content-Encoding: deflate` —
+    * zlib-wrapped or raw per `nowrapCol` (both wild forms; see
+    * [[inflateBytesOpt]]). Tests and oracled fixtures need deflated
+    * bytes no Column expression can produce; the DECODE side stays
+    * the product ([[decodeHttpBinary]]).
+    * @return (idCol, bb) — the message bytes. */
+  def deflateHttpResponseBytes(df: DataFrame, idCol: String,
+                               bodyCol: String,
+                               nowrapCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sel = df.select(col(idCol), col(bodyCol), col(nowrapCol))
+    val outSchema = StructType(Seq(
+      sel.schema.head, StructField("bb", BinaryType)))
+    sel.mapPartitions { rows =>
+      rows.map { r =>
+        val body = r.getString(1).getBytes("UTF-8")
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, r.getBoolean(2))
+        defl.setInput(body); defl.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        while (!defl.finished()) {
+          val n = defl.deflate(buf)
+          out.write(buf, 0, n)
+        }
+        defl.end()
+        val comp = out.toByteArray
+        val head = "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" +
+          "Content-Encoding: deflate\r\n" +
+          s"Content-Length: ${comp.length}\r\n\r\n"
+        Row(r.get(0), head.getBytes("US-ASCII") ++ comp)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Chunked-transfer byte walk shared by the codec-seam ops; None on
     * a malformed stream (non-hex size, truncated chunk, unterminated
     * size line). */
@@ -384,8 +446,10 @@ object Warc {
     * byte-tier twin, composing the three wire layers a real fetch
     * records in order: split head from body at the first CRLFCRLF,
     * DE-CHUNK (`Transfer-Encoding: chunked` is the OUTER transfer
-    * layer), GUNZIP (`Content-Encoding: gzip` is the inner content
-    * layer), then DECODE under the declared charset — header
+    * layer), decompress the inner content layer
+    * (`Content-Encoding: gzip` via the member walk; `deflate` via
+    * zlib-then-raw Inflater — both wild forms), then DECODE under
+    * the declared charset — header
     * `charset=` first, else the WHATWG meta sniff over the first
     * 1024 body bytes (read through latin-1, which maps every byte,
     * so the sniff itself cannot fail), else UTF-8. Emits
@@ -456,9 +520,10 @@ object Warc {
                   dechunkBytesOpt(raw)
                 else Some(raw)
               val plain = unchunked.flatMap { b =>
-                if (header("Content-Encoding")
-                    .exists(_.toLowerCase.contains("gzip")))
-                  gunzipBytesOpt(b)
+                val enc = header("Content-Encoding").map(_.toLowerCase)
+                if (enc.exists(_.contains("gzip"))) gunzipBytesOpt(b)
+                else if (enc.exists(_.contains("deflate")))
+                  inflateBytesOpt(b)
                 else Some(b)
               }
               plain match {

@@ -351,6 +351,62 @@ class WarcSpec extends AnyFunSuite {
     assert(got("raw") == ((None, None, None)))
   }
 
+  test("decodeHttpBinary: Content-Encoding deflate — zlib and raw forms both decode, chunked composes, corrupt streams NULL") {
+    def deflate(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); o.write(buf, 0, n) }
+      d.end(); o.toByteArray
+    }
+    def chunkBytes(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"${b.length.toHexString}\r\n".getBytes("US-ASCII"))
+      o.write(b); o.write("\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      o.toByteArray
+    }
+    def msg(headers: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(s"HTTP/1.1 200 S\r\n$headers\r\n\r\n".getBytes("US-ASCII"))
+      o.write(body); o.toByteArray
+    }
+    val doc = "déjà inflated content"
+    val rows = Seq(
+      ("zlib", msg("Content-Type: text/html; charset=utf-8\r\n" +
+        "Content-Encoding: deflate",
+        deflate(doc.getBytes("UTF-8"), nowrap = false))),
+      // raw DEFLATE under the same label — what certain servers send
+      ("raw", msg("Content-Type: text/html; charset=utf-8\r\n" +
+        "Content-Encoding: deflate",
+        deflate(doc.getBytes("UTF-8"), nowrap = true))),
+      // outer chunked over inner deflate — wire order composes
+      ("chunked", msg("Content-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\nContent-Encoding: deflate",
+        chunkBytes(deflate(doc.getBytes("UTF-8"), nowrap = false)))),
+      ("bad", msg("Content-Encoding: deflate",
+        "not deflate at all".getBytes("US-ASCII"))))
+      .toDF("id", "bytes")
+    val got = Warc.decodeHttpBinary(rows, "bytes", "id")
+      .select($"id", $"http_status", $"text")
+      .as[(String, Option[Int], Option[String])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("zlib") == ((Some(200), Some(doc))), got("zlib"))
+    assert(got("raw") == ((Some(200), Some(doc))), got("raw"))
+    assert(got("chunked") == ((Some(200), Some(doc))), got("chunked"))
+    assert(got("bad")._2.isEmpty, got("bad"))
+    // the fixture helper round-trips through the decoder too
+    val viaHelper = Warc.decodeHttpBinary(
+      Warc.deflateHttpResponseBytes(
+        Seq(("a", doc, false), ("b", doc, true))
+          .toDF("id", "body", "nowrap"), "id", "body", "nowrap"),
+      "bb", "id")
+      .select($"id", $"text").as[(String, Option[String])]
+      .collect().toMap
+    assert(viaHelper == Map("a" -> Some(doc), "b" -> Some(doc)))
+  }
+
   test("readWarcGz: a per-record-gzipped shard round-trips through parseRecords") {
     val docs = Seq(("http://z/1", "alpha body"), ("http://z/2", "beta"))
     // the Common Crawl layout: each RECORD is its own gzip member,
