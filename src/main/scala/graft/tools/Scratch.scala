@@ -307,6 +307,53 @@ object Scratch {
           .select("b.*").show(20, 60)
         df.select(graft.functions.TextFunctions.mainContent(col("html")))
           .show(1, 200)
+      case "conv2" =>
+        // does eps=0 terminate? try fixtures + damping factors
+        val path4 = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+          ("c", "d"), ("d", "c")).toDF("s", "t")
+        for (dp <- Seq(50, 85)) {
+          val t0 = System.nanoTime()
+          val (df, r) = graft.operators.Graph.pageRankConverged(
+            path4, "s", "t", maxIters = 50, epsilon = 0L,
+            dampingPct = dp)
+          df.count()
+          println(s"prConv path4 d=$dp rounds=$r sec=${(System.nanoTime()-t0)/1e9}")
+        }
+        for ((name, es) <- Seq(
+          ("bipartite-uniform", Seq(("h1", "a1"), ("h2", "a2"))),
+          ("bipartite-skew", Seq(("h1", "a1"), ("h2", "a2"), ("h3", "a1"))),
+          ("star", Seq(("h1", "a1"), ("h2", "a1"), ("h3", "a1"))))) {
+          val (df, r) = graft.operators.Graph.hitsConverged(
+            es.toDF("s", "t"), "s", "t", maxIters = 30, epsilon = 0L)
+          df.count()
+          println(s"hitsConv $name rounds=$r")
+        }
+      case "conv" =>
+        // delta sequences of the damped/HITS loops on small fixtures —
+        // does integer truncation reach an exact fixpoint or orbit?
+        val pr = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+          ("c", "d"), ("d", "c")).toDF("s", "t")
+        var ranks = graft.operators.Graph.pageRank(pr, "s", "t", 1)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        for (i <- 2 to 20) {
+          val next = graft.operators.Graph.pageRank(pr, "s", "t", i)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val delta = next.map { case (k, v) => math.abs(v - ranks(k)) }.max
+          println(s"pr iter=$i maxDelta=$delta")
+          ranks = next
+        }
+        val he = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"),
+          ("h2", "a3"), ("m", "a2"), ("a1", "m")).toDF("s", "t")
+        var hs = graft.operators.Graph.hits(he, "s", "t", 1)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        for (i <- 2 to 25) {
+          val next = graft.operators.Graph.hits(he, "s", "t", i)
+            .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          val delta = next.map { case (k, (h2, a2)) =>
+            math.max(math.abs(h2 - hs(k)._1), math.abs(a2 - hs(k)._2)) }.max
+          println(s"hits iter=$i maxDelta=$delta")
+          hs = next
+        }
       case "cc" =>
         // clusterReps fixpoint cost on a q63-shaped synthetic graph
         // (~300 shallow clusters + one 30-chain), isolated from IO

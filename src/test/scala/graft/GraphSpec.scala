@@ -186,6 +186,55 @@ class GraphSpec extends AnyFunSuite {
     assert(got3 == got)
   }
 
+  test("pageRankConverged: eps=0 reaches the exact fixpoint early, equals the fixed run, loose eps stops sooner") {
+    // path graph at damping 50: truncating contraction reaches the
+    // exact integer fixpoint in 20 rounds (measured)
+    val pairs = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"))
+    val edges = pairs.toDF("s", "t")
+    val (conv, rounds) = Graph.pageRankConverged(edges, "s", "t",
+      maxIters = 30, epsilon = 0L, dampingPct = 50)
+    assert(rounds < 30, s"never converged: $rounds rounds")
+    val got = conv.as[(String, Long)].collect().toMap
+    // stopped-at-r equals the fixed run at r — the shared-update
+    // invariant — and the JVM reference at the same round count
+    assert(got == referenceRanks(pairs, rounds, d = 50),
+      s"converged $got != reference at $rounds")
+    // the fixpoint is stable: deeper fixed runs change nothing
+    assert(referenceRanks(pairs, rounds, d = 50)
+      == referenceRanks(pairs, rounds + 5, d = 50))
+    // a loose epsilon stops earlier (or equal), never later
+    val (_, roundsLoose) = Graph.pageRankConverged(edges, "s", "t",
+      maxIters = 30, epsilon = 1000000L, dampingPct = 50)
+    assert(roundsLoose < rounds, s"$roundsLoose !< $rounds")
+  }
+
+  test("hitsConverged: star fixpoint found early and equal to the fixed run; limit-cycling shape stops at the backstop") {
+    // the star converges to an exact integer fixpoint in ~5 rounds
+    val star = Seq(("h1", "a1"), ("h2", "a1"), ("h3", "a1"))
+      .toDF("s", "t")
+    val (conv, rounds) = Graph.hitsConverged(star, "s", "t",
+      maxIters = 20, epsilon = 0L)
+    assert(rounds < 20, s"never converged: $rounds rounds")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = scores(conv)
+    assert(got == scores(Graph.hits(star, "s", "t", iters = rounds)),
+      s"converged != fixed-at-$rounds")
+    // post-fixpoint rounds are the identity
+    assert(got == scores(Graph.hits(star, "s", "t", iters = rounds + 3)))
+    // the measured limit-cycling shape (skewed bipartite): eps=0 never
+    // fires, maxIters is the backstop — and the capped result still
+    // equals the fixed run at the cap
+    val skew = Seq(("h1", "a1"), ("h2", "a2"), ("h3", "a1"))
+      .toDF("s", "t")
+    val (capped, r2) = Graph.hitsConverged(skew, "s", "t",
+      maxIters = 6, epsilon = 0L)
+    assert(r2 == 6)
+    assert(scores(capped) == scores(Graph.hits(skew, "s", "t", iters = 6)))
+  }
+
   test("resolveRedirects: chains resolve to endpoints, every hop is a start, cycles and over-cap chains flag") {
     val edges = Seq(
       ("a", "b"),                                  // 1 hop
