@@ -153,8 +153,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val recycleEvery =
       sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "25").toInt.max(1)
+    // default raised 60 → 100 for the r12 consumer change (count() →
+    // collect()): rows that benched pruned plans read slower against
+    // their trailing refs ONCE, and all of them must reach the
+    // isolation phase so the artifact adjudicates its own transition
+    // instead of leaving capped-out rows tainted
     val isolateMax =
-      sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAX", "60").toInt.max(0)
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAX", "100").toInt.max(0)
 
     def buildSession(): SparkSession = {
       val s = SparkSession.builder()
@@ -185,7 +190,20 @@ object Bench {
       val c0 = graft.tools.CodegenErrorCapture.count()
       val t0 = System.nanoTime()
       try {
-        fn(s, sfDir).count()
+        // collect(), NOT count() (r12): under count() Catalyst prunes
+        // unreferenced output columns and with them entire operator
+        // pipelines — a registry-wide audit (Scratch prunescan) found
+        // 19 queries whose count plan kept ZERO work nodes (joins /
+        // generators / windows / aggregates) while their full plan
+        // carried up to 14: the minhash/simhash verdict queries, the
+        // surprisal/importance scorers and the span masker all
+        // benched bare scans (q290's 0.21 s-vs-1.5 s paradox was the
+        // visible case, VERDICT r11 item 1). collect() must PRODUCE
+        // every output row, so the timed plan is the operator's real
+        // plan; outputs are bounded by the GraftQuery convention
+        // (deterministic ORDER BY, census/top-k shaped — the largest
+        // is 60k narrow rows), so the driver-side pickup is noise.
+        fn(s, sfDir).collect()
         Some(Pass((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
           graft.tools.CodegenErrorCapture.count() - c0))
       } catch { case e: Throwable =>

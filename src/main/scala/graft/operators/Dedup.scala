@@ -370,20 +370,34 @@ object Dedup {
 
   /** 64-bit SimHash over a token array: bit k of the result is the
     * sign of Σ_tokens (±1 depending on bit k of tokenHash(token)).
-    * Token hashes are materialized once into an array column; the 64
-    * bit-sums are then independent narrow folds. `tokenHash` defaults
-    * to xxhash64 (fast, codegen'd); pass [[md5Hash64]] when a
-    * SQL-replayable family is needed (the q43 oracle rebuilds the
-    * signature bit-for-bit from md5). */
+    * `tokenHash` defaults to xxhash64 (fast, codegen'd); pass
+    * [[md5Hash64]] when a SQL-replayable family is needed (the q43
+    * oracle rebuilds the signature bit-for-bit from md5).
+    *
+    * ONE pass over the tokens (r12): the original form built 64
+    * independent bit-sum folds, each re-referencing the
+    * `transform(tokens, tokenHash)` subtree — and HOF subtrees are
+    * interpreted without common-subexpression elimination, so the
+    * token-hash pass (an md5 PER TOKEN under the replayable family)
+    * ran 64×. The honest collect() bench consumer surfaced it: q43
+    * billed 34 s at sf0.1, ~90% of it re-hashing. The fold now
+    * carries all 64 bit-sums in one array accumulator (zip_with over
+    * a 64-slot sums array per token), so each token hashes once; the
+    * bit definition is unchanged and the oracle replay still
+    * hash-matches. */
   def simhash(tokens: Column,
               tokenHash: Column => Column = t => xxhash64(t)): Column = {
     val hashes = transform(tokens, t => tokenHash(t))
-    val bitCols: Seq[Column] = (0 until 64).map { k =>
-      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
+    val ks = sequence(lit(0), lit(63))
+    val sums = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, ks, (a, k) =>
+        a + when(call_function("shiftright", h, k)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(sums, ks, (s, k) =>
+        when(s >= 0, call_function("shiftleft", lit(1L), k))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** 64-bit hash assembled from two md5 prefix halves — bit-for-bit

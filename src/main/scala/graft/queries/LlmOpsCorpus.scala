@@ -5091,7 +5091,12 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       val base = docs(s, d)
         .select(col("doc_id"), col("source"),
           contentHtml(col("doc_id"), col("text")).as("html"))
-        .withColumn("bl", htmlBlocks(col("html")))
+        // FENCED (NoInline, the q103 lesson): five consumers reference
+        // bl (two sizes, a fold, and main twice via chars + mass) —
+        // CollapseProject re-inlines the whole block battery into
+        // each one (measured at sf0.1: 3.2 s unfenced → 2.6 s fenced)
+        .withColumn("bl", call_function("no_inline",
+          htmlBlocks(col("html"))))
         .withColumn("main", array_join(transform(filter(col("bl"),
           b => b.getField("good")), b => b.getField("text")), "\n"))
       base.groupBy(col("source"))
@@ -5108,6 +5113,10 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           sum(conv(substring(md5(concat(col("doc_id").cast(StringType),
             lit(":"), col("main"))), 1, 8), 16, 10).cast(LongType))
             .cast(LongType).as("main_mass"))
+        // always-true HAVING that exists for the BENCH (the q290
+        // count-pruning fix): without it count() prunes every
+        // aggregate expression and the extraction never runs
+        .where(col("main_mass").isNotNull)
         .orderBy(col("source"))
     },
     Some(extractCtes + """
@@ -5120,7 +5129,9 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           AS BIGINT) AS n_extracted,
         CAST(sum(CAST(concat('0x', substring(md5(doc_id || ':' || main),
           1, 8)) AS BIGINT)) AS BIGINT) AS main_mass
-      FROM ext GROUP BY source ORDER BY source"""))
+      FROM ext GROUP BY source
+      HAVING main_mass IS NOT NULL
+      ORDER BY source"""))
 
   // ---- q303: main-content extraction from SQL -----------------------------
   // q302's operator through the parser door: `html_blocks` /
@@ -5136,17 +5147,31 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         .select(col("doc_id"), col("source"),
           contentHtml(col("doc_id"), col("text")).as("html"))
         .createOrReplaceTempView("mc_pages_sql")
+      // the block battery runs ONCE: bl is computed in a fenced
+      // subquery (no_inline — CollapseProject would re-inline it into
+      // every consumer; the honest collect() consumer made the 4×
+      // recomputation visible at 13 s) and main derives from bl with
+      // SQL lambdas, exactly the Column twin's shape
       s.sql("""SELECT doc_id,
-          CAST(size(html_blocks(html)) AS BIGINT) AS n_blocks,
-          CAST(length(main_content(html)) AS BIGINT) AS main_chars,
-          substring(md5(main_content(html)), 1, 8) AS main_sig
-        FROM mc_pages_sql ORDER BY doc_id""")
+          CAST(size(bl) AS BIGINT) AS n_blocks,
+          CAST(length(m) AS BIGINT) AS main_chars,
+          substring(md5(m), 1, 8) AS main_sig
+        FROM (SELECT doc_id, bl,
+            array_join(transform(filter(bl, b -> b.good),
+              b -> b.text), '\n') AS m
+          FROM (SELECT doc_id,
+              no_inline(html_blocks(html)) AS bl
+            FROM mc_pages_sql))
+        WHERE substring(md5(m), 1, 8) IS NOT NULL
+        ORDER BY doc_id""")
     },
     Some(extractCtes + """
       SELECT doc_id, n_blocks,
         CAST(length(main) AS BIGINT) AS main_chars,
         substring(md5(main), 1, 8) AS main_sig
-      FROM ext ORDER BY doc_id"""))
+      FROM ext
+      WHERE substring(md5(main), 1, 8) IS NOT NULL
+      ORDER BY doc_id"""))
 
   // ---- q304: cleaning recipe v3 (extract → excise → LM gate) -------------
   // q295's successor with the extraction tier IN FRONT — the order a
@@ -5542,6 +5567,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     """SELECT c.start_url, c.cur AS final_url,
         CAST(c.h AS BIGINT) AS n_hops, e.s IS NOT NULL AS loop_flag
       FROM c5 c LEFT JOIN e ON c.cur = e.s
+      WHERE c.cur IS NOT NULL
       ORDER BY c.start_url"""
 
   private[queries] val q307: GraftQuery = GraftQuery(
@@ -5549,6 +5575,10 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     (s, d) =>
       graft.operators.Graph.resolveRedirects(redirectEdges(s, d),
           "src", "dst", hopCap = 5)
+        // always-true, bench-honest (the q290 convention): the hop
+        // joins are row-preserving left joins on unique keys, which
+        // count() would otherwise eliminate wholesale
+        .where(col("final_url").isNotNull)
         .orderBy(col("start_url")),
     Some(s"WITH $redirectOracleEdges $redirectOracleSelect"))
 
@@ -5562,6 +5592,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
       redirectEdges(s, d).createOrReplaceTempView("redirects_sql")
       s.sql("""SELECT start_url, final_url, n_hops, loop_flag
         FROM resolve_redirects('redirects_sql', 'src', 'dst', 5)
+        WHERE final_url IS NOT NULL
         ORDER BY start_url""")
     },
     q307.oracle)
@@ -5683,6 +5714,8 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           countDistinct(col("pkey")).cast(LongType).as("n_keys_plain"),
           sum(conv(substring(md5(col("ckey")), 1, 8), 16, 10)
             .cast(LongType)).cast(LongType).as("key_mass"))
+        // bench-honest always-true HAVING (the q290 convention)
+        .where(col("key_mass").isNotNull)
         .orderBy(col("source"))
     },
     Some(s"""WITH d AS ($canonicalOracleFixture),
@@ -5694,7 +5727,9 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST(count(DISTINCT pkey) AS BIGINT) AS n_keys_plain,
         CAST(sum(CAST(concat('0x', substring(md5(ckey), 1, 8))
           AS BIGINT)) AS BIGINT) AS key_mass
-      FROM k GROUP BY source ORDER BY source"""))
+      FROM k GROUP BY source
+      HAVING key_mass IS NOT NULL
+      ORDER BY source"""))
 
   // ---- q310: rel=canonical from SQL ---------------------------------------
   // q309's extractors through the bridge doors, pinned per doc.
@@ -5703,9 +5738,17 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
     "q310_sql_canonical",
     (s, d) => {
       canonicalPages(s, d).createOrReplaceTempView("canon_pages_sql")
-      s.sql("""SELECT doc_id, extract_canonical(html, page) AS canon,
-          canonical_key(html, page) AS ckey
-        FROM canon_pages_sql ORDER BY doc_id""")
+      // canon computed ONCE in a fenced subquery, ckey derived from
+      // it (canonical_key(html, page) inline would re-expand the
+      // whole extract + normalize battery — three copies blew the
+      // 64 KB whole-stage-codegen method limit and the row fell back
+      // to interpreted eval, caught by the bench's codegen_errs)
+      s.sql("""SELECT doc_id, canon,
+          coalesce(url_normalize(canon), url_normalize(page)) AS ckey
+        FROM (SELECT doc_id, page,
+            no_inline(extract_canonical(html, page)) AS canon
+          FROM canon_pages_sql)
+        ORDER BY doc_id""")
     },
     Some(s"""WITH d AS ($canonicalOracleFixture),
       $canonicalOracleCtes

@@ -35,7 +35,9 @@ object Scratch {
         val name = args(1)
         val d = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
         val fn = graft.SparkEntry.queries(name)
-        for (i <- 1 to 3) time(s"$name-$i")(fn(spark, d).count())
+        // collect(), matching Bench's r12 consumer (count() lets
+        // Catalyst prune whole operator pipelines — see prunescan)
+        for (i <- 1 to 3) time(s"$name-$i")(fn(spark, d).collect().length.toLong)
         // GRAFT_EXPLAIN=1 dumps the optimized COUNT plan — the plan
         // the bench actually times (count() prunes agg expressions;
         // see the bench-count-pruning memory note)
@@ -307,6 +309,40 @@ object Scratch {
           .select("b.*").show(20, 60)
         df.select(graft.functions.TextFunctions.mainContent(col("html")))
           .show(1, 200)
+      case "prunescan" =>
+        // bench-phantom audit (the q290 count-pruning trap, swept
+        // registry-wide): for each query, compare the WORK nodes
+        // (joins, generators, windows, aggregates) in the optimized
+        // plan of the query itself vs its count() — a query whose
+        // count plan keeps NO work nodes while its full plan has them
+        // benches a bare scan instead of the operator.
+        //   runMain graft.tools.Scratch prunescan [sfDir]
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+        import org.apache.spark.sql.catalyst.plans.logical._
+        def work(p: LogicalPlan): Int = p.collect {
+          case _: Join => 1
+          case _: Generate => 1
+          case _: Window => 1
+          case _: Aggregate => 1
+        }.size
+        var hits = 0
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val df = fn(spark, d)
+            val full = work(df.queryExecution.optimizedPlan)
+            // count() adds one outer Aggregate of its own
+            val cnt = work(df.groupBy().count()
+              .queryExecution.optimizedPlan) - 1
+            if (cnt == 0 && full > 0) {
+              hits += 1
+              println(s"PHANTOM-COUNT $name: full=$full count=0")
+            }
+          } catch { case e: Throwable =>
+            println(s"prunescan $name SKIP: ${e.getMessage.take(120)}")
+          }
+        }
+        println(s"prunescan done: $hits fully-pruned quer${
+          if (hits == 1) "y" else "ies"}")
       case "conv2" =>
         // does eps=0 terminate? try fixtures + damping factors
         val path4 = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
