@@ -5157,12 +5157,11 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
           CAST(length(m) AS BIGINT) AS main_chars,
           substring(md5(m), 1, 8) AS main_sig
         FROM (SELECT doc_id, bl,
-            array_join(transform(filter(bl, b -> b.good),
-              b -> b.text), '\n') AS m
+            no_inline(array_join(transform(filter(bl, b -> b.good),
+              b -> b.text), '\n')) AS m
           FROM (SELECT doc_id,
               no_inline(html_blocks(html)) AS bl
             FROM mc_pages_sql))
-        WHERE substring(md5(m), 1, 8) IS NOT NULL
         ORDER BY doc_id""")
     },
     Some(extractCtes + """
@@ -5170,7 +5169,6 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST(length(main) AS BIGINT) AS main_chars,
         substring(md5(main), 1, 8) AS main_sig
       FROM ext
-      WHERE substring(md5(main), 1, 8) IS NOT NULL
       ORDER BY doc_id"""))
 
   // ---- q304: cleaning recipe v3 (extract → excise → LM gate) -------------
