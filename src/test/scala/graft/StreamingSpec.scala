@@ -1567,6 +1567,59 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("hinted recrawl gate end to end: sitemap XML drives the hints through the extractors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_hinted_e2e")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val seen = root.resolve("seen")
+    val hints = root.resolve("hints"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(raw)
+    // the hints table derives from REAL sitemap XML through the
+    // extractors: lastmod dates map onto the gate's logical clock via
+    // an epoch (day 0 = batch 0 — the caller's mapping contract), and
+    // changefreq maps through changefreqTtl off the gate's default
+    val xml = "<urlset>" +
+      "<url><loc>http://h.io/fresh</loc><lastmod>1970-01-06</lastmod>" +
+      "<changefreq>weekly</changefreq></url>" +                 // batch 5: after any fetch → stale
+      "<url><loc>http://h.io/stale</loc><lastmod>1970-01-01</lastmod>" +
+      "<changefreq>weekly</changefreq></url>" +                 // batch 0: unmodified → 4× TTL
+      "</urlset>"
+    Seq(xml).toDF("xml")
+      .select(explode(sitemapUrlEntries(col("xml"))).as("e"))
+      .select(urlNormalize(col("e.loc")).as("n"),
+        datediff(to_date(col("e.lastmod")), to_date(lit("1970-01-01")))
+          .cast("long").as("lastmod_b"),
+        changefreqTtl(col("e.changefreq"), lit(2L)).as("ttl_b"))
+      .write.mode("overwrite").parquet(hints.toString)
+    def shard(name: String, ts: Long, urls: String*): Unit = {
+      val dd = raw.resolve(name)
+      urls.toSeq.toDF("url").coalesce(1).write.json(dd.toString)
+      java.nio.file.Files.walk(dd).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(ts)); ()
+      }
+    }
+    val t0 = 1710000000000L
+    shard("f1", t0, "http://h.io/fresh", "http://h.io/stale")
+    shard("f2", t0 + 60000, "http://h.io/fresh", "http://h.io/stale")
+    DocIngest.runFrontierIngestRecrawlHinted(spark, raw.toString + "/*/",
+      hints.toString, seen.toString, out.toString, ckpt.toString,
+      ttlBatches = 2L)
+    val queued = spark.read.json(out.toString)
+      .select($"n").as[String].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // 'fresh' page: sitemap lastmod (batch 5) postdates the batch-0
+    // fetch → requeued in batch 1; 'stale' page: lastmod batch 0 =
+    // last fetch → unmodified, weekly TTL 2 stretched ×4 → skipped
+    assert(queued == Map("http://h.io/fresh" -> 2,
+      "http://h.io/stale" -> 1), queued.toString)
+    deleteRec(root)
+  }
+
   test("revisit gate: 304 carries the stored digest bodyless, 200 re-mints the validator, orphan 304 quarantined") {
     import spark.implicits._
     import graft.streaming.DocIngest
