@@ -2152,11 +2152,67 @@ object AnalyticsQueries {
       SELECT qid, CAST(rank AS BIGINT) AS rank, cid, est_micro
       FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  // ---- q316: mergeable HLL sketch rollup (the incremental tier of
+  // distinct counting) ---------------------------------------------------
+  // q70's approx_count_distinct answers ONE query over ONE scan; at
+  // 100 TB the daily-active / weekly-active dashboard family can't
+  // rescan raw events per question. The production shape is a PERSISTED
+  // sketch table: one fixed-size Datasketches HLL sketch per (day)
+  // lands in parquet when the day's partition arrives, and every
+  // coarser rollup (week, month, arbitrary date ranges) is a
+  // hll_union_agg over a few KB of sketch bytes — raw data is scanned
+  // exactly once, ever. The sketch answer is engine-specific, so the
+  // gates are the q62/q70 self-gating shape, INTEGER arithmetic only:
+  // within_5pct (|est − exact|·20 ≤ exact) and merge_within_2pct
+  // (|union-of-dailies − direct-weekly|·50 ≤ exact). Merge agreement
+  // is deliberately an ENVELOPE, not equality: Datasketches HLL union
+  // is register-lossless only once both sides are in dense mode — a
+  // sparse daily sketch unioned into a dense gadget can land ~½% off
+  // the directly-built sketch (measured at 5k ids in SketchesSpec),
+  // so an equality gate would be a data-dependent coin flip at other
+  // SFs while 2% holds by the lgK=14 error algebra at any scale.
+  private val sketchDirByInput = new graft.sources.JvmMemo[String]
+  private val q316 = GraftQuery(
+    "q316_sketch_rollup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val skDir = LlmOps.materializedTempDir(sketchDirByInput, d,
+        "graft_hll_") { out =>
+        ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val weekly = s.read.parquet(skDir)
+        .groupBy(date_trunc("week", col("day")).cast(DateType).as("wk"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val direct = ev
+        .groupBy(date_trunc("week", to_date(col("ts"))).cast(DateType)
+          .as("wk"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14))
+            .as("est_direct"))
+      weekly.join(direct, Seq("wk"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+          col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) * 20 <=
+            col("exact_users")).as("within_5pct"),
+          (abs(col("est") - col("est_direct")) * 50 <=
+            col("exact_users")).as("merge_within_2pct"))
+        .orderBy(col("week_start"))
+    },
+    Some("""SELECT strftime(date_trunc('week', CAST(ts AS DATE)),
+          '%Y-%m-%d') AS week_start,
+        count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        count(DISTINCT user_id) AS exact_users,
+        true AS within_5pct, true AS merge_within_2pct
+      FROM events GROUP BY 1 ORDER BY week_start"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
       q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235,
-      q248, q250, q251, q253, q255)
+      q248, q250, q251, q253, q255, q316)
 }
 

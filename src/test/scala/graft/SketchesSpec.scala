@@ -121,4 +121,63 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("k must be >= 2"), e.getMessage.take(200))
   }
+
+  // ---- Datasketches HLL persisted-rollup properties (q316) -------------
+
+  test("HLL: merged shard sketches track the whole-corpus sketch — exact in sparse mode, enveloped in dense") {
+    def whole(n: Long): Long = (0L until n).toDF("id")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("id"), 14)).as("e"))
+      .as[Long].collect().head
+    def merged(n: Long, shards: Int): Long = (0L until n).toDF("id")
+      .withColumn("shard", pmod(col("id"), lit(shards)))
+      .groupBy("shard").agg(hll_sketch_agg(col("id"), 14).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .as[Long].collect().head
+    // sparse regime: every path is coupon-exact, estimates are equal
+    // AND equal to the true cardinality (the q316 sf0.01 regime)
+    assert(whole(500L) == 500L)
+    assert(merged(500L, 5) == 500L)
+    // dense regime: union is register-lossless only once both sides
+    // are dense — a sparse shard unioned into a dense gadget may land
+    // ~0.5% off the direct build (5006 vs 4977 at 5k measured), so the
+    // contract is the ERROR ENVELOPE, not equality: both estimates
+    // within 2% of truth and of each other (q316's merge_within_2pct)
+    for ((n, shards) <- Seq((5000L, 5), (20000L, 3), (20000L, 7))) {
+      val w = whole(n); val m = merged(n, shards)
+      assert(math.abs(w - n) <= n * 0.02, s"whole($n)=$w")
+      assert(math.abs(m - n) <= n * 0.02, s"merged($n,$shards)=$m")
+      assert(math.abs(m - w) * 50 <= n, s"merge drift $m vs $w at n=$n")
+    }
+  }
+
+  test("HLL: sketch column survives a parquet round trip (the persisted tier)") {
+    val ids = (0L until 5000L).toDF("id")
+    val skT = ids.withColumn("day", pmod(col("id"), lit(5)))
+      .groupBy("day").agg(hll_sketch_agg(col("id"), 14).as("sk"))
+    assert(skT.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_spec_")
+    try {
+      skT.write.mode("overwrite").parquet(dir.toString)
+      // the same union computed from live sketches vs parquet-read
+      // sketches must be IDENTICAL — the round trip preserves bytes
+      val live = skT
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .as[Long].collect().head
+      val back = spark.read.parquet(dir.toString)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .as[Long].collect().head
+      assert(back == live, s"parquet round trip moved the estimate: $back vs $live")
+      assert(math.abs(back - 5000L) <= 100L, s"estimate off: $back")
+    } finally graft.sources.AtomicCache.deleteRec(dir)
+  }
+
+  test("HLL: estimate within the lgK=14 error envelope at dense cardinality") {
+    val n = 200000L
+    val est = (0L until n).toDF("id")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("id"), 14)).as("e"))
+      .as[Long].collect().head
+    // rsd at lgK 14 is ~0.65%; 3 sigma ≈ 2% — use 3% for headroom
+    assert(math.abs(est - n) <= n * 0.03, s"est $est vs exact $n")
+  }
 }
