@@ -516,7 +516,50 @@ object Relational3 {
       SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  // ---- q318: VARIANT schema-on-read (the semi-structured tier) ---------
+  // Spark 4's VARIANT type applied to the events `props` JSON: the
+  // open-content column a 100 TB event stream carries (every producer
+  // adds fields; no schema declaration is ever current). parse_json
+  // builds the shredded binary encoding ONCE per row; each
+  // variant_get decodes only its path — the schema-on-read contract
+  // that replaces a per-query from_json with a full StructType. The
+  // fixture nests the raw props under richer structure (object,
+  // string, array) so typed extraction at depth, 0-based array paths
+  // and the try_variant_get null contract (absent path → null, never
+  // error) are all gated; the oracle replays every path arithmetically
+  // or via DuckDB's own JSON extraction on the same raw column.
+  private val q318 = GraftQuery(
+    "q318_variant_props",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val j = concat(lit("{\"base\":"), col("props"),
+        lit(",\"tier\":\""),
+        when(col("value") > 50, "high").otherwise("low"),
+        lit("\",\"dims\":["), (col("event_id") % 3).cast(StringType),
+        lit(","), (col("event_id") % 7).cast(StringType), lit("]}"))
+      ev.withColumn("v", parse_json(j))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.tier", "string").as("tier"),
+          variant_get(col("v"), "$.base.k", "bigint").as("k"),
+          variant_get(col("v"), "$.dims[1]", "bigint").as("dim1"),
+          try_variant_get(col("v"), "$.base.missing", "bigint").as("_m"))
+        .groupBy(col("event_type"), col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(col("dim1")).as("sum_dim1"),
+          count(col("_m")).as("n_phantom"))
+        .orderBy(col("event_type"), col("tier"))
+    },
+    Some("""SELECT event_type,
+        CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS tier,
+        count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS BIGINT) AS sum_k,
+        CAST(sum(event_id % 7) AS BIGINT) AS sum_dim1,
+        CAST(0 AS BIGINT) AS n_phantom
+      FROM events GROUP BY 1, 2 ORDER BY event_type, tier"""))
+
   def all: Seq[GraftQuery] =
     Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94,
-      q95, q177, q181)
+      q95, q177, q181, q318)
 }
