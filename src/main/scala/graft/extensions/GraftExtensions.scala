@@ -753,6 +753,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(children(1), "id_col"), strLit(children(2), "text_col"))
           .queryExecution.analyzed
       }))
+    // Chat/SFT prep from SQL (q312/q313's operator):
+    //   chat_flatten(table, id_col, json_col)
+    // Emits (id, conv_id, reason, n_turns, rendered_len, rendered_md5,
+    // mask_spans, masked_chars) — parse + validate + ChatML render +
+    // loss-mask spans in one narrow projection.
+    ext.injectTableFunction((
+      new FunctionIdentifier("chat_flatten"),
+      new ExpressionInfo("graft.operators.ChatOps", "chat_flatten"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: chat_flatten(table, id_col, json_col)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.ChatOps.flatten(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "json_col"))
+          .queryExecution.analyzed
+      }))
     // DSIR-shaped importance scoring from SQL (q116's operator):
     //   importance_score(corpus_table, target_table, id_col, text_col[, k])
     // Emits (id, n_grams, score, avg_ratio).

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Instruction/chat training-data preparation — the supervised-
+  * fine-tuning mile of the pipeline, downstream of the corpus
+  * cleaning the rest of `graft.operators` does. Chat corpora arrive
+  * as JSONL with a `messages` array (the de-facto interchange shape);
+  * what a trainer needs is (1) a structural verdict per conversation
+  * (malformed transcripts poison the loss), (2) the rendered training
+  * text under a fixed chat template, and (3) the loss-mask spans —
+  * the character ranges of ASSISTANT content inside the rendered
+  * text, because SFT computes loss only on what the model should
+  * produce, never on the user/system context.
+  *
+  * Everything is Column expressions (from_json + higher-order
+  * functions) — one narrow projection per conversation, no shuffle,
+  * no UDF: at 100 TB the render/mask pass is embarrassingly parallel
+  * and whole-stage-codegen'd. The template is ChatML-shaped
+  * (`<|im_start|>role\ncontent<|im_end|>\n` — the public OpenAI/HF
+  * convention); offsets are CHARACTER offsets into the rendered
+  * string, the contract a downstream tokenizer consumes via its own
+  * char→token alignment.
+  *
+  * Reference anchor: the reference's whole processor is per-record
+  * validate-then-enrich (ecommerce-order-processor.py:105–161); this
+  * is the same shape for dialogue records — validate (role grammar)
+  * then enrich (rendered text + mask spans).
+  */
+object ChatOps {
+
+  /** The JSONL chat-record schema: {"conv_id": n, "messages":
+    * [{"role": "...", "content": "..."}, ...]}. */
+  val chatSchema: StructType = StructType(Seq(
+    StructField("conv_id", LongType),
+    StructField("messages", ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType)))))))
+
+  /** Structural verdict over a parsed `turns` array — the FIRST
+    * failing rule, in a fixed, documented precedence:
+    *   unparseable > empty > first_not_user > role_repeat >
+    *   empty_content > unknown_role > ok.
+    * `first_not_user` looks at the first NON-system turn (a leading
+    * system prompt is legal); `role_repeat` is any adjacent pair with
+    * the same role (system included — two system turns in a row are
+    * as malformed as two user turns). */
+  def verdict(turns: Column): Column = {
+    val nonSys = filter(turns, t => t.getField("role") =!= "system")
+    val adjRepeat = exists(
+      zip_with(
+        slice(turns, lit(1), size(turns) - 1),
+        slice(turns, lit(2), size(turns) - 1),
+        (a, b) => a.getField("role") === b.getField("role")),
+      x => x)
+    when(turns.isNull, "unparseable")
+      .when(size(turns) === 0, "empty")
+      .when(size(nonSys) === 0 ||
+        element_at(nonSys, 1).getField("role") =!= "user", "first_not_user")
+      .when(adjRepeat, "role_repeat")
+      .when(exists(turns, t => t.getField("content").isNull ||
+        length(t.getField("content")) === 0), "empty_content")
+      .when(exists(turns,
+        t => !t.getField("role").isin("user", "assistant", "system")),
+        "unknown_role")
+      .otherwise("ok")
+  }
+
+  /** ChatML render: `<|im_start|>` (12 chars) + role + `\n` (1) +
+    * content + `<|im_end|>\n` (11) per turn, concatenated. */
+  def renderChatML(turns: Column): Column =
+    array_join(transform(turns, t =>
+      concat(lit("<|im_start|>"), t.getField("role"), lit("\n"),
+        t.getField("content"), lit("<|im_end|>\n"))), "")
+
+  /** Loss-mask spans: for each assistant turn, the half-open
+    * character range [start, end) of its CONTENT inside
+    * [[renderChatML]]'s output, encoded `"start-end"` and joined with
+    * `;` (a flat string so the driver's value hash covers it without
+    * nested-type ambiguity). One O(n)-per-conversation fold carrying
+    * (cursor, spans): per turn the cursor advances by
+    * 24 + len(role) + len(content) (the template's fixed chars), and
+    * an assistant turn's content starts at cursor + 13 + len(role)
+    * (after `<|im_start|>` and the role's trailing newline). */
+  def lossMaskSpans(turns: Column): Column =
+    array_join(transform(lossMaskSpanStructs(turns), sp => concat(
+      sp.getField("s").cast(StringType), lit("-"),
+      sp.getField("e").cast(StringType))), ";")
+
+  /** [[lossMaskSpans]]'s structured form — `array<struct<s, e>>` in
+    * conversation order — for consumers that keep computing on the
+    * offsets (the packing translation, q317) instead of serializing
+    * them. One implementation: the flat string is derived from THIS. */
+  def lossMaskSpanStructs(turns: Column): Column = {
+    val init = struct(lit(0L).as("pos"),
+      typedlit(Seq.empty[(Long, Long)]).cast(
+        "array<struct<s: bigint, e: bigint>>").as("sp"))
+    aggregate(turns, init,
+      (acc, t) => {
+        val role = t.getField("role")
+        val content = t.getField("content")
+        val start = acc.getField("pos") + lit(13L) + length(role).cast(LongType)
+        val end = start + length(content).cast(LongType)
+        struct(
+          (acc.getField("pos") + lit(24L) + length(role).cast(LongType) +
+            length(content).cast(LongType)).as("pos"),
+          when(role === "assistant",
+            concat(acc.getField("sp"),
+              array(struct(start.as("s"), end.as("e")))))
+            .otherwise(acc.getField("sp")).as("sp"))
+      },
+      acc => acc.getField("sp"))
+  }
+
+  /** Concatenation of one role's contents in conversation order — the
+    * projection decontamination and per-role analyses consume (the
+    * benchmark-leak gate probes USER turns: a benchmark prompt leaking
+    * into SFT data arrives as a user turn). */
+  def roleConcat(turns: Column, role: String): Column =
+    array_join(transform(
+      filter(turns, t => t.getField("role") === role),
+      t => t.getField("content")), " ")
+
+  /** Total characters under the loss mask (Σ assistant content
+    * lengths) — the "how much signal is in this conversation" gate a
+    * packing budget consumes. */
+  def maskedChars(turns: Column): Column =
+    aggregate(turns, lit(0L), (acc, t) =>
+      acc + when(t.getField("role") === "assistant",
+        length(t.getField("content")).cast(LongType)).otherwise(lit(0L)))
+
+  /** Parse + validate + render + mask in ONE narrow projection — the
+    * whole SFT-prep operator over a raw JSONL column. Emits, per
+    * input row:
+    *   - idCol (passthrough), `conv_id` (parsed from the JSON — a
+    *     parse regression is driver-visible because the oracle
+    *     derives it arithmetically),
+    *   - `reason` ([[verdict]]), `n_turns` (0 when unparseable),
+    *   - `rendered_len`, `rendered_md5` (the rendered text gated by
+    *     digest, not by hashing kilobytes of template output),
+    *   - `mask_spans` (`"s-e;s-e"`, '' when nothing is maskable),
+    *   - `masked_chars`.
+    * Rendered columns are computed for every PARSEABLE conversation
+    * (a role_repeat transcript still renders — the caller decides
+    * what to keep); unparseable rows carry len 0 / null md5 / '' / 0. */
+  def flatten(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    // FENCED (NoInline): the seven output expressions and any
+    // downstream filter on `reason` all consume `_turns`;
+    // PushPredicateThroughNonJoin would otherwise substitute the JSON
+    // parse into the filter condition — once per `when`-branch
+    // reference, since conditional branches are exempt from physical
+    // CSE (measured on q313: 2.04 s → the door's 0.65 s shape)
+    val parsed = df.withColumn("_c", from_json(col(jsonCol), chatSchema))
+      .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+    val rendered = renderChatML(col("_turns"))
+    parsed.select(
+      col(idCol),
+      col("_c.conv_id").as("conv_id"),
+      verdict(col("_turns")).as("reason"),
+      when(col("_turns").isNull, 0L)
+        .otherwise(size(col("_turns")).cast(LongType)).as("n_turns"),
+      when(col("_turns").isNull, 0L)
+        .otherwise(length(rendered).cast(LongType)).as("rendered_len"),
+      when(col("_turns").isNull, lit(null).cast(StringType))
+        .otherwise(md5(rendered)).as("rendered_md5"),
+      when(col("_turns").isNull, lit(""))
+        .otherwise(lossMaskSpans(col("_turns"))).as("mask_spans"),
+      when(col("_turns").isNull, 0L)
+        .otherwise(maskedChars(col("_turns"))).as("masked_chars"))
+  }
+
+  /** Packed-coordinate translation for loss masks — the step between
+    * [[lossMaskSpanStructs]] and a trainer that PACKS conversations
+    * into fixed-length sequences: [[DatasetOps.packSequences]] decides
+    * (shard, offset, bin) by deterministic md5 order, each
+    * conversation's spans shift to GLOBAL offsets inside its shard's
+    * concatenation, and every multiple of `seqLen` CUTS a span into
+    * per-sequence pieces (a span straddling a boundary contributes a
+    * tail piece to one sequence and a head piece to the next — exactly
+    * the masks cross-sequence packing needs). Emits one row per
+    * (shard, seq, piece): `piece_s`/`piece_e` are half-open LOCAL
+    * coordinates in [0, seqLen]. Total piece mass equals total span
+    * mass by construction — the conservation law the spec pins.
+    *
+    * Scale shape: the only exchange is packSequences' per-shard
+    * window (shards scale with the cluster); the span explode and the
+    * boundary cut are narrow. */
+  def packedMaskPieces(df: DataFrame, idCol: String, lenCol: String,
+                       spansCol: String, seqLen: Int, nShards: Int,
+                       salt: String = "sft"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val packed = DatasetOps.packSequences(df, idCol, col(lenCol),
+      seqLen, nShards, salt)
+    packed
+      .select(col("shard"), explode(col(spansCol)).as("_sp"),
+        col("offset"))
+      .select(col("shard"),
+        (col("offset") + col("_sp.s")).as("_gs"),
+        (col("offset") + col("_sp.e")).as("_ge"))
+      .select(col("shard"), col("_gs"), col("_ge"),
+        explode(sequence(expr(s"_gs div ${seqLen}L"),
+          expr(s"(_ge - 1L) div ${seqLen}L"))).as("seq"))
+      .select(col("shard"), col("seq"),
+        (greatest(col("_gs"), col("seq") * seqLen) -
+          col("seq") * seqLen).as("piece_s"),
+        (least(col("_ge"), (col("seq") + 1) * seqLen) -
+          col("seq") * seqLen).as("piece_e"))
+  }
+
+  /** Preference-pair construction — DPO/RLHF prep: within each prompt
+    * group (the rows that answer the same prompt), pair the highest-
+    * scored response (`chosen`) with the lowest (`rejected`), keep
+    * pairs whose score gap clears `minGap` (a pair the reward signal
+    * can't separate teaches nothing). Ranking is the `row_number() = 1`
+    * idiom in BOTH directions, which the injected WindowTopKRewrite
+    * turns into the bounded-heap TopKPerGroup node — no per-group
+    * sort at any corpus size; ties break on the id so the pair is
+    * deterministic under reshuffle/retry. Scores are INTEGER (the
+    * cross-engine comparison rule): callers feed the calibrated
+    * classifier's ppm score or any integer proxy. */
+  def preferencePairs(df: DataFrame, grpCol: String, idCol: String,
+                      scoreCol: String, minGap: Long): DataFrame = {
+    require(minGap >= 0, s"minGap must be >= 0, got $minGap")
+    val wTop = Window.partitionBy(col(grpCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wBot = Window.partitionBy(col(grpCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val chosen = df
+      .withColumn("_rn", row_number().over(wTop)).filter(col("_rn") === 1)
+      .select(col(grpCol), col(idCol).as("chosen_id"),
+        col(scoreCol).cast(LongType).as("chosen_score"))
+    val rejected = df
+      .withColumn("_rn", row_number().over(wBot)).filter(col("_rn") === 1)
+      .select(col(grpCol), col(idCol).as("rejected_id"),
+        col(scoreCol).cast(LongType).as("rejected_score"))
+    chosen.join(rejected, Seq(grpCol))
+      .withColumn("gap", col("chosen_score") - col("rejected_score"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("gap") >= minGap)
+  }
+}

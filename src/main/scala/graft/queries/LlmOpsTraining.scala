@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.ChatOps
+import graft.sources.Tables
+
+/** Instruction/chat-data preparation queries (q312+ region) — the
+  * SFT/DPO mile of the LLM pipeline: chat-JSONL parse + structural
+  * validation, ChatML render with loss-mask spans, and preference-
+  * pair construction. One section of the [[LlmOps]] registry.
+  *
+  * The chat fixture is fabricated from the `documents` table by pure
+  * column arithmetic (the q305-sitemap / synthetic-generator replay
+  * trick): the DuckDB oracle rebuilds the conversation GROUND TRUTH
+  * from the same arithmetic WITHOUT going through JSON — so Spark's
+  * whole encode→from_json→validate→render path is gated end to end
+  * (a parse bug can't cancel out, because the oracle never parses). */
+private[queries] trait LlmOpsTraining { this: LlmOps.type =>
+
+  // ---- the chat-JSONL fixture ------------------------------------------
+  // Per doc: 2 + id%5 alternating user/assistant turns whose contents
+  // are sanitized text substrings; planted defects exercise every
+  // verdict leg — id%41=11 truncated JSON (unparseable), id%23=7
+  // role-swapped (first_not_user), id%17=3 a repeated role at turn 1
+  // (role_repeat), id%19=5 an empty content at turn 1
+  // (empty_content), id%29=2 a legal leading system prompt (stays ok).
+
+  private[queries] def chatJson(id: Column, text: Column): Column = {
+    def baseRole(i: Column): Column =
+      when(id % 23 === 7,
+        when(i % 2 === 0, lit("assistant")).otherwise(lit("user")))
+        .otherwise(when(i % 2 === 0, lit("user")).otherwise(lit("assistant")))
+    def role(i: Column): Column =
+      when(i === 1 && id % 17 === 3, baseRole(lit(0L))).otherwise(baseRole(i))
+    def content(i: Column): Column =
+      when(i === 1 && id % 19 === 5, lit(""))
+        .otherwise(regexp_replace(
+          text.substr((lit(1L) + (id + i * 13) % 29).cast(IntegerType),
+            (lit(10L) + (id + i) % 17).cast(IntegerType)),
+          "[^a-z ]", ""))
+    val msgs = array_join(
+      transform(sequence(lit(0L), lit(1L) + id % 5), i =>
+        concat(lit("{\"role\":\""), role(i), lit("\",\"content\":\""),
+          content(i), lit("\"}"))), ",")
+    val sysPrefix = when(id % 29 === 2,
+      lit("{\"role\":\"system\",\"content\":\"stay factual\"},"))
+      .otherwise(lit(""))
+    when(id % 41 === 11,
+      concat(lit("{\"conv_id\":"), id.cast(StringType), lit(",\"messages\":[")))
+      .otherwise(concat(lit("{\"conv_id\":"), id.cast(StringType),
+        lit(",\"messages\":["), sysPrefix, msgs, lit("]}")))
+  }
+
+  /** DuckDB ground truth for the fixture: turns rebuilt by the SAME
+    * arithmetic, never through JSON. */
+  private[queries] val chatTurnsOracleCte: String =
+    """ct AS (
+        SELECT doc_id, doc_id % 41 = 11 AS corrupt,
+          CASE WHEN doc_id % 29 = 2
+            THEN list_prepend({'role': 'system', 'content': 'stay factual'},
+              base)
+            ELSE base END AS turns
+        FROM (
+          SELECT doc_id,
+            list_transform(generate_series(0, 1 + doc_id % 5), i -> {
+              'role': CASE WHEN i = 1 AND doc_id % 17 = 3
+                  THEN CASE WHEN doc_id % 23 = 7
+                    THEN 'assistant' ELSE 'user' END
+                WHEN doc_id % 23 = 7
+                  THEN CASE WHEN i % 2 = 0 THEN 'assistant' ELSE 'user' END
+                ELSE CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+                END,
+              'content': CASE WHEN i = 1 AND doc_id % 19 = 5 THEN ''
+                ELSE regexp_replace(substr(text,
+                  CAST(1 + (doc_id + i * 13) % 29 AS INT),
+                  CAST(10 + (doc_id + i) % 17 AS INT)), '[^a-z ]', '', 'g')
+                END
+            }) AS base
+          FROM documents) b)"""
+
+  /** DuckDB replay of [[ChatOps.verdict]]'s precedence over the truth
+    * turns (corrupt rows short-circuit to unparseable). */
+  private[queries] val chatVerdictOracleCte: String =
+    """rs AS (
+        SELECT doc_id, corrupt, turns,
+          CASE WHEN corrupt THEN 'unparseable'
+            WHEN len(turns) = 0 THEN 'empty'
+            WHEN len(list_filter(turns, t -> t.role <> 'system')) = 0
+              OR list_filter(turns, t -> t.role <> 'system')[1].role
+                <> 'user' THEN 'first_not_user'
+            WHEN len(list_filter(generate_series(1, len(turns) - 1),
+              i -> turns[i].role = turns[i + 1].role)) > 0
+              THEN 'role_repeat'
+            WHEN len(list_filter(turns, t -> len(t.content) = 0)) > 0
+              THEN 'empty_content'
+            WHEN len(list_filter(turns,
+              t -> t.role NOT IN ('user', 'assistant', 'system'))) > 0
+              THEN 'unknown_role'
+            ELSE 'ok' END AS reason
+        FROM ct)"""
+
+  /** DuckDB replay of render + mask spans over parseable rows: per-turn
+    * segments, a prefix-sum window for the cursor, string_agg'd spans
+    * (null-skipping keeps only assistant turns, exactly like the Spark
+    * fold's conditional append). */
+  private[queries] val chatRenderOracleCte: String =
+    """u AS (SELECT doc_id, unnest(turns) AS t,
+          unnest(generate_series(1, len(turns))) AS i
+        FROM rs WHERE NOT corrupt),
+      r AS (SELECT doc_id, i, t.role AS role, t.content AS content,
+          '<|im_start|>' || t.role || chr(10) || t.content ||
+            '<|im_end|>' || chr(10) AS seg
+        FROM u),
+      p AS (SELECT doc_id, i, role, content, seg,
+          coalesce(sum(len(seg)) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        FROM r),
+      f AS (SELECT doc_id,
+          string_agg(seg, '' ORDER BY i) AS rendered,
+          coalesce(string_agg(CASE WHEN role = 'assistant'
+            THEN (pos + 13 + len(role)) || '-' ||
+                 (pos + 13 + len(role) + len(content)) END,
+            ';' ORDER BY i), '') AS mask_spans,
+          CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
+            ELSE 0 END) AS BIGINT) AS masked_chars
+        FROM p GROUP BY doc_id)"""
+
+  private[queries] def chatRaw(s: org.apache.spark.sql.SparkSession,
+                               d: String) =
+    docs(s, d).select(col("doc_id"),
+      chatJson(col("doc_id"), col("text")).as("j"))
+
+  // ---- q312: chat-corpus structural validation census ------------------
+  // The ingest gate a dialogue corpus passes before any rendering:
+  // parse the JSONL, classify every conversation by the first failing
+  // structural rule. The oracle derives each verdict arithmetically —
+  // a from_json regression (mis-parsed role, dropped turn, silently
+  // null content) moves a conversation between reason buckets and
+  // flips the hash.
+
+  private[queries] val q312: GraftQuery = GraftQuery(
+    "q312_chat_validation",
+    (s, d) =>
+      ChatOps.flatten(chatRaw(s, d), "doc_id", "j")
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(col("n_turns")).as("total_turns"))
+        .orderBy(col("reason")),
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte
+      SELECT reason, count(*) AS n_convs,
+        CAST(sum(CASE WHEN corrupt THEN 0 ELSE len(turns) END) AS BIGINT)
+          AS total_turns
+      FROM rs GROUP BY reason ORDER BY reason"""))
+
+  // ---- q313: ChatML render + loss-mask spans ---------------------------
+  // The SFT tensor-prep contract: rendered training text (gated by
+  // md5, so the whole template byte stream is covered) and the
+  // character spans the loss is computed on. An off-by-one anywhere
+  // in the template arithmetic — a forgotten newline, a role-length
+  // miscount — shifts every span and flips the hash. conv_id comes
+  // from the PARSED JSON while the oracle derives it arithmetically,
+  // gating the parse itself.
+
+  private[queries] val q313: GraftQuery = GraftQuery(
+    "q313_chat_flatten",
+    (s, d) =>
+      ChatOps.flatten(chatRaw(s, d), "doc_id", "j")
+        .filter(col("reason") === "ok")
+        .select(col("conv_id"), col("n_turns"), col("rendered_len"),
+          col("rendered_md5"), col("mask_spans"), col("masked_chars"))
+        .orderBy(col("conv_id")),
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      $chatRenderOracleCte
+      SELECT rs.doc_id AS conv_id,
+        CAST(len(turns) AS BIGINT) AS n_turns,
+        CAST(len(rendered) AS BIGINT) AS rendered_len,
+        md5(rendered) AS rendered_md5, mask_spans, masked_chars
+      FROM rs JOIN f ON rs.doc_id = f.doc_id
+      WHERE reason = 'ok' ORDER BY conv_id"""))
+
+  // ---- q314: preference-pair construction (DPO/RLHF prep) --------------
+  // Within each prompt group, (highest, lowest)-scored pair with a
+  // minimum-gap filter. Both ranks are the row_number()=1 idiom the
+  // injected rewrite turns into the bounded-heap node — per-group
+  // state is ONE row per direction at any corpus size. Integer score
+  // (alpha character mass — the stand-in for the calibrated
+  // classifier's ppm score, q150) so the cross-engine comparison is
+  // exact.
+
+  private[queries] val q314: GraftQuery = GraftQuery(
+    "q314_preference_pairs",
+    (s, d) => {
+      val scored = docs(s, d).select(
+        concat(col("source"), lit("#"),
+          (col("doc_id") % 25).cast(StringType)).as("prompt_grp"),
+        col("doc_id"),
+        length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast(LongType).as("score"))
+      ChatOps.preferencePairs(scored, "prompt_grp", "doc_id", "score",
+          minGap = 20L)
+        .select(col("prompt_grp"), col("chosen_id"), col("chosen_score"),
+          col("rejected_id"), col("rejected_score"), col("gap"))
+        .orderBy(col("prompt_grp"))
+    },
+    Some("""WITH s0 AS (
+        SELECT source || '#' || (doc_id % 25) AS prompt_grp, doc_id,
+          CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+            AS score
+        FROM documents),
+      c AS (SELECT prompt_grp, doc_id AS chosen_id, score AS chosen_score,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score DESC, doc_id) AS rn
+        FROM s0),
+      rj AS (SELECT prompt_grp, doc_id AS rejected_id,
+          score AS rejected_score,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score ASC, doc_id) AS rn
+        FROM s0)
+      SELECT c.prompt_grp, chosen_id, chosen_score, rejected_id,
+        rejected_score, chosen_score - rejected_score AS gap
+      FROM c JOIN rj ON c.prompt_grp = rj.prompt_grp
+        AND c.rn = 1 AND rj.rn = 1
+      WHERE chosen_id <> rejected_id
+        AND chosen_score - rejected_score >= 20
+      ORDER BY c.prompt_grp"""))
+
+  // ---- q317: loss masks in PACKED-sequence coordinates ------------------
+  // The step q313 hands to a packing trainer: conversations pack into
+  // fixed 512-char sequences by q99's deterministic md5-order packer
+  // (concatenate-and-cut, 4 shards), and every mask span TRANSLATES —
+  // global offset inside the shard's concatenation, then CUT at each
+  // sequence boundary into per-sequence local pieces (a straddling
+  // span feeds the tail of one sequence and the head of the next).
+  // Per (shard, seq): piece census, masked mass, and the piece list
+  // itself. The oracle replays the md5 deal, the ordered prefix sum,
+  // the span arithmetic from the render CTEs and every boundary cut —
+  // an off-by-one in ANY coordinate system (turn-local, render-global,
+  // shard-global, sequence-local) flips the hash.
+
+  private[queries] val q317: GraftQuery = GraftQuery(
+    "q317_packed_loss_masks",
+    (s, d) => {
+      val parsed = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        // fenced like ChatOps.flatten: the verdict filter must consume
+        // the parsed attribute, not re-derive the parse per reference
+        .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+      val okd = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
+        .select(col("doc_id"),
+          length(ChatOps.renderChatML(col("_turns")))
+            .cast(LongType).as("rendered_len"),
+          ChatOps.lossMaskSpanStructs(col("_turns")).as("spans"))
+      ChatOps.packedMaskPieces(okd, "doc_id", "rendered_len", "spans",
+          seqLen = 512, nShards = 4)
+        .groupBy(col("shard"), col("seq"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(col("piece_e") - col("piece_s")).as("masked_chars"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("piece_s"), col("piece_e")))),
+            x => concat(x.getField("piece_s").cast(StringType), lit("-"),
+              x.getField("piece_e").cast(StringType))), ";").as("pieces"))
+        .orderBy(col("shard"), col("seq"))
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      $chatRenderOracleCte,
+      ok2 AS (SELECT rs.doc_id, CAST(len(f.rendered) AS BIGINT) AS rlen
+        FROM rs JOIN f ON rs.doc_id = f.doc_id WHERE rs.reason = 'ok'),
+      pk AS (SELECT doc_id, rlen,
+          CAST(concat('0x', substring(md5('sft:' || doc_id), 1, 8))
+            AS BIGINT) AS u
+        FROM ok2),
+      pk2 AS (SELECT doc_id, rlen, u, u % 4 AS shard,
+          coalesce(sum(rlen) OVER (PARTITION BY u % 4 ORDER BY u, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM pk),
+      spn AS (SELECT p.doc_id, pk2.shard,
+          CAST(pk2.off + pos + 13 + len(role) AS BIGINT) AS gs,
+          CAST(pk2.off + pos + 13 + len(role) + len(content) AS BIGINT)
+            AS ge
+        FROM p JOIN pk2 ON p.doc_id = pk2.doc_id
+        WHERE p.role = 'assistant'),
+      pc AS (SELECT shard, gs, ge,
+          unnest(generate_series(gs // 512, (ge - 1) // 512)) AS seq
+        FROM spn),
+      pc2 AS (SELECT shard, CAST(seq AS BIGINT) AS seq,
+          greatest(gs, seq * 512) - seq * 512 AS ps,
+          least(ge, (seq + 1) * 512) - seq * 512 AS pe
+        FROM pc)
+      SELECT CAST(shard AS BIGINT) AS shard, seq,
+        count(*) AS n_pieces,
+        CAST(sum(pe - ps) AS BIGINT) AS masked_chars,
+        string_agg(ps || '-' || pe, ';' ORDER BY ps, pe) AS pieces
+      FROM pc2 GROUP BY shard, seq ORDER BY shard, seq"""))
+
+  // ---- q319: chat-corpus decontamination (benchmark prompts) -----------
+  // q65's gate pointed at the SFT corpus: an eval benchmark leaking
+  // into instruction data arrives as a USER turn (the prompt), so the
+  // probe text is the user-role concatenation per conversation — an
+  // assistant turn sharing grams with the benchmark is a different
+  // (answer-leak) policy and deliberately NOT this gate. Word-3-grams
+  // (user contents are short fixture windows); the bench slice is the
+  // doc_id % 13 = 4 documents — the very texts the fixture windows
+  // were cut from, so planted contamination is guaranteed and the
+  // oracle decides it row by row.
+
+  private[queries] val q319: GraftQuery = GraftQuery(
+    "q319_chat_decontamination",
+    (s, d) => {
+      val parsed = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        .withColumn("_turns",
+          call_function("no_inline", col("_c.messages")))
+      val convs = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
+        .select(col("doc_id").as("conv_id"),
+          ChatOps.roleConcat(col("_turns"), "user").as("user_text"))
+      val bench = docs(s, d).filter(col("doc_id") % 13 === 4)
+        .select(col("doc_id").as("conv_id"), col("text").as("user_text"))
+      val cont = graft.operators.DatasetOps
+        .contaminatedIds(convs, bench, "conv_id", "user_text", k = 3)
+        .withColumn("_hit", lit(1))
+      convs.join(cont, Seq("conv_id"), "left")
+        .select(col("conv_id"), col("_hit").isNotNull.as("contaminated"))
+        .orderBy(col("conv_id"))
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      uc AS (SELECT doc_id AS conv_id,
+          array_to_string(list_transform(list_filter(turns,
+            t -> t.role = 'user'), t -> t.content), ' ') AS user_text
+        FROM rs WHERE reason = 'ok'),
+      ut AS (SELECT conv_id, list_filter(
+          regexp_split_to_array(lower(user_text), '\\s+'),
+          x -> length(x) > 0) AS tk
+        FROM uc),
+      ug AS (SELECT conv_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 2),
+            i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        FROM ut),
+      bt AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents WHERE doc_id % 13 = 4),
+      bg AS (SELECT DISTINCT unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 2),
+            i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        FROM bt),
+      cont AS (SELECT DISTINCT conv_id FROM ug JOIN bg USING (gram))
+      SELECT uc.conv_id, c.conv_id IS NOT NULL AS contaminated
+      FROM uc LEFT JOIN cont c ON uc.conv_id = c.conv_id
+      ORDER BY uc.conv_id"""))
+
+  // ---- q315: the SFT-prep operator from SQL ----------------------------
+  // q312/q313's operator through the injected chat_flatten table
+  // function — every column for every row (verdicts AND renders),
+  // pinned row by row including the unparseable leg's null/zero
+  // contract.
+
+  private[queries] val q315: GraftQuery = GraftQuery(
+    "q315_sql_chat_flatten",
+    (s, d) => {
+      chatRaw(s, d).createOrReplaceTempView("chat_raw_sql")
+      s.sql("""SELECT doc_id, conv_id, reason, n_turns, rendered_len,
+          rendered_md5, mask_spans, masked_chars
+        FROM chat_flatten('chat_raw_sql', 'doc_id', 'j')
+        ORDER BY doc_id""")
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      $chatRenderOracleCte
+      SELECT rs.doc_id,
+        CASE WHEN corrupt THEN NULL ELSE rs.doc_id END AS conv_id,
+        reason,
+        CAST(CASE WHEN corrupt THEN 0 ELSE len(turns) END AS BIGINT)
+          AS n_turns,
+        CAST(coalesce(len(rendered), 0) AS BIGINT) AS rendered_len,
+        md5(rendered) AS rendered_md5,
+        coalesce(f.mask_spans, '') AS mask_spans,
+        coalesce(f.masked_chars, 0) AS masked_chars
+      FROM rs LEFT JOIN f ON rs.doc_id = f.doc_id
+      ORDER BY rs.doc_id"""))
+}

@@ -1104,6 +1104,70 @@ object DocIngest {
     * would pass everything — the gate refuses loudly instead.
     * Delivery is the foreachBatch contract — at-least-once; a retry
     * re-lands identical rows, collapsed keep-first by readers. */
+  /** CHAT-JSONL ingest — the SFT ingest gate (the chat twin of the
+    * dedup-gate family): each arriving micro-batch of raw chat JSONL
+    * lines parses + validates + renders through
+    * [[graft.operators.ChatOps.flatten]] (line identity = md5 of the
+    * raw line — content-stable under shard reshuffles and retries);
+    * structurally broken conversations quarantine WITH their verdict
+    * reason (the runRevisitIngest convention: nothing vanishes),
+    * within-batch exact duplicates collapse keep-first by line digest
+    * (the rn=1 idiom → the heap node), survivors probe the PERSISTED
+    * render-digest index so a duplicate conversation arriving in a
+    * later shard is blocked by the earlier original, and fresh rows
+    * land with their loss-mask spans while their digests append to
+    * the index. Dedup keys on `rendered_md5` — the RENDERED text's
+    * digest, so two JSONL spellings of the same conversation (key
+    * order, whitespace outside strings) still collapse. Delivery is
+    * the foreachBatch contract — at-least-once; a retry re-lands
+    * identical rows, collapsed keep-first by readers. */
+  def runChatIngest(spark: SparkSession, rawDir: String,
+                    indexDir: String, outDir: String,
+                    quarantineDir: String, checkpointDir: String,
+                    maxFilesPerTrigger: Int = 1): Unit = {
+    if (!hadoopExists(spark, indexDir)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("rendered_md5")
+        .write.mode("overwrite").parquet(indexDir)
+    }
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flat = graft.operators.ChatOps.flatten(
+          batch.withColumn("line_md5", md5(col("value"))),
+          "line_md5", "value")
+        flat.persist() // two consumers: quarantine + landing
+        try {
+          flat.filter(col("reason") =!= "ok")
+            .select(col("line_md5"), col("reason"))
+            .write.mode("append").json(quarantineDir)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("rendered_md5")).orderBy(col("line_md5"))
+          val firsts = flat.filter(col("reason") === "ok")
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val fresh = firsts.join(spark.read.parquet(indexDir),
+            Seq("rendered_md5"), "left_anti")
+          fresh.persist()
+          try {
+            fresh.select(col("conv_id"), col("line_md5"), col("n_turns"),
+                col("rendered_len"), col("rendered_md5"),
+                col("mask_spans"), col("masked_chars"))
+              .write.mode("append").parquet(outDir)
+            fresh.select(col("rendered_md5"))
+              .write.mode("append").parquet(indexDir)
+          } finally fresh.unpersist()
+        } finally flat.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runBloomDecontamIngest(spark: SparkSession, rawDir: String,
                              indexDir: String, outDir: String,
                              quarantineDir: String, checkpointDir: String,

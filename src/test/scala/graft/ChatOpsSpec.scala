@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ChatOps
+
+/** Properties of the SFT/DPO prep operators: verdict precedence over
+  * planted structural defects, the render↔mask-span invariant (every
+  * span extracts exactly its assistant content and nothing else), the
+  * unparseable-row contract, and preference-pair determinism with the
+  * heap-rewrite plan shape. */
+class ChatOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def flat(rows: Seq[(Long, String)]) =
+    ChatOps.flatten(rows.toDF("id", "j"), "id", "j")
+
+  private def msg(role: String, content: String): String =
+    s"""{"role":"$role","content":"$content"}"""
+
+  private def conv(id: Long, msgs: String*): (Long, String) =
+    id -> s"""{"conv_id":$id,"messages":[${msgs.mkString(",")}]}"""
+
+  test("verdict: each structural rule fires, in the documented precedence") {
+    val rows = Seq(
+      conv(1, msg("user", "hi"), msg("assistant", "hello")), // ok
+      conv(2, msg("system", "be brief"), msg("user", "hi"),
+        msg("assistant", "ok")), // leading system prompt is legal
+      conv(3, msg("assistant", "hi"), msg("user", "yo")), // first_not_user
+      conv(4, msg("user", "a"), msg("user", "b"),
+        msg("assistant", "c")), // role_repeat
+      conv(5, msg("user", "a"), msg("assistant", "")), // empty_content
+      conv(6, msg("user", "a"), msg("tool", "x")), // unknown_role
+      (7L, """{"conv_id":7,"messages":["""), // unparseable
+      (8L, """{"conv_id":8,"messages":[]}"""), // empty
+      // precedence: first_not_user beats the same conv's role_repeat
+      conv(9, msg("assistant", "a"), msg("assistant", "b")),
+      // precedence: role_repeat beats empty_content
+      conv(10, msg("user", "a"), msg("user", ""), msg("assistant", "c")))
+    val got = flat(rows).select($"id", $"reason")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "ok" && got(2L) == "ok")
+    assert(got(3L) == "first_not_user")
+    assert(got(4L) == "role_repeat")
+    assert(got(5L) == "empty_content")
+    assert(got(6L) == "unknown_role")
+    assert(got(7L) == "unparseable")
+    assert(got(8L) == "empty")
+    assert(got(9L) == "first_not_user")
+    assert(got(10L) == "role_repeat")
+  }
+
+  test("render + mask spans: every span extracts exactly its assistant content") {
+    val rows = Seq(
+      conv(1, msg("user", "what is spark"), msg("assistant", "a query engine"),
+        msg("user", "and catalyst"), msg("assistant", "its optimizer")),
+      conv(2, msg("system", "be brief"), msg("user", "hi"),
+        msg("assistant", "ok then")),
+      conv(3, msg("user", "no answer yet")))
+    val raw = rows.toDF("id", "j")
+    val parsed = raw.withColumn("c", from_json($"j", ChatOps.chatSchema))
+      .select($"id", $"c.messages".as("turns"))
+    val got = parsed.select($"id",
+        ChatOps.renderChatML($"turns").as("rendered"),
+        ChatOps.lossMaskSpans($"turns").as("spans"),
+        ChatOps.maskedChars($"turns").as("masked"))
+      .as[(Long, String, String, Long)].collect()
+    val expectedAssistant = Map(
+      1L -> Seq("a query engine", "its optimizer"),
+      2L -> Seq("ok then"),
+      3L -> Seq.empty[String])
+    for ((id, rendered, spans, masked) <- got) {
+      val exp = expectedAssistant(id)
+      val ranges = if (spans.isEmpty) Seq.empty
+        else spans.split(";").toSeq.map { sp =>
+          val Array(a, b) = sp.split("-"); (a.toInt, b.toInt)
+        }
+      assert(ranges.size == exp.size, s"conv $id span count")
+      for (((s0, e0), want) <- ranges.zip(exp))
+        assert(rendered.substring(s0, e0) == want,
+          s"conv $id span [$s0,$e0) got '${rendered.substring(s0, e0)}'")
+      assert(ranges.map { case (s0, e0) => e0 - s0 }.sum == masked,
+        s"conv $id masked_chars")
+      // spans are disjoint and ascending (the fold walks left to right)
+      for (Seq((_, e1), (s2, _)) <- ranges.sliding(2).filter(_.size == 2))
+        assert(e1 <= s2, s"conv $id spans overlap")
+      // nothing outside the spans is assistant content: blanking the
+      // spans and re-rendering with assistant contents emptied agree
+      val blanked = ranges.reverse.foldLeft(rendered) { case (acc, (s0, e0)) =>
+        acc.substring(0, s0) + acc.substring(e0) }
+      assert(!exp.exists(c => c.nonEmpty && blanked.contains(c)),
+        s"conv $id: assistant text left outside the mask")
+    }
+  }
+
+  test("flatten: unparseable rows carry the documented null/zero contract") {
+    val got = flat(Seq((7L, "{not json"))).collect().head
+    assert(got.getAs[String]("reason") == "unparseable")
+    assert(got.isNullAt(got.fieldIndex("conv_id")))
+    assert(got.getAs[Long]("n_turns") == 0L)
+    assert(got.getAs[Long]("rendered_len") == 0L)
+    assert(got.isNullAt(got.fieldIndex("rendered_md5")))
+    assert(got.getAs[String]("mask_spans") == "")
+    assert(got.getAs[Long]("masked_chars") == 0L)
+  }
+
+  private val spanArrayType = "array<struct<s: bigint, e: bigint>>"
+
+  test("packedMaskPieces: exact boundary cuts on a single known conversation") {
+    // one doc → offset 0 whatever the md5 deal; spans (0,100) and
+    // (250,600) against seqLen 256: the second span must straddle TWO
+    // boundaries (256 and 512)
+    val df = Seq((1L, 600L)).toDF("id", "len")
+      .withColumn("spans",
+        typedlit(Seq((0L, 100L), (250L, 600L))).cast(spanArrayType))
+    val got = graft.operators.ChatOps
+      .packedMaskPieces(df, "id", "len", "spans", seqLen = 256, nShards = 1)
+      .select($"seq", $"piece_s", $"piece_e")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 100L), (0L, 250L, 256L), // span 2's head piece
+      (1L, 0L, 256L),                   // full middle sequence
+      (2L, 0L, 88L)))                   // 600 - 512 tail
+  }
+
+  test("packedMaskPieces: conservation, bounds, and layout invariance") {
+    // 40 docs with varying lengths and 1-2 spans each — enough mass
+    // that straddles occur at seqLen 128
+    val rows = (0L until 40L).map { i =>
+      val len = 80L + (i % 7) * 40L
+      val spans = if (i % 2 == 0) Seq((5L, len / 2)) else
+        Seq((0L, len / 3), (len / 2, len))
+      (i, len, spans)
+    }
+    val df = rows.toDF("id", "len", "spans")
+      .withColumn("spans", $"spans".cast(spanArrayType))
+    val pieces = graft.operators.ChatOps
+      .packedMaskPieces(df, "id", "len", "spans", seqLen = 128, nShards = 2)
+    val got = pieces.select($"shard", $"seq", $"piece_s", $"piece_e")
+      .as[(Long, Long, Long, Long)].collect()
+    val totalSpanMass = rows.flatMap(_._3).map { case (a, b) => b - a }.sum
+    assert(got.map(r => r._4 - r._3).sum == totalSpanMass,
+      "piece mass must equal span mass (conservation)")
+    assert(got.forall(r => r._3 >= 0 && r._3 < r._4 && r._4 <= 128),
+      "pieces must be non-empty and inside [0, seqLen]")
+    assert(got.count(r => r._4 - r._3 == 128L) > 0,
+      "expected at least one full-sequence piece (a straddle happened)")
+    val re = graft.operators.ChatOps
+      .packedMaskPieces(df.repartition(7), "id", "len", "spans",
+        seqLen = 128, nShards = 2)
+      .select($"shard", $"seq", $"piece_s", $"piece_e")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(re.sortBy(r => (r._1, r._2, r._3)).toSeq ==
+      got.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
+
+  test("flatten plan: the NoInline fence keeps exactly one from_json, even under a reason filter") {
+    // without the fence PushPredicateThroughNonJoin substitutes the
+    // JSON parse into the filter condition once per when-branch
+    // reference (measured: q313 2.04 s → 0.88 s at sf0.1)
+    // repartition barrier: over a bare LocalRelation the whole plan
+    // constant-folds to a LocalTableScan and there is no plan to pin
+    val src = Seq(conv(1, msg("user", "a"), msg("assistant", "b")))
+      .toDF("id", "j").repartition(1)
+    val p = graft.operators.ChatOps.flatten(src, "id", "j")
+      .filter($"reason" === "ok")
+      .queryExecution.executedPlan.toString
+    val n = "from_json".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one from_json in the plan, got $n in:\n${p.take(3000)}")
+  }
+
+  test("roleConcat: order-preserving per-role concatenation") {
+    val raw = Seq(conv(1, msg("system", "s"), msg("user", "first"),
+      msg("assistant", "x"), msg("user", "second"))).toDF("id", "j")
+    val turns = from_json($"j", graft.operators.ChatOps.chatSchema)
+      .getField("messages")
+    val got = raw.select(
+        graft.operators.ChatOps.roleConcat(turns, "user").as("u"),
+        graft.operators.ChatOps.roleConcat(turns, "assistant").as("a"),
+        graft.operators.ChatOps.roleConcat(turns, "tool").as("t"))
+      .as[(String, String, String)].collect().head
+    assert(got == (("first second", "x", "")))
+  }
+
+  test("preferencePairs: planted scores, gap filter, tie-break, rewrite plan") {
+    val df = Seq(
+      // grp a: clear winner/loser, gap 30
+      ("a", 1L, 40L), ("a", 2L, 10L), ("a", 3L, 25L),
+      // grp b: gap below threshold — filtered
+      ("b", 4L, 12L), ("b", 5L, 10L),
+      // grp c: singleton — chosen == rejected, filtered
+      ("c", 6L, 99L),
+      // grp d: score ties — min id wins both directions deterministically
+      ("d", 7L, 50L), ("d", 8L, 50L), ("d", 9L, 20L), ("d", 10L, 20L))
+      .toDF("grp", "id", "score")
+    val pairs = ChatOps.preferencePairs(df, "grp", "id", "score", minGap = 15L)
+    val got = pairs.select($"grp", $"chosen_id", $"rejected_id", $"gap")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 1L, 2L, 30L), ("d", 7L, 9L, 30L)))
+    // the rn=1 idiom must have been rewritten into the bounded heap
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal"), "expected heap-rewritten ranking")
+    assert(!p.contains("Window"), "per-group Window should not survive")
+    // layout invariance
+    val re = ChatOps.preferencePairs(df.repartition(7), "grp", "id", "score",
+        minGap = 15L)
+      .select($"grp", $"chosen_id", $"rejected_id", $"gap")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+}

@@ -876,6 +876,56 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming chat ingest: verdict quarantine, render-keyed dedup across shards, checkpoint idempotence") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_chatgate_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val quar = root.resolve("quar")
+    val okA =
+      """{"conv_id":1,"messages":[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]}"""
+    val badFirst =
+      """{"conv_id":2,"messages":[{"role":"assistant","content":"hi"}]}"""
+    val corrupt = """{nope"""
+    // shard 2: the SAME conversation as okA in a different JSONL
+    // spelling (key order) — the render digest must block it — plus a
+    // fresh conversation
+    val okASpelled =
+      """{"messages":[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}],"conv_id":9}"""
+    val okB =
+      """{"conv_id":3,"messages":[{"role":"user","content":"yo"},{"role":"assistant","content":"sup"}]}"""
+    // okA appears TWICE in shard 1 — within-batch keep-first
+    Seq(okA, badFirst, corrupt, okA).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f1").toString)
+    Seq(okASpelled, okB).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f2").toString)
+
+    DocIngest.runChatIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString)
+    val landed = spark.read.parquet(out.toString)
+    assert(landed.select($"conv_id").as[Long].collect().toSet == Set(1L, 3L),
+      "only the two distinct-render ok conversations land")
+    assert(landed.count() == 2L, "within-batch duplicate must collapse")
+    val reasons = spark.read.json(quar.toString)
+      .select($"reason").as[String].collect().sorted.toSeq
+    assert(reasons == Seq("first_not_user", "unparseable"), s"got $reasons")
+    // the index carries exactly the landed digests
+    val indexed = spark.read.parquet(idx.toString)
+      .as[String].collect().toSet
+    val wantDigests = landed.select($"rendered_md5").as[String]
+      .collect().toSet
+    assert(indexed == wantDigests)
+    // re-run against the same checkpoint: AvailableNow finds nothing
+    // new — no re-landing, no duplicate quarantine rows
+    DocIngest.runChatIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString)
+    assert(spark.read.parquet(out.toString).count() == 2L)
+    assert(spark.read.json(quar.toString).count() == 2L)
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
