@@ -254,7 +254,14 @@ object Bench {
     val loadBefore = loadAvg()
     val canMtBefore = canaryMt()
 
+    // dev-only reproduction lever: SPARK_GRAFT_ONLY=q47_langid,q46_…
+    // restricts the battery to the named queries (battery order kept)
+    // so a single row's in-battery behavior can be bisected without
+    // 300-query runs; unset in driver runs, so artifacts are whole.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => onlyFilter.forall(_.contains(kv._1)))
     // (name, segment, pass1, best of later passes)
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Option[Pass], Option[Pass])]

@@ -403,6 +403,45 @@ object Scratch {
         for (i <- 1 to 3)
           time(s"clusterReps-$i")(
             graft.operators.Dedup.clusterReps(pairs, checkpointPairs = false).count())
+      case "q70x" =>
+        // A/B the multi-distinct shapes behind q70 (bench top-5 audit)
+        import org.apache.spark.sql.functions._
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+        val li = graft.sources.Tables.lineitem(spark, d)
+        time("current-4agg") {
+          li.groupBy(col("l_returnflag"))
+            .agg(count_distinct(col("l_suppkey")),
+              count_distinct(col("l_partkey")),
+              approx_count_distinct(col("l_suppkey"), 0.01),
+              approx_count_distinct(col("l_partkey"), 0.01))
+            .collect().length.toLong
+        }
+        time("exact-only") {
+          li.groupBy(col("l_returnflag"))
+            .agg(count_distinct(col("l_suppkey")),
+              count_distinct(col("l_partkey")))
+            .collect().length.toLong
+        }
+        time("approx-only") {
+          li.groupBy(col("l_returnflag"))
+            .agg(approx_count_distinct(col("l_suppkey"), 0.01),
+              approx_count_distinct(col("l_partkey"), 0.01))
+            .collect().length.toLong
+        }
+        time("approx-only-rsd05") {
+          li.groupBy(col("l_returnflag"))
+            .agg(approx_count_distinct(col("l_suppkey"), 0.05),
+              approx_count_distinct(col("l_partkey"), 0.05))
+            .collect().length.toLong
+        }
+        time("current-4agg-2") {
+          li.groupBy(col("l_returnflag"))
+            .agg(count_distinct(col("l_suppkey")),
+              count_distinct(col("l_partkey")),
+              approx_count_distinct(col("l_suppkey"), 0.01),
+              approx_count_distinct(col("l_partkey"), 0.01))
+            .collect().length.toLong
+        }
       case _ =>
         val n = graft.SparkEntry.entry(spark).count()
         println(s"entry-smoke rows=$n ${if (n > 0) "OK" else "FAIL"}")
