@@ -770,6 +770,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(children(1), "id_col"), strLit(children(2), "json_col"))
           .queryExecution.analyzed
       }))
+    // DPO preference pairs from SQL (q314's operator):
+    //   preference_pairs(table, grp_col, id_col, score_col, min_gap)
+    // Emits (grp, chosen_id, chosen_score, rejected_id,
+    // rejected_score, gap).
+    ext.injectTableFunction((
+      new FunctionIdentifier("preference_pairs"),
+      new ExpressionInfo("graft.operators.ChatOps", "preference_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "usage: preference_pairs(table, grp_col, id_col, score_col, min_gap)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.ChatOps.preferencePairs(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "grp_col"), strLit(children(2), "id_col"),
+            strLit(children(3), "score_col"),
+            minGap = intLit(children(4), "min_gap").toLong)
+          .queryExecution.analyzed
+      }))
     // DSIR-shaped importance scoring from SQL (q116's operator):
     //   importance_score(corpus_table, target_table, id_col, text_col[, k])
     // Emits (id, n_grams, score, avg_ratio).

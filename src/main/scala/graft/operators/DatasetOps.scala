@@ -1479,6 +1479,39 @@ object DatasetOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(payload).cast(LongType).as("payload_sum"))
 
+  /** Cross-engine table fingerprint — data reconciliation: two
+    * replicas of a table (a migration's source and target, a primary
+    * and a backfill, this engine and another) are compared by a
+    * BUCKETED content checksum instead of row-by-row: each row hashes
+    * its canonical key string through md5, rows deal into `nBuckets`
+    * by hash, and a bucket mismatch (count or checksum) localizes the
+    * divergence to 1/nBuckets of the data — the binary-searchable
+    * shape a 100 TB reconciliation needs, at one narrow scan + one
+    * tiny aggregate per side, no sort, no join, engine-portable
+    * because everything after the caller's canonicalization is md5 +
+    * integer arithmetic.
+    *
+    * `keys` are the caller's CANONICAL string expressions — the
+    * caller owns formatting (dates via an explicit pattern, money via
+    * DECIMAL cast; a raw double/timestamp cast renders differently
+    * across engines and would flag every row). NULLs map to a
+    * sentinel before concat (concat_ws silently skips NULLs, which
+    * would make (NULL,'x') collide with ('x',NULL)). Checksum is
+    * Σ md5-u32 per bucket — order-independent, overflow-free below
+    * ~2^31 rows per bucket (document-scale at any real nBuckets). */
+  def tableFingerprint(df: DataFrame, keys: Seq[Column], nBuckets: Int,
+                       salt: String = "fp"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(keys.nonEmpty, "at least one key expression required")
+    val rowStr = concat_ws("|",
+      keys.map(k => coalesce(k.cast(StringType), lit("<null>"))): _*)
+    val h = conv(substring(md5(concat(lit(salt + ":"), rowStr)), 1, 8),
+      16, 10).cast(LongType)
+    df.select(h.as("_h"))
+      .groupBy(pmod(col("_h"), lit(nBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("checksum"))
+  }
+
   /** WITHIN-doc repetition signals — the Gopher/MassiveText repetition
     * rules (Rae et al. 2021 §A1.1), the quality family member the
     * cross-doc tiers deliberately spare: q97/q113 cut text repeated

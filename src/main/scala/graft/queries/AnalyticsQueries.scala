@@ -2208,11 +2208,41 @@ object AnalyticsQueries {
         true AS within_5pct, true AS merge_within_2pct
       FROM events GROUP BY 1 ORDER BY week_start"""))
 
+  // ---- q321: bucketed table fingerprint (data reconciliation) ----------
+  // Comparing two replicas of a 100 TB table row-by-row is a shuffle
+  // of everything; comparing bucketed content checksums is one narrow
+  // scan + a 16-row aggregate per side, and a mismatched bucket
+  // localizes divergence to 1/16 of the data (recurse to binary-search
+  // it). The canonical key string is the CALLER's contract — dates
+  // through an explicit format (a raw timestamp cast renders
+  // differently across engines and would flag every row) — and the
+  // oracle IS the second engine: DuckDB recomputes every md5 bucket
+  // checksum, so the query literally demonstrates the reconciliation
+  // passing between two independent engines.
+  private val q321 = GraftQuery(
+    "q321_table_fingerprint",
+    (s, d) =>
+      graft.operators.DatasetOps.tableFingerprint(
+        Tables.lineitem(s, d),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd")),
+        nBuckets = 16)
+        .orderBy(col("bucket")),
+    Some("""WITH h AS (
+        SELECT CAST(concat('0x', substring(md5('fp:' || l_orderkey ||
+            '|' || l_linenumber || '|' || l_returnflag || '|' ||
+            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')), 1, 8))
+          AS BIGINT) AS h
+        FROM lineitem)
+      SELECT CAST(h % 16 AS BIGINT) AS bucket, count(*) AS n_rows,
+        CAST(sum(h) AS BIGINT) AS checksum
+      FROM h GROUP BY 1 ORDER BY bucket"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
       q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235,
-      q248, q250, q251, q253, q255, q316)
+      q248, q250, q251, q253, q255, q316, q321)
 }
 

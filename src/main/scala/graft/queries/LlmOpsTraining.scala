@@ -297,6 +297,29 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
         string_agg(ps || '-' || pe, ';' ORDER BY ps, pe) AS pieces
       FROM pc2 GROUP BY shard, seq ORDER BY shard, seq"""))
 
+  // ---- q320: preference pairs from SQL ----------------------------------
+  // q314's operator through the injected preference_pairs table
+  // function — same plan (heap-rewritten rn=1 both directions), same
+  // oracle, reached from the parser path.
+
+  private[queries] val q320: GraftQuery = GraftQuery(
+    "q320_sql_preference_pairs",
+    (s, d) => {
+      docs(s, d).select(
+          concat(col("source"), lit("#"),
+            (col("doc_id") % 25).cast(StringType)).as("prompt_grp"),
+          col("doc_id"),
+          length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast(LongType).as("score"))
+        .createOrReplaceTempView("pref_scored_sql")
+      s.sql("""SELECT prompt_grp, chosen_id, chosen_score, rejected_id,
+          rejected_score, gap
+        FROM preference_pairs('pref_scored_sql', 'prompt_grp', 'doc_id',
+          'score', 20)
+        ORDER BY prompt_grp""")
+    },
+    q314.oracle)
+
   // ---- q319: chat-corpus decontamination (benchmark prompts) -----------
   // q65's gate pointed at the SFT corpus: an eval benchmark leaking
   // into instruction data arrives as a USER turn (the prompt), so the

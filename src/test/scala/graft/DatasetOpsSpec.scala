@@ -10,6 +10,35 @@ class DatasetOpsSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  test("tableFingerprint: layout-invariant, one changed row flips exactly one bucket, null sentinel") {
+    val base = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) = DatasetOps
+      .tableFingerprint(df, Seq(col("id"), col("v")), nBuckets = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = fp(base)
+    assert(a.map(_._2).sum == 2000L)
+    // identical content, different physical layout → identical fingerprint
+    assert(fp(base.repartition(13)) == a)
+    // one mutated row flips EXACTLY one bucket's checksum (possibly
+    // moving the row between buckets: at most two buckets differ)
+    val mutated = base.withColumn("v",
+      when($"id" === 777L, lit("CHANGED")).otherwise($"v"))
+    val b = fp(mutated)
+    val diff = a.zip(b).count { case (x, y) => x != y }
+    assert(diff >= 1 && diff <= 2, s"changed buckets: $diff")
+    // (NULL, 'x') must not collide with ('x', NULL) — the concat_ws
+    // null-skip trap the sentinel exists for
+    val p = Seq((Option.empty[String], Some("x")), (Some("x"), Option.empty[String]))
+      .toDF("a", "b")
+    val q = DatasetOps.tableFingerprint(p, Seq(col("a"), col("b")),
+        nBuckets = 1)
+      .as[(Long, Long, Long)].collect().head
+    val qq = DatasetOps.tableFingerprint(p.limit(1), Seq(col("a"), col("b")),
+        nBuckets = 1).as[(Long, Long, Long)].collect().head
+    assert(q._2 == 2L && q._3 != qq._3 * 2,
+      "the two null-position rows must hash differently")
+  }
+
   test("hashSplit: deterministic, repartition-invariant, fractions in range") {
     val ids = (0L until 5000L).toDF("id")
     val a = DatasetOps.hashSplit(ids, "id")
