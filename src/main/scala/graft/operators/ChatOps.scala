@@ -210,6 +210,45 @@ object ChatOps {
           col("seq") * seqLen).as("piece_e"))
   }
 
+  /** Char-span → token alignment under a space-delimited segmentation
+    * — the translation a tokenizer-side loss mask needs: the rendered
+    * text splits on single spaces (every segment's char range is then
+    * pure arithmetic: start = Σ previous (len+1)), and each segment
+    * classifies against the spans as FULLY masked (non-empty and
+    * contained in a span — loss on), PARTIALLY masked (intersects a
+    * span boundary — the segment a real BPE tokenizer must re-split),
+    * or unmasked. One O(n·m)-per-row pair of HOFs over (segments,
+    * spans) — narrow, zero shuffle; emits (n_segs, n_full,
+    * n_partial) beside the input columns. */
+  def segmentMaskAlignment(rendered: Column, spans: Column): (Column, Column, Column) = {
+    val segs = split(rendered, " ")
+    val bounds = aggregate(segs,
+      struct(lit(0L).as("pos"),
+        typedlit(Seq.empty[(Long, Long)])
+          .cast("array<struct<st: bigint, en: bigint>>").as("arr")),
+      (acc, sg) => struct(
+        (acc.getField("pos") + length(sg).cast(LongType) + lit(1L))
+          .as("pos"),
+        concat(acc.getField("arr"), array(struct(
+          acc.getField("pos").as("st"),
+          (acc.getField("pos") + length(sg).cast(LongType)).as("en"))))
+          .as("arr")),
+      acc => acc.getField("arr"))
+    val nFull = size(filter(bounds, b =>
+      b.getField("en") > b.getField("st") &&
+        exists(spans, sp => sp.getField("s") <= b.getField("st") &&
+          b.getField("en") <= sp.getField("e")))).cast(LongType)
+    // zero-width segments (double spaces) advance the cursor but carry
+    // no chars — the naive half-open overlap test (s < en && st < e)
+    // would count one sitting strictly inside a span, so emptiness is
+    // excluded explicitly
+    val nInter = size(filter(bounds, b =>
+      b.getField("en") > b.getField("st") &&
+        exists(spans, sp => sp.getField("s") < b.getField("en") &&
+          b.getField("st") < sp.getField("e")))).cast(LongType)
+    (size(segs).cast(LongType), nFull, nInter - nFull)
+  }
+
   /** Preference-pair construction — DPO/RLHF prep: within each prompt
     * group (the rows that answer the same prompt), pair the highest-
     * scored response (`chosen`) with the lowest (`rejected`), keep

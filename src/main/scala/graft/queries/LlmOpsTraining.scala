@@ -297,6 +297,64 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
         string_agg(ps || '-' || pe, ';' ORDER BY ps, pe) AS pieces
       FROM pc2 GROUP BY shard, seq ORDER BY shard, seq"""))
 
+  // ---- q322: token-aligned loss masks ------------------------------------
+  // The step after q313 when the consumer is a TOKENIZER, not a char
+  // stream: the rendered text segments on single spaces (each
+  // segment's char range is pure arithmetic — start = Σ prev len+1,
+  // split keeps empty segments so double spaces cannot desync the
+  // cursor), and every segment classifies as fully masked (contained
+  // in an assistant span), partially masked (crosses a span boundary
+  // — what a real BPE must re-split), or unmasked. The oracle replays
+  // the split, the prefix-sum cursor, and both containment/overlap
+  // predicates per (segment × span) pair.
+
+  private[queries] val q322: GraftQuery = GraftQuery(
+    "q322_token_aligned_masks",
+    (s, d) => {
+      val parsed = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        .withColumn("_turns",
+          call_function("no_inline", col("_c.messages")))
+      val okd = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
+        .select(col("doc_id").as("conv_id"),
+          call_function("no_inline",
+            ChatOps.renderChatML(col("_turns"))).as("_r"),
+          ChatOps.lossMaskSpanStructs(col("_turns")).as("_sp"))
+      val (nSegs, nFull, nPartial) =
+        ChatOps.segmentMaskAlignment(col("_r"), col("_sp"))
+      okd.select(col("conv_id"), nSegs.as("n_segs"), nFull.as("n_full"),
+          nPartial.as("n_partial"))
+        .orderBy(col("conv_id"))
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      $chatRenderOracleCte,
+      segs AS (SELECT doc_id, seg, i,
+          coalesce(sum(len(seg) + 1) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        FROM (SELECT doc_id,
+            unnest(string_split(rendered, ' ')) AS seg,
+            unnest(generate_series(1, len(string_split(rendered, ' '))))
+              AS i
+          FROM f)),
+      sp2 AS (SELECT doc_id, pos + 13 + len(role) AS s,
+          pos + 13 + len(role) + len(content) AS e
+        FROM p WHERE role = 'assistant'),
+      cls AS (SELECT g.doc_id, g.i,
+          max(CASE WHEN len(g.seg) > 0 AND sp2.s <= g.st
+            AND g.st + len(g.seg) <= sp2.e THEN 1 ELSE 0 END) AS fl,
+          max(CASE WHEN len(g.seg) > 0 AND sp2.s < g.st + len(g.seg)
+            AND g.st < sp2.e THEN 1 ELSE 0 END) AS inter
+        FROM segs g LEFT JOIN sp2 ON g.doc_id = sp2.doc_id
+        GROUP BY g.doc_id, g.i)
+      SELECT rs.doc_id AS conv_id,
+        CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(sum(fl) AS BIGINT) AS n_full,
+        CAST(sum(inter) - sum(fl) AS BIGINT) AS n_partial
+      FROM cls JOIN rs ON cls.doc_id = rs.doc_id
+      WHERE rs.reason = 'ok'
+      GROUP BY rs.doc_id ORDER BY conv_id"""))
+
   // ---- q320: preference pairs from SQL ----------------------------------
   // q314's operator through the injected preference_pairs table
   // function — same plan (heap-rewritten rn=1 both directions), same

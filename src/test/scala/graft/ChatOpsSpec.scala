@@ -155,6 +155,31 @@ class ChatOpsSpec extends AnyFunSuite {
       got.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
 
+  test("segmentMaskAlignment: full/partial classification by hand, empty segments keep the cursor") {
+    // text: "ab cd ef"  → segments ab[0,2) cd[3,5) ef[6,8)
+    //   span [3,5)  fully covers cd; span [7,8) partially covers ef
+    // text: "ab  cd" (double space) → ab[0,2) ""[3,3) cd[4,6):
+    //   the empty segment advances the cursor and is NEVER counted
+    //   full even when inside a span
+    val rows = Seq(
+      (1L, "ab cd ef", Seq((3L, 5L), (7L, 8L))),
+      (2L, "ab  cd", Seq((2L, 6L))),
+      (3L, "ab cd", Seq.empty[(Long, Long)]))
+      .toDF("id", "r", "sp")
+      .withColumn("sp", $"sp".cast(spanArrayType))
+    val (nSegs, nFull, nPartial) = graft.operators.ChatOps
+      .segmentMaskAlignment($"r", $"sp")
+    val got = rows.select($"id", nSegs, nFull, nPartial)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 1L), // cd full, ef partial
+      // cd full; ab[0,2) vs span [2,6): half-open, no overlap; the
+      // zero-width ""[3,3) sits strictly inside the span but carries
+      // no chars — excluded from BOTH classes (the emptiness guard)
+      (2L, 3L, 1L, 0L),
+      (3L, 2L, 0L, 0L)))
+  }
+
   test("flatten plan: the NoInline fence keeps exactly one from_json, even under a reason filter") {
     // without the fence PushPredicateThroughNonJoin substitutes the
     // JSON parse into the filter condition once per when-branch
