@@ -210,6 +210,45 @@ object ChatOps {
           col("seq") * seqLen).as("piece_e"))
   }
 
+  /** Context-window fitting — the standard chat truncation policy: a
+    * leading system prompt is ALWAYS kept, then the longest SUFFIX of
+    * the remaining turns whose ChatML render (with the system prompt)
+    * fits `budget` chars; when even the final turn overflows, the
+    * final turn is kept anyway (a conversation never truncates to
+    * nothing) and `fits` reports false. Returns a struct
+    * (kept, n_dropped, fits); all arithmetic is the render's
+    * 24 + len(role) + len(content) per-turn cost over prefix sums —
+    * O(n²) HOFs with n = turns-per-conversation (tiny), one narrow
+    * projection, zero shuffle. Contract: at least one non-system
+    * turn (feed validated conversations — `verdict` = ok implies it). */
+  def fitContext(turns: Column, budget: Column): Column = {
+    val emptyTurns = typedlit(Seq.empty[(String, String)])
+      .cast("array<struct<role: string, content: string>>")
+    val hasSys = element_at(turns, 1).getField("role") === "system"
+    val sysArr = when(hasSys, slice(turns, lit(1), lit(1)))
+      .otherwise(emptyTurns)
+    val body = when(hasSys, slice(turns, lit(2), size(turns) - 1))
+      .otherwise(turns)
+    def turnLen(t: Column): Column =
+      lit(24L) + length(t.getField("role")).cast(LongType) +
+        length(t.getField("content")).cast(LongType)
+    val lens = transform(body, turnLen(_))
+    val sumL = (a: Column) => aggregate(a, lit(0L), (x, y) => x + y)
+    val total = sumL(lens)
+    val sysLen = sumL(transform(sysArr, turnLen(_)))
+    // minimal drop count i (0-based) whose suffix fits the budget
+    val minI = array_min(filter(sequence(lit(0L), size(body) - 1),
+      i => sysLen + total - sumL(slice(lens, lit(1), i.cast(IntegerType)))
+        <= budget))
+    val keepFrom = coalesce(minI, size(body).cast(LongType) - 1L)
+    struct(
+      concat(sysArr, slice(body, (keepFrom + 1L).cast(IntegerType),
+        (size(body).cast(LongType) - keepFrom).cast(IntegerType)))
+        .as("kept"),
+      keepFrom.as("n_dropped"),
+      minI.isNotNull.as("fits"))
+  }
+
   /** Char-span → token alignment under a space-delimited segmentation
     * — the translation a tokenizer-side loss mask needs: the rendered
     * text splits on single spaces (every segment's char range is then

@@ -355,6 +355,76 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       WHERE rs.reason = 'ok'
       GROUP BY rs.doc_id ORDER BY conv_id"""))
 
+  // ---- q323: context-window fitting --------------------------------------
+  // The truncation every chat trainer/server runs when a conversation
+  // outgrows the window: keep the leading system prompt, keep the
+  // longest SUFFIX of the rest whose render fits the budget, never
+  // truncate to nothing (the final turn stays even when it alone
+  // overflows — fits=false reports it). The oracle replays the
+  // per-turn render cost, the prefix sums, the minimal-drop search
+  // and the re-render of exactly the kept turns (md5-gated).
+
+  private[queries] val q323: GraftQuery = GraftQuery(
+    "q323_chat_context_fit",
+    (s, d) => {
+      val parsed = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        .withColumn("_turns",
+          call_function("no_inline", col("_c.messages")))
+      val okd = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
+        .select(col("doc_id").as("conv_id"),
+          call_function("no_inline",
+            ChatOps.fitContext(col("_turns"), lit(150L))).as("_f"))
+      okd.select(col("conv_id"),
+          size(col("_f.kept")).cast(LongType).as("n_kept"),
+          col("_f.n_dropped").as("n_dropped"),
+          col("_f.fits").as("fits"),
+          length(ChatOps.renderChatML(col("_f.kept")))
+            .cast(LongType).as("kept_len"),
+          md5(ChatOps.renderChatML(col("_f.kept"))).as("kept_md5"))
+        .orderBy(col("conv_id"))
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      ok3 AS (SELECT doc_id, turns,
+          turns[1].role = 'system' AS has_sys
+        FROM rs WHERE reason = 'ok'),
+      sp3 AS (SELECT doc_id, turns, has_sys,
+          CASE WHEN has_sys THEN turns[2:] ELSE turns END AS body,
+          CASE WHEN has_sys
+            THEN 24 + len(turns[1].role) + len(turns[1].content)
+            ELSE 0 END AS syslen
+        FROM ok3),
+      lp AS (SELECT doc_id, turns, has_sys, body, syslen,
+          list_transform(body,
+            t -> 24 + len(t.role) + len(t.content)) AS lens
+        FROM sp3),
+      mi AS (SELECT doc_id, turns, has_sys, body, syslen, lens,
+          list_min(list_filter(generate_series(0, len(body) - 1),
+            i -> syslen + list_sum(lens)
+              - coalesce(list_sum(list_slice(lens, 1, i)), 0) <= 150))
+            AS min_i
+        FROM lp),
+      kp AS (SELECT doc_id,
+          min_i IS NOT NULL AS fits,
+          coalesce(min_i, len(body) - 1) AS n_dropped,
+          list_concat(
+            CASE WHEN has_sys THEN turns[1:1] ELSE [] END,
+            list_slice(body,
+              CAST(coalesce(min_i, len(body) - 1) + 1 AS BIGINT),
+              len(body))) AS kept
+        FROM mi),
+      rr AS (SELECT doc_id, fits, CAST(n_dropped AS BIGINT) AS n_dropped,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          array_to_string(list_transform(kept,
+            t -> '<|im_start|>' || t.role || chr(10) || t.content ||
+              '<|im_end|>' || chr(10)), '') AS rendered
+        FROM kp)
+      SELECT doc_id AS conv_id, n_kept, n_dropped, fits,
+        CAST(len(rendered) AS BIGINT) AS kept_len,
+        md5(rendered) AS kept_md5
+      FROM rr ORDER BY conv_id"""))
+
   // ---- q320: preference pairs from SQL ----------------------------------
   // q314's operator through the injected preference_pairs table
   // function — same plan (heap-rewritten rn=1 both directions), same

@@ -180,6 +180,50 @@ class ChatOpsSpec extends AnyFunSuite {
       (3L, 2L, 0L, 0L)))
   }
 
+  test("fitContext: system retained, minimal suffix drop, overflow keeps the final turn") {
+    // per-turn render cost: 24 + len(role) + len(content)
+    //   system "s"      → 24 + 6 + 1 = 31
+    //   user   "aaaa"   → 24 + 4 + 4 = 32
+    //   assistant "bb"  → 24 + 9 + 2 = 35
+    //   user   "cc"     → 24 + 4 + 2 = 30
+    //   assistant "dd"  → 24 + 9 + 2 = 35   (total 163, body 132)
+    val raw = Seq(conv(1, msg("system", "s"), msg("user", "aaaa"),
+      msg("assistant", "bb"), msg("user", "cc"), msg("assistant", "dd")))
+      .toDF("id", "j")
+      .withColumn("t", from_json($"j", graft.operators.ChatOps.chatSchema)
+        .getField("messages"))
+    def fit(budget: Long) = raw.select(
+        graft.operators.ChatOps.fitContext($"t", lit(budget)).as("f"))
+      .select($"f.kept", $"f.n_dropped", $"f.fits")
+      .as[(Seq[(String, String)], Long, Boolean)].collect().head
+    // everything fits
+    val all = fit(163L)
+    assert(all._2 == 0L && all._3 && all._1.size == 5)
+    // 162: must drop the oldest body turn (sys 31 + 100 of last three = 131 ≤ 162; 31+132=163 > 162)
+    val drop1 = fit(162L)
+    assert(drop1._2 == 1L && drop1._3)
+    assert(drop1._1.map(_._2) == Seq("s", "bb", "cc", "dd"),
+      s"got ${drop1._1}")
+    // 70: sys(31) + dd(35) = 66 ≤ 70 → keep system + final turn only
+    val drop3 = fit(70L)
+    assert(drop3._2 == 3L && drop3._3 &&
+      drop3._1.map(_._2) == Seq("s", "dd"))
+    // 60: even the final turn overflows with the system prompt —
+    // kept anyway, fits=false
+    val over = fit(60L)
+    assert(over._2 == 3L && !over._3 && over._1.map(_._2) == Seq("s", "dd"))
+    // no system prompt: plain suffix policy
+    val raw2 = Seq(conv(2, msg("user", "aaaa"), msg("assistant", "bb")))
+      .toDF("id", "j")
+      .withColumn("t", from_json($"j", graft.operators.ChatOps.chatSchema)
+        .getField("messages"))
+    val r2 = raw2.select(
+        graft.operators.ChatOps.fitContext($"t", lit(35L)).as("f"))
+      .select($"f.kept", $"f.n_dropped", $"f.fits")
+      .as[(Seq[(String, String)], Long, Boolean)].collect().head
+    assert(r2._2 == 1L && r2._3 && r2._1.map(_._2) == Seq("bb"))
+  }
+
   test("flatten plan: the NoInline fence keeps exactly one from_json, even under a reason filter") {
     // without the fence PushPredicateThroughNonJoin substitutes the
     // JSON parse into the filter condition once per when-branch
