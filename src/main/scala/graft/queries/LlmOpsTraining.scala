@@ -36,6 +36,8 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       when(i === 1 && id % 17 === 3, baseRole(lit(0L))).otherwise(baseRole(i))
     def content(i: Column): Column =
       when(i === 1 && id % 19 === 5, lit(""))
+        .when(i === 1 && id % 31 === 6,
+          lit("i cannot help with that")) // planted boilerplate (q324)
         .otherwise(regexp_replace(
           text.substr((lit(1L) + (id + i * 13) % 29).cast(IntegerType),
             (lit(10L) + (id + i) % 17).cast(IntegerType)),
@@ -73,6 +75,8 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
                 ELSE CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
                 END,
               'content': CASE WHEN i = 1 AND doc_id % 19 = 5 THEN ''
+                WHEN i = 1 AND doc_id % 31 = 6
+                  THEN 'i cannot help with that'
                 ELSE regexp_replace(substr(text,
                   CAST(1 + (doc_id + i * 13) % 29 AS INT),
                   CAST(10 + (doc_id + i) % 17 AS INT)), '[^a-z ]', '', 'g')
@@ -354,6 +358,48 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       FROM cls JOIN rs ON cls.doc_id = rs.doc_id
       WHERE rs.reason = 'ok'
       GROUP BY rs.doc_id ORDER BY conv_id"""))
+
+  // ---- q324: duplicated-assistant-reply census ----------------------------
+  // The boilerplate detector chat corpora need: an assistant reply
+  // that recurs across MANY conversations ("i cannot help with
+  // that", templated refusals, canned greetings) teaches the model
+  // the template, not the behavior — SFT curation caps or drops
+  // them. Replies are census'd by exact content across the ok
+  // corpus; the fixture plants one such reply on the doc_id%31=6
+  // slice (skipping rows the empty-content defect owns first), so
+  // the census's head row is deterministic and the oracle decides
+  // every count. The same digest-census shape as line dedup (q97),
+  // one explode + one count shuffle on reply strings.
+
+  private[queries] val q324: GraftQuery = GraftQuery(
+    "q324_boilerplate_replies",
+    (s, d) => {
+      val parsed = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        .withColumn("_turns",
+          call_function("no_inline", col("_c.messages")))
+      parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
+        .select(col("doc_id").as("conv_id"),
+          explode(filter(col("_turns"),
+            t => t.getField("role") === "assistant")).as("t"))
+        .select(col("conv_id"), col("t.content").as("reply"))
+        .groupBy(col("reply"))
+        .agg(count(lit(1)).as("n_uses"),
+          count_distinct(col("conv_id")).as("n_convs"))
+        .filter(col("n_uses") >= 2)
+        .orderBy(col("n_uses").desc, col("reply"))
+        .limit(20)
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      ar AS (SELECT doc_id AS conv_id, unnest(list_transform(
+          list_filter(turns, t -> t.role = 'assistant'),
+          t -> t.content)) AS reply
+        FROM rs WHERE reason = 'ok')
+      SELECT reply, count(*) AS n_uses,
+        count(DISTINCT conv_id) AS n_convs
+      FROM ar GROUP BY reply HAVING count(*) >= 2
+      ORDER BY n_uses DESC, reply LIMIT 20"""))
 
   // ---- q323: context-window fitting --------------------------------------
   // The truncation every chat trainer/server runs when a conversation
