@@ -770,6 +770,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(children(1), "id_col"), strLit(children(2), "json_col"))
           .queryExecution.analyzed
       }))
+    // Context-window fitting from SQL (q323's operator):
+    //   chat_context_fit(table, id_col, json_col, budget)
+    // Emits (id, n_kept, n_dropped, fits, kept_len, kept_md5) per
+    // parseable-and-valid conversation.
+    ext.injectTableFunction((
+      new FunctionIdentifier("chat_context_fit"),
+      new ExpressionInfo("graft.operators.ChatOps", "chat_context_fit"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "usage: chat_context_fit(table, id_col, json_col, budget)")
+        val budget = intLit(children(3), "budget").toLong
+        require(budget > 0, s"chat_context_fit: budget must be > 0, got $budget")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.ChatOps.fitContextFlat(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "id_col"), strLit(children(2), "json_col"),
+            budget)
+          .queryExecution.analyzed
+      }))
     // DPO preference pairs from SQL (q314's operator):
     //   preference_pairs(table, grp_col, id_col, score_col, min_gap)
     // Emits (grp, chosen_id, chosen_score, rejected_id,

@@ -249,6 +249,27 @@ object ChatOps {
       minI.isNotNull.as("fits"))
   }
 
+  /** [[fitContext]] as a whole-table operator (the `chat_context_fit`
+    * SQL door's body): parse + validate + fit + re-render in one
+    * projection, valid conversations only (an unparseable or
+    * malformed transcript has no turns to fit). Emits (idCol, n_kept,
+    * n_dropped, fits, kept_len, kept_md5). */
+  def fitContextFlat(df: DataFrame, idCol: String, jsonCol: String,
+                     budget: Long): DataFrame = {
+    val parsed = df
+      .withColumn("_c", from_json(col(jsonCol), chatSchema))
+      .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+    parsed.filter(verdict(col("_turns")) === "ok")
+      .withColumn("_f",
+        call_function("no_inline", fitContext(col("_turns"), lit(budget))))
+      .select(col(idCol),
+        size(col("_f.kept")).cast(LongType).as("n_kept"),
+        col("_f.n_dropped").as("n_dropped"),
+        col("_f.fits").as("fits"),
+        length(renderChatML(col("_f.kept"))).cast(LongType).as("kept_len"),
+        md5(renderChatML(col("_f.kept"))).as("kept_md5"))
+  }
+
   /** Char-span → token alignment under a space-delimited segmentation
     * — the translation a tokenizer-side loss mask needs: the rendered
     * text splits on single spaces (every segment's char range is then

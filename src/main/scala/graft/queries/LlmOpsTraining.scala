@@ -359,6 +359,22 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       WHERE rs.reason = 'ok'
       GROUP BY rs.doc_id ORDER BY conv_id"""))
 
+  // ---- q325: context fitting from SQL -------------------------------------
+  // q323's operator through the injected chat_context_fit table
+  // function — same fit, reached from the parser path, pinned by the
+  // same oracle shape at a different budget (90 forces deeper drops
+  // and exercises the overflow leg on more rows).
+
+  private[queries] val q325: GraftQuery = GraftQuery(
+    "q325_sql_context_fit",
+    (s, d) => {
+      chatRaw(s, d).createOrReplaceTempView("chat_fit_sql")
+      s.sql("""SELECT doc_id, n_kept, n_dropped, fits, kept_len, kept_md5
+        FROM chat_context_fit('chat_fit_sql', 'doc_id', 'j', 90)
+        ORDER BY doc_id""")
+    },
+    Some(contextFitOracle(budget = 90, idAlias = "doc_id")))
+
   // ---- q324: duplicated-assistant-reply census ----------------------------
   // The boilerplate detector chat corpora need: an assistant reply
   // that recurs across MANY conversations ("i cannot help with
@@ -412,25 +428,18 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
 
   private[queries] val q323: GraftQuery = GraftQuery(
     "q323_chat_context_fit",
-    (s, d) => {
-      val parsed = chatRaw(s, d)
-        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
-        .withColumn("_turns",
-          call_function("no_inline", col("_c.messages")))
-      val okd = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
-        .select(col("doc_id").as("conv_id"),
-          call_function("no_inline",
-            ChatOps.fitContext(col("_turns"), lit(150L))).as("_f"))
-      okd.select(col("conv_id"),
-          size(col("_f.kept")).cast(LongType).as("n_kept"),
-          col("_f.n_dropped").as("n_dropped"),
-          col("_f.fits").as("fits"),
-          length(ChatOps.renderChatML(col("_f.kept")))
-            .cast(LongType).as("kept_len"),
-          md5(ChatOps.renderChatML(col("_f.kept"))).as("kept_md5"))
-        .orderBy(col("conv_id"))
-    },
-    Some(s"""WITH $chatTurnsOracleCte,
+    (s, d) =>
+      ChatOps.fitContextFlat(chatRaw(s, d), "doc_id", "j", budget = 150L)
+        .withColumnRenamed("doc_id", "conv_id")
+        .orderBy(col("conv_id")),
+    Some(contextFitOracle(budget = 150, idAlias = "conv_id")))
+
+  /** Shared DuckDB replay of [[ChatOps.fitContext]] over the fixture
+    * — parameterized on the budget so the Scala route (q323) and the
+    * SQL door (q325) pin the same machinery at different depths. */
+  private[queries] def contextFitOracle(budget: Int,
+                                        idAlias: String): String =
+    s"""WITH $chatTurnsOracleCte,
       $chatVerdictOracleCte,
       ok3 AS (SELECT doc_id, turns,
           turns[1].role = 'system' AS has_sys
@@ -448,7 +457,7 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       mi AS (SELECT doc_id, turns, has_sys, body, syslen, lens,
           list_min(list_filter(generate_series(0, len(body) - 1),
             i -> syslen + list_sum(lens)
-              - coalesce(list_sum(list_slice(lens, 1, i)), 0) <= 150))
+              - coalesce(list_sum(list_slice(lens, 1, i)), 0) <= $budget))
             AS min_i
         FROM lp),
       kp AS (SELECT doc_id,
@@ -466,10 +475,10 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
             t -> '<|im_start|>' || t.role || chr(10) || t.content ||
               '<|im_end|>' || chr(10)), '') AS rendered
         FROM kp)
-      SELECT doc_id AS conv_id, n_kept, n_dropped, fits,
+      SELECT doc_id AS $idAlias, n_kept, n_dropped, fits,
         CAST(len(rendered) AS BIGINT) AS kept_len,
         md5(rendered) AS kept_md5
-      FROM rr ORDER BY conv_id"""))
+      FROM rr ORDER BY $idAlias"""
 
   // ---- q320: preference pairs from SQL ----------------------------------
   // q314's operator through the injected preference_pairs table

@@ -252,6 +252,50 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(got == (("first second", "x", "")))
   }
 
+  test("property: spans extract exactly the assistant contents for random conversations") {
+    // generator-driven version of the hand test: random role
+    // sequences and contents (incl. spaces and empties avoided —
+    // empties are the empty_content verdict's business), one batch
+    val rnd = new scala.util.Random(4242L)
+    val roles = Seq("system", "user", "assistant")
+    val convs = (0 until 120).map { cid =>
+      val n = 1 + rnd.nextInt(6)
+      val msgs = (0 until n).map { _ =>
+        val role = roles(rnd.nextInt(3))
+        val content = (0 until (1 + rnd.nextInt(12)))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar)
+          .mkString.grouped(4).mkString(" ") // inject spaces
+        (role, content)
+      }
+      (cid.toLong, msgs)
+    }
+    val raw = convs.map { case (cid, msgs) =>
+      (cid, s"""{"conv_id":$cid,"messages":[${
+        msgs.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+          .mkString(",")}]}""")
+    }.toDF("id", "j")
+    val parsed = raw.withColumn("c", from_json($"j", ChatOps.chatSchema))
+      .select($"id", $"c.messages".as("turns"))
+    val got = parsed.select($"id",
+        ChatOps.renderChatML($"turns").as("r"),
+        ChatOps.lossMaskSpans($"turns").as("sp"))
+      .as[(Long, String, String)].collect()
+    val expected = convs.toMap
+    for ((id, rendered, spans) <- got) {
+      val want = expected(id).filter(_._1 == "assistant").map(_._2)
+      val ranges = if (spans.isEmpty) Seq.empty
+        else spans.split(";").toSeq.map { s =>
+          val Array(a, b) = s.split("-"); (a.toInt, b.toInt) }
+      assert(ranges.size == want.size, s"conv $id")
+      for (((s0, e0), w) <- ranges.zip(want))
+        assert(rendered.substring(s0, e0) == w, s"conv $id")
+      // the render itself reconstructs from the original turns
+      val wantRender = expected(id).map { case (r, c) =>
+        s"<|im_start|>$r\n$c<|im_end|>\n" }.mkString
+      assert(rendered == wantRender, s"conv $id render")
+    }
+  }
+
   test("preferencePairs: planted scores, gap filter, tie-break, rewrite plan") {
     val df = Seq(
       // grp a: clear winner/loser, gap 30
