@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.TextFunctions.whitespaceTokens
 import graft.operators.ChatOps
 import graft.sources.Tables
 
@@ -374,6 +375,100 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
         ORDER BY doc_id""")
     },
     Some(contextFitOracle(budget = 90, idAlias = "doc_id")))
+
+  // ---- q326: eval-harness scoring (exact match + token F1) ----------------
+  // The downstream mile of the data pipeline: scoring model outputs
+  // against references (SQuAD-style). exact_match is string equality
+  // after the shared tokenization; token F1 is the MULTISET overlap
+  // (Σ min(count_ref, count_cand) over the union's distinct tokens —
+  // duplicated tokens must not double-count), emitted as an integer
+  // ppm (2·inter·10⁶ div (n_ref + n_cand), the cross-engine rule).
+  // Candidates are deterministic perturbations of the reference
+  // window — identical / truncated / first-two-swapped (F1-invariant
+  // but EM-breaking, the multiset property the oracle would catch a
+  // set-based implementation on) / one-token-replaced / disjoint
+  // window — so every metric regime is planted.
+
+  private[queries] val q326: GraftQuery = GraftQuery(
+    "q326_eval_token_f1",
+    (s, d) => {
+      val id = col("doc_id")
+      val tk = whitespaceTokens(col("text"))
+      val ref = slice(tk, (lit(1L) + id % 5).cast(IntegerType), lit(8))
+      val cand = when(id % 7 === 0, ref)
+        .when(id % 7 === 1, slice(ref, 1, 7))
+        .when(id % 7 === 2, concat(slice(ref, 2, 1), slice(ref, 1, 1),
+          slice(ref, 3, 6)))
+        .when(id % 7 === 3, concat(slice(ref, 1, 2),
+          array(lit("xyzzy")), slice(ref, 4, 5)))
+        .otherwise(slice(tk, (lit(3L) + (id + 3) % 5).cast(IntegerType),
+          lit(8)))
+      val scored = docs(s, d).select(id.as("doc_id"),
+        call_function("no_inline", ref).as("_r"),
+        call_function("no_inline", cand).as("_c"))
+      val inter = aggregate(
+        array_distinct(concat(col("_r"), col("_c"))), lit(0L),
+        (acc, t) => acc + least(
+          size(filter(col("_r"), x => x === t)).cast(LongType),
+          size(filter(col("_c"), x => x === t)).cast(LongType)))
+      scored.select(col("doc_id"),
+          (array_join(col("_r"), " ") === array_join(col("_c"), " "))
+            .as("exact_match"),
+          size(col("_r")).cast(LongType).as("n_ref"),
+          size(col("_c")).cast(LongType).as("n_cand"),
+          inter.as("n_overlap"),
+          // both-empty windows can only happen on a sub-8-word doc at
+          // the window tail; score 0, never divide by zero (ANSI)
+          when(size(col("_r")) + size(col("_c")) === 0, 0L)
+            .otherwise(expr("n_overlap * 2000000L div (n_ref + n_cand)"))
+            .as("f1_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk0 AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents),
+      rc AS (SELECT doc_id,
+          list_slice(tk, CAST(1 + doc_id % 5 AS BIGINT),
+            CAST(doc_id % 5 + 8 AS BIGINT)) AS r,
+          CASE
+            WHEN doc_id % 7 = 0 THEN list_slice(tk,
+              CAST(1 + doc_id % 5 AS BIGINT), CAST(doc_id % 5 + 8 AS BIGINT))
+            WHEN doc_id % 7 = 1 THEN list_slice(list_slice(tk,
+              CAST(1 + doc_id % 5 AS BIGINT), CAST(doc_id % 5 + 8 AS BIGINT)),
+              1, 7)
+            WHEN doc_id % 7 = 2 THEN list_concat(list_concat(
+              list_slice(list_slice(tk, CAST(1 + doc_id % 5 AS BIGINT),
+                CAST(doc_id % 5 + 8 AS BIGINT)), 2, 2),
+              list_slice(list_slice(tk, CAST(1 + doc_id % 5 AS BIGINT),
+                CAST(doc_id % 5 + 8 AS BIGINT)), 1, 1)),
+              list_slice(list_slice(tk, CAST(1 + doc_id % 5 AS BIGINT),
+                CAST(doc_id % 5 + 8 AS BIGINT)), 3, 8))
+            WHEN doc_id % 7 = 3 THEN list_concat(list_concat(
+              list_slice(list_slice(tk, CAST(1 + doc_id % 5 AS BIGINT),
+                CAST(doc_id % 5 + 8 AS BIGINT)), 1, 2),
+              ['xyzzy']),
+              list_slice(list_slice(tk, CAST(1 + doc_id % 5 AS BIGINT),
+                CAST(doc_id % 5 + 8 AS BIGINT)), 4, 8))
+            ELSE list_slice(tk, CAST(3 + (doc_id + 3) % 5 AS BIGINT),
+              CAST((doc_id + 3) % 5 + 10 AS BIGINT))
+          END AS c
+        FROM tk0),
+      m AS (SELECT doc_id, r, c,
+          coalesce(list_sum(list_transform(
+            list_distinct(list_concat(r, c)),
+            t -> least(len(list_filter(r, x -> x = t)),
+                       len(list_filter(c, x -> x = t))))), 0) AS inter
+        FROM rc)
+      SELECT doc_id,
+        array_to_string(r, ' ') = array_to_string(c, ' ') AS exact_match,
+        CAST(len(r) AS BIGINT) AS n_ref,
+        CAST(len(c) AS BIGINT) AS n_cand,
+        CAST(inter AS BIGINT) AS n_overlap,
+        CAST(CASE WHEN len(r) + len(c) = 0 THEN 0
+          ELSE inter * 2000000 // (len(r) + len(c)) END AS BIGINT) AS f1_ppm
+      FROM m ORDER BY doc_id"""))
 
   // ---- q324: duplicated-assistant-reply census ----------------------------
   // The boilerplate detector chat corpora need: an assistant reply
