@@ -2238,11 +2238,60 @@ object AnalyticsQueries {
         CAST(sum(h) AS BIGINT) AS checksum
       FROM h GROUP BY 1 ORDER BY bucket"""))
 
+  // ---- q327: JSON key census (schema-drift monitor) --------------------
+  // The ingest-side complement of q318's VARIANT reads: an
+  // open-content JSONL stream drifts (producers add fields per event
+  // class, feature flags appear on a value slice), and the monitor a
+  // pipeline actually runs is the per-(event_type, key) presence
+  // census — a new key shows up as a new row, a key's retreat shows
+  // up in its ppm. json_object_keys is a narrow projection; one
+  // count shuffle on (type, key). The fixture drifts deliberately:
+  // "code" exists only on error events, "flag" only where value > 80.
+  private val q327 = GraftQuery(
+    "q327_json_key_census",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val j = concat(lit("{\"k\":"),
+        get_json_object(col("props"), "$.k"),
+        when(col("event_type") === "error",
+          concat(lit(",\"code\":"), (col("event_id") % 7).cast(StringType)))
+          .otherwise(lit("")),
+        when(col("value") > 80, lit(",\"flag\":true")).otherwise(lit("")),
+        lit("}"))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      ev.select(col("event_type"),
+          explode(json_object_keys(j)).as("key"))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n_present"))
+        .join(broadcast(perType), Seq("event_type"))
+        .select(col("event_type"), col("key"), col("n_present"),
+          expr("n_present * 1000000L div n_events").as("presence_ppm"))
+        .orderBy(col("event_type"), col("key"))
+    },
+    Some("""WITH j AS (
+        SELECT event_type, event_id, value,
+          '{"k":' || json_extract_string(props, '$.k') ||
+          CASE WHEN event_type = 'error'
+            THEN ',"code":' || (event_id % 7) ELSE '' END ||
+          CASE WHEN value > 80 THEN ',"flag":true' ELSE '' END ||
+          '}' AS js
+        FROM events),
+      k AS (SELECT event_type, unnest(json_keys(js)) AS key FROM j),
+      t AS (SELECT event_type, count(*) AS n_events FROM events
+        GROUP BY event_type)
+      SELECT k.event_type, key, count(*) AS n_present,
+        CAST(count(*) * 1000000 // max(t.n_events) AS BIGINT)
+          AS presence_ppm
+      FROM k JOIN t ON k.event_type = t.event_type
+      GROUP BY k.event_type, key
+      ORDER BY k.event_type, key"""))
+
   def all: Seq[GraftQuery] =
     Seq(q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q214, q215, q216, q217, q218, q219, q220, q221,
       q222, q223, q224, q225, q226, q227, q228, q229, q230, q233, q235,
-      q248, q250, q251, q253, q255, q316, q321)
+      q248, q250, q251, q253, q255, q316, q321, q327)
 }
 
