@@ -569,7 +569,87 @@ object Relational3 {
         CAST(0 AS BIGINT) AS n_phantom
       FROM events GROUP BY 1, 2 ORDER BY event_type, tier"""))
 
+  // ---- q328: LATERAL correlated subquery -------------------------------
+  // The SQL-surface sibling of the top-1-per-group operators: a
+  // per-row correlated derived table (each customer's single largest
+  // order) via ANSI LATERAL — the form analysts write when the
+  // "group" is the outer row itself. Catalyst decorrelates the
+  // LIMIT-ed subquery into a ranked join rather than executing one
+  // probe per outer row — the only plan shape that survives a 10^9
+  // customer table.
+  private val q328 = GraftQuery(
+    "q328_lateral_topk",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql("""SELECT c.c_custkey, o.o_orderkey,
+          CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+            AS top_price
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        WHERE c.c_custkey % 10 = 0
+        ORDER BY c.c_custkey""")
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey,
+        CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+          AS top_price
+      FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o ON true
+      WHERE c.c_custkey % 10 = 0
+      ORDER BY c.c_custkey"""))
+
+  // ---- q329: try_* error-tolerance battery -----------------------------
+  // Spark 4 runs ANSI by default: a bad cast or a zero divisor is a
+  // query-killing error unless the ingestion layer opts into the
+  // try_ family — which is exactly what a pipeline fed by untrusted
+  // JSONL does. The fixture plants both legs per row class: a
+  // non-numeric string reaching try_cast, a zero divisor reaching
+  // try_divide; nulls are counted, never thrown. Non-zero divisors
+  // are POWERS OF TWO so every quotient and the grouped sums are
+  // IEEE-exact (order-independent across Spark's partial aggregation
+  // vs DuckDB's sequential scan — the q84 sqrt argument). The oracle
+  // replays with DuckDB's TRY_CAST and an explicit zero-divisor CASE.
+  private val q329 = GraftQuery(
+    "q329_try_family",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = when(col("event_id") % 9 === 0, lit("not-a-number"))
+        .otherwise(get_json_object(col("props"), "$.k"))
+      val divisor = when(col("event_id") % 7 === 0, lit(0L))
+        .when(col("event_id") % 3 === 0, lit(1L))
+        .when(col("event_id") % 3 === 1, lit(2L))
+        .otherwise(lit(4L))
+      ev.select(col("event_type"),
+          raw.try_cast(IntegerType).as("k_int"),
+          try_divide(lit(1000L), divisor).as("q"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("k_int")).as("n_cast_ok"),
+          sum(col("k_int")).cast(LongType).as("k_sum"),
+          count(col("q")).as("n_div_ok"),
+          sum(col("q")).cast(LongType).as("q_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        count(k_int) AS n_cast_ok,
+        CAST(sum(k_int) AS BIGINT) AS k_sum,
+        count(q) AS n_div_ok,
+        CAST(sum(q) AS BIGINT) AS q_sum
+      FROM (
+        SELECT event_type,
+          TRY_CAST(CASE WHEN event_id % 9 = 0 THEN 'not-a-number'
+            ELSE json_extract_string(props, '$.k') END AS INT) AS k_int,
+          CASE WHEN event_id % 7 = 0 THEN NULL
+            WHEN event_id % 3 = 0 THEN 1000.0
+            WHEN event_id % 3 = 1 THEN 500.0
+            ELSE 250.0 END AS q
+        FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] =
     Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94,
-      q95, q177, q181, q318)
+      q95, q177, q181, q318, q328, q329)
 }
