@@ -376,6 +376,39 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
     },
     Some(contextFitOracle(budget = 90, idAlias = "doc_id")))
 
+  // ---- q332: sitemap entries via native from_xml --------------------------
+  // The THIRD door on q305/q306's semantic: Spark 4's built-in XML
+  // reader (schema-driven from_xml — repeated <url> elements land as
+  // an array field) against the same fixture, pinned by the same
+  // oracle as the hand-rolled extractor door. Where q306's extractor
+  // is regex-anchored (tolerant of malformed markup — the crawl-side
+  // requirement), from_xml is the schema-on-read route a WELL-FORMED
+  // feed deserves; emitting identical rows proves the two tiers
+  // agree on the well-formed core.
+
+  private[queries] val q332: GraftQuery = GraftQuery(
+    "q332_xml_sitemap_native",
+    (s, d) => {
+      val id = col("doc_id")
+      val host = concat(col("source"), lit(".example.com"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          ArrayType(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("loc", StringType),
+            org.apache.spark.sql.types.StructField("lastmod", StringType),
+            org.apache.spark.sql.types.StructField("changefreq",
+              StringType)))))))
+      docs(s, d)
+        .select(id.as("doc_id"),
+          from_xml(sitemapEntriesXml(id, host), schema).as("x"))
+        .select(col("doc_id"), explode(col("x.url")).as("e"))
+        .select(col("doc_id"), trim(col("e.loc")).as("loc"),
+          col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"))
+        .orderBy(col("doc_id"), col("loc"))
+    },
+    q306.oracle)
+
   // ---- q330: conversation-level near-dup --------------------------------
   // SFT paraphrase dedup: the same conversation re-enters a corpus as
   // a re-ID'd duplicate (aggregator re-serialization — caught by the

@@ -649,7 +649,35 @@ object Relational3 {
         FROM events)
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---- q331: parameterized SQL (named-argument binding) ----------------
+  // Spark 4's `spark.sql(text, args)` named-parameter surface — the
+  // injection-safe route an application layer actually uses (string
+  // interpolation into SQL text is the classic injection and
+  // plan-cache-miss source; bound parameters keep one parse/plan
+  // shape per statement). Two typed parameters (numeric threshold,
+  // date cutoff) bound into a grouped DECIMAL-exact revenue census.
+  private val q331 = GraftQuery(
+    "q331_parameterized_sql",
+    (s, d) => {
+      Tables.registerAllOnce(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS revenue
+        FROM orders
+        WHERE o_totalprice > :minPrice AND o_orderdate < :cutoff
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        Map("minPrice" -> Int.box(150000),
+          "cutoff" -> "1996-01-01"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS revenue
+      FROM orders
+      WHERE o_totalprice > 150000 AND o_orderdate < '1996-01-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def all: Seq[GraftQuery] =
     Seq(q56, q57, q58, q59, q61, q62, q70, q72, q73, q74, q87, q92, q94,
-      q95, q177, q181, q318, q328, q329)
+      q95, q177, q181, q318, q328, q329, q331)
 }
