@@ -144,9 +144,17 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
-  /** One timed execution: wall seconds, GC-delta seconds, and the
-    * whole-stage-codegen compile failures the pass triggered. */
-  private final case class Pass(wall: Double, gc: Double, cg: Int)
+  /** One timed execution: wall seconds, GC-delta seconds, the
+    * whole-stage-codegen compile failures the pass triggered, and the
+    * cross-layer resource delta ([[graft.tools.BenchMetrics]] — task
+    * run/CPU/GC, shuffle/spill/input bytes, JIT + class-load deltas,
+    * code-cache/metaspace occupancy, real block reads). The metrics
+    * exist so a battery-context inflation (VERDICT r12 item 1: q47 at
+    * 5–9 s in-battery vs 0.8 s isolated with every bisection clean)
+    * arrives in the artifact already attributed to a layer instead of
+    * as a bare wall-clock anomaly. */
+  private final case class Pass(wall: Double, gc: Double, cg: Int,
+                                m: graft.tools.BenchMetrics.Snap)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +169,10 @@ object Bench {
     val isolateMax =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATE_MAX", "100").toInt.max(0)
 
+    // one task-metrics accumulator per live session (re-registered on
+    // every recycle); timePass snapshots it around each pass
+    var taskAgg = new graft.tools.BenchMetrics.TaskAgg
+
     def buildSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -172,6 +184,8 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      taskAgg = new graft.tools.BenchMetrics.TaskAgg
+      s.sparkContext.addSparkListener(taskAgg)
       // one small untimed action per session: codegen-infrastructure
       // startup (classloading, first janino compile, scheduler
       // spin-up) belongs to the session, not to whichever query runs
@@ -186,6 +200,7 @@ object Bench {
     def timePass(s: SparkSession, name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Pass] = {
+      val m0 = graft.tools.BenchMetrics.snapshot(taskAgg)
       val g0 = gcMillis()
       val c0 = graft.tools.CodegenErrorCapture.count()
       val t0 = System.nanoTime()
@@ -204,8 +219,13 @@ object Bench {
         // (deterministic ORDER BY, census/top-k shaped — the largest
         // is 60k narrow rows), so the driver-side pickup is noise.
         fn(s, sfDir).collect()
-        Some(Pass((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
-          graft.tools.CodegenErrorCapture.count() - c0))
+        val wall = (System.nanoTime() - t0) / 1e9
+        // wall is stamped; the bounded listener-bus drain below only
+        // delays the metrics delta, never the timing it explains
+        graft.tools.BenchMetrics.quiesce(taskAgg)
+        Some(Pass(wall, (gcMillis() - g0) / 1e3,
+          graft.tools.CodegenErrorCapture.count() - c0,
+          graft.tools.BenchMetrics.snapshot(taskAgg).minus(m0)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
@@ -306,6 +326,11 @@ object Bench {
 
     def jmap(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmapRaw(entries: Iterable[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmapStr(entries: Iterable[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
     def jmapInt(entries: Iterable[(String, Int)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jarr(names: Iterable[String]): String =
@@ -319,6 +344,8 @@ object Bench {
     }
     val best = healthy.map { case (k, _, p) => (k, p.wall) }
     val gcSec = healthy.map { case (k, _, p) => (k, p.gc) }
+    val minPassOf = healthy.map { case (k, _, p) => (k, p) }.toMap
+    val stageMetrics = healthy.map { case (k, _, p) => (k, p.m.json) }
     val firstRun = results.collect {
       case (k, _, Some(a), Some(_)) => (k, a.wall) }
     val failed = jarr(results.collect {
@@ -397,6 +424,17 @@ object Bench {
     val adjustedTotal = best.map { case (k, w) =>
       isoSec.get(k).map(p => math.min(w, p.wall)).getOrElse(w) }.sum
 
+    // the metric evidence behind every flagged row (VERDICT r12 item
+    // 1): battery-vs-isolation resource deltas pre-digested into a
+    // one-line layer diagnosis — wall ratio, task-run ratio, CPU
+    // fraction, JIT, in-task GC, real block reads, code-cache level —
+    // so an inflated row names its contended resource in the artifact
+    val taintDiag = taintReason.collect {
+      case (k, _) if isoSec.contains(k) && minPassOf.contains(k) =>
+        val bp = minPassOf(k); val ip = isoSec(k)
+        (k, graft.tools.BenchMetrics.diagnose(bp.wall, bp.m, ip.wall, ip.m))
+    }
+
     val tainted = jarr(stillTainted.map(_._1))
     val taintJson = taintReason
       .map { case (k, r) => "\"" + k + "\":\"" + r + "\"" }
@@ -417,7 +455,15 @@ object Bench {
         s""""load_before":$isoLoadB,"load_after":$isoLoadA,""" +
         s""""clean":$isoClean,"capped_out":${jarr(cappedOut)}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        // the big diagnostic maps sit FIRST so a front-truncated
+        // stdout capture sheds them before the adjudication fields
+        s""""stage_metrics_legend":${graft.tools.BenchMetrics.legend},""" +
+        s""""stage_metrics":${jmapRaw(stageMetrics)},""" +
+        s""""isolated_metrics":${jmapRaw(
+          isoSec.map { case (k, p) => (k, p.m.json) })},""" +
+        s""""taint_diag":${jmapStr(taintDiag)},""" +
+        s""""queries":${jmap(best)},""" +
         s""""first_run":${jmap(firstRun)},"gc_sec":${jmap(gcSec)},""" +
         s""""codegen_errs":${jmapInt(cgByName)},""" +
         s""""canary":$canaryJson,"recycle_every":$recycleEvery,""" +

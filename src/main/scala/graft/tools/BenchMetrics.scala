@@ -1,0 +1,172 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Per-pass resource accounting for [[graft.Bench]] — the
+  * instrumentation VERDICT r12 item 1 asked for: the battery-context
+  * timing inflation (q47 at 5–9 s in some full ~330-query batteries vs
+  * 0.8 s isolated, with clean canaries, zero GC and no bisectable
+  * reproduction) cannot be diagnosed from wall clock alone, because
+  * wall clock doesn't say WHERE the time went. This splits every timed
+  * pass into the layers that can each independently inflate:
+  *
+  *   - **task layer** (a [[SparkListener]] summing TaskMetrics):
+  *     task count, executor run/CPU time, in-task GC, shuffle
+  *     read/write bytes, memory/disk spill, input bytes. If run-time
+  *     inflates with wall, the slowness is inside tasks; if the
+  *     CPU/run fraction collapses, tasks are WAITING (scheduling, page
+  *     faults, lock contention) rather than computing.
+  *   - **JVM layer**: JIT compilation-time delta
+  *     (CompilationMXBean — deopt/recompile storms from 330 queries'
+  *     generated classes show up here), loaded-class delta, and the
+  *     code-cache + metaspace occupancy LEVEL at pass end (a full code
+  *     cache turns the sweeper on and de-JITs hot methods — the
+  *     classic whole-process slowdown that leaves every other counter
+  *     clean).
+  *   - **OS layer**: `/proc/self/io` `read_bytes` delta — REAL block
+  *     reads, i.e. page-cache misses. In local mode driver == all
+  *     executors, so the process-wide number covers the whole pass. A
+  *     battery that evicts the parquet page cache makes a mid-battery
+  *     query re-read from disk what its isolated twin reads from RAM.
+  *
+  * Usage: one [[TaskAgg]] listener per SparkSession (registered by
+  * Bench's buildSession); [[snapshot]] before/after each pass,
+  * [[Snap.minus]] for the delta. Listener-bus delivery is async, so
+  * [[quiesce]] polls the task counter to steadiness (bounded, ~10 ms
+  * typical) before the closing snapshot — wall time is already taken
+  * by then, so the poll never pollutes the timing it explains. */
+object BenchMetrics {
+
+  /** Task-metrics accumulator — register one per SparkSession. */
+  final class TaskAgg extends SparkListener {
+    val tasks = new AtomicLong(0)
+    val runMs = new AtomicLong(0)
+    val cpuNs = new AtomicLong(0)
+    val gcMs = new AtomicLong(0)
+    val shufReadB = new AtomicLong(0)
+    val shufWriteB = new AtomicLong(0)
+    val spillB = new AtomicLong(0)
+    val inputB = new AtomicLong(0)
+
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        tasks.incrementAndGet()
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        inputB.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+  }
+
+  /** One cross-layer counter snapshot. Level fields (codeCacheMb,
+    * metaspaceMb) are occupancy at snapshot time, not deltas —
+    * [[Snap.minus]] keeps the LATER level. */
+  final case class Snap(tasks: Long, runMs: Long, cpuNs: Long, gcMs: Long,
+                        shufReadB: Long, shufWriteB: Long, spillB: Long,
+                        inputB: Long, jitMs: Long, classes: Long,
+                        ioReadB: Long, codeCacheMb: Double,
+                        metaspaceMb: Double) {
+    def minus(prev: Snap): Snap = Snap(
+      tasks - prev.tasks, runMs - prev.runMs, cpuNs - prev.cpuNs,
+      gcMs - prev.gcMs, shufReadB - prev.shufReadB,
+      shufWriteB - prev.shufWriteB, spillB - prev.spillB,
+      inputB - prev.inputB, jitMs - prev.jitMs, classes - prev.classes,
+      ioReadB - prev.ioReadB, codeCacheMb, metaspaceMb)
+
+    /** Fraction of executor run time that was ON-CPU — the single most
+      * diagnostic ratio: ≈1 means tasks computed; low means tasks
+      * waited (IO, scheduler, page faults, locks). -1 when no task ran. */
+    def cpuFrac: Double =
+      if (runMs <= 0) -1.0
+      else math.min(9.99, (cpuNs / 1e6) / runMs.toDouble)
+
+    /** Compact JSON array (see [[legend]]). */
+    def json: String = {
+      def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
+      def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+      Seq(tasks.toString, runMs.toString,
+        math.round(cpuNs / 1e6).toString, gcMs.toString,
+        mb(shufReadB).toString, mb(shufWriteB).toString,
+        mb(spillB).toString, mb(inputB).toString, jitMs.toString,
+        classes.toString, mb(ioReadB).toString,
+        r3(codeCacheMb).toString, r3(metaspaceMb).toString,
+        r3(cpuFrac).toString).mkString("[", ",", "]")
+    }
+  }
+
+  /** Field order of [[Snap.json]], stamped once into the artifact. */
+  val legend: String = Seq("tasks", "run_ms", "cpu_ms", "task_gc_ms",
+    "shuf_read_mb", "shuf_write_mb", "spill_mb", "input_mb", "jit_ms",
+    "classes_loaded", "io_read_mb", "codecache_used_mb",
+    "metaspace_used_mb", "cpu_frac")
+    .map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  private def procSelfIoReadBytes(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/self/io")).asScala
+        .collectFirst { case l if l.startsWith("read_bytes:") =>
+          l.split(":")(1).trim.toLong }
+        .getOrElse(-1L)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  private def poolUsedMb(nameContains: String*): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => nameContains.exists(p.getName.contains))
+      .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L))
+      .sum / 1048576.0
+  }
+
+  def snapshot(agg: TaskAgg): Snap = {
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jit = if (comp != null && comp.isCompilationTimeMonitoringSupported)
+      comp.getTotalCompilationTime else -1L
+    val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+      .getTotalLoadedClassCount
+    Snap(agg.tasks.get(), agg.runMs.get(), agg.cpuNs.get(), agg.gcMs.get(),
+      agg.shufReadB.get(), agg.shufWriteB.get(), agg.spillB.get(),
+      agg.inputB.get(), jit, cls, procSelfIoReadBytes(),
+      poolUsedMb("CodeHeap", "Code Cache"), poolUsedMb("Metaspace"))
+  }
+
+  /** Wait (bounded) for the async listener bus to drain the pass's
+    * task-end events: poll the task counter until two consecutive
+    * 10 ms reads agree, cap 100 ms. Call AFTER the wall-clock stamp. */
+  def quiesce(agg: TaskAgg): Unit = {
+    var last = agg.tasks.get()
+    var i = 0
+    while (i < 10) {
+      Thread.sleep(10)
+      val cur = agg.tasks.get()
+      if (cur == last) return
+      last = cur
+      i += 1
+    }
+  }
+
+  /** One-line battery-vs-isolation diagnosis for a flagged row — the
+    * sentence `taint_reason` could never carry: which layer inflated.
+    * `b` is the battery min pass's delta, `iso` the isolated one. */
+  def diagnose(wallB: Double, b: Snap, wallI: Double, iso: Snap): String = {
+    def ratio(x: Double, y: Double): String =
+      if (y <= 0) "n/a" else f"${x / y}%.1fx"
+    val parts = Seq(
+      s"wall ${ratio(wallB, wallI)}",
+      s"task_run ${ratio(b.runMs.toDouble, iso.runMs.toDouble)}",
+      f"cpu_frac ${b.cpuFrac}%.2f vs ${iso.cpuFrac}%.2f",
+      s"jit_ms ${b.jitMs} vs ${iso.jitMs}",
+      s"task_gc_ms ${b.gcMs} vs ${iso.gcMs}",
+      f"io_read_mb ${b.ioReadB / 1048576.0}%.1f vs ${iso.ioReadB / 1048576.0}%.1f",
+      f"codecache_mb ${b.codeCacheMb}%.0f vs ${iso.codeCacheMb}%.0f")
+    parts.mkString("; ")
+  }
+}
