@@ -27,6 +27,26 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
   // role-swapped (first_not_user), id%17=3 a repeated role at turn 1
   // (role_repeat), id%19=5 an empty content at turn 1
   // (empty_content), id%29=2 a legal leading system prompt (stays ok).
+  // r13 tool slices REPLACE the whole messages array (no system
+  // prefix, no base defects): id%37=8 a legal tool-augmented
+  // conversation [user, assistant, tool, assistant] plus a top-level
+  // "tools" array (schema drift the fixed from_json schema ignores),
+  // id%43=9 a misplaced tool result [user, tool, assistant]
+  // (tool_out_of_place). id%47=10 plants a per-message "weight" drift
+  // key on the base path (q338's census sees it; nothing else does).
+  // Slice precedence: corrupt > tool > tool_bad > base(+system).
+
+  /** Tool-slice turn content, shared by [[chatJson]] and the
+    * [[chatTurnsOracleCte]] replay — distinct offsets from the base
+    * `content(i)` so the tool conversations carry their own text. */
+  private def toolContent(id: Column, text: Column, i: Int): Column =
+    regexp_replace(
+      text.substr((lit(1L) + (id + i * 7) % 23).cast(IntegerType),
+        (lit(12L) + (id + i) % 11).cast(IntegerType)), "[^a-z ]", "")
+
+  private def toolContentSql(i: Int): String =
+    s"regexp_replace(substr(text, CAST(1 + (doc_id + ${i * 7}) % 23 AS INT), " +
+      s"CAST(12 + (doc_id + $i) % 11 AS INT)), '[^a-z ]', '', 'g')"
 
   private[queries] def chatJson(id: Column, text: Column): Column = {
     def baseRole(i: Column): Column =
@@ -43,15 +63,33 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
           text.substr((lit(1L) + (id + i * 13) % 29).cast(IntegerType),
             (lit(10L) + (id + i) % 17).cast(IntegerType)),
           "[^a-z ]", ""))
+    // drift key (q338): a producer-added per-message field the fixed
+    // from_json schema silently drops — visible ONLY to the key census
+    def wfield(i: Column): Column = when(id % 47 === 10,
+      concat(lit(",\"weight\":"), ((id + i) % 5).cast(StringType)))
+      .otherwise(lit(""))
     val msgs = array_join(
       transform(sequence(lit(0L), lit(1L) + id % 5), i =>
         concat(lit("{\"role\":\""), role(i), lit("\",\"content\":\""),
-          content(i), lit("\"}"))), ",")
+          content(i), lit("\""), wfield(i), lit("}"))), ",")
     val sysPrefix = when(id % 29 === 2,
       lit("{\"role\":\"system\",\"content\":\"stay factual\"},"))
       .otherwise(lit(""))
+    def tmsg(role: String, i: Int): Column =
+      concat(lit("{\"role\":\"" + role + "\",\"content\":\""),
+        toolContent(id, text, i), lit("\"}"))
+    val toolMsgs = concat_ws(",", tmsg("user", 0), tmsg("assistant", 1),
+      tmsg("tool", 2), tmsg("assistant", 3))
+    val toolBad = concat_ws(",", tmsg("user", 0), tmsg("tool", 1),
+      tmsg("assistant", 2))
     when(id % 41 === 11,
       concat(lit("{\"conv_id\":"), id.cast(StringType), lit(",\"messages\":[")))
+      .when(id % 37 === 8,
+        concat(lit("{\"conv_id\":"), id.cast(StringType),
+          lit(",\"tools\":[\"search\"],\"messages\":["), toolMsgs, lit("]}")))
+      .when(id % 43 === 9,
+        concat(lit("{\"conv_id\":"), id.cast(StringType),
+          lit(",\"messages\":["), toolBad, lit("]}")))
       .otherwise(concat(lit("{\"conv_id\":"), id.cast(StringType),
         lit(",\"messages\":["), sysPrefix, msgs, lit("]}")))
   }
@@ -59,14 +97,24 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
   /** DuckDB ground truth for the fixture: turns rebuilt by the SAME
     * arithmetic, never through JSON. */
   private[queries] val chatTurnsOracleCte: String =
-    """ct AS (
+    s"""ct AS (
         SELECT doc_id, doc_id % 41 = 11 AS corrupt,
-          CASE WHEN doc_id % 29 = 2
+          CASE
+            WHEN doc_id % 37 = 8 THEN [
+              {'role': 'user', 'content': ${toolContentSql(0)}},
+              {'role': 'assistant', 'content': ${toolContentSql(1)}},
+              {'role': 'tool', 'content': ${toolContentSql(2)}},
+              {'role': 'assistant', 'content': ${toolContentSql(3)}}]
+            WHEN doc_id % 43 = 9 THEN [
+              {'role': 'user', 'content': ${toolContentSql(0)}},
+              {'role': 'tool', 'content': ${toolContentSql(1)}},
+              {'role': 'assistant', 'content': ${toolContentSql(2)}}]
+            WHEN doc_id % 29 = 2
             THEN list_prepend({'role': 'system', 'content': 'stay factual'},
               base)
             ELSE base END AS turns
         FROM (
-          SELECT doc_id,
+          SELECT doc_id, text,
             list_transform(generate_series(0, 1 + doc_id % 5), i -> {
               'role': CASE WHEN i = 1 AND doc_id % 17 = 3
                   THEN CASE WHEN doc_id % 23 = 7
@@ -96,12 +144,17 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
               OR list_filter(turns, t -> t.role <> 'system')[1].role
                 <> 'user' THEN 'first_not_user'
             WHEN len(list_filter(generate_series(1, len(turns) - 1),
-              i -> turns[i].role = turns[i + 1].role)) > 0
+              i -> turns[i].role = turns[i + 1].role
+                AND turns[i].role <> 'tool')) > 0
               THEN 'role_repeat'
             WHEN len(list_filter(turns, t -> len(t.content) = 0)) > 0
               THEN 'empty_content'
+            WHEN len(list_filter(generate_series(2, len(turns)),
+              i -> turns[i].role = 'tool'
+                AND turns[i - 1].role NOT IN ('assistant', 'tool'))) > 0
+              THEN 'tool_out_of_place'
             WHEN len(list_filter(turns,
-              t -> t.role NOT IN ('user', 'assistant', 'system'))) > 0
+              t -> t.role NOT IN ('user', 'assistant', 'system', 'tool'))) > 0
               THEN 'unknown_role'
             ELSE 'ok' END AS reason
         FROM ct)"""
@@ -815,5 +868,42 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
         coalesce(f.mask_spans, '') AS mask_spans,
         coalesce(f.masked_chars, 0) AS masked_chars
       FROM rs LEFT JOIN f ON rs.doc_id = f.doc_id
+      ORDER BY rs.doc_id"""))
+
+  // ---- q333: tool-role conversations (verdict + render + masks) --------
+  // VERDICT r12 Missing #1: tool-augmented transcripts are a corpus
+  // class, not a defect — until r13 every one of them quarantined as
+  // unknown_role. The fixture's two tool slices pin all three policy
+  // decisions row by row: placement grammar (a tool RESULT after a
+  // user/system turn is tool_out_of_place; after the assistant that
+  // called it, legal — %43=9 vs %37=8), the render (tool turns render
+  // as ordinary ChatML segments), and the mask policy (tool content
+  // NEVER enters a loss span — an implementation that masked tool
+  // output would add spans and flip the hash; the assistant reply
+  // AFTER the tool result IS masked, which is the behavior taught).
+
+  private[queries] val q333: GraftQuery = GraftQuery(
+    "q333_chat_tool_role",
+    (s, d) =>
+      ChatOps.flatten(
+          chatRaw(s, d).filter(col("doc_id") % 37 === 8 ||
+            col("doc_id") % 43 === 9),
+          "doc_id", "j")
+        .select(col("doc_id"), col("reason"), col("n_turns"),
+          col("rendered_len"), col("rendered_md5"), col("mask_spans"),
+          col("masked_chars"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      $chatRenderOracleCte
+      SELECT rs.doc_id, reason,
+        CAST(CASE WHEN corrupt THEN 0 ELSE len(turns) END AS BIGINT)
+          AS n_turns,
+        CAST(coalesce(len(rendered), 0) AS BIGINT) AS rendered_len,
+        md5(rendered) AS rendered_md5,
+        coalesce(f.mask_spans, '') AS mask_spans,
+        coalesce(f.masked_chars, 0) AS masked_chars
+      FROM rs LEFT JOIN f ON rs.doc_id = f.doc_id
+      WHERE rs.doc_id % 37 = 8 OR rs.doc_id % 43 = 9
       ORDER BY rs.doc_id"""))
 }

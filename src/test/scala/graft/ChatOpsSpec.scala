@@ -31,24 +31,71 @@ class ChatOpsSpec extends AnyFunSuite {
       conv(4, msg("user", "a"), msg("user", "b"),
         msg("assistant", "c")), // role_repeat
       conv(5, msg("user", "a"), msg("assistant", "")), // empty_content
-      conv(6, msg("user", "a"), msg("tool", "x")), // unknown_role
+      conv(6, msg("user", "a"), msg("tool", "x")), // tool after user
       (7L, """{"conv_id":7,"messages":["""), // unparseable
       (8L, """{"conv_id":8,"messages":[]}"""), // empty
       // precedence: first_not_user beats the same conv's role_repeat
       conv(9, msg("assistant", "a"), msg("assistant", "b")),
       // precedence: role_repeat beats empty_content
-      conv(10, msg("user", "a"), msg("user", ""), msg("assistant", "c")))
+      conv(10, msg("user", "a"), msg("user", ""), msg("assistant", "c")),
+      // tool grammar (r13): a tool result after the assistant that
+      // called it is LEGAL...
+      conv(11, msg("user", "q"), msg("assistant", "calling"),
+        msg("tool", "result"), msg("assistant", "answer")),
+      // ...including several results in a row (parallel tool calls)
+      conv(12, msg("user", "q"), msg("assistant", "calling"),
+        msg("tool", "r1"), msg("tool", "r2"), msg("assistant", "a")),
+      // a tool result right after a leading system prompt (the first
+      // non-system turn) is first_not_user, not tool_out_of_place
+      conv(13, msg("system", "s"), msg("tool", "r"), msg("user", "q")),
+      // a genuinely unknown role still quarantines
+      conv(14, msg("user", "q"), msg("assistant", "a"),
+        msg("function", "x")),
+      // precedence: empty_content beats tool_out_of_place
+      conv(15, msg("user", ""), msg("tool", "r"), msg("assistant", "a")),
+      // a conversation ENDING on the tool result (assistant never
+      // replied) is structurally legal — truncation policy is the
+      // caller's, grammar is ours
+      conv(16, msg("user", "q"), msg("assistant", "calling"),
+        msg("tool", "result")))
     val got = flat(rows).select($"id", $"reason")
       .as[(Long, String)].collect().toMap
     assert(got(1L) == "ok" && got(2L) == "ok")
     assert(got(3L) == "first_not_user")
     assert(got(4L) == "role_repeat")
     assert(got(5L) == "empty_content")
-    assert(got(6L) == "unknown_role")
+    assert(got(6L) == "tool_out_of_place")
     assert(got(7L) == "unparseable")
     assert(got(8L) == "empty")
     assert(got(9L) == "first_not_user")
     assert(got(10L) == "role_repeat")
+    assert(got(11L) == "ok")
+    assert(got(12L) == "ok")
+    assert(got(13L) == "first_not_user")
+    assert(got(14L) == "unknown_role")
+    assert(got(15L) == "empty_content")
+    assert(got(16L) == "ok")
+  }
+
+  test("tool turns render as context and never enter the loss mask") {
+    val rows = Seq(conv(1, msg("user", "query"),
+      msg("assistant", "searching"), msg("tool", "toolpayload"),
+      msg("assistant", "final answer")))
+    val got = flat(rows).collect().head
+    assert(got.getAs[String]("reason") == "ok")
+    val spans = got.getAs[String]("mask_spans").split(";").toSeq
+      .map { sp => val Array(a, b) = sp.split("-"); (a.toInt, b.toInt) }
+    val parsed = rows.toDF("id", "j")
+      .withColumn("c", from_json($"j", ChatOps.chatSchema))
+      .select(ChatOps.renderChatML($"c.messages"))
+      .as[String].collect().head
+    assert(parsed.contains("<|im_start|>tool\ntoolpayload<|im_end|>"),
+      "tool turn must render as an ordinary ChatML segment")
+    assert(spans.map { case (s0, e0) => parsed.substring(s0, e0) } ==
+      Seq("searching", "final answer"),
+      "masks cover exactly the assistant contents")
+    assert(got.getAs[Long]("masked_chars") ==
+      "searching".length + "final answer".length)
   }
 
   test("render + mask spans: every span extracts exactly its assistant content") {
@@ -105,6 +152,19 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("masked_chars") == 0L)
   }
 
+  test("flatten: an empty messages array renders nothing and digests NULL") {
+    // reason='empty' rows never reach the oracle's render CTE (the
+    // unnest emits no row), so the operator must NOT emit md5('') for
+    // them — the engines would disagree on the same nothing (ADVICE r12)
+    val got = flat(Seq((8L, """{"conv_id":8,"messages":[]}"""))).collect().head
+    assert(got.getAs[String]("reason") == "empty")
+    assert(got.getAs[Long]("n_turns") == 0L)
+    assert(got.getAs[Long]("rendered_len") == 0L)
+    assert(got.isNullAt(got.fieldIndex("rendered_md5")))
+    assert(got.getAs[String]("mask_spans") == "")
+    assert(got.getAs[Long]("masked_chars") == 0L)
+  }
+
   private val spanArrayType = "array<struct<s: bigint, e: bigint>>"
 
   test("packedMaskPieces: exact boundary cuts on a single known conversation") {
@@ -122,6 +182,23 @@ class ChatOpsSpec extends AnyFunSuite {
       (0L, 0L, 100L), (0L, 250L, 256L), // span 2's head piece
       (1L, 0L, 256L),                   // full middle sequence
       (2L, 0L, 88L)))                   // 600 - 512 tail
+  }
+
+  test("packedMaskPieces: zero-width spans cut to zero pieces") {
+    // an empty assistant content emits a span with s == e; landing it
+    // exactly on a sequence boundary made the boundary-cut sequence()
+    // DESCEND and emit spurious zero-width pieces (ADVICE r12) — a
+    // zero-width span must contribute NO piece rows at all
+    val df = Seq((1L, 600L)).toDF("id", "len")
+      .withColumn("spans",
+        typedlit(Seq((0L, 100L), (256L, 256L), (300L, 300L)))
+          .cast(spanArrayType))
+    val got = graft.operators.ChatOps
+      .packedMaskPieces(df, "id", "len", "spans", seqLen = 256, nShards = 1)
+      .select($"seq", $"piece_s", $"piece_e")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 100L)),
+      s"zero-width spans must vanish, got $got")
   }
 
   test("packedMaskPieces: conservation, bounds, and layout invariance") {

@@ -21,6 +21,16 @@ class StreamingSpec extends AnyFunSuite {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
 
+  /** Pin every file under `p` to `epochMs` — tests that depend on
+    * maxFilesPerTrigger=1 shard ORDER (mod-time ascending) must set
+    * distinct times explicitly: two shards written back-to-back can
+    * tie on filesystem timestamp granularity and flake the order
+    * (ADVICE r12). */
+  private def setMtimeRec(p: Path, epochMs: Long): Unit =
+    Files.walk(p).forEach(f =>
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(epochMs)))
+
   test("AvailableNow drains per-file and restarts exactly-once") {
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_spec")
     deleteRec(root)
@@ -896,18 +906,28 @@ class StreamingSpec extends AnyFunSuite {
       """{"messages":[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}],"conv_id":9}"""
     val okB =
       """{"conv_id":3,"messages":[{"role":"user","content":"yo"},{"role":"assistant","content":"sup"}]}"""
+    // a tool-augmented conversation (r13): legal grammar, must land
+    val okTool =
+      """{"conv_id":5,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"calling"},{"role":"tool","content":"result"},{"role":"assistant","content":"answer"}]}"""
     // okA appears TWICE in shard 1 — within-batch keep-first
     Seq(okA, badFirst, corrupt, okA).toDF("value").coalesce(1)
       .write.text(raw.resolve("f1").toString)
-    Seq(okASpelled, okB).toDF("value").coalesce(1)
+    Seq(okASpelled, okB, okTool).toDF("value").coalesce(1)
       .write.text(raw.resolve("f2").toString)
+    // f1 strictly older than f2: the keep-first assertion below
+    // (conv_id 1 lands, its re-spelling 9 dedups away) depends on
+    // shard processing order, which the file source takes from mod time
+    val now = System.currentTimeMillis()
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now)
 
     DocIngest.runChatIngest(spark, raw.toString + "/*/",
       idx.toString, out.toString, quar.toString, ckpt.toString)
     val landed = spark.read.parquet(out.toString)
-    assert(landed.select($"conv_id").as[Long].collect().toSet == Set(1L, 3L),
-      "only the two distinct-render ok conversations land")
-    assert(landed.count() == 2L, "within-batch duplicate must collapse")
+    assert(landed.select($"conv_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L),
+      "the distinct-render ok conversations (incl. the tool one) land")
+    assert(landed.count() == 3L, "within-batch duplicate must collapse")
     val reasons = spark.read.json(quar.toString)
       .select($"reason").as[String].collect().sorted.toSeq
     assert(reasons == Seq("first_not_user", "unparseable"), s"got $reasons")
@@ -921,7 +941,7 @@ class StreamingSpec extends AnyFunSuite {
     // new — no re-landing, no duplicate quarantine rows
     DocIngest.runChatIngest(spark, raw.toString + "/*/",
       idx.toString, out.toString, quar.toString, ckpt.toString)
-    assert(spark.read.parquet(out.toString).count() == 2L)
+    assert(spark.read.parquet(out.toString).count() == 3L)
     assert(spark.read.json(quar.toString).count() == 2L)
     deleteRec(root)
   }
