@@ -807,6 +807,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             minGap = intLit(children(4), "min_gap").toLong)
           .queryExecution.analyzed
       }))
+    // Best-of-n / rejection-sampling selection from SQL (q335's
+    // operator):
+    //   best_of_n(table, grp_col, id_col, score_col, k, floor)
+    // Emits (grp, rank, id, score) — per group the top-k responses by
+    // score above the floor, heap-rewritten ranking.
+    ext.injectTableFunction((
+      new FunctionIdentifier("best_of_n"),
+      new ExpressionInfo("graft.operators.ChatOps", "best_of_n"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "usage: best_of_n(table, grp_col, id_col, score_col, k, floor)")
+        val k = intLit(children(4), "k")
+        require(k >= 1, s"best_of_n: k must be >= 1, got $k")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.ChatOps.bestOfN(
+            spark.table(strLit(children(0), "table")),
+            strLit(children(1), "grp_col"), strLit(children(2), "id_col"),
+            strLit(children(3), "score_col"), k,
+            floor = intLit(children(5), "floor").toLong)
+          .queryExecution.analyzed
+      }))
     // DSIR-shaped importance scoring from SQL (q116's operator):
     //   importance_score(corpus_table, target_table, id_col, text_col[, k])
     // Emits (id, n_grams, score, avg_ratio).

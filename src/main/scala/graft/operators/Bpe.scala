@@ -133,26 +133,9 @@ object Bpe {
     *         is exactly the number of merge applications that fired. */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
-    require(merges.size <= 4096,
-      s"merges is a learned vocabulary (expression-chain folded), " +
-        s"got ${merges.size} > 4096")
-    merges.foreach { case (l, r) =>
-      require((l + r).forall(c => c >= 0x21 && c <= 0x7e),
-        s"merge symbols must be printable ASCII (the census contract), " +
-          s"got ($l, $r)") }
+    requireMerges(merges)
     val words = TextFunctions.whitespaceTokens(col(textCol))
     val ascii = filter(words, w => w.rlike("^[\\x21-\\x7e]+$"))
-    def encode(w: Column): Column =
-      merges.foldLeft(regexp_replace(w, "(.)", Sep + "$1" + Sep)) {
-        case (c, (l, r)) =>
-          replace(c, lit(Sep + l + Sep + Sep + r + Sep),
-            lit(Sep + l + r + Sep))
-      }
-    // symbol count = ␟-count / 2; the length diff is always even, so
-    // the double division is exact and the long cast loses nothing
-    def symbols(e: Column): Column =
-      ((length(e) - length(replace(e, lit(Sep), lit("")))) / lit(2))
-        .cast(LongType)
     val longSum = (arr: Column) =>
       aggregate(arr, lit(0L), (acc, x) => acc + x)
     docs.select(col(idCol),
@@ -160,6 +143,47 @@ object Bpe {
       size(ascii).cast(LongType).as("n_ascii_words"),
       longSum(transform(ascii, w => length(w).cast(LongType)))
         .as("n_chars_ascii"),
-      longSum(transform(ascii, w => symbols(encode(w)))).as("n_tokens"))
+      longSum(transform(ascii, w => symbols(encode(w, merges))))
+        .as("n_tokens"))
   }
+
+  /** Token count of one STRING under learned `merges` — the
+    * per-string core of [[bpeTokenCounts]], exposed so other
+    * operators can price text in REAL tokens (the chat tier's
+    * token-budget context fitting consumes it per turn). Same
+    * contract: whitespace words, printable-ASCII words encoded by
+    * replaying the merges in rank order, non-ASCII words cost 0
+    * (the learner excluded them from the census). Pure narrow
+    * column arithmetic — composable anywhere without a shuffle. */
+  def encodedTokenCount(text: Column,
+                        merges: Seq[(String, String)]): Column = {
+    requireMerges(merges)
+    val ascii = filter(TextFunctions.whitespaceTokens(text),
+      w => w.rlike("^[\\x21-\\x7e]+$"))
+    aggregate(transform(ascii, w => symbols(encode(w, merges))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  private def requireMerges(merges: Seq[(String, String)]): Unit = {
+    require(merges.size <= 4096,
+      s"merges is a learned vocabulary (expression-chain folded), " +
+        s"got ${merges.size} > 4096")
+    merges.foreach { case (l, r) =>
+      require((l + r).forall(c => c >= 0x21 && c <= 0x7e),
+        s"merge symbols must be printable ASCII (the census contract), " +
+          s"got ($l, $r)") }
+  }
+
+  private def encode(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(w, "(.)", Sep + "$1" + Sep)) {
+      case (c, (l, r)) =>
+        replace(c, lit(Sep + l + Sep + Sep + r + Sep),
+          lit(Sep + l + r + Sep))
+    }
+
+  // symbol count = ␟-count / 2; the length diff is always even, so
+  // the double division is exact and the long cast loses nothing
+  private def symbols(e: Column): Column =
+    ((length(e) - length(replace(e, lit(Sep), lit("")))) / lit(2))
+      .cast(LongType)
 }

@@ -249,17 +249,23 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
   // classifier's ppm score, q150) so the cross-engine comparison is
   // exact.
 
+  /** The shared prompt-group scoring frame (q314/q320/q335/q336):
+    * 25 prompt groups per source, integer alpha-mass score — the
+    * stand-in for the calibrated classifier's ppm score (q150). */
+  private[queries] def promptScored(s: org.apache.spark.sql.SparkSession,
+                                    d: String) =
+    docs(s, d).select(
+      concat(col("source"), lit("#"),
+        (col("doc_id") % 25).cast(StringType)).as("prompt_grp"),
+      col("doc_id"),
+      length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast(LongType).as("score"))
+
   private[queries] val q314: GraftQuery = GraftQuery(
     "q314_preference_pairs",
     (s, d) => {
-      val scored = docs(s, d).select(
-        concat(col("source"), lit("#"),
-          (col("doc_id") % 25).cast(StringType)).as("prompt_grp"),
-        col("doc_id"),
-        length(regexp_replace(col("text"), "[^a-z]", ""))
-          .cast(LongType).as("score"))
-      ChatOps.preferencePairs(scored, "prompt_grp", "doc_id", "score",
-          minGap = 20L)
+      ChatOps.preferencePairs(promptScored(s, d), "prompt_grp", "doc_id",
+          "score", minGap = 20L)
         .select(col("prompt_grp"), col("chosen_id"), col("chosen_score"),
           col("rejected_id"), col("rejected_score"), col("gap"))
         .orderBy(col("prompt_grp"))
@@ -768,13 +774,7 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
   private[queries] val q320: GraftQuery = GraftQuery(
     "q320_sql_preference_pairs",
     (s, d) => {
-      docs(s, d).select(
-          concat(col("source"), lit("#"),
-            (col("doc_id") % 25).cast(StringType)).as("prompt_grp"),
-          col("doc_id"),
-          length(regexp_replace(col("text"), "[^a-z]", ""))
-            .cast(LongType).as("score"))
-        .createOrReplaceTempView("pref_scored_sql")
+      promptScored(s, d).createOrReplaceTempView("pref_scored_sql")
       s.sql("""SELECT prompt_grp, chosen_id, chosen_score, rejected_id,
           rejected_score, gap
         FROM preference_pairs('pref_scored_sql', 'prompt_grp', 'doc_id',
@@ -906,4 +906,145 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       FROM rs LEFT JOIN f ON rs.doc_id = f.doc_id
       WHERE rs.doc_id % 37 = 8 OR rs.doc_id % 43 = 9
       ORDER BY rs.doc_id"""))
+
+  // ---- q334: TOKEN-budget context fitting ------------------------------
+  // VERDICT r12 Missing #2: q323/q325 budget CHARACTERS; a trainer's
+  // window holds TOKENS. Same keep-system / longest-fitting-suffix /
+  // never-empty policy, with per-turn costs from the LEARNED BPE
+  // vocabulary (q152's 4 merges): 4 framing tokens + the content's
+  // encoded token count. The oracle re-learns the merges from the
+  // same corpus census, re-encodes every turn's words, rebuilds the
+  // per-turn costs, and replays the prefix sums and the minimal-drop
+  // search — so a drifted merge, a wrong framing constant, or a
+  // character budget smuggled back in flips the hash. Budget 30
+  // tokens lands a mix of deep drops and overflowing final turns
+  // (fits=false), exercising both legs.
+
+  private[queries] val q334: GraftQuery = GraftQuery(
+    "q334_token_context_fit",
+    (s, d) =>
+      ChatOps.fitContextTokensFlat(chatRaw(s, d), "doc_id", "j",
+          budget = 30L, merges = bpeMerges(s, d))
+        .withColumnRenamed("doc_id", "conv_id")
+        .orderBy(col("conv_id")),
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      dtoks AS (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0)) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS n FROM dtoks
+        WHERE regexp_matches(w, '^[\\x21-\\x7e]+$$') GROUP BY w),
+      w0 AS (SELECT regexp_replace(w, '(.)',
+          chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wc),
+      ${bpeRoundSql(1, "w0")},
+      ${bpeRoundSql(2, "w1")},
+      ${bpeRoundSql(3, "w2")},
+      ${bpeRoundSql(4, "w3")},
+      u2 AS (SELECT doc_id, i, t.role AS role, t.content AS content
+        FROM (SELECT doc_id, unnest(turns) AS t,
+            unnest(generate_series(1, len(turns))) AS i
+          FROM rs WHERE reason = 'ok')),
+      tw AS (SELECT doc_id, i, unnest(list_filter(
+          regexp_split_to_array(lower(content), '\\s+'),
+          x -> length(x) > 0)) AS w
+        FROM u2),
+      te AS (SELECT doc_id, i,
+          CASE WHEN regexp_matches(w, '^[\\x21-\\x7e]+$$') THEN
+            replace(replace(replace(replace(
+              regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g'),
+              chr(31) || m1.l || chr(31) || chr(31) || m1.r || chr(31),
+              chr(31) || m1.l || m1.r || chr(31)),
+              chr(31) || m2.l || chr(31) || chr(31) || m2.r || chr(31),
+              chr(31) || m2.l || m2.r || chr(31)),
+              chr(31) || m3.l || chr(31) || chr(31) || m3.r || chr(31),
+              chr(31) || m3.l || m3.r || chr(31)),
+              chr(31) || m4.l || chr(31) || chr(31) || m4.r || chr(31),
+              chr(31) || m4.l || m4.r || chr(31))
+          END AS we
+        FROM tw, m1, m2, m3, m4),
+      tc0 AS (SELECT doc_id, i,
+          coalesce(sum(CASE WHEN we IS NULL THEN 0
+            ELSE (length(we) - length(replace(we, chr(31), ''))) // 2 END),
+            0) AS wtok
+        FROM te GROUP BY doc_id, i),
+      tcost AS (SELECT u2.doc_id, u2.i,
+          4 + coalesce(t0.wtok, 0) AS cost
+        FROM u2 LEFT JOIN tc0 t0 ON u2.doc_id = t0.doc_id AND u2.i = t0.i),
+      ok4 AS (SELECT doc_id, turns, turns[1].role = 'system' AS has_sys
+        FROM rs WHERE reason = 'ok'),
+      bl AS (SELECT t.doc_id,
+          coalesce(max(CASE WHEN o.has_sys AND t.i = 1 THEN t.cost END), 0)
+            AS syslen,
+          list(t.cost ORDER BY t.i) FILTER (WHERE NOT (o.has_sys AND t.i = 1))
+            AS lens
+        FROM tcost t JOIN ok4 o ON t.doc_id = o.doc_id
+        GROUP BY t.doc_id),
+      ft AS (SELECT o.doc_id, o.turns, o.has_sys, b.syslen, b.lens,
+          CASE WHEN o.has_sys THEN o.turns[2:] ELSE o.turns END AS body,
+          list_min(list_filter(generate_series(0, len(b.lens) - 1),
+            i -> b.syslen + list_sum(b.lens)
+              - coalesce(list_sum(list_slice(b.lens, 1, i)), 0) <= 30))
+            AS min_i
+        FROM ok4 o JOIN bl b ON o.doc_id = b.doc_id),
+      kp4 AS (SELECT doc_id, min_i IS NOT NULL AS fits,
+          coalesce(min_i, len(body) - 1) AS n_dropped,
+          syslen + coalesce(list_sum(lens), 0)
+            - coalesce(list_sum(list_slice(lens, 1,
+                CAST(coalesce(min_i, len(body) - 1) AS BIGINT))), 0)
+            AS kept_tokens,
+          list_concat(CASE WHEN has_sys THEN turns[1:1] ELSE [] END,
+            list_slice(body,
+              CAST(coalesce(min_i, len(body) - 1) + 1 AS BIGINT),
+              len(body))) AS kept
+        FROM ft)
+      SELECT doc_id AS conv_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        CAST(n_dropped AS BIGINT) AS n_dropped, fits,
+        CAST(kept_tokens AS BIGINT) AS kept_tokens,
+        md5(array_to_string(list_transform(kept,
+          t -> '<|im_start|>' || t.role || chr(10) || t.content ||
+            '<|im_end|>' || chr(10)), '')) AS kept_md5
+      FROM kp4 ORDER BY conv_id"""))
+
+  // ---- q335: best-of-n / rejection-sampling selection -------------------
+  // VERDICT r12 Missing #4: preferencePairs extracts (top, bottom);
+  // the SFT-augmentation sibling selects, per prompt group, the top-k
+  // responses ABOVE a score floor. The rank idiom is row_number()<=k,
+  // heap-rewritten into TopKPerGroup (plan-asserted in ChatOpsSpec) —
+  // per-group state is k rows at any corpus size. floor=50 drops
+  // whole groups (every response rejected) and truncates others
+  // below k, so both gates decide rows the oracle checks.
+
+  private[queries] val q335: GraftQuery = GraftQuery(
+    "q335_best_of_n",
+    (s, d) =>
+      ChatOps.bestOfN(promptScored(s, d), "prompt_grp", "doc_id", "score",
+          k = 3, floor = 50L)
+        .orderBy(col("prompt_grp"), col("rank")),
+    Some("""WITH s0 AS (
+        SELECT source || '#' || (doc_id % 25) AS prompt_grp, doc_id,
+          CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+            AS score
+        FROM documents),
+      r AS (SELECT prompt_grp, doc_id, score,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score DESC, doc_id) AS rank
+        FROM s0 WHERE score >= 50)
+      SELECT prompt_grp, CAST(rank AS BIGINT) AS rank, doc_id, score
+      FROM r WHERE rank <= 3 ORDER BY prompt_grp, rank"""))
+
+  // ---- q336: best-of-n from SQL ------------------------------------------
+  // q335's operator through the injected best_of_n table function —
+  // same heap-rewritten plan, same oracle, reached from the parser
+  // path.
+
+  private[queries] val q336: GraftQuery = GraftQuery(
+    "q336_sql_best_of_n",
+    (s, d) => {
+      promptScored(s, d).createOrReplaceTempView("bestofn_scored_sql")
+      s.sql("""SELECT prompt_grp, rank, doc_id, score
+        FROM best_of_n('bestofn_scored_sql', 'prompt_grp', 'doc_id',
+          'score', 3, 50)
+        ORDER BY prompt_grp, rank""")
+    },
+    q335.oracle)
 }

@@ -301,6 +301,32 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(r2._2 == 1L && r2._3 && r2._1.map(_._2) == Seq("bb"))
   }
 
+  test("fitContextBy with token costs: the budget counts learned-BPE tokens, not characters") {
+    // merges (a,b) then (ab,c): "abc" encodes to ONE token, "abcabc"
+    // to two; unmergeable letters stay one token per char
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val cost = ChatOps.tokenTurnCost(merges) _
+    val turns = Seq((1L,
+      """{"conv_id":1,"messages":[{"role":"user","content":"abc abc"},{"role":"assistant","content":"abcabc"},{"role":"user","content":"q"}]}"""))
+      .toDF("id", "j")
+      .withColumn("t", from_json($"j", ChatOps.chatSchema).getField("messages"))
+    val costs = turns.select(transform($"t", cost(_)).as("c"))
+      .as[Seq[Long]].collect().head
+    // 4 framing + encoded content: 2, 2, 1 tokens
+    assert(costs == Seq(6L, 6L, 5L), s"per-turn token costs: $costs")
+    // token budget 11 keeps the [assistant, user] suffix (6+5)…
+    val tokFit = turns.select(
+      ChatOps.fitContextBy($"t", lit(11L), cost).as("f"))
+      .select($"f.n_dropped", $"f.fits").as[(Long, Boolean)].collect().head
+    assert(tokFit == (1L, true), s"token fit: $tokFit")
+    // …while the same 11 as a CHARACTER budget can't even hold the
+    // final turn (24+4+1=29 chars): overflow leg, nothing else dropped
+    val chFit = turns.select(
+      ChatOps.fitContext($"t", lit(11L)).as("f"))
+      .select($"f.n_dropped", $"f.fits").as[(Long, Boolean)].collect().head
+    assert(chFit == (2L, false), s"char fit: $chFit")
+  }
+
   test("flatten plan: the NoInline fence keeps exactly one from_json, even under a reason filter") {
     // without the fence PushPredicateThroughNonJoin substitutes the
     // JSON parse into the filter condition once per when-branch
@@ -397,6 +423,34 @@ class ChatOpsSpec extends AnyFunSuite {
         minGap = 15L)
       .select($"grp", $"chosen_id", $"rejected_id", $"gap")
       .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("bestOfN: floor gate, k truncation, tie-break, heap-rewritten plan") {
+    val df = Seq(
+      // grp a: 4 above floor — rank cuts to 3, score ties break on id
+      ("a", 1L, 90L), ("a", 2L, 90L), ("a", 3L, 70L), ("a", 4L, 60L),
+      ("a", 5L, 10L), // below floor
+      // grp b: every response below floor — the whole group vanishes
+      ("b", 6L, 12L), ("b", 7L, 49L),
+      // grp c: fewer than k survivors — all kept, ranked
+      ("c", 8L, 55L))
+      .toDF("grp", "id", "score")
+    val sel = ChatOps.bestOfN(df, "grp", "id", "score", k = 3, floor = 50L)
+    val got = sel.select($"grp", $"rank", $"id", $"score")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 1L, 90L), ("a", 2L, 2L, 90L), ("a", 3L, 3L, 70L),
+      ("c", 1L, 8L, 55L)), s"got ${got.toSeq}")
+    // the rank<=k idiom must land on the bounded heap, not a Window
+    val p = sel.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal"), "expected heap-rewritten ranking")
+    assert(!p.contains("Window"), "per-group Window should not survive")
+    // layout invariance
+    val re = ChatOps.bestOfN(df.repartition(5), "grp", "id", "score",
+        k = 3, floor = 50L)
+      .select($"grp", $"rank", $"id", $"score")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(re.toSeq == got.toSeq)
   }
 }
