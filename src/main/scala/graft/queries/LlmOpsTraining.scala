@@ -1032,6 +1032,285 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       SELECT prompt_grp, CAST(rank AS BIGINT) AS rank, doc_id, score
       FROM r WHERE rank <= 3 ORDER BY prompt_grp, rank"""))
 
+  // ---- q337: the composed SFT recipe -------------------------------------
+  // VERDICT r12 Missing #3: every other tier has its end-to-end recipe
+  // query (q75, q102, q263, q304); this is the chat tier's — validate
+  // → boilerplate-reply gate (q324's census as a filter: a reply
+  // shared by ≥3 conversations teaches the template, not the
+  // behavior) → conversation near-dup keep-first (q330's verified
+  // pair table, base corpus, higher id drops) → benchmark
+  // decontamination on USER text (q319's gate) → context fitting at
+  // 150 chars → deterministic packing (512-char sequences, 4 md5
+  // shards, salt 'sftr') → loss masks in packed coordinates — ONE
+  // plan whose interop contract is the point. Emits one row per stage
+  // boundary: surviving count, mass (masked chars through stage 4,
+  // kept render bytes at stage 5, masked piece mass at stage 6), and
+  // an order-independent membership checksum (Σ 32-bit md5 of the
+  // surviving conv ids; shard/seq coordinates at stage 6), so the
+  // oracle decides WHICH conversations crossed every boundary, not
+  // just how many. Scale shape: one narrow parse materialized once
+  // (localCheckpoint), census-bounded broadcast gates, pair table
+  // read from its parquet materialization, one 4-shard window for
+  // the pack — the q304 discipline.
+
+  private[queries] val q337: GraftQuery = GraftQuery(
+    "q337_sft_recipe",
+    (s, d) => {
+      import graft.operators.DatasetOps
+      // the corpus a recipe actually receives: the validated base
+      // conversations PLUS the aggregator-feed duplicates (q330's two
+      // twin classes — byte-identical re-IDs and system-prompt
+      // paraphrases), so the near-dup stage has real work to do and
+      // keep-first provably keeps the ORIGINAL (twins carry higher ids)
+      val parsedOk = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+        .filter(ChatOps.verdict(col("_turns")) === "ok")
+        .select(col("doc_id"), col("_turns"))
+      val sysT = struct(lit("system").as("role"),
+        lit("stay factual").as("content"))
+      val ok = parsedOk
+        .select(col("doc_id").as("conv_id"), col("_turns").as("turns"))
+        .union(parsedOk.filter(col("doc_id") % 6 === 1)
+          .select((col("doc_id") + 100000L).as("conv_id"),
+            col("_turns").as("turns")))
+        .union(parsedOk.filter(col("doc_id") % 6 === 2)
+          .select((col("doc_id") + 200000L).as("conv_id"),
+            concat(array(sysT), col("_turns")).as("turns")))
+        .select(col("conv_id"), col("turns"),
+          ChatOps.maskedChars(col("turns")).as("masked_chars"))
+        .localCheckpoint()
+      val replies = ok.select(col("conv_id"),
+          explode(filter(col("turns"),
+            t => t.getField("role") === "assistant")).as("t"))
+        .select(col("conv_id"), col("t.content").as("reply"))
+      val boiler = replies.groupBy(col("reply"))
+        .agg(count_distinct(col("conv_id")).as("nc"))
+        .filter(col("nc") >= 3).select(col("reply"))
+      val boilerIds = replies.join(broadcast(boiler), Seq("reply"))
+        .select(col("conv_id")).distinct()
+      val s2 = ok.join(boilerIds, Seq("conv_id"), "left_anti")
+      // keep-first: the HIGHER id of every verified near-dup pair
+      // drops (q330's materialized pair table over this very corpus —
+      // twins always carry the higher id, so originals survive)
+      val dupIds = chatPairsMaterialized(s, d)
+        .select(col("idB").as("conv_id")).distinct()
+      val s3 = s2.join(dupIds, Seq("conv_id"), "left_anti")
+      val users = s3.select(col("conv_id"),
+        ChatOps.roleConcat(col("turns"), "user").as("user_text"))
+      val bench = docs(s, d).filter(col("doc_id") % 13 === 4)
+        .select(col("doc_id").as("conv_id"), col("text").as("user_text"))
+      val contIds = DatasetOps.contaminatedIds(users, bench,
+        "conv_id", "user_text", k = 3)
+      val s4 = s3.join(contIds, Seq("conv_id"), "left_anti")
+      val fitted = s4.withColumn("_f",
+          call_function("no_inline",
+            ChatOps.fitContext(col("turns"), lit(150L))))
+        .select(col("conv_id"),
+          length(ChatOps.renderChatML(col("_f.kept"))).cast(LongType)
+            .as("kept_len"),
+          ChatOps.lossMaskSpanStructs(col("_f.kept")).as("spans"))
+        .localCheckpoint()
+      val packed = ChatOps.packedMaskPieces(fitted, "conv_id", "kept_len",
+          "spans", seqLen = 512, nShards = 4, salt = "sftr")
+        .groupBy(col("shard"), col("seq"))
+        .agg(sum(col("piece_e") - col("piece_s")).as("m"))
+      def cs(idc: Column): Column =
+        conv(substring(md5(idc.cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame,
+                mass: Column) =
+        df.agg(count(lit(1)).cast(LongType).as("n_convs"),
+            coalesce(sum(mass), lit(0L)).cast(LongType).as("mass"),
+            coalesce(sum(cs(col("conv_id"))), lit(0L)).cast(LongType)
+              .as("checksum"))
+          .select(lit(name).as("stage"), col("n_convs"), col("mass"),
+            col("checksum"))
+      val st6 = packed
+        .agg(count(lit(1)).cast(LongType).as("n_convs"),
+          coalesce(sum(col("m")), lit(0L)).cast(LongType).as("mass"),
+          coalesce(sum(col("shard") * 100000L + col("seq")), lit(0L))
+            .cast(LongType).as("checksum"))
+        .select(lit("6_packed").as("stage"), col("n_convs"), col("mass"),
+          col("checksum"))
+      stage("1_ok", ok, col("masked_chars"))
+        .union(stage("2_boilerplate", s2, col("masked_chars")))
+        .union(stage("3_neardup", s3, col("masked_chars")))
+        .union(stage("4_decontam", s4, col("masked_chars")))
+        .union(stage("5_fit", fitted, col("kept_len")))
+        .union(st6)
+        .orderBy(col("stage"))
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      okr9 AS (SELECT doc_id, turns FROM rs WHERE reason = 'ok'),
+      corp AS (
+        SELECT doc_id AS conv_id, turns FROM okr9
+        UNION ALL
+        SELECT doc_id + 100000, turns FROM okr9 WHERE doc_id % 6 = 1
+        UNION ALL
+        SELECT doc_id + 200000,
+          list_prepend({'role': 'system', 'content': 'stay factual'},
+            turns)
+          FROM okr9 WHERE doc_id % 6 = 2),
+      ok AS (SELECT conv_id, turns,
+          CAST(coalesce(list_sum(list_transform(
+            list_filter(turns, t -> t.role = 'assistant'),
+            t -> len(t.content))), 0) AS BIGINT) AS masked_chars
+        FROM corp),
+      ar2 AS (SELECT conv_id, unnest(list_transform(
+          list_filter(turns, t -> t.role = 'assistant'),
+          t -> t.content)) AS reply
+        FROM ok),
+      bo AS (SELECT reply FROM ar2 GROUP BY reply
+        HAVING count(DISTINCT conv_id) >= 3),
+      bc AS (SELECT DISTINCT conv_id FROM ar2 JOIN bo USING (reply)),
+      s2 AS (SELECT * FROM ok
+        WHERE conv_id NOT IN (SELECT conv_id FROM bc)),
+      rt AS (SELECT conv_id, array_to_string(list_transform(turns,
+          t -> '<|im_start|>' || t.role || chr(10) || t.content ||
+            '<|im_end|>' || chr(10)), '') AS rtext
+        FROM ok),
+      tk9 AS (SELECT conv_id, list_filter(
+          string_split_regex(lower(rtext), '\\s+'),
+          t -> len(t) > 0) AS tk
+        FROM rt),
+      sh9 AS (SELECT conv_id, CASE WHEN len(tk) >= 3
+          THEN list_distinct(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+          ELSE [] END AS sh
+        FROM tk9),
+      dup9 AS (SELECT DISTINCT b.conv_id
+        FROM sh9 a JOIN sh9 b ON a.conv_id < b.conv_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      s3 AS (SELECT * FROM s2
+        WHERE conv_id NOT IN (SELECT conv_id FROM dup9)),
+      uc9 AS (SELECT conv_id, array_to_string(list_transform(
+          list_filter(turns, t -> t.role = 'user'),
+          t -> t.content), ' ') AS user_text
+        FROM s3),
+      ut9 AS (SELECT conv_id, list_filter(
+          regexp_split_to_array(lower(user_text), '\\s+'),
+          x -> length(x) > 0) AS tk
+        FROM uc9),
+      ug9 AS (SELECT conv_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 2),
+            i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        FROM ut9),
+      bt9 AS (SELECT list_filter(
+          regexp_split_to_array(lower(text), '\\s+'),
+          x -> length(x) > 0) AS tk
+        FROM documents WHERE doc_id % 13 = 4),
+      bg9 AS (SELECT DISTINCT unnest(list_distinct(
+          list_transform(generate_series(1, len(tk) - 2),
+            i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        FROM bt9),
+      cont9 AS (SELECT DISTINCT conv_id FROM ug9 JOIN bg9 USING (gram)),
+      s4 AS (SELECT * FROM s3
+        WHERE conv_id NOT IN (SELECT conv_id FROM cont9)),
+      fo AS (SELECT conv_id, turns, turns[1].role = 'system' AS has_sys
+        FROM s4),
+      fs AS (SELECT conv_id, turns, has_sys,
+          CASE WHEN has_sys THEN turns[2:] ELSE turns END AS body,
+          CASE WHEN has_sys
+            THEN 24 + len(turns[1].role) + len(turns[1].content)
+            ELSE 0 END AS syslen
+        FROM fo),
+      fl AS (SELECT conv_id, turns, has_sys, body, syslen,
+          list_transform(body,
+            t -> 24 + len(t.role) + len(t.content)) AS lens
+        FROM fs),
+      fm AS (SELECT conv_id, turns, has_sys, body, syslen, lens,
+          list_min(list_filter(generate_series(0, len(body) - 1),
+            i -> syslen + list_sum(lens)
+              - coalesce(list_sum(list_slice(lens, 1, i)), 0) <= 150))
+            AS min_i
+        FROM fl),
+      fk AS (SELECT conv_id,
+          list_concat(CASE WHEN has_sys THEN turns[1:1] ELSE [] END,
+            list_slice(body,
+              CAST(coalesce(min_i, len(body) - 1) + 1 AS BIGINT),
+              len(body))) AS kept
+        FROM fm),
+      fr AS (SELECT conv_id, kept,
+          CAST(len(array_to_string(list_transform(kept,
+            t -> '<|im_start|>' || t.role || chr(10) || t.content ||
+              '<|im_end|>' || chr(10)), '')) AS BIGINT) AS kept_len
+        FROM fk),
+      ku AS (SELECT conv_id, unnest(kept) AS t,
+          unnest(generate_series(1, len(kept))) AS i
+        FROM fk),
+      kr AS (SELECT conv_id, i, t.role AS role, t.content AS content,
+          '<|im_start|>' || t.role || chr(10) || t.content ||
+            '<|im_end|>' || chr(10) AS seg
+        FROM ku),
+      kq AS (SELECT conv_id, i, role, content, seg,
+          coalesce(sum(len(seg)) OVER (PARTITION BY conv_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        FROM kr),
+      dl AS (SELECT conv_id, kept_len,
+          CAST(concat('0x', substring(md5('sftr:' || conv_id), 1, 8))
+            AS BIGINT) AS u
+        FROM fr),
+      dl2 AS (SELECT conv_id, kept_len, u, u % 4 AS shard,
+          coalesce(sum(kept_len) OVER (PARTITION BY u % 4
+            ORDER BY u, conv_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM dl),
+      sp9 AS (SELECT kq.conv_id, dl2.shard,
+          CAST(dl2.off + pos + 13 + len(role) AS BIGINT) AS gs,
+          CAST(dl2.off + pos + 13 + len(role) + len(content) AS BIGINT)
+            AS ge
+        FROM kq JOIN dl2 ON kq.conv_id = dl2.conv_id
+        WHERE kq.role = 'assistant' AND len(content) > 0),
+      pc9 AS (SELECT shard, gs, ge,
+          unnest(generate_series(gs // 512, (ge - 1) // 512)) AS seq
+        FROM sp9),
+      pc10 AS (SELECT shard, CAST(seq AS BIGINT) AS seq,
+          greatest(gs, seq * 512) - seq * 512 AS ps,
+          least(ge, (seq + 1) * 512) - seq * 512 AS pe
+        FROM pc9),
+      st6 AS (SELECT shard, seq, sum(pe - ps) AS m
+        FROM pc10 GROUP BY shard, seq),
+      cks AS (SELECT conv_id,
+          CAST(concat('0x', substring(md5(CAST(conv_id AS VARCHAR)), 1, 8))
+            AS BIGINT) AS h
+        FROM ok)
+      SELECT stage, n_convs, mass, checksum FROM (
+        SELECT '1_ok' AS stage, count(*) AS n_convs,
+          CAST(coalesce(sum(masked_chars), 0) AS BIGINT) AS mass,
+          CAST(coalesce(sum(h), 0) AS BIGINT) AS checksum
+        FROM ok JOIN cks USING (conv_id)
+        UNION ALL
+        SELECT '2_boilerplate', count(*),
+          CAST(coalesce(sum(masked_chars), 0) AS BIGINT),
+          CAST(coalesce(sum(h), 0) AS BIGINT)
+        FROM s2 JOIN cks USING (conv_id)
+        UNION ALL
+        SELECT '3_neardup', count(*),
+          CAST(coalesce(sum(masked_chars), 0) AS BIGINT),
+          CAST(coalesce(sum(h), 0) AS BIGINT)
+        FROM s3 JOIN cks USING (conv_id)
+        UNION ALL
+        SELECT '4_decontam', count(*),
+          CAST(coalesce(sum(masked_chars), 0) AS BIGINT),
+          CAST(coalesce(sum(h), 0) AS BIGINT)
+        FROM s4 JOIN cks USING (conv_id)
+        UNION ALL
+        SELECT '5_fit', count(*),
+          CAST(coalesce(sum(kept_len), 0) AS BIGINT),
+          CAST(coalesce(sum(h), 0) AS BIGINT)
+        FROM fr JOIN cks USING (conv_id)
+        UNION ALL
+        SELECT '6_packed', count(*),
+          CAST(coalesce(sum(m), 0) AS BIGINT),
+          CAST(coalesce(sum(shard * 100000 + seq), 0) AS BIGINT)
+        FROM st6)
+      ORDER BY stage"""))
+
   // ---- q336: best-of-n from SQL ------------------------------------------
   // q335's operator through the injected best_of_n table function —
   // same heap-rewritten plan, same oracle, reached from the parser
