@@ -1311,6 +1311,74 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
         FROM st6)
       ORDER BY stage"""))
 
+  // ---- q338: chat schema-drift census -------------------------------------
+  // VERDICT r12 stretch: q327's key-census idea pointed at the chat
+  // JSONL, so a producer format change (an extra per-message field, a
+  // tools array) surfaces as a census ROW before it surfaces as
+  // quarantine volume. Two scopes: top-level object keys
+  // (json_object_keys on the raw line) and per-message keys (the
+  // messages re-parsed as array<map<string,string>> — presence
+  // per CONVERSATION, a key on any message counts once). The fixture
+  // drifts deliberately: "tools" on the tool slice, "weight" on the
+  // %47=10 base slice — both invisible to every other query because
+  // the fixed from_json schema drops them; the oracle derives every
+  // key set arithmetically (it never parses), so a census that
+  // hallucinated or missed a key flips the hash.
+
+  private[queries] val q338: GraftQuery = GraftQuery(
+    "q338_chat_key_drift",
+    (s, d) => {
+      val parsed = chatRaw(s, d)
+        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+        .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+        .withColumn("reason", ChatOps.verdict(col("_turns")))
+        .filter(col("reason") =!= "unparseable")
+      val mapSchema = StructType(Seq(StructField("messages",
+        ArrayType(MapType(StringType, StringType)))))
+      val convKeys = parsed.select(col("doc_id"), col("reason"),
+        lit("conv").as("scope"),
+        explode(json_object_keys(col("j"))).as("key"))
+      val msgKeys = parsed
+        .select(col("doc_id"), col("reason"),
+          explode(from_json(col("j"), mapSchema).getField("messages"))
+            .as("m"))
+        .select(col("doc_id"), col("reason"), lit("msg").as("scope"),
+          explode(map_keys(col("m"))).as("key"))
+        .distinct()
+      val perReason = parsed.groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_convs"))
+      convKeys
+        .union(msgKeys.select("doc_id", "reason", "scope", "key"))
+        .groupBy(col("scope"), col("reason"), col("key"))
+        .agg(count(lit(1)).as("n_present"))
+        .join(broadcast(perReason), Seq("reason"))
+        .select(col("scope"), col("reason"), col("key"), col("n_present"),
+          expr("n_present * 1000000L div n_convs").as("presence_ppm"))
+        .orderBy(col("scope"), col("reason"), col("key"))
+    },
+    Some(s"""WITH $chatTurnsOracleCte,
+      $chatVerdictOracleCte,
+      pk9 AS (SELECT doc_id, reason FROM rs WHERE NOT corrupt),
+      k9 AS (
+        SELECT doc_id, reason, 'conv' AS scope, unnest(
+          CASE WHEN doc_id % 37 = 8 THEN ['conv_id', 'tools', 'messages']
+            ELSE ['conv_id', 'messages'] END) AS key
+        FROM pk9
+        UNION ALL
+        SELECT doc_id, reason, 'msg', unnest(
+          CASE WHEN doc_id % 37 <> 8 AND doc_id % 43 <> 9
+              AND doc_id % 47 = 10
+            THEN ['content', 'role', 'weight']
+            ELSE ['content', 'role'] END)
+        FROM pk9),
+      t9 AS (SELECT reason, count(*) AS n_convs FROM pk9 GROUP BY reason)
+      SELECT k9.scope, k9.reason, k9.key, count(*) AS n_present,
+        CAST(count(*) * 1000000 // max(t9.n_convs) AS BIGINT)
+          AS presence_ppm
+      FROM k9 JOIN t9 ON k9.reason = t9.reason
+      GROUP BY k9.scope, k9.reason, k9.key
+      ORDER BY k9.scope, k9.reason, k9.key"""))
+
   // ---- q336: best-of-n from SQL ------------------------------------------
   // q335's operator through the injected best_of_n table function —
   // same heap-rewritten plan, same oracle, reached from the parser
