@@ -785,7 +785,7 @@ class SearchSpec extends AnyFunSuite {
       Search.booleanSearch(post, must = Seq("a"), mustNot = Seq("a")) }
   }
 
-  test("substringSearch: gram gate, verification, counts, case-fold") {
+  test("substringSearch: scan-verify, counts, case-fold; agrees with the indexed tier") {
     val df = Seq(
       (1L, "the hash join strategy"), // crosses the token boundary
       (2L, "HASH JOIN twice hash join"), // case-folds; 2 occurrences
@@ -794,11 +794,22 @@ class SearchSpec extends AnyFunSuite {
     val got = Search.substringSearch(df, "doc_id", "text", "sh Jo")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 2L), (1L, 1L)), got)
-    // the false candidate is admitted by the gram gate and KILLED by
-    // verification
+    // a doc carrying all the pattern's grams but not the substring
+    // must NOT match (the indexed tier admits it as a candidate and
+    // kills it in verification; the scan tier never admits it) — and
+    // the two tiers must agree row for row
     val fc = Search.substringSearch(df, "doc_id", "text", "ab cd")
       .as[(Long, Long)].collect().toSeq
     assert(fc == Nil, fc)
+    for (pat <- Seq("sh Jo", "ab cd", "hash join")) {
+      val scan = Search.substringSearch(df, "doc_id", "text", pat)
+        .as[(Long, Long)].collect().toSeq
+      val idx = Search.substringSearchFromIndex(
+          Search.charGramPostings(df, "doc_id", "text"),
+          df, "doc_id", "text", pat)
+        .as[(Long, Long)].collect().toSeq
+      assert(scan == idx, s"tiers disagree on '$pat': $scan vs $idx")
+    }
     // non-overlapping replace-semantics: "aaaa" has 2 (not 3) "aa"s
     val ov = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val o = Search.substringSearch(ov, "doc_id", "text", "aa", k = 2)
