@@ -1398,6 +1398,63 @@ object DocIngest {
     q.awaitTermination()
   }
 
+  /** HLL-SKETCH ingest — the grows-with-ingestion leg of q316's
+    * persisted mergeable distinct-count rollup (VERDICT r12 Missing
+    * #5): each arriving micro-batch of events folds its per-day
+    * Datasketches HLL sketches into the persisted daily sketch table
+    * under the out-of-place `v=<batchId>` versioning (the
+    * [[runKmvIngest]] idiom). Per batch: read the latest version
+    * BEFORE this batchId, union per day (`hll_union_agg` — sketches
+    * in sparse mode union losslessly, so a day streamed across many
+    * batches equals the day built in one pass at small
+    * cardinalities, and stays inside the lgK error envelope at any),
+    * write `v=<batchId>`. Re-delivery safe: a retried batch re-reads
+    * the version before ITSELF, so folding twice lands the identical
+    * result. Raw events are scanned once, ever — every later rollup
+    * (q316's weekly unions) reads KBs of sketch bytes.
+    * @param rawDir JSONL of (ts: date string, user_id: long) */
+  def runHllIngest(spark: SparkSession, rawDir: String, stateDir: String,
+                   checkpointDir: String, lgK: Int = 14,
+                   maxFilesPerTrigger: Int = 1): Unit = {
+    val evSchema = StructType(Seq(
+      StructField("ts", StringType), StructField("user_id", LongType)))
+    val q = spark.readStream
+      .schema(evSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = ViewIngest.versionDirs(spark, stateDir)
+          .filter(_._1 < batchId).sortBy(_._1).lastOption match {
+          case Some((_, dir)) => spark.read.parquet(dir)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("day", DateType),
+              StructField("sk", BinaryType))))
+        }
+        val batchSk = batch
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+        prev.unionByName(batchSk)
+          .groupBy(col("day"))
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest persisted daily-sketch table of [[runHllIngest]]. */
+  def readHllState(spark: SparkSession, stateDir: String): DataFrame =
+    ViewIngest.versionDirs(spark, stateDir).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None => throw new IllegalStateException(
+        s"no HLL sketch state at $stateDir — run runHllIngest first")
+    }
+
   /** The LIVE mode of the scaladoc's "runs continuously" claim: the
     * same [[ingest]] transform under a `ProcessingTime` trigger, left
     * running while new crawl shards land in `rawDir`. Returns the

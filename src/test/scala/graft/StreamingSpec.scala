@@ -946,6 +946,63 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("streaming HLL rollup ingest: streamed daily sketches equal the batch build, checkpoint idempotent") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import org.apache.spark.sql.functions._
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_hllingest_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val state = root.resolve("state")
+    val ckpt = root.resolve("ckpt")
+    // two shards with overlapping days AND overlapping users within a
+    // day across shards — the union must not double-count user 1 on
+    // 01-02, and day 01-02's sketch accretes across two micro-batches
+    val s1 = (1L to 60L).map(u => ("2026-01-01", u)) ++
+      (1L to 40L).map(u => ("2026-01-02", u))
+    val s2 = (21L to 70L).map(u => ("2026-01-02", u)) ++
+      (5L to 45L).map(u => ("2026-01-03", u))
+    s1.toDF("ts", "user_id").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    s2.toDF("ts", "user_id").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    val now = System.currentTimeMillis()
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now)
+
+    DocIngest.runHllIngest(spark, raw.toString + "/*/",
+      state.toString, ckpt.toString)
+    val streamed = DocIngest.readHllState(spark, state.toString)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate($"sk").as("est"))
+      .as[(String, Long)].collect().toMap
+    // exact distinct per day — at these cardinalities the sketches
+    // stay in sparse mode, so streamed-union == batch build == exact
+    val all = (s1 ++ s2).toDF("ts", "user_id")
+    val exact = all.groupBy($"ts").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val direct = all.groupBy($"ts")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 14)).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed.keySet == Set("2026-01-01", "2026-01-02", "2026-01-03"))
+    for ((d, est) <- streamed) {
+      assert(est == direct(d),
+        s"$d: streamed union $est != one-pass sketch ${direct(d)}")
+      // envelope gate (q316's integer rule): within 5% of exact
+      assert((est - exact(d)).abs * 20 <= exact(d),
+        s"$d: estimate $est outside 5% of exact ${exact(d)}")
+    }
+    // checkpoint idempotence: nothing new, latest version unchanged
+    def versions(): Seq[Long] = Files.list(state).toArray.toSeq
+      .map(_.toString.split('/').last).filter(_.startsWith("v="))
+      .map(_.drop(2).toLong)
+    val vBefore = versions().max
+    DocIngest.runHllIngest(spark, raw.toString + "/*/",
+      state.toString, ckpt.toString)
+    val vAfter = versions().max
+    assert(vAfter == vBefore, "a drained re-run must publish no version")
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
