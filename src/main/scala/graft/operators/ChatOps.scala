@@ -83,6 +83,107 @@ object ChatOps {
       .otherwise("ok")
   }
 
+  /** The STRUCTURED tool-call schema (r13) — the modern interchange
+    * shape where an assistant turn carries machine-readable calls and
+    * a tool turn answers one by id:
+    *   {"role":"assistant","content":"...","tool_calls":
+    *     [{"id":"c1","name":"search","args":"..."}]},
+    *   {"role":"tool","tool_call_id":"c1","content":"result"}.
+    * A superset of [[chatSchema]]: plain conversations parse
+    * identically (absent fields land NULL). */
+  val chatToolSchema: StructType = StructType(Seq(
+    StructField("conv_id", LongType),
+    StructField("messages", ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType),
+      StructField("tool_calls", ArrayType(StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("args", StringType))))),
+      StructField("tool_call_id", StringType)))))))
+
+  /** [[verdict]] over [[chatToolSchema]] turns — same precedence with
+    * two tool-call-aware refinements:
+    *   - `empty_content` EXEMPTS an assistant turn carrying ≥1
+    *     tool_calls (the canonical modern shape has no prose beside a
+    *     call: the call IS the turn's content);
+    *   - a new `tool_call_mismatch` leg between tool_out_of_place and
+    *     unknown_role: each tool RESULT must answer its caller — when
+    *     the nearest preceding assistant turn issued tool_calls, the
+    *     tool turn's `tool_call_id` must be one of their ids; when it
+    *     issued none (the free-form tool style), the tool turn must
+    *     not carry an orphaned `tool_call_id`. */
+  def verdictTools(turns: Column): Column = {
+    val nonSys = filter(turns, t => t.getField("role") =!= "system")
+    val adjPairs = zip_with(
+      slice(turns, lit(1), size(turns) - 1),
+      slice(turns, lit(2), size(turns) - 1),
+      (a, b) => struct(a.getField("role").as("p"), b.getField("role").as("c")))
+    val adjRepeat = exists(adjPairs, x =>
+      x.getField("p") === x.getField("c") && x.getField("p") =!= "tool")
+    val toolMisplaced = exists(adjPairs, x =>
+      x.getField("c") === "tool" &&
+        !x.getField("p").isin("assistant", "tool"))
+    def nCalls(t: Column): Column =
+      when(t.getField("tool_calls").isNull, 0)
+        .otherwise(size(t.getField("tool_calls")))
+    val emptyContent = exists(turns, t =>
+      (t.getField("content").isNull ||
+        length(t.getField("content")) === 0) &&
+        !(t.getField("role") === "assistant" && nCalls(t) > 0))
+    // per tool turn at 1-based index i: the nearest preceding
+    // assistant turn (sequence(1, i) stays ASCENDING for i >= 1 — a
+    // sequence(1, i-1) would DESCEND at i=1 — and j < i cuts the tail)
+    val n = size(turns)
+    val callMismatch = exists(
+      filter(sequence(lit(1), n), i =>
+        element_at(turns, i.cast(IntegerType)).getField("role") === "tool"),
+      i => {
+        val prevA = array_max(filter(sequence(lit(1), i), j =>
+          j < i && element_at(turns, j.cast(IntegerType))
+            .getField("role") === "assistant"))
+        val asst = element_at(turns, prevA.cast(IntegerType))
+        val tid = element_at(turns, i.cast(IntegerType))
+          .getField("tool_call_id")
+        when(prevA.isNull, lit(false)) // placement leg already fired
+          .otherwise(when(nCalls(asst) > 0,
+            tid.isNull || !exists(asst.getField("tool_calls"),
+              c => c.getField("id") === tid))
+            .otherwise(tid.isNotNull))
+      })
+    when(turns.isNull, "unparseable")
+      .when(size(turns) === 0, "empty")
+      .when(size(nonSys) === 0 ||
+        element_at(nonSys, 1).getField("role") =!= "user", "first_not_user")
+      .when(adjRepeat, "role_repeat")
+      .when(emptyContent, "empty_content")
+      .when(toolMisplaced, "tool_out_of_place")
+      .when(callMismatch, "tool_call_mismatch")
+      .when(exists(turns,
+        t => !t.getField("role").isin("user", "assistant", "system", "tool")),
+        "unknown_role")
+      .otherwise("ok")
+  }
+
+  /** Normalize [[chatToolSchema]] turns to the plain (role, content)
+    * shape every downstream operator consumes: each assistant turn's
+    * tool_calls serialize as `<tool_call>name\nargs</tool_call>`
+    * segments APPENDED to its content (null content → ''). The calls
+    * are the MODEL's output — inside assistant content they land
+    * inside the loss mask, which is exactly right: emitting the call
+    * is the behavior being taught, while the tool RESULT (role
+    * `tool`) stays unmasked context. After this one projection,
+    * render / spans / fitting / packing run unchanged. */
+  def resolveToolCalls(turns: Column): Column =
+    transform(turns, t =>
+      struct(t.getField("role").as("role"),
+        concat(coalesce(t.getField("content"), lit("")),
+          when(t.getField("tool_calls").isNull, lit(""))
+            .otherwise(array_join(transform(t.getField("tool_calls"),
+              c => concat(lit("<tool_call>"), c.getField("name"),
+                lit("\n"), c.getField("args"), lit("</tool_call>"))), "")))
+          .as("content")))
+
   /** ChatML render: `<|im_start|>` (12 chars) + role + `\n` (1) +
     * content + `<|im_end|>\n` (11) per turn, concatenated. */
   def renderChatML(turns: Column): Column =

@@ -82,8 +82,31 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       tmsg("tool", 2), tmsg("assistant", 3))
     val toolBad = concat_ws(",", tmsg("user", 0), tmsg("tool", 1),
       tmsg("assistant", 2))
+    // structured tool-call slices (r13, q339): the assistant issues a
+    // machine-readable call and the tool turn answers it by id — the
+    // %59 variant answers with a WRONG id (tool_call_mismatch)
+    def tcallMsgs(badRef: Boolean): Column = {
+      val cid = concat(lit("c"), (id % 97).cast(StringType))
+      val refId = if (badRef) lit("zz") else cid
+      concat_ws(",",
+        tmsg("user", 0),
+        concat(lit("{\"role\":\"assistant\",\"content\":\""),
+          toolContent(id, text, 1),
+          lit("\",\"tool_calls\":[{\"id\":\""), cid,
+          lit("\",\"name\":\"search\",\"args\":\""),
+          toolContent(id, text, 2), lit("\"}]}")),
+        concat(lit("{\"role\":\"tool\",\"tool_call_id\":\""), refId,
+          lit("\",\"content\":\""), toolContent(id, text, 3), lit("\"}")),
+        tmsg("assistant", 4))
+    }
     when(id % 41 === 11,
       concat(lit("{\"conv_id\":"), id.cast(StringType), lit(",\"messages\":[")))
+      .when(id % 53 === 12,
+        concat(lit("{\"conv_id\":"), id.cast(StringType),
+          lit(",\"messages\":["), tcallMsgs(badRef = false), lit("]}")))
+      .when(id % 59 === 13,
+        concat(lit("{\"conv_id\":"), id.cast(StringType),
+          lit(",\"messages\":["), tcallMsgs(badRef = true), lit("]}")))
       .when(id % 37 === 8,
         concat(lit("{\"conv_id\":"), id.cast(StringType),
           lit(",\"tools\":[\"search\"],\"messages\":["), toolMsgs, lit("]}")))
@@ -100,6 +123,11 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
     s"""ct AS (
         SELECT doc_id, doc_id % 41 = 11 AS corrupt,
           CASE
+            WHEN doc_id % 53 = 12 OR doc_id % 59 = 13 THEN [
+              {'role': 'user', 'content': ${toolContentSql(0)}},
+              {'role': 'assistant', 'content': ${toolContentSql(1)}},
+              {'role': 'tool', 'content': ${toolContentSql(3)}},
+              {'role': 'assistant', 'content': ${toolContentSql(4)}}]
             WHEN doc_id % 37 = 8 THEN [
               {'role': 'user', 'content': ${toolContentSql(0)}},
               {'role': 'assistant', 'content': ${toolContentSql(1)}},
@@ -907,6 +935,89 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       WHERE rs.doc_id % 37 = 8 OR rs.doc_id % 43 = 9
       ORDER BY rs.doc_id"""))
 
+  // ---- q339: STRUCTURED tool calls (parse → correlate → render → mask) --
+  // The second half of VERDICT r12 Missing #1: beyond the tool ROLE,
+  // modern corpora carry machine-readable tool_calls on assistant
+  // turns and answer them by id. chatToolSchema parses the superset;
+  // verdictTools adds the correlation leg (a tool RESULT must answer
+  // its caller's id — the %59 slice answers with a wrong id and
+  // quarantines as tool_call_mismatch); resolveToolCalls folds each
+  // call into its assistant turn's content as
+  // <tool_call>name\nargs</tool_call> — the call is the MODEL's
+  // output, so it lands INSIDE the loss mask (emitting the call is
+  // the behavior taught), while the tool result stays unmasked
+  // context. After that one projection every downstream operator
+  // (render, spans, fitting, packing) runs unchanged. The oracle
+  // rebuilds both slices' turns, the effective contents, the fixed
+  // 4-turn cursor arithmetic and both spans — so a wrong fold order,
+  // a missed exemption, or a mask leaking into the tool result flips
+  // the hash.
+
+  private[queries] val q339: GraftQuery = GraftQuery(
+    "q339_tool_calls",
+    (s, d) => {
+      val slice = chatRaw(s, d)
+        .filter(col("doc_id") % 53 === 12 || col("doc_id") % 59 === 13)
+      val parsed = slice
+        .withColumn("_c", from_json(col("j"), ChatOps.chatToolSchema))
+        .withColumn("_raw", call_function("no_inline", col("_c.messages")))
+        .withColumn("_turns", call_function("no_inline",
+          ChatOps.resolveToolCalls(col("_raw"))))
+      val rendered = ChatOps.renderChatML(col("_turns"))
+      parsed.select(col("doc_id"),
+          ChatOps.verdictTools(col("_raw")).as("reason"),
+          when(col("_raw").isNull, 0L)
+            .otherwise(size(col("_raw")).cast(LongType)).as("n_turns"),
+          when(col("_raw").isNull, 0L)
+            .otherwise(length(rendered).cast(LongType)).as("rendered_len"),
+          when(col("_raw").isNull, lit(null).cast(StringType))
+            .otherwise(md5(rendered)).as("rendered_md5"),
+          when(col("_raw").isNull, lit(""))
+            .otherwise(ChatOps.lossMaskSpans(col("_turns")))
+            .as("mask_spans"),
+          when(col("_raw").isNull, 0L)
+            .otherwise(ChatOps.maskedChars(col("_turns")))
+            .as("masked_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH td AS (
+        SELECT doc_id, doc_id % 41 = 11 AS corrupt,
+          doc_id % 59 = 13 AND doc_id % 53 <> 12 AS bad_ref,
+          ${toolContentSql(0)} AS c0, ${toolContentSql(1)} AS c1,
+          ${toolContentSql(2)} AS c2, ${toolContentSql(3)} AS c3,
+          ${toolContentSql(4)} AS c4
+        FROM documents WHERE doc_id % 53 = 12 OR doc_id % 59 = 13),
+      tv AS (SELECT doc_id, corrupt, bad_ref, c0, c3, c4,
+          c1 || '<tool_call>search' || chr(10) || c2 || '</tool_call>'
+            AS e1,
+          CASE WHEN corrupt THEN 'unparseable'
+            WHEN len(c0) = 0 OR len(c3) = 0 OR len(c4) = 0
+              THEN 'empty_content'
+            WHEN bad_ref THEN 'tool_call_mismatch'
+            ELSE 'ok' END AS reason
+        FROM td),
+      tr AS (SELECT doc_id,
+          '<|im_start|>user' || chr(10) || c0 || '<|im_end|>' || chr(10)
+            || '<|im_start|>assistant' || chr(10) || e1 || '<|im_end|>'
+            || chr(10) || '<|im_start|>tool' || chr(10) || c3
+            || '<|im_end|>' || chr(10) || '<|im_start|>assistant'
+            || chr(10) || c4 || '<|im_end|>' || chr(10) AS rendered,
+          CAST(28 + len(c0) AS BIGINT) AS l1,
+          CAST(33 + len(e1) AS BIGINT) AS l2,
+          CAST(28 + len(c3) AS BIGINT) AS l3,
+          CAST(len(e1) AS BIGINT) AS le1, CAST(len(c4) AS BIGINT) AS lc4
+        FROM tv WHERE NOT corrupt)
+      SELECT tv.doc_id, tv.reason,
+        CAST(CASE WHEN corrupt THEN 0 ELSE 4 END AS BIGINT) AS n_turns,
+        CAST(coalesce(len(tr.rendered), 0) AS BIGINT) AS rendered_len,
+        md5(tr.rendered) AS rendered_md5,
+        coalesce((tr.l1 + 22) || '-' || (tr.l1 + 22 + tr.le1) || ';' ||
+          (tr.l1 + tr.l2 + tr.l3 + 22) || '-' ||
+          (tr.l1 + tr.l2 + tr.l3 + 22 + tr.lc4), '') AS mask_spans,
+        CAST(coalesce(tr.le1 + tr.lc4, 0) AS BIGINT) AS masked_chars
+      FROM tv LEFT JOIN tr ON tv.doc_id = tr.doc_id
+      ORDER BY tv.doc_id"""))
+
   // ---- q334: TOKEN-budget context fitting ------------------------------
   // VERDICT r12 Missing #2: q323/q325 budget CHARACTERS; a trainer's
   // window holds TOKENS. Same keep-system / longest-fitting-suffix /
@@ -1333,17 +1444,21 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
         .withColumn("_turns", call_function("no_inline", col("_c.messages")))
         .withColumn("reason", ChatOps.verdict(col("_turns")))
         .filter(col("reason") =!= "unparseable")
-      val mapSchema = StructType(Seq(StructField("messages",
-        ArrayType(MapType(StringType, StringType)))))
+      // messages re-parsed as RAW JSON strings (an object field read
+      // with StringType keeps its source text), so a message key of
+      // ANY value type — the tool_calls array included — censuses
+      // without a map-coercion gamble
+      val strSchema = StructType(Seq(StructField("messages",
+        ArrayType(StringType))))
       val convKeys = parsed.select(col("doc_id"), col("reason"),
         lit("conv").as("scope"),
         explode(json_object_keys(col("j"))).as("key"))
       val msgKeys = parsed
         .select(col("doc_id"), col("reason"),
-          explode(from_json(col("j"), mapSchema).getField("messages"))
+          explode(from_json(col("j"), strSchema).getField("messages"))
             .as("m"))
         .select(col("doc_id"), col("reason"), lit("msg").as("scope"),
-          explode(map_keys(col("m"))).as("key"))
+          explode(json_object_keys(col("m"))).as("key"))
         .distinct()
       val perReason = parsed.groupBy(col("reason"))
         .agg(count(lit(1)).as("n_convs"))
@@ -1361,12 +1476,16 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       pk9 AS (SELECT doc_id, reason FROM rs WHERE NOT corrupt),
       k9 AS (
         SELECT doc_id, reason, 'conv' AS scope, unnest(
-          CASE WHEN doc_id % 37 = 8 THEN ['conv_id', 'tools', 'messages']
+          CASE WHEN doc_id % 53 = 12 OR doc_id % 59 = 13
+              THEN ['conv_id', 'messages']
+            WHEN doc_id % 37 = 8 THEN ['conv_id', 'tools', 'messages']
             ELSE ['conv_id', 'messages'] END) AS key
         FROM pk9
         UNION ALL
         SELECT doc_id, reason, 'msg', unnest(
-          CASE WHEN doc_id % 37 <> 8 AND doc_id % 43 <> 9
+          CASE WHEN doc_id % 53 = 12 OR doc_id % 59 = 13
+            THEN ['content', 'role', 'tool_call_id', 'tool_calls']
+          WHEN doc_id % 37 <> 8 AND doc_id % 43 <> 9
               AND doc_id % 47 = 10
             THEN ['content', 'role', 'weight']
             ELSE ['content', 'role'] END)

@@ -301,6 +301,71 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(r2._2 == 1L && r2._3 && r2._1.map(_._2) == Seq("bb"))
   }
 
+  test("verdictTools: call correlation, content exemption, precedence") {
+    def tflat(rows: Seq[(Long, String)]) = {
+      val df = rows.toDF("id", "j")
+        .withColumn("c", from_json($"j", ChatOps.chatToolSchema))
+      df.select($"id", ChatOps.verdictTools($"c.messages").as("r"))
+        .as[(Long, String)].collect().toMap
+    }
+    def call(id: String) =
+      s"""{"id":"$id","name":"search","args":"q"}"""
+    val rows = Seq(
+      // correlated call → legal
+      1L -> s"""{"conv_id":1,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")}]},{"role":"tool","tool_call_id":"c1","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // wrong id → mismatch
+      2L -> s"""{"conv_id":2,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")}]},{"role":"tool","tool_call_id":"zz","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // missing id when the assistant issued calls → mismatch
+      3L -> s"""{"conv_id":3,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")}]},{"role":"tool","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // orphaned id when the assistant issued none → mismatch
+      4L -> s"""{"conv_id":4,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm"},{"role":"tool","tool_call_id":"c9","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // free-form tool result (no calls, no id) → legal
+      5L -> s"""{"conv_id":5,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm"},{"role":"tool","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // canonical modern shape: NULL content beside the call is legal
+      6L -> s"""{"conv_id":6,"messages":[{"role":"user","content":"q"},{"role":"assistant","tool_calls":[${call("c1")}]},{"role":"tool","tool_call_id":"c1","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // …but a NULL-content assistant with NO calls still quarantines
+      7L -> s"""{"conv_id":7,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":""},{"role":"tool","content":"r"}]}""",
+      // two results answering two parallel calls, both correlated
+      8L -> s"""{"conv_id":8,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")},${call("c2")}]},{"role":"tool","tool_call_id":"c2","content":"r2"},{"role":"tool","tool_call_id":"c1","content":"r1"},{"role":"assistant","content":"a"}]}""",
+      // placement beats correlation: tool after user
+      9L -> s"""{"conv_id":9,"messages":[{"role":"user","content":"q"},{"role":"tool","tool_call_id":"zz","content":"r"},{"role":"assistant","content":"a"}]}""")
+    val got = tflat(rows)
+    assert(got(1L) == "ok")
+    assert(got(2L) == "tool_call_mismatch")
+    assert(got(3L) == "tool_call_mismatch")
+    assert(got(4L) == "tool_call_mismatch")
+    assert(got(5L) == "ok")
+    assert(got(6L) == "ok")
+    assert(got(7L) == "empty_content")
+    assert(got(8L) == "ok")
+    assert(got(9L) == "tool_out_of_place")
+  }
+
+  test("resolveToolCalls: calls fold into assistant content and land inside the mask") {
+    val j =
+      """{"conv_id":1,"messages":[{"role":"user","content":"q"},{"role":"assistant","tool_calls":[{"id":"c1","name":"search","args":"spark shuffles"}]},{"role":"tool","tool_call_id":"c1","content":"result text"},{"role":"assistant","content":"final"}]}"""
+    val df = Seq((1L, j)).toDF("id", "j")
+      .withColumn("raw", from_json($"j", ChatOps.chatToolSchema)
+        .getField("messages"))
+      .withColumn("t", ChatOps.resolveToolCalls($"raw"))
+    val (rendered, spans, masked) = df.select(
+        ChatOps.renderChatML($"t"), ChatOps.lossMaskSpans($"t"),
+        ChatOps.maskedChars($"t"))
+      .as[(String, String, Long)].collect().head
+    val want = "<tool_call>search\nspark shuffles</tool_call>"
+    assert(rendered.contains(s"<|im_start|>assistant\n$want<|im_end|>"),
+      s"call must serialize into the assistant turn: $rendered")
+    val ranges = spans.split(";").toSeq.map { sp =>
+      val Array(a, b) = sp.split("-"); (a.toInt, b.toInt) }
+    assert(ranges.map { case (s0, e0) => rendered.substring(s0, e0) } ==
+      Seq(want, "final"),
+      "the serialized call is MASKED (model output); the tool result is not")
+    assert(!ranges.exists { case (s0, e0) =>
+      rendered.substring(s0, e0).contains("result text") },
+      "tool result content must stay outside the mask")
+    assert(masked == want.length + "final".length)
+  }
+
   test("fitContextBy with token costs: the budget counts learned-BPE tokens, not characters") {
     // merges (a,b) then (ab,c): "abc" encodes to ONE token, "abcabc"
     // to two; unmergeable letters stay one token per char
