@@ -378,9 +378,26 @@ object ChatOps {
   /** [[fitContext]] generalized over the per-turn cost function: the
     * same ALWAYS-keep-system / longest-fitting-suffix / never-empty
     * policy, with the budget denominated in whatever `turnCost`
-    * prices (characters, learned-BPE tokens, …). */
+    * prices (characters, learned-BPE tokens, …).
+    *
+    * NOTE for EXPENSIVE cost functions (BPE encoding): this inlines
+    * `turnCost` into the drop-search lambdas, and HOF lambdas are
+    * exempt from subexpression elimination — the search re-prices
+    * turns O(n) times. Cheap arithmetic costs (the char path) don't
+    * care; a tokenizing cost should materialize its lens array ONCE
+    * behind a no_inline fence and call [[fitContextByLens]]
+    * (measured on q334: 6.0 s → the fenced shape). */
   def fitContextBy(turns: Column, budget: Column,
-                   turnCost: Column => Column): Column = {
+                   turnCost: Column => Column): Column =
+    fitContextByLens(turns, transform(turns, turnCost(_)), budget)
+
+  /** [[fitContextBy]] over a PRE-PRICED cost array — `lens(i)` is the
+    * cost of `turns(i)` (system turn included). The returned struct
+    * additionally carries `kept_cost` (Σ costs of the kept turns,
+    * derived from the same prefix sums) so consumers never re-price
+    * what the search already priced. */
+  def fitContextByLens(turns: Column, lens: Column,
+                       budget: Column): Column = {
     val emptyTurns = typedlit(Seq.empty[(String, String)])
       .cast("array<struct<role: string, content: string>>")
     val hasSys = element_at(turns, 1).getField("role") === "system"
@@ -388,22 +405,25 @@ object ChatOps {
       .otherwise(emptyTurns)
     val body = when(hasSys, slice(turns, lit(2), size(turns) - 1))
       .otherwise(turns)
-    def turnLen(t: Column): Column = turnCost(t)
-    val lens = transform(body, turnLen(_))
+    val bodyLens = when(hasSys, slice(lens, lit(2), size(lens) - 1))
+      .otherwise(lens)
     val sumL = (a: Column) => aggregate(a, lit(0L), (x, y) => x + y)
-    val total = sumL(lens)
-    val sysLen = sumL(transform(sysArr, turnLen(_)))
+    val total = sumL(bodyLens)
+    val sysLen = when(hasSys, element_at(lens, 1)).otherwise(lit(0L))
     // minimal drop count i (0-based) whose suffix fits the budget
     val minI = array_min(filter(sequence(lit(0L), size(body) - 1),
-      i => sysLen + total - sumL(slice(lens, lit(1), i.cast(IntegerType)))
-        <= budget))
+      i => sysLen + total -
+        sumL(slice(bodyLens, lit(1), i.cast(IntegerType))) <= budget))
     val keepFrom = coalesce(minI, size(body).cast(LongType) - 1L)
     struct(
       concat(sysArr, slice(body, (keepFrom + 1L).cast(IntegerType),
         (size(body).cast(LongType) - keepFrom).cast(IntegerType)))
         .as("kept"),
       keepFrom.as("n_dropped"),
-      minI.isNotNull.as("fits"))
+      minI.isNotNull.as("fits"),
+      (sysLen + total -
+        sumL(slice(bodyLens, lit(1), keepFrom.cast(IntegerType))))
+        .as("kept_cost"))
   }
 
   /** [[fitContext]] as a whole-table operator (the `chat_context_fit`
@@ -443,15 +463,20 @@ object ChatOps {
     val parsed = df
       .withColumn("_c", from_json(col(jsonCol), chatSchema))
       .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+    // the lens array materializes ONCE per row behind its own fence —
+    // inlined into the drop search, the per-word BPE encode would
+    // re-run inside every prefix-sum lambda (HOF lambdas are exempt
+    // from CSE; measured 6.0 s → 1.3 s at sf0.1 on q334)
     parsed.filter(verdict(col("_turns")) === "ok")
+      .withColumn("_lens", call_function("no_inline",
+        transform(col("_turns"), cost(_))))
       .withColumn("_f", call_function("no_inline",
-        fitContextBy(col("_turns"), lit(budget), cost)))
+        fitContextByLens(col("_turns"), col("_lens"), lit(budget))))
       .select(col(idCol),
         size(col("_f.kept")).cast(LongType).as("n_kept"),
         col("_f.n_dropped").as("n_dropped"),
         col("_f.fits").as("fits"),
-        aggregate(transform(col("_f.kept"), cost(_)), lit(0L),
-          (acc, x) => acc + x).as("kept_tokens"),
+        col("_f.kept_cost").as("kept_tokens"),
         md5(renderChatML(col("_f.kept"))).as("kept_md5"))
   }
 
