@@ -298,6 +298,35 @@ object ChatOps {
         .otherwise(maskedChars(col("_turns"))).as("masked_chars"))
   }
 
+  /** [[flatten]] through the STRUCTURED tool-call tier: parse with
+    * [[chatToolSchema]], validate with [[verdictTools]] (so an
+    * uncorrelated tool result quarantines as `tool_call_mismatch`
+    * instead of slipping through as ok), fold calls into assistant
+    * content with [[resolveToolCalls]], then render/mask identically.
+    * Same output columns and null/zero contract as [[flatten]]. */
+  def flattenTools(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val parsed = df.withColumn("_c", from_json(col(jsonCol), chatToolSchema))
+      .withColumn("_raw", call_function("no_inline", col("_c.messages")))
+      .withColumn("_turns",
+        call_function("no_inline", resolveToolCalls(col("_raw"))))
+    val rendered = renderChatML(col("_turns"))
+    parsed.select(
+      col(idCol),
+      col("_c.conv_id").as("conv_id"),
+      verdictTools(col("_raw")).as("reason"),
+      when(col("_raw").isNull, 0L)
+        .otherwise(size(col("_raw")).cast(LongType)).as("n_turns"),
+      when(col("_raw").isNull, 0L)
+        .otherwise(length(rendered).cast(LongType)).as("rendered_len"),
+      when(col("_raw").isNull || size(col("_raw")) === 0,
+        lit(null).cast(StringType))
+        .otherwise(md5(rendered)).as("rendered_md5"),
+      when(col("_raw").isNull, lit(""))
+        .otherwise(lossMaskSpans(col("_turns"))).as("mask_spans"),
+      when(col("_raw").isNull, 0L)
+        .otherwise(maskedChars(col("_turns"))).as("masked_chars"))
+  }
+
   /** Packed-coordinate translation for loss masks — the step between
     * [[lossMaskSpanStructs]] and a trainer that PACKS conversations
     * into fixed-length sequences: [[DatasetOps.packSequences]] decides

@@ -689,6 +689,86 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
           ELSE inter * 2000000 // (len(r) + len(c)) END AS BIGINT) AS f1_ppm
       FROM m ORDER BY doc_id"""))
 
+  // ---- q340: pass@k estimation (code/reasoning eval) ----------------------
+  // The per-problem estimator every generation eval publishes
+  // (HumanEval's unbiased pass@k): n samples per problem, c passing,
+  // pass@k = 1 − C(n−c,k)/C(n,k), exact integer ppm via the product
+  // form. The fixture plants every regime: doc_id%4=0 problems never
+  // pass (ppm 0), high-c problems saturate (n−c < k → ppm 10⁶), the
+  // rest land strict interior values the oracle recomputes from the
+  // same combinatorics — a double-division drift or an off-by-one in
+  // either binomial flips the hash.
+
+  private[queries] val q340: GraftQuery = GraftQuery(
+    "q340_pass_at_k",
+    (s, d) => {
+      val samples = docs(s, d).select(col("doc_id"),
+          explode(sequence(lit(1L), lit(5L) + col("doc_id") % 6))
+            .as("smp"))
+        .withColumn("ok",
+          (col("doc_id") * 31 + col("smp") * 17) % 10 < col("doc_id") % 4)
+      graft.operators.EvalOps.passAtK(samples, "doc_id", "ok", k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sm AS (SELECT doc_id,
+          unnest(generate_series(1, 5 + doc_id % 6)) AS smp
+        FROM documents),
+      ag AS (SELECT doc_id, count(*) AS n,
+          sum(CASE WHEN (doc_id * 31 + smp * 17) % 10 < doc_id % 4
+            THEN 1 ELSE 0 END) AS c
+        FROM sm GROUP BY doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        CAST(c AS BIGINT) AS n_correct,
+        CAST(1000000 -
+          (CASE WHEN n - c >= 3 THEN (n - c) * (n - c - 1) * (n - c - 2)
+            ELSE 0 END) * 1000000 // (n * (n - 1) * (n - 2))
+          AS BIGINT) AS pass_at_3_ppm
+      FROM ag ORDER BY doc_id"""))
+
+  // ---- q341: majority-vote / self-consistency scoring ---------------------
+  // Self-consistency (sample n chains, answer by majority): per
+  // problem the most common answer with deterministic tie-break
+  // (votes DESC, answer ASC) and the agreement ppm. The rank is the
+  // heap-rewritten row_number()=1 idiom (EvalOpsSpec plan-asserts);
+  // totals come from a second map-side aggregate, never a window
+  // over vote rows. The fixture deals each sample one of ≤3 token
+  // answers with vote splits that force ties on some problems.
+
+  private[queries] val q341: GraftQuery = GraftQuery(
+    "q341_majority_vote",
+    (s, d) => {
+      val idx = (col("doc_id") * 7 + col("smp") * col("smp")) % 3
+      val samples = docs(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), lit(4L) + col("doc_id") % 5))
+            .as("smp"))
+        .withColumn("answer",
+          coalesce(try_element_at(whitespaceTokens(col("text")),
+            (idx + 1).cast(IntegerType)), lit("~")))
+      graft.operators.EvalOps.majorityVote(samples, "doc_id", "answer")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sm AS (SELECT doc_id, text,
+          unnest(generate_series(1, 4 + doc_id % 5)) AS smp
+        FROM documents),
+      an AS (SELECT doc_id, coalesce(
+          list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)[CAST((doc_id * 7 + smp * smp) % 3 + 1
+              AS BIGINT)], '~') AS answer
+        FROM sm),
+      ct AS (SELECT doc_id, answer, count(*) AS votes
+        FROM an GROUP BY doc_id, answer),
+      tt AS (SELECT doc_id, count(*) AS n_samples FROM an GROUP BY doc_id),
+      r AS (SELECT doc_id, answer, votes, row_number() OVER (
+          PARTITION BY doc_id ORDER BY votes DESC, answer) AS rn
+        FROM ct)
+      SELECT r.doc_id, CAST(tt.n_samples AS BIGINT) AS n_samples,
+        r.answer AS majority_answer, CAST(r.votes AS BIGINT) AS votes,
+        CAST(r.votes * 1000000 // tt.n_samples AS BIGINT)
+          AS agreement_ppm
+      FROM r JOIN tt ON r.doc_id = tt.doc_id
+      WHERE rn = 1 ORDER BY r.doc_id"""))
+
   // ---- q324: duplicated-assistant-reply census ----------------------------
   // The boilerplate detector chat corpora need: an assistant reply
   // that recurs across MANY conversations ("i cannot help with

@@ -1124,7 +1124,8 @@ object DocIngest {
   def runChatIngest(spark: SparkSession, rawDir: String,
                     indexDir: String, outDir: String,
                     quarantineDir: String, checkpointDir: String,
-                    maxFilesPerTrigger: Int = 1): Unit = {
+                    maxFilesPerTrigger: Int = 1,
+                    toolAware: Boolean = false): Unit = {
     if (!hadoopExists(spark, indexDir)) {
       import spark.implicits._
       Seq.empty[String].toDF("rendered_md5")
@@ -1135,7 +1136,14 @@ object DocIngest {
       .text(rawDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flat = graft.operators.ChatOps.flatten(
+        // toolAware routes through chatToolSchema + verdictTools, so
+        // an uncorrelated tool result quarantines as
+        // tool_call_mismatch instead of slipping through as ok, and
+        // serialized calls land inside the persisted render digest
+        val flattenFn =
+          if (toolAware) graft.operators.ChatOps.flattenTools _
+          else graft.operators.ChatOps.flatten _
+        val flat = flattenFn(
           batch.withColumn("line_md5", md5(col("value"))),
           "line_md5", "value")
         flat.persist() // two consumers: quarantine + landing

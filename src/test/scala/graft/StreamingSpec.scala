@@ -946,6 +946,39 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("tools-aware chat ingest: uncorrelated tool results quarantine, correlated ones land with the call in the render") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_chattool_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val quar = root.resolve("quar")
+    val okCall =
+      """{"conv_id":1,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[{"id":"c1","name":"search","args":"x"}]},{"role":"tool","tool_call_id":"c1","content":"r"},{"role":"assistant","content":"a"}]}"""
+    val badCall =
+      """{"conv_id":2,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[{"id":"c1","name":"search","args":"x"}]},{"role":"tool","tool_call_id":"zz","content":"r"},{"role":"assistant","content":"a"}]}"""
+    Seq(okCall, badCall).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f1").toString)
+    DocIngest.runChatIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString,
+      toolAware = true)
+    val landed = spark.read.parquet(out.toString)
+    assert(landed.select($"conv_id").as[Long].collect().toSeq == Seq(1L))
+    // the serialized call is part of the landed render accounting:
+    // effective assistant content = "hm" + <tool_call>search\nx</tool_call>
+    // (2 + 31 = 33 chars); per-turn template cost 24 + role + content:
+    // 29 (user q) + 66 (assistant) + 29 (tool r) + 34 (assistant a)
+    val r = landed.collect().head
+    assert(r.getAs[Long]("rendered_len") == 29 + 66 + 29 + 34)
+    // masked: the call-bearing assistant content (33) + the final "a"
+    assert(r.getAs[Long]("masked_chars") == 33 + 1)
+    val reasons = spark.read.json(quar.toString)
+      .select($"reason").as[String].collect().toSeq
+    assert(reasons == Seq("tool_call_mismatch"), reasons.toString)
+    deleteRec(root)
+  }
+
   test("streaming HLL rollup ingest: streamed daily sketches equal the batch build, checkpoint idempotent") {
     import spark.implicits._
     import graft.streaming.DocIngest
