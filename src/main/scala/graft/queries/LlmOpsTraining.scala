@@ -769,6 +769,93 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       FROM r JOIN tt ON r.doc_id = tt.doc_id
       WHERE rn = 1 ORDER BY r.doc_id"""))
 
+  // ---- q342: per-language tokenizer fertility -----------------------------
+  // The tokenizer-equity report every multilingual pipeline publishes:
+  // fertility (tokens per word) by language under the learned
+  // vocabulary — a vocabulary trained on skewed data tokenizes the
+  // tail languages into fragments, and this census is where that
+  // shows up BEFORE training pays for it. Pure composition: the
+  // q154 encode (zero-shuffle vocabulary-folded replaces) aggregated
+  // by the corpus lang column; non-ASCII words are counted but not
+  // encoded (the learner's census contract — zh's low ascii share is
+  // itself part of the report). Integer milli-ratios.
+
+  private[queries] val q342: GraftQuery = GraftQuery(
+    "q342_tokenizer_fertility",
+    (s, d) => {
+      val counts = graft.operators.Bpe.bpeTokenCounts(
+        docs(s, d), "doc_id", "text", bpeMerges(s, d))
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .join(counts, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_ascii_words")).as("n_ascii_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_ascii_words"), col("n_tokens"),
+          // fertility over the ENCODED (ascii) words; 0 when a lang
+          // has none — never a divide error
+          when(col("n_ascii_words") === 0, 0L)
+            .otherwise(expr("n_tokens * 1000L div n_ascii_words"))
+            .as("fertility_milli"),
+          when(col("n_words") === 0, 0L)
+            .otherwise(expr("n_ascii_words * 1000000L div n_words"))
+            .as("ascii_share_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH dtoks AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0)) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS n FROM dtoks
+        WHERE regexp_matches(w, '^[\\x21-\\x7e]+$$') GROUP BY w),
+      w0 AS (SELECT regexp_replace(w, '(.)',
+          chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wc),
+      ${bpeRoundSql(1, "w0")},
+      ${bpeRoundSql(2, "w1")},
+      ${bpeRoundSql(3, "w2")},
+      ${bpeRoundSql(4, "w3")},
+      dw AS (SELECT doc_id, w,
+          regexp_matches(w, '^[\\x21-\\x7e]+$$') AS ok FROM dtoks),
+      de AS (SELECT doc_id, ok,
+          CASE WHEN ok THEN
+            replace(replace(replace(replace(
+              regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g'),
+              chr(31) || m1.l || chr(31) || chr(31) || m1.r || chr(31),
+              chr(31) || m1.l || m1.r || chr(31)),
+              chr(31) || m2.l || chr(31) || chr(31) || m2.r || chr(31),
+              chr(31) || m2.l || m2.r || chr(31)),
+              chr(31) || m3.l || chr(31) || chr(31) || m3.r || chr(31),
+              chr(31) || m3.l || m3.r || chr(31)),
+              chr(31) || m4.l || chr(31) || chr(31) || m4.r || chr(31),
+              chr(31) || m4.l || m4.r || chr(31))
+          END AS we
+        FROM dw, m1, m2, m3, m4),
+      ag AS (SELECT doc_id,
+          count(*) AS n_words,
+          count(*) FILTER (WHERE ok) AS n_ascii_words,
+          coalesce(sum((length(we) - length(replace(we, chr(31), ''))) // 2)
+            FILTER (WHERE ok), 0) AS n_tokens
+        FROM de GROUP BY doc_id),
+      lg AS (SELECT d.lang,
+          count(*) AS n_docs,
+          sum(coalesce(a.n_words, 0)) AS n_words,
+          sum(coalesce(a.n_ascii_words, 0)) AS n_ascii_words,
+          sum(coalesce(a.n_tokens, 0)) AS n_tokens
+        FROM documents d LEFT JOIN ag a USING (doc_id)
+        GROUP BY d.lang)
+      SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_ascii_words AS BIGINT) AS n_ascii_words,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN n_ascii_words = 0 THEN 0
+          ELSE n_tokens * 1000 // n_ascii_words END AS BIGINT)
+          AS fertility_milli,
+        CAST(CASE WHEN n_words = 0 THEN 0
+          ELSE n_ascii_words * 1000000 // n_words END AS BIGINT)
+          AS ascii_share_ppm
+      FROM lg ORDER BY lang"""))
+
   // ---- q324: duplicated-assistant-reply census ----------------------------
   // The boilerplate detector chat corpora need: an assistant reply
   // that recurs across MANY conversations ("i cannot help with
