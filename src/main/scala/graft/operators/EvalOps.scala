@@ -63,6 +63,75 @@ object EvalOps {
           .cast(LongType).as(s"pass_at_${k}_ppm"))
   }
 
+  /** Calibration buckets (the reliability-diagram / ECE census,
+    * Guo et al. 2017): samples carry an integer confidence in ppm and
+    * a correctness flag; bucketed by `conf div (10⁶/nBuckets)`, each
+    * bucket reports its size, mean confidence, accuracy, and the
+    * |accuracy − confidence| gap — all ppm, all integral (mean = sum
+    * div n). ECE is the n-weighted mean of the gaps — left to the
+    * caller's one-line aggregate so the census stays the atomic,
+    * hashable unit. One map-side-combined aggregate on the bucket
+    * key; conf = 10⁶ lands in the top bucket (not its own). */
+  def calibrationBuckets(samples: DataFrame, confPpmCol: String,
+                         okCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be in [2, 1000], got $nBuckets")
+    val w = 1000000L / nBuckets
+    // integral div — Column./ is a double Divide and would drift
+    val bucket = least(expr(s"`$confPpmCol` div ${w}L"),
+      lit(nBuckets - 1L)).cast(LongType)
+    samples.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(confPpmCol).cast(LongType)).as("_cs"),
+        sum(when(col(okCol), 1L).otherwise(0L)).as("_ok"))
+      .select(col("bucket"), col("n"),
+        expr("_cs div n").as("mean_conf_ppm"),
+        expr("_ok * 1000000L div n").as("acc_ppm"),
+        abs(expr("_ok * 1000000L div n") - expr("_cs div n"))
+          .as("gap_ppm"))
+  }
+
+  /** Cohen's kappa — inter-annotator agreement for label-quality
+    * audits (the gate preference/SFT label pipelines run before
+    * trusting a batch): per group, observed agreement `po` vs the
+    * chance agreement `pe` implied by each rater's marginals,
+    * `κ = (po − pe)/(1 − pe)`. All ppm integer arithmetic:
+    * po_ppm = matches·10⁶ div n; pe_ppm = Σ_label (aCount·bCount·10⁶
+    * div n²); kappa_milli = (po − pe)·1000 div (10⁶ − pe), NULL when
+    * pe = 10⁶ (both raters constant and equal — κ undefined).
+    * Scale shape: one (group, labelA, labelB) census, then
+    * group-level folds over the label-sized marginals — never a
+    * window, labels broadcastable by construction. */
+  def cohenKappa(df: DataFrame, grpCol: String, aCol: String,
+                 bCol: String): DataFrame = {
+    val cells = df.groupBy(col(grpCol), col(aCol).as("_la"),
+        col(bCol).as("_lb"))
+      .agg(count(lit(1)).as("_c"))
+    val aMarg = cells.groupBy(col(grpCol), col("_la"))
+      .agg(sum(col("_c")).as("_ca"))
+    val bMarg = cells.groupBy(col(grpCol), col("_lb"))
+      .agg(sum(col("_c")).as("_cb"))
+    val n = cells.groupBy(col(grpCol)).agg(sum(col("_c")).as("n"),
+      sum(when(col("_la") === col("_lb"), col("_c")).otherwise(0L))
+        .as("_match"))
+    // pe over the union of labels either rater used: Σ ca·cb·10⁶/n²
+    val pe = aMarg.join(bMarg,
+        aMarg(grpCol) === bMarg(grpCol) && col("_la") === col("_lb"))
+      .select(aMarg(grpCol).as(grpCol),
+        (col("_ca") * col("_cb")).as("_ab"))
+      .groupBy(col(grpCol)).agg(sum(col("_ab")).as("_abSum"))
+    n.join(pe, Seq(grpCol), "left")
+      .select(col(grpCol), col("n"),
+        expr("_match * 1000000L div n").as("po_ppm"),
+        coalesce(expr("_abSum * 1000000L div (n * n)"), lit(0L))
+          .as("pe_ppm"))
+      .withColumn("kappa_milli",
+        when(col("pe_ppm") === 1000000L, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(po_ppm - pe_ppm) * 1000L div (1000000L - pe_ppm)")))
+      .orderBy(col(grpCol))
+  }
+
   /** Majority-vote / self-consistency scoring (Wang et al. 2022):
     * per problem, the most common answer across its samples, with
     * deterministic tie-break (votes DESC, answer ASC) and the

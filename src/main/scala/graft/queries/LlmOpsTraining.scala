@@ -769,6 +769,85 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       FROM r JOIN tt ON r.doc_id = tt.doc_id
       WHERE rn = 1 ORDER BY r.doc_id"""))
 
+  // ---- q343: calibration buckets (reliability diagram / ECE census) -------
+  // Confidence-quality auditing for scored outputs (classifier gates,
+  // eval scorers): ppm confidences bucketed into deciles, each
+  // reporting size, mean confidence, accuracy and the |acc − conf|
+  // gap — ECE is the caller's n-weighted mean over these rows. The
+  // fixture draws a pseudo-uniform correctness against the confidence
+  // itself, so buckets are roughly calibrated with deterministic
+  // deviations the oracle recomputes exactly.
+
+  private[queries] val q343: GraftQuery = GraftQuery(
+    "q343_calibration",
+    (s, d) => {
+      val samples = docs(s, d).select(col("doc_id"),
+        ((col("doc_id") * 131071) % 1000000).as("conf"),
+        ((col("doc_id") * 104729 + 11) % 1000000 <
+          (col("doc_id") * 131071) % 1000000).as("ok"))
+      graft.operators.EvalOps
+        .calibrationBuckets(samples, "conf", "ok", nBuckets = 10)
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH s0 AS (SELECT doc_id, (doc_id * 131071) % 1000000 AS conf,
+          (doc_id * 104729 + 11) % 1000000 < (doc_id * 131071) % 1000000 AS ok
+        FROM documents),
+      b AS (SELECT least(conf // 100000, 9) AS bucket, count(*) AS n,
+          sum(conf) AS cs, sum(CASE WHEN ok THEN 1 ELSE 0 END) AS okn
+        FROM s0 GROUP BY 1)
+      SELECT CAST(bucket AS BIGINT) AS bucket, n,
+        CAST(cs // n AS BIGINT) AS mean_conf_ppm,
+        CAST(okn * 1000000 // n AS BIGINT) AS acc_ppm,
+        CAST(abs(okn * 1000000 // n - cs // n) AS BIGINT) AS gap_ppm
+      FROM b ORDER BY bucket"""))
+
+  // ---- q344: inter-annotator agreement (Cohen's kappa) --------------------
+  // The label-quality gate preference/SFT pipelines run before
+  // trusting an annotation batch: per source, observed vs chance
+  // agreement and κ in integer milli. The fixture gives rater B a
+  // deterministic 70% copy of rater A over 3 labels (the disagreeing
+  // 30% never coincides — offset 1..2 mod 3), so po is exact, pe
+  // follows the marginals, and κ stays positive (where DuckDB's
+  // floor-div and Spark's truncating div agree — the documented
+  // integer-division caveat for negative κ).
+
+  private[queries] val q344: GraftQuery = GraftQuery(
+    "q344_annotator_kappa",
+    (s, d) => {
+      val a = (col("doc_id") * 13) % 3
+      val b = when((col("doc_id") * 29) % 10 < 7, a)
+        .otherwise((a + 1 + col("doc_id") % 2) % 3)
+      val labeled = docs(s, d).select(col("source"), col("doc_id"),
+        concat(lit("l"), a.cast(StringType)).as("la"),
+        concat(lit("l"), b.cast(StringType)).as("lb"))
+      graft.operators.EvalOps.cohenKappa(labeled, "source", "la", "lb")
+    },
+    Some("""WITH s0 AS (SELECT source, doc_id,
+          'l' || ((doc_id * 13) % 3) AS la,
+          'l' || (CASE WHEN (doc_id * 29) % 10 < 7 THEN (doc_id * 13) % 3
+            ELSE ((doc_id * 13) % 3 + 1 + doc_id % 2) % 3 END) AS lb
+        FROM documents),
+      nn AS (SELECT source, count(*) AS n,
+          sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS m
+        FROM s0 GROUP BY source),
+      am AS (SELECT source, la, count(*) AS ca FROM s0 GROUP BY source, la),
+      bm AS (SELECT source, lb, count(*) AS cb FROM s0 GROUP BY source, lb),
+      pe AS (SELECT am.source, sum(ca * cb) AS ab
+        FROM am JOIN bm ON am.source = bm.source AND am.la = bm.lb
+        GROUP BY am.source)
+      SELECT nn.source, CAST(nn.n AS BIGINT) AS n,
+        CAST(m * 1000000 // nn.n AS BIGINT) AS po_ppm,
+        CAST(coalesce(ab * 1000000 // (nn.n * nn.n), 0) AS BIGINT)
+          AS pe_ppm,
+        CAST(CASE WHEN coalesce(ab * 1000000 // (nn.n * nn.n), 0)
+            = 1000000 THEN NULL
+          ELSE (m * 1000000 // nn.n
+              - coalesce(ab * 1000000 // (nn.n * nn.n), 0)) * 1000
+            // (1000000 - coalesce(ab * 1000000 // (nn.n * nn.n), 0))
+          END AS BIGINT) AS kappa_milli
+      FROM nn LEFT JOIN pe ON nn.source = pe.source
+      ORDER BY nn.source"""))
+
   // ---- q342: per-language tokenizer fertility -----------------------------
   // The tokenizer-equity report every multilingual pipeline publishes:
   // fertility (tokens per word) by language under the learned

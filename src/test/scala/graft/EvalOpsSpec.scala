@@ -43,6 +43,35 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("calibrationBuckets: decile assignment, ppm means, top-edge inclusion") {
+    val rows = Seq((50000L, false), (55000L, false), (950000L, true),
+      (940000L, false), (1000000L, true)) // conf=10⁶ joins the top bucket
+      .toDF("conf", "ok")
+    val got = EvalOps.calibrationBuckets(rows, "conf", "ok")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((2L, 52500L, 0L, 52500L)), got(0L).toString)
+    // bucket 9: n=3, mean (950000+940000+1000000)/3 = 963333, acc 2/3
+    assert(got(9L) == ((3L, 963333L, 666666L, 296667L)), got(9L).toString)
+    assert(got.keySet == Set(0L, 9L))
+  }
+
+  test("cohenKappa: hand-checked contingency, degenerate NULL") {
+    // g: 5 (y,y), 2 (n,n), 2 (y,n), 1 (n,y) → po=0.7;
+    // marginals a: y7/n3, b: y6/n4 → pe = (42+12)/100 = 0.54;
+    // κ = 0.16/0.46 = 0.3478… → 347 milli (truncating div)
+    val g = Seq.fill(5)(("g", "y", "y")) ++ Seq.fill(2)(("g", "n", "n")) ++
+      Seq.fill(2)(("g", "y", "n")) ++ Seq(("g", "n", "y"))
+    // h: both raters constant and equal → pe = 10⁶ → κ undefined
+    val h = Seq.fill(4)(("h", "x", "x"))
+    val got = EvalOps.cohenKappa((g ++ h).toDF("grp", "a", "b"),
+        "grp", "a", "b")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("g") == ((10L, 700000L, 540000L, 347L)), got("g").toString)
+    assert(got("h") == ((4L, 1000000L, 1000000L, -1L)), got("h").toString)
+  }
+
   test("majorityVote: majority, tie-break, agreement, heap plan") {
     val rows = Seq(
       // p1: x×3, y×2 → x wins, agreement 600000
