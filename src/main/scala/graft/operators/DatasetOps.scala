@@ -20,6 +20,21 @@ object DatasetOps {
     * operator keys off (split, sample, mix, pack). ONE definition:
     * each oracle replays this exact expression, so a drifted copy
     * would silently break only some operators' gates. */
+  /** Spread `df` across the session's shuffle parallelism when its
+    * scan arrives in FEWER partitions — the single-file /
+    * single-row-group input hazard: a corpus-wide tokenize/explode
+    * stage otherwise runs in ONE task, and no file-split setting can
+    * cut a one-row-group parquet (r13: q179's whole 16 s of task time
+    * sat in the scan stage's lone task, cpu_frac 0.98). A multi-file
+    * 100 TB corpus already scans wide, so the exchange is SKIPPED
+    * there; on a narrow local input it moves raw rows once to unlock
+    * the cores for the expensive map stage. */
+  private[operators] def spreadToCores(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   private[operators] def md5Draw(salt: String, id: Column): Column =
     conv(substring(md5(concat(lit(salt + ":"),
       id.cast(StringType))), 1, 8), 16, 10).cast(LongType)
@@ -1116,6 +1131,12 @@ object DatasetOps {
     *         milli_bits_per_token (= bits·1000 div n_tokens). */
   def surprisalScores(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
+    // deliberately NOT the bigram op's one-pass/spread shape (r13
+    // A/B): the unigram tokenize is cheap enough that the extra
+    // exchange and the census-behind-the-fold chaining measured
+    // SLOWER than the plain two-aggregate plan (0.98 s battery vs
+    // 2.05 s reshaped at sf0.1) — the bigram op's 16 s single-task
+    // explode is the case the reshape exists for
     val toks = docs.select(col(idCol),
       explode(whitespaceTokens(col(textCol))).as("_t"))
     val census = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
@@ -1195,15 +1216,19 @@ object DatasetOps {
     *         milli_bits_per_bigram (= bits·1000 div n_bigrams). */
   def bigramSurprisalScores(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame = {
-    val bgs = docs.select(col(idCol),
+    val bgs = spreadToCores(docs).select(col(idCol),
       explode(wordShingles(whitespaceTokens(col(textCol)), 2)).as("_bg"))
-    val bgCensus = bgs.groupBy(col("_bg")).agg(count(lit(1)).as("_cb"))
-    val ctxCensus = bgs
-      .select(substring_index(col("_bg"), " ", 1).as("_cx"))
-      .groupBy(col("_cx")).agg(count(lit(1)).as("_cc"))
+    // ONE corpus explode: both censuses derive from the per-doc fold
+    // (Σ tf by bigram/context == the occurrence counts), so the three
+    // consumers share the (doc, bigram) exchange instead of each
+    // re-tokenizing and re-shingling the corpus (r13: 8.1 s battery →
+    // the one-pass shape; also the right 100× plan — the corpus is
+    // scanned once, censuses aggregate the much-narrower fold)
     val dbg = bgs.groupBy(col(idCol), col("_bg"))
       .agg(count(lit(1)).as("_tf"))
       .withColumn("_cx", substring_index(col("_bg"), " ", 1))
+    val bgCensus = dbg.groupBy(col("_bg")).agg(sum(col("_tf")).as("_cb"))
+    val ctxCensus = dbg.groupBy(col("_cx")).agg(sum(col("_tf")).as("_cc"))
     val scored = dbg
       .join(bgCensus, "_bg")
       .join(ctxCensus, "_cx")
