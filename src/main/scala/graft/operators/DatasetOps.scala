@@ -29,7 +29,7 @@ object DatasetOps {
     * 100 TB corpus already scans wide, so the exchange is SKIPPED
     * there; on a narrow local input it moves raw rows once to unlock
     * the cores for the expensive map stage. */
-  private[operators] def spreadToCores(df: DataFrame): DataFrame = {
+  private[graft] def spreadToCores(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df

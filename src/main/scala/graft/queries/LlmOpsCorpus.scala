@@ -5095,7 +5095,7 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   private[queries] val q302: GraftQuery = GraftQuery(
     "q302_main_content",
     (s, d) => {
-      val base = docs(s, d)
+      val base = graft.operators.DatasetOps.spreadToCores(docs(s, d))
         .select(col("doc_id"), col("source"),
           contentHtml(col("doc_id"), col("text")).as("html"))
         // FENCED (NoInline, the q103 lesson): five consumers reference
@@ -5150,7 +5150,10 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   private[queries] val q303: GraftQuery = GraftQuery(
     "q303_sql_main_content",
     (s, d) => {
-      docs(s, d)
+      // spread before the per-doc block battery: a one-row-group scan
+      // would run the whole extraction in one task (r13 stage_metrics:
+      // 4 tasks, cpu_frac 0.99, wall == task time)
+      graft.operators.DatasetOps.spreadToCores(docs(s, d))
         .select(col("doc_id"), col("source"),
           contentHtml(col("doc_id"), col("text")).as("html"))
         .createOrReplaceTempView("mc_pages_sql")
@@ -5194,7 +5197,11 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
   private[queries] val q304: GraftQuery = GraftQuery(
     "q304_cleaning_recipe_v3",
     (s, d) => {
-      val extracted = docs(s, d)
+      // spread ahead of the extraction stage: on a one-row-group
+      // input the whole block battery otherwise runs in one task
+      // BEFORE the checkpoint parallelism kicks in (r13)
+      val extracted = graft.operators.DatasetOps
+        .spreadToCores(docs(s, d))
         .select(col("doc_id"), col("lang"),
           mainContent(contentHtml(col("doc_id"), col("text")))
             .as("text"))
