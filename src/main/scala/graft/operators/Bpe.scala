@@ -138,7 +138,9 @@ object Bpe {
     val ascii = filter(words, w => w.rlike("^[\\x21-\\x7e]+$"))
     val longSum = (arr: Column) =>
       aggregate(arr, lit(0L), (acc, x) => acc + x)
-    docs.select(col(idCol),
+    // the folded-replace encode is per-row heavy — spread a narrow
+    // scan so the pass doesn't run in one task (r13)
+    DatasetOps.spreadToCores(docs).select(col(idCol),
       size(words).cast(LongType).as("n_words"),
       size(ascii).cast(LongType).as("n_ascii_words"),
       longSum(transform(ascii, w => length(w).cast(LongType)))

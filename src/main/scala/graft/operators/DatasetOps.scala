@@ -30,6 +30,8 @@ object DatasetOps {
     * there; on a narrow local input it moves raw rows once to unlock
     * the cores for the expensive map stage. */
   private[graft] def spreadToCores(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a stream;
+    // micro-batch parallelism is the source's maxFilesPerTrigger story
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
@@ -1088,7 +1090,9 @@ object DatasetOps {
       weightOf(pmod(conv(substring(md5(concat(lit(s"$salt:$prefix:"), f)),
         1, 8), 16, 10).cast(LongType), lit(buckets.toLong)))
     val toks = whitespaceTokens(col(textCol))
-    df.select(col(idCol), toks.as("_tks"))
+    // hashed-feature folding is per-row heavy — spread a narrow scan
+    // so it doesn't run in one task (r13 stage-metrics sweep)
+    spreadToCores(df).select(col(idCol), toks.as("_tks"))
       .select(col(idCol), col("_tks"),
         wordShingles(col("_tks"), 2).as("_bgs"))
       .select(col(idCol),
@@ -1569,7 +1573,7 @@ object DatasetOps {
                         textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_pos"))
-    val toks = docs.select(col(idCol).as("_id"),
+    val toks = spreadToCores(docs).select(col(idCol).as("_id"),
       posexplode(whitespaceTokens(col(textCol))).as(Seq("_pos", "_w")))
     val led = toks
       .withColumn("_w2", lead(col("_w"), 1).over(w))

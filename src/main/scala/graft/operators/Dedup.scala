@@ -677,7 +677,9 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     require(numHashes >= 1 && numHashes <= 1024,
       s"numHashes must be in [1, 1024], got $numHashes")
-    def sig(d: DataFrame) = d
+    // numHashes minhash folds per doc — spread a narrow scan so the
+    // signature pass doesn't run in one task (r13)
+    def sig(d: DataFrame) = DatasetOps.spreadToCores(d)
       .select(wordShingles(whitespaceTokens(col(textCol)), k).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .select(posexplode(transform(sequence(lit(0), lit(numHashes - 1)),

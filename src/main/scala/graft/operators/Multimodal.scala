@@ -231,7 +231,7 @@ object Multimodal {
                          bands: Int = 4): DataFrame = {
     require(nFrames > 0 && frameHexChars > 0,
       s"need positive frame geometry, got $nFrames x $frameHexChars")
-    val frames = df
+    val frames = DatasetOps.spreadToCores(df)
       .select(col(idCol).as("vid"),
         posexplode(sampleFramesHex(col(hexCol), frameHexChars, nFrames)))
       .select((col("vid") * nFrames + col("pos")).as("fid"),

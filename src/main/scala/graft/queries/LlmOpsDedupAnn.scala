@@ -1044,7 +1044,7 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
       val err = when(sc > 0,
         array_max(zip_with(v, int8Roundtrip(v, sc), (a, b) => abs(b - a))))
         .otherwise(0.0)
-      emb(s, d)
+      graft.operators.DatasetOps.spreadToCores(emb(s, d))
         .select((col("vec_id") % 8).as("bucket"), err.as("err"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"),

@@ -215,8 +215,12 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
 
   private[queries] def chatRaw(s: org.apache.spark.sql.SparkSession,
                                d: String) =
-    docs(s, d).select(col("doc_id"),
-      chatJson(col("doc_id"), col("text")).as("j"))
+    // spread before the parse/verdict/render chains: every chat query
+    // inherits the corpus scan, and a one-row-group input would run
+    // the whole per-conversation work in one task (r13)
+    graft.operators.DatasetOps.spreadToCores(docs(s, d))
+      .select(col("doc_id"),
+        chatJson(col("doc_id"), col("text")).as("j"))
 
   // ---- q312: chat-corpus structural validation census ------------------
   // The ingest gate a dialogue corpus passes before any rendering:
