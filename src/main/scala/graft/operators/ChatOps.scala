@@ -112,7 +112,14 @@ object ChatOps {
     *     the nearest preceding assistant turn issued tool_calls, the
     *     tool turn's `tool_call_id` must be one of their ids; when it
     *     issued none (the free-form tool style), the tool turn must
-    *     not carry an orphaned `tool_call_id`. */
+    *     not carry an orphaned `tool_call_id`;
+    *   - a `tool_call_dangling` leg right after it (ADVICE r13: the
+    *     correlation used to check only result→call): every id an
+    *     assistant turn ISSUES must be answered by a tool turn in the
+    *     contiguous tool block that follows it — a call nothing ever
+    *     answers (the producer dropped the result row, or the call's
+    *     id is NULL) quarantines instead of training the model that
+    *     calls go unanswered. */
   def verdictTools(turns: Column): Column = {
     val nonSys = filter(turns, t => t.getField("role") =!= "system")
     val adjPairs = zip_with(
@@ -151,6 +158,28 @@ object ChatOps {
               c => c.getField("id") === tid))
             .otherwise(tid.isNotNull))
       })
+    // per assistant turn with calls at 1-based index i: every issued
+    // id must be answered inside the CONTIGUOUS tool block after i
+    // (a result past the next assistant/user turn answers a different
+    // exchange). NULL-safe: an unanswerable NULL id counts dangling.
+    val callDangling = exists(
+      filter(sequence(lit(1), n), i => {
+        val t = element_at(turns, i.cast(IntegerType))
+        t.getField("role") === "assistant" && nCalls(t) > 0
+      }),
+      i => {
+        val asst = element_at(turns, i.cast(IntegerType))
+        val block = filter(sequence(lit(1), n), j =>
+          j > i &&
+            !exists(sequence(i + 1, j), m =>
+              element_at(turns, m.cast(IntegerType))
+                .getField("role") =!= "tool"))
+        exists(asst.getField("tool_calls"), c =>
+          !coalesce(exists(block, j =>
+            coalesce(element_at(turns, j.cast(IntegerType))
+              .getField("tool_call_id") === c.getField("id"),
+              lit(false))), lit(false)))
+      })
     when(turns.isNull, "unparseable")
       .when(size(turns) === 0, "empty")
       .when(size(nonSys) === 0 ||
@@ -159,6 +188,7 @@ object ChatOps {
       .when(emptyContent, "empty_content")
       .when(toolMisplaced, "tool_out_of_place")
       .when(callMismatch, "tool_call_mismatch")
+      .when(callDangling, "tool_call_dangling")
       .when(exists(turns,
         t => !t.getField("role").isin("user", "assistant", "system", "tool")),
         "unknown_role")
@@ -179,9 +209,16 @@ object ChatOps {
       struct(t.getField("role").as("role"),
         concat(coalesce(t.getField("content"), lit("")),
           when(t.getField("tool_calls").isNull, lit(""))
+            // name/args coalesce to '' (ADVICE r13): concat over a
+            // NULL field nulls the element and array_join silently
+            // SKIPS nulls — a malformed call would vanish from the
+            // render and the loss mask instead of surfacing (its
+            // NULL id still quarantines via tool_call_dangling)
             .otherwise(array_join(transform(t.getField("tool_calls"),
-              c => concat(lit("<tool_call>"), c.getField("name"),
-                lit("\n"), c.getField("args"), lit("</tool_call>"))), "")))
+              c => concat(lit("<tool_call>"),
+                coalesce(c.getField("name"), lit("")), lit("\n"),
+                coalesce(c.getField("args"), lit("")),
+                lit("</tool_call>"))), "")))
           .as("content")))
 
   /** ChatML render: `<|im_start|>` (12 chars) + role + `\n` (1) +
@@ -266,8 +303,12 @@ object ChatOps {
     *   - `masked_chars`.
     * Rendered columns are computed for every PARSEABLE conversation
     * (a role_repeat transcript still renders — the caller decides
-    * what to keep); unparseable rows carry len 0 / null md5 / '' / 0. */
-  def flatten(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    * what to keep); unparseable rows carry len 0 / null md5 / '' / 0.
+    * `includeRendered` appends the rendered TEXT itself ('' when
+    * unparseable) — the chat ingest's paraphrase gate shingles it;
+    * metadata-only consumers keep the narrow digest-only shape. */
+  def flatten(df: DataFrame, idCol: String, jsonCol: String,
+              includeRendered: Boolean = false): DataFrame = {
     // FENCED (NoInline): the seven output expressions and any
     // downstream filter on `reason` all consume `_turns`;
     // PushPredicateThroughNonJoin would otherwise substitute the JSON
@@ -277,7 +318,7 @@ object ChatOps {
     val parsed = df.withColumn("_c", from_json(col(jsonCol), chatSchema))
       .withColumn("_turns", call_function("no_inline", col("_c.messages")))
     val rendered = renderChatML(col("_turns"))
-    parsed.select(
+    val base = Seq(
       col(idCol),
       col("_c.conv_id").as("conv_id"),
       verdict(col("_turns")).as("reason"),
@@ -296,6 +337,11 @@ object ChatOps {
         .otherwise(lossMaskSpans(col("_turns"))).as("mask_spans"),
       when(col("_turns").isNull, 0L)
         .otherwise(maskedChars(col("_turns"))).as("masked_chars"))
+    val cols = if (includeRendered)
+      base :+ when(col("_turns").isNull, lit(""))
+        .otherwise(rendered).as("rendered")
+    else base
+    parsed.select(cols: _*)
   }
 
   /** [[flatten]] through the STRUCTURED tool-call tier: parse with
@@ -303,14 +349,16 @@ object ChatOps {
     * uncorrelated tool result quarantines as `tool_call_mismatch`
     * instead of slipping through as ok), fold calls into assistant
     * content with [[resolveToolCalls]], then render/mask identically.
-    * Same output columns and null/zero contract as [[flatten]]. */
-  def flattenTools(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    * Same output columns, null/zero contract and `includeRendered`
+    * behavior as [[flatten]]. */
+  def flattenTools(df: DataFrame, idCol: String, jsonCol: String,
+                   includeRendered: Boolean = false): DataFrame = {
     val parsed = df.withColumn("_c", from_json(col(jsonCol), chatToolSchema))
       .withColumn("_raw", call_function("no_inline", col("_c.messages")))
       .withColumn("_turns",
         call_function("no_inline", resolveToolCalls(col("_raw"))))
     val rendered = renderChatML(col("_turns"))
-    parsed.select(
+    val base = Seq(
       col(idCol),
       col("_c.conv_id").as("conv_id"),
       verdictTools(col("_raw")).as("reason"),
@@ -325,6 +373,11 @@ object ChatOps {
         .otherwise(lossMaskSpans(col("_turns"))).as("mask_spans"),
       when(col("_raw").isNull, 0L)
         .otherwise(maskedChars(col("_turns"))).as("masked_chars"))
+    val cols = if (includeRendered)
+      base :+ when(col("_raw").isNull, lit(""))
+        .otherwise(rendered).as("rendered")
+    else base
+    parsed.select(cols: _*)
   }
 
   /** Packed-coordinate translation for loss masks — the step between

@@ -32,9 +32,18 @@ object DatasetOps {
   private[graft] def spreadToCores(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // .rdd is illegal on a stream;
     // micro-batch parallelism is the source's maxFilesPerTrigger story
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+    // safe parse (ADVICE r13): some AQE deployments set the conf to
+    // 'auto'; fall back to the cluster's default parallelism
+    val parts = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    // queryExecution.toRdd (not df.rdd, ADVICE r13): the cached
+    // internal-row RDD answers getNumPartitions without stacking a
+    // row-deserializer plan on top; callers sit at scan roots, where
+    // forcing the physical plan is a leaf-plan compile, not a job
+    if (df.queryExecution.toRdd.getNumPartitions < parts)
+      df.repartition(parts)
+    else df
   }
 
   private[operators] def md5Draw(salt: String, id: Column): Column =
@@ -356,6 +365,59 @@ object DatasetOps {
       .withColumn("bin", expr(s"offset div ${seqLen}L"))
       .drop("_u")
   }
+
+  /** Packing-efficiency census over a [[packSequences]] result (r14 —
+    * VERDICT r13 Missing #5): the number that decides which packer a
+    * training run uses. One row per (shard, seq): how many docs
+    * touch the sequence, how many CROSS-DOC BOUNDARIES sit inside it
+    * (n_docs − 1 — every one is an attention-contamination seam
+    * unless the trainer masks across it), the filled token mass, the
+    * padding mass (concatenate-and-cut pads only each shard's final
+    * partial sequence; every interior sequence reports fill == seqLen
+    * by construction — the conservation the spec pins), and fill as
+    * integer ppm of `seqLen`.
+    *
+    * Scale shape: the doc→sequence explode is the packedMaskPieces
+    * cut (≤ n/seqLen + 1 rows per doc, narrow), then one
+    * map-side-combined aggregate on (shard, seq). Zero-token docs
+    * occupy no tokens and join no sequence. */
+  def packingEfficiency(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packed
+      .filter(col("n_tokens") > 0)
+      .select(col("shard"), col("offset"),
+        (col("offset") + col("n_tokens")).as("_end"))
+      .select(col("shard"), col("offset"), col("_end"),
+        explode(sequence(expr(s"offset div ${seqLen}L"),
+          expr(s"(_end - 1L) div ${seqLen}L"))).as("seq"))
+      .select(col("shard"), col("seq"),
+        (least(col("_end"), (col("seq") + 1) * seqLen) -
+          greatest(col("offset"), col("seq") * seqLen)).as("_piece"))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_piece")).as("fill"))
+      .select(col("shard"), col("seq"), col("n_docs"),
+        (col("n_docs") - 1L).as("n_boundaries"), col("fill"),
+        (lit(seqLen.toLong) - col("fill")).as("padding"),
+        expr(s"fill * 1000000L div ${seqLen}L").as("fill_ppm"))
+  }
+
+  /** The [[lengthBucketBatches]] side of the packing-efficiency
+    * report: per (bucket, shard, batch_idx) — row count, padded
+    * capacity (every row pads to its bucket width; an incomplete
+    * final batch just has fewer rows), filled mass, padding mass and
+    * fill ppm. Bucketing never splits a document, so its cross-doc
+    * boundary count is zero BY CONSTRUCTION — its waste is all
+    * padding, which is exactly the trade the comparative report
+    * (q348) quantifies. One map-side-combined aggregate. */
+  def bucketBatchEfficiency(batched: DataFrame): DataFrame =
+    batched
+      .groupBy(col("bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_tokens")).as("fill"))
+      .select(col("bucket"), col("shard"), col("batch_idx"),
+        col("n_rows"), (col("bucket") * col("n_rows")).as("capacity"),
+        col("fill"),
+        (col("bucket") * col("n_rows") - col("fill")).as("padding"),
+        expr("fill * 1000000L div (bucket * n_rows)").as("fill_ppm"))
 
   /** Land a [[packSequences]] result as training shards: one
     * hive-partition directory per shard, rows offset-sorted within

@@ -514,6 +514,19 @@ object Dedup {
       .sortBy("_band", "_bhash")
       .saveAsTable(table)
 
+  /** Append a shard's rows to a [[writeMinhashIndex]] index — the
+    * grows-with-ingestion mode (the chat paraphrase gate lands every
+    * surviving conversation's rows so the NEXT shard probes against
+    * it). Same hash family as the writer by construction. Delivery
+    * inherits the caller's semantics: an at-least-once retry re-lands
+    * IDENTICAL rows, which the probe's per-pair dropDuplicates
+    * already collapses — duplicates cost probe work, never verdicts. */
+  def appendToMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
+                           dir: String, shingleWords: Int = 3,
+                           numHashes: Int = 24, bands: Int = 6): Unit =
+    minhashIndexRows(docs, textCol, idCol, shingleWords, numHashes, bands)
+      .write.mode("append").parquet(dir)
+
   /** Maintain a [[writeMinhashIndex]] index under a CDC changelog
     * WITHOUT rebuilding it: rows of deleted/updated docs are dropped
     * (one anti join on the doc id — the changelog is small relative to

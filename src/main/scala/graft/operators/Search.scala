@@ -318,12 +318,17 @@ object Search {
     val pat = pattern.toLowerCase(java.util.Locale.ROOT)
     require(pat.length >= k,
       s"pattern must be at least $k chars, got '$pattern'")
-    val esc = pat.replace("\\", "\\\\").replace("'", "\\'")
+    // divisor in CODE POINTS (ADVICE r13): Spark's length() counts
+    // code points while Scala's .length counts UTF-16 units, so a
+    // supplementary-plane pattern (emoji, rare CJK) would misdivide;
+    // the pattern rides a typed lit, not an escaped SQL literal
+    val patCp = pat.codePointCount(0, pat.length)
     docs.select(col(idCol).as("id"), lower(col(textCol)).as("_lt"))
       .filter(col("_lt").contains(pat))
+      .withColumn("_delta",
+        length(col("_lt")) - length(replace(col("_lt"), lit(pat))))
       .select(col("id"),
-        expr(s"(length(_lt) - length(replace(_lt, '$esc', ''))) " +
-          s"div ${pat.length}").as("n_occurrences"))
+        expr(s"_delta div $patCp").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("id"))
   }
 
@@ -343,13 +348,15 @@ object Search {
       .agg(count(lit(1)).as("_ng"))
       .filter(col("_ng") === lit(grams.size.toLong))
       .select(col("id"))
-    val esc = pat.replace("\\", "\\\\").replace("'", "\\'")
+    // same code-point divisor + typed-lit pattern as [[substringSearch]]
+    val patCp = pat.codePointCount(0, pat.length)
     docs.select(col(idCol).as("id"), lower(col(textCol)).as("_lt"))
       .join(cand, Seq("id"))
       .filter(col("_lt").contains(pat))
+      .withColumn("_delta",
+        length(col("_lt")) - length(replace(col("_lt"), lit(pat))))
       .select(col("id"),
-        expr(s"(length(_lt) - length(replace(_lt, '$esc', ''))) " +
-          s"div ${pat.length}").as("n_occurrences"))
+        expr(s"_delta div $patCp").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("id"))
   }
 

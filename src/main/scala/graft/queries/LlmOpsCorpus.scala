@@ -733,6 +733,102 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         CAST(max(off) AS BIGINT) AS max_offset
       FROM w GROUP BY shard ORDER BY shard"""))
 
+  // ---- q348: packing-efficiency report (r14) -----------------------------
+  // VERDICT r13 Missing #5: both packers existed, nothing reported the
+  // waste either incurs — the number that decides which one a training
+  // run uses. Concatenate-and-cut (q99's 256-token sequences) wastes
+  // only each shard's final partial sequence but buys a cross-doc
+  // attention seam per interior boundary; length-bucketing (16-row
+  // batches, power-of-two buckets 16..2048) has zero seams but pads
+  // every row to its bucket ceiling. One comparative row per packer:
+  // unit count, padded capacity, filled mass, padding mass, fill ppm,
+  // and total cross-doc boundaries. The oracle replays BOTH packers'
+  // md5 deals, the prefix sums, the sequence cuts, the power-of-two
+  // CASE ladder, the batch slicing, and every census sum.
+
+  private[queries] val q348 = GraftQuery(
+    "q348_packing_efficiency",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pe = DatasetOps.packingEfficiency(
+        DatasetOps.packSequences(dd, "doc_id", tokenCount(col("text")),
+          seqLen = 256, nShards = 8), seqLen = 256)
+      val be = DatasetOps.bucketBatchEfficiency(
+        DatasetOps.lengthBucketBatches(dd, "doc_id",
+          tokenCount(col("text")), batchSize = 16))
+      val a = pe.agg(count(lit(1)).as("n_units"),
+          sum(col("fill")).as("fill"),
+          sum(col("n_boundaries")).as("n_boundaries"))
+        .select(lit("concat_cut").as("packer"), col("n_units"),
+          (col("n_units") * 256L).as("capacity"), col("fill"),
+          (col("n_units") * 256L - col("fill")).as("padding"),
+          expr("fill * 1000000L div (n_units * 256L)").as("fill_ppm"),
+          col("n_boundaries"))
+      val b = be.agg(count(lit(1)).as("n_units"),
+          sum(col("capacity")).as("capacity"), sum(col("fill")).as("fill"))
+        .select(lit("length_bucket").as("packer"), col("n_units"),
+          col("capacity"), col("fill"),
+          (col("capacity") - col("fill")).as("padding"),
+          expr("fill * 1000000L div capacity").as("fill_ppm"),
+          lit(0L).as("n_boundaries"))
+      a.unionByName(b).orderBy(col("packer"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS n_tok
+        FROM documents),
+      w AS (
+        SELECT doc_id, u % 8 AS shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY u % 8 ORDER BY u, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+        FROM (SELECT doc_id, n_tok,
+          CAST(concat('0x', substring(md5('pack:'||doc_id), 1, 8))
+            AS BIGINT) AS u FROM t)),
+      pieces AS (SELECT shard, seq,
+          least(off + n_tok, (seq + 1) * 256)
+            - greatest(off, seq * 256) AS piece,
+          1 AS d
+        FROM (SELECT shard, off, n_tok,
+            unnest(generate_series(CAST(off // 256 AS BIGINT),
+              CAST((off + n_tok - 1) // 256 AS BIGINT))) AS seq
+          FROM w WHERE n_tok > 0)),
+      ps AS (SELECT shard, seq, count(*) AS n_docs, sum(piece) AS fill
+        FROM pieces GROUP BY shard, seq),
+      pa AS (SELECT count(*) AS n_units, sum(fill) AS fill,
+          sum(n_docs - 1) AS nb FROM ps),
+      b0 AS (SELECT doc_id, n_tok, u % 8 AS shard, u,
+          CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+            WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+            WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+            WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket
+        FROM (SELECT doc_id, n_tok,
+          CAST(concat('0x', substring(md5('batch:'||doc_id), 1, 8))
+            AS BIGINT) AS u FROM t)),
+      br AS (SELECT bucket, shard,
+          (row_number() OVER (PARTITION BY bucket, shard
+            ORDER BY u, doc_id) - 1) // 16 AS batch_idx, n_tok
+        FROM b0),
+      bb AS (SELECT bucket, shard, batch_idx, count(*) AS n_rows,
+          sum(n_tok) AS fill FROM br GROUP BY bucket, shard, batch_idx),
+      ba AS (SELECT count(*) AS n_units, sum(bucket * n_rows) AS capacity,
+          sum(fill) AS fill FROM bb)
+      SELECT * FROM (
+        SELECT 'concat_cut' AS packer, CAST(n_units AS BIGINT) AS n_units,
+          CAST(n_units * 256 AS BIGINT) AS capacity,
+          CAST(fill AS BIGINT) AS fill,
+          CAST(n_units * 256 - fill AS BIGINT) AS padding,
+          CAST(fill * 1000000 // (n_units * 256) AS BIGINT) AS fill_ppm,
+          CAST(nb AS BIGINT) AS n_boundaries
+        FROM pa
+        UNION ALL
+        SELECT 'length_bucket', CAST(n_units AS BIGINT),
+          CAST(capacity AS BIGINT), CAST(fill AS BIGINT),
+          CAST(capacity - fill AS BIGINT),
+          CAST(fill * 1000000 // capacity AS BIGINT), CAST(0 AS BIGINT)
+        FROM ba)
+      ORDER BY packer"""))
+
   // ---- q100: sliding-window chunking -----------------------------------
   // Long-doc training prep: overlapping 32-token windows every 24
   // tokens; the emitted chunk TEXT (not just counts) gates the

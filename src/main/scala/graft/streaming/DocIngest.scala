@@ -1118,18 +1118,49 @@ object DocIngest {
     * land with their loss-mask spans while their digests append to
     * the index. Dedup keys on `rendered_md5` — the RENDERED text's
     * digest, so two JSONL spellings of the same conversation (key
-    * order, whitespace outside strings) still collapse. Delivery is
-    * the foreachBatch contract — at-least-once; a retry re-lands
-    * identical rows, collapsed keep-first by readers. */
+    * order, whitespace outside strings) still collapse.
+    *
+    * PARAPHRASE tier (r14 — VERDICT r13 Missing #1): the exact digest
+    * blocks re-spellings only; a lightly-paraphrased twin (a system
+    * prompt prepended — the q330 class, J 0.625–0.92 against its
+    * original) sails through it. When `paraphraseIndexDir` is set,
+    * digest-fresh conversations additionally probe a persisted
+    * MinHash index over RENDERED transcripts
+    * ([[graft.operators.Dedup.probeMinhashIndexFrame]], q330's 12×2
+    * banding — per-pair miss ≤0.3% at the paraphrase tier's J — with
+    * exact word-3-shingle Jaccard ≥ `paraphraseThreshold`
+    * verification against the stored shingle hashes, so decisions are
+    * exact and bodies never ride the probe); hits quarantine as
+    * `paraphrase_near_dup`, survivors append their own index rows, so
+    * index == landed conversations and a later shard's twin is
+    * blocked by the earlier original. Within one micro-batch two
+    * paraphrases of each other both land (the probe sees prior
+    * batches) — the batch near-dup pass (q330) claws that residue
+    * back, exactly as for [[runNearDupGate]]. Delivery is the
+    * foreachBatch contract — at-least-once; a retry re-lands
+    * identical rows, collapsed keep-first by readers (and the probe's
+    * per-pair dropDuplicates absorbs re-landed index rows). */
   def runChatIngest(spark: SparkSession, rawDir: String,
                     indexDir: String, outDir: String,
                     quarantineDir: String, checkpointDir: String,
                     maxFilesPerTrigger: Int = 1,
-                    toolAware: Boolean = false): Unit = {
+                    toolAware: Boolean = false,
+                    paraphraseIndexDir: String = "",
+                    paraphraseThreshold: Double = 0.5): Unit = {
+    val paraGate = paraphraseIndexDir.nonEmpty
     if (!hadoopExists(spark, indexDir)) {
       import spark.implicits._
       Seq.empty[String].toDF("rendered_md5")
         .write.mode("overwrite").parquet(indexDir)
+    }
+    if (paraGate && !hadoopExists(spark, paraphraseIndexDir)) {
+      // seed with the writer's own schema (idCol line_md5 + shingle
+      // hashes + band rows) so the first batch's probe-side join binds
+      import spark.implicits._
+      graft.operators.Dedup.appendToMinhashIndex(
+        Seq.empty[(String, String)].toDF("line_md5", "rendered"),
+        "rendered", "line_md5", paraphraseIndexDir,
+        shingleWords = 3, numHashes = 24, bands = 12)
     }
     val q = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1140,12 +1171,12 @@ object DocIngest {
         // an uncorrelated tool result quarantines as
         // tool_call_mismatch instead of slipping through as ok, and
         // serialized calls land inside the persisted render digest
-        val flattenFn =
-          if (toolAware) graft.operators.ChatOps.flattenTools _
-          else graft.operators.ChatOps.flatten _
-        val flat = flattenFn(
-          batch.withColumn("line_md5", md5(col("value"))),
-          "line_md5", "value")
+        val keyed = batch.withColumn("line_md5", md5(col("value")))
+        val flat =
+          if (toolAware) graft.operators.ChatOps.flattenTools(
+            keyed, "line_md5", "value", includeRendered = paraGate)
+          else graft.operators.ChatOps.flatten(
+            keyed, "line_md5", "value", includeRendered = paraGate)
         flat.persist() // two consumers: quarantine + landing
         try {
           flat.filter(col("reason") =!= "ok")
@@ -1159,14 +1190,53 @@ object DocIngest {
           val fresh = firsts.join(spark.read.parquet(indexDir),
             Seq("rendered_md5"), "left_anti")
           fresh.persist()
+          // paraphrase probe: re-read the GROWING index each batch
+          // (earlier batches' survivors must block this one's twins)
+          val hitsOpt = if (paraGate) {
+            val h = graft.operators.Dedup.probeMinhashIndexFrame(
+              spark.read.parquet(paraphraseIndexDir), fresh,
+              "rendered", "line_md5", paraphraseThreshold,
+              shingleWords = 3, numHashes = 24, bands = 12)
+              .select(col("idNew").as("line_md5")).distinct()
+            h.persist() // two consumers: quarantine + anti join
+            Some(h)
+          } else None
           try {
-            fresh.select(col("conv_id"), col("line_md5"), col("n_turns"),
-                col("rendered_len"), col("rendered_md5"),
+            hitsOpt.foreach { hits =>
+              fresh.join(hits, Seq("line_md5"), "left_semi")
+                .select(col("line_md5"),
+                  lit("paraphrase_near_dup").as("reason"))
+                .write.mode("append").json(quarantineDir)
+            }
+            // eager localCheckpoint, not persist: the landing APPENDS
+            // to the very paths this plan READS (digest + minhash
+            // index), and Spark invalidates-and-recomputes path caches
+            // on write — a persisted survivors would re-derive its
+            // anti-join against the post-write index, see its own
+            // batch's digests, and arrive EMPTY at the later writes
+            // (observed: the minhash append received 0 rows while the
+            // landing write had just emitted them). Severed lineage
+            // cannot be invalidated; the checkpoint blocks are freed
+            // by the context cleaner when the batch's frame is GC'd.
+            val survivors = hitsOpt
+              .map(hits => fresh.join(hits, Seq("line_md5"), "left_anti"))
+              .getOrElse(fresh)
+              .localCheckpoint()
+            survivors.select(col("conv_id"), col("line_md5"),
+                col("n_turns"), col("rendered_len"), col("rendered_md5"),
                 col("mask_spans"), col("masked_chars"))
               .write.mode("append").parquet(outDir)
-            fresh.select(col("rendered_md5"))
+            survivors.select(col("rendered_md5"))
               .write.mode("append").parquet(indexDir)
-          } finally fresh.unpersist()
+            if (paraGate)
+              graft.operators.Dedup.appendToMinhashIndex(
+                survivors.select(col("line_md5"), col("rendered")),
+                "rendered", "line_md5", paraphraseIndexDir,
+                shingleWords = 3, numHashes = 24, bands = 12)
+          } finally {
+            hitsOpt.foreach(_.unpersist())
+            fresh.unpersist()
+          }
         } finally flat.unpersist()
         ()
       }

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** Per-pass resource accounting for [[graft.Bench]] — the
   * instrumentation VERDICT r12 item 1 asked for: the battery-context
@@ -42,6 +42,7 @@ object BenchMetrics {
   /** Task-metrics accumulator — register one per SparkSession. */
   final class TaskAgg extends SparkListener {
     val tasks = new AtomicLong(0)
+    val stages = new AtomicLong(0)
     val runMs = new AtomicLong(0)
     val cpuNs = new AtomicLong(0)
     val gcMs = new AtomicLong(0)
@@ -49,6 +50,9 @@ object BenchMetrics {
     val shufWriteB = new AtomicLong(0)
     val spillB = new AtomicLong(0)
     val inputB = new AtomicLong(0)
+
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet()
 
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -68,13 +72,15 @@ object BenchMetrics {
   /** One cross-layer counter snapshot. Level fields (codeCacheMb,
     * metaspaceMb) are occupancy at snapshot time, not deltas —
     * [[Snap.minus]] keeps the LATER level. */
-  final case class Snap(tasks: Long, runMs: Long, cpuNs: Long, gcMs: Long,
+  final case class Snap(tasks: Long, stages: Long, runMs: Long,
+                        cpuNs: Long, gcMs: Long,
                         shufReadB: Long, shufWriteB: Long, spillB: Long,
                         inputB: Long, jitMs: Long, classes: Long,
                         ioReadB: Long, codeCacheMb: Double,
                         metaspaceMb: Double) {
     def minus(prev: Snap): Snap = Snap(
-      tasks - prev.tasks, runMs - prev.runMs, cpuNs - prev.cpuNs,
+      tasks - prev.tasks, stages - prev.stages, runMs - prev.runMs,
+      cpuNs - prev.cpuNs,
       gcMs - prev.gcMs, shufReadB - prev.shufReadB,
       shufWriteB - prev.shufWriteB, spillB - prev.spillB,
       inputB - prev.inputB, jitMs - prev.jitMs, classes - prev.classes,
@@ -91,7 +97,7 @@ object BenchMetrics {
     def json: String = {
       def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
       def r3(d: Double): Double = math.round(d * 1000) / 1000.0
-      Seq(tasks.toString, runMs.toString,
+      Seq(tasks.toString, stages.toString, runMs.toString,
         math.round(cpuNs / 1e6).toString, gcMs.toString,
         mb(shufReadB).toString, mb(shufWriteB).toString,
         mb(spillB).toString, mb(inputB).toString, jitMs.toString,
@@ -102,7 +108,8 @@ object BenchMetrics {
   }
 
   /** Field order of [[Snap.json]], stamped once into the artifact. */
-  val legend: String = Seq("tasks", "run_ms", "cpu_ms", "task_gc_ms",
+  val legend: String = Seq("tasks", "stages", "run_ms", "cpu_ms",
+    "task_gc_ms",
     "shuf_read_mb", "shuf_write_mb", "spill_mb", "input_mb", "jit_ms",
     "classes_loaded", "io_read_mb", "codecache_used_mb",
     "metaspace_used_mb", "cpu_frac")
@@ -132,7 +139,8 @@ object BenchMetrics {
       comp.getTotalCompilationTime else -1L
     val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
       .getTotalLoadedClassCount
-    Snap(agg.tasks.get(), agg.runMs.get(), agg.cpuNs.get(), agg.gcMs.get(),
+    Snap(agg.tasks.get(), agg.stages.get(), agg.runMs.get(),
+      agg.cpuNs.get(), agg.gcMs.get(),
       agg.shufReadB.get(), agg.shufWriteB.get(), agg.spillB.get(),
       agg.inputB.get(), jit, cls, procSelfIoReadBytes(),
       poolUsedMb("CodeHeap", "Code Cache"), poolUsedMb("Metaspace"))
@@ -155,18 +163,61 @@ object BenchMetrics {
 
   /** One-line battery-vs-isolation diagnosis for a flagged row — the
     * sentence `taint_reason` could never carry: which layer inflated.
-    * `b` is the battery min pass's delta, `iso` the isolated one. */
+    * `b` is the battery min pass's delta, `iso` the isolated one.
+    *
+    * r14 (VERDICT r13 item 2): beside the per-layer numbers the line
+    * now carries the WORK-SHAPE diff — task count, stage count and
+    * shuffle-write bytes battery-vs-isolated — and closes with a
+    * `shape:` verdict separating the two inflation families the
+    * layer numbers alone could not (q148 in r13: 26.9× the
+    * task-seconds at cpu_frac ~1.0 — more EXECUTION, not slower
+    * execution):
+    *   - `work_drift` — more task-seconds at healthy CPU fraction
+    *     AND more tasks/stages/shuffle bytes: the battery execution
+    *     genuinely did different work (AQE re-plan under a recycled
+    *     session, re-derived shared materialization, memo miss);
+    *   - `work_drift_in_task` — more task-seconds at healthy CPU
+    *     across the SAME task/stage/byte shape: the same plan chewed
+    *     more per task (a per-JVM memo rebuilt inside tasks);
+    *   - `contention` — task-seconds inflated with the CPU fraction
+    *     collapsed: tasks waited (external load, scheduler, faults);
+    *   - `stall_outside_tasks` — wall inflated but task-seconds
+    *     didn't: the gap sits between jobs (driver, GC pauses between
+    *     stages, listener/planning), not in execution;
+    *   - `gc` — the in-task GC delta dominates the inflation. */
   def diagnose(wallB: Double, b: Snap, wallI: Double, iso: Snap): String = {
     def ratio(x: Double, y: Double): String =
       if (y <= 0) "n/a" else f"${x / y}%.1fx"
     val parts = Seq(
       s"wall ${ratio(wallB, wallI)}",
       s"task_run ${ratio(b.runMs.toDouble, iso.runMs.toDouble)}",
+      s"tasks ${b.tasks} vs ${iso.tasks}",
+      s"stages ${b.stages} vs ${iso.stages}",
+      f"shuf_write_mb ${b.shufWriteB / 1048576.0}%.1f vs ${iso.shufWriteB / 1048576.0}%.1f",
       f"cpu_frac ${b.cpuFrac}%.2f vs ${iso.cpuFrac}%.2f",
       s"jit_ms ${b.jitMs} vs ${iso.jitMs}",
       s"task_gc_ms ${b.gcMs} vs ${iso.gcMs}",
       f"io_read_mb ${b.ioReadB / 1048576.0}%.1f vs ${iso.ioReadB / 1048576.0}%.1f",
       f"codecache_mb ${b.codeCacheMb}%.0f vs ${iso.codeCacheMb}%.0f")
-    parts.mkString("; ")
+    def r(x: Long, y: Long): Double = if (y <= 0) -1.0 else x.toDouble / y
+    val runR = r(b.runMs, iso.runMs)
+    val wallR = if (wallI <= 0) -1.0 else wallB / wallI
+    val moreWork = r(b.tasks, iso.tasks) >= 1.5 ||
+      r(b.stages, iso.stages) >= 1.5 ||
+      r(b.shufWriteB, iso.shufWriteB) >= 1.5 ||
+      r(b.inputB, iso.inputB) >= 1.5
+    val cpuHealthy = b.cpuFrac >= 0.8 ||
+      (iso.cpuFrac > 0 && b.cpuFrac >= 0.85 * iso.cpuFrac)
+    val gcDominant = b.gcMs - iso.gcMs > 0 &&
+      (b.gcMs - iso.gcMs) >= 0.4 * math.max(b.runMs - iso.runMs, 1L)
+    val shape =
+      if (runR < 0 || wallR < 0) "n/a"
+      else if (gcDominant && runR >= 1.5) "gc"
+      else if (runR >= 2.0 && cpuHealthy && moreWork) "work_drift"
+      else if (runR >= 2.0 && cpuHealthy) "work_drift_in_task"
+      else if (runR >= 1.5) "contention"
+      else if (wallR >= 1.5) "stall_outside_tasks"
+      else "unremarkable"
+    (parts :+ s"shape: $shape").mkString("; ")
   }
 }

@@ -403,6 +403,58 @@ object Scratch {
         for (i <- 1 to 3)
           time(s"clusterReps-$i")(
             graft.operators.Dedup.clusterReps(pairs, checkpointPairs = false).count())
+      case "parad" =>
+        // r14 dev probe: why does the chat paraphrase gate (minhash
+        // over rendered transcripts) hit or miss a given twin pair
+        import org.apache.spark.sql.functions._
+        val okA = """{"conv_id":1,"messages":[{"role":"user","content":"please summarize the quarterly revenue figures for me"},{"role":"assistant","content":"the quarterly revenue figures rose steadily across all regions this year"}]}"""
+        val paraA = """{"conv_id":7,"messages":[{"role":"system","content":"stay factual"},{"role":"user","content":"please summarize the quarterly revenue figures for me"},{"role":"assistant","content":"the quarterly revenue figures rose steadily across all regions this year"}]}"""
+        def flat(s0: String) = graft.operators.ChatOps.flatten(
+          Seq(s0).toDF("value").withColumn("line_md5", md5(col("value"))),
+          "line_md5", "value", includeRendered = true)
+        val f1 = flat(okA); val f2 = flat(paraA)
+        println("f1 reason: " + f1.select("reason").as[String].collect().toSeq)
+        println("f2 reason: " + f2.select("reason").as[String].collect().toSeq)
+        val dir = "/tmp/dbg_para_idx"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+        graft.operators.Dedup.appendToMinhashIndex(
+          f1.select("line_md5", "rendered"), "rendered", "line_md5",
+          dir, 3, 24, 12)
+        println("index rows: " + spark.read.parquet(dir).count())
+        val hits = graft.operators.Dedup.probeMinhashIndexFrame(
+          spark.read.parquet(dir), f2, "rendered", "line_md5",
+          0.5, 3, 24, 12)
+        hits.show(false)
+        // replicate the INGEST's batch-1 path exactly: persist +
+        // keep-first window + digest anti-join + survivors select
+        val idxDir = "/tmp/dbg_para_didx"; rm(new java.io.File(idxDir))
+        Seq.empty[String].toDF("rendered_md5")
+          .write.mode("overwrite").parquet(idxDir)
+        val flatB = graft.operators.ChatOps.flatten(
+          Seq(okA).toDF("value").withColumn("line_md5", md5(col("value"))),
+          "line_md5", "value", includeRendered = true)
+        flatB.persist()
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rendered_md5")).orderBy(col("line_md5"))
+        val firsts = flatB.filter(col("reason") === "ok")
+          .withColumn("_rn", row_number().over(w2))
+          .filter(col("_rn") === 1).drop("_rn")
+        val fresh = firsts.join(spark.read.parquet(idxDir),
+          Seq("rendered_md5"), "left_anti")
+        fresh.persist()
+        println("fresh rows: " + fresh.count())
+        fresh.select(col("line_md5"), col("rendered"),
+          length(col("rendered")).as("rl")).show(2)
+        val dir2 = "/tmp/dbg_para_idx2"; rm(new java.io.File(dir2))
+        graft.operators.Dedup.appendToMinhashIndex(
+          fresh.select(col("line_md5"), col("rendered")),
+          "rendered", "line_md5", dir2,
+          shingleWords = 3, numHashes = 24, bands = 12)
+        println("ingest-shaped index rows: " + spark.read.parquet(dir2).count())
       case "q70x" =>
         // A/B the multi-distinct shapes behind q70 (bench top-5 audit)
         import org.apache.spark.sql.functions._

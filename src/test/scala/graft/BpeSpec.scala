@@ -127,4 +127,116 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b)
     assert(a == referenceMerges(texts, 4))
   }
+
+  /** Reference BATCHED learner — the r14 batch rule word for word:
+    * census order (cnt DESC, l, r), window 8·batch, greedy selection
+    * skipping any pair sharing a symbol with one selected this round,
+    * sequential rank-order apply. */
+  private def referenceBatched(texts: Seq[String], k: Int, batch: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val census = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for (t <- texts; w <- t.toLowerCase.split("\\s+")
+           if w.nonEmpty && w.forall(c => c >= '!' && c <= '~'))
+      census.updateWith(w.map(_.toString).toVector)(c => Some(c.getOrElse(0L) + 1))
+    var words = census.toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    def applyMerge(sy: Vector[String], l: String, r: String): Vector[String] = {
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
+          merged += (l + r); i += 2
+        } else { merged += sy(i); i += 1 }
+      }
+      merged.toVector
+    }
+    while (out.size < k && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sy, n) <- words; i <- 0 until sy.length - 1)
+        pairs.updateWith((sy(i), sy(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (pairs.isEmpty) done = true
+      else {
+        val window = pairs.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.take(8 * batch)
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val want = math.min(batch, k - out.size)
+        window.iterator.takeWhile(_ => sel.size < want).foreach {
+          case ((l, r), c) =>
+            if (!used(l) && !used(r)) { sel += ((l, r, c)); used += l; used += r }
+        }
+        sel.foreach { case (l, r, c) => out += ((out.size + 1L, l, r, c)) }
+        for ((l, r, _) <- sel)
+          words = words.groupMapReduce {
+            case (sy, _) => applyMerge(sy, l, r) }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnBpeMergesBatched equals the JVM reference at 256 merges") {
+    // a corpus rich enough to sustain 256 merges: many distinct word
+    // families with shared prefixes/suffixes and repeated bigrams
+    val texts = (0 until 300).map(i =>
+      s"alpha$i beta$i gamma${i % 50} ing${i % 20}tion " +
+        s"pre${"xy" * (i % 5 + 1)}fix the${i % 9} and${i % 7}")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.learnBpeMergesBatched(docs, "text",
+        nMerges = 256, batchSize = 32)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val want = referenceBatched(texts, 256, 32)
+    assert(got.size == 256, s"corpus exhausted at ${got.size} merges")
+    assert(got == want,
+      s"first divergence: ${got.zip(want).find(p => p._1 != p._2)}")
+    // layout invariance
+    val re = Bpe.learnBpeMergesBatched(docs.repartition(13), "text",
+        nMerges = 256, batchSize = 32)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(re == got)
+  }
+
+  test("batchSize = 1 batched learning degenerates to the classic learner") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest widest widest")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val classic = Bpe.learnBpeMerges(docs, "text", nMerges = 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batched = Bpe.learnBpeMergesBatched(docs, "text",
+        nMerges = 6, batchSize = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(batched == classic)
+  }
+
+  test("persisted vocabulary round-trips; truncation and missing sidecar refuse loudly") {
+    val docs = Seq((1L, "low low lower newest newest widest"))
+      .toDF("doc_id", "text")
+    val learned = Bpe.learnBpeMerges(docs, "text", nMerges = 4)
+    val want = learned.as[(Long, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpevocab_spec_").toString
+    Bpe.writeBpeVocab(learned, dir)
+    assert(Bpe.readBpeVocab(spark, dir) == want)
+    // sidecar count mismatch (a truncated or doubly-appended table)
+    Seq(9L).toDF("n_merges").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.readBpeVocab(spark, dir)
+    }
+    assert(e1.getMessage.contains("inconsistent"), e1.getMessage)
+    // missing sidecar entirely
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_bpevocab_spec2_").toString
+    learned.write.mode("overwrite").parquet(s"$dir2/merges")
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.readBpeVocab(spark, dir2)
+    }
+    assert(e2.getMessage.contains("meta sidecar"), e2.getMessage)
+  }
 }

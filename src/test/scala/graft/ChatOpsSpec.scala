@@ -328,7 +328,16 @@ class ChatOpsSpec extends AnyFunSuite {
       // two results answering two parallel calls, both correlated
       8L -> s"""{"conv_id":8,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")},${call("c2")}]},{"role":"tool","tool_call_id":"c2","content":"r2"},{"role":"tool","tool_call_id":"c1","content":"r1"},{"role":"assistant","content":"a"}]}""",
       // placement beats correlation: tool after user
-      9L -> s"""{"conv_id":9,"messages":[{"role":"user","content":"q"},{"role":"tool","tool_call_id":"zz","content":"r"},{"role":"assistant","content":"a"}]}""")
+      9L -> s"""{"conv_id":9,"messages":[{"role":"user","content":"q"},{"role":"tool","tool_call_id":"zz","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // dangling (ADVICE r13): a call the next turn never answers —
+      // the user replies as if no call had been issued
+      10L -> s"""{"conv_id":10,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")}]},{"role":"user","content":"q2"},{"role":"assistant","content":"a"}]}""",
+      // dangling: two parallel calls, only one answered in the block
+      11L -> s"""{"conv_id":11,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")},${call("c2")}]},{"role":"tool","tool_call_id":"c1","content":"r"},{"role":"assistant","content":"a"}]}""",
+      // dangling: the conversation ENDS on an unanswered call
+      12L -> s"""{"conv_id":12,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[${call("c1")}]}]}""",
+      // dangling: a NULL call id is unanswerable by construction
+      13L -> s"""{"conv_id":13,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"hm","tool_calls":[{"name":"search","args":"q"}]},{"role":"tool","tool_call_id":"c1","content":"r"},{"role":"assistant","content":"a"}]}""")
     val got = tflat(rows)
     assert(got(1L) == "ok")
     assert(got(2L) == "tool_call_mismatch")
@@ -339,6 +348,10 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(got(7L) == "empty_content")
     assert(got(8L) == "ok")
     assert(got(9L) == "tool_out_of_place")
+    assert(got(10L) == "tool_call_dangling")
+    assert(got(11L) == "tool_call_dangling")
+    assert(got(12L) == "tool_call_dangling")
+    assert(got(13L) == "tool_call_dangling")
   }
 
   test("resolveToolCalls: calls fold into assistant content and land inside the mask") {
@@ -364,6 +377,21 @@ class ChatOpsSpec extends AnyFunSuite {
       rendered.substring(s0, e0).contains("result text") },
       "tool result content must stay outside the mask")
     assert(masked == want.length + "final".length)
+  }
+
+  test("resolveToolCalls: NULL name/args render deterministically, never vanish") {
+    // ADVICE r13: concat over a NULL field used to null the element
+    // and array_join silently skipped it — a malformed call vanished
+    // from the render AND the loss mask
+    val j =
+      """{"conv_id":1,"messages":[{"role":"user","content":"q"},{"role":"assistant","content":"x","tool_calls":[{"id":"c1","name":"search"},{"id":"c2","args":"a2"}]}]}"""
+    val rendered = Seq((1L, j)).toDF("id", "j")
+      .withColumn("t", ChatOps.resolveToolCalls(
+        from_json($"j", ChatOps.chatToolSchema).getField("messages")))
+      .select(ChatOps.renderChatML($"t")).as[String].collect().head
+    assert(rendered.contains(
+      "x<tool_call>search\n</tool_call><tool_call>\na2</tool_call>"),
+      s"malformed calls must serialize with '' holes, got: $rendered")
   }
 
   test("fitContextBy with token costs: the budget counts learned-BPE tokens, not characters") {

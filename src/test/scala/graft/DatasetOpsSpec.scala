@@ -1153,4 +1153,39 @@ class DatasetOpsSpec extends AnyFunSuite {
       graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("packingEfficiency: mass conserved, interior sequences full, boundary census") {
+    val docsDf = (1L to 60L).map(i => (i, 3L + i % 7)).toDF("id", "n")
+    val packed = DatasetOps.packSequences(docsDf, "id", col("n"),
+      seqLen = 16, nShards = 3)
+    val eff = DatasetOps.packingEfficiency(packed, 16)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (shard, seq, n_docs, n_boundaries, fill, padding, fill_ppm)
+    val totalTokens = (1L to 60L).map(i => 3L + i % 7).sum
+    assert(eff.map(_._5).sum == totalTokens, "fill mass must conserve")
+    // only each shard's FINAL sequence may be partial
+    val lastSeq = eff.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    eff.filter(e => e._2 < lastSeq(e._1)).foreach { e =>
+      assert(e._5 == 16L && e._6 == 0L && e._7 == 1000000L,
+        s"interior sequence not full: $e")
+    }
+    // boundaries = docs touching the sequence minus one, never negative
+    assert(eff.forall(e => e._4 == e._3 - 1 && e._4 >= 0))
+    // zero-token docs occupy nothing and join no sequence
+    val withZero = docsDf.union(Seq((999L, 0L)).toDF("id", "n"))
+    val eff2 = DatasetOps.packingEfficiency(
+      DatasetOps.packSequences(withZero, "id", col("n"), 16, 3), 16)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(eff2.map(_._5).sum == totalTokens)
+
+    val be = DatasetOps.bucketBatchEfficiency(
+      DatasetOps.lengthBucketBatches(docsDf, "id", col("n"),
+        batchSize = 4, minBucket = 4, maxBucket = 16, nShards = 2))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (bucket, shard, batch_idx, n_rows, capacity, fill, padding, ppm)
+    assert(be.map(_._6).sum == totalTokens, "bucketed fill must conserve")
+    assert(be.forall(b => b._5 == b._1 * b._4 && b._7 == b._5 - b._6))
+    assert(be.forall(b => b._4 >= 1 && b._4 <= 4), "batchSize respected")
+    assert(be.forall(b => b._8 > 0 && b._8 <= 1000000L))
+  }
 }

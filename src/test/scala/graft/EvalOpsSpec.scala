@@ -56,20 +56,136 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got.keySet == Set(0L, 9L))
   }
 
-  test("cohenKappa: hand-checked contingency, degenerate NULL") {
+  test("cohenKappa: hand-checked contingency, degenerate NULL, negative floor") {
     // g: 5 (y,y), 2 (n,n), 2 (y,n), 1 (n,y) → po=0.7;
     // marginals a: y7/n3, b: y6/n4 → pe = (42+12)/100 = 0.54;
-    // κ = 0.16/0.46 = 0.3478… → 347 milli (truncating div)
+    // κ = 0.16/0.46 = 0.3478… → 347 milli (floor = truncate when > 0)
     val g = Seq.fill(5)(("g", "y", "y")) ++ Seq.fill(2)(("g", "n", "n")) ++
       Seq.fill(2)(("g", "y", "n")) ++ Seq(("g", "n", "y"))
     // h: both raters constant and equal → pe = 10⁶ → κ undefined
     val h = Seq.fill(4)(("h", "x", "x"))
-    val got = EvalOps.cohenKappa((g ++ h).toDF("grp", "a", "b"),
+    // i: BELOW-chance agreement (a bad annotation batch): po=0.3,
+    // pe = (7·4 + 3·6)/100 = 0.46 → κ = −0.16/0.54 = −0.2962… →
+    // −296: BOTH Spark's div and DuckDB's // truncate toward zero
+    // (measured r14: -7//2 = -3 in DuckDB), so the cross-engine
+    // contract holds at the truncating value — Python-style floor
+    // (−297) would be the divergent one (ADVICE r13's premise was
+    // the reverse; the q344 fixture's own negative-κ sources are the
+    // live cross-engine evidence)
+    val i = Seq.fill(2)(("i", "y", "y")) ++ Seq(("i", "n", "n")) ++
+      Seq.fill(5)(("i", "y", "n")) ++ Seq.fill(2)(("i", "n", "y"))
+    val got = EvalOps.cohenKappa((g ++ h ++ i).toDF("grp", "a", "b"),
         "grp", "a", "b")
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
         r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
     assert(got("g") == ((10L, 700000L, 540000L, 347L)), got("g").toString)
     assert(got("h") == ((4L, 1000000L, 1000000L, -1L)), got("h").toString)
+    assert(got("i") == ((10L, 300000L, 460000L, -296L)), got("i").toString)
+  }
+
+  /** JVM reference of the integer MM trajectory — the operator's
+    * scaladoc formulas word for word (Long division throughout). */
+  private def referenceBt(outcomes: Seq[(Long, Long)], iters: Int,
+                          scale: Long): Map[Long, (Long, Long, Long)] = {
+    val games = outcomes.filter(o => o._1 != o._2)
+    val wins = games.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val losses = games.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val items = (wins.keySet ++ losses.keySet).toSeq.sorted
+    val duels = (games.map(g => (g._1, g._2)) ++ games.map(g => (g._2, g._1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sk = scale * 1000000L // the operator's micro-unit factor
+    var p = items.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      p = items.map { i =>
+        val dd = duels.collect { case ((a, b), n) if a == i =>
+          n * sk / (p(a) + p(b)) }.sum
+        val anchor = 2L * sk / (p(i) + scale)
+        i -> (wins.getOrElse(i, 0L) + 1L) * sk / math.max(dd + anchor, 1L)
+      }.toMap
+    }
+    items.map(i => i -> ((wins.getOrElse(i, 0L) +
+      losses.getOrElse(i, 0L)), wins.getOrElse(i, 0L), p(i))).toMap
+  }
+
+  test("bradleyTerry: JVM reference trajectory, transitivity, zero-win anchor") {
+    // a > b (3-0), b > c (2-0), c > a (1-0, the upset), a > d (2-0)
+    val outcomes = Seq.fill(3)((1L, 2L)) ++ Seq.fill(2)((2L, 3L)) ++
+      Seq((3L, 1L)) ++ Seq.fill(2)((1L, 4L))
+    val got = EvalOps.bradleyTerry(outcomes.toDF("w", "l"), "w", "l",
+        iters = 4)
+      .select($"item", $"games", $"wins", $"rating")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = referenceBt(outcomes, 4, 1000000L)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // dominant item rates highest; zero-win d stays finite and lowest
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(4L)._3)
+    assert(got(4L)._3 > 0L, "anchor keeps a zero-win item finite")
+    // layout invariance
+    val re = EvalOps.bradleyTerry(
+        outcomes.toDF("w", "l").repartition(7), "w", "l", iters = 4)
+      .select($"item", $"games", $"wins", $"rating")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re == got)
+  }
+
+  test("bradleyTerry: duplicate outcomes collapse under dedupIdCol (at-least-once ingest)") {
+    val once = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 1L, 3L))
+    val redelivered = once ++ once // a retried batch re-lands all rows
+    def board(rows: Seq[(Long, Long, Long)], dedup: Option[String]) =
+      EvalOps.bradleyTerry(rows.toDF("oid", "w", "l"), "w", "l",
+          iters = 3, dedupIdCol = dedup)
+        .select($"item", $"games", $"wins", $"rating")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(board(redelivered, Some("oid")) == board(once, Some("oid")),
+      "re-landed duplicate outcome ids must not move the board")
+    // and WITHOUT the dedup seam multiplicity is honored (2× games)
+    assert(board(redelivered, None).map(_._2) ==
+      board(once, None).map(_._2 * 2))
+  }
+
+  test("bootstrapMetricCi: JVM draw-for-draw replay, coverage on a known-variance fixture") {
+    // 1000 items at a planted 70% EM rate; frac-0.5 subsample
+    // replicates have SE ≈ √(0.21/500) ≈ 2.05%, so the 5–95
+    // nearest-rank band must straddle the point estimate and sit in a
+    // generous sanity band (≈ ±1.6σ each side → width ~4–9%)
+    val items = (0L until 1000L).map(i =>
+      (i, if ((i * 13) % 10 < 7) 1000000L else 0L))
+    val got = EvalOps.bootstrapMetricCi(items.toDF("id", "v"), "id", "v",
+        b = 60, frac = 0.5)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (nItems, nReps, point, lo, hi) = got
+    assert(nItems == 1000L && nReps == 60L)
+    assert(point == items.map(_._2).sum / 1000L)
+    assert(lo <= point && point <= hi, s"CI [$lo, $hi] must cover $point")
+    assert(hi - lo >= 10000L && hi - lo <= 160000L,
+      s"5–95 width ${hi - lo} outside the known-variance sanity band")
+    // JVM replay: every draw, every replicate mean, both bounds
+    def draw(b: Int, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$b:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val thr = graft.operators.DatasetOps.thr(0.5)
+    val means = (0 until 60).flatMap { b =>
+      val mem = items.filter(it => draw(b, it._1) < thr)
+      if (mem.isEmpty) None else Some(mem.map(_._2).sum / mem.size)
+    }
+    assert(means.size == 60)
+    def bound(pct: Int): Long = {
+      val r = (pct * means.size + 99) / 100
+      means.filter(m => means.count(_ <= m) >= r).min
+    }
+    assert((lo, hi) == ((bound(5), bound(95))),
+      s"bounds ($lo, $hi) != JVM replay (${bound(5)}, ${bound(95)})")
+    // determinism under relayout
+    val re = EvalOps.bootstrapMetricCi(
+        items.toDF("id", "v").repartition(17), "id", "v", b = 60,
+        frac = 0.5)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(re == got)
   }
 
   test("majorityVote: majority, tie-break, agreement, heap plan") {

@@ -946,6 +946,65 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("chat ingest paraphrase gate: a later-shard system-prompt paraphrase blocks, re-spellings keep blocking, index == landed") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_chatpara_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val quar = root.resolve("quar"); val pidx = root.resolve("pidx")
+    // long enough that the system-prompt prepend sits at the q330
+    // paraphrase tier (19 shared of 22 shingles → J ≈ 0.86)
+    val okA =
+      """{"conv_id":1,"messages":[{"role":"user","content":"please summarize the quarterly revenue figures for me"},{"role":"assistant","content":"the quarterly revenue figures rose steadily across all regions this year"}]}"""
+    // shard 2: (a) the q330 twin class — the SAME conversation with a
+    // system prompt prepended: render digest differs, so only the
+    // minhash tier can block it; (b) a re-spelling of okA (key order)
+    // the EXACT digest path must keep blocking; (c) a fresh
+    // conversation that must land through both gates
+    val paraA =
+      """{"conv_id":7,"messages":[{"role":"system","content":"stay factual"},{"role":"user","content":"please summarize the quarterly revenue figures for me"},{"role":"assistant","content":"the quarterly revenue figures rose steadily across all regions this year"}]}"""
+    val okASpelled =
+      """{"messages":[{"role":"user","content":"please summarize the quarterly revenue figures for me"},{"role":"assistant","content":"the quarterly revenue figures rose steadily across all regions this year"}],"conv_id":9}"""
+    val okB =
+      """{"conv_id":3,"messages":[{"role":"user","content":"compare the two database engines on write amplification"},{"role":"assistant","content":"one engine batches writes into sorted runs the other updates pages in place"}]}"""
+    Seq(okA).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f1").toString)
+    Seq(paraA, okASpelled, okB).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f2").toString)
+    // f1 strictly older: the original must land before its twins probe
+    val now = System.currentTimeMillis()
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now)
+
+    DocIngest.runChatIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString,
+      paraphraseIndexDir = pidx.toString)
+    val landed = spark.read.parquet(out.toString)
+    assert(landed.select($"conv_id").as[Long].collect().toSet ==
+      Set(1L, 3L),
+      "original + fresh land; the paraphrase AND the re-spelling do not")
+    // the paraphrase quarantined WITH its reason (audit trail); the
+    // exact-digest re-spelling dropped silently as before
+    val quarRows = spark.read.json(quar.toString)
+      .select($"reason").as[String].collect().toSeq
+    assert(quarRows == Seq("paraphrase_near_dup"), s"got $quarRows")
+    // index == landed conversations
+    val indexedIds = spark.read.parquet(pidx.toString)
+      .select($"line_md5").distinct().as[String].collect().toSet
+    val landedIds = landed.select($"line_md5").as[String].collect().toSet
+    assert(indexedIds == landedIds,
+      s"minhash index ids $indexedIds != landed $landedIds")
+    // checkpoint idempotence: nothing new to drain, nothing re-lands
+    DocIngest.runChatIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString,
+      paraphraseIndexDir = pidx.toString)
+    assert(spark.read.parquet(out.toString).count() == 2L)
+    assert(spark.read.json(quar.toString).count() == 1L)
+    deleteRec(root)
+  }
+
   test("tools-aware chat ingest: uncorrelated tool results quarantine, correlated ones land with the call in the render") {
     import spark.implicits._
     import graft.streaming.DocIngest
