@@ -450,6 +450,53 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
           WHERE rank >= (95 * nb.n_replicates + 99) // 100) AS ci_hi_ppm
       FROM nb"""))
 
+  // ---- q349: per-source bootstrap CIs (r14) --------------------------------
+  // q347's interval machinery in its leaderboard shape: one CI row
+  // per SOURCE from one pass (the per-task/per-language report an
+  // eval publishes). Same planted EM, same round-salted draws (an
+  // item's membership is group-independent by construction), 30
+  // replicates, nearest-rank 5/95 within each source's replicate
+  // census. The oracle replays the grouped version of every step.
+
+  private[queries] val q349: GraftQuery = GraftQuery(
+    "q349_bootstrap_ci_by_source",
+    (s, d) => {
+      val em = docs(s, d).select(col("source"), col("doc_id"),
+        when((col("doc_id") * 13) % 10 < 7, 1000000L).otherwise(0L)
+          .as("em_ppm"))
+      graft.operators.EvalOps.bootstrapMetricCiBy(em, "source",
+          "doc_id", "em_ppm", b = 30, frac = 0.5, salt = "boot",
+          loPct = 5, hiPct = 95)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH it AS (SELECT source, doc_id AS id,
+          CASE WHEN (doc_id * 13) % 10 < 7 THEN 1000000 ELSE 0 END AS v
+        FROM documents),
+      mem AS (SELECT source, b, id, v
+        FROM it, (SELECT unnest(generate_series(0, 29)) AS b)
+        WHERE CAST(concat('0x', substring(
+            md5('boot:' || b || ':' || id), 1, 8)) AS BIGINT)
+          < ${graft.operators.DatasetOps.thr(0.5)}),
+      reps AS (SELECT source, b, CAST(sum(v) // count(*) AS BIGINT) AS m
+        FROM mem GROUP BY source, b),
+      nb AS (SELECT source, count(*) AS n_replicates
+        FROM reps GROUP BY source),
+      pt AS (SELECT source, count(*) AS n_items,
+          CAST(sum(v) // count(*) AS BIGINT) AS point_ppm
+        FROM it GROUP BY source),
+      rk AS (SELECT x.source, x.b, x.m,
+          (SELECT count(*) FROM reps y
+            WHERE y.source = x.source AND y.m <= x.m) AS rank
+        FROM reps x)
+      SELECT pt.source, CAST(pt.n_items AS BIGINT) AS n_items,
+        CAST(nb.n_replicates AS BIGINT) AS n_replicates, pt.point_ppm,
+        (SELECT min(m) FROM rk WHERE rk.source = pt.source
+          AND rank >= (5 * nb.n_replicates + 99) // 100) AS ci_lo_ppm,
+        (SELECT min(m) FROM rk WHERE rk.source = pt.source
+          AND rank >= (95 * nb.n_replicates + 99) // 100) AS ci_hi_ppm
+      FROM pt JOIN nb ON nb.source = pt.source
+      ORDER BY pt.source"""))
+
   // ---- q317: loss masks in PACKED-sequence coordinates ------------------
   // The step q313 hands to a packing trainer: conversations pack into
   // fixed 512-char sequences by q99's deterministic md5-order packer

@@ -830,13 +830,29 @@ object DocIngest {
     * Delivery is the foreachBatch contract: at-least-once per
     * micro-batch on failure-retry — survivors carry their digest, so a
     * downstream keep-first dedup (or a transactional table sink) makes
-    * the landing idempotent. */
+    * the landing idempotent.
+    *
+    * `growIndex` (r14 — the chat paraphrase gate's lesson applied back
+    * to the document family): by default the index is the STATIC
+    * build-time corpus, so two cross-shard near-duplicates neither of
+    * which is pre-indexed BOTH land (the batch pass claws them back).
+    * With `growIndex = true` every batch's survivors append their own
+    * rows ([[graft.operators.Dedup.appendToMinhashIndex]], same hash
+    * family by construction), so a later shard's twin is blocked by
+    * the earlier landing; the index is re-read per batch (it grows),
+    * and survivors are localCheckpointed before the landing writes —
+    * Spark invalidates-and-recomputes path caches on write, and a
+    * merely-persisted frame would re-derive its probe against the
+    * index it had just appended to. */
   def runNearDupGate(spark: SparkSession, rawDir: String, indexDir: String,
                      outDir: String, checkpointDir: String,
                      threshold: Double = 0.5, minTokens: Int = 3,
-                     maxFilesPerTrigger: Int = 1): Unit = {
-    // read (list + schema) the index ONCE, not once per micro-batch
-    val index = spark.read.parquet(indexDir)
+                     maxFilesPerTrigger: Int = 1,
+                     growIndex: Boolean = false): Unit = {
+    // static gate: read (list + schema) the index ONCE, not once per
+    // micro-batch; a GROWING gate must re-list per batch instead
+    val staticIndex =
+      if (growIndex) None else Some(spark.read.parquet(indexDir))
     val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger), minTokens)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -844,11 +860,19 @@ object DocIngest {
         // source read and ingest's tokenize/digest run twice per batch
         batch.persist()
         try {
+          val index = staticIndex.getOrElse(spark.read.parquet(indexDir))
           val hits = graft.operators.Dedup
             .probeMinhashIndexFrame(index, batch, "text", "doc_id", threshold)
             .select(col("idNew").as("doc_id")).distinct()
-          batch.join(hits, Seq("doc_id"), "left_anti")
-            .write.mode("append").json(outDir)
+          if (growIndex) {
+            val survivors = batch.join(hits, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            survivors.write.mode("append").json(outDir)
+            graft.operators.Dedup.appendToMinhashIndex(
+              survivors, "text", "doc_id", indexDir)
+          } else
+            batch.join(hits, Seq("doc_id"), "left_anti")
+              .write.mode("append").json(outDir)
         } finally batch.unpersist()
         ()
       }

@@ -148,6 +148,78 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("maintainIvfIndex: drift triggers re-cluster, recall recovers vs stale centroids, old snapshot immutable") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_drift_").toString
+    try {
+      // era A lives in dims 0/1 (+ tiny dim-2 residue). Era B — the
+      // corpus after a re-embedding / domain shift — lives in dims
+      // 2/3 (true clusters), with 0.5-weight NEIGHBOR groups in dims
+      // 4..6 and a 0.1-weight residue in the OLD dims 0/1 keyed by
+      // i%4: stale centroids bucket by that residue, which is
+      // orthogonal to the neighbor structure, so every true neighbor
+      // set splits across stale cells — exactly the failure drift
+      // maintenance exists to catch
+      val eraA = (0L until 40L).map { i =>
+        val v = Array.fill(8)(0.0)
+        v((i % 2).toInt) = 1.0
+        v(2) = 0.01 * (i % 5)
+        (i, v.toSeq)
+      }.toDF("cid", "cvec")
+      val eraB = (0L until 40L).map { i =>
+        val v = Array.fill(8)(0.0)
+        v((2 + i % 2).toInt) = 1.0
+        v((4 + i % 3).toInt) = 0.5
+        v(if (i % 4 < 2) 0 else 1) = 0.1
+        (i, v.toSeq)
+      }.toDF("cid", "cvec")
+      val centsA = graft.operators.KMeans
+        .fit(eraA, "cid", "cvec", 2, 5)
+        .orderBy($"cell").select($"centroid")
+        .as[Seq[Double]].collect().toSeq
+      Similarity.writeIvfIndex(eraA, s"$base/v1", centsA)
+      // healthy corpus: the monitor holds, nothing fires, nothing lands
+      assert(!Similarity.maintainIvfIndex(spark, s"$base/v1", eraA,
+        s"$base/v2", floor = 0.9, nCells = 2))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/v2")), "healthy must write nothing")
+      def listing(dir: String): Seq[(String, Long)] = {
+        val p = java.nio.file.Paths.get(dir)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        java.nio.file.Files.walk(p).forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f))
+            out += ((p.relativize(f).toString, java.nio.file.Files.size(f)))
+        }
+        out.sortBy(_._1).toSeq
+      }
+      val before = listing(s"$base/v1")
+      // drifted corpus: centroid cosine vs the stored era collapses,
+      // the refresh fires and publishes the successor OUT-OF-PLACE
+      assert(Similarity.maintainIvfIndex(spark, s"$base/v1", eraB,
+        s"$base/v2", floor = 0.9, nCells = 2))
+      assert(listing(s"$base/v1") == before,
+        "the old snapshot must stay byte-immutable through a refresh")
+      // recall@5 on the drifted corpus, nProbe=1: refreshed centroids
+      // vs the SAME vectors indexed under the stale era-A geometry
+      Similarity.writeIvfIndex(eraB, s"$base/stale", centsA)
+      val qB = eraB.filter($"cid" < 12)
+        .select($"cid".as("qid"), $"cvec".as("qvec"))
+      val exact = Similarity.bruteForceTopK(qB, eraB, 5)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      def recall(dir: String): Double = {
+        val got = Similarity.probeIvfIndex(spark, dir, qB, k = 5, nProbe = 1)
+          .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+        (exact intersect got).size.toDouble / exact.size
+      }
+      val fresh = recall(s"$base/v2")
+      val stale = recall(s"$base/stale")
+      assert(fresh > stale,
+        s"refresh must beat stale geometry: fresh $fresh vs stale $stale")
+      assert(fresh >= 0.9, s"refreshed recall@5 nProbe=1: $fresh")
+      assert(stale <= 0.75, s"stale geometry should visibly miss: $stale")
+    } finally deleteRec(base)
+  }
+
   test("appendToIvfIndex: appended vectors probe identically to a from-scratch rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
     try {

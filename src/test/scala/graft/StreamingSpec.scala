@@ -816,6 +816,50 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("growing near-dup gate: a later shard's twin of an EARLIER LANDING blocks, index grows") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    import graft.operators.Dedup
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_neardupgrow_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val corpus = Seq(
+      (100L, "c", "en", "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "source", "lang", "text")
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", idx.toString)
+    // shard 1: a NOVEL doc (not in the build-time index) lands and —
+    // under growIndex — seeds the index for later shards
+    val s1 = Seq(
+      (1L, "s0", "en", "streaming ingestion gates compose persisted sketch indexes cleanly"))
+      .toDF("doc_id", "source", "lang", "text")
+    // shard 2: a near-dup of shard 1's LANDING (one word appended) —
+    // the case the static gate structurally misses — plus a near-dup
+    // of the build-time corpus and a fresh doc
+    val s2 = Seq(
+      (2L, "s1", "en", "streaming ingestion gates compose persisted sketch indexes cleanly indeed"),
+      (3L, "s1", "en", "the quick brown fox jumps over the lazy dog today again"),
+      (4L, "s1", "en", "another clean document that must land fine"))
+      .toDF("doc_id", "source", "lang", "text")
+    s1.coalesce(1).write.json(raw.resolve("f1").toString)
+    s2.coalesce(1).write.json(raw.resolve("f2").toString)
+    val now = System.currentTimeMillis()
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now)
+
+    DocIngest.runNearDupGate(spark, raw.toString + "/*/", idx.toString,
+      out.toString, ckpt.toString, growIndex = true)
+    val landed = spark.read.json(out.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 4L),
+      s"got $landed — 2 must block on the GROWN index, 3 on the seed")
+    // the index grew by exactly the landed survivors
+    val indexed = spark.read.parquet(idx.toString)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(100L, 1L, 4L), s"index ids $indexed")
+    deleteRec(root)
+  }
+
   test("streaming image-dedup ingest: later-shard raster variants blocked, index grows") {
     import spark.implicits._
     import graft.streaming.DocIngest
