@@ -839,8 +839,11 @@ object DocIngest {
     * With `growIndex = true` every batch's survivors append their own
     * rows ([[graft.operators.Dedup.appendToMinhashIndex]], same hash
     * family by construction), so a later shard's twin is blocked by
-    * the earlier landing; the index is re-read per batch (it grows),
-    * and survivors are localCheckpointed before the landing writes —
+    * the earlier landing, a within-batch banded pass drops every
+    * verified pair's greater id (keep-min — same-batch twins see
+    * neither in the index), the index is re-read per batch (it
+    * grows), and survivors are localCheckpointed before the landing
+    * writes —
     * Spark invalidates-and-recomputes path caches on write, and a
     * merely-persisted frame would re-derive its probe against the
     * index it had just appended to. */
@@ -865,7 +868,16 @@ object DocIngest {
             .probeMinhashIndexFrame(index, batch, "text", "doc_id", threshold)
             .select(col("idNew").as("doc_id")).distinct()
           if (growIndex) {
-            val survivors = batch.join(hits, Seq("doc_id"), "left_anti")
+            // within-batch twins see neither in the index — the
+            // batch's own verified pair set drops every idB
+            // (keep-min), same as the chat gate (r14)
+            val within = graft.operators.Dedup.minhashDupPairs(
+              batch, "text", "doc_id", shingleWords = 3,
+              threshold = threshold)
+              .select(col("idB").as("doc_id"))
+            val survivors = batch
+              .join(hits.union(within).distinct(),
+                Seq("doc_id"), "left_anti")
               .localCheckpoint()
             survivors.write.mode("append").json(outDir)
             graft.operators.Dedup.appendToMinhashIndex(
@@ -1157,10 +1169,11 @@ object DocIngest {
     * exact and bodies never ride the probe); hits quarantine as
     * `paraphrase_near_dup`, survivors append their own index rows, so
     * index == landed conversations and a later shard's twin is
-    * blocked by the earlier original. Within one micro-batch two
-    * paraphrases of each other both land (the probe sees prior
-    * batches) — the batch near-dup pass (q330) claws that residue
-    * back, exactly as for [[runNearDupGate]]. Delivery is the
+    * blocked by the earlier original. Within one micro-batch, twins
+    * of EACH OTHER are caught by a banded pass over the batch itself
+    * ([[graft.operators.Dedup.minhashDupPairs]] — every verified
+    * pair's greater id drops, so a paraphrase chain keeps exactly its
+    * minimum member). Delivery is the
     * foreachBatch contract — at-least-once; a retry re-lands
     * identical rows, collapsed keep-first by readers (and the probe's
     * per-pair dropDuplicates absorbs re-landed index rows). */
@@ -1215,13 +1228,23 @@ object DocIngest {
             Seq("rendered_md5"), "left_anti")
           fresh.persist()
           // paraphrase probe: re-read the GROWING index each batch
-          // (earlier batches' survivors must block this one's twins)
+          // (earlier batches' survivors must block this one's twins),
+          // PLUS a within-batch banded pass (r14) — two paraphrases
+          // arriving in the SAME micro-batch see neither in the
+          // index, so the batch's own verified pair set drops every
+          // idB (keep-min: a chain A~B~C keeps exactly its minimum)
           val hitsOpt = if (paraGate) {
-            val h = graft.operators.Dedup.probeMinhashIndexFrame(
+            val cross = graft.operators.Dedup.probeMinhashIndexFrame(
               spark.read.parquet(paraphraseIndexDir), fresh,
               "rendered", "line_md5", paraphraseThreshold,
               shingleWords = 3, numHashes = 24, bands = 12)
-              .select(col("idNew").as("line_md5")).distinct()
+              .select(col("idNew").as("line_md5"))
+            val within = graft.operators.Dedup.minhashDupPairs(
+              fresh.select(col("line_md5"), col("rendered")),
+              "rendered", "line_md5", shingleWords = 3,
+              threshold = paraphraseThreshold, numHashes = 24, bands = 12)
+              .select(col("idB").as("line_md5"))
+            val h = cross.union(within).distinct()
             h.persist() // two consumers: quarantine + anti join
             Some(h)
           } else None

@@ -839,7 +839,12 @@ class StreamingSpec extends AnyFunSuite {
     val s2 = Seq(
       (2L, "s1", "en", "streaming ingestion gates compose persisted sketch indexes cleanly indeed"),
       (3L, "s1", "en", "the quick brown fox jumps over the lazy dog today again"),
-      (4L, "s1", "en", "another clean document that must land fine"))
+      (4L, "s1", "en", "another clean document that must land fine"),
+      // 5 and 6 are twins of EACH OTHER, both novel — neither is in
+      // the index when their shared batch probes it, so only the
+      // within-batch banded pass (keep-min) can separate them
+      (5L, "s1", "en", "catalogued sunsets over mountain ridges in early autumn light"),
+      (6L, "s1", "en", "catalogued sunsets over mountain ridges in early autumn light indeed"))
       .toDF("doc_id", "source", "lang", "text")
     s1.coalesce(1).write.json(raw.resolve("f1").toString)
     s2.coalesce(1).write.json(raw.resolve("f2").toString)
@@ -851,12 +856,13 @@ class StreamingSpec extends AnyFunSuite {
       out.toString, ckpt.toString, growIndex = true)
     val landed = spark.read.json(out.toString)
       .select($"doc_id").as[Long].collect().toSet
-    assert(landed == Set(1L, 4L),
-      s"got $landed — 2 must block on the GROWN index, 3 on the seed")
+    assert(landed == Set(1L, 4L, 5L),
+      s"got $landed — 2 blocks on the GROWN index, 3 on the seed, " +
+        "6 on the within-batch pass (keep-min keeps 5)")
     // the index grew by exactly the landed survivors
     val indexed = spark.read.parquet(idx.toString)
       .select($"doc_id").distinct().as[Long].collect().toSet
-    assert(indexed == Set(100L, 1L, 4L), s"index ids $indexed")
+    assert(indexed == Set(100L, 1L, 4L, 5L), s"index ids $indexed")
     deleteRec(root)
   }
 
@@ -1013,27 +1019,44 @@ class StreamingSpec extends AnyFunSuite {
       """{"messages":[{"role":"user","content":"please summarize the quarterly revenue figures for me"},{"role":"assistant","content":"the quarterly revenue figures rose steadily across all regions this year"}],"conv_id":9}"""
     val okB =
       """{"conv_id":3,"messages":[{"role":"user","content":"compare the two database engines on write amplification"},{"role":"assistant","content":"one engine batches writes into sorted runs the other updates pages in place"}]}"""
+    // shard 3: two NOVEL conversations that are paraphrases of EACH
+    // OTHER (one carries the system prompt) — neither is in the index
+    // when their shared batch probes it, so only the within-batch
+    // banded pass can separate them; keep-min on line_md5 decides
+    val twinP = """{"conv_id":20,"messages":[{"role":"user","content":"walk me through the checkpoint recovery sequence for the stream processor"},{"role":"assistant","content":"the processor replays the offset log then restores operator state from the last committed snapshot"}]}"""
+    val twinQ = """{"conv_id":21,"messages":[{"role":"system","content":"stay factual"},{"role":"user","content":"walk me through the checkpoint recovery sequence for the stream processor"},{"role":"assistant","content":"the processor replays the offset log then restores operator state from the last committed snapshot"}]}"""
     Seq(okA).toDF("value").coalesce(1)
       .write.text(raw.resolve("f1").toString)
     Seq(paraA, okASpelled, okB).toDF("value").coalesce(1)
       .write.text(raw.resolve("f2").toString)
+    Seq(twinP, twinQ).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f3").toString)
     // f1 strictly older: the original must land before its twins probe
     val now = System.currentTimeMillis()
     setMtimeRec(raw.resolve("f1"), now - 60000L)
-    setMtimeRec(raw.resolve("f2"), now)
+    setMtimeRec(raw.resolve("f2"), now - 30000L)
+    setMtimeRec(raw.resolve("f3"), now)
 
     DocIngest.runChatIngest(spark, raw.toString + "/*/",
       idx.toString, out.toString, quar.toString, ckpt.toString,
       paraphraseIndexDir = pidx.toString)
+    def md5Of(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // keep-min on the LINE digest picks the surviving twin
+    val twinWinner =
+      if (md5Of(twinP) < md5Of(twinQ)) 20L else 21L
     val landed = spark.read.parquet(out.toString)
     assert(landed.select($"conv_id").as[Long].collect().toSet ==
-      Set(1L, 3L),
-      "original + fresh land; the paraphrase AND the re-spelling do not")
-    // the paraphrase quarantined WITH its reason (audit trail); the
-    // exact-digest re-spelling dropped silently as before
+      Set(1L, 3L, twinWinner),
+      s"original + fresh + the min-digest twin land (winner $twinWinner)")
+    // the shard-2 paraphrase AND the losing twin quarantined with
+    // their reason (audit trail); the exact-digest re-spelling
+    // dropped silently as before
     val quarRows = spark.read.json(quar.toString)
       .select($"reason").as[String].collect().toSeq
-    assert(quarRows == Seq("paraphrase_near_dup"), s"got $quarRows")
+    assert(quarRows == Seq("paraphrase_near_dup", "paraphrase_near_dup"),
+      s"got $quarRows")
     // index == landed conversations
     val indexedIds = spark.read.parquet(pidx.toString)
       .select($"line_md5").distinct().as[String].collect().toSet
@@ -1044,8 +1067,8 @@ class StreamingSpec extends AnyFunSuite {
     DocIngest.runChatIngest(spark, raw.toString + "/*/",
       idx.toString, out.toString, quar.toString, ckpt.toString,
       paraphraseIndexDir = pidx.toString)
-    assert(spark.read.parquet(out.toString).count() == 2L)
-    assert(spark.read.json(quar.toString).count() == 1L)
+    assert(spark.read.parquet(out.toString).count() == 3L)
+    assert(spark.read.json(quar.toString).count() == 2L)
     deleteRec(root)
   }
 
