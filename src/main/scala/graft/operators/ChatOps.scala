@@ -636,6 +636,32 @@ object ChatOps {
         col(scoreCol).cast(LongType).as(scoreCol))
   }
 
+  /** Length-bias audit for preference pairs (r14) — the standard
+    * RLHF data-quality check: reward signals notoriously correlate
+    * with VERBOSITY, and a pair set whose chosen side is longer than
+    * its rejected side in, say, 80% of pairs teaches length, not
+    * quality. Per group: pair count, the fraction of pairs whose
+    * chosen response is strictly longer (integer ppm), and the mean
+    * (chosen − rejected) length gap — integer `div`, which truncates
+    * toward zero in BOTH engines (the measured r14 contract), so
+    * negative mean gaps replay exactly. One map-side-combined
+    * aggregate; feed [[preferencePairs]] output joined back to
+    * response lengths. */
+  def preferenceLengthBias(pairs: DataFrame, grpCol: String,
+                           chosenLenCol: String,
+                           rejectedLenCol: String): DataFrame =
+    pairs.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(chosenLenCol) > col(rejectedLenCol), 1L)
+          .otherwise(0L)).as("n_chosen_longer"),
+        sum(col(chosenLenCol).cast(LongType) -
+          col(rejectedLenCol).cast(LongType)).as("_gap_sum"))
+      .select(col(grpCol), col("n_pairs"),
+        col("n_chosen_longer"),
+        expr("n_chosen_longer * 1000000L div n_pairs")
+          .as("chosen_longer_ppm"),
+        expr("_gap_sum div n_pairs").as("mean_len_gap"))
+
   def preferencePairs(df: DataFrame, grpCol: String, idCol: String,
                       scoreCol: String, minGap: Long): DataFrame = {
     require(minGap >= 0, s"minGap must be >= 0, got $minGap")

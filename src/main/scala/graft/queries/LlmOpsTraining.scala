@@ -497,6 +497,65 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       FROM pt JOIN nb ON nb.source = pt.source
       ORDER BY pt.source"""))
 
+  // ---- q350: preference length-bias audit (r14) ----------------------------
+  // The RLHF data-quality check beside q346's ratings: reward signals
+  // notoriously correlate with verbosity, and a pair set whose chosen
+  // side is longer in most pairs teaches length, not quality. q314's
+  // pairs joined back to response TEXT lengths (the score was alpha
+  // mass — correlated with, but not identical to, raw length, so the
+  // census is informative, not tautological), censused per source.
+  // The oracle replays the pair construction, both length joins and
+  // every ratio — including the truncate-toward-zero mean gap, which
+  // can go negative per source.
+
+  private[queries] val q350: GraftQuery = GraftQuery(
+    "q350_preference_length_bias",
+    (s, d) => {
+      val pairs = ChatOps.preferencePairs(promptScored(s, d),
+        "prompt_grp", "doc_id", "score", minGap = 20L)
+      val lens = docs(s, d).select(col("doc_id"),
+        length(col("text")).cast(LongType).as("_len"))
+      val withLens = pairs
+        .join(lens.select(col("doc_id").as("chosen_id"),
+          col("_len").as("chosen_len")), Seq("chosen_id"))
+        .join(lens.select(col("doc_id").as("rejected_id"),
+          col("_len").as("rejected_len")), Seq("rejected_id"))
+        .withColumn("source", substring_index(col("prompt_grp"), "#", 1))
+      ChatOps.preferenceLengthBias(withLens, "source",
+          "chosen_len", "rejected_len")
+        .orderBy(col("source"))
+    },
+    Some("""WITH s0 AS (
+        SELECT source, source || '#' || (doc_id % 25) AS prompt_grp,
+          doc_id,
+          CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+            AS score,
+          CAST(len(text) AS BIGINT) AS tlen
+        FROM documents),
+      c AS (SELECT source, prompt_grp, doc_id AS chosen_id,
+          score AS chosen_score, tlen AS chosen_len,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score DESC, doc_id) AS rn
+        FROM s0),
+      rj AS (SELECT prompt_grp, doc_id AS rejected_id,
+          score AS rejected_score, tlen AS rejected_len,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score ASC, doc_id) AS rn
+        FROM s0),
+      pr AS (SELECT c.source, chosen_len, rejected_len
+        FROM c JOIN rj ON c.prompt_grp = rj.prompt_grp
+          AND c.rn = 1 AND rj.rn = 1
+        WHERE chosen_id <> rejected_id
+          AND chosen_score - rejected_score >= 20)
+      SELECT source, count(*) AS n_pairs,
+        CAST(sum(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_chosen_longer,
+        CAST(sum(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+          * 1000000 // count(*) AS BIGINT) AS chosen_longer_ppm,
+        CAST(sum(chosen_len - rejected_len) // count(*) AS BIGINT)
+          AS mean_len_gap
+      FROM pr GROUP BY source ORDER BY source"""))
+
   // ---- q317: loss masks in PACKED-sequence coordinates ------------------
   // The step q313 hands to a packing trainer: conversations pack into
   // fixed 512-char sequences by q99's deterministic md5-order packer

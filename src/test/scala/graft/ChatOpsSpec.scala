@@ -379,6 +379,23 @@ class ChatOpsSpec extends AnyFunSuite {
     assert(masked == want.length + "final".length)
   }
 
+  test("preferenceLengthBias: verbosity census, ppm ratio, negative mean gap truncates toward zero") {
+    val pairs = Seq(
+      ("a", 10L, 5L), // chosen strictly longer
+      ("a", 8L, 8L),  // equal — NOT longer
+      ("a", 3L, 9L),  // chosen shorter
+      ("b", 4L, 9L),
+      ("b", 5L, 7L))
+      .toDF("g", "cl", "rl")
+    val got = ChatOps.preferenceLengthBias(pairs, "g", "cl", "rl")
+      .orderBy($"g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // a: 1/3 longer → 333333 ppm; gap sum 5+0−6 = −1 → −1 div 3 = 0
+    // b: 0/2 longer; gap sum −7 → −7 div 2 = −3 (truncate toward
+    // zero — the measured cross-engine contract; floor would say −4)
+    assert(got == Seq(("a", 3L, 1L, 333333L, 0L),
+      ("b", 2L, 0L, 0L, -3L)), got.toString)
+  }
+
   test("resolveToolCalls: NULL name/args render deterministically, never vanish") {
     // ADVICE r13: concat over a NULL field used to null the element
     // and array_join silently skipped it — a malformed call vanished
