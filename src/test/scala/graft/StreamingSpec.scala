@@ -1072,6 +1072,51 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("tools-aware chat ingest WITH the paraphrase gate: serialized calls ride the shingled render, twins block") {
+    // exercises the flattenTools(includeRendered = true) path the
+    // separate toolAware and paraphrase tests never touch together:
+    // the serialized <tool_call> segments are part of the rendered
+    // transcript the minhash tier shingles, so a paraphrase of a
+    // TOOL conversation is caught just like a plain one
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_chattoolpara_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val out = root.resolve("out")
+    val ckpt = root.resolve("ckpt"); val idx = root.resolve("idx")
+    val quar = root.resolve("quar"); val pidx = root.resolve("pidx")
+    val toolConv =
+      """{"conv_id":1,"messages":[{"role":"user","content":"fetch the latest deployment status for the ingestion service and summarize"},{"role":"assistant","content":"checking the deployment dashboard now","tool_calls":[{"id":"c1","name":"query_status","args":"service=ingestion env=prod"}]},{"role":"tool","tool_call_id":"c1","content":"version 42 healthy all replicas ready since tuesday"},{"role":"assistant","content":"the ingestion service runs version 42 healthy with all replicas ready"}]}"""
+    // the q330 twin class over a TOOL conversation: system prompt
+    // prepended, everything else byte-identical
+    val toolTwin =
+      """{"conv_id":9,"messages":[{"role":"system","content":"stay factual"},{"role":"user","content":"fetch the latest deployment status for the ingestion service and summarize"},{"role":"assistant","content":"checking the deployment dashboard now","tool_calls":[{"id":"c1","name":"query_status","args":"service=ingestion env=prod"}]},{"role":"tool","tool_call_id":"c1","content":"version 42 healthy all replicas ready since tuesday"},{"role":"assistant","content":"the ingestion service runs version 42 healthy with all replicas ready"}]}"""
+    Seq(toolConv).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f1").toString)
+    Seq(toolTwin).toDF("value").coalesce(1)
+      .write.text(raw.resolve("f2").toString)
+    val now = System.currentTimeMillis()
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now)
+
+    DocIngest.runChatIngest(spark, raw.toString + "/*/",
+      idx.toString, out.toString, quar.toString, ckpt.toString,
+      toolAware = true, paraphraseIndexDir = pidx.toString)
+    val landed = spark.read.parquet(out.toString)
+    assert(landed.select($"conv_id").as[Long].collect().toSeq == Seq(1L),
+      "the original tool conversation lands; its paraphrase does not")
+    val quarRows = spark.read.json(quar.toString)
+      .select($"reason").as[String].collect().toSeq
+    assert(quarRows == Seq("paraphrase_near_dup"), s"got $quarRows")
+    // the landed render accounts the serialized call (the masked
+    // behavior), proving the tool tier fed the gate, not the plain one
+    val r = landed.collect().head
+    assert(r.getAs[String]("mask_spans").nonEmpty)
+    assert(r.getAs[Long]("masked_chars") > 60L,
+      "serialized tool_call must sit inside the masked assistant content")
+    deleteRec(root)
+  }
+
   test("tools-aware chat ingest: uncorrelated tool results quarantine, correlated ones land with the call in the render") {
     import spark.implicits._
     import graft.streaming.DocIngest
