@@ -401,6 +401,101 @@ object DatasetOps {
         expr(s"fill * 1000000L div ${seqLen}L").as("fill_ppm"))
   }
 
+  /** Per-shard export manifest of a packed training set (r15 —
+    * VERDICT r14 #7): doc count, token mass, and an ORDER-INDEPENDENT
+    * membership checksum (Σ md5-u32 of "salt:id" — the q337
+    * per-boundary checksum made durable) per [[packSequences]] shard.
+    * One map-side-combined aggregate; shard-bounded output. */
+  def packManifest(packed: DataFrame, idCol: String,
+                   salt: String = "manifest"): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("token_mass"),
+        sum(conv(substring(md5(concat(lit(salt + ":"),
+          col(idCol).cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType)).as("checksum"))
+
+  /** Persist the [[packManifest]] as a DURABLE artifact: shard rows
+    * at `dir/shards` (shard-ordered, single file — manifest-sized),
+    * totals sidecar at `dir/meta` (the vocabulary-artifact
+    * discipline: the sidecar lets the reader refuse a truncated or
+    * double-appended shards file loudly). Fully deterministic in the
+    * input SET — a re-export of the same corpus writes a
+    * byte-identical artifact (spec-pinned), so manifest drift IS
+    * data drift. */
+  def writePackManifest(packed: DataFrame, idCol: String, dir: String,
+                        salt: String = "manifest"): Unit = {
+    val m = packManifest(packed, idCol, salt).orderBy(col("shard"))
+      .localCheckpoint() // two consumers below — one census pass
+    m.coalesce(1).write.mode("overwrite").parquet(s"$dir/shards")
+    m.agg(count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("token_mass")).as("token_mass"),
+        sum(col("checksum")).as("checksum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read the manifest back — LOUD when the artifact is missing or
+    * its shard rows disagree with the totals sidecar (truncation and
+    * double-append are silent in bare parquet). Bounded pickup:
+    * shard-count rows + 1 meta row. */
+  def readPackManifest(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    def loud[T](what: String)(body: => T): T =
+      try body catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"pack manifest at $dir has no readable $what — a bare " +
+              s"manifest cannot be trusted; rebuild via " +
+              s"writePackManifest", e)
+      }
+    val shards = loud("shards table")(
+      spark.read.parquet(s"$dir/shards")
+        .select(col("shard"), col("n_docs"), col("token_mass"),
+          col("checksum")))
+    val meta = loud("meta sidecar")(
+      spark.read.parquet(s"$dir/meta").collect())
+    require(meta.length == 1,
+      s"manifest meta at $dir/meta is malformed: expected one row, " +
+        s"got ${meta.length}")
+    val got = shards.agg(count(lit(1)), sum(col("n_docs")),
+      sum(col("token_mass")), sum(col("checksum"))).collect()(0)
+    require((0 until 4).forall(i => got.getLong(i) == meta(0).getLong(i)),
+      s"manifest at $dir disagrees with its totals sidecar " +
+        s"(shards say (${got.mkString(", ")}), meta says " +
+        s"(${meta(0).mkString(", ")})) — truncated or double-written; " +
+        s"rebuild via writePackManifest")
+    shards
+  }
+
+  /** Idempotent re-export check (r15 — VERDICT r14 #7's second half):
+    * recompute the manifest of `packed` and compare per shard against
+    * the stored artifact. Any divergence — a shard missing, added,
+    * with different membership (checksum), fewer docs, or shifted
+    * token mass — REFUSES LOUDLY, naming every mismatched shard.
+    * Bounded pickup: the comparison frame is shard-count rows. */
+  def checkPackManifest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, packed: DataFrame, idCol: String,
+                        salt: String = "manifest"): Unit = {
+    val stored = readPackManifest(spark, dir)
+      .select(col("shard"), col("n_docs").as("_sd"),
+        col("token_mass").as("_sm"), col("checksum").as("_sc"))
+    val fresh = packManifest(packed, idCol, salt)
+      .select(col("shard"), col("n_docs").as("_fd"),
+        col("token_mass").as("_fm"), col("checksum").as("_fc"))
+    val bad = stored.join(fresh, Seq("shard"), "full")
+      .filter(col("_sd").isNull || col("_fd").isNull ||
+        col("_sd") =!= col("_fd") || col("_sm") =!= col("_fm") ||
+        col("_sc") =!= col("_fc"))
+      .select(col("shard")).orderBy(col("shard"))
+      .collect().map(_.getLong(0)) // bounded: shard-count rows
+    require(bad.isEmpty,
+      s"pack manifest at $dir does not match the export: shards " +
+        s"[${bad.mkString(", ")}] diverge (missing, extra, tampered " +
+        s"membership, or shifted token mass) — refuse to serve; " +
+        s"re-export or investigate the corpus")
+  }
+
   /** The [[lengthBucketBatches]] side of the packing-efficiency
     * report: per (bucket, shard, batch_idx) — row count, padded
     * capacity (every row pads to its bucket width; an incomplete

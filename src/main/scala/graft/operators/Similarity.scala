@@ -414,6 +414,76 @@ object Similarity {
       writePqBooks(spark, newDir, books)
     }
 
+    /** Reconstruction of a wide-coded row: the m sub-centroids its
+      * codes name, concatenated — the closest vector a PQ store can
+      * ever serve (the ADC estimate's candidate side). Same flat
+      * (sub·ksub + code + 1) indexing as the LUT build. */
+    private def reconstructCol(books: Codebooks): Column = {
+      val centLit = typedLit(books.flatten: Seq[Seq[Double]])
+      flatten(array((0 until m).map(s =>
+        element_at(centLit,
+          (lit(s * ksub) + col(s"c$s") + 1).cast(IntegerType))): _*))
+    }
+
+    /** Drift-triggered PQ maintenance (r15 — VERDICT r14 Missing #5):
+      * [[graft.operators.Similarity.maintainIvfIndex]]'s pattern on
+      * the codebook family — trained books go stale under the same
+      * distribution shift that moves IVF centroids, and until now
+      * degraded recall SILENTLY. The monitor compares the stored
+      * index as it can actually serve it — each code row's
+      * [[reconstructCol]] reconstruction — against the CURRENT corpus
+      * via [[graft.operators.Similarity.embeddingDrift]]'s centroid
+      * cosine; at or above `floor` nothing is written (appends keep
+      * using [[appendToPqIndex]]). Below it, books RE-TRAIN on the
+      * current vectors ([[trainCodebooks]]) and the successor
+      * publishes OUT-OF-PLACE at `newDir` (enforced on qualified
+      * paths): book movement invalidates every stored code, so the
+      * refresh is a [[writePqIndex]] rebuild by definition, and the
+      * old snapshot stays byte-immutable — a probe running
+      * mid-refresh keeps reading it.
+      *
+      * Scale notes: the drift check is one narrow scan of int codes
+      * (the reconstruction is m array lookups per row — never the
+      * raw vectors) mean-pooled map-side; at 100 TB feed a
+      * deterministic hashSplit SAMPLE of `current` — the monitor
+      * compares means, which a sample estimates.
+      *
+      * @return true iff drift fired and the successor landed. */
+    def maintainPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        oldDir: String, current: DataFrame,
+                        idCol: String, vecCol: String, newDir: String,
+                        floor: Double = 0.98,
+                        trainIters: Int = 5): Boolean = {
+      require(floor > 0.0 && floor <= 1.0,
+        s"floor must be in (0, 1], got $floor")
+      val hconf = spark.sessionState.newHadoopConf()
+      def qualified(dir: String): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(hconf).makeQualified(p)
+      }
+      require(qualified(newDir) != qualified(oldDir),
+        s"maintainPqIndex publishes out-of-place: newDir must differ " +
+          s"from oldDir, got both = ${qualified(oldDir)}")
+      val books = readPqBooks(spark, oldDir)
+      val recon = spark.read.parquet(s"$oldDir/codes")
+        .dropDuplicates("cid")
+        .select(col("cid"), reconstructCol(books).as(vecCol))
+      val driftRows = embeddingDrift(recon,
+          current.select(col(idCol).as("cid"), col(vecCol)), vecCol)
+        .select(col("centroid_cos"))
+        .collect() // bounded: the monitor's single row
+      require(driftRows.length == 1,
+        s"maintainPqIndex: embeddingDrift produced no row — the " +
+          s"stored index at $oldDir or the current corpus is empty; " +
+          s"a drift verdict needs a centroid on both sides")
+      if (driftRows(0).getDouble(0) >= floor) false
+      else {
+        val newBooks = trainCodebooks(current, idCol, vecCol, trainIters)
+        writePqIndex(current, idCol, vecCol, newDir, newBooks)
+        true
+      }
+    }
+
     /** Per-query lookup-table array (m·ksub integer micro-distances,
       * index sub·ksub+code+1), built the way [[encode]] is: the
       * (sub, code) grid is EXPLODED — m·ksub small rows per query,
@@ -783,10 +853,18 @@ object Similarity {
       s"floor must be in (0, 1], got $floor")
     val stored = spark.read.parquet(s"$oldDir/cells")
       .select(col("cid"), col("cvec"))
-    val drift = embeddingDrift(stored,
+    val driftRows = embeddingDrift(stored,
         current.select(col("cid"), col("cvec")), "cvec")
       .select(col("centroid_cos"))
-      .collect()(0).getDouble(0) // bounded: the monitor's single row
+      .collect() // bounded: the monitor's single row
+    // embeddingDrift is empty-is-empty by contract (no centroid → no
+    // row) — surface that as the module's loud refusal, not an opaque
+    // ArrayIndexOutOfBounds at the pickup (ADVICE r14)
+    require(driftRows.length == 1,
+      s"maintainIvfIndex: embeddingDrift produced no row — the stored " +
+        s"index at $oldDir or the current corpus is empty; a drift " +
+        s"verdict needs a centroid on both sides")
+    val drift = driftRows(0).getDouble(0)
     if (drift >= floor) false
     else {
       val cents = KMeans.fit(current, "cid", "cvec", nCells, refineIters)
@@ -1391,6 +1469,64 @@ object Similarity {
         .unionByName(fresh)
         .write.mode("overwrite").parquet(s"$newDir/codes")
       writeSqMinMax(spark, newDir, mns, mxs)
+    }
+
+    /** Drift-triggered SQ maintenance (r15 — VERDICT r14 Missing #5):
+      * the [[graft.operators.Similarity.maintainIvfIndex]] /
+      * [[Pq.maintainPqIndex]] pattern on the range family. Frozen
+      * build-time ranges are the append contract ([[appendToSqIndex]]
+      * clamps out-of-range values by design) — but when the corpus
+      * MOVES (new domain mix, re-embedding), clamping flattens whole
+      * dimensions and recall degrades silently. The monitor compares
+      * the stored index as it can serve it — each code row's
+      * [[decode]] reconstruction under the sidecar ranges — against
+      * the CURRENT corpus via
+      * [[graft.operators.Similarity.embeddingDrift]]; at or above
+      * `floor` nothing is written. Below it, fresh ranges fit on the
+      * current vectors ([[minMax]]) and the successor publishes
+      * OUT-OF-PLACE at `newDir` (enforced on qualified paths): range
+      * movement invalidates every stored code, so the refresh is a
+      * [[writeSqIndex]] rebuild by definition, and the old snapshot
+      * stays byte-immutable.
+      *
+      * Scale notes: the drift check scans int8 codes only (decode is
+      * a dim-bounded per-row map), mean-pooled map-side; sample
+      * `current` via hashSplit at 100 TB — means estimate from
+      * samples.
+      *
+      * @return true iff drift fired and the successor landed. */
+    def maintainSqIndex(spark: org.apache.spark.sql.SparkSession,
+                        oldDir: String, current: DataFrame,
+                        idCol: String, vecCol: String, newDir: String,
+                        floor: Double = 0.98): Boolean = {
+      require(floor > 0.0 && floor <= 1.0,
+        s"floor must be in (0, 1], got $floor")
+      val hconf = spark.sessionState.newHadoopConf()
+      def qualified(dir: String): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(hconf).makeQualified(p)
+      }
+      require(qualified(newDir) != qualified(oldDir),
+        s"maintainSqIndex publishes out-of-place: newDir must differ " +
+          s"from oldDir, got both = ${qualified(oldDir)}")
+      val (mns, mxs) = readSqMinMax(spark, oldDir)
+      val recon = spark.read.parquet(s"$oldDir/codes")
+        .dropDuplicates("cid")
+        .select(col("cid"), decode(col("codes"), mns, mxs).as(vecCol))
+      val driftRows = embeddingDrift(recon,
+          current.select(col(idCol).as("cid"), col(vecCol)), vecCol)
+        .select(col("centroid_cos"))
+        .collect() // bounded: the monitor's single row
+      require(driftRows.length == 1,
+        s"maintainSqIndex: embeddingDrift produced no row — the " +
+          s"stored index at $oldDir or the current corpus is empty; " +
+          s"a drift verdict needs a centroid on both sides")
+      if (driftRows(0).getDouble(0) >= floor) false
+      else {
+        val (nm, nx) = minMax(current, vecCol, mns.size)
+        writeSqIndex(current, idCol, vecCol, newDir, nm, nx)
+        true
+      }
     }
   }
 }

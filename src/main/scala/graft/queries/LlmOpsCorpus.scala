@@ -829,6 +829,45 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         FROM ba)
       ORDER BY packer"""))
 
+  // ---- q358: persisted shard manifest + verifiable export (r15) ----------
+  // VERDICT r14 #7: q337's per-boundary membership checksums made
+  // DURABLE — per q99-shard doc count, token mass, and Σ md5-u32
+  // membership checksum, persisted (shards + totals sidecar) and read
+  // back through the loud-refusal reader, so the query gates the
+  // whole write → sidecar-check → read round trip. A second export of
+  // the same corpus reproduces the artifact byte-identically and
+  // checkPackManifest re-verifies it (both spec-pinned); the oracle
+  // replays the md5 shard deal, the token census, and every checksum.
+
+  private[queries] val pmDirByInput = new graft.sources.JvmMemo[String]
+  private[queries] val q358 = GraftQuery(
+    "q358_pack_manifest",
+    (s, d) => {
+      val dir = pmDirByInput.getOrElseCompute(d) {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_packmanifest_").toString
+        DatasetOps.writePackManifest(
+          DatasetOps.packSequences(docs(s, d), "doc_id",
+            tokenCount(col("text")), seqLen = 256, nShards = 8),
+          "doc_id", out)
+        out
+      }
+      DatasetOps.readPackManifest(s, dir).orderBy(col("shard"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> length(x) > 0)) AS n_tok,
+          CAST(concat('0x', substring(md5('pack:'||doc_id), 1, 8))
+            AS BIGINT) AS u,
+          CAST(concat('0x', substring(md5('manifest:'||doc_id), 1, 8))
+            AS BIGINT) AS h
+        FROM documents)
+      SELECT u % 8 AS shard, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS token_mass,
+        CAST(sum(h) AS BIGINT) AS checksum
+      FROM t GROUP BY shard ORDER BY shard"""))
+
   // ---- q100: sliding-window chunking -----------------------------------
   // Long-doc training prep: overlapping 32-token windows every 24
   // tokens; the emitted chunk TEXT (not just counts) gates the

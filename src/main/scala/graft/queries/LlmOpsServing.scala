@@ -700,17 +700,20 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   // VERDICT r13 Missing #2: the round-per-merge learner cannot reach a
   // real vocabulary (10⁴⁺ merges = 10⁴⁺ Spark jobs). The batched rule
   // selects the top non-conflicting `batchSize` pairs per census round
-  // (window 8·batchSize, shared-symbol conflicts skipped — disjoint
-  // merges commute under sequential replacement, so the batch is
-  // well-defined) and applies them together. The oracle replays TWO
-  // full rounds of window → greedy conflict-skip selection → triple
-  // replace over the same word census, so a drifted window, a wrong
-  // conflict rule, or an out-of-order apply flips the hash.
+  // (window 8·batchSize; a selected pair reserves BOTH its symbols AND
+  // its merged product l+r — ADVICE r14 — so co-selected merges can
+  // neither create nor destroy each other's occurrences: they commute
+  // under sequential replacement and the batch is well-defined) and
+  // applies them together. The oracle replays TWO full rounds of
+  // window → greedy conflict-skip selection → triple replace over the
+  // same word census, so a drifted window, a wrong conflict rule, or
+  // an out-of-order apply flips the hash.
 
   /** One batched oracle round: census over `prev`, top-24 window,
-    * greedy 3-slot selection with shared-symbol exclusion, and the
-    * 3-deep sequential replace producing `wb$i`. Empty slots replace
-    * an inert chr(30) pattern (identity). */
+    * greedy 3-slot selection with shared-symbol AND merged-product
+    * exclusion (ADVICE r14), and the 3-deep sequential replace
+    * producing `wb$i`. Empty slots replace an inert chr(30) pattern
+    * (identity). */
   private def batchedBpeRoundSql(i: Int, prev: String): String = {
     def pat(s: String) =
       s"coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $s), chr(30))"
@@ -726,16 +729,16 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
           row_number() OVER (ORDER BY cnt DESC, l, r) AS rn FROM pb$i)
         WHERE rn <= 24),
       s${i}1 AS (SELECT l, r, cnt, rn FROM c$i WHERE rn = 1),
-      y${i}1 AS (SELECT l AS x FROM s${i}1 UNION SELECT r FROM s${i}1),
+      y${i}1 AS (SELECT l AS x FROM s${i}1 UNION SELECT r FROM s${i}1
+        UNION SELECT l || r FROM s${i}1),
       s${i}2 AS (SELECT l, r, cnt, rn FROM c$i
-        WHERE l NOT IN (SELECT x FROM y${i}1)
-          AND r NOT IN (SELECT x FROM y${i}1)
+        WHERE NOT EXISTS (SELECT 1 FROM y${i}1 WHERE x IN (l, r, l || r))
         ORDER BY rn LIMIT 1),
       y${i}2 AS (SELECT x FROM y${i}1
-        UNION SELECT l FROM s${i}2 UNION SELECT r FROM s${i}2),
+        UNION SELECT l FROM s${i}2 UNION SELECT r FROM s${i}2
+        UNION SELECT l || r FROM s${i}2),
       s${i}3 AS (SELECT l, r, cnt, rn FROM c$i
-        WHERE l NOT IN (SELECT x FROM y${i}2)
-          AND r NOT IN (SELECT x FROM y${i}2)
+        WHERE NOT EXISTS (SELECT 1 FROM y${i}2 WHERE x IN (l, r, l || r))
         ORDER BY rn LIMIT 1),
       wb$i AS (SELECT replace(replace(replace(w,
           ${pat(s"s${i}1")}, ${rep(s"s${i}1")}),
@@ -844,6 +847,213 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
       FROM documents d LEFT JOIN ag a USING (doc_id)
       ORDER BY d.doc_id"""))
+
+  // ---- q351/q352/q353: BYTE-level BPE (r15) ----------------------------
+  // VERDICT r14 Missing #1: the whole tokenizer tier was pinned to
+  // printable ASCII, so fertility and token budgets mispriced every
+  // non-Latin script. The byte tier learns over UTF-8 bytes (lowercase
+  // hex-pair symbols — ASCII-safe cross-engine tie-breaks, airtight
+  // delimiter framing) on a MULTILINGUAL fixture planted onto the
+  // documents table: each doc's text gains two per-language words with
+  // CJK / emoji / accented content, chosen by doc_id arithmetic so the
+  // oracle rebuilds the identical strings without ever seeing Spark's.
+
+  /** Planted per-language words — ONE definition interpolated into
+    * both the Spark column and the oracle SQL, so the two fixtures
+    * cannot drift. All lowercase (lower() is identity on them in both
+    * engines); zh is the CASE's ELSE branch. */
+  private val mlWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("café", "🙂🚀", "naïve", "coöp"),
+    "fr" -> Seq("requête", "données", "clé", "fenêtre"),
+    "es" -> Seq("consulta", "días", "señal", "línea"),
+    "de" -> Seq("schlüssel", "größe", "übung", "straße"),
+    "zh" -> Seq("数据引擎", "查询计划", "排序分区", "聚合统计"))
+
+  private def mlWordCol(lang: Column, idx: Column): Column =
+    mlWords.init.foldRight(
+      element_at(typedLit(mlWords.last._2), idx)) {
+      case ((l, ws), acc) =>
+        when(lang === l, element_at(typedLit(ws), idx)).otherwise(acc)
+    }
+
+  /** The multilingual fixture: text + two planted words. */
+  private[queries] def mlDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "),
+        mlWordCol(col("lang"), (col("doc_id") % 4 + 1).cast(IntegerType)),
+        lit(" "),
+        mlWordCol(col("lang"),
+          (expr("doc_id div 4") % 4 + 1).cast(IntegerType)))
+        .as("text"))
+
+  private def mlWordSql(idx: String): String = {
+    val cases = mlWords.init.map { case (l, ws) =>
+      s"WHEN '$l' THEN ([${ws.map(w => s"'$w'").mkString(", ")}])"
+    }.mkString(" ")
+    val zh = s"([${mlWords.last._2.map(w => s"'$w'").mkString(", ")}])"
+    s"(CASE lang $cases ELSE $zh END)[$idx]"
+  }
+
+  /** The fixture as a DuckDB CTE (`mlx`). */
+  private def mlOracleCte: String =
+    s"""mlx AS (SELECT doc_id, lang, text || ' ' ||
+      ${mlWordSql("1 + doc_id % 4")} || ' ' ||
+      ${mlWordSql("1 + (doc_id // 4) % 4")} AS text FROM documents)"""
+
+  /** Byte framing + census CTEs shared by the three byte queries:
+    * every word enters (no ASCII gate), UTF-8 bytes as framed
+    * lowercase hex pairs. */
+  private def byteCensusCte: String =
+    s"""toksb AS (SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0)) AS w FROM mlx),
+      wcb AS (SELECT w, count(*) AS n FROM toksb GROUP BY w),
+      wb0 AS (SELECT regexp_replace(lower(hex(encode(w))), '(..)',
+          chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wcb)"""
+
+  private[queries] val q351: GraftQuery = GraftQuery(
+    "q351_bpe_bytes",
+    (s, d) =>
+      graft.operators.Bpe.learnBpeMergesBytesBatched(mlDocs(s, d), "text",
+        nMerges = 6, batchSize = 3),
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")}
+      SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS BIGINT)
+          AS merge_rank,
+        l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM (
+        SELECT 1 AS rnd, 1 AS slot, l, r, cnt FROM s11
+        UNION ALL SELECT 1, 2, l, r, cnt FROM s12
+        UNION ALL SELECT 1, 3, l, r, cnt FROM s13
+        UNION ALL SELECT 2, 1, l, r, cnt FROM s21
+        UNION ALL SELECT 2, 2, l, r, cnt FROM s22
+        UNION ALL SELECT 2, 3, l, r, cnt FROM s23)
+      ORDER BY merge_rank"""))
+
+  /** The 6 learned byte merges, once per (JVM, dir), ROUND-TRIPPED
+    * through the persisted vocabulary artifact with its `bytes`
+    * alphabet tag — the q154 sidecar discipline on the byte tier. */
+  private[queries] val bpeBytesMergesByInput =
+    new graft.sources.JvmMemo[Seq[(String, String)]]
+  private[queries] def bpeBytesMerges(s: SparkSession,
+                                      d: String): Seq[(String, String)] =
+    bpeBytesMergesByInput.getOrElseCompute(d) {
+      val learned = graft.operators.Bpe.learnBpeMergesBytesBatched(
+        mlDocs(s, d), "text", nMerges = 6, batchSize = 3)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bpevocab_bytes_").toString
+      graft.operators.Bpe.writeBpeVocab(learned, dir, alphabet = "bytes")
+      graft.operators.Bpe.readBpeVocab(s, dir, alphabet = "bytes")
+    }
+
+  /** Per-word encode replay for the oracle: the 6 merges applied in
+    * rank order over the hex framing (the batched-round slots supply
+    * the patterns, chr(30) when a slot is empty). */
+  private def byteEncodeSql: String = {
+    def pat(sl: String) =
+      s"coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $sl), chr(30))"
+    def rep(sl: String) =
+      s"coalesce((SELECT chr(31) || l || r || chr(31) FROM $sl), chr(30))"
+    Seq("s11", "s12", "s13", "s21", "s22", "s23").foldLeft(
+      s"regexp_replace(lower(hex(encode(w))), '(..)', " +
+        s"chr(31) || '\\1' || chr(31), 'g')") { (acc, sl) =>
+      s"replace($acc,\n          ${pat(sl)}, ${rep(sl)})"
+    }
+  }
+
+  // q352: the byte-level ENCODE through the chunked dictionary path
+  // ([[graft.operators.Bpe.bpeTokenCountsBytes]] — the ≥32k-merge
+  // scale plan; BpeSpec pins chunked ≡ one-fold at 300 merges, the
+  // oracle pins cross-engine exactness here). Every word is priced,
+  // CJK/emoji/accents included — n_bytes − n_tokens is exactly the
+  // merge applications that fired.
+  private[queries] val q352: GraftQuery = GraftQuery(
+    "q352_bpe_bytes_encode",
+    (s, d) =>
+      graft.operators.Bpe.bpeTokenCountsBytes(mlDocs(s, d), "doc_id",
+          "text", bpeBytesMerges(s, d))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")},
+      dtoksb AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0)) AS w FROM mlx),
+      deb AS (SELECT doc_id, strlen(w) AS nb,
+          $byteEncodeSql AS we
+        FROM dtoksb),
+      agb AS (SELECT doc_id, count(*) AS n_words, sum(nb) AS n_bytes,
+          sum((length(we) - length(replace(we, chr(31), ''))) // 2)
+            AS n_tokens
+        FROM deb GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        CAST(coalesce(a.n_bytes, 0) AS BIGINT) AS n_bytes,
+        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN agb a USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  // q353: per-language fertility from LEARNED BYTE TOKENS — the q342
+  // equity report with the ASCII exclusion gone (VERDICT r14: q342's
+  // non-Latin fertility measured characters, not tokens; here every
+  // language's words are encoded under the same learned vocabulary,
+  // so zh's high fertility_milli is a true statement about an
+  // English-skewed vocabulary fragmenting the tail scripts — the
+  // report the operator exists to publish — not a census artifact).
+  private[queries] val q353: GraftQuery = GraftQuery(
+    "q353_fertility_bytes",
+    (s, d) => {
+      val counts = graft.operators.Bpe.bpeTokenCountsBytes(
+        mlDocs(s, d), "doc_id", "text", bpeBytesMerges(s, d))
+      mlDocs(s, d).select(col("doc_id"), col("lang"))
+        .join(counts, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bytes")).as("n_bytes"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bytes"), col("n_tokens"),
+          when(col("n_words") === 0, 0L)
+            .otherwise(expr("n_tokens * 1000L div n_words"))
+            .as("fertility_milli"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("n_bytes * 1000L div n_tokens"))
+            .as("bytes_per_token_milli"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")},
+      dtoksb AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0)) AS w FROM mlx),
+      deb AS (SELECT doc_id, strlen(w) AS nb,
+          $byteEncodeSql AS we
+        FROM dtoksb),
+      agb AS (SELECT doc_id, count(*) AS n_words, sum(nb) AS n_bytes,
+          sum((length(we) - length(replace(we, chr(31), ''))) // 2)
+            AS n_tokens
+        FROM deb GROUP BY doc_id),
+      lgb AS (SELECT m.lang, count(*) AS n_docs,
+          sum(coalesce(a.n_words, 0)) AS n_words,
+          sum(coalesce(a.n_bytes, 0)) AS n_bytes,
+          sum(coalesce(a.n_tokens, 0)) AS n_tokens
+        FROM mlx m LEFT JOIN agb a USING (doc_id) GROUP BY m.lang)
+      SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_bytes AS BIGINT) AS n_bytes,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN n_words = 0 THEN 0
+          ELSE n_tokens * 1000 // n_words END AS BIGINT)
+          AS fertility_milli,
+        CAST(CASE WHEN n_tokens = 0 THEN 0
+          ELSE n_bytes * 1000 // n_tokens END AS BIGINT)
+          AS bytes_per_token_milli
+      FROM lgb ORDER BY lang"""))
 
   // ---- q234: audio perceptual near-dup --------------------------------
   // The audio tier of perceptual dedup (VERDICT r8 missing item 2 —

@@ -1176,7 +1176,13 @@ object DocIngest {
     * minimum member). Delivery is the
     * foreachBatch contract — at-least-once; a retry re-lands
     * identical rows, collapsed keep-first by readers (and the probe's
-    * per-pair dropDuplicates absorbs re-landed index rows). */
+    * per-pair dropDuplicates absorbs re-landed index rows). The
+    * digest-index append is the batch's COMMIT POINT and therefore
+    * goes LAST (ADVICE r14): landing and paraphrase-index appends are
+    * idempotent under retry, the digest append is what gates one —
+    * the old order (digest before paraphrase) left an unrecoverable
+    * gap where a landed conversation's paraphrase rows never append
+    * and its future twins pass the gate forever. */
   def runChatIngest(spark: SparkSession, rawDir: String,
                     indexDir: String, outDir: String,
                     quarantineDir: String, checkpointDir: String,
@@ -1238,6 +1244,13 @@ object DocIngest {
               spark.read.parquet(paraphraseIndexDir), fresh,
               "rendered", "line_md5", paraphraseThreshold,
               shingleWords = 3, numHashes = 24, bands = 12)
+              // a row is never a paraphrase of ITS OWN index entry:
+              // after a partial batch (minhash appended, digest not —
+              // see the write-ordering note below) the retry re-probes
+              // rows whose own index rows already landed; without this
+              // guard they would self-hit at J=1.0 and quarantine
+              // instead of completing the commit
+              .filter(col("idNew") =!= col("idCorpus"))
               .select(col("idNew").as("line_md5"))
             val within = graft.operators.Dedup.minhashDupPairs(
               fresh.select(col("line_md5"), col("rendered")),
@@ -1269,17 +1282,28 @@ object DocIngest {
               .map(hits => fresh.join(hits, Seq("line_md5"), "left_anti"))
               .getOrElse(fresh)
               .localCheckpoint()
+            // WRITE ORDERING (ADVICE r14): the digest-index append is
+            // the effective COMMIT POINT — the retry of a failed batch
+            // anti-joins rows out via the digest index above — so every
+            // other effect must land BEFORE it. Landing first (a retry
+            // re-lands, readers collapse keep-first), then the
+            // paraphrase index (a retry re-appends, the probe's
+            // dropDuplicates absorbs the twin rows), digest last: a
+            // failure anywhere leaves the batch fully retryable, never
+            // a landed conversation whose paraphrase rows are
+            // unrecoverably missing (future twins would pass the gate
+            // forever).
             survivors.select(col("conv_id"), col("line_md5"),
                 col("n_turns"), col("rendered_len"), col("rendered_md5"),
                 col("mask_spans"), col("masked_chars"))
               .write.mode("append").parquet(outDir)
-            survivors.select(col("rendered_md5"))
-              .write.mode("append").parquet(indexDir)
             if (paraGate)
               graft.operators.Dedup.appendToMinhashIndex(
                 survivors.select(col("line_md5"), col("rendered")),
                 "rendered", "line_md5", paraphraseIndexDir,
                 shingleWords = 3, numHashes = 24, bands = 12)
+            survivors.select(col("rendered_md5"))
+              .write.mode("append").parquet(indexDir)
           } finally {
             hitsOpt.foreach(_.unpersist())
             fresh.unpersist()
@@ -1571,6 +1595,78 @@ object DocIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** PREFERENCE-OUTCOME ingest + live Bradley-Terry board (r15 —
+    * VERDICT r14 stretch): the leaderboard's feed is a stream of
+    * judged duels, and the board must absorb re-delivered batches
+    * without moving. Each micro-batch of outcomes folds into a
+    * persisted outcome LOG under the out-of-place `v=<batchId>`
+    * versioning (the [[runHllIngest]] idiom — a retried batch
+    * re-reads the version before ITSELF, so folding twice lands the
+    * identical state), deduplicated on the outcome id `oid` — the
+    * exact seam [[graft.operators.EvalOps.bradleyTerry]]'s
+    * `dedupIdCol` was built for, applied at the log so a duplicate
+    * can neither double a game in the state NOR through the board.
+    * The board (every item's games/wins/rating from the full
+    * 4-round integer MM) re-derives per batch from the deduped log
+    * and publishes beside it, also versioned: readers flip between
+    * complete snapshots, never observe a half-updated board.
+    *
+    * Scale notes: the log is EVAL-sized (judged duels, not corpus
+    * rows); the per-batch board recompute is the q346 machinery —
+    * static map-side-combined censuses + iters item-sized rounds.
+    * When even the log grows past taste, the compaction step is a
+    * duel-census state keyed (a, b) — but that surrenders the oid
+    * seam, so this gate keeps the log (the auditable artifact a real
+    * leaderboard wants anyway).
+    *
+    * @param rawDir JSONL of (oid: string, winner: long, loser: long) */
+  def runOutcomeIngest(spark: SparkSession, rawDir: String,
+                       stateDir: String, boardDir: String,
+                       checkpointDir: String, iters: Int = 4,
+                       maxFilesPerTrigger: Int = 1): Unit = {
+    val ocSchema = StructType(Seq(
+      StructField("oid", StringType), StructField("winner", LongType),
+      StructField("loser", LongType)))
+    val q = spark.readStream
+      .schema(ocSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = ViewIngest.versionDirs(spark, stateDir)
+          .filter(_._1 < batchId).sortBy(_._1).lastOption match {
+          case Some((_, dir)) => spark.read.parquet(dir)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            ocSchema)
+        }
+        val log = prev
+          .unionByName(batch.select(col("oid"), col("winner"),
+            col("loser")))
+          .dropDuplicates("oid") // outcomes are immutable facts: any
+          // copy of an oid is the right one, keep-first
+          .localCheckpoint()    // two consumers: the log write + board
+        log.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        graft.operators.EvalOps.bradleyTerry(log, "winner", "loser",
+            iters = iters, dedupIdCol = Some("oid"))
+          .withColumnRenamed("item", "model")
+          .write.mode("overwrite").parquet(s"$boardDir/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Latest published board of [[runOutcomeIngest]]. */
+  def readOutcomeBoard(spark: SparkSession, boardDir: String): DataFrame =
+    ViewIngest.versionDirs(spark, boardDir).sortBy(_._1).lastOption match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None => throw new IllegalStateException(
+        s"no outcome board at $boardDir — run runOutcomeIngest first")
+    }
 
   /** Latest persisted daily-sketch table of [[runHllIngest]]. */
   def readHllState(spark: SparkSession, stateDir: String): DataFrame =

@@ -176,9 +176,19 @@ object BenchMetrics {
     *     AND more tasks/stages/shuffle bytes: the battery execution
     *     genuinely did different work (AQE re-plan under a recycled
     *     session, re-derived shared materialization, memo miss);
+    *   - `jit_pressure` — more task-seconds at healthy CPU across the
+    *     SAME task/stage/byte shape, with the JIT layer implicating
+    *     itself: compilation time ≥1.5× the isolated pass AND a LOWER
+    *     code-cache level (the sweeper evicted compiled methods under
+    *     a 350-query battery's class pressure, so hot paths re-ran
+    *     interpreted/recompiling — r14's q218/q197/q201/q194 family:
+    *     identical tasks/stages/bytes, cpu_frac ≈0.95, jit_ms ≈2×,
+    *     code cache 130–155 MB vs 210+ MB isolated). Diagnostic, not
+    *     a plan problem — do not "fix" the query (VERDICT r14 item 1);
     *   - `work_drift_in_task` — more task-seconds at healthy CPU
-    *     across the SAME task/stage/byte shape: the same plan chewed
-    *     more per task (a per-JVM memo rebuilt inside tasks);
+    *     across the SAME task/stage/byte shape with the JIT layer
+    *     quiet: the same plan chewed more per task (a per-JVM memo
+    *     rebuilt inside tasks);
     *   - `contention` — task-seconds inflated with the CPU fraction
     *     collapsed: tasks waited (external load, scheduler, faults);
     *   - `stall_outside_tasks` — wall inflated but task-seconds
@@ -210,10 +220,15 @@ object BenchMetrics {
       (iso.cpuFrac > 0 && b.cpuFrac >= 0.85 * iso.cpuFrac)
     val gcDominant = b.gcMs - iso.gcMs > 0 &&
       (b.gcMs - iso.gcMs) >= 0.4 * math.max(b.runMs - iso.runMs, 1L)
+    // the JIT layer implicating itself (r15): compile time inflated
+    // AND the code-cache LEVEL dropped — eviction, not growth
+    val jitPressure = r(b.jitMs, iso.jitMs) >= 1.5 &&
+      iso.codeCacheMb > 0 && b.codeCacheMb <= 0.85 * iso.codeCacheMb
     val shape =
       if (runR < 0 || wallR < 0) "n/a"
       else if (gcDominant && runR >= 1.5) "gc"
       else if (runR >= 2.0 && cpuHealthy && moreWork) "work_drift"
+      else if (runR >= 2.0 && cpuHealthy && jitPressure) "jit_pressure"
       else if (runR >= 2.0 && cpuHealthy) "work_drift_in_task"
       else if (runR >= 1.5) "contention"
       else if (wallR >= 1.5) "stall_outside_tasks"

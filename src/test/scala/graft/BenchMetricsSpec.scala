@@ -15,12 +15,13 @@ class BenchMetricsSpec extends AnyFunSuite {
   private def snap(tasks: Long = 100, stages: Long = 5, runMs: Long = 1000,
                    cpuFrac: Double = 0.95, gcMs: Long = 0,
                    shufWriteB: Long = 50L << 20,
-                   inputB: Long = 200L << 20): Snap =
+                   inputB: Long = 200L << 20, jitMs: Long = 0,
+                   codeCacheMb: Double = 50.0): Snap =
     Snap(tasks = tasks, stages = stages, runMs = runMs,
       cpuNs = (runMs * cpuFrac * 1e6).toLong, gcMs = gcMs,
       shufReadB = 0, shufWriteB = shufWriteB, spillB = 0,
-      inputB = inputB, jitMs = 0, classes = 0, ioReadB = 0,
-      codeCacheMb = 50.0, metaspaceMb = 100.0)
+      inputB = inputB, jitMs = jitMs, classes = 0, ioReadB = 0,
+      codeCacheMb = codeCacheMb, metaspaceMb = 100.0)
 
   private def shapeOf(diag: String): String =
     diag.split("shape: ").last
@@ -41,6 +42,26 @@ class BenchMetricsSpec extends AnyFunSuite {
     val iso = snap()
     val bat = snap(runMs = 4000)
     assert(shapeOf(BenchMetrics.diagnose(4.0, bat, 1.0, iso)) ==
+      "work_drift_in_task")
+  }
+
+  test("q218's r14 shape: same task shape, jit 2x and a LOWER code-cache level = jit_pressure") {
+    // r14's biggest adjudicated bucket: identical tasks/stages/bytes,
+    // cpu_frac ~0.95, jit_ms ~2x, code cache 140 MB vs 210 MB isolated
+    // — JIT recompilation / code-cache eviction under the battery, not
+    // plan drift (VERDICT r14 item 1)
+    val iso = snap(jitMs = 30000, codeCacheMb = 210.0)
+    val bat = snap(runMs = 6700, jitMs = 62000, codeCacheMb = 140.0)
+    assert(shapeOf(BenchMetrics.diagnose(16.2, bat, 2.4, iso)) ==
+      "jit_pressure")
+    // the same inflation with the JIT layer quiet stays work_drift_in_task
+    val batQuiet = snap(runMs = 6700, jitMs = 31000, codeCacheMb = 210.0)
+    assert(shapeOf(BenchMetrics.diagnose(16.2, batQuiet, 2.4, iso)) ==
+      "work_drift_in_task")
+    // a GROWN code cache (more compiled code, no eviction) is not
+    // pressure either — eviction is the distinguishing sign
+    val batGrown = snap(runMs = 6700, jitMs = 62000, codeCacheMb = 230.0)
+    assert(shapeOf(BenchMetrics.diagnose(16.2, batGrown, 2.4, iso)) ==
       "work_drift_in_task")
   }
 

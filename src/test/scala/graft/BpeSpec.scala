@@ -165,7 +165,11 @@ class BpeSpec extends AnyFunSuite {
         val want = math.min(batch, k - out.size)
         window.iterator.takeWhile(_ => sel.size < want).foreach {
           case ((l, r), c) =>
-            if (!used(l) && !used(r)) { sel += ((l, r, c)); used += l; used += r }
+            // the merged symbol is reserved too (ADVICE r14): a round
+            // must not co-select (a,b) and (ab,x)
+            if (!used(l) && !used(r) && !used(l + r)) {
+              sel += ((l, r, c)); used += l; used += r; used += (l + r)
+            }
         }
         sel.foreach { case (l, r, c) => out += ((out.size + 1L, l, r, c)) }
         for ((l, r, _) <- sel)
@@ -211,6 +215,164 @@ class BpeSpec extends AnyFunSuite {
         nMerges = 6, batchSize = 1)
       .as[(Long, String, String, Long)].collect().toSeq
     assert(batched == classic)
+  }
+
+  // ---- byte tier (r15) --------------------------------------------------
+
+  private def byteSymbols(w: String): Vector[String] =
+    w.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").toVector
+
+  private def applyMergeSeq(sy: Vector[String], l: String,
+                            r: String): Vector[String] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sy.length) {
+      if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
+        merged += (l + r); i += 2
+      } else { merged += sy(i); i += 1 }
+    }
+    merged.toVector
+  }
+
+  /** Reference BYTE-level batched learner: same batch rule as
+    * [[referenceBatched]] (window 8·batch, symbol + merged-product
+    * reservation), census over UTF-8 bytes as lowercase hex pairs,
+    * NO ascii gate — every word enters. */
+  private def referenceBatchedBytes(texts: Seq[String], k: Int, batch: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val census = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for (t <- texts; w <- t.toLowerCase.split("\\s+") if w.nonEmpty)
+      census.updateWith(byteSymbols(w))(c => Some(c.getOrElse(0L) + 1))
+    var words = census.toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (out.size < k && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sy, n) <- words; i <- 0 until sy.length - 1)
+        pairs.updateWith((sy(i), sy(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (pairs.isEmpty) done = true
+      else {
+        val window = pairs.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.take(8 * batch)
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val want = math.min(batch, k - out.size)
+        window.iterator.takeWhile(_ => sel.size < want).foreach {
+          case ((l, r), c) =>
+            if (!used(l) && !used(r) && !used(l + r)) {
+              sel += ((l, r, c)); used += l; used += r; used += (l + r)
+            }
+        }
+        sel.foreach { case (l, r, c) => out += ((out.size + 1L, l, r, c)) }
+        for ((l, r, _) <- sel)
+          words = words.groupMapReduce {
+            case (sy, _) => applyMergeSeq(sy, l, r) }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  /** A multilingual corpus: CJK, emoji, accents, plus English — the
+    * text the ASCII tier had to exclude. */
+  private def mlTexts: Seq[String] = (0 until 240).map { i =>
+    val zh = Seq("数据引擎", "查询计划", "排序分区", "聚合统计")(i % 4)
+    val acc = Seq("requête", "schlüssel", "días", "café")(i % 4)
+    val emo = Seq("🙂", "🚀")(i % 2)
+    s"the quick${i % 7} $zh $zh $acc $emo merge sort"
+  }
+
+  test("byte-level batched learner equals the JVM reference and learns non-ASCII merges") {
+    val docs = mlTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.learnBpeMergesBytesBatched(docs, "text",
+        nMerges = 48, batchSize = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val want = referenceBatchedBytes(mlTexts, 48, 8)
+    assert(got.size == 48, s"corpus exhausted at ${got.size} merges")
+    assert(got == want,
+      s"first divergence: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the whole point of the byte tier: merges over NON-ASCII bytes
+    // (CJK lead bytes e4-e9, the c3 accents, the f0 emoji plane)
+    val nonAscii = got.filter { case (_, l, r, _) =>
+      val first = Integer.parseInt((l + r).take(2), 16)
+      first >= 0x80
+    }
+    assert(nonAscii.nonEmpty,
+      s"no non-ASCII merge learned on a CJK-heavy corpus: $got")
+    // layout invariance
+    val re = Bpe.learnBpeMergesBytesBatched(docs.repartition(13), "text",
+        nMerges = 48, batchSize = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(re == got)
+  }
+
+  test("bpeTokenCountsBytes: chunked dictionary encode equals the JVM reference at a real merge count") {
+    // mlTexts alone sustains ~90 merges; add the 256-merge test's
+    // ASCII word families so a 300-merge vocabulary trains
+    val rich = mlTexts ++ (0 until 300).map(i =>
+      s"alpha$i beta$i gamma${i % 50} ing${i % 20}tion " +
+        s"pre${"xy" * (i % 5 + 1)}fix the${i % 9} and${i % 7}")
+    val docs = rich.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = referenceBatchedBytes(rich, 300, 32)
+      .map(m => (m._2, m._3))
+    assert(merges.size == 300, s"corpus exhausted at ${merges.size}")
+    // JVM reference encode: sequential rank-order replay per word
+    def refCounts(t: String): (Long, Long, Long) = {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks = ws.map { w =>
+        merges.foldLeft(byteSymbols(w)) { case (sy, (l, r)) =>
+          applyMergeSeq(sy, l, r) }.length.toLong
+      }.sum
+      (ws.size.toLong,
+        ws.map(_.getBytes("UTF-8").length.toLong).sum, toks)
+    }
+    val want = rich.zipWithIndex.map { case (t, i) =>
+      val (nw, nb, nt) = refCounts(t); (i.toLong, nw, nb, nt) }
+    // chunkSize 64 forces 5 chunks; 512 runs in one — identical by
+    // construction (chunking changes plan shape, not segmentation)
+    for (chunk <- Seq(64, 512)) {
+      val got = Bpe.bpeTokenCountsBytes(docs, "doc_id", "text", merges,
+          chunkSize = chunk)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"chunkSize=$chunk diverged: " +
+        s"${got.zip(want).find(p => p._1 != p._2)}")
+    }
+    // merges actually fire on non-ASCII words: some CJK word costs
+    // fewer tokens than bytes
+    assert(want.exists { case (_, _, nb, nt) => nt < nb })
+    // empty merge list: every byte is its own token
+    val plain = Bpe.bpeTokenCountsBytes(docs.limit(50), "doc_id", "text", Nil)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(plain.forall { case (_, _, nb, nt) => nb == nt })
+    // char-tier symbols refuse the byte gate loudly
+    intercept[IllegalArgumentException] {
+      Bpe.bpeTokenCountsBytes(docs, "doc_id", "text", Seq(("a", "b")))
+    }
+  }
+
+  test("byte vocabulary round-trips with its alphabet; tier mismatch refuses loudly") {
+    val docs = mlTexts.take(40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val learned = Bpe.learnBpeMergesBytesBatched(docs, "text",
+      nMerges = 24, batchSize = 8)
+    val want = learned.as[(Long, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpevocab_bytes_").toString
+    Bpe.writeBpeVocab(learned, dir, alphabet = "bytes")
+    assert(Bpe.readBpeVocab(spark, dir, alphabet = "bytes") == want)
+    // asking for the char tier against a byte vocabulary is the
+    // silent-nothing-fuses footgun — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      Bpe.readBpeVocab(spark, dir, alphabet = "char")
+    }
+    assert(e.getMessage.contains("alphabet"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Bpe.writeBpeVocab(learned, dir, alphabet = "hex")
+    }
   }
 
   test("persisted vocabulary round-trips; truncation and missing sidecar refuse loudly") {

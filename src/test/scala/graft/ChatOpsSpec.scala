@@ -396,6 +396,67 @@ class ChatOpsSpec extends AnyFunSuite {
       ("b", 2L, 0L, 0L, -3L)), got.toString)
   }
 
+  test("debiasPreferenceLength: JVM draw replay, band convergence, below-target passthrough") {
+    // 800 strictly-longer-chosen pairs + 200 others → raw share 800k
+    val pairs = (0L until 1000L).map { i =>
+      if (i < 800L) (i, 20L, 10L) else (i, 10L, 20L)
+    }.toDF("pid", "cl", "rl")
+    val got = ChatOps.debiasPreferenceLength(pairs, "pid", "cl", "rl",
+        targetPpm = 500000L, salt = "lendebias")
+      .select($"pid", $"cl", $"rl")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // JVM replay of the operator's integer keep-fraction and draws:
+    // nl=800, nr=200 → f_ppm = (5e5·200) div ((5e5·800) div 1e6)
+    // = 1e8 div 400 = 250000 (keep 1/4 of the long pairs)
+    val nl = 800L; val nr = 200L; val t = 500000L
+    val fPpm = (t * nr) / math.max(((1000000L - t) * nl) / 1000000L, 1L)
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lendebias:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val want = (0L until 1000L).filter { i =>
+      i >= 800L || draw(i) < fPpm
+    }.map(i => if (i < 800L) (i, 20L, 10L) else (i, 10L, 20L))
+    assert(got == want, s"kept ${got.size}, JVM replay ${want.size}")
+    // the realized share lands in a sampling band around the target
+    // (f = 0.25 of 800 longs → E[kept longs] = 200 of ~400 total)
+    val longKept = got.count(p => p._2 > p._3).toLong
+    val share = longKept * 1000000L / got.size
+    assert(share >= 350000L && share <= 650000L,
+      s"debiased share $share outside the band (kept $longKept long)")
+    // determinism under relayout
+    val re = ChatOps.debiasPreferenceLength(pairs.repartition(13),
+        "pid", "cl", "rl", targetPpm = 500000L, salt = "lendebias")
+      .select($"pid", $"cl", $"rl")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(re == got)
+    // a set already at/below the target returns UNCHANGED — including
+    // its long pairs
+    val balanced = (0L until 100L).map { i =>
+      if (i < 40L) (i, 20L, 10L) else (i, 10L, 20L)
+    }.toDF("pid", "cl", "rl")
+    val gotB = ChatOps.debiasPreferenceLength(balanced, "pid", "cl",
+        "rl", targetPpm = 500000L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotB.size == 100 && gotB.count(p => p._2 > p._3) == 40)
+    // n_long = 0 is total (the greatest(·,1) floor)
+    val noLong = (0L until 10L).map(i => (i, 5L, 9L)).toDF("pid", "cl", "rl")
+    assert(ChatOps.debiasPreferenceLength(noLong, "pid", "cl", "rl")
+      .count() == 10L)
+    // n_rest = 0: an ALL-longer set cannot be rebalanced by
+    // subsampling — the arithmetic yields the empty set (the only
+    // subsample satisfying any target < 10⁶), documented not hidden
+    val allLong = (0L until 10L).map(i => (i, 9L, 5L)).toDF("pid", "cl", "rl")
+    assert(ChatOps.debiasPreferenceLength(allLong, "pid", "cl", "rl")
+      .count() == 0L)
+    intercept[IllegalArgumentException] {
+      ChatOps.debiasPreferenceLength(pairs, "pid", "cl", "rl",
+        targetPpm = 0L)
+    }
+  }
+
   test("resolveToolCalls: NULL name/args render deterministically, never vanish") {
     // ADVICE r13: concat over a NULL field used to null the element
     // and array_join silently skipped it — a malformed call vanished

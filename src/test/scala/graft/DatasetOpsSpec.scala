@@ -1188,4 +1188,75 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(be.forall(b => b._4 >= 1 && b._4 <= 4), "batchSize respected")
     assert(be.forall(b => b._8 > 0 && b._8 <= 1000000L))
   }
+
+  test("packManifest artifact: byte-identical re-export, tamper refused loudly, sidecar gates truncation") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_manifest_spec_").toString
+    try {
+      val docsDf = (1L to 200L).map(i => (i, 3L + i % 7)).toDF("id", "n")
+      def packed(df: org.apache.spark.sql.DataFrame) =
+        DatasetOps.packSequences(df, "id", col("n"), seqLen = 16,
+          nShards = 4)
+      DatasetOps.writePackManifest(packed(docsDf), "id", s"$base/m1")
+      // the read-back matches a direct census and covers every doc
+      val got = DatasetOps.readPackManifest(spark, s"$base/m1")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got.map(_._2).sum == 200L)
+      assert(got.map(_._3).sum == (1L to 200L).map(i => 3L + i % 7).sum)
+      // IDEMPOTENT RE-EXPORT: a second export of the same corpus (in a
+      // different layout) writes a BYTE-identical shards artifact
+      DatasetOps.writePackManifest(packed(docsDf.repartition(7)), "id",
+        s"$base/m2")
+      def partBytes(dir: String): Seq[Byte] = {
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+        assert(files.length == 1, s"expected one part file in $dir")
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(files.head)).toSeq
+      }
+      assert(partBytes(s"$base/m1/shards") == partBytes(s"$base/m2/shards"),
+        "re-export must be byte-identical")
+      // the check passes against the honest export ...
+      DatasetOps.checkPackManifest(spark, s"$base/m1", packed(docsDf), "id")
+      // ... and refuses loudly on every tamper class, naming the shard
+      val dropped = intercept[IllegalArgumentException] {
+        DatasetOps.checkPackManifest(spark, s"$base/m1",
+          packed(docsDf.filter($"id" =!= 17L)), "id")
+      }
+      assert(dropped.getMessage.contains("diverge"), dropped.getMessage)
+      val swapped = intercept[IllegalArgumentException] {
+        // same id set, one token count shifted — membership checksums
+        // match, token mass flips
+        DatasetOps.checkPackManifest(spark, s"$base/m1",
+          packed(docsDf.withColumn("n",
+            when($"id" === 17L, $"n" + 1L).otherwise($"n"))), "id")
+      }
+      assert(swapped.getMessage.contains("diverge"), swapped.getMessage)
+      val substituted = intercept[IllegalArgumentException] {
+        // same count and mass in the shard, different member — only
+        // the checksum catches it
+        DatasetOps.checkPackManifest(spark, s"$base/m1",
+          packed(docsDf.withColumn("id",
+            when($"id" === 17L, 10017L).otherwise($"id"))), "id")
+      }
+      assert(substituted.getMessage.contains("diverge"),
+        substituted.getMessage)
+      // a truncated shards table disagrees with the totals sidecar —
+      // the reader itself refuses
+      val rows = spark.read.parquet(s"$base/m1/shards")
+      rows.filter($"shard" =!= 0L).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/m3/shards")
+      val metaSrc = spark.read.parquet(s"$base/m1/meta")
+      metaSrc.coalesce(1).write.mode("overwrite").parquet(s"$base/m3/meta")
+      val trunc = intercept[IllegalArgumentException] {
+        DatasetOps.readPackManifest(spark, s"$base/m3")
+      }
+      assert(trunc.getMessage.contains("sidecar"), trunc.getMessage)
+      intercept[IllegalArgumentException] {
+        DatasetOps.readPackManifest(spark, s"$base/nowhere")
+      }
+    } finally {
+      graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(base))
+    }
+  }
 }

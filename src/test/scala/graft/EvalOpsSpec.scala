@@ -145,6 +145,71 @@ class EvalOpsSpec extends AnyFunSuite {
       board(once, None).map(_._2 * 2))
   }
 
+  test("bradleyTerryCi: full slice equals plain bradleyTerry, JVM replicate replay, skill-gap separation") {
+    // planted skill order 1 > 2 > 3 with unique outcome ids: 1 beats 2
+    // in 21/30 games, 2 beats 3 in 20/30, 1 beats 3 in 24/30
+    def series(a: Long, b: Long, wa: Int, n: Int, base: Long) =
+      (0 until n).map(i =>
+        (base + i, if (i < wa) a else b, if (i < wa) b else a))
+    val outcomes = series(1L, 2L, 21, 30, 1000L) ++
+      series(2L, 3L, 20, 30, 2000L) ++ series(1L, 3L, 24, 30, 3000L)
+    val got = EvalOps.bradleyTerryCi(outcomes.toDF("oid", "w", "l"),
+        "w", "l", "oid", iters = 3, b = 12, frac = 0.5, salt = "bt")
+      .orderBy("item")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // the rep −1 slice IS the plain trajectory
+    val plain = referenceBt(outcomes.map(o => (o._2, o._3)), 3, 1000000L)
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap == plain,
+      s"\nfull slice: $got\nplain:      $plain")
+    // JVM replay of every replicate's trajectory and both bounds
+    def draw(k: Int, oid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bt:$k:$oid".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val thr = graft.operators.DatasetOps.thr(0.5)
+    val repRatings = (0 until 12).map { k =>
+      referenceBt(outcomes.filter(o => draw(k, o._1) < thr)
+        .map(o => (o._2, o._3)), 3, 1000000L)
+    }
+    for (item <- Seq(1L, 2L, 3L)) {
+      val ps = repRatings.flatMap(_.get(item)).map(_._3)
+      assert(got(item)._4 == ps.size.toLong,
+        s"item $item n_replicates ${got(item)._4} != ${ps.size}")
+      def bound(pct: Int): Long = {
+        val r = (pct * ps.size + 99) / 100
+        ps.filter(m => ps.count(_ <= m) >= r).min
+      }
+      assert((got(item)._5, got(item)._6) == ((bound(5), bound(95))),
+        s"item $item bounds ${(got(item)._5, got(item)._6)} != " +
+          s"${(bound(5), bound(95))}")
+    }
+    // the planted gap separates: the strongest item's LOWER bound
+    // clears the weakest item's UPPER bound
+    assert(got(1L)._5 > got(3L)._6,
+      s"skill gap not separated: ${got(1L)} vs ${got(3L)}")
+    // at-least-once: a re-delivered batch leaves everything unchanged
+    // (ids dedup before both the censuses and the draws)
+    val re = EvalOps.bradleyTerryCi(
+        (outcomes ++ outcomes).toDF("oid", "w", "l"),
+        "w", "l", "oid", iters = 3, b = 12, frac = 0.5, salt = "bt")
+      .orderBy("item")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(re == got)
+    // guards
+    intercept[IllegalArgumentException] {
+      EvalOps.bradleyTerryCi(outcomes.toDF("oid", "w", "l"), "w", "l",
+        "oid", b = 5)
+    }
+  }
+
   test("bootstrapMetricCi: JVM draw-for-draw replay, coverage on a known-variance fixture") {
     // 1000 items at a planted 70% EM rate; frac-0.5 subsample
     // replicates have SE ≈ √(0.21/500) ≈ 2.05%, so the 5–95
@@ -186,6 +251,109 @@ class EvalOpsSpec extends AnyFunSuite {
         frac = 0.5)
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(re == got)
+  }
+
+  test("pairedBootstrapCi: A≡B straddles zero, planted uniform improvement excludes it, JVM replay") {
+    // identical systems: every per-item delta is 0, so every replicate
+    // mean is 0 — the interval is exactly [0, 0] and no replicate has
+    // a strictly positive mean
+    val base = (0L until 600L).map(i =>
+      (i, if ((i * 13) % 10 < 7) 1000000L else 0L))
+    val eq = EvalOps.pairedBootstrapCi(
+        base.map { case (i, v) => (i, v, v) }.toDF("id", "a", "b"),
+        "id", "a", "b", b = 40)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(eq == ((600L, 40L, 0L, 0L, 0L, 0L)), eq.toString)
+    // planted uniform improvement: A = B + 100000 on EVERY item — the
+    // delta is constant, so each replicate mean is exactly 100000, the
+    // CI collapses to [100000, 100000] (excludes 0), and A wins every
+    // replicate
+    val up = EvalOps.pairedBootstrapCi(
+        base.map { case (i, v) => (i, v + 100000L, v) }
+          .toDF("id", "a", "b"),
+        "id", "a", "b", b = 40)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(up == ((600L, 40L, 100000L, 100000L, 100000L, 1000000L)),
+      up.toString)
+    // correlated noisy systems: JVM draw-for-draw replay of the delta
+    // means, both bounds, and the strict-positive win census
+    val ab = base.map { case (i, v) =>
+      (i, v, if ((i * 7) % 10 < 6) 1000000L else 0L) }
+    val got = EvalOps.pairedBootstrapCi(ab.toDF("id", "a", "b"),
+        "id", "a", "b", b = 60)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    def draw(b: Int, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$b:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val thr = graft.operators.DatasetOps.thr(0.5)
+    val deltas = ab.map { case (i, a, b2) => (i, a - b2) }
+    val means = (0 until 60).flatMap { b =>
+      val mem = deltas.filter(it => draw(b, it._1) < thr)
+      if (mem.isEmpty) None
+      // JVM / truncates toward zero on negative sums, like Spark div
+      else Some(mem.map(_._2).sum / mem.size)
+    }
+    assert(means.size == 60)
+    def bound(pct: Int): Long = {
+      val r = (pct * means.size + 99) / 100
+      means.filter(m => means.count(_ <= m) >= r).min
+    }
+    val wantPoint = deltas.map(_._2).sum / deltas.size
+    val wantWins = means.count(_ > 0) * 1000000L / means.size
+    assert(got == ((600L, 60L, wantPoint, bound(5), bound(95),
+      wantWins)), s"$got vs JVM replay")
+    // determinism under relayout
+    val re = EvalOps.pairedBootstrapCi(
+        ab.toDF("id", "a", "b").repartition(17), "id", "a", "b", b = 60)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(re == got)
+    // the PAIRING is what the operator buys: on these correlated
+    // systems the paired interval is strictly tighter than the two
+    // marginal intervals' difference-width
+    val aCi = EvalOps.bootstrapMetricCi(
+        ab.map(t => (t._1, t._2)).toDF("id", "v"), "id", "v", b = 60)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val bCi = EvalOps.bootstrapMetricCi(
+        ab.map(t => (t._1, t._3)).toDF("id", "v"), "id", "v", b = 60)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val unpairedWidth = (aCi._5 - aCi._4) + (bCi._5 - bCi._4)
+    assert(got._5 - got._4 < unpairedWidth,
+      s"paired width ${got._5 - got._4} not tighter than marginal " +
+        s"$unpairedWidth")
+  }
+
+  test("pairedBootstrapCiBy: per-group verdicts, group-independent draws") {
+    // two groups with opposite planted signs; draws depend on the item
+    // id alone, so each group's replicate membership is the same as it
+    // would be standalone
+    val rows = (0L until 400L).map { i =>
+      val g = if (i % 2 == 0) "g_up" else "g_down"
+      val b = if ((i * 13) % 10 < 5) 1000000L else 0L
+      val a = if (g == "g_up") b + 200000L else b - 200000L
+      (g, i, a, b)
+    }
+    val got = EvalOps.pairedBootstrapCiBy(
+        rows.toDF("g", "id", "a", "b"), "g", "id", "a", "b", b = 30)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("g_down", "g_up"))
+    val down = got.head; val up = got(1)
+    assert(down._4 == -200000L && down._5 == -200000L &&
+      down._6 == -200000L && down._7 == 0L, down.toString)
+    assert(up._4 == 200000L && up._5 == 200000L &&
+      up._6 == 200000L && up._7 == 1000000L, up.toString)
+    // guards
+    intercept[IllegalArgumentException] {
+      EvalOps.pairedBootstrapCi(rows.toDF("g", "id", "a", "b"),
+        "id", "a", "b", b = 5)
+    }
+    intercept[IllegalArgumentException] {
+      EvalOps.pairedBootstrapCi(rows.toDF("g", "id", "a", "b"),
+        "id", "a", "b", frac = 1.0)
+    }
   }
 
   test("majorityVote: majority, tie-break, agreement, heap plan") {

@@ -220,6 +220,166 @@ class SimilaritySpec extends AnyFunSuite {
     } finally deleteRec(base)
   }
 
+  test("maintainPqIndex: drift retrains books, recall recovers vs stale books, old snapshot immutable") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pq_drift_").toString
+    try {
+      // era A: 16 clusters living in dims 0..31; era B — the corpus
+      // after a re-embedding — 16 clusters in dims 32..63, arranged
+      // as 4 directions (one per PQ subspace 4..7) × 4 MAGNITUDES.
+      // Books trained on A have near-zero codewords in those
+      // subspaces, and a near-zero codeword set quantizes by
+      // DIRECTION only (the argmin is linear in the magnitude), so
+      // the stale index COLLIDES all four magnitudes of a direction
+      // into one code and recall collapses — the silent degradation
+      // the maintainer exists to catch.
+      val rndA = new scala.util.Random(41)
+      val centersA = Seq.fill(16)(Array.fill(32)(rndA.nextGaussian() * 4.0))
+      val eraA = (0L until 160L).map { i =>
+        val c = centersA((i % 16).toInt)
+        (i, (c.map(_ + rndA.nextGaussian() * 0.3) ++
+          Array.fill(32)(rndA.nextGaussian() * 0.01)).toSeq)
+      }.toDF("cid", "v").cache()
+      val rndB = new scala.util.Random(43)
+      val rowsB: Seq[(Long, Array[Double])] = (0L until 160L).map { i =>
+        val g = (i % 16).toInt
+        val dir = 32 + (g % 4) * 8          // one dim per subspace 4..7
+        val mag = 4.0 * (1 + g / 4)          // 4, 8, 12, 16
+        val v = Array.fill(64)(rndB.nextGaussian() * 0.3)
+        v(dir) += mag
+        (i, v)
+      }
+      val eraB = rowsB.map { case (i, v) => (i, v.toSeq) }
+        .toDF("cid", "v").cache()
+      val booksA = Similarity.Pq.trainCodebooks(eraA, "cid", "v")
+      Similarity.Pq.writePqIndex(eraA, "cid", "v", s"$base/v1", booksA)
+      // healthy corpus: the monitor holds, nothing fires or lands
+      assert(!Similarity.Pq.maintainPqIndex(spark, s"$base/v1", eraA,
+        "cid", "v", s"$base/v2", floor = 0.9))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/v2")), "healthy must write nothing")
+      def listing(dir: String): Seq[(String, Long)] = {
+        val p = java.nio.file.Paths.get(dir)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        java.nio.file.Files.walk(p).forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f))
+            out += ((p.relativize(f).toString, java.nio.file.Files.size(f)))
+        }
+        out.sortBy(_._1).toSeq
+      }
+      val before = listing(s"$base/v1")
+      // drifted corpus: fires, retrains, publishes out-of-place
+      assert(Similarity.Pq.maintainPqIndex(spark, s"$base/v1", eraB,
+        "cid", "v", s"$base/v2", floor = 0.9))
+      assert(listing(s"$base/v1") == before,
+        "the old snapshot must stay byte-immutable through a refresh")
+      // recall@9 on era B: refreshed books vs the SAME vectors coded
+      // under the stale era-A books
+      Similarity.Pq.writePqIndex(eraB, "cid", "v", s"$base/stale", booksA)
+      val qB = eraB.filter($"cid" < 8)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      // exact ground truth in the metric PQ serves (L2), JVM-computed:
+      // a magnitude-only cluster pair is identical under cosine, so
+      // the cosine brute force cannot gate this fixture
+      def l2(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val exact = (0L until 8L).flatMap { q =>
+        val qv = rowsB(q.toInt)._2
+        rowsB.filter(_._1 != q)
+          .sortBy(r => (l2(qv, r._2), r._1)).take(9)
+          .map(r => (q, r._1))
+      }.toSet
+      def recall(dir: String): Double = {
+        val got = Similarity.Pq.probePqIndex(spark, dir, qB, 9)
+          .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+        (exact intersect got).size.toDouble / exact.size
+      }
+      val fresh = recall(s"$base/v2")
+      val stale = recall(s"$base/stale")
+      assert(fresh > stale,
+        s"refresh must beat stale books: fresh $fresh vs stale $stale")
+      assert(fresh >= 0.6, s"refreshed recall@9: $fresh")
+      assert(stale <= 0.45, s"stale books should visibly miss: $stale")
+      // in-place publish refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        Similarity.Pq.maintainPqIndex(spark, s"$base/v1", eraB,
+          "cid", "v", s"$base/v1")
+      }
+      assert(e.getMessage.contains("out-of-place"), e.getMessage)
+      eraA.unpersist(); eraB.unpersist()
+    } finally deleteRec(base)
+  }
+
+  test("maintainSqIndex: drift refits ranges, recall recovers vs clamped stale ranges, old snapshot immutable") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sq_drift_").toString
+    try {
+      // era A lives in dims 0/1 at ~1.0; era B lives in dims 4..7 at
+      // ~10 (4 clusters keyed by i%4). The stale era-A ranges are
+      // DEGENERATE in dims 4..7 (min == max == ~0), so every era-B
+      // vector codes to the same reconstruction there — the clamping
+      // failure the maintainer exists to catch.
+      val eraA = (0L until 80L).map { i =>
+        val v = Array.fill(8)(0.0)
+        v((i % 2).toInt) = 1.0 + 0.01 * (i % 5)
+        (i, v.toSeq)
+      }.toDF("cid", "v")
+      // within-cluster members are IDENTICAL vectors: both the exact
+      // tier (6dp cosine) and the SQ tier (quantized L2) tie them and
+      // break by cid, so recall compares sets, not quantization-
+      // boundary artifacts
+      val eraB = (0L until 80L).map { i =>
+        val v = Array.fill(8)(0.0)
+        v((4 + i % 4).toInt) = 10.0
+        v((i % 2).toInt) = 0.05
+        (i, v.toSeq)
+      }.toDF("cid", "v")
+      val (mnsA, mxsA) = Similarity.Sq.minMax(eraA, "v", 8)
+      Similarity.Sq.writeSqIndex(eraA, "cid", "v", s"$base/v1", mnsA, mxsA)
+      assert(!Similarity.Sq.maintainSqIndex(spark, s"$base/v1", eraA,
+        "cid", "v", s"$base/v2", floor = 0.9))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/v2")), "healthy must write nothing")
+      def listing(dir: String): Seq[(String, Long)] = {
+        val p = java.nio.file.Paths.get(dir)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        java.nio.file.Files.walk(p).forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f))
+            out += ((p.relativize(f).toString, java.nio.file.Files.size(f)))
+        }
+        out.sortBy(_._1).toSeq
+      }
+      val before = listing(s"$base/v1")
+      assert(Similarity.Sq.maintainSqIndex(spark, s"$base/v1", eraB,
+        "cid", "v", s"$base/v2", floor = 0.9))
+      assert(listing(s"$base/v1") == before,
+        "the old snapshot must stay byte-immutable through a refresh")
+      Similarity.Sq.writeSqIndex(eraB, "cid", "v", s"$base/stale",
+        mnsA, mxsA)
+      val qB = eraB.filter($"cid" < 8)
+        .select($"cid".as("qid"), $"v".as("qvec"))
+      val exact = Similarity.bruteForceTopK(qB,
+          eraB.select($"cid", $"v".as("cvec")), 5)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      def recall(dir: String): Double = {
+        val got = Similarity.Sq.probeSqIndex(spark, dir, qB, 5)
+          .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+        (exact intersect got).size.toDouble / exact.size
+      }
+      val fresh = recall(s"$base/v2")
+      val stale = recall(s"$base/stale")
+      assert(fresh > stale,
+        s"refresh must beat stale ranges: fresh $fresh vs stale $stale")
+      assert(fresh >= 0.9, s"refreshed recall@5: $fresh")
+      assert(stale <= 0.6, s"stale ranges should visibly miss: $stale")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.Sq.maintainSqIndex(spark, s"$base/v1", eraB,
+          "cid", "v", s"$base/v1")
+      }
+      assert(e.getMessage.contains("out-of-place"), e.getMessage)
+    } finally deleteRec(base)
+  }
+
   test("appendToIvfIndex: appended vectors probe identically to a from-scratch rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
     try {

@@ -1207,6 +1207,67 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("preference-outcome ingest: re-delivered batch leaves the board unchanged, new games move only their component") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_outcome_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val state = root.resolve("state")
+    val board = root.resolve("board"); val ckpt = root.resolve("ckpt")
+    // two DISCONNECTED duel components: X = {1, 2} and Y = {10, 11}.
+    // The anchor regularization pins each component's scale, so games
+    // inside X must not move Y at all — the "only affected items"
+    // contract a live leaderboard needs.
+    val s1 = Seq(
+      ("o1", 1L, 2L), ("o2", 1L, 2L), ("o3", 1L, 2L), ("o4", 2L, 1L),
+      ("o5", 10L, 11L), ("o6", 10L, 11L))
+    s1.toDF("oid", "winner", "loser").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    val now = System.currentTimeMillis()
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    def run(): Unit = DocIngest.runOutcomeIngest(spark,
+      raw.toString + "/*/", state.toString, board.toString,
+      ckpt.toString, iters = 4)
+    def snap(): Map[Long, (Long, Long, Long)] =
+      DocIngest.readOutcomeBoard(spark, board.toString)
+        .select($"model", $"games", $"wins", $"rating")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    run()
+    val b1 = snap()
+    assert(b1.keySet == Set(1L, 2L, 10L, 11L))
+    assert(b1(1L)._3 > b1(2L)._3, "3-1 winner must rate above its loser")
+    // the board equals the batch operator on the same outcomes
+    val direct = graft.operators.EvalOps.bradleyTerry(
+        s1.toDF("oid", "w", "l"), "w", "l", iters = 4,
+        dedupIdCol = Some("oid"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b1 == direct)
+    // AT-LEAST-ONCE: the same outcomes re-land as a later shard (an
+    // upstream retry) — the oid seam folds them away, board unchanged
+    s1.toDF("oid", "winner", "loser").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    setMtimeRec(raw.resolve("f2"), now - 30000L)
+    run()
+    assert(snap() == b1,
+      "a re-delivered outcome batch must leave the board unchanged")
+    // new games inside component X: X moves, Y does not
+    Seq(("o7", 2L, 1L), ("o8", 2L, 1L), ("o9", 2L, 1L))
+      .toDF("oid", "winner", "loser").coalesce(1)
+      .write.json(raw.resolve("f3").toString)
+    setMtimeRec(raw.resolve("f3"), now)
+    run()
+    val b3 = snap()
+    assert(b3(10L) == b1(10L) && b3(11L) == b1(11L),
+      s"disconnected component moved: ${b3(10L)} vs ${b1(10L)}")
+    assert(b3(2L)._3 > b1(2L)._3,
+      s"2's rating must rise on new wins: ${b3(2L)} vs ${b1(2L)}")
+    assert(b3(1L)._1 == 7L && b3(2L)._1 == 7L,
+      "X's game counts must include the new duels exactly once")
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
