@@ -461,23 +461,8 @@ object Bpe {
         s"got $chunkSize")
     val dw = docs.select(col(idCol),
       explode(TextFunctions.whitespaceTokens(col(textCol))).as("_w"))
-    val dict0 = DatasetOps.spreadToCores(
-        dw.select(col("_w")).distinct())
-      .withColumn("_f", byteFrame(col("_w")))
-    val chunks = merges.grouped(chunkSize).toSeq
-    val encoded = chunks.zipWithIndex.foldLeft(dict0) {
-      case (d, (grp, i)) =>
-        val applied = d.select(col("_w"),
-          grp.foldLeft(col("_f")) { case (c, (l, r)) =>
-            replace(c, lit(Sep + l + Sep + Sep + r + Sep),
-              lit(Sep + l + r + Sep))
-          }.as("_f"))
-        // checkpoint BETWEEN chunks only: the last chunk fuses with
-        // the token-count projection below
-        if (i < chunks.size - 1) applied.localCheckpoint() else applied
-    }
-    val dictTok = encoded.select(col("_w"),
-      symbols(col("_f")).as("_t"))
+    val dictTok = encodeWordTypesBytes(dw, merges, chunkSize)
+      .select(col("_w"), symbols(col("_f")).as("_t"))
     val perDoc = dw.join(dictTok, Seq("_w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
@@ -488,6 +473,84 @@ object Bpe {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** The chunked dictionary encode over a word bag's distinct TYPES:
+    * (word `_w`, framed segmentation `_f`) — the shared core of
+    * [[bpeTokenCountsBytes]] and [[bpeTokenIdsBytes]]. Chunked
+    * sequential replace with a localCheckpoint between chunks; the
+    * LAST chunk is left unfused so the caller's projection composes
+    * into it. */
+  private def encodeWordTypesBytes(dw: DataFrame,
+                                   merges: Seq[(String, String)],
+                                   chunkSize: Int): DataFrame = {
+    val dict0 = DatasetOps.spreadToCores(
+        dw.select(col("_w")).distinct())
+      .withColumn("_f", byteFrame(col("_w")))
+    val chunks = merges.grouped(chunkSize).toSeq
+    chunks.zipWithIndex.foldLeft(dict0) {
+      case (d, (grp, i)) =>
+        val applied = d.select(col("_w"),
+          grp.foldLeft(col("_f")) { case (c, (l, r)) =>
+            replace(c, lit(Sep + l + Sep + Sep + r + Sep),
+              lit(Sep + l + r + Sep))
+          }.as("_f"))
+        if (i < chunks.size - 1) applied.localCheckpoint() else applied
+    }
+  }
+
+  /** BYTE-level tokenization to TOKEN IDS (r15) — the row shape a
+    * trainer actually ingests, completing the count-only tier: per
+    * (document, word, within-word position) one token id. The id
+    * space is the standard byte-level convention: ids 0..255 ARE the
+    * raw bytes; id 256+r is the vocabulary's rank-r merge (0-based),
+    * so ids are dense, stable under vocabulary growth (a longer
+    * vocabulary never renumbers an existing id), and decode without
+    * a separate table (`symbol` rides along for consumers that want
+    * the spelling). Byte-level means LOSSLESS: concatenating a
+    * word's symbols and unhexing reproduces the word's exact UTF-8
+    * bytes — BpeSpec pins the round trip on CJK/emoji/accents.
+    *
+    * Same dictionary path and scale shape as [[bpeTokenCountsBytes]]
+    * (the expensive encode runs per word TYPE); the merged-symbol →
+    * id mapping is a BROADCAST join against the vocabulary (65536
+    * rows max — never a 65536-entry literal in the plan), raw bytes
+    * map arithmetically (`conv(hex, 16, 10)`).
+    *
+    * @return (idCol, word_idx, tok_idx, token_id, symbol) — word_idx
+    *         0-based within the document's whitespace words, tok_idx
+    *         0-based within the word's segmentation. */
+  def bpeTokenIdsBytes(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)],
+                       chunkSize: Int = 128): DataFrame = {
+    requireMergesBytes(merges)
+    require(chunkSize >= 1 && chunkSize <= 512,
+      s"chunkSize must be in [1, 512] (codegen/eval-depth bound), " +
+        s"got $chunkSize")
+    val dw = docs.select(col(idCol),
+      posexplode(TextFunctions.whitespaceTokens(col(textCol)))
+        .as(Seq("word_idx", "_w")))
+    val syms = encodeWordTypesBytes(dw, merges, chunkSize)
+      .select(col("_w"),
+        posexplode(split(
+          regexp_replace(col("_f"), s"^$Sep|$Sep$$", ""),
+          Sep + Sep)).as(Seq("tok_idx", "_sym")))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val mergeIds = merges.zipWithIndex
+      .map { case ((l, r), i) => (l + r, 256L + i) }
+      .toDF("_sym", "_mid")
+    val dictIds = syms.join(broadcast(mergeIds), Seq("_sym"), "left")
+      .select(col("_w"), col("tok_idx").cast(LongType).as("tok_idx"),
+        // a 2-hex symbol IS its byte; anything longer was produced by
+        // these very merges, so the join cannot miss
+        when(length(col("_sym")) === 2,
+          conv(col("_sym"), 16, 10).cast(LongType))
+          .otherwise(col("_mid")).as("token_id"),
+        col("_sym").as("symbol"))
+    dw.join(dictIds, Seq("_w"))
+      .select(col(idCol), col("word_idx").cast(LongType).as("word_idx"),
+        col("tok_idx"), col("token_id"), col("symbol"))
   }
 
   private[operators] def requireMergesBytes(

@@ -133,7 +133,8 @@ object LlmOps extends LlmOpsDedupAnn with LlmOpsCorpus with LlmOpsIndexes
       q243, q244, q245, q246, q247, q249, q252, q254, q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q295, q296, q297, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
       q312, q313, q314, q315, q317, q319, q320, q322, q323, q324, q325,
       q326, q330, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350,
-      q351, q352, q353, q354, q355, q356, q357, q358)
+      q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
+      q361)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

@@ -719,28 +719,28 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
       s"coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $s), chr(30))"
     def rep(s: String) =
       s"coalesce((SELECT chr(31) || l || r || chr(31) FROM $s), chr(30))"
-    s"""pb$i AS (SELECT u.l AS l, u.r AS r, sum(n) AS cnt FROM (
+    s"""pb$i AS MATERIALIZED (SELECT u.l AS l, u.r AS r, sum(n) AS cnt FROM (
           SELECT n, unnest(list_transform(generate_series(1, len(sy) - 1),
             j -> struct_pack(l := sy[j], r := sy[j + 1]))) AS u
           FROM (SELECT n, string_split($prev.w[2:len($prev.w) - 1],
               chr(31) || chr(31)) AS sy FROM $prev))
         GROUP BY u.l, u.r),
-      c$i AS (SELECT * FROM (SELECT l, r, cnt,
+      c$i AS MATERIALIZED (SELECT * FROM (SELECT l, r, cnt,
           row_number() OVER (ORDER BY cnt DESC, l, r) AS rn FROM pb$i)
         WHERE rn <= 24),
-      s${i}1 AS (SELECT l, r, cnt, rn FROM c$i WHERE rn = 1),
-      y${i}1 AS (SELECT l AS x FROM s${i}1 UNION SELECT r FROM s${i}1
+      s${i}1 AS MATERIALIZED (SELECT l, r, cnt, rn FROM c$i WHERE rn = 1),
+      y${i}1 AS MATERIALIZED (SELECT l AS x FROM s${i}1 UNION SELECT r FROM s${i}1
         UNION SELECT l || r FROM s${i}1),
-      s${i}2 AS (SELECT l, r, cnt, rn FROM c$i
+      s${i}2 AS MATERIALIZED (SELECT l, r, cnt, rn FROM c$i
         WHERE NOT EXISTS (SELECT 1 FROM y${i}1 WHERE x IN (l, r, l || r))
         ORDER BY rn LIMIT 1),
-      y${i}2 AS (SELECT x FROM y${i}1
+      y${i}2 AS MATERIALIZED (SELECT x FROM y${i}1
         UNION SELECT l FROM s${i}2 UNION SELECT r FROM s${i}2
         UNION SELECT l || r FROM s${i}2),
-      s${i}3 AS (SELECT l, r, cnt, rn FROM c$i
+      s${i}3 AS MATERIALIZED (SELECT l, r, cnt, rn FROM c$i
         WHERE NOT EXISTS (SELECT 1 FROM y${i}2 WHERE x IN (l, r, l || r))
         ORDER BY rn LIMIT 1),
-      wb$i AS (SELECT replace(replace(replace(w,
+      wb$i AS MATERIALIZED (SELECT replace(replace(replace(w,
           ${pat(s"s${i}1")}, ${rep(s"s${i}1")}),
           ${pat(s"s${i}2")}, ${rep(s"s${i}2")}),
           ${pat(s"s${i}3")}, ${rep(s"s${i}3")}) AS w, n FROM $prev)"""
@@ -756,7 +756,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
         x -> length(x) > 0)) AS w FROM documents),
       wc AS (SELECT w, count(*) AS n FROM toks
         WHERE regexp_matches(w, '^[\\x21-\\x7e]+$$') GROUP BY w),
-      wb0 AS (SELECT regexp_replace(w, '(.)',
+      wb0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)',
           chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wc),
       ${batchedBpeRoundSql(1, "wb0")},
       ${batchedBpeRoundSql(2, "wb1")}
@@ -896,7 +896,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
 
   /** The fixture as a DuckDB CTE (`mlx`). */
   private def mlOracleCte: String =
-    s"""mlx AS (SELECT doc_id, lang, text || ' ' ||
+    s"""mlx AS MATERIALIZED (SELECT doc_id, lang, text || ' ' ||
       ${mlWordSql("1 + doc_id % 4")} || ' ' ||
       ${mlWordSql("1 + (doc_id // 4) % 4")} AS text FROM documents)"""
 
@@ -904,11 +904,11 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
     * every word enters (no ASCII gate), UTF-8 bytes as framed
     * lowercase hex pairs. */
   private def byteCensusCte: String =
-    s"""toksb AS (SELECT unnest(list_filter(
+    s"""toksb AS MATERIALIZED (SELECT unnest(list_filter(
         regexp_split_to_array(lower(text), '\\s+'),
         x -> length(x) > 0)) AS w FROM mlx),
-      wcb AS (SELECT w, count(*) AS n FROM toksb GROUP BY w),
-      wb0 AS (SELECT regexp_replace(lower(hex(encode(w))), '(..)',
+      wcb AS MATERIALIZED (SELECT w, count(*) AS n FROM toksb GROUP BY w),
+      wb0 AS MATERIALIZED (SELECT regexp_replace(lower(hex(encode(w))), '(..)',
           chr(31) || '\\1' || chr(31), 'g') AS w, n FROM wcb)"""
 
   private[queries] val q351: GraftQuery = GraftQuery(
@@ -947,20 +947,35 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
       graft.operators.Bpe.readBpeVocab(s, dir, alphabet = "bytes")
     }
 
-  /** Per-word encode replay for the oracle: the 6 merges applied in
-    * rank order over the hex framing (the batched-round slots supply
-    * the patterns, chr(30) when a slot is empty). */
-  private def byteEncodeSql: String = {
+  /** The six merge (pattern, replacement) pairs hoisted into ONE
+    * single-row CTE (`mrg`) — the encode expression references plain
+    * columns of a cross-joined 1-row frame instead of embedding 12
+    * scalar subqueries. DuckDB inlines CTEs per reference, so the
+    * subquery form re-derived the ENTIRE two-round learn chain
+    * several times over (measured: q360's oracle 108 s ≈ 7× the
+    * 15 s chain; hoisted ≈ 1×). chr(30) when a slot is empty
+    * (identity replace). */
+  private def byteMergeCteSql: String = {
     def pat(sl: String) =
       s"coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $sl), chr(30))"
     def rep(sl: String) =
       s"coalesce((SELECT chr(31) || l || r || chr(31) FROM $sl), chr(30))"
-    Seq("s11", "s12", "s13", "s21", "s22", "s23").foldLeft(
-      s"regexp_replace(lower(hex(encode(w))), '(..)', " +
-        s"chr(31) || '\\1' || chr(31), 'g')") { (acc, sl) =>
-      s"replace($acc,\n          ${pat(sl)}, ${rep(sl)})"
-    }
+    val cols = Seq("s11", "s12", "s13", "s21", "s22", "s23").zipWithIndex
+      .map { case (sl, i) =>
+        s"${pat(sl)} AS p${i + 1},\n          ${rep(sl)} AS q${i + 1}" }
+      .mkString(",\n          ")
+    s"mrg AS MATERIALIZED (SELECT\n          $cols)"
   }
+
+  /** Per-word encode replay for the oracle: the 6 merges applied in
+    * rank order over the hex framing. Requires `mrg`
+    * ([[byteMergeCteSql]]) cross-joined into the consuming CTE. */
+  private def byteEncodeSql: String =
+    (1 to 6).foldLeft(
+      s"regexp_replace(lower(hex(encode(w))), '(..)', " +
+        s"chr(31) || '\\1' || chr(31), 'g')") { (acc, i) =>
+      s"replace($acc, p$i, q$i)"
+    }
 
   // q352: the byte-level ENCODE through the chunked dictionary path
   // ([[graft.operators.Bpe.bpeTokenCountsBytes]] — the ≥32k-merge
@@ -981,9 +996,10 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
       dtoksb AS (SELECT doc_id, unnest(list_filter(
         regexp_split_to_array(lower(text), '\\s+'),
         x -> length(x) > 0)) AS w FROM mlx),
+      $byteMergeCteSql,
       deb AS (SELECT doc_id, strlen(w) AS nb,
           $byteEncodeSql AS we
-        FROM dtoksb),
+        FROM dtoksb CROSS JOIN mrg),
       agb AS (SELECT doc_id, count(*) AS n_words, sum(nb) AS n_bytes,
           sum((length(we) - length(replace(we, chr(31), ''))) // 2)
             AS n_tokens
@@ -1031,9 +1047,10 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
       dtoksb AS (SELECT doc_id, unnest(list_filter(
         regexp_split_to_array(lower(text), '\\s+'),
         x -> length(x) > 0)) AS w FROM mlx),
+      $byteMergeCteSql,
       deb AS (SELECT doc_id, strlen(w) AS nb,
           $byteEncodeSql AS we
-        FROM dtoksb),
+        FROM dtoksb CROSS JOIN mrg),
       agb AS (SELECT doc_id, count(*) AS n_words, sum(nb) AS n_bytes,
           sum((length(we) - length(replace(we, chr(31), ''))) // 2)
             AS n_tokens
@@ -1054,6 +1071,169 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
           ELSE n_bytes * 1000 // n_tokens END AS BIGINT)
           AS bytes_per_token_milli
       FROM lgb ORDER BY lang"""))
+
+  // ---- q359/q360: byte-BPE token IDS + vocabulary usage (r15) -----------
+  // The count tier (q352) prices text; a trainer ingests token ID
+  // SEQUENCES. q359 emits them — per (doc, word, within-word
+  // position) one id under the standard byte-level convention (ids
+  // 0..255 are the raw bytes, 256+rank the learned merges) — on a
+  // doc_id % 5 slice (the full corpus is ~145k token rows; the slice
+  // keeps the dump honest without changing the arithmetic). q360 is
+  // the tokenizer-health report over the FULL corpus: per token id,
+  // its spelling, byte width and occurrence count — the census that
+  // says which merges actually fire and how much of the corpus rides
+  // merged tokens vs raw bytes. Both oracles replay the whole chain:
+  // fixture, framing, two batched learn rounds, the 6-merge
+  // segmentation of every word, the symbol split, and the id
+  // arithmetic.
+
+  /** Shared oracle CTEs: per-(doc, word_idx) segmentation symbols of
+    * `src` (a CTE with (doc_id, text)), split from the replayed
+    * framed encode. generate_series indexing (0-based) matches
+    * Spark's posexplode. */
+  private def byteTokSql(src: String): String =
+    s"""dws AS MATERIALIZED (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0) AS ws FROM $src),
+      dwords AS MATERIALIZED (SELECT doc_id, i AS word_idx, ws[i + 1] AS w
+        FROM (SELECT doc_id, ws,
+          unnest(generate_series(0, len(ws) - 1)) AS i FROM dws)),
+      $byteMergeCteSql,
+      seg AS MATERIALIZED (SELECT doc_id, word_idx, string_split(
+          trim($byteEncodeSql, chr(31)), chr(31) || chr(31)) AS sy
+        FROM dwords CROSS JOIN mrg),
+      toksy AS MATERIALIZED (SELECT doc_id, word_idx, j AS tok_idx, sy[j + 1] AS sym
+        FROM (SELECT doc_id, word_idx, sy,
+          unnest(generate_series(0, len(sy) - 1)) AS j FROM seg)),
+      vb AS MATERIALIZED (SELECT l || r AS sym,
+          255 + row_number() OVER (ORDER BY rnd, slot) AS mid FROM (
+          SELECT 1 AS rnd, 1 AS slot, l, r FROM s11
+          UNION ALL SELECT 1, 2, l, r FROM s12
+          UNION ALL SELECT 1, 3, l, r FROM s13
+          UNION ALL SELECT 2, 1, l, r FROM s21
+          UNION ALL SELECT 2, 2, l, r FROM s22
+          UNION ALL SELECT 2, 3, l, r FROM s23))"""
+
+  private[queries] val q359: GraftQuery = GraftQuery(
+    "q359_bpe_token_ids",
+    (s, d) =>
+      graft.operators.Bpe.bpeTokenIdsBytes(
+          mlDocs(s, d).filter(col("doc_id") % 5 === 0), "doc_id",
+          "text", bpeBytesMerges(s, d))
+        .orderBy(col("doc_id"), col("word_idx"), col("tok_idx")),
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")},
+      mlx5 AS (SELECT doc_id, text FROM mlx WHERE doc_id % 5 = 0),
+      ${byteTokSql("mlx5")}
+      SELECT t.doc_id, CAST(word_idx AS BIGINT) AS word_idx,
+        CAST(tok_idx AS BIGINT) AS tok_idx,
+        CAST(CASE WHEN len(t.sym) = 2
+          THEN CAST(concat('0x', t.sym) AS BIGINT)
+          ELSE vb.mid END AS BIGINT) AS token_id,
+        t.sym AS symbol
+      FROM toksy t LEFT JOIN vb ON vb.sym = t.sym
+      ORDER BY t.doc_id, word_idx, tok_idx"""))
+
+  private[queries] val q360: GraftQuery = GraftQuery(
+    "q360_bpe_vocab_usage",
+    (s, d) =>
+      graft.operators.Bpe.bpeTokenIdsBytes(mlDocs(s, d), "doc_id",
+          "text", bpeBytesMerges(s, d))
+        .groupBy(col("token_id"), col("symbol"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(col("token_id"), col("symbol"),
+          expr("length(symbol) div 2").as("n_bytes"),
+          col("n_occurrences"))
+        .orderBy(col("token_id")),
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")},
+      ${byteTokSql("mlx")},
+      -- census by SYMBOL first (vocabulary-sized), map to ids after:
+      -- running the id CASE + vb join under the corpus-sized group-by
+      -- re-inlines the segmentation chain in this engine
+      sc AS (SELECT sym, count(*) AS n FROM toksy GROUP BY sym)
+      SELECT CAST(CASE WHEN len(sc.sym) = 2
+          THEN CAST(concat('0x', sc.sym) AS BIGINT)
+          ELSE vb.mid END AS BIGINT) AS token_id,
+        sc.sym AS symbol,
+        CAST(len(sc.sym) // 2 AS BIGINT) AS n_bytes,
+        CAST(sc.n AS BIGINT) AS n_occurrences
+      FROM sc LEFT JOIN vb ON vb.sym = sc.sym
+      ORDER BY token_id"""))
+
+  // ---- q361: packed TOKEN-ID sequences (r15) -----------------------------
+  // The pretrain endgame, composed end to end: corpus → byte-BPE
+  // token ids (q359) → q99's deterministic concatenate-and-cut
+  // packing applied at TOKEN resolution — every token gets a global
+  // position inside its shard's concatenation (the doc's packed
+  // offset + the token's within-doc ordinal) and therefore a
+  // (sequence, position) coordinate. Census per (shard, seq):
+  // token count, docs touching, the order-INsensitive id mass and an
+  // order-SENSITIVE checksum Σ (pos+1)·token_id — a single swapped
+  // token pair anywhere in the training shard flips it. The oracle
+  // replays tokenization, the per-doc token ordinals, the md5 pack
+  // deal, the prefix sum, and both checksums.
+
+  private[queries] val q361: GraftQuery = GraftQuery(
+    "q361_packed_token_ids",
+    (s, d) => {
+      val merges = bpeBytesMerges(s, d)
+      val ids = graft.operators.Bpe.bpeTokenIdsBytes(mlDocs(s, d),
+        "doc_id", "text", merges)
+      // within-doc token ordinal: a per-doc window — executor-resident
+      // at any corpus size (documents are length-bounded)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("word_idx"), col("tok_idx"))
+      val seqd = ids.withColumn("_tpos",
+        row_number().over(w).cast(LongType) - 1L)
+      val counts = graft.operators.Bpe.bpeTokenCountsBytes(mlDocs(s, d),
+        "doc_id", "text", merges)
+      val packed = graft.operators.DatasetOps.packSequences(counts,
+          "doc_id", col("n_tokens"), seqLen = 128, nShards = 4)
+        .select(col("doc_id"), col("shard"), col("offset"))
+      seqd.join(packed, Seq("doc_id"))
+        .select(col("doc_id"), col("shard"),
+          (col("offset") + col("_tpos")).as("_g"), col("token_id"))
+        .groupBy(col("shard"), expr("_g div 128L").as("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("token_id")).as("id_mass"),
+          sum((pmod(col("_g"), lit(128L)) + 1L) * col("token_id"))
+            .as("order_checksum"))
+        .orderBy(col("shard"), col("seq"))
+    },
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")},
+      ${byteTokSql("mlx")},
+      g AS (SELECT u % 4 AS shard, doc_id, token_id,
+          row_number() OVER (PARTITION BY u % 4
+            ORDER BY u, doc_id, word_idx, tok_idx) - 1 AS gpos
+        FROM (SELECT t.doc_id, t.word_idx, t.tok_idx,
+          CAST(CASE WHEN len(t.sym) = 2
+            THEN CAST(concat('0x', t.sym) AS BIGINT)
+            ELSE vb.mid END AS BIGINT) AS token_id,
+          CAST(concat('0x', substring(md5('pack:'||t.doc_id), 1, 8))
+            AS BIGINT) AS u
+        FROM toksy t LEFT JOIN vb ON vb.sym = t.sym))
+      -- gpos = the doc's packed offset + the token's within-doc
+      -- ordinal, computed as ONE shard-ordered row_number (the
+      -- concatenation orders docs by (u, doc_id) and tokens by
+      -- (word_idx, tok_idx), so the global ordinal IS the offset sum;
+      -- a two-pass offset+tpos join would re-inline the whole
+      -- segmentation chain in this engine)
+      SELECT shard, gpos // 128 AS seq, count(*) AS n_tokens,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(sum(token_id) AS BIGINT) AS id_mass,
+        CAST(sum((gpos % 128 + 1) * token_id) AS BIGINT)
+          AS order_checksum
+      FROM g GROUP BY shard, seq ORDER BY shard, seq"""))
 
   // ---- q234: audio perceptual near-dup --------------------------------
   // The audio tier of perceptual dedup (VERDICT r8 missing item 2 —

@@ -353,6 +353,44 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenIdsBytes: byte-level id convention, count consistency, lossless decode on CJK/emoji") {
+    val texts = mlTexts.take(80)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = referenceBatchedBytes(texts, 24, 8).map(m => (m._2, m._3))
+    val ids = Bpe.bpeTokenIdsBytes(docs, "doc_id", "text", merges,
+        chunkSize = 16) // forces 2 chunks through the shared core
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // token totals agree with the counts tier exactly
+    val counts = Bpe.bpeTokenCountsBytes(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val perDoc = ids.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(perDoc == counts.filter(_._2 > 0),
+      "id rows must sum to the counts tier per document")
+    // the id convention: a 2-hex symbol IS its byte; a merged symbol
+    // is 256 + its 0-based rank
+    val mergeId = merges.zipWithIndex
+      .map { case ((l, r), i) => (l + r) -> (256L + i) }.toMap
+    ids.foreach { case (_, _, _, id, sym) =>
+      if (sym.length == 2)
+        assert(id == java.lang.Long.parseLong(sym, 16), s"$sym -> $id")
+      else assert(id == mergeId(sym), s"$sym -> $id")
+    }
+    // LOSSLESS: concatenating a word's symbols in token order and
+    // unhexing reproduces the word's exact UTF-8 bytes — the whole
+    // point of the byte tier, on exactly the text the char tier
+    // had to exclude
+    ids.groupBy(t => (t._1, t._2)).foreach { case ((d, wi), toks) =>
+      val hexcat = toks.sortBy(_._3).map(_._5).mkString
+      val bytes = hexcat.grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      val got = new String(bytes, "UTF-8")
+      val want = texts(d.toInt).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)(wi.toInt)
+      assert(got == want, s"doc $d word $wi: '$got' != '$want'")
+    }
+  }
+
   test("byte vocabulary round-trips with its alphabet; tier mismatch refuses loudly") {
     val docs = mlTexts.take(40).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
