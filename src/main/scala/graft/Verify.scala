@@ -32,13 +32,28 @@ object Verify {
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
     }
 
+  /** DuckDB inlines a CTE at EVERY reference — deep multi-referenced
+    * chains (the BPE learn rounds, the BT trajectory) re-evaluate
+    * multiplicatively, which took the byte-BPE oracles past 100 s
+    * each and into OOM territory under co-resident JVM heaps.
+    * Materializing every CTE at this emit seam is result-identical
+    * (A/B-verified over the entire registry at sf0.01: 355/355 equal)
+    * and cuts the full gate 265 s → 72 s. SELECT-anchored so named
+    * WINDOW specs (`WINDOW w AS (PARTITION …)`) are untouched —
+    * window bodies never start with SELECT, CTE bodies here always
+    * do. */
+  private[graft] def materializeCtes(sql: String): String =
+    sql.replaceAll("\\b([a-zA-Z]\\w*) AS \\((\\s*)SELECT\\b",
+      "$1 AS MATERIALIZED ($2SELECT")
+
   /** Write oracle_sql.json for the whole registry, or for `names`
     * only (the subset-dump path). */
   private[graft] def writeOracleJson(outDir: String,
                                      names: Set[String] = Set.empty): Unit = {
     val m = if (names.isEmpty) SparkEntry.oracleSql
             else SparkEntry.oracleSql.filter(kv => names(kv._1))
-    val json = m.map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+    val json = m.map { case (k, v) =>
+      s"${jsonEscape(k)}: ${jsonEscape(materializeCtes(v))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
