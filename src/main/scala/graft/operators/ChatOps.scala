@@ -699,8 +699,11 @@ object ChatOps {
                              salt: String = "lendebias"): DataFrame = {
     require(targetPpm >= 1L && targetPpm <= 999999L,
       s"targetPpm must be in [1, 999999], got $targetPpm")
+    // NULL-coalesced: a pair with a NULL length is NOT strictly
+    // longer — without the coalesce the three-valued filter below
+    // would silently DROP it (NULL OR false = NULL)
     val aug = pairs.withColumn("_long",
-      col(chosenLenCol) > col(rejectedLenCol))
+      coalesce(col(chosenLenCol) > col(rejectedLenCol), lit(false)))
     val census = aug.agg(
       sum(when(col("_long"), 1L).otherwise(0L)).as("_nl"),
       sum(when(col("_long"), 0L).otherwise(1L)).as("_nr"))

@@ -405,7 +405,10 @@ object DatasetOps {
     * VERDICT r14 #7): doc count, token mass, and an ORDER-INDEPENDENT
     * membership checksum (Σ md5-u32 of "salt:id" — the q337
     * per-boundary checksum made durable) per [[packSequences]] shard.
-    * One map-side-combined aggregate; shard-bounded output. */
+    * One map-side-combined aggregate; shard-bounded output. The
+    * checksum sum is int64-safe below ~2³¹ rows per shard (the
+    * [[tableFingerprint]] contract) — size `nShards` so no shard
+    * exceeds ~2e9 docs, which any cluster-scaled shard count does. */
   def packManifest(packed: DataFrame, idCol: String,
                    salt: String = "manifest"): DataFrame =
     packed.groupBy(col("shard"))

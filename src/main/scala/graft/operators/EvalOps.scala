@@ -463,7 +463,31 @@ object EvalOps {
                      loserCol: String, idCol: String, iters: Int = 4,
                      scale: Long = 1000000L, b: Int = 20,
                      frac: Double = 0.5, salt: String = "bt",
-                     loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+                     loPct: Int = 5, hiPct: Int = 95): DataFrame =
+    bradleyTerryCiBy(outcomes.withColumn("_g1", lit("all")), "_g1",
+      winnerCol, loserCol, idCol, iters, scale, b, frac, salt, loPct,
+      hiPct)
+      .drop("_g1")
+
+  /** [[bradleyTerryCi]] PER GROUP (r15) — independent leaderboards
+    * with CIs per category/source/task from ONE pass, the q349/q355
+    * grouped shape on the rating tier. Every group runs its own
+    * comparison graph (censuses, anchor and trajectory are keyed
+    * (group, replicate)); outcome dedup is on (group, id) so an id
+    * convention that restarts per group cannot collapse rows across
+    * groups, while the md5 DRAWS stay keyed on the id alone — the
+    * bootstrap convention: an outcome's replicate membership is a
+    * function of (salt, k, id), group-independent.
+    *
+    * Scale shape: identical to the scalar form — the group key rides
+    * every aggregate/join key, so groups parallelize across the
+    * cluster and each MM round is still `iters` shuffles TOTAL. */
+  def bradleyTerryCiBy(outcomes: DataFrame, grpCol: String,
+                       winnerCol: String, loserCol: String,
+                       idCol: String, iters: Int = 4,
+                       scale: Long = 1000000L, b: Int = 20,
+                       frac: Double = 0.5, salt: String = "bt",
+                       loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1, 20] (each is a duels shuffle), got $iters")
     require(scale >= 1000L && scale <= 1000000L,
@@ -476,77 +500,82 @@ object EvalOps {
       s"percentiles must satisfy 1 <= lo < hi <= 99, got ($loPct, $hiPct)")
     val sk = scale * 1000000L
     val thr = DatasetOps.thr(frac)
-    val games0 = outcomes.dropDuplicates(idCol)
-      .select(col(idCol).cast(StringType).as("_id"),
+    val games0 = outcomes.dropDuplicates(grpCol, idCol)
+      .select(col(grpCol).as("_g"), col(idCol).cast(StringType).as("_id"),
         col(winnerCol).as("_w"), col(loserCol).as("_l"))
       .filter(col("_w") =!= col("_l"))
     // the stacked frame: replicate −1 carries every game (the point
     // trajectory); replicate k ≥ 0 carries its md5-drawn subset
     val stacked = games0
-      .select(col("_id"), col("_w"), col("_l"),
+      .select(col("_g"), col("_id"), col("_w"), col("_l"),
         explode(sequence(lit(-1), lit(b - 1))).as("_k"))
       .filter(col("_k") === -1 ||
         conv(substring(md5(concat(lit(salt + ":"),
           col("_k").cast(StringType), lit(":"), col("_id"))), 1, 8),
           16, 10).cast(LongType) < thr)
-    val wins = stacked.groupBy(col("_k"), col("_w").as("item"))
+    val wins = stacked.groupBy(col("_g"), col("_k"), col("_w").as("item"))
       .agg(count(lit(1)).as("wins"))
-    val losses = stacked.groupBy(col("_k"), col("_l").as("item"))
+    val losses = stacked.groupBy(col("_g"), col("_k"), col("_l").as("item"))
       .agg(count(lit(1)).as("losses"))
-    val items = wins.join(losses, Seq("_k", "item"), "full")
-      .select(col("_k"), col("item"),
+    val items = wins.join(losses, Seq("_g", "_k", "item"), "full")
+      .select(col("_g"), col("_k"), col("item"),
         coalesce(col("wins"), lit(0L)).as("wins"),
         (coalesce(col("wins"), lit(0L)) + coalesce(col("losses"), lit(0L)))
           .as("games"))
       .localCheckpoint()
     val duels = stacked
-      .select(col("_k"), col("_w").as("a"), col("_l").as("b"))
-      .union(stacked.select(col("_k"), col("_l").as("a"), col("_w").as("b")))
-      .groupBy(col("_k"), col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .select(col("_g"), col("_k"), col("_w").as("a"), col("_l").as("b"))
+      .union(stacked.select(col("_g"), col("_k"), col("_l").as("a"),
+        col("_w").as("b")))
+      .groupBy(col("_g"), col("_k"), col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     // the bradleyTerry overflow contract on the stacked spine (the
-    // rep −1 slice holds the maxima, but one scan covers all slices)
+    // rep −1 slices hold the maxima, but one scan covers all slices)
     val maxW = Long.MaxValue / sk - 2L
     require(items.filter(col("wins") > maxW).isEmpty,
       s"bradleyTerryCi: an item exceeds $maxW wins — lower `scale`")
     val maxN = Long.MaxValue / sk
     require(duels.filter(col("n") > maxN).isEmpty,
       s"bradleyTerryCi: a duel pair exceeds $maxN games — lower `scale`")
-    var r = items.select(col("_k"), col("item"), lit(scale).as("p"))
+    var r = items.select(col("_g"), col("_k"), col("item"),
+        lit(scale).as("p"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val dsum = duels
-        .join(r.select(col("_k"), col("item").as("a"), col("p").as("_pa")),
-          Seq("_k", "a"))
-        .join(r.select(col("_k"), col("item").as("b"), col("p").as("_pb")),
-          Seq("_k", "b"))
-        .groupBy(col("_k"), col("a").as("item"))
+        .join(r.select(col("_g"), col("_k"), col("item").as("a"),
+          col("p").as("_pa")), Seq("_g", "_k", "a"))
+        .join(r.select(col("_g"), col("_k"), col("item").as("b"),
+          col("p").as("_pb")), Seq("_g", "_k", "b"))
+        .groupBy(col("_g"), col("_k"), col("a").as("item"))
         .agg(sum(expr(s"n * ${sk}L div (_pa + _pb)")).as("_dd"))
-      r = items.join(r, Seq("_k", "item"))
-        .join(dsum, Seq("_k", "item"), "left")
-        .select(col("_k"), col("item"),
+      r = items.join(r, Seq("_g", "_k", "item"))
+        .join(dsum, Seq("_g", "_k", "item"), "left")
+        .select(col("_g"), col("_k"), col("item"),
           expr(s"(wins + 1L) * ${sk}L div greatest(coalesce(_dd, 0L) " +
             s"+ 2L * ${sk}L div (p + ${scale}L), 1L)").as("p"))
         .localCheckpoint()
     }
     val full = items.filter(col("_k") === -1).join(
-        r.filter(col("_k") === -1), Seq("_k", "item"))
-      .select(col("item"), col("games"), col("wins"),
+        r.filter(col("_k") === -1), Seq("_g", "_k", "item"))
+      .select(col("_g"), col("item"), col("games"), col("wins"),
         col("p").as("rating"))
-    // nearest-rank bounds over each item's replicate-rating census —
-    // the bootstrapParts idiom keyed by item (≤ b rows per item per
-    // side, parameter-bounded)
-    val reps = r.filter(col("_k") >= 0).select(col("item"), col("_k"),
-      col("p"))
-    val nb = reps.groupBy(col("item"))
+    // nearest-rank bounds over each (group, item)'s replicate-rating
+    // census — the bootstrapParts idiom (≤ b rows per key per side,
+    // parameter-bounded)
+    val reps = r.filter(col("_k") >= 0).select(col("_g"), col("item"),
+      col("_k"), col("p"))
+    val nb = reps.groupBy(col("_g"), col("item"))
       .agg(count(lit(1)).as("n_replicates"))
-    val ms = reps.select(col("item").as("_i2"), col("p").as("_p2"))
+    val ms = reps.select(col("_g").as("_g2"), col("item").as("_i2"),
+      col("p").as("_p2"))
     val bounds = reps
-      .join(ms, col("_i2") === col("item") && col("_p2") <= col("p"))
-      .groupBy(col("item"), col("_k"), col("p"))
+      .join(ms, col("_g2") === col("_g") && col("_i2") === col("item") &&
+        col("_p2") <= col("p"))
+      .groupBy(col("_g"), col("item"), col("_k"), col("p"))
       .agg(count(lit(1)).as("_rank"))
-      .join(nb, Seq("item"))
-      .groupBy(col("item"))
+      .join(nb, Seq("_g", "item"))
+      .groupBy(col("_g"), col("item"))
       .agg(
         min(when(col("_rank") >=
           expr(s"($loPct * n_replicates + 99) div 100"), col("p")))
@@ -554,8 +583,10 @@ object EvalOps {
         min(when(col("_rank") >=
           expr(s"($hiPct * n_replicates + 99) div 100"), col("p")))
           .as("rating_hi"))
-    full.join(nb, Seq("item"), "left").join(bounds, Seq("item"), "left")
-      .select(col("item"), col("games"), col("wins"), col("rating"),
+    full.join(nb, Seq("_g", "item"), "left")
+      .join(bounds, Seq("_g", "item"), "left")
+      .select(col("_g").as(grpCol), col("item"), col("games"),
+        col("wins"), col("rating"),
         coalesce(col("n_replicates"), lit(0L)).as("n_replicates"),
         col("rating_lo"), col("rating_hi"))
   }

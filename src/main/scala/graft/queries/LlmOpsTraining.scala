@@ -766,6 +766,121 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       LEFT JOIN bd ON bd.m = ptf.m
       ORDER BY model"""))
 
+  // ---- q362: per-source Bradley-Terry rating CIs (r15) --------------------
+  // q356's rating-CI machinery in its leaderboard shape — one
+  // independent board (comparison graph, anchor, trajectory, bounds)
+  // per SOURCE from one pass, the grouped symmetry q349/q355 already
+  // have on the metric tier. Same fixture keyed by the prompt_grp's
+  // source prefix; 10 replicates, 3 MM rounds. The oracle replays
+  // every (group, replicate) trajectory with group-and-rep-keyed
+  // round CTEs — a census leaking across groups, a draw keyed on the
+  // group (it must be id-only), or a rank census mixing two sources'
+  // replicate ratings flips the hash.
+
+  /** One (g, rep)-keyed oracle MM round. */
+  private def btCiRoundSqlBy(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""d$i AS (SELECT du.g, du.rep, du.a AS m,
+          sum(du.n * 1000000000000 // (pa.p + pb.p)) AS dd
+        FROM du JOIN $prev pa ON pa.g = du.g AND pa.rep = du.rep
+          AND pa.m = du.a
+        JOIN $prev pb ON pb.g = du.g AND pb.rep = du.rep AND pb.m = du.b
+        GROUP BY du.g, du.rep, du.a),
+      r$i AS (SELECT it.g, it.rep, it.m,
+          CAST((it.wins + 1) * 1000000000000 //
+          greatest(coalesce(d$i.dd, 0)
+            + 2 * 1000000000000 // ($prev.p + 1000000), 1)
+          AS BIGINT) AS p
+        FROM it JOIN $prev ON $prev.g = it.g AND $prev.rep = it.rep
+          AND $prev.m = it.m
+        LEFT JOIN d$i ON d$i.g = it.g AND d$i.rep = it.rep
+          AND d$i.m = it.m)"""
+  }
+
+  private[queries] val q362: GraftQuery = GraftQuery(
+    "q362_bradley_terry_ci_by_source",
+    (s, d) => {
+      val pairs = ChatOps.preferencePairs(promptScored(s, d),
+        "prompt_grp", "doc_id", "score", minGap = 20L)
+      val outcomes = pairs.select(
+        substring_index(col("prompt_grp"), "#", 1).as("source"),
+        col("prompt_grp").as("oid"),
+        (col("chosen_id") % 7).as("winner"),
+        (col("rejected_id") % 7).as("loser"))
+      graft.operators.EvalOps.bradleyTerryCiBy(outcomes, "source",
+          "winner", "loser", "oid", iters = 3, b = 10, frac = 0.5,
+          salt = "bt", loPct = 5, hiPct = 95)
+        .withColumnRenamed("item", "model")
+        .orderBy(col("source"), col("model"))
+    },
+    Some(s"""WITH s0 AS (
+        SELECT source || '#' || (doc_id % 25) AS prompt_grp, doc_id,
+          CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+            AS score
+        FROM documents),
+      c AS (SELECT prompt_grp, doc_id AS chosen_id, score AS chosen_score,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score DESC, doc_id) AS rn
+        FROM s0),
+      rj AS (SELECT prompt_grp, doc_id AS rejected_id,
+          score AS rejected_score,
+          row_number() OVER (PARTITION BY prompt_grp
+            ORDER BY score ASC, doc_id) AS rn
+        FROM s0),
+      oc AS (SELECT split_part(c.prompt_grp, '#', 1) AS g,
+          c.prompt_grp AS oid, chosen_id % 7 AS w, rejected_id % 7 AS l
+        FROM c JOIN rj ON c.prompt_grp = rj.prompt_grp
+          AND c.rn = 1 AND rj.rn = 1
+        WHERE chosen_id <> rejected_id
+          AND chosen_score - rejected_score >= 20
+          AND chosen_id % 7 <> rejected_id % 7),
+      st AS (SELECT g, oid, w, l, rep
+        FROM oc, (SELECT unnest(generate_series(-1, 9)) AS rep)
+        WHERE rep = -1 OR CAST(concat('0x', substring(
+            md5('bt:' || rep || ':' || oid), 1, 8)) AS BIGINT)
+          < ${graft.operators.DatasetOps.thr(0.5)}),
+      wn AS (SELECT g, rep, w AS m, count(*) AS wins
+        FROM st GROUP BY g, rep, w),
+      ls AS (SELECT g, rep, l AS m, count(*) AS losses
+        FROM st GROUP BY g, rep, l),
+      it AS (SELECT g, rep, m, coalesce(wins, 0) AS wins,
+          coalesce(wins, 0) + coalesce(losses, 0) AS games
+        FROM wn FULL JOIN ls USING (g, rep, m)),
+      du AS (SELECT g, rep, a, b, count(*) AS n FROM (
+          SELECT g, rep, w AS a, l AS b FROM st
+          UNION ALL SELECT g, rep, l AS a, w AS b FROM st)
+        GROUP BY g, rep, a, b),
+      r0 AS (SELECT g, rep, m, CAST(1000000 AS BIGINT) AS p FROM it),
+      ${btCiRoundSqlBy(1)},
+      ${btCiRoundSqlBy(2)},
+      ${btCiRoundSqlBy(3)},
+      ptf AS (SELECT it.g, it.m, it.games, it.wins, r3.p AS rating
+        FROM it JOIN r3 ON r3.g = it.g AND r3.rep = it.rep
+          AND r3.m = it.m
+        WHERE it.rep = -1),
+      reps AS (SELECT g, rep, m, p FROM r3 WHERE rep >= 0),
+      nb AS (SELECT g, m, count(*) AS n_replicates
+        FROM reps GROUP BY g, m),
+      rk AS (SELECT x.g, x.m, x.rep, x.p,
+          (SELECT count(*) FROM reps y
+            WHERE y.g = x.g AND y.m = x.m AND y.p <= x.p) AS rank
+        FROM reps x),
+      bd AS (SELECT rk.g, rk.m,
+          min(CASE WHEN rank >= (5 * nb.n_replicates + 99) // 100
+            THEN p END) AS rating_lo,
+          min(CASE WHEN rank >= (95 * nb.n_replicates + 99) // 100
+            THEN p END) AS rating_hi
+        FROM rk JOIN nb ON nb.g = rk.g AND nb.m = rk.m
+        GROUP BY rk.g, rk.m)
+      SELECT ptf.g AS source, CAST(ptf.m AS BIGINT) AS model,
+        CAST(games AS BIGINT) AS games, CAST(wins AS BIGINT) AS wins,
+        rating, CAST(coalesce(nb.n_replicates, 0) AS BIGINT)
+          AS n_replicates,
+        bd.rating_lo, bd.rating_hi
+      FROM ptf LEFT JOIN nb ON nb.g = ptf.g AND nb.m = ptf.m
+      LEFT JOIN bd ON bd.g = ptf.g AND bd.m = ptf.m
+      ORDER BY source, model"""))
+
   // ---- q357: preference length-debias resampling (r15) -------------------
   // VERDICT r14 Missing #4: q350 *measures* length bias; this is the
   // correction step. The alpha-mass score makes EVERY chosen side

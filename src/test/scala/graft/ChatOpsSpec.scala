@@ -455,6 +455,14 @@ class ChatOpsSpec extends AnyFunSuite {
       ChatOps.debiasPreferenceLength(pairs, "pid", "cl", "rl",
         targetPpm = 0L)
     }
+    // a NULL length is NOT strictly longer — the pair passes through
+    // (the uncoalesced three-valued filter silently dropped it)
+    val withNull = Seq((1L, Some(9L), Some(5L)), (2L, None, Some(5L)),
+      (3L, Some(9L), None)).toDF("pid", "cl", "rl")
+    val keptN = ChatOps.debiasPreferenceLength(withNull, "pid", "cl", "rl")
+      .select($"pid").as[Long].collect().toSet
+    assert(keptN.contains(2L) && keptN.contains(3L),
+      s"NULL-length pairs must pass through, kept: $keptN")
   }
 
   test("resolveToolCalls: NULL name/args render deterministically, never vanish") {

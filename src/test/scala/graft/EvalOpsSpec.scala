@@ -210,6 +210,44 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bradleyTerryCiBy: per-group boards equal standalone runs; per-group ids never collapse across groups") {
+    def series(a: Long, b2: Long, wa: Int, n: Int, base: Long) =
+      (0 until n).map(i =>
+        (base + i, if (i < wa) a else b2, if (i < wa) b2 else a))
+    // group X: 1 > 2; group Y: an unrelated board 5 > 6 — with the
+    // SAME oid range as X (a per-group id convention): dedup must be
+    // (group, id), draws id-only
+    val gx = series(1L, 2L, 21, 30, 1000L).map(t => ("x", t._1, t._2, t._3))
+    val gy = series(5L, 6L, 8, 30, 1000L).map(t => ("y", t._1, t._2, t._3))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7)))).toMap
+    val both = snap(EvalOps.bradleyTerryCiBy(
+      (gx ++ gy).toDF("g", "oid", "w", "l"), "g", "w", "l", "oid",
+      iters = 3, b = 12, frac = 0.5, salt = "bt"))
+    assert(both.keySet == Set(("x", 1L), ("x", 2L), ("y", 5L), ("y", 6L)),
+      both.keySet.toString)
+    // each group's board is bit-identical to running it alone — no
+    // census or rank leakage across groups, and the shared oid range
+    // collapsed nothing
+    for ((g, rows) <- Seq(("x", gx), ("y", gy))) {
+      val alone = snap(EvalOps.bradleyTerryCiBy(
+        rows.toDF("g", "oid", "w", "l"), "g", "w", "l", "oid",
+        iters = 3, b = 12, frac = 0.5, salt = "bt"))
+      assert(both.filter(_._1._1 == g) == alone,
+        s"group $g diverges from its standalone board")
+    }
+    // and the scalar form IS the By form on one constant group
+    val scalar = EvalOps.bradleyTerryCi(
+        gx.map(t => (t._2, t._3, t._4)).toDF("oid", "w", "l"),
+        "w", "l", "oid", iters = 3, b = 12, frac = 0.5, salt = "bt")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scalar == both.collect {
+      case (("x", m), v) => m -> v._3 }.toMap)
+  }
+
   test("bootstrapMetricCi: JVM draw-for-draw replay, coverage on a known-variance fixture") {
     // 1000 items at a planted 70% EM rate; frac-0.5 subsample
     // replicates have SE ≈ √(0.21/500) ≈ 2.05%, so the 5–95
