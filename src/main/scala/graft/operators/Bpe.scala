@@ -418,6 +418,38 @@ object Bpe {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** BYTE-level token count of one STRING as a pure column (r15) —
+    * [[encodedTokenCount]]'s sibling WITHOUT the ASCII gate: every
+    * whitespace word enters via its UTF-8 hex framing and the merges
+    * replay as the same literal-replace fold, so a multilingual chat
+    * turn is priced in real learned tokens instead of costing 0.
+    * Composable anywhere without a shuffle (the chat tier's
+    * token-budget context fitting consumes it per turn).
+    *
+    * Plan-size cap: 1024 merges — the fold unrolls one `replace` per
+    * merge into the expression chain (the same reason the char tier
+    * caps); the corpus-scale path for a full vocabulary is
+    * [[bpeTokenCountsBytes]]'s dictionary join. A rank-ordered merge
+    * list TRUNCATED to its top slice is itself a valid (coarser) BPE
+    * vocabulary, so budget pricing under the cap stays honest — it
+    * can only over-count tokens, never under-count. */
+  def encodedTokenCountBytes(text: Column,
+                             merges: Seq[(String, String)]): Column = {
+    requireMergesBytes(merges)
+    require(merges.size <= 1024,
+      s"encodedTokenCountBytes folds one replace per merge into the " +
+        s"expression chain — ${merges.size} > 1024; use " +
+        s"bpeTokenCountsBytes (the dictionary path) for full " +
+        s"vocabularies, or truncate the rank-ordered list")
+    val enc = (w: Column) => merges.foldLeft(byteFrame(w)) {
+      case (c, (l, r)) =>
+        replace(c, lit(Sep + l + Sep + Sep + r + Sep),
+          lit(Sep + l + r + Sep))
+    }
+    aggregate(transform(TextFunctions.whitespaceTokens(text),
+      w => symbols(enc(w))), lit(0L), (acc, x) => acc + x)
+  }
+
   /** BYTE-level encode at vocabulary scale (r15 — VERDICT r14 Missing
     * #1's second half): token counts per document under a learned
     * byte-level vocabulary of up to 65536 merges. The char tier's

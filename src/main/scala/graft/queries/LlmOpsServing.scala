@@ -1072,6 +1072,46 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
           AS bytes_per_token_milli
       FROM lgb ORDER BY lang"""))
 
+  // ---- q363: byte-BPE token pricing as a PURE COLUMN (r15) ---------------
+  // The third execution tier of the same segmentation: q352 prices
+  // through the dictionary JOIN (vocabulary scale), q359 emits ids;
+  // this is the zero-shuffle per-row COLUMN (encodedTokenCountBytes)
+  // that composes inside other operators — the chat context-fitting
+  // budget's multilingual upgrade (the char-tier column costs every
+  // non-ASCII word 0). Same oracle replay as q352 projected to the
+  // count — the three tiers must agree token for token, and BpeSpec
+  // pins column ≡ dictionary directly.
+
+  private[queries] val q363: GraftQuery = GraftQuery(
+    "q363_bpe_bytes_count_col",
+    (s, d) =>
+      // the fold is per-OCCURRENCE row work on a narrow scan — spread
+      // it (the bpeTokenCounts r13 lever; measured 3.1 → 1.1 s sf0.1)
+      graft.operators.DatasetOps.spreadToCores(mlDocs(s, d))
+        .select(col("doc_id"),
+          graft.operators.Bpe.encodedTokenCountBytes(col("text"),
+            bpeBytesMerges(s, d)).as("n_tokens"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $mlOracleCte,
+      $byteCensusCte,
+      ${batchedBpeRoundSql(1, "wb0")},
+      ${batchedBpeRoundSql(2, "wb1")},
+      dtoksb AS (SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'),
+        x -> length(x) > 0)) AS w FROM mlx),
+      $byteMergeCteSql,
+      deb AS (SELECT doc_id,
+          $byteEncodeSql AS we
+        FROM dtoksb CROSS JOIN mrg),
+      agb AS (SELECT doc_id,
+          sum((length(we) - length(replace(we, chr(31), ''))) // 2)
+            AS n_tokens
+        FROM deb GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN agb a USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   // ---- q359/q360: byte-BPE token IDS + vocabulary usage (r15) -----------
   // The count tier (q352) prices text; a trainer ingests token ID
   // SEQUENCES. q359 emits them — per (doc, word, within-word

@@ -391,6 +391,30 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodedTokenCountBytes: the pure column equals the dictionary tier; merge cap refuses") {
+    val texts = mlTexts.take(60)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = referenceBatchedBytes(texts, 24, 8).map(m => (m._2, m._3))
+    val viaCol = docs.select($"doc_id",
+        Bpe.encodedTokenCountBytes($"text", merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val viaDict = Bpe.bpeTokenCountsBytes(docs, "doc_id", "text", merges)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(viaCol == viaDict,
+      "the column and dictionary tiers must agree token for token")
+    // non-ASCII text is actually priced (the char-tier column costs 0)
+    val zh = Seq((1L, "数据引擎 查询计划")).toDF("doc_id", "text")
+    val priced = zh.select(
+        Bpe.encodedTokenCountBytes($"text", merges).as("n"))
+      .as[Long].collect().head
+    assert(priced > 0L, "CJK must cost real tokens on the byte tier")
+    intercept[IllegalArgumentException] {
+      Bpe.encodedTokenCountBytes($"text",
+        (0 until 1025).map(i => (f"$i%04x", "ff")))
+    }
+  }
+
   test("byte vocabulary round-trips with its alphabet; tier mismatch refuses loudly") {
     val docs = mlTexts.take(40).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
