@@ -273,14 +273,41 @@ object Bpe {
     * dictionary encode, up to 65536 merges) — so a reader can never
     * feed a byte vocabulary to the char encode or vice versa (the
     * symbols would silently never match and every word would pass
-    * through unfused). */
+    * through unfused).
+    *
+    * The symbols are validated against the DECLARED alphabet at write
+    * time (ADVICE r15): byte-tier hex pairs are printable ASCII, so a
+    * byte merge table written without the alphabet argument would
+    * otherwise pass the char check, land a 'char' meta tag, and the
+    * char encode would silently fuse nothing — the exact failure the
+    * sidecar exists to prevent. "bytes" runs the byte contract;
+    * "char" additionally REFUSES a merge set whose every symbol is
+    * even-length lowercase hex (indistinguishable from a mistagged
+    * byte vocabulary — re-write it with alphabet = "bytes"). */
   def writeBpeVocab(merges: DataFrame, dir: String,
                     alphabet: String = "char"): Unit = {
     val cap = alphabetCap(alphabet)
-    val n = merges.count()
+    val pairs = merges.select(col("lhs"), col("rhs"))
+      .collect() // bounded: ≤ cap vocabulary rows (the read-side pickup)
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val n = pairs.size.toLong
     require(n >= 1 && n <= cap,
       s"vocabulary must hold 1..$cap merges for alphabet '$alphabet', " +
         s"got $n")
+    if (alphabet == "bytes") requireMergesBytes(pairs)
+    else {
+      requireMerges(pairs)
+      val allHexPairs = pairs.forall { case (l, r) =>
+        (l + r).forall(c => (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'f')) &&
+          l.length % 2 == 0 && r.length % 2 == 0 }
+      require(!allHexPairs,
+        s"every merge symbol in this vocabulary is even-length " +
+          s"lowercase hex — this is (or is indistinguishable from) a " +
+          s"BYTE-tier merge table; write it with alphabet = \"bytes\" " +
+          s"(a char-tagged byte vocabulary would silently fuse nothing " +
+          s"at encode time)")
+    }
     merges.orderBy(col("merge_rank"))
       .coalesce(1) // vocabulary-sized: one footer beats 32 task files
       .write.mode("overwrite").parquet(s"$dir/merges")

@@ -431,10 +431,14 @@ object DatasetOps {
     val m = packManifest(packed, idCol, salt).orderBy(col("shard"))
       .localCheckpoint() // two consumers below — one census pass
     m.coalesce(1).write.mode("overwrite").parquet(s"$dir/shards")
+    // totals coalesce to 0 (ADVICE r15): an EMPTY packed frame writes
+    // zero shard rows, and bare sum() over nothing is NULL — the
+    // reader's recount would then NPE instead of refusing loudly (an
+    // empty export is a legal artifact; its manifest must round-trip)
     m.agg(count(lit(1)).as("n_shards"),
-        sum(col("n_docs")).as("n_docs"),
-        sum(col("token_mass")).as("token_mass"),
-        sum(col("checksum")).as("checksum"))
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("token_mass")), lit(0L)).as("token_mass"),
+        coalesce(sum(col("checksum")), lit(0L)).as("checksum"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -461,8 +465,12 @@ object DatasetOps {
     require(meta.length == 1,
       s"manifest meta at $dir/meta is malformed: expected one row, " +
         s"got ${meta.length}")
-    val got = shards.agg(count(lit(1)), sum(col("n_docs")),
-      sum(col("token_mass")), sum(col("checksum"))).collect()(0)
+    // same coalesce as the write side: zero shard rows recount as
+    // (0, 0, 0, 0), matching an empty export's meta instead of NPE-ing
+    val got = shards.agg(count(lit(1)),
+      coalesce(sum(col("n_docs")), lit(0L)),
+      coalesce(sum(col("token_mass")), lit(0L)),
+      coalesce(sum(col("checksum")), lit(0L))).collect()(0)
     require((0 until 4).forall(i => got.getLong(i) == meta(0).getLong(i)),
       s"manifest at $dir disagrees with its totals sidecar " +
         s"(shards say (${got.mkString(", ")}), meta says " +

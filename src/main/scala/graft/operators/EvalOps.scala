@@ -293,6 +293,19 @@ object EvalOps {
     require(frac > 0.0 && frac < 1.0, s"frac must be in (0, 1), got $frac")
     require(loPct >= 1 && hiPct <= 99 && loPct < hiPct,
       s"percentiles must satisfy 1 <= lo < hi <= 99, got ($loPct, $hiPct)")
+    // an UNPAIRED item has no delta (ADVICE r15): a NULL ppm on either
+    // side — the outer-joined per-item shape — would be excluded from
+    // every sum(_v) yet still counted by count(1) in n_items, the
+    // point estimate and every replicate mean, silently biasing the
+    // delta toward zero. Refuse loudly (one eval-sized scan) instead:
+    // the caller decides whether to inner-join or impute.
+    val nUnpaired = perItem
+      .filter(col(aPpmCol).isNull || col(bPpmCol).isNull).count()
+    require(nUnpaired == 0L,
+      s"pairedBootstrapCiBy: $nUnpaired rows carry a NULL $aPpmCol or " +
+        s"$bPpmCol — an unpaired item cannot contribute a delta and " +
+        s"would silently dilute the estimate; inner-join the two " +
+        s"systems' per-item tables (or filter the unpaired rows) first")
     val vals = perItem.select(col(grpCol).as("_g"),
       col(idCol).cast(StringType).as("_id"),
       (col(aPpmCol).cast(LongType) - col(bPpmCol).cast(LongType))

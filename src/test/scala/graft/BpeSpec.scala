@@ -463,4 +463,38 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("meta sidecar"), e2.getMessage)
   }
+
+  test("writeBpeVocab validates symbols against the declared alphabet") {
+    // ADVICE r15: hex-pair byte merges are printable ASCII, so a byte
+    // merge table written WITHOUT the alphabet arg used to land a
+    // 'char' meta tag — and the char encode would silently fuse
+    // nothing. The write now refuses the mistag loudly.
+    val byteish = Seq((1L, "c3", "a9", 5L), (2L, "c3a9", "20", 3L))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpevocab_tag_").toString
+    val e = intercept[IllegalArgumentException] {
+      Bpe.writeBpeVocab(byteish, dir) // default alphabet = "char"
+    }
+    assert(e.getMessage.contains("bytes"), e.getMessage)
+    // the same table under its true tier writes and round-trips
+    Bpe.writeBpeVocab(byteish, dir, alphabet = "bytes")
+    assert(Bpe.readBpeVocab(spark, dir, alphabet = "bytes") ==
+      Seq(("c3", "a9"), ("c3a9", "20")))
+    // a malformed byte symbol (odd hex length) refuses at write time
+    val odd = Seq((1L, "c3", "a", 2L))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    intercept[IllegalArgumentException] {
+      Bpe.writeBpeVocab(odd, java.nio.file.Files
+        .createTempDirectory("graft_bpevocab_odd_").toString,
+        alphabet = "bytes")
+    }
+    // a genuine char vocabulary (any non-hex symbol) still writes
+    val charv = Seq((1L, "t", "h", 7L), (2L, "th", "e", 4L))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_bpevocab_charok_").toString
+    Bpe.writeBpeVocab(charv, dir2)
+    assert(Bpe.readBpeVocab(spark, dir2) == Seq(("t", "h"), ("th", "e")))
+  }
 }

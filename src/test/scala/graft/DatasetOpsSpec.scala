@@ -1255,6 +1255,16 @@ class DatasetOpsSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         DatasetOps.readPackManifest(spark, s"$base/nowhere")
       }
+      // EMPTY export (ADVICE r15): zero shard rows used to write NULL
+      // totals, and the reader NPE'd on getLong instead of behaving —
+      // an empty corpus is a legal artifact that must round-trip
+      DatasetOps.writePackManifest(packed(docsDf.filter($"id" < 0L)),
+        "id", s"$base/m4")
+      val empty = DatasetOps.readPackManifest(spark, s"$base/m4")
+        .collect()
+      assert(empty.isEmpty, "empty manifest must read back empty")
+      DatasetOps.checkPackManifest(spark, s"$base/m4",
+        packed(docsDf.filter($"id" < 0L)), "id")
     } finally {
       graft.sources.AtomicCache.deleteRec(java.nio.file.Paths.get(base))
     }

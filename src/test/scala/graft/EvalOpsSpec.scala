@@ -392,6 +392,18 @@ class EvalOpsSpec extends AnyFunSuite {
       EvalOps.pairedBootstrapCi(rows.toDF("g", "id", "a", "b"),
         "id", "a", "b", frac = 1.0)
     }
+    // ADVICE r15: an outer-joined per-item table carries NULL ppm on
+    // unpaired items — their NULL deltas would be excluded from every
+    // sum yet still counted in n_items and each replicate mean,
+    // silently biasing the delta toward zero. Loud refusal instead.
+    val holey = rows.map { case (g, i, a, b) =>
+      (g, i, if (i % 7 == 0) None else Some(a), Some(b))
+    }
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.pairedBootstrapCi(holey.toDF("g", "id", "a", "b"),
+        "id", "a", "b")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
   test("majorityVote: majority, tie-break, agreement, heap plan") {

@@ -1268,6 +1268,73 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root)
   }
 
+  test("outcome ingest: retention keeps exactly k versions with the board live; NULL oids refuse loudly") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_outcome_retain_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw"); val state = root.resolve("state")
+    val board = root.resolve("board"); val ckpt = root.resolve("ckpt")
+    val now = System.currentTimeMillis()
+    // four shards, one per micro-batch (maxFilesPerTrigger = 1)
+    for (i <- 0 until 4) {
+      Seq((s"o$i", (i % 3).toLong, ((i + 1) % 3).toLong))
+        .toDF("oid", "winner", "loser").coalesce(1)
+        .write.json(raw.resolve(s"f$i").toString)
+      setMtimeRec(raw.resolve(s"f$i"), now - (4 - i) * 10000L)
+    }
+    DocIngest.runOutcomeIngest(spark, raw.toString + "/*/",
+      state.toString, board.toString, ckpt.toString, iters = 2,
+      retainVersions = Some(2))
+    def versions(dir: Path): Seq[Long] = Files.list(dir).toArray.toSeq
+      .map(_.toString.split('/').last).filter(_.startsWith("v="))
+      .map(_.drop(2).toLong).sorted
+    // a long run keeps exactly k versions in BOTH dirs — the newest
+    // (the live state readers pick) always among them
+    assert(versions(state).size == 2, versions(state).toString)
+    assert(versions(board) == versions(state),
+      "log and board must retain the same version window")
+    // the retained log IS the full fold: the board equals the batch
+    // operator over ALL outcomes (pruning never touched live state)
+    val wantBoard = graft.operators.EvalOps.bradleyTerry(
+        (0 until 4).map(i => (s"o$i", (i % 3).toLong, ((i + 1) % 3).toLong))
+          .toDF("oid", "w", "l"), "w", "l", iters = 2,
+        dedupIdCol = Some("oid"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gotBoard = DocIngest.readOutcomeBoard(spark, board.toString)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotBoard == wantBoard)
+    // a batch with a NULL oid refuses loudly, naming the problem
+    val root2 = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_outcome_nulloid_spec")
+    deleteRec(root2)
+    val raw2 = root2.resolve("raw")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(null, 1L, 2L),
+          org.apache.spark.sql.Row("ok1", 2L, 1L))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("oid",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("winner",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("loser",
+            org.apache.spark.sql.types.LongType))))
+      .coalesce(1).write.json(raw2.resolve("f1").toString)
+    setMtimeRec(raw2.resolve("f1"), now)
+    val e = intercept[Exception] {
+      DocIngest.runOutcomeIngest(spark, raw2.toString + "/*/",
+        root2.resolve("state").toString, root2.resolve("board").toString,
+        root2.resolve("ckpt").toString, iters = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL oid")), messages(e).toString)
+    deleteRec(root); deleteRec(root2)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
