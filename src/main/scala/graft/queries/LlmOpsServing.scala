@@ -714,7 +714,9 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
     * exclusion (ADVICE r14), and the 3-deep sequential replace
     * producing `wb$i`. Empty slots replace an inert chr(30) pattern
     * (identity). */
-  private def batchedBpeRoundSql(i: Int, prev: String): String = {
+  private[queries] def batchedBpeRoundSql(i: Int, prev: String,
+                                          minPairCount: Long = 1L)
+      : String = {
     def pat(s: String) =
       s"coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $s), chr(30))"
     def rep(s: String) =
@@ -726,7 +728,8 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
               chr(31) || chr(31)) AS sy FROM $prev))
         GROUP BY u.l, u.r),
       c$i AS MATERIALIZED (SELECT * FROM (SELECT l, r, cnt,
-          row_number() OVER (ORDER BY cnt DESC, l, r) AS rn FROM pb$i)
+          row_number() OVER (ORDER BY cnt DESC, l, r) AS rn FROM pb$i
+          WHERE cnt >= $minPairCount)
         WHERE rn <= 24),
       s${i}1 AS MATERIALIZED (SELECT l, r, cnt, rn FROM c$i WHERE rn = 1),
       y${i}1 AS MATERIALIZED (SELECT l AS x FROM s${i}1 UNION SELECT r FROM s${i}1
@@ -895,7 +898,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   }
 
   /** The fixture as a DuckDB CTE (`mlx`). */
-  private def mlOracleCte: String =
+  private[queries] def mlOracleCte: String =
     s"""mlx AS MATERIALIZED (SELECT doc_id, lang, text || ' ' ||
       ${mlWordSql("1 + doc_id % 4")} || ' ' ||
       ${mlWordSql("1 + (doc_id // 4) % 4")} AS text FROM documents)"""
@@ -903,7 +906,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   /** Byte framing + census CTEs shared by the three byte queries:
     * every word enters (no ASCII gate), UTF-8 bytes as framed
     * lowercase hex pairs. */
-  private def byteCensusCte: String =
+  private[queries] def byteCensusCte: String =
     s"""toksb AS MATERIALIZED (SELECT unnest(list_filter(
         regexp_split_to_array(lower(text), '\\s+'),
         x -> length(x) > 0)) AS w FROM mlx),
@@ -955,7 +958,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
     * several times over (measured: q360's oracle 108 s ≈ 7× the
     * 15 s chain; hoisted ≈ 1×). chr(30) when a slot is empty
     * (identity replace). */
-  private def byteMergeCteSql: String = {
+  private[queries] def byteMergeCteSql: String = {
     def pat(sl: String) =
       s"coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM $sl), chr(30))"
     def rep(sl: String) =
@@ -970,7 +973,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   /** Per-word encode replay for the oracle: the 6 merges applied in
     * rank order over the hex framing. Requires `mrg`
     * ([[byteMergeCteSql]]) cross-joined into the consuming CTE. */
-  private def byteEncodeSql: String =
+  private[queries] def byteEncodeSql: String =
     (1 to 6).foldLeft(
       s"regexp_replace(lower(hex(encode(w))), '(..)', " +
         s"chr(31) || '\\1' || chr(31), 'g')") { (acc, i) =>
@@ -1131,7 +1134,7 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
     * `src` (a CTE with (doc_id, text)), split from the replayed
     * framed encode. generate_series indexing (0-based) matches
     * Spark's posexplode. */
-  private def byteTokSql(src: String): String =
+  private[queries] def byteTokSql(src: String): String =
     s"""dws AS MATERIALIZED (SELECT doc_id, list_filter(
         regexp_split_to_array(lower(text), '\\s+'),
         x -> length(x) > 0) AS ws FROM $src),
@@ -1145,7 +1148,14 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
       toksy AS MATERIALIZED (SELECT doc_id, word_idx, j AS tok_idx, sy[j + 1] AS sym
         FROM (SELECT doc_id, word_idx, sy,
           unnest(generate_series(0, len(sy) - 1)) AS j FROM seg)),
-      vb AS MATERIALIZED (SELECT l || r AS sym,
+      $byteVocabIdCte"""
+
+  /** The merged-symbol → token-id map (`vb`) as its own CTE — the
+    * standard byte-level convention's 256+rank assignment over the
+    * six learned merges (slot CTEs from [[batchedBpeRoundSql]]),
+    * shared by [[byteTokSql]] and the chat SFT tier's replay. */
+  private[queries] def byteVocabIdCte: String =
+    """vb AS MATERIALIZED (SELECT l || r AS sym,
           255 + row_number() OVER (ORDER BY rnd, slot) AS mid FROM (
           SELECT 1 AS rnd, 1 AS slot, l, r FROM s11
           UNION ALL SELECT 1, 2, l, r FROM s12

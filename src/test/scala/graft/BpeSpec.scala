@@ -464,6 +464,91 @@ class BpeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("meta sidecar"), e2.getMessage)
   }
 
+  test("sampled vocabulary learning: full sample with floor 1 is the unsampled learner; half sample keeps the head") {
+    val docs = mlTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = Bpe.learnBpeMergesBytesBatched(docs, "text",
+        nMerges = 24, batchSize = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // exactness corner: samplePpm = 10⁶ keeps every word type and
+    // minPairCount = 1 is the unfloored rule — the trajectories are
+    // the same loop over the same census, bit for bit
+    val fullSampled = Bpe.learnBpeMergesBytesBatchedSampled(docs, "text",
+        nMerges = 24, batchSize = 8, samplePpm = 1000000L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(fullSampled == full)
+    // divergence bound: type-sampling is only stable when pair counts
+    // are SHARED across many word types (the Heaps/Zipf regime real
+    // corpora live in — mlTexts is deliberately the opposite: each
+    // planted type is its own head, and a half sample there keeps only
+    // 8/24 merges). On a compositional vocabulary (root×suffix words,
+    // so 'er'/'ing'/root-internal pairs recur across ~100 types) the
+    // half-sample merge set keeps >= half the full set — the measured
+    // bound the operator's scaladoc documents.
+    val roots = Seq("merge", "sort", "hash", "scan", "join", "group",
+      "shuffle", "filter")
+    val sufs = Seq("ing", "er", "ed", "s")
+    val rich = (0 until 400).map { i =>
+      (i.toLong, Seq(
+        roots(i % 8) + sufs(i % 4),
+        roots((i / 2) % 8) + sufs((i / 3) % 4),
+        roots((i / 5) % 8),
+        sufs(i % 4) + roots((i * 3) % 8)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rfull = Bpe.learnBpeMergesBytesBatched(rich, "text",
+        nMerges = 24, batchSize = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val rhalf = Bpe.learnBpeMergesBytesBatchedSampled(rich, "text",
+        nMerges = 24, batchSize = 8, samplePpm = 500000L)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rhalf.nonEmpty, "half sample must still learn")
+    val fullSet = rfull.map(m => (m._2, m._3)).toSet
+    val overlap = rhalf.map(m => (m._2, m._3)).count(fullSet)
+    assert(overlap * 2 >= rfull.size,
+      s"half-sample merge set kept only $overlap/${rfull.size} of the " +
+        s"full vocabulary — shared head pairs should survive sampling")
+    // the floor actually gates: with an absurd floor nothing clears
+    val floored = Bpe.learnBpeMergesBytesBatchedSampled(docs, "text",
+        nMerges = 24, batchSize = 8, samplePpm = 1000000L,
+        minPairCount = 1000000L)
+      .collect()
+    assert(floored.isEmpty, "a floor above every pair count must stop " +
+      "learning immediately")
+  }
+
+  test("decodeTokenIdsBytes: reconstruction through the vocabulary alone; unknown id raises") {
+    val texts = mlTexts.take(60)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = referenceBatchedBytes(texts, 24, 8).map(m => (m._2, m._3))
+    val ids = Bpe.bpeTokenIdsBytes(docs, "doc_id", "text", merges)
+      .localCheckpoint()
+    val got = Bpe.decodeTokenIdsBytes(ids, "doc_id", merges)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the decode consults only (id → vocabulary); the expected text is
+    // the whitespace-normalized lowercased original — CJK/emoji/accents
+    // included (the LOSSLESS byte contract, now via the id door)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val (nw, nt, dec) = got(i.toLong)
+      assert(dec == ws.mkString(" "), s"doc $i: '$dec'")
+      assert(nw == ws.length.toLong)
+      assert(nt >= nw, "every word is at least one token")
+    }
+    // an id outside both ranges (the stream and vocabulary disagree)
+    // raises loudly instead of silently dropping bytes
+    val bad = ids.withColumn("token_id",
+      org.apache.spark.sql.functions.when(
+        $"doc_id" === 0L && $"word_idx" === 0L && $"tok_idx" === 0L,
+        org.apache.spark.sql.functions.lit(999999L))
+        .otherwise($"token_id"))
+    val e = intercept[Exception] {
+      Bpe.decodeTokenIdsBytes(bad, "doc_id", merges).collect()
+    }
+    assert(e.getMessage.contains("unknown token id"), e.getMessage)
+  }
+
   test("writeBpeVocab validates symbols against the declared alphabet") {
     // ADVICE r15: hex-pair byte merges are printable ASCII, so a byte
     // merge table written WITHOUT the alphabet arg used to land a

@@ -578,6 +578,106 @@ class ChatOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sftTokenRows: tokens match a JVM reference with per-segment flags; flags survive token-resolution packing") {
+    import graft.operators.{Bpe, DatasetOps}
+    import org.apache.spark.sql.types.LongType
+    // three byte merges over raw UTF-8: 'll', 'he', then 'hell'
+    val merges = Seq(("6c", "6c"), ("68", "65"), ("6865", "6c6c"))
+    val convs = Seq(
+      (1L, Seq(("user", "hello hello"),
+        ("assistant", "hello world hi"))),
+      (2L, Seq(("user", "a bb"),
+        ("assistant", "ccc hello hello hello dd e"),
+        ("user", "f"), ("assistant", "gg  hh"))))
+    def render(ts: Seq[(String, String)]): String =
+      ts.map { case (r, c) => s"<|im_start|>$r\n$c<|im_end|>\n" }.mkString
+    def spans(ts: Seq[(String, String)]): Seq[(Long, Long)] = {
+      var pos = 0L
+      ts.flatMap { case (r, c) =>
+        val s = pos + 13 + r.length
+        pos += 24 + r.length + c.length
+        if (r == "assistant") Some((s, s + c.length)) else None
+      }
+    }
+    val df = convs.map { case (id, ts) => (id, render(ts), spans(ts)) }
+      .toDF("id", "rendered", "spans")
+      .select($"id", $"rendered",
+        $"spans".cast("array<struct<s: bigint, e: bigint>>").as("spans"))
+    val got = ChatOps.sftTokenRows(df, "id", "rendered", "spans", merges)
+      .as[(Long, Long, Long, Long, String, Long)].collect().toSet
+
+    // JVM reference: single-space segments with arithmetic char
+    // ranges, full-containment flags, sequential byte-BPE encode
+    def enc(seg: String): Seq[String] = {
+      var syms = seg.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    def idOf(sym: String): Long =
+      if (sym.length == 2) java.lang.Long.parseLong(sym, 16)
+      else 256L + merges.indexWhere { case (l, r) => l + r == sym }
+    val want = convs.flatMap { case (id, ts) =>
+      val sp = spans(ts); var pos = 0L
+      render(ts).split(" ", -1).toSeq.zipWithIndex.flatMap {
+        case (seg, i) =>
+          val st = pos; val en = pos + seg.length; pos = en + 1
+          if (seg.isEmpty) Seq.empty
+          else {
+            val flag = if (sp.exists(p => p._1 <= st && en <= p._2)) 1L
+                       else 0L
+            enc(seg).zipWithIndex.map { case (sym, ti) =>
+              (id, i.toLong, ti.toLong, idOf(sym), sym, flag) }
+          }
+      }
+    }.toSet
+    assert(got == want,
+      s"missing: ${want -- got}\nextra: ${got -- want}")
+    // sanity on the policy itself: interior assistant words train,
+    // boundary-glued segments and user words never do
+    assert(want.exists(t => t._6 == 1L),
+      "fixture must contain trained tokens")
+    assert(want.filter(_._6 == 1L).forall(t => t._1 == 1L || t._1 == 2L))
+
+    // flags ride the pack: census Σ n_trained equals the pre-pack flag
+    // mass, and at seqLen 4 some doc's TRAINED tokens span >= 2
+    // sequences — the boundary-splits-a-span case the q367 oracle
+    // hashes per token
+    val toks = ChatOps.sftTokenRows(df, "id", "rendered", "spans", merges)
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"seg_idx", $"tok_idx")
+    val seqd = toks.withColumn("_tpos",
+      row_number().over(w).cast(LongType) - 1L)
+    val counts = toks.groupBy($"id").agg(count(lit(1)).as("n_tokens"))
+    val packed = DatasetOps.packSequences(counts, "id", $"n_tokens",
+        seqLen = 4, nShards = 2, salt = "sfttok")
+      .select($"id", $"shard", $"offset")
+    val perTok = seqd.join(packed, Seq("id"))
+      .select($"id", $"shard", (($"offset" + $"_tpos") / 4).cast(LongType)
+        .as("seq"), $"loss_flag")
+      .localCheckpoint()
+    val trainedTotal = toks.agg(sum($"loss_flag")).as[Long].collect().head
+    val censusTrained = perTok.groupBy($"shard", $"seq")
+      .agg(sum($"loss_flag").as("n_trained"))
+      .agg(sum($"n_trained")).as[Long].collect().head
+    assert(censusTrained == trainedTotal,
+      s"packing must conserve trained-token mass: $censusTrained " +
+        s"vs $trainedTotal")
+    val spread = perTok.filter($"loss_flag" === 1L)
+      .groupBy($"id").agg(countDistinct($"seq").as("ns"))
+      .as[(Long, Long)].collect().toMap
+    assert(spread.values.exists(_ >= 2L),
+      s"a trained span must straddle a sequence boundary: $spread")
+  }
+
   test("preferencePairs: planted scores, gap filter, tie-break, rewrite plan") {
     val df = Seq(
       // grp a: clear winner/loser, gap 30
