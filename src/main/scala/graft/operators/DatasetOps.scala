@@ -1246,6 +1246,92 @@ object DatasetOps {
       .orderBy(col("rule"))
   }
 
+  /** Integer score-bucket census (r16) — the distribution snapshot
+    * the quality-drift monitor compares: `bucket = (score + 10⁷) div
+    * width`. The +10⁷ shift keeps operands non-negative so
+    * truncating (`div`) and flooring (`//`) division agree across
+    * engines — an unshifted div would fold the two buckets around
+    * zero into one. Output is bucket-count sized (one
+    * map-side-combined aggregate over the scored frame). */
+  def scoreBucketCensus(scored: DataFrame, scoreCol: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1, got $bucketWidth")
+    scored
+      .groupBy(expr(s"($scoreCol + 10000000L) div ${bucketWidth}L")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** L1 drift between two [[scoreBucketCensus]] frames, in ppm
+    * (= 2 × total-variation distance): Σ over the union of buckets of
+    * |share_cur − share_base|, each share an integer `x·10⁶ div
+    * total`. Pure integer arithmetic, bucket-count-sized inputs, one
+    * full-outer join — the comparison a per-micro-batch monitor runs
+    * against its persisted corpus baseline.
+    * @return one row: (n_docs — the CURRENT census's mass, drift_ppm) */
+  def censusDriftPpm(cur: DataFrame, base: DataFrame): DataFrame = {
+    val c = cur.select(col("bucket"), col("n").as("_cn"))
+    val b = base.select(col("bucket"), col("n").as("_bn"))
+    val ct = c.agg(coalesce(sum(col("_cn")), lit(0L)).as("_ct"))
+    val bt = b.agg(coalesce(sum(col("_bn")), lit(0L)).as("_bt"))
+    c.join(b, Seq("bucket"), "full")
+      .select(coalesce(col("_cn"), lit(0L)).as("_cn"),
+        coalesce(col("_bn"), lit(0L)).as("_bn"))
+      .crossJoin(broadcast(ct)).crossJoin(broadcast(bt))
+      .agg(first(col("_ct")).as("n_docs"),
+        coalesce(sum(abs(
+          expr("_cn * 1000000L div greatest(_ct, 1L)") -
+            expr("_bn * 1000000L div greatest(_bt, 1L)"))), lit(0L))
+          .as("drift_ppm"))
+      // an EMPTY current census carries no distribution to compare —
+      // without this the arithmetic reports Σ baseline shares (~10⁶)
+      // and an all-duplicates batch would flag as maximal drift
+      .select(col("n_docs"),
+        when(col("n_docs") === 0L, 0L).otherwise(col("drift_ppm"))
+          .as("drift_ppm"))
+  }
+
+  /** Per-group quality-drift report vs the POOLED baseline (r16 —
+    * VERDICT r15 #7's batch form): every group's score distribution
+    * compared against the whole frame's, `drift_ppm` the
+    * [[censusDriftPpm]] L1 over the pooled bucket set, `flagged` when
+    * it clears `flagPpm`. This is the census-bucket shape at any
+    * scale: one (group, bucket) map-side-combined aggregate, then
+    * group×bucket-sized joins — the corpus is scanned once and never
+    * again regardless of group count.
+    * @return (grpCol, n_docs, drift_ppm, flagged) */
+  def scoreDriftReport(scored: DataFrame, grpCol: String,
+                       scoreCol: String, bucketWidth: Long,
+                       flagPpm: Long): DataFrame = {
+    require(bucketWidth >= 1L,
+      s"bucketWidth must be >= 1, got $bucketWidth")
+    require(flagPpm >= 1L && flagPpm <= 2000000L,
+      s"flagPpm must be in [1, 2000000] (L1 tops out at 2·10⁶), " +
+        s"got $flagPpm")
+    val gb = scored
+      .groupBy(col(grpCol).as("_g"),
+        expr(s"($scoreCol + 10000000L) div ${bucketWidth}L").as("bucket"))
+      .agg(count(lit(1)).as("_gn"))
+      .localCheckpoint() // three consumers: baseline, totals, the join
+    val base = gb.groupBy(col("bucket")).agg(sum(col("_gn")).as("_bn"))
+    val totals = gb.groupBy(col("_g")).agg(sum(col("_gn")).as("_gt"))
+    val totalAll = base.agg(sum(col("_bn")).as("_ta"))
+    // the grid carries every (group, pooled bucket) pair, so a bucket
+    // a group never hits still contributes its baseline share to the
+    // group's L1 — dropping it would understate drift exactly where
+    // the group diverges most
+    totals.crossJoin(broadcast(base))
+      .join(gb, Seq("_g", "bucket"), "left")
+      .crossJoin(broadcast(totalAll))
+      .groupBy(col("_g"))
+      .agg(first(col("_gt")).as("n_docs"),
+        sum(abs(expr("coalesce(_gn, 0L) * 1000000L div _gt") -
+          expr("_bn * 1000000L div _ta"))).as("drift_ppm"))
+      .select(col("_g").as(grpCol), col("n_docs"), col("drift_ppm"),
+        (col("drift_ppm") > flagPpm).as("flagged"))
+  }
+
   def classifierScores(df: DataFrame, idCol: String, textCol: String,
                        salt: String = "clf", buckets: Int = 1 << 18,
                        threshold: Long = 0L): DataFrame = {

@@ -379,23 +379,58 @@ object EvalOps {
                    loserCol: String, iters: Int = 4,
                    scale: Long = 1000000L,
                    dedupIdCol: Option[String] = None): DataFrame = {
+    val rows0 = dedupIdCol.map(outcomes.dropDuplicates(_)).getOrElse(outcomes)
+    bradleyTerryFromGames(rows0
+      .select(col(winnerCol).as("_w"), col(loserCol).as("_l"),
+        lit(1L).as("_n")),
+      iters, scale)
+  }
+
+  /** [[bradleyTerry]] over a pre-aggregated DUEL CENSUS (r16 —
+    * VERDICT r15 stretch #8's operator half): one row per directed
+    * (winner, loser) pair with its game COUNT — the compacted state a
+    * leaderboard stream keeps once the outcome log outgrows taste.
+    * The trajectory is IDENTICAL to feeding each game as its own row
+    * (the MM arithmetic only ever consumes n_ij and W_i, and summed
+    * counts equal counted rows — spec-pinned bit for bit); what the
+    * census representation surrenders is the outcome-id audit seam,
+    * which is exactly the tradeoff [[graft.streaming.DocIngest
+    * .runOutcomeCensusIngest]] documents. Counts must be >= 1 —
+    * a zero or negative count is a corrupted census, refused loudly
+    * (one eval-sized scan). */
+  def bradleyTerryCensus(census: DataFrame, winnerCol: String,
+                         loserCol: String, nCol: String, iters: Int = 4,
+                         scale: Long = 1000000L): DataFrame = {
+    val bad = census.filter(col(nCol).isNull || col(nCol) < 1L).count()
+    require(bad == 0L,
+      s"bradleyTerryCensus: $bad census rows carry a NULL or " +
+        s"non-positive $nCol — a duel census counts games, so every " +
+        s"row must hold >= 1")
+    bradleyTerryFromGames(census
+      .select(col(winnerCol).as("_w"), col(loserCol).as("_l"),
+        col(nCol).cast(LongType).as("_n")),
+      iters, scale)
+  }
+
+  /** The shared MM core over weighted game rows (_w, _l, _n): the
+    * [[bradleyTerry]] contract verbatim — counted rows and summed
+    * counts are the same censuses by construction. */
+  private def bradleyTerryFromGames(rows: DataFrame, iters: Int,
+                                    scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1, 20] (each is a duels shuffle), got $iters")
     require(scale >= 1000L && scale <= 1000000L,
       s"scale must be in [1e3, 1e6] (keeps n·scale·10⁶ int64-safe for " +
         s"n up to ~9e6 games per pair), got $scale")
     val sk = scale * 1000000L // the micro-unit factor (see scaladoc)
-    val rows0 = dedupIdCol.map(outcomes.dropDuplicates(_)).getOrElse(outcomes)
-    val games = rows0
-      .select(col(winnerCol).as("_w"), col(loserCol).as("_l"))
-      .filter(col("_w") =!= col("_l"))
+    val games = rows.filter(col("_w") =!= col("_l"))
     // static spine: per-item totals + the DIRECTED duel census (each
     // unordered pair appears under both endpoints, so one groupBy(a)
     // per round covers every denominator term)
     val wins = games.groupBy(col("_w").as("item"))
-      .agg(count(lit(1)).as("wins"))
+      .agg(sum(col("_n")).as("wins"))
     val losses = games.groupBy(col("_l").as("item"))
-      .agg(count(lit(1)).as("losses"))
+      .agg(sum(col("_n")).as("losses"))
     val items = wins.select(col("item"), col("wins"))
       .join(losses, Seq("item"), "full")
       .select(col("item"),
@@ -404,9 +439,10 @@ object EvalOps {
           .as("games"))
       .localCheckpoint()
     val duels = games
-      .select(col("_w").as("a"), col("_l").as("b"))
-      .union(games.select(col("_l").as("a"), col("_w").as("b")))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .select(col("_w").as("a"), col("_l").as("b"), col("_n"))
+      .union(games.select(col("_l").as("a"), col("_w").as("b"),
+        col("_n")))
+      .groupBy(col("a"), col("b")).agg(sum(col("_n")).as("n"))
       .localCheckpoint()
     // numerator overflow guard: (wins+1)·scale·10⁶ must stay int64 —
     // a one-scan check on the materialized spine, loud not silent

@@ -159,13 +159,10 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
   // 100 TB corpus. The oracle replays bucketing, the weight draw and
   // the fold bit-for-bit.
 
-  private[queries] val q150 = GraftQuery(
-    "q150_classifier_score",
-    (s, d) =>
-      DatasetOps.classifierScores(docs(s, d), "doc_id", "text",
-          threshold = -20L)
-        .orderBy(col("doc_id")),
-    Some("""WITH toks AS (
+  /** The hashed-classifier replay (toks → feats → bw → sc) — ONE
+    * definition shared by q150 and the drift report q368, so the two
+    * oracles cannot drift from each other. */
+  private[queries] val classifierOracleCte: String = """toks AS (
         SELECT doc_id, list_filter(
           regexp_split_to_array(lower(text), '\s+'),
           x -> length(x) > 0) AS tk
@@ -184,13 +181,74 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
         FROM feats),
       sc AS (
         SELECT doc_id, count(*) AS n_feats, sum(w) AS score
-        FROM bw GROUP BY doc_id)
+        FROM bw GROUP BY doc_id)"""
+
+  private[queries] val q150 = GraftQuery(
+    "q150_classifier_score",
+    (s, d) =>
+      DatasetOps.classifierScores(docs(s, d), "doc_id", "text",
+          threshold = -20L)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH $classifierOracleCte
       SELECT d.doc_id,
         CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
         CAST(coalesce(s.score, 0) AS BIGINT) AS score,
         coalesce(s.score, 0) >= -20 * coalesce(s.n_feats, 0) AS keep
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
+
+  // ---- q368: quality-score drift report (r16) --------------------------
+  // VERDICT r15 #7's batch form: every source's classifier-score
+  // DISTRIBUTION compared against the pooled corpus baseline by
+  // integer L1 over shared score buckets (drift_ppm = Σ |share_g −
+  // share_all|, = 2× total variation) — the census-bucket drift shape
+  // the streaming monitor (DocIngest.runQualityDriftIngest) runs per
+  // micro-batch. src1's scores are shifted +24000 (the planted
+  // drifted batch — ~3σ of the score spread); measured margins:
+  // planted ~1.8M ppm vs worst healthy ~0.5M at both SFs, so the 10⁶
+  // flag separates cleanly. The oracle replays scoring, the shifted
+  // plant, bucket arithmetic (the +10⁷ shift keeps floor ≡ truncate
+  // across engines), every share division and the L1 fold.
+
+  private[queries] val q368 = GraftQuery(
+    "q368_quality_drift",
+    (s, d) => {
+      val scored = DatasetOps.classifierScores(docs(s, d), "doc_id",
+          "text")
+        .join(docs(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"),
+          (col("score") + when(col("source") === "src1", 24000L)
+            .otherwise(0L)).as("score"))
+      DatasetOps.scoreDriftReport(scored, "source", "score",
+          bucketWidth = 8000L, flagPpm = 1000000L)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $classifierOracleCte,
+      sc2 AS (SELECT d.doc_id, d.source,
+          coalesce(s.score, 0) +
+            CASE WHEN d.source = 'src1' THEN 24000 ELSE 0 END AS score
+        FROM documents d LEFT JOIN sc s USING (doc_id)),
+      gb AS (SELECT source, (score + 10000000) // 8000 AS bucket,
+          count(*) AS gn
+        FROM sc2 GROUP BY 1, 2),
+      basec AS (SELECT bucket, sum(gn) AS bn FROM gb GROUP BY 1),
+      tot AS (SELECT source, sum(gn) AS gt FROM gb GROUP BY 1),
+      ta AS (SELECT sum(bn) AS n FROM basec),
+      grid AS (SELECT t.source, t.gt, b.bucket, b.bn
+        FROM tot t CROSS JOIN basec b),
+      jj AS (SELECT g.source, g.gt, g.bucket, g.bn,
+          coalesce(x.gn, 0) AS gn
+        FROM grid g LEFT JOIN gb x
+          ON g.source = x.source AND g.bucket = x.bucket),
+      dr AS (SELECT source, any_value(gt) AS n_docs,
+          sum(abs(gn * 1000000 // gt -
+            bn * 1000000 // (SELECT n FROM ta))) AS drift
+        FROM jj GROUP BY source)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(drift AS BIGINT) AS drift_ppm,
+        drift > 1000000 AS flagged
+      FROM dr ORDER BY source"""))
 
   // ---- q160: raster resize (nearest-neighbor) --------------------------
   // The multimodal resize kernel over a synthetic 8×8 raw raster

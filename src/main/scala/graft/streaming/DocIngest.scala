@@ -1703,6 +1703,154 @@ object DocIngest {
         s"no outcome board at $boardDir — run runOutcomeIngest first")
     }
 
+  /** COMPACTED outcome ingest (r16 — VERDICT r15 stretch #8): the
+    * documented escape hatch for leaderboard streams whose outcome
+    * LOG has outgrown the per-batch full rewrite
+    * ([[runOutcomeIngest]] does O(L) I/O on an ever-growing L).
+    * State here is a DUEL CENSUS keyed (winner, loser) with a game
+    * count — BOUNDED by the item-pair universe, not by stream
+    * lifetime — and each batch folds its own census in (one
+    * changelog-sized aggregate + a census-sized merge).
+    *
+    * The EXPLICIT tradeoff (the reason both gates exist): the
+    * outcome-id audit window is SURRENDERED. Whole-batch retries
+    * stay idempotent (the `v=<batchId>` read-before-self contract),
+    * but an oid re-delivered in a LATER shard double-counts — census
+    * mode is for feeds that are exactly-once upstream, or past the
+    * point where per-game audit rows are worth their storage. NULL
+    * winner/loser rows refuse loudly (same posture as the log gate's
+    * NULL-oid refusal). The board is
+    * [[graft.operators.EvalOps.bradleyTerryCensus]] — spec-pinned
+    * bit-identical to the log gate's board on a duplicate-free
+    * stream.
+    * @param rawDir JSONL of (oid: string, winner: long, loser: long)
+    *               — oid tolerated and ignored, so the two gates are
+    *               feed-compatible */
+  def runOutcomeCensusIngest(spark: SparkSession, rawDir: String,
+                             stateDir: String, boardDir: String,
+                             checkpointDir: String, iters: Int = 4,
+                             maxFilesPerTrigger: Int = 1,
+                             retainVersions: Option[Int] = None): Unit = {
+    val ocSchema = StructType(Seq(
+      StructField("oid", StringType), StructField("winner", LongType),
+      StructField("loser", LongType)))
+    val censusSchema = StructType(Seq(
+      StructField("winner", LongType), StructField("loser", LongType),
+      StructField("n", LongType)))
+    val q = spark.readStream
+      .schema(ocSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val nNull = batch
+          .filter(col("winner").isNull || col("loser").isNull).count()
+        require(nNull == 0L,
+          s"runOutcomeCensusIngest: batch $batchId carries $nNull " +
+            s"outcomes with a NULL winner or loser — a census cannot " +
+            s"hold an unidentified duel")
+        val prev = ViewIngest.versionDirs(spark, stateDir)
+          .filter(_._1 < batchId).sortBy(_._1).lastOption match {
+          case Some((_, dir)) => spark.read.parquet(dir)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            censusSchema)
+        }
+        val part = batch
+          .filter(col("winner") =!= col("loser"))
+          .groupBy(col("winner"), col("loser"))
+          .agg(count(lit(1)).as("n"))
+        val census = prev.unionByName(part)
+          .groupBy(col("winner"), col("loser"))
+          .agg(sum(col("n")).as("n"))
+          .localCheckpoint() // two consumers: the state write + board
+        census.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        graft.operators.EvalOps.bradleyTerryCensus(census, "winner",
+            "loser", "n", iters = iters)
+          .withColumnRenamed("item", "model")
+          .write.mode("overwrite").parquet(s"$boardDir/v=$batchId")
+        retainVersions.foreach { k =>
+          ViewIngest.pruneVersions(spark, stateDir, k)
+          ViewIngest.pruneVersions(spark, boardDir, k)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** QUALITY-DRIFT monitor (r16 — VERDICT r15 #7): the TEXT tier's
+    * drift observer — the ANN indexes self-heal under embedding
+    * drift, but nothing watched the quality-score distribution of
+    * what the streamed ingests were landing. A baseline score-bucket
+    * census is persisted once from a reference corpus
+    * ([[writeScoreBaseline]]); each arriving micro-batch is scored
+    * with the SAME hashed classifier
+    * ([[graft.operators.DatasetOps.classifierScores]] — deterministic,
+    * so batch and baseline are commensurable), bucketed
+    * ([[graft.operators.DatasetOps.scoreBucketCensus]]), compared by
+    * integer L1 ([[graft.operators.DatasetOps.censusDriftPpm]]), and
+    * ONE monitor row (batch_id, n_docs, drift_ppm, flagged) lands per
+    * batch. A healthy stream stays quiet; a batch whose quality
+    * distribution shifted — boilerplate flood, template breakage,
+    * a source gone bad — flags loudly at ARRIVAL time instead of
+    * poisoning the corpus first.
+    *
+    * Delivery: monitor rows APPEND stamped with the foreachBatch
+    * batchId (the [[runSketchIngest]] idiom — a retry re-appends an
+    * identical row); [[readDriftMonitor]] collapses keep-first on
+    * batch_id. State per batch is bucket-count-sized — the batch is
+    * scanned once, the baseline read is KBs. */
+  def runQualityDriftIngest(spark: SparkSession, rawDir: String,
+                            baselineDir: String, monitorDir: String,
+                            checkpointDir: String,
+                            bucketWidth: Long = 5000L,
+                            flagPpm: Long = 500000L,
+                            minTokens: Int = 3,
+                            maxFilesPerTrigger: Int = 1): Unit = {
+    val q = ingest(readDocStream(spark, rawDir, maxFilesPerTrigger),
+        minTokens)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val base = spark.read.parquet(baselineDir)
+        val scored = graft.operators.DatasetOps.classifierScores(
+          batch, "doc_id", "text")
+        val cur = graft.operators.DatasetOps.scoreBucketCensus(
+          scored, "score", bucketWidth)
+        graft.operators.DatasetOps.censusDriftPpm(cur, base)
+          .select(lit(batchId).as("batch_id"), col("n_docs"),
+            col("drift_ppm"),
+            (col("drift_ppm") > flagPpm).as("flagged"))
+          .write.mode("append").parquet(monitorDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Persist the quality baseline census for
+    * [[runQualityDriftIngest]]: the reference corpus scored and
+    * bucketed under the SAME (salt, bucketWidth) the monitor will
+    * use. Bucket-count-sized artifact. */
+  def writeScoreBaseline(docs: DataFrame, idCol: String, textCol: String,
+                         baselineDir: String,
+                         bucketWidth: Long = 5000L): Unit =
+    graft.operators.DatasetOps.scoreBucketCensus(
+        graft.operators.DatasetOps.classifierScores(docs, idCol, textCol),
+        "score", bucketWidth)
+      .coalesce(1).write.mode("overwrite").parquet(baselineDir)
+
+  /** [[runQualityDriftIngest]]'s monitor log, at-least-once repaired
+    * (keep-first on batch_id), batch-ordered. */
+  def readDriftMonitor(spark: SparkSession, monitorDir: String): DataFrame =
+    spark.read.parquet(monitorDir)
+      .dropDuplicates("batch_id")
+      .orderBy(col("batch_id"))
+
   /** Latest persisted daily-sketch table of [[runHllIngest]]. */
   def readHllState(spark: SparkSession, stateDir: String): DataFrame =
     ViewIngest.versionDirs(spark, stateDir).sortBy(_._1).lastOption match {

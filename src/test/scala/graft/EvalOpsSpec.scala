@@ -406,6 +406,33 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
+  test("bradleyTerryCensus: summed counts replay the per-game trajectory bit for bit; corrupt census refuses") {
+    // the compacted-state contract: the MM arithmetic only ever
+    // consumes n_ij and W_i, so a census built by grouping the game
+    // rows must land the IDENTICAL integer trajectory
+    val games = Seq(
+      (1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L),
+      (2L, 3L), (3L, 1L), (10L, 11L), (10L, 11L), (11L, 10L))
+      .toDF("w", "l")
+    val plain = EvalOps.bradleyTerry(games, "w", "l", iters = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val census = games.groupBy($"w", $"l")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val viaCensus = EvalOps.bradleyTerryCensus(census, "w", "l", "n",
+        iters = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaCensus == plain,
+      s"census board diverged:\n$viaCensus\nvs\n$plain")
+    // a zero-count (or NULL) census row is corruption, not data
+    val e = intercept[IllegalArgumentException] {
+      EvalOps.bradleyTerryCensus(
+        census.union(Seq((7L, 8L, 0L)).toDF("w", "l", "n")),
+        "w", "l", "n")
+    }
+    assert(e.getMessage.contains("non-positive"), e.getMessage)
+  }
+
   test("majorityVote: majority, tie-break, agreement, heap plan") {
     val rows = Seq(
       // p1: x×3, y×2 → x wins, agreement 600000

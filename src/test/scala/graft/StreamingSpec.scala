@@ -1335,6 +1335,130 @@ class StreamingSpec extends AnyFunSuite {
     deleteRec(root); deleteRec(root2)
   }
 
+  test("census-mode outcome ingest: board equals the log gate's on a duplicate-free stream; NULL endpoints refuse") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_outcome_census_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw")
+    val now = System.currentTimeMillis()
+    // two shards; duplicate-free oids; a repeated DUEL inside one
+    // shard (census must count it twice, once per game)
+    val s1 = Seq(("c1", 1L, 2L), ("c2", 1L, 2L), ("c3", 2L, 1L),
+      ("c4", 10L, 11L))
+    val s2 = Seq(("c5", 1L, 2L), ("c6", 3L, 1L), ("c7", 10L, 11L))
+    s1.toDF("oid", "winner", "loser").coalesce(1)
+      .write.json(raw.resolve("f1").toString)
+    s2.toDF("oid", "winner", "loser").coalesce(1)
+      .write.json(raw.resolve("f2").toString)
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now - 30000L)
+    DocIngest.runOutcomeCensusIngest(spark, raw.toString + "/*/",
+      root.resolve("cstate").toString, root.resolve("cboard").toString,
+      root.resolve("cckpt").toString, iters = 4)
+    DocIngest.runOutcomeIngest(spark, raw.toString + "/*/",
+      root.resolve("lstate").toString, root.resolve("lboard").toString,
+      root.resolve("lckpt").toString, iters = 4)
+    val viaCensus = DocIngest.readOutcomeBoard(spark,
+        root.resolve("cboard").toString)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaLog = DocIngest.readOutcomeBoard(spark,
+        root.resolve("lboard").toString)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaCensus == viaLog,
+      s"census board diverged from log board:\n$viaCensus\nvs\n$viaLog")
+    // the persisted census state is pair-bounded, not stream-bounded
+    val stDirs = Files.list(root.resolve("cstate")).toArray.toSeq
+      .map(_.toString).filter(_.split('/').last.startsWith("v="))
+    val st = spark.read.parquet(stDirs.maxBy(
+        _.split('/').last.drop(2).toLong))
+      .select($"winner", $"loser", $"n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(st == Set((1L, 2L, 3L), (2L, 1L, 1L), (10L, 11L, 2L),
+      (3L, 1L, 1L)), st.toString)
+    // NULL winner/loser refuses loudly
+    val root2 = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_outcome_census_null_spec")
+    deleteRec(root2)
+    """{"oid":"x1","winner":1}""".split('\n').toSeq.toDF("value")
+      .coalesce(1).write.text(root2.resolve("raw/f1").toString)
+    setMtimeRec(root2.resolve("raw/f1"), now)
+    val e = intercept[Exception] {
+      DocIngest.runOutcomeCensusIngest(spark,
+        root2.resolve("raw").toString + "/*/",
+        root2.resolve("state").toString, root2.resolve("board").toString,
+        root2.resolve("ckpt").toString)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL winner or loser")),
+      msgs(e).toString)
+    deleteRec(root); deleteRec(root2)
+  }
+
+  test("quality-drift monitor: the planted drifted shard flags exactly its batch, healthy batches stay quiet") {
+    import spark.implicits._
+    import graft.streaming.DocIngest
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_qdrift_spec")
+    deleteRec(root)
+    val raw = root.resolve("raw")
+    val baseline = root.resolve("baseline")
+    val monitor = root.resolve("monitor")
+    val now = System.currentTimeMillis()
+    // a shared generator so baseline and healthy shards draw from the
+    // SAME score distribution (vocab of 40 words, ~24 words per doc);
+    // the trailing unique token keeps texts distinct — the ingest
+    // gate's cross-batch digest dedup would otherwise drain repeated
+    // shards to nothing
+    def healthyDoc(i: Long): (Long, String, String, String) =
+      (i, s"s${i % 3}", "en",
+        (0 until 24).map(k => s"w${(i * 7 + k * 13) % 40}")
+          .mkString(" ") + s" u$i")
+    DocIngest.writeScoreBaseline(
+      (1000L until 1300L).map(healthyDoc).toDF("doc_id", "source",
+        "lang", "text"),
+      "doc_id", "text", baseline.toString)
+    // three shards → three micro-batches: healthy, DRIFTED (template
+    // collapse: near-identical spam dominated by shared tokens, so
+    // scores concentrate in one bucket), healthy
+    (1L to 100L).map(healthyDoc).toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.json(raw.resolve("f1").toString)
+    (201L to 300L).map(i => (i, "sx", "en",
+        s"spam spam spam spam filler${i % 7}"))
+      .toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.json(raw.resolve("f2").toString)
+    (301L to 400L).map(healthyDoc).toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.json(raw.resolve("f3").toString)
+    // an exact re-delivery of shard 1: the ingest dedup drains it to
+    // NOTHING — an empty batch has no distribution and must stay
+    // quiet (n_docs 0, drift 0), not flag as maximal drift
+    (1L to 100L).map(healthyDoc).toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.json(raw.resolve("f4").toString)
+    setMtimeRec(raw.resolve("f1"), now - 60000L)
+    setMtimeRec(raw.resolve("f2"), now - 40000L)
+    setMtimeRec(raw.resolve("f3"), now - 20000L)
+    setMtimeRec(raw.resolve("f4"), now - 10000L)
+    DocIngest.runQualityDriftIngest(spark, raw.toString + "/*/",
+      baseline.toString, monitor.toString,
+      root.resolve("ckpt").toString)
+    val rows = DocIngest.readDriftMonitor(spark, monitor.toString)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L), rows.toString)
+    assert(!rows(0)._4 && !rows(2)._4,
+      s"healthy batches must stay quiet: $rows")
+    assert(rows(1)._4,
+      s"the drifted batch must flag: $rows")
+    // and the gap is a margin, not a coin flip
+    assert(rows(1)._3 > 2 * math.max(rows(0)._3, rows(2)._3),
+      s"drift margin too thin: $rows")
+    assert(rows(3) == ((3L, 0L, 0L, false)),
+      s"the drained duplicate batch must report empty-quiet: $rows")
+    deleteRec(root)
+  }
+
   test("bloom decontamination tier: no false negatives, streamed equals batch") {
     import spark.implicits._
     import graft.streaming.DocIngest
