@@ -134,7 +134,7 @@ object LlmOps extends LlmOpsDedupAnn with LlmOpsCorpus with LlmOpsIndexes
       q312, q313, q314, q315, q317, q319, q320, q322, q323, q324, q325,
       q326, q330, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350,
       q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361, q362, q363, q364, q365, q366, q367, q368)
+      q361, q362, q363, q364, q365, q366, q367, q368, q369)
 
   // ---- q93: the SQL (table-function) surface for near-dup mining ------
   // The exact-tier pair miner reached entirely through SQL: the

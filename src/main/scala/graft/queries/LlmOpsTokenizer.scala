@@ -169,48 +169,52 @@ private[queries] trait LlmOpsTokenizer { this: LlmOps.type =>
   // doc offset + within-doc ordinal IS the shard ordinal because
   // docs are contiguous in (u, doc_id) order) → both checksums.
 
-  private[queries] val q367: GraftQuery = GraftQuery(
-    "q367_packed_sft_tokens",
-    (s, d) => {
-      val merges = bpeBytesMerges(s, d)
-      val parsed = chatRaw(s, d)
-        .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
-        .withColumn("_turns", call_function("no_inline", col("_c.messages")))
-      val okd = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
-        .select(col("doc_id"),
-          call_function("no_inline",
-            ChatOps.renderChatML(col("_turns"))).as("_r"),
-          ChatOps.lossMaskSpanStructs(col("_turns")).as("_sp"))
-      // checkpointed once: BOTH consumers (the ordinal window and the
-      // per-doc count census feeding the packer) read materialized
-      // token rows — the q361 discipline
-      val toks = ChatOps.sftTokenRows(okd, "doc_id", "_r", "_sp", merges)
-        .localCheckpoint()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("seg_idx"), col("tok_idx"))
-      val seqd = toks.withColumn("_tpos",
-        row_number().over(w).cast(LongType) - 1L)
-      val counts = toks.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"))
-      val packed = DatasetOps.packSequences(counts, "doc_id",
-          col("n_tokens"), seqLen = 128, nShards = 4, salt = "sfttok")
-        .select(col("doc_id"), col("shard"), col("offset"))
-      seqd.join(packed, Seq("doc_id"))
-        .select(col("doc_id"), col("shard"),
-          (col("offset") + col("_tpos")).as("_g"),
-          col("token_id"), col("loss_flag"))
-        .groupBy(col("shard"), expr("_g div 128L").as("seq"))
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          sum(col("loss_flag")).as("n_trained"),
-          sum(col("token_id")).as("id_mass"),
-          sum((pmod(col("_g"), lit(128L)) + 1L) *
-            (col("token_id") * 2L + col("loss_flag")))
-            .as("order_checksum"))
-        .orderBy(col("shard"), col("seq"))
-    },
-    Some(s"""WITH $chatTurnsOracleCte,
+  /** The shared packed-SFT token frame (q367 census + q369 sequence
+    * rows): one row per token — (doc_id, shard, _g global position,
+    * token_id, loss_flag) — built chat fixture → ok render + spans →
+    * flagged segment tokens → q361-style pack at token resolution
+    * (seqLen 128, 4 shards, salt "sfttok"). */
+  private def sftPackedTokenFrame(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeBytesMerges(s, d)
+    val parsed = chatRaw(s, d)
+      .withColumn("_c", from_json(col("j"), ChatOps.chatSchema))
+      .withColumn("_turns", call_function("no_inline", col("_c.messages")))
+    val okd = parsed.filter(ChatOps.verdict(col("_turns")) === "ok")
+      .select(col("doc_id"),
+        call_function("no_inline",
+          ChatOps.renderChatML(col("_turns"))).as("_r"),
+        ChatOps.lossMaskSpanStructs(col("_turns")).as("_sp"))
+    // checkpointed once: BOTH consumers (the ordinal window and the
+    // per-doc count census feeding the packer) read materialized
+    // token rows — the q361 discipline
+    val toks = ChatOps.sftTokenRows(okd, "doc_id", "_r", "_sp", merges)
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("seg_idx"), col("tok_idx"))
+    val seqd = toks.withColumn("_tpos",
+      row_number().over(w).cast(LongType) - 1L)
+    val counts = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val packed = DatasetOps.packSequences(counts, "doc_id",
+        col("n_tokens"), seqLen = 128, nShards = 4, salt = "sfttok")
+      .select(col("doc_id"), col("shard"), col("offset"))
+    seqd.join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + col("_tpos")).as("_g"),
+        col("token_id"), col("loss_flag"))
+  }
+
+  /** The full oracle replay through the per-token frame `g` —
+    * (shard, doc_id, flag, token_id, gpos) — shared by q367's census
+    * and q369's sequence rows: fixture → render → span offsets →
+    * segment cursor → containment flags → 6-merge encode of every
+    * segment → id assignment → md5 pack deal → shard-ordered global
+    * position (one row_number, the q361 trick: docs are contiguous in
+    * (u, doc_id) order, so doc offset + within-doc ordinal IS the
+    * shard ordinal). */
+  private def sftTokenOracleCtes: String =
+    s"""$chatTurnsOracleCte,
       $chatVerdictOracleCte,
       $chatRenderOracleCte,
       $mlOracleCte,
@@ -257,12 +261,63 @@ private[queries] trait LlmOpsTokenizer { this: LlmOps.type =>
         FROM (SELECT s0.*,
           CAST(concat('0x', substring(md5('sfttok:' || s0.doc_id), 1, 8))
             AS BIGINT) AS u
-        FROM stid s0))
+        FROM stid s0))"""
+
+  private[queries] val q367: GraftQuery = GraftQuery(
+    "q367_packed_sft_tokens",
+    (s, d) => {
+      sftPackedTokenFrame(s, d)
+        .groupBy(col("shard"), expr("_g div 128L").as("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("loss_flag")).as("n_trained"),
+          sum(col("token_id")).as("id_mass"),
+          sum((pmod(col("_g"), lit(128L)) + 1L) *
+            (col("token_id") * 2L + col("loss_flag")))
+            .as("order_checksum"))
+        .orderBy(col("shard"), col("seq"))
+    },
+    Some(s"""WITH $sftTokenOracleCtes
       SELECT shard, gpos // 128 AS seq, count(*) AS n_tokens,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         CAST(sum(flag) AS BIGINT) AS n_trained,
         CAST(sum(token_id) AS BIGINT) AS id_mass,
         CAST(sum((gpos % 128 + 1) * (2 * token_id + flag)) AS BIGINT)
           AS order_checksum
+      FROM g GROUP BY shard, seq ORDER BY shard, seq"""))
+
+  // ---- q369: the loadable SFT sequence rows -----------------------------
+  // q367 gates the pack through census checksums; THIS is the row a
+  // trainer's data loader actually reads — per (shard, seq) the
+  // ordered token-id stream and its parallel loss-mask stream,
+  // digested (md5 of the comma-joined streams — the rendered_md5
+  // convention: the whole byte stream is covered without dumping
+  // kilobytes of ids into the comparison). In-group order is the
+  // within-sequence position, reassembled by sort_array on the
+  // executor (sequences are seqLen-bounded, never a global sort).
+  // The oracle rebuilds the identical strings with ORDER BY'd
+  // string_agg over the same replayed frame.
+
+  private[queries] val q369: GraftQuery = GraftQuery(
+    "q369_sft_sequences",
+    (s, d) =>
+      sftPackedTokenFrame(s, d)
+        .groupBy(col("shard"), expr("_g div 128L").as("seq"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(
+              pmod(col("_g"), lit(128L)).as("p"), col("token_id")))),
+            x => x.getField("token_id").cast(StringType)), ","))
+            .as("ids_md5"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(
+              pmod(col("_g"), lit(128L)).as("p"), col("loss_flag")))),
+            x => x.getField("loss_flag").cast(StringType)), ","))
+            .as("mask_md5"))
+        .orderBy(col("shard"), col("seq")),
+    Some(s"""WITH $sftTokenOracleCtes
+      SELECT shard, gpos // 128 AS seq, count(*) AS n_tokens,
+        md5(string_agg(token_id, ',' ORDER BY gpos)) AS ids_md5,
+        md5(string_agg(flag, ',' ORDER BY gpos)) AS mask_md5
       FROM g GROUP BY shard, seq ORDER BY shard, seq"""))
 }

@@ -81,9 +81,14 @@ object ViewIngest {
       case None => emptyState(spark)
     }
 
+  /** `retainVersions` (r16): prune superseded `v=` versions to the
+    * newest k after each batch's write commits — see
+    * [[pruneVersions]]'s safety contract (k must cover the retry
+    * lag while the stream is live). */
   def runAggViewIngest(spark: SparkSession, rawDir: String,
                        stateDir: String, checkpointDir: String,
-                       maxFilesPerTrigger: Int = 1): Unit = {
+                       maxFilesPerTrigger: Int = 1,
+                       retainVersions: Option[Int] = None): Unit = {
     val q = spark.readStream
       .schema(changelogSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -100,6 +105,7 @@ object ViewIngest {
         graft.operators.ViewMaintenance
           .maintainAggViewCdc(prev, batch, "grp", "val")
           .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        retainVersions.foreach(pruneVersions(spark, stateDir, _))
         ()
       }
       .option("checkpointLocation", checkpointDir)
