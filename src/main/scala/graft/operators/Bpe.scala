@@ -567,7 +567,12 @@ object Bpe {
     require(chunkSize >= 1 && chunkSize <= 512,
       s"chunkSize must be in [1, 512] (codegen/eval-depth bound), " +
         s"got $chunkSize")
-    val dw = docs.select(col(idCol),
+    // spread the corpus-side scan before the explode (the r13 idiom
+    // [[bpeTokenCounts]] already applies): a small parquet file reads
+    // as one partition and the word explode + join-back would
+    // otherwise run single-task; at scale the scan already has >=
+    // shuffle.partitions splits and this is a no-op
+    val dw = DatasetOps.spreadToCores(docs).select(col(idCol),
       explode(TextFunctions.whitespaceTokens(col(textCol))).as("_w"))
     val dictTok = encodeWordTypesBytes(dw, merges, chunkSize)
       .select(col("_w"), symbols(col("_f")).as("_t"))
@@ -635,7 +640,9 @@ object Bpe {
     require(chunkSize >= 1 && chunkSize <= 512,
       s"chunkSize must be in [1, 512] (codegen/eval-depth bound), " +
         s"got $chunkSize")
-    val dw = docs.select(col(idCol),
+    // spread before the explode — same scan-root story as
+    // [[bpeTokenCountsBytes]]; no-op when the scan is already wide
+    val dw = DatasetOps.spreadToCores(docs).select(col(idCol),
       posexplode(TextFunctions.whitespaceTokens(col(textCol)))
         .as(Seq("word_idx", "_w")))
     val syms = encodeWordTypesBytes(dw, merges, chunkSize)
@@ -721,13 +728,15 @@ object Bpe {
     * the words join with single spaces — the whitespace-normalized,
     * lowercased text the encode tokenized.
     *
-    * Scale shape: one broadcast join + two map-side-combined ordered
-    * reassembly aggregates keyed (doc, word) then (doc) — both
-    * bounded by document length, no window, no sort beyond the
-    * in-group sort_array.
-    *
-    * @return one row per document: (idCol, n_words, n_tokens,
-    *         decoded) — `decoded` the space-joined reconstruction. */
+    * Scale shape: one broadcast join + ONE map-side-combined ordered
+    * reassembly aggregate keyed (doc) — bounded by document length,
+    * no window, no sort beyond the in-group sort_array. (r16: the
+    * word-level and doc-level reassembly used to be two exchanges;
+    * since the space separator is the single byte 0x20, splicing
+    * "20" into the hex stream at every word head and decoding the
+    * document's byte stream ONCE is the identical reconstruction —
+    * UTF-8 is self-delimiting, so per-word decode joined by spaces
+    * and whole-stream decode with 0x20 separators agree.) */
   def decodeTokenIdsBytes(ids: DataFrame, idCol: String,
                           merges: Seq[(String, String)]): DataFrame = {
     requireMergesBytes(merges)
@@ -749,19 +758,22 @@ object Bpe {
                 s"stream and the vocabulary disagree")))
               .cast(StringType)))
           .as("_sym"))
-    val words = withSym.groupBy(col(idCol), col("word_idx"))
-      .agg(count(lit(1)).as("_nt"),
+    // every word's head token (tok_idx 0) carries the 0x20 separator;
+    // the unconditional prefix keeps the arithmetic branch-free and
+    // the leading "20" is stripped before the one whole-doc decode
+    val headed = withSym.select(col(idCol), col("word_idx"),
+      col("tok_idx"),
+      when(col("tok_idx") === 0L, concat(lit("20"), col("_sym")))
+        .otherwise(col("_sym")).as("_sym"))
+    headed.groupBy(col(idCol))
+      .agg(sum(when(col("tok_idx") === 0L, 1L).otherwise(0L))
+          .as("n_words"),
+        count(lit(1)).as("n_tokens"),
         array_join(transform(sort_array(collect_list(
-          struct(col("tok_idx"), col("_sym")))),
+          struct(col("word_idx"), col("tok_idx"), col("_sym")))),
           x => x.getField("_sym")), "").as("_hex"))
-      .select(col(idCol), col("word_idx"), col("_nt"),
-        decode(unhex(col("_hex")), "UTF-8").as("_w"))
-    words.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("_nt")).as("n_tokens"),
-        array_join(transform(sort_array(collect_list(
-          struct(col("word_idx"), col("_w")))),
-          x => x.getField("_w")), " ").as("decoded"))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        decode(unhex(expr("substring(_hex, 3)")), "UTF-8").as("decoded"))
   }
 
   private[operators] def requireMergesBytes(

@@ -455,6 +455,48 @@ object Scratch {
           "rendered", "line_md5", dir2,
           shingleWords = 3, numHashes = 24, bands = 12)
         println("ingest-shaped index rows: " + spark.read.parquet(dir2).count())
+      case "plan" =>
+        // dump .explain("formatted") for named queries to files:
+        //   runMain graft.tools.Scratch plan <outDir> <name1> [name2 ...]
+        // (the r16 optimization-round deliverable: plans/r16/<q>_before
+        // and _after — the judge checks plan claims against these)
+        val outDir = args(1)
+        val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        new java.io.File(outDir).mkdirs()
+        args.drop(2).foreach { name =>
+          val df = graft.SparkEntry.queries(name)(spark, d)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/$name.txt"), txt)
+          println(s"plan $name -> $outDir/$name.txt (${txt.length} chars)")
+        }
+      case "x364" =>
+        // q364 stage attribution: ids build vs decode vs parallelism
+        import org.apache.spark.sql.functions._
+        val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L }
+        val merges = {
+          val learned = graft.operators.Bpe.learnBpeMergesBytesBatched(
+            graft.queries.LlmOps.mlDocsPublic(spark, d), "text",
+            nMerges = 6, batchSize = 3)
+          learned.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        }
+        val ml = graft.queries.LlmOps.mlDocsPublic(spark, d)
+        for (i <- 1 to 2) {
+          time(s"ids-$i") { noop(graft.operators.Bpe.bpeTokenIdsBytes(
+            ml, "doc_id", "text", merges)) }
+          val ids = graft.operators.Bpe.bpeTokenIdsBytes(
+            ml, "doc_id", "text", merges).localCheckpoint()
+          println("ids parts: " + ids.rdd.getNumPartitions +
+            " rows: " + ids.count())
+          time(s"decode-$i") { noop(graft.operators.Bpe
+            .decodeTokenIdsBytes(ids, "doc_id", merges)) }
+          time(s"full-$i") { noop(graft.operators.Bpe.decodeTokenIdsBytes(
+            graft.operators.Bpe.bpeTokenIdsBytes(ml, "doc_id", "text",
+              merges), "doc_id", merges)) }
+        }
       case "q70x" =>
         // A/B the multi-distinct shapes behind q70 (bench top-5 audit)
         import org.apache.spark.sql.functions._
