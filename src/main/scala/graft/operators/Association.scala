@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Association {
 
+  /** The ONE `(basket, item)` dedup every consumer shares,
+    * materialized: the pair self-join's two sides, the item census
+    * and the basket total each referenced this subtree, and Spark
+    * re-derives a DataFrame subtree once per reference — the r16
+    * plans showed 3 copies of the scan + distinct exchange in q182
+    * and 5 in q186 (guide §2.4: remove shuffles outright).
+    * `localCheckpoint` materializes the dedup once; Spark 4 carries
+    * the origin plan's stats across the checkpoint, so downstream
+    * broadcast decisions are unchanged. */
+  private def dedupedBasketItems(baskets: DataFrame, basketCol: String,
+                                 itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct().localCheckpoint()
+
   /** Directed co-occurrence census `(ante, cons, n_ab)` — the
     * expensive half of rule mining (the basket self-join, fan-out
     * Σ basket_size², the [[Graph.triangleCensus]] wedge argument —
@@ -21,15 +35,15 @@ object Association {
     * deployment shape; duplicate (basket, item) rows collapse
     * first. */
   def directedPairCounts(baskets: DataFrame, basketCol: String,
-                         itemCol: String): DataFrame = {
-    val bi = baskets
-      .select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+                         itemCol: String): DataFrame =
+    pairCensus(dedupedBasketItems(baskets, basketCol, itemCol))
+
+  private def pairCensus(bi: DataFrame): DataFrame =
     bi.as("a")
       .join(bi.as("b"),
         col("a._b") === col("b._b") && col("a._i") =!= col("b._i"))
       .groupBy(col("a._i").as("ante"), col("b._i").as("cons"))
       .agg(count(lit(1)).as("n_ab"))
-  }
 
   /** Rules `ante → cons` from a PRE-BUILT directed pair census:
     * support counts, confidence `c(ab)·10⁶ div c(a)` and lift as the
@@ -54,8 +68,13 @@ object Association {
     require(minPairSupport >= 1L,
       s"minPairSupport must be >= 1, got $minPairSupport")
     require(topN > 0, s"topN must be positive, got $topN")
-    val bi = baskets
-      .select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+    rulesFromCounts(pairCounts,
+      dedupedBasketItems(baskets, basketCol, itemCol), minPairSupport, topN)
+  }
+
+  private def rulesFromCounts(pairCounts: DataFrame, bi: DataFrame,
+                              minPairSupport: Long,
+                              topN: Int): DataFrame = {
     val total = bi.agg(count_distinct(col("_b")).as("_n"))
     val items = bi.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
     pairCounts
@@ -77,8 +96,13 @@ object Association {
     * should persist the census instead. */
   def associationRules(baskets: DataFrame, basketCol: String,
                        itemCol: String, minPairSupport: Long,
-                       topN: Int): DataFrame =
-    associationRulesFromCounts(
-      directedPairCounts(baskets, basketCol, itemCol),
-      baskets, basketCol, itemCol, minPairSupport, topN)
+                       topN: Int): DataFrame = {
+    require(minPairSupport >= 1L,
+      s"minPairSupport must be >= 1, got $minPairSupport")
+    require(topN > 0, s"topN must be positive, got $topN")
+    // ONE materialized dedup feeds the pair census AND the rule
+    // censuses (the ad-hoc tier previously derived it 5×)
+    val bi = dedupedBasketItems(baskets, basketCol, itemCol)
+    rulesFromCounts(pairCensus(bi), bi, minPairSupport, topN)
+  }
 }

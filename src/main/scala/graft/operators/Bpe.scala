@@ -736,7 +736,21 @@ object Bpe {
     * "20" into the hex stream at every word head and decoding the
     * document's byte stream ONCE is the identical reconstruction —
     * UTF-8 is self-delimiting, so per-word decode joined by spaces
-    * and whole-stream decode with 0x20 separators agree.) */
+    * and whole-stream decode with 0x20 separators agree.)
+    *
+    * Byte-validity is ASSUMED: ids must come from
+    * [[bpeTokenIdsBytes]], whose streams are valid UTF-8 per word. A
+    * crafted/reordered stream of individually-known ids that forms
+    * malformed UTF-8 decodes with replacement characters that may
+    * span word boundaries differently than a per-word decode would —
+    * the unknown-id guard does not (and cannot) catch that misuse.
+    * Per-group state note: the doc-level collect_list holds one hex
+    * struct per TOKEN (2 hex chars/byte, ~2× the decoded bytes);
+    * still bounded by document length.
+    *
+    * @return one row per `idCol`: (idCol, n_words, n_tokens,
+    *         decoded) — word count, token count, and the
+    *         reconstructed whitespace-normalized text. */
   def decodeTokenIdsBytes(ids: DataFrame, idCol: String,
                           merges: Seq[(String, String)]): DataFrame = {
     requireMergesBytes(merges)

@@ -691,10 +691,18 @@ object Dedup {
     require(numHashes >= 1 && numHashes <= 1024,
       s"numHashes must be in [1, 1024], got $numHashes")
     // numHashes minhash folds per doc — spread a narrow scan so the
-    // signature pass doesn't run in one task (r13)
+    // signature pass doesn't run in one task (r13). No empty-shingle
+    // pre-filter: a `size(_sh) > 0` filter here gets pushed through
+    // the projection AND the spread exchange, so the whole shingle
+    // build ran TWICE per doc — once inside the single-task scan
+    // stage (defeating the spread) and again above it (r17; guide
+    // §4.4's duplicated-expression hazard, built-in-expression
+    // flavor). Shingle-less docs instead contribute NULL slot mins,
+    // which `min` ignores — and a side with ONLY such docs still
+    // yields matches = 0 (NULL = NULL is never TRUE), so the output
+    // is unchanged in every case.
     def sig(d: DataFrame) = DatasetOps.spreadToCores(d)
       .select(wordShingles(whitespaceTokens(col(textCol)), k).as("_sh"))
-      .filter(size(col("_sh")) > 0)
       .select(posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
         i => array_min(transform(col("_sh"),
           s => md5Hash64(concat_ws(":", i, s)))))).as(Seq("_i", "_v")))
@@ -957,6 +965,17 @@ object Dedup {
           lit(k))), 1, 15), 16, 10).cast(LongType).as("_h"))
       .where(col("_h") % lit(sample.toLong) === 0)
       .withColumn("_loc", col("_id") * lit(4194304L) + col("_pos"))
+    // `locs` is deliberately derived TWICE (census + mark join), NOT
+    // exchanged once and shared: an r17 A/B of the one-shuffle shape
+    // (repartition(_h) reused by both consumers) benched q290 3.35 s
+    // → 10.4 s and q295 5.2 s → 8.0 s at sf0.1 — the gram triples are
+    // corpus-length-sized, so ONE hash exchange + SMJ sorts of them
+    // costs far more than re-running the explode + md5 map-side,
+    // while this shape shuffles only the map-combined census and
+    // streams `locs` through the (AQE-broadcast) join back. Guide
+    // §8's rule applied in reverse: here the per-row compute is the
+    // cheap proxy and the triples are the payload — recompute, don't
+    // move.
     val census = locs.groupBy(col("_h"))
       .agg(count(lit(1)).as("_cnt"), min(col("_loc")).as("_first"))
       .where(col("_cnt") > 1)

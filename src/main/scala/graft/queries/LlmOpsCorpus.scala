@@ -2083,8 +2083,13 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         when(id % 2 === 0, "/").otherwise(""),
         when(id % 6 === 0, "#sec").otherwise(""))
       val urls = docs(s, d).select(col("source"), raw.as("u"))
+      // materialized once (r17, the q271 fix): the frontier feeds the
+      // verdict chain (reqs → hosts → rules ×2 inside) AND the
+      // n_frontier census — each reference re-derived the docs scan +
+      // regexp normalize + distinct exchange (guide §2.4)
       val frontier = urls
         .select(col("source"), urlNormalize(col("u")).as("n")).distinct()
+        .localCheckpoint()
       val reqs = frontier
         .select(col("source"),
           regexp_extract(col("n"), "^https?://([^/]+)", 1).as("host"),
@@ -2805,10 +2810,17 @@ private[queries] trait LlmOpsCorpus { this: LlmOps.type =>
         lit("/p/"), id % 7,
         when(id % 2 === 0, "/").otherwise(""),
         when(id % 6 === 0, "#sec").otherwise(""))
+      // materialize the normalized frontier ONCE (r17): it feeds the
+      // schedule AND (via hosts → synthesized robots → crawlDelays'
+      // agents/delays self-join) THREE more subtree references — the
+      // r16 plan re-derived the docs scan + the 8-regexp normalize
+      // chain per reference (guide §2.4), and the robots branches
+      // evaluated the chain twice per row (filter + project)
       val frontier = docs(s, d)
         .select(urlNormalize(raw).as("n")).distinct()
         .withColumn("host",
           regexp_extract(col("n"), "^https?://([^/]+)", 1))
+        .localCheckpoint()
       val robots = frontier.select(col("host")).distinct()
         .withColumn("txt", concat(lit("User-agent: *\nCrawl-delay: "),
           length(regexp_replace(col("host"), "\\.example\\.com$", "")),

@@ -749,7 +749,11 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
             size(grams).cast(DoubleType), 6)).otherwise(0.0)
       val topWordCount = array_max(transform(array_distinct(col("t")),
         w => size(filter(col("t"), t => t === w))))
-      docs(s, d)
+      // spread ahead of the projection (r17): top_word_frac is an
+      // O(|distinct|·|tokens|) per-row fold and the narrow scan ran
+      // the WHOLE corpus in one task (r16 bench: 4 tasks / 4 serial
+      // stages, cpu_frac 1.0, 2.4 s of single-threaded task time)
+      graft.operators.DatasetOps.spreadToCores(docs(s, d))
         // tokens projected BEFORE shingling (lambda-CSE rule: an
         // inlined tokenizer re-splits the text once per shingle)
         .select(col("doc_id"), whitespaceTokens(col("text")).as("t"))

@@ -2100,21 +2100,29 @@ private[queries] trait LlmOpsTraining { this: LlmOps.type =>
       val boiler = replies.groupBy(col("reply"))
         .agg(count_distinct(col("conv_id")).as("nc"))
         .filter(col("nc") >= 3).select(col("reply"))
+      // the three drop-id sets are materialized (r17): every stage()
+      // census re-derives its anti-join CHAIN, so the boilerplate
+      // census ran 4× and the decontamination shingle pass 3× in one
+      // plan (r16 bench: 1366 tasks / 36 stages, cpu_frac 0.35);
+      // checkpointed id lists are conv-id-sized, and Spark 4 carries
+      // their stats so the anti-joins still broadcast
       val boilerIds = replies.join(broadcast(boiler), Seq("reply"))
         .select(col("conv_id")).distinct()
+        .localCheckpoint()
       val s2 = ok.join(boilerIds, Seq("conv_id"), "left_anti")
       // keep-first: the HIGHER id of every verified near-dup pair
       // drops (q330's materialized pair table over this very corpus —
       // twins always carry the higher id, so originals survive)
       val dupIds = chatPairsMaterialized(s, d)
         .select(col("idB").as("conv_id")).distinct()
+        .localCheckpoint()
       val s3 = s2.join(dupIds, Seq("conv_id"), "left_anti")
       val users = s3.select(col("conv_id"),
         ChatOps.roleConcat(col("turns"), "user").as("user_text"))
       val bench = docs(s, d).filter(col("doc_id") % 13 === 4)
         .select(col("doc_id").as("conv_id"), col("text").as("user_text"))
       val contIds = DatasetOps.contaminatedIds(users, bench,
-        "conv_id", "user_text", k = 3)
+        "conv_id", "user_text", k = 3).localCheckpoint()
       val s4 = s3.join(contIds, Seq("conv_id"), "left_anti")
       val fitted = s4.withColumn("_f",
           call_function("no_inline",

@@ -460,11 +460,16 @@ object Scratch {
         //   runMain graft.tools.Scratch plan <outDir> <name1> [name2 ...]
         // (the r16 optimization-round deliverable: plans/r16/<q>_before
         // and _after — the judge checks plan claims against these)
+        require(args.length >= 3,
+          "usage: Scratch plan <outDir> <name1> [name2 ...]")
         val outDir = args(1)
         val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         new java.io.File(outDir).mkdirs()
         args.drop(2).foreach { name =>
-          val df = graft.SparkEntry.queries(name)(spark, d)
+          val fn = graft.SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown query '$name'; valid names: " +
+              graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+          val df = fn(spark, d)
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(
