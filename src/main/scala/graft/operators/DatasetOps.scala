@@ -272,17 +272,25 @@ object DatasetOps {
     * (Catalyst does not CSE inside lambdas — an inlined tokenizer
     * re-splits the text once per gram, quadratic per doc). */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame =
-    df.select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
+                         k: Int, spread: Boolean = false): DataFrame = {
+    // the CORPUS side spreads ahead of the tokenize + shingle explode
+    // (r17): on a narrow scan the whole gram build ran in one task
+    // (r16 bench: q65 at 10 serial stages, cpu_frac 1.0). The BENCH
+    // side stays unspread — it is the small side by construction and
+    // the extra exchange measured as a net cost on q103.
+    val src = if (spread) spreadToCores(df) else df
+    src
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("_tks"))
       .select(col(idCol), explode(array_distinct(
         wordShingles(col("_tks"), k))).as("_g"))
       .select(col(idCol), xxhash64(col("_g")).as("_gh"))
+  }
 
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
                       idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val benchGrams = gramHashes(bench, idCol, textCol, k)
       .select(col("_gh")).distinct()
-    gramHashes(corpus, idCol, textCol, k)
+    gramHashes(corpus, idCol, textCol, k, spread = true)
       .join(benchGrams, Seq("_gh"), "left_semi")
       .select(col(idCol)).distinct()
   }
@@ -304,7 +312,7 @@ object DatasetOps {
     val benchGrams = gramHashes(bench, idCol, textCol, k)
       .select(col("_gh")).distinct()
       .withColumn("_hit", lit(1))
-    val scored = gramHashes(corpus, idCol, textCol, k)
+    val scored = gramHashes(corpus, idCol, textCol, k, spread = true)
       .join(benchGrams, Seq("_gh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_n_grams"), count(col("_hit")).as("_n_hit"))

@@ -221,8 +221,13 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
       // dominant cost of the exact tier is the pair-row
       // materialization itself, which is why jaccardIndexPairs
       // (posting lists) and minhashDupPairs (LSH) are the scale paths
-      val sh = docs(s, d)
-        .filter(length(col("text")) >= 5)
+      // spread BELOW the projection (r17): the shingle + hash + sort
+      // build sat between the one-task narrow scan and the explicit
+      // repartition, so it ran serially; the spread parallelizes it
+      // while the repartition above still computes it ONCE and feeds
+      // both join sides (reused exchange)
+      val sh = graft.operators.DatasetOps
+        .spreadToCores(docs(s, d).filter(length(col("text")) >= 5))
         .select(col("doc_id"), col("source"),
           array_sort(transform(charShingles(col("text"), 5), x => xxhash64(x)))
             .as("sh"))

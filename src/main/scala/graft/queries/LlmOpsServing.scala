@@ -1293,9 +1293,18 @@ private[queries] trait LlmOpsServing { this: LlmOps.type =>
       // checkpointed once: BOTH consumers below (the ordinal window
       // and the per-doc count census feeding the packer) read the
       // materialized ids — without it the whole tokenization chain
-      // would re-derive per consumer (measured 3.6 → 2.4 s at sf0.1)
+      // would re-derive per consumer (measured 3.6 → 2.4 s at sf0.1).
+      // Projected to the four consumed columns BEFORE the checkpoint
+      // (r17): column pruning cannot cross the materialized-RDD
+      // boundary, and the unused `symbol` hex string is ~2× the bytes
+      // of everything else in the row (guide §5/§6 — narrow what you
+      // materialize; the r16 bench read 250 MB of checkpoint blocks
+      // for a 12 MB shuffle)
       val ids = graft.operators.Bpe.bpeTokenIdsBytes(mlDocs(s, d),
-        "doc_id", "text", merges).localCheckpoint()
+          "doc_id", "text", merges)
+        .select(col("doc_id"), col("word_idx"), col("tok_idx"),
+          col("token_id"))
+        .localCheckpoint()
       // within-doc token ordinal: a per-doc window — executor-resident
       // at any corpus size (documents are length-bounded)
       val w = org.apache.spark.sql.expressions.Window

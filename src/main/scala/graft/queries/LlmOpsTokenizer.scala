@@ -186,8 +186,13 @@ private[queries] trait LlmOpsTokenizer { this: LlmOps.type =>
         ChatOps.lossMaskSpanStructs(col("_turns")).as("_sp"))
     // checkpointed once: BOTH consumers (the ordinal window and the
     // per-doc count census feeding the packer) read materialized
-    // token rows — the q361 discipline
+    // token rows — the q361 discipline. Projected to the five
+    // consumed columns BEFORE the checkpoint (r17): pruning cannot
+    // cross the materialized-RDD boundary and the unused `symbol`
+    // hex string dominates the row bytes (guide §5/§6)
     val toks = ChatOps.sftTokenRows(okd, "doc_id", "_r", "_sp", merges)
+      .select(col("doc_id"), col("seg_idx"), col("tok_idx"),
+        col("token_id"), col("loss_flag"))
       .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
