@@ -829,10 +829,19 @@ object DatasetOps {
                         tokenCol: String, budget: Long): DataFrame = {
     require(budget >= 0L, s"budget must be non-negative, got $budget")
     val outCols = df.columns.map(col).toSeq
+    // materialized ONCE (r17): the three-tier refinement references
+    // this frame multiplicatively (each census self-joins, each tier
+    // re-filters the previous tier's join) — the r17 plan audit
+    // counted the caller's scan+score pipeline re-derived 21× in
+    // q143's plan, i.e. 21 corpus tokenizations for one selection
+    // (guide §2.4). The checkpoint is one narrow pass: callers feed
+    // (id, score, tokens [+ passthrough columns]) — keep passthrough
+    // columns narrow; whatever is passed is what gets materialized
     val base = df
       .filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
       .withColumn("_draw", md5Draw("budget", col(idCol)))
       .withColumn("_h", expr("_draw div 4194304L")) // 2^22 → 1024 buckets
+      .localCheckpoint(false)
     // level 1: per-score-class token totals; _above = tokens in all
     // strictly-better classes, via broadcast non-equi self-join
     val c1 = base.groupBy(col(scoreCol).as("_s"))

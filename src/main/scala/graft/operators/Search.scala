@@ -156,8 +156,14 @@ object Search {
     *         successor stats */
   def compactPostings(oldPostings: DataFrame, oldLens: DataFrame,
                       changelog: DataFrame): (DataFrame, DataFrame) = {
-    val touched = changelog.select(col("id")).distinct()
-    val fresh = changelog.filter(col("op").isin("U", "I"))
+    // changelog materialized once (r17): touched ids, fresh postings
+    // and fresh lengths each referenced it, and each of the caller's
+    // postings'/lens' consumers compounds the re-derivation (the r17
+    // plan audit counted q128's changelog-source scan 15×; guide
+    // §2.4). Change-batch-sized by the compacted-changelog contract.
+    val chg = changelog.localCheckpoint(false)
+    val touched = chg.select(col("id")).distinct()
+    val fresh = chg.filter(col("op").isin("U", "I"))
       .select(col("id"), col("text"))
     val freshPost = termPostings(fresh, "id", "text")
     val freshLens = docLens(fresh, "id", "text")

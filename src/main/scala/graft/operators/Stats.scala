@@ -46,9 +46,17 @@ object Stats {
   def cumulativeValueCensus(df: DataFrame, valueCol: String,
                             coarseBuckets: Int = 1024): DataFrame = {
     require(coarseBuckets > 0, s"coarseBuckets must be > 0")
+    // census materialized ONCE (r17): bounds, the bucket projection
+    // and the bucket totals each reference this frame, and every
+    // reference re-derived the caller's WHOLE input pipeline — the
+    // r17 plan audit counted the source scan 10× in q201's plan and
+    // 50× in q228's (each quantile consumer compounds the multiplier;
+    // guide §2.4). The census is distinct-value-sized — bounded by
+    // the module contract (integer domains), never corpus-sized
     val census = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(LongType).as("v"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val bounds = census.agg(min("v").as("_lo"), max("v").as("_hi"))
     // decimal-exact scaling: ((v - lo) * B) / (hi - lo + 1) — never
     // overflows long even for full-range values
@@ -118,11 +126,14 @@ object Stats {
                               valueCol: String,
                               coarseBuckets: Int = 1024): DataFrame = {
     require(coarseBuckets > 0, s"coarseBuckets must be > 0")
+    // materialized once — the cumulativeValueCensus rationale, per
+    // group (r17): (grp, value)-census-sized by the module contract
     val census = df
       .filter(col(valueCol).isNotNull && col(grpCol).isNotNull)
       .groupBy(col(grpCol).as("grp"),
         col(valueCol).cast(LongType).as("v"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val bounds = census.groupBy("grp")
       .agg(min("v").as("_lo"), max("v").as("_hi"))
     val withB = census.join(bounds, Seq("grp"))

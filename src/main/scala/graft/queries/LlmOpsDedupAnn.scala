@@ -1142,20 +1142,33 @@ private[queries] trait LlmOpsDedupAnn { this: LlmOps.type =>
       // — inlining either into the next lambda re-evaluates it per
       // element (no CSE inside lambdas): O(len²) per doc, measured as
       // a multi-minute hang at sf0.1
-      val ch = docs(s, d)
+      // the scan is spread first (r17): the rolling-hash code/boundary
+      // build is the heaviest per-row compute in the battery's serial
+      // tier and ran entirely inside the one-task narrow scan (r16/r17
+      // bench: 8 tasks over 8 serial stages, cpu_frac 0.99)
+      val ch = graft.operators.DatasetOps.spreadToCores(docs(s, d))
         .select(col("source"), col("text"),
           Dedup.cdcCodes(col("text")).as("codes"))
         .select(col("source"), col("text"),
           Dedup.cdcBoundaries(col("codes"), length(col("text"))).as("ends"))
         .select(col("source"),
           explode(Dedup.cdcChunksAt(col("text"), col("ends"))).as("chunk"))
-      val tot = ch.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(length(col("chunk"))).cast(LongType).as("total_chars"))
-      val dst = ch.distinct().groupBy(col("source"))
-        .agg(count(lit(1)).as("n_distinct_chunks"),
+      // ONE two-level aggregation instead of separate total and
+      // distinct censuses (r17): the old tot/dst pair re-derived the
+      // whole chunk pipeline per consumer (4 parquet scans in the
+      // plan) and joined at the end — per (source, chunk) count first,
+      // then per source both censuses fall out of the same groups:
+      // Σcnt = n_chunks, Σcnt·len = total_chars, count = distinct,
+      // Σlen = distinct_chars (guide §2.4; values identical, oracle-
+      // confirmed)
+      val perChunk = ch.groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("_cnt"))
+      perChunk.groupBy(col("source"))
+        .agg(sum(col("_cnt")).cast(LongType).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("_cnt") * length(col("chunk"))).cast(LongType)
+            .as("total_chars"),
           sum(length(col("chunk"))).cast(LongType).as("distinct_chars"))
-      tot.join(dst, Seq("source"))
         .withColumn("dup_chars_ppm",
           expr("((total_chars - distinct_chars) * 1000000L) " +
             "div greatest(total_chars, 1L)"))
